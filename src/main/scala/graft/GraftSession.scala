@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session configuration for Pig-semantics + 100 TB-scale defaults.
+  *
+  * These settings are applied to an EXISTING session's runtime conf where
+  * dynamic (so the driver-created session in Verify/Bench picks them up),
+  * and documented here as the canonical builder for standalone use.
+  */
+object GraftSession {
+
+  /** Dynamic confs — safe to set on a running session. */
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    // Pig semantics: cast failure → null, div/0 → null, no overflow errors
+    // (reference: POCast.java:63, Utf8StorageConverter — §1.4 of SURVEY.md).
+    c.set("spark.sql.ansi.enabled", "false")
+    // Pig's skewed join (POSkewedJoin + PartitionSkewedKeys) → AQE skew
+    // handling; Pig's bloom join (BuildBloom/Bloom) → runtime bloom filter.
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // Pig's FR join threshold analog (POFRJoin loads right side in memory).
+    c.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    spark
+  }
+
+  /** Standalone builder (tests, local runs). */
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,345 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** A Pig-semantics relation: an immutable, lazily-evaluated bag of tuples,
+  * wrapped over a Spark `DataFrame` so Catalyst optimizes the whole dataflow
+  * DAG end-to-end.
+  *
+  * Design notes (vs the reference, Apache Pig):
+  *  - Each Pig alias assignment (`B = FILTER A BY …`) maps to one `Relation`
+  *    val; `store`/`dump` are the actions (reference:
+  *    src/org/apache/pig/PigServer.java:699-721 — lazy until STORE/DUMP).
+  *  - Bags are `ArrayType(StructType)` columns; `group` *produces* a bag and
+  *    nested FOREACH pipelines run over it with Spark higher-order functions
+  *    (reference grammar: src/org/apache/pig/parser/QueryParser.g:921-971).
+  *  - The GROUP+FOREACH(agg-only) fusion — Pig's combiner
+  *    (…/util/CombinerOptimizerUtil.java:89) — is done at DSL-build time:
+  *    [[GroupedRelation.agg]] emits a direct `groupBy().agg()` so the bag is
+  *    never materialized; [[GroupedRelation.bag]] materializes it only when
+  *    the bag itself is consumed. At 100 TB this is the difference between a
+  *    partial-aggregated shuffle of a few grouped rows and shuffling every
+  *    input row into `collect_list`.
+  */
+final class Relation private[dsl] (val df: DataFrame, val name: String) {
+
+  private def derived(d: DataFrame): Relation = new Relation(d, name)
+  def as(newName: String): Relation = new Relation(df, newName)
+
+  // ---------------------------------------------------------------------
+  // FILTER r BY cond  (reference: LOFilter.java / POFilter.java)
+  // Null comparisons evaluate to null → row dropped, matching Pig & SQL.
+  def filter(cond: Column): Relation = derived(df.filter(cond))
+
+  // FOREACH r GENERATE e…  (reference: LOForEach.java / POForEach.java)
+  def foreach(exprs: Column*): Relation = derived(df.select(exprs: _*))
+  /** Pig positional reference `$n` (ProjectExpression star/positional). */
+  def $(n: Int): Column = col(df.columns(n))
+  /** Pig column range `a .. b` (ProjectExpression range). */
+  def range(from: Int, to: Int): Seq[Column] =
+    df.columns.slice(from, to + 1).map(col).toSeq
+
+  // ---------------------------------------------------------------------
+  // FLATTEN(bag) — explode with Pig semantics: rows with EMPTY bags
+  // DISAPPEAR (no null padding) → inner `explode`, not `explode_outer`
+  // (reference: POForEach.java:501-514 region).
+  def flatten(bagCol: String): Relation = {
+    val tmp = "__flat_" + bagCol
+    val exploded = df.withColumn(tmp, explode(col(bagCol))).drop(bagCol)
+    exploded.schema(tmp).dataType match {
+      case st: StructType =>
+        val keep = exploded.columns.filterNot(_ == tmp).map(col)
+        val expand = st.fieldNames.map(f => col(s"$tmp.$f").as(f))
+        derived(exploded.select((keep ++ expand).toIndexedSeq: _*))
+      case _ =>
+        derived(exploded.withColumnRenamed(tmp, bagCol))
+    }
+  }
+  /** FLATTEN(map) → two columns (key, value); empty maps disappear. */
+  def flattenMap(mapCol: String, keyName: String = "key",
+                 valName: String = "value"): Relation = {
+    val keep = df.columns.filterNot(_ == mapCol).map(col)
+    derived(df.select((keep :+ explode(col(mapCol)).as(Seq(keyName, valName)))
+      .toIndexedSeq: _*))
+  }
+  /** FLATTEN(tuple) → struct fields become top-level columns. */
+  def flattenTuple(structCol: String): Relation = {
+    val st = df.schema(structCol).dataType.asInstanceOf[StructType]
+    val keep = df.columns.filterNot(_ == structCol).map(col)
+    val expand = st.fieldNames.map(f => col(s"$structCol.$f").as(f))
+    derived(df.select((keep ++ expand).toIndexedSeq: _*))
+  }
+
+  // ---------------------------------------------------------------------
+  // GROUP / COGROUP (reference: LOCogroup.java; shuffle triple
+  // POLocalRearrange/POGlobalRearrange/POPackage — Spark's exchange
+  // planning owns the physical realization).
+  def group(keys: Column*): GroupedRelation =
+    new GroupedRelation(this, keys.zipWithIndex.map { case (c, i) => (s"k$i", c) })
+  def groupBy(key: (String, Column), more: (String, Column)*): GroupedRelation =
+    new GroupedRelation(this, key +: more)
+  /** GROUP r ALL → single group; Spark plans a 1-group partial+final agg. */
+  def groupAll: GroupedRelation = new GroupedRelation(this, Seq.empty)
+
+  /** COGROUP this BY k, other BY k2 → (group, thisBag, otherBag).
+    * Implemented as per-input group-to-bag + full outer join on the key —
+    * each side partial-aggregates before the shuffle, and missing sides are
+    * EMPTY bags (never null), matching Pig (reference: POPackage.java,
+    * outer-cogroup semantics).
+    */
+  def cogroup(key: Column, other: Relation, otherKey: Column): Relation = {
+    val l = df.groupBy(key.as("group"))
+      .agg(collect_list(struct(df.columns.map(col).toIndexedSeq: _*)).as(name))
+    val r = other.df.groupBy(otherKey.as("group"))
+      .agg(collect_list(struct(other.df.columns.map(col).toIndexedSeq: _*))
+        .as(other.name))
+    val joined = l.join(r, Seq("group"), "full_outer")
+    new Relation(joined.select(col("group"),
+      coalesce(col(l.columns(1)), array().cast(l.schema(1).dataType)).as(name),
+      coalesce(col(r.columns(1)), array().cast(r.schema(1).dataType))
+        .as(other.name)), name)
+  }
+
+  // ---------------------------------------------------------------------
+  // JOIN a BY k, b BY k [strategy] (reference: LOJoin.java JOINTYPE
+  // enum :39-46; strategies §2.2 of SURVEY.md).
+  //   hash       → Catalyst default (SMJ / shuffled hash — AQE picks)
+  //   replicated → broadcast(right)   (POFRJoin.java)
+  //   merge      → MERGE hint          (POMergeJoin.java)
+  //   skewed     → AQE skew-join handles it on the default plan
+  //                (POSkewedJoin + PartitionSkewedKeys → free via AQE)
+  //   bloom      → Catalyst runtime bloom filter (session conf), see
+  //                graft.GraftSession (POBuildBloomRearrangeTez)
+  def join(other: Relation, keys: Seq[String], joinType: String = "inner",
+           strategy: String = "hash"): Relation = {
+    val right = strategy match {
+      case "replicated"        => broadcast(other.df)
+      case "merge"             => other.df.hint("merge")
+      case "shuffle_hash"      => other.df.hint("shuffle_hash")
+      case _                   => other.df
+    }
+    derived(df.join(right, keys, joinType))
+  }
+  /** Equi-join on differently-named keys; right-side name collisions are
+    * disambiguated Pig-style (`a::x` → `<rightName>__x`). */
+  def joinOn(other: Relation, leftKey: Column, rightKey: Column,
+             joinType: String = "inner", strategy: String = "hash"): Relation = {
+    val collisions = df.columns.toSet.intersect(other.df.columns.toSet)
+    val rdf0 = collisions.foldLeft(other.df) { (d, c) =>
+      d.withColumnRenamed(c, s"${other.name}__$c") }
+    val right = strategy match {
+      case "replicated"   => broadcast(rdf0)
+      case "merge"        => rdf0.hint("merge")
+      case "shuffle_hash" => rdf0.hint("shuffle_hash")
+      case _              => rdf0
+    }
+    derived(df.join(right, leftKey === rightKey, joinType))
+  }
+  /** Pig's anti-join idiom (COGROUP + IsEmpty filter — PigMix L5) mapped to
+    * the shuffle-free-er native left_anti. */
+  def antiJoin(other: Relation, keys: Seq[String]): Relation =
+    derived(df.join(other.df, keys, "left_anti"))
+  def semiJoin(other: Relation, keys: Seq[String]): Relation =
+    derived(df.join(other.df, keys, "left_semi"))
+
+  // CROSS a, b (reference: LOCross.java / POCross.java via GFCross
+  // synthetic keys — Spark's CartesianProduct/BNLJ owns this).
+  def cross(other: Relation): Relation = derived(df.crossJoin(other.df))
+
+  // ---------------------------------------------------------------------
+  // ORDER r BY … — total order via Spark's RangePartitioner (sample-based,
+  // same design as Pig's quantile job: FindQuantiles.java +
+  // WeightedRangePartitioner — but built into Catalyst's Sort).
+  def orderBy(cols: Column*): Relation = derived(df.orderBy(cols: _*))
+
+  // LIMIT r n — with a preceding orderBy Catalyst plans
+  // TakeOrderedAndProject (Pig's LimitAdjuster extra job, for free).
+  def limit(n: Int): Relation = derived(df.limit(n))
+
+  // DISTINCT r (reference: PODistinct.java). Spark plans partial-agg
+  // dedup before the shuffle — same as Pig's sorted-distinct combiner.
+  def distinct: Relation = derived(df.distinct())
+
+  // UNION (bag union, NO dedup) / UNION ONSCHEMA (align by name, pad nulls)
+  // (reference: LOUnion.java onSchema :36-53).
+  def union(other: Relation): Relation = derived(df.union(other.df))
+  def unionOnSchema(other: Relation): Relation =
+    derived(df.unionByName(other.df, allowMissingColumns = true))
+
+  // SPLIT r INTO x IF c, y IF c2 — conditions may overlap; input is
+  // persisted so each branch does not re-scan the source (Pig's
+  // MultiQueryOptimizer equivalence — SURVEY §4.3 #2).
+  def split(conds: (String, Column)*): Map[String, Relation] = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    conds.map { case (n, c) => n -> new Relation(df.filter(c), n) }.toMap
+  }
+  /** SPLIT … OTHERWISE branch: rows matching none of the given conditions.
+    * Pig: null conditions do not route to OTHERWISE either — `otherwise`
+    * is the negation of the OR of all conditions (null-safe false). */
+  def splitOtherwise(conds: Column*): Column =
+    !coalesce(conds.reduce(_ || _), lit(false))
+
+  // SAMPLE r f — Bernoulli (reference desugars to FILTER BY RANDOM() < f,
+  // LogicalPlanBuilder.java:251-256). Seeded for reproducibility.
+  def sample(fraction: Double, seed: Long = 42L): Relation =
+    derived(df.sample(fraction, seed))
+
+  // CUBE / ROLLUP (reference: LOCube.java desugared through
+  // CubeDimensions/RollupDimensions + GROUP; Spark has native grouping sets)
+  def cube(dims: Column*)(aggs: Column*): Relation =
+    derived(df.cube(dims: _*).agg(aggs.head, aggs.tail: _*))
+  def rollup(dims: Column*)(aggs: Column*): Relation =
+    derived(df.rollup(dims: _*).agg(aggs.head, aggs.tail: _*))
+
+  // ---------------------------------------------------------------------
+  // RANK r [BY cols [DENSE]] (reference: LORank.java; PORank/POCounter
+  // 2-pass: per-task counts then global offsets, PORank.java:145-157).
+  // BY-ranking uses a window ordered globally — fine when the ranked key
+  // domain is small; for 100 TB-scale total row numbering use
+  // [[rankScalable]] which reproduces Pig's 2-pass trick.
+  def rank(by: Seq[Column], dense: Boolean = false,
+           rankName: String = "rank"): Relation = {
+    val w = Window.orderBy(by: _*)
+    val r = if (dense) dense_rank() else org.apache.spark.sql.functions.rank()
+    derived(df.withColumn(rankName, r.over(w).cast(LongType)))
+  }
+  /** RANK r (no BY) — 1-based global row number, scalable: per-partition
+    * counts + offsets (zipWithIndex), no single-partition window. */
+  def rankScalable(rankName: String = "rank"): Relation =
+    derived(graft.operators.Rank.rowNumber(df, rankName))
+
+  // ---------------------------------------------------------------------
+  // STREAM r THROUGH 'cmd' (reference: POStream.java + ExecutableManager's
+  // 3-thread pump; tuple⇄text via PigStreaming.java). Spark-side: pipe each
+  // partition through the external process — fully distributed, one process
+  // per task, exactly Pig's per-map/reduce-task contract.
+  def streamThrough(cmd: Seq[String], outSchema: StructType,
+                    sep: String = "\t"): Relation = {
+    val spark = df.sparkSession
+    val piped = df
+      .select(concat_ws(sep, df.columns.map(c => col(c).cast(StringType))
+        .toIndexedSeq: _*))
+      .rdd.map(_.getString(0))
+      .pipe(cmd)
+    val rows = piped.map { line =>
+      Row.fromSeq(line.split(sep, -1).toSeq.padTo(outSchema.size, null))
+    }
+    val asStrings = spark.createDataFrame(rows,
+      StructType(outSchema.map(f => f.copy(dataType = StringType))))
+    // Pig: streamed output is bytearray until cast; apply the declared
+    // schema via non-ANSI casts (failure → null, §1.4 LoadCaster).
+    derived(asStrings.select(outSchema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*))
+  }
+
+  // ASSERT r BY cond (reference: builtin/Assert.java — fail if violated)
+  def assertBy(cond: Column, msg: String = "assertion failed"): Relation =
+    derived(df.filter(
+      when(cond, lit(true)).otherwise(raise_error(lit(msg)))))
+
+  // Scalar projection: a 1-row relation used as a scalar (reference:
+  // ScalarExpression.java + ReadScalars.java — errors if >1 row). The
+  // aggregate is computed once and broadcast-joined, not collected.
+  def withScalar(scalarName: String, agg: Column): Relation =
+    derived(df.crossJoin(broadcast(df.agg(agg.as(scalarName)))))
+
+  // ---------------------------------------------------------------------
+  // STORE r INTO 'p' USING f (reference: LOStore/POStore)
+  def store(path: String, format: String = "parquet",
+            options: Map[String, String] = Map.empty): Unit =
+    df.write.format(format).options(options).mode("overwrite").save(path)
+  /** DUMP (Grunt verb) — driver-side display only. */
+  def dump(n: Int = 20): Unit = df.show(n, truncate = false)
+  def describe(): Unit = df.printSchema()
+  def explain(): Unit = df.explain("formatted")
+}
+
+object Relation {
+  def apply(df: DataFrame, name: String = "rel"): Relation =
+    new Relation(df, name)
+  /** LOAD 'path' USING Parquet (reference: LOLoad/POLoad; format loaders
+    * §2.8 — Spark sources give pushdown + pruning via DSv2). */
+  def load(spark: SparkSession, path: String, name: String): Relation =
+    new Relation(spark.read.parquet(path), name)
+  def loadTable(spark: SparkSession, dir: String, table: String): Relation =
+    new Relation(spark.read.parquet(s"$dir/$table.parquet"), table)
+  /** PigStorage analog: delimited text, all columns typed lazily
+    * (bytearray ≈ string here; use-site casts are non-ANSI → null on
+    * failure, §1.4). */
+  def loadDelimited(spark: SparkSession, path: String, name: String,
+                    sep: String = "\t",
+                    schema: Option[StructType] = None): Relation = {
+    val r = spark.read.option("sep", sep)
+    val df = schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None    => r.csv(path)
+    }
+    new Relation(df, name)
+  }
+}
+
+/** Result of GROUP/COGROUP … BY — holds keys, defers physical shape:
+  *  - `.agg(...)`  → direct `groupBy().agg()` (combiner path; no bag)
+  *  - `.bag()`     → `(group, bag)` with the bag materialized
+  *  - `.bagSorted(...)` → secondary-sort equivalence: bag sorted by key
+  *    inside the aggregation (SecondaryKeyOptimizerUtil analog).
+  */
+final class GroupedRelation private[dsl] (src: Relation,
+                                          keys: Seq[(String, Column)]) {
+  private def df = src.df
+  private def keyCols = keys.map { case (n, c) => c.as(n) }
+
+  /** Fused aggregation — Pig's combiner/Algebraic path. */
+  def agg(aggs: Column*): Relation = {
+    val out =
+      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+    Relation(out, src.name)
+  }
+
+  /** Materialized `(group keys…, <name>: bag)` — only when the bag itself
+    * is consumed downstream (nested FOREACH, FLATTEN on the bag, …). */
+  def bag(extraAggs: Column*): Relation = {
+    val bagAgg = collect_list(struct(df.columns.map(col).toIndexedSeq: _*))
+      .as(src.name)
+    val aggs = bagAgg +: extraAggs
+    val out =
+      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+    Relation(out, src.name)
+  }
+
+  /** Bag with a deterministic in-bag order — Pig's nested ORDER inside
+    * FOREACH, pushed into the aggregation (secondary-sort analog). The sort
+    * happens per-group post-shuffle via array_sort, not a global sort. */
+  def bagSorted(orderField: String, asc: Boolean,
+                extraAggs: Column*): Relation = {
+    val bagged = bag(extraAggs: _*)
+    val (lt, gt) = if (asc) ("-1", "1") else ("1", "-1")
+    val sortedBag = expr(
+      s"array_sort(`${src.name}`, (l, r) -> " +
+      s"CASE WHEN l.`$orderField` < r.`$orderField` THEN $lt " +
+      s"WHEN l.`$orderField` > r.`$orderField` THEN $gt ELSE 0 END)")
+    Relation(bagged.df.withColumn(src.name, sortedBag), src.name)
+  }
+
+  /** Two-key nested ORDER (primary + tiebreaker) — deterministic top-k. */
+  def bagSorted2(f1: String, asc1: Boolean, f2: String, asc2: Boolean,
+                 extraAggs: Column*): Relation = {
+    val bagged = bag(extraAggs: _*)
+    def cmp(f: String, asc: Boolean): (String, String) =
+      if (asc) (s"l.`$f` < r.`$f`", s"l.`$f` > r.`$f`")
+      else (s"l.`$f` > r.`$f`", s"l.`$f` < r.`$f`")
+    val (lt1, gt1) = cmp(f1, asc1)
+    val (lt2, gt2) = cmp(f2, asc2)
+    val sortedBag = expr(
+      s"array_sort(`${src.name}`, (l, r) -> " +
+      s"CASE WHEN $lt1 THEN -1 WHEN $gt1 THEN 1 " +
+      s"WHEN $lt2 THEN -1 WHEN $gt2 THEN 1 ELSE 0 END)")
+    Relation(bagged.df.withColumn(src.name, sortedBag), src.name)
+  }
+}

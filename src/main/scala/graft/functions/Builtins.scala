@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pig builtin function catalog (reference: src/org/apache/pig/builtin/,
+  * 190 files) re-expressed over `org.apache.spark.sql.functions` so every
+  * call stays inside whole-stage codegen — no UDFs in the hot path.
+  *
+  * Only functions whose semantics DIFFER from the same-named Spark function
+  * get a wrapper here (null rules, anchoring, return conventions); exact
+  * matches are listed in Scaladoc and used directly.
+  */
+object Builtins {
+
+  // ------------------------------------------------------------------
+  // Aggregates (reference: COUNT.java:54 — COUNT skips tuples whose FIRST
+  // field is null; COUNT_STAR.java counts all). All Pig aggregates are
+  // Algebraic → Spark's partial/final split applies automatically.
+  def COUNT(c: Column): Column = count(c)
+  def COUNT_STAR(): Column = count(lit(1))
+  def SUM(c: Column): Column = sum(c)
+  def AVG(c: Column): Column = avg(c)
+  def MIN(c: Column): Column = min(c)
+  def MAX(c: Column): Column = max(c)
+  def COR(a: Column, b: Column): Column = corr(a, b)
+  def COV(a: Column, b: Column): Column = covar_samp(a, b)
+
+  /** TOP(n, field, bag) (reference: TOP.java:72) — grouped top-k over a bag
+    * column without a global sort: per-group array sort + slice. For the
+    * relational top-k-per-group shape prefer a window `row_number <= n`
+    * (which Spark executes with a partial top-k per partition). */
+  def TOP(n: Int, orderField: String, bag: Column): Column =
+    slice(sort_array_by(bag, orderField, asc = false), 1, n)
+
+  private def sort_array_by(bag: Column, field: String, asc: Boolean): Column = {
+    val (lt, gt) = if (asc) ("-1", "1") else ("1", "-1")
+    call_function("array_sort", bag,
+      expr(s"(l, r) -> CASE WHEN l.`$field` < r.`$field` THEN $lt " +
+           s"WHEN l.`$field` > r.`$field` THEN $gt ELSE 0 END"))
+  }
+
+  // ------------------------------------------------------------------
+  // String functions (reference: CONCAT.java, SUBSTRING.java, INDEXOF.java,
+  // REGEX_EXTRACT.java:51, TOKENIZE.java:43, STRSPLIT.java:45, …).
+  /** Pig INDEXOF: 0-based, -1 when absent (Spark instr is 1-based, 0 absent). */
+  def INDEXOF(c: Column, s: String): Column = instr(c, s) - 1
+  /** Pig LAST_INDEX_OF: 0-based last occurrence, -1 when absent. */
+  def LAST_INDEX_OF(c: Column, s: String): Column =
+    when(c.contains(s),
+      length(c) - length(substring_index(c, s, -1)) - lit(s.length))
+      .otherwise(lit(-1))
+  /** Pig SUBSTRING(s, start, stop): 0-based [start, stop) — Spark substring
+    * is 1-based with length. Out-of-range → null in Pig; Spark clamps, which
+    * we accept as a documented divergence for in-range inputs. */
+  def SUBSTRING(c: Column, start: Int, stop: Int): Column =
+    substring(c, start + 1, stop - start)
+  /** Pig MATCHES: whole-string regex match (RegexExpression anchors). */
+  def MATCHES(c: Column, pattern: String): Column =
+    c.rlike(s"^(?:$pattern)$$")
+  /** Pig REGEX_EXTRACT: null when no match (Spark returns "" — wrap). */
+  def REGEX_EXTRACT(c: Column, pattern: String, group: Int): Column =
+    when(c.rlike(pattern), regexp_extract(c, pattern, group))
+  /** REGEX_EXTRACT_ALL → tuple (struct) of all groups of one match. */
+  def REGEX_EXTRACT_ALL(c: Column, pattern: String, nGroups: Int): Column =
+    when(c.rlike(pattern),
+      struct((1 to nGroups).map(g =>
+        regexp_extract(c, pattern, g).as(s"g$g")): _*))
+  /** Pig TOKENIZE: split on space, double-quote, comma, parens, star
+    * (TOKENIZE.java:43 delimiters " \",()*"), dropping empties; returns a
+    * bag of single-field tuples — here an array of strings (flatten to get
+    * the relational form). */
+  def TOKENIZE(c: Column): Column =
+    filter(split(c, "[ \\\",()*]"), x => length(x) > 0)
+  /** STRSPLIT → tuple; modeled as array (positional access preserved). */
+  def STRSPLIT(c: Column, regex: String): Column = split(c, regex)
+  def STRSPLITTOBAG(c: Column, regex: String): Column = split(c, regex)
+  def STARTSWITH(c: Column, prefix: String): Column = c.startsWith(prefix)
+  def ENDSWITH(c: Column, suffix: String): Column = c.endsWith(suffix)
+  def EqualsIgnoreCase(a: Column, b: Column): Column = lower(a) === lower(b)
+  /** SPRINTF (reference: SPRINTF.java:41) → format_string. */
+  def SPRINTF(fmt: String, args: Column*): Column = format_string(fmt, args: _*)
+  // LOWER/UPPER/TRIM/LTRIM/RTRIM/REPLACE/CONCAT → exact Spark twins:
+  // lower, upper, trim, ltrim, rtrim, regexp_replace/replace, concat.
+  /** LCFIRST / UCFIRST (reference: LCFIRST.java / UCFIRST.java). */
+  def LCFIRST(c: Column): Column =
+    concat(lower(substring(c, 1, 1)), c.substr(lit(2), length(c)))
+  def UCFIRST(c: Column): Column =
+    concat(upper(substring(c, 1, 1)), c.substr(lit(2), length(c)))
+
+  // ------------------------------------------------------------------
+  // Collection / structural (reference: SIZE.java, IsEmpty.java:34,
+  // TOBAG.java:87, TOMAP.java:38, BagToString.java:48, SUBTRACT.java,
+  // KEYSET.java, PluckTuple.java:62).
+  def SIZE(c: Column): Column = size(c).cast(LongType)
+  def IsEmpty(c: Column): Column = size(c) === 0
+  def TOTUPLE(cs: Column*): Column = struct(cs: _*)
+  def TOBAG(cs: Column*): Column = array(cs.map(c => struct(c.as("t0"))): _*)
+  def TOMAP(kvs: Column*): Column = map(kvs: _*)
+  def BagToString(bag: Column, sep: String): Column =
+    array_join(transform(bag, t => t.cast(StringType)), sep)
+  def KEYSET(m: Column): Column = map_keys(m)
+  def VALUELIST(m: Column): Column = map_values(m)
+  def VALUESET(m: Column): Column = array_distinct(map_values(m))
+  /** SUBTRACT(bag1, bag2): elements of 1 not in 2 (bag difference). */
+  def SUBTRACT(a: Column, b: Column): Column = array_except(a, b)
+  /** DIFF: symmetric difference of two bags (reference: DIFF.java). */
+  def DIFF(a: Column, b: Column): Column =
+    array_union(array_except(a, b), array_except(b, a))
+  def Distinct(bag: Column): Column = array_distinct(bag)
+
+  // ------------------------------------------------------------------
+  // Date/time (reference: ToDate.java:80, GetYear.java, AddDuration.java —
+  // ISO-8601 durations; joda under the hood, UTC session here).
+  def ToDate(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+  def ToUnixTime(c: Column): Column = unix_timestamp(c)
+  def ToMilliSeconds(c: Column): Column = unix_timestamp(c) * 1000
+  def GetYear(c: Column): Column = year(c)
+  def GetMonth(c: Column): Column = month(c)
+  def GetDay(c: Column): Column = dayofmonth(c)
+  def GetHour(c: Column): Column = hour(c)
+  def GetMinute(c: Column): Column = minute(c)
+  def GetSecond(c: Column): Column = second(c)
+  def GetWeek(c: Column): Column = weekofyear(c)
+  def DaysBetween(a: Column, b: Column): Column = datediff(a, b).cast(LongType)
+  def YearsBetween(a: Column, b: Column): Column =
+    (year(a) - year(b)).cast(LongType) // calendar-field semantics
+  /** AddDuration with an ISO-8601 duration, e.g. "P1D", "PT2H". */
+  def AddDuration(ts: Column, iso: String): Column =
+    ts + expr(isoToInterval(iso))
+  def SubtractDuration(ts: Column, iso: String): Column =
+    ts - expr(isoToInterval(iso))
+  private def isoToInterval(iso: String): String = {
+    // Minimal ISO-8601 duration → Spark INTERVAL translation (P[n]D/T[n]H…)
+    val m = "P(?:(\\d+)D)?(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+)S)?)?".r
+      .findFirstMatchIn(iso).get
+    val parts = Seq(
+      Option(m.group(1)).map(d => s"$d days"),
+      Option(m.group(2)).map(h => s"$h hours"),
+      Option(m.group(3)).map(x => s"$x minutes"),
+      Option(m.group(4)).map(s => s"$s seconds")).flatten
+    "INTERVAL '" + parts.mkString(" ") + "'"
+  }
+
+  // ------------------------------------------------------------------
+  // Math — exact Spark twins (ABS→abs, CBRT→cbrt, CEIL→ceil, …,
+  // ROUND_TO→round(c, d), RANDOM→rand). Only divergence: Pig int division
+  // by zero yields null, not an error → keep spark.sql.ansi.enabled=false
+  // (POCast/Divide semantics, §1.4 of SURVEY.md).
+  def ROUND(c: Column): Column = round(c, 0).cast(LongType)
+  def ROUND_TO(c: Column, digits: Int): Column = round(c, digits)
+
+  // UniqueID (reference: UniqueID.java:37 — task-id based):
+  def UniqueID(): Column = monotonically_increasing_id()
+}

@@ -23,6 +23,9 @@ object GraftSession {
     c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // Pig's FR join threshold analog (POFRJoin loads right side in memory).
     c.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // The driver's events.parquet uses TIMESTAMP(NANOS) which Spark cannot
+    // read natively — read as long and convert (see Relation.loadTable).
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 
@@ -38,6 +41,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

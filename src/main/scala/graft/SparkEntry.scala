@@ -429,8 +429,366 @@ object SparkEntry {
            FROM orders) WHERE rn <= 2"""
   )
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relationalQueries
+  // =====================================================================
+  // Expression surface + builtin functions (SURVEY §2.5, §2.6)
+  // =====================================================================
 
-  def oracleSql: Map[String, String] = relationalOracles
+  private val functionQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // bincond / CASE (§2.5): nested when-chains
+    "q31_case" -> ((s, d) =>
+      T(s, d, "orders").foreach(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, lit("platinum"))
+          .when(col("o_totalprice") > 150000, lit("gold"))
+          .otherwise(when(col("o_orderstatus") === "F", lit("done"))
+            .otherwise(lit("base"))).as("tier")).df),
+
+    // bytearray lazy-cast semantics (§1.4): failed cast → null, not error
+    "q32_cast_null" -> ((s, d) =>
+      T(s, d, "orders").foreach(
+        col("o_orderkey"),
+        col("o_orderpriority").cast(LongType).as("pr_full"),
+        substring(col("o_orderpriority"), 1, 1).cast(LongType).as("pr_code")).df),
+
+    // MATCHES: whole-string regex anchoring (§2.5)
+    "q33_matches" -> ((s, d) =>
+      T(s, d, "part")
+        .foreach(MATCHES(col("p_type"), "PROMO.*").as("is_promo"))
+        .groupBy("is_promo" -> col("is_promo"))
+        .agg(COUNT_STAR().as("n")).df),
+
+    // string builtin catalog (§2.6)
+    "q34_strings" -> ((s, d) =>
+      T(s, d, "customer").foreach(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        SUBSTRING(col("c_name"), 0, 8).as("sub"),
+        concat(col("c_name"), lit("|"), col("c_mktsegment")).as("cat"),
+        regexp_replace(col("c_name"), "Customer", "C").as("rep"),
+        length(col("c_name")).cast(LongType).as("len"),
+        INDEXOF(col("c_name"), "#").cast(LongType).as("idx"),
+        STARTSWITH(col("c_name"), "Customer").as("sw"),
+        trim(col("c_mktsegment")).as("tr")).df),
+
+    // math builtin catalog (§2.6)
+    "q35_math" -> ((s, d) =>
+      T(s, d, "part").foreach(
+        col("p_partkey"),
+        abs(-col("p_size")).cast(LongType).as("abs_sz"),
+        ceil(col("p_retailprice")).as("ce"),
+        floor(col("p_retailprice")).as("fl"),
+        ROUND_TO(col("p_retailprice"), 1).as("rnd"),
+        round(sqrt(col("p_retailprice")), 6).as("sq"),
+        round(log(col("p_retailprice")), 6).as("ln"),
+        (col("p_size") % 7).cast(LongType).as("md")).df),
+
+    // datetime builtin catalog (§2.6): field extraction + duration math
+    "q36_datetime" -> ((s, d) =>
+      T(s, d, "orders").foreach(
+        col("o_orderkey"),
+        GetYear(col("o_orderdate")).cast(LongType).as("yr"),
+        GetMonth(col("o_orderdate")).cast(LongType).as("mo"),
+        GetDay(col("o_orderdate")).cast(LongType).as("dy"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))
+          .cast(LongType).as("days_since"),
+        AddDuration(col("o_orderdate"), "P1D").as("next_day")).df),
+
+    // TOKENIZE + FLATTEN wordcount (§2.6 TOKENIZE; the canonical Pig demo)
+    "q37_tokenize" -> ((s, d) =>
+      T(s, d, "documents")
+        .foreach(explode(TOKENIZE(col("text"))).as("word"))
+        .groupBy("word" -> col("word"))
+        .agg(COUNT_STAR().as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20).df),
+
+    // map type + lookup m#'k' (§2.5): JSON props → map → element_at
+    "q38_map_lookup" -> ((s, d) =>
+      T(s, d, "events").foreach(
+        col("event_id"),
+        element_at(from_json(col("props"),
+          MapType(StringType, LongType)), "k").as("k_val")).df),
+
+    // sessionization over events: window lag + gap>30min session breaks
+    "q39_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      T(s, d, "events")
+        .foreach(col("user_id"), col("ts"), col("event_id"))
+        .foreach(col("user_id"),
+          when(unix_timestamp(col("ts")) -
+               unix_timestamp(lag(col("ts"), 1).over(w)) > 1800 ||
+               lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L)
+            .as("is_new"))
+        .groupBy("user_id" -> col("user_id"))
+        .agg(sum(col("is_new")).as("n_sessions"),
+             COUNT_STAR().as("n_events")).df
+    }),
+
+    // tumbling time-window aggregation over events (batch twin of the
+    // Structured Streaming surface in graft.streaming)
+    "q40_time_window" -> ((s, d) =>
+      T(s, d, "events")
+        .groupBy("hour" -> date_trunc("hour", col("ts")),
+                 "event_type" -> col("event_type"))
+        .agg(COUNT_STAR().as("n"),
+             round(SUM(col("value")), 2).as("sum_value")).df)
+  )
+
+  private val functionOracles: Map[String, String] = Map(
+    "q31_case" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_totalprice > 300000 THEN 'platinum'
+                     WHEN o_totalprice > 150000 THEN 'gold'
+                     WHEN o_orderstatus = 'F' THEN 'done'
+                     ELSE 'base' END AS tier
+         FROM orders""",
+    "q32_cast_null" ->
+      """SELECT o_orderkey, TRY_CAST(o_orderpriority AS BIGINT) AS pr_full,
+                TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS pr_code
+         FROM orders""",
+    "q33_matches" ->
+      """SELECT regexp_full_match(p_type, 'PROMO.*') AS is_promo,
+                count(*) AS n
+         FROM part GROUP BY 1""",
+    "q34_strings" ->
+      """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+                substring(c_name, 1, 8) AS sub,
+                c_name || '|' || c_mktsegment AS cat,
+                replace(c_name, 'Customer', 'C') AS rep,
+                CAST(length(c_name) AS BIGINT) AS len,
+                CAST(strpos(c_name, '#') - 1 AS BIGINT) AS idx,
+                starts_with(c_name, 'Customer') AS sw,
+                trim(c_mktsegment) AS tr
+         FROM customer""",
+    "q35_math" ->
+      """SELECT p_partkey, CAST(abs(-p_size) AS BIGINT) AS abs_sz,
+                CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+                CAST(floor(p_retailprice) AS BIGINT) AS fl,
+                round(p_retailprice, 1) AS rnd,
+                round(sqrt(p_retailprice), 6) AS sq,
+                round(ln(p_retailprice), 6) AS ln,
+                CAST(p_size % 7 AS BIGINT) AS md
+         FROM part""",
+    "q36_datetime" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS BIGINT) AS yr,
+                CAST(month(o_orderdate) AS BIGINT) AS mo,
+                CAST(day(o_orderdate) AS BIGINT) AS dy,
+                CAST(date_diff('day', DATE '1995-01-01',
+                               CAST(o_orderdate AS DATE)) AS BIGINT)
+                  AS days_since,
+                o_orderdate + INTERVAL 1 DAY AS next_day
+         FROM orders""",
+    "q37_tokenize" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(text, '[ ",()*]')) AS word
+           FROM documents)
+         WHERE length(word) > 0
+         GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    "q38_map_lookup" ->
+      """SELECT event_id,
+                CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
+         FROM events""",
+    "q39_sessionize" ->
+      """SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+         FROM (
+           SELECT user_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         GROUP BY user_id""",
+    "q40_time_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2"""
+  )
+
+  // =====================================================================
+  // LLM-data-pipeline operators (BASELINE.json north star): dedup,
+  // similarity search, text analysis, multimodal plumbing
+  // =====================================================================
+
+  private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup via content-hash groupBy (one shuffle on md5 digest)
+    "q41_dedup_exact" -> ((s, d) =>
+      graft.text.Dedup.exactDupGroups(
+        T(s, d, "documents").df, "text", "doc_id")),
+
+    // exact-dedup'd corpus row count per source (semi-join keep-set)
+    "q42_dedup_drop" -> ((s, d) =>
+      Relation(graft.text.Dedup.dropExactDups(
+          T(s, d, "documents").df, "text", "doc_id"), "docs")
+        .groupBy("source" -> col("source"))
+        .agg(COUNT_STAR().as("n")).df),
+
+    // MinHash + LSH near-dup pipeline (shingle→sign→band→verify);
+    // deterministic but xxhash64-based → rows-only check
+    "q43_minhash_neardups" -> ((s, d) =>
+      graft.text.Dedup.minhashNearDups(
+        T(s, d, "documents").df, "doc_id", "text",
+        shingleK = 5, numHashes = 64, numBands = 16, threshold = 0.5)),
+
+    // SimHash signatures + banded near-dup candidates (rows-only)
+    "q44_simhash_neardups" -> ((s, d) =>
+      graft.text.Dedup.simhashNearDups(
+        graft.text.Dedup.simhash(T(s, d, "documents").df, "doc_id", "text"),
+        "doc_id", maxDistance = 8)),
+
+    // n-gram Jaccard between consecutive doc ids — exact, oracle-checked
+    "q45_ngram_jaccard" -> ((s, d) => {
+      val sh = T(s, d, "documents").df.select(col("doc_id"),
+        graft.text.Dedup.wordNgrams(col("text"), 3).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select((col("doc_id") - 1).as("id_a"), col("sh").as("sh_b"))
+      a.join(b, Seq("id_a"))
+        .select(col("id_a").as("doc_id"),
+          round(graft.text.Dedup.jaccard(col("sh_a"), col("sh_b")), 6)
+            .as("jac_next"))
+    }),
+
+    // brute-force cosine top-k against a fixed query vector
+    "q46_ann_brute" -> ((s, d) => {
+      val emb = T(s, d, "embeddings").df
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      graft.ml.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+
+    // LSH-bucketed ANN variant (approximate → rows-only)
+    "q47_ann_lsh" -> ((s, d) => {
+      val emb = T(s, d, "embeddings").df
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      graft.ml.Similarity.annTopK(emb, "vec_id", "embedding", q, 10,
+        numPlanes = 4)
+    }),
+
+    // language ID (stopword/CJK heuristic — deterministic, rows-only)
+    "q48_langid" -> ((s, d) =>
+      Relation(T(s, d, "documents").df.select(col("doc_id"),
+          graft.text.TextAnalysis.langId(col("text")).as("pred_lang"),
+          col("lang")), "docs")
+        .groupBy("lang" -> col("lang"), "pred_lang" -> col("pred_lang"))
+        .agg(COUNT_STAR().as("n")).df),
+
+    // quality scoring: token stats + ratios (oracle-checked)
+    "q49_quality" -> ((s, d) =>
+      T(s, d, "documents").foreach(
+        col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.text.TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        round(graft.text.TextAnalysis.alphaRatio(col("text")), 6)
+          .as("alpha_ratio"),
+        round(graft.text.TextAnalysis.stopwordRatio(col("text")), 6)
+          .as("stop_ratio")).df),
+
+    // rolling-hash document fingerprint (oracle-checked mod-arithmetic)
+    "q50_fingerprint" -> ((s, d) =>
+      T(s, d, "documents").foreach(
+        col("doc_id"),
+        graft.text.TextAnalysis.fingerprint(col("text")).as("fp")).df),
+
+    // multimodal plumbing: binary payload + batch feature extraction
+    // (decode STUBbed; n_bytes/f0 deterministic → oracle-checked)
+    "q51_multimodal" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.toMedia(
+        T(s, d, "documents").df, "doc_id", "text")
+      graft.multimodal.Multimodal.extractFeatures(media, batchSize = 64)
+        .toDF().select(col("doc_id"), col("n_bytes"), col("feat_dim"),
+          round(col("f0"), 6).as("f0"))
+    }),
+
+    // frame-sampling shape over binary payloads (rows-only)
+    "q52_frames" -> ((s, d) =>
+      graft.multimodal.Multimodal.sampleFrames(
+        T(s, d, "documents").df
+          .select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
+        "doc_id", "payload", chunkBytes = 32, everyK = 4))
+  )
+
+  private val pipelineOracles: Map[String, String] = Map(
+    "q41_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_dups,
+                min(doc_id) AS keep_id
+         FROM documents GROUP BY 1""",
+    "q42_dedup_drop" ->
+      """SELECT source, count(*) AS n FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+         GROUP BY source""",
+    "q45_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)]) AS grams
+           FROM (SELECT doc_id,
+                        list_filter(string_split_regex(trim(text), '\s+'),
+                                    t -> length(t) > 0) AS toks
+                 FROM documents))
+         SELECT a.doc_id AS doc_id,
+                round(CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                  THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                       / len(list_distinct(a.grams || b.grams))
+                  ELSE 0.0 END, 6) AS jac_next
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+    "q49_quality" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]')) AS BIGINT)
+                  AS n_bpeish,
+                round(CASE WHEN length(text) > 0 THEN
+                  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS DOUBLE) / length(text) ELSE 0.0 END, 6)
+                  AS alpha_ratio,
+                round(CASE WHEN len(list_filter(string_split_regex(
+                        trim(lower(text)), '\s+'), t -> length(t) > 0)) > 0
+                  THEN CAST(len(list_filter(string_split_regex(
+                        trim(lower(text)), '\s+'),
+                        t -> t IN ('the','a','an','and','or','of','to','in',
+                                   'is','it','that','for','on','with','as',
+                                   'at','by','this','be'))) AS DOUBLE)
+                       / len(list_filter(string_split_regex(
+                           trim(lower(text)), '\s+'), t -> length(t) > 0))
+                  ELSE 0.0 END, 6) AS stop_ratio
+         FROM documents""",
+    "q50_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> length(t) > 0),
+                      t -> CAST(length(t) AS BIGINT))),
+                  (acc, v) -> (acc * 31 + v) % 1000000007) AS fp
+         FROM documents""",
+    "q46_ann_brute" ->
+      """SELECT vec_id,
+                round(list_cosine_similarity(embedding,
+                  (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6)
+                  AS cos_sim
+         FROM embeddings
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q51_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+                  AS n_bytes,
+                8 AS feat_dim,
+                round(CASE WHEN length(text) > 0
+                  THEN CAST(ascii(substring(text, 1, 1)) AS DOUBLE) / 256.0
+                  ELSE 0.0 END, 6) AS f0
+         FROM documents"""
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relationalQueries ++ functionQueries ++ pipelineQueries
+
+  def oracleSql: Map[String, String] =
+    relationalOracles ++ functionOracles ++ pipelineOracles
 }

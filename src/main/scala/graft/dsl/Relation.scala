@@ -265,8 +265,17 @@ object Relation {
     * §2.8 — Spark sources give pushdown + pruning via DSv2). */
   def load(spark: SparkSession, path: String, name: String): Relation =
     new Relation(spark.read.parquet(path), name)
-  def loadTable(spark: SparkSession, dir: String, table: String): Relation =
-    new Relation(spark.read.parquet(s"$dir/$table.parquet"), table)
+  def loadTable(spark: SparkSession, dir: String, table: String): Relation = {
+    val df = spark.read.parquet(s"$dir/$table.parquet")
+    // Parquet TIMESTAMP(NANOS) columns arrive as long (nanosAsLong) — the
+    // events table's `ts`. Convert with integral division (a double divide
+    // would lose microsecond precision at 1.7e18 nanos).
+    val fixed =
+      if (table == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    new Relation(fixed, table)
+  }
   /** PigStorage analog: delimited text, all columns typed lazily
     * (bytearray ≈ string here; use-site casts are non-ANSI → null on
     * failure, §1.4). */

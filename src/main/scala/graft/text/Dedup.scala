@@ -1,0 +1,174 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB case:
+  *
+  *  - exact dedup: hash-groupBy — one shuffle on a 16-byte digest, with
+  *    partial aggregation before the exchange;
+  *  - MinHash + LSH: per-row signature computation is pure codegen'd
+  *    column work; only (band, bucket) keys shuffle — candidate pairs are
+  *    generated per-bucket, never a global cross join;
+  *  - SimHash: 64-bit signature per doc; near-dup candidates via banded
+  *    16-bit chunks, verified by hamming distance (`bit_count(a^b)`);
+  *  - n-gram Jaccard: exact verification on candidate pairs only.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  /** One row per distinct content hash: (hash, n_dups, keep_id). */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast(BinaryType)).as("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+
+  /** Drop exact duplicates, keeping the smallest id per content hash.
+    * Shuffles once on the content hash; no window over the full rows. */
+  def dropExactDups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exactDupGroups(df, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------------
+  // Shingling
+  /** Distinct character k-shingles. */
+  def charShingles(text: Column, k: Int): Column =
+    array_distinct(
+      when(length(text) >= k,
+        transform(sequence(lit(1), length(text) - (k - 1)),
+          i => substring_col(text, i, k)))
+        .otherwise(array(text)))
+
+  private def substring_col(text: Column, pos: Column, len: Int): Column =
+    text.substr(pos, lit(len))
+
+  /** Distinct word n-grams over whitespace tokens. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  /** MinHash signature: element j = min over shingles of xxhash64(s, j).
+    * Seeding the hash with the permutation index gives numHashes
+    * independent hash families with zero extra state; everything is
+    * codegen'd column work (xxhash64 is a native Catalyst expression). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingles, s => xxhash64(s, j))))
+
+  /** LSH banding: rows with an identical band slice land in one bucket.
+    * Returns (idCol, band, bucket) — explode is numBands rows per doc. */
+  def lshBuckets(df: DataFrame, idCol: String, sigCol: String,
+                 numBands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1,
+                 lit(rowsPerBand)), b)))
+          .as(Seq("band", "bucket")))
+
+  /** Candidate near-dup pairs (a < b) from shared LSH buckets. Buckets
+    * larger than `maxBucket` are dropped (degenerate content — at 100 TB a
+    * hot bucket would otherwise produce a quadratic pair blow-up; the cap
+    * bounds per-bucket work, the same role as Pig's skewed-join sampling). */
+  def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
+                        numBands: Int, rowsPerBand: Int,
+                        maxBucket: Int = 1000): DataFrame = {
+    val buckets = lshBuckets(df, idCol, sigCol, numBands, rowsPerBand)
+    val grouped = buckets.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    // per-bucket pair generation: ids sorted, all (i<j) combinations
+    grouped.select(explode(pairCombinations(sort_array(col("ids"))))
+        .as("pair"))
+      .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
+      .distinct()
+  }
+
+  /** All (i<j) combinations of a sorted array, as structs (_1, _2). */
+  private def pairCombinations(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        b => struct(a.as("_1"), b.as("_2")))))
+
+  /** Exact n-gram Jaccard similarity of two shingle sets. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) > 0,
+      size(array_intersect(a, b)).cast(DoubleType) /
+        size(array_union(a, b)))
+      .otherwise(lit(0.0))
+
+  /** End-to-end MinHash near-dup pipeline: shingle → sign → band →
+    * candidate pairs → exact-Jaccard verify ≥ threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleK: Int = 5, numHashes: Int = 64,
+                      numBands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val shingled = df.select(col(idCol),
+      charShingles(col(textCol), shingleK).as("shingles"))
+    val signed = shingled.withColumn("sig",
+      minhashSignature(col("shingles"), numHashes))
+    val pairs = lshCandidatePairs(signed, idCol, "sig",
+      numBands, numHashes / numBands)
+    val sa = shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  /** 64-bit SimHash per document from whitespace tokens: bit i of the
+    * signature is the sign of Σ_tokens (±1 by bit i of xxhash64(token)).
+    * Implemented as 64 conditional sums in ONE aggregation pass (all
+    * codegen'd); docs with similar token multisets get close signatures. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val agged = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      shiftleft(when(col(s"b$i") > 0, 1L).otherwise(0L), i)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agged.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast(LongType)
+
+  /** SimHash near-dup candidates: band the 64-bit signature into four
+    * 16-bit chunks (docs within hamming distance 3 share ≥1 exact chunk),
+    * bucket-join, verify by hamming ≤ maxDistance. */
+  def simhashNearDups(sigs: DataFrame, idCol: String,
+                      maxDistance: Int = 3): DataFrame = {
+    val chunked = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col(idCol).as("id_a"), col("simhash").as("sig_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"),
+      col(idCol).as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, document fingerprinting.
+  *
+  * All pure-Column (codegen'd, no UDFs) so they stay inside whole-stage
+  * codegen and scale linearly with input — nothing here shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish token count: runs of letters, single digits, or any other
+    * non-space symbol each count as one token (a cheap, deterministic
+    * stand-in for a real subword tokenizer's token count). */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast(LongType)
+
+  /** Fraction of characters that are ASCII letters. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType) /
+        length(text))
+      .otherwise(lit(0.0))
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast(DoubleType) /
+        length(text))
+      .otherwise(lit(0.0))
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "be")
+
+  /** Fraction of tokens that are stopwords (quality signal: natural prose
+    * has a stable stopword rate; keyword spam / boilerplate does not). */
+  def stopwordRatio(text: Column,
+                    stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+        .cast(DoubleType) / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast(DoubleType) / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: favors texts with sane length,
+    * high alpha ratio and a natural stopword rate. Deterministic. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / 500.0, lit(1.0))
+    val alpha = alphaRatio(text)
+    val stop = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lenScore + alpha + stop) / 3.0, 6)
+  }
+
+  private val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "pour", "dans", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "que", "por", "para", "una"))
+
+  /** N-gram/stopword-heuristic language ID: CJK codepoints → zh, otherwise
+    * argmax of language-stopword hits (ties broken by language code order —
+    * deterministic). A real system would use character n-gram profiles; the
+    * Spark-side shape (pure Column, no shuffle) is identical. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = LangStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      (lang, size(filter(toks, t => t.isin(sw.map(lit): _*))))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("unknown")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
+  }
+
+  /** Rolling-hash document fingerprint: fold token lengths through a
+    * polynomial hash mod 1e9+7. Stable across engines (no overflow — the
+    * accumulator stays < 31e9+max token length). */
+  def fingerprint(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t).cast(LongType)),
+      lit(0L), (acc, v) => (acc * 31L + v) % 1000000007L)
+}

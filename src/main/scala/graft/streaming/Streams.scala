@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface — a capability EXTENSION over the
+  * reference (Pig's STREAM is an external-process pipe, §2.10 of
+  * SURVEY.md; it has no incremental execution model). The same dataflow
+  * shapes exposed by the batch DSL are available incrementally:
+  * tumbling/sliding windows, session windows, watermarked dedup, and
+  * arbitrary stateful processing via flatMapGroupsWithState on the
+  * underlying Dataset.
+  *
+  * Design: each helper takes and returns DataFrames so a batch pipeline
+  * can be re-pointed at a stream by swapping `spark.read` for
+  * `spark.readStream` — operator code is identical (the Spark contract).
+  */
+object Streams {
+
+  /** Streaming source over a parquet directory (file-arrival stream). */
+  def readParquetStream(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Tumbling event-time window aggregation with a watermark bounding
+    * state: groupBy(window(ts)) keeps one partial aggregate per
+    * (window, key) — state size is O(active windows × keys), not rows. */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Sliding window variant. */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    windowLen: String, slide: String,
+                    watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows: gap-based grouping, native session_window (state
+    * merges adjacent sessions; the batch twin is q39_sessionize). */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Streaming dedup bounded by a watermark — the streaming form of
+    * exact dedup (state holds keys only within the watermark horizon,
+    * so it cannot grow without bound at 100 TB/day rates). */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           watermark: String, keys: String*): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.toSeq)
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Builtins._
+
+/** Builtin semantics vs the reference (TestBuiltin.java patterns). */
+class BuiltinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c).head().get(0)
+
+  test("MATCHES anchors the whole string (RegexExpression)") {
+    assert(one(MATCHES(lit("PROMO BRASS"), "PROMO.*")) == true)
+    assert(one(MATCHES(lit("XPROMO"), "PROMO.*")) == false)  // not anchored-prefix
+    assert(one(MATCHES(lit("PROMO"), "PRO")) == false)        // whole-string
+  }
+
+  test("REGEX_EXTRACT: null on no-match (not empty string)") {
+    assert(one(REGEX_EXTRACT(lit("ab12"), "([0-9]+)", 1)) == "12")
+    assert(one(REGEX_EXTRACT(lit("abcd"), "([0-9]+)", 1)) == null)
+  }
+
+  test("INDEXOF/LAST_INDEX_OF are 0-based with -1 absent") {
+    assert(one(INDEXOF(lit("ab#cd"), "#")) == 2)
+    assert(one(INDEXOF(lit("abcd"), "#")) == -1)
+    assert(one(LAST_INDEX_OF(lit("a#b#c"), "#")) == 3)
+    assert(one(LAST_INDEX_OF(lit("abc"), "#")) == -1)
+  }
+
+  test("SUBSTRING is 0-based [start, stop)") {
+    assert(one(SUBSTRING(lit("hello"), 1, 3)) == "el")
+  }
+
+  test("TOKENIZE splits on pig delimiters and drops empties") {
+    val toks = one(TOKENIZE(lit("""hi "there" (you)*star,x""")))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(toks == Seq("hi", "there", "you", "star", "x"))
+  }
+
+  test("LCFIRST/UCFIRST") {
+    assert(one(LCFIRST(lit("Hello"))) == "hello")
+    assert(one(UCFIRST(lit("hello"))) == "Hello")
+  }
+
+  test("bag builtins: SIZE/IsEmpty/SUBTRACT/DIFF/BagToString/TOP") {
+    val df = Seq((Seq(1, 2, 3), Seq(2, 3, 4))).toDF("a", "b")
+    val r = df.select(
+      SIZE(col("a")).as("s"), IsEmpty(col("a")).as("e"),
+      SUBTRACT(col("a"), col("b")).as("sub"),
+      array_sort(DIFF(col("a"), col("b"))).as("d"),
+      BagToString(col("a"), "_").as("bs")).head()
+    assert(r.getLong(0) == 3 && !r.getBoolean(1))
+    assert(r.getSeq[Int](2) == Seq(1))
+    assert(r.getSeq[Int](3) == Seq(1, 4))
+    assert(r.getString(4) == "1_2_3")
+  }
+
+  test("TOP(n) picks largest by field") {
+    val df = Seq(Tuple1(Seq((1, "a"), (5, "b"), (3, "c")))).toDF("bag")
+      .select(col("bag").cast("array<struct<v:int,s:string>>").as("bag"))
+    val top = df.select(TOP(2, "v", col("bag"))).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getInt(0)) == Seq(5, 3))
+  }
+
+  test("AddDuration ISO-8601") {
+    val df = Seq("2020-01-01 00:00:00").toDF("s")
+      .select(AddDuration(col("s").cast("timestamp"), "P1D").as("t"),
+              AddDuration(col("s").cast("timestamp"), "PT2H30M").as("t2"))
+    val r = df.select(col("t").cast("string"), col("t2").cast("string")).head()
+    assert(r.getString(0) == "2020-01-02 00:00:00")
+    assert(r.getString(1) == "2020-01-01 02:30:00")
+  }
+
+  test("algebraic UDAF surface: CountNonNull and TopK (SURVEY §2.7)") {
+    graft.functions.UdfSurface.defineCountNonNull(spark, "count_nn")
+    graft.functions.UdfSurface.defineTopK(spark, "top3", 3)
+    val df = Seq(Some(5L), None, Some(9L), Some(1L), Some(7L))
+      .toDF("v")
+    df.createOrReplaceTempView("t_udaf")
+    val r = spark.sql("SELECT count_nn(v), top3(v) FROM t_udaf").head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getSeq[Long](1) == Seq(9L, 7L, 5L))
+  }
+
+  test("cast-failure yields null under graft session (ansi off, §1.4)") {
+    val r = Seq("12", "x").toDF("s").select(col("s").cast("int")).collect()
+    assert(r(0).getInt(0) == 12 && r(1).isNullAt(0))
+  }
+
+  test("int division by zero yields null, not error") {
+    val r = Seq((1, 0)).toDF("a", "b").select(col("a") / col("b")).head()
+    assert(r.isNullAt(0))
+  }
+}

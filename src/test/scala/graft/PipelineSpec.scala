@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextAnalysis}
+import graft.ml.Similarity
+
+/** LLM-pipeline operators: dedup, similarity, text analysis, multimodal. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps smallest id per content") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropExactDups(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash near-dup finds an exact duplicate pair") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+      shingleK = 4, numHashes = 32, numBands = 8, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical docs get identical signatures; hamming 0") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "doc_id", "text")
+    val m = sigs.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m(1L) == m(2L))
+    val nd = Dedup.simhashNearDups(sigs, "doc_id", maxDistance = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.toSeq == Seq((1L, 2L)))
+  }
+
+  test("jaccard on word n-grams") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "p q r s"))
+      .toDF("id", "t")
+      .select(col("id"), Dedup.wordNgrams(col("t"), 2).as("g"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val j = Seq((rows(1L), rows(2L))).toDF("a", "b")
+      .select(Dedup.jaccard(col("a"), col("b"))).head().getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("cosine similarity: identity = 1, orthogonal = 0") {
+    val df = Seq((Seq(1f, 0f), Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b", "c")
+    val r = df.select(Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1)) < 1e-9)
+  }
+
+  test("brute-force top-k: query vector ranks itself first") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0)
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 3)
+      .collect()
+    assert(top.head.getLong(0) == 7L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-4)
+  }
+
+  test("ann lsh bucket probe returns plausible neighbors deterministically") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0)
+    val a = Similarity.annTopK(emb, "vec_id", "embedding", q, 5).collect()
+    val b = Similarity.annTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    assert(a.head.getLong(0) == 7L) // same bucket as itself, cos=1
+  }
+
+  test("langId: CJK → zh; english stopwords → en") {
+    val df = Seq((1, "the cat and the dog is in the house"),
+      (2, "中文文本")).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.langId(col("t")).as("l"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(out(1) == "en" && out(2) == "zh")
+  }
+
+  test("fingerprint is stable and content-sensitive") {
+    val df = Seq((1, "aa bb cc"), (2, "aa bb cc"), (3, "aa bb cc dd"))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.fingerprint(col("t")).as("fp"))
+    val m = df.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(m(1) == m(2) && m(1) != m(3))
+  }
+
+  test("multimodal: batch feature extraction preserves rows, stub decode") {
+    val docs = Seq((1L, "abc"), (2L, "defghi")).toDF("doc_id", "text")
+    val feats = graft.multimodal.Multimodal.extractFeatures(
+      graft.multimodal.Multimodal.toMedia(docs, "doc_id", "text"), batchSize = 1)
+      .collect().map(f => f.doc_id -> (f.n_bytes, f.f0)).toMap
+    assert(feats(1L) == (3L, 'a'.toInt / 256.0))
+    assert(feats(2L) == (6L, 'd'.toInt / 256.0))
+  }
+
+  test("frame sampling: chunk count scales with payload size") {
+    val df = Seq((1L, "x" * 300)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val frames = graft.multimodal.Multimodal.sampleFrames(
+      df, "doc_id", "payload", chunkBytes = 32, everyK = 2)
+    assert(frames.count() == 300 / 64)
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.dsl.Relation
+
+/** Pig-semantics edge cases lifted from the reference's test catalog
+  * (SURVEY §5: Types_*, studentnulltab groups): null propagation, empty
+  * bags, FLATTEN row-disappearance, union-onschema padding, split overlap.
+  */
+class RelationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def students = Relation(Seq(
+    ("alice", Some(20), Some(3.5)),
+    ("bob", None, Some(2.0)),
+    ("carol", Some(22), None),
+    (null, Some(25), Some(1.0))
+  ).toDF("name", "age", "gpa"), "students")
+
+  test("filter drops null-comparison rows (Pig: null predicate = false)") {
+    // age > 21: bob (null age) must NOT pass
+    val out = students.filter(col("age") > 21).df.collect()
+    assert(out.map(_.getString(0)).toSet == Set("carol", null))
+  }
+
+  test("group with null key: nulls form ONE group (Pig GROUP semantics)") {
+    val r = Relation(Seq(("x", 1), (null, 2), (null, 3)).toDF("k", "v"), "r")
+    val groups = r.groupBy("k" -> col("k")).agg(sum(col("v")).as("s"))
+      .df.collect().map(row => (row.getString(0), row.getLong(1))).toMap
+    assert(groups(null) == 5L && groups("x") == 1L)
+  }
+
+  test("join drops null keys (Pig JOIN: nulls do not match)") {
+    val l = Relation(Seq(("a", 1), (null, 2)).toDF("k", "lv"), "l")
+    val r = Relation(Seq(("a", 10), (null, 20)).toDF("k", "rv"), "r")
+    assert(l.join(r, Seq("k")).df.count() == 1)
+  }
+
+  test("COUNT skips nulls, COUNT_STAR does not (COUNT.java:54)") {
+    import graft.functions.Builtins._
+    val out = students.groupAll
+      .agg(COUNT(col("age")).as("c"), COUNT_STAR().as("cs")).df.head()
+    assert(out.getLong(0) == 3 && out.getLong(1) == 4)
+  }
+
+  test("FLATTEN: empty-bag rows disappear (POForEach flatten semantics)") {
+    val df = Seq(
+      (1, Seq("a", "b")),
+      (2, Seq.empty[String])
+    ).toDF("id", "bag")
+    val out = Relation(df, "r").flatten("bag").df.collect()
+    assert(out.length == 2 && out.forall(_.getInt(0) == 1))
+  }
+
+  test("flattenMap explodes to key/value pairs") {
+    val df = Seq((1, Map("a" -> 1, "b" -> 2))).toDF("id", "m")
+    val out = Relation(df, "r").flattenMap("m").df
+    assert(out.columns.toSeq == Seq("id", "key", "value"))
+    assert(out.count() == 2)
+  }
+
+  test("flattenTuple expands struct fields") {
+    val df = Seq((1, ("x", 9))).toDF("id", "t")
+    val out = Relation(df, "r").flattenTuple("t").df
+    assert(out.columns.toSeq == Seq("id", "_1", "_2"))
+    assert(out.head().getString(1) == "x")
+  }
+
+  test("cogroup yields EMPTY bags (not null) for missing side") {
+    val l = Relation(Seq((1, "a")).toDF("k", "v"), "l")
+    val r = Relation(Seq((2, "b")).toDF("k", "w"), "r")
+    val out = l.cogroup(col("k"), r, col("k")).df
+      .orderBy("group").collect()
+    assert(out.length == 2)
+    assert(out(0).getSeq[Row](1).nonEmpty && out(0).getSeq[Row](2).isEmpty)
+    assert(out(1).getSeq[Row](1).isEmpty && out(1).getSeq[Row](2).nonEmpty)
+  }
+
+  test("union keeps duplicates; unionOnSchema aligns by name and pads") {
+    val a = Relation(Seq((1, "x")).toDF("id", "s"), "a")
+    val b = Relation(Seq((1, "x")).toDF("id", "s"), "b")
+    assert(a.union(b).df.count() == 2)
+    val c = Relation(Seq((2, 3.5)).toDF("id", "d"), "c")
+    val u = a.unionOnSchema(c).df
+    assert(u.columns.toSet == Set("id", "s", "d"))
+    assert(u.filter(col("d").isNull).count() == 1)
+  }
+
+  test("split: overlapping conditions route rows to BOTH branches") {
+    val r = Relation(Seq(1, 5, 10).toDF("v"), "r")
+    val parts = r.split("big" -> (col("v") > 3), "odd" -> (col("v") % 2 === 1),
+      "rest" -> r.splitOtherwise(col("v") > 3, col("v") % 2 === 1))
+    assert(parts("big").df.count() == 2)   // 5, 10
+    assert(parts("odd").df.count() == 2)   // 1, 5 — 5 routed to BOTH
+    assert(parts("rest").df.count() == 0)
+  }
+
+  test("bagSorted orders within groups (secondary-sort analog)") {
+    val r = Relation(Seq((1, 3), (1, 1), (1, 2)).toDF("k", "v"), "r")
+    val out = r.groupBy("k" -> col("k")).bagSorted("v", asc = true)
+      .df.head().getSeq[Row](1).map(_.getInt(1))
+    assert(out == Seq(1, 2, 3))
+  }
+
+  test("rankScalable matches window row_number") {
+    val base = Relation(sf("customer"), "c")
+      .foreach(col("c_custkey")).orderBy(col("c_custkey"))
+    val ranked = base.rankScalable("rn").df
+      .select("rn", "c_custkey").collect()
+    // row numbers are 1..n in c_custkey order
+    ranked.sortBy(_.getLong(1)).zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i + 1L)
+    }
+  }
+
+  test("rankBy dense at scale matches dense_rank") {
+    import org.apache.spark.sql.expressions.Window
+    val df = sf("orders").select("o_orderkey", "o_orderpriority")
+    val expect = df.withColumn("rank",
+        dense_rank().over(Window.orderBy("o_orderpriority")).cast("long"))
+      .groupBy("o_orderpriority").agg(max("rank").as("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = graft.operators.Rank.rankBy(df, Seq("o_orderpriority"),
+        dense = true)
+      .groupBy("o_orderpriority").agg(max("rank").as("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expect)
+  }
+
+  test("streamThrough pipes rows and re-applies schema with lazy casts") {
+    val out = Relation(sf("nation"), "nation")
+      .foreach(col("n_nationkey"), col("n_name"))
+      .streamThrough(Seq("cat"), StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType))))
+      .df
+    assert(out.count() == 25)
+    assert(out.schema("n_nationkey").dataType == IntegerType)
+  }
+
+  test("assertBy raises on violation (Assert.java contract)") {
+    val r = Relation(Seq(1, -2).toDF("v"), "r")
+    val ex = intercept[Exception] {
+      r.assertBy(col("v") > 0, "neg!").df.collect()
+    }
+    assert(ex.getMessage.contains("neg!") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("neg!"))
+  }
+
+  test("loadDelimited: PigStorage analog with use-site cast-to-null") {
+    val tmp = java.nio.file.Files.createTempDirectory("pigstore").toFile
+    val p = new java.io.File(tmp, "data.tsv")
+    val w = new java.io.PrintWriter(p)
+    w.println("alice\t20"); w.println("bob\tnotanum"); w.close()
+    val r = Relation.loadDelimited(spark, p.getAbsolutePath, "s")
+      .foreach(col("_c0").as("name"), col("_c1").cast(IntegerType).as("age"))
+    val rows = r.df.orderBy("name").collect()
+    assert(rows(0).getInt(1) == 20 && rows(1).isNullAt(1)) // cast fail → null
+  }
+}

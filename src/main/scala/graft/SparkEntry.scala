@@ -631,9 +631,9 @@ object SparkEntry {
     // MinHash + LSH near-dup pipeline (shingle→sign→band→verify);
     // deterministic but xxhash64-based → rows-only check
     "q43_minhash_neardups" -> ((s, d) =>
-      graft.text.Dedup.minhashNearDups(
+      graft.text.Dedup.minhashNearDupsByWords(
         T(s, d, "documents").df, "doc_id", "text",
-        shingleK = 5, numHashes = 64, numBands = 16, threshold = 0.5)),
+        n = 3, numHashes = 64, numBands = 16, threshold = 0.5)),
 
     // SimHash signatures + banded near-dup candidates (rows-only)
     "q44_simhash_neardups" -> ((s, d) =>
@@ -670,13 +670,15 @@ object SparkEntry {
         numPlanes = 4)
     }),
 
-    // language ID (stopword/CJK heuristic — deterministic, rows-only)
-    "q48_langid" -> ((s, d) =>
-      Relation(T(s, d, "documents").df.select(col("doc_id"),
-          graft.text.TextAnalysis.langId(col("text")).as("pred_lang"),
-          col("lang")), "docs")
+    // language ID (stopword/CJK heuristic, join-based scalable form —
+    // deterministic, rows-only)
+    "q48_langid" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      Relation(graft.text.TextAnalysis.langIdByJoin(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id"), "docs")
         .groupBy("lang" -> col("lang"), "pred_lang" -> col("pred_lang"))
-        .agg(COUNT_STAR().as("n")).df),
+        .agg(COUNT_STAR().as("n")).df
+    }),
 
     // quality scoring: token stats + ratios (oracle-checked)
     "q49_quality" -> ((s, d) =>

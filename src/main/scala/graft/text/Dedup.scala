@@ -35,13 +35,17 @@ object Dedup {
 
   // ------------------------------------------------------------------
   // Shingling
-  /** Distinct character k-shingles. */
+  /** Character k-shingles WITH duplicates — cheap (no O(n²) dedup); use
+    * for MinHash signatures where min() is duplicate-insensitive. */
+  def charShinglesRaw(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        i => substring_col(text, i, k)))
+      .otherwise(array(text))
+
+  /** Distinct character k-shingles (set semantics, e.g. for Jaccard). */
   def charShingles(text: Column, k: Int): Column =
-    array_distinct(
-      when(length(text) >= k,
-        transform(sequence(lit(1), length(text) - (k - 1)),
-          i => substring_col(text, i, k)))
-        .otherwise(array(text)))
+    array_distinct(charShinglesRaw(text, k))
 
   private def substring_col(text: Column, pos: Column, len: Int): Column =
     text.substr(pos, lit(len))
@@ -58,13 +62,22 @@ object Dedup {
 
   // ------------------------------------------------------------------
   // MinHash + LSH
-  /** MinHash signature: element j = min over shingles of xxhash64(s, j).
-    * Seeding the hash with the permutation index gives numHashes
-    * independent hash families with zero extra state; everything is
-    * codegen'd column work (xxhash64 is a native Catalyst expression). */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingles, s => xxhash64(s, j))))
+  /** MinHash signature. Each shingle is string-hashed ONCE (xxhash64, a
+    * native Catalyst expression); the numHashes families are then cheap
+    * linear permutations p_j(x) = a_j·x + b_j over the 64-bit base hash
+    * (multiply-shift universal hashing — rehashing the string per family
+    * would cost numHashes× the string work for no extra independence).
+    * Constants come from a fixed-seed PRNG so signatures are stable
+    * across runs and executors. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val rnd = new scala.util.Random(42)
+    val params = Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    val base = transform(shingles, s => xxhash64(s))
+    val mins = params.map { case (a, b) =>
+      array_min(transform(base, x => x * a + b))
+    }
+    array(mins: _*)
+  }
 
   /** LSH banding: rows with an identical band slice land in one bucket.
     * Returns (idCol, band, bucket) — explode is numBands rows per doc. */
@@ -109,14 +122,52 @@ object Dedup {
 
   /** End-to-end MinHash near-dup pipeline: shingle → sign → band →
     * candidate pairs → exact-Jaccard verify ≥ threshold. */
+  /** MinHash signatures via explode + numHashes `min` aggregates. Unlike
+    * the array-HOF form (interpreted lambdas over per-row arrays), every
+    * stage here is whole-stage-codegen'd: explode → xxhash64 → partial
+    * min-agg before the exchange, so only numHashes longs per doc cross
+    * the shuffle regardless of document size. This is the 100 TB shape. */
+  def minhashSignatures(shingled: DataFrame, idCol: String,
+                        numHashes: Int): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val params = Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    val hashed = shingled
+      .select(col(idCol), explode(col("shingles")).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("h"))
+    val aggs = params.zipWithIndex.map { case ((a, b), j) =>
+      min(col("h") * a + b).as(s"m$j")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 5, numHashes: Int = 64,
-                      numBands: Int = 16, threshold: Double = 0.8): DataFrame = {
+                      numBands: Int = 16, threshold: Double = 0.8): DataFrame =
+    minhashNearDupsWith(df, idCol, textCol,
+      t => charShingles(t, shingleK), numHashes, numBands, threshold)
+
+  /** MinHash near-dups over word n-grams — ~10× fewer shingles per doc
+    * than character shingles on prose; the usual choice for documents. */
+  def minhashNearDupsByWords(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, numHashes: Int = 64,
+                             numBands: Int = 16,
+                             threshold: Double = 0.8): DataFrame =
+    minhashNearDupsWith(df, idCol, textCol,
+      t => wordNgrams(t, n), numHashes, numBands, threshold)
+
+  def minhashNearDupsWith(df: DataFrame, idCol: String, textCol: String,
+                          shingler: Column => Column, numHashes: Int,
+                          numBands: Int, threshold: Double): DataFrame = {
+    // The shingle scan feeds three consumers (signing, and both sides of
+    // the verify join) — persist it once. At 100 TB this intermediate
+    // would be a checkpointed table; the plan shape is the same.
     val shingled = df.select(col(idCol),
-      charShingles(col(textCol), shingleK).as("shingles"))
-    val signed = shingled.withColumn("sig",
-      minhashSignature(col("shingles"), numHashes))
-    val pairs = lshCandidatePairs(signed, idCol, "sig",
+      shingler(col(textCol)).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(shingled, idCol, numHashes)
+    val pairs = lshCandidatePairs(sigs, idCol, "sig",
       numBands, numHashes / numBands)
     val sa = shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val sb = shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))

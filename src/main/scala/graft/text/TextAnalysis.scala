@@ -93,6 +93,36 @@ object TextAnalysis {
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
   }
 
+  /** Scalable language ID: explode tokens → broadcast-join the stopword
+    * table → per-(doc, lang) counts with partial aggregation → argmax.
+    * Unlike the pure-Column [[langId]] (which re-evaluates the token array
+    * per language), every stage is codegen'd and the per-doc state that
+    * crosses the shuffle is one count per matched language. Returns
+    * (idCol, pred_lang); docs with no stopword hits → "unknown". */
+  def langIdByJoin(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val swRows = LangStopwords.toSeq.flatMap { case (lang, ws) =>
+      ws.map(w => (lang, w)) }
+    val sw = spark.createDataFrame(swRows).toDF("cand_lang", "tok")
+    val toks = df.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val counts = toks.join(broadcast(sw), "tok")
+      .groupBy(col(idCol), col("cand_lang")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("n").desc, col("cand_lang"))
+    val best = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cand_lang").as("best_lang"))
+    df.select(col(idCol), col(textCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col(textCol).rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+          .otherwise(coalesce(col("best_lang"), lit("unknown")))
+          .as("pred_lang"))
+  }
+
   /** Rolling-hash document fingerprint: fold token lengths through a
     * polynomial hash mod 1e9+7. Stable across engines (no overflow — the
     * accumulator stays < 31e9+max token length). */

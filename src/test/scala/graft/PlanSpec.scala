@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions (BASELINE.md: "our DSL plans should match
+  * hand-written Spark DataFrame code"). These lock in the scale-critical
+  * properties: filter/column pushdown to the parquet scan, broadcast for
+  * replicated joins, partial aggregation, top-k instead of global sort,
+  * semi/anti join planning.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: filters and column pruning reach the parquet scan") {
+    val p = plan("q01_filter")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("l_quantity") && p.contains("IsNotNull"))
+    // scan schema carries only the 5 referenced columns, not all 11
+    assert(!p.contains("l_shipdate") && !p.contains("l_tax"))
+  }
+
+  test("q08: replicated strategy plans a BroadcastHashJoin") {
+    assert(plan("q08_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q03: fused group-agg does partial aggregation, no bags") {
+    val p = plan("q03_group_agg")
+    assert(p.contains("partial_")) // map-side combine (Pig's combiner)
+    assert(!p.contains("collect_list"))
+  }
+
+  test("q05: bag path materializes collect_list only when bag is consumed") {
+    assert(plan("q05_group_bag").contains("collect_list"))
+  }
+
+  test("entry: order+limit plans TakeOrderedAndProject (no global sort)") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q25/q26: semi and anti joins plan as such") {
+    assert(plan("q25_semijoin").contains("LeftSemi"))
+    assert(plan("q26_antijoin").contains("LeftAnti"))
+  }
+
+  test("q27: scalar projection broadcasts the 1-row aggregate") {
+    assert(plan("q27_scalar").contains("BroadcastNestedLoopJoin") ||
+           plan("q27_scalar").contains("BroadcastExchange"))
+  }
+
+  test("q13: order-by + limit avoids a full global sort") {
+    assert(plan("q13_order_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("ann brute-force: single scan, no shuffle before the top-k") {
+    val emb = sf("embeddings")
+    val q = Seq.fill(64)(0.1f)
+    val p = graft.ml.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("minhash signatures partial-aggregate before the exchange") {
+    val df = sf("documents")
+    val shingled = df.select(col("doc_id"),
+      graft.text.Dedup.wordNgrams(col("text"), 3).as("shingles"))
+    val p = graft.text.Dedup.minhashSignatures(shingled, "doc_id", 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min") || p.contains("partial_"))
+  }
+}

@@ -712,7 +712,23 @@ object SparkEntry {
       graft.multimodal.Multimodal.sampleFrames(
         T(s, d, "documents").df
           .select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
-        "doc_id", "payload", chunkBytes = 32, everyK = 4))
+        "doc_id", "payload", chunkBytes = 32, everyK = 4)),
+
+    // Pig Latin frontend end-to-end: script → parser → DSL → Catalyst
+    "q53_piglatin" -> ((s, d) => {
+      GraftSession.tune(s)
+      graft.frontend.PigRunner(s).run(s"""
+        li = LOAD '$d/lineitem.parquet';
+        f  = FILTER li BY l_quantity > 20.0;
+        g  = GROUP f BY (l_returnflag, l_linestatus);
+        r  = FOREACH g GENERATE group.l_returnflag AS l_returnflag,
+                                group.l_linestatus AS l_linestatus,
+                                COUNT(f) AS cnt,
+                                SUM(f.l_extendedprice) AS sum_price;
+        o  = ORDER r BY l_returnflag, l_linestatus;
+      """).apply("o").df
+        .withColumn("sum_price", round(col("sum_price"), 2))
+    })
   )
 
   private val pipelineOracles: Map[String, String] = Map(
@@ -785,7 +801,12 @@ object SparkEntry {
                 round(CASE WHEN length(text) > 0
                   THEN CAST(ascii(substring(text, 1, 1)) AS DOUBLE) / 256.0
                   ELSE 0.0 END, 6) AS f0
-         FROM documents"""
+         FROM documents""",
+    "q53_piglatin" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem WHERE l_quantity > 20.0
+         GROUP BY l_returnflag, l_linestatus"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,60 @@
+package graft.frontend
+
+/** AST for the Pig Latin subset (reference grammar:
+  * src/org/apache/pig/parser/QueryParser.g). One node per statement kind
+  * (QueryParser.g:212-239 statement alternatives); expressions mirror
+  * P/newplan/logical/expression/ (SURVEY §2.5).
+  */
+object PigAst {
+
+  sealed trait Expr
+  case class Lit(v: Any) extends Expr
+  case class ColRef(name: String) extends Expr            // name or a::b
+  case class PosRef(i: Int) extends Expr                  // $n
+  case class Deref(e: Expr, field: String) extends Expr   // t.f / bag.f
+  case class MapLookup(e: Expr, key: String) extends Expr // m#'k'
+  case class FuncCall(name: String, args: Seq[Expr]) extends Expr
+  case class BinOp(op: String, l: Expr, r: Expr) extends Expr
+  case class Neg(e: Expr) extends Expr
+  case class Not(e: Expr) extends Expr
+  case class BinCond(c: Expr, t: Expr, f: Expr) extends Expr // c ? a : b
+  case class IsNull(e: Expr, negated: Boolean) extends Expr
+  case class InExpr(e: Expr, vals: Seq[Expr]) extends Expr
+  case class CastExpr(typeName: String, e: Expr) extends Expr
+  case class Matches(e: Expr, pattern: String) extends Expr
+  case object Star extends Expr
+  case class FlattenExpr(e: Expr) extends Expr
+
+  /** field AS name[:type] in GENERATE / schema position */
+  case class GenItem(expr: Expr, alias: Option[String])
+
+  case class FieldSchema(name: String, typeName: String)
+
+  sealed trait Op
+  case class LoadOp(path: String, using: Option[(String, Seq[String])],
+                    schema: Option[Seq[FieldSchema]]) extends Op
+  case class FilterOp(input: String, cond: Expr) extends Op
+  case class ForeachOp(input: String, gens: Seq[GenItem]) extends Op
+  case class GroupOp(inputs: Seq[(String, Seq[Expr])], all: Boolean) extends Op
+  case class JoinOp(inputs: Seq[(String, Seq[Expr])], joinType: String,
+                    using: Option[String]) extends Op
+  case class CrossOp(inputs: Seq[String]) extends Op
+  case class OrderOp(input: String, keys: Seq[(Expr, Boolean)]) extends Op
+  case class RankOp(input: String, keys: Seq[(Expr, Boolean)],
+                    dense: Boolean) extends Op
+  case class LimitOp(input: String, n: Long) extends Op
+  case class DistinctOp(input: String) extends Op
+  case class UnionOp(inputs: Seq[String], onSchema: Boolean) extends Op
+  case class SampleOp(input: String, fraction: Double) extends Op
+  case class CubeOp(input: String, cubeKind: String, dims: Seq[Expr]) extends Op
+  case class AliasRef(input: String) extends Op // b = a;
+
+  sealed trait Stmt
+  case class Assign(alias: String, op: Op) extends Stmt
+  case class SplitStmt(input: String, branches: Seq[(String, Expr)],
+                       otherwise: Option[String]) extends Stmt
+  case class StoreStmt(alias: String, path: String,
+                       using: Option[(String, Seq[String])]) extends Stmt
+  case class DumpStmt(alias: String) extends Stmt
+  case class DescribeStmt(alias: String) extends Stmt
+}

@@ -1,0 +1,435 @@
+package graft.frontend
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dsl.Relation
+import graft.functions.Builtins
+import PigAst._
+
+/** Executes parsed Pig Latin against the DSL: each alias assignment binds a
+  * [[Relation]]; STORE/DUMP are the actions (lazy-to-action contract of
+  * the reference, P/PigServer.java:699-721). The alias map is the
+  * `currDAG` equivalent — shared subplans are shared DataFrames, so
+  * Catalyst sees the whole multi-store DAG.
+  */
+final class PigRunner(spark: SparkSession) {
+  graft.GraftSession.tune(spark)
+  private val env = scala.collection.mutable.LinkedHashMap.empty[String, Relation]
+
+  def relations: Map[String, Relation] = env.toMap
+  def apply(alias: String): Relation = env(alias)
+
+  def run(script: String): PigRunner = {
+    PigParser.parse(script).foreach(exec)
+    this
+  }
+
+  // ------------------------------------------------------------ statements
+  private def exec(s: Stmt): Unit = s match {
+    case Assign(alias, op) => env(alias) = evalOp(op).as(alias)
+    case SplitStmt(in, branches, otherwise) =>
+      val rel = env(in)
+      val conds = branches.map { case (a, e) => (a, compile(e, rel.df)) }
+      val parts = rel.split(conds: _*)
+      parts.foreach { case (a, r) => env(a) = r }
+      otherwise.foreach { a =>
+        env(a) = rel.filter(rel.splitOtherwise(conds.map(_._2): _*)).as(a)
+      }
+    case StoreStmt(alias, path, using) =>
+      val df = env(alias).df
+      using match {
+        case Some(("PigStorage", args)) =>
+          df.write.mode("overwrite")
+            .option("sep", args.headOption.getOrElse("\t")).csv(path)
+        case Some(("JsonStorage", _)) => df.write.mode("overwrite").json(path)
+        case _ => df.write.mode("overwrite").parquet(path)
+      }
+    case DumpStmt(alias)     => env(alias).dump()
+    case DescribeStmt(alias) => env(alias).describe()
+  }
+
+  // ------------------------------------------------------------- operators
+  private def evalOp(op: Op): Relation = op match {
+    case LoadOp(path, using, schema) => load(path, using, schema)
+
+    case FilterOp(in, cond) =>
+      val r = env(in); r.filter(compile(cond, r.df))
+
+    case ForeachOp(in, gens) => foreach(env(in), gens)
+
+    case GroupOp(Seq((in, _)), true) =>
+      val r = env(in)
+      Relation(r.df.groupBy(lit("all").as("group"))
+        .agg(collect_list(struct(r.df.columns.map(col).toIndexedSeq: _*))
+          .as(in)), in)
+
+    case GroupOp(Seq((in, keys)), false) =>
+      val r = env(in)
+      Relation(r.df.groupBy(groupKey(keys, r.df).as("group"))
+        .agg(collect_list(struct(r.df.columns.map(col).toIndexedSeq: _*))
+          .as(in)), in)
+
+    case GroupOp(inputs, false) => // COGROUP n-ary
+      val grouped = inputs.map { case (in, keys) =>
+        val r = env(in)
+        r.df.groupBy(groupKey(keys, r.df).as("group"))
+          .agg(collect_list(struct(r.df.columns.map(col).toIndexedSeq: _*))
+            .as(in))
+      }
+      val joined = grouped.reduce((a, b) => a.join(b, Seq("group"), "full_outer"))
+      // Pig: missing side → EMPTY bag, never null
+      val fixed = inputs.foldLeft(joined) { case (d, (in, _)) =>
+        d.withColumn(in, coalesce(col(in), array().cast(d.schema(in).dataType)))
+      }
+      Relation(fixed, inputs.head._1)
+
+    case JoinOp(inputs, joinType, using) => join(inputs, joinType, using)
+
+    case CrossOp(ins) =>
+      ins.map(env(_)).reduce((a, b) => a.cross(b))
+
+    case OrderOp(in, keys) =>
+      val r = env(in)
+      r.orderBy(keys.map { case (e, asc) =>
+        val c = compile(e, r.df); if (asc) c.asc else c.desc }: _*)
+
+    case RankOp(in, Seq(), _) => env(in).rankScalable("rank")
+    case RankOp(in, keys, dense) =>
+      val r = env(in)
+      r.rank(keys.map { case (e, asc) =>
+        val c = compile(e, r.df); if (asc) c.asc else c.desc }, dense, "rank")
+
+    case LimitOp(in, n)  => env(in).limit(n.toInt)
+    case DistinctOp(in)  => env(in).distinct
+    case UnionOp(ins, false) => ins.map(env(_)).reduce(_ union _)
+    case UnionOp(ins, true)  => ins.map(env(_)).reduce(_ unionOnSchema _)
+    case SampleOp(in, f) => env(in).sample(f)
+
+    case CubeOp(in, kind, dims) =>
+      val r = env(in)
+      val dimCols = dims.zipWithIndex.map {
+        case (ColRef(n), _) => col(resolve(n, r.df)).as(n)
+        case (e, i)         => compile(e, r.df).as(s"d$i")
+      }
+      val bag = collect_list(struct(r.df.columns.map(col).toIndexedSeq: _*)).as(in)
+      val g = if (kind == "cube") r.df.cube(dimCols: _*) else r.df.rollup(dimCols: _*)
+      Relation(g.agg(bag), in)
+
+    case AliasRef(in) => env(in)
+  }
+
+  private def groupKey(keys: Seq[Expr], df: DataFrame): Column = keys match {
+    case Seq(k) => compile(k, df)
+    case ks => struct(ks.zipWithIndex.map {
+      case (ColRef(n), _) => col(resolve(n, df)).as(n)
+      case (e, i)         => compile(e, df).as(s"k$i")
+    }: _*)
+  }
+
+  private def join(inputs: Seq[(String, Seq[Expr])], joinType: String,
+                   using: Option[String]): Relation = {
+    val (in0, keys0) = inputs.head
+    var acc = env(in0).df
+    var accKeys = keys0.map(compile(_, acc))
+    inputs.tail.foreach { case (in, keys) =>
+      val r0 = env(in).df
+      // Pig disambiguates collisions as a::x / b::x — here right side
+      // collisions become <alias>__x (resolve() accepts both spellings)
+      val collisions = acc.columns.toSet.intersect(r0.columns.toSet)
+      val rdf = collisions.foldLeft(r0)((d, c) =>
+        d.withColumnRenamed(c, s"${in}__$c"))
+      val rKeys = keys.map {
+        case ColRef(n) =>
+          val resolved = resolve(n, r0)
+          if (collisions.contains(resolved)) rdf(s"${in}__$resolved")
+          else rdf(resolved)
+        case e => compile(e, rdf)
+      }
+      val cond = accKeys.zip(rKeys).map { case (a, b) => a === b }
+        .reduce(_ && _)
+      val right = using match {
+        case Some("replicated" | "repl") => broadcast(rdf)
+        case Some("merge")               => rdf.hint("merge")
+        case _                           => rdf
+      }
+      val jt = joinType match {
+        case "left" => "left_outer"; case "right" => "right_outer"
+        case "full" => "full_outer"; case t => t
+      }
+      acc = acc.join(right, cond, jt)
+      // keys of the leftmost input keep driving n-ary joins
+    }
+    Relation(acc, in0)
+  }
+
+  // -------------------------------------------------------------- FOREACH
+  private def foreach(r: Relation, gens: Seq[GenItem]): Relation = {
+    val df = r.df
+    var flattens = Seq.empty[(String, Option[String])] // temp col -> alias
+    val cols = gens.zipWithIndex.flatMap {
+      case (GenItem(Star, _), _) => df.columns.toSeq.map(col)
+      case (GenItem(FlattenExpr(e), alias), i) =>
+        val tmp = s"__fl_$i"
+        flattens :+= ((tmp, alias))
+        Seq(compile(e, df).as(tmp))
+      case (GenItem(e, alias), i) =>
+        Seq(compile(e, df).as(alias.getOrElse(autoName(e, i))))
+    }
+    var out = Relation(df.select(cols: _*), r.name)
+    flattens.foreach { case (tmp, alias) =>
+      val dt = out.df.schema(tmp).dataType
+      out = dt match {
+        case ArrayType(_: StructType, _) => out.flatten(tmp)
+        case ArrayType(_, _) =>
+          val flat = out.flatten(tmp)
+          alias.map(a => Relation(flat.df.withColumnRenamed(tmp, a), r.name))
+            .getOrElse(flat)
+        case _: StructType => out.flattenTuple(tmp)
+        case _: MapType    => out.flattenMap(tmp)
+        case _ => // FLATTEN of a scalar is identity (Pig semantics)
+          alias.map(a => Relation(out.df.withColumnRenamed(tmp, a), r.name))
+            .getOrElse(out)
+      }
+    }
+    out
+  }
+
+  private def autoName(e: Expr, i: Int): String = e match {
+    case ColRef(n)   => n.split("::").last
+    case Deref(_, f) => f
+    case _           => s"c$i"
+  }
+
+  // ---------------------------------------------------------------- LOAD
+  private def load(path: String, using: Option[(String, Seq[String])],
+                   schema: Option[Seq[FieldSchema]]): Relation = {
+    val df0 = using match {
+      case Some(("PigStorage", args)) =>
+        spark.read.option("sep", args.headOption.getOrElse("\t")).csv(path)
+      case Some(("TextLoader", _)) => spark.read.text(path)
+      case Some(("JsonLoader", _)) =>
+        schema match {
+          case Some(fs) => spark.read.schema(toStruct(fs)).json(path)
+          case None     => spark.read.json(path)
+        }
+      case Some(("OrcStorage", _)) => spark.read.orc(path)
+      case _ => spark.read.parquet(path)
+    }
+    val df = schema match {
+      case Some(fs) if using.exists(u => u._1 == "PigStorage") ||
+                       (using.isEmpty && !path.endsWith(".parquet")) =>
+        // positional rename + LoadCaster casts (§1.4: failure → null)
+        val casts = fs.zipWithIndex.map { case (f, i) =>
+          col(df0.columns(i)).cast(pigType(f.typeName)).as(f.name) }
+        df0.select(casts: _*)
+      case Some(fs) => // column-name-based (parquet/orc): project + cast
+        df0.select(fs.map(f =>
+          col(f.name).cast(pigType(f.typeName)).as(f.name)): _*)
+      case None => df0
+    }
+    Relation(df, "load")
+  }
+
+  private def toStruct(fs: Seq[FieldSchema]): StructType =
+    StructType(fs.map(f => StructField(f.name, pigType(f.typeName))))
+
+  private def pigType(t: String): DataType = t match {
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "chararray" => StringType
+    case "boolean" => BooleanType
+    case "datetime" => TimestampType
+    case "biginteger" => DecimalType(38, 0)
+    case "bigdecimal" => DecimalType(38, 18)
+    case "bytearray" => StringType // pragmatic: lazy casts at use site
+    case other => throw new IllegalArgumentException(s"unknown type $other")
+  }
+
+  // ---------------------------------------------------------- expressions
+  private def resolve(name: String, df: DataFrame): String = {
+    if (df.columns.contains(name)) name
+    else if (name.contains("::")) {
+      val flat = name.replace("::", "__")
+      if (df.columns.contains(flat)) flat
+      else {
+        val base = name.split("::").last
+        if (df.columns.contains(base)) base
+        else throw new IllegalArgumentException(s"no column $name")
+      }
+    } else throw new IllegalArgumentException(
+      s"no column $name in [${df.columns.mkString(",")}]")
+  }
+
+  private def typeOf(c: Column, df: DataFrame): DataType =
+    df.select(c).schema.head.dataType
+
+  private[frontend] def compile(e: Expr, df: DataFrame): Column = e match {
+    case Lit(null) => lit(null)
+    case Lit(v)    => lit(v)
+    case ColRef(n) => col(resolve(n, df))
+    case PosRef(i) => col(df.columns(i))
+    case Deref(b, f)     => compile(b, df).getField(f)
+    case MapLookup(m, k) => compile(m, df).getItem(k)
+    case Neg(x) => -compile(x, df)
+    case Not(x) => !compile(x, df)
+    case BinOp(op, l, r) =>
+      val (a, b) = (compile(l, df), compile(r, df))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case "%" => a % b
+        case "==" => a === b
+        case "!=" => a =!= b
+        case "<" => a < b
+        case "<=" => a <= b
+        case ">" => a > b
+        case ">=" => a >= b
+        case "and" => a && b
+        case "or" => a || b
+      }
+    case BinCond(c, t, f) =>
+      when(compile(c, df), compile(t, df)).otherwise(compile(f, df))
+    case IsNull(x, neg) =>
+      val c = compile(x, df); if (neg) c.isNotNull else c.isNull
+    case InExpr(x, vals) =>
+      compile(x, df).isin(vals.map { case Lit(v) => v
+        case other => throw new IllegalArgumentException(s"IN needs literals, got $other") }: _*)
+    case CastExpr(t, x) => compile(x, df).cast(pigType(t))
+    case Matches(x, p)  => Builtins.MATCHES(compile(x, df), p)
+    case Star => struct(df.columns.map(col).toIndexedSeq: _*)
+    case FlattenExpr(x) => compile(x, df) // alone handled in foreach
+    case FuncCall(name, args) => callFunction(name, args, df)
+  }
+
+  private def asInt(e: Expr): Int = e match {
+    case Lit(v: Int) => v
+    case Lit(v: Long) => v.toInt
+    case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+  }
+  private def asStr(e: Expr): String = e match {
+    case Lit(v: String) => v
+    case other => throw new IllegalArgumentException(s"expected string literal, got $other")
+  }
+
+  /** Pig builtin dispatch. Aggregate names dispatch on the ARGUMENT TYPE:
+    * in Pig, aggregates always consume a bag (FOREACH after GROUP), so
+    * SUM(A.x) here sees array<numeric> and becomes an in-bag fold; the
+    * null rules (§1.5: aggregates skip nulls, COUNT skips null first
+    * field) are applied via a filter before the fold. */
+  private def callFunction(name: String, args: Seq[Expr], df: DataFrame): Column = {
+    def c0 = compile(args.head, df)
+    def nonNull(c: Column) = filter(c, x => x.isNotNull)
+    name match {
+      case "COUNT" =>
+        typeOf(c0, df) match {
+          case ArrayType(st: StructType, _) =>
+            // skip tuples whose FIRST field is null (COUNT.java:54)
+            val f0 = st.fieldNames.head
+            size(filter(c0, t => t.getField(f0).isNotNull)).cast(LongType)
+          case ArrayType(_, _) => size(nonNull(c0)).cast(LongType)
+          case _ => throw new IllegalArgumentException("COUNT expects a bag")
+        }
+      case "COUNT_STAR" => size(c0).cast(LongType)
+      case "SUM" =>
+        typeOf(c0, df) match {
+          case ArrayType(_: IntegerType, _) | ArrayType(_: LongType, _) =>
+            aggregate(nonNull(c0), lit(0L), (acc, x) => acc + x.cast(LongType))
+          case ArrayType(_, _) =>
+            aggregate(nonNull(c0), lit(0.0), (acc, x) => acc + x.cast(DoubleType))
+          case _ => throw new IllegalArgumentException("SUM expects a bag")
+        }
+      case "AVG" =>
+        val nn = nonNull(c0)
+        when(size(nn) > 0,
+          aggregate(nn, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) / size(nn))
+      case "MIN" => array_min(c0)
+      case "MAX" => array_max(c0)
+      case "SIZE" => Builtins.SIZE(c0)
+      case "ISEMPTY" => Builtins.IsEmpty(c0)
+      case "CONCAT" => concat(args.map(compile(_, df)): _*)
+      case "UPPER" => upper(c0)
+      case "LOWER" => lower(c0)
+      case "TRIM" => trim(c0)
+      case "LTRIM" => ltrim(c0)
+      case "RTRIM" => rtrim(c0)
+      case "SUBSTRING" => Builtins.SUBSTRING(c0, asInt(args(1)), asInt(args(2)))
+      case "REPLACE" => regexp_replace(c0, asStr(args(1)), asStr(args(2)))
+      case "INDEXOF" => Builtins.INDEXOF(c0, asStr(args(1)))
+      case "LAST_INDEX_OF" => Builtins.LAST_INDEX_OF(c0, asStr(args(1)))
+      case "STARTSWITH" => Builtins.STARTSWITH(c0, asStr(args(1)))
+      case "ENDSWITH" => Builtins.ENDSWITH(c0, asStr(args(1)))
+      case "EQUALSIGNORECASE" => Builtins.EqualsIgnoreCase(c0, compile(args(1), df))
+      case "REGEX_EXTRACT" => Builtins.REGEX_EXTRACT(c0, asStr(args(1)), asInt(args(2)))
+      case "STRSPLIT" => Builtins.STRSPLIT(c0, asStr(args(1)))
+      case "TOKENIZE" => transform(Builtins.TOKENIZE(c0), t => struct(t.as("token")))
+      case "SPRINTF" => format_string(asStr(args.head), args.tail.map(compile(_, df)): _*)
+      case "LCFIRST" => Builtins.LCFIRST(c0)
+      case "UCFIRST" => Builtins.UCFIRST(c0)
+      case "ABS" => abs(c0)
+      case "ROUND" => Builtins.ROUND(c0)
+      case "ROUND_TO" => Builtins.ROUND_TO(c0, asInt(args(1)))
+      case "FLOOR" => floor(c0)
+      case "CEIL" => ceil(c0)
+      case "SQRT" => sqrt(c0)
+      case "EXP" => exp(c0)
+      case "LOG" => log(c0)
+      case "LOG10" => log10(c0)
+      case "RANDOM" => rand()
+      case "TOTUPLE" => struct(args.map(compile(_, df)): _*)
+      case "TOBAG" => Builtins.TOBAG(args.map(compile(_, df)): _*)
+      case "TOMAP" => Builtins.TOMAP(args.map(compile(_, df)): _*)
+      case "BAGTOSTRING" => Builtins.BagToString(c0, asStr(args(1)))
+      case "KEYSET" => Builtins.KEYSET(c0)
+      case "VALUELIST" => Builtins.VALUELIST(c0)
+      case "VALUESET" => Builtins.VALUESET(c0)
+      case "DIFF" => Builtins.DIFF(c0, compile(args(1), df))
+      case "SUBTRACT" => Builtins.SUBTRACT(c0, compile(args(1), df))
+      case "DISTINCT" => array_distinct(c0)
+      case "TOP" =>
+        // TOP(n, fieldIdxOrName, bag)
+        val bag = compile(args(2), df)
+        val fieldName = args(1) match {
+          case Lit(i: Int) =>
+            typeOf(bag, df) match {
+              case ArrayType(st: StructType, _) => st.fieldNames(i)
+              case _ => throw new IllegalArgumentException("TOP expects bag of tuples")
+            }
+          case Lit(s: String) => s
+          case ColRef(n) => n
+          case other => throw new IllegalArgumentException(s"bad TOP field $other")
+        }
+        Builtins.TOP(asInt(args.head), fieldName, bag)
+      case "TODATE" =>
+        if (args.size > 1) Builtins.ToDate(c0, asStr(args(1)))
+        else c0.cast(TimestampType)
+      case "TOUNIXTIME" => Builtins.ToUnixTime(c0)
+      case "GETYEAR" => Builtins.GetYear(c0)
+      case "GETMONTH" => Builtins.GetMonth(c0)
+      case "GETDAY" => Builtins.GetDay(c0)
+      case "GETHOUR" => Builtins.GetHour(c0)
+      case "GETMINUTE" => Builtins.GetMinute(c0)
+      case "GETSECOND" => Builtins.GetSecond(c0)
+      case "GETWEEK" => Builtins.GetWeek(c0)
+      case "DAYSBETWEEN" => Builtins.DaysBetween(c0, compile(args(1), df))
+      case "ADDDURATION" => Builtins.AddDuration(c0, asStr(args(1)))
+      case "SUBTRACTDURATION" => Builtins.SubtractDuration(c0, asStr(args(1)))
+      case "CURRENTTIME" => current_timestamp()
+      case other => throw new IllegalArgumentException(s"unknown function $other")
+    }
+  }
+}
+
+object PigRunner {
+  def apply(spark: SparkSession): PigRunner = new PigRunner(spark)
+  /** One-shot: run a script, return the last assigned alias. */
+  def runScript(spark: SparkSession, script: String): DataFrame = {
+    val runner = new PigRunner(spark).run(script)
+    runner.relations.last._2.df
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.frontend.PigRunner
+
+/** Pig Latin frontend: classic scripts (the reference's e2e shapes —
+  * Checkin-1/2 group-agg + join, wordcount, split/union) executed through
+  * parser → DSL → Catalyst, asserted against direct DataFrame results. */
+class FrontendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("checkin-1 shape: load AS / filter / group / foreach aggs / order") {
+    val out = PigRunner(spark).run(s"""
+      li = LOAD '$dir/lineitem.parquet';
+      f  = FILTER li BY l_quantity > 45.0 AND l_returnflag == 'R';
+      g  = GROUP f BY l_returnflag;
+      s  = FOREACH g GENERATE group AS flag, COUNT(f) AS n,
+                              SUM(f.l_quantity) AS qty;
+    """).apply("s").df.head()
+    val exp = sf("lineitem")
+      .filter($"l_quantity" > 45.0 && $"l_returnflag" === "R")
+      .agg(count(lit(1)), sum($"l_quantity")).head()
+    assert(out.getString(0) == "R")
+    assert(out.getLong(1) == exp.getLong(0))
+    assert(math.abs(out.getDouble(2) - exp.getDouble(1)) < 1e-6)
+  }
+
+  test("wordcount: TOKENIZE + FLATTEN + group + count + order + limit") {
+    val out = PigRunner(spark).run(s"""
+      docs  = LOAD '$dir/documents.parquet';
+      words = FOREACH docs GENERATE FLATTEN(TOKENIZE(text));
+      g     = GROUP words BY token;
+      cnt   = FOREACH g GENERATE group AS word, COUNT(words) AS n;
+      top   = ORDER cnt BY n DESC, word;
+      lim   = LIMIT top 5;
+    """).apply("lim").df.collect()
+    val exp = sf("documents")
+      .select(explode(split(trim($"text"), "[ \\\",()*]")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy("w").count().orderBy($"count".desc, $"w").limit(5)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == exp.map(_.getString(0)).toSeq)
+    assert(out.map(_.getLong(1)).toSeq == exp.map(_.getLong(1)).toSeq)
+  }
+
+  test("checkin-2 shape: join + broadcast hint + foreach + distinct") {
+    val out = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      c = LOAD '$dir/customer.parquet';
+      j = JOIN o BY o_custkey, c BY c_custkey USING 'replicated';
+      p = FOREACH j GENERATE c_mktsegment, o_orderstatus;
+      d = DISTINCT p;
+    """).apply("d").df
+    val exp = sf("orders").join(sf("customer"),
+        $"o_custkey" === $"c_custkey")
+      .select("c_mktsegment", "o_orderstatus").distinct()
+    assert(out.count() == exp.count())
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("outer join with collision disambiguation (a::x ≈ x)") {
+    val out = PigRunner(spark).run(s"""
+      c = LOAD '$dir/customer.parquet';
+      o = LOAD '$dir/orders.parquet';
+      j = JOIN c BY c_custkey LEFT OUTER, o BY o_custkey;
+      g = GROUP j BY c_custkey;
+      n = FOREACH g GENERATE group AS c_custkey, COUNT(j.o_orderkey) AS n_orders;
+    """).apply("n").df
+    val exp = sf("customer").join(sf("orders"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy("c_custkey").agg(count($"o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == exp)
+  }
+
+  test("split + union onschema + sample + rank") {
+    val runner = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      SPLIT o INTO hi IF o_totalprice > 200000.0, lo OTHERWISE;
+      hi2 = FOREACH hi GENERATE o_orderkey, o_totalprice;
+      lo2 = FOREACH lo GENERATE o_orderkey;
+      u  = UNION ONSCHEMA hi2, lo2;
+      r  = RANK hi2 BY o_totalprice DESC;
+    """)
+    val total = sf("orders").count()
+    assert(runner("hi2").df.count() + runner("lo2").df.count() == total)
+    assert(runner("u").df.count() == total)
+    val top = runner("r").df.orderBy("rank").head()
+    val expTop = sf("orders").orderBy($"o_totalprice".desc).head()
+    assert(top.getLong(top.fieldIndex("o_orderkey")) ==
+           expTop.getLong(expTop.fieldIndex("o_orderkey")))
+  }
+
+  test("cogroup with empty sides, bincond, IsEmpty") {
+    val out = PigRunner(spark).run(s"""
+      c = LOAD '$dir/customer.parquet';
+      s = LOAD '$dir/supplier.parquet';
+      cg = COGROUP c BY c_nationkey, s BY s_nationkey;
+      r  = FOREACH cg GENERATE group AS nk,
+             (IsEmpty(s) ? -1L : SIZE(s)) AS n_supp, COUNT(c) AS n_cust;
+    """).apply("r").df
+    val nSupp = out.agg(sum(when($"n_supp" > 0, $"n_supp"))).head().getLong(0)
+    assert(nSupp == sf("supplier").count())
+    assert(out.count() == 25)
+  }
+
+  test("cast, case, map lookup, positional refs, matches") {
+    val out = PigRunner(spark).run(s"""
+      e = LOAD '$dir/events.parquet';
+      p = FOREACH e GENERATE $$0 AS event_id,
+            (CASE WHEN event_type MATCHES 'click.*' THEN 'c' ELSE 'x' END) AS k,
+            (long) value AS lv;
+      f = FILTER p BY k == 'c';
+    """).apply("f").df
+    val exp = sf("events").filter($"event_type".rlike("^(?:click.*)$")).count()
+    assert(out.count() == exp)
+  }
+
+  test("group all + store/load roundtrip via PigStorage csv") {
+    val tmp = java.nio.file.Files.createTempDirectory("pigout").toString
+    PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      p = FOREACH n GENERATE n_nationkey, n_name;
+      STORE p INTO '$tmp/out' USING PigStorage(',');
+    """)
+    val back = PigRunner(spark).run(s"""
+      x = LOAD '$tmp/out' USING PigStorage(',') AS (k:int, name:chararray);
+      g = GROUP x ALL;
+      c = FOREACH g GENERATE COUNT(x) AS n;
+    """).apply("c").df.head()
+    assert(back.getLong(0) == 25L)
+  }
+
+  test("rollup via CUBE BY ROLLUP + flatten of struct group") {
+    val out = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      cb = CUBE o BY ROLLUP(o_orderstatus, o_orderpriority);
+      r = FOREACH cb GENERATE o_orderstatus, o_orderpriority, COUNT(o) AS n;
+    """).apply("r").df
+    val exp = sf("orders").rollup("o_orderstatus", "o_orderpriority")
+      .count().count()
+    assert(out.count() == exp)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path (SURVEY §4.3 #4:
+  * promote hot builtins to codegen'd Expressions). The array-HOF form of
+  * cosine similarity (`zip_with` + `aggregate`) evaluates interpreted
+  * lambdas per element; this expression compiles to a tight primitive
+  * float loop inside whole-stage codegen — no per-element boxing, no
+  * closure dispatch. Accumulation order matches the HOF form (index
+  * order, double accumulator), so results are bit-identical.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x(i).toDouble * y(i).toDouble
+      nx += x(i).toDouble * x(i).toDouble
+      ny += y(i).toDouble * y(i).toDouble
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      s"""
+        float[] $x = $a.toFloatArray();
+        float[] $y = $b.toFloatArray();
+        int $n = Math.min($x.length, $y.length);
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += (double) $x[$i] * (double) $y[$i];
+          $nx  += (double) $x[$i] * (double) $x[$i];
+          $ny  += (double) $y[$i] * (double) $y[$i];
+        }
+        ${ev.value} = ($nx == 0.0 || $ny == 0.0)
+          ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product twin (same codegen shape), for pre-normalized embeddings —
+  * at 100 TB you normalize once at ingest and rank by dot alone. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        float[] $x = $a.toFloatArray();
+        float[] $y = $b.toFloatArray();
+        int $n = Math.min($x.length, $y.length);
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += (double) $x[$i] * (double) $y[$i];
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  import org.apache.spark.sql.graft.bridge
+
+  def cosine_sim(a: Column, b: Column): Column =
+    bridge.column(CosineSimilarity(bridge.expression(a), bridge.expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** SQL registration (DEFINE-style). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cs = spark.sessionState.functionRegistry
+    cs.createOrReplaceTempFunction("cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    cs.createOrReplaceTempFunction("dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}

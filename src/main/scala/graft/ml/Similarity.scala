@@ -17,16 +17,28 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in index order (deterministic double accumulation). */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in index order (deterministic double accumulation).
+    * HOF reference form; the hot path uses the codegen'd
+    * [[graft.functions.VectorExpressions.dot_product]] (bit-identical —
+    * same accumulation order). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot_product(a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** HOF reference form of cosine; kept for differential testing. */
+  def cosineHof(a: Column, b: Column): Column = {
+    def normH(x: Column) = sqrt(dotHof(x, x))
+    when(normH(a) > 0 && normH(b) > 0,
+      dotHof(a, b) / (normH(a) * normH(b))).otherwise(lit(0.0))
+  }
+
   def cosine(a: Column, b: Column): Column =
-    when(norm(a) > 0 && norm(b) > 0, dot(a, b) / (norm(a) * norm(b)))
-      .otherwise(lit(0.0))
+    graft.functions.VectorExpressions.cosine_sim(a, b)
 
   /** Brute-force cosine top-k against one query vector. The query vector is
     * a literal (broadcast by value into the codegen'd plan). */

@@ -49,6 +49,24 @@ class PipelineSpec extends SparkSpec {
     assert(j == 1.0)
   }
 
+  test("codegen cosine expression is bit-identical to the HOF form") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") === 3)
+      .select("embedding").head().getSeq[Float](0)
+    val lit = typedlit(q)
+    val rows = emb.select(
+      Similarity.cosine(col("embedding"), lit).as("a"),
+      Similarity.cosineHof(col("embedding"), lit).as("b")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // and it's usable from SQL after DEFINE-style registration
+    graft.functions.VectorExpressions.register(spark)
+    emb.createOrReplaceTempView("emb_v")
+    val n = spark.sql(
+      "SELECT cosine_similarity(embedding, embedding) c FROM emb_v")
+      .filter(abs(col("c") - 1.0) < 1e-9).count()
+    assert(n == emb.count())
+  }
+
   test("cosine similarity: identity = 1, orthogonal = 0") {
     val df = Seq((Seq(1f, 0f), Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b", "c")
     val r = df.select(Similarity.cosine(col("a"), col("b")),

@@ -728,7 +728,70 @@ object SparkEntry {
         o  = ORDER r BY l_returnflag, l_linestatus;
       """).apply("o").df
         .withColumn("sum_price", round(col("sum_price"), 2))
-    })
+    }),
+
+    // COR / COV aggregates (§2.6 COR.java/COV.java)
+    "q54_cor_cov" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .groupBy("l_returnflag" -> col("l_returnflag"))
+        .agg(round(COR(col("l_quantity"), col("l_extendedprice")), 4)
+               .as("cor_qp"),
+             round(COV(col("l_quantity"), col("l_extendedprice")), 2)
+               .as("cov_qp"),
+             round(stddev_samp(col("l_discount")), 6).as("sd_disc")).df),
+
+    // SPRINTF / STRSPLIT / LCFIRST string builtins (§2.6)
+    "q55_sprintf_split" -> ((s, d) =>
+      T(s, d, "part").foreach(
+        col("p_partkey"),
+        SPRINTF("%s|%05d", col("p_brand"), col("p_partkey")).as("tagged"),
+        SIZE(STRSPLIT(col("p_type"), " ")).as("n_words"),
+        LCFIRST(col("p_name")).as("lc")).df),
+
+    // set ops beyond the reference (SURVEY §2.9 bonus): INTERSECT/EXCEPT
+    "q56_set_ops" -> ((s, d) => {
+      val cn = T(s, d, "customer").foreach(col("c_nationkey").as("nk")).distinct
+      val sn = T(s, d, "supplier").foreach(col("s_nationkey").as("nk")).distinct
+      Relation(cn.df.intersect(sn.df), "both")
+        .foreach(col("nk"), lit("both").as("which"))
+        .union(Relation(cn.df.except(sn.df), "conly")
+          .foreach(col("nk"), lit("cust_only").as("which"))).df
+    }),
+
+    // secondary sort (SecondaryKeyOptimizer analog): in-bag order drives
+    // an order-sensitive aggregate — status history string per customer
+    "q57_secondary_sort" -> ((s, d) =>
+      T(s, d, "orders")
+        .foreach(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                 col("o_orderstatus"))
+        .as("oh")
+        .groupBy("o_custkey" -> col("o_custkey"))
+        .bagSorted2("o_orderdate", asc1 = true, "o_orderkey", asc2 = true)
+        .foreach(col("o_custkey"),
+          array_join(transform(col("oh"), t => t.getField("o_orderstatus")), "")
+            .as("status_seq"),
+          element_at(col("oh"), 1).getField("o_orderdate").as("first_date")).df),
+
+    // full window-function surface (superset of Pig's RANK, SURVEY §2.4)
+    "q58_window_funcs" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      T(s, d, "events").foreach(
+        col("event_id"),
+        round(sum(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        row_number().over(w).cast(LongType).as("seq")).df
+    }),
+
+    // PluckTuple: prefix projection after a disambiguated join
+    "q59_pluck" -> ((s, d) =>
+      T(s, d, "customer")
+        .joinOn(T(s, d, "orders").as("o"), col("c_custkey"), col("o_custkey"),
+                strategy = "replicated")
+        .pluck("o_")
+        .foreach(col("o_orderkey"), col("o_orderstatus"),
+                 col("o_totalprice")).df)
   )
 
   private val pipelineOracles: Map[String, String] = Map(
@@ -806,7 +869,46 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
                 round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem WHERE l_quantity > 20.0
-         GROUP BY l_returnflag, l_linestatus"""
+         GROUP BY l_returnflag, l_linestatus""",
+    "q54_cor_cov" ->
+      """SELECT l_returnflag,
+                round(corr(l_quantity, l_extendedprice), 4) AS cor_qp,
+                round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+                round(stddev_samp(l_discount), 6) AS sd_disc
+         FROM lineitem GROUP BY l_returnflag""",
+    "q55_sprintf_split" ->
+      """SELECT p_partkey, printf('%s|%05d', p_brand, p_partkey) AS tagged,
+                CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_words,
+                lower(substring(p_name, 1, 1)) || substring(p_name, 2) AS lc
+         FROM part""",
+    "q56_set_ops" ->
+      """SELECT nk, 'both' AS which FROM
+           (SELECT DISTINCT c_nationkey AS nk FROM customer
+            INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT nk, 'cust_only' AS which FROM
+           (SELECT DISTINCT c_nationkey AS nk FROM customer
+            EXCEPT SELECT DISTINCT s_nationkey FROM supplier)""",
+    "q57_secondary_sort" ->
+      """SELECT o_custkey,
+                string_agg(o_orderstatus, ''
+                  ORDER BY o_orderdate, o_orderkey) AS status_seq,
+                min(o_orderdate) AS first_date
+         FROM orders GROUP BY o_custkey""",
+    "q58_window_funcs" ->
+      """SELECT event_id,
+                round(sum(value) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type,
+                CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS seq
+         FROM events""",
+    "q59_pluck" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM customer JOIN orders ON c_custkey = o_custkey"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

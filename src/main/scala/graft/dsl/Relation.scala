@@ -247,6 +247,12 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
   def withScalar(scalarName: String, agg: Column): Relation =
     derived(df.crossJoin(broadcast(df.agg(agg.as(scalarName)))))
 
+  /** PluckTuple (reference: PluckTuple.java:62): project columns by name
+    * prefix — the idiom for grabbing one side of a join. */
+  def pluck(prefix: String): Relation =
+    derived(df.select(df.columns.filter(_.startsWith(prefix)).map(col)
+      .toIndexedSeq: _*))
+
   // ---------------------------------------------------------------------
   // STORE r INTO 'p' USING f (reference: LOStore/POStore)
   def store(path: String, format: String = "parquet",

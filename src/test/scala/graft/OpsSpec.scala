@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MultiQuery, Skew}
+import graft.dsl.Relation
+
+/** Skew mitigation + multi-store planning. */
+class OpsSpec extends SparkSpec {
+
+  test("saltedAggregate matches plain groupBy aggregation") {
+    val li = sf("lineitem")
+    val expect = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .collect().map(r => (r.getString(0), (r.getLong(1),
+        math.round(r.getDouble(2) * 100)))).toMap
+    val got = Skew.saltedAggregate(li, Seq("l_returnflag"), numSalts = 8,
+        Seq(("n", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)),
+            ("q", sum(col("l_quantity")), (c: org.apache.spark.sql.Column) => sum(c))))
+      .collect().map(r => (r.getString(0), (r.getLong(1),
+        math.round(r.getDouble(2) * 100)))).toMap
+    assert(got == expect)
+  }
+
+  test("saltedJoin matches plain join") {
+    val o = sf("orders")
+    val c = sf("customer")
+    val expect = o.join(c, o("o_custkey") === c("c_custkey")).count()
+    val got = Skew.saltedJoin(o, c.withColumnRenamed("c_custkey", "o_custkey"),
+      Seq("o_custkey"), numSalts = 4).count()
+    assert(got == expect)
+  }
+
+  test("hotKeys surfaces the heavy hitters") {
+    val hot = Skew.hotKeys(sf("lineitem"), Seq("l_returnflag"),
+      topN = 3, sampleFraction = 0.5).collect()
+    assert(hot.nonEmpty && hot.map(_.getString(0)).toSet.subsetOf(Set("A", "N", "R")))
+  }
+
+  test("MultiQuery.storeAll writes every branch from one cached scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("mq").toString
+    val shared = Relation(sf("orders"), "o")
+      .foreach(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val hi = shared.filter(col("o_totalprice") > 200000)
+    val lo = shared.filter(col("o_totalprice") <= 200000)
+    MultiQuery.storeAll(Seq(shared), Seq(
+      MultiQuery.Store(hi, s"$tmp/hi"), MultiQuery.Store(lo, s"$tmp/lo")))
+    val n = spark.read.parquet(s"$tmp/hi").count() +
+            spark.read.parquet(s"$tmp/lo").count()
+    assert(n == sf("orders").count())
+  }
+
+  test("pluck projects by column prefix (PluckTuple)") {
+    val j = Relation(sf("customer"), "c")
+      .joinOn(Relation(sf("orders"), "o"), col("c_custkey"), col("o_custkey"))
+      .pluck("o_")
+    assert(j.df.columns.forall(_.startsWith("o_")))
+    assert(j.df.columns.length == 6)
+  }
+}

@@ -30,9 +30,23 @@ object PigAst {
 
   case class FieldSchema(name: String, typeName: String)
 
+  /** Nested operators inside a FOREACH { } block (QueryParser.g:921-971):
+    * each consumes a bag-valued name (an input bag column or a previous
+    * inner alias). */
+  sealed trait InnerOp
+  case class InnerFilter(src: String, cond: Expr) extends InnerOp
+  case class InnerOrder(src: String, keys: Seq[(Expr, Boolean)]) extends InnerOp
+  case class InnerLimit(src: String, n: Long) extends InnerOp
+  case class InnerDistinct(src: String) extends InnerOp
+
   sealed trait Op
   case class LoadOp(path: String, using: Option[(String, Seq[String])],
                     schema: Option[Seq[FieldSchema]]) extends Op
+  case class NestedForeachOp(input: String, inner: Seq[(String, InnerOp)],
+                             gens: Seq[GenItem]) extends Op
+  case class StreamOp(input: String, cmd: String,
+                      schema: Option[Seq[FieldSchema]]) extends Op
+  case class ParallelOp(inner: Op, n: Int) extends Op
   case class FilterOp(input: String, cond: Expr) extends Op
   case class ForeachOp(input: String, gens: Seq[GenItem]) extends Op
   case class GroupOp(inputs: Seq[(String, Seq[Expr])], all: Boolean) extends Op

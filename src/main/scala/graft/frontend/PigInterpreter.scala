@@ -59,6 +59,24 @@ final class PigRunner(spark: SparkSession) {
 
     case ForeachOp(in, gens) => foreach(env(in), gens)
 
+    case NestedForeachOp(in, inner, gens) => nestedForeach(env(in), inner, gens)
+
+    case StreamOp(in, cmd, schema) =>
+      val r = env(in)
+      val outSchema = schema match {
+        case Some(fs) => toStruct(fs.map(f =>
+          FieldSchema(f.name, f.typeName)))
+        case None => StructType(r.df.schema.map(f =>
+          f.copy(dataType = StringType)))
+      }
+      r.streamThrough(Seq("/bin/sh", "-c", cmd), outSchema)
+
+    case ParallelOp(innerOp, n) =>
+      // PARALLEL n → explicit post-op partitioning (reference:
+      // parallel_clause → reducer count; here a repartition hint)
+      val r = evalOp(innerOp)
+      Relation(r.df.repartition(n), r.name)
+
     case GroupOp(Seq((in, _)), true) =>
       val r = env(in)
       Relation(r.df.groupBy(lit("all").as("group"))
@@ -164,18 +182,105 @@ final class PigRunner(spark: SparkSession) {
     Relation(acc, in0)
   }
 
-  // -------------------------------------------------------------- FOREACH
-  private def foreach(r: Relation, gens: Seq[GenItem]): Relation = {
+  // -------------------------------------------------- nested FOREACH { }
+  /** Per-group sub-pipeline over bag columns: nested FILTER/ORDER/LIMIT/
+    * DISTINCT become array HOFs (filter / array_sort comparator / slice /
+    * array_distinct) — per-row column work, no extra shuffle beyond the
+    * GROUP that produced the bags (reference: LOForEach inner plan with
+    * LOInnerLoad; SURVEY §2.1 #5). */
+  private def nestedForeach(r: Relation, inner: Seq[(String, InnerOp)],
+                            gens: Seq[GenItem]): Relation = {
     val df = r.df
+    var nested = Map.empty[String, Column]
+    def bagOf(name: String): Column =
+      nested.getOrElse(name, col(resolve(name, df)))
+    def elemSchema(name: String): StructType =
+      typeOf(bagOf(name), df) match {
+        case ArrayType(st: StructType, _) => st
+        case other => throw new IllegalArgumentException(
+          s"nested op over non-bag $name: $other")
+      }
+    inner.foreach { case (alias, op) =>
+      val c = op match {
+        case InnerFilter(src, cond) =>
+          val st = elemSchema(src)
+          filter(bagOf(src), t => compileLambda(cond, t, st))
+        case InnerOrder(src, keys) =>
+          val st = elemSchema(src)
+          array_sort(bagOf(src), (l, p) =>
+            keys.foldRight(lit(0)) { case ((e, asc), acc) =>
+              val lf = compileLambda(e, l, st)
+              val rf = compileLambda(e, p, st)
+              val (a, b) = if (asc) (-1, 1) else (1, -1)
+              when(lf < rf, a).when(lf > rf, b).otherwise(acc)
+            })
+        case InnerLimit(src, n)   => slice(bagOf(src), 1, n.toInt)
+        case InnerDistinct(src)   => array_distinct(bagOf(src))
+      }
+      nested += alias -> c
+    }
+    foreach(r, gens, nested)
+  }
+
+  /** Expression compile inside a bag lambda: column refs resolve to
+    * fields of the lambda element. */
+  private def compileLambda(e: Expr, t: Column, st: StructType): Column = e match {
+    case Lit(null) => lit(null)
+    case Lit(v)    => lit(v)
+    case ColRef(n) => t.getField(n.split("::").last)
+    case PosRef(i) => t.getField(st.fieldNames(i))
+    case Deref(b, f)     => compileLambda(b, t, st).getField(f)
+    case MapLookup(m, k) => compileLambda(m, t, st).getItem(k)
+    case Neg(x) => -compileLambda(x, t, st)
+    case Not(x) => !compileLambda(x, t, st)
+    case BinOp(op, l, r) =>
+      val (a, b) = (compileLambda(l, t, st), compileLambda(r, t, st))
+      op match {
+        case "+" => a + b;   case "-" => a - b
+        case "*" => a * b;   case "/" => a / b
+        case "%" => a % b
+        case "==" => a === b; case "!=" => a =!= b
+        case "<" => a < b;   case "<=" => a <= b
+        case ">" => a > b;   case ">=" => a >= b
+        case "and" => a && b; case "or" => a || b
+      }
+    case BinCond(c, x, y) =>
+      when(compileLambda(c, t, st), compileLambda(x, t, st))
+        .otherwise(compileLambda(y, t, st))
+    case IsNull(x, neg) =>
+      val c = compileLambda(x, t, st); if (neg) c.isNotNull else c.isNull
+    case InExpr(x, vals) =>
+      compileLambda(x, t, st).isin(vals.map {
+        case Lit(v) => v
+        case o => throw new IllegalArgumentException(s"IN needs literals: $o")
+      }: _*)
+    case CastExpr(ty, x) => compileLambda(x, t, st).cast(pigType(ty))
+    case Matches(x, p)   => Builtins.MATCHES(compileLambda(x, t, st), p)
+    case other => throw new IllegalArgumentException(
+      s"unsupported expression in nested block: $other")
+  }
+
+  // -------------------------------------------------------------- FOREACH
+  private def foreach(r: Relation, gens: Seq[GenItem],
+                      nested: Map[String, Column] = Map.empty): Relation = {
+    val df = r.df
+    def comp(e: Expr): Column = e match {
+      case ColRef(n) if nested.contains(n) => nested(n)
+      case Deref(ColRef(n), f) if nested.contains(n) => nested(n).getField(f)
+      case FuncCall(fn, args) =>
+        // route nested-alias args through the nested map
+        callFunction(fn, args, df, nested)
+      case other => compile(other, df)
+    }
     var flattens = Seq.empty[(String, Option[String])] // temp col -> alias
     val cols = gens.zipWithIndex.flatMap {
       case (GenItem(Star, _), _) => df.columns.toSeq.map(col)
       case (GenItem(FlattenExpr(e), alias), i) =>
         val tmp = s"__fl_$i"
         flattens :+= ((tmp, alias))
-        Seq(compile(e, df).as(tmp))
+        Seq(comp(e).as(tmp))
       case (GenItem(e, alias), i) =>
-        Seq(compile(e, df).as(alias.getOrElse(autoName(e, i))))
+        Seq(comp(e).as(alias.getOrElse(autoName(e, i))))
     }
     var out = Relation(df.select(cols: _*), r.name)
     flattens.foreach { case (tmp, alias) =>
@@ -322,8 +427,14 @@ final class PigRunner(spark: SparkSession) {
     * SUM(A.x) here sees array<numeric> and becomes an in-bag fold; the
     * null rules (§1.5: aggregates skip nulls, COUNT skips null first
     * field) are applied via a filter before the fold. */
-  private def callFunction(name: String, args: Seq[Expr], df: DataFrame): Column = {
-    def c0 = compile(args.head, df)
+  private def callFunction(name: String, args: Seq[Expr], df: DataFrame,
+                           nested: Map[String, Column] = Map.empty): Column = {
+    def comp(e: Expr): Column = e match {
+      case ColRef(n) if nested.contains(n) => nested(n)
+      case Deref(ColRef(n), f) if nested.contains(n) => nested(n).getField(f)
+      case other => compile(other, df)
+    }
+    def c0 = comp(args.head)
     def nonNull(c: Column) = filter(c, x => x.isNotNull)
     name match {
       case "COUNT" =>
@@ -352,7 +463,7 @@ final class PigRunner(spark: SparkSession) {
       case "MAX" => array_max(c0)
       case "SIZE" => Builtins.SIZE(c0)
       case "ISEMPTY" => Builtins.IsEmpty(c0)
-      case "CONCAT" => concat(args.map(compile(_, df)): _*)
+      case "CONCAT" => concat(args.map(comp): _*)
       case "UPPER" => upper(c0)
       case "LOWER" => lower(c0)
       case "TRIM" => trim(c0)
@@ -364,11 +475,11 @@ final class PigRunner(spark: SparkSession) {
       case "LAST_INDEX_OF" => Builtins.LAST_INDEX_OF(c0, asStr(args(1)))
       case "STARTSWITH" => Builtins.STARTSWITH(c0, asStr(args(1)))
       case "ENDSWITH" => Builtins.ENDSWITH(c0, asStr(args(1)))
-      case "EQUALSIGNORECASE" => Builtins.EqualsIgnoreCase(c0, compile(args(1), df))
+      case "EQUALSIGNORECASE" => Builtins.EqualsIgnoreCase(c0, comp(args(1)))
       case "REGEX_EXTRACT" => Builtins.REGEX_EXTRACT(c0, asStr(args(1)), asInt(args(2)))
       case "STRSPLIT" => Builtins.STRSPLIT(c0, asStr(args(1)))
       case "TOKENIZE" => transform(Builtins.TOKENIZE(c0), t => struct(t.as("token")))
-      case "SPRINTF" => format_string(asStr(args.head), args.tail.map(compile(_, df)): _*)
+      case "SPRINTF" => format_string(asStr(args.head), args.tail.map(comp): _*)
       case "LCFIRST" => Builtins.LCFIRST(c0)
       case "UCFIRST" => Builtins.UCFIRST(c0)
       case "ABS" => abs(c0)
@@ -381,19 +492,19 @@ final class PigRunner(spark: SparkSession) {
       case "LOG" => log(c0)
       case "LOG10" => log10(c0)
       case "RANDOM" => rand()
-      case "TOTUPLE" => struct(args.map(compile(_, df)): _*)
-      case "TOBAG" => Builtins.TOBAG(args.map(compile(_, df)): _*)
-      case "TOMAP" => Builtins.TOMAP(args.map(compile(_, df)): _*)
+      case "TOTUPLE" => struct(args.map(comp): _*)
+      case "TOBAG" => Builtins.TOBAG(args.map(comp): _*)
+      case "TOMAP" => Builtins.TOMAP(args.map(comp): _*)
       case "BAGTOSTRING" => Builtins.BagToString(c0, asStr(args(1)))
       case "KEYSET" => Builtins.KEYSET(c0)
       case "VALUELIST" => Builtins.VALUELIST(c0)
       case "VALUESET" => Builtins.VALUESET(c0)
-      case "DIFF" => Builtins.DIFF(c0, compile(args(1), df))
-      case "SUBTRACT" => Builtins.SUBTRACT(c0, compile(args(1), df))
+      case "DIFF" => Builtins.DIFF(c0, comp(args(1)))
+      case "SUBTRACT" => Builtins.SUBTRACT(c0, comp(args(1)))
       case "DISTINCT" => array_distinct(c0)
       case "TOP" =>
         // TOP(n, fieldIdxOrName, bag)
-        val bag = compile(args(2), df)
+        val bag = comp(args(2))
         val fieldName = args(1) match {
           case Lit(i: Int) =>
             typeOf(bag, df) match {
@@ -416,7 +527,7 @@ final class PigRunner(spark: SparkSession) {
       case "GETMINUTE" => Builtins.GetMinute(c0)
       case "GETSECOND" => Builtins.GetSecond(c0)
       case "GETWEEK" => Builtins.GetWeek(c0)
-      case "DAYSBETWEEN" => Builtins.DaysBetween(c0, compile(args(1), df))
+      case "DAYSBETWEEN" => Builtins.DaysBetween(c0, comp(args(1)))
       case "ADDDURATION" => Builtins.AddDuration(c0, asStr(args(1)))
       case "SUBTRACTDURATION" => Builtins.SubtractDuration(c0, asStr(args(1)))
       case "CURRENTTIME" => current_timestamp()

@@ -134,6 +134,49 @@ class FrontendSpec extends SparkSpec {
     assert(back.getLong(0) == 25L)
   }
 
+  test("nested FOREACH block: filter/order/limit/distinct over bags") {
+    val out = PigRunner(spark).run(s"""
+      li = LOAD '$dir/lineitem.parquet';
+      g  = GROUP li BY l_orderkey;
+      t  = FOREACH g {
+             big = FILTER li BY l_quantity > 10.0;
+             srt = ORDER big BY l_quantity DESC, l_linenumber;
+             top = LIMIT srt 2;
+             flags = DISTINCT li;
+             GENERATE group AS l_orderkey, COUNT(li) AS n_items,
+                      COUNT(big) AS n_big, FLATTEN(top);
+           };
+    """).apply("t").df
+    // per-order: at most 2 rows, each with quantity > 10, sorted desc
+    import org.apache.spark.sql.expressions.Window
+    val expect = sf("lineitem").filter($"l_quantity" > 10.0)
+      .withColumn("rn", row_number().over(Window.partitionBy("l_orderkey")
+        .orderBy($"l_quantity".desc, $"l_linenumber")))
+      .filter($"rn" <= 2).count()
+    assert(out.count() == expect)
+    val one = out.filter(col("n_big") >= 2).head()
+    assert(one.getDouble(one.fieldIndex("l_quantity")) > 10.0)
+  }
+
+  test("STREAM THROUGH external command with AS schema") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      p = FOREACH n GENERATE n_nationkey, n_name;
+      s = STREAM p THROUGH 'cat' AS (k:int, name:chararray);
+      f = FILTER s BY k < 5;
+    """).apply("f").df
+    assert(out.count() == 5)
+  }
+
+  test("PARALLEL clause applies explicit partitioning") {
+    val out = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      d = DISTINCT o PARALLEL 3;
+    """).apply("d").df
+    assert(out.rdd.getNumPartitions == 3)
+    assert(out.count() == sf("orders").count())
+  }
+
   test("rollup via CUBE BY ROLLUP + flatten of struct group") {
     val out = PigRunner(spark).run(s"""
       o = LOAD '$dir/orders.parquet';

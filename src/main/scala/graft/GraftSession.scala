@@ -26,6 +26,10 @@ object GraftSession {
     // The driver's events.parquet uses TIMESTAMP(NANOS) which Spark cannot
     // read natively — read as long and convert (see Relation.loadTable).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Custom logical rewrites (SURVEY §4.3): bag elision for size-only
+    // consumers of collect_list groups.
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.FuseBagSizeToCount)
     spark
   }
 

@@ -33,8 +33,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("collect_list"))
   }
 
-  test("q05: bag path materializes collect_list only when bag is consumed") {
-    assert(plan("q05_group_bag").contains("collect_list"))
+  test("FuseBagSizeToCount elides bags consumed only via size()") {
+    GraftSession.tune(spark)
+    val o = sf("orders")
+    val bagged = o.groupBy("o_custkey")
+      .agg(collect_list(struct(o.columns.map(col): _*)).as("b"))
+      .select(col("o_custkey"), size(col("b")).as("n"))
+    val optimized = bagged.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("collect_list"))
+    assert(optimized.contains("count"))
+    // results identical to a plain count
+    val expect = o.groupBy("o_custkey").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = bagged.collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    assert(got == expect)
+    // and NOT applied when the bag has another consumer
+    val both = o.groupBy("o_custkey")
+      .agg(collect_list(struct(o.columns.map(col): _*)).as("b"))
+      .select(col("o_custkey"), size(col("b")).as("n"), col("b"))
+    assert(both.queryExecution.optimizedPlan.toString.contains("collect_list"))
+  }
+
+  test("q05: bag query (size-only consumer) gets the fused count plan") {
+    val p = plan("q05_group_bag")
+    assert(!p.contains("collect_list")) // FuseBagSizeToCount applied
   }
 
   test("entry: order+limit plans TakeOrderedAndProject (no global sort)") {

@@ -21,8 +21,13 @@ final class PigRunner(spark: SparkSession) {
   def relations: Map[String, Relation] = env.toMap
   def apply(alias: String): Relation = env(alias)
 
-  def run(script: String): PigRunner = {
-    PigParser.parse(script).foreach(exec)
+  def run(script: String): PigRunner = run(script, Map.empty[String, String])
+
+  /** Run with `$param` substitution (reference: PreprocessorContext —
+    * `-param` CLI / %declare). Macros and DEFINEs expand textually first
+    * (PigMacro.java design). */
+  def run(script: String, params: Map[String, String]): PigRunner = {
+    PigParser.parse(PigPreprocessor.expand(script, params)).foreach(exec)
     this
   }
 

@@ -1,0 +1,125 @@
+package graft.frontend
+
+import scala.collection.mutable
+
+/** Textual preprocessing, mirroring the reference's design (macros expand
+  * textually before parsing — P/parser/PigMacro.java; parameters via
+  * P/tools/parameters/PreprocessorContext.java):
+  *
+  *  - `%default name value` / `%declare name value` — parameter defaults
+  *  - `$name` substitution from params (positional `$0` refs survive —
+  *    only `$ident` forms are substituted)
+  *  - `DEFINE m(p1, p2) RETURNS r { ... };` — macro definition
+  *  - `out = m(a, b);` — macro call expansion ($p1→a, $r→out)
+  *  - `DEFINE alias 'command';` — command alias (used by STREAM THROUGH)
+  */
+object PigPreprocessor {
+
+  final case class Macro(params: Seq[String], returns: String, body: String)
+
+  def expand(script: String,
+             params: Map[String, String] = Map.empty): String = {
+    val vars = mutable.Map[String, String]() ++= params
+    val macros = mutable.Map[String, Macro]()
+    val cmdDefines = mutable.Map[String, String]()
+    val out = new StringBuilder
+
+    var rest = script
+    while (rest.nonEmpty) {
+      val trimmed = rest.dropWhile(_.isWhitespace)
+      val skipped = rest.length - trimmed.length
+      out.append(rest.take(skipped))
+      rest = trimmed
+      if (rest.isEmpty) ()
+      else if (rest.startsWith("--")) {
+        val e = rest.indexOf('\n') match { case -1 => rest.length; case i => i }
+        out.append(rest.take(e)); rest = rest.drop(e)
+      } else if (rest.startsWith("%default") || rest.startsWith("%declare")) {
+        // %default / %declare are LINE-terminated (preprocessor directives)
+        val e = rest.indexOf('\n') match { case -1 => rest.length; case i => i }
+        val parts = rest.take(e).split("\\s+", 3)
+        if (parts.length == 3)
+          vars.getOrElseUpdate(parts(1),
+            parts(2).stripSuffix(";").trim.stripPrefix("'").stripSuffix("'"))
+        rest = rest.drop(math.min(e + 1, rest.length))
+      } else if (rest.toUpperCase.startsWith("DEFINE ")) {
+        val e = defineEnd(rest)
+        parseDefine(rest.take(e)) match {
+          case Left((name, m))  => macros(name) = m
+          case Right((name, c)) => cmdDefines(name) = c
+        }
+        rest = rest.drop(e + 1)
+      } else {
+        val e = statementEnd(rest)
+        val stmt = rest.take(e)
+        rest = rest.drop(e + 1)
+        out.append(expandStatement(stmt, macros.toMap, cmdDefines.toMap, vars.toMap))
+        out.append(";\n")
+      }
+    }
+    out.toString
+  }
+
+  /** end index (exclusive of ';') of a simple statement, brace-aware */
+  private def statementEnd(s: String): Int = {
+    var depth = 0; var i = 0; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case ';' if depth == 0 => return i
+        case _ =>
+      }
+      i += 1
+    }
+    s.length
+  }
+  private def defineEnd(s: String): Int = statementEnd(s)
+
+  /** DEFINE m(p…) RETURNS r { body }  |  DEFINE alias 'cmd' */
+  private def parseDefine(stmt: String): Either[(String, Macro), (String, String)] = {
+    val m = """(?is)DEFINE\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*\{(.*)\}\s*""".r
+    val c = """(?is)DEFINE\s+(\w+)\s+'([^']*)'\s*""".r
+    stmt match {
+      case m(name, ps, ret, body) =>
+        val params = ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        Left((name, Macro(params, ret, body)))
+      case c(name, cmd) => Right((name, cmd))
+      case other => throw new IllegalArgumentException(
+        s"unsupported DEFINE form: ${other.take(60)}")
+    }
+  }
+
+  private def expandStatement(stmt: String, macros: Map[String, Macro],
+                              cmds: Map[String, String],
+                              vars: Map[String, String]): String = {
+    val call = """(?s)\s*(\w+)\s*=\s*(\w+)\s*\(([^)]*)\)\s*""".r
+    val substituted = substitute(stmt, vars)
+    substituted match {
+      case call(ret, name, argStr) if macros.contains(name) =>
+        val mac = macros(name)
+        val args = argStr.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(args.length == mac.params.length,
+          s"macro $name expects ${mac.params.length} args, got ${args.length}")
+        val bindings = mac.params.zip(args).toMap + (mac.returns -> ret)
+        // expand the macro body (may itself contain multiple statements)
+        val body = substitute(mac.body, bindings).trim.stripSuffix(";")
+        body
+      case _ =>
+        // STREAM … THROUGH cmdAlias → inline the command string
+        cmds.foldLeft(substituted) { case (s, (name, cmd)) =>
+          s.replaceAll(s"(?i)THROUGH\\s+$name\\b", s"THROUGH '$cmd'")
+        }
+    }
+  }
+
+  /** Replace $name for each binding (leaves positional $0… alone). */
+  private def substitute(s: String, vars: Map[String, String]): String =
+    vars.foldLeft(s) { case (acc, (k, v)) =>
+      acc.replaceAll("\\$" + java.util.regex.Pattern.quote(k) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(v))
+    }
+}

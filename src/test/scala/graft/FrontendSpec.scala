@@ -177,6 +177,43 @@ class FrontendSpec extends SparkSpec {
     assert(out.count() == sf("orders").count())
   }
 
+  test("macros: DEFINE ... RETURNS expands textually (PigMacro design)") {
+    val out = PigRunner(spark).run(s"""
+      DEFINE by_status(rel, st) RETURNS filtered {
+        $$filtered = FILTER $$rel BY o_orderstatus == $$st;
+      };
+      o  = LOAD '$dir/orders.parquet';
+      fo = by_status(o, 'F');
+      g  = GROUP fo ALL;
+      c  = FOREACH g GENERATE COUNT(fo) AS n;
+    """).apply("c").df.head()
+    val exp = sf("orders").filter($"o_orderstatus" === "F").count()
+    assert(out.getLong(0) == exp)
+  }
+
+  test("%default params + DEFINE command alias for STREAM") {
+    val out = PigRunner(spark).run(s"""
+      %default minqty 45.0
+      DEFINE pass_through 'cat';
+      li = LOAD '$dir/lineitem.parquet';
+      p  = FOREACH li GENERATE l_orderkey, l_quantity;
+      f  = FILTER p BY l_quantity > $$minqty;
+      s  = STREAM f THROUGH pass_through AS (k:long, q:double);
+    """).apply("s").df
+    val exp = sf("lineitem").filter($"l_quantity" > 45.0).count()
+    assert(out.count() == exp)
+  }
+
+  test("runtime params override %default") {
+    val out = PigRunner(spark).run(s"""
+      %default seg 'BUILDING'
+      c = LOAD '$dir/customer.parquet';
+      f = FILTER c BY c_mktsegment == '$$seg';
+    """, Map("seg" -> "MACHINERY")).apply("f").df
+    val exp = sf("customer").filter($"c_mktsegment" === "MACHINERY").count()
+    assert(out.count() == exp)
+  }
+
   test("rollup via CUBE BY ROLLUP + flatten of struct group") {
     val out = PigRunner(spark).run(s"""
       o = LOAD '$dir/orders.parquet';

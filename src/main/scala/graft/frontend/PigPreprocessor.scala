@@ -42,6 +42,15 @@ object PigPreprocessor {
           vars.getOrElseUpdate(parts(1),
             parts(2).stripSuffix(";").trim.stripPrefix("'").stripSuffix("'"))
         rest = rest.drop(math.min(e + 1, rest.length))
+      } else if (rest.toUpperCase.startsWith("IMPORT ")) {
+        // IMPORT 'macros.pig'; — inline the file (reference: QueryParser.g
+        // IMPORT → macro file inlining)
+        val e = statementEnd(rest)
+        val path = rest.take(e).split("\\s+", 2)(1).trim
+          .stripPrefix("'").stripSuffix("'")
+        val imported = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        rest = imported + "\n" + rest.drop(math.min(e + 1, rest.length))
       } else if (rest.toUpperCase.startsWith("DEFINE ")) {
         val e = defineEnd(rest)
         parseDefine(rest.take(e)) match {

@@ -109,6 +109,18 @@ object Builtins {
   def DIFF(a: Column, b: Column): Column =
     array_union(array_except(a, b), array_except(b, a))
   def Distinct(bag: Column): Column = array_distinct(bag)
+  /** ARITY (deprecated in the reference; = field count of a tuple). The
+    * tuple width is static in Spark's schema, so this resolves at plan
+    * time. */
+  def ARITY(df: org.apache.spark.sql.DataFrame, structCol: String): Column =
+    lit(df.schema(structCol).dataType.asInstanceOf[StructType].size)
+  /** BagToTuple (reference: BagToTuple.java): flatten a bag's tuples into
+    * one wide tuple — modeled as the flattened element array. */
+  def BagToTuple(bag: Column): Column = flatten(transform(bag, t => array(t)))
+  /** REGEX_SEARCH (reference: REGEX_SEARCH.java): all matches of a
+    * pattern, as a bag. */
+  def REGEX_SEARCH(c: Column, pattern: String): Column =
+    regexp_extract_all(c, lit(pattern))
 
   // ------------------------------------------------------------------
   // Date/time (reference: ToDate.java:80, GetYear.java, AddDuration.java —

@@ -204,6 +204,21 @@ class FrontendSpec extends SparkSpec {
     assert(out.count() == exp)
   }
 
+  test("IMPORT inlines a macro file") {
+    val f = java.nio.file.Files.createTempFile("macros", ".pig")
+    java.nio.file.Files.writeString(f, """
+      DEFINE top_n(rel, n) RETURNS limited {
+        $limited = LIMIT $rel $n;
+      };
+    """)
+    val out = PigRunner(spark).run(s"""
+      IMPORT '${f}';
+      n = LOAD '$dir/nation.parquet';
+      t = top_n(n, 7);
+    """).apply("t").df
+    assert(out.count() == 7)
+  }
+
   test("runtime params override %default") {
     val out = PigRunner(spark).run(s"""
       %default seg 'BUILDING'

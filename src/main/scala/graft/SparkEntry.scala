@@ -91,16 +91,15 @@ object SparkEntry {
         .groupBy("o_custkey" -> col("o_custkey")).bag()
         .foreach(col("o_custkey"), SIZE(col("orders")).as("n_orders")).df),
 
-    // nested FOREACH { ORDER …; LIMIT …; GENERATE FLATTEN } (#5):
-    // per-group sort + top-2, no global shuffle beyond the group
+    // nested FOREACH { ORDER …; LIMIT …; GENERATE FLATTEN } (#5), fused
+    // to a windowed top-k (NestedLimitOptimizer equivalence — groups are
+    // never materialized as bags)
     "q06_nested_foreach" -> ((s, d) =>
       T(s, d, "lineitem")
         .foreach(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .as("items")
         .groupBy("okey" -> col("l_orderkey"))
-        .bagSorted2("l_quantity", asc1 = false, "l_linenumber", asc2 = true)
-        .foreach(slice(col("items"), 1, 2).as("items"))
-        .flatten("items")
+        .topK(2, col("l_quantity").desc, col("l_linenumber"))
         .foreach(col("l_orderkey"), col("l_linenumber"), col("l_quantity")).df),
 
     // JOIN default hash strategy (#7, §2.2)
@@ -291,16 +290,14 @@ object SparkEntry {
         .groupBy("l_returnflag" -> col("l_returnflag"))
         .agg(COUNT_STAR().as("n")).df),
 
-    // TOP(n, field, bag) (§2.6) — grouped top-k via in-bag sort, with
-    // an embedded tiebreaker for determinism
+    // TOP(n, field, bag) (§2.6) — grouped top-k; windowed form (the bag
+    // form stays exercised by q57/BuiltinsSpec)
     "q30_top" -> ((s, d) =>
       T(s, d, "orders")
         .foreach(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
         .as("ob")
         .groupBy("ck" -> col("o_custkey"))
-        .bagSorted2("o_totalprice", asc1 = false, "o_orderkey", asc2 = true)
-        .foreach(slice(col("ob"), 1, 2).as("ob"))
-        .flatten("ob")
+        .topK(2, col("o_totalprice").desc, col("o_orderkey"))
         .foreach(col("o_custkey"), col("o_orderkey"), col("o_totalprice")).df)
   )
 

@@ -271,17 +271,20 @@ object Relation {
     * §2.8 — Spark sources give pushdown + pruning via DSv2). */
   def load(spark: SparkSession, path: String, name: String): Relation =
     new Relation(spark.read.parquet(path), name)
-  def loadTable(spark: SparkSession, dir: String, table: String): Relation = {
-    val df = spark.read.parquet(s"$dir/$table.parquet")
-    // Parquet TIMESTAMP(NANOS) columns arrive as long (nanosAsLong) — the
-    // events table's `ts`. Convert with integral division (a double divide
-    // would lose microsecond precision at 1.7e18 nanos).
-    val fixed =
-      if (table == "events" && df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
-    new Relation(fixed, table)
-  }
+  def loadTable(spark: SparkSession, dir: String, table: String): Relation =
+    new Relation(fixNanoTimestamps(spark.read.parquet(s"$dir/$table.parquet")),
+      table)
+
+  /** Parquet TIMESTAMP(NANOS) columns arrive as long under the
+    * `nanosAsLong` conf (Spark cannot read nano timestamps natively).
+    * Re-derive the timestamp with integral division — a double divide
+    * would lose microsecond precision at ~1.7e18 nanos. Applies to the
+    * conventional event-time column name `ts`; other nano columns must be
+    * converted explicitly by the caller. */
+  def fixNanoTimestamps(df: DataFrame): DataFrame =
+    if (df.columns.contains("ts") && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
   /** PigStorage analog: delimited text, all columns typed lazily
     * (bytearray ≈ string here; use-site casts are non-ANSI → null on
     * failure, §1.4). */
@@ -340,6 +343,20 @@ final class GroupedRelation private[dsl] (src: Relation,
       s"CASE WHEN l.`$orderField` < r.`$orderField` THEN $lt " +
       s"WHEN l.`$orderField` > r.`$orderField` THEN $gt ELSE 0 END)")
     Relation(bagged.df.withColumn(src.name, sortedBag), src.name)
+  }
+
+  /** Nested `ORDER …; LIMIT n` fused to a windowed top-k — Pig's
+    * NestedLimitOptimizer (…/rules/LimitOptimizer.java region) done at
+    * DSL-build time. Unlike the bag path (collect_list + array_sort),
+    * this never materializes groups: WindowExec keeps a bounded buffer
+    * per group and the rank filter drops rows before they reach any
+    * downstream operator. Returns the original row shape (top n rows
+    * per group), which is what a nested GENERATE FLATTEN(limit) yields. */
+  def topK(n: Int, order: Column*): Relation = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(_._2): _*).orderBy(order: _*)
+    Relation(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn"), src.name)
   }
 
   /** Two-key nested ORDER (primary + tiebreaker) — deterministic top-k. */

@@ -325,7 +325,7 @@ final class PigRunner(spark: SparkSession) {
           case None     => spark.read.json(path)
         }
       case Some(("OrcStorage", _)) => spark.read.orc(path)
-      case _ => spark.read.parquet(path)
+      case _ => Relation.fixNanoTimestamps(spark.read.parquet(path))
     }
     val df = schema match {
       case Some(fs) if using.exists(u => u._1 == "PigStorage") ||

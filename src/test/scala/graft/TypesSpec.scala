@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Type-system semantics lifted from the reference's Types_* e2e groups
+  * and §1 of SURVEY.md: null propagation, bytearray gradual typing,
+  * cross-type aggregation, datetime handling. */
+class TypesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("arithmetic null propagation (null + x = null)") {
+    val r = Seq((Some(1), None: Option[Int])).toDF("a", "b")
+      .select(($"a" + $"b").as("s"), ($"a" * $"b").as("p"),
+              ($"a" - $"b").as("d")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("comparisons with null are null → filter drops them both ways") {
+    val df = Seq((Some(1), None: Option[Int])).toDF("a", "b")
+    assert(df.filter($"a" > $"b").count() == 0)
+    assert(df.filter(!($"a" > $"b")).count() == 0) // NOT null = null
+  }
+
+  test("bytearray arithmetic: untyped strings cast then compute as double") {
+    // Pig: arithmetic on two bytearrays infers double
+    // (AlgebraicByteArrayMathBase) — model: cast both to double
+    val r = Seq(("3", "4.5")).toDF("a", "b")
+      .select(($"a".cast(DoubleType) + $"b".cast(DoubleType)).as("s")).head()
+    assert(r.getDouble(0) == 7.5)
+  }
+
+  test("aggregates skip nulls; avg denominator excludes nulls") {
+    val df = Seq(Some(2.0), None, Some(4.0)).toDF("v")
+    val r = df.agg(sum($"v"), avg($"v"), count($"v"), min($"v"), max($"v")).head()
+    assert(r.getDouble(0) == 6.0 && r.getDouble(1) == 3.0 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 4.0)
+  }
+
+  test("all-null group: SUM/MIN/MAX null, COUNT 0 (Pig agg rules)") {
+    val df = Seq.fill(3)(None: Option[Double]).toDF("v")
+    val r = df.agg(sum($"v"), count($"v"), max($"v")).head()
+    assert(r.isNullAt(0) && r.getLong(1) == 0 && r.isNullAt(2))
+  }
+
+  test("MIN/MAX order strings lexically and timestamps chronologically") {
+    val r = Seq("b", "a", "c").toDF("s").agg(min($"s"), max($"s")).head()
+    assert(r.getString(0) == "a" && r.getString(1) == "c")
+    val t = Seq("2020-03-01", "2020-01-01").toDF("d")
+      .select($"d".cast(TimestampType).as("t"))
+      .agg(min($"t").cast(DateType).cast(StringType)).head()
+    assert(t.getString(0) == "2020-01-01")
+  }
+
+  test("cast chain: string → double → int truncates (POCast semantics)") {
+    val r = Seq("3.9").toDF("s")
+      .select($"s".cast(DoubleType).cast(IntegerType)).head()
+    assert(r.getInt(0) == 3)
+  }
+
+  test("invalid datetime parse yields null (LoadCaster contract)") {
+    val r = Seq("not-a-date").toDF("s")
+      .select($"s".cast(TimestampType)).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("map value access on absent key is null (MapLookup)") {
+    val r = Seq(Map("a" -> 1)).toDF("m")
+      .select($"m".getItem("zzz")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("bloom join equals plain join (BuildBloom/Bloom pair)") {
+    val o = sf("orders")
+    val c = sf("customer").filter($"c_acctbal" > 5000)
+    val plain = o.join(c, o("o_custkey") === c("c_custkey")).count()
+    val bloom = graft.operators.BloomJoin.joinLongKey(
+      o, c, "o_custkey", "c_custkey", expectedItems = 10000).count()
+    assert(bloom == plain)
+  }
+}

@@ -849,9 +849,10 @@ object SparkEntry {
          FROM documents""",
     "q46_ann_brute" ->
       """SELECT vec_id,
-                round(list_cosine_similarity(embedding,
-                  (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6)
-                  AS cos_sim
+                round(CAST(list_cosine_similarity(
+                    CAST(embedding AS DOUBLE[]),
+                    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                     WHERE vec_id = 0)) AS DOUBLE), 6) AS cos_sim
          FROM embeddings
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q51_multimodal" ->

@@ -13,11 +13,14 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+STRICT = os.environ.get("CHECK_TOLERANT") is None
+
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v): return "nan"
-        # 6 significant digits, like the reference's floatpostprocess
-        return f"{v:.6g}"
+        # strict: bit-exact (all queries pass this as of r1); tolerant
+        # fallback: 6 significant digits like the reference floatpostprocess
+        return repr(v) if STRICT else f"{v:.6g}"
     if isinstance(v, list): return "[" + ",".join(canon(x) for x in v) + "]"
     return repr(v)
 

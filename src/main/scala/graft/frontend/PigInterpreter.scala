@@ -60,9 +60,12 @@ final class PigRunner(spark: SparkSession) {
     case LoadOp(path, using, schema) => load(path, using, schema)
 
     case FilterOp(in, cond) =>
-      val r = env(in); r.filter(compile(cond, r.df))
+      val r = env(in)
+      r.filter(compile(resolveScalars(cond, r.df), r.df))
 
-    case ForeachOp(in, gens) => foreach(env(in), gens)
+    case ForeachOp(in, gens) =>
+      val r = env(in)
+      foreach(r, gens.map(g => g.copy(expr = resolveScalars(g.expr, r.df))))
 
     case NestedForeachOp(in, inner, gens) => nestedForeach(env(in), inner, gens)
 
@@ -141,6 +144,34 @@ final class PigRunner(spark: SparkSession) {
       Relation(g.agg(bag), in)
 
     case AliasRef(in) => env(in)
+  }
+
+  /** Scalar projection (reference: ScalarExpression.java + ReadScalars —
+    * `other_alias.field` used as a scalar; errors if the relation has more
+    * than one row). Rewrites the AST reference to the materialized value. */
+  private def resolveScalars(e: Expr, df: DataFrame): Expr = {
+    def rw(x: Expr): Expr = x match {
+      case Deref(ColRef(n), f) if env.contains(n) && !df.columns.contains(n) =>
+        val rows = env(n).df.select(col(f)).limit(2).collect()
+        require(rows.length == 1,
+          s"scalar $n.$f: relation has ${rows.length} rows " +
+          "(reference: ReadScalars errors unless exactly 1)")
+        Lit(rows(0).get(0))
+      case Deref(b, f)      => Deref(rw(b), f)
+      case MapLookup(m, k)  => MapLookup(rw(m), k)
+      case FuncCall(nm, as) => FuncCall(nm, as.map(rw))
+      case BinOp(op, l, r)  => BinOp(op, rw(l), rw(r))
+      case Neg(v)           => Neg(rw(v))
+      case Not(v)           => Not(rw(v))
+      case BinCond(c, t, f) => BinCond(rw(c), rw(t), rw(f))
+      case IsNull(v, neg)   => IsNull(rw(v), neg)
+      case InExpr(v, vals)  => InExpr(rw(v), vals.map(rw))
+      case CastExpr(t, v)   => CastExpr(t, rw(v))
+      case Matches(v, p)    => Matches(rw(v), p)
+      case FlattenExpr(v)   => FlattenExpr(rw(v))
+      case other            => other
+    }
+    rw(e)
   }
 
   private def groupKey(keys: Seq[Expr], df: DataFrame): Column = keys match {

@@ -204,6 +204,28 @@ class FrontendSpec extends SparkSpec {
     assert(out.count() == exp)
   }
 
+  test("scalar projection: 1-row alias used as a scalar (ReadScalars)") {
+    val out = PigRunner(spark).run(s"""
+      c   = LOAD '$dir/customer.parquet';
+      g   = GROUP c ALL;
+      avgbal = FOREACH g GENERATE AVG(c.c_acctbal) AS mean;
+      rich = FILTER c BY c_acctbal > avgbal.mean;
+    """).apply("rich").df
+    val mean = sf("customer").agg(avg($"c_acctbal")).head().getDouble(0)
+    val exp = sf("customer").filter($"c_acctbal" > mean).count()
+    assert(out.count() == exp)
+  }
+
+  test("scalar projection errors when relation has >1 row") {
+    val ex = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        c = LOAD '$dir/customer.parquet';
+        f = FILTER c BY c_acctbal > c.c_acctbal;
+      """)
+    }
+    assert(ex.getMessage.contains("scalar") || ex.getMessage.contains("1"))
+  }
+
   test("IMPORT inlines a macro file") {
     val f = java.nio.file.Files.createTempFile("macros", ".pig")
     java.nio.file.Files.writeString(f, """

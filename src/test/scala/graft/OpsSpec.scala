@@ -49,6 +49,29 @@ class OpsSpec extends SparkSpec {
     assert(n == sf("orders").count())
   }
 
+  test("bucketed tables join without a shuffle (merge-join equivalence)") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    sf("orders").write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    sf("customer").write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("b_customer")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      // co-located: neither side shuffles (Pig merge join on pre-sorted
+      // bucketed inputs — POMergeJoin equivalence)
+      assert(!plan.contains("Exchange hashpartitioning"))
+      assert(j.count() == sf("orders").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("pluck projects by column prefix (PluckTuple)") {
     val j = Relation(sf("customer"), "c")
       .joinOn(Relation(sf("orders"), "o"), col("c_custkey"), col("o_custkey"))

@@ -788,7 +788,30 @@ object SparkEntry {
                 strategy = "replicated")
         .pluck("o_")
         .foreach(col("o_orderkey"), col("o_orderstatus"),
-                 col("o_totalprice")).df)
+                 col("o_totalprice")).df),
+
+    // theta/range join (bonus over the reference — Pig expresses this as
+    // CROSS+FILTER; Spark plans a broadcast nested-loop join directly)
+    "q60_range_join" -> ((s, d) => {
+      val ranges = s.createDataFrame(Seq(
+        ("tiny", 0.0, 50000.0), ("small", 50000.0, 100000.0),
+        ("mid", 100000.0, 200000.0), ("large", 200000.0, 300000.0),
+        ("huge", 300000.0, 1e9))).toDF("bucket", "lo", "hi")
+      T(s, d, "orders")
+        .joinTheta(Relation(ranges, "ranges"),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("bucket" -> col("bucket"))
+        .agg(COUNT_STAR().as("n"),
+             round(SUM(col("o_totalprice")), 2).as("volume")).df
+    }),
+
+    // nested/multi-DISTINCT aggregation (PigMix L4/L15 shape)
+    "q61_multi_distinct" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .groupBy("l_returnflag" -> col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             COUNT_STAR().as("n")).df)
   )
 
   private val pipelineOracles: Map[String, String] = Map(
@@ -906,7 +929,21 @@ object SparkEntry {
          FROM events""",
     "q59_pluck" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
-         FROM customer JOIN orders ON c_custkey = o_custkey"""
+         FROM customer JOIN orders ON c_custkey = o_custkey""",
+    "q60_range_join" ->
+      """SELECT bucket, count(*) AS n, round(sum(o_totalprice), 2) AS volume
+         FROM orders JOIN (
+           VALUES ('tiny', 0.0, 50000.0), ('small', 50000.0, 100000.0),
+                  ('mid', 100000.0, 200000.0), ('large', 200000.0, 300000.0),
+                  ('huge', 300000.0, 1000000000.0)) r(bucket, lo, hi)
+           ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY bucket""",
+    "q61_multi_distinct" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -139,6 +139,13 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
     }
     derived(df.join(right, leftKey === rightKey, joinType))
   }
+  /** Theta (non-equi) join — Pig expresses these as CROSS+FILTER
+    * (QueryParser.g:565-575 equi-only); Spark plans range conditions as a
+    * broadcast nested-loop join directly. Bonus capability. */
+  def joinTheta(other: Relation, cond: Column,
+                joinType: String = "inner"): Relation =
+    derived(df.join(other.df, cond, joinType))
+
   /** Pig's anti-join idiom (COGROUP + IsEmpty filter — PigMix L5) mapped to
     * the shuffle-free-er native left_anti. */
   def antiJoin(other: Relation, keys: Seq[String]): Relation =

@@ -26,6 +26,9 @@ object GraftSession {
     // The driver's events.parquet uses TIMESTAMP(NANOS) which Spark cannot
     // read natively — read as long and convert (see Relation.loadTable).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Wide aggregations (e.g. 64 minhash min-aggs) exceed the default
+    // codegen field cap and silently fall back to interpreted evaluation.
+    c.set("spark.sql.codegen.maxFields", "500")
     // Custom logical rewrites (SURVEY §4.3): bag elision for size-only
     // consumers of collect_list groups.
     spark.experimental.extraOptimizations =

@@ -148,14 +148,65 @@ object Dedup {
     minhashNearDupsWith(df, idCol, textCol,
       t => charShingles(t, shingleK), numHashes, numBands, threshold)
 
-  /** MinHash near-dups over word n-grams — ~10× fewer shingles per doc
-    * than character shingles on prose; the usual choice for documents. */
+  /** MinHash near-dups over word n-grams, streamed: tokens are exploded
+    * once and n-grams formed with window `lead` — no per-row array
+    * construction, no interpreted lambdas anywhere on the full corpus.
+    * The gram stream feeds (a) the signature aggregation (64 partial
+    * min-aggs — 64 longs per doc cross the shuffle) and (b) the verify
+    * step, which collects gram SETS only for candidate-pair docs
+    * (semi-join first). The usual choice for documents: ~10× fewer
+    * shingles than character k-grams. */
   def minhashNearDupsByWords(df: DataFrame, idCol: String, textCol: String,
                              n: Int = 3, numHashes: Int = 64,
                              numBands: Int = 16,
-                             threshold: Double = 0.8): DataFrame =
-    minhashNearDupsWith(df, idCol, textCol,
-      t => wordNgrams(t, n), numHashes, numBands, threshold)
+                             threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val leadCols = (1 until n).map(k => lead(col("tok"), k).over(w).as(s"t$k"))
+    val withLeads = toks.select(
+      (col(idCol) +: col("tok") +: leadCols).toIndexedSeq: _*)
+    val gramParts = col("tok") +: (1 until n).map(k => col(s"t$k"))
+    val longGrams = withLeads.filter(col(s"t${n - 1}").isNotNull)
+      .select(col(idCol), concat_ws(" ", gramParts.toIndexedSeq: _*).as("gram"))
+    // docs with < n tokens contribute their whole text as one gram
+    val shortDocs = df
+      .filter(size(TextAnalysis.tokens(col(textCol))) < n)
+      .select(col(idCol),
+        concat_ws(" ", TextAnalysis.tokens(col(textCol))).as("gram"))
+    val grams = longGrams.union(shortDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignaturesFromGrams(grams, idCol, "gram", numHashes)
+    val pairs = lshCandidatePairs(sigs, idCol, "sig",
+      numBands, numHashes / numBands)
+    // exact-Jaccard verify on candidate docs only
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val candSets = grams.join(candIds, idCol)
+      .groupBy(col(idCol)).agg(collect_set(col("gram")).as("sh"))
+    val sa = candSets.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val sb = candSets.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Signatures from an exploded (id, gram) stream — every stage
+    * codegen'd, partial-aggregated before the exchange. */
+  def minhashSignaturesFromGrams(grams: DataFrame, idCol: String,
+                                 gramCol: String, numHashes: Int): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val params = Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    val hashed = grams.select(col(idCol), xxhash64(col(gramCol)).as("h"))
+    val aggs = params.zipWithIndex.map { case ((a, b), j) =>
+      min(col("h") * a + b).as(s"m$j")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+  }
 
   def minhashNearDupsWith(df: DataFrame, idCol: String, textCol: String,
                           shingler: Column => Column, numHashes: Int,

@@ -28,6 +28,17 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("word-ngram minhash handles short docs (< n tokens)") {
+    val df = Seq(
+      (1L, "tiny"), (2L, "tiny"),          // 1 token each, identical
+      (3L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupsByWords(df, "doc_id", "text",
+      n = 3, numHashes = 32, numBands = 8, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("simhash: identical docs get identical signatures; hamming 0") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "x y z w")).toDF("doc_id", "text")

@@ -811,7 +811,26 @@ object SparkEntry {
         .groupBy("l_returnflag" -> col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
              countDistinct(col("l_suppkey")).as("n_supps"),
-             COUNT_STAR().as("n")).df)
+             COUNT_STAR().as("n")).df),
+
+    // embedding-cosine near-dup pairs, LSH-bucketed (no global cross
+    // join); exact within buckets → oracle-checkable against the full
+    // O(n²) form restricted to high similarity? Bucketing is approximate
+    // → rows-only check; IvfSpec covers recall.
+    "q62_embedding_neardup" -> ((s, d) =>
+      graft.ml.Similarity.nearNeighborPairs(
+        T(s, d, "embeddings").df, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 2)),
+
+    // IVF ANN: k-means coarse quantizer (deterministic seeded init) +
+    // nprobe nearest-cell search (rows-only; IvfSpec asserts recall)
+    "q63_ann_ivf" -> ((s, d) => {
+      val emb = T(s, d, "embeddings").df
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val model = graft.ml.Ivf.fit(emb, "embedding", k = 8, iters = 3)
+      graft.ml.Ivf.search(model, q, topK = 10, nprobe = 2)
+    })
   )
 
   private val pipelineOracles: Map[String, String] = Map(

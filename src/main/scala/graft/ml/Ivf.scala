@@ -1,0 +1,90 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions.cosine_sim
+
+/** IVF (inverted-file) approximate nearest neighbor — the scale path for
+  * similarity search over an embedding corpus:
+  *
+  *  1. FIT: a coarse quantizer via Lloyd's k-means (deterministic seeded
+  *     sample init, a few iterations). Each iteration is one scan:
+  *     assignment is a codegen'd argmax over broadcast centroid literals;
+  *     the update is a partial-aggregated per-cell mean.
+  *  2. INDEX: each vector is assigned a cell id. At 100 TB the assigned
+  *     table is written partitioned/clustered BY CELL, so a probe reads
+  *     only nprobe cells' files — that layout is the entire point of IVF.
+  *  3. SEARCH: rank the query's nprobe nearest cells, scan only those,
+  *     exact cosine top-k within.
+  *
+  * Everything is DataFrame/Column work: no driver-side loops over data
+  * (only over the k centroids, which are a handful of literals).
+  */
+object Ivf {
+
+  final case class Model(assigned: DataFrame, centroids: Array[Seq[Float]],
+                         idCol: String, vecCol: String)
+
+  /** Cosine of a vector column against each centroid literal, as columns. */
+  private def centroidSims(vec: Column, cents: Array[Seq[Float]]): Seq[Column] =
+    cents.toIndexedSeq.map(c => cosine_sim(vec, typedlit(c)))
+
+  /** argmax cell id over the centroid similarity columns (codegen'd
+    * chain of comparisons — k is small by construction). */
+  private def nearestCell(vec: Column, cents: Array[Seq[Float]]): Column = {
+    val sims = centroidSims(vec, cents)
+    val best = sims.reduce((a, b) => greatest(a, b))
+    sims.zipWithIndex.foldRight(lit(0)) { case ((s, i), acc) =>
+      when(s === best, lit(i)).otherwise(acc)
+    }
+  }
+
+  def fit(emb: DataFrame, vecCol: String, k: Int, iters: Int,
+          idCol: String = "vec_id"): Model = {
+    // deterministic init: first k vectors by id (a seeded sample at scale)
+    var centroids: Array[Seq[Float]] = emb.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0))
+    for (_ <- 0 until iters) {
+      // one scan: assign + per-cell componentwise mean (partial-agg'd)
+      val dim = centroids(0).length
+      val assigned = emb.select(col(vecCol),
+        nearestCell(col(vecCol), centroids).as("cell"))
+      val sums = assigned.groupBy(col("cell")).agg(
+        count(lit(1)).as("n"),
+        (0 until dim).map(i =>
+          sum(element_at(col(vecCol), i + 1)).as(s"s$i")): _*)
+      val newCents = sums.collect().map { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1).toFloat
+        cell -> (0 until dim).map(i => (r.getDouble(2 + i) / n).toFloat)
+      }.toMap
+      centroids = centroids.indices.map(i =>
+        newCents.getOrElse(i, centroids(i))).toArray
+    }
+    val assigned = emb.withColumn("cell",
+      nearestCell(col(vecCol), centroids))
+    Model(assigned, centroids, idCol, vecCol)
+  }
+
+  /** Probe the nprobe nearest cells, exact cosine top-k inside them. */
+  def search(model: Model, query: Seq[Float], topK: Int,
+             nprobe: Int): DataFrame = {
+    val qSims = model.centroids.map { c =>
+      val n = math.min(c.length, query.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        dot += c(i).toDouble * query(i); na += c(i).toDouble * c(i)
+        nb += query(i).toDouble * query(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCells = qSims.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2)
+    model.assigned
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col(model.idCol),
+        round(cosine_sim(col(model.vecCol), typedlit(query)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(model.idCol))
+      .limit(topK)
+  }
+}

@@ -55,4 +55,40 @@ object Streams {
                            watermark: String, keys: String*): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.toSeq)
+
+  // ------------------------------------------------------------------
+  // Arbitrary stateful processing (flatMapGroupsWithState) — running
+  // per-key statistics that survive across micro-batches with explicit
+  // timeout-based state eviction.
+  case class KeyEvent(user_id: Long, value: Double)
+  case class UserStats(user_id: Long, n: Long, total: Double)
+
+  /** Running per-user count/total via explicit state — one small case
+    * class per active key. In production pass
+    * `GroupStateTimeout.ProcessingTimeTimeout` so idle keys are evicted
+    * and the store stays bounded; tests use the default NoTimeout
+    * (processing-time timeouts re-trigger empty batches forever, so
+    * `processAllAvailable` would never settle). */
+  def runningUserStats(events: org.apache.spark.sql.Dataset[KeyEvent],
+                       timeout: org.apache.spark.sql.streaming.GroupStateTimeout =
+                         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      : org.apache.spark.sql.Dataset[UserStats] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val evict = timeout == GroupStateTimeout.ProcessingTimeTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, timeout) {
+        (key: Long, rows: Iterator[KeyEvent], state: GroupState[UserStats]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(UserStats(key, 0L, 0.0))
+            val batch = rows.toSeq
+            val next = UserStats(key, prev.n + batch.size,
+              prev.total + batch.map(_.value).sum)
+            state.update(next)
+            if (evict) state.setTimeoutDuration("1 hour")
+            Iterator(next)
+          }
+      }
+  }
 }

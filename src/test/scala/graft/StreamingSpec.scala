@@ -64,6 +64,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM dd").head().getLong(0) == 2L)
   }
 
+  test("flatMapGroupsWithState: running per-user stats across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.KeyEvent]
+    val q = Streams.runningUserStats(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("stats").start()
+    input.addData(Streams.KeyEvent(1L, 2.0), Streams.KeyEvent(1L, 3.0))
+    q.processAllAvailable()
+    input.addData(Streams.KeyEvent(1L, 5.0), Streams.KeyEvent(2L, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    // state carried across micro-batches: user 1 accumulated 3 events
+    val rows = spark.sql(
+      "SELECT user_id, max(n) n, max(total) t FROM stats GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(1L) == (3L, 10.0))
+    assert(rows(2L) == (1L, 7.0))
+  }
+
   test("batch pipeline re-points to a stream unchanged (readStream twin)") {
     // same groupBy(window) code works on a file stream of the events table
     val schema = StructType(Seq(

@@ -172,10 +172,15 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
   def distinct: Relation = derived(df.distinct())
 
   // UNION (bag union, NO dedup) / UNION ONSCHEMA (align by name, pad nulls)
-  // (reference: LOUnion.java onSchema :36-53).
+  // (reference: LOUnion.java onSchema :36-53, type merging via
+  // LogicalSchema.mergeSchemasByAlias — Pig PROMOTES numeric types across
+  // union branches; Spark's unionByName errors on mismatched types, so
+  // both sides are widened to the merged type first).
   def union(other: Relation): Relation = derived(df.union(other.df))
-  def unionOnSchema(other: Relation): Relation =
-    derived(df.unionByName(other.df, allowMissingColumns = true))
+  def unionOnSchema(other: Relation): Relation = {
+    val (l, r) = Relation.widenForUnion(df, other.df)
+    derived(l.unionByName(r, allowMissingColumns = true))
+  }
 
   // SPLIT r INTO x IF c, y IF c2 — conditions may overlap; input is
   // persisted so each branch does not re-scan the source (Pig's
@@ -281,6 +286,37 @@ object Relation {
   def loadTable(spark: SparkSession, dir: String, table: String): Relation =
     new Relation(fixNanoTimestamps(spark.read.parquet(s"$dir/$table.parquet")),
       table)
+
+  /** Numeric type promotion for UNION ONSCHEMA (Pig's schema merge):
+    * shared column names with different numeric types are cast on BOTH
+    * sides to the wider type (int < long < float < double; anything
+    * numeric vs decimal → double). Non-numeric conflicts are left for
+    * Spark to reject, matching Pig's merge error. */
+  private[dsl] def widenForUnion(l: DataFrame, r: DataFrame): (DataFrame, DataFrame) = {
+    def rank(dt: DataType): Int = dt match {
+      case ByteType | ShortType | IntegerType => 1
+      case LongType => 2
+      case FloatType => 3
+      case DoubleType | _: DecimalType => 4
+      case _ => -1
+    }
+    def widen(a: DataType, b: DataType): Option[DataType] =
+      if (a == b) None
+      else if (rank(a) > 0 && rank(b) > 0)
+        Some(Seq(a, b).maxBy(rank) match {
+          case _: DecimalType => DoubleType
+          case t => t
+        })
+      else None
+    val shared = l.columns.toSet.intersect(r.columns.toSet)
+    shared.foldLeft((l, r)) { case ((la, ra), c) =>
+      widen(la.schema(c).dataType, ra.schema(c).dataType) match {
+        case Some(t) => (la.withColumn(c, la(c).cast(t)),
+                         ra.withColumn(c, ra(c).cast(t)))
+        case None => (la, ra)
+      }
+    }
+  }
 
   /** Parquet TIMESTAMP(NANOS) columns arrive as long under the
     * `nanosAsLong` conf (Spark cannot read nano timestamps natively).

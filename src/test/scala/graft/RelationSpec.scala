@@ -88,6 +88,15 @@ class RelationSpec extends SparkSpec {
     assert(u.filter(col("d").isNull).count() == 1)
   }
 
+  test("unionOnSchema promotes numeric types (Pig schema merge)") {
+    val a = Relation(Seq((1, 10)).toDF("id", "v"), "a")        // v: int
+    val b = Relation(Seq((2L, 2.5)).toDF("id", "v"), "b")      // v: double
+    val u = a.unionOnSchema(b).df
+    assert(u.schema("v").dataType == DoubleType)
+    assert(u.schema("id").dataType == LongType)
+    assert(u.agg(sum(col("v"))).head().getDouble(0) == 12.5)
+  }
+
   test("split: overlapping conditions route rows to BOTH branches") {
     val r = Relation(Seq(1, 5, 10).toDF("v"), "r")
     val parts = r.split("big" -> (col("v") > 3), "odd" -> (col("v") % 2 === 1),

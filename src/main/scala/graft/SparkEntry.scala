@@ -830,7 +830,26 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0)
       val model = graft.ml.Ivf.fit(emb, "embedding", k = 8, iters = 3)
       graft.ml.Ivf.search(model, q, topK = 10, nprobe = 2)
-    })
+    }),
+
+    // token-window chunking with overlap (training-data prep; exact
+    // per-chunk token windows → oracle-checked)
+    "q64_chunking" -> ((s, d) =>
+      graft.text.TextAnalysis.chunkByTokens(
+        T(s, d, "documents").foreach(col("doc_id"), col("text")).df,
+        "text", chunkTokens = 50, overlap = 10)),
+
+    // corpus statistics with exact percentiles
+    "q65_corpus_stats" -> ((s, d) =>
+      Relation(T(s, d, "documents").df.select(col("source"),
+          col("n_chars"),
+          graft.text.TextAnalysis.tokenCount(col("text")).as("n_toks")),
+        "docs")
+        .groupBy("source" -> col("source"))
+        .agg(COUNT_STAR().as("n_docs"),
+             round(AVG(col("n_chars")), 4).as("avg_chars"),
+             round(expr("percentile(n_toks, 0.5)"), 4).as("med_toks"),
+             round(expr("percentile(n_toks, 0.9)"), 4).as("p90_toks")).df)
   )
 
   private val pipelineOracles: Map[String, String] = Map(
@@ -962,7 +981,33 @@ object SparkEntry {
                 count(DISTINCT l_partkey) AS n_parts,
                 count(DISTINCT l_suppkey) AS n_supps,
                 count(*) AS n
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    "q64_chunking" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> length(x) > 0) AS toks
+           FROM documents)
+         SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS chunk_idx,
+                u.txt AS chunk_text
+         FROM (
+           SELECT doc_id,
+                  unnest([{'i': i, 'txt': array_to_string(
+                             toks[(i - 1) * 40 + 1 : (i - 1) * 40 + 50], ' ')}
+                          for i in range(1,
+                            greatest(CAST(ceil(CAST(len(toks) - 10 AS DOUBLE)
+                              / 40) AS BIGINT), 1) + 1)]) AS u
+           FROM t)""",
+    "q65_corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+                round(avg(n_chars), 4) AS avg_chars,
+                round(quantile_cont(CAST(len(list_filter(
+                  string_split_regex(trim(text), '\s+'),
+                  x -> length(x) > 0)) AS BIGINT), 0.5), 4) AS med_toks,
+                round(quantile_cont(CAST(len(list_filter(
+                  string_split_regex(trim(text), '\s+'),
+                  x -> length(x) > 0)) AS BIGINT), 0.9), 4) AS p90_toks
+         FROM documents GROUP BY source"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

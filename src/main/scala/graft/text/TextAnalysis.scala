@@ -123,6 +123,31 @@ object TextAnalysis {
           .as("pred_lang"))
   }
 
+  /** Token-window document chunking — the standard training-data prep op:
+    * split each document into chunks of `chunkTokens` whitespace tokens
+    * with `overlap` tokens carried between consecutive chunks. Pure
+    * column work per row (no shuffle); emits (…, chunk_idx, chunk_text).
+    * Deterministic, so oracle-checkable. */
+  def chunkByTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    chunkTokens: Int, overlap: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    // chunk starts: 1, 1+step, … while start <= nTokens (1-based slice)
+    val nChunks = greatest(
+      ceil((size(toks) - lit(overlap)).cast(DoubleType) / step)
+        .cast(IntegerType), lit(1))
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * step + 1, lit(chunkTokens))))
+    df.withColumn("__chunks", chunks)
+      .select(col("*"))
+      .drop(textCol)
+      .select(df.columns.filter(_ != textCol).map(col).toIndexedSeq :+
+        posexplode(col("__chunks")).as(Seq("chunk_idx", "chunk_text")): _*)
+      .drop("__chunks")
+  }
+
   /** Rolling-hash document fingerprint: fold token lengths through a
     * polynomial hash mod 1e9+7. Stable across engines (no overflow — the
     * accumulator stays < 31e9+max token length). */

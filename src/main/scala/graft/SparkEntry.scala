@@ -839,6 +839,17 @@ object SparkEntry {
         T(s, d, "documents").foreach(col("doc_id"), col("text")).df,
         "text", chunkTokens = 50, overlap = 10)),
 
+    // Algebraic/Accumulator UDAF surface in anger: registered aggregator
+    // with Pig COUNT null semantics, invoked from SQL (DEFINE-style)
+    "q66_udaf" -> ((s, d) => {
+      GraftSession.tune(s)
+      graft.functions.UdfSurface.defineCountNonNull(s, "count_nn")
+      T(s, d, "orders").df.createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderstatus, count_nn(o_custkey) AS n_cust,
+                      count(*) AS n
+               FROM orders_v GROUP BY o_orderstatus""")
+    }),
+
     // corpus statistics with exact percentiles
     "q65_corpus_stats" -> ((s, d) =>
       Relation(T(s, d, "documents").df.select(col("source"),
@@ -1007,7 +1018,10 @@ object SparkEntry {
                 round(quantile_cont(CAST(len(list_filter(
                   string_split_regex(trim(text), '\s+'),
                   x -> length(x) > 0)) AS BIGINT), 0.9), 4) AS p90_toks
-         FROM documents GROUP BY source"""
+         FROM documents GROUP BY source""",
+    "q66_udaf" ->
+      """SELECT o_orderstatus, count(o_custkey) AS n_cust, count(*) AS n
+         FROM orders GROUP BY o_orderstatus"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -190,10 +190,11 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
     conds.map { case (n, c) => n -> new Relation(df.filter(c), n) }.toMap
   }
   /** SPLIT … OTHERWISE branch: rows matching none of the given conditions.
-    * Pig: null conditions do not route to OTHERWISE either — `otherwise`
-    * is the negation of the OR of all conditions (null-safe false). */
+    * Pig: null conditions do not route to OTHERWISE either — NOT(null) is
+    * null, so a row whose every condition is null is dropped entirely
+    * (coalesce to TRUE makes the negation false for the null case). */
   def splitOtherwise(conds: Column*): Column =
-    !coalesce(conds.reduce(_ || _), lit(false))
+    !coalesce(conds.reduce(_ || _), lit(true))
 
   // SAMPLE r f — Bernoulli (reference desugars to FILTER BY RANDOM() < f,
   // LogicalPlanBuilder.java:251-256). Seeded for reproducibility.
@@ -232,13 +233,16 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
   def streamThrough(cmd: Seq[String], outSchema: StructType,
                     sep: String = "\t"): Relation = {
     val spark = df.sparkSession
+    // nulls serialize as EMPTY fields (concat_ws would silently DROP null
+    // columns and shift every later field left — Pig writes empty fields)
     val piped = df
-      .select(concat_ws(sep, df.columns.map(c => col(c).cast(StringType))
-        .toIndexedSeq: _*))
+      .select(concat_ws(sep, df.columns.map(c =>
+          coalesce(col(c).cast(StringType), lit(""))).toIndexedSeq: _*))
       .rdd.map(_.getString(0))
       .pipe(cmd)
+    val sepRegex = java.util.regex.Pattern.quote(sep)
     val rows = piped.map { line =>
-      Row.fromSeq(line.split(sep, -1).toSeq.padTo(outSchema.size, null))
+      Row.fromSeq(line.split(sepRegex, -1).toSeq.padTo(outSchema.size, null))
     }
     val asStrings = spark.createDataFrame(rows,
       StructType(outSchema.map(f => f.copy(dataType = StringType))))

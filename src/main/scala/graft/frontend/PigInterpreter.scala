@@ -153,10 +153,10 @@ final class PigRunner(spark: SparkSession) {
     def rw(x: Expr): Expr = x match {
       case Deref(ColRef(n), f) if env.contains(n) && !df.columns.contains(n) =>
         val rows = env(n).df.select(col(f)).limit(2).collect()
-        require(rows.length == 1,
-          s"scalar $n.$f: relation has ${rows.length} rows " +
-          "(reference: ReadScalars errors unless exactly 1)")
-        Lit(rows(0).get(0))
+        require(rows.length <= 1,
+          s"scalar $n.$f: relation has more than one row " +
+          "(reference: ReadScalars errors only for >1; empty → null)")
+        Lit(rows.headOption.map(_.get(0)).orNull)
       case Deref(b, f)      => Deref(rw(b), f)
       case MapLookup(m, k)  => MapLookup(rw(m), k)
       case FuncCall(nm, as) => FuncCall(nm, as.map(rw))
@@ -484,11 +484,15 @@ final class PigRunner(spark: SparkSession) {
         }
       case "COUNT_STAR" => size(c0).cast(LongType)
       case "SUM" =>
+        // Pig SUM over an empty/all-null bag is NULL, not 0 (SUM.java)
+        val nn = nonNull(c0)
         typeOf(c0, df) match {
           case ArrayType(_: IntegerType, _) | ArrayType(_: LongType, _) =>
-            aggregate(nonNull(c0), lit(0L), (acc, x) => acc + x.cast(LongType))
+            when(size(nn) > 0,
+              aggregate(nn, lit(0L), (acc, x) => acc + x.cast(LongType)))
           case ArrayType(_, _) =>
-            aggregate(nonNull(c0), lit(0.0), (acc, x) => acc + x.cast(DoubleType))
+            when(size(nn) > 0,
+              aggregate(nn, lit(0.0), (acc, x) => acc + x.cast(DoubleType)))
           case _ => throw new IllegalArgumentException("SUM expects a bag")
         }
       case "AVG" =>

@@ -35,12 +35,17 @@ object PigPreprocessor {
         val e = rest.indexOf('\n') match { case -1 => rest.length; case i => i }
         out.append(rest.take(e)); rest = rest.drop(e)
       } else if (rest.startsWith("%default") || rest.startsWith("%declare")) {
-        // %default / %declare are LINE-terminated (preprocessor directives)
+        // %default / %declare are LINE-terminated (preprocessor directives).
+        // Precedence (PreprocessorContext): %default only fills a missing
+        // value; %declare OVERRIDES anything set before it.
+        val declare = rest.startsWith("%declare")
         val e = rest.indexOf('\n') match { case -1 => rest.length; case i => i }
         val parts = rest.take(e).split("\\s+", 3)
-        if (parts.length == 3)
-          vars.getOrElseUpdate(parts(1),
-            parts(2).stripSuffix(";").trim.stripPrefix("'").stripSuffix("'"))
+        if (parts.length == 3) {
+          val v = parts(2).stripSuffix(";").trim.stripPrefix("'").stripSuffix("'")
+          if (declare) vars(parts(1)) = v
+          else vars.getOrElseUpdate(parts(1), v)
+        }
         rest = rest.drop(math.min(e + 1, rest.length))
       } else if (rest.toUpperCase.startsWith("IMPORT ")) {
         // IMPORT 'macros.pig'; — inline the file (reference: QueryParser.g

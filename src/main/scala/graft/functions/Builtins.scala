@@ -138,21 +138,30 @@ object Builtins {
   def DaysBetween(a: Column, b: Column): Column = datediff(a, b).cast(LongType)
   def YearsBetween(a: Column, b: Column): Column =
     (year(a) - year(b)).cast(LongType) // calendar-field semantics
-  /** AddDuration with an ISO-8601 duration, e.g. "P1D", "PT2H". */
+  /** AddDuration with an ISO-8601 duration, e.g. "P1D", "P1M", "PT2H30M".
+    * Mixed year-month and day-time units apply as successive interval
+    * additions (they cannot be summed into one interval value). */
   def AddDuration(ts: Column, iso: String): Column =
-    ts + expr(isoToInterval(iso))
+    isoIntervalParts(iso).foldLeft(ts)((t, p) => t + expr(s"INTERVAL $p"))
   def SubtractDuration(ts: Column, iso: String): Column =
-    ts - expr(isoToInterval(iso))
-  private def isoToInterval(iso: String): String = {
-    // Minimal ISO-8601 duration → Spark INTERVAL translation (P[n]D/T[n]H…)
-    val m = "P(?:(\\d+)D)?(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+)S)?)?".r
-      .findFirstMatchIn(iso).get
+    isoIntervalParts(iso).foldLeft(ts)((t, p) => t - expr(s"INTERVAL $p"))
+  private def isoIntervalParts(iso: String): Seq[String] = {
+    // ISO-8601 duration → single-unit Spark INTERVAL literals (full joda
+    // surface: Y/M/W/D + T H/M/S; the two 'M's disambiguate by position)
+    val re = ("P(?:(\\d+)Y)?(?:(\\d+)M)?(?:(\\d+)W)?(?:(\\d+)D)?" +
+              "(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+)S)?)?").r
+    val m = re.findFirstMatchIn(iso).getOrElse(
+      throw new IllegalArgumentException(s"bad ISO-8601 duration: $iso"))
     val parts = Seq(
-      Option(m.group(1)).map(d => s"$d days"),
-      Option(m.group(2)).map(h => s"$h hours"),
-      Option(m.group(3)).map(x => s"$x minutes"),
-      Option(m.group(4)).map(s => s"$s seconds")).flatten
-    "INTERVAL '" + parts.mkString(" ") + "'"
+      Option(m.group(1)).map(v => s"'$v' YEAR"),
+      Option(m.group(2)).map(v => s"'$v' MONTH"),
+      Option(m.group(3)).map(v => s"'${v.toLong * 7}' DAY"),
+      Option(m.group(4)).map(v => s"'$v' DAY"),
+      Option(m.group(5)).map(v => s"'$v' HOUR"),
+      Option(m.group(6)).map(v => s"'$v' MINUTE"),
+      Option(m.group(7)).map(v => s"'$v' SECOND")).flatten
+    require(parts.nonEmpty, s"empty ISO-8601 duration: $iso")
+    parts
   }
 
   // ------------------------------------------------------------------
@@ -160,7 +169,10 @@ object Builtins {
   // ROUND_TO→round(c, d), RANDOM→rand). Only divergence: Pig int division
   // by zero yields null, not an error → keep spark.sql.ansi.enabled=false
   // (POCast/Divide semantics, §1.4 of SURVEY.md).
-  def ROUND(c: Column): Column = round(c, 0).cast(LongType)
+  /** Pig ROUND = Math.round = floor(x + 0.5) — rounds .5 toward +∞,
+    * unlike Spark's HALF_UP (away from zero): ROUND(-2.5) is -2 in the
+    * reference, -3 under HALF_UP. */
+  def ROUND(c: Column): Column = floor(c + 0.5).cast(LongType)
   def ROUND_TO(c: Column, digits: Int): Column = round(c, digits)
 
   // UniqueID (reference: UniqueID.java:37 — task-id based):

@@ -51,12 +51,18 @@ object Rank {
     val ranked =
       if (dense) {
         // dense rank: rank distinct keys globally (distinct keys are small
-        // relative to rows; this shuffle is on the key domain only).
+        // relative to rows; this shuffle is on the key domain only). The
+        // join back must be NULL-SAFE — a plain equi-join would silently
+        // drop every null-key row — and goes against the un-numbered df
+        // (the 2-pass row numbers aren't needed for dense).
         val distinctKeys = df.select(keyCols: _*).distinct()
         val keyRanks = rowNumber(
           distinctKeys.repartitionByRange(parts, keyCols: _*)
             .sortWithinPartitions(keyCols: _*), rankName)
-        numbered.drop("__rn").join(keyRanks, keys)
+        val cond = keys.map(k => df(k) <=> keyRanks(k)).reduce(_ && _)
+        df.join(keyRanks.withColumnRenamed(rankName, "__kr"), cond)
+          .select((df.columns.map(df(_)) :+ col("__kr").as(rankName))
+            .toIndexedSeq: _*)
       } else {
         numbered.withColumn(rankName, min(col("__rn")).over(w)).drop("__rn")
       }

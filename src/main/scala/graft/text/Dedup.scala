@@ -18,6 +18,15 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** The shared MinHash hash-family constants: p_j(x) = a_j·x + b_j with
+    * a_j odd (multiply-shift universal hashing). ONE definition — every
+    * signature entry point must use the same family or signatures from
+    * different paths would be silently incomparable. */
+  private def hashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
   // ------------------------------------------------------------------
   // Exact dedup
   /** One row per distinct content hash: (hash, n_dups, keep_id). */
@@ -70,8 +79,7 @@ object Dedup {
     * Constants come from a fixed-seed PRNG so signatures are stable
     * across runs and executors. */
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val rnd = new scala.util.Random(42)
-    val params = Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    val params = hashParams(numHashes)
     val base = transform(shingles, s => xxhash64(s))
     val mins = params.map { case (a, b) =>
       array_min(transform(base, x => x * a + b))
@@ -129,8 +137,7 @@ object Dedup {
     * the shuffle regardless of document size. This is the 100 TB shape. */
   def minhashSignatures(shingled: DataFrame, idCol: String,
                         numHashes: Int): DataFrame = {
-    val rnd = new scala.util.Random(42)
-    val params = Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    val params = hashParams(numHashes)
     val hashed = shingled
       .select(col(idCol), explode(col("shingles")).as("sh"))
       .select(col(idCol), xxhash64(col("sh")).as("h"))
@@ -197,8 +204,7 @@ object Dedup {
     * codegen'd, partial-aggregated before the exchange. */
   def minhashSignaturesFromGrams(grams: DataFrame, idCol: String,
                                  gramCol: String, numHashes: Int): DataFrame = {
-    val rnd = new scala.util.Random(42)
-    val params = Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    val params = hashParams(numHashes)
     val hashed = grams.select(col(idCol), xxhash64(col(gramCol)).as("h"))
     val aggs = params.zipWithIndex.map { case ((a, b), j) =>
       min(col("h") * a + b).as(s"m$j")

@@ -63,13 +63,25 @@ class BuiltinsSpec extends SparkSpec {
     assert(top.map(_.getInt(0)) == Seq(5, 3))
   }
 
-  test("AddDuration ISO-8601") {
+  test("AddDuration ISO-8601 (incl. months/years/weeks + mixed)") {
     val df = Seq("2020-01-01 00:00:00").toDF("s")
       .select(AddDuration(col("s").cast("timestamp"), "P1D").as("t"),
-              AddDuration(col("s").cast("timestamp"), "PT2H30M").as("t2"))
-    val r = df.select(col("t").cast("string"), col("t2").cast("string")).head()
+              AddDuration(col("s").cast("timestamp"), "PT2H30M").as("t2"),
+              AddDuration(col("s").cast("timestamp"), "P1M").as("t3"),
+              AddDuration(col("s").cast("timestamp"), "P1Y2M3DT4H").as("t4"),
+              SubtractDuration(col("s").cast("timestamp"), "P1W").as("t5"))
+    val r = df.select(df.columns.map(c => col(c).cast("string")): _*).head()
     assert(r.getString(0) == "2020-01-02 00:00:00")
     assert(r.getString(1) == "2020-01-01 02:30:00")
+    assert(r.getString(2) == "2020-02-01 00:00:00")
+    assert(r.getString(3) == "2021-03-04 04:00:00")
+    assert(r.getString(4) == "2019-12-25 00:00:00")
+  }
+
+  test("ROUND matches Math.round on negative .5 (toward +inf)") {
+    val r = Seq((-2.5, 2.5, -2.4)).toDF("a", "b", "c")
+      .select(ROUND(col("a")), ROUND(col("b")), ROUND(col("c"))).head()
+    assert(r.getLong(0) == -2L && r.getLong(1) == 3L && r.getLong(2) == -2L)
   }
 
   test("algebraic UDAF surface: CountNonNull and TopK (SURVEY §2.7)") {

@@ -216,6 +216,36 @@ class FrontendSpec extends SparkSpec {
     assert(out.count() == exp)
   }
 
+  test("SUM over an empty bag is null; scalar from empty relation is null") {
+    val out = PigRunner(spark).run(s"""
+      c = LOAD '$dir/customer.parquet';
+      s = LOAD '$dir/supplier.parquet';
+      sf = FILTER s BY s_suppkey < 0;
+      cg = COGROUP c BY c_nationkey, sf BY s_nationkey;
+      r  = FOREACH cg GENERATE group AS nk, SUM(sf.s_acctbal) AS empty_sum;
+    """).apply("r").df
+    assert(out.filter(col("empty_sum").isNull).count() == out.count())
+    // empty 1-row-relation scalar → null → comparison null → all dropped
+    val out2 = PigRunner(spark).run(s"""
+      c = LOAD '$dir/customer.parquet';
+      e = FILTER c BY c_custkey < 0;
+      m = FOREACH e GENERATE c_acctbal;
+      f = FILTER c BY c_acctbal > m.c_acctbal;
+    """).apply("f").df
+    assert(out2.count() == 0)
+  }
+
+  test("%declare overrides an earlier %default") {
+    val out = PigRunner(spark).run(s"""
+      %default seg 'BUILDING'
+      %declare seg 'MACHINERY'
+      c = LOAD '$dir/customer.parquet';
+      f = FILTER c BY c_mktsegment == '$$seg';
+    """).apply("f").df
+    val exp = sf("customer").filter($"c_mktsegment" === "MACHINERY").count()
+    assert(out.count() == exp)
+  }
+
   test("scalar projection errors when relation has >1 row") {
     val ex = intercept[Exception] {
       PigRunner(spark).run(s"""

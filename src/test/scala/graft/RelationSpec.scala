@@ -138,6 +138,33 @@ class RelationSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("splitOtherwise drops rows whose conditions are all null (Pig)") {
+    val r = Relation(Seq(Some(1), Some(10), None).toDF("v"), "r")
+    val parts = r.split("big" -> (col("v") > 5),
+      "rest" -> r.splitOtherwise(col("v") > 5))
+    assert(parts("big").df.count() == 1)   // 10
+    assert(parts("rest").df.count() == 1)  // 1; the null row goes NOWHERE
+  }
+
+  test("streamThrough writes nulls as empty fields (no column shift)") {
+    val df = Seq((1, Some("x"), 7), (2, None, 9))
+      .toDF("id", "name", "qty")
+    val out = Relation(df, "r").streamThrough(Seq("cat"),
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("name", StringType), StructField("qty", IntegerType))))
+      .df.orderBy("id").collect()
+    assert(out(1).getInt(0) == 2 && out(1).getInt(2) == 9) // qty NOT shifted
+  }
+
+  test("streamThrough quotes regex-metachar separators") {
+    val df = Seq((1, "a")).toDF("id", "s")
+    val out = Relation(df, "r").streamThrough(Seq("cat"),
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("s", StringType))), sep = "|")
+      .df.head()
+    assert(out.getInt(0) == 1 && out.getString(1) == "a")
+  }
+
   test("streamThrough pipes rows and re-applies schema with lazy casts") {
     val out = Relation(sf("nation"), "nation")
       .foreach(col("n_nationkey"), col("n_name"))

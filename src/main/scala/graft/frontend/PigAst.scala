@@ -71,4 +71,6 @@ object PigAst {
                        using: Option[(String, Seq[String])]) extends Stmt
   case class DumpStmt(alias: String) extends Stmt
   case class DescribeStmt(alias: String) extends Stmt
+  case class ExplainStmt(alias: String) extends Stmt
+  case class SetStmt(key: String, value: String) extends Stmt
 }

@@ -53,6 +53,10 @@ final class PigRunner(spark: SparkSession) {
       }
     case DumpStmt(alias)     => env(alias).dump()
     case DescribeStmt(alias) => env(alias).describe()
+    case ExplainStmt(alias)  => env(alias).explain()
+    case SetStmt(key, value) =>
+      // Grunt `set key value` → session conf (reference: GruntParser set)
+      spark.conf.set(key, value)
   }
 
   // ------------------------------------------------------------- operators

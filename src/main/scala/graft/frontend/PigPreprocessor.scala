@@ -47,6 +47,13 @@ object PigPreprocessor {
           else vars.getOrElseUpdate(parts(1), v)
         }
         rest = rest.drop(math.min(e + 1, rest.length))
+      } else if (rest.toUpperCase.startsWith("REGISTER ")) {
+        // REGISTER 'x.jar' — JVM classpath loading is out of scope for
+        // the embedded engine; strip with a warning so real-world scripts
+        // still run (builtins and registered UDAFs cover the common uses)
+        val e = statementEnd(rest)
+        System.err.println(s"[graft] ignoring: ${rest.take(e).trim}")
+        rest = rest.drop(math.min(e + 1, rest.length))
       } else if (rest.toUpperCase.startsWith("IMPORT ")) {
         // IMPORT 'macros.pig'; — inline the file (reference: QueryParser.g
         // IMPORT → macro file inlining)

@@ -256,6 +256,20 @@ class FrontendSpec extends SparkSpec {
     assert(ex.getMessage.contains("scalar") || ex.getMessage.contains("1"))
   }
 
+  test("REGISTER is stripped; SET applies conf; EXPLAIN runs") {
+    val out = PigRunner(spark).run(s"""
+      REGISTER 'piggybank.jar';
+      SET spark.sql.shuffle.partitions 7;
+      n = LOAD '$dir/nation.parquet';
+      g = GROUP n BY n_regionkey;
+      c = FOREACH g GENERATE group AS rk, COUNT(n) AS cnt;
+      EXPLAIN c;
+    """).apply("c").df
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    spark.conf.set("spark.sql.shuffle.partitions", "4") // restore
+    assert(out.count() == 5)
+  }
+
   test("IMPORT inlines a macro file") {
     val f = java.nio.file.Files.createTempFile("macros", ".pig")
     java.nio.file.Files.writeString(f, """

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.dsl.Relation
+import graft.functions.Builtins._
+
+/** PigMix L1–L17 query shapes (reference: test/perf/pigmix/src/pig/L*.pig;
+  * BASELINE.md) re-expressed in the DSL over the driver's tables — each
+  * shape runs end-to-end and, where cheap, is asserted against a direct
+  * Spark equivalent. This is the perf-regression suite's correctness
+  * anchor; timings come from Bench. */
+class PigMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Relation(
+    Relation.fixNanoTimestamps(sf("events")), "events")
+  private def li = Relation(sf("lineitem"), "li")
+  private def orders = Relation(sf("orders"), "o")
+  private def customer = Relation(sf("customer"), "c")
+
+  test("L1: map lookup + bincond over semi-structured rows") {
+    val out = events
+      .foreach(col("event_id"),
+        element_at(from_json(col("props"), MapType(StringType, LongType)),
+          "k").as("k"),
+        when(col("value") > 50, lit(1)).otherwise(lit(0)).as("hi"))
+      .filter(col("k").isNotNull)
+    assert(out.df.count() == sf("events").count())
+  }
+
+  test("L2: broadcast (replicated) join against a small dim") {
+    val dim = Relation(sf("part").filter($"p_size" < 10), "dim")
+    val out = li.joinOn(dim, col("l_partkey"), col("p_partkey"),
+      strategy = "replicated")
+    val exp = sf("lineitem").join(sf("part").filter($"p_size" < 10),
+      $"l_partkey" === $"p_partkey").count()
+    assert(out.df.count() == exp)
+  }
+
+  test("L3: hash join + aggregation") {
+    val out = orders.joinOn(customer, col("o_custkey"), col("c_custkey"))
+      .groupBy("nk" -> col("c_nationkey"))
+      .agg(round(SUM(col("o_totalprice")), 2).as("v"))
+    assert(out.df.count() == 25)
+  }
+
+  test("L4: nested DISTINCT inside a group") {
+    val out = li.foreach(col("l_orderkey"), col("l_suppkey")).as("items")
+      .groupBy("ok" -> col("l_orderkey")).bag()
+      .foreach(col("ok"),
+        SIZE(array_distinct(col("items.l_suppkey"))).as("n_supp"))
+    val exp = sf("lineitem").groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey")).count()
+    assert(out.df.count() == exp)
+  }
+
+  test("L5: anti-join (COGROUP+IsEmpty idiom == left_anti)") {
+    val sub = Relation(sf("orders").filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("c_custkey")), "sub")
+    val viaAnti = customer.antiJoin(sub, Seq("c_custkey")).df.count()
+    val viaCogroup = customer
+      .cogroup(col("c_custkey"), sub, col("c_custkey"))
+      .filter(IsEmpty(col("sub"))).df.count()
+    assert(viaAnti == viaCogroup)
+  }
+
+  test("L6/L7: group-agg on narrow and wide value sets") {
+    val narrow = li.groupBy("k" -> col("l_returnflag"))
+      .agg(round(SUM(col("l_quantity")), 2).as("q"))
+    val wide = li.groupBy("k" -> col("l_orderkey"))
+      .agg(round(SUM(col("l_extendedprice")), 2).as("q"))
+    assert(narrow.df.count() == 3 && wide.df.count() ==
+      sf("lineitem").select("l_orderkey").distinct().count())
+  }
+
+  test("L8: combiner (algebraic avg + count in one pass)") {
+    val out = li.groupBy("k" -> col("l_linestatus"))
+      .agg(AVG(col("l_quantity")).as("a"), COUNT_STAR().as("n"))
+    val p = out.df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_")) // map-side combine present
+  }
+
+  test("L9/L10: order by single and multiple keys") {
+    val single = li.orderBy(col("l_extendedprice").desc).limit(5).df.collect()
+    assert(single.length == 5)
+    val multi = orders.orderBy(col("o_orderstatus"),
+      col("o_totalprice").desc, col("o_orderkey")).limit(5).df.collect()
+    assert(multi.length == 5)
+  }
+
+  test("L11: distinct + union over wide rows") {
+    val a = li.foreach(col("l_orderkey").as("k")).distinct
+    val b = orders.foreach(col("o_orderkey").as("k")).distinct
+    // lineitem order keys ⊆ orders keys, so the deduped union is orders'
+    assert(a.union(b).distinct.df.count() == b.df.count())
+  }
+
+  test("L12: multi-store from one shared scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("l12").toString
+    val shared = orders.foreach(col("o_orderkey"), col("o_orderstatus"))
+    graft.operators.MultiQuery.storeAll(Seq(shared), Seq(
+      graft.operators.MultiQuery.Store(
+        shared.filter(col("o_orderstatus") === "F"), s"$tmp/f"),
+      graft.operators.MultiQuery.Store(
+        shared.filter(col("o_orderstatus") =!= "F"), s"$tmp/rest")))
+    val n = spark.read.parquet(s"$tmp/f").count() +
+            spark.read.parquet(s"$tmp/rest").count()
+    assert(n == sf("orders").count())
+  }
+
+  test("L13: outer join keeps unmatched left rows") {
+    val urgent = Relation(sf("orders")
+      .filter($"o_orderpriority" === "1-URGENT"), "u")
+    val out = customer.joinOn(urgent, col("c_custkey"), col("o_custkey"),
+      joinType = "left")
+    assert(out.df.count() >= sf("customer").count())
+  }
+
+  test("L14: merge join hint on pre-sorted inputs") {
+    val out = orders.joinOn(customer, col("o_custkey"), col("c_custkey"),
+      strategy = "merge")
+    assert(out.df.queryExecution.executedPlan.toString
+      .contains("SortMergeJoin"))
+  }
+
+  test("L15: multiple distinct aggregates in one query") {
+    val out = li.groupBy("k" -> col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"),
+           countDistinct(col("l_suppkey")).as("s")).df
+    assert(out.count() == 3)
+  }
+
+  test("L16: accumulator-style UDAF over groups") {
+    graft.functions.UdfSurface.defineTopK(spark, "l16_top3", 3)
+    sf("lineitem").createOrReplaceTempView("li_l16")
+    val r = spark.sql(
+      """SELECT l_returnflag, l16_top3(l_orderkey) t FROM li_l16
+         GROUP BY l_returnflag""").collect()
+    assert(r.forall(_.getSeq[Long](1).size == 3))
+  }
+
+  test("L17: wide (multi-column) group keys") {
+    val out = li.groupBy(
+        "a" -> col("l_returnflag"), "b" -> col("l_linestatus"),
+        "c" -> col("l_shipdate"), "d" -> col("l_suppkey"))
+      .agg(COUNT_STAR().as("n"))
+    assert(out.df.count() > 0)
+  }
+}

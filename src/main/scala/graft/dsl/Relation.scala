@@ -242,7 +242,10 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
       .pipe(cmd)
     val sepRegex = java.util.regex.Pattern.quote(sep)
     val rows = piped.map { line =>
-      Row.fromSeq(line.split(sepRegex, -1).toSeq.padTo(outSchema.size, null))
+      // pad short lines with nulls, TRUNCATE long ones (Pig's
+      // PigStreaming: extra fields are dropped, never a row error)
+      Row.fromSeq(line.split(sepRegex, -1).toSeq
+        .padTo(outSchema.size, null).take(outSchema.size))
     }
     val asStrings = spark.createDataFrame(rows,
       StructType(outSchema.map(f => f.copy(dataType = StringType))))

@@ -17,9 +17,14 @@ import PigAst._
 final class PigRunner(spark: SparkSession) {
   graft.GraftSession.tune(spark)
   private val env = scala.collection.mutable.LinkedHashMap.empty[String, Relation]
+  private var lastAlias: Option[String] = None
 
   def relations: Map[String, Relation] = env.toMap
   def apply(alias: String): Relation = env(alias)
+  /** The most recently ASSIGNED relation (LinkedHashMap keeps the original
+    * slot on re-assignment, so `relations.last` would be wrong after
+    * `a = …; b = …; a = …`). */
+  def lastAssigned: Option[Relation] = lastAlias.map(env)
 
   def run(script: String): PigRunner = run(script, Map.empty[String, String])
 
@@ -33,7 +38,9 @@ final class PigRunner(spark: SparkSession) {
 
   // ------------------------------------------------------------ statements
   private def exec(s: Stmt): Unit = s match {
-    case Assign(alias, op) => env(alias) = evalOp(op).as(alias)
+    case Assign(alias, op) =>
+      env(alias) = evalOp(op).as(alias)
+      lastAlias = Some(alias)
     case SplitStmt(in, branches, otherwise) =>
       val rel = env(in)
       val conds = branches.map { case (a, e) => (a, compile(e, rel.df)) }
@@ -42,6 +49,7 @@ final class PigRunner(spark: SparkSession) {
       otherwise.foreach { a =>
         env(a) = rel.filter(rel.splitOtherwise(conds.map(_._2): _*)).as(a)
       }
+      lastAlias = Some(otherwise.getOrElse(branches.last._1))
     case StoreStmt(alias, path, using) =>
       val df = env(alias).df
       using match {
@@ -131,7 +139,9 @@ final class PigRunner(spark: SparkSession) {
       r.rank(keys.map { case (e, asc) =>
         val c = compile(e, r.df); if (asc) c.asc else c.desc }, dense, "rank")
 
-    case LimitOp(in, n)  => env(in).limit(n.toInt)
+    case LimitOp(in, n)  =>
+      // Spark limit takes Int; a larger-than-int limit is a no-op limit
+      if (n >= Int.MaxValue) env(in) else env(in).limit(n.toInt)
     case DistinctOp(in)  => env(in).distinct
     case UnionOp(ins, false) => ins.map(env(_)).reduce(_ union _)
     case UnionOp(ins, true)  => ins.map(env(_)).reduce(_ unionOnSchema _)
@@ -198,13 +208,29 @@ final class PigRunner(spark: SparkSession) {
       val collisions = acc.columns.toSet.intersect(r0.columns.toSet)
       val rdf = collisions.foldLeft(r0)((d, c) =>
         d.withColumnRenamed(c, s"${in}__$c"))
-      val rKeys = keys.map {
+      // rewrite ALL column refs inside right-side key expressions to their
+      // post-rename spellings (a bare-ColRef-only special case would break
+      // expression keys like UPPER(k) when k collided)
+      def renameRefs(e: Expr): Expr = e match {
         case ColRef(n) =>
           val resolved = resolve(n, r0)
-          if (collisions.contains(resolved)) rdf(s"${in}__$resolved")
-          else rdf(resolved)
-        case e => compile(e, rdf)
+          ColRef(if (collisions.contains(resolved)) s"${in}__$resolved"
+                 else resolved)
+        case Deref(b, f)      => Deref(renameRefs(b), f)
+        case MapLookup(m, k)  => MapLookup(renameRefs(m), k)
+        case FuncCall(nm, as) => FuncCall(nm, as.map(renameRefs))
+        case BinOp(op, l, rr) => BinOp(op, renameRefs(l), renameRefs(rr))
+        case Neg(v)           => Neg(renameRefs(v))
+        case Not(v)           => Not(renameRefs(v))
+        case BinCond(c, t, f) =>
+          BinCond(renameRefs(c), renameRefs(t), renameRefs(f))
+        case IsNull(v, neg)   => IsNull(renameRefs(v), neg)
+        case InExpr(v, vals)  => InExpr(renameRefs(v), vals)
+        case CastExpr(t, v)   => CastExpr(t, renameRefs(v))
+        case Matches(v, p)    => Matches(renameRefs(v), p)
+        case other            => other
       }
+      val rKeys = keys.map(e => compile(renameRefs(e), rdf))
       val cond = accKeys.zip(rKeys).map { case (a, b) => a === b }
         .reduce(_ && _)
       val right = using match {
@@ -320,13 +346,21 @@ final class PigRunner(spark: SparkSession) {
         flattens :+= ((tmp, alias))
         Seq(comp(e).as(tmp))
       case (GenItem(e, alias), i) =>
-        Seq(comp(e).as(alias.getOrElse(autoName(e, i))))
+        Seq(comp(e).as(alias.getOrElse(autoName(e, i, df))))
     }
     var out = Relation(df.select(cols: _*), r.name)
     flattens.foreach { case (tmp, alias) =>
       val dt = out.df.schema(tmp).dataType
       out = dt match {
-        case ArrayType(_: StructType, _) => out.flatten(tmp)
+        case ArrayType(st: StructType, _) =>
+          val flat = out.flatten(tmp)
+          // FLATTEN(bag-of-1-field-tuples) AS name → rename the single
+          // expanded field (canonical wordcount: FLATTEN(TOKENIZE(x)) AS w)
+          alias match {
+            case Some(a) if st.size == 1 =>
+              Relation(flat.df.withColumnRenamed(st.fieldNames.head, a), r.name)
+            case _ => flat
+          }
         case ArrayType(_, _) =>
           val flat = out.flatten(tmp)
           alias.map(a => Relation(flat.df.withColumnRenamed(tmp, a), r.name))
@@ -341,8 +375,12 @@ final class PigRunner(spark: SparkSession) {
     out
   }
 
-  private def autoName(e: Expr, i: Int): String = e match {
-    case ColRef(n)   => n.split("::").last
+  /** Auto column name for an un-aliased GENERATE item. Qualified refs use
+    * the RESOLVED (disambiguated) column name so `GENERATE a::k, b::k`
+    * yields distinct outputs (k, b__k), not two columns named k. */
+  private def autoName(e: Expr, i: Int, df: DataFrame): String = e match {
+    case ColRef(n) =>
+      scala.util.Try(resolve(n, df)).getOrElse(n.split("::").last)
     case Deref(_, f) => f
     case _           => s"c$i"
   }
@@ -365,9 +403,14 @@ final class PigRunner(spark: SparkSession) {
     val df = schema match {
       case Some(fs) if using.exists(u => u._1 == "PigStorage") ||
                        (using.isEmpty && !path.endsWith(".parquet")) =>
-        // positional rename + LoadCaster casts (§1.4: failure → null)
+        // positional rename + LoadCaster casts (§1.4: failure → null);
+        // a schema wider than the file null-pads the missing fields
+        // (Pig: absent fields are null, never an error)
         val casts = fs.zipWithIndex.map { case (f, i) =>
-          col(df0.columns(i)).cast(pigType(f.typeName)).as(f.name) }
+          val src = if (i < df0.columns.length) col(df0.columns(i))
+                    else lit(null)
+          src.cast(pigType(f.typeName)).as(f.name)
+        }
         df0.select(casts: _*)
       case Some(fs) => // column-name-based (parquet/orc): project + cast
         df0.select(fs.map(f =>
@@ -582,9 +625,10 @@ final class PigRunner(spark: SparkSession) {
 
 object PigRunner {
   def apply(spark: SparkSession): PigRunner = new PigRunner(spark)
-  /** One-shot: run a script, return the last assigned alias. */
+  /** One-shot: run a script, return the last ASSIGNED alias. */
   def runScript(spark: SparkSession, script: String): DataFrame = {
     val runner = new PigRunner(spark).run(script)
-    runner.relations.last._2.df
+    runner.lastAssigned.getOrElse(
+      throw new IllegalArgumentException("script assigned no relations")).df
   }
 }

@@ -19,10 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
+  /** Join types for which dropping non-candidate BIG rows pre-join is
+    * semantics-preserving: the join would drop them anyway. Outer/anti
+    * variants must keep (or exactly consist of) unmatched big rows, so a
+    * bloom pre-filter would corrupt them. */
+  private val safeJoinTypes = Set("inner", "leftsemi", "left_semi", "cross")
+  private def checkJoinType(joinType: String): Unit =
+    require(safeJoinTypes.contains(joinType.toLowerCase),
+      s"bloom pre-filter is only sound for ${safeJoinTypes.mkString("/")} " +
+      s"joins (got $joinType) — unmatched big-side rows must survive " +
+      "outer/anti joins")
+
   def joinLongKey(big: DataFrame, small: DataFrame,
                   bigKey: String, smallKey: String,
                   expectedItems: Long = 1000000L, fpp: Double = 0.03,
                   joinType: String = "inner"): DataFrame = {
+    checkJoinType(joinType)
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: java.lang.Long) =>
@@ -35,6 +47,7 @@ object BloomJoin {
                     bigKey: String, smallKey: String,
                     expectedItems: Long = 1000000L, fpp: Double = 0.03,
                     joinType: String = "inner"): DataFrame = {
+    checkJoinType(joinType)
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: String) =>

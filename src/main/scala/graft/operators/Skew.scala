@@ -43,6 +43,12 @@ object Skew {
     * (Pig's skewed join makes the same trade, PartitionSkewedKeys). */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  numSalts: Int, joinType: String = "inner"): DataFrame = {
+    // right_outer/full would emit numSalts copies of every unmatched
+    // RIGHT row (it is replicated); left-preserving types are sound
+    // because only the left side carries a single salt per row
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports left-preserving join types only (got $joinType)")
     val saltedLeft = left.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(numSalts)))
     val replicatedRight = right

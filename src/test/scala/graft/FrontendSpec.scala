@@ -177,6 +177,57 @@ class FrontendSpec extends SparkSpec {
     assert(out.count() == sf("orders").count())
   }
 
+  test("string-literal escapes decode (PigStorage('\\t') means TAB)") {
+    val tmp = java.nio.file.Files.createTempDirectory("esc").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/t.tsv"), "alice\t20\nbob\t30\n")
+    val out = PigRunner(spark).run(s"""
+      a = LOAD '$tmp/t.tsv' USING PigStorage('\\t') AS (name:chararray, age:int);
+      f = FILTER a BY age > 25;
+    """).apply("f").df.collect()
+    assert(out.length == 1 && out(0).getString(0) == "bob")
+  }
+
+  test("FLATTEN(TOKENIZE(x)) AS word names the output column") {
+    val out = PigRunner(spark).run(s"""
+      d = LOAD '$dir/documents.parquet';
+      w = FOREACH d GENERATE FLATTEN(TOKENIZE(text)) AS word;
+      g = GROUP w BY word;
+      c = FOREACH g GENERATE group AS word, COUNT(w) AS n;
+    """).apply("c").df
+    assert(out.columns.toSeq == Seq("word", "n") && out.count() > 0)
+  }
+
+  test("GENERATE a::k, b::k yields distinct auto-named columns") {
+    val out = PigRunner(spark).run(s"""
+      c = LOAD '$dir/customer.parquet';
+      o = LOAD '$dir/orders.parquet';
+      j = JOIN c BY c_custkey, o BY o_custkey;
+      p = FOREACH j GENERATE c::c_custkey, o::o_custkey;
+    """).apply("p").df
+    assert(out.columns.distinct.length == 2)
+  }
+
+  test("LOAD AS wider than the file null-pads missing fields") {
+    val tmp = java.nio.file.Files.createTempDirectory("pad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/two.csv"), "a,1\nb,2\n")
+    val out = PigRunner(spark).run(s"""
+      x = LOAD '$tmp/two.csv' USING PigStorage(',')
+          AS (s:chararray, v:int, extra:double);
+    """).apply("x").df
+    assert(out.filter(col("extra").isNull).count() == 2)
+  }
+
+  test("reassigned alias: last-assigned wins for runScript") {
+    val df = PigRunner.runScript(spark, s"""
+      a = LOAD '$dir/nation.parquet';
+      b = FILTER a BY n_nationkey < 10;
+      a = LIMIT b 3;
+    """)
+    assert(df.count() == 3)
+  }
+
   test("macros: DEFINE ... RETURNS expands textually (PigMacro design)") {
     val out = PigRunner(spark).run(s"""
       DEFINE by_status(rel, st) RETURNS filtered {

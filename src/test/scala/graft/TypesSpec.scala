@@ -70,6 +70,23 @@ class TypesSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("bloom join rejects outer/anti join types (would drop rows)") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.BloomJoin.joinLongKey(sf("orders"), sf("customer"),
+        "o_custkey", "c_custkey", joinType = "left_outer")
+    }
+    assert(ex.getMessage.contains("bloom"))
+  }
+
+  test("salted join rejects right-preserving join types") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(sf("orders"),
+        sf("customer").withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), 4, joinType = "full_outer")
+    }
+    assert(ex.getMessage.contains("left-preserving"))
+  }
+
   test("bloom join equals plain join (BuildBloom/Bloom pair)") {
     val o = sf("orders")
     val c = sf("customer").filter($"c_acctbal" > 5000)

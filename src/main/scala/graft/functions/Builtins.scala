@@ -120,7 +120,7 @@ object Builtins {
   /** REGEX_SEARCH (reference: REGEX_SEARCH.java): all matches of a
     * pattern, as a bag. */
   def REGEX_SEARCH(c: Column, pattern: String): Column =
-    regexp_extract_all(c, lit(pattern))
+    regexp_extract_all(c, lit(pattern), lit(0)) // whole-match group
 
   // ------------------------------------------------------------------
   // Date/time (reference: ToDate.java:80, GetYear.java, AddDuration.java —

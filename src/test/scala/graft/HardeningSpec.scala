@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dsl.Relation
+import graft.operators.{MultiQuery, Skew}
+import graft.ml.Similarity
+
+/** Coverage for public paths not exercised elsewhere. */
+class HardeningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MultiQuery.splitAndStore writes disjoint covering branches") {
+    val tmp = java.nio.file.Files.createTempDirectory("sas").toString
+    val o = Relation(sf("orders"), "o")
+    MultiQuery.splitAndStore(o, Seq(
+      ("hi", col("o_totalprice") > 150000, s"$tmp/hi"),
+      ("lo", col("o_totalprice") <= 150000, s"$tmp/lo")))
+    val n = spark.read.parquet(s"$tmp/hi").count() +
+            spark.read.parquet(s"$tmp/lo").count()
+    assert(n == sf("orders").count())
+  }
+
+  test("nearNeighborPairs finds only above-threshold same-bucket pairs") {
+    val pairs = Similarity.nearNeighborPairs(sf("embeddings"),
+      "vec_id", "embedding", threshold = 0.3, numPlanes = 2).collect()
+    assert(pairs.forall(_.getDouble(2) >= 0.3))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("saltedAggregate min/max merge functions") {
+    val got = Skew.saltedAggregate(sf("lineitem"), Seq("l_returnflag"), 4,
+      Seq(("mn", min(col("l_quantity")), (c: org.apache.spark.sql.Column) => min(c)),
+          ("mx", max(col("l_quantity")), (c: org.apache.spark.sql.Column) => max(c))))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exp = sf("lineitem").groupBy("l_returnflag")
+      .agg(min("l_quantity"), max("l_quantity"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == exp)
+  }
+
+  test("Relation.store round-trips csv and json formats") {
+    val tmp = java.nio.file.Files.createTempDirectory("store").toString
+    val r = Relation(sf("region"), "r")
+    r.store(s"$tmp/csv", "csv", Map("header" -> "true"))
+    r.store(s"$tmp/json", "json")
+    assert(spark.read.option("header", "true").csv(s"$tmp/csv").count() == 5)
+    assert(spark.read.json(s"$tmp/json").count() == 5)
+  }
+
+  test("flattenMap drops empty-map rows (FLATTEN(map) semantics)") {
+    val df = Seq((1, Map("a" -> 1)), (2, Map.empty[String, Int])).toDF("id", "m")
+    val out = Relation(df, "r").flattenMap("m").df.collect()
+    assert(out.length == 1 && out(0).getInt(0) == 1)
+  }
+
+  test("withScalar broadcasts a 1-row aggregate (DSL scalar)") {
+    val out = Relation(sf("customer"), "c")
+      .withScalar("mx", max(col("c_acctbal")))
+      .filter(col("c_acctbal") === col("mx")).df
+    assert(out.count() >= 1)
+  }
+
+  test("charShingles produces distinct k-grams; short text falls back") {
+    val r = Seq(("abcab", "ab")).toDF("a", "b")
+      .select(graft.text.Dedup.charShingles(col("a"), 3).as("sa"),
+              graft.text.Dedup.charShingles(col("b"), 3).as("sb")).head()
+    assert(r.getSeq[String](0).toSet == Set("abc", "bca", "cab"))
+    assert(r.getSeq[String](1) == Seq("ab")) // shorter than k → whole text
+  }
+
+  test("Builtins.REGEX_SEARCH returns all matches as a bag") {
+    import graft.functions.Builtins
+    val r = Seq("a1 b22 c333").toDF("s")
+      .select(Builtins.REGEX_SEARCH(col("s"), "[0-9]+")).head()
+    assert(r.getSeq[String](0) == Seq("1", "22", "333"))
+  }
+
+  test("hotKeys output is bounded by topN") {
+    val hot = Skew.hotKeys(sf("orders"), Seq("o_orderpriority"),
+      topN = 2, sampleFraction = 0.5)
+    assert(hot.count() <= 2)
+  }
+}

@@ -91,18 +91,8 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
     * EMPTY bags (never null), matching Pig (reference: POPackage.java,
     * outer-cogroup semantics).
     */
-  def cogroup(key: Column, other: Relation, otherKey: Column): Relation = {
-    val l = df.groupBy(key.as("group"))
-      .agg(collect_list(struct(df.columns.map(col).toIndexedSeq: _*)).as(name))
-    val r = other.df.groupBy(otherKey.as("group"))
-      .agg(collect_list(struct(other.df.columns.map(col).toIndexedSeq: _*))
-        .as(other.name))
-    val joined = l.join(r, Seq("group"), "full_outer")
-    new Relation(joined.select(col("group"),
-      coalesce(col(l.columns(1)), array().cast(l.schema(1).dataType)).as(name),
-      coalesce(col(r.columns(1)), array().cast(r.schema(1).dataType))
-        .as(other.name)), name)
-  }
+  def cogroup(key: Column, other: Relation, otherKey: Column): Relation =
+    Relation.cogroupAll((this, key), (other, otherKey))
 
   // ---------------------------------------------------------------------
   // JOIN a BY k, b BY k [strategy] (reference: LOJoin.java JOINTYPE
@@ -293,6 +283,26 @@ object Relation {
   def loadTable(spark: SparkSession, dir: String, table: String): Relation =
     new Relation(fixNanoTimestamps(spark.read.parquet(s"$dir/$table.parquet")),
       table)
+
+  /** N-ary COGROUP (Pig allows any number of inputs): each input is
+    * grouped to a bag, the per-key bags full-outer-joined, and missing
+    * sides become EMPTY bags — never null. Each side partial-aggregates
+    * before its shuffle; the joins are on the (already grouped) key
+    * domain, not the raw rows. */
+  def cogroupAll(inputs: (Relation, Column)*): Relation = {
+    require(inputs.size >= 2, "COGROUP needs at least two inputs")
+    val grouped = inputs.map { case (r, k) =>
+      r.df.groupBy(k.as("group"))
+        .agg(collect_list(struct(r.df.columns.map(col).toIndexedSeq: _*))
+          .as(r.name))
+    }
+    val joined = grouped.reduce((a, b) => a.join(b, Seq("group"), "full_outer"))
+    val fixed = inputs.foldLeft(joined) { case (d, (r, _)) =>
+      d.withColumn(r.name,
+        coalesce(col(r.name), array().cast(d.schema(r.name).dataType)))
+    }
+    new Relation(fixed, inputs.head._1.name)
+  }
 
   /** Numeric type promotion for UNION ONSCHEMA (Pig's schema merge):
     * shared column names with different numeric types are cast on BOTH

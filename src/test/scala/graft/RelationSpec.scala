@@ -78,6 +78,19 @@ class RelationSpec extends SparkSpec {
     assert(out(1).getSeq[Row](1).isEmpty && out(1).getSeq[Row](2).nonEmpty)
   }
 
+  test("n-ary cogroup: three inputs, empty bags on missing sides") {
+    val a = Relation(Seq((1, "a")).toDF("k", "v"), "a")
+    val b = Relation(Seq((2, "b")).toDF("k", "w"), "b")
+    val c = Relation(Seq((1, "c"), (2, "c")).toDF("k", "x"), "c")
+    val out = Relation.cogroupAll((a, col("k")), (b, col("k")), (c, col("k")))
+      .df.orderBy("group").collect()
+    assert(out.length == 2)
+    assert(out(0).getSeq[Row](1).nonEmpty && out(0).getSeq[Row](2).isEmpty &&
+           out(0).getSeq[Row](3).nonEmpty) // key 1: a+c, b empty
+    assert(out(1).getSeq[Row](1).isEmpty && out(1).getSeq[Row](2).nonEmpty &&
+           out(1).getSeq[Row](3).nonEmpty) // key 2: b+c, a empty
+  }
+
   test("union keeps duplicates; unionOnSchema aligns by name and pads") {
     val a = Relation(Seq((1, "x")).toDF("id", "s"), "a")
     val b = Relation(Seq((1, "x")).toDF("id", "s"), "b")

@@ -607,6 +607,18 @@ final class PigRunner(spark: SparkSession) {
         if (args.size > 1) Builtins.ToDate(c0, asStr(args(1)))
         else c0.cast(TimestampType)
       case "TOUNIXTIME" => Builtins.ToUnixTime(c0)
+      case "TOSTRING" => Builtins.ToString(c0, asStr(args(1)))
+      case "REGEX_EXTRACT_ALL" =>
+        Builtins.REGEX_EXTRACT_ALL(c0, asStr(args(1)), asInt(args(2)))
+      case "REGEX_SEARCH" => Builtins.REGEX_SEARCH(c0, asStr(args(1)))
+      case "SECONDSBETWEEN" => Builtins.SecondsBetween(c0, comp(args(1)))
+      case "MINUTESBETWEEN" => Builtins.MinutesBetween(c0, comp(args(1)))
+      case "HOURSBETWEEN" => Builtins.HoursBetween(c0, comp(args(1)))
+      case "WEEKSBETWEEN" => Builtins.WeeksBetween(c0, comp(args(1)))
+      case "MONTHSBETWEEN" => Builtins.MonthsBetween(c0, comp(args(1)))
+      case "YEARSBETWEEN" => Builtins.YearsBetween(c0, comp(args(1)))
+      case "MILLISECONDSBETWEEN" =>
+        Builtins.MilliSecondsBetween(c0, comp(args(1)))
       case "GETYEAR" => Builtins.GetYear(c0)
       case "GETMONTH" => Builtins.GetMonth(c0)
       case "GETDAY" => Builtins.GetDay(c0)

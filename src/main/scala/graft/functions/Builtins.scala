@@ -135,9 +135,26 @@ object Builtins {
   def GetMinute(c: Column): Column = minute(c)
   def GetSecond(c: Column): Column = second(c)
   def GetWeek(c: Column): Column = weekofyear(c)
+  /** ToString(datetime, format) — joda patterns ≈ java.time patterns for
+    * the common cases (reference: ToString.java). */
+  def ToString(c: Column, fmt: String): Column = date_format(c, fmt)
   def DaysBetween(a: Column, b: Column): Column = datediff(a, b).cast(LongType)
   def YearsBetween(a: Column, b: Column): Column =
     (year(a) - year(b)).cast(LongType) // calendar-field semantics
+  /** *Between family (reference: HoursBetween.java etc): truncating
+    * duration fields between two datetimes, a minus b. */
+  def SecondsBetween(a: Column, b: Column): Column =
+    unix_timestamp(a) - unix_timestamp(b)
+  def MinutesBetween(a: Column, b: Column): Column =
+    (SecondsBetween(a, b) / 60).cast(LongType) // truncates toward zero
+  def HoursBetween(a: Column, b: Column): Column =
+    (SecondsBetween(a, b) / 3600).cast(LongType)
+  def WeeksBetween(a: Column, b: Column): Column =
+    (datediff(a, b) / 7).cast(LongType)
+  def MonthsBetween(a: Column, b: Column): Column =
+    floor(months_between(a, b)).cast(LongType)
+  def MilliSecondsBetween(a: Column, b: Column): Column =
+    SecondsBetween(a, b) * 1000
   /** AddDuration with an ISO-8601 duration, e.g. "P1D", "P1M", "PT2H30M".
     * Mixed year-month and day-time units apply as successive interval
     * additions (they cannot be summed into one interval value). */

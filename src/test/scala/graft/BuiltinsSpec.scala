@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.functions.Builtins
 import graft.functions.Builtins._
 
 /** Builtin semantics vs the reference (TestBuiltin.java patterns). */
@@ -76,6 +77,25 @@ class BuiltinsSpec extends SparkSpec {
     assert(r.getString(2) == "2020-02-01 00:00:00")
     assert(r.getString(3) == "2021-03-04 04:00:00")
     assert(r.getString(4) == "2019-12-25 00:00:00")
+  }
+
+  test("ToString and the *Between family") {
+    val df = Seq(("2020-03-15 10:30:00", "2020-01-01 00:00:00")).toDF("a", "b")
+      .select(col("a").cast("timestamp").as("a"),
+              col("b").cast("timestamp").as("b"))
+    val r = df.select(
+      Builtins.ToString(col("a"), "yyyy-MM-dd"),
+      SecondsBetween(col("a"), col("b")),
+      HoursBetween(col("a"), col("b")),
+      DaysBetween(col("a"), col("b")),
+      MonthsBetween(col("a"), col("b")),
+      WeeksBetween(col("a"), col("b"))).head()
+    assert(r.getString(0) == "2020-03-15")
+    assert(r.getLong(1) == 74L * 86400 + 10 * 3600 + 30 * 60)
+    assert(r.getLong(2) == 74L * 24 + 10)
+    assert(r.getLong(3) == 74L)
+    assert(r.getLong(4) == 2L)
+    assert(r.getLong(5) == 10L)
   }
 
   test("ROUND matches Math.round on negative .5 (toward +inf)") {

@@ -850,6 +850,21 @@ object SparkEntry {
                FROM orders_v GROUP BY o_orderstatus""")
     }),
 
+    // Pig Latin GROUP ALL fused to a global aggregate — no whole-relation
+    // bag in one reducer (the round-1 scale cliff; PlanSpec asserts the
+    // fused plan)
+    "q67_piglatin_groupall" -> ((s, d) => {
+      GraftSession.tune(s)
+      graft.frontend.PigRunner(s).run(s"""
+        li = LOAD '$d/lineitem.parquet';
+        g  = GROUP li ALL;
+        r  = FOREACH g GENERATE COUNT(li) AS cnt,
+                                ROUND_TO(SUM(li.l_quantity), 2) AS sum_qty,
+                                ROUND_TO(AVG(li.l_discount), 6) AS avg_disc,
+                                MAX(li.l_extendedprice) AS max_price;
+      """).apply("r").df
+    }),
+
     // corpus statistics with exact percentiles
     "q65_corpus_stats" -> ((s, d) =>
       Relation(T(s, d, "documents").df.select(col("source"),
@@ -1021,7 +1036,12 @@ object SparkEntry {
          FROM documents GROUP BY source""",
     "q66_udaf" ->
       """SELECT o_orderstatus, count(o_custkey) AS n_cust, count(*) AS n
-         FROM orders GROUP BY o_orderstatus"""
+         FROM orders GROUP BY o_orderstatus""",
+    "q67_piglatin_groupall" ->
+      """SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+                round(avg(l_discount), 6) AS avg_disc,
+                max(l_extendedprice) AS max_price
+         FROM lineitem"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import scala.collection.mutable.ArrayBuffer
+
 import graft.dsl.Relation
 import graft.functions.Builtins
 import PigAst._
@@ -18,6 +20,19 @@ final class PigRunner(spark: SparkSession) {
   graft.GraftSession.tune(spark)
   private val env = scala.collection.mutable.LinkedHashMap.empty[String, Relation]
   private var lastAlias: Option[String] = None
+
+  /** Grouping provenance for aliases produced by GROUP/CUBE — enables the
+    * GROUP+FOREACH(agg-only) fusion (Pig's combiner,
+    * CombinerOptimizerUtil.java:89; SURVEY §4.3 #1): a FOREACH that only
+    * aggregates over the bag compiles to `groupBy().agg()` against the
+    * PRE-GROUP input, so the bag is never materialized and every aggregate
+    * partial-aggregates before the shuffle. The bagged Relation still sits
+    * in `env` for non-agg consumers (FLATTEN, SIZE, nested pipelines) —
+    * it is lazy, so the unused plan costs nothing. */
+  private case class GroupMeta(input: DataFrame, bagName: String,
+                               keys: Seq[Expr], all: Boolean, kind: String)
+  private val groupMeta =
+    scala.collection.mutable.Map.empty[String, GroupMeta]
 
   def relations: Map[String, Relation] = env.toMap
   def apply(alias: String): Relation = env(alias)
@@ -39,7 +54,20 @@ final class PigRunner(spark: SparkSession) {
   // ------------------------------------------------------------ statements
   private def exec(s: Stmt): Unit = s match {
     case Assign(alias, op) =>
+      // capture grouping provenance BEFORE the assignment so self-assigns
+      // (`g = GROUP g BY k`) snapshot the pre-group input
+      val meta = op match {
+        case GroupOp(Seq((in, keys)), all) =>
+          Some(GroupMeta(env(in).df, in, keys, all, "group"))
+        case CubeOp(in, kind, dims) =>
+          Some(GroupMeta(env(in).df, in, dims, all = false, kind))
+        case _ => None
+      }
       env(alias) = evalOp(op).as(alias)
+      meta match {
+        case Some(m) => groupMeta(alias) = m
+        case None    => groupMeta.remove(alias)
+      }
       lastAlias = Some(alias)
     case SplitStmt(in, branches, otherwise) =>
       val rel = env(in)
@@ -77,7 +105,9 @@ final class PigRunner(spark: SparkSession) {
 
     case ForeachOp(in, gens) =>
       val r = env(in)
-      foreach(r, gens.map(g => g.copy(expr = resolveScalars(g.expr, r.df))))
+      val gens2 = gens.map(g => g.copy(expr = resolveScalars(g.expr, r.df)))
+      groupMeta.get(in).flatMap(m => tryFusedAgg(m, gens2, r.df))
+        .getOrElse(foreach(r, gens2))
 
     case NestedForeachOp(in, inner, gens) => nestedForeach(env(in), inner, gens)
 
@@ -158,6 +188,128 @@ final class PigRunner(spark: SparkSession) {
       Relation(g.agg(bag), in)
 
     case AliasRef(in) => env(in)
+  }
+
+  // ------------------------------------------ GROUP+FOREACH agg fusion
+  private val aggFnNames =
+    Set("COUNT", "COUNT_STAR", "SUM", "AVG", "MIN", "MAX", "COR", "COV")
+
+  /** Attempt the combiner rewrite: if every GENERATE item is built from
+    * group-key references, literals, scalar functions, and aggregate calls
+    * whose arguments live inside the bag, compile to
+    * `input.groupBy(key).agg(…)` — no `collect_list`, partial aggregation
+    * before the shuffle (Pig: CombinerOptimizerUtil.addCombiner:89; the
+    * DSL twin is GroupedRelation.agg). Returns None (→ bag path) when the
+    * bag itself is consumed (FLATTEN, SIZE(bag), positional refs, …). */
+  private def tryFusedAgg(m: GroupMeta, gens: Seq[GenItem],
+                          baggedDf: DataFrame): Option[Relation] = {
+    val aggCols = ArrayBuffer.empty[Column]
+
+    // rewrite bag-rooted references to input-relation references
+    def bagArg(e: Expr): Option[Expr] = e match {
+      case Deref(ColRef(b), f) if b == m.bagName => Some(ColRef(f))
+      case ColRef(b) if b == m.bagName => Some(Star) // whole-bag marker
+      case ColRef("group") | Deref(ColRef("group"), _) => None
+      case Lit(_) | PosRef(_) => Some(e)
+      case BinOp(op, l, r) =>
+        for (a <- bagArg(l); b <- bagArg(r)) yield BinOp(op, a, b)
+      case Neg(x)  => bagArg(x).map(Neg)
+      case Not(x)  => bagArg(x).map(Not)
+      case BinCond(c, t, f) =>
+        for (a <- bagArg(c); b <- bagArg(t); cc <- bagArg(f))
+          yield BinCond(a, b, cc)
+      case IsNull(x, n)  => bagArg(x).map(IsNull(_, n))
+      case CastExpr(t, x) => bagArg(x).map(CastExpr(t, _))
+      case Matches(x, p)  => bagArg(x).map(Matches(_, p))
+      case FuncCall(n, as) if !aggFnNames.contains(n) =>
+        val rs = as.map(bagArg)
+        if (rs.forall(_.isDefined)) Some(FuncCall(n, rs.map(_.get))) else None
+      case _ => None
+    }
+
+    def compileAggCall(name: String, args: Seq[Expr]): Option[Column] = {
+      val rewritten = args.map(bagArg)
+      if (!rewritten.forall(_.isDefined)) return None
+      val as = rewritten.map(_.get)
+      def c(e: Expr): Column = e match {
+        case Star => // whole bag → the input row; meaning depends on the agg
+          col(m.input.columns.head)
+        case other => compile(other, m.input)
+      }
+      name match {
+        // COUNT skips tuples whose FIRST field is null (COUNT.java:54);
+        // count(firstField) has exactly that null rule
+        case "COUNT"      => Some(count(c(as.head)).cast(LongType))
+        case "COUNT_STAR" => Some(count(lit(1)).cast(LongType))
+        case "SUM"        => Some(sum(c(as.head)))
+        case "AVG"        => Some(avg(c(as.head)))
+        case "MIN"        => Some(min(c(as.head)))
+        case "MAX"        => Some(max(c(as.head)))
+        case "COR"        => Some(corr(c(as.head), c(as(1))))
+        case "COV"        => Some(covar_samp(c(as.head), c(as(1))))
+        case _            => None
+      }
+    }
+
+    // rewrite a GENERATE expr: agg calls → synthetic column refs; group
+    // refs stay (the fused frame carries the same `group` column); any
+    // other reference to the bag aborts the fusion
+    def rw(e: Expr): Option[Expr] = e match {
+      case FuncCall(n, as) if aggFnNames.contains(n) =>
+        compileAggCall(n, as).map { c =>
+          val nm = s"__a${aggCols.size}"
+          aggCols += c.as(nm)
+          ColRef(nm)
+        }
+      case ColRef(b) if b == m.bagName => None
+      case Deref(ColRef(b), _) if b == m.bagName => None
+      case ColRef("group") => Some(e)
+      case Deref(ColRef("group"), f) =>
+        // cube/rollup frames expose dims as top-level columns, not `group`
+        if (m.kind == "group") Some(e) else Some(ColRef(f))
+      case Lit(_) => Some(e)
+      case ColRef(_) =>
+        // cube/rollup dimension columns resolve on the fused frame;
+        // anything else would not resolve on the bagged frame either
+        if (m.kind != "group") Some(e) else None
+      case BinOp(op, l, r) => for (a <- rw(l); b <- rw(r)) yield BinOp(op, a, b)
+      case Neg(x) => rw(x).map(Neg)
+      case Not(x) => rw(x).map(Not)
+      case BinCond(c, t, f) =>
+        for (a <- rw(c); b <- rw(t); cc <- rw(f)) yield BinCond(a, b, cc)
+      case IsNull(x, n) => rw(x).map(IsNull(_, n))
+      case InExpr(x, vs) => rw(x).map(InExpr(_, vs))
+      case CastExpr(t, x) => rw(x).map(CastExpr(t, _))
+      case Matches(x, p) => rw(x).map(Matches(_, p))
+      case FuncCall(n, as) =>
+        val rs = as.map(rw)
+        if (rs.forall(_.isDefined)) Some(FuncCall(n, rs.map(_.get))) else None
+      case _ => None // Star, FLATTEN, bare bag, … → bag path
+    }
+
+    val rwGens = gens.zipWithIndex.map { case (g, i) =>
+      rw(g.expr).map(e2 => GenItem(e2,
+        g.alias.orElse(Some(autoName(g.expr, i, baggedDf)))))
+    }
+    if (!rwGens.forall(_.isDefined) || aggCols.isEmpty) return None
+
+    val aggSeq = aggCols.toSeq
+    val fused = m.kind match {
+      case "group" =>
+        val key =
+          if (m.all) lit("all").as("group")
+          else groupKey(m.keys, m.input).as("group")
+        m.input.groupBy(key).agg(aggSeq.head, aggSeq.tail: _*)
+      case kind =>
+        val dimCols = m.keys.zipWithIndex.map {
+          case (ColRef(n), _) => col(resolve(n, m.input)).as(n)
+          case (e, i)         => compile(e, m.input).as(s"d$i")
+        }
+        val g = if (kind == "cube") m.input.cube(dimCols: _*)
+                else m.input.rollup(dimCols: _*)
+        g.agg(aggSeq.head, aggSeq.tail: _*)
+    }
+    Some(foreach(Relation(fused, m.bagName), rwGens.map(_.get)))
   }
 
   /** Scalar projection (reference: ScalarExpression.java + ReadScalars —

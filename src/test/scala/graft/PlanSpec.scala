@@ -60,6 +60,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("collect_list")) // FuseBagSizeToCount applied
   }
 
+  test("q53: frontend GROUP+FOREACH fuses to partial aggregation, no bags") {
+    val p = plan("q53_piglatin")
+    assert(p.contains("partial_"))      // map-side combine (Pig's combiner)
+    assert(!p.contains("collect_list")) // bag never materialized
+  }
+
+  test("q67: frontend GROUP ALL fuses — no whole-relation bag") {
+    val p = plan("q67_piglatin_groupall")
+    assert(p.contains("partial_"))
+    assert(!p.contains("collect_list"))
+  }
+
   test("entry: order+limit plans TakeOrderedAndProject (no global sort)") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"))

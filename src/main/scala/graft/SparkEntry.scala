@@ -165,16 +165,18 @@ object SparkEntry {
         .foreach(col("l_orderkey"), col("l_linenumber"),
                  col("l_extendedprice")).df),
 
-    // RANK r BY col (#10): ties share rank
+    // RANK r BY col (#10): ties share rank — scalable 2-pass plan, no
+    // single-partition window (PORank.java:145-157 design)
     "q14_rank" -> ((s, d) =>
       T(s, d, "customer")
-        .rank(Seq(col("c_acctbal").desc), rankName = "rnk")
+        .rank(Seq(col("c_acctbal") -> false), rankName = "rnk")
         .foreach(col("c_custkey"), col("c_acctbal"), col("rnk")).df),
 
-    // RANK … DENSE (#10)
+    // RANK … DENSE (#10): distinct keys ranked, null-safe join back
     "q15_rank_dense" -> ((s, d) =>
       T(s, d, "orders")
-        .rank(Seq(col("o_orderpriority")), dense = true, rankName = "rnk")
+        .rank(Seq(col("o_orderpriority") -> true), dense = true,
+              rankName = "rnk")
         .foreach(col("o_orderkey"), col("o_orderpriority"), col("rnk")).df),
 
     // RANK r (row numbers, no BY) — scalable 2-pass design (#10)

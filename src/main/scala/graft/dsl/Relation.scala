@@ -201,11 +201,16 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
   // ---------------------------------------------------------------------
   // RANK r [BY cols [DENSE]] (reference: LORank.java; PORank/POCounter
   // 2-pass: per-task counts then global offsets, PORank.java:145-157).
-  // BY-ranking uses a window ordered globally — fine when the ranked key
-  // domain is small; for 100 TB-scale total row numbering use
-  // [[rankScalable]] which reproduces Pig's 2-pass trick.
-  def rank(by: Seq[Column], dense: Boolean = false,
-           rankName: String = "rank"): Relation = {
+  // Routed through the scalable 2-pass implementation — no unpartitioned
+  // window anywhere in the plan. `by` pairs a key expression with its
+  // direction (asc = true).
+  def rank(by: Seq[(Column, Boolean)], dense: Boolean = false,
+           rankName: String = "rank"): Relation =
+    derived(graft.operators.Rank.rankBy(df, by, dense, rankName))
+  /** The window form (`rank() OVER (ORDER BY …)`) — a SINGLE-partition
+    * stage; explicit opt-in for small inputs only. */
+  def rankWindowed(by: Seq[Column], dense: Boolean = false,
+                   rankName: String = "rank"): Relation = {
     val w = Window.orderBy(by: _*)
     val r = if (dense) dense_rank() else org.apache.spark.sql.functions.rank()
     derived(df.withColumn(rankName, r.over(w).cast(LongType)))

@@ -166,8 +166,8 @@ final class PigRunner(spark: SparkSession) {
     case RankOp(in, Seq(), _) => env(in).rankScalable("rank")
     case RankOp(in, keys, dense) =>
       val r = env(in)
-      r.rank(keys.map { case (e, asc) =>
-        val c = compile(e, r.df); if (asc) c.asc else c.desc }, dense, "rank")
+      r.rank(keys.map { case (e, asc) => (compile(e, r.df), asc) },
+        dense, "rank")
 
     case LimitOp(in, n)  =>
       // Spark limit takes Int; a larger-than-int limit is a no-op limit

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -33,39 +33,50 @@ object Rank {
     spark.createDataFrame(rows, schema)
   }
 
-  /** RANK BY keys at scale: range-repartition by the keys (sampled global
-    * ranges, same idea as Pig's quantile job), sort within partitions,
-    * assign row numbers via the 2-pass trick, then convert row numbers to
-    * rank/dense-rank semantics with a window PARTITIONED by the key (each
-    * key's rows are co-located after the range partition, so the window is
-    * distributed — no single-partition stage). */
-  def rankBy(df: DataFrame, keys: Seq[String], dense: Boolean,
+  /** RANK BY keys at scale, with per-key sort direction (asc = true).
+    *
+    * Non-dense: range-repartition by the sort keys (sampled global ranges,
+    * same idea as Pig's quantile job), sort within partitions, assign row
+    * numbers via the 2-pass trick, then `min(rowNumber)` over a window
+    * PARTITIONED by the key — the window is distributed across the key
+    * domain, never a single-partition stage.
+    *
+    * Dense: rank the DISTINCT keys (a domain-sized relation, tiny relative
+    * to the rows) with the same 2-pass trick and join back NULL-SAFELY —
+    * a plain equi-join would silently drop every null-key row.
+    *
+    * Key expressions are materialized as temp columns first so computed
+    * keys (frontend `RANK r BY f(x)`) work unchanged. */
+  def rankBy(df: DataFrame, keys: Seq[(Column, Boolean)], dense: Boolean,
              rankName: String = "rank", partitions: Int = 0): DataFrame = {
-    val keyCols = keys.map(col)
+    val names = keys.indices.map(i => s"__rk$i")
+    val withKeys = keys.zip(names).foldLeft(df) {
+      case (d, ((c, _), n)) => d.withColumn(n, c)
+    }
+    // Spark default null placement (asc → nulls first, desc → nulls last)
+    // matches the window rank()/dense_rank() this replaces.
+    val sortCols = keys.zip(names).map { case ((_, asc), n) =>
+      if (asc) col(n).asc else col(n).desc
+    }
+    val bare = names.map(col)
     val parts = if (partitions > 0) partitions
                 else df.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(parts, keyCols: _*)
-      .sortWithinPartitions(keyCols: _*)
-    val numbered = rowNumber(sorted, "__rn")
-    val w = Window.partitionBy(keyCols: _*)
-    val ranked =
-      if (dense) {
-        // dense rank: rank distinct keys globally (distinct keys are small
-        // relative to rows; this shuffle is on the key domain only). The
-        // join back must be NULL-SAFE — a plain equi-join would silently
-        // drop every null-key row — and goes against the un-numbered df
-        // (the 2-pass row numbers aren't needed for dense).
-        val distinctKeys = df.select(keyCols: _*).distinct()
-        val keyRanks = rowNumber(
-          distinctKeys.repartitionByRange(parts, keyCols: _*)
-            .sortWithinPartitions(keyCols: _*), rankName)
-        val cond = keys.map(k => df(k) <=> keyRanks(k)).reduce(_ && _)
-        df.join(keyRanks.withColumnRenamed(rankName, "__kr"), cond)
-          .select((df.columns.map(df(_)) :+ col("__kr").as(rankName))
-            .toIndexedSeq: _*)
-      } else {
-        numbered.withColumn(rankName, min(col("__rn")).over(w)).drop("__rn")
-      }
-    ranked
+    if (dense) {
+      val distinctKeys = withKeys.select(bare: _*).distinct()
+      val keyRanks = rowNumber(
+        distinctKeys.repartitionByRange(parts, sortCols: _*)
+          .sortWithinPartitions(sortCols: _*), "__kr")
+      val cond = names.map(n => withKeys(n) <=> keyRanks(n)).reduce(_ && _)
+      withKeys.join(keyRanks, cond)
+        .select((df.columns.map(withKeys(_)) :+ col("__kr").as(rankName))
+          .toIndexedSeq: _*)
+    } else {
+      val sorted = withKeys.repartitionByRange(parts, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+      val numbered = rowNumber(sorted, "__rn")
+      val w = Window.partitionBy(bare: _*)
+      numbered.withColumn(rankName, min(col("__rn")).over(w))
+        .select((df.columns :+ rankName).map(col).toIndexedSeq: _*)
+    }
   }
 }

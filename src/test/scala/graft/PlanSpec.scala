@@ -72,6 +72,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("collect_list"))
   }
 
+  test("q14/q15: rank plans have no single-partition stage") {
+    // the 2-pass rank design (PORank analog) must never collapse the data
+    // to one partition the way rank() OVER (ORDER BY …) does
+    assert(!plan("q14_rank").contains("SinglePartition"))
+    assert(!plan("q15_rank_dense").contains("SinglePartition"))
+  }
+
   test("entry: order+limit plans TakeOrderedAndProject (no global sort)") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"))

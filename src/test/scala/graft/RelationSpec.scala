@@ -144,11 +144,39 @@ class RelationSpec extends SparkSpec {
         dense_rank().over(Window.orderBy("o_orderpriority")).cast("long"))
       .groupBy("o_orderpriority").agg(max("rank").as("rank"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val got = graft.operators.Rank.rankBy(df, Seq("o_orderpriority"),
-        dense = true)
+    val got = graft.operators.Rank.rankBy(df,
+        Seq(col("o_orderpriority") -> true), dense = true)
       .groupBy("o_orderpriority").agg(max("rank").as("rank"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == expect)
+  }
+
+  test("rankBy matches window rank incl. desc direction and null keys") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(Some(3.0), Some(1.0), None, Some(3.0), Some(2.0), None)
+      .toDF("v")
+    for (dense <- Seq(false, true); asc <- Seq(true, false)) {
+      val w = Window.orderBy(if (asc) col("v").asc else col("v").desc)
+      val r = if (dense) dense_rank() else
+        org.apache.spark.sql.functions.rank()
+      val expect = df.withColumn("rank", r.over(w).cast("long"))
+        .collect().map(x => (Option(x.get(0)), x.getLong(1))).toSet
+      val got = graft.operators.Rank.rankBy(df, Seq(col("v") -> asc), dense)
+        .collect().map(x => (Option(x.get(0)), x.getLong(1))).toSet
+      assert(got == expect, s"dense=$dense asc=$asc")
+    }
+  }
+
+  test("rankBy with computed key expression") {
+    val df = sf("customer").select("c_custkey", "c_acctbal")
+    val got = graft.operators.Rank.rankBy(df,
+      Seq((col("c_acctbal") * -1) -> true, col("c_custkey") -> true),
+      dense = false)
+    assert(got.columns.toSeq ==
+      Seq("c_custkey", "c_acctbal", "rank")) // temp key cols dropped
+    val top = got.orderBy("rank").head()
+    val expTop = df.orderBy(col("c_acctbal").desc, col("c_custkey")).head()
+    assert(top.getLong(0) == expTop.getLong(0))
   }
 
   test("splitOtherwise drops rows whose conditions are all null (Pig)") {

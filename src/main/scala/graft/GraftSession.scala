@@ -16,6 +16,9 @@ object GraftSession {
     // Pig semantics: cast failure → null, div/0 → null, no overflow errors
     // (reference: POCast.java:63, Utf8StorageConverter — §1.4 of SURVEY.md).
     c.set("spark.sql.ansi.enabled", "false")
+    // Deterministic datetime arithmetic vs the (TZ-less) DuckDB oracle —
+    // Pig's joda DateTimes default to UTC in the reference's tests too.
+    c.set("spark.sql.session.timeZone", "UTC")
     // Pig's skewed join (POSkewedJoin + PartitionSkewedKeys) → AQE skew
     // handling; Pig's bloom join (BuildBloom/Bloom) → runtime bloom filter.
     c.set("spark.sql.adaptive.enabled", "true")

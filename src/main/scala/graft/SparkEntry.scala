@@ -483,8 +483,10 @@ object SparkEntry {
         round(log(col("p_retailprice")), 6).as("ln"),
         (col("p_size") % 7).cast(LongType).as("md")).df),
 
-    // datetime builtin catalog (§2.6): field extraction + duration math
-    "q36_datetime" -> ((s, d) =>
+    // datetime builtin catalog (§2.6): field extraction + duration math +
+    // the joda *Between family (millis diff, truncation toward zero)
+    "q36_datetime" -> ((s, d) => {
+      val ref = lit("1995-07-15 12:30:00").cast(TimestampType)
       T(s, d, "orders").foreach(
         col("o_orderkey"),
         GetYear(col("o_orderdate")).cast(LongType).as("yr"),
@@ -492,7 +494,13 @@ object SparkEntry {
         GetDay(col("o_orderdate")).cast(LongType).as("dy"),
         datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))
           .cast(LongType).as("days_since"),
-        AddDuration(col("o_orderdate"), "P1D").as("next_day")).df),
+        AddDuration(col("o_orderdate"), "P1D").as("next_day"),
+        SecondsBetween(col("o_orderdate"), ref).as("sec_ref"),
+        HoursBetween(col("o_orderdate"), ref).as("hrs_ref"),
+        DaysBetween(col("o_orderdate"), ref).as("days_ref"),
+        WeeksBetween(col("o_orderdate"), ref).as("wks_ref"),
+        MilliSecondsBetween(col("o_orderdate"), ref).as("ms_ref")).df
+    }),
 
     // TOKENIZE + FLATTEN wordcount (§2.6 TOKENIZE; the canonical Pig demo)
     "q37_tokenize" -> ((s, d) =>
@@ -579,8 +587,16 @@ object SparkEntry {
                 CAST(date_diff('day', DATE '1995-01-01',
                                CAST(o_orderdate AS DATE)) AS BIGINT)
                   AS days_since,
-                o_orderdate + INTERVAL 1 DAY AS next_day
-         FROM orders""",
+                o_orderdate + INTERVAL 1 DAY AS next_day,
+                CAST(trunc(msd / 1000.0) AS BIGINT) AS sec_ref,
+                CAST(trunc(msd / 3600000.0) AS BIGINT) AS hrs_ref,
+                CAST(trunc(msd / 86400000.0) AS BIGINT) AS days_ref,
+                CAST(trunc(msd / 604800000.0) AS BIGINT) AS wks_ref,
+                msd AS ms_ref
+         FROM (SELECT *,
+                 epoch_ms(CAST(o_orderdate AS TIMESTAMP))
+                   - epoch_ms(TIMESTAMP '1995-07-15 12:30:00') AS msd
+               FROM orders)""",
     "q37_tokenize" ->
       """SELECT word, count(*) AS n FROM (
            SELECT unnest(string_split_regex(text, '[ ",()*]')) AS word

@@ -778,6 +778,9 @@ final class PigRunner(spark: SparkSession) {
       case "GETMINUTE" => Builtins.GetMinute(c0)
       case "GETSECOND" => Builtins.GetSecond(c0)
       case "GETWEEK" => Builtins.GetWeek(c0)
+      case "GETMILLISECOND" => Builtins.GetMilliSecond(c0)
+      case "GETWEEKYEAR" => Builtins.GetWeekYear(c0)
+      case "TOMILLISECONDS" => Builtins.ToMilliSeconds(c0)
       case "DAYSBETWEEN" => Builtins.DaysBetween(c0, comp(args(1)))
       case "ADDDURATION" => Builtins.AddDuration(c0, asStr(args(1)))
       case "SUBTRACTDURATION" => Builtins.SubtractDuration(c0, asStr(args(1)))

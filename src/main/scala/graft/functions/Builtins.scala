@@ -126,35 +126,64 @@ object Builtins {
   // Date/time (reference: ToDate.java:80, GetYear.java, AddDuration.java —
   // ISO-8601 durations; joda under the hood, UTC session here).
   def ToDate(c: Column, fmt: String): Column = to_timestamp(c, fmt)
-  def ToUnixTime(c: Column): Column = unix_timestamp(c)
-  def ToMilliSeconds(c: Column): Column = unix_timestamp(c) * 1000
+  /** joda getMillis/1000 — Java integer division truncates TOWARD ZERO
+    * (unix_timestamp floors, off by one for pre-1970 sub-second times). */
+  def ToUnixTime(c: Column): Column = divTowardZero(millisOf(c), 1000L)
+  /** Millisecond-accurate (reference: ToMilliSeconds.java = getMillis). */
+  def ToMilliSeconds(c: Column): Column = millisOf(c)
   def GetYear(c: Column): Column = year(c)
   def GetMonth(c: Column): Column = month(c)
   def GetDay(c: Column): Column = dayofmonth(c)
   def GetHour(c: Column): Column = hour(c)
   def GetMinute(c: Column): Column = minute(c)
   def GetSecond(c: Column): Column = second(c)
+  /** joda getMillisOfSecond — always in [0, 999]. */
+  def GetMilliSecond(c: Column): Column =
+    pmod(millisOf(c), lit(1000L)).cast(IntegerType)
   def GetWeek(c: Column): Column = weekofyear(c)
+  /** joda weekyear = ISO week-based year (reference: GetWeekYear.java). */
+  def GetWeekYear(c: Column): Column =
+    call_function("extract", lit("YEAROFWEEK"), c).cast(IntegerType)
   /** ToString(datetime, format) — joda patterns ≈ java.time patterns for
     * the common cases (reference: ToString.java). */
   def ToString(c: Column, fmt: String): Column = date_format(c, fmt)
-  def DaysBetween(a: Column, b: Column): Column = datediff(a, b).cast(LongType)
-  def YearsBetween(a: Column, b: Column): Column =
-    (year(a) - year(b)).cast(LongType) // calendar-field semantics
-  /** *Between family (reference: HoursBetween.java etc): truncating
-    * duration fields between two datetimes, a minus b. */
-  def SecondsBetween(a: Column, b: Column): Column =
-    unix_timestamp(a) - unix_timestamp(b)
-  def MinutesBetween(a: Column, b: Column): Column =
-    (SecondsBetween(a, b) / 60).cast(LongType) // truncates toward zero
-  def HoursBetween(a: Column, b: Column): Column =
-    (SecondsBetween(a, b) / 3600).cast(LongType)
-  def WeeksBetween(a: Column, b: Column): Column =
-    (datediff(a, b) / 7).cast(LongType)
-  def MonthsBetween(a: Column, b: Column): Column =
-    floor(months_between(a, b)).cast(LongType)
+
+  /** Epoch millis of a datetime (dates cast first; UTC session). */
+  private def millisOf(c: Column): Column = unix_millis(c.cast(TimestampType))
+  /** Integer division truncating TOWARD ZERO (Java/joda semantics) —
+    * Spark's `/` is double division and `floor` rounds toward −∞, which
+    * is off by one for every non-exact negative interval. `a % b` follows
+    * the dividend's sign, so (a − a%b)/b is exact and toward-zero; the
+    * quotient of millisecond-scale values stays well inside double's 2^53
+    * exact-integer range. */
+  private def divTowardZero(a: Column, b: Long): Column =
+    ((a - (a % b)) / b).cast(LongType)
+
+  /** *Between family (reference: SecondsBetween.java, DaysBetween.java …):
+    * joda computes the millis difference, then whole units truncated
+    * TOWARD ZERO — 24h days/7-day weeks, not calendar fields. */
   def MilliSecondsBetween(a: Column, b: Column): Column =
-    SecondsBetween(a, b) * 1000
+    millisOf(a) - millisOf(b)
+  def SecondsBetween(a: Column, b: Column): Column =
+    divTowardZero(MilliSecondsBetween(a, b), 1000L)
+  def MinutesBetween(a: Column, b: Column): Column =
+    divTowardZero(MilliSecondsBetween(a, b), 60L * 1000)
+  def HoursBetween(a: Column, b: Column): Column =
+    divTowardZero(MilliSecondsBetween(a, b), 3600L * 1000)
+  def DaysBetween(a: Column, b: Column): Column =
+    divTowardZero(MilliSecondsBetween(a, b), 86400L * 1000)
+  def WeeksBetween(a: Column, b: Column): Column =
+    divTowardZero(MilliSecondsBetween(a, b), 7L * 86400 * 1000)
+  /** joda Months/Years are calendar-aware: b + n units ≤ a < b + (n+1);
+    * months_between (roundOff off) has the same whole-month integer part,
+    * and the long cast truncates toward zero like joda does. */
+  def MonthsBetween(a: Column, b: Column): Column =
+    months_between(a.cast(TimestampType), b.cast(TimestampType),
+      roundOff = false).cast(LongType)
+  def YearsBetween(a: Column, b: Column): Column = {
+    val m = MonthsBetween(a, b)
+    ((m - (m % 12)) / 12).cast(LongType)
+  }
   /** AddDuration with an ISO-8601 duration, e.g. "P1D", "P1M", "PT2H30M".
     * Mixed year-month and day-time units apply as successive interval
     * additions (they cannot be summed into one interval value). */

@@ -98,6 +98,48 @@ class BuiltinsSpec extends SparkSpec {
     assert(r.getLong(5) == 10L)
   }
 
+  test("*Between joda parity: negative intervals truncate toward zero") {
+    val df = Seq(1).toDF("x")
+    def ts(s: String) = lit(s).cast("timestamp")
+    val r = df.select(
+      // sub-second span: joda millis diff → 0 whole seconds (not -1)
+      SecondsBetween(ts("2020-01-01 00:00:00.400"), ts("2020-01-01 00:00:01")),
+      // -2 months 15 days → -2 (floor would give -3)
+      MonthsBetween(ts("2020-01-10 00:00:00"), ts("2020-03-25 00:00:00")),
+      // 11 months → 0 years (ADVICE case: year(a)-year(b) gave 1)
+      YearsBetween(ts("2022-06-01 00:00:00"), ts("2021-07-01 00:00:00")),
+      // millisecond accuracy
+      MilliSecondsBetween(ts("2020-01-01 00:00:00.750"),
+                          ts("2020-01-01 00:00:00.250")),
+      // -36h → -1 day toward zero (floor would give -2)
+      DaysBetween(ts("2020-01-01 00:00:00"), ts("2020-01-02 12:00:00")),
+      HoursBetween(ts("2020-01-01 00:00:00"), ts("2020-01-01 01:30:00")),
+      MinutesBetween(ts("2020-01-01 00:00:00"), ts("2020-01-01 00:01:30"))
+    ).head()
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == -2L)
+    assert(r.getLong(2) == 0L)
+    assert(r.getLong(3) == 500L)
+    assert(r.getLong(4) == -1L)
+    assert(r.getLong(5) == -1L)
+    assert(r.getLong(6) == -1L)
+  }
+
+  test("ToMilliSeconds/ToUnixTime/GetMilliSecond/GetWeekYear joda parity") {
+    val df = Seq(1).toDF("x")
+    def ts(s: String) = lit(s).cast("timestamp")
+    val r = df.select(
+      Builtins.ToMilliSeconds(ts("1970-01-01 00:00:01.5")),
+      Builtins.ToUnixTime(ts("1969-12-31 23:59:59.5")), // joda: -500/1000 = 0
+      Builtins.GetMilliSecond(ts("2020-01-01 00:00:00.250")),
+      Builtins.GetWeekYear(ts("2021-01-01 00:00:00"))   // ISO week year
+    ).head()
+    assert(r.getLong(0) == 1500L)
+    assert(r.getLong(1) == 0L)
+    assert(r.getInt(2) == 250)
+    assert(r.getInt(3) == 2020)
+  }
+
   test("ROUND matches Math.round on negative .5 (toward +inf)") {
     val r = Seq((-2.5, 2.5, -2.4)).toDF("a", "b", "c")
       .select(ROUND(col("a")), ROUND(col("b")), ROUND(col("c"))).head()

@@ -883,6 +883,35 @@ object SparkEntry {
       """).apply("r").df
     }),
 
+    // ASSERT statement + COGROUP ... INNER semantics (empty-bag groups of
+    // the INNER input dropped; LOCogroup GROUPTYPE :50-54)
+    "q68_piglatin_assert_inner" -> ((s, d) => {
+      GraftSession.tune(s)
+      graft.frontend.PigRunner(s).run(s"""
+        c = LOAD '$d/customer.parquet';
+        s = LOAD '$d/supplier.parquet';
+        ASSERT c BY c_custkey >= 0, 'keys must be non-negative';
+        cg = COGROUP c BY c_nationkey, s BY s_nationkey INNER;
+        r  = FOREACH cg GENERATE group AS nationkey, COUNT(c) AS n_cust,
+                                 COUNT(s) AS n_supp;
+      """).apply("r").df
+    }),
+
+    // PigMix-L4 shape: nested DISTINCT over a bag field path + nested
+    // FOREACH/CROSS surface inside the block
+    "q69_piglatin_nested" -> ((s, d) => {
+      GraftSession.tune(s)
+      graft.frontend.PigRunner(s).run(s"""
+        o = LOAD '$d/orders.parquet';
+        g = GROUP o BY o_custkey;
+        r = FOREACH g {
+              pr = DISTINCT o.o_orderpriority;
+              GENERATE group AS o_custkey, COUNT(o) AS n_orders,
+                       SIZE(pr) AS n_prio;
+            };
+      """).apply("r").df
+    }),
+
     // corpus statistics with exact percentiles
     "q65_corpus_stats" -> ((s, d) =>
       Relation(T(s, d, "documents").df.select(col("source"),
@@ -1059,7 +1088,17 @@ object SparkEntry {
       """SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
                 round(avg(l_discount), 6) AS avg_disc,
                 max(l_extendedprice) AS max_price
-         FROM lineitem"""
+         FROM lineitem""",
+    "q68_piglatin_assert_inner" ->
+      """SELECT s.nk AS nationkey, coalesce(n_cust, 0) AS n_cust, n_supp
+         FROM (SELECT s_nationkey AS nk, count(*) AS n_supp
+               FROM supplier GROUP BY 1) s
+         LEFT JOIN (SELECT c_nationkey AS nk, count(*) AS n_cust
+               FROM customer GROUP BY 1) c ON c.nk = s.nk""",
+    "q69_piglatin_nested" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+                CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+         FROM orders GROUP BY o_custkey"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

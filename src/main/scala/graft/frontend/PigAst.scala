@@ -31,13 +31,19 @@ object PigAst {
   case class FieldSchema(name: String, typeName: String)
 
   /** Nested operators inside a FOREACH { } block (QueryParser.g:921-971):
-    * each consumes a bag-valued name (an input bag column or a previous
-    * inner alias). */
+    * each consumes a bag-valued name (an input bag column, a dotted
+    * bag-field path like `li.l_quantity`, or a previous inner alias). */
   sealed trait InnerOp
   case class InnerFilter(src: String, cond: Expr) extends InnerOp
   case class InnerOrder(src: String, keys: Seq[(Expr, Boolean)]) extends InnerOp
   case class InnerLimit(src: String, n: Long) extends InnerOp
   case class InnerDistinct(src: String) extends InnerOp
+  case class InnerForeach(src: String, gens: Seq[GenItem]) extends InnerOp
+  case class InnerCross(srcs: Seq[String]) extends InnerOp
+
+  /** One COGROUP input: `alias BY keys [INNER|OUTER]` — INNER drops
+    * groups where this input's bag is empty (LOCogroup GROUPTYPE :50-54). */
+  case class GroupInput(alias: String, keys: Seq[Expr], inner: Boolean)
 
   sealed trait Op
   case class LoadOp(path: String, using: Option[(String, Seq[String])],
@@ -49,7 +55,8 @@ object PigAst {
   case class ParallelOp(inner: Op, n: Int) extends Op
   case class FilterOp(input: String, cond: Expr) extends Op
   case class ForeachOp(input: String, gens: Seq[GenItem]) extends Op
-  case class GroupOp(inputs: Seq[(String, Seq[Expr])], all: Boolean) extends Op
+  case class GroupOp(inputs: Seq[GroupInput], all: Boolean,
+                     using: Option[String] = None) extends Op
   case class JoinOp(inputs: Seq[(String, Seq[Expr])], joinType: String,
                     using: Option[String]) extends Op
   case class CrossOp(inputs: Seq[String]) extends Op
@@ -57,6 +64,8 @@ object PigAst {
   case class RankOp(input: String, keys: Seq[(Expr, Boolean)],
                     dense: Boolean) extends Op
   case class LimitOp(input: String, n: Long) extends Op
+  /** LIMIT with a scalar-expression count (QueryParser.g:506). */
+  case class LimitExprOp(input: String, n: Expr) extends Op
   case class DistinctOp(input: String) extends Op
   case class UnionOp(inputs: Seq[String], onSchema: Boolean) extends Op
   case class SampleOp(input: String, fraction: Double) extends Op
@@ -65,6 +74,11 @@ object PigAst {
 
   sealed trait Stmt
   case class Assign(alias: String, op: Op) extends Stmt
+  /** ASSERT r BY cond ['msg'] (QueryParser.g:481; builtin/Assert.java) —
+    * rebinds the alias with the assertion applied (desugared FILTER that
+    * fails the job on violation). */
+  case class AssertStmt(alias: String, cond: Expr,
+                        msg: Option[String]) extends Stmt
   case class SplitStmt(input: String, branches: Seq[(String, Expr)],
                        otherwise: Option[String]) extends Stmt
   case class StoreStmt(alias: String, path: String,

@@ -57,7 +57,7 @@ final class PigRunner(spark: SparkSession) {
       // capture grouping provenance BEFORE the assignment so self-assigns
       // (`g = GROUP g BY k`) snapshot the pre-group input
       val meta = op match {
-        case GroupOp(Seq((in, keys)), all) =>
+        case GroupOp(Seq(GroupInput(in, keys, _)), all, _) =>
           Some(GroupMeta(env(in).df, in, keys, all, "group"))
         case CubeOp(in, kind, dims) =>
           Some(GroupMeta(env(in).df, in, dims, all = false, kind))
@@ -87,6 +87,12 @@ final class PigRunner(spark: SparkSession) {
         case Some(("JsonStorage", _)) => df.write.mode("overwrite").json(path)
         case _ => df.write.mode("overwrite").parquet(path)
       }
+    case AssertStmt(alias, cond, msg) =>
+      // reference: Assert desugars to FILTER with a failing UDF — the
+      // alias is REBOUND so every downstream consumer sees the check
+      val r = env(alias)
+      env(alias) = r.assertBy(compile(resolveScalars(cond, r.df), r.df),
+        msg.getOrElse(s"Assertion violated: $alias")).as(alias)
     case DumpStmt(alias)     => env(alias).dump()
     case DescribeStmt(alias) => env(alias).describe()
     case ExplainStmt(alias)  => env(alias).explain()
@@ -127,20 +133,25 @@ final class PigRunner(spark: SparkSession) {
       val r = evalOp(innerOp)
       Relation(r.df.repartition(n), r.name)
 
-    case GroupOp(Seq((in, _)), true) =>
+    case GroupOp(inputs, true, _) => // GROUP r ALL (single input by grammar)
+      val in = inputs.head.alias
       val r = env(in)
       Relation(r.df.groupBy(lit("all").as("group"))
         .agg(collect_list(struct(r.df.columns.map(col).toIndexedSeq: _*))
           .as(in)), in)
 
-    case GroupOp(Seq((in, keys)), false) =>
+    // USING 'collected'/'merge' are physical hints in the reference
+    // (map-side grouping over co-located/sorted loads); the logical result
+    // is identical and Catalyst owns the physical grouping, so they are
+    // accepted and dropped here.
+    case GroupOp(Seq(GroupInput(in, keys, _)), false, _) =>
       val r = env(in)
       Relation(r.df.groupBy(groupKey(keys, r.df).as("group"))
         .agg(collect_list(struct(r.df.columns.map(col).toIndexedSeq: _*))
           .as(in)), in)
 
-    case GroupOp(inputs, false) => // COGROUP n-ary
-      val grouped = inputs.map { case (in, keys) =>
+    case GroupOp(inputs, false, _) => // COGROUP n-ary
+      val grouped = inputs.map { case GroupInput(in, keys, _) =>
         val r = env(in)
         r.df.groupBy(groupKey(keys, r.df).as("group"))
           .agg(collect_list(struct(r.df.columns.map(col).toIndexedSeq: _*))
@@ -148,10 +159,15 @@ final class PigRunner(spark: SparkSession) {
       }
       val joined = grouped.reduce((a, b) => a.join(b, Seq("group"), "full_outer"))
       // Pig: missing side → EMPTY bag, never null
-      val fixed = inputs.foldLeft(joined) { case (d, (in, _)) =>
+      val fixed = inputs.foldLeft(joined) { case (d, GroupInput(in, _, _)) =>
         d.withColumn(in, coalesce(col(in), array().cast(d.schema(in).dataType)))
       }
-      Relation(fixed, inputs.head._1)
+      // INNER inputs drop groups where that input's bag is empty
+      // (LOCogroup.GROUPTYPE :50-54 — COGROUP ... INNER semantics)
+      val innerFiltered = inputs.filter(_.inner).foldLeft(fixed) {
+        case (d, GroupInput(in, _, _)) => d.filter(size(col(in)) > 0)
+      }
+      Relation(innerFiltered, inputs.head.alias)
 
     case JoinOp(inputs, joinType, using) => join(inputs, joinType, using)
 
@@ -172,6 +188,16 @@ final class PigRunner(spark: SparkSession) {
     case LimitOp(in, n)  =>
       // Spark limit takes Int; a larger-than-int limit is a no-op limit
       if (n >= Int.MaxValue) env(in) else env(in).limit(n.toInt)
+
+    case LimitExprOp(in, e) =>
+      // LIMIT with a scalar expression (QueryParser.g:506) — e.g. a
+      // fraction of COUNT read through a 1-row alias (ReadScalars)
+      val r = env(in)
+      val resolved = resolveScalars(e, spark.emptyDataFrame)
+      val n = spark.range(1).select(
+        compile(resolved, spark.range(1).toDF()).cast(LongType))
+        .head().getLong(0)
+      if (n >= Int.MaxValue) r else r.limit(n.toInt)
     case DistinctOp(in)  => env(in).distinct
     case UnionOp(ins, false) => ins.map(env(_)).reduce(_ union _)
     case UnionOp(ins, true)  => ins.map(env(_)).reduce(_ unionOnSchema _)
@@ -410,8 +436,16 @@ final class PigRunner(spark: SparkSession) {
                             gens: Seq[GenItem]): Relation = {
     val df = r.df
     var nested = Map.empty[String, Column]
+    /** A bag source: an inner alias, an input bag column, or a dotted
+      * bag-field path (`li.l_quantity` → array of that field's values). */
     def bagOf(name: String): Column =
-      nested.getOrElse(name, col(resolve(name, df)))
+      nested.getOrElse(name,
+        if (name.contains('.')) {
+          val parts = name.split('.')
+          val base = nested.getOrElse(parts.head,
+            col(resolve(parts.head, df)))
+          parts.tail.foldLeft(base)((c, f) => c.getField(f))
+        } else col(resolve(name, df)))
     def elemSchema(name: String): StructType =
       typeOf(bagOf(name), df) match {
         case ArrayType(st: StructType, _) => st
@@ -434,6 +468,35 @@ final class PigRunner(spark: SparkSession) {
             })
         case InnerLimit(src, n)   => slice(bagOf(src), 1, n.toInt)
         case InnerDistinct(src)   => array_distinct(bagOf(src))
+        case InnerForeach(src, fgens) => // per-element projection
+          val st = elemSchema(src)
+          transform(bagOf(src), t =>
+            struct(fgens.zipWithIndex.map { case (g, i) =>
+              compileLambda(g.expr, t, st).as(g.alias.getOrElse(g.expr match {
+                case ColRef(n)   => n.split("::").last
+                case Deref(_, f) => f
+                case _           => s"c$i"
+              }))
+            }: _*))
+        case InnerCross(srcs) => // cartesian of the bags, per group
+          require(srcs.size >= 2, "nested CROSS needs two or more bags")
+          def fieldsOf(c: Column): StructType = typeOf(c, df) match {
+            case ArrayType(st: StructType, _) => st
+            case other => throw new IllegalArgumentException(
+              s"nested CROSS over non-tuple bag: $other")
+          }
+          srcs.tail.foldLeft((srcs.head, bagOf(srcs.head))) {
+            case ((_, a), bn) =>
+              val b = bagOf(bn)
+              val (ast, bst) = (fieldsOf(a), fieldsOf(b))
+              val coll = ast.fieldNames.toSet.intersect(bst.fieldNames.toSet)
+              val crossed = flatten(transform(a, x => transform(b, y =>
+                struct((ast.fieldNames.map(f => x.getField(f).as(f)) ++
+                  bst.fieldNames.map(f => y.getField(f).as(
+                    if (coll(f)) s"${bn.split('.').head}__$f" else f)))
+                  .toIndexedSeq: _*))))
+              (bn, crossed)
+          }._2
       }
       nested += alias -> c
     }
@@ -474,6 +537,24 @@ final class PigRunner(spark: SparkSession) {
       }: _*)
     case CastExpr(ty, x) => compileLambda(x, t, st).cast(pigType(ty))
     case Matches(x, p)   => Builtins.MATCHES(compileLambda(x, t, st), p)
+    case FuncCall(name, args) => // scalar subset usable per bag element
+      def ca(i: Int) = compileLambda(args(i), t, st)
+      name match {
+        case "UPPER"   => upper(ca(0))
+        case "LOWER"   => lower(ca(0))
+        case "TRIM"    => trim(ca(0))
+        case "CONCAT"  => concat(args.indices.map(ca): _*)
+        case "SUBSTRING" =>
+          Builtins.SUBSTRING(ca(0), asInt(args(1)), asInt(args(2)))
+        case "ABS"     => abs(ca(0))
+        case "ROUND"   => Builtins.ROUND(ca(0))
+        case "ROUND_TO" => Builtins.ROUND_TO(ca(0), asInt(args(1)))
+        case "FLOOR"   => floor(ca(0))
+        case "CEIL"    => ceil(ca(0))
+        case "SQRT"    => sqrt(ca(0))
+        case other => throw new IllegalArgumentException(
+          s"unsupported function in nested lambda: $other")
+      }
     case other => throw new IllegalArgumentException(
       s"unsupported expression in nested block: $other")
   }

@@ -12,6 +12,11 @@ import scala.collection.mutable
   *  - `DEFINE m(p1, p2) RETURNS r { ... };` — macro definition
   *  - `out = m(a, b);` — macro call expansion ($p1→a, $r→out)
   *  - `DEFINE alias 'command';` — command alias (used by STREAM THROUGH)
+  *  - `DEFINE alias Func('ctorArgs');` — function alias (QueryParser.g:361
+  *    DEFINE func_spec): `alias(x)` expands to `Func(x, 'ctorArgs')` —
+  *    constructor args append after the call args, matching how the
+  *    builtin catalog takes its configuration (dotted package prefixes
+  *    are stripped: only the terminal name resolves).
   */
 object PigPreprocessor {
 
@@ -22,6 +27,7 @@ object PigPreprocessor {
     val vars = mutable.Map[String, String]() ++= params
     val macros = mutable.Map[String, Macro]()
     val cmdDefines = mutable.Map[String, String]()
+    val funcDefines = mutable.Map[String, (String, String)]() // alias → (func, ctorArgs)
     val out = new StringBuilder
 
     var rest = script
@@ -66,15 +72,17 @@ object PigPreprocessor {
       } else if (rest.toUpperCase.startsWith("DEFINE ")) {
         val e = defineEnd(rest)
         parseDefine(rest.take(e)) match {
-          case Left((name, m))  => macros(name) = m
-          case Right((name, c)) => cmdDefines(name) = c
+          case MacroDef(name, m)      => macros(name) = m
+          case CmdDef(name, c)        => cmdDefines(name) = c
+          case FuncDef(name, f, args) => funcDefines(name) = (f, args)
         }
         rest = rest.drop(e + 1)
       } else {
         val e = statementEnd(rest)
         val stmt = rest.take(e)
         rest = rest.drop(e + 1)
-        out.append(expandStatement(stmt, macros.toMap, cmdDefines.toMap, vars.toMap))
+        out.append(expandStatement(stmt, macros.toMap, cmdDefines.toMap,
+          funcDefines.toMap, vars.toMap))
         out.append(";\n")
       }
     }
@@ -100,15 +108,27 @@ object PigPreprocessor {
   }
   private def defineEnd(s: String): Int = statementEnd(s)
 
-  /** DEFINE m(p…) RETURNS r { body }  |  DEFINE alias 'cmd' */
-  private def parseDefine(stmt: String): Either[(String, Macro), (String, String)] = {
+  private sealed trait Define
+  private case class MacroDef(name: String, m: Macro) extends Define
+  private case class CmdDef(name: String, cmd: String) extends Define
+  private case class FuncDef(name: String, func: String,
+                             ctorArgs: String) extends Define
+
+  /** DEFINE m(p…) RETURNS r { body } | DEFINE alias 'cmd'
+    * | DEFINE alias Func('ctor') */
+  private def parseDefine(stmt: String): Define = {
     val m = """(?is)DEFINE\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*\{(.*)\}\s*""".r
     val c = """(?is)DEFINE\s+(\w+)\s+'([^']*)'\s*""".r
+    val f = """(?is)DEFINE\s+(\w+)\s+([\w.$]+)\s*(?:\(([^)]*)\))?\s*""".r
     stmt match {
       case m(name, ps, ret, body) =>
         val params = ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        Left((name, Macro(params, ret, body)))
-      case c(name, cmd) => Right((name, cmd))
+        MacroDef(name, Macro(params, ret, body))
+      case c(name, cmd) => CmdDef(name, cmd)
+      case f(name, func, ctorArgs) =>
+        // dotted package prefixes resolve by terminal name (the builtin
+        // catalog is flat — org.apache.pig.builtin.UPPER → UPPER)
+        FuncDef(name, func.split('.').last, Option(ctorArgs).getOrElse(""))
       case other => throw new IllegalArgumentException(
         s"unsupported DEFINE form: ${other.take(60)}")
     }
@@ -116,6 +136,7 @@ object PigPreprocessor {
 
   private def expandStatement(stmt: String, macros: Map[String, Macro],
                               cmds: Map[String, String],
+                              funcs: Map[String, (String, String)],
                               vars: Map[String, String]): String = {
     val call = """(?s)\s*(\w+)\s*=\s*(\w+)\s*\(([^)]*)\)\s*""".r
     val substituted = substitute(stmt, vars)
@@ -131,8 +152,17 @@ object PigPreprocessor {
         body
       case _ =>
         // STREAM … THROUGH cmdAlias → inline the command string
-        cmds.foldLeft(substituted) { case (s, (name, cmd)) =>
+        val withCmds = cmds.foldLeft(substituted) { case (s, (name, cmd)) =>
           s.replaceAll(s"(?i)THROUGH\\s+$name\\b", s"THROUGH '$cmd'")
+        }
+        // function aliases: alias(args) → Func(args, ctorArgs). Call args
+        // may not contain nested parens (documented v1 limitation).
+        funcs.foldLeft(withCmds) { case (s, (name, (func, ctor))) =>
+          s"""\\b$name\\s*\\(([^()]*)\\)""".r.replaceAllIn(s, mm => {
+            val callArgs = mm.group(1).trim
+            val all = Seq(callArgs, ctor.trim).filter(_.nonEmpty).mkString(", ")
+            java.util.regex.Matcher.quoteReplacement(s"$func($all)")
+          })
         }
     }
   }

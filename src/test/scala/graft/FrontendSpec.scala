@@ -346,6 +346,112 @@ class FrontendSpec extends SparkSpec {
     assert(out.count() == exp)
   }
 
+  test("ASSERT passes silently when the condition holds, fails when not") {
+    val ok = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      ASSERT o BY o_totalprice > 0.0, 'price must be positive';
+      c = FOREACH o GENERATE o_orderkey;
+    """).apply("c").df
+    assert(ok.count() == sf("orders").count())
+    val ex = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        o = LOAD '$dir/orders.parquet';
+        ASSERT o BY o_totalprice > 100000.0, 'all orders must be big';
+        g = GROUP o ALL;
+        c = FOREACH g GENERATE COUNT(o) AS n;
+      """).apply("c").df.collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("COGROUP ... INNER drops empty-bag groups (LOCogroup GROUPTYPE)") {
+    val runner = PigRunner(spark).run(s"""
+      c = LOAD '$dir/customer.parquet';
+      s = LOAD '$dir/supplier.parquet';
+      both  = COGROUP c BY c_nationkey, s BY s_nationkey;
+      inner = COGROUP c BY c_nationkey, s BY s_nationkey INNER;
+      r     = FOREACH inner GENERATE group AS nk, COUNT(c) AS n_cust;
+    """)
+    val nWithSupp = sf("supplier").select("s_nationkey").distinct().count()
+    assert(runner("both").df.count() == 25)
+    assert(runner("inner").df.count() == nWithSupp)
+    assert(runner("r").df.count() == nWithSupp)
+  }
+
+  test("GROUP USING 'collected' / PARTITION BY are accepted as hints") {
+    val out = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      g = GROUP o BY o_custkey USING 'collected' PARTITION BY org.my.Part;
+      r = FOREACH g GENERATE group AS k, COUNT(o) AS n;
+    """).apply("r").df
+    assert(out.count() == sf("orders").select("o_custkey").distinct().count())
+  }
+
+  test("LIMIT with a scalar expression argument") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      g = GROUP n ALL;
+      tenth = FOREACH g GENERATE COUNT(n) / 5 AS k;
+      t = LIMIT n tenth.k;
+    """).apply("t").df
+    assert(out.count() == 5)
+  }
+
+  test("nested FOREACH { } projection and CROSS over bags") {
+    val out = PigRunner(spark).run(s"""
+      li = LOAD '$dir/lineitem.parquet';
+      g  = FOREACH li GENERATE l_orderkey, l_returnflag, l_linestatus;
+      gg = GROUP g BY l_orderkey;
+      t  = FOREACH gg {
+             flags = FOREACH g GENERATE l_returnflag;
+             df    = DISTINCT flags;
+             stats = FOREACH g GENERATE l_linestatus;
+             ds    = DISTINCT stats;
+             x     = CROSS df, ds;
+             GENERATE group AS okey, COUNT(df) AS n_flags, COUNT(x) AS n_pairs;
+           };
+    """).apply("t").df
+    import spark.implicits._
+    val exp = sf("lineitem").groupBy("l_orderkey")
+      .agg(countDistinct("l_returnflag").as("nf"),
+           countDistinct("l_linestatus").as("ns"))
+      .select(col("l_orderkey"), col("nf"), (col("nf") * col("ns")).as("np"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val got = out.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp)
+  }
+
+  test("PigMix-L4 shape: nested DISTINCT over a bag field path") {
+    val out = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      g = GROUP o BY o_custkey;
+      r = FOREACH g {
+            pr = DISTINCT o.o_orderpriority;
+            GENERATE group AS ck, COUNT(o) AS n, SIZE(pr) AS n_prio;
+          };
+    """).apply("r").df
+    import spark.implicits._
+    val exp = sf("orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+           countDistinct("o_orderpriority").as("np"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val got = out.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp)
+  }
+
+  test("DEFINE function alias with ctor args (func_spec form)") {
+    val out = PigRunner(spark).run(s"""
+      DEFINE first3 org.apache.pig.builtin.SUBSTRING(0, 3);
+      DEFINE up UPPER;
+      c = LOAD '$dir/customer.parquet';
+      p = FOREACH c GENERATE first3(c_name) AS pre, up(c_mktsegment) AS seg;
+    """).apply("p").df.head()
+    assert(out.getString(0).length == 3)
+    assert(out.getString(1) == out.getString(1).toUpperCase)
+  }
+
   test("rollup via CUBE BY ROLLUP + flatten of struct group") {
     val out = PigRunner(spark).run(s"""
       o = LOAD '$dir/orders.parquet';

@@ -676,13 +676,17 @@ object SparkEntry {
       graft.ml.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
 
-    // LSH-bucketed ANN variant (approximate → rows-only)
+    // LSH ANN over a PERSISTED bucket-partitioned index: build once, probe
+    // via partition-pruned read + multi-probe (approximate → rows-only)
     "q47_ann_lsh" -> ((s, d) => {
       val emb = T(s, d, "embeddings").df
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
-      graft.ml.Similarity.annTopK(emb, "vec_id", "embedding", q, 10,
-        numPlanes = 4)
+      val path = java.nio.file.Files.createTempDirectory("graft_annidx")
+        .resolve("idx").toString
+      val idx = graft.ml.Similarity.buildAnnIndex(
+        emb, "vec_id", "embedding", numPlanes = 4, path)
+      idx.topK(q, 10, probeRadius = 1)
     }),
 
     // language ID (stopword/CJK heuristic, join-based scalable form —
@@ -831,23 +835,29 @@ object SparkEntry {
              countDistinct(col("l_suppkey")).as("n_supps"),
              COUNT_STAR().as("n")).df),
 
-    // embedding-cosine near-dup pairs, LSH-bucketed (no global cross
-    // join); exact within buckets → oracle-checkable against the full
-    // O(n²) form restricted to high similarity? Bucketing is approximate
-    // → rows-only check; IvfSpec covers recall.
+    // embedding-cosine near-dup pairs: banded multi-plane LSH signatures
+    // with a maxBucket cap (same shape as MinHash LSH — candidates from
+    // shared band-buckets, exact cosine verify on candidates only, never
+    // a cross join). Approximate → rows-only check; HardeningSpec covers
+    // above-threshold correctness.
     "q62_embedding_neardup" -> ((s, d) =>
       graft.ml.Similarity.nearNeighborPairs(
         T(s, d, "embeddings").df, "vec_id", "embedding",
-        threshold = 0.35, numPlanes = 2)),
+        threshold = 0.35, numPlanes = 32, numBands = 8)),
 
-    // IVF ANN: k-means coarse quantizer (deterministic seeded init) +
-    // nprobe nearest-cell search (rows-only; IvfSpec asserts recall)
+    // IVF ANN: k-means coarse quantizer (deterministic seeded init), the
+    // assignment WRITTEN cell-partitioned, probe via partition-pruned
+    // read of the nprobe nearest cells (rows-only; IvfSpec asserts recall)
     "q63_ann_ivf" -> ((s, d) => {
       val emb = T(s, d, "embeddings").df
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
       val model = graft.ml.Ivf.fit(emb, "embedding", k = 8, iters = 3)
-      graft.ml.Ivf.search(model, q, topK = 10, nprobe = 2)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+        .resolve("idx").toString
+      graft.ml.Ivf.writeIndex(model, path)
+      graft.ml.Ivf.searchIndex(s, path, model.centroids, "vec_id",
+        "embedding", q, topK = 10, nprobe = 2)
     }),
 
     // token-window chunking with overlap (training-data prep; exact

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -100,6 +100,55 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH signature: bit p is the sign of the projection of
+  * the vector onto pseudo-random hyperplane p. The hyperplane's ±1
+  * components are derived per (plane, dim) from a stateless SplitMix64-ish
+  * bit-mix — no RNG state, so the same signature is computed on every
+  * executor AND on the driver ([[VectorExpressions.signatureOf]] is the
+  * bit-identical Scala twin used to bucket a literal query vector).
+  *
+  * Native expression (not array HOFs) because `zip_with`/`aggregate`
+  * lambdas are interpreted per element: for a 64-dim vector and 32 planes
+  * that is ~2k closure dispatches per row vs one tight primitive loop in
+  * whole-stage codegen here.
+  */
+case class HyperplaneSignature(child: Expression, numPlanes: Int)
+    extends UnaryExpression {
+  require(numPlanes >= 1 && numPlanes <= 63,
+    s"numPlanes must be in [1, 63], got $numPlanes")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_signature"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorExpressions.signatureOfArray(
+      v.asInstanceOf[ArrayData].toFloatArray(), numPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val x = ctx.freshName("x"); val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val proj = ctx.freshName("proj"); val h = ctx.freshName("h")
+      s"""
+        float[] $x = $a.toFloatArray();
+        long $sig = 0L;
+        for (int $p = 0; $p < $numPlanes; $p++) {
+          double $proj = 0.0;
+          for (int $i = 0; $i < $x.length; $i++) {
+            long $h = $p * 0x9E3779B97F4A7C15L + $i * 0xC2B2AE3D27D4EB4FL;
+            $h ^= ($h >>> 33); $h *= 0xFF51AFD7ED558CCDL; $h ^= ($h >>> 33);
+            $proj += ((($h & 1L) == 1L) ? 1.0 : -1.0) * (double) $x[$i];
+          }
+          if ($proj >= 0.0) $sig |= (1L << $p);
+        }
+        ${ev.value} = $sig;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.bridge
 
@@ -108,6 +157,34 @@ object VectorExpressions {
 
   def dot_product(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  def hyperplane_signature(vec: Column, numPlanes: Int): Column =
+    bridge.column(HyperplaneSignature(bridge.expression(vec), numPlanes))
+
+  /** Driver-side twin of [[HyperplaneSignature]] — same mix constants,
+    * same index-order double accumulation, bit-identical results. Used to
+    * compute the probe bucket(s) of a literal query vector without a
+    * Spark job. */
+  def signatureOfArray(x: Array[Float], numPlanes: Int): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var proj = 0.0
+      var i = 0
+      while (i < x.length) {
+        var h = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+        h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+        proj += (if ((h & 1L) == 1L) 1.0 else -1.0) * x(i).toDouble
+        i += 1
+      }
+      if (proj >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  def signatureOf(vec: Seq[Float], numPlanes: Int): Long =
+    signatureOfArray(vec.toArray, numPlanes)
 
   /** SQL registration (DEFINE-style). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

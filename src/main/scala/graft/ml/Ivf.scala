@@ -66,10 +66,11 @@ object Ivf {
     Model(assigned, centroids, idCol, vecCol)
   }
 
-  /** Probe the nprobe nearest cells, exact cosine top-k inside them. */
-  def search(model: Model, query: Seq[Float], topK: Int,
-             nprobe: Int): DataFrame = {
-    val qSims = model.centroids.map { c =>
+  /** The query's nprobe nearest cells by centroid cosine — computed on the
+    * driver over the k centroid literals (k is small by construction). */
+  def probeCells(centroids: Array[Seq[Float]], query: Seq[Float],
+                 nprobe: Int): Seq[Int] = {
+    val qSims = centroids.map { c =>
       val n = math.min(c.length, query.length)
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -79,12 +80,42 @@ object Ivf {
       }
       if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val probeCells = qSims.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2)
-    model.assigned
-      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
-      .select(col(model.idCol),
-        round(cosine_sim(col(model.vecCol), typedlit(query)), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col(model.idCol))
-      .limit(topK)
+    qSims.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2).toIndexedSeq
   }
+
+  /** Probe the nprobe nearest cells, exact cosine top-k inside them.
+    * In-memory form over the Model's lazily-defined assignment — each probe
+    * re-scans and re-classifies the corpus, so this is for one-shot /
+    * small-corpus use only. The scale path is [[writeIndex]] +
+    * [[searchIndex]]: the assignment persisted cell-partitioned, probes
+    * pruned at the file level. */
+  def search(model: Model, query: Seq[Float], topK: Int,
+             nprobe: Int): DataFrame =
+    topKInCells(model.assigned, probeCells(model.centroids, query, nprobe),
+      model.idCol, model.vecCol, query, topK)
+
+  /** INDEX step — write the assigned table PARTITIONED BY CELL. At 100 TB
+    * this layout is the entire point of IVF: a probe reads only its nprobe
+    * cells' files (partition pruning on the `cell` directory column)
+    * instead of scanning the corpus. */
+  def writeIndex(model: Model, path: String): Unit =
+    model.assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** SEARCH over a written index: partition-pruned read of the nprobe
+    * nearest cells, exact cosine top-k within. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  centroids: Array[Seq[Float]], idCol: String, vecCol: String,
+                  query: Seq[Float], topK: Int, nprobe: Int): DataFrame =
+    topKInCells(spark.read.parquet(path), probeCells(centroids, query, nprobe),
+      idCol, vecCol, query, topK)
+
+  private def topKInCells(assigned: DataFrame, cells: Seq[Int], idCol: String,
+                          vecCol: String, query: Seq[Float],
+                          topK: Int): DataFrame =
+    assigned
+      .filter(col("cell").isin(cells: _*))
+      .select(col(idCol),
+        round(cosine_sim(col(vecCol), typedlit(query)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
 }

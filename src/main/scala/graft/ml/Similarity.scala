@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -50,52 +50,97 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component: ±1 derived from a
-    * bit-mix of (plane, dim) — no RNG state, same plane on every executor. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    when(pmod(hash(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
-
-  /** Signed projection of a vector onto pseudo-random hyperplane `p`. */
-  private def projectionSign(vec: Column, plane: Int): Column = {
-    val proj = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast(DoubleType) * planeComponent(plane, i)),
-      lit(0.0), (acc, x) => acc + x)
-    when(proj >= 0, lit(1L)).otherwise(lit(0L))
-  }
+  /** Random-hyperplane LSH signature — `numPlanes` sign bits packed into a
+    * long. A native codegen'd expression (tight primitive loop), NOT array
+    * HOFs (interpreted lambdas); the driver-side twin
+    * [[graft.functions.VectorExpressions.signatureOf]] is bit-identical so
+    * a literal query vector can be bucketed without a Spark job. */
+  def lshSignature(vec: Column, numPlanes: Int): Column =
+    graft.functions.VectorExpressions.hyperplane_signature(vec, numPlanes)
 
   /** LSH bucket id from `numPlanes` sign bits (2^numPlanes buckets). */
   def lshBucket(vec: Column, numPlanes: Int): Column =
-    (0 until numPlanes).map(p =>
-      shiftleft(projectionSign(vec, p), p)).reduce((a, b) => a.bitwiseOR(b))
+    lshSignature(vec, numPlanes)
 
-  /** ANN top-k: probe only the query's LSH bucket, then exact cosine rank
-    * within it. Approximate — recall depends on numPlanes; the same
-    * signature logic computed once over the corpus can be persisted as a
-    * bucket-partitioned table for repeated queries. */
+  /** The query's probe set: its own bucket plus every bucket within
+    * hamming distance `radius` (multi-probe LSH — near neighbors that fell
+    * one sign-flip away are recovered without a second index). */
+  def multiProbeBuckets(sig: Long, numPlanes: Int, radius: Int = 1): Seq[Long] = {
+    def masks(start: Int, r: Int): Seq[Long] =
+      if (r == 0) Seq(0L)
+      else (start until numPlanes).flatMap(p =>
+        masks(p + 1, r - 1).map(m => m | (1L << p)))
+    (0 to radius).flatMap(r => masks(0, r)).distinct.map(sig ^ _)
+  }
+
+  /** ANN top-k without a prebuilt index: one scan that keeps only rows in
+    * the query's multi-probe bucket set, exact cosine rank within.
+    * Approximate — recall depends on numPlanes/probeRadius. For repeated
+    * queries build an [[AnnIndex]] instead: the same signature persisted
+    * bucket-partitioned, so a probe READS only its buckets' files. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
-              query: Seq[Float], k: Int, numPlanes: Int = 4): DataFrame = {
+              query: Seq[Float], k: Int, numPlanes: Int = 4,
+              probeRadius: Int = 1): DataFrame = {
     val q = typedlit(query)
-    val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), numPlanes))
-    val queryBucket = lshBucket(q, numPlanes)
-    bucketed.filter(col("bucket") === queryBucket)
+    val qSig = graft.functions.VectorExpressions.signatureOf(query, numPlanes)
+    val probes = multiProbeBuckets(qSig, numPlanes, probeRadius)
+    emb.filter(lshSignature(col(vecCol), numPlanes).isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
 
-  /** All-pairs near neighbors above a cosine threshold, LSH-bucketed so
-    * only same-bucket pairs are compared (never a global cross join). */
+  /** A persisted LSH index: the corpus written PARTITIONED BY BUCKET, so a
+    * probe's `bucket IN (…)` filter prunes at the file level — at 100 TB a
+    * query reads (probes/2^numPlanes) of the corpus instead of all of it.
+    * This is the repeated-query scale path the one-shot [[annTopK]] scan
+    * can't offer. */
+  final case class AnnIndex(spark: SparkSession, path: String,
+                            idCol: String, vecCol: String, numPlanes: Int) {
+    def topK(query: Seq[Float], k: Int, probeRadius: Int = 1): DataFrame = {
+      val qSig = graft.functions.VectorExpressions.signatureOf(query, numPlanes)
+      val probes = multiProbeBuckets(qSig, numPlanes, probeRadius)
+      val q = typedlit(query)
+      spark.read.parquet(path)
+        .filter(col("bucket").isin(probes: _*)) // partition-pruned read
+        .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col(idCol))
+        .limit(k)
+    }
+  }
+
+  /** Build the bucket-partitioned index: one signature scan, one write. */
+  def buildAnnIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    numPlanes: Int, path: String): AnnIndex = {
+    emb.select(col(idCol), col(vecCol),
+        lshSignature(col(vecCol), numPlanes).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    AnnIndex(emb.sparkSession, path, idCol, vecCol, numPlanes)
+  }
+
+  /** All-pairs near neighbors above a cosine threshold — banded
+    * multi-plane signatures, exactly the MinHash-LSH shape: `numPlanes`
+    * sign bits split into `numBands` bands; two vectors are candidates iff
+    * they agree on EVERY bit of ≥1 band (2^(planes/band) buckets per band,
+    * not the 2^numPlanes-total of a single signature). Buckets larger than
+    * `maxBucket` are dropped ([[graft.text.Dedup.cappedCandidatePairs]]),
+    * so degenerate corpora can't go quadratic; exact cosine verifies
+    * candidates only. Never a global cross join. */
   def nearNeighborPairs(emb: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, numPlanes: Int = 4): DataFrame = {
-    val bucketed = emb.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+                        threshold: Double, numPlanes: Int = 32,
+                        numBands: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    require(numPlanes % numBands == 0,
+      s"numPlanes ($numPlanes) must be a multiple of numBands ($numBands)")
+    val ppb = numPlanes / numBands
+    val buckets = emb
+      .select(col(idCol), lshSignature(col(vecCol), numPlanes).as("sig"))
+      .select(col(idCol), posexplode(array((0 until numBands).map(b =>
+          shiftright(col("sig"), b * ppb).bitwiseAND(lit((1L << ppb) - 1))): _*))
+        .as(Seq("band", "bucket")))
+    val pairs = graft.text.Dedup.cappedCandidatePairs(buckets, idCol, maxBucket)
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

@@ -103,8 +103,17 @@ object Dedup {
     * bounds per-bucket work, the same role as Pig's skewed-join sampling). */
   def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
                         numBands: Int, rowsPerBand: Int,
-                        maxBucket: Int = 1000): DataFrame = {
-    val buckets = lshBuckets(df, idCol, sigCol, numBands, rowsPerBand)
+                        maxBucket: Int = 1000): DataFrame =
+    cappedCandidatePairs(
+      lshBuckets(df, idCol, sigCol, numBands, rowsPerBand), idCol, maxBucket)
+
+  /** Shared bucket→pairs step for every LSH family (MinHash bands, SimHash
+    * chunks, random-hyperplane bands): group a `(idCol, band, bucket)`
+    * frame per (band, bucket), DROP buckets larger than `maxBucket`
+    * (degenerate content would otherwise go quadratic), and emit distinct
+    * (id_a < id_b) candidate pairs. */
+  def cappedCandidatePairs(buckets: DataFrame, idCol: String,
+                           maxBucket: Int): DataFrame = {
     val grouped = buckets.groupBy(col("band"), col("bucket"))
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
@@ -261,22 +270,26 @@ object Dedup {
 
   /** SimHash near-dup candidates: band the 64-bit signature into four
     * 16-bit chunks (docs within hamming distance 3 share ≥1 exact chunk),
-    * bucket-join, verify by hamming ≤ maxDistance. */
-  def simhashNearDups(sigs: DataFrame, idCol: String,
-                      maxDistance: Int = 3): DataFrame = {
-    val chunked = sigs.select(col(idCol), col("simhash"),
+    * bucket the chunks, verify candidate pairs by hamming ≤ maxDistance.
+    * Buckets over `maxBucket` ids are dropped — one hot chunk (degenerate
+    * near-identical corpora) would otherwise produce a quadratic pair
+    * blow-up, the same guard as [[lshCandidatePairs]]. */
+  def simhashNearDups(sigs0: DataFrame, idCol: String,
+                      maxDistance: Int = 3,
+                      maxBucket: Int = 1000): DataFrame = {
+    // the signature aggregation feeds three consumers (chunking + both
+    // verify sides) — persist it once instead of re-running the token scan
+    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunked = sigs.select(col(idCol),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("chunk_idx"), col("chunk"),
-      col(idCol).as("id_a"), col("simhash").as("sig_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"),
-      col(idCol).as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .filter(col("id_a") < col("id_b"))
+        .as(Seq("band", "bucket")))
+    val pairs = cappedCandidatePairs(chunked, idCol, maxBucket)
+    val a = sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a"))
+    val b = sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         hamming(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDistance)
   }
 }

@@ -39,6 +39,33 @@ object GraftSession {
     spark
   }
 
+  // -------------------------------------------------------------------
+  // Tracked persisted intermediates. SPLIT inputs and the dedup/LSH
+  // shared subplans persist() so multi-consumer plans don't re-scan the
+  // source — but an untracked persist leaks executor memory/disk for the
+  // session's lifetime. Every persist in the library registers here;
+  // harnesses (Bench/Verify between queries, PigRunner.close()) release
+  // them. unpersist() is lazy-safe: a not-yet-materialized cache entry is
+  // simply dropped.
+  private val persisted =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
+
+  /** Persist (MEMORY_AND_DISK) and register for later release. */
+  def trackPersist(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.add(df)
+    df
+  }
+
+  /** Release every tracked persisted intermediate (non-blocking). */
+  def unpersistAll(): Unit = {
+    var d = persisted.poll()
+    while (d != null) {
+      try d.unpersist(blocking = false) catch { case _: Throwable => () }
+      d = persisted.poll()
+    }
+  }
+
   /** Standalone builder (tests, local runs). */
   def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
     val s = SparkSession.builder()

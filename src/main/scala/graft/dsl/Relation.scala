@@ -173,10 +173,11 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
   }
 
   // SPLIT r INTO x IF c, y IF c2 — conditions may overlap; input is
-  // persisted so each branch does not re-scan the source (Pig's
+  // persisted (tracked — released by GraftSession.unpersistAll or
+  // PigRunner.close) so each branch does not re-scan the source (Pig's
   // MultiQueryOptimizer equivalence — SURVEY §4.3 #2).
   def split(conds: (String, Column)*): Map[String, Relation] = {
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+    graft.GraftSession.trackPersist(df)
     conds.map { case (n, c) => n -> new Relation(df.filter(c), n) }.toMap
   }
   /** SPLIT … OTHERWISE branch: rows matching none of the given conditions.
@@ -257,9 +258,13 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
 
   // Scalar projection: a 1-row relation used as a scalar (reference:
   // ScalarExpression.java + ReadScalars.java — errors if >1 row). The
-  // aggregate is computed once and broadcast-joined, not collected.
-  def withScalar(scalarName: String, agg: Column): Relation =
-    derived(df.crossJoin(broadcast(df.agg(agg.as(scalarName)))))
+  // aggregate is computed once and broadcast-joined, not collected. The
+  // input feeds both the aggregate and the main scan — persist it once
+  // (tracked) instead of reading the source twice.
+  def withScalar(scalarName: String, agg: Column): Relation = {
+    val cached = graft.GraftSession.trackPersist(df)
+    derived(cached.crossJoin(broadcast(cached.agg(agg.as(scalarName)))))
+  }
 
   /** PluckTuple (reference: PluckTuple.java:62): project columns by name
     * prefix — the idiom for grabbing one side of a join. */

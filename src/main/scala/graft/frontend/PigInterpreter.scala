@@ -36,6 +36,12 @@ final class PigRunner(spark: SparkSession) {
 
   def relations: Map[String, Relation] = env.toMap
   def apply(alias: String): Relation = env(alias)
+
+  /** Release persisted intermediates this runner's statements created
+    * (SPLIT inputs, scalar-projection caches). Call when the script's
+    * results have been consumed — long-lived sessions running many
+    * scripts would otherwise accumulate cached plans. */
+  def close(): Unit = graft.GraftSession.unpersistAll()
   /** The most recently ASSIGNED relation (LinkedHashMap keeps the original
     * slot on re-assignment, so `relations.last` would be wrong after
     * `a = …; b = …; a = …`). */
@@ -73,9 +79,10 @@ final class PigRunner(spark: SparkSession) {
       val rel = env(in)
       val conds = branches.map { case (a, e) => (a, compile(e, rel.df)) }
       val parts = rel.split(conds: _*)
-      parts.foreach { case (a, r) => env(a) = r }
+      parts.foreach { case (a, r) => env(a) = r; groupMeta.remove(a) }
       otherwise.foreach { a =>
         env(a) = rel.filter(rel.splitOtherwise(conds.map(_._2): _*)).as(a)
+        groupMeta.remove(a)
       }
       lastAlias = Some(otherwise.getOrElse(branches.last._1))
     case StoreStmt(alias, path, using) =>
@@ -93,6 +100,9 @@ final class PigRunner(spark: SparkSession) {
       val r = env(alias)
       env(alias) = r.assertBy(compile(resolveScalars(cond, r.df), r.df),
         msg.getOrElse(s"Assertion violated: $alias")).as(alias)
+      // the rebound relation carries the assertion filter — fusing a
+      // downstream FOREACH against the pre-group input would bypass it
+      groupMeta.remove(alias)
     case DumpStmt(alias)     => env(alias).dump()
     case DescribeStmt(alias) => env(alias).describe()
     case ExplainStmt(alias)  => env(alias).explain()
@@ -236,7 +246,13 @@ final class PigRunner(spark: SparkSession) {
       case Deref(ColRef(b), f) if b == m.bagName => Some(ColRef(f))
       case ColRef(b) if b == m.bagName => Some(Star) // whole-bag marker
       case ColRef("group") | Deref(ColRef("group"), _) => None
-      case Lit(_) | PosRef(_) => Some(e)
+      case Lit(_) => Some(e)
+      // On the bagged (group, bag) frame $1 IS the bag (single-input
+      // GROUP only — cube/rollup frames lay out dims first). $0 is the
+      // group key and anything else is out of range: abort fusion so the
+      // bag path resolves positions against the grouped tuple.
+      case PosRef(1) if m.kind == "group" => Some(Star)
+      case PosRef(_) => None
       case BinOp(op, l, r) =>
         for (a <- bagArg(l); b <- bagArg(r)) yield BinOp(op, a, b)
       case Neg(x)  => bagArg(x).map(Neg)
@@ -257,6 +273,12 @@ final class PigRunner(spark: SparkSession) {
       val rewritten = args.map(bagArg)
       if (!rewritten.forall(_.isDefined)) return None
       val as = rewritten.map(_.get)
+      // The whole-bag marker is only sound for COUNT/COUNT_STAR (COUNT's
+      // null rule keys off the FIRST field). SUM/AVG/MIN/MAX over a
+      // multi-field bag is a Pig type error — abort fusion and let the
+      // bag path raise it instead of silently folding column #0.
+      if (as.contains(Star) && name != "COUNT" && name != "COUNT_STAR")
+        return None
       def c(e: Expr): Column = e match {
         case Star => // whole bag → the input row; meaning depends on the agg
           col(m.input.columns.head)

@@ -150,9 +150,9 @@ object PigPreprocessor {
         // expand the macro body (may itself contain multiple statements)
         val body = substitute(mac.body, bindings).trim.stripSuffix(";")
         body
-      case _ =>
+      case _ => mapOutsideQuotes(substituted) { seg =>
         // STREAM … THROUGH cmdAlias → inline the command string
-        val withCmds = cmds.foldLeft(substituted) { case (s, (name, cmd)) =>
+        val withCmds = cmds.foldLeft(seg) { case (s, (name, cmd)) =>
           s.replaceAll(s"(?i)THROUGH\\s+$name\\b", s"THROUGH '$cmd'")
         }
         // function aliases: alias(args) → Func(args, ctorArgs). Call args
@@ -164,7 +164,30 @@ object PigPreprocessor {
             java.util.regex.Matcher.quoteReplacement(s"$func($all)")
           })
         }
+      }
     }
+  }
+
+  /** Apply `f` to the regions of `s` OUTSIDE single-quoted string literals,
+    * so alias/command expansion can't rewrite text inside a quoted literal
+    * (e.g. a LOAD path or regex that happens to contain `alias(...)`).
+    * Escaped quotes (\') inside a literal don't terminate it. */
+  private def mapOutsideQuotes(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    var i = 0; var start = 0; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr && c == '\\' && i + 1 < s.length) i += 1 // skip escaped char
+      else if (!inStr && c == '\'') {
+        out.append(f(s.substring(start, i))); start = i; inStr = true
+      } else if (inStr && c == '\'') {
+        out.append(s.substring(start, i + 1)); start = i + 1; inStr = false
+      }
+      i += 1
+    }
+    if (inStr) out.append(s.substring(start)) // unterminated: keep verbatim
+    else out.append(f(s.substring(start)))
+    out.toString
   }
 
   /** Replace $name for each binding (leaves positional $0… alone). */

@@ -101,8 +101,17 @@ object Similarity {
       val qSig = graft.functions.VectorExpressions.signatureOf(query, numPlanes)
       val probes = multiProbeBuckets(qSig, numPlanes, probeRadius)
       val q = typedlit(query)
-      spark.read.parquet(path)
-        .filter(col("bucket").isin(probes: _*)) // partition-pruned read
+      val idx = spark.read.parquet(path)
+      // the partition column's type comes from directory-name inference
+      // (IntegerType when values fit, StringType if inference is off) —
+      // match the probe literals to it exactly so the filter both matches
+      // and PRUNES without relying on implicit casts
+      val typedProbes: Seq[Any] = idx.schema("bucket").dataType match {
+        case IntegerType => probes.map(p => p.toInt: Any)
+        case StringType  => probes.map(p => p.toString: Any)
+        case _           => probes
+      }
+      idx.filter(col("bucket").isin(typedProbes: _*)) // partition-pruned read
         .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col(idCol))
         .limit(k)
@@ -132,14 +141,19 @@ object Similarity {
     require(numPlanes % numBands == 0,
       s"numPlanes ($numPlanes) must be a multiple of numBands ($numBands)")
     val ppb = numPlanes / numBands
-    val buckets = emb
-      .select(col(idCol), lshSignature(col(vecCol), numPlanes).as("sig"))
+    // the (id, vec, sig) projection feeds three consumers (banding + both
+    // verify sides) — persist it once (tracked), mirroring the Dedup
+    // pipelines, instead of re-evaluating the embedding scan per consumer
+    val base = graft.GraftSession.trackPersist(
+      emb.select(col(idCol), col(vecCol).as("__vec"),
+        lshSignature(col(vecCol), numPlanes).as("sig")))
+    val buckets = base
       .select(col(idCol), posexplode(array((0 until numBands).map(b =>
           shiftright(col("sig"), b * ppb).bitwiseAND(lit((1L << ppb) - 1))): _*))
         .as(Seq("band", "bucket")))
     val pairs = graft.text.Dedup.cappedCandidatePairs(buckets, idCol, maxBucket)
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val a = base.select(col(idCol).as("id_a"), col("__vec").as("vec_a"))
+    val b = base.select(col(idCol).as("id_b"), col("__vec").as("vec_b"))
     pairs.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.graft.bridge
 
 /** Pig's bloom join (reference: BuildBloom/Bloom UDF pair,
   * P/builtin/BuildBloom.java:54 + Tez POBuildBloomRearrangeTez) made
@@ -13,9 +15,13 @@ import org.apache.spark.sql.functions._
   * first and Catalyst won't inject the filter.
   *
   * The filter is built distributed (`stat.bloomFilter` aggregates
-  * per-partition sketches) and broadcast by value; the big side's scan
-  * then drops non-candidates at the source, so only candidate rows pay
-  * the shuffle — the whole point at 100 TB.
+  * per-partition sketches) over `xxhash64(key)` — hashing to a long up
+  * front gives every key type one code path and lets the probe side use
+  * Catalyst's native [[BloomFilterMightContain]] predicate (the same
+  * expression Spark's own injected runtime filters use), which stays
+  * inside whole-stage codegen. A Scala-UDF probe would put a codegen
+  * boundary + per-row boxing on the 100 TB side of the join; the native
+  * predicate costs one hash and one bit-test per row.
   */
 object BloomJoin {
 
@@ -30,29 +36,43 @@ object BloomJoin {
       s"joins (got $joinType) — unmatched big-side rows must survive " +
       "outer/anti joins")
 
+  /** Native might-contain predicate over a driver-built filter: the
+    * serialized filter rides into the plan as one BinaryType literal
+    * (broadcast with the task closure), probed via codegen — no UDF. */
+  private def mightContain(bf: org.apache.spark.util.sketch.BloomFilter,
+                           key: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bridge.column(BloomFilterMightContain(
+      bridge.expression(lit(bos.toByteArray)),
+      bridge.expression(xxhash64(key))))
+  }
+
+  /** Bloom-pre-filtered equi-join, any key type (keys are xxhash64'd on
+    * both sides, so build and probe agree for longs, strings, dates…).
+    * Null big-side keys are dropped up front — they cannot match an
+    * inner/semi join anyway, and skipping them keeps the probe null-free. */
+  def join(big: DataFrame, small: DataFrame,
+           bigKey: String, smallKey: String,
+           expectedItems: Long = 1000000L, fpp: Double = 0.03,
+           joinType: String = "inner"): DataFrame = {
+    checkJoinType(joinType)
+    val bf = small.filter(col(smallKey).isNotNull)
+      .select(xxhash64(col(smallKey)).as("__bloom_key"))
+      .stat.bloomFilter("__bloom_key", expectedItems, fpp)
+    big.filter(col(bigKey).isNotNull && mightContain(bf, col(bigKey)))
+      .join(small, col(bigKey) === col(smallKey), joinType)
+  }
+
   def joinLongKey(big: DataFrame, small: DataFrame,
                   bigKey: String, smallKey: String,
                   expectedItems: Long = 1000000L, fpp: Double = 0.03,
-                  joinType: String = "inner"): DataFrame = {
-    checkJoinType(joinType)
-    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k))
-    big.filter(mightContain(col(bigKey)))
-      .join(small, col(bigKey) === col(smallKey), joinType)
-  }
+                  joinType: String = "inner"): DataFrame =
+    join(big, small, bigKey, smallKey, expectedItems, fpp, joinType)
 
   def joinStringKey(big: DataFrame, small: DataFrame,
                     bigKey: String, smallKey: String,
                     expectedItems: Long = 1000000L, fpp: Double = 0.03,
-                    joinType: String = "inner"): DataFrame = {
-    checkJoinType(joinType)
-    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: String) =>
-      k != null && bc.value.mightContainString(k))
-    big.filter(mightContain(col(bigKey)))
-      .join(small, col(bigKey) === col(smallKey), joinType)
-  }
+                    joinType: String = "inner"): DataFrame =
+    join(big, small, bigKey, smallKey, expectedItems, fpp, joinType)
 }

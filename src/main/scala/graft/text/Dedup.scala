@@ -191,8 +191,7 @@ object Dedup {
       .filter(size(TextAnalysis.tokens(col(textCol))) < n)
       .select(col(idCol),
         concat_ws(" ", TextAnalysis.tokens(col(textCol))).as("gram"))
-    val grams = longGrams.union(shortDocs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = graft.GraftSession.trackPersist(longGrams.union(shortDocs))
     val sigs = minhashSignaturesFromGrams(grams, idCol, "gram", numHashes)
     val pairs = lshCandidatePairs(sigs, idCol, "sig",
       numBands, numHashes / numBands)
@@ -227,11 +226,11 @@ object Dedup {
                           shingler: Column => Column, numHashes: Int,
                           numBands: Int, threshold: Double): DataFrame = {
     // The shingle scan feeds three consumers (signing, and both sides of
-    // the verify join) — persist it once. At 100 TB this intermediate
-    // would be a checkpointed table; the plan shape is the same.
-    val shingled = df.select(col(idCol),
-      shingler(col(textCol)).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the verify join) — persist it once (tracked). At 100 TB this
+    // intermediate would be a checkpointed table; the plan shape is the
+    // same.
+    val shingled = graft.GraftSession.trackPersist(
+      df.select(col(idCol), shingler(col(textCol)).as("shingles")))
     val sigs = minhashSignatures(shingled, idCol, numHashes)
     val pairs = lshCandidatePairs(sigs, idCol, "sig",
       numBands, numHashes / numBands)
@@ -278,8 +277,9 @@ object Dedup {
                       maxDistance: Int = 3,
                       maxBucket: Int = 1000): DataFrame = {
     // the signature aggregation feeds three consumers (chunking + both
-    // verify sides) — persist it once instead of re-running the token scan
-    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verify sides) — persist it once (tracked) instead of re-running the
+    // token scan
+    val sigs = graft.GraftSession.trackPersist(sigs0)
     val chunked = sigs.select(col(idCol),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))

@@ -462,4 +462,66 @@ class FrontendSpec extends SparkSpec {
       .count().count()
     assert(out.count() == exp)
   }
+
+  test("COUNT($1) on a grouped alias counts the BAG with Pig's null rule") {
+    // $1 on the (group, bag) frame is the bag; COUNT skips tuples whose
+    // FIRST field is null (COUNT.java:54). The fused path must agree with
+    // the explicit-bag form, not count an input column by position.
+    val out = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      p = FOREACH o GENERATE
+            (o_totalprice > 150000.0 ? NULL : o_orderstatus) AS flag,
+            o_orderpriority AS prio;
+      g = GROUP p BY prio;
+      r = FOREACH g GENERATE group AS prio, COUNT($$1) AS cnt,
+                             COUNT_STAR($$1) AS n;
+    """).apply("r").df.collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val exp = sf("orders")
+      .select(when($"o_totalprice" > 150000.0, lit(null))
+                .otherwise($"o_orderstatus").as("flag"),
+              $"o_orderpriority".as("prio"))
+      .groupBy("prio")
+      .agg(count($"flag").as("cnt"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out == exp)
+    assert(out.values.exists { case (cnt, n) => cnt < n }) // nulls were real
+  }
+
+  test("SUM($1) over a multi-field bag aborts fusion and type-errors") {
+    // Pig type-errors on SUM over a bag of multi-field tuples; the fused
+    // path must not silently fold the input's first column instead.
+    val ex = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        o = LOAD '$dir/orders.parquet';
+        g = GROUP o BY o_orderstatus;
+        r = FOREACH g GENERATE group, SUM($$1) AS s;
+      """).apply("r").df.collect()
+    }
+    assert(ex != null)
+  }
+
+  test("ASSERT on a grouped alias is not bypassed by downstream fusion") {
+    // the assert rebinding must invalidate the fusion provenance: the
+    // downstream FOREACH has to read through the (failing) assertion
+    val ex = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        o = LOAD '$dir/orders.parquet';
+        g = GROUP o BY o_orderstatus;
+        ASSERT g BY SIZE(o) < 2, 'no group may have 2+ orders';
+        r = FOREACH g GENERATE group, COUNT(o) AS n;
+      """).apply("r").df.collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("DEFINE alias expansion leaves quoted string literals untouched") {
+    val expanded = graft.frontend.PigPreprocessor.expand("""
+      DEFINE up UPPER;
+      a = LOAD 'x';
+      b = FOREACH a GENERATE up(name) AS u, 'keep up(raw) verbatim' AS s;
+    """)
+    assert(expanded.contains("UPPER(name)"))
+    assert(expanded.contains("'keep up(raw) verbatim'"))
+  }
 }

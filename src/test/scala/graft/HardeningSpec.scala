@@ -22,7 +22,8 @@ class HardeningSpec extends SparkSpec {
 
   test("nearNeighborPairs finds only above-threshold same-bucket pairs") {
     val pairs = Similarity.nearNeighborPairs(sf("embeddings"),
-      "vec_id", "embedding", threshold = 0.3, numPlanes = 2).collect()
+      "vec_id", "embedding", threshold = 0.3,
+      numPlanes = 16, numBands = 8).collect()
     assert(pairs.forall(_.getDouble(2) >= 0.3))
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }

@@ -95,4 +95,25 @@ class TypesSpec extends SparkSpec {
       o, c, "o_custkey", "c_custkey", expectedItems = 10000).count()
     assert(bloom == plain)
   }
+
+  test("bloom join probes with a native predicate — no UDF in the plan") {
+    val joined = graft.operators.BloomJoin.joinStringKey(
+      sf("orders"), sf("customer").limit(100).withColumn("ck",
+        $"c_custkey".cast("string")),
+      "o_orderstatus", "ck", expectedItems = 1000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"native probe missing:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF on the probe side:\n$plan")
+  }
+
+  test("bloom join string keys equal plain join") {
+    val o = sf("orders")
+    val c = sf("customer").filter($"c_acctbal" > 5000)
+      .withColumn("ck", $"c_custkey".cast("string"))
+    val oo = o.withColumn("ok", $"o_custkey".cast("string"))
+    val plain = oo.join(c, $"ok" === $"ck").count()
+    val bloom = graft.operators.BloomJoin.joinStringKey(
+      oo, c, "ok", "ck", expectedItems = 10000).count()
+    assert(bloom == plain)
+  }
 }

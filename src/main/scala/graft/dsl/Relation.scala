@@ -153,6 +153,23 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
   // WeightedRangePartitioner — but built into Catalyst's Sort).
   def orderBy(cols: Column*): Relation = derived(df.orderBy(cols: _*))
 
+  /** ORDER … USING comparator migration shim (reference:
+    * ComparisonFunc.java + QueryParser.g:530-543). A Java comparator is a
+    * black box Catalyst cannot range-partition by, so the custom-comparator
+    * form is inexpressible as-is; the recipe is to re-express the
+    * comparator as a computed KEY and total-order by that key — which keeps
+    * the sample-based RangePartitioner (no single-partition stage) and
+    * whole-stage codegen. The key columns are dropped after the sort. */
+  def sortByComputedKey(keys: (Column, Boolean)*): Relation = {
+    val named = keys.zipWithIndex.map { case ((c, asc), i) =>
+      (s"__sortkey_$i", c, asc) }
+    val withKeys = named.foldLeft(df) { case (d, (n, c, _)) =>
+      d.withColumn(n, c) }
+    val sorted = withKeys.orderBy(named.map { case (n, _, asc) =>
+      if (asc) col(n).asc else col(n).desc }: _*)
+    derived(sorted.drop(named.map(_._1): _*))
+  }
+
   // LIMIT r n — with a preceding orderBy Catalyst plans
   // TakeOrderedAndProject (Pig's LimitAdjuster extra job, for free).
   def limit(n: Int): Relation = derived(df.limit(n))

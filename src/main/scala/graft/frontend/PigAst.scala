@@ -60,7 +60,16 @@ object PigAst {
   case class JoinOp(inputs: Seq[(String, Seq[Expr])], joinType: String,
                     using: Option[String]) extends Op
   case class CrossOp(inputs: Seq[String]) extends Op
-  case class OrderOp(input: String, keys: Seq[(Expr, Boolean)]) extends Op
+  case class OrderOp(input: String, keys: Seq[(Expr, Boolean)],
+                     comparator: Option[String] = None) extends Op
+  /** MAPREDUCE/NATIVE escape hatch (QueryParser.g:490; LONative.java:28):
+    * store the input, shell out to an external program, load its output. */
+  case class NativeOp(jar: String, storeAlias: String, storePath: String,
+                      storeFunc: Option[(String, Seq[String])],
+                      loadPath: String,
+                      loadFunc: Option[(String, Seq[String])],
+                      loadSchema: Option[Seq[FieldSchema]],
+                      cmdArgs: Option[String]) extends Op
   case class RankOp(input: String, keys: Seq[(Expr, Boolean)],
                     dense: Boolean) extends Op
   case class LimitOp(input: String, n: Long) extends Op

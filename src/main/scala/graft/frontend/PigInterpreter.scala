@@ -86,14 +86,7 @@ final class PigRunner(spark: SparkSession) {
       }
       lastAlias = Some(otherwise.getOrElse(branches.last._1))
     case StoreStmt(alias, path, using) =>
-      val df = env(alias).df
-      using match {
-        case Some(("PigStorage", args)) =>
-          df.write.mode("overwrite")
-            .option("sep", args.headOption.getOrElse("\t")).csv(path)
-        case Some(("JsonStorage", _)) => df.write.mode("overwrite").json(path)
-        case _ => df.write.mode("overwrite").parquet(path)
-      }
+      storeRelation(env(alias).df, path, using)
     case AssertStmt(alias, cond, msg) =>
       // reference: Assert desugars to FILTER with a failing UDF — the
       // alias is REBOUND so every downstream consumer sees the check
@@ -184,10 +177,40 @@ final class PigRunner(spark: SparkSession) {
     case CrossOp(ins) =>
       ins.map(env(_)).reduce((a, b) => a.cross(b))
 
-    case OrderOp(in, keys) =>
+    case OrderOp(in, keys, comparator) =>
+      // USING comparatorClass cannot run here: a Java ComparisonFunc is a
+      // black box Catalyst can neither range-partition nor codegen by.
+      // Fail loudly with the migration recipe instead of silently sorting
+      // by the raw keys (reference: ComparisonFunc.java, deprecated there
+      // too — Pig itself steers users to ORDER BY keys).
+      comparator.foreach { c =>
+        throw new UnsupportedOperationException(
+          s"ORDER ... USING '$c' (custom comparator) is not supported: " +
+          "re-express the comparator as a computed sort KEY and use " +
+          "ORDER BY that key (DSL: Relation.sortByComputedKey)")
+      }
       val r = env(in)
       r.orderBy(keys.map { case (e, asc) =>
         val c = compile(e, r.df); if (asc) c.asc else c.desc }: _*)
+
+    case NativeOp(jar, sa, sp, sf, lp, lf, sch, cmdArgs) =>
+      // MAPREDUCE/NATIVE escape hatch (LONative.java:28; SURVEY §2.1 #18):
+      // materialize the input, run the external program synchronously,
+      // load whatever it wrote. The command is the backtick string if
+      // given, else `java -jar <jar>` for jars, else the string itself as
+      // a shell command (there is no Hadoop launcher in a Spark cluster).
+      storeRelation(env(sa).df, sp, sf)
+      val cmd = cmdArgs.getOrElse(
+        if (jar.toLowerCase.endsWith(".jar")) s"java -jar $jar" else jar)
+      val pb = new ProcessBuilder("/bin/sh", "-c", cmd)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val code = proc.waitFor()
+      if (code != 0) throw new RuntimeException(
+        s"MAPREDUCE native command failed (exit $code): $cmd\n$out")
+      load(lp, lf, sch)
 
     case RankOp(in, Seq(), _) => env(in).rankScalable("rank")
     case RankOp(in, keys, dense) =>
@@ -396,8 +419,34 @@ final class PigRunner(spark: SparkSession) {
     }: _*)
   }
 
+  /** STORE writer, shared with the MAPREDUCE escape hatch. */
+  private def storeRelation(df: DataFrame, path: String,
+                            using: Option[(String, Seq[String])]): Unit =
+    using match {
+      case Some(("PigStorage", args)) =>
+        df.write.mode("overwrite")
+          .option("sep", args.headOption.getOrElse("\t")).csv(path)
+      case Some(("JsonStorage", _)) => df.write.mode("overwrite").json(path)
+      case Some(("AvroStorage", _)) =>
+        graft.sources.Avro.write(df, path)
+      case Some(("CSVExcelStorage", args)) =>
+        df.write.mode("overwrite")
+          .option("sep", args.headOption.getOrElse(","))
+          .option("quote", "\"").option("escape", "\"")
+          .csv(path)
+      case _ => df.write.mode("overwrite").parquet(path)
+    }
+
   private def join(inputs: Seq[(String, Seq[Expr])], joinType: String,
                    using: Option[String]): Relation = {
+    // merge-sparse needs an IndexableLoadFunc-backed right side (reference:
+    // IndexableLoadFunc.java) — there is no Catalyst counterpart; error
+    // loudly rather than silently running a different strategy.
+    if (using.exists(_.equalsIgnoreCase("merge-sparse")))
+      throw new UnsupportedOperationException(
+        "JOIN USING 'merge-sparse' is not supported (requires an " +
+        "IndexableLoadFunc-backed sorted+indexed right side); use the " +
+        "default strategy, 'merge', or 'bloom'")
     val (in0, keys0) = inputs.head
     var acc = env(in0).df
     var accKeys = keys0.map(compile(_, acc))
@@ -433,11 +482,18 @@ final class PigRunner(spark: SparkSession) {
       val rKeys = keys.map(e => compile(renameRefs(e), rdf))
       val cond = accKeys.zip(rKeys).map { case (a, b) => a === b }
         .reduce(_ && _)
-      val right = using match {
+      val right = using.map(_.toLowerCase) match {
         case Some("replicated" | "repl") => broadcast(rdf)
         case Some("merge")               => rdf.hint("merge")
+        // 'skewed' is a physical hint — AQE's skew-join handles it
         case _                           => rdf
       }
+      // bloom join (PIG-4925, LOJoin GROUPTYPE BLOOM): build a filter over
+      // the right side's keys, pre-filter the accumulated (big) side
+      // BEFORE its shuffle. Only sound when unmatched left rows would be
+      // dropped anyway (inner); other types take the plain join.
+      if (using.exists(_.equalsIgnoreCase("bloom")) && joinType == "inner")
+        acc = graft.operators.BloomJoin.preFilter(acc, accKeys, rdf, rKeys)
       val jt = joinType match {
         case "left" => "left_outer"; case "right" => "right_outer"
         case "full" => "full_outer"; case t => t
@@ -653,10 +709,36 @@ final class PigRunner(spark: SparkSession) {
           case None     => spark.read.json(path)
         }
       case Some(("OrcStorage", _)) => spark.read.orc(path)
+      case Some(("AvroStorage", _)) => graft.sources.Avro.read(spark, path)
+      // piggybank CSVExcelStorage(delim, multiline, eol, header) —
+      // Excel-dialect CSV: "" escapes a quote inside a quoted field
+      // (reference: piggybank/storage/CSVExcelStorage.java)
+      case Some(("CSVExcelStorage", args)) =>
+        spark.read
+          .option("sep", args.headOption.getOrElse(","))
+          .option("quote", "\"").option("escape", "\"")
+          .option("multiLine",
+            args.lift(1).exists(_.equalsIgnoreCase("YES_MULTILINE")))
+          .option("header",
+            args.lift(3).exists(_.equalsIgnoreCase("SKIP_INPUT_HEADER")))
+          .csv(path)
+      // piggybank XMLLoader('tag') — one row per <tag>…</tag> element.
+      // Records are split ON the close tag (custom line separator), so an
+      // element spanning lines never crosses a record and the scan stays
+      // splittable — no whole-file reads
+      // (reference: piggybank/storage/XMLLoader.java)
+      case Some(("XMLLoader", args)) =>
+        val tag = args.headOption.getOrElse("record")
+        spark.read.option("lineSep", s"</$tag>").text(path)
+          .select(concat(
+            regexp_extract(col("value"), s"(?s).*?(<$tag[\\s/>].*)", 1),
+            lit(s"</$tag>")).as("document"))
+          .filter(length(col("document")) > s"</$tag>".length + 1)
       case _ => Relation.fixNanoTimestamps(spark.read.parquet(path))
     }
     val df = schema match {
-      case Some(fs) if using.exists(u => u._1 == "PigStorage") ||
+      case Some(fs) if using.exists(u => u._1 == "PigStorage" ||
+                                         u._1 == "CSVExcelStorage") ||
                        (using.isEmpty && !path.endsWith(".parquet")) =>
         // positional rename + LoadCaster casts (§1.4: failure → null);
         // a schema wider than the file null-pads the missing fields

@@ -21,6 +21,7 @@ object PigParser {
   case class Kw(s: String) extends Tok        // uppercased keyword
   case class NumLit(v: Any) extends Tok
   case class StrLit(s: String) extends Tok
+  case class BtLit(s: String) extends Tok     // `backtick command string`
   case class Sym(s: String) extends Tok
   case object EOF extends Tok
 
@@ -32,7 +33,7 @@ object PigParser {
     "CUBE", "ROLLUP", "STORE", "DUMP", "DESCRIBE", "AND", "OR", "NOT",
     "IN", "IS", "NULL", "MATCHES", "FLATTEN", "TRUE", "FALSE", "CASE",
     "WHEN", "THEN", "ELSE", "END", "STREAM", "THROUGH", "PARALLEL",
-    "EXPLAIN", "SET", "ASSERT", "PARTITION")
+    "EXPLAIN", "SET", "ASSERT", "PARTITION", "MAPREDUCE", "NATIVE")
 
   def tokenize(src: String): Vector[Tok] = {
     val out = ArrayBuffer.empty[Tok]
@@ -63,6 +64,10 @@ object PigParser {
           } else { sb.append(src.charAt(i)); i += 1 }
         }
         i += 1; out += StrLit(sb.toString)
+      } else if (c == '`') { // verbatim command string (MAPREDUCE args)
+        val start = i + 1; i += 1
+        while (i < n && src.charAt(i) != '`') i += 1
+        out += BtLit(src.substring(start, i)); i += 1
       } else if (c.isDigit || (c == '.' && peek(1).isDigit)) {
         val start = i
         while (peek().isDigit) i += 1
@@ -331,9 +336,29 @@ object PigParser {
         val ins = ArrayBuffer(ident())
         while (eatSym(",")) ins += ident()
         CrossOp(ins.toSeq)
+      case Kw("MAPREDUCE") | Kw("NATIVE") => // escape hatch (QueryParser.g:490)
+        advance(); val jar = str()
+        expectKw("STORE"); val sa = ident(); expectKw("INTO"); val sp = str()
+        val sf = if (eatKw("USING")) Some(funcSpec()) else None
+        expectKw("LOAD"); val lp = str()
+        val lf = if (eatKw("USING")) Some(funcSpec()) else None
+        val sch = if (eatKw("AS")) Some(schema()) else None
+        val args = cur match {
+          case BtLit(s) => advance(); Some(s)
+          case _        => None
+        }
+        NativeOp(jar, sa, sp, sf, lp, lf, sch, args)
       case Kw("ORDER") =>
         advance(); val in = ident(); expectKw("BY")
-        OrderOp(in, orderKeys())
+        val keys = orderKeys()
+        // USING comparatorClass (QueryParser.g:530-543) — parsed so the
+        // interpreter can raise a loud migration error, never a silent
+        // wrong-order result
+        val cmp = if (eatKw("USING")) Some(cur match {
+          case StrLit(_) => str()
+          case _         => dottedName()
+        }) else None
+        OrderOp(in, keys, cmp)
       case Kw("RANK") =>
         advance(); val in = ident()
         if (eatKw("BY")) {

@@ -40,12 +40,27 @@ object BloomJoin {
     * serialized filter rides into the plan as one BinaryType literal
     * (broadcast with the task closure), probed via codegen — no UDF. */
   private def mightContain(bf: org.apache.spark.util.sketch.BloomFilter,
-                           key: Column): Column = {
+                           keys: Seq[Column]): Column = {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bridge.column(BloomFilterMightContain(
       bridge.expression(lit(bos.toByteArray)),
-      bridge.expression(xxhash64(key))))
+      bridge.expression(xxhash64(keys: _*))))
+  }
+
+  /** Pre-filter `big` to rows whose (possibly compound) key might exist in
+    * `small` — the building block the Pig-Latin `JOIN … USING 'bloom'`
+    * frontend path uses; the caller then runs the ordinary join. Null keys
+    * are dropped (they cannot match an equi-join). */
+  def preFilter(big: DataFrame, bigKeys: Seq[Column],
+                small: DataFrame, smallKeys: Seq[Column],
+                expectedItems: Long = 1000000L,
+                fpp: Double = 0.03): DataFrame = {
+    val bf = small.filter(smallKeys.map(_.isNotNull).reduce(_ && _))
+      .select(xxhash64(smallKeys: _*).as("__bloom_key"))
+      .stat.bloomFilter("__bloom_key", expectedItems, fpp)
+    big.filter(bigKeys.map(_.isNotNull).reduce(_ && _) &&
+      mightContain(bf, bigKeys))
   }
 
   /** Bloom-pre-filtered equi-join, any key type (keys are xxhash64'd on
@@ -57,10 +72,8 @@ object BloomJoin {
            expectedItems: Long = 1000000L, fpp: Double = 0.03,
            joinType: String = "inner"): DataFrame = {
     checkJoinType(joinType)
-    val bf = small.filter(col(smallKey).isNotNull)
-      .select(xxhash64(col(smallKey)).as("__bloom_key"))
-      .stat.bloomFilter("__bloom_key", expectedItems, fpp)
-    big.filter(col(bigKey).isNotNull && mightContain(bf, col(bigKey)))
+    preFilter(big, Seq(col(bigKey)), small, Seq(col(smallKey)),
+        expectedItems, fpp)
       .join(small, col(bigKey) === col(smallKey), joinType)
   }
 

@@ -515,6 +515,68 @@ class FrontendSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("MAPREDUCE escape hatch: store → external command → load") {
+    val d = java.nio.file.Files.createTempDirectory("mr").toString
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      p = FOREACH n GENERATE n_nationkey, n_name;
+      r = MAPREDUCE 'native-step' STORE p INTO '$d/in' USING PigStorage(',')
+          LOAD '$d/out' USING PigStorage(',')
+          AS (k:long, name:chararray)
+          `cp -r $d/in $d/out`;
+      f = FILTER r BY k < 5;
+    """).apply("f").df
+    assert(out.count() == 5)
+    assert(out.columns.toSeq == Seq("k", "name"))
+  }
+
+  test("MAPREDUCE surfaces a failing native command loudly") {
+    val d = java.nio.file.Files.createTempDirectory("mrf").toString
+    val ex = intercept[RuntimeException] {
+      PigRunner(spark).run(s"""
+        n = LOAD '$dir/nation.parquet';
+        r = MAPREDUCE 'boom' STORE n INTO '$d/in'
+            LOAD '$d/out' `exit 3`;
+      """)
+    }
+    assert(ex.getMessage.contains("exit 3"))
+  }
+
+  test("ORDER USING comparator errors with the migration recipe") {
+    val ex = intercept[UnsupportedOperationException] {
+      PigRunner(spark).run(s"""
+        n = LOAD '$dir/nation.parquet';
+        s = ORDER n BY n_name USING 'org.example.MyComparator';
+      """)
+    }
+    assert(ex.getMessage.contains("sortByComputedKey"))
+  }
+
+  test("JOIN USING 'merge-sparse' errors loudly (no silent fallback)") {
+    val ex = intercept[UnsupportedOperationException] {
+      PigRunner(spark).run(s"""
+        o = LOAD '$dir/orders.parquet';
+        c = LOAD '$dir/customer.parquet';
+        j = JOIN o BY o_custkey, c BY c_custkey USING 'merge-sparse';
+      """)
+    }
+    assert(ex.getMessage.contains("merge-sparse"))
+  }
+
+  test("JOIN USING 'bloom' matches the plain join and probes natively") {
+    val runner = PigRunner(spark)
+    val j = runner.run(s"""
+      o = LOAD '$dir/orders.parquet';
+      c = LOAD '$dir/customer.parquet';
+      f = FILTER c BY c_acctbal > 5000.0;
+      j = JOIN o BY o_custkey, f BY c_custkey USING 'bloom';
+    """).apply("j").df
+    val o = sf("orders"); val c = sf("customer").filter($"c_acctbal" > 5000)
+    assert(j.count() == o.join(c, o("o_custkey") === c("c_custkey")).count())
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") && !plan.contains("UDF"))
+  }
+
   test("DEFINE alias expansion leaves quoted string literals untouched") {
     val expanded = graft.frontend.PigPreprocessor.expand("""
       DEFINE up UPPER;

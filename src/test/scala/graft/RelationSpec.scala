@@ -236,4 +236,18 @@ class RelationSpec extends SparkSpec {
     val rows = r.df.orderBy("name").collect()
     assert(rows(0).getInt(1) == 20 && rows(1).isNullAt(1)) // cast fail → null
   }
+
+  test("sortByComputedKey: comparator-as-key total order, keys dropped") {
+    // comparator "order by last char of name, then key desc" re-expressed
+    // as computed keys (the ORDER … USING migration recipe)
+    val r = Relation(sf("nation"), "n").sortByComputedKey(
+      (substring(col("n_name"), -1, 1), true),
+      (col("n_nationkey"), false))
+    val got = r.df.select("n_nationkey").collect().map(_.get(0)).toSeq
+    val exp = sf("nation")
+      .orderBy(substring(col("n_name"), -1, 1).asc, col("n_nationkey").desc)
+      .select("n_nationkey").collect().map(_.get(0)).toSeq
+    assert(got == exp)
+    assert(!r.df.columns.exists(_.startsWith("__sortkey")))
+  }
 }

@@ -150,13 +150,15 @@ object PigPreprocessor {
         // expand the macro body (may itself contain multiple statements)
         val body = substitute(mac.body, bindings).trim.stripSuffix(";")
         body
-      case _ => mapOutsideQuotes(substituted) { seg =>
+      case _ => mapMaskingQuotes(substituted) { masked =>
         // STREAM … THROUGH cmdAlias → inline the command string
-        val withCmds = cmds.foldLeft(seg) { case (s, (name, cmd)) =>
-          s.replaceAll(s"(?i)THROUGH\\s+$name\\b", s"THROUGH '$cmd'")
+        val withCmds = cmds.foldLeft(masked) { case (s, (name, cmd)) =>
+          s.replaceAll(s"(?i)THROUGH\\s+$name\\b",
+            java.util.regex.Matcher.quoteReplacement(s"THROUGH '$cmd'"))
         }
         // function aliases: alias(args) → Func(args, ctorArgs). Call args
-        // may not contain nested parens (documented v1 limitation).
+        // may not contain nested parens (documented v1 limitation); string
+        // literal args are masked here, so they can't split the match.
         funcs.foldLeft(withCmds) { case (s, (name, (func, ctor))) =>
           s"""\\b$name\\s*\\(([^()]*)\\)""".r.replaceAllIn(s, mm => {
             val callArgs = mm.group(1).trim
@@ -168,26 +170,34 @@ object PigPreprocessor {
     }
   }
 
-  /** Apply `f` to the regions of `s` OUTSIDE single-quoted string literals,
-    * so alias/command expansion can't rewrite text inside a quoted literal
-    * (e.g. a LOAD path or regex that happens to contain `alias(...)`).
-    * Escaped quotes (\') inside a literal don't terminate it. */
-  private def mapOutsideQuotes(s: String)(f: String => String): String = {
-    val out = new StringBuilder
+  /** Apply `f` to `s` with every single-quoted string literal replaced by an
+    * opaque placeholder (restored afterwards), so alias/command expansion
+    * can't rewrite text inside a quoted literal (a LOAD path or regex that
+    * happens to contain `alias(...)`) — while an alias CALL whose arguments
+    * include a string literal (`ex(line, '\\d+')`) still matches as one
+    * contiguous region. Escaped quotes (\') inside a literal don't
+    * terminate it. */
+  private def mapMaskingQuotes(s: String)(f: String => String): String = {
+    val literals = mutable.ArrayBuffer[String]()
+    val maskedSb = new StringBuilder
     var i = 0; var start = 0; var inStr = false
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr && c == '\\' && i + 1 < s.length) i += 1 // skip escaped char
       else if (!inStr && c == '\'') {
-        out.append(f(s.substring(start, i))); start = i; inStr = true
+        maskedSb.append(s.substring(start, i)); start = i; inStr = true
       } else if (inStr && c == '\'') {
-        out.append(s.substring(start, i + 1)); start = i + 1; inStr = false
+        literals += s.substring(start, i + 1)
+        maskedSb.append('\u0001').append(literals.length - 1).append('\u0002')
+        start = i + 1; inStr = false
       }
       i += 1
     }
-    if (inStr) out.append(s.substring(start)) // unterminated: keep verbatim
-    else out.append(f(s.substring(start)))
-    out.toString
+    if (inStr) maskedSb.append(s.substring(start)) // unterminated: verbatim
+    else maskedSb.append(s.substring(start))
+    val mapped = f(maskedSb.toString)
+    "\u0001(\\d+)\u0002".r.replaceAllIn(mapped, mm =>
+      java.util.regex.Matcher.quoteReplacement(literals(mm.group(1).toInt)))
   }
 
   /** Replace $name for each binding (leaves positional $0… alone). */

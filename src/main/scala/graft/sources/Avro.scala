@@ -21,11 +21,15 @@ import org.apache.spark.sql.types._
   * Spark file source uses (one task per split; no driver-side data
   * movement). Schema handling:
   *
-  *  - read: the writer schema is taken from the FIRST file's header on the
-  *    driver (schema resolution across heterogeneous files is out of
-  *    scope, as in AvroStorage without an explicit schema); records decode
-  *    per-partition and convert to Rows immediately (the Hadoop reader
-  *    REUSES the record object, so conversion cannot be deferred).
+  *  - read: the READER schema is taken from the first file's header on the
+  *    driver and passed to the input format (`AvroJob.setInputKeySchema`),
+  *    so Avro resolves every file's writer schema against it BY FIELD NAME
+  *    — heterogeneous file sets (schema evolution: field reorder, added
+  *    fields with defaults) decode correctly rather than positionally.
+  *    Records decode per-partition and convert to Rows immediately (the
+  *    Hadoop reader REUSES the record object, so conversion cannot be
+  *    deferred). Logical types (timestamp-micros vs -millis, date) are
+  *    threaded through the conversion from the Avro schema.
   *  - write: the Spark schema maps to an Avro record schema with nullable
   *    fields as `[null, T]` unions; timestamps/dates use the standard
   *    timestamp-micros / date logical types.
@@ -42,12 +46,22 @@ object Avro {
     val conf = spark.sparkContext.hadoopConfiguration
     val avroSchema = readWriterSchema(path, conf)
     val sparkSchema = toSparkType(avroSchema).asInstanceOf[StructType]
+    val schemaJson = avroSchema.toString
+    // reader schema → per-file resolution by field name (schema evolution)
+    val job = Job.getInstance(conf)
+    AvroJob.setDataModelClass(job, classOf[GenericData])
+    AvroJob.setInputKeySchema(job, avroSchema)
     val rdd = spark.sparkContext.newAPIHadoopFile(
         path,
         classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]],
-        classOf[NullWritable])
-      .map { case (k, _) => recordToRow(k.datum(), sparkSchema) }
+        classOf[NullWritable],
+        job.getConfiguration)
+      .mapPartitions { it =>
+        // parse once per task; Schema itself isn't in the closure
+        val reader = new AvroSchema.Parser().parse(schemaJson)
+        it.map { case (k, _) => recordToRow(k.datum(), sparkSchema, reader) }
+      }
     spark.createDataFrame(rdd, sparkSchema)
   }
 
@@ -116,34 +130,45 @@ object Avro {
       case _          => None
     }
 
-  private def recordToRow(rec: GenericRecord, st: StructType): Row =
+  private def recordToRow(rec: GenericRecord, st: StructType,
+                          as: AvroSchema): Row =
     Row.fromSeq(st.fields.toSeq.map(f =>
-      avroValue(rec.get(f.name), f.dataType)))
+      avroValue(rec.get(f.name), f.dataType, as.getField(f.name).schema())))
 
-  private def avroValue(v: Any, dt: DataType): Any = (v, dt) match {
-    case (null, _) => null
-    case (s: CharSequence, StringType) => s.toString
-    case (b: java.nio.ByteBuffer, BinaryType) =>
-      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-    case (f: GenericData.Fixed, BinaryType) => f.bytes().clone()
-    case (l: java.lang.Long, TimestampType) =>
-      // timestamp-micros (our writer) / timestamp-millis both land here;
-      // the schema's logical type decided TimestampType — micros assumed
-      // for micros writers, and millis values are small enough that the
-      // same math is exact when the source really wrote micros
-      java.time.Instant.ofEpochSecond(
-        Math.floorDiv(l.longValue(), 1000000L),
-        Math.floorMod(l.longValue(), 1000000L) * 1000L)
-    case (i: java.lang.Integer, DateType) =>
-      java.time.LocalDate.ofEpochDay(i.longValue())
-    case (r: GenericRecord, st: StructType) => recordToRow(r, st)
-    case (a: java.util.Collection[_], ArrayType(et, _)) =>
-      a.asScala.toSeq.map(avroValue(_, et))
-    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
-      m.asScala.map { case (k, mv) =>
-        k.toString -> avroValue(mv, vt) }.toMap
-    case (e: GenericData.EnumSymbol, StringType) => e.toString
-    case (other, _) => other // int/long/float/double/boolean pass through
+  /** Convert a decoded Avro value; `as` is the value's Avro schema (unions
+    * unwrap to their non-null branch) so logical types are authoritative —
+    * a timestamp-millis long multiplies to micros instead of being
+    * misread as micros. */
+  private def avroValue(v: Any, dt: DataType, as: AvroSchema): Any = {
+    val s =
+      if (as.getType == AvroSchema.Type.UNION) nonNullBranch(as).getOrElse(as)
+      else as
+    (v, dt) match {
+      case (null, _) => null
+      case (cs: CharSequence, StringType) => cs.toString
+      case (b: java.nio.ByteBuffer, BinaryType) =>
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+      case (f: GenericData.Fixed, BinaryType) => f.bytes().clone()
+      case (l: java.lang.Long, TimestampType) =>
+        val micros =
+          if (s.getLogicalType != null &&
+              s.getLogicalType.getName == "timestamp-millis")
+            Math.multiplyExact(l.longValue(), 1000L)
+          else l.longValue()
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L)
+      case (i: java.lang.Integer, DateType) =>
+        java.time.LocalDate.ofEpochDay(i.longValue())
+      case (r: GenericRecord, st: StructType) => recordToRow(r, st, s)
+      case (a: java.util.Collection[_], ArrayType(et, _)) =>
+        a.asScala.toSeq.map(avroValue(_, et, s.getElementType))
+      case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+        m.asScala.map { case (k, mv) =>
+          k.toString -> avroValue(mv, vt, s.getValueType) }.toMap
+      case (e: GenericData.EnumSymbol, StringType) => e.toString
+      case (other, _) => other // int/long/float/double/boolean pass through
+    }
   }
 
   // ----------------------------------------------------------------- write

@@ -586,4 +586,22 @@ class FrontendSpec extends SparkSpec {
     assert(expanded.contains("UPPER(name)"))
     assert(expanded.contains("'keep up(raw) verbatim'"))
   }
+
+  test("DEFINE alias call with string-literal args expands (masked quotes)") {
+    // Regression: the literal used to split the statement into segments
+    // before alias matching, leaving `ex(...)` unexpanded.
+    val expanded = graft.frontend.PigPreprocessor.expand("""
+      DEFINE ex REGEX_EXTRACT;
+      a = LOAD 'x';
+      b = FOREACH a GENERATE ex(line, '(\d+)', 1) AS num;
+    """)
+    assert(expanded.contains("REGEX_EXTRACT(line, '(\\d+)', 1)"))
+    // end-to-end through the interpreter
+    val out = PigRunner(spark).run(s"""
+      DEFINE ex REGEX_EXTRACT;
+      c = LOAD '$dir/customer.parquet';
+      p = FOREACH c GENERATE ex(c_name, '([0-9]+)', 1) AS num;
+    """).apply("p").df.head()
+    assert(out.getString(0).forall(_.isDigit) && out.getString(0).nonEmpty)
+  }
 }

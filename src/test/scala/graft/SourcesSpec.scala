@@ -97,6 +97,57 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("avro timestamp-millis logical type decodes as millis, not micros") {
+    import org.apache.avro.{LogicalTypes, Schema => AS, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val d = tmp()
+    val tsMillis = LogicalTypes.timestampMillis()
+      .addToSchema(AS.create(AS.Type.LONG))
+    val schema = SchemaBuilder.record("r").fields()
+      .requiredLong("id")
+      .name("ts").`type`(tsMillis).noDefault()
+      .endRecord()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    new java.io.File(s"$d/ms").mkdirs()
+    w.create(schema, new java.io.File(s"$d/ms/part-0.avro"))
+    val rec = new GenericData.Record(schema)
+    rec.put("id", 1L); rec.put("ts", 1709288100123L) // 2024-03-01T10:15:00.123Z
+    w.append(rec); w.close()
+    val back = graft.sources.Avro.read(spark, s"$d/ms")
+    val inst = back.selectExpr("CAST(ts AS STRING) AS s", "unix_millis(ts) AS ms")
+      .head()
+    assert(inst.getLong(1) == 1709288100123L, "millis must not be read as micros")
+  }
+
+  test("avro evolved schemas across files resolve by field name") {
+    import org.apache.avro.{Schema => AS, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val d = tmp()
+    new java.io.File(s"$d/ev").mkdirs()
+    // file A (read first → reader schema): (id long, name string)
+    val sa = SchemaBuilder.record("r").fields()
+      .requiredLong("id").requiredString("name").endRecord()
+    // file B: same fields, REVERSED order — positional decode would swap
+    val sb = SchemaBuilder.record("r").fields()
+      .requiredString("name").requiredLong("id").endRecord()
+    def writeOne(s: AS, f: String, vals: (Long, String)): Unit = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](s))
+      w.create(s, new java.io.File(f))
+      val rec = new GenericData.Record(s)
+      rec.put("id", vals._1); rec.put("name", vals._2)
+      w.append(rec); w.close()
+    }
+    writeOne(sa, s"$d/ev/a.avro", (1L, "alpha"))
+    writeOne(sb, s"$d/ev/b.avro", (2L, "beta"))
+    val back = graft.sources.Avro.read(spark, s"$d/ev")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "alpha"), (2L, "beta")))
+  }
+
   test("frontend AvroStorage store + load round-trip") {
     val d = tmp()
     PigRunner(spark).run(s"""

@@ -233,9 +233,19 @@ object SparkEntry {
         .groupBy("branch" -> col("branch")).agg(COUNT_STAR().as("n")).df
     }),
 
-    // SAMPLE (#15) — nondeterministic vs oracle; rows-only check
-    "q21_sample" -> ((s, d) =>
-      T(s, d, "lineitem").sample(0.1).foreach(col("l_orderkey")).df),
+    // SAMPLE (#15) — the row SET is nondeterministic, but the sample SIZE
+    // is Binomial(n, f): emit n plus a 4-sigma interval verdict so the
+    // sampler is oracle-checked statistically (P[spurious fail] ≈ 6e-5)
+    "q21_sample" -> ((s, d) => {
+      val li = T(s, d, "lineitem").df
+      val f = 0.1
+      val k = li.sample(f).agg(count(lit(1)).as("k"))
+      val n = li.agg(count(lit(1)).as("n"))
+      k.crossJoin(n).select(
+        col("n"),
+        (abs(col("k") - col("n") * f) <=
+          lit(4.0) * sqrt(col("n") * f * (1 - f))).as("within_4sigma"))
+    }),
 
     // CUBE (#16)
     "q22_cube" -> ((s, d) =>
@@ -406,6 +416,10 @@ object SparkEntry {
                        WHEN o_totalprice < 50000 THEN 'lo'
                        ELSE 'mid' END AS branch
            FROM orders) GROUP BY branch""",
+    // the Spark side computes within_4sigma from its own sample count; the
+    // oracle pins n exactly and asserts the binomial bound held
+    "q21_sample" ->
+      """SELECT count(*) AS n, true AS within_4sigma FROM lineitem""",
     "q22_cube" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
                 count(*) AS n
@@ -708,7 +722,7 @@ object SparkEntry {
     }),
 
     // language ID (stopword/CJK heuristic, join-based scalable form —
-    // deterministic, rows-only)
+    // deterministic, oracle-checked against the DuckDB argmax twin)
     "q48_langid" -> ((s, d) => {
       val docs = T(s, d, "documents").df
       Relation(graft.text.TextAnalysis.langIdByJoin(docs, "doc_id", "text")
@@ -975,6 +989,44 @@ object SparkEntry {
   )
 
   private val pipelineOracles: Map[String, String] = Map(
+    // mirrors TextAnalysis.langIdByJoin exactly: same stopword table, same
+    // argmax tiebreak (n DESC, cand_lang), same 4096-char-bounded CJK
+    // override, docs with no hits → 'unknown'
+    "q48_langid" ->
+      """WITH sw AS (
+           SELECT * FROM (VALUES
+             ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+             ('de','nicht'),('de','mit'),('de','ein'),('de','zu'),
+             ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+             ('en','is'),('en','that'),('en','it'),('en','for'),
+             ('es','el'),('es','los'),('es','las'),('es','y'),('es','es'),
+             ('es','que'),('es','por'),('es','para'),('es','una'),
+             ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
+             ('fr','que'),('fr','pour'),('fr','dans'),('fr','une')
+           ) v(cand_lang, tok)),
+         toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(
+                    string_split_regex(trim(lower(text)), '\s+'),
+                    t -> length(t) > 0)) AS tok
+           FROM documents),
+         counts AS (
+           SELECT t.doc_id, s.cand_lang, count(*) AS n
+           FROM toks t JOIN sw s ON s.tok = t.tok
+           GROUP BY t.doc_id, s.cand_lang),
+         best AS (
+           SELECT doc_id, cand_lang AS best_lang FROM (
+             SELECT doc_id, cand_lang,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY n DESC, cand_lang) AS rn
+             FROM counts) WHERE rn = 1),
+         pred AS (
+           SELECT d.lang,
+                  CASE WHEN regexp_matches(substr(d.text, 1, 4096),
+                                           '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                       ELSE coalesce(b.best_lang, 'unknown') END AS pred_lang
+           FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id)
+         SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2""",
     "q41_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_dups,
                 min(doc_id) AS keep_id

@@ -90,8 +90,15 @@ object TextAnalysis {
     val pick = scores.foldRight(lit("unknown")) { case ((lang, sc), acc) =>
       when(sc === best && best > 0, lit(lang)).otherwise(acc)
     }
-    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
+    when(hasCjk(text), lit("zh")).otherwise(pick)
   }
+
+  /** CJK presence check, bounded to the first 4096 chars so a pathological
+    * multi-MB document doesn't pay a full-text regex scan — a doc whose
+    * FIRST CJK codepoint appears beyond 4 KB of pure non-CJK prefix is
+    * overwhelmingly non-CJK anyway. */
+  private def hasCjk(text: Column): Column =
+    substring(text, 1, 4096).rlike("[\\u4e00-\\u9fff]")
 
   /** Scalable language ID: explode tokens → broadcast-join the stopword
     * table → per-(doc, lang) counts with partial aggregation → argmax.
@@ -118,7 +125,7 @@ object TextAnalysis {
     df.select(col(idCol), col(textCol))
       .join(best, Seq(idCol), "left")
       .select(col(idCol),
-        when(col(textCol).rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+        when(hasCjk(col(textCol)), lit("zh"))
           .otherwise(coalesce(col("best_lang"), lit("unknown")))
           .as("pred_lang"))
   }

@@ -48,23 +48,40 @@ object GraftSession {
   // them. unpersist() is lazy-safe: a not-yet-materialized cache entry is
   // simply dropped.
   private val persisted =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, org.apache.spark.sql.DataFrame)]()
+  private val persistSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Persist (MEMORY_AND_DISK) and register for later release. */
   def trackPersist(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.add(df)
+    persisted.add((persistSeq.incrementAndGet(), df))
     df
   }
 
-  /** Release every tracked persisted intermediate (non-blocking). */
-  def unpersistAll(): Unit = {
-    var d = persisted.poll()
-    while (d != null) {
-      try d.unpersist(blocking = false) catch { case _: Throwable => () }
-      d = persisted.poll()
+  /** Checkpoint token for scoped release: [[unpersistSince]] with this
+    * token frees only the entries registered AFTER it — so one runner's
+    * close() can't drop caches belonging to other live runners/pipelines
+    * sharing the session. */
+  def mark(): Long = persistSeq.get()
+
+  /** Release tracked intermediates registered after `token` (non-blocking).
+    * Entries at or before the token are left persisted. */
+  def unpersistSince(token: Long): Unit = {
+    val it = persisted.iterator()
+    while (it.hasNext) {
+      val (seq, d) = it.next()
+      if (seq > token) {
+        try d.unpersist(blocking = false) catch { case _: Throwable => () }
+        it.remove()
+      }
     }
   }
+
+  /** Release every tracked persisted intermediate (non-blocking). Intended
+    * for harness boundaries (Bench/Verify between queries) where no other
+    * pipeline is live; library callers should scope with [[mark]] +
+    * [[unpersistSince]]. */
+  def unpersistAll(): Unit = unpersistSince(0L)
 
   /** Standalone builder (tests, local runs). */
   def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {

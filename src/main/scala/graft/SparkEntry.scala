@@ -28,16 +28,22 @@ object SparkEntry {
   }
 
   // ANN index caches: the bucket/cell-partitioned indexes are built ONCE
-  // per dataset dir and reused across query invocations (the bench's
-  // warmup pass builds them; timed passes measure the probe path — the
-  // repeated-query workload an index exists for). A deterministic temp
-  // path per dataset means repeated processes overwrite rather than leak.
+  // per dataset dir and reused across query invocations (Bench's warmup
+  // invokes q47/q63 untimed to build them; timed passes measure the probe
+  // path — the repeated-query workload an index exists for). The on-disk
+  // path tag hashes the embeddings files' (name, size, mtime), so a
+  // CHANGED dataset at the same path gets a fresh index instead of
+  // silently reusing a stale one.
   private val annIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.ml.Similarity.AnnIndex]
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, Array[Seq[Float]])]
   private def indexDir(dataset: String, kind: String): String = {
-    val tag = java.lang.Integer.toHexString(dataset.hashCode)
+    val emb = new java.io.File(s"$dataset/embeddings.parquet")
+    val sig = Option(emb.listFiles()).map(_.toSeq).getOrElse(Seq(emb))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("|")
+    val tag = java.lang.Integer.toHexString((dataset + "|" + sig).hashCode)
     s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_$tag"
   }
 

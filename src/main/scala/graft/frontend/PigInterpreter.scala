@@ -40,8 +40,11 @@ final class PigRunner(spark: SparkSession) {
   /** Release persisted intermediates this runner's statements created
     * (SPLIT inputs, scalar-projection caches). Call when the script's
     * results have been consumed — long-lived sessions running many
-    * scripts would otherwise accumulate cached plans. */
-  def close(): Unit = graft.GraftSession.unpersistAll()
+    * scripts would otherwise accumulate cached plans. Scoped to persists
+    * registered after this runner was constructed, so closing one runner
+    * can't drop caches of other live runners in the same session. */
+  private val persistMark = graft.GraftSession.mark()
+  def close(): Unit = graft.GraftSession.unpersistSince(persistMark)
   /** The most recently ASSIGNED relation (LinkedHashMap keeps the original
     * slot on re-assignment, so `relations.last` would be wrong after
     * `a = …; b = …; a = …`). */

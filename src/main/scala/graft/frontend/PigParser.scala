@@ -63,10 +63,15 @@ object PigParser {
             i += 2
           } else { sb.append(src.charAt(i)); i += 1 }
         }
+        if (i >= n) throw new IllegalArgumentException(
+          s"unterminated string literal: '${sb.toString.take(40)}…")
         i += 1; out += StrLit(sb.toString)
       } else if (c == '`') { // verbatim command string (MAPREDUCE args)
         val start = i + 1; i += 1
         while (i < n && src.charAt(i) != '`') i += 1
+        if (i >= n) throw new IllegalArgumentException(
+          "unterminated backtick literal: `" +
+            src.substring(start, math.min(start + 40, n)) + "…")
         out += BtLit(src.substring(start, i)); i += 1
       } else if (c.isDigit || (c == '.' && peek(1).isDigit)) {
         val start = i

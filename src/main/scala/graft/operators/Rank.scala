@@ -46,7 +46,13 @@ object Rank {
     * a plain equi-join would silently drop every null-key row.
     *
     * Key expressions are materialized as temp columns first so computed
-    * keys (frontend `RANK r BY f(x)`) work unchanged. */
+    * keys (frontend `RANK r BY f(x)`) work unchanged.
+    *
+    * Skew caveat (non-dense): `min(__rn) over (partition by keys)` makes
+    * each distinct key value one window partition — a single very hot key
+    * concentrates its rows on one task. RANK BY keys are high-cardinality
+    * in practice (that's what ranking is for); if a low-cardinality ranking
+    * ever matters, the dense path's distinct-key join shape is the fix. */
   def rankBy(df: DataFrame, keys: Seq[(Column, Boolean)], dense: Boolean,
              rankName: String = "rank", partitions: Int = 0): DataFrame = {
     val names = keys.indices.map(i => s"__rk$i")

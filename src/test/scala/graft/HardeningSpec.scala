@@ -81,4 +81,36 @@ class HardeningSpec extends SparkSpec {
       topN = 2, sampleFraction = 0.5)
     assert(hot.count() <= 2)
   }
+
+  test("langId CJK check is bounded to the first 4096 chars") {
+    val inBound = "你好 world"
+    val beyond = ("x" * 5000) + "你好" // first CJK char past the bound
+    val r = Seq((1, inBound), (2, beyond)).toDF("id", "text")
+      .select(col("id"), graft.text.TextAnalysis.langId(col("text")).as("l"))
+      .orderBy("id").collect()
+    assert(r(0).getString(1) == "zh")
+    assert(r(1).getString(1) != "zh") // bound skips late CJK by design
+  }
+
+  test("unterminated backtick/string literals fail loudly") {
+    intercept[IllegalArgumentException] {
+      graft.frontend.PigParser.parse("x = MAPREDUCE `broken arg;")
+    }
+    intercept[IllegalArgumentException] {
+      graft.frontend.PigParser.parse("a = LOAD 'unclosed;")
+    }
+  }
+
+  test("unpersistSince releases only entries after the mark") {
+    val a = GraftSession.trackPersist(sf("nation").select("n_nationkey"))
+    a.count()
+    val mark = GraftSession.mark()
+    val b = GraftSession.trackPersist(sf("region").select("r_regionkey"))
+    b.count()
+    GraftSession.unpersistSince(mark)
+    assert(a.storageLevel.useMemory, "pre-mark cache must survive")
+    assert(!b.storageLevel.useMemory, "post-mark cache must be released")
+    GraftSession.unpersistAll()
+    assert(!a.storageLevel.useMemory)
+  }
 }

@@ -981,6 +981,25 @@ object SparkEntry {
       """).apply("r").df
     }),
 
+    // piggybank Over/Stitch window idiom in a nested FOREACH — compiles to
+    // a Spark window over the pre-group input (no bag); running balance
+    // per nation, ordered by the unique customer key so the running sum is
+    // deterministic
+    "q71_piglatin_over" -> ((s, d) => {
+      GraftSession.tune(s)
+      graft.frontend.PigRunner(s).run(s"""
+        c = LOAD '$d/customer.parquet';
+        g = GROUP c BY c_nationkey;
+        r = FOREACH g {
+              ord = ORDER c BY c_custkey;
+              GENERATE FLATTEN(Stitch(ord,
+                Over(ord.c_acctbal, 'sum(double)')));
+            };
+        f = FOREACH r GENERATE c_custkey, c_nationkey,
+              ROUND_TO(result, 2) AS running_bal;
+      """).apply("f").df
+    }),
+
     // corpus statistics with exact percentiles
     "q65_corpus_stats" -> ((s, d) =>
       Relation(T(s, d, "documents").df.select(col("source"),
@@ -1211,7 +1230,14 @@ object SparkEntry {
                 count(CASE WHEN o_totalprice > 150000.0 THEN NULL
                            ELSE o_orderstatus END) AS cnt,
                 count(*) AS n
-         FROM orders GROUP BY 1"""
+         FROM orders GROUP BY 1""",
+    "q71_piglatin_over" ->
+      """SELECT c_custkey, c_nationkey,
+                round(sum(c_acctbal) OVER (
+                  PARTITION BY c_nationkey ORDER BY c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_bal
+         FROM customer"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -121,7 +121,9 @@ final class PigRunner(spark: SparkSession) {
       groupMeta.get(in).flatMap(m => tryFusedAgg(m, gens2, r.df))
         .getOrElse(foreach(r, gens2))
 
-    case NestedForeachOp(in, inner, gens) => nestedForeach(env(in), inner, gens)
+    case NestedForeachOp(in, inner, gens) =>
+      compileOverStitch(in, inner, gens)
+        .getOrElse(nestedForeach(env(in), inner, gens))
 
     case StreamOp(in, cmd, schema) =>
       val r = env(in)
@@ -505,6 +507,130 @@ final class PigRunner(spark: SparkSession) {
       // keys of the leftmost input keep driving n-ary joins
     }
     Relation(acc, in0)
+  }
+
+  // --------------------------------------- piggybank Over/Stitch idiom
+  /** The window-function idiom Pig users reach for (piggybank Over.java
+    * usage block): {{{
+    *   g = GROUP a BY k;
+    *   r = FOREACH g { ord = ORDER a BY s; GENERATE
+    *         FLATTEN(Stitch(ord, Over(ord.f, 'sum(double)' [, ws, we, …]))); }
+    * }}}
+    * compiles to a Spark window over the PRE-GROUP input — partitioned by
+    * the group keys, ordered by the nested ORDER keys — so the bag is never
+    * materialized, every stage stays codegen'd, and the window distributes
+    * across the key domain instead of evaluating per-group bags.
+    *
+    * Window frame args follow Over.java: start -1 = unbounded preceding
+    * (default), end -1 = unbounded following, 0 = current row (default),
+    * n = n rows away. A trailing 'name:type' string (Over's return-schema
+    * ctor arg, appended by DEFINE-alias expansion) names and types the
+    * result column; the default name is `result` (Over.java:219). */
+  private def compileOverStitch(inAlias: String,
+                                inner: Seq[(String, InnerOp)],
+                                gens: Seq[GenItem]): Option[Relation] = {
+    import org.apache.spark.sql.expressions.Window
+    val pat = gens match {
+      case Seq(GenItem(FlattenExpr(FuncCall("STITCH",
+          Seq(ColRef(ordName), FuncCall("OVER", overArgs)))), _)) =>
+        Some((ordName, overArgs))
+      case _ => None
+    }
+    pat.map { case (ordName, overArgs) =>
+      def bad(msg: String): Nothing = throw new IllegalArgumentException(
+        s"Stitch/Over: $msg (supported shape: g = GROUP a BY k; r = " +
+        "FOREACH g { ord = ORDER a BY s; GENERATE FLATTEN(Stitch(ord, " +
+        "Over(ord.f, 'func', …))); })")
+      val meta = groupMeta.getOrElse(inAlias,
+        bad(s"FOREACH input $inAlias has no grouping provenance"))
+      val ordKeys = inner match {
+        case Seq((a, InnerOrder(src, ks))) if a == ordName =>
+          if (src != meta.bagName)
+            bad(s"nested ORDER must sort the grouped bag ${meta.bagName}")
+          ks
+        case _ => bad("the nested block must be exactly one " +
+          s"`$ordName = ORDER ${meta.bagName} BY …;`")
+      }
+      val df = meta.input
+      val target: Option[Column] = overArgs.headOption match {
+        case Some(Deref(ColRef(`ordName`), f)) => Some(col(resolve(f, df)))
+        case Some(ColRef(`ordName`))           => None // ranking functions
+        case other => bad(s"first Over arg must be $ordName or " +
+          s"$ordName.field, got $other")
+      }
+      val spec = overArgs.lift(1) match {
+        case Some(Lit(s: String)) => s.toLowerCase
+        case o => bad(s"second Over arg must be the function name, got $o")
+      }
+      // trailing 'name:type' = Over's return-schema constructor arg
+      val (schemaSpec, winArgs) = overArgs.drop(2) match {
+        case init :+ Lit(s: String) if s.matches("[A-Za-z_]\\w*:\\w+") =>
+          (Some(s), init)
+        case rest => (None, rest)
+      }
+      def litNum(e: Expr): Int = e match {
+        case Lit(n: Int)       => n
+        case Lit(n: Long)      => n.toInt
+        case Neg(Lit(n: Int))  => -n
+        case Neg(Lit(n: Long)) => -n.toInt
+        case o => bad(s"expected an integer literal, got $o")
+      }
+      def litAny(e: Expr): Any = e match {
+        case Lit(v) => v
+        case Neg(Lit(n: Int)) => -n
+        case Neg(Lit(n: Long)) => -n
+        case Neg(Lit(n: Double)) => -n
+        case o => bad(s"expected a literal, got $o")
+      }
+      val ws = winArgs.lift(0).map(litNum).getOrElse(-1)
+      val we = winArgs.lift(1).map(litNum).getOrElse(0)
+      val extra = winArgs.drop(2)
+      val partCols =
+        if (meta.all) Seq.empty else meta.keys.map(k => compile(k, df))
+      val sortCols = ordKeys.map { case (e, asc) =>
+        val c = compile(e, df); if (asc) c.asc else c.desc }
+      val wOrd = Window.partitionBy(partCols: _*).orderBy(sortCols: _*)
+      val wFrame = wOrd.rowsBetween(
+        if (ws < 0) Window.unboundedPreceding else -ws.toLong,
+        if (we < 0) Window.unboundedFollowing else we.toLong)
+      def t = target.getOrElse(bad(s"'$spec' needs a bag field (ord.field)"))
+      // type-suffixed aggregates ('sum(float)' etc.) pick the typed UDF in
+      // the reference; Spark's sum/avg/min/max infer the same result types
+      val overCol = spec.takeWhile(_ != '(') match {
+        case "count"        => count(lit(1)).over(wFrame)
+        case "sum"          => sum(t).over(wFrame)
+        case "avg"          => avg(t).over(wFrame)
+        case "min"          => min(t).over(wFrame)
+        case "max"          => max(t).over(wFrame)
+        case "row_number"   => row_number().over(wOrd)
+        // rank/dense_rank/…'s required "field the bag is ordered by" arg is
+        // redundant here — the nested ORDER keys are authoritative
+        case "rank"         => rank().over(wOrd)
+        case "dense_rank"   => dense_rank().over(wOrd)
+        case "percent_rank" => percent_rank().over(wOrd)
+        case "cume_dist"    => cume_dist().over(wOrd)
+        case "ntile" =>
+          ntile(extra.headOption.map(litNum)
+            .getOrElse(bad("ntile needs a bucket count"))).over(wOrd)
+        case "first_value"  => first(t).over(wFrame)
+        case "last_value"   => last(t).over(wFrame)
+        case "lead" =>
+          lead(t, extra.headOption.map(litNum).getOrElse(1),
+            extra.lift(1).map(litAny).orNull).over(wOrd)
+        case "lag" =>
+          lag(t, extra.headOption.map(litNum).getOrElse(1),
+            extra.lift(1).map(litAny).orNull).over(wOrd)
+        case other => bad(s"unsupported Over function '$other' " +
+          "(see piggybank Over.java catalog)")
+      }
+      val (outName, typed) = schemaSpec match {
+        case Some(s) =>
+          val Array(n, ty) = s.split(':'); (n, overCol.cast(pigType(ty)))
+        case None => ("result", overCol)
+      }
+      Relation(df.select((df.columns.map(col) :+ typed.as(outName))
+        .toIndexedSeq: _*), ordName)
+    }
   }
 
   // -------------------------------------------------- nested FOREACH { }

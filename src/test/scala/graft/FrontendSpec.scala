@@ -587,6 +587,83 @@ class FrontendSpec extends SparkSpec {
     assert(expanded.contains("'keep up(raw) verbatim'"))
   }
 
+  test("Stitch/Over nested window: running sum compiles to a Spark window") {
+    val out = PigRunner(spark).run(s"""
+      c = LOAD '$dir/customer.parquet';
+      g = GROUP c BY c_nationkey;
+      r = FOREACH g {
+        ord = ORDER c BY c_custkey;
+        GENERATE FLATTEN(Stitch(ord, Over(ord.c_acctbal, 'sum(double)')));
+      };
+      f = FOREACH r GENERATE c_custkey, c_nationkey, result;
+    """).apply("f").df
+    // plan must be a window over the pre-group input — no collect_list bag
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"), "bag must be elided")
+    import org.apache.spark.sql.expressions.Window
+    val exp = sf("customer").withColumn("expect",
+      sum(col("c_acctbal")).over(Window.partitionBy("c_nationkey")
+        .orderBy("c_custkey")))
+      .select(col("c_custkey"), col("expect"))
+    val joined = out.join(exp, "c_custkey")
+      .filter(abs(col("result") - col("expect")) > 1e-6)
+    assert(joined.count() == 0)
+  }
+
+  test("Stitch/Over rank with return-schema ctor arg (DEFINE IOver form)") {
+    val out = PigRunner(spark).run(s"""
+      DEFINE IOver Over('bal_rk:int');
+      c = LOAD '$dir/customer.parquet';
+      g = GROUP c BY c_nationkey;
+      r = FOREACH g {
+        ord = ORDER c BY c_acctbal DESC;
+        GENERATE FLATTEN(Stitch(ord, IOver(ord, 'rank', -1, -1, 2)));
+      };
+    """).apply("r").df
+    assert(out.schema("bal_rk").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // every nation's top-balance customer has rank 1
+    val top = out.filter(col("bal_rk") === 1)
+      .groupBy("c_nationkey").agg(max(col("c_acctbal")).as("b1"))
+    val expTop = sf("customer").groupBy("c_nationkey")
+      .agg(max(col("c_acctbal")).as("b2"))
+    assert(top.join(expTop, "c_nationkey")
+      .filter(col("b1") =!= col("b2")).count() == 0)
+  }
+
+  test("Stitch/Over lead with offset and default") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      g = GROUP n BY n_regionkey;
+      r = FOREACH g {
+        ord = ORDER n BY n_nationkey;
+        GENERATE FLATTEN(Stitch(ord, Over(ord.n_nationkey, 'lead', 0, 1, 1, -1)));
+      };
+    """).apply("r").df.orderBy("n_nationkey")
+      .select("n_regionkey", "n_nationkey", "result").collect()
+    // last nation per region gets the default -1
+    val lastPerRegion = out.groupBy(_.getInt(0)).values
+      .map(_.map(_.getInt(1)).max).toSet
+    out.foreach { r =>
+      if (lastPerRegion(r.getInt(1))) assert(r.getInt(2) == -1)
+      else assert(r.getInt(2) > r.getInt(1))
+    }
+  }
+
+  test("Stitch/Over outside the supported shape fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      PigRunner(spark).run(s"""
+        c = LOAD '$dir/customer.parquet';
+        f = FILTER c BY c_nationkey > 1;
+        r = FOREACH f {
+          ord = ORDER c BY c_custkey;
+          GENERATE FLATTEN(Stitch(ord, Over(ord.c_acctbal, 'sum(double)')));
+        };
+      """)
+    }
+    assert(e.getMessage.contains("grouping provenance"))
+  }
+
   test("DEFINE alias call with string-literal args expands (masked quotes)") {
     // Regression: the literal used to split the statement into segments
     // before alias matching, leaving `ex(...)` unexpanded.

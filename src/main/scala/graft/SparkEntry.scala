@@ -764,7 +764,9 @@ object SparkEntry {
           round(col("f0"), 6).as("f0"))
     }),
 
-    // frame-sampling shape over binary payloads (rows-only)
+    // frame-sampling shape over binary payloads — deterministic byte
+    // slicing, oracle-checked (the DuckDB twin slices VARCHAR, which
+    // matches byte semantics because the synthetic text is ASCII)
     "q52_frames" -> ((s, d) =>
       graft.multimodal.Multimodal.sampleFrames(
         T(s, d, "documents").df
@@ -1123,6 +1125,17 @@ object SparkEntry {
                   THEN CAST(ascii(substring(text, 1, 1)) AS DOUBLE) / 256.0
                   ELSE 0.0 END, 6) AS f0
          FROM documents""",
+    // sampleFrames(chunkBytes=32, everyK=4): frame i = payload bytes
+    // [i*128, i*128+32); n_frames = max(floor(len/128), 1). DuckDB lacks
+    // BLOB substring, so the twin slices the VARCHAR and casts — exact
+    // while the synthetic corpus is ASCII (checked: 0 multibyte docs)
+    "q52_frames" ->
+      """SELECT d.doc_id, CAST(t.i AS INT) AS frame_idx,
+                CAST(substring(d.text, CAST(t.i*128+1 AS BIGINT), 32)
+                     AS BLOB) AS frame_bytes
+         FROM documents d,
+              LATERAL (SELECT unnest(range(0,
+                 greatest(length(d.text)//128, 1))) AS i) t""",
     "q53_piglatin" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
                 round(sum(l_extendedprice), 2) AS sum_price

@@ -532,11 +532,16 @@ final class PigRunner(spark: SparkSession) {
     import org.apache.spark.sql.expressions.Window
     val pat = gens match {
       case Seq(GenItem(FlattenExpr(FuncCall("STITCH",
-          Seq(ColRef(ordName), FuncCall("OVER", overArgs)))), _)) =>
-        Some((ordName, overArgs))
+          ColRef(ordName) +: overCalls)), _))
+          if overCalls.nonEmpty &&
+             overCalls.forall { case FuncCall("OVER", _) => true
+                                case _ => false } =>
+        Some((ordName, overCalls.map {
+          case FuncCall("OVER", args) => args
+          case other => sys.error(s"unreachable: $other") }))
       case _ => None
     }
-    pat.map { case (ordName, overArgs) =>
+    pat.map { case (ordName, overCallArgs) =>
       def bad(msg: String): Nothing = throw new IllegalArgumentException(
         s"Stitch/Over: $msg (supported shape: g = GROUP a BY k; r = " +
         "FOREACH g { ord = ORDER a BY s; GENERATE FLATTEN(Stitch(ord, " +
@@ -552,22 +557,11 @@ final class PigRunner(spark: SparkSession) {
           s"`$ordName = ORDER ${meta.bagName} BY …;`")
       }
       val df = meta.input
-      val target: Option[Column] = overArgs.headOption match {
-        case Some(Deref(ColRef(`ordName`), f)) => Some(col(resolve(f, df)))
-        case Some(ColRef(`ordName`))           => None // ranking functions
-        case other => bad(s"first Over arg must be $ordName or " +
-          s"$ordName.field, got $other")
-      }
-      val spec = overArgs.lift(1) match {
-        case Some(Lit(s: String)) => s.toLowerCase
-        case o => bad(s"second Over arg must be the function name, got $o")
-      }
-      // trailing 'name:type' = Over's return-schema constructor arg
-      val (schemaSpec, winArgs) = overArgs.drop(2) match {
-        case init :+ Lit(s: String) if s.matches("[A-Za-z_]\\w*:\\w+") =>
-          (Some(s), init)
-        case rest => (None, rest)
-      }
+      val partCols =
+        if (meta.all) Seq.empty else meta.keys.map(k => compile(k, df))
+      val sortCols = ordKeys.map { case (e, asc) =>
+        val c = compile(e, df); if (asc) c.asc else c.desc }
+      val wOrd = Window.partitionBy(partCols: _*).orderBy(sortCols: _*)
       def litNum(e: Expr): Int = e match {
         case Lit(n: Int)       => n
         case Lit(n: Long)      => n.toInt
@@ -582,53 +576,72 @@ final class PigRunner(spark: SparkSession) {
         case Neg(Lit(n: Double)) => -n
         case o => bad(s"expected a literal, got $o")
       }
-      val ws = winArgs.lift(0).map(litNum).getOrElse(-1)
-      val we = winArgs.lift(1).map(litNum).getOrElse(0)
-      val extra = winArgs.drop(2)
-      val partCols =
-        if (meta.all) Seq.empty else meta.keys.map(k => compile(k, df))
-      val sortCols = ordKeys.map { case (e, asc) =>
-        val c = compile(e, df); if (asc) c.asc else c.desc }
-      val wOrd = Window.partitionBy(partCols: _*).orderBy(sortCols: _*)
-      val wFrame = wOrd.rowsBetween(
-        if (ws < 0) Window.unboundedPreceding else -ws.toLong,
-        if (we < 0) Window.unboundedFollowing else we.toLong)
-      def t = target.getOrElse(bad(s"'$spec' needs a bag field (ord.field)"))
-      // type-suffixed aggregates ('sum(float)' etc.) pick the typed UDF in
-      // the reference; Spark's sum/avg/min/max infer the same result types
-      val overCol = spec.takeWhile(_ != '(') match {
-        case "count"        => count(lit(1)).over(wFrame)
-        case "sum"          => sum(t).over(wFrame)
-        case "avg"          => avg(t).over(wFrame)
-        case "min"          => min(t).over(wFrame)
-        case "max"          => max(t).over(wFrame)
-        case "row_number"   => row_number().over(wOrd)
-        // rank/dense_rank/…'s required "field the bag is ordered by" arg is
-        // redundant here — the nested ORDER keys are authoritative
-        case "rank"         => rank().over(wOrd)
-        case "dense_rank"   => dense_rank().over(wOrd)
-        case "percent_rank" => percent_rank().over(wOrd)
-        case "cume_dist"    => cume_dist().over(wOrd)
-        case "ntile" =>
-          ntile(extra.headOption.map(litNum)
-            .getOrElse(bad("ntile needs a bucket count"))).over(wOrd)
-        case "first_value"  => first(t).over(wFrame)
-        case "last_value"   => last(t).over(wFrame)
-        case "lead" =>
-          lead(t, extra.headOption.map(litNum).getOrElse(1),
-            extra.lift(1).map(litAny).orNull).over(wOrd)
-        case "lag" =>
-          lag(t, extra.headOption.map(litNum).getOrElse(1),
-            extra.lift(1).map(litAny).orNull).over(wOrd)
-        case other => bad(s"unsupported Over function '$other' " +
-          "(see piggybank Over.java catalog)")
+      // one output column per Over call (Stitch zips any number of bags —
+      // Stitch.java loops over its bag args); default names follow the
+      // reference's returnName: `result`, suffixed by position when
+      // several Over calls would collide
+      val overCols = overCallArgs.zipWithIndex.map { case (overArgs, k) =>
+        val target: Option[Column] = overArgs.headOption match {
+          case Some(Deref(ColRef(`ordName`), f)) => Some(col(resolve(f, df)))
+          case Some(ColRef(`ordName`))           => None // ranking functions
+          case other => bad(s"first Over arg must be $ordName or " +
+            s"$ordName.field, got $other")
+        }
+        val spec = overArgs.lift(1) match {
+          case Some(Lit(s: String)) => s.toLowerCase
+          case o => bad(s"second Over arg must be the function name, got $o")
+        }
+        // trailing 'name:type' = Over's return-schema constructor arg
+        val (schemaSpec, winArgs) = overArgs.drop(2) match {
+          case init :+ Lit(s: String) if s.matches("[A-Za-z_]\\w*:\\w+") =>
+            (Some(s), init)
+          case rest => (None, rest)
+        }
+        val ws = winArgs.lift(0).map(litNum).getOrElse(-1)
+        val we = winArgs.lift(1).map(litNum).getOrElse(0)
+        val extra = winArgs.drop(2)
+        val wFrame = wOrd.rowsBetween(
+          if (ws < 0) Window.unboundedPreceding else -ws.toLong,
+          if (we < 0) Window.unboundedFollowing else we.toLong)
+        def t =
+          target.getOrElse(bad(s"'$spec' needs a bag field (ord.field)"))
+        // type-suffixed aggregates ('sum(float)' etc.) pick the typed UDF
+        // in the reference; Spark's sum/avg/min/max infer the same types
+        val overCol = spec.takeWhile(_ != '(') match {
+          case "count"        => count(lit(1)).over(wFrame)
+          case "sum"          => sum(t).over(wFrame)
+          case "avg"          => avg(t).over(wFrame)
+          case "min"          => min(t).over(wFrame)
+          case "max"          => max(t).over(wFrame)
+          case "row_number"   => row_number().over(wOrd)
+          // rank/dense_rank/…'s required "field the bag is ordered by" arg
+          // is redundant here — the nested ORDER keys are authoritative
+          case "rank"         => rank().over(wOrd)
+          case "dense_rank"   => dense_rank().over(wOrd)
+          case "percent_rank" => percent_rank().over(wOrd)
+          case "cume_dist"    => cume_dist().over(wOrd)
+          case "ntile" =>
+            ntile(extra.headOption.map(litNum)
+              .getOrElse(bad("ntile needs a bucket count"))).over(wOrd)
+          case "first_value"  => first(t).over(wFrame)
+          case "last_value"   => last(t).over(wFrame)
+          case "lead" =>
+            lead(t, extra.headOption.map(litNum).getOrElse(1),
+              extra.lift(1).map(litAny).orNull).over(wOrd)
+          case "lag" =>
+            lag(t, extra.headOption.map(litNum).getOrElse(1),
+              extra.lift(1).map(litAny).orNull).over(wOrd)
+          case other => bad(s"unsupported Over function '$other' " +
+            "(see piggybank Over.java catalog)")
+        }
+        schemaSpec match {
+          case Some(s) =>
+            val Array(n, ty) = s.split(':'); overCol.cast(pigType(ty)).as(n)
+          case None =>
+            overCol.as(if (overCallArgs.size == 1) "result" else s"result$k")
+        }
       }
-      val (outName, typed) = schemaSpec match {
-        case Some(s) =>
-          val Array(n, ty) = s.split(':'); (n, overCol.cast(pigType(ty)))
-        case None => ("result", overCol)
-      }
-      Relation(df.select((df.columns.map(col) :+ typed.as(outName))
+      Relation(df.select((df.columns.map(col) ++ overCols)
         .toIndexedSeq: _*), ordName)
     }
   }

@@ -55,10 +55,15 @@ object PigPreprocessor {
         rest = rest.drop(math.min(e + 1, rest.length))
       } else if (rest.toUpperCase.startsWith("REGISTER ")) {
         // REGISTER 'x.jar' — JVM classpath loading is out of scope for
-        // the embedded engine; strip with a warning so real-world scripts
-        // still run (builtins and registered UDAFs cover the common uses)
+        // the embedded engine; strip with a migration note so real-world
+        // scripts still run (builtins and registered UDAFs cover the
+        // common uses)
         val e = statementEnd(rest)
-        System.err.println(s"[graft] ignoring: ${rest.take(e).trim}")
+        System.err.println(
+          s"[graft] ignoring: ${rest.take(e).trim} — runtime classpath " +
+          "loading is out of scope; put the jar on the Spark classpath " +
+          "instead (spark-submit --jars / spark.jars) and expose UDFs via " +
+          "spark.udf.register or a DEFINE alias over a builtin")
         rest = rest.drop(math.min(e + 1, rest.length))
       } else if (rest.toUpperCase.startsWith("IMPORT ")) {
         // IMPORT 'macros.pig'; — inline the file (reference: QueryParser.g

@@ -650,6 +650,22 @@ class FrontendSpec extends SparkSpec {
     }
   }
 
+  test("Stitch with multiple Over calls emits one column per window") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      g = GROUP n BY n_regionkey;
+      r = FOREACH g {
+        ord = ORDER n BY n_nationkey;
+        GENERATE FLATTEN(Stitch(ord,
+          Over(ord.n_nationkey, 'count'),
+          Over(ord, 'row_number')));
+      };
+    """).apply("r").df
+    assert(out.columns.takeRight(2).toSeq == Seq("result0", "result1"))
+    // running count over unbounded-preceding..current == row_number
+    assert(out.filter(col("result0") =!= col("result1")).count() == 0)
+  }
+
   test("Stitch/Over outside the supported shape fails loudly") {
     val e = intercept[IllegalArgumentException] {
       PigRunner(spark).run(s"""

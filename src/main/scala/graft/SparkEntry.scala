@@ -677,18 +677,64 @@ object SparkEntry {
         .groupBy("source" -> col("source"))
         .agg(COUNT_STAR().as("n")).df),
 
-    // MinHash + LSH near-dup pipeline (shingle→sign→band→verify);
-    // deterministic but xxhash64-based → rows-only check
-    "q43_minhash_neardups" -> ((s, d) =>
-      graft.text.Dedup.minhashNearDupsByWords(
-        T(s, d, "documents").df, "doc_id", "text",
-        n = 3, numHashes = 64, numBands = 16, threshold = 0.5)),
+    // MinHash + LSH near-dup pipeline (shingle→sign→band→verify), gated
+    // by its EXACT twin: recall vs the inverted-index-join exact Jaccard
+    // pairs on the deterministic doc_id<500 subset (= the whole corpus at
+    // sf0.01, where the DuckDB oracle recomputes n_exact), and a
+    // false-positive cross-check of the operator's HOF-set Jaccard
+    // against the twin's count arithmetic. Seeded hashes → deterministic
+    // verdicts.
+    "q43_minhash_neardups" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      val found = graft.text.Dedup.minhashNearDupsByWords(
+        docs, "doc_id", "text",
+        n = 3, numHashes = 64, numBands = 16, threshold = 0.5)
+      val exact = graft.text.Dedup.exactJaccardPairs(
+        docs.filter(col("doc_id") < 500), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val foundSub = found.filter(col("id_a") < 500 && col("id_b") < 500)
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nHit = foundSub.join(exact, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_hit"))
+      val nFp = foundSub.join(exact, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_fp"))
+      nExact.crossJoin(nHit).crossJoin(nFp).select(
+        col("n_exact"),
+        (col("n_hit") >= ceil(col("n_exact") * 0.8)).as("recall_ok"),
+        (col("n_fp") === 0).as("precision_ok"))
+    }),
 
-    // SimHash signatures + banded near-dup candidates (rows-only)
-    "q44_simhash_neardups" -> ((s, d) =>
-      graft.text.Dedup.simhashNearDups(
-        graft.text.Dedup.simhash(T(s, d, "documents").df, "doc_id", "text"),
-        "doc_id", maxDistance = 8)),
+    // SimHash banded near-dups, gated by the EXACT quadratic twin over
+    // the same signatures: banding must find every hamming≤3 pair (4
+    // bands × 16 bits — pigeonhole guarantees a clean band at d≤3), a
+    // measured share of all hamming≤8 pairs, and nothing outside the
+    // exact set. DuckDB can't compute simhash, so the oracle pins the
+    // n_docs anchor and the Spark-side verdicts (q21 pattern).
+    "q44_simhash_neardups" -> ((s, d) => {
+      val sigs = graft.GraftSession.trackPersist(
+        graft.text.Dedup.simhash(T(s, d, "documents").df, "doc_id", "text"))
+      val found = graft.text.Dedup.simhashNearDups(sigs, "doc_id",
+        maxDistance = 8)
+      val exact = graft.text.Dedup.exactHammingPairs(sigs, "doc_id", 8)
+      val nDocs = sigs.agg(count(lit(1)).as("n_docs"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nHit = found.join(exact, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_hit"))
+      val nMiss3 = exact.filter(col("hamming") <= 3)
+        .join(found, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_miss3"))
+      val nFp = found.join(exact, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_fp"))
+      nDocs.crossJoin(nExact).crossJoin(nHit).crossJoin(nMiss3)
+        .crossJoin(nFp).select(
+          col("n_docs"),
+          // banding recall beyond the d<=3 guarantee: measured 0.39-0.40
+          // at sf0.01 and sf0.1 (matches the 4-band surjection math:
+          // P[no clean band | d=8] ~ 0.62)
+          (col("n_hit") >= ceil(col("n_exact") * 0.3)).as("recall_ok"),
+          (col("n_miss3") === 0).as("guarantee3_ok"),
+          (col("n_fp") === 0).as("precision_ok"))
+    }),
 
     // n-gram Jaccard between consecutive doc ids — exact, oracle-checked
     "q45_ngram_jaccard" -> ((s, d) => {
@@ -713,8 +759,10 @@ object SparkEntry {
     // LSH ANN over a PERSISTED bucket-partitioned index: built ONCE per
     // dataset (cached across invocations — bench warmup builds it, timed
     // runs measure the probe path, which is the real repeated-query
-    // workload) and probed via partition-pruned read + multi-probe
-    // (approximate → rows-only)
+    // workload) and probed via partition-pruned read + multi-probe.
+    // Gated by the brute-force exact twin: recall@10 ≥ 0.5 (measured 0.6
+    // at sf0.01; seeded planes → deterministic), the query's own vector
+    // (vec_id 0, cos 1.0) must surface, and exactly k rows return.
     "q47_ann_lsh" -> ((s, d) => {
       val emb = T(s, d, "embeddings").df
       val q = emb.filter(col("vec_id") === 0)
@@ -724,7 +772,19 @@ object SparkEntry {
         graft.ml.Similarity.buildAnnIndex(
           emb, "vec_id", "embedding", numPlanes = 4, path)
       })
-      idx.topK(q, 10, probeRadius = 1)
+      val ann = idx.topK(q, 10, probeRadius = 1)
+      val exact = graft.ml.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", q, 10)
+      val nVec = emb.agg(count(lit(1)).as("n_vectors"))
+      val kRet = ann.agg(count(lit(1)).as("k_returned"))
+      val nHit = ann.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      val top1 = ann.filter(col("vec_id") === 0)
+        .agg(count(lit(1)).as("n_top1"))
+      nVec.crossJoin(kRet).crossJoin(nHit).crossJoin(top1).select(
+        col("n_vectors"), col("k_returned"),
+        (col("n_top1") === 1).as("top1_ok"),
+        (col("n_hit") >= 5).as("recall_ok"))
     }),
 
     // language ID (stopword/CJK heuristic, join-based scalable form —
@@ -878,18 +938,36 @@ object SparkEntry {
     // embedding-cosine near-dup pairs: banded multi-plane LSH signatures
     // with a maxBucket cap (same shape as MinHash LSH — candidates from
     // shared band-buckets, exact cosine verify on candidates only, never
-    // a cross join). Approximate → rows-only check; HardeningSpec covers
-    // above-threshold correctness.
-    "q62_embedding_neardup" -> ((s, d) =>
-      graft.ml.Similarity.nearNeighborPairs(
-        T(s, d, "embeddings").df, "vec_id", "embedding",
-        threshold = 0.35, numPlanes = 32, numBands = 8)),
+    // a cross join). Gated by the EXACT quadratic cosine twin: the DuckDB
+    // oracle recomputes n_exact independently; recall ≥ 0.6 (measured
+    // 0.76 at sf0.01; seeded planes → deterministic) and zero pairs
+    // outside the exact set. HardeningSpec covers above-threshold
+    // correctness.
+    "q62_embedding_neardup" -> ((s, d) => {
+      val emb = T(s, d, "embeddings").df
+      val found = graft.ml.Similarity.nearNeighborPairs(
+        emb, "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 32, numBands = 8)
+      val exact = graft.ml.Similarity.exactCosinePairs(
+        emb, "vec_id", "embedding", threshold = 0.35)
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nHit = found.join(exact, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_hit"))
+      val nFp = found.join(exact, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_fp"))
+      nExact.crossJoin(nHit).crossJoin(nFp).select(
+        col("n_exact"),
+        (col("n_hit") >= ceil(col("n_exact") * 0.6)).as("recall_ok"),
+        (col("n_fp") === 0).as("precision_ok"))
+    }),
 
     // IVF ANN: k-means coarse quantizer (deterministic seeded init), the
     // assignment WRITTEN cell-partitioned — fit+write happen ONCE per
     // dataset (cached; bench times the partition-pruned probe path, the
     // real repeated-query workload) — probe reads only the nprobe nearest
-    // cells (rows-only; IvfSpec asserts recall)
+    // cells. Gated by the brute-force exact twin: recall@10 ≥ 0.6
+    // (measured 0.9 at sf0.01; seeded init → deterministic), top-1
+    // surfaces, exactly k rows return. IvfSpec asserts recall too.
     "q63_ann_ivf" -> ((s, d) => {
       val emb = T(s, d, "embeddings").df
       val q = emb.filter(col("vec_id") === 0)
@@ -900,8 +978,20 @@ object SparkEntry {
         graft.ml.Ivf.writeIndex(model, p)
         (p, model.centroids)
       })
-      graft.ml.Ivf.searchIndex(s, path, centroids, "vec_id",
+      val ann = graft.ml.Ivf.searchIndex(s, path, centroids, "vec_id",
         "embedding", q, topK = 10, nprobe = 2)
+      val exact = graft.ml.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", q, 10)
+      val nVec = emb.agg(count(lit(1)).as("n_vectors"))
+      val kRet = ann.agg(count(lit(1)).as("k_returned"))
+      val nHit = ann.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      val top1 = ann.filter(col("vec_id") === 0)
+        .agg(count(lit(1)).as("n_top1"))
+      nVec.crossJoin(kRet).crossJoin(nHit).crossJoin(top1).select(
+        col("n_vectors"), col("k_returned"),
+        (col("n_top1") === 1).as("top1_ok"),
+        (col("n_hit") >= 6).as("recall_ok"))
     }),
 
     // token-window chunking with overlap (training-data prep; exact
@@ -1016,6 +1106,50 @@ object SparkEntry {
   )
 
   private val pipelineOracles: Map[String, String] = Map(
+    // independent recomputation of q43's exact-twin count (q45-style gram
+    // comprehension) over the same doc_id<500 subset; the verdict columns
+    // are computed Spark-side against that twin (q21 pattern)
+    "q43_minhash_neardups" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)]) AS grams
+           FROM (SELECT doc_id,
+                        list_filter(string_split_regex(trim(text), '\s+'),
+                                    t -> length(t) > 0) AS toks
+                 FROM documents WHERE doc_id < 500)),
+         pairs AS (
+           SELECT round(CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                    THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(a.grams || b.grams))
+                    ELSE 0.0 END, 6) AS jac
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT count(*) AS n_exact, true AS recall_ok,
+                true AS precision_ok
+         FROM pairs WHERE jac >= 0.5""",
+    // simhash is not DuckDB-expressible: pin the n_docs anchor and the
+    // Spark-side exact-twin verdicts (q21 pattern)
+    "q44_simhash_neardups" ->
+      """SELECT count(*) AS n_docs, true AS recall_ok,
+                true AS guarantee3_ok, true AS precision_ok
+         FROM documents""",
+    "q47_ann_lsh" ->
+      """SELECT count(*) AS n_vectors, CAST(10 AS BIGINT) AS k_returned,
+                true AS top1_ok, true AS recall_ok
+         FROM embeddings""",
+    // independent recomputation of q62's exact-twin count
+    "q62_embedding_neardup" ->
+      """SELECT count(*) AS n_exact, true AS recall_ok,
+                true AS precision_ok
+         FROM (SELECT round(CAST(list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cs
+               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         WHERE cs >= 0.35""",
+    "q63_ann_ivf" ->
+      """SELECT count(*) AS n_vectors, CAST(10 AS BIGINT) AS k_returned,
+                true AS top1_ok, true AS recall_ok
+         FROM embeddings""",
     // mirrors TextAnalysis.langIdByJoin exactly: same stopword table, same
     // argmax tiebreak (n DESC, cand_lang), same 4096-char-bounded CJK
     // override, docs with no hits → 'unknown'

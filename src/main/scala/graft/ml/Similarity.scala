@@ -50,6 +50,22 @@ object Similarity {
       .limit(k)
   }
 
+  /** EXACT all-pairs cosine above a threshold — the quadratic
+    * verification twin for [[nearNeighborPairs]]. O(n²) codegen'd dot
+    * products: a CHECK for bounded inputs, not a production path at
+    * 100 TB. Rounds to 6 digits BEFORE the threshold filter, exactly
+    * like the approximate pipeline, so the two pair sets are directly
+    * comparable. */
+  def exactCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Random-hyperplane LSH signature — `numPlanes` sign bits packed into a
     * long. A native codegen'd expression (tight primitive loop), NOT array
     * HOFs (interpreted lambdas); the driver-side twin

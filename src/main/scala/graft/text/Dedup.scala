@@ -130,6 +130,50 @@ object Dedup {
       transform(slice(ids, i + 2, size(ids)),
         b => struct(a.as("_1"), b.as("_2")))))
 
+  /** EXACT all-pairs word-n-gram Jaccard above a threshold, in the
+    * scalable relational form (inverted-index join): explode each doc's
+    * DISTINCT grams, self-join on the gram to count |A∩B| per pair, then
+    * |A∪B| = |A| + |B| − |A∩B|. No approximation and no cross join — the
+    * join cost is Σ_gram df(gram)², driven by gram document-frequency,
+    * not corpus size². This is the exact verification twin that gates the
+    * approximate MinHash pipeline (q43); on corpora with very hot grams
+    * (boilerplate headers) the df² term dominates — dedup the boilerplate
+    * first or raise n. Reference semantics: the same Jaccard the
+    * reference computes per candidate pair (test/org/apache/pig — no
+    * direct counterpart; extension operator). */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(wordNgrams(col(textCol), n)).as("gram"))
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val ga = grams.select(col(idCol).as("id_a"), col("gram"))
+    val gb = grams.select(col(idCol).as("id_b"), col("gram"))
+    val inter = ga.join(gb, "gram").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** EXACT all-pairs hamming-distance filter over 64-bit signatures —
+    * the quadratic verification twin for the banded SimHash pipeline.
+    * O(n²) bit_count comparisons (codegen'd longs): fine as a CHECK on
+    * bounded inputs, NOT a production path at 100 TB — that's what the
+    * banding is for. */
+  def exactHammingPairs(sigs: DataFrame, idCol: String,
+                        maxDistance: Int): DataFrame = {
+    val a = sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a"))
+    val b = sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxDistance)
+  }
+
   /** Exact n-gram Jaccard similarity of two shingle sets. */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) > 0,

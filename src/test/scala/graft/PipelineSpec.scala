@@ -50,6 +50,55 @@ class PipelineSpec extends SparkSpec {
     assert(nd.toSeq == Seq((1L, 2L)))
   }
 
+  test("exactJaccardPairs matches the HOF-set jaccard on all pairs") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox jumps over a sleepy dog"),
+      (4L, "completely different content with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    // reference: explicit cross join + HOF-set jaccard (the verify form)
+    val g = df.select(col("doc_id"),
+      Dedup.wordNgrams(col("text"), 3).as("g"))
+    val a = g.select(col("doc_id").as("id_a"), col("g").as("ga"))
+    val b = g.select(col("doc_id").as("id_b"), col("g").as("gb"))
+    val ref = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccard(col("ga"), col("gb")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val out = Dedup.exactJaccardPairs(df, "doc_id", "text", n = 3,
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == ref && out.nonEmpty)
+  }
+
+  test("exactHammingPairs agrees with banded simhashNearDups at d<=3") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "p q r s t u v w"), (4L, "alpha beta gamma epsilon"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "doc_id", "text")
+    val exact = Dedup.exactHammingPairs(sigs, "doc_id", 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashNearDups(sigs, "doc_id", maxDistance = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pigeonhole: 4 bands x 16 bits means every d<=3 pair shares a band
+    assert(banded == exact)
+    assert(exact.contains((1L, 2L)))
+  }
+
+  test("exactCosinePairs matches a hand-computed pair set") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.exactCosinePairs(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+
   test("jaccard on word n-grams") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "p q r s"))
       .toDF("id", "t")

@@ -58,11 +58,21 @@ object Similarity {
     * comparable. */
   def exactCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    // Precompute each vector's norm ONCE (n sqrt's instead of 2·n² ) —
+    // dot_product accumulates x(i)² in the same index order as
+    // CosineSimilarity's norm loop, and sqrt(nx)=0 iff nx=0, so
+    // dot/(na·nb) with the zero guard is bit-identical to cosine().
+    val withN = emb.select(col(idCol), col(vecCol),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__norm"))
+    val a = withN.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col("__norm").as("na"))
+    val b = withN.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col("__norm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+        round(when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
+          .otherwise(dot(col("vec_a"), col("vec_b")) /
+            (col("na") * col("nb"))), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 

@@ -13,10 +13,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *  - pass 1: count rows per partition (cheap, no shuffle of data rows);
   *  - pass 2: add the per-partition cumulative offset to a local index.
   *
-  * For RANK BY (ties share a rank) we first range-partition + sort by the
-  * rank keys so partition boundaries respect the global order, then compute
-  * per-partition dense indices and fix ties spanning boundaries with the
-  * per-partition key-boundary metadata.
+  * For RANK BY (ties share a rank) both variants work on the DISTINCT-key
+  * relation in key order — dense ranks are the key's 2-pass row number,
+  * non-dense ranks the exclusive prefix sum of per-key counts — and join
+  * back to the rows null-safely.
   */
 object Rank {
 
@@ -35,24 +35,24 @@ object Rank {
 
   /** RANK BY keys at scale, with per-key sort direction (asc = true).
     *
-    * Non-dense: range-repartition by the sort keys (sampled global ranges,
-    * same idea as Pig's quantile job), sort within partitions, assign row
-    * numbers via the 2-pass trick, then `min(rowNumber)` over a window
-    * PARTITIONED by the key — the window is distributed across the key
-    * domain, never a single-partition stage.
+    * BOTH variants rank the DISTINCT keys (a domain-sized relation, tiny
+    * relative to the rows) and join back NULL-SAFELY — a plain equi-join
+    * would silently drop every null-key row:
     *
-    * Dense: rank the DISTINCT keys (a domain-sized relation, tiny relative
-    * to the rows) with the same 2-pass trick and join back NULL-SAFELY —
-    * a plain equi-join would silently drop every null-key row.
+    *  - dense: 1-based row number of the key in key order (2-pass
+    *    zipWithIndex, no single-partition stage);
+    *  - non-dense (competition rank): 1 + the exclusive prefix sum of
+    *    per-key row COUNTS in key order — equal to `min(row_number)` per
+    *    key without ever windowing BY the key, so a single very hot key
+    *    never concentrates its rows on one task. The prefix sum uses the
+    *    same 2-pass shape (per-partition totals → broadcast offsets).
+    *
+    * Rows never shuffle when the key domain broadcasts; when the domain
+    * is too big to broadcast it is high-cardinality, which is exactly the
+    * case where a shuffle join on the key has no hot key.
     *
     * Key expressions are materialized as temp columns first so computed
-    * keys (frontend `RANK r BY f(x)`) work unchanged.
-    *
-    * Skew caveat (non-dense): `min(__rn) over (partition by keys)` makes
-    * each distinct key value one window partition — a single very hot key
-    * concentrates its rows on one task. RANK BY keys are high-cardinality
-    * in practice (that's what ranking is for); if a low-cardinality ranking
-    * ever matters, the dense path's distinct-key join shape is the fix. */
+    * keys (frontend `RANK r BY f(x)`) work unchanged. */
   def rankBy(df: DataFrame, keys: Seq[(Column, Boolean)], dense: Boolean,
              rankName: String = "rank", partitions: Int = 0): DataFrame = {
     val names = keys.indices.map(i => s"__rk$i")
@@ -77,12 +77,40 @@ object Rank {
         .select((df.columns.map(withKeys(_)) :+ col("__kr").as(rankName))
           .toIndexedSeq: _*)
     } else {
-      val sorted = withKeys.repartitionByRange(parts, sortCols: _*)
+      val counts = withKeys.groupBy(bare: _*).agg(count(lit(1)).as("__cnt"))
+      val sortedKeys = counts.repartitionByRange(parts, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
-      val numbered = rowNumber(sorted, "__rn")
-      val w = Window.partitionBy(bare: _*)
-      numbered.withColumn(rankName, min(col("__rn")).over(w))
-        .select((df.columns :+ rankName).map(col).toIndexedSeq: _*)
+      val keyRanks = withExclusivePrefixSum(sortedKeys, "__cnt", "__off")
+        .select((names.map(col) :+ (col("__off") + 1L).as("__kr"))
+          .toIndexedSeq: _*)
+      val cond = names.map(n => withKeys(n) <=> keyRanks(n)).reduce(_ && _)
+      withKeys.join(keyRanks, cond)
+        .select((df.columns.map(withKeys(_)) :+ col("__kr").as(rankName))
+          .toIndexedSeq: _*)
     }
+  }
+
+  /** Exclusive running sum of a non-null long column in the DataFrame's
+    * current order — the 2-pass POCounter/PORank shape: per-partition
+    * totals (one cheap pass), then each partition streams with its
+    * broadcast starting offset. Never a single-partition stage. */
+  private def withExclusivePrefixSum(df: DataFrame, valueCol: String,
+                                     outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idx = df.schema.fieldIndex(valueCol)
+    val rdd = df.rdd
+    val sums = rdd.mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(idx)); Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(sums.scanLeft(0L)(_ + _))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val rows = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var acc = offsets.value(i)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ acc); acc += r.getLong(idx); out
+      }
+    }
+    spark.createDataFrame(rows, schema)
   }
 }

@@ -167,6 +167,23 @@ class RelationSpec extends SparkSpec {
     }
   }
 
+  test("rankBy non-dense on a hot low-cardinality key matches rank()") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 distinct flags over the whole table — every key is hot; the
+    // distinct-key prefix-sum path must not funnel a key to one task
+    val df = sf("lineitem").select("l_orderkey", "l_returnflag")
+    val expect = df.withColumn("rank",
+        org.apache.spark.sql.functions.rank()
+          .over(Window.orderBy("l_returnflag")).cast("long"))
+      .select("l_returnflag", "rank").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = graft.operators.Rank.rankBy(df,
+        Seq(col("l_returnflag") -> true), dense = false)
+      .select("l_returnflag", "rank").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expect)
+  }
+
   test("rankBy with computed key expression") {
     val df = sf("customer").select("c_custkey", "c_acctbal")
     val got = graft.operators.Rank.rankBy(df,

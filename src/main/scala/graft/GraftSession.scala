@@ -33,9 +33,10 @@ object GraftSession {
     // codegen field cap and silently fall back to interpreted evaluation.
     c.set("spark.sql.codegen.maxFields", "500")
     // Custom logical rewrites (SURVEY §4.3): bag elision for size-only
-    // consumers of collect_list groups.
+    // consumers of collect_list groups; map-key pruning into JSON parses
+    // (§4.1 ColumnMapKeyPrune analog).
     spark.experimental.extraOptimizations =
-      Seq(graft.plans.FuseBagSizeToCount)
+      Seq(graft.plans.FuseBagSizeToCount, graft.plans.PruneJsonMapKeys)
     spark
   }
 
@@ -100,6 +101,8 @@ object GraftSession {
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    // dynamic confs are already set above; tune also registers the
+    // custom optimizer rules (bag elision, map-key pruning)
+    tune(s)
   }
 }

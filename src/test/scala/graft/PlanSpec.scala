@@ -115,4 +115,47 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_min") || p.contains("partial_"))
   }
+
+  test("map-key pruning: literal lookups parse a struct of used keys") {
+    import org.apache.spark.sql.catalyst.expressions.JsonToStructs
+    import org.apache.spark.sql.types.{MapType, StringType, LongType, StructType}
+    // non-foldable source (a literal Seq would constant-fold the parse)
+    val df = spark.range(2).select(
+      when(col("id") === 0, """{"a":1,"b":2,"c":3}""")
+        .otherwise("""{"a":4}""").as("js"))
+    def m = from_json(col("js"), MapType(StringType, LongType))
+    val q = df.select(element_at(m, "a").as("a"), element_at(m, "b").as("b"))
+    val jsons = q.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case j: JsonToStructs => j })
+    assert(jsons.nonEmpty)
+    assert(jsons.forall(_.schema.isInstanceOf[StructType]))
+    assert(jsons.forall(
+      _.schema.asInstanceOf[StructType].fieldNames.toSeq == Seq("a", "b")))
+    // semantics preserved: present keys read, absent keys null
+    assert(q.collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq ==
+      Seq((Some(1L), Some(2L)), (Some(4L), None)))
+  }
+
+  test("map-key pruning bails when the whole map is also used") {
+    import org.apache.spark.sql.catalyst.expressions.JsonToStructs
+    import org.apache.spark.sql.types.{MapType, StringType, LongType}
+    val df = spark.range(1).select(
+      concat(lit("""{"a":1,"b":"""), col("id") + 2, lit("}")).as("js"))
+    def m = from_json(col("js"), MapType(StringType, LongType))
+    val q = df.select(element_at(m, "a").as("a"), map_keys(m).as("ks"))
+    val jsons = q.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case j: JsonToStructs => j })
+    assert(jsons.exists(_.schema.isInstanceOf[MapType]))
+    assert(q.head().getSeq[String](1).sorted == Seq("a", "b"))
+  }
+
+  test("q38: map lookup parses only the accessed key (pruned struct)") {
+    import org.apache.spark.sql.catalyst.expressions.JsonToStructs
+    import org.apache.spark.sql.types.StructType
+    val q = graft.SparkEntry.queries("q38_map_lookup")(
+      spark, "/root/testdata/sf0.001")
+    val jsons = q.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case j: JsonToStructs => j })
+    assert(jsons.nonEmpty && jsons.forall(_.schema.isInstanceOf[StructType]))
+  }
 }

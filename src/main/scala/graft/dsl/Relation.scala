@@ -294,6 +294,24 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
   def store(path: String, format: String = "parquet",
             options: Map[String, String] = Map.empty): Unit =
     df.write.format(format).options(options).mode("overwrite").save(path)
+  /** STORE into a BUCKETED catalog table — the materialization contract
+    * behind Pig's `GROUP … USING 'collected'` and `JOIN … USING 'merge'`
+    * (Zebra sorted storage; POMergeJoin's sorted-input requirement,
+    * PL/relationalOperators/POMergeJoin.java): rows are hash-bucketed
+    * (and optionally sorted) by the key at WRITE time, so later joins and
+    * groups on that key read co-located data and Catalyst elides the
+    * exchange — and the sort, for sorted buckets. This is the 100 TB
+    * shape for repeatedly-joined fact tables: pay the shuffle once at
+    * write, never at read. Bucketing metadata lives in the session
+    * catalog, so this takes a table name, not a bare path. */
+  def storeBucketed(table: String, numBuckets: Int, keys: Seq[String],
+                    sortKeys: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+    (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*)
+     else w).saveAsTable(table)
+  }
+
   /** DUMP (Grunt verb) — driver-side display only. */
   def dump(n: Int = 20): Unit = df.show(n, truncate = false)
   def describe(): Unit = df.printSchema()
@@ -310,6 +328,11 @@ object Relation {
   def loadTable(spark: SparkSession, dir: String, table: String): Relation =
     new Relation(fixNanoTimestamps(spark.read.parquet(s"$dir/$table.parquet")),
       table)
+  /** LOAD a (possibly bucketed) catalog table — the read half of
+    * [[Relation.storeBucketed]]; bucketing metadata makes joins/groups on
+    * the bucket key exchange-free. */
+  def fromTable(spark: SparkSession, table: String): Relation =
+    new Relation(spark.table(table), table)
 
   /** N-ary COGROUP (Pig allows any number of inputs): each input is
     * grouped to a bag, the per-key bags full-outer-joined, and missing

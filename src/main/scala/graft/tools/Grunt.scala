@@ -1,0 +1,46 @@
+package graft.tools
+
+/** Interactive Grunt shell analog — reference §3.1 entry point A
+  * (`bin/pig` → Main.java → grunt/GruntParser.java): statements are read
+  * from stdin (continuing across lines until a terminating `;`) and
+  * executed against ONE stateful [[graft.frontend.PigRunner]], so aliases
+  * accumulate across statements exactly like a Grunt session; DUMP /
+  * DESCRIBE / EXPLAIN / STORE act immediately. `quit;` (or EOF) exits.
+  *
+  *   sbt "runMain graft.tools.Grunt"
+  *
+  * Statement termination is detected on a line-ending `;` — a `;` inside
+  * a string literal mid-line is handled by the parser, but a multi-line
+  * literal containing a line-final `;` is not REPL-safe (run those from a
+  * script file via RunScript).
+  */
+object Grunt {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local()
+    val runner = graft.frontend.PigRunner(spark)
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(System.in))
+    val buf = new StringBuilder
+    var done = false
+    print("grunt> "); Console.flush()
+    while (!done) {
+      val line = in.readLine()
+      if (line == null) done = true
+      else {
+        buf.append(line).append('\n')
+        val stmt = buf.toString
+        if (stmt.trim.matches("(?i)(quit|exit)\\s*;?\\s*")) done = true
+        else if (stmt.trim.endsWith(";")) {
+          try runner.run(stmt)
+          catch {
+            case e: Exception => System.err.println(s"ERROR: ${e.getMessage}")
+          }
+          buf.clear()
+          print("grunt> "); Console.flush()
+        } else { print("    > "); Console.flush() }
+      }
+    }
+    runner.close()
+    spark.stop()
+  }
+}

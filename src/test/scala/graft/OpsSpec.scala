@@ -53,20 +53,29 @@ class OpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
-    sf("orders").write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("b_orders")
-    sf("customer").write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("b_customer")
+    Relation(sf("orders"), "orders")
+      .storeBucketed("b_orders", 8, Seq("o_custkey"), Seq("o_custkey"))
+    Relation(sf("customer"), "customer")
+      .storeBucketed("b_customer", 8, Seq("c_custkey"), Seq("c_custkey"))
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val j = spark.table("b_orders").join(spark.table("b_customer"),
+      val j = Relation.fromTable(spark, "b_orders").df.join(
+        Relation.fromTable(spark, "b_customer").df,
         col("o_custkey") === col("c_custkey"))
       val plan = j.queryExecution.executedPlan.toString
       // co-located: neither side shuffles (Pig merge join on pre-sorted
       // bucketed inputs — POMergeJoin equivalence)
       assert(!plan.contains("Exchange hashpartitioning"))
       assert(j.count() == sf("orders").count())
+      // GROUP BY the bucket key is exchange-free too — Pig's
+      // `GROUP … USING 'collected'` contract (map-side grouping over
+      // co-located loads)
+      val g = Relation.fromTable(spark, "b_orders").df
+        .groupBy("o_custkey").count()
+      assert(!g.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      assert(g.count() > 0)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }

@@ -109,7 +109,6 @@ object TextAnalysis {
   def langIdByJoin(df: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
-    import org.apache.spark.sql.expressions.Window
     val swRows = LangStopwords.toSeq.flatMap { case (lang, ws) =>
       ws.map(w => (lang, w)) }
     val sw = spark.createDataFrame(swRows).toDF("cand_lang", "tok")
@@ -117,11 +116,14 @@ object TextAnalysis {
       explode(tokens(lower(col(textCol)))).as("tok"))
     val counts = toks.join(broadcast(sw), "tok")
       .groupBy(col(idCol), col("cand_lang")).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("n").desc, col("cand_lang"))
-    val best = counts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("cand_lang").as("best_lang"))
+    // argmax with the (n DESC, cand_lang ASC) tiebreak as a partial-
+    // aggregatable min-of-struct — structs compare lexicographically, so
+    // min((-n, lang)) picks max n then min lang. Replaces a window
+    // (shuffle + per-doc sort) with a combinable aggregate.
+    val best = counts.groupBy(col(idCol))
+      .agg(min(struct((-col("n")).as("negn"),
+        col("cand_lang").as("l"))).as("m"))
+      .select(col(idCol), col("m.l").as("best_lang"))
     df.select(col(idCol), col(textCol))
       .join(best, Seq(idCol), "left")
       .select(col(idCol),

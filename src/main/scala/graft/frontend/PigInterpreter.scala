@@ -432,6 +432,15 @@ final class PigRunner(spark: SparkSession) {
         df.write.mode("overwrite")
           .option("sep", args.headOption.getOrElse("\t")).csv(path)
       case Some(("JsonStorage", _)) => df.write.mode("overwrite").json(path)
+      // piggybank MultiStorage(parent, fieldIdx[, compression[, sep]]) —
+      // one output dir per distinct value of the split field
+      case Some(("MultiStorage", args)) =>
+        val fieldIdx = args.lift(1).map(_.trim.toInt).getOrElse(0)
+        graft.sources.Piggybank.multiStore(df,
+          args.headOption.filter(_.nonEmpty).getOrElse(path),
+          df.columns(fieldIdx),
+          args.lift(2).getOrElse("none"),
+          args.lift(3).getOrElse("\t"))
       case Some(("AvroStorage", _)) =>
         graft.sources.Avro.write(df, path)
       case Some(("CSVExcelStorage", args)) =>
@@ -852,6 +861,20 @@ final class PigRunner(spark: SparkSession) {
         }
       case Some(("OrcStorage", _)) => spark.read.orc(path)
       case Some(("AvroStorage", _)) => graft.sources.Avro.read(spark, path)
+      // piggybank FixedWidthLoader('spec'[, 'SKIP_HEADER']) — byte-position
+      // columns; names/casts applied positionally by the AS schema below
+      case Some(("FixedWidthLoader", args)) =>
+        graft.sources.Piggybank.fixedWidthLoad(spark, path,
+          args.headOption.getOrElse(throw new IllegalArgumentException(
+            "FixedWidthLoader needs a column spec, e.g. '-5, 7-10, 14'")),
+          skipHeader = args.lift(1).exists(_.equalsIgnoreCase("SKIP_HEADER")))
+      // piggybank MyRegExLoader('pattern') — one column per capture group
+      case Some(("MyRegExLoader" | "RegExLoader", args)) =>
+        graft.sources.Piggybank.regexLoad(spark, path,
+          args.headOption.getOrElse(throw new IllegalArgumentException(
+            "MyRegExLoader needs a pattern with capture groups")))
+      case Some(("SequenceFileLoader", _)) =>
+        graft.sources.Piggybank.sequenceFileLoad(spark, path)
       // piggybank CSVExcelStorage(delim, multiline, eol, header) —
       // Excel-dialect CSV: "" escapes a quote inside a quoted field
       // (reference: piggybank/storage/CSVExcelStorage.java)
@@ -879,8 +902,10 @@ final class PigRunner(spark: SparkSession) {
       case _ => Relation.fixNanoTimestamps(spark.read.parquet(path))
     }
     val df = schema match {
-      case Some(fs) if using.exists(u => u._1 == "PigStorage" ||
-                                         u._1 == "CSVExcelStorage") ||
+      case Some(fs) if using.exists(u => Set("PigStorage", "CSVExcelStorage",
+                                         "FixedWidthLoader", "MyRegExLoader",
+                                         "RegExLoader", "SequenceFileLoader")
+                                         .contains(u._1)) ||
                        (using.isEmpty && !path.endsWith(".parquet")) =>
         // positional rename + LoadCaster casts (§1.4: failure → null);
         // a schema wider than the file null-pads the missing fields
@@ -1112,6 +1137,30 @@ final class PigRunner(spark: SparkSession) {
       case "ADDDURATION" => Builtins.AddDuration(c0, asStr(args(1)))
       case "SUBTRACTDURATION" => Builtins.SubtractDuration(c0, asStr(args(1)))
       case "CURRENTTIME" => current_timestamp()
+      case n if n.startsWith("INVOKEFOR") =>
+        // InvokeForString/Int/Long/Float/Double (reference: Invoker.java) —
+        // a DEFINE'd alias call arrives with the ctor literals appended
+        // after the call args (preprocessor contract):
+        //   (callArgs…, 'cls.method' [, 'paramSpec' [, 'isStatic']])
+        val kind = n.stripPrefix("INVOKEFOR").toLowerCase.capitalize
+        val trailing = args.reverse.takeWhile {
+          case Lit(_: String) => true; case _ => false
+        }.reverse.collect { case Lit(s: String) => s }
+        // ctor group: fullName is the dotted literal; isStatic is a bool word
+        val k =
+          if (trailing.length >= 3 && trailing(trailing.length - 3).contains(".") &&
+              Set("true", "false").contains(trailing.last.toLowerCase)) 3
+          else if (trailing.length >= 2 &&
+                   trailing(trailing.length - 2).contains(".")) 2
+          else if (trailing.nonEmpty && trailing.last.contains(".")) 1
+          else throw new IllegalArgumentException(
+            s"$n needs a fully-qualified 'class.method' constructor literal")
+        val ctor = trailing.takeRight(k)
+        val (fullName, paramSpec, isStatic) =
+          (ctor.head, ctor.lift(1).getOrElse(""),
+           ctor.lift(2).forall(_.equalsIgnoreCase("true")))
+        graft.functions.Invoke.column(kind, fullName, paramSpec, isStatic,
+          args.dropRight(k).map(comp))
       case other => throw new IllegalArgumentException(s"unknown function $other")
     }
   }

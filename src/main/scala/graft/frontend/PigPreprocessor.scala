@@ -166,7 +166,10 @@ object PigPreprocessor {
         // literal args are masked here, so they can't split the match.
         funcs.foldLeft(withCmds) { case (s, (name, (func, ctor))) =>
           s"""\\b$name\\s*\\(([^()]*)\\)""".r.replaceAllIn(s, mm => {
-            val callArgs = mm.group(1).trim
+            // NOT String.trim: the masked-literal placeholders are framed by
+            // control chars < U+0020 and trim would strip them off the ends
+            val callArgs = mm.group(1)
+              .replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
             val all = Seq(callArgs, ctor.trim).filter(_.nonEmpty).mkString(", ")
             java.util.regex.Matcher.quoteReplacement(s"$func($all)")
           })

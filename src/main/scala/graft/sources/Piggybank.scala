@@ -1,0 +1,181 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Piggybank storage ports beyond CSVExcelStorage/XMLLoader (reference:
+  * contrib/piggybank/java/src/main/java/org/apache/pig/piggybank/storage/).
+  * Each is re-expressed as pure DataFrame plumbing — the parse work stays
+  * inside whole-stage codegen (substring/regexp on a text scan), so a scan
+  * stays splittable and pushdown-friendly at any scale.
+  */
+object Piggybank {
+
+  // ------------------------------------------------------------ FixedWidth
+
+  /** One 0-indexed [start, end) slice of the line. */
+  final case class FixedWidthField(start: Int, end: Int)
+
+  /** Column spec parser (reference: FixedWidthLoader.java:176
+    * parseColumnSpec): comma-separated 1-indexed inclusive ranges —
+    * `"-5, 7-10, 14, 17-"` = [1,5], [7,10], [14,14], [17,∞). */
+  def parseColumnSpec(spec: String): Seq[FixedWidthField] =
+    spec.split(",").toSeq.map(_.trim).map { range =>
+      if (range.contains("-")) {
+        val Array(a, b) = range.split("-", 2).map(_.trim)
+        val start = if (a.isEmpty) 0 else a.toInt - 1
+        val end   = if (b.isEmpty) Int.MaxValue else b.toInt
+        require(start >= 0 && start < end,
+          s"Illegal column spec '$range': start must be >=1 and < end")
+        FixedWidthField(start, end)
+      } else {
+        val off = range.toInt - 1
+        FixedWidthField(off, off + 1)
+      }
+    }
+
+  /** FixedWidthLoader('<spec>'[, 'SKIP_HEADER'][, schema]) (reference:
+    * FixedWidthLoader.java:129): slice each line into columns by byte
+    * position. A column short of the line's end yields null (the reference
+    * pads/nulls absent fields); values are trimmed before the cast, like
+    * the reference's per-type conversions. */
+  def fixedWidthLoad(spark: SparkSession, path: String, columnSpec: String,
+                     skipHeader: Boolean = false,
+                     schema: Option[StructType] = None): DataFrame = {
+    val fields = parseColumnSpec(columnSpec)
+    val raw0 = spark.read.text(path)
+    // SKIP_HEADER drops the first line of each FILE (not the dataset) in
+    // the reference; per-file first-line removal without losing split
+    // parallelism: tag rows with their file + an in-file index via a
+    // window would shuffle — instead drop rows equal to the first line
+    // only at position 0 of each file using the input_file metadata and
+    // a per-file min on the row id (cheap: one partial agg + broadcast).
+    val raw = if (!skipHeader) raw0 else {
+      val withId = raw0.withColumn("__f", input_file_name())
+        .withColumn("__id", monotonically_increasing_id())
+      val firsts = withId.groupBy(col("__f"))
+        .agg(min(col("__id")).as("__first"))
+      withId.join(broadcast(firsts), "__f")
+        .filter(col("__id") =!= col("__first"))
+        .select(col("value"))
+    }
+    val cols: Seq[Column] = fields.zipWithIndex.map { case (f, i) =>
+      val len = if (f.end == Int.MaxValue) Int.MaxValue - f.start
+                else f.end - f.start
+      val sliced = trim(substring(col("value"), f.start + 1, len))
+      val named = schema.flatMap(s => s.fields.lift(i)) match {
+        case Some(sf) => when(length(col("value")) > f.start, sliced)
+          .cast(sf.dataType).as(sf.name)
+        case None => when(length(col("value")) > f.start, sliced)
+          .as(s"f${i + 1}")
+      }
+      named
+    }
+    raw.select(cols: _*)
+  }
+
+  // --------------------------------------------------------------- RegEx
+
+  /** RegExLoader / MyRegExLoader('pattern') (reference: RegExLoader.java:44,
+    * MyRegExLoader.java): each line matching the pattern yields one row with
+    * one column per capture group; non-matching lines are skipped (the
+    * reference's getNext loops past them). Group count is taken from the
+    * compiled pattern, so the output schema is static. */
+  def regexLoad(spark: SparkSession, path: String, pattern: String): DataFrame = {
+    val nGroups = java.util.regex.Pattern.compile(pattern).matcher("").groupCount()
+    require(nGroups > 0, s"RegExLoader pattern has no capture groups: $pattern")
+    spark.read.text(path)
+      .filter(col("value").rlike(pattern))
+      .select((1 to nGroups).map(g =>
+        regexp_extract(col("value"), pattern, g).as(s"f$g")): _*)
+  }
+
+  // --------------------------------------------------------- MultiStorage
+
+  /** MultiStorage('parent', splitField[, compression[, fieldDel]])
+    * (reference: MultiStorage.java:102): write delimited text partitioned
+    * by one field's value — one directory per distinct value. Spark's
+    * `partitionBy` is the native equivalent (dir layout `field=value/`
+    * vs the reference's `value/value-taskid`; the column round-trips via
+    * partition discovery instead of being repeated in every record —
+    * strictly better at scale, and `basePath` reads restore it). */
+  def multiStore(df: DataFrame, parentPath: String, splitField: String,
+                 compression: String = "none",
+                 fieldDel: String = "\t"): Unit = {
+    val codec = compression.toLowerCase match {
+      case "none" => None
+      case "gz" | "gzip" => Some("gzip")
+      case "bz2" | "bzip2" => Some("bzip2")
+      case other => throw new IllegalArgumentException(
+        s"MultiStorage compression '$other' (none|gz|bz2)")
+    }
+    val w = df.write.mode("overwrite").partitionBy(splitField)
+      .option("sep", fieldDel)
+    codec.fold(w)(c => w.option("compression", c)).csv(parentPath)
+  }
+
+  // ----------------------------------------------------- SequenceFile
+
+  /** SequenceFileLoader (reference: SequenceFileLoader.java:59): read
+    * Hadoop SequenceFiles of Writable key/value pairs as a 2-column
+    * DataFrame. Key/value classes come from the first file's header (read
+    * once on the driver); each task then converts its split's Writables —
+    * Text→string, Int/Long/Float/Double/Boolean-Writable→primitive,
+    * BytesWritable→binary, NullWritable→null. */
+  def sequenceFileLoad(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.hadoop.io._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = FileSystem.get(p.toUri, conf)
+    val first = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .sortBy(_.getName).headOption.getOrElse(
+            throw new IllegalArgumentException(s"no sequence files under $path"))
+      else p
+    }
+    val (kc, vc) = {
+      val r = new SequenceFile.Reader(conf, SequenceFile.Reader.file(first))
+      try (r.getKeyClass, r.getValueClass) finally r.close()
+    }
+    def sparkType(c: Class[_]): DataType = c match {
+      case x if x == classOf[Text] => StringType
+      case x if x == classOf[IntWritable] => IntegerType
+      case x if x == classOf[LongWritable] => LongType
+      case x if x == classOf[FloatWritable] => FloatType
+      case x if x == classOf[DoubleWritable] => DoubleType
+      case x if x == classOf[BooleanWritable] => BooleanType
+      case x if x == classOf[ByteWritable] => ByteType
+      case x if x == classOf[BytesWritable] => BinaryType
+      case x if x == classOf[NullWritable] => NullType
+      case other => throw new IllegalArgumentException(
+        s"unsupported SequenceFile Writable ${other.getName} " +
+        "(Text, {Int,Long,Float,Double,Boolean,Byte,Bytes,Null}Writable)")
+    }
+    val schema = StructType(Seq(
+      StructField("key", sparkType(kc)), StructField("value", sparkType(vc))))
+    // convert on executors; Writables are REUSED by the record reader, so
+    // every value must be copied out before the iterator advances
+    def conv(w: Writable): Any = w match {
+      case t: Text => t.toString
+      case i: IntWritable => i.get
+      case l: LongWritable => l.get
+      case f: FloatWritable => f.get
+      case d: DoubleWritable => d.get
+      case b: BooleanWritable => b.get
+      case b: ByteWritable => b.get
+      case b: BytesWritable => java.util.Arrays.copyOf(b.getBytes, b.getLength)
+      case _: NullWritable => null
+      case other => other.toString
+    }
+    val rdd = spark.sparkContext
+      .sequenceFile(path, kc.asInstanceOf[Class[Writable]],
+        vc.asInstanceOf[Class[Writable]])
+      .map { case (k, v) => org.apache.spark.sql.Row(conv(k), conv(v)) }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -697,4 +697,43 @@ class FrontendSpec extends SparkSpec {
     """).apply("p").df.head()
     assert(out.getString(0).forall(_.isDigit) && out.getString(0).nonEmpty)
   }
+
+  test("InvokeForString: instance method via DEFINE (Invoker semantics)") {
+    val out = PigRunner(spark).run(s"""
+      DEFINE Up InvokeForString('java.lang.String.toUpperCase', '', 'false');
+      n = LOAD '$dir/nation.parquet';
+      u = FOREACH n GENERATE n_nationkey, Up(n_name) AS uname;
+    """).apply("u").df.orderBy("n_nationkey").head()
+    assert(out.getString(1) == out.getString(1).toUpperCase)
+    assert(out.getString(1).exists(_.isLetter))
+  }
+
+  test("InvokeForLong: static method with declared params; bad input → null") {
+    val out = PigRunner(spark).run(s"""
+      DEFINE ParseLong InvokeForLong('java.lang.Long.parseLong', 'String');
+      n = LOAD '$dir/nation.parquet';
+      p = FOREACH n GENERATE (chararray)n_nationkey AS s;
+      q = FOREACH p GENERATE ParseLong(s) AS v, ParseLong('nope') AS bad;
+    """).apply("q").df.head()
+    assert(!out.isNullAt(0) && out.getLong(0) >= 0)
+    assert(out.isNullAt(1)) // InvocationTargetException → null, Pig style
+  }
+
+  test("InvokeForDouble: static two-arg method (Math.pow)") {
+    val out = PigRunner(spark).run(s"""
+      DEFINE Pow InvokeForDouble('java.lang.Math.pow', 'double double');
+      n = LOAD '$dir/nation.parquet';
+      d = FOREACH n GENERATE (double)n_regionkey AS rk;
+      p = FOREACH d GENERATE Pow(rk, 2.0) AS sq, rk;
+    """).apply("p").df.orderBy(org.apache.spark.sql.functions.desc("sq")).head()
+    assert(out.getDouble(0) == 16.0 && out.getDouble(1) == 4.0)
+  }
+
+  test("monitored UDF: timeout yields the default, fast path the value") {
+    val slowThenFast = graft.functions.Invoke.monitored(200L, -1) {
+      (x: Int) => if (x == 0) { Thread.sleep(5000); 0 } else x * 10
+    }
+    assert(slowThenFast(3) == 30)
+    assert(slowThenFast(0) == -1)
+  }
 }

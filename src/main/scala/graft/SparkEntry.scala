@@ -575,10 +575,28 @@ object SparkEntry {
         .groupBy("hour" -> date_trunc("hour", col("ts")),
                  "event_type" -> col("event_type"))
         .agg(COUNT_STAR().as("n"),
-             round(SUM(col("value")), 2).as("sum_value")).df)
+             round(SUM(col("value")), 2).as("sum_value")).df),
+
+    // Invoke* reflection UDFs end-to-end through the frontend: an
+    // instance-method call (receiver as first arg) and a 2-arg static —
+    // reference Invoker.java semantics, here resolved once per JVM
+    "q72_invoke" -> ((s, d) => {
+      GraftSession.tune(s)
+      graft.frontend.PigRunner(s).run(s"""
+        DEFINE Lo InvokeForString('java.lang.String.toLowerCase', '', 'false');
+        DEFINE MaxL InvokeForLong('java.lang.Math.max', 'long long');
+        c = LOAD '$d/customer.parquet';
+        p = FOREACH c GENERATE c_custkey, Lo(c_mktsegment) AS seg,
+              MaxL(c_custkey, 1000) AS floor_key;
+      """).apply("p").df
+    })
   )
 
   private val functionOracles: Map[String, String] = Map(
+    "q72_invoke" ->
+      """SELECT c_custkey, lower(c_mktsegment) AS seg,
+                CAST(greatest(c_custkey, 1000) AS BIGINT) AS floor_key
+         FROM customer""",
     "q31_case" ->
       """SELECT o_orderkey,
                 CASE WHEN o_totalprice > 300000 THEN 'platinum'

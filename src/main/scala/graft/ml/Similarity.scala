@@ -170,19 +170,28 @@ object Similarity {
     // the (id, vec, sig) projection feeds three consumers (banding + both
     // verify sides) — persist it once (tracked), mirroring the Dedup
     // pipelines, instead of re-evaluating the embedding scan per consumer
+    // norms precomputed once per vector, not once per candidate pair —
+    // same bit-identical argument as [[exactCosinePairs]] (dot_product
+    // accumulates squares in cosine()'s index order); the verify join then
+    // does 1 dot per pair instead of a dot plus two norm loops
     val base = graft.GraftSession.trackPersist(
       emb.select(col(idCol), col(vecCol).as("__vec"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__norm"),
         lshSignature(col(vecCol), numPlanes).as("sig")))
     val buckets = base
       .select(col(idCol), posexplode(array((0 until numBands).map(b =>
           shiftright(col("sig"), b * ppb).bitwiseAND(lit((1L << ppb) - 1))): _*))
         .as(Seq("band", "bucket")))
     val pairs = graft.text.Dedup.cappedCandidatePairs(buckets, idCol, maxBucket)
-    val a = base.select(col(idCol).as("id_a"), col("__vec").as("vec_a"))
-    val b = base.select(col(idCol).as("id_b"), col("__vec").as("vec_b"))
+    val a = base.select(col(idCol).as("id_a"), col("__vec").as("vec_a"),
+      col("__norm").as("na"))
+    val b = base.select(col(idCol).as("id_b"), col("__vec").as("vec_b"),
+      col("__norm").as("nb"))
     pairs.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+        round(when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
+          .otherwise(dot(col("vec_a"), col("vec_b")) /
+            (col("na") * col("nb"))), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

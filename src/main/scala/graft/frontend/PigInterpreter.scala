@@ -860,7 +860,10 @@ final class PigRunner(spark: SparkSession) {
           case None     => spark.read.json(path)
         }
       case Some(("OrcStorage", _)) => spark.read.orc(path)
-      case Some(("AvroStorage", _)) => graft.sources.Avro.read(spark, path)
+      // an AS schema prunes the Avro READ itself (reader-schema
+      // projection — LoadPushDown.pushProjection semantics)
+      case Some(("AvroStorage", _)) =>
+        graft.sources.Avro.read(spark, path, schema.map(_.map(_.name)))
       // piggybank FixedWidthLoader('spec'[, 'SKIP_HEADER']) — byte-position
       // columns; names/casts applied positionally by the AS schema below
       case Some(("FixedWidthLoader", args)) =>

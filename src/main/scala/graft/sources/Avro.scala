@@ -42,9 +42,22 @@ object Avro {
 
   // ------------------------------------------------------------------ read
 
-  def read(spark: SparkSession, path: String): DataFrame = {
+  /** `columns = Some(names)` prunes the READ, not just the output: the
+    * reader schema is cut down to those fields, and Avro's schema
+    * resolution SKIPS non-reader fields during decode (per-field skip in
+    * the binary decoder) — a 2-column projection of a wide record decodes
+    * 2 fields per row instead of all of them. This is the loader-level
+    * column pruning the reference exposes via LoadPushDown
+    * (P/LoadPushDown.java pushProjection); Catalyst can't see through the
+    * RDD boundary, so the frontend passes the AS-schema names down. */
+  def read(spark: SparkSession, path: String,
+           columns: Option[Seq[String]] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val avroSchema = readWriterSchema(path, conf)
+    val fullSchema = readWriterSchema(path, conf)
+    val avroSchema = columns match {
+      case Some(cols) => pruneSchema(fullSchema, cols)
+      case None       => fullSchema
+    }
     val sparkSchema = toSparkType(avroSchema).asInstanceOf[StructType]
     val schemaJson = avroSchema.toString
     // reader schema → per-file resolution by field name (schema evolution)
@@ -83,6 +96,22 @@ object Avro {
     val reader = new DataFileReader[GenericRecord](
       new FsInput(file, conf), new GenericDatumReader[GenericRecord]())
     try reader.getSchema finally reader.close()
+  }
+
+  /** Reader-schema projection: same record name/namespace (resolution
+    * matches records by full name), only the requested fields. Field
+    * order follows `cols`, so the output column order is the projection's. */
+  private def pruneSchema(writer: AvroSchema, cols: Seq[String]): AvroSchema = {
+    val fields = new java.util.ArrayList[AvroSchema.Field]()
+    cols.foreach { c =>
+      val f = Option(writer.getField(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $c is not in the Avro schema " +
+          s"(${writer.getFields.asScala.map(_.name).mkString(", ")})"))
+      fields.add(new AvroSchema.Field(f.name, f.schema, f.doc, f.defaultVal))
+    }
+    AvroSchema.createRecord(writer.getName, writer.getDoc,
+      writer.getNamespace, false, fields)
   }
 
   private[sources] def toSparkType(s: AvroSchema): DataType = s.getType match {

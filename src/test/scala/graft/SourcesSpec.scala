@@ -163,6 +163,32 @@ class SourcesSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("n_nationkey", "n_name"))
   }
 
+  test("avro column pruning: reader schema cut to the projection") {
+    val d = tmp()
+    graft.sources.Avro.write(
+      sf("customer").select("c_custkey", "c_name", "c_acctbal",
+        "c_mktsegment", "c_nationkey"), s"$d/av")
+    // direct API: only the requested fields come back, in request order
+    val pruned = graft.sources.Avro.read(spark, s"$d/av",
+      Some(Seq("c_name", "c_custkey")))
+    assert(pruned.columns.toSeq == Seq("c_name", "c_custkey"))
+    assert(pruned.count() == sf("customer").count())
+    // frontend: the AS schema drives the pruned read
+    val fe = PigRunner(spark).run(s"""
+      x = LOAD '$d/av' USING AvroStorage AS (c_custkey:long, c_name:chararray);
+    """).apply("x").df
+    assert(fe.columns.toSeq == Seq("c_custkey", "c_name"))
+    val a = fe.orderBy("c_custkey").collect().map(_.toSeq).toSeq
+    val b = sf("customer").select(col("c_custkey").cast("long"), col("c_name"))
+      .orderBy("c_custkey").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // unknown column errors loudly instead of decoding garbage
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Avro.read(spark, s"$d/av", Some(Seq("nope")))
+    }
+    assert(e.getMessage.contains("not in the Avro schema"))
+  }
+
   test("CSVExcelStorage: quoted fields with embedded delimiter round-trip") {
     val d = tmp()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$d/in"))

@@ -34,9 +34,11 @@ object GraftSession {
     c.set("spark.sql.codegen.maxFields", "500")
     // Custom logical rewrites (SURVEY §4.3): bag elision for size-only
     // consumers of collect_list groups; map-key pruning into JSON parses
-    // (§4.1 ColumnMapKeyPrune analog).
+    // (§4.1 ColumnMapKeyPrune analog); explode deferred past joins
+    // (§4.1 PushDownForEachFlatten analog).
     spark.experimental.extraOptimizations =
-      Seq(graft.plans.FuseBagSizeToCount, graft.plans.PruneJsonMapKeys)
+      Seq(graft.plans.FuseBagSizeToCount, graft.plans.PruneJsonMapKeys,
+          graft.plans.PushFlattenPastJoin)
     spark
   }
 

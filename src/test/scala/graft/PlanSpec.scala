@@ -158,4 +158,53 @@ class PlanSpec extends SparkSpec {
       .flatMap(_.collect { case j: JsonToStructs => j })
     assert(jsons.nonEmpty && jsons.forall(_.schema.isInstanceOf[StructType]))
   }
+
+  test("flatten past join: explode moves above the join it feeds") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join => LJoin}
+    // PigMix L1/L2 pattern: FLATTEN a bag column, then join on a per-row
+    // key — the join must see the pre-explode rows
+    val docs = sf("orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        array(col("o_orderkey"), -col("o_orderkey")).as("bag"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        explode(col("bag")).as("elem"))
+    val dim = sf("customer").select(col("c_custkey"), col("c_mktsegment"))
+    val q = docs.join(dim, col("o_custkey") === col("c_custkey"))
+    val opt = q.queryExecution.optimizedPlan
+    // the Generate must sit ABOVE the Join in the optimized plan
+    val genDepth = opt.collect { case g: Generate => g }
+    val joinAboveGen = opt.collectFirst { case g: Generate =>
+      g.find { case _: LJoin => true; case _ => false }.isDefined
+    }
+    assert(genDepth.nonEmpty && joinAboveGen.contains(true),
+      s"explode did not move above the join:\n$opt")
+    // and the rewritten plan computes the same result as explode-first
+    val expected = sf("orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        array(col("o_orderkey"), -col("o_orderkey")).as("bag"))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        explode(col("bag")).as("elem"), col("c_custkey"),
+        col("c_mktsegment"))
+    assert(q.columns.toSeq ==
+      Seq("o_custkey", "o_orderkey", "elem", "c_custkey", "c_mktsegment"))
+    assert(q.exceptAll(expected).isEmpty && expected.exceptAll(q).isEmpty)
+  }
+
+  test("flatten stays put when the join key IS the exploded element") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join => LJoin}
+    val docs = sf("orders")
+      .select(array(col("o_custkey")).as("bag"))
+      .select(explode(col("bag")).as("k"))
+    val dim = sf("customer").select(col("c_custkey"))
+    val q = docs.join(dim, col("k") === col("c_custkey"))
+    val opt = q.queryExecution.optimizedPlan
+    // the join condition references the generator output — no reorder
+    val genWithJoinInside = opt.collectFirst { case g: Generate =>
+      g.find { case _: LJoin => true; case _ => false }.isDefined
+    }
+    assert(!genWithJoinInside.contains(true))
+    assert(q.count() == sf("orders").join(
+      dim, col("o_custkey") === col("c_custkey")).count())
+  }
 }

@@ -330,10 +330,33 @@ object SparkEntry {
         .as("ob")
         .groupBy("ck" -> col("o_custkey"))
         .topK(2, col("o_totalprice").desc, col("o_orderkey"))
-        .foreach(col("o_custkey"), col("o_orderkey"), col("o_totalprice")).df)
+        .foreach(col("o_custkey"), col("o_orderkey"), col("o_totalprice")).df),
+
+    // FLATTEN feeding a JOIN on a per-row key (PigMix L2 shape): the
+    // plans.PushFlattenPastJoin rewrite defers the explode above the
+    // join so the shuffle carries the pre-explode rows; same multiset
+    // out — this gate pins the rewritten plan's answers
+    "q73_flatten_join" -> ((s, d) =>
+      T(s, d, "orders")
+        .foreach(col("o_custkey"),
+                 split(col("o_orderpriority"), "-").as("tok"))
+        .flatten("tok")
+        .joinOn(T(s, d, "customer")
+                  .foreach(col("c_custkey"), col("c_mktsegment")),
+                col("o_custkey"), col("c_custkey"))
+        .groupBy("c_mktsegment" -> col("c_mktsegment"),
+                 "tok" -> col("tok"))
+        .agg(COUNT_STAR().as("n")).df)
   )
 
   private val relationalOracles: Map[String, String] = Map(
+    "q73_flatten_join" ->
+      """SELECT c_mktsegment, tok, count(*) AS n FROM (
+           SELECT o_custkey,
+                  unnest(str_split(o_orderpriority, '-')) AS tok
+           FROM orders)
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment, tok""",
     "q01_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""",

@@ -878,12 +878,16 @@ object SparkEntry {
 
     // frame-sampling shape over binary payloads — deterministic byte
     // slicing, oracle-checked (the DuckDB twin slices VARCHAR, which
-    // matches byte semantics because the synthetic text is ASCII)
+    // matches byte semantics because the synthetic text is ASCII). The
+    // gate projects the frame as HEX: the driver's pandas-based compare
+    // can't hash raw binary cells, and hex pins the exact same bytes.
     "q52_frames" -> ((s, d) =>
       graft.multimodal.Multimodal.sampleFrames(
         T(s, d, "documents").df
           .select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
-        "doc_id", "payload", chunkBytes = 32, everyK = 4)),
+        "doc_id", "payload", chunkBytes = 32, everyK = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          hex(col("frame_bytes")).as("frame_hex"))),
 
     // Pig Latin frontend end-to-end: script → parser → DSL → Catalyst
     "q53_piglatin" -> ((s, d) => {
@@ -1322,8 +1326,8 @@ object SparkEntry {
     // while the synthetic corpus is ASCII (checked: 0 multibyte docs)
     "q52_frames" ->
       """SELECT d.doc_id, CAST(t.i AS INT) AS frame_idx,
-                CAST(substring(d.text, CAST(t.i*128+1 AS BIGINT), 32)
-                     AS BLOB) AS frame_bytes
+                upper(hex(CAST(substring(d.text, CAST(t.i*128+1 AS BIGINT), 32)
+                     AS BLOB))) AS frame_hex
          FROM documents d,
               LATERAL (SELECT unnest(range(0,
                  greatest(length(d.text)//128, 1))) AS i) t""",

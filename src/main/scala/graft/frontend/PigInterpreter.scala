@@ -1146,24 +1146,38 @@ final class PigRunner(spark: SparkSession) {
         // after the call args (preprocessor contract):
         //   (callArgs…, 'cls.method' [, 'paramSpec' [, 'isStatic']])
         val kind = n.stripPrefix("INVOKEFOR").toLowerCase.capitalize
-        val trailing = args.reverse.takeWhile {
-          case Lit(_: String) => true; case _ => false
-        }.reverse.collect { case Lit(s: String) => s }
-        // ctor group: fullName is the dotted literal; isStatic is a bool word
-        val k =
-          if (trailing.length >= 3 && trailing(trailing.length - 3).contains(".") &&
-              Set("true", "false").contains(trailing.last.toLowerCase)) 3
-          else if (trailing.length >= 2 &&
-                   trailing(trailing.length - 2).contains(".")) 2
-          else if (trailing.nonEmpty && trailing.last.contains(".")) 1
-          else throw new IllegalArgumentException(
-            s"$n needs a fully-qualified 'class.method' constructor literal")
-        val ctor = trailing.takeRight(k)
+        // DEFINE-expanded calls carry an explicit boundary marker (see
+        // PigPreprocessor.CtorMark); split there. Direct calls without the
+        // marker fall back to the trailing-literal heuristic.
+        val mark = args.indexWhere {
+          case Lit(s: String) => s == PigPreprocessor.CtorMark; case _ => false
+        }
+        val (callArgs, ctor) =
+          if (mark >= 0)
+            (args.take(mark),
+             args.drop(mark + 1).collect { case Lit(s: String) => s })
+          else {
+            val trailing = args.reverse.takeWhile {
+              case Lit(_: String) => true; case _ => false
+            }.reverse.collect { case Lit(s: String) => s }
+            // ctor group: fullName is the dotted literal; isStatic a bool word
+            val k =
+              if (trailing.length >= 3 && trailing(trailing.length - 3).contains(".") &&
+                  Set("true", "false", "static").contains(trailing.last.toLowerCase)) 3
+              else if (trailing.length >= 2 &&
+                       trailing(trailing.length - 2).contains(".")) 2
+              else if (trailing.nonEmpty && trailing.last.contains(".")) 1
+              else throw new IllegalArgumentException(
+                s"$n needs a fully-qualified 'class.method' constructor literal")
+            (args.dropRight(k), trailing.takeRight(k))
+          }
+        require(ctor.nonEmpty && ctor.head.contains("."),
+          s"$n needs a fully-qualified 'class.method' constructor literal")
         val (fullName, paramSpec, isStatic) =
           (ctor.head, ctor.lift(1).getOrElse(""),
-           ctor.lift(2).forall(_.equalsIgnoreCase("true")))
+           ctor.lift(2).forall(graft.functions.Invoke.parseIsStatic))
         graft.functions.Invoke.column(kind, fullName, paramSpec, isStatic,
-          args.dropRight(k).map(comp))
+          callArgs.map(comp))
       case other => throw new IllegalArgumentException(s"unknown function $other")
     }
   }

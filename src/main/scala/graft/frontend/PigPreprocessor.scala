@@ -20,6 +20,13 @@ import scala.collection.mutable
   */
 object PigPreprocessor {
 
+  /** String-literal value marking the call-args / ctor-args boundary in
+    * expanded `InvokeFor*` alias calls, so the interpreter never has to
+    * infer the split from literal contents (a data literal containing a
+    * dot — `F('U.S.A')` — would otherwise be mistaken for the method
+    * name). Control-char framed: cannot occur in real script text. */
+  val CtorMark = "\u0007graft.ctor\u0007"
+
   final case class Macro(params: Seq[String], returns: String, body: String)
 
   def expand(script: String,
@@ -165,12 +172,19 @@ object PigPreprocessor {
         // may not contain nested parens (documented v1 limitation); string
         // literal args are masked here, so they can't split the match.
         funcs.foldLeft(withCmds) { case (s, (name, (func, ctor))) =>
+          // InvokeFor* gets an explicit boundary marker between call args
+          // and ctor literals (see CtorMark) — other DEFINE'd functions
+          // keep the plain appended-args contract
+          val marked =
+            if (func.toUpperCase.startsWith("INVOKEFOR") && ctor.trim.nonEmpty)
+              s"'$CtorMark', ${ctor.trim}"
+            else ctor.trim
           s"""\\b$name\\s*\\(([^()]*)\\)""".r.replaceAllIn(s, mm => {
             // NOT String.trim: the masked-literal placeholders are framed by
             // control chars < U+0020 and trim would strip them off the ends
             val callArgs = mm.group(1)
               .replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
-            val all = Seq(callArgs, ctor.trim).filter(_.nonEmpty).mkString(", ")
+            val all = Seq(callArgs, marked).filter(_.nonEmpty).mkString(", ")
             java.util.regex.Matcher.quoteReplacement(s"$func($all)")
           })
         }

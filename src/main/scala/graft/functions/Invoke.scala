@@ -20,38 +20,60 @@ import org.apache.spark.sql.types._
   *
   * Pig usage this reproduces (frontend: DEFINE alias InvokeForX(...)):
   * {{{
-  *   DEFINE UpperName InvokeForString('java.lang.String.toUpperCase', '', 'false');
+  *   DEFINE UpperName InvokeForString('java.lang.String.toUpperCase', 'String', 'false');
   *   B = FOREACH A GENERATE UpperName(name);
   * }}}
   */
 object Invoke {
 
+  /** `isStatic` ctor literal: the reference accepts `'static'` as well as
+    * `'true'` (Invoker.java:81 `"static".equalsIgnoreCase || "true".equals`). */
+  def parseIsStatic(s: String): Boolean =
+    s.equalsIgnoreCase("static") || s.equalsIgnoreCase("true")
+
   /** Method-handle holder: serializable config, per-JVM lazy resolution.
-    * `isStatic=false` → the FIRST udf argument is the receiver and
-    * `paramSpec` lists only the method's own parameters (Invoker.java
-    * semantics). */
+    *
+    * Instance methods (`isStatic=false`): the FIRST udf argument is the
+    * receiver, and — matching Invoker.java:86-90, where
+    * `selfClass_ = paramClasses_[0]` is dropped before `getMethod` — the
+    * FIRST `paramSpec` entry names the receiver's type; the remaining
+    * entries are the method's own parameters. So Pig's documented
+    * `InvokeForString('java.lang.String.toUpperCase', 'String', 'false')`
+    * is a 1-arg call. An empty spec on an instance method is also accepted
+    * as "receiver only" (graft leniency; the reference indexes
+    * `paramClasses_[0]` and would throw). The reference's `dropFirstClass`
+    * (Invoker.java:99) also drops the LAST spec entry — a
+    * `copyOfRange(1, length-1)` off-by-one that makes instance methods
+    * with >0 declared params unresolvable there; not replicated. */
   final class Invoker(fullName: String, paramSpec: String,
                       isStatic: Boolean) extends Serializable {
     private val dot = fullName.lastIndexOf('.')
     require(dot > 0, s"Invoke method name must be fully qualified: $fullName")
     private val className  = fullName.substring(0, dot)
     private val methodName = fullName.substring(dot + 1)
-    private val paramNames: Array[String] =
+    private val specs: Array[String] =
       paramSpec.trim match {
         case "" => Array.empty
         case s  => s.split("[\\s,]+")
       }
+    /** Method-parameter types: for instance methods the first spec entry is
+      * the receiver's type, not a parameter. */
+    private val paramNames: Array[String] =
+      if (isStatic) specs else specs.drop(1)
 
-    /** udf arity: declared params, plus the receiver for instance methods. */
-    def arity: Int = paramNames.length + (if (isStatic) 0 else 1)
+    /** udf arity: one column per spec entry (the receiver's entry covers the
+      * receiver column); instance methods always take at least the receiver. */
+    def arity: Int =
+      if (isStatic) specs.length else math.max(specs.length, 1)
 
     @transient private lazy val method: java.lang.reflect.Method = {
       val klass = Class.forName(className)
       klass.getMethod(methodName, paramNames.map(paramClass): _*)
     }
 
-    private def paramClass(n: String): Class[_] = n match {
-      case "String" | "string" | "chararray" => classOf[String]
+    // type names are case-insensitive, like Invoker.stringToClass
+    private def paramClass(n: String): Class[_] = n.toLowerCase match {
+      case "string" | "chararray" => classOf[String]
       case "int"      => java.lang.Integer.TYPE
       case "long"     => java.lang.Long.TYPE
       case "float"    => java.lang.Float.TYPE
@@ -61,7 +83,7 @@ object Invoke {
       case "long[]"   => classOf[Array[Long]]
       case "float[]"  => classOf[Array[Float]]
       case "double[]" => classOf[Array[Double]]
-      case "String[]" => classOf[Array[String]]
+      case "string[]" => classOf[Array[String]]
       case other => throw new IllegalArgumentException(
         s"unsupported Invoke param type '$other' " +
         "(String|int|long|float|double|boolean and []-arrays)")
@@ -80,13 +102,13 @@ object Invoke {
       catch { case _: java.lang.reflect.InvocationTargetException => null }
     }
 
-    private def coerce(a: AnyRef, t: String): AnyRef = (a, t) match {
+    private def coerce(a: AnyRef, t: String): AnyRef = (a, t.toLowerCase) match {
       case (null, _) => null
       case (s: Seq[_], "int[]")    => s.map(_.asInstanceOf[Number].intValue).toArray
       case (s: Seq[_], "long[]")   => s.map(_.asInstanceOf[Number].longValue).toArray
       case (s: Seq[_], "float[]")  => s.map(_.asInstanceOf[Number].floatValue).toArray
       case (s: Seq[_], "double[]") => s.map(_.asInstanceOf[Number].doubleValue).toArray
-      case (s: Seq[_], "String[]") => s.map(String.valueOf).toArray
+      case (s: Seq[_], "string[]") => s.map(String.valueOf).toArray
       case (n: Number, "int")    => Int.box(n.intValue)
       case (n: Number, "long")   => Long.box(n.longValue)
       case (n: Number, "float")  => Float.box(n.floatValue)

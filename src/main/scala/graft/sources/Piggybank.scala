@@ -31,34 +31,44 @@ object Piggybank {
         FixedWidthField(start, end)
       } else {
         val off = range.toInt - 1
+        require(off >= 0,
+          s"Illegal column spec '$range': columns are 1-indexed")
         FixedWidthField(off, off + 1)
       }
     }
 
   /** FixedWidthLoader('<spec>'[, 'SKIP_HEADER'][, schema]) (reference:
-    * FixedWidthLoader.java:129): slice each line into columns by byte
-    * position. A column short of the line's end yields null (the reference
-    * pads/nulls absent fields); values are trimmed before the cast, like
-    * the reference's per-type conversions. */
+    * FixedWidthLoader.java:129): slice each line into columns. A column
+    * short of the line's end yields null (the reference pads/nulls absent
+    * fields); values are trimmed before the cast, like the reference's
+    * per-type conversions.
+    *
+    * Divergence: positions index CHARACTERS here, not bytes — the
+    * reference slices the raw byte[] of the line, so multi-byte UTF-8
+    * content shifts column boundaries there. Character indexing is the
+    * less surprising behavior for text data; ASCII fixed-width files
+    * (the format's normal habitat) are identical either way. */
   def fixedWidthLoad(spark: SparkSession, path: String, columnSpec: String,
                      skipHeader: Boolean = false,
                      schema: Option[StructType] = None): DataFrame = {
     val fields = parseColumnSpec(columnSpec)
-    val raw0 = spark.read.text(path)
-    // SKIP_HEADER drops the first line of each FILE (not the dataset) in
-    // the reference; per-file first-line removal without losing split
-    // parallelism: tag rows with their file + an in-file index via a
-    // window would shuffle — instead drop rows equal to the first line
-    // only at position 0 of each file using the input_file metadata and
-    // a per-file min on the row id (cheap: one partial agg + broadcast).
-    val raw = if (!skipHeader) raw0 else {
-      val withId = raw0.withColumn("__f", input_file_name())
-        .withColumn("__id", monotonically_increasing_id())
-      val firsts = withId.groupBy(col("__f"))
-        .agg(min(col("__id")).as("__first"))
-      withId.join(broadcast(firsts), "__f")
-        .filter(col("__id") =!= col("__first"))
-        .select(col("value"))
+    // SKIP_HEADER drops the first line of each FILE (reference: skip the
+    // first record of split 0, FixedWidthLoader.java:142). The Hadoop text
+    // reader keys each line by its byte offset in the file, and offset 0 is
+    // exactly the first line of each file — a deterministic, shuffle-free,
+    // single-scan filter (monotonically_increasing_id-based approaches are
+    // partition-layout-dependent and can drop the wrong row under AQE or
+    // speculation).
+    val raw = if (!skipHeader) spark.read.text(path) else {
+      import org.apache.hadoop.io.{LongWritable, Text}
+      import org.apache.hadoop.mapred.TextInputFormat
+      val rdd = spark.sparkContext
+        .hadoopFile(path, classOf[TextInputFormat],
+          classOf[LongWritable], classOf[Text])
+        .filter { case (off, _) => off.get != 0L }
+        .map { case (_, t) => org.apache.spark.sql.Row(t.toString) }
+      spark.createDataFrame(rdd,
+        StructType(Seq(StructField("value", StringType))))
     }
     val cols: Seq[Column] = fields.zipWithIndex.map { case (f, i) =>
       val len = if (f.end == Int.MaxValue) Int.MaxValue - f.start
@@ -78,17 +88,34 @@ object Piggybank {
   // --------------------------------------------------------------- RegEx
 
   /** RegExLoader / MyRegExLoader('pattern') (reference: RegExLoader.java:44,
-    * MyRegExLoader.java): each line matching the pattern yields one row with
-    * one column per capture group; non-matching lines are skipped (the
-    * reference's getNext loops past them). Group count is taken from the
-    * compiled pattern, so the output schema is static. */
+    * MyRegExLoader.java): each line matching the pattern (unanchored
+    * `find()`, like the reference at RegExLoader.java:64) yields one row
+    * with one column per capture group; non-matching lines are skipped
+    * (the reference's getNext loops past them). Group count is taken from
+    * the compiled pattern, so the output schema is static.
+    *
+    * A capture group that did not participate in the match (an optional
+    * group) yields NULL, matching the reference's `matcher.group(i)` —
+    * `regexp_extract` would return '' there, conflating it with an
+    * empty-string match. One compiled match per line (the builtin route
+    * costs nGroups+1 regex passes), at the price of a udf boundary —
+    * acceptable on a loader cold path. */
   def regexLoad(spark: SparkSession, path: String, pattern: String): DataFrame = {
     val nGroups = java.util.regex.Pattern.compile(pattern).matcher("").groupCount()
     require(nGroups > 0, s"RegExLoader pattern has no capture groups: $pattern")
+    val extract = udf(new org.apache.spark.sql.api.java.UDF1[String, Array[String]] {
+      @transient private lazy val pat = java.util.regex.Pattern.compile(pattern)
+      def call(line: String): Array[String] = {
+        if (line == null) return null
+        val m = pat.matcher(line)
+        if (!m.find()) null
+        else Array.tabulate(nGroups)(i => m.group(i + 1))
+      }
+    }, ArrayType(StringType))
     spark.read.text(path)
-      .filter(col("value").rlike(pattern))
-      .select((1 to nGroups).map(g =>
-        regexp_extract(col("value"), pattern, g).as(s"f$g")): _*)
+      .select(extract(col("value")).as("__g"))
+      .filter(col("__g").isNotNull)
+      .select((1 to nGroups).map(g => col("__g").getItem(g - 1).as(s"f$g")): _*)
   }
 
   // --------------------------------------------------------- MultiStorage

@@ -729,6 +729,45 @@ class FrontendSpec extends SparkSpec {
     assert(out.getDouble(0) == 16.0 && out.getDouble(1) == 4.0)
   }
 
+  test("InvokeFor*: reference-form instance spec (receiver type first)") {
+    // Pig's documented form: paramSpec(0) names the RECEIVER type and is
+    // dropped before method lookup (Invoker.java selfClass_) — a 1-arg call
+    val out = PigRunner(spark).run(s"""
+      DEFINE Up InvokeForString('java.lang.String.toUpperCase', 'String', 'false');
+      n = LOAD '$dir/nation.parquet';
+      u = FOREACH n GENERATE Up(n_name) AS uname;
+    """).apply("u").df.head()
+    assert(out.getString(0) == out.getString(0).toUpperCase)
+    assert(out.getString(0).exists(_.isLetter))
+  }
+
+  test("InvokeFor*: instance method with params; 'static' isStatic word") {
+    val out = PigRunner(spark).run(s"""
+      DEFINE Cat InvokeForString('java.lang.String.concat', 'String String', 'false');
+      DEFINE MaxL InvokeForLong('java.lang.Math.max', 'long long', 'static');
+      n = LOAD '$dir/nation.parquet';
+      u = FOREACH n GENERATE Cat(n_name, '!') AS c,
+                             MaxL(n_nationkey, 5L) AS m;
+    """).apply("u").df
+      .orderBy(org.apache.spark.sql.functions.desc("m")).head()
+    assert(out.getString(0).endsWith("!"))
+    assert(out.getLong(1) >= 5L)
+  }
+
+  test("InvokeFor*: dotted data literal doesn't shift the ctor boundary") {
+    // F('U.S.A') with a 0-param DEFINE must fail the ARITY check on the
+    // real method name — not mistake 'U.S.A' for the class.method literal
+    val e = intercept[IllegalArgumentException] {
+      PigRunner(spark).run(s"""
+        DEFINE F InvokeForString('java.lang.Thread.currentThread');
+        n = LOAD '$dir/nation.parquet';
+        u = FOREACH n GENERATE F('U.S.A') AS x;
+      """)
+    }
+    assert(e.getMessage.contains("expects 0 args"))
+    assert(e.getMessage.contains("java.lang.Thread.currentThread"))
+  }
+
   test("monitored UDF: timeout yields the default, fast path the value") {
     val slowThenFast = graft.functions.Invoke.monitored(200L, -1) {
       (x: Int) => if (x == 0) { Thread.sleep(5000); 0 } else x * 10

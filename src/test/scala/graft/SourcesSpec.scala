@@ -261,6 +261,27 @@ class SourcesSpec extends SparkSpec {
     assert(r(1).getString(1) == "/api/v1")
   }
 
+  test("FixedWidthLoader: single-column specs are 1-indexed ('0' rejected)") {
+    intercept[IllegalArgumentException] {
+      graft.sources.Piggybank.parseColumnSpec("0")
+    }
+    val f = graft.sources.Piggybank.parseColumnSpec("3").head
+    assert(f.start == 2 && f.end == 3)
+  }
+
+  test("MyRegExLoader: non-participating optional group is null, not ''") {
+    val d = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$d/in"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/in/kv.txt"),
+      "key=alpha;extra=9\nkey=beta\n".getBytes)
+    val r = graft.sources.Piggybank
+      .regexLoad(spark, s"$d/in", "key=(\\w+)(?:;extra=(\\d+))?")
+      .orderBy("f1").collect()
+    assert(r.length == 2)
+    assert(r(0).getString(0) == "alpha" && r(0).getString(1) == "9")
+    assert(r(1).getString(0) == "beta" && r(1).isNullAt(1))
+  }
+
   test("MultiStorage: one directory per split-field value, read restores") {
     val d = tmp()
     val nation = sf("nation").select("n_name", "n_regionkey")

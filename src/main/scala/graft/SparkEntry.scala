@@ -1451,6 +1451,31 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relationalQueries ++ functionQueries ++ pipelineQueries
 
+  /** What [[graft.Bench]] times. Identical to [[queries]] except for the
+    * three near-dup gates whose CORRECTNESS form runs the production
+    * pipeline AND its exact quadratic twin (all-pairs Jaccard / hamming /
+    * cosine) to compute recall/precision verdicts. The twin is test
+    * machinery — deliberately O(n²), never a production path — so timing
+    * it says nothing about engine throughput. The bench override times
+    * the production operator alone; Verify keeps the twin-gated form.
+    * (q47/q63 keep their gates: their exact twin is a single brute-force
+    * scan, itself a production baseline.) */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ Map[String, (SparkSession, String) => DataFrame](
+      "q43_minhash_neardups" -> ((s, d) =>
+        graft.text.Dedup.minhashNearDupsByWords(
+          T(s, d, "documents").df, "doc_id", "text",
+          n = 3, numHashes = 64, numBands = 16, threshold = 0.5)),
+      "q44_simhash_neardups" -> ((s, d) =>
+        graft.text.Dedup.simhashNearDups(
+          graft.text.Dedup.simhash(T(s, d, "documents").df, "doc_id", "text"),
+          "doc_id", maxDistance = 8)),
+      "q62_embedding_neardup" -> ((s, d) =>
+        graft.ml.Similarity.nearNeighborPairs(
+          T(s, d, "embeddings").df, "vec_id", "embedding",
+          threshold = 0.35, numPlanes = 32, numBands = 8))
+    )
+
   def oracleSql: Map[String, String] =
     relationalOracles ++ functionOracles ++ pipelineOracles
 }

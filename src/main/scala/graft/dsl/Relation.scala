@@ -109,6 +109,16 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
     val right = strategy match {
       case "replicated"        => broadcast(other.df)
       case "merge"             => other.df.hint("merge")
+      // merge-sparse (POMergeSparseJoin / IndexableLoadFunc): the
+      // index-seek "read only matching right records" becomes a bloom
+      // key-filter on the right scan, built from the left keys; sorted
+      // inputs take the merge path. Inner-only (reference perf.xml).
+      case "merge-sparse" | "merge_sparse" =>
+        require(joinType == "inner",
+          "merge-sparse join only works for inner joins")
+        graft.operators.BloomJoin.preFilter(
+            other.df, keys.map(other.df(_)), df, keys.map(df(_)))
+          .hint("merge")
       case "shuffle_hash"      => other.df.hint("shuffle_hash")
       case _                   => other.df
     }

@@ -453,14 +453,16 @@ final class PigRunner(spark: SparkSession) {
 
   private def join(inputs: Seq[(String, Seq[Expr])], joinType: String,
                    using: Option[String]): Relation = {
-    // merge-sparse needs an IndexableLoadFunc-backed right side (reference:
-    // IndexableLoadFunc.java) — there is no Catalyst counterpart; error
-    // loudly rather than silently running a different strategy.
+    // merge-sparse (reference: perf.xml merge-sparse-joins; right side
+    // sorted+indexed via IndexableLoadFunc, <1% of records match, inner
+    // only): the index-seek "read only matching right records" becomes a
+    // runtime key filter — a bloom built over the LEFT side's keys drops
+    // non-matching right rows at their scan, before any shuffle — and the
+    // sorted-input aspect takes the MERGE hint. Inner-only, like the
+    // reference.
     if (using.exists(_.equalsIgnoreCase("merge-sparse")))
-      throw new UnsupportedOperationException(
-        "JOIN USING 'merge-sparse' is not supported (requires an " +
-        "IndexableLoadFunc-backed sorted+indexed right side); use the " +
-        "default strategy, 'merge', or 'bloom'")
+      require(joinType == "inner",
+        "merge-sparse join only works for inner joins (reference perf.xml)")
     val (in0, keys0) = inputs.head
     var acc = env(in0).df
     var accKeys = keys0.map(compile(_, acc))
@@ -499,6 +501,9 @@ final class PigRunner(spark: SparkSession) {
       val right = using.map(_.toLowerCase) match {
         case Some("replicated" | "repl") => broadcast(rdf)
         case Some("merge")               => rdf.hint("merge")
+        case Some("merge-sparse") =>
+          graft.operators.BloomJoin.preFilter(rdf, rKeys, acc, accKeys)
+            .hint("merge")
         // 'skewed' is a physical hint — AQE's skew-join handles it
         case _                           => rdf
       }

@@ -552,15 +552,35 @@ class FrontendSpec extends SparkSpec {
     assert(ex.getMessage.contains("sortByComputedKey"))
   }
 
-  test("JOIN USING 'merge-sparse' errors loudly (no silent fallback)") {
-    val ex = intercept[UnsupportedOperationException] {
+  test("JOIN USING 'merge-sparse': bloom key-filter on the right scan, " +
+       "matches the plain join; inner-only") {
+    val runner = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      c = LOAD '$dir/customer.parquet';
+      f = FILTER c BY c_custkey < 10;
+      j = JOIN o BY o_custkey, f BY c_custkey USING 'merge-sparse';
+    """)
+    val df = runner("j").df
+    // the right side carries the native bloom probe (no UDF), like 'bloom'
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"))
+    assert(!plan.toLowerCase.contains("scalaudf"))
+    val plain = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      c = LOAD '$dir/customer.parquet';
+      f = FILTER c BY c_custkey < 10;
+      j = JOIN o BY o_custkey, f BY c_custkey;
+    """).apply("j").df
+    assert(df.count() == plain.count() && df.count() > 0)
+    // inner-only, like the reference (perf.xml merge-sparse-joins)
+    val ex = intercept[IllegalArgumentException] {
       PigRunner(spark).run(s"""
         o = LOAD '$dir/orders.parquet';
         c = LOAD '$dir/customer.parquet';
-        j = JOIN o BY o_custkey, c BY c_custkey USING 'merge-sparse';
+        j = JOIN o BY o_custkey LEFT, c BY c_custkey USING 'merge-sparse';
       """)
     }
-    assert(ex.getMessage.contains("merge-sparse"))
+    assert(ex.getMessage.contains("inner"))
   }
 
   test("JOIN USING 'bloom' matches the plain join and probes natively") {

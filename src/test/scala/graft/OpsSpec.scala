@@ -30,6 +30,22 @@ class OpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("merge-sparse join strategy: right scan bloom-filtered, inner-only") {
+    val o = Relation(sf("orders"), "o")
+    val c = Relation(sf("customer").filter(col("c_custkey") < 10), "c")
+    val oc = o.df.withColumnRenamed("o_custkey", "custkey")
+    val cc = c.df.withColumnRenamed("c_custkey", "custkey")
+    val j = Relation(oc, "o").join(Relation(cc, "c"), Seq("custkey"),
+      strategy = "merge-sparse")
+    val plan = j.df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"))
+    assert(j.df.count() == oc.join(cc, "custkey").count() && j.df.count() > 0)
+    intercept[IllegalArgumentException] {
+      Relation(oc, "o").join(Relation(cc, "c"), Seq("custkey"),
+        joinType = "left", strategy = "merge-sparse")
+    }
+  }
+
   test("hotKeys surfaces the heavy hitters") {
     val hot = Skew.hotKeys(sf("lineitem"), Seq("l_returnflag"),
       topN = 3, sampleFraction = 0.5).collect()

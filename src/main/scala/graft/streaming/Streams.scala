@@ -56,6 +56,35 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.toSeq)
 
+  /** Stream-static enrichment: join each micro-batch against a batch
+    * dimension table. The static side is re-read per batch (so slowly-
+    * changing dims refresh) and broadcast when small — the same plan a
+    * batch `JOIN … USING 'replicated'` gets. No state, no watermark
+    * needed: the static side never adds rows to wait for. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       keys: Seq[String],
+                       joinType: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
+  /** Watermarked stream-stream interval join — e.g. impressions joined
+    * to clicks that arrive within `within` of the impression. BOTH sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so each side's buffered state is droppable once the other side's
+    * watermark passes the interval: state is O(rows within the horizon),
+    * never unbounded. Equality keys shuffle both streams to the same
+    * state-store partitions (key-partitioned stateful join — the
+    * streaming analog of the batch shuffle join). */
+  def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame,
+                   rightTs: String, keys: Seq[String], within: String,
+                   watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    l.join(r, keyCond &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"))
+  }
+
   // ------------------------------------------------------------------
   // Arbitrary stateful processing (flatMapGroupsWithState) — running
   // per-key statistics that survive across micro-batches with explicit

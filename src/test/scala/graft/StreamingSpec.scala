@@ -84,6 +84,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2L) == (1L, 7.0))
   }
 
+  test("stream-static enrichment broadcasts the dim per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    input.addData((1L, 5.0), (2L, 7.0), (9L, 1.0))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val out = Streams.enrichWithStatic(
+      input.toDF().toDF("user_id", "value"), dim, Seq("user_id"))
+    runToMemory(out, "enriched", "append")
+    val rows = spark.sql("SELECT user_id, tier FROM enriched").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "gold", 2L -> "silver")) // 9L has no dim row
+  }
+
+  test("stream-stream interval join buffers only within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    imps.addData(
+      (ts("2024-01-01 00:00:00"), 1L),
+      (ts("2024-01-01 00:00:00"), 2L))
+    clicks.addData(
+      (ts("2024-01-01 00:05:00"), 1L),   // within 10 min of imp 1 → joins
+      (ts("2024-01-01 00:30:00"), 2L),   // 30 min later → outside interval
+      (ts("2024-01-01 00:02:00"), 3L))   // no matching impression
+    val joined = Streams.intervalJoin(
+      imps.toDF().toDF("imp_ts", "ad_id"), "imp_ts",
+      clicks.toDF().toDF("click_ts", "ad_id"), "click_ts",
+      Seq("ad_id"), within = "10 minutes", watermark = "1 minute")
+    runToMemory(joined.select(col("imp_ts"), col("click_ts")), "ivj", "append")
+    val got = spark.sql("SELECT imp_ts, click_ts FROM ivj").collect()
+    assert(got.length == 1)
+    assert(got(0).getTimestamp(0) == ts("2024-01-01 00:00:00"))
+    assert(got(0).getTimestamp(1) == ts("2024-01-01 00:05:00"))
+  }
+
   test("batch pipeline re-points to a stream unchanged (readStream twin)") {
     // same groupBy(window) code works on a file stream of the events table
     val schema = StructType(Seq(

@@ -58,12 +58,16 @@ object Bench {
       // a crashing query records -1, never an ordinary-looking time
       name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the whole line ~2 KB so the driver's
+    // fixed-size stdout tail capture can't truncate the front of it
+    // (9-decimal floats pushed it past the capture window in r5/r6).
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // Also write the line to a file: stdout goes through sbt's logger and
     // the driver's tail capture, either of which can truncate — the file

@@ -346,10 +346,30 @@ object SparkEntry {
                 col("o_custkey"), col("c_custkey"))
         .groupBy("c_mktsegment" -> col("c_mktsegment"),
                  "tok" -> col("tok"))
-        .agg(COUNT_STAR().as("n")).df)
+        .agg(COUNT_STAR().as("n")).df),
+
+    // JOIN USING 'merge-sparse' (§2.2): sparse probe side (top-price
+    // orders) key-filters the big side's scan through a bloom built on
+    // the probe keys, then merge-joins — the Spark re-expression of the
+    // reference's index-seek right-side read (POMergeSparseJoin)
+    "q74_merge_sparse" -> ((s, d) =>
+      T(s, d, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .foreach(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+        .join(T(s, d, "lineitem"), Seq("l_orderkey"),
+              joinType = "inner", strategy = "merge-sparse")
+        .groupBy("l_orderkey" -> col("l_orderkey"))
+        .agg(COUNT_STAR().as("n_items"),
+             SUM(col("l_quantity")).as("sum_qty")).df)
   )
 
   private val relationalOracles: Map[String, String] = Map(
+    "q74_merge_sparse" ->
+      """SELECT l_orderkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+         FROM (SELECT o_orderkey AS l_orderkey FROM orders
+               WHERE o_totalprice > 450000)
+         JOIN lineitem USING (l_orderkey)
+         GROUP BY l_orderkey""",
     "q73_flatten_join" ->
       """SELECT c_mktsegment, tok, count(*) AS n FROM (
            SELECT o_custkey,
@@ -600,6 +620,28 @@ object SparkEntry {
         .agg(COUNT_STAR().as("n"),
              round(SUM(col("value")), 2).as("sum_value")).df),
 
+    // batch twin of Streams.intervalJoin (the watermarked stream-stream
+    // interval join): view→purchase pairs per user within 10 minutes.
+    // Runs the PRODUCTION helper itself — withWatermark is a no-op on a
+    // batch DataFrame, so this pins the join condition the streaming
+    // path uses (state-droppable event-time bound + equality keys)
+    "q75_interval_join" -> ((s, d) => {
+      // events is loaded TWICE so the two sides carry distinct attribute
+      // ids — a single shared scan would make l("user_id")===r("user_id")
+      // self-resolve to one attribute and collapse the key condition
+      val views = T(s, d, "events").df
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"))
+      val buys = T(s, d, "events").df
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("buy_ts"))
+      graft.streaming.Streams
+        .intervalJoin(views, "view_ts", buys, "buy_ts",
+                      Seq("user_id"), "10 minutes", "1 hour")
+        .groupBy(views("user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Invoke* reflection UDFs end-to-end through the frontend: an
     // instance-method call (receiver as first arg) and a 2-arg static —
     // reference Invoker.java semantics, here resolved once per JVM
@@ -616,6 +658,16 @@ object SparkEntry {
   )
 
   private val functionOracles: Map[String, String] = Map(
+    "q75_interval_join" ->
+      """SELECT v.user_id, count(*) AS n_pairs
+         FROM (SELECT user_id, ts AS view_ts FROM events
+               WHERE event_type = 'view') v
+         JOIN (SELECT user_id, ts AS buy_ts FROM events
+               WHERE event_type = 'purchase') b
+           ON v.user_id = b.user_id
+          AND b.buy_ts >= v.view_ts
+          AND b.buy_ts <= v.view_ts + INTERVAL 10 MINUTE
+         GROUP BY v.user_id""",
     "q72_invoke" ->
       """SELECT c_custkey, lower(c_mktsegment) AS seg,
                 CAST(greatest(c_custkey, 1000) AS BIGINT) AS floor_key

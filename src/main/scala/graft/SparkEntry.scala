@@ -642,6 +642,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // APPROX_DISTINCT bonus aggregate (SURVEY §2.3) through the frontend
+    // fused-agg path (HLL++ sketch, partial-aggregated): verdict-gated
+    // against the exact distinct count at 3× the default rsd (0.05 is a
+    // standard DEVIATION, not a bound — a 5% verdict fails ~1/3 of
+    // groups by design). HLL is deterministic for a given input, so the
+    // 15% bound is a stable pass/fail; n_exact hash-pins the group
+    // cardinalities
+    "q76_approx_distinct" -> ((s, d) => {
+      GraftSession.tune(s)
+      val approx = graft.frontend.PigRunner(s).run(s"""
+        o = LOAD '$d/orders.parquet';
+        g = GROUP o BY o_orderpriority;
+        a = FOREACH g GENERATE group AS prio,
+              APPROX_DISTINCT(o.o_custkey) AS nd;
+      """).apply("a").df
+      val exact = T(s, d, "orders").df
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      approx.join(exact, "prio")
+        .select(col("prio"), col("n_exact"),
+          (abs(col("nd") - col("n_exact")) <=
+            greatest(lit(1.0), col("n_exact") * 0.15)).as("approx_ok"))
+    }),
+
     // Invoke* reflection UDFs end-to-end through the frontend: an
     // instance-method call (receiver as first arg) and a 2-arg static —
     // reference Invoker.java semantics, here resolved once per JVM
@@ -658,6 +682,11 @@ object SparkEntry {
   )
 
   private val functionOracles: Map[String, String] = Map(
+    "q76_approx_distinct" ->
+      """SELECT o_orderpriority AS prio,
+                count(DISTINCT o_custkey) AS n_exact,
+                true AS approx_ok
+         FROM orders GROUP BY o_orderpriority""",
     "q75_interval_join" ->
       """SELECT v.user_id, count(*) AS n_pairs
          FROM (SELECT user_id, ts AS view_ts FROM events

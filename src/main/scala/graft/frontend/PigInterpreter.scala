@@ -256,7 +256,8 @@ final class PigRunner(spark: SparkSession) {
 
   // ------------------------------------------ GROUP+FOREACH agg fusion
   private val aggFnNames =
-    Set("COUNT", "COUNT_STAR", "SUM", "AVG", "MIN", "MAX", "COR", "COV")
+    Set("COUNT", "COUNT_STAR", "SUM", "AVG", "MIN", "MAX", "COR", "COV",
+        "APPROX_DISTINCT")
 
   /** Attempt the combiner rewrite: if every GENERATE item is built from
     * group-key references, literals, scalar functions, and aggregate calls
@@ -323,6 +324,9 @@ final class PigRunner(spark: SparkSession) {
         case "MAX"        => Some(max(c(as.head)))
         case "COR"        => Some(corr(c(as.head), c(as(1))))
         case "COV"        => Some(covar_samp(c(as.head), c(as(1))))
+        // bonus builtin (SURVEY §2.3): HLL++ sketch partial-aggregates,
+        // so the fused form never shuffles raw distinct values
+        case "APPROX_DISTINCT" => Some(approx_count_distinct(c(as.head)))
         case _            => None
       }
     }
@@ -1060,6 +1064,12 @@ final class PigRunner(spark: SparkSession) {
           aggregate(nn, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) / size(nn))
       case "MIN" => array_min(c0)
       case "MAX" => array_max(c0)
+      // bonus builtin: on a MATERIALIZED bag the exact count is free
+      // (the elements are already in memory), so the un-fused path
+      // returns it — HLL's approximation only buys anything when it
+      // replaces materialization, which is the fused groupBy path above
+      case "APPROX_DISTINCT" =>
+        size(array_distinct(nonNull(c0))).cast(LongType)
       case "SIZE" => Builtins.SIZE(c0)
       case "ISEMPTY" => Builtins.IsEmpty(c0)
       case "CONCAT" => concat(args.map(comp): _*)

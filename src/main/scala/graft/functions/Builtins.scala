@@ -26,6 +26,12 @@ object Builtins {
   def MAX(c: Column): Column = max(c)
   def COR(a: Column, b: Column): Column = corr(a, b)
   def COV(a: Column, b: Column): Column = covar_samp(a, b)
+  /** Bonus over the reference (SURVEY §2.3: Pig has no approximate
+    * distinct): HyperLogLog++ distinct count — partial-aggregates a
+    * fixed-size sketch per partition, so a 100 TB distinct costs one
+    * shuffle of sketches instead of a shuffle of every distinct value. */
+  def APPROX_DISTINCT(c: Column, rsd: Double = 0.05): Column =
+    approx_count_distinct(c, rsd)
 
   /** TOP(n, field, bag) (reference: TOP.java:72) — grouped top-k over a bag
     * column without a global sort: per-group array sort + slice. For the

@@ -788,6 +788,35 @@ class FrontendSpec extends SparkSpec {
     assert(e.getMessage.contains("java.lang.Thread.currentThread"))
   }
 
+  test("APPROX_DISTINCT: fused path is HLL within 5%, bag path exact") {
+    // fused: every GENERATE item is an aggregate -> groupBy().agg() with
+    // the HLL sketch (partial-aggregated, no raw distinct values shuffle)
+    val fused = PigRunner(spark).run(s"""
+      c = LOAD '$dir/customer.parquet';
+      g = GROUP c BY c_mktsegment;
+      a = FOREACH g GENERATE group AS seg, APPROX_DISTINCT(c.c_custkey) AS nd;
+    """).apply("a").df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = sf("customer").groupBy($"c_mktsegment")
+      .agg(countDistinct($"c_custkey")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fused.keySet == exact.keySet)
+    for ((seg, n) <- exact)
+      assert(math.abs(fused(seg) - n) <= math.max(1, n * 0.05),
+        s"$seg: approx ${fused(seg)} vs exact $n")
+    // bag path (SIZE(c) consumes the bag, so fusion aborts): the bag is
+    // materialized, so the count is exact by construction
+    val bagged = PigRunner(spark).run(s"""
+      c = LOAD '$dir/customer.parquet';
+      g = GROUP c BY c_mktsegment;
+      a = FOREACH g GENERATE group AS seg,
+            APPROX_DISTINCT(c.c_nationkey) AS nd, SIZE(c) AS sz;
+    """).apply("a").df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactNation = sf("customer").groupBy($"c_mktsegment")
+      .agg(countDistinct($"c_nationkey")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bagged == exactNation)
+  }
+
   test("monitored UDF: timeout yields the default, fast path the value") {
     val slowThenFast = graft.functions.Invoke.monitored(200L, -1) {
       (x: Int) => if (x == 0) { Thread.sleep(5000); 0 } else x * 10

@@ -620,6 +620,24 @@ object SparkEntry {
         .agg(COUNT_STAR().as("n"),
              round(SUM(col("value")), 2).as("sum_value")).df),
 
+    // explicit skew mitigation (Pig skewed join / PartitionSkewedKeys):
+    // salted join (hot key spread over 8 reducers, right replicated 8x)
+    // feeding a two-phase salted aggregation (3 hot group keys). The
+    // salt changes DISTRIBUTION only — the oracle pins that the result
+    // is identical to the unsalted plan
+    "q77_salted_skew" -> ((s, d) => {
+      val li = T(s, d, "lineitem").df
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      val ord = T(s, d, "orders").df
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val j = graft.operators.Skew.saltedJoin(li, ord, Seq("o_orderkey"),
+        numSalts = 8)
+      graft.operators.Skew.saltedAggregate(j, Seq("o_orderpriority"),
+        numSalts = 8,
+        Seq(("sum_qty", sum(col("l_quantity")), (c: Column) => sum(c)),
+            ("n", count(lit(1)), (c: Column) => sum(c).cast(LongType))))
+    }),
+
     // batch twin of Streams.intervalJoin (the watermarked stream-stream
     // interval join): view→purchase pairs per user within 10 minutes.
     // Runs the PRODUCTION helper itself — withWatermark is a no-op on a
@@ -682,6 +700,11 @@ object SparkEntry {
   )
 
   private val functionOracles: Map[String, String] = Map(
+    "q77_salted_skew" ->
+      """SELECT o_orderpriority, sum(l_quantity) AS sum_qty,
+                count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     "q76_approx_distinct" ->
       """SELECT o_orderpriority AS prio,
                 count(DISTINCT o_custkey) AS n_exact,

@@ -1097,9 +1097,19 @@ final class PigRunner(spark: SparkSession) {
       case "FLOOR" => floor(c0)
       case "CEIL" => ceil(c0)
       case "SQRT" => sqrt(c0)
+      case "CBRT" => cbrt(c0)
       case "EXP" => exp(c0)
       case "LOG" => log(c0)
       case "LOG10" => log10(c0)
+      case "SIN" => sin(c0)
+      case "COS" => cos(c0)
+      case "TAN" => tan(c0)
+      case "ASIN" => asin(c0)
+      case "ACOS" => acos(c0)
+      case "ATAN" => atan(c0)
+      case "SINH" => sinh(c0)
+      case "COSH" => cosh(c0)
+      case "TANH" => tanh(c0)
       case "RANDOM" => rand()
       case "TOTUPLE" => struct(args.map(comp): _*)
       case "TOBAG" => Builtins.TOBAG(args.map(comp): _*)
@@ -1108,6 +1118,7 @@ final class PigRunner(spark: SparkSession) {
       case "KEYSET" => Builtins.KEYSET(c0)
       case "VALUELIST" => Builtins.VALUELIST(c0)
       case "VALUESET" => Builtins.VALUESET(c0)
+      case "INVERSEMAP" => Builtins.INVERSEMAP(c0)
       case "DIFF" => Builtins.DIFF(c0, comp(args(1)))
       case "SUBTRACT" => Builtins.SUBTRACT(c0, comp(args(1)))
       case "DISTINCT" => array_distinct(c0)
@@ -1193,7 +1204,19 @@ final class PigRunner(spark: SparkSession) {
            ctor.lift(2).forall(graft.functions.Invoke.parseIsStatic))
         graft.functions.Invoke.column(kind, fullName, paramSpec, isStatic,
           callArgs.map(comp))
-      case other => throw new IllegalArgumentException(s"unknown function $other")
+      case other =>
+        // session-registered UDF fallback — Pig's EvalFunc registration
+        // surface maps to spark.udf.register(name, fn): a script can then
+        // call the UDF by that name like any builtin (UdfSurface)
+        val registered = Seq(other, other.toLowerCase).find { n =>
+          try df.sparkSession.catalog.functionExists(n)
+          catch { case _: Exception => false } // dotted/invalid identifiers
+        }
+        registered match {
+          case Some(n) => call_udf(n, args.map(comp): _*)
+          case None =>
+            throw new IllegalArgumentException(s"unknown function $other")
+        }
     }
   }
 }

@@ -109,6 +109,20 @@ object Builtins {
   def KEYSET(m: Column): Column = map_keys(m)
   def VALUELIST(m: Column): Column = map_values(m)
   def VALUESET(m: Column): Column = array_distinct(map_values(m))
+  /** INVERSEMAP (reference: INVERSEMAP.java): swap keys and values —
+    * each distinct value (stringified) becomes a key whose entry is the
+    * BAG of original keys sharing that value. Null-valued entries are
+    * dropped (Spark map keys cannot be null; the reference throws on
+    * non-primitive values instead). */
+  def INVERSEMAP(m: Column): Column = {
+    val entries = filter(map_entries(m), e => e.getField("value").isNotNull)
+    val vals = array_distinct(transform(entries, e => e.getField("value")))
+    map_from_arrays(
+      transform(vals, v => v.cast(StringType)),
+      transform(vals, v =>
+        transform(filter(entries, e => e.getField("value") === v),
+          e => struct(e.getField("key").as("key")))))
+  }
   /** SUBTRACT(bag1, bag2): elements of 1 not in 2 (bag difference). */
   def SUBTRACT(a: Column, b: Column): Column = array_except(a, b)
   /** DIFF: symmetric difference of two bags (reference: DIFF.java). */

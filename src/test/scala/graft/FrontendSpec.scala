@@ -817,6 +817,41 @@ class FrontendSpec extends SparkSpec {
     assert(bagged == exactNation)
   }
 
+  test("trig/math catalog dispatches (SIN..TANH, CBRT)") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      t = FOREACH n GENERATE n_nationkey,
+            SIN(n_nationkey) AS s, COS(n_nationkey) AS c,
+            ATAN(n_nationkey) AS a, TANH(n_nationkey) AS th,
+            CBRT(n_nationkey) AS cb;
+    """).apply("t").df.filter(col("n_nationkey") === 2).head()
+    assert(math.abs(out.getDouble(1) - math.sin(2)) < 1e-12)
+    assert(math.abs(out.getDouble(2) - math.cos(2)) < 1e-12)
+    assert(math.abs(out.getDouble(3) - math.atan(2)) < 1e-12)
+    assert(math.abs(out.getDouble(4) - math.tanh(2)) < 1e-12)
+    assert(math.abs(out.getDouble(5) - math.cbrt(2)) < 1e-12)
+  }
+
+  test("INVERSEMAP swaps keys/values, non-unique values collect a bag") {
+    // reference INVERSEMAP.java: [open#1,1#2,11#2] -> [2#{(1),(11)},1#{(open)}]
+    val inv = Seq(1).toDF("x")
+      .select(graft.functions.Builtins.INVERSEMAP(
+        map(lit("open"), lit(1), lit("1"), lit(2), lit("11"), lit(2)))
+        .as("m"))
+      .head().getMap[String, scala.collection.Seq[org.apache.spark.sql.Row]](0)
+    assert(inv("1").map(_.getString(0)) == Seq("open"))
+    assert(inv("2").map(_.getString(0)).sorted == Seq("1", "11"))
+  }
+
+  test("session-registered UDF is callable from a script by name") {
+    spark.udf.register("graft_rev", (s: String) => s.reverse)
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      r = FOREACH n GENERATE n_name, graft_rev(n_name) AS rev;
+    """).apply("r").df.head()
+    assert(out.getString(1) == out.getString(0).reverse)
+  }
+
   test("monitored UDF: timeout yields the default, fast path the value") {
     val slowThenFast = graft.functions.Invoke.monitored(200L, -1) {
       (x: Int) => if (x == 0) { Thread.sleep(5000); 0 } else x * 10

@@ -1070,7 +1070,15 @@ final class PigRunner(spark: SparkSession) {
       // replaces materialization, which is the fused groupBy path above
       case "APPROX_DISTINCT" =>
         size(array_distinct(nonNull(c0))).cast(LongType)
-      case "SIZE" => Builtins.SIZE(c0)
+      // SIZE is type-dispatched in the reference (SIZE/StringSize/
+      // ConstantSize/TupleSize/MapSize): bag/map → entry count, string/
+      // bytearray → length, tuple → arity, fixed-size scalar → 1
+      case "SIZE" => typeOf(c0, df) match {
+        case _: ArrayType | _: MapType => size(c0).cast(LongType)
+        case _: StringType | _: BinaryType => length(c0).cast(LongType)
+        case st: StructType => when(c0.isNotNull, lit(st.size.toLong))
+        case _ => when(c0.isNotNull, lit(1L))
+      }
       case "ISEMPTY" => Builtins.IsEmpty(c0)
       case "CONCAT" => concat(args.map(comp): _*)
       case "UPPER" => upper(c0)
@@ -1136,11 +1144,27 @@ final class PigRunner(spark: SparkSession) {
           case other => throw new IllegalArgumentException(s"bad TOP field $other")
         }
         Builtins.TOP(asInt(args.head), fieldName, bag)
-      case "TODATE" =>
-        if (args.size > 1) Builtins.ToDate(c0, asStr(args(1)))
-        else c0.cast(TimestampType)
+      case "TODATE" => args.size match {
+        // ToDate(long) is epoch MILLIS in the reference (new
+        // DateTime(millis)); a bare cast would read seconds
+        case 1 => typeOf(c0, df) match {
+          case _: LongType | _: IntegerType =>
+            timestamp_millis(c0.cast(LongType))
+          case _ => c0.cast(TimestampType)
+        }
+        case 2 => Builtins.ToDate(c0, asStr(args(1)))
+        // ToDate(str, format, timezone): the string is wall time in the
+        // given zone — convert to the UTC instant (session TZ is UTC)
+        case _ =>
+          to_utc_timestamp(to_timestamp(c0, asStr(args(1))), asStr(args(2)))
+      }
       case "TOUNIXTIME" => Builtins.ToUnixTime(c0)
-      case "TOSTRING" => Builtins.ToString(c0, asStr(args(1)))
+      case "TOSTRING" =>
+        // 1-arg form prints joda ISO-8601; session TZ is UTC so the
+        // zone designator is the literal Z
+        if (args.size == 1)
+          date_format(c0, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        else Builtins.ToString(c0, asStr(args(1)))
       case "REGEX_EXTRACT_ALL" =>
         Builtins.REGEX_EXTRACT_ALL(c0, asStr(args(1)), asInt(args(2)))
       case "REGEX_SEARCH" => Builtins.REGEX_SEARCH(c0, asStr(args(1)))

@@ -852,6 +852,36 @@ class FrontendSpec extends SparkSpec {
     assert(out.getString(1) == out.getString(0).reverse)
   }
 
+  test("SIZE type dispatch: string length, tuple arity, scalar 1") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      z = FOREACH n GENERATE SIZE(n_name) AS len,
+            SIZE(TOTUPLE(n_nationkey, n_name, n_regionkey)) AS arity,
+            SIZE(n_nationkey) AS one,
+            SIZE(TOBAG(n_nationkey, n_regionkey)) AS bagn;
+    """).apply("z").df.head()
+    assert(out.getLong(0) > 0)        // string -> char length
+    assert(out.getLong(1) == 3L)      // tuple -> arity
+    assert(out.getLong(2) == 1L)      // fixed-size scalar -> 1
+    assert(out.getLong(3) == 2L)      // bag -> entries
+  }
+
+  test("ToDate(long) reads epoch millis; 3-arg form applies the zone") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      d = FOREACH n GENERATE ToDate(86400000) AS day2,
+            ToDate('2024-03-01 12:00', 'yyyy-MM-dd HH:mm', '+02:00') AS zoned;
+    """).apply("d").df.head()
+    assert(out.getTimestamp(0).toInstant.toEpochMilli == 86400000L)
+    // 12:00 at +02:00 == 10:00 UTC
+    assert(out.getTimestamp(1).toInstant.toString == "2024-03-01T10:00:00Z")
+    val iso = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      d = FOREACH n GENERATE ToString(ToDate(86400000)) AS s;
+    """).apply("d").df.head().getString(0)
+    assert(iso == "1970-01-02T00:00:00.000Z") // joda 1-arg ISO form
+  }
+
   test("monitored UDF: timeout yields the default, fast path the value") {
     val slowThenFast = graft.functions.Invoke.monitored(200L, -1) {
       (x: Int) => if (x == 0) { Thread.sleep(5000); 0 } else x * 10

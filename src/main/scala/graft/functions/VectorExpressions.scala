@@ -112,17 +112,19 @@ case class DotProduct(left: Expression, right: Expression)
   * that is ~2k closure dispatches per row vs one tight primitive loop in
   * whole-stage codegen here.
   */
-case class HyperplaneSignature(child: Expression, numPlanes: Int)
+case class HyperplaneSignature(child: Expression, numPlanes: Int,
+                               planeOffset: Int = 0)
     extends UnaryExpression {
   require(numPlanes >= 1 && numPlanes <= 63,
     s"numPlanes must be in [1, 63], got $numPlanes")
+  require(planeOffset >= 0, s"planeOffset must be >= 0, got $planeOffset")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_signature"
 
   override def nullSafeEval(v: Any): Any =
     VectorExpressions.signatureOfArray(
-      v.asInstanceOf[ArrayData].toFloatArray(), numPlanes)
+      v.asInstanceOf[ArrayData].toFloatArray(), numPlanes, planeOffset)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
@@ -135,7 +137,7 @@ case class HyperplaneSignature(child: Expression, numPlanes: Int)
         for (int $p = 0; $p < $numPlanes; $p++) {
           double $proj = 0.0;
           for (int $i = 0; $i < $x.length; $i++) {
-            long $h = $p * 0x9E3779B97F4A7C15L + $i * 0xC2B2AE3D27D4EB4FL;
+            long $h = ($p + $planeOffset) * 0x9E3779B97F4A7C15L + $i * 0xC2B2AE3D27D4EB4FL;
             $h ^= ($h >>> 33); $h *= 0xFF51AFD7ED558CCDL; $h ^= ($h >>> 33);
             $proj += ((($h & 1L) == 1L) ? 1.0 : -1.0) * (double) $x[$i];
           }
@@ -158,21 +160,27 @@ object VectorExpressions {
   def dot_product(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
 
-  def hyperplane_signature(vec: Column, numPlanes: Int): Column =
-    bridge.column(HyperplaneSignature(bridge.expression(vec), numPlanes))
+  def hyperplane_signature(vec: Column, numPlanes: Int,
+                           planeOffset: Int = 0): Column =
+    bridge.column(
+      HyperplaneSignature(bridge.expression(vec), numPlanes, planeOffset))
 
   /** Driver-side twin of [[HyperplaneSignature]] — same mix constants,
     * same index-order double accumulation, bit-identical results. Used to
     * compute the probe bucket(s) of a literal query vector without a
-    * Spark job. */
-  def signatureOfArray(x: Array[Float], numPlanes: Int): Long = {
+    * Spark job. `planeOffset` shifts the plane indices, so a BAND's
+    * bucket (planes [b·ppb, (b+1)·ppb)) is itself a signature — this is
+    * what lifts the 63-plane packed-long cap for banded pipelines. */
+  def signatureOfArray(x: Array[Float], numPlanes: Int,
+                       planeOffset: Int = 0): Long = {
     var sig = 0L
     var p = 0
     while (p < numPlanes) {
       var proj = 0.0
       var i = 0
       while (i < x.length) {
-        var h = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+        var h = (p + planeOffset).toLong * 0x9E3779B97F4A7C15L +
+          i.toLong * 0xC2B2AE3D27D4EB4FL
         h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
         proj += (if ((h & 1L) == 1L) 1.0 else -1.0) * x(i).toDouble
         i += 1

@@ -153,6 +153,34 @@ object Similarity {
     AnnIndex(emb.sparkSession, path, idCol, vecCol, numPlanes)
   }
 
+  /** Size-aware banding for [[nearNeighborPairs]]: each band hashes into
+    * 2^(planes/band) buckets, so with FIXED planes-per-band the expected
+    * bucket size grows linearly with the corpus and eventually exceeds
+    * `maxBucket` — the cap then DROPS those buckets and recall silently
+    * collapses at scale. Scale planes-per-band with log2(n/targetBucket)
+    * so E[bucket] ≈ targetBucket at any corpus size; band count stays
+    * fixed (it sets the recall/cost trade, not the bucket size).
+    * More planes per band lowers per-band collision probability, so the
+    * auto mode suits NEAR-DUPLICATE thresholds (high cosine); for loose
+    * thresholds pass explicit parameters and more bands. */
+  def bandingFor(n: Long, numBands: Int = 8, targetBucket: Int = 64,
+                 maxPlanesPerBand: Int = 31): (Int, Int) = {
+    val ppb = math.min(maxPlanesPerBand, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt))
+    (ppb * numBands, numBands)
+  }
+
+  /** [[nearNeighborPairs]] with banding chosen from the corpus size (one
+    * count job — negligible next to the signature scan it parameterizes). */
+  def nearNeighborPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, numBands: Int = 8,
+                            targetBucket: Int = 64,
+                            maxBucket: Int = 1000): DataFrame = {
+    val (planes, bands) = bandingFor(emb.count(), numBands)
+    nearNeighborPairs(emb, idCol, vecCol, threshold, planes, bands, maxBucket)
+  }
+
   /** All-pairs near neighbors above a cosine threshold — banded
     * multi-plane signatures, exactly the MinHash-LSH shape: `numPlanes`
     * sign bits split into `numBands` bands; two vectors are candidates iff
@@ -167,21 +195,29 @@ object Similarity {
     require(numPlanes % numBands == 0,
       s"numPlanes ($numPlanes) must be a multiple of numBands ($numBands)")
     val ppb = numPlanes / numBands
-    // the (id, vec, sig) projection feeds three consumers (banding + both
-    // verify sides) — persist it once (tracked), mirroring the Dedup
-    // pipelines, instead of re-evaluating the embedding scan per consumer
-    // norms precomputed once per vector, not once per candidate pair —
+    require(ppb <= 63, s"planes per band must be <= 63, got $ppb")
+    // each band's bucket is its OWN signature over planes
+    // [b·ppb, (b+1)·ppb) — identical bits to slicing one packed
+    // signature (the plane hash keys on the absolute plane index), but
+    // with no 63-plane total cap, so [[bandingFor]] can keep E[bucket]
+    // bounded at any corpus size. Total projection work is unchanged:
+    // numBands × ppb = numPlanes plane projections per vector.
+    //
+    // The (id, vec, bands) projection feeds three consumers (banding +
+    // both verify sides) — persist it once (tracked), mirroring the
+    // Dedup pipelines, instead of re-evaluating the scan per consumer.
+    // Norms precomputed once per vector, not once per candidate pair —
     // same bit-identical argument as [[exactCosinePairs]] (dot_product
-    // accumulates squares in cosine()'s index order); the verify join then
-    // does 1 dot per pair instead of a dot plus two norm loops
+    // accumulates squares in cosine()'s index order); the verify join
+    // then does 1 dot per pair instead of a dot plus two norm loops
     val base = graft.GraftSession.trackPersist(
       emb.select(col(idCol), col(vecCol).as("__vec"),
         sqrt(dot(col(vecCol), col(vecCol))).as("__norm"),
-        lshSignature(col(vecCol), numPlanes).as("sig")))
+        array((0 until numBands).map(b =>
+          graft.functions.VectorExpressions.hyperplane_signature(
+            col(vecCol), ppb, planeOffset = b * ppb)): _*).as("__bands")))
     val buckets = base
-      .select(col(idCol), posexplode(array((0 until numBands).map(b =>
-          shiftright(col("sig"), b * ppb).bitwiseAND(lit((1L << ppb) - 1))): _*))
-        .as(Seq("band", "bucket")))
+      .select(col(idCol), posexplode(col("__bands")).as(Seq("band", "bucket")))
     val pairs = graft.text.Dedup.cappedCandidatePairs(buckets, idCol, maxBucket)
     val a = base.select(col(idCol).as("id_a"), col("__vec").as("vec_a"),
       col("__norm").as("na"))

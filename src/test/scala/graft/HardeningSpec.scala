@@ -28,6 +28,36 @@ class HardeningSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("per-band signatures slice the packed signature exactly") {
+    // plane hashes key on the ABSOLUTE plane index, so a band signature
+    // with planeOffset b*ppb must equal bits [b*ppb, (b+1)*ppb) of the
+    // single packed signature — the equivalence that makes the banded
+    // pipeline bit-identical across the 63-plane refactor
+    val v = Array.tabulate(16)(i => (math.sin(i * 2.7) * 3).toFloat)
+    val packed = graft.functions.VectorExpressions.signatureOfArray(v, 32)
+    for (b <- 0 until 8) {
+      val band = graft.functions.VectorExpressions
+        .signatureOfArray(v, 4, planeOffset = b * 4)
+      assert(band == ((packed >>> (b * 4)) & 0xFL), s"band $b")
+    }
+  }
+
+  test("bandingFor keeps expected bucket size bounded as n grows") {
+    val (p1, b1) = Similarity.bandingFor(2000)
+    val (p2, _) = Similarity.bandingFor(2_000_000)
+    val (p3, _) = Similarity.bandingFor(2_000_000_000L)
+    assert(b1 == 8 && p1 % 8 == 0)
+    assert(p2 > p1 && p3 > p2,                 // more planes as n grows
+      s"planes should grow: $p1, $p2, $p3")
+    // at 2e9 rows: 2^(p3/8) buckets/band keeps E[bucket] near target
+    assert(2_000_000_000L / math.pow(2, p3 / 8) <= 64 * 2)
+    // auto operator still finds real near-dups on the test corpus
+    val pairs = Similarity.nearNeighborPairsAuto(sf("embeddings"),
+      "vec_id", "embedding", threshold = 0.3, targetBucket = 32).collect()
+    assert(pairs.forall(_.getDouble(2) >= 0.3))
+    GraftSession.unpersistAll()
+  }
+
   test("saltedAggregate min/max merge functions") {
     val got = Skew.saltedAggregate(sf("lineitem"), Seq("l_returnflag"), 4,
       Seq(("mn", min(col("l_quantity")), (c: org.apache.spark.sql.Column) => min(c)),

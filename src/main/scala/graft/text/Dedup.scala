@@ -316,7 +316,16 @@ object Dedup {
     * bucket the chunks, verify candidate pairs by hamming ≤ maxDistance.
     * Buckets over `maxBucket` ids are dropped — one hot chunk (degenerate
     * near-identical corpora) would otherwise produce a quadratic pair
-    * blow-up, the same guard as [[lshCandidatePairs]]. */
+    * blow-up, the same guard as [[lshCandidatePairs]].
+    *
+    * Scale ceiling: the 4×16-bit banding gives 2^16 buckets per band —
+    * FIXED by the pigeonhole guarantee (4 bands ⇒ any pair at hamming
+    * ≤ 3 shares a band), so E[bucket] = n/65536 grows with the corpus
+    * and the cap starts dropping buckets around n ≈ 65M·(maxBucket/1000).
+    * Past that, raise maxBucket (verify cost grows linearly), or prefer
+    * the MinHash pipeline, whose band buckets are 64-bit hashes and
+    * never saturate ([[minhashNearDupsByWords]]). A wider simhash would
+    * need a 128-bit signature type, not more bands of this one. */
   def simhashNearDups(sigs0: DataFrame, idCol: String,
                       maxDistance: Int = 3,
                       maxBucket: Int = 1000): DataFrame = {

@@ -1127,6 +1127,14 @@ final class PigRunner(spark: SparkSession) {
       case "VALUELIST" => Builtins.VALUELIST(c0)
       case "VALUESET" => Builtins.VALUESET(c0)
       case "INVERSEMAP" => Builtins.INVERSEMAP(c0)
+      // piggybank XPath/XPathAll (evaluation/xml/XPath.java) → Spark's
+      // native Hive xpath functions (codegen'd, no JDK DOM per row).
+      // XPath returns the first matching node's text; XPathAll a bag.
+      case "XPATH" =>
+        call_function("xpath_string", c0, comp(args(1)))
+      case "XPATHALL" =>
+        transform(call_function("xpath", c0, comp(args(1))),
+          s => struct(s.as("value")))
       case "DIFF" => Builtins.DIFF(c0, comp(args(1)))
       case "SUBTRACT" => Builtins.SUBTRACT(c0, comp(args(1)))
       case "DISTINCT" => array_distinct(c0)

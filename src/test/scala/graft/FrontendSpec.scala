@@ -882,6 +882,20 @@ class FrontendSpec extends SparkSpec {
     assert(iso == "1970-01-02T00:00:00.000Z") // joda 1-arg ISO form
   }
 
+  test("XPath/XPathAll evaluate against xml columns (piggybank parity)") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      x = FOREACH n GENERATE
+            XPath(CONCAT(CONCAT('<r><a>', n_name), '</a><a>x</a></r>'),
+                  'r/a/text()') AS first,
+            XPathAll(CONCAT(CONCAT('<r><a>', n_name), '</a><a>x</a></r>'),
+                  'r/a/text()') AS all;
+    """).apply("x").df.head()
+    assert(out.getString(0).nonEmpty)
+    val bag = out.getSeq[org.apache.spark.sql.Row](1)
+    assert(bag.map(_.getString(0)) == Seq(out.getString(0), "x"))
+  }
+
   test("monitored UDF: timeout yields the default, fast path the value") {
     val slowThenFast = graft.functions.Invoke.monitored(200L, -1) {
       (x: Int) => if (x == 0) { Thread.sleep(5000); 0 } else x * 10

@@ -447,6 +447,8 @@ final class PigRunner(spark: SparkSession) {
           args.lift(3).getOrElse("\t"))
       case Some(("AvroStorage", _)) =>
         graft.sources.Avro.write(df, path)
+      case Some(("OrcStorage", _)) =>
+        df.write.mode("overwrite").orc(path)
       case Some(("CSVExcelStorage", args)) =>
         df.write.mode("overwrite")
           .option("sep", args.headOption.getOrElse(","))

@@ -15,6 +15,17 @@ class SourcesSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("src").toString
 
+  test("STORE USING OrcStorage writes orc, not the parquet default") {
+    val d = tmp()
+    graft.frontend.PigRunner(spark).run(s"""
+      n = LOAD '/root/testdata/sf0.001/nation.parquet';
+      STORE n INTO '$d/out' USING OrcStorage();
+    """)
+    val back = spark.read.orc(s"$d/out")
+    assert(back.count() == sf("nation").count())
+    assert(back.columns.toSeq == sf("nation").columns.toSeq)
+  }
+
   test("orc roundtrip with predicate pushdown") {
     val d = tmp()
     sf("orders").write.orc(s"$d/orc")

@@ -24,6 +24,10 @@ object PigAst {
   case class Matches(e: Expr, pattern: String) extends Expr
   case object Star extends Expr
   case class FlattenExpr(e: Expr) extends Expr
+  case class DerefMulti(e: Expr, fields: Seq[String]) extends Expr // b.(f,g)
+  /** Column range `a..b` / `..b` / `a..` (QueryParser.g col_range);
+    * endpoints are ColRef or PosRef, None = relation start/end. */
+  case class RangeProj(from: Option[Expr], to: Option[Expr]) extends Expr
 
   /** field AS name[:type] in GENERATE / schema position */
   case class GenItem(expr: Expr, alias: Option[String])

@@ -806,6 +806,8 @@ final class PigRunner(spark: SparkSession) {
     def comp(e: Expr): Column = e match {
       case ColRef(n) if nested.contains(n) => nested(n)
       case Deref(ColRef(n), f) if nested.contains(n) => nested(n).getField(f)
+      case DerefMulti(ColRef(n), fs) if nested.contains(n) =>
+        transform(nested(n), t => struct(fs.map(f => t.getField(f).as(f)): _*))
       case FuncCall(fn, args) =>
         // route nested-alias args through the nested map
         callFunction(fn, args, df, nested)
@@ -814,6 +816,22 @@ final class PigRunner(spark: SparkSession) {
     var flattens = Seq.empty[(String, Option[String])] // temp col -> alias
     val cols = gens.zipWithIndex.flatMap {
       case (GenItem(Star, _), _) => df.columns.toSeq.map(col)
+      // column range a..b expands positionally over the input schema
+      case (GenItem(RangeProj(f, t), _), _) =>
+        val names = df.columns
+        def idx(e: Expr): Int = e match {
+          case ColRef(n) =>
+            val i = names.indexOf(resolve(n, df))
+            require(i >= 0, s"no column $n for range projection"); i
+          case PosRef(i) => i
+          case other => throw new IllegalArgumentException(
+            s"bad range endpoint $other")
+        }
+        val from = f.map(idx).getOrElse(0)
+        val until = t.map(idx).getOrElse(names.length - 1)
+        require(from <= until,
+          s"empty column range ($from..$until) in GENERATE")
+        names.slice(from, until + 1).toSeq.map(col)
       case (GenItem(FlattenExpr(e), alias), i) =>
         val tmp = s"__fl_$i"
         flattens :+= ((tmp, alias))
@@ -1011,6 +1029,18 @@ final class PigRunner(spark: SparkSession) {
     case Star => struct(df.columns.map(col).toIndexedSeq: _*)
     case FlattenExpr(x) => compile(x, df) // alone handled in foreach
     case FuncCall(name, args) => callFunction(name, args, df)
+    // b.(f, g): project several fields of a bag (array<struct>) or tuple
+    case DerefMulti(b, fs) =>
+      val base = compile(b, df)
+      typeOf(base, df) match {
+        case ArrayType(_: StructType, _) =>
+          transform(base, t => struct(fs.map(f => t.getField(f).as(f)): _*))
+        case _: StructType => struct(fs.map(f => base.getField(f).as(f)): _*)
+        case other => throw new IllegalArgumentException(
+          s"multi-column projection .() needs a bag or tuple, got $other")
+      }
+    case RangeProj(_, _) => throw new IllegalArgumentException(
+      "column range a..b is only valid as a top-level GENERATE item")
   }
 
   private def asInt(e: Expr): Int = e match {
@@ -1033,6 +1063,8 @@ final class PigRunner(spark: SparkSession) {
     def comp(e: Expr): Column = e match {
       case ColRef(n) if nested.contains(n) => nested(n)
       case Deref(ColRef(n), f) if nested.contains(n) => nested(n).getField(f)
+      case DerefMulti(ColRef(n), fs) if nested.contains(n) =>
+        transform(nested(n), t => struct(fs.map(f => t.getField(f).as(f)): _*))
       case other => compile(other, df)
     }
     def c0 = comp(args.head)
@@ -1122,7 +1154,15 @@ final class PigRunner(spark: SparkSession) {
       case "TANH" => tanh(c0)
       case "RANDOM" => rand()
       case "TOTUPLE" => struct(args.map(comp): _*)
-      case "TOBAG" => Builtins.TOBAG(args.map(comp): _*)
+      case "TOBAG" =>
+        // reference TOBAG.java: tuple inputs join the bag AS-IS; scalars
+        // are wrapped in a 1-field tuple ({(1,2),(3,4)} bag constants
+        // desugar to TOBAG of TOTUPLEs)
+        val cs = args.map(comp)
+        array(cs.map(c => typeOf(c, df) match {
+          case _: StructType => c
+          case _ => struct(c.as("t0"))
+        }): _*)
       case "TOMAP" => Builtins.TOMAP(args.map(comp): _*)
       case "BAGTOSTRING" => Builtins.BagToString(c0, asStr(args(1)))
       case "KEYSET" => Builtins.KEYSET(c0)

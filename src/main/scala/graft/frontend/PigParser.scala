@@ -422,7 +422,26 @@ object PigParser {
     }
 
     def genItem(): GenItem = {
-      val e = expr()
+      // column range `a..b` / `..b` / `a..` (col_range in the grammar)
+      def rangeRef(): Expr = cur match {
+        case Ident(n) => advance(); ColRef(n)
+        case Sym(s) if s.startsWith("$") => advance(); PosRef(s.drop(1).toInt)
+        case t => fail(s"expected column reference after '..', found $t")
+      }
+      val e =
+        if (atSym("..")) { advance(); RangeProj(None, Some(rangeRef())) }
+        else {
+          val e0 = expr()
+          if (atSym("..")) {
+            advance()
+            val to = cur match {
+              case Ident(_) => Some(rangeRef())
+              case Sym(s) if s.startsWith("$") => Some(rangeRef())
+              case _ => None
+            }
+            RangeProj(Some(e0), to)
+          } else e0
+        }
       val alias = if (eatKw("AS")) {
         val a = ident()
         if (eatSym(":")) ident() // ignore declared type on generate
@@ -524,7 +543,15 @@ object PigParser {
       var e = primary()
       var more = true
       while (more) cur match {
-        case Sym(".") => advance(); e = Deref(e, ident())
+        case Sym(".") =>
+          advance()
+          // b.(f, g): multi-column projection of a bag/tuple
+          if (eatSym("(")) {
+            val fs = ArrayBuffer(ident())
+            while (eatSym(",")) fs += ident()
+            expectSym(")")
+            e = DerefMulti(e, fs.toSeq)
+          } else e = Deref(e, ident())
         case Sym("#") => advance(); e = MapLookup(e, str())
         case _ => more = false
       }
@@ -554,8 +581,39 @@ object PigParser {
             advance(); expectSym(")")
             CastExpr(t.toLowerCase, unary())
           case _ =>
-            val e = expr(); expectSym(")"); e
+            val e = expr()
+            // (e1, e2, …) is a tuple literal (QueryParser.g tuple constant)
+            if (atSym(",")) {
+              val es = ArrayBuffer(e)
+              while (eatSym(",")) es += expr()
+              expectSym(")")
+              FuncCall("TOTUPLE", es.toSeq)
+            } else { expectSym(")"); e }
         }
+      // bag constant {(…),(…)} → TOBAG (tuple items stay tuples)
+      case Sym("{") =>
+        advance()
+        val es = ArrayBuffer.empty[Expr]
+        if (!atSym("}")) { es += expr(); while (eatSym(",")) es += expr() }
+        expectSym("}")
+        FuncCall("TOBAG", es.toSeq)
+      // map constant ['k'#v, …] → TOMAP(k, v, …)
+      case Sym("[") =>
+        advance()
+        val kvs = ArrayBuffer.empty[Expr]
+        if (!atSym("]")) {
+          def entry(): Unit = {
+            val k = cur match {
+              case StrLit(s) => advance(); Lit(s)
+              case Ident(s)  => advance(); Lit(s)
+              case t => fail(s"expected map key literal, found $t")
+            }
+            expectSym("#"); kvs += k; kvs += expr()
+          }
+          entry(); while (eatSym(",")) entry()
+        }
+        expectSym("]")
+        FuncCall("TOMAP", kvs.toSeq)
       case Ident(name) =>
         advance()
         if (atSym("(")) { // function call

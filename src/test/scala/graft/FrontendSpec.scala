@@ -896,6 +896,51 @@ class FrontendSpec extends SparkSpec {
     assert(bag.map(_.getString(0)) == Seq(out.getString(0), "x"))
   }
 
+  test("map/bag/tuple literal constants (QueryParser.g constants)") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      c = FOREACH n GENERATE ['a'#1, 'b'#(n_nationkey + 1)] AS mp,
+            {(1, 'x'), (2, 'y')} AS bg, (n_nationkey, 'k') AS tp;
+    """).apply("c").df.filter(col("tp.n_nationkey") === 3).head()
+    val mp = out.getMap[String, Any](0)
+    assert(mp("a").toString.toLong == 1L && mp("b").toString.toLong == 4L)
+    val bg = out.getSeq[org.apache.spark.sql.Row](1)
+    assert(bg.map(r => (r.getInt(0), r.getString(1))) == Seq((1, "x"), (2, "y")))
+    assert(out.getStruct(2).getString(1) == "k")
+  }
+
+  test("multi-column bag projection b.(f,g) and COUNT over it") {
+    val rows = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      g = GROUP o BY o_orderstatus;
+      p = FOREACH g GENERATE group AS st,
+            COUNT(o.(o_orderkey, o_totalprice)) AS n;
+    """).apply("p").df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = sf("orders").groupBy($"o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == exp)
+  }
+
+  test("column range projections a..b, ..b, a.. expand positionally") {
+    val r = PigRunner(spark).run(s"""
+      li = LOAD '$dir/lineitem.parquet';
+      a = FOREACH li GENERATE l_orderkey..l_suppkey;
+    """).apply("a").df
+    assert(r.columns.toSeq == Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    val pre = PigRunner(spark).run(s"""
+      li = LOAD '$dir/lineitem.parquet';
+      a = FOREACH li GENERATE ..l_partkey, l_quantity;
+    """).apply("a").df
+    assert(pre.columns.toSeq == Seq("l_orderkey", "l_partkey", "l_quantity"))
+    val suf = PigRunner(spark).run(s"""
+      li = LOAD '$dir/lineitem.parquet';
+      a = FOREACH li GENERATE l_returnflag..;
+    """).apply("a").df
+    assert(suf.columns.head == "l_returnflag" &&
+      suf.columns.length == sf("lineitem").columns.length -
+        sf("lineitem").columns.indexOf("l_returnflag"))
+  }
+
   test("monitored UDF: timeout yields the default, fast path the value") {
     val slowThenFast = graft.functions.Invoke.monitored(200L, -1) {
       (x: Int) => if (x == 0) { Thread.sleep(5000); 0 } else x * 10

@@ -82,7 +82,14 @@ object PigAst {
   case class DistinctOp(input: String) extends Op
   case class UnionOp(inputs: Seq[String], onSchema: Boolean) extends Op
   case class SampleOp(input: String, fraction: Double) extends Op
-  case class CubeOp(input: String, cubeKind: String, dims: Seq[Expr]) extends Op
+  /** SAMPLE with a scalar expression (QueryParser.g sample: expr). */
+  case class SampleExprOp(input: String, e: Expr) extends Op
+  /** CUBE r BY clause (, clause)* — one clause: cubeKind "cube"/"rollup"
+    * with `dims`; multiple clauses: cubeKind "sets", `dims` = all clause
+    * dims flattened, `clauses` the per-clause kinds (grouping sets are
+    * the cross product of each clause's sets — QueryParser.g cube_rollup). */
+  case class CubeOp(input: String, cubeKind: String, dims: Seq[Expr],
+                    clauses: Seq[(String, Seq[Expr])] = Seq.empty) extends Op
   case class AliasRef(input: String) extends Op // b = a;
 
   sealed trait Stmt

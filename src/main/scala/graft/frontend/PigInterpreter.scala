@@ -30,7 +30,8 @@ final class PigRunner(spark: SparkSession) {
     * in `env` for non-agg consumers (FLATTEN, SIZE, nested pipelines) —
     * it is lazy, so the unused plan costs nothing. */
   private case class GroupMeta(input: DataFrame, bagName: String,
-                               keys: Seq[Expr], all: Boolean, kind: String)
+                               keys: Seq[Expr], all: Boolean, kind: String,
+                               clauses: Seq[(String, Seq[Expr])] = Seq.empty)
   private val groupMeta =
     scala.collection.mutable.Map.empty[String, GroupMeta]
 
@@ -68,8 +69,8 @@ final class PigRunner(spark: SparkSession) {
       val meta = op match {
         case GroupOp(Seq(GroupInput(in, keys, _)), all, _) =>
           Some(GroupMeta(env(in).df, in, keys, all, "group"))
-        case CubeOp(in, kind, dims) =>
-          Some(GroupMeta(env(in).df, in, dims, all = false, kind))
+        case CubeOp(in, kind, dims, clauses) =>
+          Some(GroupMeta(env(in).df, in, dims, all = false, kind, clauses))
         case _ => None
       }
       env(alias) = evalOp(op).as(alias)
@@ -240,16 +241,19 @@ final class PigRunner(spark: SparkSession) {
     case UnionOp(ins, false) => ins.map(env(_)).reduce(_ union _)
     case UnionOp(ins, true)  => ins.map(env(_)).reduce(_ unionOnSchema _)
     case SampleOp(in, f) => env(in).sample(f)
+    case SampleExprOp(in, e) =>
+      // SAMPLE with a scalar expression — same ReadScalars evaluation as
+      // LIMIT expr (e.g. a fraction computed from a 1-row alias)
+      val resolved = resolveScalars(e, spark.emptyDataFrame)
+      val f = spark.range(1).select(
+        compile(resolved, spark.range(1).toDF()).cast(DoubleType))
+        .head().getDouble(0)
+      env(in).sample(f)
 
-    case CubeOp(in, kind, dims) =>
+    case CubeOp(in, kind, dims, clauses) =>
       val r = env(in)
-      val dimCols = dims.zipWithIndex.map {
-        case (ColRef(n), _) => col(resolve(n, r.df)).as(n)
-        case (e, i)         => compile(e, r.df).as(s"d$i")
-      }
       val bag = collect_list(struct(r.df.columns.map(col).toIndexedSeq: _*)).as(in)
-      val g = if (kind == "cube") r.df.cube(dimCols: _*) else r.df.rollup(dimCols: _*)
-      Relation(g.agg(bag), in)
+      Relation(groupedFor(r.df, kind, dims, clauses).agg(bag), in)
 
     case AliasRef(in) => env(in)
   }
@@ -381,15 +385,50 @@ final class PigRunner(spark: SparkSession) {
           else groupKey(m.keys, m.input).as("group")
         m.input.groupBy(key).agg(aggSeq.head, aggSeq.tail: _*)
       case kind =>
-        val dimCols = m.keys.zipWithIndex.map {
-          case (ColRef(n), _) => col(resolve(n, m.input)).as(n)
-          case (e, i)         => compile(e, m.input).as(s"d$i")
-        }
-        val g = if (kind == "cube") m.input.cube(dimCols: _*)
-                else m.input.rollup(dimCols: _*)
-        g.agg(aggSeq.head, aggSeq.tail: _*)
+        groupedFor(m.input, kind, m.keys, m.clauses)
+          .agg(aggSeq.head, aggSeq.tail: _*)
     }
     Some(foreach(Relation(fused, m.bagName), rwGens.map(_.get)))
+  }
+
+  /** Grouped dataset for CUBE/ROLLUP/mixed clause lists. Mixed clauses
+    * (`CUBE BY CUBE(a), ROLLUP(b)`) take the CROSS PRODUCT of each
+    * clause's grouping sets (cube → power set, rollup → prefixes) —
+    * reference CubeDimensions/RollupDimensions — via groupingSets. */
+  private def groupedFor(df: DataFrame, kind: String, dims: Seq[Expr],
+                         clauses: Seq[(String, Seq[Expr])])
+      : org.apache.spark.sql.RelationalGroupedDataset = {
+    val dimCols = dims.zipWithIndex.map {
+      case (ColRef(n), _) => col(resolve(n, df)).as(n)
+      case (e, i)         => compile(e, df).as(s"d$i")
+    }
+    kind match {
+      case "cube"   => df.cube(dimCols: _*)
+      case "rollup" => df.rollup(dimCols: _*)
+      case "sets" =>
+        // groupingSets matches set exprs against grouping exprs
+        // SEMANTICALLY — an Alias wrapper defeats the match and every
+        // set silently excludes the column. Materialize computed dims
+        // as named columns first; reference them BARE in both lists.
+        val (df2, names) =
+          dims.zipWithIndex.foldLeft((df, Seq.empty[String])) {
+            case ((d, ns), (ColRef(n), _)) => (d, ns :+ resolve(n, d))
+            case ((d, ns), (e, i)) =>
+              val nm = s"d$i"; (d.withColumn(nm, compile(e, d)), ns :+ nm)
+          }
+        val bare = names.map(col)
+        val offsets = clauses.scanLeft(0)(_ + _._2.size)
+        val perClause: Seq[Seq[Seq[Int]]] =
+          clauses.zip(offsets).map { case ((k, ds), off) =>
+            val idx = ds.indices.map(_ + off)
+            if (k == "cube")
+              (0 to idx.size).flatMap(n => idx.combinations(n)).map(_.toSeq)
+            else (0 to idx.size).map(n => idx.take(n).toSeq) // prefixes
+          }
+        val sets = perClause.foldLeft(Seq(Seq.empty[Int])) {
+          (acc, cl) => for (a <- acc; c <- cl) yield a ++ c }
+        df2.groupingSets(sets.map(_.map(bare)), bare: _*)
+    }
   }
 
   /** Scalar projection (reference: ScalarExpression.java + ReadScalars —

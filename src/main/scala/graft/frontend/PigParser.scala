@@ -387,16 +387,23 @@ object PigParser {
         UnionOp(ins.toSeq, on)
       case Kw("SAMPLE") =>
         advance(); val in = ident()
-        advance() match {
-          case NumLit(v: Double) => SampleOp(in, v)
-          case NumLit(v: Int)    => SampleOp(in, v.toDouble)
-          case t => fail(s"SAMPLE expects number, found $t")
+        expr() match {
+          case Lit(v: Double) => SampleOp(in, v)
+          case Lit(v: Int)    => SampleOp(in, v.toDouble)
+          case e              => SampleExprOp(in, e) // scalar expression
         }
       case Kw("CUBE") =>
         advance(); val in = ident(); expectKw("BY")
-        val kind = if (eatKw("ROLLUP")) "rollup" else { expectKw("CUBE"); "cube" }
-        expectSym("("); val dims = exprListBare(); expectSym(")")
-        CubeOp(in, kind, dims)
+        def clause(): (String, Seq[Expr]) = {
+          val kind = if (eatKw("ROLLUP")) "rollup"
+                     else { expectKw("CUBE"); "cube" }
+          expectSym("("); val dims = exprListBare(); expectSym(")")
+          (kind, dims)
+        }
+        val clauses = ArrayBuffer(clause())
+        while (eatSym(",")) clauses += clause()
+        if (clauses.size == 1) CubeOp(in, clauses.head._1, clauses.head._2)
+        else CubeOp(in, "sets", clauses.flatMap(_._2).toSeq, clauses.toSeq)
       case Ident(a) => advance(); AliasRef(a)
       case t => fail(s"unknown operator start: $t")
     }

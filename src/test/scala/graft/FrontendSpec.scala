@@ -463,6 +463,40 @@ class FrontendSpec extends SparkSpec {
     assert(out.count() == exp)
   }
 
+  test("mixed CUBE(x), ROLLUP(y) clauses = grouping-set cross product") {
+    val out = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      cb = CUBE o BY CUBE(o_orderstatus), ROLLUP(o_orderpriority);
+      r = FOREACH cb GENERATE o_orderstatus, o_orderpriority, COUNT(o) AS n;
+    """).apply("r").df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // cross product of cube{(),(status)} × rollup{(),(priority)}
+    sf("orders").createOrReplaceTempView("ord_msets")
+    val exp = spark.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM ord_msets
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+               (o_orderstatus), (o_orderpriority), ())""").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == exp)
+    // computed dim (materialized as d1): sets (status,d1),(status),(d1),()
+    val expDim = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      cb = CUBE o BY CUBE(o_orderstatus), ROLLUP(o_custkey % 2);
+      r = FOREACH cb GENERATE o_orderstatus, d1, COUNT(o) AS n;
+    """).apply("r").df
+    assert(expDim.count() == 3 * 2 + 3 + 2 + 1)
+  }
+
+  test("SAMPLE with a scalar expression") {
+    val n = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      s = SAMPLE o 0.2 + 0.3;
+    """).apply("s").df.count()
+    val total = sf("orders").count()
+    // binomial(1500, 0.5) within 6 sigma
+    assert(math.abs(n - total * 0.5) < 6 * math.sqrt(total * 0.25))
+  }
+
   test("COUNT($1) on a grouped alias counts the BAG with Pig's null rule") {
     // $1 on the (group, bag) frame is the bag; COUNT skips tuples whose
     // FIRST field is null (COUNT.java:54). The fused path must agree with

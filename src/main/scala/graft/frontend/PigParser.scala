@@ -33,7 +33,9 @@ object PigParser {
     "CUBE", "ROLLUP", "STORE", "DUMP", "DESCRIBE", "AND", "OR", "NOT",
     "IN", "IS", "NULL", "MATCHES", "FLATTEN", "TRUE", "FALSE", "CASE",
     "WHEN", "THEN", "ELSE", "END", "STREAM", "THROUGH", "PARALLEL",
-    "EXPLAIN", "SET", "ASSERT", "PARTITION", "MAPREDUCE", "NATIVE")
+    "EXPLAIN", "SET", "ASSERT", "PARTITION", "MAPREDUCE", "NATIVE",
+    // legacy comparison keywords (QueryLexer.g STR_OP_*: reserved words)
+    "EQ", "NEQ", "GT", "LT", "GTE", "LTE")
 
   def tokenize(src: String): Vector[Tok] = {
     val out = ArrayBuffer.empty[Tok]
@@ -509,6 +511,12 @@ object PigParser {
       cur match {
         case Sym(op @ ("==" | "!=" | "<" | "<=" | ">" | ">=")) =>
           advance(); BinOp(op, l, additive())
+        // legacy word forms (QueryLexer.g STR_OP_EQ..STR_OP_NE)
+        case Kw(w @ ("EQ" | "NEQ" | "GT" | "LT" | "GTE" | "LTE")) =>
+          advance()
+          val op = Map("EQ" -> "==", "NEQ" -> "!=", "GT" -> ">",
+                       "LT" -> "<", "GTE" -> ">=", "LTE" -> "<=")(w)
+          BinOp(op, l, additive())
         case Kw("MATCHES") => advance(); Matches(l, str())
         case Kw("IS") =>
           advance()

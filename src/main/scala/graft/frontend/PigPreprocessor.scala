@@ -55,7 +55,15 @@ object PigPreprocessor {
         val e = rest.indexOf('\n') match { case -1 => rest.length; case i => i }
         val parts = rest.take(e).split("\\s+", 3)
         if (parts.length == 3) {
-          val v = parts(2).stripSuffix(";").trim.stripPrefix("'").stripSuffix("'")
+          val raw = parts(2).stripSuffix(";").trim
+          // `cmd` value: run the shell command at preprocessing time and
+          // substitute its stdout (PreprocessorContext.executeShellCommand)
+          val v =
+            if (raw.length > 1 && raw.head == '`' && raw.last == '`')
+              scala.sys.process.Process(
+                Seq("/bin/sh", "-c", raw.substring(1, raw.length - 1)))
+                .!!.trim
+            else raw.stripPrefix("'").stripSuffix("'")
           if (declare) vars(parts(1)) = v
           else vars.getOrElseUpdate(parts(1), v)
         }

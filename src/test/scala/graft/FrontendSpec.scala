@@ -487,6 +487,27 @@ class FrontendSpec extends SparkSpec {
     assert(expDim.count() == 3 * 2 + 3 + 2 + 1)
   }
 
+  test("%declare with a backtick shell command substitutes its stdout") {
+    val out = PigRunner(spark).run(s"""
+      %declare THRESH `echo 20`
+      n = LOAD '$dir/nation.parquet';
+      f = FILTER n BY n_nationkey >= $$THRESH;
+    """).apply("f").df
+    assert(out.count() == sf("nation").filter($"n_nationkey" >= 20).count())
+  }
+
+  test("legacy comparison keywords eq/neq/gt/lt/gte/lte") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      f = FILTER n BY n_nationkey GTE 5 AND n_nationkey lt 10
+                     AND n_regionkey neq 99;
+    """).apply("f").df
+    val exp = sf("nation")
+      .filter($"n_nationkey" >= 5 && $"n_nationkey" < 10 &&
+              $"n_regionkey" =!= 99).count()
+    assert(out.count() == exp)
+  }
+
   test("SAMPLE with a scalar expression") {
     val n = PigRunner(spark).run(s"""
       o = LOAD '$dir/orders.parquet';

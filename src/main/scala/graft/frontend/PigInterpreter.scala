@@ -474,6 +474,10 @@ final class PigRunner(spark: SparkSession) {
       case Some(("PigStorage", args)) =>
         df.write.mode("overwrite")
           .option("sep", args.headOption.getOrElse("\t")).csv(path)
+        // PigStorage('sep', '-schema') writes the .pig_schema sidecar
+        // (PigStorage.java:99) so a schemaless re-LOAD recovers types
+        if (args.exists(_.contains("-schema")))
+          graft.sources.PigSchemaFile.write(df, path)
       case Some(("JsonStorage", _)) => df.write.mode("overwrite").json(path)
       // piggybank MultiStorage(parent, fieldIdx[, compression[, sep]]) —
       // one output dir per distinct value of the split field
@@ -920,7 +924,19 @@ final class PigRunner(spark: SparkSession) {
                    schema: Option[Seq[FieldSchema]]): Relation = {
     val df0 = using match {
       case Some(("PigStorage", args)) =>
-        spark.read.option("sep", args.headOption.getOrElse("\t")).csv(path)
+        val raw = spark.read
+          .option("sep", args.headOption.getOrElse("\t")).csv(path)
+        // a .pig_schema sidecar (JsonMetadata) applies names+types when
+        // no AS clause does — AS always wins (applied below over df0)
+        if (schema.isEmpty)
+          graft.sources.PigSchemaFile.read(spark, path) match {
+            case Some(st) if st.size == raw.schema.size =>
+              raw.toDF(st.fieldNames.toIndexedSeq: _*)
+                .select(st.fields.map(f =>
+                  col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+            case _ => raw
+          }
+        else raw
       case Some(("TextLoader", _)) => spark.read.text(path)
       case Some(("JsonLoader", _)) =>
         schema match {

@@ -15,6 +15,28 @@ class SourcesSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("src").toString
 
+  test("PigStorage -schema sidecar: schemaless re-LOAD recovers types") {
+    val d = tmp()
+    graft.frontend.PigRunner(spark).run(s"""
+      n = LOAD '/root/testdata/sf0.001/nation.parquet';
+      p = FOREACH n GENERATE n_nationkey, n_name;
+      STORE p INTO '$d/out' USING PigStorage(',', '-schema');
+    """)
+    val back = graft.frontend.PigRunner(spark).run(s"""
+      r = LOAD '$d/out' USING PigStorage(',');
+      f = FILTER r BY n_nationkey > 20;
+    """).apply("f").df
+    assert(back.schema("n_nationkey").dataType ==
+      sf("nation").schema("n_nationkey").dataType) // typed, not string
+    assert(back.count() ==
+      sf("nation").filter(col("n_nationkey") > 20).count())
+    // AS clause still wins over the sidecar
+    val renamed = graft.frontend.PigRunner(spark).run(s"""
+      r = LOAD '$d/out' USING PigStorage(',') AS (k:int, nm:chararray);
+    """).apply("r").df
+    assert(renamed.columns.toSeq == Seq("k", "nm"))
+  }
+
   test("STORE USING OrcStorage writes orc, not the parquet default") {
     val d = tmp()
     graft.frontend.PigRunner(spark).run(s"""

@@ -41,6 +41,9 @@ object PigAst {
   case class InnerFilter(src: String, cond: Expr) extends InnerOp
   case class InnerOrder(src: String, keys: Seq[(Expr, Boolean)]) extends InnerOp
   case class InnerLimit(src: String, n: Long) extends InnerOp
+  /** Nested LIMIT with a scalar expression — per GROUP, so e.g.
+    * `LIMIT s COUNT(o) * 0.1` is a top-10%-of-group cut. */
+  case class InnerLimitExpr(src: String, e: Expr) extends InnerOp
   case class InnerDistinct(src: String) extends InnerOp
   case class InnerForeach(src: String, gens: Seq[GenItem]) extends InnerOp
   case class InnerCross(srcs: Seq[String]) extends InnerOp

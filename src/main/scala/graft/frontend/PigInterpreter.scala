@@ -750,6 +750,25 @@ final class PigRunner(spark: SparkSession) {
               when(lf < rf, a).when(lf > rf, b).otherwise(acc)
             })
         case InnerLimit(src, n)   => slice(bagOf(src), 1, n.toInt)
+        case InnerLimitExpr(src, e) =>
+          // per-GROUP scalar (e.g. COUNT(o) * 0.1 → top-10% of each
+          // group); nested aliases resolve through the block's bindings
+          def cn(x: Expr): Column = x match {
+            case Lit(v) => lit(v)
+            case FuncCall(fn, as) => callFunction(fn, as, df, nested)
+            case BinOp(op, l, p) =>
+              val (a, b) = (cn(l), cn(p))
+              op match {
+                case "+" => a + b; case "-" => a - b; case "*" => a * b
+                case "/" => a / b; case "%" => a % b
+                case other => throw new IllegalArgumentException(
+                  s"unsupported operator $other in nested LIMIT")
+              }
+            case Neg(v) => -cn(v)
+            case CastExpr(t, v) => cn(v).cast(pigType(t))
+            case other => compile(other, df)
+          }
+          slice(bagOf(src), lit(1), greatest(lit(0), cn(e).cast(IntegerType)))
         case InnerDistinct(src)   => array_distinct(bagOf(src))
         case InnerForeach(src, fgens) => // per-element projection
           val st = elemSchema(src)

@@ -257,10 +257,10 @@ object PigParser {
                 InnerOrder(src, orderKeys())
               case Kw("LIMIT") =>
                 advance(); val src = dottedName()
-                advance() match {
-                  case NumLit(v: Int)  => InnerLimit(src, v.toLong)
-                  case NumLit(v: Long) => InnerLimit(src, v)
-                  case t => fail(s"inner LIMIT expects int, found $t")
+                expr() match {
+                  case Lit(v: Int)  => InnerLimit(src, v.toLong)
+                  case Lit(v: Long) => InnerLimit(src, v)
+                  case e            => InnerLimitExpr(src, e)
                 }
               case Kw("DISTINCT") => advance(); InnerDistinct(dottedName())
               case Kw("FOREACH") => // nested projection over a bag

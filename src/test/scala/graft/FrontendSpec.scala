@@ -487,6 +487,28 @@ class FrontendSpec extends SparkSpec {
     assert(expDim.count() == 3 * 2 + 3 + 2 + 1)
   }
 
+  test("nested LIMIT with an expression: per-group top-fraction cut") {
+    val out = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      g = GROUP o BY o_orderstatus;
+      r = FOREACH g { s = ORDER o BY o_totalprice DESC;
+                      t = LIMIT s (int)(COUNT(o) * 0.01);
+                      GENERATE group AS st, COUNT(t) AS n; };
+    """).apply("r").df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = sf("orders").groupBy($"o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> (r.getLong(1) / 100)).toMap
+    assert(out == exp)
+    // literal arithmetic still folds
+    val lit2 = PigRunner(spark).run(s"""
+      o = LOAD '$dir/orders.parquet';
+      g = GROUP o BY o_orderstatus;
+      r = FOREACH g { s = ORDER o BY o_totalprice DESC; t = LIMIT s 1 + 1;
+                      GENERATE group, COUNT(t) AS n; };
+    """).apply("r").df.collect()
+    assert(lit2.forall(_.getLong(1) == 2L))
+  }
+
   test("%declare with a backtick shell command substitutes its stdout") {
     val out = PigRunner(spark).run(s"""
       %declare THRESH `echo 20`

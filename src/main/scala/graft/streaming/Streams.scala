@@ -85,6 +85,37 @@ object Streams {
       r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"))
   }
 
+  /** Parquet file sink with checkpointing — exactly-once via the file
+    * sink's transaction log (the durable end of a pipeline: a crashed
+    * query restarted on the same checkpoint neither loses nor repeats a
+    * batch). Append mode — file sinks cannot rewrite rows, so windowed
+    * aggregations upstream need a watermark to emit finalized rows. */
+  def writeParquetStream(df: DataFrame, path: String, checkpoint: String,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** Escape hatch for sinks with no native streaming support: each
+    * micro-batch arrives as a BATCH DataFrame plus its batch id — the id
+    * is stable across restarts, so the function can be made idempotent
+    * (the foreachBatch contract). */
+  def foreachBatchSink(df: DataFrame, checkpoint: String,
+                       f: (DataFrame, Long) => Unit,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch(f)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   // ------------------------------------------------------------------
   // Arbitrary stateful processing (flatMapGroupsWithState) — running
   // per-key statistics that survive across micro-batches with explicit

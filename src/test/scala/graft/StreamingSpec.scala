@@ -20,6 +20,29 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("parquet sink: exactly-once file output; foreachBatch sees ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "a"), (2L, "b"), (3L, "c"))
+    val base = java.nio.file.Files.createTempDirectory("sink")
+    val q = Streams.writeParquetStream(input.toDF().toDF("id", "v"),
+      s"$base/out", s"$base/ckpt")
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$base/out").count() == 3)
+    // restart on the SAME checkpoint with no new data: nothing re-emitted
+    val q2 = Streams.writeParquetStream(input.toDF().toDF("id", "v"),
+      s"$base/out", s"$base/ckpt")
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$base/out").count() == 3)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input2 = MemoryStream[Long]
+    input2.addData(1L, 2L)
+    val q3 = Streams.foreachBatchSink(input2.toDF(),
+      s"$base/ckpt2", (b, id) => seen.synchronized { seen += ((id, b.count())) })
+    q3.awaitTermination()
+    assert(seen.map(_._2).sum == 2)
+  }
+
   test("tumbling window counts with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]

@@ -29,8 +29,29 @@ object Grunt {
       else {
         buf.append(line).append('\n')
         val stmt = buf.toString
+        val trimmed = stmt.trim.stripSuffix(";").trim
         if (stmt.trim.matches("(?i)(quit|exit)\\s*;?\\s*")) done = true
-        else if (stmt.trim.endsWith(";")) {
+        // GruntParser shell escapes: `sh cmd`, `fs -ls path` (mapped to
+        // the local fs), `run 'script.pig'` / `exec 'script.pig'`
+        else if (trimmed.toLowerCase.startsWith("sh ")) {
+          try println(scala.sys.process.Process(
+            Seq("/bin/sh", "-c", trimmed.drop(3))).!!)
+          catch { case e: Exception => System.err.println(s"ERROR: ${e.getMessage}") }
+          buf.clear(); print("grunt> "); Console.flush()
+        } else if (trimmed.toLowerCase.startsWith("fs ")) {
+          try println(scala.sys.process.Process(
+            Seq("/bin/sh", "-c", "ls -la " +
+              trimmed.split("\\s+").drop(2).mkString(" "))).!!)
+          catch { case e: Exception => System.err.println(s"ERROR: ${e.getMessage}") }
+          buf.clear(); print("grunt> "); Console.flush()
+        } else if (trimmed.toLowerCase.matches("(run|exec)\\s+.*")) {
+          val f = trimmed.split("\\s+", 2)(1).stripPrefix("'").stripSuffix("'")
+          try runner.run(new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
+            "UTF-8"))
+          catch { case e: Exception => System.err.println(s"ERROR: ${e.getMessage}") }
+          buf.clear(); print("grunt> "); Console.flush()
+        } else if (stmt.trim.endsWith(";")) {
           try runner.run(stmt)
           catch {
             case e: Exception => System.err.println(s"ERROR: ${e.getMessage}")

@@ -218,11 +218,13 @@ final class PigRunner(spark: SparkSession) {
         s"MAPREDUCE native command failed (exit $code): $cmd\n$out")
       load(lp, lf, sch)
 
-    case RankOp(in, Seq(), _) => env(in).rankScalable("rank")
+    // the rank column is named rank_<inputAlias> (LORank.java:152:
+    // RANK_COL_NAME + SEPARATOR + input.getAlias())
+    case RankOp(in, Seq(), _) => env(in).rankScalable(s"rank_$in")
     case RankOp(in, keys, dense) =>
       val r = env(in)
       r.rank(keys.map { case (e, asc) => (compile(e, r.df), asc) },
-        dense, "rank")
+        dense, s"rank_$in")
 
     case LimitOp(in, n)  =>
       // Spark limit takes Int; a larger-than-int limit is a no-op limit

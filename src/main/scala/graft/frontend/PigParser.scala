@@ -292,7 +292,12 @@ object PigParser {
         }
       case Kw("STREAM") =>
         advance(); val in = ident(); expectKw("THROUGH")
-        val cmd = str()
+        // EXECCOMMAND backtick form or a quoted string (QueryParser.g
+        // stream_clause: THROUGH (EXECCOMMAND | alias))
+        val cmd = cur match {
+          case BtLit(s) => advance(); s
+          case _        => str()
+        }
         val s = if (eatKw("AS")) Some(schema()) else None
         StreamOp(in, cmd, s)
       case Kw("GROUP") | Kw("COGROUP") =>

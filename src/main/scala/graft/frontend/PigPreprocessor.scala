@@ -139,12 +139,17 @@ object PigPreprocessor {
   private def parseDefine(stmt: String): Define = {
     val m = """(?is)DEFINE\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*\{(.*)\}\s*""".r
     val c = """(?is)DEFINE\s+(\w+)\s+'([^']*)'\s*""".r
+    // EXECCOMMAND backtick form; trailing SHIP/CACHE/INPUT/OUTPUT/STDERR
+    // clauses are accepted and ignored (no distributed cache in the
+    // embedded engine — the command must be on PATH)
+    val cb = """(?is)DEFINE\s+(\w+)\s+`([^`]*)`\s*(.*?)\s*""".r
     val f = """(?is)DEFINE\s+(\w+)\s+([\w.$]+)\s*(?:\(([^)]*)\))?\s*""".r
     stmt match {
       case m(name, ps, ret, body) =>
         val params = ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         MacroDef(name, Macro(params, ret, body))
       case c(name, cmd) => CmdDef(name, cmd)
+      case cb(name, cmd, _) => CmdDef(name, cmd)
       case f(name, func, ctorArgs) =>
         // dotted package prefixes resolve by terminal name (the builtin
         // catalog is flat — org.apache.pig.builtin.UPPER → UPPER)

@@ -88,7 +88,8 @@ class FrontendSpec extends SparkSpec {
     val total = sf("orders").count()
     assert(runner("hi2").df.count() + runner("lo2").df.count() == total)
     assert(runner("u").df.count() == total)
-    val top = runner("r").df.orderBy("rank").head()
+    // rank column is rank_<inputAlias> (LORank.java:152)
+    val top = runner("r").df.orderBy("rank_hi2").head()
     val expTop = sf("orders").orderBy($"o_totalprice".desc).head()
     assert(top.getLong(top.fieldIndex("o_orderkey")) ==
            expTop.getLong(expTop.fieldIndex("o_orderkey")))
@@ -507,6 +508,32 @@ class FrontendSpec extends SparkSpec {
                       GENERATE group, COUNT(t) AS n; };
     """).apply("r").df.collect()
     assert(lit2.forall(_.getLong(1) == 2L))
+  }
+
+  test("STREAM THROUGH backtick command; DEFINE alias with backticks") {
+    val direct = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      p = FOREACH n GENERATE n_name;
+      s = STREAM p THROUGH `tr a-z A-Z` AS (up:chararray);
+    """).apply("s").df.collect().map(_.getString(0)).toSet
+    assert(direct.nonEmpty && direct.forall(v => v == v.toUpperCase))
+    val defined = PigRunner(spark).run(s"""
+      DEFINE up `tr a-z A-Z`;
+      n = LOAD '$dir/nation.parquet';
+      p = FOREACH n GENERATE n_name;
+      s = STREAM p THROUGH up AS (u:chararray);
+    """).apply("s").df.collect().map(_.getString(0)).toSet
+    assert(defined == direct)
+  }
+
+  test("RANK output column is rank_<inputAlias> (LORank naming)") {
+    val out = PigRunner(spark).run(s"""
+      c = LOAD '$dir/customer.parquet';
+      r = RANK c BY c_acctbal DESC DENSE;
+      f = FILTER r BY rank_c <= 3;
+    """).apply("f").df
+    assert(out.columns.contains("rank_c"))
+    assert(out.count() >= 3)
   }
 
   test("%declare with a backtick shell command substitutes its stdout") {

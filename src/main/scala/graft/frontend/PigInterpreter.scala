@@ -1046,7 +1046,39 @@ final class PigRunner(spark: SparkSession) {
     case "biginteger" => DecimalType(38, 0)
     case "bigdecimal" => DecimalType(38, 18)
     case "bytearray" => StringType // pragmatic: lazy casts at use site
+    // complex types, canonical-string encoded by the parser's typeSpec:
+    // bag {(…)} → array<struct>, tuple (…) → struct, map [t] → map
+    case s if s.startsWith("{") && s.endsWith("}") =>
+      pigType(s.substring(1, s.length - 1)) match {
+        case st: StructType => ArrayType(st)
+        case other => throw new IllegalArgumentException(
+          s"bag type must contain a tuple, got $other")
+      }
+    case s if s.startsWith("(") && s.endsWith(")") =>
+      StructType(splitTopLevel(s.substring(1, s.length - 1)).map { f =>
+        val i = f.indexOf(':') // field names cannot contain ':'
+        if (i < 0) StructField(f.trim, StringType)
+        else StructField(f.take(i).trim, pigType(f.drop(i + 1).trim))
+      })
+    case s if s.startsWith("[") && s.endsWith("]") =>
+      val inner = s.substring(1, s.length - 1).trim
+      MapType(StringType, if (inner.isEmpty) StringType else pigType(inner))
     case other => throw new IllegalArgumentException(s"unknown type $other")
+  }
+
+  /** Split on commas at bracket depth 0 (over (), {}, []). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('(' | '{' | '[') => depth += 1; cur.append(c)
+      case c @ (')' | '}' | ']') => depth -= 1; cur.append(c)
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
   }
 
   // ---------------------------------------------------------- expressions

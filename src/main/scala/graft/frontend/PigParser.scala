@@ -474,13 +474,55 @@ object PigParser {
       es.toSeq
     }
 
+    // A type in an AS clause: simple ident, or the complex forms
+    // bag{T:(…)} / {(…)} / tuple(…) / (…) / map[t] / [] — encoded as a
+    // canonical string ("{(a:int)}", "(a:int,b:chararray)", "[int]")
+    // that the interpreter's pigType parses recursively.
+    def typeSpec(): String = cur match {
+      case Sym("{") => bagSpec()
+      case Sym("(") => tupleSpec()
+      case Sym("[") => mapSpec()
+      case Ident(t) =>
+        advance()
+        t.toLowerCase match {
+          case "bag"   if atSym("{") => bagSpec()
+          case "tuple" if atSym("(") => tupleSpec()
+          case "map"   if atSym("[") => mapSpec()
+          case simple => simple
+        }
+      case tok => fail(s"bad type in schema: $tok")
+    }
+    def fieldsSpec(): String = {
+      val fs = ArrayBuffer.empty[String]
+      while (!atSym(")")) {
+        val n = ident()
+        val t = if (eatSym(":")) typeSpec() else "bytearray"
+        fs += s"$n:$t"
+        eatSym(",")
+      }
+      fs.mkString(",")
+    }
+    def tupleSpec(): String = {
+      expectSym("("); val f = fieldsSpec(); expectSym(")"); s"($f)"
+    }
+    def bagSpec(): String = {
+      expectSym("{")
+      if (!atSym("(")) { ident(); expectSym(":") } // optional {T: (…)}
+      val t = tupleSpec(); expectSym("}"); s"{$t}"
+    }
+    def mapSpec(): String = {
+      expectSym("[")
+      val inner = if (atSym("]")) "" else typeSpec()
+      expectSym("]"); s"[$inner]"
+    }
+
     def schema(): Seq[FieldSchema] = {
       expectSym("(")
       val fs = ArrayBuffer.empty[FieldSchema]
       while (!atSym(")")) {
         val n = ident()
-        val t = if (eatSym(":")) ident() else "bytearray"
-        fs += FieldSchema(n, t.toLowerCase)
+        val t = if (eatSym(":")) typeSpec() else "bytearray"
+        fs += FieldSchema(n, t)
         eatSym(",")
       }
       expectSym(")")

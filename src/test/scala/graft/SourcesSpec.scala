@@ -15,6 +15,26 @@ class SourcesSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("src").toString
 
+  test("complex AS schema: bag/tuple/map types parse and type the load") {
+    val d = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/x.json"),
+      ("""{"id":1,"tags":[{"t":"a"},{"t":"b"}],"props":{"k":"v"},""" +
+       """"loc":{"lat":1.5,"lon":2.5}}""" + "\n" +
+       """{"id":2,"tags":[{"t":"c"}],"props":{"k":"w"},""" +
+       """"loc":{"lat":3.0,"lon":4.0}}""").getBytes("UTF-8"))
+    val out = graft.frontend.PigRunner(spark).run(s"""
+      j = LOAD '$d/x.json' USING JsonLoader()
+          AS (id:int, tags:{T:(t:chararray)}, props:map[chararray],
+              loc:tuple(lat:double, lon:double));
+      f = FOREACH j GENERATE id, SIZE(tags) AS n_tags, props#'k' AS k,
+            loc.lat AS lat;
+    """).apply("f").df.orderBy("id").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 1L))
+    assert(out.map(_.getString(2)).toSeq == Seq("v", "w"))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(1.5, 3.0))
+  }
+
   test("PigStorage -schema sidecar: schemaless re-LOAD recovers types") {
     val d = tmp()
     graft.frontend.PigRunner(spark).run(s"""

@@ -49,29 +49,39 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
   // (reference: POForEach.java:501-514 region).
   def flatten(bagCol: String): Relation = {
     val tmp = "__flat_" + bagCol
+    val pos = df.columns.indexOf(bagCol)
     val exploded = df.withColumn(tmp, explode(col(bagCol))).drop(bagCol)
     exploded.schema(tmp).dataType match {
       case st: StructType =>
-        val keep = exploded.columns.filterNot(_ == tmp).map(col)
+        // expanded fields take the bag's POSITION (Pig replaces the item
+        // in place — downstream positional refs stay valid)
+        val (pre, post) = exploded.columns.filterNot(_ == tmp).splitAt(pos)
         val expand = st.fieldNames.map(f => col(s"$tmp.$f").as(f))
-        derived(exploded.select((keep ++ expand).toIndexedSeq: _*))
+        derived(exploded.select(
+          (pre.map(col) ++ expand ++ post.map(col)).toIndexedSeq: _*))
       case _ =>
         derived(exploded.withColumnRenamed(tmp, bagCol))
     }
   }
-  /** FLATTEN(map) → two columns (key, value); empty maps disappear. */
+  /** FLATTEN(map) → two columns (key, value) at the map's position;
+    * empty maps disappear. */
   def flattenMap(mapCol: String, keyName: String = "key",
                  valName: String = "value"): Relation = {
-    val keep = df.columns.filterNot(_ == mapCol).map(col)
-    derived(df.select((keep :+ explode(col(mapCol)).as(Seq(keyName, valName)))
-      .toIndexedSeq: _*))
+    val pos = df.columns.indexOf(mapCol)
+    val (pre, post) = df.columns.filterNot(_ == mapCol).splitAt(pos)
+    derived(df.select(((pre.map(col) :+
+      explode(col(mapCol)).as(Seq(keyName, valName))) ++
+      post.map(col)).toIndexedSeq: _*))
   }
-  /** FLATTEN(tuple) → struct fields become top-level columns. */
+  /** FLATTEN(tuple) → struct fields become top-level columns at the
+    * tuple's position. */
   def flattenTuple(structCol: String): Relation = {
     val st = df.schema(structCol).dataType.asInstanceOf[StructType]
-    val keep = df.columns.filterNot(_ == structCol).map(col)
+    val pos = df.columns.indexOf(structCol)
+    val (pre, post) = df.columns.filterNot(_ == structCol).splitAt(pos)
     val expand = st.fieldNames.map(f => col(s"$structCol.$f").as(f))
-    derived(df.select((keep ++ expand).toIndexedSeq: _*))
+    derived(df.select(
+      (pre.map(col) ++ expand ++ post.map(col)).toIndexedSeq: _*))
   }
 
   // ---------------------------------------------------------------------

@@ -30,7 +30,10 @@ object PigAst {
   case class RangeProj(from: Option[Expr], to: Option[Expr]) extends Expr
 
   /** field AS name[:type] in GENERATE / schema position */
-  case class GenItem(expr: Expr, alias: Option[String])
+  /** One GENERATE item. `aliases` carries the multi-name form
+    * `FLATTEN(e) AS (a, b, …)` — one name per expanded field. */
+  case class GenItem(expr: Expr, alias: Option[String],
+                     aliases: Seq[String] = Seq.empty)
 
   case class FieldSchema(name: String, typeName: String)
 

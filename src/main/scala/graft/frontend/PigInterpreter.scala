@@ -375,7 +375,7 @@ final class PigRunner(spark: SparkSession) {
 
     val rwGens = gens.zipWithIndex.map { case (g, i) =>
       rw(g.expr).map(e2 => GenItem(e2,
-        g.alias.orElse(Some(autoName(g.expr, i, baggedDf)))))
+        g.alias.orElse(Some(autoName(g.expr, i, baggedDf))), g.aliases))
     }
     if (!rwGens.forall(_.isDefined) || aggCols.isEmpty) return None
 
@@ -597,7 +597,7 @@ final class PigRunner(spark: SparkSession) {
     import org.apache.spark.sql.expressions.Window
     val pat = gens match {
       case Seq(GenItem(FlattenExpr(FuncCall("STITCH",
-          ColRef(ordName) +: overCalls)), _))
+          ColRef(ordName) +: overCalls)), _, _))
           if overCalls.nonEmpty &&
              overCalls.forall { case FuncCall("OVER", _) => true
                                 case _ => false } =>
@@ -877,11 +877,11 @@ final class PigRunner(spark: SparkSession) {
         callFunction(fn, args, df, nested)
       case other => compile(other, df)
     }
-    var flattens = Seq.empty[(String, Option[String])] // temp col -> alias
+    var flattens = Seq.empty[(String, Option[String], Seq[String])] // tmp -> alias(es)
     val cols = gens.zipWithIndex.flatMap {
-      case (GenItem(Star, _), _) => df.columns.toSeq.map(col)
+      case (GenItem(Star, _, _), _) => df.columns.toSeq.map(col)
       // column range a..b expands positionally over the input schema
-      case (GenItem(RangeProj(f, t), _), _) =>
+      case (GenItem(RangeProj(f, t), _, _), _) =>
         val names = df.columns
         def idx(e: Expr): Int = e match {
           case ColRef(n) =>
@@ -896,15 +896,20 @@ final class PigRunner(spark: SparkSession) {
         require(from <= until,
           s"empty column range ($from..$until) in GENERATE")
         names.slice(from, until + 1).toSeq.map(col)
-      case (GenItem(FlattenExpr(e), alias), i) =>
+      case (GenItem(FlattenExpr(e), alias, aliases), i) =>
         val tmp = s"__fl_$i"
-        flattens :+= ((tmp, alias))
+        flattens :+= ((tmp, alias, aliases))
         Seq(comp(e).as(tmp))
-      case (GenItem(e, alias), i) =>
+      case (GenItem(e, alias, _), i) =>
         Seq(comp(e).as(alias.getOrElse(autoName(e, i, df))))
     }
     var out = Relation(df.select(cols: _*), r.name)
-    flattens.foreach { case (tmp, alias) =>
+    // AS (a, b, …): rename the expanded fields positionally
+    def renameAll(rel: Relation, from: Seq[String],
+                  to: Seq[String]): Relation =
+      Relation(from.zip(to).foldLeft(rel.df) { case (d, (f, t)) =>
+        d.withColumnRenamed(f, t) }, r.name)
+    flattens.foreach { case (tmp, alias, aliases) =>
       val dt = out.df.schema(tmp).dataType
       out = dt match {
         case ArrayType(st: StructType, _) =>
@@ -914,13 +919,19 @@ final class PigRunner(spark: SparkSession) {
           alias match {
             case Some(a) if st.size == 1 =>
               Relation(flat.df.withColumnRenamed(st.fieldNames.head, a), r.name)
+            case _ if aliases.size == st.size =>
+              renameAll(flat, st.fieldNames.toSeq, aliases)
             case _ => flat
           }
         case ArrayType(_, _) =>
           val flat = out.flatten(tmp)
           alias.map(a => Relation(flat.df.withColumnRenamed(tmp, a), r.name))
             .getOrElse(flat)
-        case _: StructType => out.flattenTuple(tmp)
+        case st: StructType =>
+          val flat = out.flattenTuple(tmp)
+          if (aliases.size == st.size)
+            renameAll(flat, st.fieldNames.toSeq, aliases)
+          else flat
         case _: MapType    => out.flattenMap(tmp)
         case _ => // FLATTEN of a scalar is identity (Pig semantics)
           alias.map(a => Relation(out.df.withColumnRenamed(tmp, a), r.name))
@@ -1104,6 +1115,17 @@ final class PigRunner(spark: SparkSession) {
     case Lit(v)    => lit(v)
     case ColRef(n) => col(resolve(n, df))
     case PosRef(i) => col(df.columns(i))
+    case Deref(b, f) if f.startsWith("$") =>
+      // positional deref t.$n: resolve the field name from the schema
+      val base = compile(b, df)
+      val i = f.drop(1).toInt
+      typeOf(base, df) match {
+        case st: StructType => base.getField(st.fieldNames(i))
+        case ArrayType(st: StructType, _) =>
+          transform(base, t => t.getField(st.fieldNames(i)))
+        case other => throw new IllegalArgumentException(
+          s"positional deref $f needs a tuple or bag, got $other")
+      }
     case Deref(b, f)     => compile(b, df).getField(f)
     case MapLookup(m, k) => compile(m, df).getItem(k)
     case Neg(x) => -compile(x, df)

@@ -456,12 +456,26 @@ object PigParser {
             RangeProj(Some(e0), to)
           } else e0
         }
+      var aliases = Seq.empty[String]
       val alias = if (eatKw("AS")) {
-        val a = ident()
-        if (eatSym(":")) ident() // ignore declared type on generate
-        Some(a)
+        // AS (a[:t], b[:t], …) names each field FLATTEN expands
+        if (eatSym("(")) {
+          val as = ArrayBuffer.empty[String]
+          while (!atSym(")")) {
+            as += ident()
+            if (eatSym(":")) typeSpec() // ignore declared type on generate
+            eatSym(",")
+          }
+          expectSym(")")
+          aliases = as.toSeq
+          aliases.headOption.filter(_ => aliases.size == 1)
+        } else {
+          val a = ident()
+          if (eatSym(":")) typeSpec() // ignore declared type on generate
+          Some(a)
+        }
       } else None
-      GenItem(e, alias)
+      GenItem(e, alias, aliases)
     }
 
     def exprList(): Seq[Expr] = {
@@ -613,7 +627,12 @@ object PigParser {
             while (eatSym(",")) fs += ident()
             expectSym(")")
             e = DerefMulti(e, fs.toSeq)
-          } else e = Deref(e, ident())
+          } else cur match {
+            // positional deref t.$n — field name resolved from the
+            // struct's schema at compile time
+            case Sym(s) if s.startsWith("$") => advance(); e = Deref(e, s)
+            case _ => e = Deref(e, ident())
+          }
         case Sym("#") => advance(); e = MapLookup(e, str())
         case _ => more = false
       }

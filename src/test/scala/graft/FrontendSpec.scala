@@ -536,6 +536,29 @@ class FrontendSpec extends SparkSpec {
     assert(out.count() >= 3)
   }
 
+  test("FLATTEN AS (a,b) multi-names; expansion keeps FLATTEN's position") {
+    val out = PigRunner(spark).run(s"""
+      li = LOAD '$dir/lineitem.parquet';
+      g = GROUP li BY (l_returnflag, l_linestatus);
+      r = FOREACH g GENERATE FLATTEN(group) AS (rf, ls), COUNT(li) AS n;
+    """).apply("r").df
+    // Pig replaces the FLATTEN item in place: rf, ls come BEFORE n
+    assert(out.columns.toSeq == Seq("rf", "ls", "n"))
+    val exp = sf("lineitem").groupBy("l_returnflag", "l_linestatus")
+      .count().count()
+    assert(out.count() == exp)
+  }
+
+  test("positional deref t.$n resolves by schema position") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      p = FOREACH n GENERATE TOTUPLE(n_nationkey, n_name) AS t;
+      q = FOREACH p GENERATE t.$$1 AS nm, t.$$0 AS k;
+    """).apply("q").df.filter(col("k") === 3).head()
+    assert(out.getString(0) ==
+      sf("nation").filter($"n_nationkey" === 3).head().getString(1))
+  }
+
   test("%declare with a backtick shell command substitutes its stdout") {
     val out = PigRunner(spark).run(s"""
       %declare THRESH `echo 20`

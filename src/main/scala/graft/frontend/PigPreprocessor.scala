@@ -58,12 +58,14 @@ object PigPreprocessor {
           val raw = parts(2).stripSuffix(";").trim
           // `cmd` value: run the shell command at preprocessing time and
           // substitute its stdout (PreprocessorContext.executeShellCommand)
-          val v =
+          val v0 =
             if (raw.length > 1 && raw.head == '`' && raw.last == '`')
               scala.sys.process.Process(
                 Seq("/bin/sh", "-c", raw.substring(1, raw.length - 1)))
                 .!!.trim
             else raw.stripPrefix("'").stripSuffix("'")
+          // earlier params substitute into the value (%declare B $A)
+          val v = substitute(v0, vars.toMap)
           if (declare) vars(parts(1)) = v
           else vars.getOrElseUpdate(parts(1), v)
         }
@@ -162,7 +164,10 @@ object PigPreprocessor {
   private def expandStatement(stmt: String, macros: Map[String, Macro],
                               cmds: Map[String, String],
                               funcs: Map[String, (String, String)],
-                              vars: Map[String, String]): String = {
+                              vars: Map[String, String],
+                              depth: Int = 0): String = {
+    require(depth < 50, "macro expansion exceeds depth 50 — recursive " +
+      "macro? (the reference rejects recursion too)")
     val call = """(?s)\s*(\w+)\s*=\s*(\w+)\s*\(([^)]*)\)\s*""".r
     val substituted = substitute(stmt, vars)
     substituted match {
@@ -174,7 +179,19 @@ object PigPreprocessor {
         val bindings = mac.params.zip(args).toMap + (mac.returns -> ret)
         // expand the macro body (may itself contain multiple statements)
         val body = substitute(mac.body, bindings).trim.stripSuffix(";")
-        body
+        // the spliced body may itself contain macro calls (macro
+        // composition) — re-expand each statement recursively
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var restB = body
+        while (restB.nonEmpty) {
+          val e = statementEnd(restB)
+          val st = restB.take(e).trim
+          if (st.nonEmpty)
+            parts += expandStatement(st, macros, cmds, funcs, vars,
+              depth + 1)
+          restB = restB.drop(math.min(e + 1, restB.length))
+        }
+        parts.mkString(";\n")
       case _ => mapMaskingQuotes(substituted) { masked =>
         // STREAM … THROUGH cmdAlias → inline the command string
         val withCmds = cmds.foldLeft(masked) { case (s, (name, cmd)) =>

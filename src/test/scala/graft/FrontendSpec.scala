@@ -559,6 +559,26 @@ class FrontendSpec extends SparkSpec {
       sf("nation").filter($"n_nationkey" === 3).head().getString(1))
   }
 
+  test("macro composition and chained %declare substitution") {
+    val out = PigRunner(spark).run(s"""
+      DEFINE inner_m(rel) RETURNS out { $$out = FILTER $$rel BY n_nationkey > 5; };
+      DEFINE outer_m(rel) RETURNS out {
+        f = inner_m($$rel); $$out = FOREACH f GENERATE n_name; };
+      n = LOAD '$dir/nation.parquet';
+      r = outer_m(n);
+    """).apply("r").df
+    assert(out.count() ==
+      sf("nation").filter($"n_nationkey" > 5).count())
+    val chained = PigRunner(spark).run(s"""
+      %declare A 10
+      %declare B $$A
+      n = LOAD '$dir/nation.parquet';
+      f = FILTER n BY n_nationkey > $$B;
+    """).apply("f").df
+    assert(chained.count() ==
+      sf("nation").filter($"n_nationkey" > 10).count())
+  }
+
   test("%declare with a backtick shell command substitutes its stdout") {
     val out = PigRunner(spark).run(s"""
       %declare THRESH `echo 20`

@@ -1132,11 +1132,26 @@ final class PigRunner(spark: SparkSession) {
     case Not(x) => !compile(x, df)
     case BinOp(op, l, r) =>
       val (a, b) = (compile(l, df), compile(r, df))
+      def integral(t: DataType) = t match {
+        case IntegerType | LongType | ShortType | ByteType => true
+        case _ => false
+      }
       op match {
         case "+" => a + b
         case "-" => a - b
         case "*" => a * b
-        case "/" => a / b
+        case "/" =>
+          // int/int is JAVA division in the reference (Divide.java:72 —
+          // truncation toward zero, int result); Spark's `/` is always
+          // double. `a - a%b` strips the remainder (dividend-sign % ==
+          // Java %), so the quotient is exact and truncates like Java;
+          // ÷0 still nulls under ansi=off.
+          if (integral(typeOf(a, df)) && integral(typeOf(b, df))) {
+            val q = (a - (a % b)) / b
+            if (typeOf(a, df) == LongType || typeOf(b, df) == LongType)
+              q.cast(LongType)
+            else q.cast(IntegerType)
+          } else a / b
         case "%" => a % b
         case "==" => a === b
         case "!=" => a =!= b

@@ -162,6 +162,21 @@ class BuiltinsSpec extends SparkSpec {
     assert(r(0).getInt(0) == 12 && r(1).isNullAt(0))
   }
 
+  test("int/int is Java division in scripts (truncating, int result)") {
+    // reference Divide.java:72: (Integer) a / (Integer) b
+    val out = graft.frontend.PigRunner(spark).run(s"""
+      n = LOAD '/root/testdata/sf0.001/nation.parquet';
+      d = FOREACH n GENERATE n_nationkey,
+            7 / 2 AS q1, -7 / 2 AS q2, 7 / 2.0 AS q3,
+            n_nationkey / 4 AS q4, n_nationkey / 0 AS q5;
+    """).apply("d").df.filter(col("n_nationkey") === 9).head()
+    assert(out.getInt(1) == 3)            // truncation, int type
+    assert(out.getInt(2) == -3)           // toward zero, not floor
+    assert(out.getDouble(3) == 3.5)       // mixed types stay double
+    assert(out.getInt(4) == 2)            // int column / int -> int
+    assert(out.isNullAt(5))               // /0 -> null (ansi off)
+  }
+
   test("int division by zero yields null, not error") {
     val r = Seq((1, 0)).toDF("a", "b").select(col("a") / col("b")).head()
     assert(r.isNullAt(0))

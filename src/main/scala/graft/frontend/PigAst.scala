@@ -50,6 +50,8 @@ object PigAst {
   case class InnerDistinct(src: String) extends InnerOp
   case class InnerForeach(src: String, gens: Seq[GenItem]) extends InnerOp
   case class InnerCross(srcs: Seq[String]) extends InnerOp
+  /** Expression let inside a nested block: `x = age + gpa;`. */
+  case class InnerExpr(e: Expr) extends InnerOp
 
   /** One COGROUP input: `alias BY keys [INNER|OUTER]` — INNER drops
     * groups where this input's bag is empty (LOCogroup GROUPTYPE :50-54). */

@@ -181,7 +181,15 @@ final class PigRunner(spark: SparkSession) {
     case JoinOp(inputs, joinType, using) => join(inputs, joinType, using)
 
     case CrossOp(ins) =>
-      ins.map(env(_)).reduce((a, b) => a.cross(b))
+      // colliding columns take the input alias as qualifier (a::name /
+      // b::name → our b__name convention), like JOIN disambiguation
+      ins.map(a => (a, env(a))).reduce[(String, Relation)] {
+        case ((an, a), (bn, b)) =>
+          val collisions = a.df.columns.toSet.intersect(b.df.columns.toSet)
+          val bdf = collisions.foldLeft(b.df) { (d, c) =>
+            d.withColumnRenamed(c, s"${bn}__$c") }
+          (an, a.cross(Relation(bdf, bn)))
+      }._2
 
     case OrderOp(in, keys, comparator) =>
       // USING comparatorClass cannot run here: a Java ComparisonFunc is a
@@ -240,7 +248,21 @@ final class PigRunner(spark: SparkSession) {
         .head().getLong(0)
       if (n >= Int.MaxValue) r else r.limit(n.toInt)
     case DistinctOp(in)  => env(in).distinct
-    case UnionOp(ins, false) => ins.map(env(_)).reduce(_ union _)
+    case UnionOp(ins, false) =>
+      val rels = ins.map(env(_))
+      val w = rels.map(_.df.columns.length).max
+      // Pig unions mismatched widths (result schema null, rows keep
+      // their own arity); the relational closest is null-padding the
+      // narrow side positionally — downstream positional refs then see
+      // the same values the reference's ragged rows carry
+      val padded = rels.map { r =>
+        val d = r.df
+        if (d.columns.length == w) r
+        else Relation(d.select((d.columns.map(col) ++
+          (d.columns.length until w).map(i => lit(null).as(s"__u$i")))
+          .toIndexedSeq: _*), r.name)
+      }
+      padded.reduce(_ union _)
     case UnionOp(ins, true)  => ins.map(env(_)).reduce(_ unionOnSchema _)
     case SampleOp(in, f) => env(in).sample(f)
     case SampleExprOp(in, e) =>
@@ -278,6 +300,9 @@ final class PigRunner(spark: SparkSession) {
 
     // rewrite bag-rooted references to input-relation references
     def bagArg(e: Expr): Option[Expr] = e match {
+      // bag.$n → the input relation's nth column (positional)
+      case Deref(ColRef(b), f) if b == m.bagName && f.startsWith("$") =>
+        Some(PosRef(f.drop(1).toInt))
       case Deref(ColRef(b), f) if b == m.bagName => Some(ColRef(f))
       case ColRef(b) if b == m.bagName => Some(Star) // whole-bag marker
       case ColRef("group") | Deref(ColRef("group"), _) => None
@@ -469,6 +494,23 @@ final class PigRunner(spark: SparkSession) {
     }: _*)
   }
 
+  /** Pig LOAD locations: comma-separated path list, and `[!x]` glob
+    * negation translated to Hadoop's `[^x]` dialect. */
+  private def splitPaths(path: String): Seq[String] = {
+    // split on commas NOT inside {...} (brace globs like voter{,null}tab)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    path.foreach {
+      case '{' => depth += 1; cur.append('{')
+      case '}' => depth -= 1; cur.append('}')
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim.replace("[!", "[^"))
+  }
+
   /** STORE writer, shared with the MAPREDUCE escape hatch. */
   private def storeRelation(df: DataFrame, path: String,
                             using: Option[(String, Seq[String])]): Unit =
@@ -494,6 +536,8 @@ final class PigRunner(spark: SparkSession) {
         graft.sources.Avro.write(df, path)
       case Some(("OrcStorage", _)) =>
         df.write.mode("overwrite").orc(path)
+      case Some(("BinStorage", _)) =>
+        df.write.mode("overwrite").parquet(path)
       case Some(("CSVExcelStorage", args)) =>
         df.write.mode("overwrite")
           .option("sep", args.headOption.getOrElse(","))
@@ -725,10 +769,14 @@ final class PigRunner(spark: SparkSession) {
       * bag-field path (`li.l_quantity` → array of that field's values). */
     def bagOf(name: String): Column =
       nested.getOrElse(name,
-        if (name.contains('.')) {
+        if (name.startsWith("$") && !name.contains('.'))
+          col(df.columns(name.drop(1).toInt)) // $1 = the bag positionally
+        else if (name.contains('.')) {
           val parts = name.split('.')
           val base = nested.getOrElse(parts.head,
-            col(resolve(parts.head, df)))
+            if (parts.head.startsWith("$"))
+              col(df.columns(parts.head.drop(1).toInt))
+            else col(resolve(parts.head, df)))
           parts.tail.foldLeft(base)((c, f) => c.getField(f))
         } else col(resolve(name, df)))
     def elemSchema(name: String): StructType =
@@ -743,14 +791,51 @@ final class PigRunner(spark: SparkSession) {
           val st = elemSchema(src)
           filter(bagOf(src), t => compileLambda(cond, t, st))
         case InnerOrder(src, keys) =>
-          val st = elemSchema(src)
-          array_sort(bagOf(src), (l, p) =>
-            keys.foldRight(lit(0)) { case ((e, asc), acc) =>
-              val lf = compileLambda(e, l, st)
-              val rf = compileLambda(e, p, st)
-              val (a, b) = if (asc) (-1, 1) else (1, -1)
-              when(lf < rf, a).when(lf > rf, b).otherwise(acc)
-            })
+          typeOf(bagOf(src), df) match {
+            case ArrayType(_: StructType, _) =>
+              val st = elemSchema(src)
+              array_sort(bagOf(src), (l, p) =>
+                keys.foldRight(lit(0)) { case ((e, asc), acc) =>
+                  val lf = compileLambda(e, l, st)
+                  val rf = compileLambda(e, p, st)
+                  val (a, b) = if (asc) (-1, 1) else (1, -1)
+                  when(lf < rf, a).when(lf > rf, b).otherwise(acc)
+                })
+            case ArrayType(_, _) =>
+              // plain-value bag (a projected field): ORDER BY $0 sorts
+              // the values themselves
+              if (keys.headOption.forall(_._2)) sort_array(bagOf(src))
+              else reverse(sort_array(bagOf(src)))
+            case other => throw new IllegalArgumentException(
+              s"nested ORDER over non-bag $src: $other")
+          }
+        case InnerExpr(e) =>
+          // per-row let binding; nested aliases resolve through the
+          // block's bindings (a bag-projection let yields an array col)
+          def cn(x: Expr): Column = x match {
+            case ColRef(n) if nested.contains(n) => nested(n)
+            case Deref(ColRef(n), f) if nested.contains(n) =>
+              nested(n).getField(f)
+            case FuncCall(fn, as) => callFunction(fn, as, df, nested)
+            case BinOp(op2, l, p) =>
+              val (ca, cb) = (cn(l), cn(p))
+              op2 match {
+                case "+" => ca + cb; case "-" => ca - cb
+                case "*" => ca * cb; case "/" => ca / cb
+                case "%" => ca % cb
+                case "==" => ca === cb; case "!=" => ca =!= cb
+                case "<" => ca < cb; case "<=" => ca <= cb
+                case ">" => ca > cb; case ">=" => ca >= cb
+                case "and" => ca && cb; case "or" => ca || cb
+              }
+            case Neg(v) => -cn(v)
+            case Not(v) => !cn(v)
+            case BinCond(c2, t2, f2) =>
+              when(cn(c2), cn(t2)).otherwise(cn(f2))
+            case CastExpr(t2, v) => cn(v).cast(pigType(t2))
+            case other => compile(other, df)
+          }
+          cn(e)
         case InnerLimit(src, n)   => slice(bagOf(src), 1, n.toInt)
         case InnerLimitExpr(src, e) =>
           // per-GROUP scalar (e.g. COUNT(o) * 0.1 → top-10% of each
@@ -814,6 +899,7 @@ final class PigRunner(spark: SparkSession) {
     case Lit(v)    => lit(v)
     case ColRef(n) => t.getField(n.split("::").last)
     case PosRef(i) => t.getField(st.fieldNames(i))
+    case Star      => t // ORDER bag BY * compares whole tuples
     case Deref(b, f)     => compileLambda(b, t, st).getField(f)
     case MapLookup(m, k) => compileLambda(m, t, st).getItem(k)
     case Neg(x) => -compileLambda(x, t, st)
@@ -877,7 +963,7 @@ final class PigRunner(spark: SparkSession) {
         callFunction(fn, args, df, nested)
       case other => compile(other, df)
     }
-    var flattens = Seq.empty[(String, Option[String], Seq[String])] // tmp -> alias(es)
+    var flattens = Seq.empty[(String, Option[String], Seq[String], Option[String])] // tmp -> alias(es), qualifier
     val cols = gens.zipWithIndex.flatMap {
       case (GenItem(Star, _, _), _) => df.columns.toSeq.map(col)
       // column range a..b expands positionally over the input schema
@@ -898,7 +984,11 @@ final class PigRunner(spark: SparkSession) {
         names.slice(from, until + 1).toSeq.map(col)
       case (GenItem(FlattenExpr(e), alias, aliases), i) =>
         val tmp = s"__fl_$i"
-        flattens :+= ((tmp, alias, aliases))
+        // the source alias qualifies colliding expanded fields
+        // (FLATTEN(c), FLATTEN(d) with same-named fields → c::name,
+        // d::name — LogicalSchema.mergeSchemasByAlias)
+        val qual = e match { case ColRef(n) => Some(n); case _ => None }
+        flattens :+= ((tmp, alias, aliases, qual))
         Seq(comp(e).as(tmp))
       case (GenItem(e, alias, _), i) =>
         Seq(comp(e).as(alias.getOrElse(autoName(e, i, df))))
@@ -909,18 +999,33 @@ final class PigRunner(spark: SparkSession) {
                   to: Seq[String]): Relation =
       Relation(from.zip(to).foldLeft(rel.df) { case (d, (f, t)) =>
         d.withColumnRenamed(f, t) }, r.name)
-    flattens.foreach { case (tmp, alias, aliases) =>
+    flattens.foreach { case (tmp, alias, aliases, qual) =>
       val dt = out.df.schema(tmp).dataType
       out = dt match {
         case ArrayType(st: StructType, _) =>
-          val flat = out.flatten(tmp)
+          // fields that would collide with existing output columns get
+          // the source alias as qualifier (c::name → c__name), exactly
+          // when Pig would force the qualified form. Renamed BEFORE the
+          // expansion via a positional struct cast (free in codegen) so
+          // the expanded select never carries duplicates.
+          val existing = out.df.columns.filterNot(_ == tmp).toSet
+          val deconflicted = st.fieldNames.toSeq.map { f =>
+            if (existing(f) && qual.isDefined) s"${qual.get}__$f" else f }
+          val pre =
+            if (deconflicted != st.fieldNames.toSeq) {
+              val newSt = StructType(st.fields.zip(deconflicted).map {
+                case (fld, nm) => fld.copy(name = nm) })
+              Relation(out.df.withColumn(tmp,
+                col(tmp).cast(ArrayType(newSt))), r.name)
+            } else out
+          val flat = pre.flatten(tmp)
           // FLATTEN(bag-of-1-field-tuples) AS name → rename the single
           // expanded field (canonical wordcount: FLATTEN(TOKENIZE(x)) AS w)
           alias match {
             case Some(a) if st.size == 1 =>
-              Relation(flat.df.withColumnRenamed(st.fieldNames.head, a), r.name)
+              Relation(flat.df.withColumnRenamed(deconflicted.head, a), r.name)
             case _ if aliases.size == st.size =>
-              renameAll(flat, st.fieldNames.toSeq, aliases)
+              renameAll(flat, deconflicted, aliases)
             case _ => flat
           }
         case ArrayType(_, _) =>
@@ -948,6 +1053,9 @@ final class PigRunner(spark: SparkSession) {
     case ColRef(n) =>
       scala.util.Try(resolve(n, df)).getOrElse(n.split("::").last)
     case Deref(_, f) => f
+    // $n keeps the underlying column's name (Pig: positional projection
+    // preserves the field's alias)
+    case PosRef(p) if p < df.columns.length => df.columns(p)
     case _           => s"c$i"
   }
 
@@ -957,7 +1065,8 @@ final class PigRunner(spark: SparkSession) {
     val df0 = using match {
       case Some(("PigStorage", args)) =>
         val raw = spark.read
-          .option("sep", args.headOption.getOrElse("\t")).csv(path)
+          .option("sep", args.headOption.getOrElse("\t"))
+          .csv(splitPaths(path): _*)
         // a .pig_schema sidecar (JsonMetadata) applies names+types when
         // no AS clause does — AS always wins (applied below over df0)
         if (schema.isEmpty)
@@ -1018,7 +1127,20 @@ final class PigRunner(spark: SparkSession) {
             regexp_extract(col("value"), s"(?s).*?(<$tag[\\s/>].*)", 1),
             lit(s"</$tag>")).as("document"))
           .filter(length(col("document")) > s"</$tag>".length + 1)
-      case _ => Relation.fixNanoTimestamps(spark.read.parquet(path))
+      // BinStorage is Pig's internal interchange format; parquet is this
+      // engine's — intermediate store/load-back round-trips type-safely
+      case Some(("BinStorage", _)) => spark.read.parquet(path)
+      // no USING: .parquet paths read parquet (the graft testdata
+      // convention); anything else gets the REFERENCE's default loader,
+      // PigStorage('\t') — tab-separated text (PigStorage.java)
+      case None if path.contains(".parquet") =>
+        Relation.fixNanoTimestamps(spark.read.parquet(path))
+      case None =>
+        spark.read.option("sep", "\t").csv(splitPaths(path): _*)
+      case Some((other, _)) => throw new IllegalArgumentException(
+        s"unknown loader $other (PigStorage, TextLoader, JsonLoader, " +
+        "OrcStorage, AvroStorage, FixedWidthLoader, MyRegExLoader, " +
+        "SequenceFileLoader, CSVExcelStorage, XMLLoader)")
     }
     val df = schema match {
       case Some(fs) if using.exists(u => Set("PigStorage", "CSVExcelStorage",
@@ -1114,7 +1236,10 @@ final class PigRunner(spark: SparkSession) {
     case Lit(null) => lit(null)
     case Lit(v)    => lit(v)
     case ColRef(n) => col(resolve(n, df))
-    case PosRef(i) => col(df.columns(i))
+    case PosRef(i) =>
+      // a positional ref past the schema is null, never an error
+      // (Pig: absent fields are null — same rule as short rows)
+      if (i < df.columns.length) col(df.columns(i)) else lit(null)
     case Deref(b, f) if f.startsWith("$") =>
       // positional deref t.$n: resolve the field name from the schema
       val base = compile(b, df)

@@ -154,7 +154,10 @@ object PigParser {
       val stmts = ArrayBuffer.empty[Stmt]
       while (cur != EOF) {
         stmts += statement()
-        expectSym(";")
+        // ';' is optional after a nested-block close brace (the
+        // reference grammar treats `}` as a terminator there)
+        if (!eatSym(";") && toks(pos - 1) != Sym("}"))
+          expectSym(";")
       }
       stmts.toSeq
     }
@@ -273,7 +276,9 @@ object PigParser {
                 val srcs = ArrayBuffer(dottedName())
                 while (eatSym(",")) srcs += dottedName()
                 InnerCross(srcs.toSeq)
-              case t => fail(s"unsupported nested operator: $t")
+              // expression let: `x = age + gpa;` / `x = cf.gpa;` — a
+              // per-row (or per-bag-projection) binding, not an operator
+              case _ => InnerExpr(expr())
             }
             inner += ((a, op))
             expectSym(";")
@@ -418,8 +423,13 @@ object PigParser {
     /** A possibly-dotted name (`bag.field`, partitioner class) — the '.'
       * segments lex as separate tokens. */
     def dottedName(): String = {
-      val sb = new StringBuilder(ident())
-      while (atSym(".")) { advance(); sb.append('.').append(ident()) }
+      // segments may be positional ($1 names the bag on a grouped frame)
+      def seg(): String = cur match {
+        case Sym(s) if s.startsWith("$") => advance(); s
+        case _ => ident()
+      }
+      val sb = new StringBuilder(seg())
+      while (atSym(".")) { advance(); sb.append('.').append(seg()) }
       sb.toString
     }
 

@@ -37,7 +37,9 @@ object PigPreprocessor {
     val funcDefines = mutable.Map[String, (String, String)]() // alias → (func, ctorArgs)
     val out = new StringBuilder
 
-    var rest = script
+    // `set key value` is line-terminated in the reference's scripts
+    // (GruntParser reads it as a shell-style command) — normalize to ';'
+    var rest = script.replaceAll("(?im)^(\\s*set\\s+[^;\\r\\n]+?)\\s*$", "$1;")
     while (rest.nonEmpty) {
       val trimmed = rest.dropWhile(_.isWhitespace)
       val skipped = rest.length - trimmed.length

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.util.Random
+
+/** Runs the REFERENCE'S OWN e2e test scripts (test/e2e/pig/tests/
+  * nightly.conf) through the frontend, verbatim except for the
+  * `:INPATH:`/`:OUTPATH:` placeholders the reference's harness also
+  * substitutes. Input fixtures regenerate the reference's tables
+  * (generate_data.pl shapes: studenttab = name/age/gpa TSV, votertab =
+  * name/age/registration/contributions, null variants with empty
+  * fields, colon-separated variant) with a fixed seed. The pass bar is
+  * the frontend's: every selected script parses, compiles, and its
+  * STORE materializes — results are oracle-checked elsewhere (the
+  * 77-query differential gate); this suite proves script-level
+  * compatibility against the reference's actual test corpus. */
+class E2eSpec extends SparkSpec {
+
+  private val confPath = "/root/reference/test/e2e/pig/tests/nightly.conf"
+
+  // ------------------------------------------------------------ fixtures
+  private lazy val fixtures: String = {
+    val base = Files.createTempDirectory("pig_e2e").toString
+    val rnd = new Random(31415)
+    val first = Seq("alice", "bob", "calvin", "david", "ethan", "fred",
+      "gabriella", "holly", "irene", "jessica", "katie", "luke", "mike",
+      "nick", "oscar", "priscilla", "quinn", "rachel", "sarah", "tom",
+      "ulysses", "victor", "wendy", "xavier", "yuri", "zach")
+    val last = Seq("allen", "brown", "carson", "davidson", "ellison",
+      "falkner", "garcia", "hernandez", "ichabod", "johnson", "king",
+      "laertes", "miller", "nixon", "ovid", "polk", "quirinius",
+      "robinson", "steinbeck", "thompson", "underhill", "van buren",
+      "white", "xylophone", "young", "zipper")
+    val parties = Seq("democrat", "green", "independent", "libertarian",
+      "republican", "socialist")
+    def name() = s"${first(rnd.nextInt(26))} ${last(rnd.nextInt(26))}"
+    def age() = 18 + rnd.nextInt(60)
+    def gpa() = f"${rnd.nextDouble() * 4.0}%.2f"
+    def contrib() = f"${rnd.nextDouble() * 1000}%.2f"
+    def write(rel: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(base, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val n = 1000
+    def student(sep: String, nulls: Boolean) = (0 until n).map { _ =>
+      def maybe(s: String) = if (nulls && rnd.nextInt(20) == 0) "" else s
+      Seq(maybe(name()), maybe(age().toString), maybe(gpa()))
+        .mkString(sep)
+    }
+    def voter(nulls: Boolean) = (0 until n).map { _ =>
+      def maybe(s: String) = if (nulls && rnd.nextInt(20) == 0) "" else s
+      Seq(maybe(name()), maybe(age().toString),
+        maybe(parties(rnd.nextInt(parties.size))), maybe(contrib()))
+        .mkString("\t")
+    }
+    write("singlefile/studenttab10k", student("\t", nulls = false))
+    write("singlefile/studentnulltab10k", student("\t", nulls = true))
+    write("singlefile/studentcolon10k", student(":", nulls = false))
+    write("singlefile/votertab10k", voter(nulls = false))
+    write("singlefile/voternulltab10k", voter(nulls = true))
+    write("dir/studenttab10k/part-00000", student("\t", nulls = false))
+    write("glob/star/file1good", student("\t", nulls = false))
+    write("glob/star/file2good", student("\t", nulls = false))
+    base
+  }
+
+  // ------------------------------------------------------ conf extraction
+  /** (group, num, script) triples for scripts this engine should run:
+    * no UDF jars, scripting engines, or streaming; only fixtures that
+    * exist here. */
+  private lazy val scripts: Seq[(String, Int, String)] = {
+    val conf = new String(Files.readAllBytes(Paths.get(confPath)), "UTF-8")
+    val groupRe = """(?s)\{\s*\n\s*'name' => '([^']+)',(.*?)(?=\{\s*\n\s*'name' => '|\z)""".r
+    val testRe = """(?s)'num' => (\d+)[^']*?'pig' => q\\(.*?)\\""".r
+    val unsupported = ("""(?is)register|org\.apache\.pig\.test|:FUNCPATH:""" +
+      """|:SCRIPTHOMEPATH:|\bstream\b|\bdefine\b|illustrate|:HADOOPHOME:""" +
+      """|mapred|\bsplit\b|\bdump\b""").r
+    val missingFixture = ("""studentcomplextab10k|studentctrla10k""" +
+      """|allscalar10k|names\.txt|prerank|reg1459894|textdoc|unicode100""" +
+      """|numbers\.txt|studenttab20m|:OUTPATH:\.1""").r
+    val runGroups = Set("Checkin", "LoaderPigStorageArg", "Order", "Union",
+      "Distinct", "Join", "Cross", "Foreach", "FilterBoolean", "FilterEq",
+      "FilterMatches", "GroupAggFunc", "Arithmetic", "CoGroupFlatten",
+      "Scalar", "MissingColumns", "Glob", "LoaderDefaultDir")
+    groupRe.findAllMatchIn(conf).flatMap { g =>
+      val name = g.group(1)
+      if (!runGroups(name)) Seq.empty
+      else testRe.findAllMatchIn(g.group(2)).map { t =>
+        (name, t.group(1).toInt, t.group(2))
+      }.filter { case (_, _, s) =>
+        unsupported.findFirstIn(s).isEmpty &&
+          missingFixture.findFirstIn(s).isEmpty
+      }
+    }.toSeq
+  }
+
+  test("reference nightly.conf scripts run end-to-end (frontend parity)") {
+    assert(scripts.size >= 100,
+      s"expected a substantive corpus, selected ${scripts.size}")
+    val outBase = Files.createTempDirectory("pig_e2e_out").toString
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    var stored = 0
+    scripts.foreach { case (group, num, raw) =>
+      val out = s"$outBase/${group}_$num"
+      val script = raw
+        .replace(":INPATH:", fixtures)
+        .replace(":OUTPATH:", out)
+      try {
+        graft.frontend.PigRunner(spark).run(script)
+        if (script.toLowerCase.contains("store ")) {
+          assert(Files.exists(Paths.get(out)),
+            s"$group/$num stored nothing")
+          stored += 1
+        }
+      } catch {
+        case e: Throwable =>
+          failures += s"$group/$num: ${String.valueOf(e.getMessage).take(100)}"
+      }
+      GraftSession.unpersistAll()
+    }
+    val rate = (scripts.size - failures.size).toDouble / scripts.size
+    info(f"nightly.conf: ${scripts.size - failures.size}/${scripts.size} " +
+      f"scripts pass (${rate * 100}%.0f%%), $stored stores materialized")
+    assert(failures.isEmpty,
+      s"${failures.size}/${scripts.size} failed:\n${failures.mkString("\n")}")
+  }
+}

@@ -162,7 +162,9 @@ final class PigRunner(spark: SparkSession) {
     case GroupOp(inputs, false, _) => // COGROUP n-ary
       val grouped = inputs.map { case GroupInput(in, keys, _) =>
         val r = env(in)
-        r.df.groupBy(groupKey(keys, r.df).as("group"))
+        // `COGROUP a ALL, b ALL` keys every input constant: one group
+        val key = if (keys.isEmpty) lit("all") else groupKey(keys, r.df)
+        r.df.groupBy(key.as("group"))
           .agg(collect_list(struct(r.df.columns.map(col).toIndexedSeq: _*))
             .as(in))
       }
@@ -464,7 +466,10 @@ final class PigRunner(spark: SparkSession) {
   private def resolveScalars(e: Expr, df: DataFrame): Expr = {
     def rw(x: Expr): Expr = x match {
       case Deref(ColRef(n), f) if env.contains(n) && !df.columns.contains(n) =>
-        val rows = env(n).df.select(col(f)).limit(2).collect()
+        // positional scalar read: other_alias.$1
+        val c = if (f.startsWith("$")) col(env(n).df.columns(f.drop(1).toInt))
+                else col(f)
+        val rows = env(n).df.select(c).limit(2).collect()
         require(rows.length <= 1,
           s"scalar $n.$f: relation has more than one row " +
           "(reference: ReadScalars errors only for >1; empty → null)")
@@ -517,7 +522,8 @@ final class PigRunner(spark: SparkSession) {
     using match {
       case Some(("PigStorage", args)) =>
         df.write.mode("overwrite")
-          .option("sep", args.headOption.getOrElse("\t")).csv(path)
+          .option("sep", args.headOption.filter(_.nonEmpty).getOrElse("\t"))
+          .csv(path)
         // PigStorage('sep', '-schema') writes the .pig_schema sidecar
         // (PigStorage.java:99) so a schemaless re-LOAD recovers types
         if (args.exists(_.contains("-schema")))
@@ -1056,6 +1062,8 @@ final class PigRunner(spark: SparkSession) {
     // $n keeps the underlying column's name (Pig: positional projection
     // preserves the field's alias)
     case PosRef(p) if p < df.columns.length => df.columns(p)
+    // a cast preserves the field's alias ((boolean)instate → instate)
+    case CastExpr(_, inner) => autoName(inner, i, df)
     case _           => s"c$i"
   }
 
@@ -1064,8 +1072,9 @@ final class PigRunner(spark: SparkSession) {
                    schema: Option[Seq[FieldSchema]]): Relation = {
     val df0 = using match {
       case Some(("PigStorage", args)) =>
+        // PigStorage() no-arg form arrives as one empty-string arg
         val raw = spark.read
-          .option("sep", args.headOption.getOrElse("\t"))
+          .option("sep", args.headOption.filter(_.nonEmpty).getOrElse("\t"))
           .csv(splitPaths(path): _*)
         // a .pig_schema sidecar (JsonMetadata) applies names+types when
         // no AS clause does — AS always wins (applied below over df0)
@@ -1145,7 +1154,8 @@ final class PigRunner(spark: SparkSession) {
     val df = schema match {
       case Some(fs) if using.exists(u => Set("PigStorage", "CSVExcelStorage",
                                          "FixedWidthLoader", "MyRegExLoader",
-                                         "RegExLoader", "SequenceFileLoader")
+                                         "RegExLoader", "SequenceFileLoader",
+                                         "TextLoader")
                                          .contains(u._1)) ||
                        (using.isEmpty && !path.endsWith(".parquet")) =>
         // positional rename + LoadCaster casts (§1.4: failure → null);

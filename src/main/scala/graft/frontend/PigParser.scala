@@ -310,8 +310,17 @@ object PigParser {
         def innerFlag(): Boolean =
           if (eatKw("INNER")) true else { eatKw("OUTER"); false }
         val in0 = ident()
-        if (eatKw("ALL")) GroupOp(Seq(GroupInput(in0, Seq.empty,
-          inner = false)), all = true)
+        if (eatKw("ALL") && !atSym(",")) GroupOp(Seq(GroupInput(in0,
+          Seq.empty, inner = false)), all = true)
+        else if (toks(pos - 1) == Kw("ALL")) {
+          // n-ary `COGROUP a ALL, b ALL` — every input keyed constant
+          val inputs = ArrayBuffer(GroupInput(in0, Seq.empty, inner = false))
+          while (eatSym(",")) {
+            val in2 = ident(); expectKw("ALL")
+            inputs += GroupInput(in2, Seq.empty, inner = false)
+          }
+          GroupOp(inputs.toSeq, all = false, None)
+        }
         else {
           expectKw("BY")
           val inputs = ArrayBuffer(GroupInput(in0, exprList(), innerFlag()))
@@ -688,18 +697,28 @@ object PigParser {
         if (!atSym("}")) { es += expr(); while (eatSym(",")) es += expr() }
         expectSym("}")
         FuncCall("TOBAG", es.toSeq)
-      // map constant ['k'#v, …] → TOMAP(k, v, …)
+      // map constant ['k'#v, …] → TOMAP(k, v, …); the sugar form
+      // [name, age] takes each column's NAME as its key
       case Sym("[") =>
         advance()
         val kvs = ArrayBuffer.empty[Expr]
         if (!atSym("]")) {
-          def entry(): Unit = {
-            val k = cur match {
-              case StrLit(s) => advance(); Lit(s)
-              case Ident(s)  => advance(); Lit(s)
-              case t => fail(s"expected map key literal, found $t")
-            }
-            expectSym("#"); kvs += k; kvs += expr()
+          def entry(): Unit = (cur, toks(pos + 1)) match {
+            // explicit key: 'k'#v (lookahead — expr() would otherwise
+            // parse the '#' as a map lookup)
+            case (StrLit(s), Sym("#")) =>
+              advance(); advance(); kvs += Lit(s); kvs += expr()
+            case (Ident(s), Sym("#")) =>
+              advance(); advance(); kvs += Lit(s); kvs += expr()
+            case _ =>
+              val e = expr()
+              val k = e match {
+                case ColRef(nm)  => nm.split("::").last
+                case Deref(_, f) => f
+                case other =>
+                  fail(s"map sugar needs a column ref, found $other")
+              }
+              kvs += Lit(k); kvs += e
           }
           entry(); while (eatSym(",")) entry()
         }

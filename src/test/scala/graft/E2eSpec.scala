@@ -62,6 +62,23 @@ class E2eSpec extends SparkSpec {
     write("dir/studenttab10k/part-00000", student("\t", nulls = false))
     write("glob/star/file1good", student("\t", nulls = false))
     write("glob/star/file2good", student("\t", nulls = false))
+    // allscalar: name, age, gpa, instate boolean, ~5% nulls each
+    write("singlefile/allscalar10k", (0 until n).map { _ =>
+      def maybe(s: String) = if (rnd.nextInt(20) == 0) "" else s
+      Seq(maybe(name()), maybe(age().toString), maybe(gpa()),
+        maybe(if (rnd.nextBoolean()) "true" else "false")).mkString("\t")
+    })
+    // reg1459894: numletter + greek-letter pair
+    val numLetter = Seq("1", "09", "09a")
+    val greek = Seq("alpha", "beta", "gamma", "delta")
+    write("singlefile/reg1459894", (0 until n).map { _ =>
+      s"${numLetter(rnd.nextInt(3))}\t${greek(rnd.nextInt(4))}" })
+    // textdoc: free-text lines for wordcount-ish scripts
+    write("singlefile/textdoc", Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "now is the time for all good men to come",
+      "to the aid of their country",
+      "she sells sea shells by the sea shore"))
     base
   }
 
@@ -77,12 +94,16 @@ class E2eSpec extends SparkSpec {
       """|:SCRIPTHOMEPATH:|\bstream\b|\bdefine\b|illustrate|:HADOOPHOME:""" +
       """|mapred|\bsplit\b|\bdump\b""").r
     val missingFixture = ("""studentcomplextab10k|studentctrla10k""" +
-      """|allscalar10k|names\.txt|prerank|reg1459894|textdoc|unicode100""" +
+      """|names\.txt|prerank|unicode100""" +
       """|numbers\.txt|studenttab20m|:OUTPATH:\.1""").r
     val runGroups = Set("Checkin", "LoaderPigStorageArg", "Order", "Union",
       "Distinct", "Join", "Cross", "Foreach", "FilterBoolean", "FilterEq",
       "FilterMatches", "GroupAggFunc", "Arithmetic", "CoGroupFlatten",
-      "Scalar", "MissingColumns", "Glob", "LoaderDefaultDir")
+      "Scalar", "MissingColumns", "Glob", "LoaderDefaultDir",
+      "Types_Constants", "Types_Cast", "Types_ArithmeticCast",
+      "Types_Filter", "Types_Order", "Casts", "SkewedJoin", "Partitioner",
+      "ToStuffSyntaxSugar", "MergeOperator", "Regression", "Parameters",
+      "Lineage")
     groupRe.findAllMatchIn(conf).flatMap { g =>
       val name = g.group(1)
       if (!runGroups(name)) Seq.empty

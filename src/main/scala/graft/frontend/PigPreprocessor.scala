@@ -130,7 +130,31 @@ object PigPreprocessor {
     }
     s.length
   }
-  private def defineEnd(s: String): Int = statementEnd(s)
+  /** A macro DEFINE ends at its matching close brace — the trailing ';'
+    * is OPTIONAL in the reference's own scripts; non-macro DEFINEs end
+    * at the first top-level ';'. */
+  private def defineEnd(s: String): Int = {
+    var depth = 0; var i = 0; var inStr = false; var sawBrace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '{' => depth += 1; sawBrace = true
+        case '}' =>
+          depth -= 1
+          if (sawBrace && depth == 0) {
+            var j = i + 1
+            while (j < s.length && s.charAt(j).isWhitespace) j += 1
+            return if (j < s.length && s.charAt(j) == ';') j else i + 1
+          }
+        case ';' if depth == 0 => return i
+        case _ =>
+      }
+      i += 1
+    }
+    s.length
+  }
 
   private sealed trait Define
   private case class MacroDef(name: String, m: Macro) extends Define
@@ -175,7 +199,14 @@ object PigPreprocessor {
     substituted match {
       case call(ret, name, argStr) if macros.contains(name) =>
         val mac = macros(name)
-        val args = argStr.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        // quoted macro arguments substitute WITHOUT their quotes
+        // (reference macro expansion: test('name') → $param = name)
+        val args = argStr.split(",").map(_.trim).filter(_.nonEmpty)
+          .map { a =>
+            if (a.length >= 2 && a.head == '\'' && a.last == '\'')
+              a.substring(1, a.length - 1)
+            else a
+          }.toSeq
         require(args.length == mac.params.length,
           s"macro $name expects ${mac.params.length} args, got ${args.length}")
         val bindings = mac.params.zip(args).toMap + (mac.returns -> ret)

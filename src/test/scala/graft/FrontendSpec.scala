@@ -232,7 +232,7 @@ class FrontendSpec extends SparkSpec {
   test("macros: DEFINE ... RETURNS expands textually (PigMacro design)") {
     val out = PigRunner(spark).run(s"""
       DEFINE by_status(rel, st) RETURNS filtered {
-        $$filtered = FILTER $$rel BY o_orderstatus == $$st;
+        $$filtered = FILTER $$rel BY o_orderstatus == '$$st';
       };
       o  = LOAD '$dir/orders.parquet';
       fo = by_status(o, 'F');

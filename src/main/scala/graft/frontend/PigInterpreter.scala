@@ -499,6 +499,18 @@ final class PigRunner(spark: SparkSession) {
     }: _*)
   }
 
+  /** LoadCaster cast for a text-loaded column (Utf8StorageConverter):
+    * complex declared types parse the Pig literal syntax; long/float
+    * accept the 5L / 3.2f literal suffixes; everything else is the
+    * plain null-on-failure cast. */
+  private def loadCast(c: Column, dt: DataType): Column = dt match {
+    case _: StructType | _: ArrayType | _: MapType =>
+      graft.functions.PigTextParse.column(c, dt)
+    case LongType | FloatType =>
+      regexp_replace(c, "[lLfF]$", "").cast(dt)
+    case _ => c.cast(dt)
+  }
+
   /** Pig LOAD locations: comma-separated path list, and `[!x]` glob
     * negation translated to Hadoop's `[^x]` dialect. */
   private def splitPaths(path: String): Seq[String] = {
@@ -1164,7 +1176,7 @@ final class PigRunner(spark: SparkSession) {
         val casts = fs.zipWithIndex.map { case (f, i) =>
           val src = if (i < df0.columns.length) col(df0.columns(i))
                     else lit(null)
-          src.cast(pigType(f.typeName)).as(f.name)
+          loadCast(src, pigType(f.typeName)).as(f.name)
         }
         df0.select(casts: _*)
       case Some(fs) => // column-name-based (parquet/orc): project + cast
@@ -1387,8 +1399,10 @@ final class PigRunner(spark: SparkSession) {
       // SIZE is type-dispatched in the reference (SIZE/StringSize/
       // ConstantSize/TupleSize/MapSize): bag/map → entry count, string/
       // bytearray → length, tuple → arity, fixed-size scalar → 1
+      // SIZE(null) is NULL (Pig); size() would give -1 under ansi=off
       case "SIZE" => typeOf(c0, df) match {
-        case _: ArrayType | _: MapType => size(c0).cast(LongType)
+        case _: ArrayType | _: MapType =>
+          when(c0.isNotNull, size(c0).cast(LongType))
         case _: StringType | _: BinaryType => length(c0).cast(LongType)
         case st: StructType => when(c0.isNotNull, lit(st.size.toLong))
         case _ => when(c0.isNotNull, lit(1L))
@@ -1436,15 +1450,44 @@ final class PigRunner(spark: SparkSession) {
       case "TOTUPLE" => struct(args.map(comp): _*)
       case "TOBAG" =>
         // reference TOBAG.java: tuple inputs join the bag AS-IS; scalars
-        // are wrapped in a 1-field tuple ({(1,2),(3,4)} bag constants
-        // desugar to TOBAG of TOTUPLEs)
+        // are wrapped in a 1-field tuple. Pig bags hold HETEROGENEOUS
+        // tuples (different arity/types → bag schema null); Spark arrays
+        // cannot, so tuples conform to the max arity — shorter tuples
+        // null-pad, each position unifies to its common type (string
+        // when mixed), names from the first tuple
         val cs = args.map(comp)
-        array(cs.map(c => typeOf(c, df) match {
-          case _: StructType => c
-          case _ => struct(c.as("t0"))
-        }): _*)
+        val types = cs.map(typeOf(_, df))
+        val structs = types.collect { case st: StructType => st }
+        if (structs.isEmpty) array(cs.map(c => struct(c.as("t0"))): _*)
+        else {
+          val maxN = structs.map(_.size).max
+          val fieldTypes = (0 until maxN).map { i =>
+            val ts = structs.filter(_.size > i)
+              .map(_.fields(i).dataType).distinct
+            if (ts.size == 1) ts.head else StringType
+          }
+          val names = (0 until maxN).map { i =>
+            if (i < structs.head.size) structs.head.fieldNames(i)
+            else s"t$i" }
+          def conform(get: Int => Option[Column]): Column =
+            struct((0 until maxN).map { i =>
+              get(i).map(_.cast(fieldTypes(i)))
+                .getOrElse(lit(null).cast(fieldTypes(i))).as(names(i))
+            }: _*)
+          array(cs.zip(types).map {
+            case (c, st: StructType) =>
+              conform(i => if (i < st.size)
+                Some(c.getField(st.fieldNames(i))) else None)
+            case (c, _) =>
+              conform(i => if (i == 0) Some(c) else None)
+          }: _*)
+        }
+      case "BAGTOTUPLE" => Builtins.BagToTuple(c0)
       case "TOMAP" => Builtins.TOMAP(args.map(comp): _*)
-      case "BAGTOSTRING" => Builtins.BagToString(c0, asStr(args(1)))
+      case "BAGTOSTRING" =>
+        // default delimiter is '_' (BagToString.java:39)
+        Builtins.BagToString(c0,
+          if (args.size > 1) asStr(args(1)) else "_")
       case "KEYSET" => Builtins.KEYSET(c0)
       case "VALUELIST" => Builtins.VALUELIST(c0)
       case "VALUESET" => Builtins.VALUESET(c0)

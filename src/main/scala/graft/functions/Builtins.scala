@@ -99,7 +99,10 @@ object Builtins {
   // Collection / structural (reference: SIZE.java, IsEmpty.java:34,
   // TOBAG.java:87, TOMAP.java:38, BagToString.java:48, SUBTRACT.java,
   // KEYSET.java, PluckTuple.java:62).
-  def SIZE(c: Column): Column = size(c).cast(LongType)
+  /** SIZE(null) is NULL in Pig; Spark's size() returns -1 for null
+    * under ansi=off (legacy Hive rule) — guard explicitly. */
+  def SIZE(c: Column): Column =
+    when(c.isNotNull, size(c).cast(LongType))
   def IsEmpty(c: Column): Column = size(c) === 0
   def TOTUPLE(cs: Column*): Column = struct(cs: _*)
   def TOBAG(cs: Column*): Column = array(cs.map(c => struct(c.as("t0"))): _*)

@@ -79,6 +79,23 @@ class E2eSpec extends SparkSpec {
       "now is the time for all good men to come",
       "to the aid of their country",
       "she sells sea shells by the sea shore"))
+    // studentcomplextab: Pig literal map / tuple / bag text columns
+    write("singlefile/studentcomplextab10k", (0 until n).map { _ =>
+      def tup() = s"(${name()},${age()},${gpa()})"
+      val m = if (rnd.nextInt(20) == 0) ""
+              else s"[name#${name()},age#${age()}]"
+      val t = if (rnd.nextInt(20) == 0) "" else tup()
+      val b = if (rnd.nextInt(20) == 0) ""
+              else (0 to rnd.nextInt(2)).map(_ => tup()).mkString("{", ",", "}")
+      s"$m\t$t\t$b"
+    })
+    // types/numbers.txt: colon-separated with 5L / 3.2f literal suffixes
+    write("types/numbers.txt", (0 until n).map { idx =>
+      val r1000 = 1 + rnd.nextInt(1000)
+      val f = rnd.nextDouble() * 10
+      f"${(idx / 100 + 1) * 100}:$idx:${1 + rnd.nextInt(5)}:" +
+        f"${1 + rnd.nextInt(100)}:$r1000:${r1000}L:$f%.2ff:$f%.2f"
+    })
     base
   }
 
@@ -88,16 +105,16 @@ class E2eSpec extends SparkSpec {
     * exist here. */
   private lazy val scripts: Seq[(String, Int, String)] = {
     val groupRe = """(?s)\{\s*\n\s*'name' => '([^']+)',(.*?)(?=\{\s*\n\s*'name' => '|\z)""".r
-    val testRe = """(?s)'num' => (\d+)[^']*?'pig' => q\\(.*?)\\""".r
+    // scripts use q\...\ or q?...? quoting in the Perl conf
+    val testRe = """(?s)'num' => (\d+)[^']*?'pig' => q([\\?])(.*?)\2""".r
     // DEFINE is allowed only in its macro form (RETURNS one name);
     // UDF/command defines and multi-return macros stay out of scope
     val unsupported = ("""(?is)register|org\.apache\.pig\.test|:FUNCPATH:""" +
       """|:SCRIPTHOMEPATH:|\bstream\b|define\s+\w+\s+(?!.{0,200}returns)""" +
       """|returns\s+\w+\s*,|illustrate|:HADOOPHOME:""" +
       """|mapred|\bsplit\b|\bdump\b|:PARAMPATH:|\bsh\b""").r
-    val missingFixture = ("""studentcomplextab10k|studentctrla10k""" +
-      """|names\.txt|prerank|unicode100""" +
-      """|numbers\.txt|studenttab20m""").r
+    val missingFixture = ("""studentctrla10k""" +
+      """|names\.txt|prerank|unicode100|studenttab20m""").r
     val nightlyGroups = Set("Checkin", "LoaderPigStorageArg", "Order",
       "Union", "Distinct", "Join", "Cross", "Foreach", "FilterBoolean",
       "FilterEq", "FilterMatches", "GroupAggFunc", "Arithmetic",
@@ -105,7 +122,8 @@ class E2eSpec extends SparkSpec {
       "LoaderDefaultDir", "Types_Constants", "Types_Cast",
       "Types_ArithmeticCast", "Types_Filter", "Types_Order", "Casts",
       "SkewedJoin", "Partitioner", "ToStuffSyntaxSugar", "MergeOperator",
-      "Regression", "Parameters", "Lineage")
+      "Regression", "Parameters", "Lineage",
+      "udf_TOBAGandTOTUPLE", "BagToTuple", "BagToString")
     val corpora: Seq[(String, Option[Set[String]])] = Seq(
       confPath -> Some(nightlyGroups),
       "/root/reference/test/e2e/pig/tests/join.conf" -> None,
@@ -117,7 +135,7 @@ class E2eSpec extends SparkSpec {
         val name = g.group(1)
         if (only.exists(!_(name))) Seq.empty
         else testRe.findAllMatchIn(g.group(2)).map { t =>
-          (name, t.group(1).toInt, t.group(2))
+          (name, t.group(1).toInt, t.group(3))
         }.filter { case (_, _, s) =>
           unsupported.findFirstIn(s).isEmpty &&
             missingFixture.findFirstIn(s).isEmpty

@@ -15,6 +15,28 @@ class SourcesSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("src").toString
 
+  test("text load casts Pig complex literals (Utf8StorageConverter)") {
+    val d = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/c.txt"),
+      ("[name#alice allen,age#20]\t(bob,45,2.33)\t{(x,1,1.5),(y,2,2.5)}\n" +
+       "\t(carol,30,3.00)\t{(z,9,0.5)}\n" +
+       "[k#v]\tgarbage\t{broken").getBytes("UTF-8"))
+    val out = graft.frontend.PigRunner(spark).run(s"""
+      a = LOAD '$d/c.txt' USING PigStorage() AS (
+            m:[], t:(name:chararray, age:int, gpa:double),
+            b:{T:(name:chararray, age:int, gpa:double)});
+      p = FOREACH a GENERATE m#'age' AS ma, t.age AS ta, SIZE(b) AS n,
+            t.name AS tn;
+    """).apply("p").df.collect()
+    assert(out.length == 3)
+    assert(out(0).getString(0) == "20" && out(0).getInt(1) == 45 &&
+           out(0).getLong(2) == 2 && out(0).getString(3) == "bob")
+    assert(out(1).isNullAt(0) && out(1).getInt(1) == 30 &&
+           out(1).getLong(2) == 1)
+    // malformed tuple/bag text -> null (LoadCaster contract)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
   test("complex AS schema: bag/tuple/map types parse and type the load") {
     val d = tmp()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/x.json"),

@@ -89,6 +89,12 @@ class E2eSpec extends SparkSpec {
               else (0 to rnd.nextInt(2)).map(_ => tup()).mkString("{", ",", "}")
       s"$m\t$t\t$b"
     })
+    // unicode100: student rows with non-ASCII (greek-suffixed) names
+    val greekChars = "αβγδεζηθικλμ"
+    write("singlefile/unicode100", (0 until 100).map { _ =>
+      s"${first(rnd.nextInt(26))}${greekChars(rnd.nextInt(greekChars.length))}" +
+        s"\t${age()}\t${gpa()}"
+    })
     // types/numbers.txt: colon-separated with 5L / 3.2f literal suffixes
     write("types/numbers.txt", (0 until n).map { idx =>
       val r1000 = 1 + rnd.nextInt(1000)
@@ -114,7 +120,7 @@ class E2eSpec extends SparkSpec {
       """|returns\s+\w+\s*,|illustrate|:HADOOPHOME:""" +
       """|mapred|\bsplit\b|\bdump\b|:PARAMPATH:|\bsh\b""").r
     val missingFixture = ("""studentctrla10k""" +
-      """|names\.txt|prerank|unicode100|studenttab20m""").r
+      """|names\.txt|prerank|studenttab20m""").r
     val nightlyGroups = Set("Checkin", "LoaderPigStorageArg", "Order",
       "Union", "Distinct", "Join", "Cross", "Foreach", "FilterBoolean",
       "FilterEq", "FilterMatches", "GroupAggFunc", "Arithmetic",
@@ -123,7 +129,7 @@ class E2eSpec extends SparkSpec {
       "Types_ArithmeticCast", "Types_Filter", "Types_Order", "Casts",
       "SkewedJoin", "Partitioner", "ToStuffSyntaxSugar", "MergeOperator",
       "Regression", "Parameters", "Lineage",
-      "udf_TOBAGandTOTUPLE", "BagToTuple", "BagToString")
+      "udf_TOBAGandTOTUPLE", "BagToTuple", "BagToString", "Unicode")
     val corpora: Seq[(String, Option[Set[String]])] = Seq(
       confPath -> Some(nightlyGroups),
       "/root/reference/test/e2e/pig/tests/join.conf" -> None,

@@ -245,9 +245,11 @@ final class PigRunner(spark: SparkSession) {
       // fraction of COUNT read through a 1-row alias (ReadScalars)
       val r = env(in)
       val resolved = resolveScalars(e, spark.emptyDataFrame)
-      val n = spark.range(1).select(
-        compile(resolved, spark.range(1).toDF()).cast(LongType))
-        .head().getLong(0)
+      val row = spark.range(1).select(
+        compile(resolved, spark.range(1).toDF()).cast(LongType)).head()
+      require(!row.isNullAt(0),
+        "LIMIT expression evaluated to null (empty scalar relation?)")
+      val n = row.getLong(0)
       if (n >= Int.MaxValue) r else r.limit(n.toInt)
     case DistinctOp(in)  => env(in).distinct
     case UnionOp(ins, false) =>
@@ -271,10 +273,11 @@ final class PigRunner(spark: SparkSession) {
       // SAMPLE with a scalar expression — same ReadScalars evaluation as
       // LIMIT expr (e.g. a fraction computed from a 1-row alias)
       val resolved = resolveScalars(e, spark.emptyDataFrame)
-      val f = spark.range(1).select(
-        compile(resolved, spark.range(1).toDF()).cast(DoubleType))
-        .head().getDouble(0)
-      env(in).sample(f)
+      val row = spark.range(1).select(
+        compile(resolved, spark.range(1).toDF()).cast(DoubleType)).head()
+      require(!row.isNullAt(0),
+        "SAMPLE expression evaluated to null (empty scalar relation?)")
+      env(in).sample(row.getDouble(0))
 
     case CubeOp(in, kind, dims, clauses) =>
       val r = env(in)
@@ -497,6 +500,32 @@ final class PigRunner(spark: SparkSession) {
       case (ColRef(n), _) => col(resolve(n, df)).as(n)
       case (e, i)         => compile(e, df).as(s"k$i")
     }: _*)
+  }
+
+  /** True when a no-USING LOAD should read parquet: a `.parquet` path
+    * (testdata convention), or the first data file carries the PAR1
+    * magic — so `STORE x INTO 'p'` (parquet by default) round-trips
+    * through a bare `LOAD 'p'` instead of mis-reading binary as TSV. */
+  private def looksParquet(path: String): Boolean = {
+    if (path.contains(".parquet")) return true
+    try {
+      val p = new org.apache.hadoop.fs.Path(splitPaths(path).head)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return false
+      val first =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .find(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+            .orNull
+        else p
+      if (first == null) return false
+      val in = fs.open(first)
+      try {
+        val buf = new Array[Byte](4)
+        in.readFully(0, buf)
+        new String(buf, "US-ASCII") == "PAR1"
+      } finally in.close()
+    } catch { case _: Exception => false }
   }
 
   /** LoadCaster cast for a text-loaded column (Utf8StorageConverter):
@@ -918,6 +947,16 @@ final class PigRunner(spark: SparkSession) {
     case ColRef(n) => t.getField(n.split("::").last)
     case PosRef(i) => t.getField(st.fieldNames(i))
     case Star      => t // ORDER bag BY * compares whole tuples
+    // positional deref of a tuple FIELD: t.$n resolves against the
+    // field's own struct schema
+    case Deref(ColRef(n), f) if f.startsWith("$") =>
+      val fld = n.split("::").last
+      st(fld).dataType match {
+        case inner: StructType =>
+          t.getField(fld).getField(inner.fieldNames(f.drop(1).toInt))
+        case other => throw new IllegalArgumentException(
+          s"positional deref $f needs a tuple, got $other")
+      }
     case Deref(b, f)     => compileLambda(b, t, st).getField(f)
     case MapLookup(m, k) => compileLambda(m, t, st).getItem(k)
     case Neg(x) => -compileLambda(x, t, st)
@@ -1151,10 +1190,10 @@ final class PigRunner(spark: SparkSession) {
       // BinStorage is Pig's internal interchange format; parquet is this
       // engine's — intermediate store/load-back round-trips type-safely
       case Some(("BinStorage", _)) => spark.read.parquet(path)
-      // no USING: .parquet paths read parquet (the graft testdata
-      // convention); anything else gets the REFERENCE's default loader,
-      // PigStorage('\t') — tab-separated text (PigStorage.java)
-      case None if path.contains(".parquet") =>
+      // no USING: .parquet paths and parquet-magic files read parquet
+      // (so a default STORE round-trips); anything else gets the
+      // REFERENCE's default loader, PigStorage('\t') (PigStorage.java)
+      case None if looksParquet(path) =>
         Relation.fixNanoTimestamps(spark.read.parquet(path))
       case None =>
         spark.read.option("sep", "\t").csv(splitPaths(path): _*)
@@ -1169,7 +1208,7 @@ final class PigRunner(spark: SparkSession) {
                                          "RegExLoader", "SequenceFileLoader",
                                          "TextLoader")
                                          .contains(u._1)) ||
-                       (using.isEmpty && !path.endsWith(".parquet")) =>
+                       (using.isEmpty && !looksParquet(path)) =>
         // positional rename + LoadCaster casts (§1.4: failure → null);
         // a schema wider than the file null-pads the missing fields
         // (Pig: absent fields are null, never an error)
@@ -1290,13 +1329,14 @@ final class PigRunner(spark: SparkSession) {
         case "/" =>
           // int/int is JAVA division in the reference (Divide.java:72 —
           // truncation toward zero, int result); Spark's `/` is always
-          // double. `a - a%b` strips the remainder (dividend-sign % ==
-          // Java %), so the quotient is exact and truncates like Java;
-          // ÷0 still nulls under ansi=off.
-          if (integral(typeOf(a, df)) && integral(typeOf(b, df))) {
-            val q = (a - (a % b)) / b
-            if (typeOf(a, df) == LongType || typeOf(b, df) == LongType)
-              q.cast(LongType)
+          // double. IntegralDivide (`div`) is exact at any magnitude
+          // and truncates toward zero like Java; ÷0 nulls under
+          // ansi=off. Result narrows back to int when neither side is
+          // long (div always returns long).
+          val (ta, tb) = (typeOf(a, df), typeOf(b, df))
+          if (integral(ta) && integral(tb)) {
+            val q = call_function("div", a, b)
+            if (ta == LongType || tb == LongType) q
             else q.cast(IntegerType)
           } else a / b
         case "%" => a % b

@@ -38,7 +38,9 @@ object PigPreprocessor {
     val out = new StringBuilder
 
     // `set key value` is line-terminated in the reference's scripts
-    // (GruntParser reads it as a shell-style command) — normalize to ';'
+    // (GruntParser reads it as a shell-style command) — normalize to ';'.
+    // Known limitation: a multi-line string literal whose interior line
+    // starts with `set ` would also be rewritten (never seen in practice)
     var rest = script.replaceAll("(?im)^(\\s*set\\s+[^;\\r\\n]+?)\\s*$", "$1;")
     while (rest.nonEmpty) {
       val trimmed = rest.dropWhile(_.isWhitespace)
@@ -100,7 +102,11 @@ object PigPreprocessor {
           case CmdDef(name, c)        => cmdDefines(name) = c
           case FuncDef(name, f, args) => funcDefines(name) = (f, args)
         }
-        rest = rest.drop(e + 1)
+        // with a trailing ';' e points AT it (skip it); a brace-
+        // terminated DEFINE's e is already one past '}' — drop exactly
+        // e so the next statement's first character survives
+        rest = rest.drop(
+          if (e < rest.length && rest.charAt(e) == ';') e + 1 else e)
       } else {
         val e = statementEnd(rest)
         val stmt = rest.take(e)

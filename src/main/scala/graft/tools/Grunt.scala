@@ -39,9 +39,21 @@ object Grunt {
           catch { case e: Exception => System.err.println(s"ERROR: ${e.getMessage}") }
           buf.clear(); print("grunt> "); Console.flush()
         } else if (trimmed.toLowerCase.startsWith("fs ")) {
+          // fs -<cmd> args → the matching local command (the engine's
+          // filesystem IS the local one)
+          val parts = trimmed.split("\\s+").drop(1)
+          val shellCmd = parts.headOption.map(_.stripPrefix("-")) match {
+            case Some("ls")             => "ls -la"
+            case Some("cat")            => "cat"
+            case Some("rm" | "rmr")     => "rm -r"
+            case Some("mkdir")          => "mkdir -p"
+            case Some("cp")             => "cp -r"
+            case Some("mv")             => "mv"
+            case other => s"echo unsupported fs command: ${other.getOrElse("")} #"
+          }
           try println(scala.sys.process.Process(
-            Seq("/bin/sh", "-c", "ls -la " +
-              trimmed.split("\\s+").drop(2).mkString(" "))).!!)
+            Seq("/bin/sh", "-c", shellCmd + " " +
+              parts.drop(1).mkString(" "))).!!)
           catch { case e: Exception => System.err.println(s"ERROR: ${e.getMessage}") }
           buf.clear(); print("grunt> "); Console.flush()
         } else if (trimmed.toLowerCase.matches("(run|exec)\\s+.*")) {

@@ -15,6 +15,23 @@ class SourcesSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("src").toString
 
+  test("default STORE round-trips through a bare LOAD (parquet sniff)") {
+    val d = tmp()
+    graft.frontend.PigRunner(spark).run(s"""
+      n = LOAD '/root/testdata/sf0.001/nation.parquet';
+      STORE n INTO '$d/inter';
+    """)
+    // no USING, no '.parquet' in the path: the PAR1 magic routes the
+    // read to parquet instead of mis-reading the binaries as TSV
+    val back = graft.frontend.PigRunner(spark).run(s"""
+      r = LOAD '$d/inter';
+      f = FILTER r BY n_nationkey > 20;
+    """).apply("f").df
+    assert(back.count() == sf("nation").filter(col("n_nationkey") > 20).count())
+    assert(back.schema("n_nationkey").dataType ==
+      sf("nation").schema("n_nationkey").dataType)
+  }
+
   test("text load casts Pig complex literals (Utf8StorageConverter)") {
     val d = tmp()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/c.txt"),

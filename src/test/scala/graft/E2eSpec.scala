@@ -150,6 +150,31 @@ class E2eSpec extends SparkSpec {
     }
   }
 
+  test("negative.conf NegForeach scripts FAIL here too (error parity)") {
+    // scripts the reference REJECTS (nested GROUP/SPLIT/LOAD/STORE
+    // inside a FOREACH block, cross-relation derefs) must also fail
+    // here — succeeding silently would accept invalid Pig Latin.
+    // FileExists is excluded: this engine's STORE deliberately
+    // overwrites (documented divergence).
+    val conf = new String(Files.readAllBytes(
+      Paths.get("/root/reference/test/e2e/pig/tests/negative.conf")), "UTF-8")
+    val neg = """(?s)'num' => (\d+)[^']*?'pig' => q([\\?])(.*?)\2""".r
+      .findAllMatchIn(conf.substring(conf.indexOf("NegForeach")))
+      .map(m => (m.group(1).toInt, m.group(3))).take(8).toSeq
+      .filterNot { case (_, s) =>
+        s.toLowerCase.contains("register") || s.contains("org.apache") }
+    assert(neg.size >= 5)
+    val out = Files.createTempDirectory("pig_neg").toString
+    neg.foreach { case (num, raw) =>
+      val script = raw.replace(":INPATH:", fixtures)
+        .replace(":OUTPATH:", s"$out/neg_$num")
+      val failed =
+        try { graft.frontend.PigRunner(spark).run(script); false }
+        catch { case _: Throwable => true }
+      assert(failed, s"NegForeach/$num should be rejected but ran")
+    }
+  }
+
   test("reference nightly.conf scripts run end-to-end (frontend parity)") {
     assert(scripts.size >= 100,
       s"expected a substantive corpus, selected ${scripts.size}")

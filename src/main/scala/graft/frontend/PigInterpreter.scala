@@ -509,8 +509,13 @@ final class PigRunner(spark: SparkSession) {
   private def looksParquet(path: String): Boolean = {
     if (path.contains(".parquet")) return true
     try {
-      val p = new org.apache.hadoop.fs.Path(splitPaths(path).head)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val head = new org.apache.hadoop.fs.Path(splitPaths(path).head)
+      val fs = head.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // resolve globs ({a,b}, part*) before sniffing — fs.exists on a
+      // path with glob metacharacters is false, which would silently
+      // send default-STOREd parquet through the TSV reader
+      val p = Option(fs.globStatus(head)).getOrElse(Array.empty)
+        .headOption.map(_.getPath).getOrElse(head)
       if (!fs.exists(p)) return false
       val first =
         if (fs.getFileStatus(p).isDirectory)
@@ -1189,12 +1194,12 @@ final class PigRunner(spark: SparkSession) {
           .filter(length(col("document")) > s"</$tag>".length + 1)
       // BinStorage is Pig's internal interchange format; parquet is this
       // engine's — intermediate store/load-back round-trips type-safely
-      case Some(("BinStorage", _)) => spark.read.parquet(path)
+      case Some(("BinStorage", _)) => spark.read.parquet(splitPaths(path): _*)
       // no USING: .parquet paths and parquet-magic files read parquet
       // (so a default STORE round-trips); anything else gets the
       // REFERENCE's default loader, PigStorage('\t') (PigStorage.java)
       case None if looksParquet(path) =>
-        Relation.fixNanoTimestamps(spark.read.parquet(path))
+        Relation.fixNanoTimestamps(spark.read.parquet(splitPaths(path): _*))
       case None =>
         spark.read.option("sep", "\t").csv(splitPaths(path): _*)
       case Some((other, _)) => throw new IllegalArgumentException(
@@ -1644,9 +1649,17 @@ final class PigRunner(spark: SparkSession) {
       case other =>
         // session-registered UDF fallback — Pig's EvalFunc registration
         // surface maps to spark.udf.register(name, fn): a script can then
-        // call the UDF by that name like any builtin (UdfSurface)
+        // call the UDF by that name like any builtin (UdfSurface).
+        // Only genuinely USER-registered names qualify: catalog
+        // .functionExists is also true for every Spark builtin, and a Pig
+        // builtin we haven't mapped must fail loudly here rather than
+        // silently run with a same-named Spark builtin's semantics.
+        import org.apache.spark.sql.catalyst.FunctionIdentifier
+        import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
         val registered = Seq(other, other.toLowerCase).find { n =>
-          try df.sparkSession.catalog.functionExists(n)
+          try df.sparkSession.catalog.functionExists(n) &&
+            !FunctionRegistry.builtin.functionExists(
+              FunctionIdentifier(n.toLowerCase))
           catch { case _: Exception => false } // dotted/invalid identifiers
         }
         registered match {

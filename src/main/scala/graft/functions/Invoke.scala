@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.api.java.{UDF0, UDF1, UDF2, UDF3, UDF4}
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.functions.{struct, udf}
 import org.apache.spark.sql.types._
 
 /** Reflection-bridge UDFs — the reference's `Invoke*` family
@@ -149,8 +149,14 @@ object Invoke {
       case 4 => udf(new UDF4[AnyRef, AnyRef, AnyRef, AnyRef, AnyRef] {
         def call(a: AnyRef, b: AnyRef, c: AnyRef, d: AnyRef): AnyRef =
           inv.call(Seq(a, b, c, d)) }, rt)
-      case n => throw new IllegalArgumentException(
-        s"Invoke supports up to 4 arguments, got $n")
+      // 5+: pack the args into one struct and unpack the Row — the
+      // reference's Invoker is arity-unbounded (Invoker.java:62), so no
+      // fixed UDFn ladder can be parity-complete
+      case _ => val g = udf(new UDF1[Row, AnyRef] {
+          def call(r: Row): AnyRef =
+            inv.call(Seq.tabulate(r.length)(i => r.get(i).asInstanceOf[AnyRef]))
+        }, rt)
+        return g(struct(args: _*))
     }
     f(args: _*)
   }

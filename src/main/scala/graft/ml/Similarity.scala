@@ -177,7 +177,7 @@ object Similarity {
                             threshold: Double, numBands: Int = 8,
                             targetBucket: Int = 64,
                             maxBucket: Int = 1000): DataFrame = {
-    val (planes, bands) = bandingFor(emb.count(), numBands)
+    val (planes, bands) = bandingFor(emb.count(), numBands, targetBucket)
     nearNeighborPairs(emb, idCol, vecCol, threshold, planes, bands, maxBucket)
   }
 

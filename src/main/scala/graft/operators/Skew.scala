@@ -21,7 +21,13 @@ object Skew {
   /** Two-phase salted aggregation. `aggs` maps output name → (partial,
     * merge) pair, e.g. "n" -> (count(lit(1)), sum). The salt spreads one
     * hot key over numSalts reducers in phase 1; phase 2 merges the
-    * numSalts partials — input rows cross the shuffle pre-aggregated. */
+    * numSalts partials — input rows cross the shuffle pre-aggregated.
+    *
+    * Salt derivation uses `monotonically_increasing_id`, which is
+    * NONDETERMINISTIC under task retry — deliberately fine: the salt only
+    * picks WHICH phase-1 reducer a row lands on, never the result (q77's
+    * identity oracle pins that). Do not "fix" it to a deterministic id;
+    * nothing may ever depend on a row's salt value. */
   def saltedAggregate(df: DataFrame, keys: Seq[String], numSalts: Int,
                       aggs: Seq[(String, Column, Column => Column)]): DataFrame = {
     val salted = df.withColumn("__salt",

@@ -32,13 +32,24 @@ object Grunt {
         val trimmed = stmt.trim.stripSuffix(";").trim
         if (stmt.trim.matches("(?i)(quit|exit)\\s*;?\\s*")) done = true
         // GruntParser shell escapes: `sh cmd`, `fs -ls path` (mapped to
-        // the local fs), `run 'script.pig'` / `exec 'script.pig'`
+        // the local fs), `run 'script.pig'` / `exec 'script.pig'`.
+        // `sh`/`fs`/`run`/`exec` are NOT reserved words in Pig Latin, so
+        // `sh = FILTER ...;` is a legal alias assignment — disambiguate
+        // on shape: an '=' next token means Pig, and `fs` must be
+        // followed by a dash-option to be a shell escape.
+        else if (trimmed.split("\\s+", 3).lift(1).exists(_.startsWith("="))) {
+          if (stmt.trim.endsWith(";")) {
+            try runner.run(stmt)
+            catch { case e: Exception => System.err.println(s"ERROR: ${e.getMessage}") }
+            buf.clear(); print("grunt> "); Console.flush()
+          } else { print("    > "); Console.flush() }
+        }
         else if (trimmed.toLowerCase.startsWith("sh ")) {
           try println(scala.sys.process.Process(
             Seq("/bin/sh", "-c", trimmed.drop(3))).!!)
           catch { case e: Exception => System.err.println(s"ERROR: ${e.getMessage}") }
           buf.clear(); print("grunt> "); Console.flush()
-        } else if (trimmed.toLowerCase.startsWith("fs ")) {
+        } else if (trimmed.matches("(?i)fs\\s+-.*")) {
           // fs -<cmd> args → the matching local command (the engine's
           // filesystem IS the local one)
           val parts = trimmed.split("\\s+").drop(1)

@@ -135,6 +135,29 @@ class FrontendSpec extends SparkSpec {
     assert(back.getLong(0) == 25L)
   }
 
+  test("bare LOAD of default-STOREd parquet through a glob path") {
+    // fs.exists is false on glob metacharacters — the sniffer must
+    // globStatus-resolve first or the parquet falls through to TSV
+    val tmp = java.nio.file.Files.createTempDirectory("pqglob").toString
+    PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      p = FOREACH n GENERATE n_nationkey, n_name;
+      STORE p INTO '$tmp/out';
+    """)
+    val viaGlob = PigRunner(spark).run(s"""
+      x = LOAD '$tmp/{out}';
+      g = GROUP x ALL;
+      c = FOREACH g GENERATE COUNT(x) AS n;
+    """).apply("c").df.head()
+    assert(viaGlob.getLong(0) == 25L)
+    val viaList = PigRunner(spark).run(s"""
+      x = LOAD '$tmp/out,$tmp/out';
+      g = GROUP x ALL;
+      c = FOREACH g GENERATE COUNT(x) AS n;
+    """).apply("c").df.head()
+    assert(viaList.getLong(0) == 50L) // comma list reads BOTH paths
+  }
+
   test("nested FOREACH block: filter/order/limit/distinct over bags") {
     val out = PigRunner(spark).run(s"""
       li = LOAD '$dir/lineitem.parquet';
@@ -1095,4 +1118,24 @@ class FrontendSpec extends SparkSpec {
     assert(slowThenFast(3) == 30)
     assert(slowThenFast(0) == -1)
   }
+
+  test("InvokeFor*: 5-arg static method (generic struct-packed arity)") {
+    // Invoker.java:62 is arity-unbounded; 5+ args take the Row-packed path
+    val out = PigRunner(spark).run(s"""
+      DEFINE Sum5 InvokeForLong('graft.InvokeArityFixture.sum5',
+                                'long long long long long');
+      n = LOAD '$dir/nation.parquet';
+      u = FOREACH n GENERATE Sum5(n_nationkey, 1L, 2L, 3L, 4L) AS s,
+                             n_nationkey;
+    """).apply("u").df
+      .orderBy(org.apache.spark.sql.functions.desc("s")).head()
+    assert(out.getLong(0) == out.getAs[Number](1).longValue + 10L)
+  }
+}
+
+/** Reflection target for the 5-arg Invoke test — Scala emits a static
+  * forwarder for object methods, which is what the Invoker resolves. */
+object InvokeArityFixture {
+  def sum5(a: Long, b: Long, c: Long, d: Long, e: Long): Long =
+    a + b + c + d + e
 }

@@ -29,7 +29,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // non-ASCII file paths (utf8.conf e2e fixtures) need a UTF-8 filename
+  // codec — the container's default POSIX locale maps them to '?'
+  "-Dsun.jnu.encoding=UTF-8", "-Dfile.encoding=UTF-8",
 )
+Test / envVars += "LANG" -> "C.UTF-8"
+run / envVars += "LANG" -> "C.UTF-8"
 
 // One shared SparkSession across suites; suites run sequentially.
 Test / parallelExecution := false

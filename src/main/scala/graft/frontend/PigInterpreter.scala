@@ -81,7 +81,10 @@ final class PigRunner(spark: SparkSession) {
       lastAlias = Some(alias)
     case SplitStmt(in, branches, otherwise) =>
       val rel = env(in)
-      val conds = branches.map { case (a, e) => (a, compile(e, rel.df)) }
+      // SPLIT conditions may read scalars (`age > other.$1`, Partitioner
+      // e2e group) — same ReadScalars rewrite FILTER gets
+      val conds = branches.map { case (a, e) =>
+        (a, compile(resolveScalars(e, rel.df), rel.df)) }
       val parts = rel.split(conds: _*)
       parts.foreach { case (a, r) => env(a) = r; groupMeta.remove(a) }
       otherwise.foreach { a =>
@@ -358,8 +361,23 @@ final class PigRunner(spark: SparkSession) {
         case "AVG"        => Some(avg(c(as.head)))
         case "MIN"        => Some(min(c(as.head)))
         case "MAX"        => Some(max(c(as.head)))
-        case "COR"        => Some(corr(c(as.head), c(as(1))))
-        case "COV"        => Some(covar_samp(c(as.head), c(as(1))))
+        // COR/COV return a BAG of (var_x, var_y, value) tuples, one per
+        // column pair (COR.java:99-118) — FLATTEN expands it; the i<j
+        // pair order matches the reference's nested loop
+        case "COR" | "COV" =>
+          val names = args.zipWithIndex.map {
+            case (Deref(_, f), _) if !f.startsWith("$") => f
+            case (_, i) => s"var$i"
+          }
+          val fn: (Column, Column) => Column =
+            if (name == "COR") corr else covar_samp
+          val vn = if (name == "COR") "correlation" else "covariance"
+          Some(array((for {
+            i <- as.indices; j <- (i + 1) until as.length
+          } yield struct(lit(names(i)).as("var_x"),
+                         lit(names(j)).as("var_y"),
+                         fn(c(as(i)).cast(DoubleType),
+                            c(as(j)).cast(DoubleType)).as(vn))): _*))
         // bonus builtin (SURVEY §2.3): HLL++ sketch partial-aggregates,
         // so the fused form never shuffles raw distinct values
         case "APPROX_DISTINCT" => Some(approx_count_distinct(c(as.head)))
@@ -400,7 +418,10 @@ final class PigRunner(spark: SparkSession) {
       case FuncCall(n, as) =>
         val rs = as.map(rw)
         if (rs.forall(_.isDefined)) Some(FuncCall(n, rs.map(_.get))) else None
-      case _ => None // Star, FLATTEN, bare bag, … → bag path
+      // FLATTEN over an agg call stays a flatten of the agg's result
+      // (COR/COV bags expand; flatten of a scalar agg is identity)
+      case FlattenExpr(x) => rw(x).map(FlattenExpr)
+      case _ => None // Star, bare bag, … → bag path
     }
 
     val rwGens = gens.zipWithIndex.map { case (g, i) =>
@@ -562,13 +583,39 @@ final class PigRunner(spark: SparkSession) {
     out.toSeq.map(_.trim.replace("[!", "[^"))
   }
 
+  /** Pig compresses PigStorage output when the STORE path carries a
+    * compression suffix (reference: setStoreLocation →
+    * setCompression on .bz2/.bz/.gz paths, PigStorage.java). */
+  private def compressionFor(path: String): Option[String] =
+    if (path.endsWith(".bz2") || path.endsWith(".bz")) Some("bzip2")
+    else if (path.endsWith(".gz")) Some("gzip")
+    else None
+
+  /** Complex columns rendered as Pig literal text for delimited output
+    * (PigStorage.putNext) — the CSV writer rejects them otherwise and
+    * the LoadCaster re-parses this exact syntax on re-LOAD. */
+  private def textified(df0: DataFrame): DataFrame = {
+    def complex(dt: DataType) = dt match {
+      case _: ArrayType | _: StructType | _: MapType => true
+      case _ => false
+    }
+    if (!df0.schema.fields.exists(f => complex(f.dataType))) df0
+    else df0.select(df0.schema.fields.map { f =>
+      if (complex(f.dataType))
+        graft.functions.PigTextParse.unparse(col(f.name), f.dataType)
+          .as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   /** STORE writer, shared with the MAPREDUCE escape hatch. */
   private def storeRelation(df: DataFrame, path: String,
                             using: Option[(String, Seq[String])]): Unit =
     using match {
       case Some(("PigStorage", args)) =>
-        df.write.mode("overwrite")
+        val w = textified(df).write.mode("overwrite")
           .option("sep", args.headOption.filter(_.nonEmpty).getOrElse("\t"))
+        compressionFor(path).fold(w)(c => w.option("compression", c))
           .csv(path)
         // PigStorage('sep', '-schema') writes the .pig_schema sidecar
         // (PigStorage.java:99) so a schemaless re-LOAD recovers types
@@ -591,10 +638,15 @@ final class PigRunner(spark: SparkSession) {
       case Some(("BinStorage", _)) =>
         df.write.mode("overwrite").parquet(path)
       case Some(("CSVExcelStorage", args)) =>
-        df.write.mode("overwrite")
+        textified(df).write.mode("overwrite")
           .option("sep", args.headOption.getOrElse(","))
           .option("quote", "\"").option("escape", "\"")
           .csv(path)
+      // a compression-suffixed path means compressed PigStorage TEXT in
+      // the reference — honoring it beats this engine's parquet default
+      case _ if compressionFor(path).nonEmpty =>
+        textified(df).write.mode("overwrite").option("sep", "\t")
+          .option("compression", compressionFor(path).get).csv(path)
       case _ => df.write.mode("overwrite").parquet(path)
     }
 
@@ -837,11 +889,36 @@ final class PigRunner(spark: SparkSession) {
         case other => throw new IllegalArgumentException(
           s"nested op over non-bag $name: $other")
       }
+    // a nested let of a bag-FIELD projection (`C1 = A.age;`) binds a
+    // plain-value array, but Pig's bag is always a bag of TUPLES — the
+    // projected field keeps its name; alias → that field name
+    var nestedElem = Map.empty[String, String]
+    /** Bag as array-of-struct: plain-value projections get their field
+      * name back (so `filter C1 by age >= 30` resolves `age`). The
+      * Option is the wrapped field name when the bag was plain-valued —
+      * callers unwrap again to keep the representation stable. */
+    def bagAsTuples(name: String): (Column, StructType, Option[String]) =
+      typeOf(bagOf(name), df) match {
+        case ArrayType(st: StructType, _) => (bagOf(name), st, None)
+        case ArrayType(et, _) =>
+          val f = nestedElem.getOrElse(name,
+            if (name.contains('.')) name.split('.').last else "value")
+          (transform(bagOf(name), t => struct(t.as(f))),
+           StructType(Seq(StructField(f, et))), Some(f))
+        case other => throw new IllegalArgumentException(
+          s"nested op over non-bag $name: $other")
+      }
     inner.foreach { case (alias, op) =>
       val c = op match {
         case InnerFilter(src, cond) =>
-          val st = elemSchema(src)
-          filter(bagOf(src), t => compileLambda(cond, t, st))
+          val (bag, st, wrapped) = bagAsTuples(src)
+          val kept = filter(bag, t => compileLambda(cond, t, st))
+          wrapped match {
+            case Some(f) =>
+              nestedElem += alias -> f
+              transform(kept, t => t.getField(f))
+            case None => kept
+          }
         case InnerOrder(src, keys) =>
           typeOf(bagOf(src), df) match {
             case ArrayType(_: StructType, _) =>
@@ -910,8 +987,8 @@ final class PigRunner(spark: SparkSession) {
           slice(bagOf(src), lit(1), greatest(lit(0), cn(e).cast(IntegerType)))
         case InnerDistinct(src)   => array_distinct(bagOf(src))
         case InnerForeach(src, fgens) => // per-element projection
-          val st = elemSchema(src)
-          transform(bagOf(src), t =>
+          val (bag, st, _) = bagAsTuples(src)
+          transform(bag, t =>
             struct(fgens.zipWithIndex.map { case (g, i) =>
               compileLambda(g.expr, t, st).as(g.alias.getOrElse(g.expr match {
                 case ColRef(n)   => n.split("::").last
@@ -940,6 +1017,22 @@ final class PigRunner(spark: SparkSession) {
           }._2
       }
       nested += alias -> c
+      // track element names of plain-value bags through the block so a
+      // later op can restore Pig's tuple-field view of them
+      def inherit(src: String): Unit =
+        nestedElem.get(src)
+          .orElse(if (src.contains('.')) Some(src.split('.').last) else None)
+          .foreach(f => nestedElem += alias -> f)
+      op match {
+        case InnerExpr(Deref(_, f)) if !f.startsWith("$") =>
+          nestedElem += alias -> f
+        case InnerExpr(ColRef(n))   => inherit(n)
+        case InnerDistinct(src)     => inherit(src)
+        case InnerLimit(src, _)     => inherit(src)
+        case InnerLimitExpr(src, _) => inherit(src)
+        case InnerOrder(src, _)     => inherit(src)
+        case _                      => ()
+      }
     }
     foreach(r, gens, nested)
   }
@@ -1048,8 +1141,14 @@ final class PigRunner(spark: SparkSession) {
         val tmp = s"__fl_$i"
         // the source alias qualifies colliding expanded fields
         // (FLATTEN(c), FLATTEN(d) with same-named fields → c::name,
-        // d::name — LogicalSchema.mergeSchemasByAlias)
-        val qual = e match { case ColRef(n) => Some(n); case _ => None }
+        // d::name — LogicalSchema.mergeSchemasByAlias). A positional
+        // ref qualifies by the column it resolves to (FLATTEN($1),
+        // FLATTEN($2) over a schemaless cogroup collide otherwise).
+        val qual = e match {
+          case ColRef(n) => Some(n)
+          case PosRef(p) if p < df.columns.length => Some(df.columns(p))
+          case _ => None
+        }
         flattens :+= ((tmp, alias, aliases, qual))
         Seq(comp(e).as(tmp))
       case (GenItem(e, alias, _), i) =>
@@ -1092,7 +1191,12 @@ final class PigRunner(spark: SparkSession) {
           }
         case ArrayType(_, _) =>
           val flat = out.flatten(tmp)
-          alias.map(a => Relation(flat.df.withColumnRenamed(tmp, a), r.name))
+          // un-aliased FLATTEN(col) keeps the source column's name
+          // (unless that would collide with another output column)
+          alias.orElse(qual.map(q =>
+              scala.util.Try(resolve(q, df)).getOrElse(q))
+              .filterNot(flat.df.columns.contains))
+            .map(a => Relation(flat.df.withColumnRenamed(tmp, a), r.name))
             .getOrElse(flat)
         case st: StructType =>
           val flat = out.flattenTuple(tmp)
@@ -1100,8 +1204,13 @@ final class PigRunner(spark: SparkSession) {
             renameAll(flat, st.fieldNames.toSeq, aliases)
           else flat
         case _: MapType    => out.flattenMap(tmp)
-        case _ => // FLATTEN of a scalar is identity (Pig semantics)
-          alias.map(a => Relation(out.df.withColumnRenamed(tmp, a), r.name))
+        case _ => // FLATTEN of a scalar is identity (Pig semantics) —
+          // un-aliased, it keeps the source column's name (FLATTEN(group)
+          // of a simple key stays `group`, Aliases e2e group)
+          alias.orElse(qual.map(q =>
+              scala.util.Try(resolve(q, df)).getOrElse(q))
+              .filterNot(out.df.columns.contains))
+            .map(a => Relation(out.df.withColumnRenamed(tmp, a), r.name))
             .getOrElse(out)
       }
     }
@@ -1120,6 +1229,9 @@ final class PigRunner(spark: SparkSession) {
     case PosRef(p) if p < df.columns.length => df.columns(p)
     // a cast preserves the field's alias ((boolean)instate → instate)
     case CastExpr(_, inner) => autoName(inner, i, df)
+    // FLATTEN of a scalar keeps the source name (FLATTEN(group) → group);
+    // bag/tuple flattens ignore the alias unless arity-1 (foreach)
+    case FlattenExpr(inner) => autoName(inner, i, df)
     case _           => s"c$i"
   }
 
@@ -1223,9 +1335,17 @@ final class PigRunner(spark: SparkSession) {
           loadCast(src, pigType(f.typeName)).as(f.name)
         }
         df0.select(casts: _*)
-      case Some(fs) => // column-name-based (parquet/orc): project + cast
+      case Some(fs) if fs.forall(f => df0.columns.contains(f.name)) =>
+        // column-name-based (parquet/orc): project + cast
         df0.select(fs.map(f =>
           col(f.name).cast(pigType(f.typeName)).as(f.name)): _*)
+      case Some(fs) => // Pig's AS is positional — a typed file re-LOADed
+        // under new names (merge-join intermediates) renames positionally
+        df0.select(fs.zipWithIndex.map { case (f, i) =>
+          val src = if (i < df0.columns.length) col(df0.columns(i))
+                    else lit(null)
+          src.cast(pigType(f.typeName)).as(f.name)
+        }: _*)
       case None => df0
     }
     Relation(df, "load")
@@ -1467,7 +1587,17 @@ final class PigRunner(spark: SparkSession) {
       case "ENDSWITH" => Builtins.ENDSWITH(c0, asStr(args(1)))
       case "EQUALSIGNORECASE" => Builtins.EqualsIgnoreCase(c0, comp(args(1)))
       case "REGEX_EXTRACT" => Builtins.REGEX_EXTRACT(c0, asStr(args(1)), asInt(args(2)))
-      case "STRSPLIT" => Builtins.STRSPLIT(c0, asStr(args(1)))
+      // STRSPLIT(src[, regex[, limit]]) — regex defaults to '\s'
+      // (STRSPLIT.java:65), limit is Java String.split's
+      case "STRSPLIT" => args.length match {
+        case 1 => Builtins.STRSPLIT(c0, "\\s")
+        case 2 => Builtins.STRSPLIT(c0, asStr(args(1)))
+        case _ => split(c0, asStr(args(1)), args(2) match {
+          case Lit(i: Int) => i
+          case other => throw new IllegalArgumentException(
+            s"STRSPLIT limit must be an int literal, got $other")
+        })
+      }
       case "TOKENIZE" => transform(Builtins.TOKENIZE(c0), t => struct(t.as("token")))
       case "SPRINTF" => format_string(asStr(args.head), args.tail.map(comp): _*)
       case "LCFIRST" => Builtins.LCFIRST(c0)

@@ -153,11 +153,14 @@ object PigParser {
     def program(): Seq[Stmt] = {
       val stmts = ArrayBuffer.empty[Stmt]
       while (cur != EOF) {
-        stmts += statement()
-        // ';' is optional after a nested-block close brace (the
-        // reference grammar treats `}` as a terminator there)
-        if (!eatSym(";") && toks(pos - 1) != Sym("}"))
-          expectSym(";")
+        // tolerate empty statements (`;;` appears in reference scripts)
+        if (!eatSym(";")) {
+          stmts += statement()
+          // ';' is optional after a nested-block close brace (the
+          // reference grammar treats `}` as a terminator there)
+          if (!eatSym(";") && toks(pos - 1) != Sym("}"))
+            expectSym(";")
+        }
       }
       stmts.toSeq
     }
@@ -540,7 +543,13 @@ object PigParser {
     }
     def bagSpec(): String = {
       expectSym("{")
-      if (!atSym("(")) { ident(); expectSym(":") } // optional {T: (…)}
+      if (!atSym("(")) { // optional {T: (…)} / {T: tuple(…)}
+        ident(); expectSym(":")
+        cur match {
+          case Ident(k) if k.equalsIgnoreCase("tuple") => advance()
+          case _ => ()
+        }
+      }
       val t = tupleSpec(); expectSym("}"); s"{$t}"
     }
     def mapSpec(): String = {

@@ -42,6 +42,12 @@ object PigPreprocessor {
     // Known limitation: a multi-line string literal whose interior line
     // starts with `set ` would also be rewritten (never seen in practice)
     var rest = script.replaceAll("(?im)^(\\s*set\\s+[^;\\r\\n]+?)\\s*$", "$1;")
+    // Grunt's `exec[;]` forces the batch accumulated so far to run
+    // (GruntParser processExplain/exec). This interpreter is eager —
+    // every STORE runs at its statement — so the barrier is a no-op;
+    // strip it so reference scripts that interleave store/exec/load of
+    // intermediates run verbatim.
+    rest = rest.replaceAll("(?im)^\\s*exec\\s*;?\\s*$", "")
     while (rest.nonEmpty) {
       val trimmed = rest.dropWhile(_.isWhitespace)
       val skipped = rest.length - trimmed.length
@@ -119,14 +125,17 @@ object PigPreprocessor {
     out.toString
   }
 
-  /** end index (exclusive of ';') of a simple statement, brace-aware */
+  /** end index (exclusive of ';') of a simple statement, brace-aware;
+    * backtick commands may contain ';'/braces/quotes and are opaque */
   private def statementEnd(s: String): Int = {
-    var depth = 0; var i = 0; var inStr = false
+    var depth = 0; var i = 0; var inStr = false; var inBt = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (inBt) { if (c == '`') inBt = false }
+      else if (inStr) { if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
+        case '`' => inBt = true
         case '{' => depth += 1
         case '}' => depth -= 1
         case ';' if depth == 0 => return i
@@ -141,11 +150,14 @@ object PigPreprocessor {
     * at the first top-level ';'. */
   private def defineEnd(s: String): Int = {
     var depth = 0; var i = 0; var inStr = false; var sawBrace = false
+    var inBt = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (inBt) { if (c == '`') inBt = false }
+      else if (inStr) { if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
+        case '`' => inBt = true
         case '{' => depth += 1; sawBrace = true
         case '}' =>
           depth -= 1
@@ -201,8 +213,15 @@ object PigPreprocessor {
     require(depth < 50, "macro expansion exceeds depth 50 — recursive " +
       "macro? (the reference rejects recursion too)")
     val call = """(?s)\s*(\w+)\s*=\s*(\w+)\s*\(([^)]*)\)\s*""".r
+    // statement-form call of a `RETURNS void` macro: `m(args);` with no
+    // assignment (QueryParser: macro inline without alias)
+    val voidCall = """(?s)\s*(\w+)\s*\(([^)]*)\)\s*""".r
     val substituted = substitute(stmt, vars)
     substituted match {
+      case voidCall(name, argStr) if macros.contains(name) &&
+          macros(name).returns.equalsIgnoreCase("void") =>
+        expandStatement(s"__void_$depth = $name($argStr)", macros, cmds,
+          funcs, vars, depth)
       case call(ret, name, argStr) if macros.contains(name) =>
         val mac = macros(name)
         // quoted macro arguments substitute WITHOUT their quotes
@@ -232,10 +251,12 @@ object PigPreprocessor {
         }
         parts.mkString(";\n")
       case _ => mapMaskingQuotes(substituted) { masked =>
-        // STREAM … THROUGH cmdAlias → inline the command string
+        // STREAM … THROUGH cmdAlias → inline the command as a BACKTICK
+        // literal — commands routinely contain single quotes
+        // (`perl -ne 'print $_;'`), which a '…' wrapping would truncate
         val withCmds = cmds.foldLeft(masked) { case (s, (name, cmd)) =>
           s.replaceAll(s"(?i)THROUGH\\s+$name\\b",
-            java.util.regex.Matcher.quoteReplacement(s"THROUGH '$cmd'"))
+            java.util.regex.Matcher.quoteReplacement(s"THROUGH `$cmd`"))
         }
         // function aliases: alias(args) → Func(args, ctorArgs). Call args
         // may not contain nested parens (documented v1 limitation); string

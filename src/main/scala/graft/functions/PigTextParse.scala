@@ -143,4 +143,32 @@ object PigTextParse {
     private def stripSuffix(t: String, cs: String): String =
       if (t.nonEmpty && cs.contains(t.last)) t.dropRight(1) else t
   }
+
+  /** The write-side twin of [[parse]]: render a complex column in Pig
+    * literal text (`{(…),(…)}` bag, `(a,b)` tuple, `[k#v,…]` map) so a
+    * delimited STORE round-trips through the text→complex LoadCaster
+    * (reference: PigStorage.putNext → DataType.toString). Pure
+    * `functions._` composition — stays in codegen. */
+  def unparse(c: Column, dt: DataType): Column = {
+    import org.apache.spark.sql.functions._
+    dt match {
+      case ArrayType(st: StructType, _) =>
+        concat(lit("{"), array_join(transform(c, t => unparse(t, st)), ","),
+               lit("}"))
+      case ArrayType(et, _) => // bag of plain values → 1-field tuples
+        concat(lit("{"),
+               array_join(transform(c, x =>
+                 concat(lit("("), unparse(x, et), lit(")"))), ","),
+               lit("}"))
+      case st: StructType =>
+        concat(lit("("), concat_ws(",",
+          st.fields.map(f => unparse(c.getField(f.name), f.dataType))
+            .toIndexedSeq: _*), lit(")"))
+      case MapType(_, vt, _) =>
+        concat(lit("["), array_join(transform(map_entries(c), e =>
+          concat(e.getField("key").cast(StringType), lit("#"),
+                 unparse(e.getField("value"), vt))), ","), lit("]"))
+      case _ => c.cast(StringType)
+    }
+  }
 }

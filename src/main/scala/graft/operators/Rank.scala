@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.LongType
 
 /** Scalable RANK — the reference's 2-pass design (POCounter counts rows per
   * task, PORank adds cumulative offsets; PORank.java:145-157) re-expressed
@@ -21,16 +21,37 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Rank {
 
   /** 1-based global row number in the DataFrame's current order, without a
-    * global 1-partition window. Uses RDD zipWithIndex (count pass + offset
-    * pass — exactly Pig's POCounter/PORank split). */
+    * global 1-partition window — the POCounter/PORank split kept entirely
+    * in Catalyst (no `df.rdd` serde round-trip):
+    *
+    *  - `monotonically_increasing_id()` IS Pig's per-task counter: its
+    *    documented encoding is `partitionId << 33 | localRowIndex`, so
+    *    subtracting the shifted partition id recovers the local index;
+    *  - per-partition row counts aggregate to a numPartitions-sized frame
+    *    whose cumulative offsets broadcast-join back on partition id
+    *    (PORank's cumulative-offset side input).
+    *
+    * The count job re-executes the input once (as zipWithIndex's count
+    * pass also did); both passes see the same partitioning via exchange
+    * reuse. */
   def rowNumber(df: DataFrame, rankName: String = "rank"): DataFrame = {
     val spark = df.sparkSession
-    val schema = StructType(StructField(rankName, LongType, nullable = false)
-      +: df.schema.fields)
-    val rows = df.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq((i + 1L) +: r.toSeq)
-    }
-    spark.createDataFrame(rows, schema)
+    val withPid = df
+      .withColumn("__rn_mid", monotonically_increasing_id())
+      .withColumn("__rn_pid", spark_partition_id())
+    // numPartitions (pid, count) rows to the driver — the reference's
+    // POCounter side channel; NOT a data collect
+    val counts = withPid.groupBy(col("__rn_pid"))
+      .agg(count(lit(1)).as("__rn_cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (p, c) => val o = (p, acc); acc += c; o }
+    val offsets = spark.createDataFrame(offs.toSeq)
+      .toDF("__rn_pid", "__rn_off")
+    val local = col("__rn_mid") - shiftleft(col("__rn_pid").cast(LongType), 33)
+    withPid.join(broadcast(offsets), "__rn_pid")
+      .withColumn(rankName, col("__rn_off") + local + 1L)
+      .select((rankName +: df.columns.toSeq).map(col): _*)
   }
 
   /** RANK BY keys at scale, with per-key sort direction (asc = true).
@@ -91,26 +112,33 @@ object Rank {
   }
 
   /** Exclusive running sum of a non-null long column in the DataFrame's
-    * current order — the 2-pass POCounter/PORank shape: per-partition
-    * totals (one cheap pass), then each partition streams with its
-    * broadcast starting offset. Never a single-partition stage. */
+    * current order — the 2-pass POCounter/PORank shape, Catalyst-native:
+    * per-partition totals → cumulative offsets (numPartitions rows) →
+    * broadcast join back on partition id + an intra-partition running
+    * sum windowed BY partition id in original row order. Never a
+    * single-partition stage over the data; the pid-window's exchange
+    * moves only this domain-sized frame. */
   private def withExclusivePrefixSum(df: DataFrame, valueCol: String,
                                      outCol: String): DataFrame = {
     val spark = df.sparkSession
-    val idx = df.schema.fieldIndex(valueCol)
-    val rdd = df.rdd
-    val sums = rdd.mapPartitionsWithIndex { case (i, it) =>
-        var s = 0L; it.foreach(r => s += r.getLong(idx)); Iterator((i, s))
-      }.collect().sortBy(_._1).map(_._2)
-    val offsets = spark.sparkContext.broadcast(sums.scanLeft(0L)(_ + _))
-    val schema = StructType(df.schema.fields :+
-      StructField(outCol, LongType, nullable = false))
-    val rows = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var acc = offsets.value(i)
-      it.map { r =>
-        val out = Row.fromSeq(r.toSeq :+ acc); acc += r.getLong(idx); out
-      }
-    }
-    spark.createDataFrame(rows, schema)
+    val withPid = df
+      .withColumn("__ps_mid", monotonically_increasing_id())
+      .withColumn("__ps_pid", spark_partition_id())
+    val sums = withPid.groupBy(col("__ps_pid"))
+      .agg(sum(col(valueCol)).as("__ps_sum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = sums.map { case (p, s) => val o = (p, acc); acc += s; o }
+    val offsets = spark.createDataFrame(offs.toSeq)
+      .toDF("__ps_pid", "__ps_off")
+    // intra-partition running sum: windowed BY partition id in original
+    // row order — hash exchange of this domain-sized frame only, never
+    // a single-partition stage
+    val local = Window.partitionBy(col("__ps_pid")).orderBy(col("__ps_mid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withPid.join(broadcast(offsets), "__ps_pid")
+      .withColumn(outCol,
+        col("__ps_off") + coalesce(sum(col(valueCol)).over(local), lit(0L)))
+      .select((df.columns.toSeq :+ outCol).map(col): _*)
   }
 }

@@ -95,6 +95,14 @@ class E2eSpec extends SparkSpec {
       s"${first(rnd.nextInt(26))}${greekChars(rnd.nextInt(greekChars.length))}" +
         s"\t${age()}\t${gpa()}"
     })
+    // utf8Data: Chinese-named dirs + Chinese data values (utf8.conf —
+    // the conf's own fixtures; 佛 is the value its filter test probes)
+    val cjkNames = Seq("佛", "王伟", "李娜", "张强", "刘洋", "陈静")
+    write("utf8Data/学生/utf8Student", (0 until 200).map { _ =>
+      s"${cjkNames(rnd.nextInt(cjkNames.size))}\t${age()}\t${gpa()}" })
+    write("utf8Data/选民/utf8Voter", (0 until 200).map { _ =>
+      s"${cjkNames(rnd.nextInt(cjkNames.size))}\t${age()}\t" +
+        s"${parties(rnd.nextInt(parties.size))}\t${contrib()}" })
     // types/numbers.txt: colon-separated with 5L / 3.2f literal suffixes
     write("types/numbers.txt", (0 until n).map { idx =>
       val r1000 = 1 + rnd.nextInt(1000)
@@ -109,18 +117,59 @@ class E2eSpec extends SparkSpec {
   /** (group, num, script) triples for scripts this engine should run:
     * no UDF jars, scripting engines, or streaming; only fixtures that
     * exist here. */
+  // group header may carry comment lines between '{' and 'name'
+  private val groupRe =
+    ("""(?s)\{\s*\n(?:\s*#[^\n]*\n)*\s*'name' => '([^']+)',(.*?)""" +
+     """(?=\{\s*\n(?:\s*#[^\n]*\n)*\s*'name' => '|\z)""").r
+  // scripts use q\...\, q?...?, or q#...# quoting in the Perl conf; the
+  // conf files are inconsistent about a space after '=>'; other quoted
+  // fields ('execonly' etc.) may sit between 'num' and 'pig'
+  private val testRe =
+    """(?s)'num' => (\d+)(?:[^']|'[^']*')*?'pig' =>\s*q([\\?#])(.*?)\2""".r
+  private val missingFixture = ("""studentctrla10k""" +
+    """|names\.txt|prerank|studenttab20m|load 'sample'""" +
+    """|PigStreaming\.pl|GroupBy\.pl""").r
+
+  // entry-level markers that take a test out of the positive corpus:
+  // known-broken ('ignore'), harness-supplied parameters ('pig_params'),
+  // and NEGATIVE tests ('expected_err*' / nonzero 'rc')
+  private val entrySkip =
+    """'ignore'|'pig_params'|'expected_err|'rc' =>\s*[1-9]""".r
+
+  private def extract(path: String, only: Option[Set[String]],
+                      unsupported: scala.util.matching.Regex)
+      : Seq[(String, Int, String)] = {
+    val conf = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+    groupRe.findAllMatchIn(conf).flatMap { g =>
+      val name = g.group(1)
+      if (only.exists(!_(name))) Seq.empty
+      else {
+        // slice the body into per-test entries so entry fields AROUND
+        // the pig script (ignore/pig_params/expected_err) are visible
+        val body = g.group(2)
+        val starts = """'num' =>""".r.findAllMatchIn(body)
+          .map(_.start).toSeq
+        val entries = starts.zipAll(starts.drop(1), 0, body.length)
+          .map { case (a, b) => body.substring(a, b) }
+        entries.flatMap { entry =>
+          testRe.findFirstMatchIn(entry)
+            .filter(_ => entrySkip.findFirstIn(entry).isEmpty)
+            .map(t => (name, t.group(1).toInt, t.group(3)))
+        }.filter { case (_, _, s) =>
+          unsupported.findFirstIn(s).isEmpty &&
+            missingFixture.findFirstIn(s).isEmpty
+        }
+      }
+    }.toSeq
+  }
+
   private lazy val scripts: Seq[(String, Int, String)] = {
-    val groupRe = """(?s)\{\s*\n\s*'name' => '([^']+)',(.*?)(?=\{\s*\n\s*'name' => '|\z)""".r
-    // scripts use q\...\ or q?...? quoting in the Perl conf
-    val testRe = """(?s)'num' => (\d+)[^']*?'pig' => q([\\?])(.*?)\2""".r
     // DEFINE is allowed only in its macro form (RETURNS one name);
     // UDF/command defines and multi-return macros stay out of scope
     val unsupported = ("""(?is)register|org\.apache\.pig\.test|:FUNCPATH:""" +
       """|:SCRIPTHOMEPATH:|\bstream\b|define\s+\w+\s+(?!.{0,200}returns)""" +
       """|returns\s+\w+\s*,|illustrate|:HADOOPHOME:""" +
-      """|mapred|\bsplit\b|\bdump\b|:PARAMPATH:|\bsh\b""").r
-    val missingFixture = ("""studentctrla10k""" +
-      """|names\.txt|prerank|studenttab20m""").r
+      """|mapred|:PARAMPATH:|\bsh\b|:TMP:""").r
     val nightlyGroups = Set("Checkin", "LoaderPigStorageArg", "Order",
       "Union", "Distinct", "Join", "Cross", "Foreach", "FilterBoolean",
       "FilterEq", "FilterMatches", "GroupAggFunc", "Arithmetic",
@@ -129,26 +178,31 @@ class E2eSpec extends SparkSpec {
       "Types_ArithmeticCast", "Types_Filter", "Types_Order", "Casts",
       "SkewedJoin", "Partitioner", "ToStuffSyntaxSugar", "MergeOperator",
       "Regression", "Parameters", "Lineage",
-      "udf_TOBAGandTOTUPLE", "BagToTuple", "BagToString", "Unicode")
+      "udf_TOBAGandTOTUPLE", "BagToTuple", "BagToString", "Unicode",
+      // round 8 expansion: split/dump un-excluded, =>q-without-space
+      // extraction fixed, and these groups added
+      "Limit", "Bincond", "MapPartialAgg", "Sample", "Split",
+      "ImplicitSplit", "StoreLoad", "Aliases", "Realias", "CoGroup",
+      "Types_CoGroup", "NestedForEach", "NestedCross", "Tokenize",
+      "STRSPLIT", "describe", "BugFix", "MergeJoin", "Bzip",
+      "Accumulator", "SecondarySort", "JsonLoaderStorage")
     val corpora: Seq[(String, Option[Set[String]])] = Seq(
       confPath -> Some(nightlyGroups),
       "/root/reference/test/e2e/pig/tests/join.conf" -> None,
       "/root/reference/test/e2e/pig/tests/multiquery.conf" -> None,
-      "/root/reference/test/e2e/pig/tests/macro.conf" -> None)
-    corpora.flatMap { case (path, only) =>
-      val conf = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
-      groupRe.findAllMatchIn(conf).flatMap { g =>
-        val name = g.group(1)
-        if (only.exists(!_(name))) Seq.empty
-        else testRe.findAllMatchIn(g.group(2)).map { t =>
-          (name, t.group(1).toInt, t.group(3))
-        }.filter { case (_, _, s) =>
-          unsupported.findFirstIn(s).isEmpty &&
-            missingFixture.findFirstIn(s).isEmpty
-        }
-      }
-    }
+      "/root/reference/test/e2e/pig/tests/macro.conf" -> None,
+      "/root/reference/test/e2e/pig/tests/utf8.conf" -> None,
+      "/root/reference/test/e2e/pig/tests/orc.conf" -> None)
+    corpora.flatMap { case (path, only) => extract(path, only, unsupported) }
   }
+
+  /** streaming.conf scripts whose external commands exist in this
+    * container (awk/cut/sort/head/cat/perl one-liners) — STREAM THROUGH
+    * parity against the reference's own streaming corpus. */
+  private lazy val streamingScripts: Seq[(String, Int, String)] =
+    extract("/root/reference/test/e2e/pig/tests/streaming.conf", None,
+      ("""(?is):SCRIPTHOMEPATH:|ship\(|cache\(|register|:FUNCPATH:""" +
+       """|org\.apache\.pig\.test|mapred|:PARAMPATH:|illustrate""").r)
 
   test("negative.conf NegForeach scripts FAIL here too (error parity)") {
     // scripts the reference REJECTS (nested GROUP/SPLIT/LOAD/STORE
@@ -175,13 +229,14 @@ class E2eSpec extends SparkSpec {
     }
   }
 
-  test("reference nightly.conf scripts run end-to-end (frontend parity)") {
-    assert(scripts.size >= 100,
-      s"expected a substantive corpus, selected ${scripts.size}")
+  /** Shared run-and-store bar: every script parses, compiles, and its
+    * STORE materializes. */
+  private def runCorpus(label: String,
+                        sel: Seq[(String, Int, String)]): Unit = {
     val outBase = Files.createTempDirectory("pig_e2e_out").toString
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     var stored = 0
-    scripts.foreach { case (group, num, raw) =>
+    sel.foreach { case (group, num, raw) =>
       val out = s"$outBase/${group}_$num"
       val script = raw
         .replace(":INPATH:", fixtures)
@@ -205,10 +260,22 @@ class E2eSpec extends SparkSpec {
       }
       GraftSession.unpersistAll()
     }
-    val rate = (scripts.size - failures.size).toDouble / scripts.size
-    info(f"nightly.conf: ${scripts.size - failures.size}/${scripts.size} " +
+    val rate = (sel.size - failures.size).toDouble / sel.size
+    info(f"$label: ${sel.size - failures.size}/${sel.size} " +
       f"scripts pass (${rate * 100}%.0f%%), $stored stores materialized")
     assert(failures.isEmpty,
-      s"${failures.size}/${scripts.size} failed:\n${failures.mkString("\n")}")
+      s"${failures.size}/${sel.size} failed:\n${failures.mkString("\n")}")
+  }
+
+  test("reference nightly.conf scripts run end-to-end (frontend parity)") {
+    assert(scripts.size >= 100,
+      s"expected a substantive corpus, selected ${scripts.size}")
+    runCorpus("nightly.conf", scripts)
+  }
+
+  test("reference streaming.conf scripts run end-to-end (STREAM THROUGH)") {
+    assert(streamingScripts.size >= 10,
+      s"expected >=10 streaming scripts, selected ${streamingScripts.size}")
+    runCorpus("streaming.conf", streamingScripts)
   }
 }

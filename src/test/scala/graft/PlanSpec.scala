@@ -79,6 +79,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan("q15_rank_dense").contains("SinglePartition"))
   }
 
+  test("q14/q15/q16: rank stays in Catalyst — no RDD scan node") {
+    // the POCounter/PORank 2-pass runs on monotonically_increasing_id +
+    // broadcast offsets, not a df.rdd round-trip (which would exit
+    // codegen/Tungsten into Row serde twice)
+    for (q <- Seq("q14_rank", "q15_rank_dense", "q16_rank_rownum"))
+      assert(!plan(q).contains("ExistingRDD"), s"$q plans an RDD scan")
+  }
+
   test("entry: order+limit plans TakeOrderedAndProject (no global sort)") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"))

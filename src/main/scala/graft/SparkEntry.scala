@@ -625,6 +625,32 @@ object SparkEntry {
     // feeding a two-phase salted aggregation (3 hot group keys). The
     // salt changes DISTRIBUTION only — the oracle pins that the result
     // is identical to the unsalted plan
+    // 128-bit simhash near-dups — the scale path past the 64-bit
+    // variant's banding ceiling; gated against the exact quadratic twin
+    // (4×32-bit bands make hamming<=3 recall EXACTLY 1.0 by pigeonhole
+    // when no bucket overflows, and precision is exact by construction)
+    "q78_simhash128" -> ((s, d) => {
+      val sigs = graft.GraftSession.trackPersist(
+        graft.text.Dedup.simhash128(T(s, d, "documents").df,
+          "doc_id", "text"))
+      val found = graft.GraftSession.trackPersist(
+        graft.text.Dedup.simhashNearDups128(sigs, "doc_id",
+          maxDistance = 3))
+      val exact = graft.GraftSession.trackPersist(
+        graft.text.Dedup.exactHamming128Pairs(sigs, "doc_id", 3))
+      val aggE = exact.join(
+          found.select(col("id_a"), col("id_b"), lit(1L).as("fnd")),
+          Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("fnd")), lit(0L)).as("n_hit"))
+      val aggF = found.agg(count(lit(1)).as("n_found"))
+      sigs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(aggE).crossJoin(aggF).select(
+          col("n_docs"),
+          (col("n_hit") === col("n_exact")).as("recall_ok"),
+          (col("n_found") === col("n_hit")).as("precision_ok"))
+    }),
+
     "q77_salted_skew" -> ((s, d) => {
       val li = T(s, d, "lineitem").df
         .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
@@ -700,6 +726,12 @@ object SparkEntry {
   )
 
   private val functionOracles: Map[String, String] = Map(
+    // simhash128 is not DuckDB-expressible: pin the n_docs anchor and
+    // the Spark-side exact-twin verdicts (q44 pattern)
+    "q78_simhash128" ->
+      """SELECT count(*) AS n_docs, true AS recall_ok,
+                true AS precision_ok
+         FROM documents""",
     "q77_salted_skew" ->
       """SELECT o_orderpriority, sum(l_quantity) AS sum_qty,
                 count(*) AS n
@@ -1574,6 +1606,11 @@ object SparkEntry {
         graft.text.Dedup.simhashNearDups(
           graft.text.Dedup.simhash(T(s, d, "documents").df, "doc_id", "text"),
           "doc_id", maxDistance = 8)),
+      "q78_simhash128" -> ((s, d) =>
+        graft.text.Dedup.simhashNearDups128(
+          graft.text.Dedup.simhash128(T(s, d, "documents").df,
+            "doc_id", "text"),
+          "doc_id", maxDistance = 3)),
       "q62_embedding_neardup" -> ((s, d) =>
         graft.ml.Similarity.nearNeighborPairs(
           T(s, d, "embeddings").df, "vec_id", "embedding",

@@ -174,6 +174,21 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  /** All-pairs exact 128-bit hamming (quadratic — the verify twin of
+    * [[simhashNearDups128]], never the production path). */
+  def exactHamming128Pairs(sigs: DataFrame, idCol: String,
+                           maxDistance: Int): DataFrame = {
+    val a = sigs.select(col(idCol).as("id_a"),
+      col("simhash_lo").as("lo_a"), col("simhash_hi").as("hi_a"))
+    val b = sigs.select(col(idCol).as("id_b"),
+      col("simhash_lo").as("lo_b"), col("simhash_hi").as("hi_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming128(col("lo_a"), col("hi_a"),
+                   col("lo_b"), col("hi_b")).as("hamming"))
+      .filter(col("hamming") <= maxDistance)
+  }
+
   /** Exact n-gram Jaccard similarity of two shingle sets. */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) > 0,
@@ -322,10 +337,11 @@ object Dedup {
     * FIXED by the pigeonhole guarantee (4 bands ⇒ any pair at hamming
     * ≤ 3 shares a band), so E[bucket] = n/65536 grows with the corpus
     * and the cap starts dropping buckets around n ≈ 65M·(maxBucket/1000).
-    * Past that, raise maxBucket (verify cost grows linearly), or prefer
-    * the MinHash pipeline, whose band buckets are 64-bit hashes and
-    * never saturate ([[minhashNearDupsByWords]]). A wider simhash would
-    * need a 128-bit signature type, not more bands of this one. */
+    * Past that, raise maxBucket (verify cost grows linearly), use the
+    * 128-bit variant ([[simhash128]]/[[simhashNearDups128]] — 32-bit
+    * bands push the ceiling ~2^16 higher), or prefer the MinHash
+    * pipeline, whose band buckets are 64-bit hashes and never saturate
+    * ([[minhashNearDupsByWords]]). */
   def simhashNearDups(sigs0: DataFrame, idCol: String,
                       maxDistance: Int = 3,
                       maxBucket: Int = 1000): DataFrame = {
@@ -343,6 +359,61 @@ object Dedup {
     pairs.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  /** 128-bit SimHash: two independent 64-bit halves (the high half
+    * salts the token hash), 128 conditional sums in ONE aggregation
+    * pass — the scale path past [[simhash]]'s documented banding
+    * ceiling. Output columns `simhash_lo`, `simhash_hi`. */
+  def simhash128(df: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("hlo"),
+        xxhash64(lit("graft.simhash.hi"), col("tok")).as("hhi"))
+    def sums(h: String, p: String) = (0 until 64).map { i =>
+      sum(when(shiftright(col(h), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"$p$i")
+    }
+    val all = sums("hlo", "lo") ++ sums("hhi", "hi")
+    val agged = toks.groupBy(col(idCol)).agg(all.head, all.tail: _*)
+    def pack(p: String) = (0 until 64).map { i =>
+      shiftleft(when(col(s"$p$i") > 0, 1L).otherwise(0L), i)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agged.select(col(idCol), pack("lo").as("simhash_lo"),
+      pack("hi").as("simhash_hi"))
+  }
+
+  /** Hamming distance between two 128-bit (two-long) signatures. */
+  def hamming128(aLo: Column, aHi: Column,
+                 bLo: Column, bHi: Column): Column =
+    (bit_count(aLo.bitwiseXOR(bLo)) +
+     bit_count(aHi.bitwiseXOR(bHi))).cast(LongType)
+
+  /** [[simhashNearDups]] on 128-bit signatures: four 32-BIT bands (two
+    * per half) keep the hamming ≤ 3 pigeonhole guarantee while giving
+    * 2^32 buckets per band — E[bucket] = n/2^32, so the bucket cap
+    * doesn't start dropping recall until n ≈ 4.3B·(maxBucket/1000)
+    * docs, ~2^16 past the 64-bit variant's ceiling. */
+  def simhashNearDups128(sigs0: DataFrame, idCol: String,
+                         maxDistance: Int = 3,
+                         maxBucket: Int = 1000): DataFrame = {
+    val sigs = graft.GraftSession.trackPersist(sigs0)
+    val chunked = sigs.select(col(idCol),
+      posexplode(array((0 until 4).map { b =>
+        val half = if (b < 2) col("simhash_lo") else col("simhash_hi")
+        shiftright(half, (b % 2) * 32).bitwiseAND(0xFFFFFFFFL)
+      }: _*)).as(Seq("band", "bucket")))
+    val pairs = cappedCandidatePairs(chunked, idCol, maxBucket)
+    val a = sigs.select(col(idCol).as("id_a"),
+      col("simhash_lo").as("lo_a"), col("simhash_hi").as("hi_a"))
+    val b = sigs.select(col(idCol).as("id_b"),
+      col("simhash_lo").as("lo_b"), col("simhash_hi").as("hi_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        hamming128(col("lo_a"), col("hi_a"),
+                   col("lo_b"), col("hi_b")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
   }
 }

@@ -1,23 +1,135 @@
 package graft.tools
 
-/** Interactive Grunt shell analog — reference §3.1 entry point A
-  * (`bin/pig` → Main.java → grunt/GruntParser.java): statements are read
-  * from stdin (continuing across lines until a terminating `;`) and
-  * executed against ONE stateful [[graft.frontend.PigRunner]], so aliases
-  * accumulate across statements exactly like a Grunt session; DUMP /
-  * DESCRIBE / EXPLAIN / STORE act immediately. `quit;` (or EOF) exits.
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** One grunt statement dispatcher — reference §3.1 entry point A
+  * (`bin/pig` → Main.java → grunt/GruntParser.java). Holds the session
+  * state a real Grunt session has: one stateful
+  * [[graft.frontend.PigRunner]] (aliases accumulate across statements)
+  * and a current working directory for the filesystem commands
+  * (GruntParser.processCD — the engine's filesystem IS the local one).
+  *
+  * Supported command surface (GruntParser.g):
+  *  - bare fs commands: `pwd cd ls cat mkdir cp mv rm rmf copyToLocal
+  *    copyFromLocal` — relative paths resolve against the session cwd
+  *  - `fs -<cmd> args` (FsShell passthrough, mapped to the same ops)
+  *  - `sh <cmd>` shell escape
+  *  - `run/exec '<script.pig>'`
+  *  - anything else: a Pig Latin statement for the runner.
+  *
+  * `sh`/`fs`/`run`/`exec`/`ls`/… are NOT reserved words in Pig Latin, so
+  * `sh = FILTER ...;` stays an alias assignment — an '=' next token
+  * always means Pig.
+  */
+final class GruntShell(runner: graft.frontend.PigRunner) {
+
+  private var cwd: File = new File(".").getCanonicalFile
+  def currentDir: File = cwd
+
+  private def resolve(p: String): File = {
+    val f = new File(p)
+    (if (f.isAbsolute) f else new File(cwd, p)).getCanonicalFile
+  }
+  private def require_exists(f: File): File = {
+    if (!f.exists())
+      throw new IllegalArgumentException(s"${f.getPath} does not exist")
+    f
+  }
+  /** cat of a directory concatenates its data files (a STOREd relation
+    * is a directory of part files — GruntParser cat does the same). */
+  private def catFile(f: File): String =
+    if (f.isDirectory)
+      f.listFiles().filter(x => x.isFile && !x.getName.startsWith(".") &&
+          !x.getName.startsWith("_"))
+        .sortBy(_.getName).map(catFile).mkString
+    else new String(Files.readAllBytes(f.toPath), "UTF-8")
+
+  private def copyRec(src: File, dst0: File): Unit = {
+    // hadoop cp semantics: copying INTO an existing dir keeps the name
+    val dst = if (dst0.isDirectory) new File(dst0, src.getName) else dst0
+    if (src.isDirectory) {
+      dst.mkdirs()
+      src.listFiles().foreach(c => copyRec(c, new File(dst, c.getName)))
+    } else {
+      Option(dst.getParentFile).foreach(_.mkdirs())
+      Files.copy(src.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
+
+  /** Execute one COMPLETE grunt statement (';' optional); returns the
+    * text a session would print. Errors throw — the REPL prints them. */
+  def execute(stmtRaw: String): String = {
+    val stmt = stmtRaw.trim
+    val trimmed = stmt.stripSuffix(";").trim
+    val words = trimmed.split("\\s+").toIndexedSeq
+    def runPig(): String = { runner.run(stmt); "" }
+    if (trimmed.isEmpty) ""
+    else if (words.lift(1).exists(_.startsWith("="))) runPig()
+    else words.head.toLowerCase match {
+      case "sh" =>
+        scala.sys.process.Process(
+          Seq("/bin/sh", "-c", trimmed.drop(3)), cwd).!!
+      case "fs" if words.lift(1).exists(_.startsWith("-")) =>
+        val sub = words(1).stripPrefix("-").toLowerCase match {
+          case "rmr" => "rm" // FsShell spells recursive delete -rmr
+          case s => s
+        }
+        execute((sub +: words.drop(2)).mkString(" "))
+      case "pwd" => cwd.getPath
+      case "cd" =>
+        cwd = require_exists(resolve(words(1))); ""
+      case "ls" =>
+        val f = require_exists(resolve(words.lift(1).getOrElse(".")))
+        if (f.isDirectory)
+          f.listFiles().map(_.getPath).sorted.mkString("\n")
+        else f.getPath
+      case "cat" => catFile(require_exists(resolve(words(1))))
+      case "mkdir" => resolve(words(1)).mkdirs(); ""
+      case "cp" | "copytolocal" | "copyfromlocal" =>
+        copyRec(require_exists(resolve(words(1))), resolve(words(2))); ""
+      case "mv" =>
+        val (s, d) = (require_exists(resolve(words(1))), resolve(words(2)))
+        Files.move(s.toPath, d.toPath, StandardCopyOption.REPLACE_EXISTING)
+        ""
+      case "rm"  => deleteRec(require_exists(resolve(words(1)))); ""
+      case "rmf" => // rm -force: missing path is NOT an error
+        val f = resolve(words(1)); if (f.exists()) deleteRec(f); ""
+      case "run" | "exec" =>
+        val f = words(1).stripPrefix("'").stripSuffix("'")
+        runner.run(new String(
+          Files.readAllBytes(Paths.get(f)), "UTF-8"))
+        ""
+      case _ => runPig()
+    }
+  }
+}
+
+/** Interactive Grunt REPL: statements are read from stdin (continuing
+  * across lines until a terminating `;`) and executed against one
+  * [[GruntShell]]. `quit;` (or EOF) exits.
   *
   *   sbt "runMain graft.tools.Grunt"
   *
   * Statement termination is detected on a line-ending `;` — a `;` inside
   * a string literal mid-line is handled by the parser, but a multi-line
   * literal containing a line-final `;` is not REPL-safe (run those from a
-  * script file via RunScript).
+  * script file via RunScript). Bare fs commands (`pwd`, `ls x`, …) are
+  * line-terminated like the reference's GruntParser.
   */
 object Grunt {
+  private val fsCommands = Set("pwd", "cd", "ls", "cat", "mkdir", "cp",
+    "mv", "rm", "rmf", "copytolocal", "copyfromlocal", "sh", "fs",
+    "run", "exec")
+
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local()
     val runner = graft.frontend.PigRunner(spark)
+    val shell = new GruntShell(runner)
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(System.in))
     val buf = new StringBuilder
@@ -29,58 +141,18 @@ object Grunt {
       else {
         buf.append(line).append('\n')
         val stmt = buf.toString
-        val trimmed = stmt.trim.stripSuffix(";").trim
+        val words = stmt.trim.split("\\s+", 3)
+        val isFs = fsCommands.contains(words.head.toLowerCase) &&
+          !words.lift(1).exists(_.startsWith("="))
         if (stmt.trim.matches("(?i)(quit|exit)\\s*;?\\s*")) done = true
-        // GruntParser shell escapes: `sh cmd`, `fs -ls path` (mapped to
-        // the local fs), `run 'script.pig'` / `exec 'script.pig'`.
-        // `sh`/`fs`/`run`/`exec` are NOT reserved words in Pig Latin, so
-        // `sh = FILTER ...;` is a legal alias assignment — disambiguate
-        // on shape: an '=' next token means Pig, and `fs` must be
-        // followed by a dash-option to be a shell escape.
-        else if (trimmed.split("\\s+", 3).lift(1).exists(_.startsWith("="))) {
-          if (stmt.trim.endsWith(";")) {
-            try runner.run(stmt)
-            catch { case e: Exception => System.err.println(s"ERROR: ${e.getMessage}") }
-            buf.clear(); print("grunt> "); Console.flush()
-          } else { print("    > "); Console.flush() }
-        }
-        else if (trimmed.toLowerCase.startsWith("sh ")) {
-          try println(scala.sys.process.Process(
-            Seq("/bin/sh", "-c", trimmed.drop(3))).!!)
-          catch { case e: Exception => System.err.println(s"ERROR: ${e.getMessage}") }
-          buf.clear(); print("grunt> "); Console.flush()
-        } else if (trimmed.matches("(?i)fs\\s+-.*")) {
-          // fs -<cmd> args → the matching local command (the engine's
-          // filesystem IS the local one)
-          val parts = trimmed.split("\\s+").drop(1)
-          val shellCmd = parts.headOption.map(_.stripPrefix("-")) match {
-            case Some("ls")             => "ls -la"
-            case Some("cat")            => "cat"
-            case Some("rm" | "rmr")     => "rm -r"
-            case Some("mkdir")          => "mkdir -p"
-            case Some("cp")             => "cp -r"
-            case Some("mv")             => "mv"
-            case other => s"echo unsupported fs command: ${other.getOrElse("")} #"
-          }
-          try println(scala.sys.process.Process(
-            Seq("/bin/sh", "-c", shellCmd + " " +
-              parts.drop(1).mkString(" "))).!!)
-          catch { case e: Exception => System.err.println(s"ERROR: ${e.getMessage}") }
-          buf.clear(); print("grunt> "); Console.flush()
-        } else if (trimmed.toLowerCase.matches("(run|exec)\\s+.*")) {
-          val f = trimmed.split("\\s+", 2)(1).stripPrefix("'").stripSuffix("'")
-          try runner.run(new String(
-            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
-            "UTF-8"))
-          catch { case e: Exception => System.err.println(s"ERROR: ${e.getMessage}") }
-          buf.clear(); print("grunt> "); Console.flush()
-        } else if (stmt.trim.endsWith(";")) {
-          try runner.run(stmt)
-          catch {
+        else if (isFs || stmt.trim.endsWith(";")) {
+          try {
+            val out = shell.execute(stmt)
+            if (out.nonEmpty) println(out)
+          } catch {
             case e: Exception => System.err.println(s"ERROR: ${e.getMessage}")
           }
-          buf.clear()
-          print("grunt> "); Console.flush()
+          buf.clear(); print("grunt> "); Console.flush()
         } else { print("    > "); Console.flush() }
       }
     }

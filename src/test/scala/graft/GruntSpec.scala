@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.tools.GruntShell
+
+/** Grunt-shell parity against the reference's own grunt.conf command
+  * sequences (test/e2e/pig/tests/grunt.conf, Grunt group) — each test
+  * here is a reference test number run verbatim modulo the harness's
+  * `:INPATH:`/`:OUTPATH:`/`:TMP:` substitutions, asserted against the
+  * conf's `expected_out_regex`/`expected_err_regex`. */
+class GruntSpec extends SparkSpec {
+
+  private lazy val shell = new GruntShell(graft.frontend.PigRunner(spark))
+
+  // grunt.conf fixture shape: singlefile/studenttab10k + votertab10k
+  private lazy val inpath: String = {
+    val base = Files.createTempDirectory("grunt_in").toString
+    Files.createDirectories(Paths.get(base, "singlefile"))
+    Files.write(Paths.get(base, "singlefile", "studenttab10k"),
+      "alice allen\t20\t3.5\nbob brown\t30\t2.5\n".getBytes("UTF-8"))
+    Files.write(Paths.get(base, "singlefile", "votertab10k"),
+      "calvin carson\t25\tdemocrat\t100.5\n".getBytes("UTF-8"))
+    base
+  }
+  private def outpath(): String =
+    Files.createTempDirectory("grunt_out").toString
+
+  /** Run a reference multi-command sequence (one command per line). */
+  private def run(seq: String): String =
+    seq.trim.linesIterator.map(_.trim).filter(_.nonEmpty)
+      .map(shell.execute).mkString("\n")
+
+  test("Grunt/1: sh shell escape") {
+    assert(run(s"sh ls $inpath").contains("singlefile"))
+  }
+
+  test("Grunt/4: ls") {
+    assert(run(s"ls $inpath").matches("(?s).*singlefile.*"))
+  }
+
+  test("Grunt/6: cat of a missing path errors") {
+    val e = intercept[Exception](run("cat nonexist"))
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("Grunt/7: fs -ls passthrough") {
+    assert(run(s"fs -ls $inpath").matches("(?s).*singlefile.*"))
+  }
+
+  test("Grunt/8: cat a file") {
+    assert(run(s"cat $inpath/singlefile/studenttab10k")
+      .contains("alice allen"))
+  }
+
+  test("Grunt/9: cd then pwd") {
+    assert(run(s"cd $inpath\npwd").contains(
+      Paths.get(inpath).toRealPath().toString))
+  }
+
+  test("Grunt/10: mkdir + cp + ls") {
+    val out = outpath()
+    assert(run(s"""mkdir $out/d
+                   cp $inpath/singlefile/studenttab10k $out/d
+                   ls $out/d""").matches("(?s).*studenttab10k.*"))
+  }
+
+  test("Grunt/11: cp to a new name") {
+    val out = outpath()
+    assert(run(s"""cp $inpath/singlefile/studenttab10k $out/fred
+                   ls $out""").matches("(?s).*fred.*"))
+  }
+
+  test("Grunt/12: cp + mv rename") {
+    val out = outpath()
+    val o = run(s"""cp $inpath/singlefile/studenttab10k $out/jim
+                    mv $out/jim $out/bob
+                    ls $out""")
+    assert(o.matches("(?s).*bob.*") && !o.contains("jim"))
+  }
+
+  test("Grunt/13: copyToLocal + sh cat") {
+    val tmp = outpath()
+    assert(run(s"""copyToLocal $inpath/singlefile/studenttab10k $tmp
+                   sh cat $tmp/studenttab10k""").contains("alice allen"))
+  }
+
+  test("Grunt/14: copyToLocal + copyFromLocal + cat") {
+    val (tmp, out) = (outpath(), outpath())
+    assert(run(s"""copyToLocal $inpath/singlefile/votertab10k $tmp
+                   copyFromLocal $tmp/votertab10k $out/joe
+                   cat $out/joe""").contains("calvin carson"))
+  }
+
+  test("Grunt/15: cp + rm removes") {
+    val out = outpath()
+    val o = run(s"""cp $inpath/singlefile/studenttab10k $out/fred
+                    rm $out/fred
+                    ls $out""")
+    assert(!o.contains("fred"))
+  }
+
+  test("Grunt/16: rmf of a missing path is fine") {
+    run(s"rmf ${outpath()}/jill") // must not throw
+  }
+
+  test("alias named like a shell command stays Pig Latin") {
+    // `sh = FILTER ...` must never reach /bin/sh (ADVICE round 7)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.001")
+    shell.execute(s"n = LOAD '$dir/nation.parquet';")
+    shell.execute("sh = FILTER n BY n_regionkey == 0;")
+    shell.execute("fs = FOREACH sh GENERATE n_name;")
+    val out = outpath()
+    shell.execute(s"STORE fs INTO '$out/aliased';")
+    assert(Files.exists(Paths.get(out, "aliased")))
+  }
+
+  test("DUMP and DESCRIBE act immediately in a session") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.001")
+    shell.execute(s"r = LOAD '$dir/region.parquet';")
+    shell.execute("DESCRIBE r;") // prints schema, must not throw
+    shell.execute("DUMP r;")     // prints rows, must not throw
+  }
+}

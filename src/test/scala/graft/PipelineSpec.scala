@@ -89,6 +89,33 @@ class PipelineSpec extends SparkSpec {
     assert(exact.contains((1L, 2L)))
   }
 
+  test("simhash128: identical docs match; banding finds every d<=3 pair") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "p q r s t u v w"), (4L, "alpha beta gamma epsilon"),
+      (5L, "totally unrelated words compose this very different document"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash128(df, "doc_id", "text")
+    val m = sigs.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1L) == m(2L)) // identical text → identical 128-bit sig
+    // exact twin: all-pairs 128-bit hamming at d<=3
+    val a = sigs.select(col("doc_id").as("id_a"),
+      col("simhash_lo").as("la"), col("simhash_hi").as("ha"))
+    val b = sigs.select(col("doc_id").as("id_b"),
+      col("simhash_lo").as("lb"), col("simhash_hi").as("hb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .filter(Dedup.hamming128(col("la"), col("ha"),
+        col("lb"), col("hb")) <= 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashNearDups128(sigs, "doc_id", maxDistance = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pigeonhole: 4 bands x 32 bits means every d<=3 pair shares a band
+    assert(banded == exact)
+    assert(exact.contains((1L, 2L)))
+  }
+
   test("exactCosinePairs matches a hand-computed pair set") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))

@@ -121,7 +121,34 @@ final class PigRunner(spark: SparkSession) {
 
     case ForeachOp(in, gens) =>
       val r = env(in)
-      val gens2 = gens.map(g => g.copy(expr = resolveScalars(g.expr, r.df)))
+      // Pig's CUBE output schema is (group: tuple(dims), cube: bag) —
+      // this engine lays dims out as top-level columns and names the
+      // bag after the input alias. Accept the reference spellings:
+      // `cube` → the bag; bare `group` → TOTUPLE of the dim columns
+      // (computed dims materialize as d<i>, groupedFor's naming).
+      def cubeAlias(e: Expr): Expr = groupMeta.get(in) match {
+        case Some(m) if m.kind != "group" &&
+            !r.df.columns.contains("cube") =>
+          val dimRefs = m.keys.zipWithIndex.map {
+            case (ColRef(n), _) => ColRef(n.split("::").last)
+            case (_, i)         => ColRef(s"d$i")
+          }
+          def rwc(x: Expr): Expr = x match {
+            case ColRef("cube")           => ColRef(m.bagName)
+            case ColRef("group")          => FuncCall("TOTUPLE", dimRefs)
+            case d @ Deref(ColRef("group"), _) => d // group.dim: rw handles
+            case Deref(b, f)              => Deref(rwc(b), f)
+            case FuncCall(n, as)          => FuncCall(n, as.map(rwc))
+            case BinOp(o, l, rr)          => BinOp(o, rwc(l), rwc(rr))
+            case FlattenExpr(v)           => FlattenExpr(rwc(v))
+            case CastExpr(t, v)           => CastExpr(t, rwc(v))
+            case other                    => other
+          }
+          rwc(e)
+        case _ => e
+      }
+      val gens2 = gens.map(g =>
+        g.copy(expr = resolveScalars(cubeAlias(g.expr), r.df)))
       groupMeta.get(in).flatMap(m => tryFusedAgg(m, gens2, r.df))
         .getOrElse(foreach(r, gens2))
 
@@ -397,7 +424,10 @@ final class PigRunner(spark: SparkSession) {
         }
       case ColRef(b) if b == m.bagName => None
       case Deref(ColRef(b), _) if b == m.bagName => None
-      case ColRef("group") => Some(e)
+      // bare `group` only exists on the plain-GROUP fused frame; a cube
+      // frame lays out dims as top-level columns — FLATTEN(group) etc.
+      // must take the bag path, which still carries the struct
+      case ColRef("group") => if (m.kind == "group") Some(e) else None
       case Deref(ColRef("group"), f) =>
         // cube/rollup frames expose dims as top-level columns, not `group`
         if (m.kind == "group") Some(e) else Some(ColRef(f))
@@ -662,6 +692,12 @@ final class PigRunner(spark: SparkSession) {
     if (using.exists(_.equalsIgnoreCase("merge-sparse")))
       require(joinType == "inner",
         "merge-sparse join only works for inner joins (reference perf.xml)")
+    // the reference restricts merge/merge-sparse/skewed to exactly two
+    // inputs (LogicalPlanBuilder: "merge join only supports two inputs")
+    if (using.exists(u => Set("merge", "merge-sparse", "skewed")
+        .contains(u.toLowerCase)))
+      require(inputs.size == 2,
+        s"'${using.get}' join supports exactly two inputs, got ${inputs.size}")
     val (in0, keys0) = inputs.head
     var acc = env(in0).df
     var accKeys = keys0.map(compile(_, acc))
@@ -1202,7 +1238,13 @@ final class PigRunner(spark: SparkSession) {
           val flat = out.flattenTuple(tmp)
           if (aliases.size == st.size)
             renameAll(flat, st.fieldNames.toSeq, aliases)
-          else flat
+          else alias match {
+            // FLATTEN(1-field tuple) AS name renames the expanded field
+            case Some(a) if st.size == 1 =>
+              Relation(flat.df.withColumnRenamed(st.fieldNames.head, a),
+                r.name)
+            case _ => flat
+          }
         case _: MapType    => out.flattenMap(tmp)
         case _ => // FLATTEN of a scalar is identity (Pig semantics) —
           // un-aliased, it keeps the source column's name (FLATTEN(group)
@@ -1249,9 +1291,12 @@ final class PigRunner(spark: SparkSession) {
         if (schema.isEmpty)
           graft.sources.PigSchemaFile.read(spark, path) match {
             case Some(st) if st.size == raw.schema.size =>
+              // loadCast, not a plain cast: complex sidecar types parse
+              // the Pig-literal text a delimited store wrote
               raw.toDF(st.fieldNames.toIndexedSeq: _*)
                 .select(st.fields.map(f =>
-                  col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+                  loadCast(col(f.name), f.dataType).as(f.name))
+                  .toIndexedSeq: _*)
             case _ => raw
           }
         else raw
@@ -1434,6 +1479,8 @@ final class PigRunner(spark: SparkSession) {
         case st: StructType => base.getField(st.fieldNames(i))
         case ArrayType(st: StructType, _) =>
           transform(base, t => t.getField(st.fieldNames(i)))
+        // array-modeled tuples (STRSPLIT &c.): $n is the nth element
+        case ArrayType(_, _) => element_at(base, i + 1)
         case other => throw new IllegalArgumentException(
           s"positional deref $f needs a tuple or bag, got $other")
       }

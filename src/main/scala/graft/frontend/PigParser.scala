@@ -744,6 +744,11 @@ object PigParser {
           expectSym(")")
           FuncCall(name.toUpperCase, args)
         } else ColRef(name)
+      // CUBE/ROLLUP are non-reserved in expressions: the CUBE operator
+      // names its output bag `cube` (QueryParser cube_clause), so
+      // `COUNT(cube)` is legal Pig Latin
+      case Kw(k) if k == "CUBE" || k == "ROLLUP" =>
+        advance(); ColRef(k.toLowerCase)
       case t => fail(s"unexpected token in expression: $t")
     }
 

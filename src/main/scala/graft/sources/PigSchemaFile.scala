@@ -10,8 +10,9 @@ import org.apache.spark.sql.types._
   * shape matches the reference's ResourceSchema serialization for FLAT
   * schemas — `{"fields":[{"name":…,"type":<byte-tag>},…],"version":0}`
   * with DataType.java byte tags — so sidecars round-trip with real Pig.
-  * Nested bag/tuple/map fields are out of scope (delimited text cannot
-  * carry them losslessly anyway). */
+  * Nested bag/tuple/map fields carry their inner schema recursively
+  * (tags 120/110/100) the way ResourceSchema does; a re-LOAD parses the
+  * delimited text back through the Pig-literal LoadCaster. */
 object PigSchemaFile {
 
   val FileName = ".pig_schema"
@@ -34,14 +35,36 @@ object PigSchemaFile {
     25 -> DoubleType, 30 -> TimestampType, 50 -> BinaryType,
     55 -> StringType, 65 -> DecimalType(38, 0), 70 -> DecimalType(38, 18))
 
-  /** Write the sidecar into the (already written) output directory.
-    * Non-scalar columns degrade to chararray (tag 55) — what a delimited
-    * store serializes them as. */
-  def write(df: DataFrame, dir: String): Unit = {
-    val fields = df.schema.fields.map { f =>
-      val tag = toTag.applyOrElse(f.dataType, (_: DataType) => 55)
-      s"""{"name":"${f.name}","type":$tag,"description":null,"schema":null}"""
+  /** One field as ResourceSchema JSON — complex types carry the inner
+    * schema recursively (DataType tags: MAP=100, TUPLE=110, BAG=120). */
+  private def fieldJson(name: String, dt: DataType): String = {
+    val n = if (name == null) "null" else s""""$name""""
+    dt match {
+      case ArrayType(st: StructType, _) => // bag of tuples
+        s"""{"name":$n,"type":120,"description":null,"schema":""" +
+          s"""{"fields":[${fieldJson(null, st)}],"version":0}}"""
+      case ArrayType(et, _) => // bag of plain values → 1-field tuples
+        fieldJson(name, ArrayType(StructType(Seq(StructField("t0", et)))))
+      case st: StructType =>
+        val inner = st.fields.map(f => fieldJson(f.name, f.dataType))
+        s"""{"name":$n,"type":110,"description":null,"schema":""" +
+          s"""{"fields":[${inner.mkString(",")}],"version":0}}"""
+      case MapType(_, vt, _) =>
+        val inner = toTag.isDefinedAt(vt) || vt.isInstanceOf[StructType] ||
+          vt.isInstanceOf[ArrayType] || vt.isInstanceOf[MapType]
+        val sch = if (inner)
+          s"""{"fields":[${fieldJson(null, vt)}],"version":0}""" else "null"
+        s"""{"name":$n,"type":100,"description":null,"schema":$sch}"""
+      case other =>
+        val tag = toTag.applyOrElse(other, (_: DataType) => 55)
+        s"""{"name":$n,"type":$tag,"description":null,"schema":null}"""
     }
+  }
+
+  /** Write the sidecar into the (already written) output directory. */
+  def write(df: DataFrame, dir: String): Unit = {
+    val fields =
+      df.schema.fields.map(f => fieldJson(f.name, f.dataType))
     val json =
       s"""{"fields":[${fields.mkString(",")}],"version":0,"sortKeys":[],"sortKeyOrders":[]}"""
     val p = new Path(dir, FileName)
@@ -60,11 +83,41 @@ object PigSchemaFile {
     val json =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val field = """\{\s*"name"\s*:\s*"([^"]+)"\s*,\s*"type"\s*:\s*(\d+)""".r
-    val fields = field.findAllMatchIn(json).map { m =>
-      StructField(m.group(1),
-        fromTag.getOrElse(m.group(2).toInt, StringType))
-    }.toSeq
-    if (fields.isEmpty) None else Some(StructType(fields))
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = mapper.readTree(json)
+      def typeOf(node: com.fasterxml.jackson.databind.JsonNode): DataType = {
+        val tag = node.path("type").asInt(55)
+        def innerFields = node.path("schema").path("fields")
+        tag match {
+          case 120 => // bag: inner schema holds one tuple field
+            typeOf(innerFields.get(0)) match {
+              case st: StructType => ArrayType(st)
+              case other => ArrayType(StructType(Seq(StructField("t0", other))))
+            }
+          case 110 =>
+            val it = innerFields.elements()
+            val fs = Iterator.continually(it).takeWhile(_.hasNext)
+              .map(_.next()).zipWithIndex.map { case (f, i) =>
+                val nm = f.path("name")
+                StructField(
+                  if (nm.isTextual) nm.asText() else s"t$i", typeOf(f))
+              }.toSeq
+            StructType(fs)
+          case 100 =>
+            val vt = if (innerFields.isArray && innerFields.size() > 0)
+              typeOf(innerFields.get(0)) else StringType
+            MapType(StringType, vt)
+          case n => fromTag.getOrElse(n, StringType)
+        }
+      }
+      val it = root.path("fields").elements()
+      val fields = Iterator.continually(it).takeWhile(_.hasNext)
+        .map(_.next()).zipWithIndex.map { case (f, i) =>
+          val nm = f.path("name")
+          StructField(if (nm.isTextual) nm.asText() else s"f$i", typeOf(f))
+        }.toSeq
+      if (fields.isEmpty) None else Some(StructType(fields))
+    } catch { case _: Exception => None } // unparseable → schemaless load
   }
 }

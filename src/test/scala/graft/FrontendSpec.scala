@@ -1119,6 +1119,44 @@ class FrontendSpec extends SparkSpec {
     assert(slowThenFast(0) == -1)
   }
 
+  test("merge join with three inputs fails loudly (reference restriction)") {
+    val e = intercept[IllegalArgumentException] {
+      PigRunner(spark).run(s"""
+        a = LOAD '$dir/nation.parquet';
+        b = LOAD '$dir/region.parquet';
+        c = LOAD '$dir/customer.parquet';
+        j = JOIN a BY n_regionkey, b BY r_regionkey, c BY c_nationkey
+            USING 'merge';
+      """)
+    }
+    assert(e.getMessage.contains("exactly two inputs"))
+  }
+
+  test("CUBE output referenced by Pig's names: cube bag + group tuple") {
+    // the reference's cube_clause schema is (group: tuple(dims),
+    // cube: bag) — COUNT(cube) and FLATTEN(group) are legal spellings
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      cb = CUBE n BY CUBE(n_regionkey);
+      f = FOREACH cb GENERATE FLATTEN(group) AS rk, COUNT(cube) AS cnt;
+    """).apply("f").df
+    val exp = sf("nation").cube("n_regionkey").count().count()
+    assert(out.count() == exp)
+    // grand-total row present (cube includes the empty grouping set)
+    assert(out.filter(col("rk").isNull).count() >= 1)
+  }
+
+  test("STRSPLIT limit arg + positional deref of an array-tuple") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/region.parquet';
+      p = FOREACH n GENERATE r_name, STRSPLIT(r_name, 'a', 2) AS t;
+      f = FOREACH p GENERATE r_name, t.$$0 AS first;
+    """).apply("f").df.collect()
+    out.foreach { r =>
+      assert(r.getString(0).split("a", 2).head == r.getString(1))
+    }
+  }
+
   test("InvokeFor*: 5-arg static method (generic struct-packed arity)") {
     // Invoker.java:62 is arity-unbounded; 5+ args take the Row-packed path
     val out = PigRunner(spark).run(s"""

@@ -96,6 +96,25 @@ class SourcesSpec extends SparkSpec {
     assert(renamed.columns.toSeq == Seq("k", "nm"))
   }
 
+  test("-schema sidecar round-trips COMPLEX types through Pig-literal text") {
+    val d = tmp()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, "cplx.txt"),
+      Seq("[k1#1,k2#2]\t(a,1)\t{(x,1),(y,2)}",
+          "[k3#3]\t(b,2)\t{(z,3)}").mkString("\n").getBytes("UTF-8"))
+    val back = graft.frontend.PigRunner(spark).run(s"""
+      a = LOAD '$d/cplx.txt' AS (m:map[int],
+            t:tuple(n:chararray, v:int),
+            b:bag{x:tuple(s:chararray, v:int)});
+      STORE a INTO '$d/side' USING PigStorage('\\t', '-schema');
+      c = LOAD '$d/side' USING PigStorage('\\t', '-schema');
+      e = FOREACH c GENERATE m#'k1' AS k1, t.n AS tn, SIZE(b) AS nb;
+    """).apply("e").df.orderBy("tn").collect()
+    assert(back.map(_.get(1)).toSeq == Seq("a", "b"))
+    assert(back.head.getInt(0) == 1)   // map value typed int by sidecar
+    assert(back.map(_.getLong(2)).toSeq == Seq(2L, 1L)) // bag sizes
+  }
+
   test("STORE USING OrcStorage writes orc, not the parquet default") {
     val d = tmp()
     graft.frontend.PigRunner(spark).run(s"""

@@ -334,13 +334,98 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
 
   /** DUMP (Grunt verb) — driver-side display only. */
   def dump(n: Int = 20): Unit = df.show(n, truncate = false)
-  def describe(): Unit = df.printSchema()
+  /** Pig-format DESCRIBE line — `alias: {name: type,...}` exactly as
+    * the reference prints it (Schema.toString; cmdline.conf's
+    * Describe_cmdline group pins the format). Returns the line so the
+    * REPL and specs can capture it; also printed like the reference. */
+  def describeString(): String = s"$name: ${Relation.pigSchemaString(df.schema)}"
+  def describe(): Unit = println(describeString())
   def explain(): Unit = df.explain("formatted")
 }
 
 object Relation {
   def apply(df: DataFrame, name: String = "rel"): Relation =
     new Relation(df, name)
+
+  /** Catalyst type → Pig type name, the reverse of the AS-schema map
+    * (DataType.findTypeName). StringType prints `bytearray` only when
+    * flagged: this engine reads undeclared text columns as strings, so
+    * chararray is the faithful default. */
+  private def pigTypeName(dt: DataType): String = dt match {
+    case IntegerType     => "int"
+    case LongType        => "long"
+    case FloatType       => "float"
+    case DoubleType      => "double"
+    case BooleanType     => "boolean"
+    case TimestampType   => "datetime"
+    case BinaryType      => "bytearray"
+    case StringType      => "chararray"
+    case d: DecimalType  => if (d.scale == 0) "biginteger" else "bigdecimal"
+    case ArrayType(st: StructType, _) =>
+      s"{${tupleString(st, named = false)}}"
+    case ArrayType(et, _) => s"{(${pigTypeName(et)})}"
+    case st: StructType   => tupleString(st, named = false)
+    case MapType(_, vt, _) => s"map[${pigTypeName(vt)}]"
+    case _ => "bytearray"
+  }
+  private def tupleString(st: StructType, named: Boolean): String =
+    st.fields.map(f => s"${f.name}: ${pigTypeName(f.dataType)}")
+      .mkString("(", ",", ")")
+  /** `{name: type,name: type}` — Schema.toString's flat form. A field
+    * that carries its DECLARED Pig type in metadata (`pig_type`, set by
+    * the LOAD AS apply) renders that — `bytearray` and `map[]` are not
+    * recoverable from the Catalyst type alone. */
+  def pigSchemaString(st: StructType): String =
+    st.fields.map { f =>
+      val t = if (f.metadata.contains("pig_type"))
+        renderDeclared(f.metadata.getString("pig_type"))
+      else pigTypeName(f.dataType)
+      s"${f.name}: $t"
+    }.mkString("{", ",", "}")
+
+  /** Split a canonical type string's field list at top-level commas. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('(' | '{' | '[') => depth += 1; cur.append(c)
+      case c @ (')' | '}' | ']') => depth -= 1; cur.append(c)
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim)
+  }
+
+  /** Render a parser-canonical declared type ("[]", "{(x,y)}",
+    * "(a:int,b)") in Pig's Schema.toString spelling. */
+  private def renderDeclared(t0: String): String = {
+    val t = t0.trim
+    if (t.isEmpty || t == "bytearray") "bytearray"
+    else if (t.startsWith("[") && t.endsWith("]")) {
+      val in = t.substring(1, t.length - 1).trim
+      if (in.isEmpty) "map[]" else s"map[${renderDeclared(in)}]"
+    } else if (t.startsWith("{") && t.endsWith("}"))
+      s"{${renderDeclared(t.substring(1, t.length - 1))}}"
+    else if (t.startsWith("(") && t.endsWith(")")) {
+      splitTop(t.substring(1, t.length - 1)).map { f =>
+        // top-level colon splits name from type; none → bytearray
+        val i = {
+          var depth = 0; var found = -1
+          f.zipWithIndex.foreach {
+            case (c, _) if "({[".contains(c) => depth += 1
+            case (c, _) if ")}]".contains(c) => depth -= 1
+            case (':', j) if depth == 0 && found < 0 => found = j
+            case _ =>
+          }
+          found
+        }
+        if (i < 0) s"${f.trim}: bytearray"
+        else s"${f.take(i).trim}: ${renderDeclared(f.drop(i + 1))}"
+      }.mkString("(", ",", ")")
+    } else t
+  }
   /** LOAD 'path' USING Parquet (reference: LOLoad/POLoad; format loaders
     * §2.8 — Spark sources give pushdown + pruning via DSv2). */
   def load(spark: SparkSession, path: String, name: String): Relation =

@@ -1377,24 +1377,32 @@ final class PigRunner(spark: SparkSession) {
         val casts = fs.zipWithIndex.map { case (f, i) =>
           val src = if (i < df0.columns.length) col(df0.columns(i))
                     else lit(null)
-          loadCast(src, pigType(f.typeName)).as(f.name)
+          loadCast(src, pigType(f.typeName)).as(f.name, declaredMeta(f))
         }
         df0.select(casts: _*)
       case Some(fs) if fs.forall(f => df0.columns.contains(f.name)) =>
         // column-name-based (parquet/orc): project + cast
         df0.select(fs.map(f =>
-          col(f.name).cast(pigType(f.typeName)).as(f.name)): _*)
+          col(f.name).cast(pigType(f.typeName))
+            .as(f.name, declaredMeta(f))): _*)
       case Some(fs) => // Pig's AS is positional — a typed file re-LOADed
         // under new names (merge-join intermediates) renames positionally
         df0.select(fs.zipWithIndex.map { case (f, i) =>
           val src = if (i < df0.columns.length) col(df0.columns(i))
                     else lit(null)
-          src.cast(pigType(f.typeName)).as(f.name)
+          src.cast(pigType(f.typeName)).as(f.name, declaredMeta(f))
         }: _*)
       case None => df0
     }
     Relation(df, "load")
   }
+
+  /** Column metadata carrying the DECLARED Pig type (AS clause) — the
+    * only way DESCRIBE can print `bytearray`/`map[]` faithfully, since
+    * both erase to Catalyst StringType (SURVEY §1.2 pragmatic mapping). */
+  private def declaredMeta(f: FieldSchema): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("pig_type", f.typeName).build()
 
   private def toStruct(fs: Seq[FieldSchema]): StructType =
     StructType(fs.map(f => StructField(f.name, pigType(f.typeName))))

@@ -185,9 +185,11 @@ object PigPreprocessor {
   private def parseDefine(stmt: String): Define = {
     val m = """(?is)DEFINE\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*\{(.*)\}\s*""".r
     val c = """(?is)DEFINE\s+(\w+)\s+'([^']*)'\s*""".r
-    // EXECCOMMAND backtick form; trailing SHIP/CACHE/INPUT/OUTPUT/STDERR
-    // clauses are accepted and ignored (no distributed cache in the
-    // embedded engine — the command must be on PATH)
+    // EXECCOMMAND backtick form; trailing SHIP/CACHE/STDERR clauses are
+    // validated then ignored (no distributed cache in the embedded
+    // engine — the command must be reachable by path), and INPUT/OUTPUT
+    // redirection or custom serializers fail loudly rather than
+    // silently changing the stream wire format
     val cb = """(?is)DEFINE\s+(\w+)\s+`([^`]*)`\s*(.*?)\s*""".r
     val f = """(?is)DEFINE\s+(\w+)\s+([\w.$]+)\s*(?:\(([^)]*)\))?\s*""".r
     stmt match {
@@ -195,13 +197,42 @@ object PigPreprocessor {
         val params = ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         MacroDef(name, Macro(params, ret, body))
       case c(name, cmd) => CmdDef(name, cmd)
-      case cb(name, cmd, _) => CmdDef(name, cmd)
+      case cb(name, cmd, clauses) =>
+        validateStreamClauses(clauses); CmdDef(name, cmd)
       case f(name, func, ctorArgs) =>
         // dotted package prefixes resolve by terminal name (the builtin
         // catalog is flat — org.apache.pig.builtin.UPPER → UPPER)
         FuncDef(name, func.split('.').last, Option(ctorArgs).getOrElse(""))
       case other => throw new IllegalArgumentException(
         s"unsupported DEFINE form: ${other.take(60)}")
+    }
+  }
+
+  /** Reject malformed or semantics-changing DEFINE stream clauses the
+    * way the reference's grammar does (QueryParser stream_cmd): ship/
+    * cache take QUOTED path lists, stderr an optional 'name' [limit n];
+    * input/output accept only the stdin/stdout defaults — a custom
+    * serializer or file redirection would silently change the wire
+    * format, so they error instead of being dropped. */
+  private def validateStreamClauses(clauses0: String): Unit = {
+    var rest = clauses0.trim
+    val quotedList = """'[^']*'(\s*,\s*'[^']*')*"""
+    val legal = Seq(
+      s"""(?is)^(ship|cache)\\s*\\(\\s*($quotedList)?\\s*\\)""".r,
+      """(?is)^stderr\s*\(\s*('[^']*'(\s+limit\s+\d+)?)?\s*\)""".r,
+      """(?is)^input\s*\(\s*stdin\s*\)""".r,
+      """(?is)^output\s*\(\s*stdout\s*\)""".r)
+    while (rest.nonEmpty) {
+      if (rest.matches("(?is)^(input|output)\\s*\\(.*"))
+        if (!rest.matches("(?is)^input\\s*\\(\\s*stdin\\s*\\).*") &&
+            !rest.matches("(?is)^output\\s*\\(\\s*stdout\\s*\\).*"))
+          throw new IllegalArgumentException(
+            "DEFINE input/output redirection or custom stream " +
+            s"serializers are not supported: ${rest.take(60)}")
+      val hit = legal.flatMap(_.findFirstIn(rest)).headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed DEFINE stream clause: ${rest.take(60)}"))
+      rest = rest.drop(hit.length).trim
     }
   }
 

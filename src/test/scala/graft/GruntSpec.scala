@@ -115,6 +115,75 @@ class GruntSpec extends SparkSpec {
     assert(Files.exists(Paths.get(out, "aliased")))
   }
 
+  // ---- cmdline.conf Describe_cmdline group: DESCRIBE prints Pig's
+  // Schema.toString format, asserted against the conf's own
+  // expected_out_regex (modulo :INPATH: substitution)
+  private lazy val complexFixture: String = {
+    val d = Files.createTempDirectory("cmdline_in").toString
+    Files.write(Paths.get(d, "studenttabcomplex10k"),
+      "[name#alice]\tx1\ty1\n[name#bob]\tx2\ty2\n".getBytes("UTF-8"))
+    d
+  }
+  private def describeOf(script: String, alias: String): String =
+    graft.frontend.PigRunner(spark).run(script).apply(alias)
+      .describeString()
+
+  test("Describe_cmdline/1: undeclared AS fields print bytearray") {
+    val s = s"""A = load '$inpath/singlefile/studenttab10k'
+                    using PigStorage() as (name, age, gpa);"""
+    assert(describeOf(s, "A") ==
+      "A: {name: bytearray,age: bytearray,gpa: bytearray}")
+  }
+
+  test("Describe_cmdline/3: typed AS fields print their types") {
+    val s = s"""A = load '$inpath/singlefile/studenttab10k'
+        using PigStorage() as (name:chararray, age:int, gpa:double);"""
+    assert(describeOf(s, "A") ==
+      "A: {name: chararray,age: int,gpa: double}")
+  }
+
+  test("Describe_cmdline/5: untyped map prints map[]") {
+    val s = s"""A = load '$complexFixture/studenttabcomplex10k'
+                    using PigStorage() as (m:map[],x,y);"""
+    assert(describeOf(s, "A") ==
+      "A: {m: map[],x: bytearray,y: bytearray}")
+  }
+
+  test("Describe_cmdline/6-8: describe after a projection, any order") {
+    val r = graft.frontend.PigRunner(spark).run(s"""
+      A = load '$complexFixture/studenttabcomplex10k'
+          using PigStorage() as (m:map[],x,y);
+      B = foreach A generate m;
+    """)
+    assert(r.apply("A").describeString() ==
+      "A: {m: map[],x: bytearray,y: bytearray}")
+    assert(r.apply("B").describeString() == "B: {m: map[]}")
+  }
+
+  test("Describe_cmdline/14: boolean column") {
+    val s = s"""A = load '$inpath/singlefile/studenttab10k'
+        using PigStorage() as (name:chararray, age:int, gpa:double,
+                               instate:boolean);"""
+    assert(describeOf(s, "A") ==
+      "A: {name: chararray,age: int,gpa: double,instate: boolean}")
+  }
+
+  test("Describe_cmdline/9-11: pipeline describes incl. grouped bag") {
+    val r = graft.frontend.PigRunner(spark).run(s"""
+      A = load '$inpath/singlefile/studenttab10k'
+          as (name:chararray, age:int, gpa:float);
+      B = foreach A generate name, age;
+      C = filter B by age > 30;
+      D = group C by name;
+    """)
+    assert(r.apply("A").describeString() ==
+      "A: {name: chararray,age: int,gpa: float}")
+    assert(r.apply("B").describeString() == "B: {name: chararray,age: int}")
+    assert(r.apply("C").describeString() == "C: {name: chararray,age: int}")
+    assert(r.apply("D").describeString() ==
+      "D: {group: chararray,C: {(name: chararray,age: int)}}")
+  }
+
   test("DUMP and DESCRIBE act immediately in a session") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.001")

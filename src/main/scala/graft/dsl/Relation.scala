@@ -553,9 +553,14 @@ final class GroupedRelation private[dsl] (src: Relation,
                 extraAggs: Column*): Relation = {
     val bagged = bag(extraAggs: _*)
     val (lt, gt) = if (asc) ("-1", "1") else ("1", "-1")
+    // nulls order FIRST ascending (Pig's rule) — treating null as a tie
+    // with everything is non-transitive and violates TimSort's contract
     val sortedBag = expr(
       s"array_sort(`${src.name}`, (l, r) -> " +
-      s"CASE WHEN l.`$orderField` < r.`$orderField` THEN $lt " +
+      s"CASE WHEN l.`$orderField` IS NULL AND r.`$orderField` IS NULL THEN 0 " +
+      s"WHEN l.`$orderField` IS NULL THEN $lt " +
+      s"WHEN r.`$orderField` IS NULL THEN $gt " +
+      s"WHEN l.`$orderField` < r.`$orderField` THEN $lt " +
       s"WHEN l.`$orderField` > r.`$orderField` THEN $gt ELSE 0 END)")
     Relation(bagged.df.withColumn(src.name, sortedBag), src.name)
   }
@@ -578,15 +583,18 @@ final class GroupedRelation private[dsl] (src: Relation,
   def bagSorted2(f1: String, asc1: Boolean, f2: String, asc2: Boolean,
                  extraAggs: Column*): Relation = {
     val bagged = bag(extraAggs: _*)
-    def cmp(f: String, asc: Boolean): (String, String) =
-      if (asc) (s"l.`$f` < r.`$f`", s"l.`$f` > r.`$f`")
-      else (s"l.`$f` > r.`$f`", s"l.`$f` < r.`$f`")
-    val (lt1, gt1) = cmp(f1, asc1)
-    val (lt2, gt2) = cmp(f2, asc2)
+    // CASE arms per key that DEFER to the next key on ties (incl. the
+    // both-null tie); nulls order first ascending (see bagSorted)
+    def arms(f: String, asc: Boolean): String = {
+      val (lo, hi) = if (asc) ("-1", "1") else ("1", "-1")
+      s"WHEN l.`$f` IS NULL AND r.`$f` IS NOT NULL THEN $lo " +
+      s"WHEN l.`$f` IS NOT NULL AND r.`$f` IS NULL THEN $hi " +
+      s"WHEN l.`$f` < r.`$f` THEN $lo " +
+      s"WHEN l.`$f` > r.`$f` THEN $hi "
+    }
     val sortedBag = expr(
-      s"array_sort(`${src.name}`, (l, r) -> " +
-      s"CASE WHEN $lt1 THEN -1 WHEN $gt1 THEN 1 " +
-      s"WHEN $lt2 THEN -1 WHEN $gt2 THEN 1 ELSE 0 END)")
+      s"array_sort(`${src.name}`, (l, r) -> CASE " +
+      arms(f1, asc1) + arms(f2, asc2) + "ELSE 0 END)")
     Relation(bagged.df.withColumn(src.name, sortedBag), src.name)
   }
 }

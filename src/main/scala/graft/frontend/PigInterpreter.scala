@@ -964,7 +964,12 @@ final class PigRunner(spark: SparkSession) {
                   val lf = compileLambda(e, l, st)
                   val rf = compileLambda(e, p, st)
                   val (a, b) = if (asc) (-1, 1) else (1, -1)
-                  when(lf < rf, a).when(lf > rf, b).otherwise(acc)
+                  // nulls order FIRST ascending (Pig's null rule) — a
+                  // null treated as tying with everything is
+                  // non-transitive and trips TimSort's contract check
+                  when(lf.isNull && rf.isNull, acc)
+                    .when(lf.isNull, a).when(rf.isNull, b)
+                    .when(lf < rf, a).when(lf > rf, b).otherwise(acc)
                 })
             case ArrayType(_, _) =>
               // plain-value bag (a projected field): ORDER BY $0 sorts
@@ -1397,6 +1402,20 @@ final class PigRunner(spark: SparkSession) {
     Relation(df, "load")
   }
 
+  /** Field-name lookup in a tuple schema accepting Pig's qualified
+    * spelling: exact match, then `q::x` → `q__x` (the join/flatten
+    * collision rename), then the bare trailing name. */
+  private def fieldNameIn(st: StructType, f: String): String = {
+    if (st.fieldNames.contains(f)) f
+    else if (f.contains("::")) {
+      val parts = f.split("::")
+      val renamed = s"${parts.head}__${parts.last}"
+      if (st.fieldNames.contains(renamed)) renamed
+      else if (st.fieldNames.contains(parts.last)) parts.last
+      else f
+    } else f
+  }
+
   /** Column metadata carrying the DECLARED Pig type (AS clause) — the
     * only way DESCRIBE can print `bytearray`/`map[]` faithfully, since
     * both erase to Catalyst StringType (SURVEY §1.2 pragmatic mapping). */
@@ -1492,7 +1511,17 @@ final class PigRunner(spark: SparkSession) {
         case other => throw new IllegalArgumentException(
           s"positional deref $f needs a tuple or bag, got $other")
       }
-    case Deref(b, f)     => compile(b, df).getField(f)
+    case Deref(b, f)     =>
+      // a qualified field (`d::contributions`) resolves against the
+      // tuple schema with the same spellings resolve() accepts: the
+      // exact name, the rename-disambiguated `d__x`, then the bare `x`
+      val base = compile(b, df)
+      val f2 = typeOf(base, df) match {
+        case st: StructType => fieldNameIn(st, f)
+        case ArrayType(st: StructType, _) => fieldNameIn(st, f)
+        case _ => f
+      }
+      base.getField(f2)
     case MapLookup(m, k) => compile(m, df).getItem(k)
     case Neg(x) => -compile(x, df)
     case Not(x) => !compile(x, df)

@@ -55,6 +55,9 @@ class E2eSpec extends SparkSpec {
         .mkString("\t")
     }
     write("singlefile/studenttab10k", student("\t", nulls = false))
+    // stand-in for the reference's 20M-row big-data fixture — the
+    // run-and-store bar checks compilation + execution, not scale
+    write("singlefile/studenttab20m", student("\t", nulls = false))
     write("singlefile/studentnulltab10k", student("\t", nulls = true))
     write("singlefile/studentcolon10k", student(":", nulls = false))
     write("singlefile/votertab10k", voter(nulls = false))
@@ -134,7 +137,7 @@ class E2eSpec extends SparkSpec {
   private val testRe =
     """(?s)'num' => (\d+)(?:[^']|'[^']*')*?'pig' =>\s*q([\\?#])(.*?)\2""".r
   private val missingFixture = ("""studentctrla10k""" +
-    """|names\.txt|studenttab20m|load 'sample'""").r
+    """|names\.txt|load 'sample'""").r
 
   // entry-level markers that take a test out of the positive corpus:
   // known-broken ('ignore'), harness-supplied parameters ('pig_params'),
@@ -204,7 +207,10 @@ class E2eSpec extends SparkSpec {
       "/root/reference/test/e2e/pig/tests/multiquery.conf" -> None,
       "/root/reference/test/e2e/pig/tests/macro.conf" -> None,
       "/root/reference/test/e2e/pig/tests/utf8.conf" -> None,
-      "/root/reference/test/e2e/pig/tests/orc.conf" -> None)
+      "/root/reference/test/e2e/pig/tests/orc.conf" -> None,
+      "/root/reference/test/e2e/pig/tests/bigdata.conf" -> None,
+      "/root/reference/test/e2e/pig/tests/cmdline.conf" ->
+        Some(Set("Unicode_cmdline", "Warning")))
     corpora.flatMap { case (path, only) => extract(path, only, unsupported) }
   }
 
@@ -309,7 +315,7 @@ class E2eSpec extends SparkSpec {
         }
       } catch {
         case e: Throwable =>
-          failures += s"$group/$num: ${String.valueOf(e.getMessage).take(100)}"
+          failures += s"$group/$num: ${String.valueOf(e.getMessage).take(400)}"
       }
       GraftSession.unpersistAll()
     }

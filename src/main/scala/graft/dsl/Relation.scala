@@ -333,7 +333,20 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
   }
 
   /** DUMP (Grunt verb) — driver-side display only. */
-  def dump(n: Int = 20): Unit = df.show(n, truncate = false)
+  /** DUMP prints every row as a Pig tuple — `(v1,v2,…)` with bags
+    * `{(…)}`, tuples `(…)`, maps `[k#v]`, null fields empty — exactly
+    * what the reference's DUMP renders (Tuple.toDelimitedString via
+    * its dump path). Streams via toLocalIterator: one partition's rows
+    * on the driver at a time, never a full collect. */
+  def dumpLines(): Iterator[String] = {
+    val rendered = df.select(concat(lit("("), concat_ws(",",
+      df.schema.fields.map(f =>
+        coalesce(graft.functions.PigTextParse.unparse(col(f.name),
+          f.dataType), lit(""))).toIndexedSeq: _*), lit(")")).as("t"))
+    import scala.jdk.CollectionConverters._
+    rendered.toLocalIterator().asScala.map(_.getString(0))
+  }
+  def dump(): Unit = dumpLines().foreach(println)
   /** Pig-format DESCRIBE line — `alias: {name: type,...}` exactly as
     * the reference prints it (Schema.toString; cmdline.conf's
     * Describe_cmdline group pins the format). Returns the line so the

@@ -672,6 +672,13 @@ final class PigRunner(spark: SparkSession) {
           .option("sep", args.headOption.getOrElse(","))
           .option("quote", "\"").option("escape", "\"")
           .csv(path)
+      // LOAD-ONLY functions are not StoreFuncs in the reference either —
+      // silently writing the parquet default would corrupt a re-LOAD
+      case Some((loadOnly, _)) if Set("SequenceFileLoader", "XMLLoader",
+          "TextLoader", "FixedWidthLoader", "MyRegExLoader", "RegExLoader")
+          .contains(loadOnly) =>
+        throw new IllegalArgumentException(
+          s"$loadOnly is a loader, not a storage function (StoreFunc)")
       // a compression-suffixed path means compressed PigStorage TEXT in
       // the reference — honoring it beats this engine's parquet default
       case _ if compressionFor(path).nonEmpty =>
@@ -1606,6 +1613,10 @@ final class PigRunner(spark: SparkSession) {
       case Deref(ColRef(n), f) if nested.contains(n) => nested(n).getField(f)
       case DerefMulti(ColRef(n), fs) if nested.contains(n) =>
         transform(nested(n), t => struct(fs.map(f => t.getField(f).as(f)): _*))
+      // nested calls keep the block's bindings visible:
+      // SIZE(DIFF(n.f, innerAlias.f)) must resolve innerAlias
+      case FuncCall(n2, as2) if nested.nonEmpty =>
+        callFunction(n2, as2, df, nested)
       case other => compile(other, df)
     }
     def c0 = comp(args.head)
@@ -1798,7 +1809,14 @@ final class PigRunner(spark: SparkSession) {
           date_format(c0, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
         else Builtins.ToString(c0, asStr(args(1)))
       case "REGEX_EXTRACT_ALL" =>
-        Builtins.REGEX_EXTRACT_ALL(c0, asStr(args(1)), asInt(args(2)))
+        // the reference's 2-arg form infers the group count from the
+        // pattern (REGEX_EXTRACT_ALL.java outputSchema); an optional
+        // 3rd arg still overrides
+        val pat = asStr(args(1))
+        val n = if (args.length > 2) asInt(args(2))
+                else java.util.regex.Pattern.compile(pat)
+                  .matcher("").groupCount()
+        Builtins.REGEX_EXTRACT_ALL(c0, pat, n)
       case "REGEX_SEARCH" => Builtins.REGEX_SEARCH(c0, asStr(args(1)))
       case "SECONDSBETWEEN" => Builtins.SecondsBetween(c0, comp(args(1)))
       case "MINUTESBETWEEN" => Builtins.MinutesBetween(c0, comp(args(1)))

@@ -1119,6 +1119,47 @@ class FrontendSpec extends SparkSpec {
     assert(slowThenFast(0) == -1)
   }
 
+  test("nested calls see the block's bindings: SIZE(DIFF(bag, inner))") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      g = GROUP n BY n_regionkey;
+      f = FOREACH g {
+        big = FILTER n BY n_nationkey > 10;
+        GENERATE group, SIZE(DIFF(n.n_nationkey, big.n_nationkey)) AS d;
+      }
+    """).apply("f").df.collect()
+    // DIFF = symmetric difference: the small-key nations per region
+    val exp = sf("nation").filter(col("n_nationkey") <= 10)
+      .groupBy("n_regionkey").count().collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == exp.getOrElse(r.getAs[Number](0).longValue, 0L))
+    }
+  }
+
+  test("REGEX_EXTRACT_ALL 2-arg form infers the group count") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/region.parquet';
+      f = FOREACH n GENERATE r_name,
+            REGEX_EXTRACT_ALL(r_name, '(.)(.*)') AS t;
+      g = FOREACH f GENERATE r_name, t.$$0 AS first_char, t.$$1 AS rest;
+    """).apply("g").df.collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(0).take(1))
+      assert(r.getString(2) == r.getString(0).drop(1))
+    }
+  }
+
+  test("STORE USING a load-only function fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      PigRunner(spark).run(s"""
+        n = LOAD '$dir/region.parquet';
+        STORE n INTO '/tmp/never' USING SequenceFileLoader();
+      """)
+    }
+    assert(e.getMessage.contains("not a storage function"))
+  }
+
   test("merge join with three inputs fails loudly (reference restriction)") {
     val e = intercept[IllegalArgumentException] {
       PigRunner(spark).run(s"""

@@ -184,6 +184,25 @@ class GruntSpec extends SparkSpec {
       "D: {group: chararray,C: {(name: chararray,age: int)}}")
   }
 
+  test("DUMP renders rows in Pig tuple syntax") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.001")
+    val lines = graft.frontend.PigRunner(spark).run(s"""
+      r = LOAD '$dir/region.parquet';
+      s = FOREACH r GENERATE r_regionkey, r_name;
+      o = ORDER s BY r_regionkey;
+    """).apply("o").dumpLines().toSeq
+    assert(lines.head == "(0,AFRICA)") // bare values, no quotes (Pig)
+    assert(lines.forall(l => l.startsWith("(") && l.endsWith(")")))
+    // complex fields render as Pig literals
+    val bag = graft.frontend.PigRunner(spark).run(s"""
+      r = LOAD '$dir/region.parquet';
+      g = GROUP r ALL;
+      c = FOREACH g GENERATE group, COUNT(r) AS n;
+    """).apply("c").dumpLines().toSeq
+    assert(bag == Seq("(all,5)"))
+  }
+
   test("DUMP and DESCRIBE act immediately in a session") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.001")

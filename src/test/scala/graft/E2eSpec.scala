@@ -200,7 +200,7 @@ class E2eSpec extends SparkSpec {
       "Types_CoGroup", "NestedForEach", "NestedCross", "Tokenize",
       "STRSPLIT", "describe", "BugFix", "MergeJoin", "Bzip",
       "Accumulator", "SecondarySort", "JsonLoaderStorage",
-      "Rank", "Rank_Dense")
+      "Rank", "Rank_Dense", "CastScalar", "PruneColumns")
     val corpora: Seq[(String, Option[Set[String]])] = Seq(
       confPath -> Some(nightlyGroups),
       "/root/reference/test/e2e/pig/tests/join.conf" -> None,

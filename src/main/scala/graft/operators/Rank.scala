@@ -31,14 +31,19 @@ object Rank {
     *    whose cumulative offsets broadcast-join back on partition id
     *    (PORank's cumulative-offset side input).
     *
-    * The count job re-executes the input once (as zipWithIndex's count
-    * pass also did); both passes see the same partitioning via exchange
-    * reuse. */
+    * The pid-stamped frame is PERSISTED before the two passes: the
+    * count job and the final join are separate actions, and without a
+    * materialization each re-executes the input — range-partition
+    * sampling and AQE may then produce DIFFERENT partitionings, which
+    * would silently corrupt the offsets. The reference has the same
+    * structural requirement (POCounter's output is materialized to
+    * HDFS before PORank reads it); a tracked persist is the cheaper
+    * Spark equivalent. */
   def rowNumber(df: DataFrame, rankName: String = "rank"): DataFrame = {
     val spark = df.sparkSession
-    val withPid = df
+    val withPid = graft.GraftSession.trackPersist(df
       .withColumn("__rn_mid", monotonically_increasing_id())
-      .withColumn("__rn_pid", spark_partition_id())
+      .withColumn("__rn_pid", spark_partition_id()))
     // numPartitions (pid, count) rows to the driver — the reference's
     // POCounter side channel; NOT a data collect
     val counts = withPid.groupBy(col("__rn_pid"))
@@ -121,9 +126,11 @@ object Rank {
   private def withExclusivePrefixSum(df: DataFrame, valueCol: String,
                                      outCol: String): DataFrame = {
     val spark = df.sparkSession
-    val withPid = df
+    // persisted for the same two-pass partitioning consistency as
+    // rowNumber (this frame is domain-sized — cheap to cache)
+    val withPid = graft.GraftSession.trackPersist(df
       .withColumn("__ps_mid", monotonically_increasing_id())
-      .withColumn("__ps_pid", spark_partition_id())
+      .withColumn("__ps_pid", spark_partition_id()))
     val sums = withPid.groupBy(col("__ps_pid"))
       .agg(sum(col(valueCol)).as("__ps_sum"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

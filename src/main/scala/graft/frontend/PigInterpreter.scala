@@ -16,7 +16,7 @@ import PigAst._
   * `currDAG` equivalent — shared subplans are shared DataFrames, so
   * Catalyst sees the whole multi-store DAG.
   */
-final class PigRunner(spark: SparkSession) {
+final class PigRunner(val spark: SparkSession) {
   graft.GraftSession.tune(spark)
   private val env = scala.collection.mutable.LinkedHashMap.empty[String, Relation]
   private var lastAlias: Option[String] = None
@@ -672,19 +672,20 @@ final class PigRunner(spark: SparkSession) {
           .option("sep", args.headOption.getOrElse(","))
           .option("quote", "\"").option("escape", "\"")
           .csv(path)
-      // LOAD-ONLY functions are not StoreFuncs in the reference either —
+      // any OTHER named function is not a StoreFunc this engine knows —
+      // fail loudly (loaders like SequenceFileLoader/XMLLoader included):
       // silently writing the parquet default would corrupt a re-LOAD
-      case Some((loadOnly, _)) if Set("SequenceFileLoader", "XMLLoader",
-          "TextLoader", "FixedWidthLoader", "MyRegExLoader", "RegExLoader")
-          .contains(loadOnly) =>
+      case Some((other, _)) =>
         throw new IllegalArgumentException(
-          s"$loadOnly is a loader, not a storage function (StoreFunc)")
+          s"$other is not a storage function (StoreFunc); supported: " +
+          "PigStorage, JsonStorage, OrcStorage, AvroStorage, BinStorage, " +
+          "CSVExcelStorage, MultiStorage")
       // a compression-suffixed path means compressed PigStorage TEXT in
       // the reference — honoring it beats this engine's parquet default
-      case _ if compressionFor(path).nonEmpty =>
+      case None if compressionFor(path).nonEmpty =>
         textified(df).write.mode("overwrite").option("sep", "\t")
           .option("compression", compressionFor(path).get).csv(path)
-      case _ => df.write.mode("overwrite").parquet(path)
+      case None => df.write.mode("overwrite").parquet(path)
     }
 
   private def join(inputs: Seq[(String, Seq[Expr])], joinType: String,
@@ -1683,15 +1684,18 @@ final class PigRunner(spark: SparkSession) {
       case "EQUALSIGNORECASE" => Builtins.EqualsIgnoreCase(c0, comp(args(1)))
       case "REGEX_EXTRACT" => Builtins.REGEX_EXTRACT(c0, asStr(args(1)), asInt(args(2)))
       // STRSPLIT(src[, regex[, limit]]) — regex defaults to '\s'
-      // (STRSPLIT.java:65), limit is Java String.split's
+      // (STRSPLIT.java:65); limit follows Java String.split: positive
+      // caps the count, 0 (the default) drops trailing empties,
+      // negative keeps everything
       case "STRSPLIT" => args.length match {
         case 1 => Builtins.STRSPLIT(c0, "\\s")
         case 2 => Builtins.STRSPLIT(c0, asStr(args(1)))
-        case _ => split(c0, asStr(args(1)), args(2) match {
-          case Lit(i: Int) => i
+        case _ => args(2) match {
+          case Lit(0) => Builtins.STRSPLIT(c0, asStr(args(1)))
+          case Lit(i: Int) => split(c0, asStr(args(1)), i)
           case other => throw new IllegalArgumentException(
             s"STRSPLIT limit must be an int literal, got $other")
-        })
+        }
       }
       case "TOKENIZE" => transform(Builtins.TOKENIZE(c0), t => struct(t.as("token")))
       case "SPRINTF" => format_string(asStr(args.head), args.tail.map(comp): _*)
@@ -1753,6 +1757,15 @@ final class PigRunner(spark: SparkSession) {
           }: _*)
         }
       case "BAGTOTUPLE" => Builtins.BagToTuple(c0)
+      case "TOMAP" if args.size == 1 =>
+        // single-bag form: bag of (key, value) tuples → one map
+        typeOf(c0, df) match {
+          case ArrayType(st: StructType, _) if st.size >= 2 =>
+            Builtins.TOMAPFromBag(c0, st.fieldNames(0), st.fieldNames(1))
+          case other => throw new IllegalArgumentException(
+            s"TOMAP over one argument needs a bag of 2-field tuples, " +
+            s"got $other")
+        }
       case "TOMAP" => Builtins.TOMAP(args.map(comp): _*)
       case "BAGTOSTRING" =>
         // default delimiter is '_' (BagToString.java:39)

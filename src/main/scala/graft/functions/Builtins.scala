@@ -79,9 +79,21 @@ object Builtins {
     * the relational form). */
   def TOKENIZE(c: Column): Column =
     filter(split(c, "[ \\\",()*]"), x => length(x) > 0)
+  /** Java String.split limit-0 semantics (STRSPLIT.java:39 "If limit
+    * is not provided, 0 is assumed, as per Java's split()"): trailing
+    * empty strings are REMOVED. Spark's split keeps them for every
+    * non-positive limit, so trim explicitly — the running counter
+    * resets on non-empty elements, leaving the trailing-empty count. */
+  private def dropTrailingEmpties(raw: Column): Column = {
+    val trailing = aggregate(raw, lit(0),
+      (acc, x) => when(x === "", acc + 1).otherwise(lit(0)))
+    slice(raw, lit(1), greatest(size(raw) - trailing, lit(0)))
+  }
   /** STRSPLIT → tuple; modeled as array (positional access preserved). */
-  def STRSPLIT(c: Column, regex: String): Column = split(c, regex)
-  def STRSPLITTOBAG(c: Column, regex: String): Column = split(c, regex)
+  def STRSPLIT(c: Column, regex: String): Column =
+    dropTrailingEmpties(split(c, regex))
+  def STRSPLITTOBAG(c: Column, regex: String): Column =
+    dropTrailingEmpties(split(c, regex))
   def STARTSWITH(c: Column, prefix: String): Column = c.startsWith(prefix)
   def ENDSWITH(c: Column, suffix: String): Column = c.endsWith(suffix)
   def EqualsIgnoreCase(a: Column, b: Column): Column = lower(a) === lower(b)
@@ -109,11 +121,26 @@ object Builtins {
   /** TOMAP drops null-KEY pairs — Spark's map() throws NULL_MAP_KEY
     * where the reference's MR path tolerates the entry and an ORC
     * round-trip renders it as an absent key (orc.conf test 5's verify
-    * script maps a null key to an empty map). */
-  def TOMAP(kvs: Column*): Column =
+    * script maps a null key to an empty map). Odd arity errors with
+    * the reference's message (TOMAP.java: "even number of params"). */
+  def TOMAP(kvs: Column*): Column = {
+    require(kvs.nonEmpty && kvs.size % 2 == 0,
+      "TOMAP: function input must have even number of parameters " +
+      s"(got ${kvs.size})")
     map_from_entries(filter(
       array(kvs.grouped(2).map { case Seq(k, v) =>
         struct(k.as("key"), v.as("value")) }.toSeq: _*),
+      e => e.getField("key").isNotNull))
+  }
+
+  /** TOMAP's single-bag form (TOMAP.java:50-69): a bag of 2-field
+    * tuples becomes one map (first field the key), null keys dropped
+    * as above. The caller supplies the tuple's field names. */
+  def TOMAPFromBag(bag: Column, keyField: String,
+                   valueField: String): Column =
+    map_from_entries(filter(
+      transform(bag, t => struct(t.getField(keyField).as("key"),
+        t.getField(valueField).as("value"))),
       e => e.getField("key").isNotNull))
   def BagToString(bag: Column, sep: String): Column =
     array_join(transform(bag, t => t.cast(StringType)), sep)

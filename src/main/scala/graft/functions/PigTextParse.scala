@@ -151,23 +151,30 @@ object PigTextParse {
     * `functions._` composition — stays in codegen. */
   def unparse(c: Column, dt: DataType): Column = {
     import org.apache.spark.sql.functions._
+    // null VALUES inside a complex value render as empty — Pig writes
+    // "(a,)" for a null tuple field; concat_ws/array_join would
+    // otherwise silently DROP them, changing arity/size on round-trip
+    def orEmpty(x: Column): Column = coalesce(x, lit(""))
     dt match {
       case ArrayType(st: StructType, _) =>
-        concat(lit("{"), array_join(transform(c, t => unparse(t, st)), ","),
+        concat(lit("{"),
+               array_join(transform(c, t => unparse(t, st)), ",", ""),
                lit("}"))
       case ArrayType(et, _) => // bag of plain values → 1-field tuples
         concat(lit("{"),
                array_join(transform(c, x =>
-                 concat(lit("("), unparse(x, et), lit(")"))), ","),
+                 concat(lit("("), orEmpty(unparse(x, et)), lit(")"))),
+                 ",", ""),
                lit("}"))
       case st: StructType =>
         concat(lit("("), concat_ws(",",
-          st.fields.map(f => unparse(c.getField(f.name), f.dataType))
+          st.fields.map(f => orEmpty(unparse(c.getField(f.name), f.dataType)))
             .toIndexedSeq: _*), lit(")"))
       case MapType(_, vt, _) =>
         concat(lit("["), array_join(transform(map_entries(c), e =>
           concat(e.getField("key").cast(StringType), lit("#"),
-                 unparse(e.getField("value"), vt))), ","), lit("]"))
+                 orEmpty(unparse(e.getField("value"), vt)))), ",", ""),
+          lit("]"))
       case _ => c.cast(StringType)
     }
   }

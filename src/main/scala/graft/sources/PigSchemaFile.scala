@@ -89,25 +89,32 @@ object PigSchemaFile {
       def typeOf(node: com.fasterxml.jackson.databind.JsonNode): DataType = {
         val tag = node.path("type").asInt(55)
         def innerFields = node.path("schema").path("fields")
+        def hasInner = innerFields.isArray && innerFields.size() > 0
         tag match {
-          case 120 => // bag: inner schema holds one tuple field
-            typeOf(innerFields.get(0)) match {
+          case 120 => // bag: inner schema holds one tuple field; real
+            // Pig writes "schema":null for an UNTYPED bag — degrade
+            // that one field, not the whole sidecar
+            if (!hasInner) ArrayType(StructType(Seq(
+              StructField("t0", StringType))))
+            else typeOf(innerFields.get(0)) match {
               case st: StructType => ArrayType(st)
               case other => ArrayType(StructType(Seq(StructField("t0", other))))
             }
           case 110 =>
-            val it = innerFields.elements()
-            val fs = Iterator.continually(it).takeWhile(_.hasNext)
-              .map(_.next()).zipWithIndex.map { case (f, i) =>
-                val nm = f.path("name")
-                StructField(
-                  if (nm.isTextual) nm.asText() else s"t$i", typeOf(f))
-              }.toSeq
-            StructType(fs)
+            if (!hasInner) StringType
+            else {
+              val it = innerFields.elements()
+              val fs = Iterator.continually(it).takeWhile(_.hasNext)
+                .map(_.next()).zipWithIndex.map { case (f, i) =>
+                  val nm = f.path("name")
+                  StructField(
+                    if (nm.isTextual) nm.asText() else s"t$i", typeOf(f))
+                }.toSeq
+              StructType(fs)
+            }
           case 100 =>
-            val vt = if (innerFields.isArray && innerFields.size() > 0)
-              typeOf(innerFields.get(0)) else StringType
-            MapType(StringType, vt)
+            MapType(StringType,
+              if (hasInner) typeOf(innerFields.get(0)) else StringType)
           case n => fromTag.getOrElse(n, StringType)
         }
       }
@@ -115,7 +122,10 @@ object PigSchemaFile {
       val fields = Iterator.continually(it).takeWhile(_.hasNext)
         .map(_.next()).zipWithIndex.map { case (f, i) =>
           val nm = f.path("name")
-          StructField(if (nm.isTextual) nm.asText() else s"f$i", typeOf(f))
+          // a malformed field degrades to chararray — the old reader's
+          // behavior — never discards the other fields' names
+          StructField(if (nm.isTextual) nm.asText() else s"f$i",
+            scala.util.Try(typeOf(f)).getOrElse(StringType))
         }.toSeq
       if (fields.isEmpty) None else Some(StructType(fields))
     } catch { case _: Exception => None } // unparseable → schemaless load

@@ -31,6 +31,18 @@ final class GruntShell(runner: graft.frontend.PigRunner) {
     val f = new File(p)
     (if (f.isAbsolute) f else new File(cwd, p)).getCanonicalFile
   }
+  /** `cd` must ALSO move the engine's filesystem working directory
+    * (GruntParser.processCD sets it on the DataStorage) so relative
+    * paths in subsequent Pig LOAD/STORE statements follow the session
+    * cwd, not the JVM launch dir. */
+  private def syncEngineCwd(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    org.apache.hadoop.fs.FileSystem.get(conf)
+      .setWorkingDirectory(new org.apache.hadoop.fs.Path(cwd.getPath))
+  }
+  private def arg(words: IndexedSeq[String], i: Int, cmd: String): String =
+    words.lift(i).getOrElse(throw new IllegalArgumentException(
+      s"$cmd needs ${i} argument(s)"))
   private def require_exists(f: File): File = {
     if (!f.exists())
       throw new IllegalArgumentException(s"${f.getPath} does not exist")
@@ -82,27 +94,35 @@ final class GruntShell(runner: graft.frontend.PigRunner) {
         execute((sub +: words.drop(2)).mkString(" "))
       case "pwd" => cwd.getPath
       case "cd" =>
-        cwd = require_exists(resolve(words(1))); ""
+        cwd = require_exists(resolve(arg(words, 1, "cd")))
+        syncEngineCwd(runner.spark); ""
       case "ls" =>
         val f = require_exists(resolve(words.lift(1).getOrElse(".")))
         if (f.isDirectory)
           f.listFiles().map(_.getPath).sorted.mkString("\n")
         else f.getPath
-      case "cat" => catFile(require_exists(resolve(words(1))))
-      case "mkdir" => resolve(words(1)).mkdirs(); ""
+      case "cat" => catFile(require_exists(resolve(arg(words, 1, "cat"))))
+      case "mkdir" => resolve(arg(words, 1, "mkdir")).mkdirs(); ""
       case "cp" | "copytolocal" | "copyfromlocal" =>
-        copyRec(require_exists(resolve(words(1))), resolve(words(2))); ""
+        copyRec(require_exists(resolve(arg(words, 1, "cp"))),
+          resolve(arg(words, 2, "cp"))); ""
       case "mv" =>
-        val (s, d) = (require_exists(resolve(words(1))), resolve(words(2)))
+        val (s, d) = (require_exists(resolve(arg(words, 1, "mv"))),
+          resolve(arg(words, 2, "mv")))
         Files.move(s.toPath, d.toPath, StandardCopyOption.REPLACE_EXISTING)
         ""
-      case "rm"  => deleteRec(require_exists(resolve(words(1)))); ""
+      case "rm"  => deleteRec(require_exists(resolve(arg(words, 1, "rm")))); ""
       case "rmf" => // rm -force: missing path is NOT an error
-        val f = resolve(words(1)); if (f.exists()) deleteRec(f); ""
+        val f = resolve(arg(words, 1, "rmf")); if (f.exists()) deleteRec(f); ""
+      case "exec" if words.length == 1 =>
+        "" // bare exec: batch barrier — a no-op in this eager engine
       case "run" | "exec" =>
-        val f = words(1).stripPrefix("'").stripSuffix("'")
+        // script path resolves against the session cwd like every
+        // other command
+        val f = resolve(arg(words, 1, "run").stripPrefix("'")
+          .stripSuffix("'"))
         runner.run(new String(
-          Files.readAllBytes(Paths.get(f)), "UTF-8"))
+          Files.readAllBytes(f.toPath), "UTF-8"))
         ""
       case _ => runPig()
     }

@@ -1150,6 +1150,54 @@ class FrontendSpec extends SparkSpec {
     }
   }
 
+  test("STRSPLIT drops trailing empty fields (Java split limit-0)") {
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/region.parquet';
+      f = FOREACH n GENERATE SIZE(STRSPLIT(CONCAT(r_name, '::'), ':'))
+            AS n_parts, r_name;
+    """).apply("f").df.collect()
+    // 'AFRICA::' splits to just (AFRICA) — trailing empties removed
+    out.foreach(r => assert(r.getLong(0) == 1L, r.getString(1)))
+  }
+
+  test("TOMAP: odd arity errors; single-bag form builds one map") {
+    val e = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        n = LOAD '$dir/region.parquet';
+        f = FOREACH n GENERATE TOMAP(r_name, r_regionkey, r_name);
+      """)
+    }
+    assert(e.getMessage.toLowerCase.contains("even number"))
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/nation.parquet';
+      g = GROUP n BY n_regionkey;
+      f = FOREACH g {
+        p = FOREACH n GENERATE n_name, n_nationkey;
+        GENERATE group, TOMAP(p) AS m;
+      }
+    """).apply("f").df.collect()
+    out.foreach(r => assert(r.getMap[String, Any](1).nonEmpty))
+  }
+
+  test("null fields inside stored complex values round-trip as nulls") {
+    // "(a,)" not "(a)": a dropped null field would shift arity and
+    // null the whole tuple on re-LOAD
+    val tmp = java.nio.file.Files.createTempDirectory("nullc").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "in.txt"),
+      "(a,)\t{(1),(),(2)}\n".getBytes("UTF-8"))
+    val back = PigRunner(spark).run(s"""
+      a = LOAD '$tmp/in.txt' AS (t:tuple(n:chararray, v:int),
+                                 b:bag{x:tuple(v:int)});
+      STORE a INTO '$tmp/out' USING PigStorage('\\t', '-schema');
+      c = LOAD '$tmp/out' USING PigStorage('\\t', '-schema');
+      d = FOREACH c GENERATE t.n AS tn, t.v AS tv, SIZE(b) AS nb;
+    """).apply("d").df.head()
+    assert(back.getString(0) == "a")
+    assert(back.isNullAt(1))      // null field survived, arity kept
+    assert(back.getLong(2) == 3L) // null bag element not dropped
+  }
+
   test("STORE USING a load-only function fails loudly") {
     val e = intercept[IllegalArgumentException] {
       PigRunner(spark).run(s"""

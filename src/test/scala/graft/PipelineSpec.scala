@@ -99,13 +99,7 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(m(1L) == m(2L)) // identical text → identical 128-bit sig
     // exact twin: all-pairs 128-bit hamming at d<=3
-    val a = sigs.select(col("doc_id").as("id_a"),
-      col("simhash_lo").as("la"), col("simhash_hi").as("ha"))
-    val b = sigs.select(col("doc_id").as("id_b"),
-      col("simhash_lo").as("lb"), col("simhash_hi").as("hb"))
-    val exact = a.join(b, col("id_a") < col("id_b"))
-      .filter(Dedup.hamming128(col("la"), col("ha"),
-        col("lb"), col("hb")) <= 3)
+    val exact = Dedup.exactHamming128Pairs(sigs, "doc_id", 3)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val banded = Dedup.simhashNearDups128(sigs, "doc_id", maxDistance = 3)

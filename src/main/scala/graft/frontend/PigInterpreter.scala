@@ -1693,6 +1693,11 @@ final class PigRunner(val spark: SparkSession) {
         case _ => args(2) match {
           case Lit(0) => Builtins.STRSPLIT(c0, asStr(args(1)))
           case Lit(i: Int) => split(c0, asStr(args(1)), i)
+          case Lit(l: Long) if l != 0 => split(c0, asStr(args(1)), l.toInt)
+          // the parser produces Neg(Lit(n)) for a -n literal; negative
+          // limit = Java keep-all semantics
+          case Neg(Lit(i: Int)) => split(c0, asStr(args(1)), -i)
+          case Neg(Lit(l: Long)) => split(c0, asStr(args(1)), -l.toInt)
           case other => throw new IllegalArgumentException(
             s"STRSPLIT limit must be an int literal, got $other")
         }
@@ -1903,8 +1908,12 @@ final class PigRunner(val spark: SparkSession) {
         import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
         val registered = Seq(other, other.toLowerCase).find { n =>
           try df.sparkSession.catalog.functionExists(n) &&
-            !FunctionRegistry.builtin.functionExists(
-              FunctionIdentifier(n.toLowerCase))
+            (graft.functions.UdfSurface.isUserRegistered(n) ||
+              // names tracked by the engine's registration surface are
+              // allowed even when they shadow a Spark builtin (the
+              // session registry overrides builtins at lookup time)
+              !FunctionRegistry.builtin.functionExists(
+                FunctionIdentifier(n.toLowerCase)))
           catch { case _: Exception => false } // dotted/invalid identifiers
         }
         registered match {

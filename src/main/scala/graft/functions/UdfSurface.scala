@@ -50,10 +50,26 @@ object UdfSurface {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Names registered through the ENGINE's registration surface.
+    * Pig Latin function dispatch excludes Spark builtins from the
+    * session-UDF fallback (an unmapped Pig builtin must fail loudly, not
+    * silently run with Spark's same-named semantics) — but a user who
+    * deliberately registers a UDF that shadows a Spark builtin gets the
+    * session registry's override at lookup time, so those names are
+    * tracked here and allowed explicitly. */
+  private val userRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def isUserRegistered(name: String): Boolean =
+    userRegistered.contains(name.toLowerCase)
+  /** Record a user registration done directly via `spark.udf.register`. */
+  def track(name: String): Unit = { userRegistered.add(name.toLowerCase); () }
+
   /** DEFINE alias f — session-level registration (Pig's function registry;
     * reference: QueryParser.g DEFINE, P/PigServer registerFunction). */
-  def defineCountNonNull(spark: SparkSession, name: String): Unit =
-    spark.udf.register(name, udaf(new CountNonNull, Encoders.LONG))
-  def defineTopK(spark: SparkSession, name: String, k: Int): Unit =
-    spark.udf.register(name, udaf(new TopKLongs(k), Encoders.LONG))
+  def defineCountNonNull(spark: SparkSession, name: String): Unit = {
+    track(name); spark.udf.register(name, udaf(new CountNonNull, Encoders.LONG))
+  }
+  def defineTopK(spark: SparkSession, name: String, k: Int): Unit = {
+    track(name); spark.udf.register(name, udaf(new TopKLongs(k), Encoders.LONG))
+  }
 }

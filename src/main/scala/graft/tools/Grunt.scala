@@ -87,14 +87,31 @@ final class GruntShell(runner: graft.frontend.PigRunner) {
         scala.sys.process.Process(
           Seq("/bin/sh", "-c", trimmed.drop(3)), cwd).!!
       case "fs" if words.lift(1).exists(_.startsWith("-")) =>
-        val sub = words(1).stripPrefix("-").toLowerCase match {
-          case "rmr" => "rm" // FsShell spells recursive delete -rmr
-          case s => s
+        words(1).stripPrefix("-").toLowerCase match {
+          case "rmr" => // FsShell spells recursive delete -rmr
+            execute(("rm" +: words.drop(2)).mkString(" "))
+          case "rm" =>
+            // FsShell -rm is NON-recursive: it refuses a directory that
+            // still has children (Hadoop: "use -rmr instead"). Only the
+            // bare grunt `rm` and `-rmr` recurse.
+            val f = require_exists(resolve(arg(words, 2, "fs -rm")))
+            if (f.isDirectory &&
+                Option(f.listFiles()).exists(_.nonEmpty))
+              throw new IllegalArgumentException(
+                s"fs -rm: ${f.getPath} is a non-empty directory; " +
+                  "use -rmr to delete recursively")
+            f.delete(); ""
+          case s => execute((s +: words.drop(2)).mkString(" "))
         }
-        execute((sub +: words.drop(2)).mkString(" "))
       case "pwd" => cwd.getPath
       case "cd" =>
-        cwd = require_exists(resolve(arg(words, 1, "cd")))
+        // GruntParser.processCD: a bare `cd` returns to the home/default
+        // directory rather than erroring.
+        cwd = words.lift(1) match {
+          case Some(p) => require_exists(resolve(p))
+          case None =>
+            new File(sys.props.getOrElse("user.home", ".")).getCanonicalFile
+        }
         syncEngineCwd(runner.spark); ""
       case "ls" =>
         val f = require_exists(resolve(words.lift(1).getOrElse(".")))
@@ -121,8 +138,14 @@ final class GruntShell(runner: graft.frontend.PigRunner) {
         // other command
         val f = resolve(arg(words, 1, "run").stripPrefix("'")
           .stripSuffix("'"))
-        runner.run(new String(
-          Files.readAllBytes(f.toPath), "UTF-8"))
+        val script = new String(Files.readAllBytes(f.toPath), "UTF-8")
+        if (words.head.equalsIgnoreCase("exec")) {
+          // GruntParser: exec runs the script in an ISOLATED batch
+          // context — session aliases are neither visible to the script
+          // nor overwritten by it (run, by contrast, shares the session).
+          val iso = graft.frontend.PigRunner(runner.spark)
+          try iso.run(script) finally iso.close()
+        } else runner.run(script)
         ""
       case _ => runPig()
     }

@@ -1246,6 +1246,33 @@ class FrontendSpec extends SparkSpec {
     }
   }
 
+  test("STRSPLIT negative limit keeps trailing empties (ADVICE r8)") {
+    // -1 parses as Neg(Lit(1)); Java split(re, -1) keeps every field
+    val out = PigRunner(spark).run(s"""
+      n = LOAD '$dir/region.parquet';
+      f = FOREACH n GENERATE SIZE(STRSPLIT(CONCAT(r_name, '::'), ':', -1))
+            AS n_parts, r_name;
+    """).apply("f").df.collect()
+    // 'AFRICA::' splits to (AFRICA,'','') — 3 parts, empties kept
+    out.foreach(r => assert(r.getLong(0) == 3L, r.getString(1)))
+  }
+
+  test("user UDF shadowing a Spark builtin stays callable (ADVICE r8)") {
+    // 'repeat' is a Spark builtin; a user registration through the
+    // engine's surface overrides it at lookup time, so Pig Latin must
+    // dispatch to the user's function, not error as unknown.
+    graft.functions.UdfSurface.track("repeat")
+    spark.udf.register("repeat", (s: String) => s + s)
+    try {
+      val out = PigRunner(spark).run(s"""
+        n = LOAD '$dir/region.parquet';
+        f = FOREACH n GENERATE repeat(r_name) AS rr, r_name;
+      """).apply("f").df.collect()
+      out.foreach(r =>
+        assert(r.getString(0) == r.getString(1) + r.getString(1)))
+    } finally spark.sessionState.catalog.dropTempFunction("repeat", true)
+  }
+
   test("InvokeFor*: 5-arg static method (generic struct-packed arity)") {
     // Invoker.java:62 is arity-unbounded; 5+ args take the Row-packed path
     val out = PigRunner(spark).run(s"""

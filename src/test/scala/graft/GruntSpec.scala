@@ -210,4 +210,51 @@ class GruntSpec extends SparkSpec {
     shell.execute("DESCRIBE r;") // prints schema, must not throw
     shell.execute("DUMP r;")     // prints rows, must not throw
   }
+
+  test("fs -rm refuses a non-empty directory; -rmr recurses (ADVICE r8)") {
+    val out = outpath()
+    run(s"""mkdir $out/d
+            cp $inpath/singlefile/studenttab10k $out/d""")
+    val e = intercept[Exception](run(s"fs -rm $out/d"))
+    assert(e.getMessage.contains("non-empty directory"))
+    assert(Files.exists(Paths.get(out, "d", "studenttab10k")))
+    // -rm on a plain file and on an EMPTY directory still deletes
+    run(s"fs -rm $out/d/studenttab10k")
+    run(s"fs -rm $out/d")
+    assert(!Files.exists(Paths.get(out, "d")))
+    // -rmr deletes a tree
+    run(s"""mkdir $out/e
+            cp $inpath/singlefile/studenttab10k $out/e
+            fs -rmr $out/e""")
+    assert(!Files.exists(Paths.get(out, "e")))
+  }
+
+  test("cd with no argument returns home (processCD default, ADVICE r8)") {
+    val sh2 = new GruntShell(graft.frontend.PigRunner(spark))
+    sh2.execute(s"cd $inpath")
+    sh2.execute("cd")
+    assert(sh2.execute("pwd") ==
+      new java.io.File(sys.props("user.home")).getCanonicalPath)
+  }
+
+  test("exec runs isolated; run shares the session (ADVICE r8)") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.001")
+    val runner = graft.frontend.PigRunner(spark)
+    val sh2 = new GruntShell(runner)
+    val scriptDir = outpath()
+    Files.write(Paths.get(scriptDir, "iso.pig"),
+      s"inner_x = LOAD '$dir/region.parquet';".getBytes("UTF-8"))
+    sh2.execute(s"exec '$scriptDir/iso.pig'")
+    // the exec'd script's aliases must NOT leak into the session
+    intercept[Exception](runner.apply("inner_x"))
+    // ...and session aliases must not be visible to an exec'd script
+    sh2.execute(s"sess_a = LOAD '$dir/region.parquet';")
+    Files.write(Paths.get(scriptDir, "leak.pig"),
+      "uses = FILTER sess_a BY r_regionkey == 0;".getBytes("UTF-8"))
+    intercept[Exception](sh2.execute(s"exec '$scriptDir/leak.pig'"))
+    // run, by contrast, shares the session both ways
+    sh2.execute(s"run '$scriptDir/iso.pig'")
+    runner.apply("inner_x") // visible now
+  }
 }

@@ -315,6 +315,24 @@ object SparkEntry {
         .agg(round(SUM(col("l_quantity")), 2).as("sum_qty"),
              COUNT_STAR().as("n")).df),
 
+    // STREAM with file-handle redirection (§2.1 #17; HandleSpec /
+    // File{Input,Output}Handler): the partition lands in scratch/part_in
+    // before exec, the command reads+writes files itself, and the
+    // relation comes from scratch/part_out — same rows as q28, so the
+    // same oracle pins the whole redirection path
+    "q79_stream_file" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .foreach(col("l_returnflag"), col("l_quantity"))
+        .streamThroughIo("cat part_in > part_out", StructType(Seq(
+          StructField("l_returnflag", StringType),
+          StructField("l_quantity", DoubleType))),
+          graft.frontend.StreamIo.Spec(
+            input = Some(graft.frontend.StreamIo.Handle("part_in")),
+            outputs = Seq(graft.frontend.StreamIo.Handle("part_out"))))
+        .groupBy("l_returnflag" -> col("l_returnflag"))
+        .agg(round(SUM(col("l_quantity")), 2).as("sum_qty"),
+             COUNT_STAR().as("n")).df),
+
     // ASSERT r BY cond (#19) — holds on this data, so acts as a pass-through
     "q29_assert" -> ((s, d) =>
       T(s, d, "lineitem")
@@ -492,6 +510,10 @@ object SparkEntry {
          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
          GROUP BY c_nationkey""",
     "q28_stream" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "q79_stream_file" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",

@@ -265,14 +265,48 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
   // per task, exactly Pig's per-map/reduce-task contract.
   def streamThrough(cmd: Seq[String], outSchema: StructType,
                     sep: String = "\t"): Relation = {
+    val piped = serializedLines(sep).pipe(cmd)
+    linesToRelation(piped, outSchema, sep)
+  }
+
+  /** STREAM with I/O redirection / ship files (reference: HandleSpec +
+    * File{Input,Output}Handler + FileLocalizer ship list). Each task gets
+    * a scratch working directory — the task-cwd analog:
+    *  - ship files are copied in (so commands reference them by bare
+    *    name; the scratch dir is also appended to the child's $PATH,
+    *    StreamingUtil.setupEnvironment does the same)
+    *  - a FILE input handle is fully written before exec
+    *    (FileInputHandler is ASYNCHRONOUS: all input lands, then the
+    *    command runs reading the file itself)
+    *  - a FILE primary-output handle is read after exit
+    *    (FileOutputHandler binds post-process); secondary output handles
+    *    are written by the process into the scratch dir and discarded
+    *    (the reference keeps them as side files next to the job output —
+    *    only the primary becomes the relation either way)
+    * At cluster scale ship paths must be driver-visible or pre-staged
+    * via SparkContext.addFile; on the local engine they resolve
+    * directly. */
+  def streamThroughIo(shellCmd: String, outSchema: StructType,
+                      io: graft.frontend.StreamIo.Spec): Relation = {
+    val piped = serializedLines(io.inSep).mapPartitions { it =>
+      graft.operators.StreamProcess.run(shellCmd, it,
+        io.inputFile.map(_.name), io.primaryOut.map(_.name), io.ship)
+    }
+    linesToRelation(piped, outSchema, io.outSep)
+  }
+
+  /** Rows → delimited lines. Nulls serialize as EMPTY fields (concat_ws
+    * would silently DROP null columns and shift every later field left —
+    * Pig writes empty fields). */
+  private def serializedLines(sep: String) = df
+    .select(concat_ws(sep, df.columns.map(c =>
+        coalesce(col(c).cast(StringType), lit(""))).toIndexedSeq: _*))
+    .rdd.map(_.getString(0))
+
+  private def linesToRelation(piped: org.apache.spark.rdd.RDD[String],
+                              outSchema: StructType,
+                              sep: String): Relation = {
     val spark = df.sparkSession
-    // nulls serialize as EMPTY fields (concat_ws would silently DROP null
-    // columns and shift every later field left — Pig writes empty fields)
-    val piped = df
-      .select(concat_ws(sep, df.columns.map(c =>
-          coalesce(col(c).cast(StringType), lit(""))).toIndexedSeq: _*))
-      .rdd.map(_.getString(0))
-      .pipe(cmd)
     val sepRegex = java.util.regex.Pattern.quote(sep)
     val rows = piped.map { line =>
       // pad short lines with nulls, TRUNCATE long ones (Pig's

@@ -164,7 +164,11 @@ final class PigRunner(val spark: SparkSession) {
         case None => StructType(r.df.schema.map(f =>
           f.copy(dataType = StringType)))
       }
-      r.streamThrough(Seq("/bin/sh", "-c", cmd), outSchema)
+      // a DEFINE with input()/output()/ship() clauses rides its
+      // HandleSpec inside the inlined command (StreamIo.encode)
+      val (bare, io) = StreamIo.decode(cmd)
+      if (io.isTrivial) r.streamThrough(Seq("/bin/sh", "-c", bare), outSchema)
+      else r.streamThroughIo(bare, outSchema, io)
 
     case ParallelOp(innerOp, n) =>
       // PARALLEL n → explicit post-op partitioning (reference:

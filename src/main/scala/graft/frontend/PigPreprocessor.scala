@@ -125,6 +125,58 @@ object PigPreprocessor {
     out.toString
   }
 
+  /** Split a script into top-level statements (quote/backtick/brace
+    * aware; `--` line comments stripped) WITHOUT expanding anything —
+    * the pigunit override surface rewrites statement-wise on raw text
+    * (PigServer.registerScript + aliasOverrides). */
+  def splitStatements(script: String): Seq[String] = {
+    val noComments = stripBlockComments(
+      script.linesIterator.map(stripLineComment).mkString("\n"))
+    var rest = noComments
+    val out = mutable.ArrayBuffer.empty[String]
+    while (rest.trim.nonEmpty) {
+      val e = statementEnd(rest)
+      val stmt = rest.take(e).trim
+      if (stmt.nonEmpty) out += stmt
+      rest = rest.drop(e + 1)
+    }
+    out.toSeq
+  }
+  /** Remove `/* … */` block comments outside string literals (the
+    * reference grammar allows them anywhere, e.g. license headers in
+    * its own pigunit example scripts). */
+  private def stripBlockComments(s: String): String = {
+    val out = new StringBuilder
+    var i = 0; var inQ = false; var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (depth > 0) {
+        if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          depth -= 1; i += 1
+        }
+      } else {
+        if (c == '\'') inQ = !inQ
+        if (!inQ && c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+          depth += 1; i += 1
+        } else out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  private def stripLineComment(l: String): String = {
+    var i = 0; var inQ = false
+    while (i < l.length) {
+      val c = l.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '-' && i + 1 < l.length && l.charAt(i + 1) == '-')
+        return l.take(i)
+      i += 1
+    }
+    l
+  }
+
   /** end index (exclusive of ';') of a simple statement, brace-aware;
     * backtick commands may contain ';'/braces/quotes and are opaque */
   private def statementEnd(s: String): Int = {
@@ -185,11 +237,12 @@ object PigPreprocessor {
   private def parseDefine(stmt: String): Define = {
     val m = """(?is)DEFINE\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*\{(.*)\}\s*""".r
     val c = """(?is)DEFINE\s+(\w+)\s+'([^']*)'\s*""".r
-    // EXECCOMMAND backtick form; trailing SHIP/CACHE/STDERR clauses are
-    // validated then ignored (no distributed cache in the embedded
-    // engine — the command must be reachable by path), and INPUT/OUTPUT
-    // redirection or custom serializers fail loudly rather than
-    // silently changing the stream wire format
+    // EXECCOMMAND backtick form; trailing INPUT/OUTPUT/SHIP clauses
+    // parse to a StreamIo.Spec that rides inside the inlined command
+    // string (see StreamIo.encode); CACHE/STDERR are validated no-ops
+    // (no distributed cache in the embedded engine). Custom serializers
+    // other than PigStreaming('<sep>') fail loudly rather than silently
+    // changing the stream wire format.
     val cb = """(?is)DEFINE\s+(\w+)\s+`([^`]*)`\s*(.*?)\s*""".r
     val f = """(?is)DEFINE\s+(\w+)\s+([\w.$]+)\s*(?:\(([^)]*)\))?\s*""".r
     stmt match {
@@ -198,41 +251,13 @@ object PigPreprocessor {
         MacroDef(name, Macro(params, ret, body))
       case c(name, cmd) => CmdDef(name, cmd)
       case cb(name, cmd, clauses) =>
-        validateStreamClauses(clauses); CmdDef(name, cmd)
+        CmdDef(name, StreamIo.encode(cmd, StreamIo.parseClauses(clauses)))
       case f(name, func, ctorArgs) =>
         // dotted package prefixes resolve by terminal name (the builtin
         // catalog is flat — org.apache.pig.builtin.UPPER → UPPER)
         FuncDef(name, func.split('.').last, Option(ctorArgs).getOrElse(""))
       case other => throw new IllegalArgumentException(
         s"unsupported DEFINE form: ${other.take(60)}")
-    }
-  }
-
-  /** Reject malformed or semantics-changing DEFINE stream clauses the
-    * way the reference's grammar does (QueryParser stream_cmd): ship/
-    * cache take QUOTED path lists, stderr an optional 'name' [limit n];
-    * input/output accept only the stdin/stdout defaults — a custom
-    * serializer or file redirection would silently change the wire
-    * format, so they error instead of being dropped. */
-  private def validateStreamClauses(clauses0: String): Unit = {
-    var rest = clauses0.trim
-    val quotedList = """'[^']*'(\s*,\s*'[^']*')*"""
-    val legal = Seq(
-      s"""(?is)^(ship|cache)\\s*\\(\\s*($quotedList)?\\s*\\)""".r,
-      """(?is)^stderr\s*\(\s*('[^']*'(\s+limit\s+\d+)?)?\s*\)""".r,
-      """(?is)^input\s*\(\s*stdin\s*\)""".r,
-      """(?is)^output\s*\(\s*stdout\s*\)""".r)
-    while (rest.nonEmpty) {
-      if (rest.matches("(?is)^(input|output)\\s*\\(.*"))
-        if (!rest.matches("(?is)^input\\s*\\(\\s*stdin\\s*\\).*") &&
-            !rest.matches("(?is)^output\\s*\\(\\s*stdout\\s*\\).*"))
-          throw new IllegalArgumentException(
-            "DEFINE input/output redirection or custom stream " +
-            s"serializers are not supported: ${rest.take(60)}")
-      val hit = legal.flatMap(_.findFirstIn(rest)).headOption
-        .getOrElse(throw new IllegalArgumentException(
-          s"malformed DEFINE stream clause: ${rest.take(60)}"))
-      rest = rest.drop(hit.length).trim
     }
   }
 

@@ -31,22 +31,35 @@ object Rank {
     *    whose cumulative offsets broadcast-join back on partition id
     *    (PORank's cumulative-offset side input).
     *
-    * The pid-stamped frame is PERSISTED before the two passes: the
-    * count job and the final join are separate actions, and without a
-    * materialization each re-executes the input — range-partition
-    * sampling and AQE may then produce DIFFERENT partitionings, which
-    * would silently corrupt the offsets. The reference has the same
-    * structural requirement (POCounter's output is materialized to
-    * HDFS before PORank reads it); a tracked persist is the cheaper
-    * Spark equivalent. */
+    * The count job and the final join are separate actions, so each
+    * re-executes the input; the two executions MUST agree on
+    * partitioning and intra-partition row order or the offsets silently
+    * corrupt. Two regimes:
+    *
+    *  - SHUFFLE-FREE deterministic input (rank straight off a
+    *    load/filter/project — the dominant case): file splits and
+    *    in-split order are stable across jobs and AQE has no shuffle
+    *    to re-plan, so the passes agree by construction. NO persist —
+    *    at 100 TB this is the difference between caching the table and
+    *    caching nothing — and the count pass runs on a pid-only
+    *    projection, so column pruning keeps its scan minimal.
+    *  - anything shuffle-rooted or nondeterministic: the pid-stamped
+    *    frame is PERSISTED before the two passes (shuffle output order
+    *    races mapper completion; range sampling + AQE can re-plan).
+    *    The reference has the same structural requirement (POCounter's
+    *    output is materialized to HDFS before PORank reads it); a
+    *    tracked persist is the cheaper Spark equivalent. */
   def rowNumber(df: DataFrame, rankName: String = "rank"): DataFrame = {
     val spark = df.sparkSession
-    val withPid = graft.GraftSession.trackPersist(df
+    val stamped = df
       .withColumn("__rn_mid", monotonically_increasing_id())
-      .withColumn("__rn_pid", spark_partition_id()))
+      .withColumn("__rn_pid", spark_partition_id())
+    val withPid =
+      if (deterministicNarrow(df)) stamped
+      else graft.GraftSession.trackPersist(stamped)
     // numPartitions (pid, count) rows to the driver — the reference's
     // POCounter side channel; NOT a data collect
-    val counts = withPid.groupBy(col("__rn_pid"))
+    val counts = withPid.select(col("__rn_pid")).groupBy(col("__rn_pid"))
       .agg(count(lit(1)).as("__rn_cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -114,6 +127,24 @@ object Rank {
         .select((df.columns.map(withKeys(_)) :+ col("__kr").as(rankName))
           .toIndexedSeq: _*)
     }
+  }
+
+  /** True when re-executing `df` is guaranteed to reproduce the same
+    * partitioning and intra-partition row order: the physical plan has
+    * no shuffle (file splits are stable, AQE only re-plans at shuffle
+    * boundaries) and no nondeterministic expressions. Checked on the
+    * pre-adaptive plan — with no exchange there is nothing adaptive
+    * execution can change. */
+  private def deterministicNarrow(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = df.queryExecution.sparkPlan
+    val shuffleFree =
+      plan.collectFirst { case s: ShuffleExchangeLike => s }.isEmpty
+    def allDeterministic = plan.find(p =>
+      p.expressions.exists(e => !e.deterministic)).isEmpty
+    // a cached frame is stable too: InMemoryTableScan replays the
+    // materialized partitions
+    shuffleFree && allDeterministic
   }
 
   /** Exclusive running sum of a non-null long column in the DataFrame's

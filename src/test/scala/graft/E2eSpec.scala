@@ -216,14 +216,15 @@ class E2eSpec extends SparkSpec {
 
   /** streaming.conf scripts whose external commands exist in this
     * container (awk/cut/sort/head/cat + the reference's OWN perl
-    * streaming scripts, run from their checkout path — ship() is a
-    * no-op on a local filesystem). input()/output() file redirection
-    * and the deliberately-failing scripts stay out of scope. */
+    * streaming scripts). input()/output() file redirection and ship()
+    * run for real (StreamIo + StreamProcess scratch-cwd contract) —
+    * remaining exclusions are jar UDFs (FUNCPATH/register), cluster
+    * distributed-cache tests, and the deliberately-failing scripts. */
   private lazy val streamingScripts: Seq[(String, Int, String)] =
     extract("/root/reference/test/e2e/pig/tests/streaming.conf", None,
       ("""(?is)register|:FUNCPATH:|org\.apache\.pig\.test|mapred""" +
-       """|:PARAMPATH:|illustrate|input\s*\(|output\s*\(|cache\s*\(""" +
-       """|DieRandomly|PigStreamingBad|PigStreamingDepend""" +
+       """|:PARAMPATH:|illustrate|cache\s*\(""" +
+       """|DieRandomly|PigStreamingBad""" +
        """|\$script_name""").r)
 
   test("negative.conf NegForeach scripts FAIL here too (error parity)") {
@@ -261,7 +262,17 @@ class E2eSpec extends SparkSpec {
     val portable = Seq(
       ("NoSuchFile", 1), ("NotAllowed", 2), ("SyntaxErrors", 1),
       ("SyntaxErrors", 2), ("SyntaxErrors", 4), ("SyntaxErrors", 5),
-      ("CmdErrors", 1), ("CmdErrors", 2))
+      ("CmdErrors", 1), ("CmdErrors", 2),
+      // r9: newly portable once STREAM I/O handles parse for real —
+      // bad serializer-less `using`, unresolvable (de)serializers,
+      // missing ship/cache files, undefined aliases, and streamers
+      // that exit nonzero at start/middle/end. DieRandomly (Str.Err/4)
+      // stays out: rand(n) can land on 0 and exit clean.
+      ("SyntaxErrors", 3), ("CmdErrors", 3), ("CmdErrors", 4),
+      ("CmdErrors", 5), ("CmdErrors", 7), ("CmdErrors", 8),
+      ("StreamingErrors", 1), ("StreamingErrors", 2),
+      ("StreamingErrors", 3), ("StreamingLocalErrors", 1),
+      ("StreamingLocalErrors", 2), ("StreamingLocalErrors", 3))
     // neither filter applies: these entries are SUPPOSED to fail
     val all = extract("/root/reference/test/e2e/pig/tests/negative.conf",
       None, "(?!x)x".r, skip = "(?!x)x".r)
@@ -333,8 +344,8 @@ class E2eSpec extends SparkSpec {
   }
 
   test("reference streaming.conf scripts run end-to-end (STREAM THROUGH)") {
-    assert(streamingScripts.size >= 10,
-      s"expected >=10 streaming scripts, selected ${streamingScripts.size}")
+    assert(streamingScripts.size >= 28,
+      s"expected >=28 streaming scripts, selected ${streamingScripts.size}")
     runCorpus("streaming.conf", streamingScripts)
   }
 }

@@ -1273,6 +1273,87 @@ class FrontendSpec extends SparkSpec {
     } finally spark.sessionState.catalog.dropTempFunction("repeat", true)
   }
 
+  // ---- STREAM input()/output() redirection (HandleSpec,
+  // File{Input,Output}Handler; streaming.conf StreamingIO sections)
+
+  test("STREAM input('file'): command reads its input from a file") {
+    // StreamingIO/3 shape: the partition lands in scratch/foo before
+    // exec; the command reads the file itself (stdin is closed)
+    val out = PigRunner(spark).run(s"""
+      DEFINE CMD `cat foo` input('foo');
+      r = LOAD '$dir/region.parquet';
+      p = FOREACH r GENERATE r_regionkey, r_name;
+      s = STREAM p THROUGH CMD AS (k:int, name:chararray);
+      o = ORDER s BY k;
+    """).apply("o").df.collect()
+    assert(out.length == 5 && out.head.getString(1) == "AFRICA")
+  }
+
+  test("STREAM output('file'): relation comes from the written file") {
+    // StreamingIO/4 shape: stdout is discarded; scratch/bar is the result
+    val out = PigRunner(spark).run(s"""
+      DEFINE CMD `cat > bar; echo IGNORED-STDOUT` output('bar');
+      r = LOAD '$dir/region.parquet';
+      p = FOREACH r GENERATE r_regionkey, r_name;
+      s = STREAM p THROUGH CMD AS (k:int, name:chararray);
+      o = ORDER s BY k;
+    """).apply("o").df.collect()
+    assert(out.length == 5 && out.map(_.getString(1)).contains("EUROPE"))
+    assert(!out.exists(r => String.valueOf(r.getString(1)).contains("IGNORED")))
+  }
+
+  test("STREAM output(stdout, 'side'): primary is stdout, side discarded") {
+    // StreamingIO/6 shape: first handle is the primary output
+    val out = PigRunner(spark).run(s"""
+      DEFINE CMD `tee side_file` output(stdout, 'side_file');
+      r = LOAD '$dir/region.parquet';
+      p = FOREACH r GENERATE r_regionkey;
+      s = STREAM p THROUGH CMD AS (k:int);
+    """).apply("s").df.collect()
+    assert(out.map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("STREAM using PigStreaming('<sep>') changes the wire delimiter") {
+    // StreamingPerformance/3 shape: comma-serialized input; the command
+    // sees comma-separated lines and emits them tab-separated
+    val out = PigRunner(spark).run(s"""
+      DEFINE CMD `sed 's/,/\\t/g'` input(stdin using PigStreaming(','));
+      r = LOAD '$dir/region.parquet';
+      p = FOREACH r GENERATE r_regionkey, r_name;
+      s = STREAM p THROUGH CMD AS (k:int, name:chararray);
+      o = ORDER s BY k;
+    """).apply("o").df.collect()
+    assert(out.length == 5 && out.head.getString(1) == "AFRICA")
+  }
+
+  test("STREAM ship('path'): shipped script runs by bare name") {
+    val sh = java.nio.file.Files.createTempDirectory("ship").resolve("upper1.sh")
+    java.nio.file.Files.write(sh,
+      "#!/bin/sh\ntr 'a-z' 'A-Z'\n".getBytes("UTF-8"))
+    val out = PigRunner(spark).run(s"""
+      DEFINE CMD `upper1.sh` ship('$sh');
+      r = LOAD '$dir/region.parquet';
+      p = FOREACH r GENERATE r_name;
+      s = STREAM p THROUGH CMD AS (name:chararray);
+    """).apply("s").df.collect()
+    assert(out.map(_.getString(0)).toSet.contains("AFRICA"))
+  }
+
+  test("STREAM file-handle command failing exit fails the query") {
+    val e = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        DEFINE CMD `exit 3` input('f');
+        r = LOAD '$dir/region.parquet';
+        s = STREAM r THROUGH CMD;
+        DUMP s;
+      """)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exited with code")))
+  }
+
   test("InvokeFor*: 5-arg static method (generic struct-packed arity)") {
     // Invoker.java:62 is arity-unbounded; 5+ args take the Row-packed path
     val out = PigRunner(spark).run(s"""

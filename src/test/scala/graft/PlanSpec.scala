@@ -87,6 +87,31 @@ class PlanSpec extends SparkSpec {
       assert(!plan(q).contains("ExistingRDD"), s"$q plans an RDD scan")
   }
 
+  test("rank over a shuffle-free scan skips the two-pass persist") {
+    // deterministicNarrow fast path (ADVICE r8 #7): file splits replay
+    // identically across the count and join jobs, so the pid-stamped
+    // frame need not be cached — at 100 TB that is the difference
+    // between caching the table and caching nothing
+    GraftSession.unpersistAll()
+    val scan = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ranked = graft.operators.Rank.rowNumber(scan, "r")
+    assert(!ranked.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"), "narrow rank should not persist")
+    // correctness of the unpersisted path: contiguous 1..n
+    val n = scan.count()
+    val stats = ranked.agg(min(col("r")), max(col("r")),
+      countDistinct(col("r"))).head()
+    assert(stats.getLong(0) == 1L && stats.getLong(1) == n &&
+      stats.getLong(2) == n)
+    // a shuffle-rooted input must still persist (two jobs would race
+    // mapper completion order otherwise)
+    val shuffled = scan.repartition(7, col("l_orderkey"))
+    val rankedShuffled = graft.operators.Rank.rowNumber(shuffled, "r")
+    assert(rankedShuffled.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"), "shuffled rank must persist")
+    GraftSession.unpersistAll()
+  }
+
   test("entry: order+limit plans TakeOrderedAndProject (no global sort)") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"))

@@ -56,7 +56,10 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
         // expanded fields take the bag's POSITION (Pig replaces the item
         // in place — downstream positional refs stay valid)
         val (pre, post) = exploded.columns.filterNot(_ == tmp).splitAt(pos)
-        val expand = st.fieldNames.map(f => col(s"$tmp.$f").as(f))
+        // explicit metadata: field extraction drops StructField metadata
+        // (declared pig_type / pig_name) that DESCRIBE needs
+        val expand = st.fields.map(f =>
+          col(s"$tmp.${f.name}").as(f.name, f.metadata))
         derived(exploded.select(
           (pre.map(col) ++ expand ++ post.map(col)).toIndexedSeq: _*))
       case _ =>
@@ -79,7 +82,8 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
     val st = df.schema(structCol).dataType.asInstanceOf[StructType]
     val pos = df.columns.indexOf(structCol)
     val (pre, post) = df.columns.filterNot(_ == structCol).splitAt(pos)
-    val expand = st.fieldNames.map(f => col(s"$structCol.$f").as(f))
+    val expand = st.fields.map(f =>
+      col(s"$structCol.${f.name}").as(f.name, f.metadata))
     derived(df.select(
       (pre.map(col) ++ expand ++ post.map(col)).toIndexedSeq: _*))
   }
@@ -385,6 +389,17 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
     * the reference prints it (Schema.toString; cmdline.conf's
     * Describe_cmdline group pins the format). Returns the line so the
     * REPL and specs can capture it; also printed like the reference. */
+  /** Up to `n` head rows, each field rendered as its Pig literal — the
+    * ILLUSTRATE table body (approximation of DisplayExamples). */
+  def illustrateCells(n: Int): Seq[Seq[String]] = {
+    val cols = df.schema.fields.map(f =>
+      coalesce(graft.functions.PigTextParse.unparse(col(f.name), f.dataType),
+        lit("")).as(f.name))
+    df.select(cols.toIndexedSeq: _*).limit(n).collect()
+      .map(r => df.schema.indices.map(i =>
+        String.valueOf(r.getString(i))).toSeq).toSeq
+  }
+
   def describeString(): String = s"$name: ${Relation.pigSchemaString(df.schema)}"
   def describe(): Unit = println(describeString())
   def explain(): Unit = df.explain("formatted")
@@ -423,12 +438,28 @@ object Relation {
     * the LOAD AS apply) renders that — `bytearray` and `map[]` are not
     * recoverable from the Catalyst type alone. */
   def pigSchemaString(st: StructType): String =
-    st.fields.map { f =>
+    st.fields.zipWithIndex.map { case (f, i) =>
       val t = if (f.metadata.contains("pig_type"))
         renderDeclared(f.metadata.getString("pig_type"))
       else pigTypeName(f.dataType)
-      s"${f.name}: $t"
+      // an auto-named field (`c<pos>`, no declared type) is UNNAMED in
+      // Pig — Schema.toString prints just the type (cmdline.conf
+      // NestedDescribe/2: `C: {long,group: bytearray}` for an
+      // un-aliased COUNT). A field carrying `pig_name` metadata prints
+      // Pig's two-level spelling (`A::name`) while the COLUMN keeps the
+      // engine's collide-only rename (Describe_cmdline/13).
+      if (f.metadata.contains("pig_name"))
+        s"${f.metadata.getString("pig_name")}: $t"
+      else if (f.name == s"c$i" && !f.metadata.contains("pig_type")) t
+      else s"${f.name}: $t"
     }.mkString("{", ",", "}")
+
+  /** One field's Pig type spelling — declared metadata first, Catalyst
+    * type otherwise (the DESCRIBE rule, exposed for ILLUSTRATE headers). */
+  def pigFieldType(f: StructField): String =
+    if (f.metadata.contains("pig_type"))
+      renderDeclared(f.metadata.getString("pig_type"))
+    else pigTypeName(f.dataType)
 
   /** Split a canonical type string's field list at top-level commas. */
   private def splitTop(s: String): Seq[String] = {

@@ -114,5 +114,6 @@ object PigAst {
   case class DumpStmt(alias: String) extends Stmt
   case class DescribeStmt(alias: String) extends Stmt
   case class ExplainStmt(alias: String) extends Stmt
+  case class IllustrateStmt(alias: String) extends Stmt
   case class SetStmt(key: String, value: String) extends Stmt
 }

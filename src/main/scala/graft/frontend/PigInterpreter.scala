@@ -18,7 +18,29 @@ import PigAst._
   */
 final class PigRunner(val spark: SparkSession) {
   graft.GraftSession.tune(spark)
-  private val env = scala.collection.mutable.LinkedHashMap.empty[String, Relation]
+  private val aliasMap =
+    scala.collection.mutable.LinkedHashMap.empty[String, Relation]
+  /** Alias lookup with Pig's error text on a miss (PigServer throws
+    * FrontendException 1003; cmdline.conf Describe_cmdline/12 pins the
+    * message for `describe X` of an undefined alias). */
+  private object env {
+    def apply(a: String): Relation = aliasMap.getOrElse(a,
+      throw new NoSuchElementException(
+        s"ERROR 1003: Unable to find an operator for alias $a"))
+    def update(a: String, r: Relation): Unit = aliasMap(a) = r
+    def contains(a: String): Boolean = aliasMap.contains(a)
+    def toMap: Map[String, Relation] = aliasMap.toMap
+  }
+  /** DESCRIBE lines for nested-FOREACH inner aliases, keyed `C::D`
+    * (reference: GruntParser describe of a nested alias — cmdline.conf
+    * NestedDescribe group). Populated on each nested-foreach assign. */
+  private val nestedDescribe =
+    scala.collection.mutable.Map.empty[String, String]
+  /** Which aliases each alias was built FROM — the dataflow edges
+    * ILLUSTRATE walks (reference: ExampleGenerator over the logical
+    * plan's predecessors). */
+  private val aliasDeps =
+    scala.collection.mutable.Map.empty[String, Seq[String]]
   private var lastAlias: Option[String] = None
 
   /** Grouping provenance for aliases produced by GROUP/CUBE — enables the
@@ -37,6 +59,74 @@ final class PigRunner(val spark: SparkSession) {
 
   def relations: Map[String, Relation] = env.toMap
   def apply(alias: String): Relation = env(alias)
+  /** The DESCRIBE line for an alias — including nested-FOREACH inner
+    * aliases (`C::D`), which are schemas, not relations. */
+  def describeLine(alias: String): String =
+    if (!env.contains(alias) && nestedDescribe.contains(alias))
+      nestedDescribe(alias)
+    else env(alias).describeString()
+
+  /** ILLUSTRATE — the sanctioned APPROXIMATION of the reference's
+    * ExampleGenerator (P/pen/ExampleGenerator.java; SURVEY: "skip or
+    * approximate"): walks the target's dataflow ancestors in definition
+    * order and prints up to `rows` head-sample rows per alias in the
+    * reference's boxed-table format (DisplayExamples.DisplayTable).
+    * DIVERGENCE, documented: samples are per-alias heads, not
+    * lineage-coupled examples, and no synthetic rows are fabricated for
+    * empty intermediates. */
+  def illustrateText(target: String, rows: Int = 2): String = {
+    env(target) // alias must exist (same 1003 error as DESCRIBE)
+    val ancestors = {
+      val seen = scala.collection.mutable.Set.empty[String]
+      def walk(a: String): Unit =
+        if (seen.add(a)) aliasDeps.getOrElse(a, Seq.empty).foreach(walk)
+      walk(target)
+      seen.toSet
+    }
+    val chain = aliasMap.keys.filter(ancestors).toSeq
+    chain.map { a =>
+      val rel = env(a)
+      val st = rel.df.schema
+      val headers = st.fields.map(f =>
+        s"${f.name}:${Relation.pigFieldType(f)}").toSeq
+      val cells = rel.illustrateCells(rows)
+      val widths = headers.zipWithIndex.map { case (h, i) =>
+        math.max(5, (h.length +: cells.map(_(i).length)).max) }
+      def line(total: Int) = "-" * total
+      val aliasCell = s"| $a    "
+      val total = widths.sum + 3 * (widths.size + 1) + aliasCell.length - 1
+      val header = aliasCell + widths.zip(headers).map { case (w, h) =>
+        s"| ${h.padTo(w, ' ')} " }.mkString("", "", "|")
+      val body = cells.map(r =>
+        " " * aliasCell.length + widths.zip(r).map { case (w, v) =>
+          s"| ${v.padTo(w, ' ')} " }.mkString("", "", "|"))
+      (line(total) +: header +: line(total) +: body :+ line(total))
+        .mkString("\n")
+    }.mkString("", "\n", "\n")
+  }
+
+  private def inputsOf(op: Op): Seq[String] = op match {
+    case _: LoadOp => Seq.empty
+    case FilterOp(in, _) => Seq(in)
+    case ForeachOp(in, _) => Seq(in)
+    case NestedForeachOp(in, _, _) => Seq(in)
+    case StreamOp(in, _, _) => Seq(in)
+    case GroupOp(ins, _, _) => ins.map(_.alias)
+    case JoinOp(ins, _, _) => ins.map(_._1)
+    case CrossOp(ins) => ins
+    case OrderOp(in, _, _) => Seq(in)
+    case RankOp(in, _, _) => Seq(in)
+    case LimitOp(in, _) => Seq(in)
+    case LimitExprOp(in, _) => Seq(in)
+    case DistinctOp(in) => Seq(in)
+    case UnionOp(ins, _) => ins
+    case SampleOp(in, _) => Seq(in)
+    case SampleExprOp(in, _) => Seq(in)
+    case CubeOp(in, _, _, _) => Seq(in)
+    case AliasRef(in) => Seq(in)
+    case ParallelOp(inner, _) => inputsOf(inner)
+    case _ => Seq.empty
+  }
 
   /** Release persisted intermediates this runner's statements created
     * (SPLIT inputs, scalar-projection caches). Call when the script's
@@ -49,7 +139,7 @@ final class PigRunner(val spark: SparkSession) {
   /** The most recently ASSIGNED relation (LinkedHashMap keeps the original
     * slot on re-assignment, so `relations.last` would be wrong after
     * `a = …; b = …; a = …`). */
-  def lastAssigned: Option[Relation] = lastAlias.map(env)
+  def lastAssigned: Option[Relation] = lastAlias.map(env(_))
 
   def run(script: String): PigRunner = run(script, Map.empty[String, String])
 
@@ -73,7 +163,18 @@ final class PigRunner(val spark: SparkSession) {
           Some(GroupMeta(env(in).df, in, dims, all = false, kind, clauses))
         case _ => None
       }
+      // record nested-block alias schemas BEFORE the assign (a
+      // self-assign would otherwise re-derive against the new frame)
+      op match {
+        case NestedForeachOp(in, inner, _) if env.contains(in) =>
+          innerAliasSchemas(env(in).df, inner).foreach { case (k, st) =>
+            nestedDescribe(s"$alias::$k") =
+              s"$k: ${Relation.pigSchemaString(st)}"
+          }
+        case _ => ()
+      }
       env(alias) = evalOp(op).as(alias)
+      aliasDeps(alias) = inputsOf(op)
       meta match {
         case Some(m) => groupMeta(alias) = m
         case None    => groupMeta.remove(alias)
@@ -86,10 +187,12 @@ final class PigRunner(val spark: SparkSession) {
       val conds = branches.map { case (a, e) =>
         (a, compile(resolveScalars(e, rel.df), rel.df)) }
       val parts = rel.split(conds: _*)
-      parts.foreach { case (a, r) => env(a) = r; groupMeta.remove(a) }
+      parts.foreach { case (a, r) =>
+        env(a) = r; groupMeta.remove(a); aliasDeps(a) = Seq(in) }
       otherwise.foreach { a =>
         env(a) = rel.filter(rel.splitOtherwise(conds.map(_._2): _*)).as(a)
         groupMeta.remove(a)
+        aliasDeps(a) = Seq(in)
       }
       lastAlias = Some(otherwise.getOrElse(branches.last._1))
     case StoreStmt(alias, path, using) =>
@@ -104,8 +207,15 @@ final class PigRunner(val spark: SparkSession) {
       // downstream FOREACH against the pre-group input would bypass it
       groupMeta.remove(alias)
     case DumpStmt(alias)     => env(alias).dump()
-    case DescribeStmt(alias) => env(alias).describe()
+    case DescribeStmt(alias) =>
+      // nested-FOREACH inner aliases describe by their recorded schema
+      // (`describe C::D`, cmdline.conf NestedDescribe); a qualified name
+      // that is ALSO a real alias (join output) prefers the relation
+      if (!env.contains(alias) && nestedDescribe.contains(alias))
+        println(nestedDescribe(alias))
+      else env(alias).describe()
     case ExplainStmt(alias)  => env(alias).explain()
+    case IllustrateStmt(alias) => println(illustrateText(alias))
     case SetStmt(key, value) =>
       // Grunt `set key value` → session conf (reference: GruntParser set)
       spark.conf.set(key, value)
@@ -908,6 +1018,56 @@ final class PigRunner(val spark: SparkSession) {
   }
 
   // -------------------------------------------------- nested FOREACH { }
+  /** Pig-schema view of each nested-block alias, derived SYMBOLICALLY
+    * from the input frame's schema (so it works whether the block
+    * executes via HOFs or is fused into a groupBy().agg()). Field
+    * projections keep the source StructField — metadata included, so
+    * `describe C::D` prints `bytearray` for untyped fields exactly as
+    * the reference does (cmdline.conf NestedDescribe/1-3). Aliases whose
+    * schema we cannot derive (nested CROSS, computed lets) are simply
+    * not describable — same error as an unknown alias. */
+  private def innerAliasSchemas(df: DataFrame,
+      inner: Seq[(String, InnerOp)]): Map[String, StructType] = {
+    var m = Map.empty[String, StructType]
+    def elem(name: String): Option[StructType] = {
+      val parts = name.split('.')
+      val base: Option[DataType] =
+        if (m.contains(parts.head)) Some(ArrayType(m(parts.head)))
+        else if (parts.head.startsWith("$"))
+          scala.util.Try(parts.head.drop(1).toInt).toOption
+            .filter(i => i >= 0 && i < df.schema.length)
+            .map(df.schema.fields(_).dataType)
+        else scala.util.Try(
+          df.schema(resolve(parts.head, df)).dataType).toOption
+      parts.tail.foldLeft(base) {
+        case (Some(ArrayType(st: StructType, n)), f) =>
+          val idx =
+            if (f.startsWith("$")) scala.util.Try(f.drop(1).toInt).toOption
+            else Some(st.fieldNames.indexWhere(_.equalsIgnoreCase(f)))
+          idx.filter(i => i >= 0 && i < st.length)
+            .map(i => ArrayType(StructType(Seq(st.fields(i))), n))
+        case _ => None
+      } match {
+        case Some(ArrayType(st: StructType, _)) => Some(st)
+        case _ => None
+      }
+    }
+    inner.foreach { case (alias, op) =>
+      val s = op match {
+        case InnerFilter(s0, _)    => elem(s0)
+        case InnerOrder(s0, _)     => elem(s0)
+        case InnerLimit(s0, _)     => elem(s0)
+        case InnerLimitExpr(s0, _) => elem(s0)
+        case InnerDistinct(s0)     => elem(s0)
+        case InnerExpr(ColRef(n))  => elem(n)
+        case InnerExpr(Deref(ColRef(n), f)) => elem(s"$n.$f")
+        case _ => None
+      }
+      s.foreach(st => m += alias -> st)
+    }
+    m
+  }
+
   /** Per-group sub-pipeline over bag columns: nested FILTER/ORDER/LIMIT/
     * DISTINCT become array HOFs (filter / array_sort comparator / slice /
     * array_distinct) — per-row column work, no extra shuffle beyond the
@@ -929,7 +1089,16 @@ final class PigRunner(val spark: SparkSession) {
             if (parts.head.startsWith("$"))
               col(df.columns(parts.head.drop(1).toInt))
             else col(resolve(parts.head, df)))
-          parts.tail.foldLeft(base)((c, f) => c.getField(f))
+          // `$n` path steps address the bag tuple positionally
+          // (`distinct A.$1`, cmdline.conf NestedDescribe/3)
+          parts.tail.foldLeft(base)((c, f) =>
+            if (f.startsWith("$")) typeOf(c, df) match {
+              case ArrayType(st: StructType, _) =>
+                c.getField(st.fields(f.drop(1).toInt).name)
+              case st: StructType =>
+                c.getField(st.fields(f.drop(1).toInt).name)
+              case _ => c.getField(f)
+            } else c.getField(f))
         } else col(resolve(name, df)))
     def elemSchema(name: String): StructType =
       typeOf(bagOf(name), df) match {
@@ -941,6 +1110,19 @@ final class PigRunner(val spark: SparkSession) {
     // plain-value array, but Pig's bag is always a bag of TUPLES — the
     // projected field keeps its name; alias → that field name
     var nestedElem = Map.empty[String, String]
+    /** The trailing field name of a dotted bag path, resolving a `$n`
+      * step to the tuple field it addresses. */
+    def lastField(name: String): String = {
+      val f = name.split('.').last
+      if (f.startsWith("$")) scala.util.Try {
+        typeOf(bagOf(name.split('.').init.mkString(".")), df) match {
+          case ArrayType(st: StructType, _) => st.fields(f.drop(1).toInt).name
+          case st: StructType               => st.fields(f.drop(1).toInt).name
+          case _                            => f
+        }
+      }.getOrElse(f)
+      else f
+    }
     /** Bag as array-of-struct: plain-value projections get their field
       * name back (so `filter C1 by age >= 30` resolves `age`). The
       * Option is the wrapped field name when the bag was plain-valued —
@@ -950,7 +1132,7 @@ final class PigRunner(val spark: SparkSession) {
         case ArrayType(st: StructType, _) => (bagOf(name), st, None)
         case ArrayType(et, _) =>
           val f = nestedElem.getOrElse(name,
-            if (name.contains('.')) name.split('.').last else "value")
+            if (name.contains('.')) lastField(name) else "value")
           (transform(bagOf(name), t => struct(t.as(f))),
            StructType(Seq(StructField(f, et))), Some(f))
         case other => throw new IllegalArgumentException(
@@ -1074,7 +1256,7 @@ final class PigRunner(val spark: SparkSession) {
       // later op can restore Pig's tuple-field view of them
       def inherit(src: String): Unit =
         nestedElem.get(src)
-          .orElse(if (src.contains('.')) Some(src.split('.').last) else None)
+          .orElse(if (src.contains('.')) Some(lastField(src)) else None)
           .foreach(f => nestedElem += alias -> f)
       op match {
         case InnerExpr(Deref(_, f)) if !f.startsWith("$") =>
@@ -1197,10 +1379,18 @@ final class PigRunner(val spark: SparkSession) {
         // d::name — LogicalSchema.mergeSchemasByAlias). A positional
         // ref qualifies by the column it resolves to (FLATTEN($1),
         // FLATTEN($2) over a schemaless cogroup collide otherwise).
-        val qual = e match {
-          case ColRef(n) => Some(n)
-          case PosRef(p) if p < df.columns.length => Some(df.columns(p))
-          case _ => None
+        val qual = {
+          // unwrap bincond/cast to the bag alias underneath — Pig's
+          // two-level names survive `flatten((IsEmpty(A) ? … : A))`
+          // (cmdline.conf Describe_cmdline/13)
+          def q(x: Expr): Option[String] = x match {
+            case ColRef(n) => Some(n)
+            case PosRef(p) if p < df.columns.length => Some(df.columns(p))
+            case BinCond(_, t2, f2) => q(t2).orElse(q(f2))
+            case CastExpr(_, x2) => q(x2)
+            case _ => None
+          }
+          q(e)
         }
         flattens :+= ((tmp, alias, aliases, qual))
         Seq(comp(e).as(tmp))
@@ -1225,10 +1415,23 @@ final class PigRunner(val spark: SparkSession) {
           val existing = out.df.columns.filterNot(_ == tmp).toSet
           val deconflicted = st.fieldNames.toSeq.map { f =>
             if (existing(f) && qual.isDefined) s"${qual.get}__$f" else f }
+          // every expanded field of an ALIASED bag is two-level in Pig
+          // (`A::name` — LogicalSchema.mergeSchemasByAlias). The COLUMN
+          // keeps the collide-only rename (resolve() accepts both
+          // spellings); the Pig spelling rides `pig_name` metadata so
+          // DESCRIBE prints it faithfully (Describe_cmdline/13).
           val pre =
-            if (deconflicted != st.fieldNames.toSeq) {
+            if (deconflicted != st.fieldNames.toSeq || qual.isDefined) {
               val newSt = StructType(st.fields.zip(deconflicted).map {
-                case (fld, nm) => fld.copy(name = nm) })
+                case (fld, nm) =>
+                  val m = qual match {
+                    case Some(qn) =>
+                      new org.apache.spark.sql.types.MetadataBuilder()
+                        .withMetadata(fld.metadata)
+                        .putString("pig_name", s"$qn::${fld.name}").build()
+                    case None => fld.metadata
+                  }
+                  fld.copy(name = nm, metadata = m) })
               Relation(out.df.withColumn(tmp,
                 col(tmp).cast(ArrayType(newSt))), r.name)
             } else out
@@ -1507,9 +1710,15 @@ final class PigRunner(val spark: SparkSession) {
     case Lit(v)    => lit(v)
     case ColRef(n) => col(resolve(n, df))
     case PosRef(i) =>
-      // a positional ref past the schema is null, never an error
-      // (Pig: absent fields are null — same rule as short rows)
-      if (i < df.columns.length) col(df.columns(i)) else lit(null)
+      // a positional ref past a KNOWN schema is a front-end error
+      // (reference: ProjectExpression out-of-bound check, negative.conf
+      // HadoopError/1 "Trying to access non-existent column"). Only a
+      // schemaless text load (raw `_cN` columns, where Pig has no schema
+      // either) keeps the lenient absent-field-is-null rule.
+      if (i < df.columns.length) col(df.columns(i))
+      else if (df.columns.forall(_.matches("_c\\d+"))) lit(null)
+      else throw new IllegalArgumentException(
+        s"Out of bound access. Trying to access non-existent column: $i")
     case Deref(b, f) if f.startsWith("$") =>
       // positional deref t.$n: resolve the field name from the schema
       val base = compile(b, df)
@@ -1571,7 +1780,24 @@ final class PigRunner(val spark: SparkSession) {
         case "or" => a || b
       }
     case BinCond(c, t, f) =>
-      when(compile(c, df), compile(t, df)).otherwise(compile(f, df))
+      // a complex-type cast literal branch (`… ? A : (bag{tuple(…)}){…}`,
+      // the cogroup full-outer idiom) aligns to the OTHER branch's exact
+      // type: Pig merges the schemas, Spark's casewhen refuses structs
+      // that differ only in field names
+      def complexCastOperand(x: Expr): Option[Expr] = x match {
+        case CastExpr(ty, op0) if ty.startsWith("{") || ty.startsWith("(")
+          || ty.startsWith("[") => Some(op0)
+        case _ => None
+      }
+      val (ct, cf) = (compile(t, df), compile(f, df))
+      val (ct2, cf2) = (complexCastOperand(t), complexCastOperand(f)) match {
+        case (None, Some(op0)) => scala.util.Try(
+          (ct, compile(op0, df).cast(typeOf(ct, df)))).getOrElse((ct, cf))
+        case (Some(op0), None) => scala.util.Try(
+          (compile(op0, df).cast(typeOf(cf, df)), cf)).getOrElse((ct, cf))
+        case _ => (ct, cf)
+      }
+      when(compile(c, df), ct2).otherwise(cf2)
     case IsNull(x, neg) =>
       val c = compile(x, df); if (neg) c.isNotNull else c.isNull
     case InExpr(x, vals) =>

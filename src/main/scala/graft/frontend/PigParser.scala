@@ -33,9 +33,15 @@ object PigParser {
     "CUBE", "ROLLUP", "STORE", "DUMP", "DESCRIBE", "AND", "OR", "NOT",
     "IN", "IS", "NULL", "MATCHES", "FLATTEN", "TRUE", "FALSE", "CASE",
     "WHEN", "THEN", "ELSE", "END", "STREAM", "THROUGH", "PARALLEL",
-    "EXPLAIN", "SET", "ASSERT", "PARTITION", "MAPREDUCE", "NATIVE",
+    "EXPLAIN", "ILLUSTRATE", "SET", "ASSERT", "PARTITION", "MAPREDUCE",
+    "NATIVE",
     // legacy comparison keywords (QueryLexer.g STR_OP_*: reserved words)
     "EQ", "NEQ", "GT", "LT", "GTE", "LTE")
+
+  /** Primitive type names legal in a `(type) expr` cast. */
+  private val primTypeNames = Set("int", "long", "float", "double",
+    "chararray", "boolean", "biginteger", "bigdecimal", "datetime",
+    "bytearray")
 
   def tokenize(src: String): Vector[Tok] = {
     val out = ArrayBuffer.empty[Tok]
@@ -178,6 +184,7 @@ object PigParser {
         AssertStmt(a, cond, msg)
       case Kw("DESCRIBE") => advance(); DescribeStmt(ident())
       case Kw("EXPLAIN") => advance(); ExplainStmt(ident())
+      case Kw("ILLUSTRATE") => advance(); IllustrateStmt(ident())
       case Kw("SET") =>
         advance(); val k = setToken(); val v = setToken(); SetStmt(k, v)
       case Kw("SPLIT") =>
@@ -513,48 +520,78 @@ object PigParser {
     // A type in an AS clause: simple ident, or the complex forms
     // bag{T:(…)} / {(…)} / tuple(…) / (…) / map[t] / [] — encoded as a
     // canonical string ("{(a:int)}", "(a:int,b:chararray)", "[int]")
-    // that the interpreter's pigType parses recursively.
-    def typeSpec(): String = cur match {
-      case Sym("{") => bagSpec()
-      case Sym("(") => tupleSpec()
-      case Sym("[") => mapSpec()
+    // that the interpreter's pigType parses recursively. `typesOnly`
+    // is the CAST-context reading (QueryParser type_cast): bare type
+    // names inside a tuple are TYPES of unnamed fields, not field
+    // names — `(bag{tuple(chararray, int)}) x`.
+    def typeSpec(typesOnly: Boolean = false): String = cur match {
+      case Sym("{") => bagSpec(typesOnly)
+      case Sym("(") => tupleSpec(typesOnly)
+      case Sym("[") => mapSpec(typesOnly)
       case Ident(t) =>
         advance()
         t.toLowerCase match {
-          case "bag"   if atSym("{") => bagSpec()
-          case "tuple" if atSym("(") => tupleSpec()
-          case "map"   if atSym("[") => mapSpec()
+          case "bag"   if atSym("{") => bagSpec(typesOnly)
+          case "tuple" if atSym("(") => tupleSpec(typesOnly)
+          case "map"   if atSym("[") => mapSpec(typesOnly)
           case simple => simple
         }
       case tok => fail(s"bad type in schema: $tok")
     }
-    def fieldsSpec(): String = {
+    def fieldsSpec(typesOnly: Boolean = false): String = {
       val fs = ArrayBuffer.empty[String]
+      var i = 0
       while (!atSym(")")) {
-        val n = ident()
-        val t = if (eatSym(":")) typeSpec() else "bytearray"
-        fs += s"$n:$t"
+        cur match {
+          // types-only: a bare primitive-type name, or a complex form,
+          // is an UNNAMED field of that type (auto-named positionally —
+          // pigSchemaString renders `c<pos>` fields nameless)
+          case Ident(t) if typesOnly &&
+              primTypeNames.contains(t.toLowerCase) &&
+              toks(pos + 1) != Sym(":") =>
+            advance(); fs += s"c$i:${t.toLowerCase}"
+          case _ if typesOnly && startsComplexType =>
+            fs += s"c$i:${typeSpec(typesOnly)}"
+          case _ =>
+            val n = ident()
+            val t = if (eatSym(":")) typeSpec(typesOnly) else "bytearray"
+            fs += s"$n:$t"
+        }
+        i += 1
         eatSym(",")
       }
       fs.mkString(",")
     }
-    def tupleSpec(): String = {
-      expectSym("("); val f = fieldsSpec(); expectSym(")"); s"($f)"
+    def startsComplexType: Boolean = cur match {
+      case Sym("{") | Sym("[") | Sym("(") => true
+      case Ident(t) =>
+        (t.equalsIgnoreCase("bag") && toks(pos + 1) == Sym("{")) ||
+        (t.equalsIgnoreCase("tuple") && toks(pos + 1) == Sym("(")) ||
+        (t.equalsIgnoreCase("map") && toks(pos + 1) == Sym("["))
+      case _ => false
     }
-    def bagSpec(): String = {
+    def tupleSpec(typesOnly: Boolean = false): String = {
+      expectSym("("); val f = fieldsSpec(typesOnly); expectSym(")"); s"($f)"
+    }
+    def bagSpec(typesOnly: Boolean = false): String = {
       expectSym("{")
       if (!atSym("(")) { // optional {T: (…)} / {T: tuple(…)}
-        ident(); expectSym(":")
         cur match {
-          case Ident(k) if k.equalsIgnoreCase("tuple") => advance()
-          case _ => ()
+          case Ident(k) if k.equalsIgnoreCase("tuple") && typesOnly =>
+            advance() // cast form bag{tuple(…)} has no bag-schema name
+          case _ =>
+            ident(); expectSym(":")
+            cur match {
+              case Ident(k) if k.equalsIgnoreCase("tuple") => advance()
+              case _ => ()
+            }
         }
       }
-      val t = tupleSpec(); expectSym("}"); s"{$t}"
+      val t = tupleSpec(typesOnly); expectSym("}"); s"{$t}"
     }
-    def mapSpec(): String = {
+    def mapSpec(typesOnly: Boolean = false): String = {
       expectSym("[")
-      val inner = if (atSym("]")) "" else typeSpec()
+      val inner = if (atSym("]")) "" else typeSpec(typesOnly)
       expectSym("]"); s"[$inner]"
     }
 
@@ -684,11 +721,21 @@ object PigParser {
         advance()
         // cast: (type) expr — type names are identifiers
         cur match {
-          case Ident(t) if Set("int", "long", "float", "double", "chararray",
-              "boolean", "biginteger", "bigdecimal", "datetime",
-              "bytearray").contains(t.toLowerCase) && toks(pos + 1) == Sym(")") =>
+          case Ident(t) if primTypeNames.contains(t.toLowerCase) &&
+              toks(pos + 1) == Sym(")") =>
             advance(); expectSym(")")
             CastExpr(t.toLowerCase, unary())
+          // complex-type cast: (bag{tuple(…)}) / (tuple(…)) / (map[…])
+          // expr — QueryParser type_cast with a keyword-led complex type
+          // (the bare `{…}`/`[…]` forms stay literals: `({(null)})` is a
+          // parenthesized bag constant, not a cast)
+          case Ident(t) if (t.equalsIgnoreCase("bag") &&
+                toks(pos + 1) == Sym("{")) ||
+              (t.equalsIgnoreCase("tuple") && toks(pos + 1) == Sym("(")) ||
+              (t.equalsIgnoreCase("map") && toks(pos + 1) == Sym("[")) =>
+            val spec = typeSpec(typesOnly = true)
+            expectSym(")")
+            CastExpr(spec, unary())
           case _ =>
             val e = expr()
             // (e1, e2, …) is a tuple literal (QueryParser.g tuple constant)

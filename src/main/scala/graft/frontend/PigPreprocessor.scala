@@ -84,10 +84,18 @@ object PigPreprocessor {
         // REGISTER 'x.jar' — JVM classpath loading is out of scope for
         // the embedded engine; strip with a migration note so real-world
         // scripts still run (builtins and registered UDAFs cover the
-        // common uses)
+        // common uses). A MISSING file still errors like the reference
+        // (QueryParserDriver ERROR 101, negative.conf NoSuchFile/2) —
+        // silently dropping a typo'd path would hide a real mistake.
         val e = statementEnd(rest)
+        val stmt = rest.take(e).trim
+        val path = stmt.split("\\s+", 2).lift(1).getOrElse("")
+          .trim.stripPrefix("'").stripSuffix("'")
+        if (path.nonEmpty && !new java.io.File(path).exists())
+          throw new IllegalArgumentException(
+            s"ERROR 101: file '$path' does not exist.")
         System.err.println(
-          s"[graft] ignoring: ${rest.take(e).trim} — runtime classpath " +
+          s"[graft] ignoring: $stmt — runtime classpath " +
           "loading is out of scope; put the jar on the Spark classpath " +
           "instead (spark-submit --jars / spark.jars) and expose UDFs via " +
           "spark.udf.register or a DEFINE alias over a builtin")

@@ -68,7 +68,28 @@ object Invoke {
 
     @transient private lazy val method: java.lang.reflect.Method = {
       val klass = Class.forName(className)
-      klass.getMethod(methodName, paramNames.map(paramClass): _*)
+      val wanted = paramNames.map(paramClass)
+      try klass.getMethod(methodName, wanted: _*)
+      catch { case e: NoSuchMethodException =>
+        // exact lookup misses methods declared with supertype params
+        // (String.replace takes CharSequence) — fall back to the widest
+        // assignable public overload, like MethodUtils' accessible match
+        def boxed(c: Class[_]): Class[_] =
+          if (!c.isPrimitive) c else c.getName match {
+            case "int" => classOf[java.lang.Integer]
+            case "long" => classOf[java.lang.Long]
+            case "float" => classOf[java.lang.Float]
+            case "double" => classOf[java.lang.Double]
+            case "boolean" => classOf[java.lang.Boolean]
+            case _ => c
+          }
+        klass.getMethods.find { m =>
+          m.getName == methodName &&
+          m.getParameterCount == wanted.length &&
+          m.getParameterTypes.zip(wanted).forall { case (decl, got) =>
+            boxed(decl).isAssignableFrom(boxed(got)) }
+        }.getOrElse(throw e)
+      }
     }
 
     // type names are case-insensitive, like Invoker.stringToClass

@@ -135,7 +135,8 @@ class E2eSpec extends SparkSpec {
   // conf files are inconsistent about a space after '=>'; other quoted
   // fields ('execonly' etc.) may sit between 'num' and 'pig'
   private val testRe =
-    """(?s)'num' => (\d+)(?:[^']|'[^']*')*?'pig' =>\s*q([\\?#])(.*?)\2""".r
+    ("""(?s)'num' => (\d+)(?:[^']|'[^']*')*?'pig' =>\s*""" +
+     """(?:q([\\?#])(.*?)\2|"((?:[^"\\]|\\.)*)")""").r
   private val missingFixture = ("""studentctrla10k""" +
     """|names\.txt|load 'sample'""").r
 
@@ -144,6 +145,26 @@ class E2eSpec extends SparkSpec {
   // and NEGATIVE tests ('expected_err*' / nonzero 'rc')
   private val entrySkip =
     """'ignore'|'pig_params'|'expected_err|'rc' =>\s*[1-9]""".r
+
+  /** Perl double-quoted-string escapes, left-to-right in ONE pass
+    * (chained replaces would mangle `\\n` = backslash-then-n):
+    * \n/\t are control chars, any other \x collapses to x (so \\ -> \,
+    * \" -> ", and the conf's \\\\w reaches Pig as \\w). */
+  private def perlUnescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case c   => sb.append(c)
+        }
+        i += 2
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
 
   private def extract(path: String, only: Option[Set[String]],
                       unsupported: scala.util.matching.Regex,
@@ -164,7 +185,10 @@ class E2eSpec extends SparkSpec {
         entries.flatMap { entry =>
           testRe.findFirstMatchIn(entry)
             .filter(_ => skip.findFirstIn(entry).isEmpty)
-            .map(t => (name, t.group(1).toInt, t.group(3)))
+            .map(t => (name, t.group(1).toInt,
+              // q-delimited body, or the (rare) double-quoted form with
+              // Perl escapes collapsed
+              Option(t.group(3)).getOrElse(perlUnescape(t.group(4)))))
         }.filter { case (_, _, s) =>
           // SET statements are legal no-ops for engine-specific keys —
           // strip them before the check so `SET mapreduce.*` tuning
@@ -272,7 +296,13 @@ class E2eSpec extends SparkSpec {
       ("CmdErrors", 5), ("CmdErrors", 7), ("CmdErrors", 8),
       ("StreamingErrors", 1), ("StreamingErrors", 2),
       ("StreamingErrors", 3), ("StreamingLocalErrors", 1),
-      ("StreamingLocalErrors", 2), ("StreamingLocalErrors", 3))
+      ("StreamingLocalErrors", 2), ("StreamingLocalErrors", 3),
+      // r9 re-audit: out-of-bound $n on a KNOWN schema (HadoopError/1 —
+      // PosRef is now strict outside schemaless loads), an unresolvable
+      // LOAD function (BadFunc/1), and `register` of a missing jar
+      // (NoSuchFile/2 — rejected loudly, classpath loading is documented
+      // out of scope)
+      ("HadoopError", 1), ("BadFunc", 1), ("NoSuchFile", 2))
     // neither filter applies: these entries are SUPPOSED to fail
     val all = extract("/root/reference/test/e2e/pig/tests/negative.conf",
       None, "(?!x)x".r, skip = "(?!x)x".r)

@@ -332,8 +332,9 @@ class FrontendSpec extends SparkSpec {
   }
 
   test("REGISTER is stripped; SET applies conf; EXPLAIN runs") {
+    val jar = java.nio.file.Files.createTempFile("piggybank", ".jar")
     val out = PigRunner(spark).run(s"""
-      REGISTER 'piggybank.jar';
+      REGISTER '$jar';
       SET spark.sql.shuffle.partitions 7;
       n = LOAD '$dir/nation.parquet';
       g = GROUP n BY n_regionkey;

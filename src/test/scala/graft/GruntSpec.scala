@@ -237,6 +237,102 @@ class GruntSpec extends SparkSpec {
       new java.io.File(sys.props("user.home")).getCanonicalPath)
   }
 
+  test("Describe_cmdline/12: undefined alias = ERROR 1003 (reference text)") {
+    val r = graft.frontend.PigRunner(spark).run(s"""
+      A = load '$inpath/singlefile/studenttab10k'
+          as (name:chararray, age:int, gpa:float);
+      B = foreach A generate name, age;
+    """)
+    val e = intercept[Exception](r.run("describe X;"))
+    assert(e.getMessage.contains(
+      "ERROR 1003: Unable to find an operator for alias X"))
+    // the describes before the bad one still answer (same session)
+    assert(r.describeLine("B") == "B: {name: chararray,age: int}")
+  }
+
+  test("Describe_cmdline/13: cogroup + flatten bincond keeps two-level names") {
+    val voters = Files.createTempDirectory("voter").toString
+    Files.write(Paths.get(voters, "voter_data"),
+      "calvin carson\t25\tdemocrat\t100.5\n".getBytes("UTF-8"))
+    val r = graft.frontend.PigRunner(spark).run(s"""
+      A = LOAD '$inpath/singlefile/studenttab10k'
+          AS (name: chararray, age: int, gpa: float);
+      B = LOAD '$voters/voter_data'
+          AS (name: chararray, age: int, registration: chararray,
+              contributions: float);
+      C = COGROUP A BY name, B BY name;
+      D = FOREACH C GENERATE group,
+          flatten((not IsEmpty(A) ? A
+            : (bag{tuple(chararray, int, float)}){(null, null, null)})),
+          flatten((not IsEmpty(B) ? B
+            : (bag{tuple(chararray, int, chararray, float)})
+              {(null,null,null, null)}));
+    """)
+    assert(r.describeLine("D") ==
+      "D: {group: chararray,A::name: chararray,A::age: int," +
+      "A::gpa: float,B::name: chararray,B::age: int," +
+      "B::registration: chararray,B::contributions: float}")
+    // the outer-join idiom the script encodes must also EXECUTE: every
+    // group keeps a row, empty sides padded with nulls
+    val rows = r.apply("D").df.collect()
+    assert(rows.length == 3) // alice, bob (no voter), calvin (no student)
+    val calvin = rows.find(_.getString(0) == "calvin carson").get
+    assert(calvin.isNullAt(1) && calvin.getString(4) == "calvin carson")
+    val alice = rows.find(_.getString(0) == "alice allen").get
+    assert(alice.getString(1) == "alice allen" && alice.isNullAt(4))
+  }
+
+  test("NestedDescribe/1+3: describe of a nested-FOREACH inner alias") {
+    val r = graft.frontend.PigRunner(spark).run(s"""
+      A = load '$inpath/singlefile/studenttab10k' as (name, age, gpa);
+      B = group A by name;
+      C = foreach B { D = distinct A.age; generate COUNT(D), group;}
+    """)
+    assert(r.describeLine("C::D") == "D: {age: bytearray}")
+    // NestedDescribe/3: the positional spelling addresses the same field
+    val r3 = graft.frontend.PigRunner(spark).run(s"""
+      A = load '$inpath/singlefile/studenttab10k' as (name, age, gpa);
+      B = group A by name;
+      C = foreach B { D = distinct A.$$1; generate COUNT(D), group;}
+    """)
+    assert(r3.describeLine("C::D") == "D: {age: bytearray}")
+    assert(r3.apply("C").df.count() == 2)
+  }
+
+  test("NestedDescribe/2: unnamed COUNT prints bare type; chained inner aliases") {
+    val r = graft.frontend.PigRunner(spark).run(s"""
+      A = load '$inpath/singlefile/studenttab10k' as (name, age, gpa);
+      B = group A by name;
+      C = foreach B { D = distinct A.age; E = filter D by age > 1000;
+                      generate COUNT(E), group;}
+    """)
+    assert(r.describeLine("C") == "C: {long,group: bytearray}")
+    assert(r.describeLine("C::E") == "E: {age: bytearray}")
+  }
+
+  test("ILLUSTRATE: boxed tables for the target's ancestor chain only") {
+    val r = graft.frontend.PigRunner(spark).run(s"""
+      A = load '$inpath/singlefile/studenttab10k'
+          as (name: chararray, age: int, gpa: float);
+      B = filter A by age > 21;
+      unrelated = load '$inpath/singlefile/votertab10k'
+          as (name: chararray, age: int, reg: chararray, c: float);
+      C = foreach B generate name, gpa;
+    """)
+    val out = r.illustrateText("C")
+    // every ancestor gets a boxed table; non-ancestors are omitted
+    assert(out.contains("| A    ") && out.contains("| B    ") &&
+           out.contains("| C    "))
+    assert(!out.contains("unrelated"))
+    // header cells carry pig types; body carries sampled values
+    assert(out.contains("name:chararray") && out.contains("age:int"))
+    assert(out.contains("bob brown"))
+    // reference format: dashed rule above and below each table
+    assert(out.linesIterator.count(_.startsWith("----")) >= 6)
+    // unknown alias → same error class as DESCRIBE
+    intercept[Exception](r.illustrateText("nosuch"))
+  }
+
   test("exec runs isolated; run shares the session (ADVICE r8)") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.001")

@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.frontend.PigRunner
+import graft.tools.GruntShell
+
+/** Round-9 probe battery over the r8 surface (VERDICT item 2): nested
+  * sidecar round-trips through re-LOAD, grunt fs path corners, DUMP
+  * format corners, degenerate simhash inputs, struct-packed Invoke with
+  * nulls, and STREAM redirection corners. Each probe pins the behavior a
+  * reference user would observe. */
+class ProbeSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("probe9").toString
+
+  private def runner() = PigRunner(spark)
+
+  test("sidecar round-trip: bag-of-bag survives STORE -schema + re-LOAD") {
+    val dir = tmp()
+    val d = sf("nation").limit(6)
+    // nation → group by region → group the GROUPS again ⇒ bag of tuples
+    // whose field is itself a bag (bag-of-bag)
+    val r = runner()
+    r.run(s"""
+      n = LOAD '/root/testdata/sf0.001/nation.parquet';
+      p = FOREACH n GENERATE n_regionkey, n_nationkey, n_name;
+      g = GROUP p BY n_regionkey;
+      h = GROUP g BY (group % 2);
+      STORE h INTO '$dir/out' USING PigStorage('\\t', '-schema');
+    """)
+    assert(Files.exists(Paths.get(dir, "out", ".pig_schema")))
+    val back = runner().run(s"b = LOAD '$dir/out' USING PigStorage('\\t');")
+      .apply("b")
+    // schema came from the sidecar: bag → bag → tuple, not chararray
+    val st = back.df.schema
+    assert(st.fields.length == 2)
+    import org.apache.spark.sql.types._
+    val bagT = st.fields(1).dataType
+    assert(bagT.isInstanceOf[ArrayType], s"outer bag lost: $bagT")
+    val inner = bagT.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(inner.fields.exists(_.dataType.isInstanceOf[ArrayType]),
+      s"inner bag lost: $inner")
+    // the DATA survives too: 5 regions in 2 parity groups
+    val rows = back.df.collect()
+    assert(rows.length == 2)
+    val bags = rows.map(_.getSeq[Any](1).size).sum
+    assert(bags == 5, s"expected 5 region groups across parities, got $bags")
+  }
+
+  test("sidecar round-trip: map-of-tuple value schema survives re-LOAD") {
+    val dir = tmp()
+    runner().run(s"""
+      n = LOAD '/root/testdata/sf0.001/region.parquet';
+      m = FOREACH n GENERATE r_regionkey,
+            TOMAP('r', TOTUPLE(r_name, r_regionkey)) AS meta;
+      STORE m INTO '$dir/out' USING PigStorage('\\t', '-schema');
+    """)
+    val back = runner().run(s"b = LOAD '$dir/out' USING PigStorage('\\t');")
+      .apply("b")
+    import org.apache.spark.sql.types._
+    val mt = back.df.schema.fields(1).dataType
+    assert(mt.isInstanceOf[MapType], s"map lost: $mt")
+    assert(mt.asInstanceOf[MapType].valueType.isInstanceOf[StructType],
+      s"map value tuple lost: $mt")
+    val vals = back.df.orderBy(col(back.df.columns.head)).collect()
+    assert(vals.length == 5)
+    val m0 = vals(0).getMap[String, Any](1)
+    assert(m0.contains("r"), s"map key lost: $m0")
+  }
+
+  test("grunt fs: relative paths after cd, and CJK directory names") {
+    val base = tmp()
+    val sh = new GruntShell(runner())
+    sh.execute(s"cd $base")
+    sh.execute("mkdir 数据目录")
+    sh.execute("mkdir 数据目录/sub")
+    assert(sh.execute("ls 数据目录").contains("sub"))
+    // relative cp + cat resolve against the grunt cwd
+    Files.write(Paths.get(base, "数据目录", "файл.txt"),
+      "早上好 мир\n".getBytes("UTF-8"))
+    sh.execute("cp 数据目录/файл.txt copy.txt")
+    assert(sh.execute("cat copy.txt").contains("早上好 мир"))
+    sh.execute("cd 数据目录")
+    assert(sh.execute("pwd").endsWith("数据目录"))
+    assert(sh.execute("ls").contains("sub"))
+  }
+
+  test("DUMP corners: nulls in nested tuples, empty bags, multi-key maps") {
+    val dir = tmp()
+    Files.write(Paths.get(dir, "rows.tsv"),
+      "1\tx\n2\t\n".getBytes("UTF-8"))
+    val r = runner().run(s"""
+      a = LOAD '$dir/rows.tsv' AS (id:int, s:chararray);
+      g = GROUP a BY id;
+      f = FOREACH a GENERATE id, TOTUPLE(s, id) AS t,
+            TOMAP('k1', s, 'k2', id) AS m;
+    """)
+    val lines = r.apply("f").dumpLines().toSeq.sorted
+    // null inside a tuple renders EMPTY (Pig: null → nothing), map as
+    // [k#v] pairs joined by ','
+    assert(lines.contains("(1,(x,1),[k1#x,k2#1])"), lines.mkString("|"))
+    assert(lines.contains("(2,(,2),[k1#,k2#2])"), lines.mkString("|"))
+    // an empty bag renders {} — not blank
+    val eb = runner().run(s"""
+      a = LOAD '$dir/rows.tsv' AS (id:int, s:chararray);
+      g = GROUP a BY id;
+      h = FOREACH g { kept = FILTER a BY id > 99; GENERATE group, kept; }
+    """).apply("h").dumpLines().toSeq.sorted
+    assert(eb == Seq("(1,{})", "(2,{})"), eb.mkString("|"))
+  }
+
+  test("simhash/simhash128 degenerate docs: empty and 1-token") {
+    import graft.text.Dedup
+    val df = spark.createDataFrame(Seq(
+      (1L, "solo"), (2L, ""), (3L, "   "), (4L, "solo"),
+      (5L, "a b c"))).toDF("id", "text")
+    val s64 = Dedup.simhash(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s128 = Dedup.simhash128(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // empty/whitespace docs have NO tokens ⇒ no signature row (the
+    // pipeline's documented contract: nothing to near-dup on)
+    assert(!s64.contains(2L) && !s64.contains(3L))
+    assert(!s128.contains(2L) && !s128.contains(3L))
+    // 1-token docs hash deterministically; identical docs identical sigs
+    assert(s64(1L) == s64(4L) && s128(1L) == s128(4L))
+    assert(s64.contains(5L) && s128.contains(5L))
+    // and the near-dup pass over a corpus CONTAINING empties must not
+    // throw — ids 1 and 4 are the only d=0 pair
+    val nd = Dedup.simhashNearDups128(Dedup.simhash128(df, "id", "text"),
+      "id", maxDistance = 3, maxBucket = 100).collect()
+    assert(nd.length == 1 &&
+      Set(nd(0).getLong(0), nd(0).getLong(1)) == Set(1L, 4L))
+  }
+
+  test("Invoke with null arguments: null-safe, no NPE (struct-packed path)") {
+    val dir = tmp()
+    Files.write(Paths.get(dir, "v.tsv"), "7\tx\n\ty\n".getBytes("UTF-8"))
+    // Integer.parseInt(null) would NPE inside the JVM — Pig's Invoke
+    // yields null for null inputs (EvalFunc null contract)
+    val r = runner().run(s"""
+      DEFINE ParseI InvokeForInt('java.lang.Integer.parseInt', 'String');
+      a = LOAD '$dir/v.tsv' AS (n:chararray, s:chararray);
+      b = FOREACH a GENERATE ParseI(n) AS v, s;
+    """)
+    val rows = r.apply("b").df.orderBy(col("s")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(0) == 7)
+    assert(rows(1).isNullAt(0), "null arg must give null, not NPE/crash")
+    // 5-arg struct-packed path with an embedded null arg
+    val r5 = runner().run(s"""
+      DEFINE Rep InvokeForString('java.lang.String.replace',
+        'String String String', 'false');
+      a = LOAD '$dir/v.tsv' AS (n:chararray, s:chararray);
+      c = FOREACH a GENERATE Rep(s, 'x', n) AS out;
+    """)
+    val got = r5.apply("c").df.collect().map(r2 =>
+      Option(r2.getString(0)).getOrElse("NULL")).sorted
+    assert(got.contains("7") || got.contains("NULL"),
+      s"unexpected: ${got.mkString(",")}")
+  }
+
+  test("STREAM output() redirection: empty output file = empty relation") {
+    val dir = tmp()
+    Files.write(Paths.get(dir, "in.tsv"), "1\n2\n".getBytes("UTF-8"))
+    // the command writes NOTHING to its output file handle — Pig treats
+    // the (existing, empty) file as an empty relation, not an error
+    val r = runner().run(s"""
+      DEFINE CMD `sh -c 'cat > /dev/null; touch out.txt'`
+        input(stdin) output('out.txt');
+      a = LOAD '$dir/in.tsv' AS (n:int);
+      b = STREAM a THROUGH CMD;
+    """)
+    assert(r.apply("b").df.count() == 0L)
+  }
+}

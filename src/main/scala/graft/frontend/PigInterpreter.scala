@@ -143,11 +143,19 @@ final class PigRunner(val spark: SparkSession) {
 
   def run(script: String): PigRunner = run(script, Map.empty[String, String])
 
+  /** Pig's aggregated warnings for this runner (PigWarning.java): the
+    * engine counts implicit casts at compile time and divide-by-zero /
+    * failed conversions per row; `run` prints the reference's
+    * `Encountered Warning <kind> <n> time(s).` lines after each script
+    * (the reference prints at job end — cmdline.conf Warning group). */
+  val warnings = new graft.functions.WarningCollector(spark)
+
   /** Run with `$param` substitution (reference: PreprocessorContext —
     * `-param` CLI / %declare). Macros and DEFINEs expand textually first
     * (PigMacro.java design). */
   def run(script: String, params: Map[String, String]): PigRunner = {
     PigParser.parse(PigPreprocessor.expand(script, params)).foreach(exec)
+    warnings.report()
     this
   }
 
@@ -1716,7 +1724,12 @@ final class PigRunner(val spark: SparkSession) {
       // schemaless text load (raw `_cN` columns, where Pig has no schema
       // either) keeps the lenient absent-field-is-null rule.
       if (i < df.columns.length) col(df.columns(i))
-      else if (df.columns.forall(_.matches("_c\\d+"))) lit(null)
+      else if (df.columns.forall(_.matches("_c\\d+")))
+        // absent field → null, counted per row (cmdline.conf Warning/5
+        // pins "ACCESSING_NON_EXISTENT_FIELD 10000 time(s)" on a 10k
+        // input; reference: POProject.getNext null + warn)
+        graft.functions.Warnings.warnIf(lit(null), lit(true),
+          warnings.acc("ACCESSING_NON_EXISTENT_FIELD"))
       else throw new IllegalArgumentException(
         s"Out of bound access. Trying to access non-existent column: $i")
     case Deref(b, f) if f.startsWith("$") =>
@@ -1747,11 +1760,53 @@ final class PigRunner(val spark: SparkSession) {
     case Neg(x) => -compile(x, df)
     case Not(x) => !compile(x, df)
     case BinOp(op, l, r) =>
-      val (a, b) = (compile(l, df), compile(r, df))
+      val (a0, b0) = (compile(l, df), compile(r, df))
       def integral(t: DataType) = t match {
         case IntegerType | LongType | ShortType | ByteType => true
         case _ => false
       }
+      // Pig inserts implicit casts when a bytearray operand meets a
+      // typed numeric one — bytearray takes the OTHER side's type; two
+      // bytearrays compute in double (TypeCheckingExpVisitor). Each
+      // inserted cast is a compile-time warning, counted once per
+      // script occurrence (cmdline.conf Warning/3).
+      def declaredByteArray(e: Expr): Boolean = e match {
+        case ColRef(n) => scala.util.Try(df.schema(resolve(n, df))).toOption
+          .exists(f => f.metadata.contains("pig_type") &&
+            f.metadata.getString("pig_type") == "bytearray")
+        case PosRef(i) if i >= 0 && i < df.columns.length =>
+          val f = df.schema.fields(i)
+          f.metadata.contains("pig_type") &&
+            f.metadata.getString("pig_type") == "bytearray"
+        case _ => false
+      }
+      def castKind(t: DataType): Option[String] = t match {
+        case IntegerType => Some("INT");    case LongType  => Some("LONG")
+        case FloatType   => Some("FLOAT");  case DoubleType => Some("DOUBLE")
+        case _: DecimalType => Some("BIGDECIMAL")
+        case _ => None
+      }
+      val arith = op == "+" || op == "-" || op == "*" || op == "/" ||
+        op == "%"
+      val (a, b) =
+        if (!arith) (a0, b0)
+        else (declaredByteArray(l), declaredByteArray(r)) match {
+          case (true, false) =>
+            castKind(typeOf(b0, df)).map { k =>
+              warnings.compileWarn(s"IMPLICIT_CAST_TO_$k", l)
+              (a0.cast(typeOf(b0, df)), b0)
+            }.getOrElse((a0, b0))
+          case (false, true) =>
+            castKind(typeOf(a0, df)).map { k =>
+              warnings.compileWarn(s"IMPLICIT_CAST_TO_$k", r)
+              (a0, b0.cast(typeOf(a0, df)))
+            }.getOrElse((a0, b0))
+          case (true, true) =>
+            warnings.compileWarn("IMPLICIT_CAST_TO_DOUBLE", l)
+            warnings.compileWarn("IMPLICIT_CAST_TO_DOUBLE", r)
+            (a0.cast(DoubleType), b0.cast(DoubleType))
+          case _ => (a0, b0)
+        }
       op match {
         case "+" => a + b
         case "-" => a - b
@@ -1762,13 +1817,20 @@ final class PigRunner(val spark: SparkSession) {
           // double. IntegralDivide (`div`) is exact at any magnitude
           // and truncates toward zero like Java; ÷0 nulls under
           // ansi=off. Result narrows back to int when neither side is
-          // long (div always returns long).
+          // long (div always returns long). A zero divisor nulls AND
+          // counts a DIVIDE_BY_ZERO warning per row (Divide.java:144).
           val (ta, tb) = (typeOf(a, df), typeOf(b, df))
-          if (integral(ta) && integral(tb)) {
-            val q = call_function("div", a, b)
-            if (ta == LongType || tb == LongType) q
-            else q.cast(IntegerType)
-          } else a / b
+          val q0 =
+            if (integral(ta) && integral(tb)) {
+              val q = call_function("div", a, b)
+              if (ta == LongType || tb == LongType) q
+              else q.cast(IntegerType)
+            } else a / b
+          if (ta.isInstanceOf[NumericType] && tb.isInstanceOf[NumericType])
+            graft.functions.Warnings.warnIf(q0,
+              b.isNotNull && b === lit(0).cast(tb),
+              warnings.acc("DIVIDE_BY_ZERO"))
+          else q0
         case "%" => a % b
         case "==" => a === b
         case "!=" => a =!= b
@@ -1803,7 +1865,23 @@ final class PigRunner(val spark: SparkSession) {
     case InExpr(x, vals) =>
       compile(x, df).isin(vals.map { case Lit(v) => v
         case other => throw new IllegalArgumentException(s"IN needs literals, got $other") }: _*)
-    case CastExpr(t, x) => compile(x, df).cast(pigType(t))
+    case CastExpr(t, x) =>
+      val src = compile(x, df)
+      val out = src.cast(pigType(t))
+      // a text→scalar conversion that nulls a non-null input counts a
+      // FIELD_DISCARDED_TYPE_CONVERSION_FAILED warning per row
+      // (reference: POCast via CastUtils — cmdline.conf Warning/2 pins
+      // "10000 time(s)" for a 10k-row all-failing cast). The flag
+      // branch is codegen'd and only pays on the failure path.
+      val scalarTarget = pigType(t) match {
+        case IntegerType | LongType | FloatType | DoubleType |
+             BooleanType | TimestampType | _: DecimalType => true
+        case _ => false
+      }
+      if (scalarTarget && typeOf(src, df) == StringType)
+        graft.functions.Warnings.warnIf(out, src.isNotNull && out.isNull,
+          warnings.acc("FIELD_DISCARDED_TYPE_CONVERSION_FAILED"))
+      else out
     case Matches(x, p)  => Builtins.MATCHES(compile(x, df), p)
     case Star => struct(df.columns.map(col).toIndexedSeq: _*)
     case FlattenExpr(x) => compile(x, df) // alone handled in foreach

@@ -34,6 +34,21 @@ class GruntSpec extends SparkSpec {
     assert(run(s"sh ls $inpath").contains("singlefile"))
   }
 
+  test("Grunt/2+3: bare pwd and `ls .` answer from the session cwd") {
+    // the reference runs these cluster-only (expected_out_regex "/user" —
+    // HDFS home); the local-mode analog pins the same behaviors: pwd with
+    // no cd yet prints a real absolute path, and `ls .` lists it
+    val fresh = new graft.tools.GruntShell(graft.frontend.PigRunner(spark))
+    val wd = fresh.execute("pwd").trim
+    assert(wd.startsWith("/") &&
+      Files.isDirectory(Paths.get(wd)), s"pwd not a live dir: $wd")
+    val ls = fresh.execute("ls .")
+    // every listed entry resolves inside the cwd
+    assert(ls.nonEmpty)
+    fresh.execute(s"cd $inpath")
+    assert(fresh.execute("ls .").matches("(?s).*singlefile.*"))
+  }
+
   test("Grunt/4: ls") {
     assert(run(s"ls $inpath").matches("(?s).*singlefile.*"))
   }
@@ -182,6 +197,19 @@ class GruntSpec extends SparkSpec {
     assert(r.apply("C").describeString() == "C: {name: chararray,age: int}")
     assert(r.apply("D").describeString() ==
       "D: {group: chararray,C: {(name: chararray,age: int)}}")
+  }
+
+  test("Unicode_cmdline/1: dump of non-ASCII chararray renders verbatim") {
+    // reference fixture: unicode names like bobτ; expected `(bobτ)`
+    val dir = Files.createTempDirectory("unicode").toString
+    Files.write(Paths.get(dir, "unicode100"),
+      "bobτ\nalice中文\n".getBytes("UTF-8"))
+    val lines = graft.frontend.PigRunner(spark).run(s"""
+      A = load '$dir/unicode100' as (name:chararray);
+      B = order A by name;
+    """).apply("B").dumpLines().toSeq
+    assert(lines.contains("(bobτ)"), lines.mkString("|"))
+    assert(lines.contains("(alice中文)"))
   }
 
   test("DUMP renders rows in Pig tuple syntax") {

@@ -58,6 +58,24 @@ final class WarningCollector(spark: SparkSession) extends Serializable {
     counts.toSeq.sortBy(_._1).foreach { case (k, n) =>
       System.err.println(s"Encountered Warning $k $n time(s).")
     }
+
+  /** EvalFunc.warn analog (reference: EvalFunc.java:186 — `warn(msg,
+    * PigWarning.UDF_WARNING_n)` routed to PigLogger and aggregated per
+    * kind; exercised by cmdline.conf Warning/4's TestWarningFunc). A
+    * UDF closure captures the returned handle — only the accumulator
+    * serializes to executors, never this collector. */
+  def warner(kind: String): UdfWarner = new UdfWarner(acc(kind))
+}
+
+/** Serializable per-kind warn handle for UDF bodies; each `warn` bumps
+  * the kind's count on the executor, aggregated at job end like the
+  * reference's PigLogger counters. The message is advisory (the
+  * reference logs it once, counts every call) — the pinned surface is
+  * the aggregate count. */
+final class UdfWarner private[functions] (acc: LongAccumulator)
+    extends Serializable {
+  def warn(): Unit = acc.add(1L)
+  def warn(msg: String): Unit = { val _ = msg; acc.add(1L) }
 }
 
 /** Returns `child`; when `flag` evaluates true, bumps `acc`. Pure

@@ -87,6 +87,41 @@ class WarningsSpec extends SparkSpec {
       r.warnings.counts.toString)
   }
 
+  test("Warning/4: a UDF calling warn() aggregates per kind") {
+    // ports TestWarningFunc.java (reference test udf jar): sums the
+    // numeric args, warns UDF_WARNING_3 per non-numeric arg and
+    // UDF_WARNING_1 on all-null input. Jar REGISTER stays out of scope;
+    // the script-callable registry + a captured UdfWarner is the
+    // engine's EvalFunc.warn surface.
+    val in = studentFile(Seq(
+      "alice\t20\t1.5", "bob\t21\t3.2", "carol\t22\t1.0"))
+    val r = PigRunner(spark)
+    val empty = r.warnings.warner("UDF_WARNING_1")
+    val nonNumeric = r.warnings.warner("UDF_WARNING_3")
+    r.spark.udf.register("test_warning_func",
+      (name: String, age: java.lang.Integer, gpa: java.lang.Double) => {
+        if (name == null && age == null && gpa == null) {
+          empty.warn("Input is empty."); null
+        } else {
+          var out = 0.0; var any = false
+          if (age != null) { out += age.doubleValue; any = true }
+          if (gpa != null) { out += gpa.doubleValue; any = true }
+          if (name != null) nonNumeric.warn("Found a non-numeric type.")
+          if (any) (out: java.lang.Double) else null
+        }
+      })
+    graft.functions.UdfSurface.track("test_warning_func")
+    r.run(s"""
+      a = load '$in' as (name, age:int, gpa:double);
+      b = foreach a generate test_warning_func(name, age, gpa);
+    """)
+    val rows = r("b").df.collect()
+    assert(rows.map(_.getDouble(0)).sorted.toSeq === Seq(21.5, 23.0, 24.2))
+    assert(r.warnings.counts.get("UDF_WARNING_3") === Some(3L),
+      r.warnings.counts.toString)
+    assert(!r.warnings.counts.contains("UDF_WARNING_1"))
+  }
+
   test("Warning/5: ACCESSING_NON_EXISTENT_FIELD counted per row") {
     // schemaless load + $3 on 3-column rows → null per row, one warning
     // per row (reference pins "10000 time(s)" on its 10k input)

@@ -225,8 +225,19 @@ final class PigRunner(val spark: SparkSession) {
     case ExplainStmt(alias)  => env(alias).explain()
     case IllustrateStmt(alias) => println(illustrateText(alias))
     case SetStmt(key, value) =>
-      // Grunt `set key value` → session conf (reference: GruntParser set)
-      spark.conf.set(key, value)
+      // Grunt `set key value` → session conf (reference: GruntParser
+      // processSet, GruntParser.java:627). `default_parallel` is Pig's
+      // script-level reducer count — the Spark analog is the default
+      // shuffle partition count; validated as int like the reference.
+      key match {
+        case "default_parallel" =>
+          val n = try value.trim.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              "Invalid value for default_parallel")
+          }
+          spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+        case _ => spark.conf.set(key, value)
+      }
   }
 
   // ------------------------------------------------------------- operators

@@ -204,8 +204,11 @@ class E2eSpec extends SparkSpec {
   private lazy val scripts: Seq[(String, Int, String)] = {
     // DEFINE is allowed only in its macro form (RETURNS one name);
     // UDF/command defines and multi-return macros stay out of scope
+    // r9: `stream` un-excluded (STREAM + I/O handles are complete —
+    // MapPartialAgg/6 streams through `cat`); DEFINE of a backtick
+    // command stays allowed only when the commands exist here
     val unsupported = ("""(?is)register|org\.apache\.pig\.test|:FUNCPATH:""" +
-      """|:SCRIPTHOMEPATH:|\bstream\b|define\s+\w+\s+(?!.{0,200}returns)""" +
+      """|:SCRIPTHOMEPATH:|define\s+\w+\s+(?!.{0,200}returns)""" +
       """|returns\s+\w+\s*,|illustrate|:HADOOPHOME:""" +
       """|mapred|:PARAMPATH:|\bsh\b|:TMP:""").r
     val nightlyGroups = Set("Checkin", "LoaderPigStorageArg", "Order",
@@ -244,12 +247,19 @@ class E2eSpec extends SparkSpec {
     * run for real (StreamIo + StreamProcess scratch-cwd contract) —
     * remaining exclusions are jar UDFs (FUNCPATH/register), cluster
     * distributed-cache tests, and the deliberately-failing scripts. */
-  private lazy val streamingScripts: Seq[(String, Int, String)] =
+  private lazy val streamingScripts: Seq[(String, Int, String)] = {
+    val unsup = ("""(?is)register|:FUNCPATH:|org\.apache\.pig\.test|mapred""" +
+      """|:PARAMPATH:|illustrate|cache\s*\(""" +
+      """|DieRandomly|PigStreamingBad""" +
+      """|\$script_name""").r
     extract("/root/reference/test/e2e/pig/tests/streaming.conf", None,
-      ("""(?is)register|:FUNCPATH:|org\.apache\.pig\.test|mapred""" +
-       """|:PARAMPATH:|illustrate|cache\s*\(""" +
-       """|DieRandomly|PigStreamingBad""" +
-       """|\$script_name""").r)
+      unsup) ++
+      // streaming_local.conf: the reference's local-mode streaming spec
+      // suite (PigStreamingFunctionalSpec sections 1-5) — same perl
+      // streamers, plus Split.pl and inline `perl -ne` one-liners
+      extract("/root/reference/test/e2e/pig/tests/streaming_local.conf",
+        None, unsup)
+  }
 
   test("negative.conf NegForeach scripts FAIL here too (error parity)") {
     // scripts the reference REJECTS (nested GROUP/SPLIT/LOAD/STORE
@@ -338,6 +348,10 @@ class E2eSpec extends SparkSpec {
         // land in the task cwd on a cluster); the local-fs equivalent
         // is their checkout path
         .replace(":SCRIPTHOMEPATH:", streamHome)
+        // Split.pl is invoked directly (shebang) in streaming_local 17/18;
+        // the read-only checkout isn't executable, so spell out `perl` —
+        // the reference harness ships it into the task cwd as executable
+        .replace(s"`$streamHome/Split.pl", s"`perl $streamHome/Split.pl")
         .replace("perl PigStreaming.pl", s"perl $streamHome/PigStreaming.pl")
         .replace("perl GroupBy.pl", s"perl $streamHome/GroupBy.pl")
         .replace(" nameMap", s" $streamHome/nameMap")
@@ -374,8 +388,8 @@ class E2eSpec extends SparkSpec {
   }
 
   test("reference streaming.conf scripts run end-to-end (STREAM THROUGH)") {
-    assert(streamingScripts.size >= 28,
-      s"expected >=28 streaming scripts, selected ${streamingScripts.size}")
+    assert(streamingScripts.size >= 40,
+      s"expected >=40 streaming scripts, selected ${streamingScripts.size}")
     runCorpus("streaming.conf", streamingScripts)
   }
 }

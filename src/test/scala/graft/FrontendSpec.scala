@@ -1355,6 +1355,26 @@ class FrontendSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("exited with code")))
   }
 
+  test("SET default_parallel maps to shuffle partitions (GruntParser:627)") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val out = PigRunner(spark).run(s"""
+        SET default_parallel 7;
+        n = LOAD '$dir/nation.parquet';
+        g = GROUP n BY n_regionkey;
+        c = FOREACH g GENERATE group, COUNT(n) AS cnt;
+      """).apply("c")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      // AQE may coalesce below the default, never above it
+      assert(out.df.rdd.getNumPartitions <= 7)
+      // invalid value → validated like the reference (ParseException)
+      val e = intercept[Exception] {
+        PigRunner(spark).run("SET default_parallel abc;")
+      }
+      assert(e.getMessage.contains("Invalid value for default_parallel"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("InvokeFor*: 5-arg static method (generic struct-packed arity)") {
     // Invoker.java:62 is arity-unbounded; 5+ args take the Row-packed path
     val out = PigRunner(spark).run(s"""

@@ -945,6 +945,21 @@ object SparkEntry {
           (col("n_found") === col("n_hit")).as("precision_ok"))
     }),
 
+    // near-dup cluster resolution — the step between "find pairs" and
+    // "drop dupes": connected components (alternating large-star /
+    // small-star, O(log n) join rounds) over the exact-Jaccard pair
+    // set, labeling every paired doc with its cluster's min id. The
+    // oracle recomputes the same pairs in SQL and closes them with a
+    // recursive CTE — the full assignment must hash-match
+    "q80_dedup_clusters" -> ((s, d) => {
+      val docs = T(s, d, "documents").df.filter(col("doc_id") < 500)
+      val pairs = graft.text.Dedup.exactJaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.5)
+      graft.text.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").cast(LongType).as("doc_id"),
+                col("component").cast(LongType).as("component"))
+    }),
+
     // n-gram Jaccard between consecutive doc ids — exact, oracle-checked
     "q45_ngram_jaccard" -> ((s, d) => {
       val sh = T(s, d, "documents").df.select(col("doc_id"),
@@ -1346,6 +1361,33 @@ object SparkEntry {
          SELECT count(*) AS n_exact, true AS recall_ok,
                 true AS precision_ok
          FROM pairs WHERE jac >= 0.5""",
+    // same grams + pair predicate as q43's oracle, then a recursive-CTE
+    // transitive closure: component = min reachable doc_id
+    "q80_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)]) AS grams
+           FROM (SELECT doc_id,
+                        list_filter(string_split_regex(trim(text), '\s+'),
+                                    t -> length(t) > 0) AS toks
+                 FROM documents WHERE doc_id < 500)),
+         pairs AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                   THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                        / len(list_distinct(a.grams || b.grams))
+                   ELSE 0.0 END, 6) >= 0.5),
+         edges AS (SELECT ia AS s, ib AS t FROM pairs
+                   UNION SELECT ib, ia FROM pairs),
+         reach(id, r) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT e.t, r.r FROM reach r JOIN edges e ON e.s = r.id)
+         SELECT CAST(id AS BIGINT) AS doc_id,
+                CAST(min(r) AS BIGINT) AS component
+         FROM reach GROUP BY id""",
     // simhash is not DuckDB-expressible: pin the n_docs anchor and the
     // Spark-side exact-twin verdicts (q21 pattern)
     "q44_simhash_neardups" ->

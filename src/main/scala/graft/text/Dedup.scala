@@ -416,4 +416,93 @@ object Dedup {
                    col("lo_b"), col("hi_b")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
   }
+
+  // ------------------------------------------------------------------
+  // Cluster resolution: near-dup pairs → one canonical doc per cluster
+
+  /** Connected components over an undirected pair set — the cluster-
+    * resolution step between "find near-dup pairs" (minhash/simhash/
+    * embedding banding) and "drop the duplicates": transitively-linked
+    * docs form one cluster, and each doc is labeled with the cluster's
+    * minimum id as its canonical representative.
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14): O(log n) rounds,
+    * each round a pair of groupBy+join shuffles keyed on node id. The
+    * per-node minimum is a plain aggregate and the rewrite side is a
+    * join against that 2-column min table — no neighbor lists are ever
+    * collected, so a billion-node component (every doc sharing one
+    * boilerplate page) never materializes a hub's adjacency in a single
+    * task. Convergence is checked with a count + except probe per round;
+    * each round's edge set is persisted and the previous one released,
+    * keeping lineage depth constant.
+    *
+    * Returns (id, component) for every distinct node in `pairs`, with
+    * component = min id reachable (self for isolated nodes).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    // each round references the previous edge set several times (the
+    // symmetrize-union + min-join), so without truncation the logical
+    // plan grows multiplicatively per round — checkpoint every round to
+    // cut lineage. Reliable checkpoint when a dir is configured (the
+    // cluster case: survives executor loss); localCheckpoint otherwise.
+    def cp(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val nodes = pairs.select(col(aCol).cast(LongType).as("id"))
+      .union(pairs.select(col(bCol).cast(LongType).as("id"))).distinct()
+    // canonical directed edges u > v
+    var edges = cp(pairs
+      .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+              least(col("a"), col("b")).as("v"))
+      .distinct())
+    var n = edges.count()
+    var converged = n == 0
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: every neighbor v > u links to m = min(N(u) ∪ {u});
+      // output stays canonical because m <= u < v
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      val large = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+      // small-star: all strictly-smaller neighbors of u (and u itself)
+      // link to m = min of those neighbors
+      val sMins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = cp(large.join(sMins, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(sMins.select(col("u"), col("m").as("v")))
+        .distinct())
+      val nNew = small.count()
+      converged = nNew == n && small.except(edges).isEmpty
+      edges = small
+      n = nNew
+      iter += 1
+    }
+    // at the fixpoint every edge points a node straight at its
+    // component min; isolated nodes (only self-pairs) map to themselves
+    val owned = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("component"))
+    nodes.join(owned, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Drop near-duplicates given the discovered pair set: resolve pairs
+    * into clusters with [[connectedComponents]] and keep only each
+    * cluster's minimum-id document (plus all unpaired docs). */
+  def dropNearDups(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val dupes = connectedComponents(pairs, aCol, bCol)
+      .where(col("id") =!= col("component"))
+      .select(col("id").cast(docs.schema(idCol).dataType).as(idCol))
+    docs.join(dupes, Seq(idCol), "left_anti")
+  }
 }

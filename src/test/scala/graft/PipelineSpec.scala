@@ -208,4 +208,32 @@ class PipelineSpec extends SparkSpec {
       df, "doc_id", "payload", chunkBytes = 32, everyK = 2)
     assert(frames.count() == 300 / 64)
   }
+
+  test("connectedComponents: chains, cliques, isolated, and dup edges") {
+    // components: {1,2,3,9} (chain 1-2-3 + 3-9), {5,6} (with a reversed
+    // duplicate edge), {7} (self-pair only)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L), (6L, 5L),
+                    (7L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+                      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents: long path converges within O(log n) rounds") {
+    // a 64-node path is the adversarial diameter case for label
+    // propagation; star-contraction must still collapse it to one root
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(got.length == 64 && got.forall(_._2 == 0L))
+  }
+
+  test("dropNearDups keeps one canonical doc per cluster") {
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDups(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 5L))
+  }
 }

@@ -960,6 +960,14 @@ object SparkEntry {
                 col("component").cast(LongType).as("component"))
     }),
 
+    // Gopher-family repetition filter signals: duplicate-line ratios
+    // (codegen column work) + top word-2/3-gram character fractions
+    // (explode → partial-agg'd (id,gram) count → per-doc max) — exact,
+    // oracle-checked per doc
+    "q81_repetition" -> ((s, d) =>
+      graft.text.TextAnalysis.repetitionStats(
+        T(s, d, "documents").df, "doc_id", "text")),
+
     // n-gram Jaccard between consecutive doc ids — exact, oracle-checked
     "q45_ngram_jaccard" -> ((s, d) => {
       val sh = T(s, d, "documents").df.select(col("doc_id"),
@@ -1361,6 +1369,53 @@ object SparkEntry {
          SELECT count(*) AS n_exact, true AS recall_ok,
                 true AS precision_ok
          FROM pairs WHERE jac >= 0.5""",
+    // mirrors TextAnalysis.repetitionStats exactly: same line split +
+    // empty-line filter, repeat mass = total − distinct, top-gram mass
+    // = max over grams of count × gram length
+    "q81_repetition" ->
+      """WITH ls AS (
+           SELECT doc_id, length(text) AS n_chars,
+                  list_filter(string_split(text, chr(10)),
+                              l -> length(trim(l)) > 0) AS lines
+           FROM documents),
+         base AS (
+           SELECT doc_id, n_chars,
+             round(CASE WHEN len(lines) > 0 THEN
+               CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                 / len(lines) ELSE 0.0 END, 6) AS dup_line_ratio,
+             round(CASE WHEN coalesce(list_sum(list_transform(lines,
+                     l -> length(l))), 0) > 0 THEN
+               CAST(list_sum(list_transform(lines, l -> length(l))) -
+                    list_sum(list_transform(list_distinct(lines),
+                                            l -> length(l))) AS DOUBLE)
+                 / list_sum(list_transform(lines, l -> length(l)))
+               ELSE 0.0 END, 6) AS dup_line_char_ratio
+           FROM ls),
+         toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                      t -> length(t) > 0) AS t
+           FROM documents),
+         g2 AS (
+           SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                    for i in range(1, len(t))]) AS gram
+           FROM toks WHERE len(t) >= 2),
+         g3 AS (
+           SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                    for i in range(1, len(t) - 1)]) AS gram
+           FROM toks WHERE len(t) >= 3),
+         t2 AS (SELECT doc_id, max(n * length(gram)) AS c FROM
+                 (SELECT doc_id, gram, count(*) AS n FROM g2 GROUP BY 1, 2)
+                GROUP BY 1),
+         t3 AS (SELECT doc_id, max(n * length(gram)) AS c FROM
+                 (SELECT doc_id, gram, count(*) AS n FROM g3 GROUP BY 1, 2)
+                GROUP BY 1)
+         SELECT b.doc_id, b.dup_line_ratio, b.dup_line_char_ratio,
+                round(CAST(coalesce(t2.c, 0) AS DOUBLE)
+                  / greatest(b.n_chars, 1), 6) AS top2gram_ratio,
+                round(CAST(coalesce(t3.c, 0) AS DOUBLE)
+                  / greatest(b.n_chars, 1), 6) AS top3gram_ratio
+         FROM base b LEFT JOIN t2 ON t2.doc_id = b.doc_id
+                     LEFT JOIN t3 ON t3.doc_id = b.doc_id""",
     // same grams + pair predicate as q43's oracle, then a recursive-CTE
     // transitive closure: component = min reachable doc_id
     "q80_dedup_clusters" ->

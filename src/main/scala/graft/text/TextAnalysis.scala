@@ -163,4 +163,76 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(transform(tokens(text), t => length(t).cast(LongType)),
       lit(0L), (acc, v) => (acc * 31L + v) % 1000000007L)
+
+  // ------------------------------------------------------------------
+  // Repetition signals (the Gopher repetition-filter family, Rae et al.
+  // 2021 Table A1): repetitious documents — boilerplate, scraped
+  // navigation, keyword spam — are filtered on duplicate-line and
+  // top-n-gram character fractions before training.
+
+  /** Non-empty lines of a document. */
+  def docLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of non-empty lines that are repeats of an earlier line
+    * (occurrences after the first of each distinct line / total lines).
+    * O(lines) per row — the repeat count falls out of total − distinct,
+    * no per-line membership scans. */
+  def dupLineRatio(text: Column): Column = {
+    val ls = docLines(text)
+    when(size(ls) > 0,
+      (size(ls) - size(array_distinct(ls))).cast(DoubleType) / size(ls))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of line CHARACTERS inside repeated line occurrences
+    * (Gopher counts characters, not lines — one giant duplicated
+    * boilerplate block weighs more than many short ones). */
+  def dupLineCharRatio(text: Column): Column = {
+    val ls = docLines(text)
+    def chars(c: Column) =
+      aggregate(c, lit(0L), (acc, l) => acc + length(l))
+    val total = chars(ls)
+    when(total > 0,
+      (total - chars(array_distinct(ls))).cast(DoubleType) / total)
+      .otherwise(lit(0.0))
+  }
+
+  /** Word n-grams WITH duplicates (unlike `Dedup.wordNgrams`): needed to
+    * count the most frequent gram. Documents with fewer than n tokens
+    * yield no grams. */
+  def wordNgramsRaw(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Per-document repetition stats: duplicate-line ratios (pure codegen
+    * column work) plus the character fraction of the single most
+    * frequent word 2-gram and 3-gram. The top-gram side is the scalable
+    * relational form — explode → partial-aggregated count on
+    * (id, gram) → per-doc max — never a per-row quadratic scan over the
+    * gram array, so a 100 TB corpus pays two map-side-combined shuffles
+    * keyed by (id, gram) and (id), both linear in gram count. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    def topChars(n: Int, out: String) =
+      df.select(col(idCol), explode(wordNgramsRaw(col(textCol), n)).as("gram"))
+        .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col(idCol))
+        .agg(max(col("cnt") * length(col("gram"))).as(out))
+    df.select(col(idCol),
+        round(dupLineRatio(col(textCol)), 6).as("dup_line_ratio"),
+        round(dupLineCharRatio(col(textCol)), 6).as("dup_line_char_ratio"),
+        length(col(textCol)).cast(LongType).as("n_chars"))
+      .join(topChars(2, "top2"), Seq(idCol), "left")
+      .join(topChars(3, "top3"), Seq(idCol), "left")
+      .select(col(idCol), col("dup_line_ratio"), col("dup_line_char_ratio"),
+        round(coalesce(col("top2"), lit(0L)).cast(DoubleType) /
+          greatest(col("n_chars"), lit(1L)), 6).as("top2gram_ratio"),
+        round(coalesce(col("top3"), lit(0L)).cast(DoubleType) /
+          greatest(col("n_chars"), lit(1L)), 6).as("top3gram_ratio"))
+  }
 }

@@ -229,6 +229,24 @@ class PipelineSpec extends SparkSpec {
     assert(got.length == 64 && got.forall(_._2 == 0L))
   }
 
+  test("repetitionStats: hand-computed dup-line and top-gram fractions") {
+    // doc 1: 3 non-empty lines, "dup" twice -> dup_line_ratio 1/3;
+    // line chars 3+3+6=12, repeat mass 3 -> 0.25; text "dup\ndup\n\nabcdef"
+    // tokens (dup,dup,abcdef): 2-grams "dup dup"(7) and "dup abcdef"(10)
+    // once each -> top mass 10, n_chars = 15 -> 10/15; top 3-gram
+    // "dup dup abcdef" = 14 -> 14/15
+    // doc 2: no repetition at all, single token -> no 2-grams
+    val df = Seq((1L, "dup\ndup\n\nabcdef"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got(1L) == (0.333333, 0.25,
+      math.rint(10.0 / 15 * 1e6) / 1e6, math.rint(14.0 / 15 * 1e6) / 1e6))
+    assert(got(2L) == (0.0, 0.0, 0.0, 0.0))
+  }
+
   test("dropNearDups keeps one canonical doc per cluster") {
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 4L), (5L, 6L)).toDF("id_a", "id_b")

@@ -235,7 +235,10 @@ final class PigRunner(val spark: SparkSession) {
             case _: NumberFormatException => throw new IllegalArgumentException(
               "Invalid value for default_parallel")
           }
-          spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+          // n <= 0 means "let the engine estimate" in the reference
+          // (JobControlCompiler.java:1121 applies it only when > 0);
+          // the Spark analog is leaving the AQE-advised default alone
+          if (n > 0) spark.conf.set("spark.sql.shuffle.partitions", n.toString)
         case _ => spark.conf.set(key, value)
       }
   }

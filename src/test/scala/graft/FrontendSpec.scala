@@ -1372,6 +1372,9 @@ class FrontendSpec extends SparkSpec {
         PigRunner(spark).run("SET default_parallel abc;")
       }
       assert(e.getMessage.contains("Invalid value for default_parallel"))
+      // n <= 0 = "estimate" (JobControlCompiler:1121): conf untouched
+      PigRunner(spark).run("SET default_parallel 0;")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 

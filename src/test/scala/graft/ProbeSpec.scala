@@ -176,4 +176,37 @@ class ProbeSpec extends SparkSpec {
     """)
     assert(r.apply("b").df.count() == 0L)
   }
+
+  test("STREAM with BOTH file handles: input('f') and output('g')") {
+    val dir = tmp()
+    Files.write(Paths.get(dir, "in.tsv"), "5\n6\n7\n".getBytes("UTF-8"))
+    val r = runner().run(s"""
+      DEFINE CMD `sh -c 'tr -d "\\r" < fin > fout'`
+        input('fin') output('fout');
+      a = LOAD '$dir/in.tsv' AS (n:int);
+      b = STREAM a THROUGH CMD AS (n:int);
+      c = ORDER b BY n;
+    """)
+    assert(r.apply("c").df.collect().map(_.getInt(0)).toSeq == Seq(5, 6, 7))
+  }
+
+  test("ILLUSTRATE corners: bag column from GROUP and an empty alias") {
+    val dir = tmp()
+    Files.write(Paths.get(dir, "t.tsv"), "1\ta\n1\tb\n2\tc\n".getBytes("UTF-8"))
+    val r = runner()
+    r.run(s"""
+      a = LOAD '$dir/t.tsv' AS (k:int, v:chararray);
+      g = GROUP a BY k;
+      e = FILTER a BY k > 99;
+    """)
+    val bagOut = r.illustrateText("g")
+    // header renders the Pig schema of the bag column; sample rows print
+    assert(bagOut.contains("| g    ") && bagOut.contains("group:int"))
+    // bag schema renders in Pig Schema.toString form: a:{(k: int,...)}
+    assert(bagOut.contains("a:{(k: int,v: chararray)}"))
+    assert(bagOut.contains("{(1,a),(1,b)}")) // bag cells in Pig format
+    // empty intermediate: headers only, no fabricated rows, no crash
+    val emptyOut = r.illustrateText("e")
+    assert(emptyOut.contains("k:int") && emptyOut.contains("v:chararray"))
+  }
 }

@@ -487,6 +487,11 @@ object Dedup {
       n = nNew
       iter += 1
     }
+    // star-contraction provably converges in O(log n) rounds; hitting
+    // the cap means something is wrong — fail loudly, never return a
+    // partially-contracted (silently incorrect) assignment
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds")
     // at the fixpoint every edge points a node straight at its
     // component min; isolated nodes (only self-pairs) map to themselves
     val owned = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("component"))

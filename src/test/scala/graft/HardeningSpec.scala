@@ -109,4 +109,43 @@ class HardeningSpec extends SparkSpec {
     assert(got64 < expected / 2,
       s"expected 64-bit recall to collapse at cap=$cap, got $got64/$expected")
   }
+
+  test("connectedComponents at 1M edges matches driver union-find exactly") {
+    // deterministic pseudo-random graph over 400k nodes: ~600k random
+    // edges + a 100k-node path (the adversarial-diameter shape) + 300k
+    // isolated self-pairs. Star-contraction must converge (the operator
+    // throws past its round cap) and agree with classic union-find.
+    val nNodes = 400_000L
+    val edges = spark.range(600_000)
+      .select((pmod(hash(col("id")), lit(nNodes))).cast("long").as("id_a"),
+              (pmod(hash(col("id") * 7 + 13), lit(nNodes))).cast("long").as("id_b"))
+      .union(spark.range(100_000)
+        .select((col("id") + 1_000_000L).as("id_a"),
+                (col("id") + 1_000_001L).as("id_b")))
+      .union(spark.range(300_000)
+        .select((col("id") + 3_000_000L).as("id_a"),
+                (col("id") + 3_000_000L).as("id_b")))
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // driver union-find oracle (path-compressed, iterative)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonicalize union-find roots to component minima
+    val minOf = parent.keys.groupBy(find).map { case (r, ks) => r -> ks.min }
+    val want = parent.keys.map(k => k -> minOf(find(k))).toMap
+    assert(got.size == want.size)
+    assert(got == want)
+  }
 }

@@ -240,4 +240,13 @@ class PlanSpec extends SparkSpec {
     assert(q.count() == sf("orders").join(
       dim, col("o_custkey") === col("c_custkey")).count())
   }
+
+  test("q81: top-gram counts partial-aggregate; no per-row gram quadratic") {
+    val p = plan("q81_repetition")
+    // both (id, gram) count stages combine map-side before the exchange,
+    // and the dup-line side is pure column work (no extra shuffle): the
+    // only exchanges are the two gram aggs + the doc_id joins
+    assert(p.contains("partial_count") || p.contains("partial_"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
 }

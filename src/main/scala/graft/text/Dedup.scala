@@ -451,11 +451,14 @@ object Dedup {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
-    val nodes = pairs.select(col(aCol).cast(LongType).as("id"))
-      .union(pairs.select(col(bCol).cast(LongType).as("id"))).distinct()
+    // materialize the (possibly expensive) upstream pair pipeline ONCE —
+    // both the node list and the initial edge set read from it
+    val pr = cp(pairs.select(col(aCol).cast(LongType).as("a"),
+                             col(bCol).cast(LongType).as("b")))
+    val nodes = pr.select(col("a").as("id"))
+      .union(pr.select(col("b").as("id"))).distinct()
     // canonical directed edges u > v
-    var edges = cp(pairs
-      .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"))
+    var edges = cp(pr
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
               least(col("a"), col("b")).as("v"))

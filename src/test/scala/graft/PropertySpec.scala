@@ -132,4 +132,35 @@ class PropertySpec extends SparkSpec {
       assert(got == expect, s"dense=$dense")
     }
   }
+
+  test("connectedComponents equals union-find on random graphs") {
+    // one Spark run over a disjoint union of random graphs (node ids
+    // offset per graph), checked against driver union-find
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 59L); b <- Gen.chooseNum(0L, 59L)
+    } yield (a, b)
+    val all = (0 until 8).flatMap { g =>
+      val off = g * 1000L
+      samples(edgeGen, 70, seed = 100L + g).map {
+        case (a, b) => (a + off, b + off) }
+    }
+    val got = Dedup.connectedComponents(
+        all.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    all.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == want)
+  }
 }

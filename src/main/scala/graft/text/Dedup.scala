@@ -452,9 +452,10 @@ object Dedup {
         df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
     // materialize the (possibly expensive) upstream pair pipeline ONCE —
-    // both the node list and the initial edge set read from it
-    val pr = cp(pairs.select(col(aCol).cast(LongType).as("a"),
-                             col(bCol).cast(LongType).as("b")))
+    // both the node list and the initial edge set read from it. Ids keep
+    // their native type: min-contraction only needs an ordering, so
+    // string ids (URLs, UUIDs) work as-is — no lossy cast to long.
+    val pr = cp(pairs.select(col(aCol).as("a"), col(bCol).as("b")))
     val nodes = pr.select(col("a").as("id"))
       .union(pr.select(col("b").as("id"))).distinct()
     // canonical directed edges u > v

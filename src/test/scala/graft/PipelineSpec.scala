@@ -247,6 +247,24 @@ class PipelineSpec extends SparkSpec {
     assert(got(2L) == (0.0, 0.0, 0.0, 0.0))
   }
 
+  test("connectedComponents works on STRING ids (URL/UUID corpora)") {
+    val pairs = Seq(("url/b", "url/a"), ("url/b", "url/c"), ("x", "x"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("url/a" -> "url/a", "url/b" -> "url/a",
+                      "url/c" -> "url/a", "x" -> "x"))
+  }
+
+  test("repetitionStats: whitespace-only and empty docs are all zeros") {
+    val df = Seq((1L, ""), (2L, " \n \n  "), (3L, "\n\n")).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.values.forall(_ == (0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("dropNearDups keeps one canonical doc per cluster") {
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 4L), (5L, 6L)).toDF("id_a", "id_b")

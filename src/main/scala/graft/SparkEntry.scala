@@ -732,6 +732,29 @@ object SparkEntry {
             greatest(lit(1.0), col("n_exact") * 0.15)).as("approx_ok"))
     }),
 
+    // piggybank evaluation functions end-to-end through the frontend
+    // (DEFINE with full package names, exactly as reference users write
+    // them): Reverse/LENGTH/Stuff/Decode/IsNumeric — all codegen Column
+    // work, oracle-checked per row
+    "q82_piggybank" -> ((s, d) => {
+      GraftSession.tune(s)
+      graft.frontend.PigRunner(s).run(s"""
+        DEFINE Rev org.apache.pig.piggybank.evaluation.string.Reverse();
+        DEFINE Len org.apache.pig.piggybank.evaluation.string.LENGTH();
+        DEFINE St  org.apache.pig.piggybank.evaluation.string.Stuff();
+        DEFINE Dec org.apache.pig.piggybank.evaluation.decode.Decode();
+        DEFINE IsN org.apache.pig.piggybank.evaluation.IsNumeric();
+        c = LOAD '$d/customer.parquet';
+        p = FOREACH c GENERATE c_custkey,
+              Rev(c_name) AS rev_name,
+              (long)Len(c_name) AS n_name,
+              St(c_mktsegment, 0, 2, 'XX') AS stuffed,
+              Dec(c_mktsegment, 'BUILDING', 'b', 'AUTOMOBILE', 'a', 'o')
+                AS seg_code,
+              IsN((chararray)c_nationkey) AS nk_numeric;
+      """).apply("p").df
+    }),
+
     // Invoke* reflection UDFs end-to-end through the frontend: an
     // instance-method call (receiver as first arg) and a 2-arg static —
     // reference Invoker.java semantics, here resolved once per JVM
@@ -759,6 +782,18 @@ object SparkEntry {
                 count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    // mirrors the piggybank Java semantics: Stuff deletes 2 chars at
+    // 0-based index 0 and inserts 'XX'; Decode is first-match-else-
+    // default; IsNumeric is the reference's regex after one leading '-'
+    "q82_piggybank" ->
+      """SELECT c_custkey, reverse(c_name) AS rev_name,
+                length(c_name) AS n_name,
+                'XX' || substring(c_mktsegment, 3) AS stuffed,
+                CASE c_mktsegment WHEN 'BUILDING' THEN 'b'
+                     WHEN 'AUTOMOBILE' THEN 'a' ELSE 'o' END AS seg_code,
+                regexp_matches(CAST(c_nationkey AS VARCHAR),
+                               '^-?\d+(\.\d+)?$') AS nk_numeric
+         FROM customer""",
     "q76_approx_distinct" ->
       """SELECT o_orderpriority AS prio,
                 count(DISTINCT o_custkey) AS n_exact,

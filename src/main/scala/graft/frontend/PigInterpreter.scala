@@ -2180,6 +2180,80 @@ final class PigRunner(val spark: SparkSession) {
       case "ADDDURATION" => Builtins.AddDuration(c0, asStr(args(1)))
       case "SUBTRACTDURATION" => Builtins.SubtractDuration(c0, asStr(args(1)))
       case "CURRENTTIME" => current_timestamp()
+      // ---------------------------------------------- piggybank evals
+      // (contrib/piggybank evaluation/**; called via DEFINE — the
+      // preprocessor strips the package, the parser uppercases)
+      case "REVERSE" => reverse(c0)
+      case "LENGTH" => length(c0)
+      case "HASHFNV" =>
+        if (args.size >= 2) Builtins.HASHFNV(c0, comp(args(1)))
+        else Builtins.HASHFNV(c0)
+      case "STUFF" =>
+        Builtins.STUFF(c0, comp(args(1)), comp(args(2)), comp(args(3)))
+      case "REPLACE_MULTI" => Builtins.REPLACE_MULTI(c0, comp(args(1)))
+      case "ISINT" => Builtins.ISINT(c0)
+      case "ISLONG" => Builtins.ISLONG(c0)
+      case "ISFLOAT" => Builtins.ISFLOAT(c0)
+      case "ISDOUBLE" => Builtins.ISDOUBLE(c0)
+      case "ISNUMERIC" => Builtins.ISNUMERIC(c0)
+      case "DECODE" => Builtins.DECODE(c0, args.tail.map(comp))
+      case "BIN" => Builtins.BIN(c0, args.tail.map(comp))
+      case "ISOTOUNIX" => Builtins.ISOTOUNIX(c0)
+      case "UNIXTOISO" => Builtins.UNIXTOISO(c0)
+      case "CUSTOMFORMATTOISO" =>
+        Builtins.CUSTOMFORMATTOISO(c0, asStr(args(1)))
+      case "ISOTOYEAR" => Builtins.isoTruncate("year")(c0)
+      case "ISOTOMONTH" => Builtins.isoTruncate("month")(c0)
+      case "ISOTOWEEK" => Builtins.isoTruncate("week")(c0)
+      case "ISOTODAY" => Builtins.isoTruncate("day")(c0)
+      case "ISOTOHOUR" => Builtins.isoTruncate("hour")(c0)
+      case "ISOTOMINUTE" => Builtins.isoTruncate("minute")(c0)
+      case "ISOTOSECOND" => Builtins.isoTruncate("second")(c0)
+      case "ISOSECONDSBETWEEN" =>
+        Builtins.SecondsBetween(to_timestamp(c0), to_timestamp(comp(args(1))))
+      case "ISOMINUTESBETWEEN" =>
+        Builtins.MinutesBetween(to_timestamp(c0), to_timestamp(comp(args(1))))
+      case "ISOHOURSBETWEEN" =>
+        Builtins.HoursBetween(to_timestamp(c0), to_timestamp(comp(args(1))))
+      case "ISODAYSBETWEEN" =>
+        Builtins.DaysBetween(to_timestamp(c0), to_timestamp(comp(args(1))))
+      case "ISOMONTHSBETWEEN" =>
+        Builtins.MonthsBetween(to_timestamp(c0), to_timestamp(comp(args(1))))
+      case "ISOYEARSBETWEEN" =>
+        Builtins.YearsBetween(to_timestamp(c0), to_timestamp(comp(args(1))))
+      case "DIFFDATE" => Builtins.DIFFDATE(c0, comp(args(1)))
+      case "MAXTUPLEBY1STFIELD" => typeOf(c0, df) match {
+        case ArrayType(st: StructType, _) =>
+          Builtins.EXTREMAL_TUPLE(c0, st.fieldNames.head, maxNotMin = true)
+        case _ => throw new IllegalArgumentException(
+          "MaxTupleBy1stField expects a bag of tuples")
+      }
+      case "EXTREMALTUPLEBYNTHFIELD" =>
+        // ctor literals ride after CtorMark: ('N'[, order]); reference
+        // ExtremalTupleByNthField.java parseFieldIndex (1-based) +
+        // parseOrdering (min/desc/-/small/least prefixes → min)
+        val mark = args.indexWhere {
+          case Lit(s: String) => s == PigPreprocessor.CtorMark; case _ => false
+        }
+        val (callArgs, ctor) =
+          if (mark >= 0) (args.take(mark),
+            args.drop(mark + 1).collect { case Lit(s: String) => s })
+          else (args.take(1),
+            args.drop(1).collect { case Lit(s: String) => s })
+        val bag = comp(callArgs.head)
+        val idx = ctor.headOption.map(_.trim.toInt).getOrElse(1) - 1
+        if (idx < 0) throw new IllegalArgumentException(
+          s"field index cannot be less than 1:${idx + 1}")
+        val ord = ctor.lift(1).map(_.toLowerCase.trim).getOrElse("max")
+        val isMax = !Seq("min", "desc", "-", "small", "least")
+          .exists(ord.startsWith)
+        typeOf(bag, df) match {
+          case ArrayType(st: StructType, _) =>
+            Builtins.EXTREMAL_TUPLE(bag, st.fieldNames(idx), isMax)
+          case _ => throw new IllegalArgumentException(
+            "ExtremalTupleByNthField expects a bag of tuples")
+        }
+
       case n if n.startsWith("INVOKEFOR") =>
         // InvokeForString/Int/Long/Float/Double (reference: Invoker.java) —
         // a DEFINE'd alias call arrives with the ctor literals appended

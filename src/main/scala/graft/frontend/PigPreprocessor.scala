@@ -322,26 +322,42 @@ object PigPreprocessor {
           s.replaceAll(s"(?i)THROUGH\\s+$name\\b",
             java.util.regex.Matcher.quoteReplacement(s"THROUGH `$cmd`"))
         }
-        // function aliases: alias(args) → Func(args, ctorArgs). Call args
-        // may not contain nested parens (documented v1 limitation); string
+        // function aliases: alias(args) → Func(args, ctorArgs). The
+        // pattern allows ONE paren level inside the args; running the
+        // whole alias fold to a fixpoint then covers arbitrary nesting
+        // (each round peels one level: I(U(x)) expands U on one round,
+        // I on another). Self-named aliases (name == func) expand in a
+        // single round so appended ctor args can't stack. String
         // literal args are masked here, so they can't split the match.
-        funcs.foldLeft(withCmds) { case (s, (name, (func, ctor))) =>
-          // InvokeFor* gets an explicit boundary marker between call args
-          // and ctor literals (see CtorMark) — other DEFINE'd functions
-          // keep the plain appended-args contract
-          val marked =
-            if (func.toUpperCase.startsWith("INVOKEFOR") && ctor.trim.nonEmpty)
-              s"'$CtorMark', ${ctor.trim}"
-            else ctor.trim
-          s"""\\b$name\\s*\\(([^()]*)\\)""".r.replaceAllIn(s, mm => {
-            // NOT String.trim: the masked-literal placeholders are framed by
-            // control chars < U+0020 and trim would strip them off the ends
-            val callArgs = mm.group(1)
-              .replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
-            val all = Seq(callArgs, marked).filter(_.nonEmpty).mkString(", ")
-            java.util.regex.Matcher.quoteReplacement(s"$func($all)")
-          })
+        var cur = withCmds; var prev = ""; var round = 0
+        while (cur != prev && round < 8) {
+          prev = cur
+          cur = funcs.foldLeft(cur) { case (s, (name, (func, ctor))) =>
+            if (round > 0 && name.equalsIgnoreCase(func)) s
+            else {
+              // InvokeFor* gets an explicit boundary marker between call
+              // args and ctor literals (see CtorMark) — other DEFINE'd
+              // functions keep the plain appended-args contract
+              val marked =
+                if (func.toUpperCase.startsWith("INVOKEFOR") && ctor.trim.nonEmpty)
+                  s"'$CtorMark', ${ctor.trim}"
+                else ctor.trim
+              s"""\\b$name\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)""".r
+                .replaceAllIn(s, mm => {
+                  // NOT String.trim: the masked-literal placeholders are
+                  // framed by control chars < U+0020 and trim would strip
+                  // them off the ends
+                  val callArgs = mm.group(1)
+                    .replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+                  val all = Seq(callArgs, marked).filter(_.nonEmpty)
+                    .mkString(", ")
+                  java.util.regex.Matcher.quoteReplacement(s"$func($all)")
+                })
+            }
+          }
+          round += 1
         }
+        cur
       }
     }
   }

@@ -281,4 +281,145 @@ object Builtins {
 
   // UniqueID (reference: UniqueID.java:37 — task-id based):
   def UniqueID(): Column = monotonically_increasing_id()
+
+  // ------------------------------------------------------------------
+  // Piggybank evaluation catalog (reference: contrib/piggybank/java/src/
+  // main/java/org/apache/pig/piggybank/evaluation/**). Reached via
+  // `DEFINE alias org.apache.pig.piggybank.evaluation.<pkg>.<Name>(…)`:
+  // the preprocessor strips the package, the parser uppercases the name.
+
+  /** string/HashFNV.java:39-67 — 32-bit FNV-1 over the UTF-8 bytes with
+    * Pig's custom init 33554467, Java int-wraparound arithmetic, widened
+    * to long exactly as the reference (sign-extended). 2-arg form
+    * (HashFNV2.java) applies `% mod` when mod > 0. Deliberately a Scala
+    * UDF: byte-wise 32-bit wraparound has no clean Column form, and a
+    * hash-to-bucket call is never the scan bottleneck. */
+  private def fnv32(s: String): Long = {
+    var h = 33554467
+    s.getBytes("UTF-8").foreach { b => h *= 0x01000193; h ^= b }
+    h.toLong
+  }
+  private lazy val fnvUdf = udf((s: String) => Option(s).map(fnv32))
+  private lazy val fnvModUdf = udf((s: String, mod: java.lang.Integer) =>
+    (Option(s), Option(mod)) match {
+      case (Some(str), Some(m)) =>
+        val v = fnv32(str); Some(if (m > 0) v % m else v)
+      case _ => None
+    })
+  def HASHFNV(c: Column): Column = fnvUdf(c)
+  def HASHFNV(c: Column, mod: Column): Column = fnvModUdf(c, mod.cast(IntegerType))
+
+  /** string/Stuff.java — delete `len` chars at 0-based `start`, insert
+    * `repl` there. Bounds violations raise, like the reference's
+    * IOException (start out of [0, length), negative len). */
+  def STUFF(str: Column, start: Column, len: Column, repl: Column): Column = {
+    val n = length(str)
+    when(str.isNull || start.isNull || len.isNull, lit(null).cast(StringType))
+      .when(start < 0 || start >= n,
+        raise_error(concat(lit("Given startIndex "), start.cast(StringType),
+          lit(" is out of bounds"))).cast(StringType))
+      .when(len < 0,
+        raise_error(lit("The number of characters to delete cannot be " +
+          "negative")).cast(StringType))
+      .otherwise(concat(str.substr(lit(1), start), coalesce(repl, lit("")),
+        str.substr(start + len + 1, n)))
+  }
+
+  /** string/REPLACE_MULTI.java — sequential regex replaceAll over the
+    * map's entries in stored order (the reference iterates a HashMap, so
+    * its order is unspecified; Spark maps preserve insertion order,
+    * which is the deterministic superset of that contract). Null map →
+    * source unchanged. */
+  def REPLACE_MULTI(src: Column, m: Column): Column =
+    when(m.isNull, src).otherwise(
+      aggregate(map_entries(m), src, (acc, e) =>
+        regexp_replace(acc, e.getField("key"), e.getField("value"))))
+
+  /** IsInt/IsLong/IsFloat/IsDouble/IsNumeric (piggybank/evaluation/Is*):
+    * Java parse acceptance, false (never null) on null/empty/junk. The
+    * float/double forms accept Java's trailing f/F/d/D suffix; the exact
+    * Java hex-float literal corner (0x1.8p1) is not recognized. */
+  def ISINT(c: Column): Column =
+    coalesce(c.rlike("^[+-]?\\d+$") && c.cast(IntegerType).isNotNull, lit(false))
+  def ISLONG(c: Column): Column =
+    coalesce(c.rlike("^[+-]?\\d+$") && c.cast(LongType).isNotNull, lit(false))
+  private def floatish(c: Column): Column =
+    regexp_replace(trim(c), "[fFdD]$", "")
+  def ISFLOAT(c: Column): Column =
+    coalesce(length(trim(c)) > 0 && floatish(c).cast(FloatType).isNotNull,
+      lit(false))
+  def ISDOUBLE(c: Column): Column =
+    coalesce(length(trim(c)) > 0 && floatish(c).cast(DoubleType).isNotNull,
+      lit(false))
+  /** IsNumeric.java:49-55 — strips one leading '-', then `\d+(\.\d+)?`. */
+  def ISNUMERIC(c: Column): Column =
+    coalesce(c.rlike("^-?\\d+(\\.\\d+)?$"), lit(false))
+
+  /** decode/Decode.java — Oracle-style DECODE(expr, k1, v1, …, default):
+    * first key equal to expr selects its value, else the default; null
+    * expr → null. Arity is validated at compile (even total, ≥4). */
+  def DECODE(expr: Column, rest: Seq[Column]): Column = {
+    require(rest.size >= 3 && rest.size % 2 == 1,
+      "Decode : Atleast an expression and default string is required.")
+    val default = rest.last
+    val cases = rest.dropRight(1).grouped(2).map(p => (p(0), p(1))).toSeq
+    val chained = cases.foldLeft(when(expr.isNull, lit(null))) {
+      case (acc, (k, v)) => acc.when(expr === k, v)
+    }
+    chained.otherwise(default)
+  }
+
+  /** decode/Bin.java — Bin(expr, label1, bound1, …, lastLabel): the
+    * first label whose bound is >= expr, else the last label; null expr
+    * raises like the reference. */
+  def BIN(expr: Column, rest: Seq[Column]): Column = {
+    require(rest.size >= 1 && rest.size % 2 == 1,
+      "Bin : An expression & atleast a default string are required.")
+    val default = rest.last
+    val cases = rest.dropRight(1).grouped(2).map(p => (p(0), p(1))).toSeq
+    val chained = cases.foldLeft(
+      when(expr.isNull, raise_error(lit("Bin : Encounter null in the input"))
+        .cast(StringType))) {
+      case (acc, (label, bound)) => acc.when(expr <= bound, label)
+    }
+    chained.otherwise(default)
+  }
+
+  /** datetime/convert: ISOToUnix (ISO-8601 → epoch millis), UnixToISO
+    * (epoch millis → ISO-8601, UTC — the session timezone, matching the
+    * reference's joda default in its tests), CustomFormatToISO. */
+  def ISOTOUNIX(c: Column): Column = unix_millis(to_timestamp(c))
+  def UNIXTOISO(c: Column): Column =
+    date_format(timestamp_millis(c.cast(LongType)),
+      "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+  def CUSTOMFORMATTOISO(c: Column, fmt: String): Column =
+    date_format(to_timestamp(c, fmt), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+
+  /** datetime/truncate/ISOTo*.java — truncate an ISO-8601 instant at a
+    * unit, returning the ISO string (week truncates to Monday, matching
+    * joda weekOfWeekyear roundFloor). */
+  def isoTruncate(unit: String)(c: Column): Column =
+    date_format(date_trunc(unit, to_timestamp(c)),
+      "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+
+  /** datetime/DiffDate.java — whole days date1 − date2, inputs
+    * 'yyyyMMdd'; unparseable → null (reference warns + null). */
+  def DIFFDATE(a: Column, b: Column): Column =
+    datediff(to_date(a, "yyyyMMdd"), to_date(b, "yyyyMMdd")).cast(IntegerType)
+
+  /** MaxTupleBy1stField.java / ExtremalTupleByNthField.java — the
+    * extremal tuple of a bag by its nth field (1-based), max by default;
+    * `order` accepts the reference's prefixes (min/desc/-/small/least →
+    * min). A per-bag array sort — combines fine because the surrounding
+    * GROUP already partial-aggregates the bag. */
+  def EXTREMAL_TUPLE(bag: Column, fieldName: String, maxNotMin: Boolean): Column =
+    when(size(bag) > 0,
+      element_at(sort_array_by_field(bag, fieldName, asc = !maxNotMin), 1))
+  private def sort_array_by_field(bag: Column, field: String,
+                                  asc: Boolean): Column = {
+    val (lt, gt) = if (asc) ("-1", "1") else ("1", "-1")
+    call_function("array_sort", bag,
+      expr(s"(l, r) -> CASE WHEN l.`$field` < r.`$field` THEN $lt " +
+           s"WHEN l.`$field` > r.`$field` THEN $gt ELSE 0 END"))
+  }
 }

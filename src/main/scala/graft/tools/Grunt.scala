@@ -42,7 +42,7 @@ final class GruntShell(runner: graft.frontend.PigRunner) {
   }
   private def arg(words: IndexedSeq[String], i: Int, cmd: String): String =
     words.lift(i).getOrElse(throw new IllegalArgumentException(
-      s"$cmd needs ${i} argument(s)"))
+      s"$cmd: missing operand"))
   private def require_exists(f: File): File = {
     if (!f.exists())
       throw new IllegalArgumentException(s"${f.getPath} does not exist")

@@ -1971,8 +1971,12 @@ final class PigRunner(val spark: SparkSession) {
         val nn = nonNull(c0)
         when(size(nn) > 0,
           aggregate(nn, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) / size(nn))
-      case "MIN" => array_min(c0)
-      case "MAX" => array_max(c0)
+      // 1-arg = Pig aggregate over a bag; 2-arg = piggybank math.MIN/MAX
+      // (Math.min/max twins)
+      case "MIN" =>
+        if (args.size == 2) least(c0, comp(args(1))) else array_min(c0)
+      case "MAX" =>
+        if (args.size == 2) greatest(c0, comp(args(1))) else array_max(c0)
       // bonus builtin: on a MATERIALIZED bag the exact count is free
       // (the elements are already in memory), so the un-fused path
       // returns it — HLL's approximation only buys anything when it
@@ -2222,6 +2226,35 @@ final class PigRunner(val spark: SparkSession) {
       case "ISOYEARSBETWEEN" =>
         Builtins.YearsBetween(to_timestamp(c0), to_timestamp(comp(args(1))))
       case "DIFFDATE" => Builtins.DIFFDATE(c0, comp(args(1)))
+      // piggybank string regex family: RegexMatch is a FULL match → 1/0
+      // (RegexMatch.java matcher().matches()); the extract forms share
+      // the builtin REGEX_EXTRACT[_ALL] find semantics
+      case "REGEXMATCH" =>
+        when(c0.isNull, lit(null).cast(IntegerType))
+          .otherwise(when(c0.rlike("^(?:" + asStr(args(1)) + ")$"), 1)
+            .otherwise(0))
+      case "REGEXEXTRACT" => callFunction("REGEX_EXTRACT", args, df, nested)
+      case "REGEXEXTRACTALL" =>
+        callFunction("REGEX_EXTRACT_ALL", args, df, nested)
+      case "LASTINDEXOF" => callFunction("LAST_INDEX_OF", args, df, nested)
+      // piggybank math package: java.lang.Math twins not already in the
+      // builtin catalog, plus the type-suffixed Abs/Max/Min/Round/Signum
+      // wrappers (the reference generates one class per input type; the
+      // Column forms are type-generic)
+      case "ATAN2" => atan2(c0, comp(args(1)))
+      case "POW" => pow(c0, comp(args(1)))
+      case "EXPM1" => expm1(c0)
+      case "LOG1P" => log1p(c0)
+      case "RINT" => rint(c0)
+      case "SIGNUM" | "DOUBLESIGNUM" | "FLOATSIGNUM" => signum(c0)
+      case "TODEGREES" => degrees(c0)
+      case "TORADIANS" => radians(c0)
+      case n if n.matches("(DOUBLE|FLOAT|INT|LONG)ABS") => abs(c0)
+      case n if n.matches("(DOUBLE|FLOAT|INT|LONG)MAX") =>
+        greatest(c0, comp(args(1)))
+      case n if n.matches("(DOUBLE|FLOAT|INT|LONG)MIN") =>
+        least(c0, comp(args(1)))
+      case "DOUBLEROUND" | "FLOATROUND" => Builtins.ROUND(c0)
       case "MAXTUPLEBY1STFIELD" => typeOf(c0, df) match {
         case ArrayType(st: StructType, _) =>
           Builtins.EXTREMAL_TUPLE(c0, st.fieldNames.head, maxNotMin = true)

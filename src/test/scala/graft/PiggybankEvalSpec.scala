@@ -122,6 +122,31 @@ class PiggybankEvalSpec extends SparkSpec {
     assert(r.getLong(5) == 2L) // whole days between (joda Days.daysBetween)
   }
 
+  test("regex family and math twins (RegexMatch full-match, type-suffixed)") {
+    val d = dir()
+    Files.write(Paths.get(d, "t.tsv"), "ab12\t-3.5\nxy\t2.0\n".getBytes("UTF-8"))
+    val rows = run1(s"""
+      DEFINE RMch org.apache.pig.piggybank.evaluation.string.RegexMatch();
+      DEFINE RExt org.apache.pig.piggybank.evaluation.string.RegexExtract();
+      DEFINE LIO  org.apache.pig.piggybank.evaluation.string.LASTINDEXOF();
+      DEFINE DAbs org.apache.pig.piggybank.evaluation.math.DoubleAbs();
+      DEFINE DMax org.apache.pig.piggybank.evaluation.math.DoubleMax();
+      DEFINE Pw   org.apache.pig.piggybank.evaluation.math.POW();
+      a = LOAD '$d/t.tsv' AS (s:chararray, v:double);
+      b = FOREACH a GENERATE s,
+            RMch(s, '[a-z]+') AS full_alpha,
+            RMch(s, '[a-z]+\\\\d+') AS alpha_num,
+            RExt(s, '([a-z]+)', 1) AS first_alpha,
+            LIO(s, 'b') AS lio,
+            DAbs(v) AS av, DMax(v, 0.0) AS mx, Pw(v, 2) AS sq;
+    """, "b").map(r => r.getString(0) ->
+      (r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4),
+       r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    // matches() is a FULL match: 'ab12' vs [a-z]+ fails, [a-z]+\d+ hits
+    assert(rows("ab12") == (0, 1, "ab", 1, 3.5, 0.0, 12.25))
+    assert(rows("xy") == (1, 0, "xy", -1, 2.0, 2.0, 4.0))
+  }
+
   test("MaxTupleBy1stField and ExtremalTupleByNthField over grouped bags") {
     val d = dir()
     Files.write(Paths.get(d, "t.tsv"),

@@ -1003,6 +1003,16 @@ object SparkEntry {
       graft.text.TextAnalysis.repetitionStats(
         T(s, d, "documents").df, "doc_id", "text")),
 
+    // benchmark decontamination: flag docs sharing a 5-gram with the
+    // "eval set" (docs 0-19 here) — broadcast gram probe, corpus never
+    // shuffles; exact, oracle-checked per doc
+    "q83_decontaminate" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      graft.text.Dedup.contaminationFlags(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "text", n = 5)
+    }),
+
     // n-gram Jaccard between consecutive doc ids — exact, oracle-checked
     "q45_ngram_jaccard" -> ((s, d) => {
       val sh = T(s, d, "documents").df.select(col("doc_id"),
@@ -1451,6 +1461,24 @@ object SparkEntry {
                   / greatest(b.n_chars, 1), 6) AS top3gram_ratio
          FROM base b LEFT JOIN t2 ON t2.doc_id = b.doc_id
                      LEFT JOIN t3 ON t3.doc_id = b.doc_id""",
+    // mirrors Dedup.wordNgrams exactly, including the short-doc fallback
+    // (fewer than n tokens → the whole token join is the one gram)
+    "q83_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                      t -> length(t) > 0) AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+                    THEN [array_to_string(t[i:i+4], ' ')
+                          for i in range(1, len(t) - 3)]
+                    ELSE [array_to_string(t, ' ')] END) AS gram
+           FROM toks),
+         eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 20),
+         hit AS (SELECT DISTINCT g.doc_id
+                 FROM grams g JOIN eg ON eg.gram = g.gram)
+         SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+         FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id""",
     // same grams + pair predicate as q43's oracle, then a recursive-CTE
     // transitive closure: component = min reachable doc_id
     "q80_dedup_clusters" ->

@@ -514,4 +514,42 @@ object Dedup {
       .select(col("id").cast(docs.schema(idCol).dataType).as(idCol))
     docs.join(dupes, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------------------------
+  // Benchmark decontamination: eval-set n-gram overlap
+
+  /** Flag every document sharing at least one word n-gram with an eval/
+    * benchmark set (the standard n-gram contamination check run before
+    * training; n = 13 is the common production choice — lower n only for
+    * tiny test corpora). The eval side collapses to a DISTINCT gram set
+    * and is explicitly broadcast: benchmarks are tiny next to a 100 TB
+    * corpus, so the corpus scan never shuffles — each task stream-probes
+    * the broadcast gram hash set and emits (id, contaminated). */
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+                         evalDf: DataFrame, evalTextCol: String,
+                         n: Int = 13): DataFrame = {
+    val evalGrams = evalDf
+      .select(explode(wordNgrams(col(evalTextCol), n)).as("gram")).distinct()
+    val hit = docs
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .select(col(idCol)).distinct()
+    docs.select(col(idCol))
+      .join(hit.withColumn("__hit", lit(true)), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__hit"), lit(false)).as("contaminated"))
+  }
+
+  /** Drop the contaminated documents outright. */
+  def dropContaminated(docs: DataFrame, idCol: String, textCol: String,
+                       evalDf: DataFrame, evalTextCol: String,
+                       n: Int = 13): DataFrame = {
+    val evalGrams = evalDf
+      .select(explode(wordNgrams(col(evalTextCol), n)).as("gram")).distinct()
+    val hit = docs
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .select(col(idCol)).distinct()
+    docs.join(hit, Seq(idCol), "left_anti")
+  }
 }

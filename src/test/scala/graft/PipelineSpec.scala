@@ -265,6 +265,23 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.forall(_ == (0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("decontamination: only docs sharing an n-gram with the eval set") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),       // contains eval 3-gram
+      (2L, "a totally different sentence here"),
+      (3L, "quick brown fox somewhere else"))  // shares "quick brown fox"
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox ran")).toDF("eid", "etext")
+    val flags = Dedup.contaminationFlags(docs, "doc_id", "text",
+        eval, "etext", n = 3)
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> true))
+    val kept = Dedup.dropContaminated(docs, "doc_id", "text",
+        eval, "etext", n = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
   test("dropNearDups keeps one canonical doc per cluster") {
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 4L), (5L, 6L)).toDF("id_a", "id_b")

@@ -241,6 +241,13 @@ class PlanSpec extends SparkSpec {
       dim, col("o_custkey") === col("c_custkey")).count())
   }
 
+  test("q83: eval grams broadcast — the corpus probe side never shuffles " +
+       "on gram") {
+    val p = plan("q83_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q81: top-gram counts partial-aggregate; no per-row gram quadratic") {
     val p = plan("q81_repetition")
     // both (id, gram) count stages combine map-side before the exchange,

@@ -116,4 +116,10 @@ object PigAst {
   case class ExplainStmt(alias: String) extends Stmt
   case class IllustrateStmt(alias: String) extends Stmt
   case class SetStmt(key: String, value: String) extends Stmt
+  /** Bare `exec;` — Grunt's batch barrier (GruntParser processExec):
+    * flush pending stores before statements that read them back. This
+    * engine executes STORE eagerly, so the barrier is a no-op, but the
+    * reference's own scripts (nightly Bloom/CollectedGroup groups) use
+    * it mid-script and must parse. */
+  case object ExecBarrier extends Stmt
 }

@@ -214,6 +214,7 @@ final class PigRunner(val spark: SparkSession) {
       // the rebound relation carries the assertion filter — fusing a
       // downstream FOREACH against the pre-group input would bypass it
       groupMeta.remove(alias)
+    case ExecBarrier         => () // stores already ran (eager engine)
     case DumpStmt(alias)     => env(alias).dump()
     case DescribeStmt(alias) =>
       // nested-FOREACH inner aliases describe by their recorded schema
@@ -456,7 +457,7 @@ final class PigRunner(val spark: SparkSession) {
   // ------------------------------------------ GROUP+FOREACH agg fusion
   private val aggFnNames =
     Set("COUNT", "COUNT_STAR", "SUM", "AVG", "MIN", "MAX", "COR", "COV",
-        "APPROX_DISTINCT")
+        "APPROX_DISTINCT", "BUILDBLOOM")
 
   /** Attempt the combiner rewrite: if every GENERATE item is built from
     * group-key references, literals, scalar functions, and aggregate calls
@@ -544,6 +545,26 @@ final class PigRunner(val spark: SparkSession) {
         // bonus builtin (SURVEY §2.3): HLL++ sketch partial-aggregates,
         // so the fused form never shuffles raw distinct values
         case "APPROX_DISTINCT" => Some(approx_count_distinct(c(as.head)))
+        // BuildBloom (BuildBloom.java:54): a DEFINE'd call arrives as
+        // (keys…, CtorMark, ctorLits…); a direct call carries trailing
+        // string-literal ctor args. Fused = Catalyst BloomFilterAggregate,
+        // a true partial agg — the 100 TB-correct build shape.
+        case "BUILDBLOOM" =>
+          val mark = as.indexWhere {
+            case Lit(s: String) => s == PigPreprocessor.CtorMark
+            case _ => false
+          }
+          val (callArgs, ctorLits) =
+            if (mark >= 0) (as.take(mark),
+              as.drop(mark + 1).collect { case Lit(s: String) => s })
+            else {
+              val t = as.reverse.takeWhile {
+                case Lit(_: String) => true; case _ => false }.reverse
+              (as.dropRight(t.length), t.collect { case Lit(s: String) => s })
+            }
+          if (callArgs.isEmpty) None
+          else Some(graft.functions.BloomUdf.buildBloom(
+            callArgs.map(c), ctorLits))
         case _            => None
       }
     }
@@ -2325,6 +2346,68 @@ final class PigRunner(val spark: SparkSession) {
            ctor.lift(2).forall(graft.functions.Invoke.parseIsStatic))
         graft.functions.Invoke.column(kind, fullName, paramSpec, isStatic,
           callArgs.map(comp))
+      // ---- BuildBloom / Bloom UDF pair (BuildBloom.java:54, Bloom.java:72)
+      case "BLOOM" =>
+        val mark = args.indexWhere {
+          case Lit(s: String) => s == PigPreprocessor.CtorMark
+          case _ => false
+        }
+        if (mark >= 0) {
+          // DEFINE'd path form: `DEFINE b Bloom('storedPath'); filter x
+          // by b(key)`. The stored build (1 row per GROUP ALL) re-loads
+          // through the engine's own LOAD dispatch — parquet default and
+          // PigStorage text both round-trip the base64 payload.
+          val path = args.drop(mark + 1) match {
+            case Seq(Lit(p: String)) => p
+            case bad => throw new IllegalArgumentException(
+              s"Bloom expects one stored-filter path ctor arg, got $bad")
+          }
+          val vals = load(path, None, None).df.collect().flatMap(_.toSeq)
+            .collect { case s: String => s }.toSeq
+          graft.functions.BloomUdf.probeOrEmpty(vals,
+            args.take(mark).map(comp))
+        } else args match {
+          // value form (PIG-4926, Bloom e2e test 5): Bloom(filter, key…)
+          // — the filter arrives as a scalar-projected base64 literal
+          // (ReadScalars inlining of `D.bloomfilter`); a null scalar
+          // (empty build input) matches nothing
+          case Lit(b64) +: keys
+              if keys.nonEmpty && (b64 == null || b64.isInstanceOf[String]) =>
+            graft.functions.BloomUdf.probeOrEmpty(
+              Seq(b64.asInstanceOf[String]), keys.map(comp))
+          case bad => throw new IllegalArgumentException(
+            "Bloom needs a DEFINE'd stored-filter path or a scalar " +
+              s"BuildBloom result as its first argument; got $bad")
+        }
+      case "BUILDBLOOM" =>
+        // non-fused fallback: the FOREACH kept the bag (another GENERATE
+        // item consumed it), so build from the materialized bag column.
+        // Hash inside the array first so membership agrees with the
+        // aggregate build and the native probe.
+        val mark = args.indexWhere {
+          case Lit(s: String) => s == PigPreprocessor.CtorMark
+          case _ => false
+        }
+        val (callArgs, ctorLits) =
+          if (mark >= 0) (args.take(mark),
+            args.drop(mark + 1).collect { case Lit(s: String) => s })
+          else {
+            val t = args.reverse.takeWhile {
+              case Lit(_: String) => true; case _ => false }.reverse
+            (args.dropRight(t.length), t.collect { case Lit(s: String) => s })
+          }
+        require(callArgs.length == 1,
+          "BuildBloom expects one bag-of-keys argument")
+        val bagCol = comp(callArgs.head)
+        val elems = typeOf(bagCol, df) match {
+          case ArrayType(st: StructType, _) =>
+            transform(bagCol, t => t.getField(st.fieldNames.head))
+          case ArrayType(_, _) => bagCol
+          case bad => throw new IllegalArgumentException(
+            s"BuildBloom expects a bag, got $bad")
+        }
+        graft.functions.BloomUdf.buildBloomFromHashes(
+          transform(elems, x => xxhash64(x)), ctorLits)
       case other =>
         // session-registered UDF fallback — Pig's EvalFunc registration
         // surface maps to spark.udf.register(name, fn): a script can then

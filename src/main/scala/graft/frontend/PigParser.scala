@@ -199,6 +199,10 @@ object PigParser {
           done = !eatSym(",")
         }
         SplitStmt(in, branches.toSeq, otherwise)
+      case Ident(s) if s.equalsIgnoreCase("exec") &&
+          (toks.lift(pos + 1).contains(Sym(";")) ||
+           toks.lift(pos + 1).contains(EOF)) =>
+        advance(); ExecBarrier // Grunt batch barrier — eager engine no-op
       case _ =>
         val alias = ident()
         expectSym("=")

@@ -339,7 +339,9 @@ object PigPreprocessor {
               // args and ctor literals (see CtorMark) — other DEFINE'd
               // functions keep the plain appended-args contract
               val marked =
-                if (func.toUpperCase.startsWith("INVOKEFOR") && ctor.trim.nonEmpty)
+                if ((func.toUpperCase.startsWith("INVOKEFOR") ||
+                     Set("BUILDBLOOM", "BLOOM")(func.toUpperCase)) &&
+                    ctor.trim.nonEmpty)
                   s"'$CtorMark', ${ctor.trim}"
                 else ctor.trim
               s"""\\b$name\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)""".r

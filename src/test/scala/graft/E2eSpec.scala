@@ -54,7 +54,13 @@ class E2eSpec extends SparkSpec {
         maybe(parties(rnd.nextInt(parties.size))), maybe(contrib()))
         .mkString("\t")
     }
-    write("singlefile/studenttab10k", student("\t", nulls = false))
+    // a few pinned rows: the nightly Bloom group builds its filter on
+    // `name == 'alice allen'`, which a 1000-row random draw from 26×26
+    // names can miss entirely (this seed does) — the reference's 10k-row
+    // fixture always has it
+    write("singlefile/studenttab10k", student("\t", nulls = false) ++
+      Seq("alice allen\t20\t1.80", "alice allen\t27\t3.90",
+          "alice allen\t54\t2.40"))
     // stand-in for the reference's 20M-row big-data fixture — the
     // run-and-store bar checks compilation + execution, not scale
     write("singlefile/studenttab20m", student("\t", nulls = false))
@@ -208,7 +214,7 @@ class E2eSpec extends SparkSpec {
     // MapPartialAgg/6 streams through `cat`); DEFINE of a backtick
     // command stays allowed only when the commands exist here
     val unsupported = ("""(?is)register|org\.apache\.pig\.test|:FUNCPATH:""" +
-      """|:SCRIPTHOMEPATH:|define\s+\w+\s+(?!.{0,200}returns)""" +
+      """|:SCRIPTHOMEPATH:|define\s+\w+\s+(?!.{0,200}returns|buildbloom\b|bloom\b)""" +
       """|returns\s+\w+\s*,|illustrate|:HADOOPHOME:""" +
       """|mapred|:PARAMPATH:|\bsh\b|:TMP:""").r
     val nightlyGroups = Set("Checkin", "LoaderPigStorageArg", "Order",
@@ -227,7 +233,10 @@ class E2eSpec extends SparkSpec {
       "Types_CoGroup", "NestedForEach", "NestedCross", "Tokenize",
       "STRSPLIT", "describe", "BugFix", "MergeJoin", "Bzip",
       "Accumulator", "SecondarySort", "JsonLoaderStorage",
-      "Rank", "Rank_Dense", "CastScalar", "PruneColumns")
+      "Rank", "Rank_Dense", "CastScalar", "PruneColumns",
+      // r9: BuildBloom/Bloom UDF pair implemented (the reference itself
+      // can only run this group on mapred/tez — PIG-5117)
+      "Bloom")
     val corpora: Seq[(String, Option[Set[String]])] = Seq(
       confPath -> Some(nightlyGroups),
       "/root/reference/test/e2e/pig/tests/join.conf" -> None,
@@ -344,6 +353,9 @@ class E2eSpec extends SparkSpec {
       val script = raw
         .replace(":INPATH:", fixtures)
         .replace(":OUTPATH:", out)
+        // intermediate scratch dir (Bloom group stores the built filter
+        // here, then re-reads it via DEFINE Bloom('path'))
+        .replace(":HDFSTMP:", s"$out.tmp")
         // streaming scripts reference shipped files by bare name (they
         // land in the task cwd on a cluster); the local-fs equivalent
         // is their checkout path

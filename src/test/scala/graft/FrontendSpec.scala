@@ -1390,6 +1390,51 @@ class FrontendSpec extends SparkSpec {
       .orderBy(org.apache.spark.sql.functions.desc("s")).head()
     assert(out.getLong(0) == out.getAs[Number](1).longValue + 10L)
   }
+
+  test("BuildBloom/Bloom UDF pair: stored-path form (nightly Bloom/1)") {
+    // build on the names of one region's nations, store, probe via a
+    // DEFINE'd path. Bloom guarantees NO false negatives; the fixed
+    // 4096-bit filter keeps false positives at zero for 25 nation names
+    // in practice — assert superset + a sane upper bound instead of
+    // exact equality to stay honest about the FP contract.
+    val tmp = java.nio.file.Files.createTempDirectory("bloom_udf").toString
+    val r = PigRunner(spark).run(s"""
+      DEFINE bb BuildBloom('Hash.JENKINS_HASH', 'fixed', '4096', '3');
+      n = LOAD '$dir/nation.parquet';
+      k = FILTER n BY n_regionkey == 2;
+      g = GROUP k ALL;
+      f = FOREACH g GENERATE bb(k.n_name);
+      STORE f INTO '$tmp/filter';
+      exec;
+      DEFINE probe Bloom('$tmp/filter');
+      a = LOAD '$dir/nation.parquet';
+      hits = FILTER a BY probe(n_name);
+    """)
+    val hits = r.apply("hits").df.select("n_name").collect()
+      .map(_.getString(0)).toSet
+    val exact = sf("nation").filter($"n_regionkey" === 2)
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(exact.subsetOf(hits), s"false negatives: ${exact -- hits}")
+    assert(hits.size <= exact.size + 3, s"too many false positives: $hits")
+  }
+
+  test("BuildBloom/Bloom: scalar value form, no store (nightly Bloom/5)") {
+    val r = PigRunner(spark).run(s"""
+      DEFINE bb BuildBloom('Hash.JENKINS_HASH', '30', '0.0001');
+      n = LOAD '$dir/nation.parquet';
+      k = FILTER n BY n_regionkey == 0;
+      g = GROUP k ALL;
+      f = FOREACH g GENERATE bb(k.n_name) AS bloomfilter;
+      a = LOAD '$dir/nation.parquet';
+      hits = FILTER a BY Bloom(f.bloomfilter, n_name);
+    """)
+    val hits = r.apply("hits").df.select("n_name").collect()
+      .map(_.getString(0)).toSet
+    val exact = sf("nation").filter($"n_regionkey" === 0)
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(exact.subsetOf(hits), s"false negatives: ${exact -- hits}")
+    assert(hits.size <= exact.size + 3, s"too many false positives: $hits")
+  }
 }
 
 /** Reflection target for the 5-arg Invoke test — Scala emits a static

@@ -1013,6 +1013,20 @@ object SparkEntry {
         docs.filter(col("doc_id") < 20), "text", n = 5)
     }),
 
+    // bloom-pre-filtered join (JOIN … USING 'bloom' / BuildBloom+Bloom
+    // pair): the big side is cut down by a codegen might-contain BEFORE
+    // its shuffle, then the exact join keeps the result oracle-equal —
+    // false positives only cost shuffle bytes, never correctness
+    "q84_bloom_join" -> ((s, d) => {
+      val li = T(s, d, "lineitem").df
+      val sup = T(s, d, "supplier").df.filter(col("s_nationkey") === 3)
+      graft.operators.BloomJoin.join(li, sup, "l_suppkey", "s_suppkey",
+          expectedItems = 100000L, fpp = 0.01)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+             round(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
+
     // n-gram Jaccard between consecutive doc ids — exact, oracle-checked
     "q45_ngram_jaccard" -> ((s, d) => {
       val sh = T(s, d, "documents").df.select(col("doc_id"),
@@ -1479,6 +1493,12 @@ object SparkEntry {
                  FROM grams g JOIN eg ON eg.gram = g.gram)
          SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
          FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id""",
+    "q84_bloom_join" ->
+      """SELECT s_suppkey, count(*) AS n_items,
+                round(sum(l_extendedprice), 2) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE s_nationkey = 3
+         GROUP BY s_suppkey""",
     // same grams + pair predicate as q43's oracle, then a recursive-CTE
     // transitive closure: component = min reachable doc_id
     "q80_dedup_clusters" ->

@@ -56,11 +56,17 @@ object BloomJoin {
                 small: DataFrame, smallKeys: Seq[Column],
                 expectedItems: Long = 1000000L,
                 fpp: Double = 0.03): DataFrame = {
-    val bf = small.filter(smallKeys.map(_.isNotNull).reduce(_ && _))
+    val keyed = small.filter(smallKeys.map(_.isNotNull).reduce(_ && _))
       .select(xxhash64(smallKeys: _*).as("__bloom_key"))
-      .stat.bloomFilter("__bloom_key", expectedItems, fpp)
-    big.filter(bigKeys.map(_.isNotNull).reduce(_ && _) &&
-      mightContain(bf, bigKeys))
+    // an EMPTY build side would NPE inside stat.bloomFilter (the
+    // aggregate yields null for zero rows) — and means no big row can
+    // match the inner/semi join anyway
+    if (keyed.isEmpty) big.filter(lit(false))
+    else {
+      val bf = keyed.stat.bloomFilter("__bloom_key", expectedItems, fpp)
+      big.filter(bigKeys.map(_.isNotNull).reduce(_ && _) &&
+        mightContain(bf, bigKeys))
+    }
   }
 
   /** Bloom-pre-filtered equi-join, any key type (keys are xxhash64'd on

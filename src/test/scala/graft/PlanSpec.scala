@@ -256,4 +256,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("q84: bloom pre-filter probes big side natively, then broadcasts") {
+    val p = plan("q84_bloom_join")
+    // the codegen might_contain predicate sits on the lineitem scan side
+    // (the pre-shuffle cut is the operator's whole point at 100 TB)…
+    assert(p.contains("might_contain"), s"no native bloom probe:\n$p")
+    // …and the small filtered supplier side broadcasts for the join
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast join")
+  }
 }

@@ -159,18 +159,24 @@ object StreamIo {
             throw new IllegalArgumentException(
               s"Invalid ship specification: '$p' does not exist!"))
           spec = spec.copy(ship = spec.ship ++ paths)
-        case "cache" => // distributed-cache hint: validated, no-op locally
+        case "cache" =>
+          // distributed-cache entry: 'path#symlink' lands in the task
+          // cwd under the symlink name (Hadoop fragment convention;
+          // StreamingCommand.CacheSpec). Locally that is exactly a ship
+          // with a rename — the entries join the ship list keeping
+          // their '#' so the runner can materialize the link name.
           if (body.nonEmpty && !body.matches(quotedList))
             throw new IllegalArgumentException(
               s"cache() takes quoted paths: ${body.take(60)}")
-          // 'path#symlink' — the pre-# part must exist at compile time
-          // (reference: "Invalid cache specification")
-          body.split(",(?=(?:[^']*'[^']*')*[^']*$)")
+          val entries = body.split(",(?=(?:[^']*'[^']*')*[^']*$)")
             .map(_.trim.stripPrefix("'").stripSuffix("'"))
-            .filter(_.nonEmpty)
-            .find(p => !new java.io.File(p.split('#').head).exists())
+            .filter(_.nonEmpty).toSeq
+          // the pre-# part must exist at compile time (reference:
+          // "Invalid cache specification")
+          entries.find(p => !new java.io.File(p.split('#').head).exists())
             .foreach(p => throw new IllegalArgumentException(
               s"Invalid cache specification: '$p' does not exist!"))
+          spec = spec.copy(ship = spec.ship ++ entries)
         case "stderr" => // log persistence hint: validated, no-op
           if (body.nonEmpty &&
               !body.matches("""(?is)'[^']*'(\s+limit\s+\d+)?"""))

@@ -34,9 +34,15 @@ object StreamProcess {
     onTaskDone(() => deleteRec(dir.toFile))
 
     for (s <- ship) {
-      val src = new File(s)
-      require(src.exists(), s"ship file does not exist: $s")
-      val dst = dir.resolve(src.getName)
+      // 'path#link' (a cache() entry, Hadoop fragment convention):
+      // materialize under the link name; plain ship keeps the base name
+      val (srcPath, linkName) = s.split('#') match {
+        case Array(p, l) => (p, l)
+        case _           => (s, new File(s).getName)
+      }
+      val src = new File(srcPath)
+      require(src.exists(), s"ship file does not exist: $srcPath")
+      val dst = dir.resolve(linkName)
       Files.copy(src.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
       dst.toFile.setExecutable(true) // shipped commands run by bare name
     }

@@ -68,6 +68,13 @@ class E2eSpec extends SparkSpec {
     write("singlefile/studentcolon10k", student(":", nulls = false))
     write("singlefile/votertab10k", voter(nulls = false))
     write("singlefile/voternulltab10k", voter(nulls = true))
+    // name → NAME lookup table for the streaming cache() script
+    // (streaming.conf 1/3 pipes names through PigStreaming.pl with a
+    // cached support file); all 676 pool combinations so every fixture
+    // row maps
+    write("nameMap/part-00000",
+      for { f <- first; l <- last }
+        yield s"$f $l\t${f.toUpperCase} ${l.toUpperCase}")
     write("dir/studenttab10k/part-00000", student("\t", nulls = false))
     write("glob/star/file1good", student("\t", nulls = false))
     write("glob/star/file2good", student("\t", nulls = false))
@@ -142,7 +149,7 @@ class E2eSpec extends SparkSpec {
   // fields ('execonly' etc.) may sit between 'num' and 'pig'
   private val testRe =
     ("""(?s)'num' => (\d+)(?:[^']|'[^']*')*?'pig' =>\s*""" +
-     """(?:q([\\?#])(.*?)\2|"((?:[^"\\]|\\.)*)")""").r
+     """(?:q([\\?#@])(.*?)\2|"((?:[^"\\]|\\.)*)")""").r
   private val missingFixture = ("""studentctrla10k""" +
     """|names\.txt|load 'sample'""").r
 
@@ -258,7 +265,7 @@ class E2eSpec extends SparkSpec {
     * distributed-cache tests, and the deliberately-failing scripts. */
   private lazy val streamingScripts: Seq[(String, Int, String)] = {
     val unsup = ("""(?is)register|:FUNCPATH:|org\.apache\.pig\.test|mapred""" +
-      """|:PARAMPATH:|illustrate|cache\s*\(""" +
+      """|:PARAMPATH:|illustrate""" +
       """|DieRandomly|PigStreamingBad""" +
       """|\$script_name""").r
     extract("/root/reference/test/e2e/pig/tests/streaming.conf", None,
@@ -350,7 +357,7 @@ class E2eSpec extends SparkSpec {
     val streamHome = "/root/reference/test/e2e/pig/streaming"
     sel.foreach { case (group, num, raw) =>
       val out = s"$outBase/${group}_$num"
-      val script = raw
+      val script0 = raw
         .replace(":INPATH:", fixtures)
         .replace(":OUTPATH:", out)
         // intermediate scratch dir (Bloom group stores the built filter
@@ -364,9 +371,15 @@ class E2eSpec extends SparkSpec {
         // the read-only checkout isn't executable, so spell out `perl` —
         // the reference harness ships it into the task cwd as executable
         .replace(s"`$streamHome/Split.pl", s"`perl $streamHome/Split.pl")
-        .replace("perl PigStreaming.pl", s"perl $streamHome/PigStreaming.pl")
-        .replace("perl GroupBy.pl", s"perl $streamHome/GroupBy.pl")
-        .replace(" nameMap", s" $streamHome/nameMap")
+      // a cache() script materializes its own task-cwd files (ship +
+      // cache symlink) — bare names must resolve in the scratch cwd, not
+      // be rewritten to the checkout
+      val script =
+        if (raw.contains("cache(")) script0
+        else script0
+          .replace("perl PigStreaming.pl", s"perl $streamHome/PigStreaming.pl")
+          .replace("perl GroupBy.pl", s"perl $streamHome/GroupBy.pl")
+          .replace(" nameMap", s" $streamHome/nameMap")
       try {
         graft.frontend.PigRunner(spark).run(script)
         if (script.toLowerCase.contains("store ")) {

@@ -1340,6 +1340,24 @@ class FrontendSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSet.contains("AFRICA"))
   }
 
+  test("STREAM cache('path#link'): file lands in the task cwd as link") {
+    // streaming.conf 1/3 shape: a cached support file referenced by its
+    // symlink name (Hadoop fragment convention, StreamingCommand
+    // CacheSpec) — the command reads `lookup` from its scratch cwd
+    val d = java.nio.file.Files.createTempDirectory("cachespec")
+    java.nio.file.Files.write(d.resolve("table.txt"),
+      "0\tZERO\n1\tONE\n2\tTWO\n3\tTHREE\n4\tFOUR\n".getBytes("UTF-8"))
+    val out = PigRunner(spark).run(s"""
+      DEFINE CMD `join -t '\t' -o 2.2 - lookup` cache('$d/table.txt#lookup');
+      r = LOAD '$dir/region.parquet';
+      p = FOREACH r GENERATE r_regionkey;
+      o = ORDER p BY r_regionkey;
+      s = STREAM o THROUGH CMD AS (w:chararray);
+    """).apply("s").df.collect()
+    assert(out.map(_.getString(0)).toSet ==
+      Set("ZERO", "ONE", "TWO", "THREE", "FOUR"))
+  }
+
   test("STREAM file-handle command failing exit fails the query") {
     val e = intercept[Exception] {
       PigRunner(spark).run(s"""

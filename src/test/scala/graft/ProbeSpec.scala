@@ -209,4 +209,93 @@ class ProbeSpec extends SparkSpec {
     val emptyOut = r.illustrateText("e")
     assert(emptyOut.contains("k:int") && emptyOut.contains("v:chararray"))
   }
+
+  // ---- round-9b battery: BuildBloom/Bloom pair, exec barrier, cache()
+  private val sfdir = "/root/testdata/sf0.001"
+test("P1: BuildBloom/Bloom over a COMPOUND key") {
+    val r = PigRunner(spark).run(s"""
+      DEFINE bb BuildBloom('Hash.JENKINS_HASH', 'fixed', '4096', '3');
+      n = LOAD '$sfdir/nation.parquet';
+      k = FILTER n BY n_regionkey == 2;
+      g = GROUP k ALL;
+      f = FOREACH g GENERATE bb(k.n_name, k.n_nationkey) AS bf;
+      a = LOAD '$sfdir/nation.parquet';
+      hits = FILTER a BY Bloom(f.bf, n_name, n_nationkey);
+    """)
+    val hits = r.apply("hits").df.count()
+    val exact = sf("nation").filter(org.apache.spark.sql.functions
+      .col("n_regionkey") === 2).count()
+    info(s"compound: hits=$hits exact=$exact")
+    assert(hits >= exact)
+  }
+
+  test("P2: BuildBloom bad ctor errors loudly") {
+    val e = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        DEFINE bb BuildBloom('Hash.JENKINS_HASH');
+        n = LOAD '$sfdir/nation.parquet';
+        g = GROUP n ALL;
+        f = FOREACH g GENERATE bb(n.n_name);
+        DUMP f;
+      """)
+    }
+    info(s"P2 msg: ${e.getMessage}")
+    assert(String.valueOf(e.getMessage).toLowerCase.contains("buildbloom"))
+  }
+
+  test("P3: Bloom over a missing path errors loudly") {
+    val e = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        DEFINE probe Bloom('/tmp/definitely_missing_bloom_filter_xyz');
+        n = LOAD '$sfdir/nation.parquet';
+        h = FILTER n BY probe(n_name);
+        DUMP h;
+      """)
+    }
+    info(s"P3 msg: ${String.valueOf(e.getMessage).take(200)}")
+  }
+
+  test("P4: alias named exec still works; trailing exec without semicolon") {
+    val r = PigRunner(spark).run(s"""
+      a = LOAD '$sfdir/nation.parquet';
+      exec = FILTER a BY n_regionkey == 0;
+      b = FOREACH exec GENERATE n_name;
+      exec;
+    """)
+    assert(r.apply("b").df.count() > 0)
+    val r2 = PigRunner(spark).run("a = LOAD '" + sfdir + "/nation.parquet';\nexec")
+    assert(r2.apply("a").df.count() == 25)
+  }
+
+  test("P5: cache() with a missing source fails with reference text") {
+    val e = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        DEFINE CMD `cat` cache('/tmp/no_such_cache_file_zzz#link');
+        n = LOAD '$sfdir/nation.parquet';
+        s = STREAM n THROUGH CMD;
+        DUMP s;
+      """)
+    }
+    info(s"P5 msg: ${e.getMessage}")
+    assert(String.valueOf(e.getMessage).contains("Invalid cache specification"))
+  }
+
+  test("P6: BuildBloom non-fused path (bag also consumed)") {
+    // COUNT(k) next to bb(k.n_name) still fuses; force the bag path by
+    // consuming the bag itself
+    val r = PigRunner(spark).run(s"""
+      DEFINE bb BuildBloom('Hash.JENKINS_HASH', 'fixed', '4096', '3');
+      n = LOAD '$sfdir/nation.parquet';
+      k = FILTER n BY n_regionkey == 2;
+      g = GROUP k ALL;
+      f = FOREACH g GENERATE bb(k.n_name) AS bf, SIZE(k) AS sz;
+      a = LOAD '$sfdir/nation.parquet';
+      hits = FILTER a BY Bloom(f.bf, n_name);
+    """)
+    val hits = r.apply("hits").df.count()
+    val exact = sf("nation").filter(org.apache.spark.sql.functions
+      .col("n_regionkey") === 2).count()
+    info(s"nonfused: hits=$hits exact=$exact")
+    assert(hits >= exact, "false negatives in non-fused build")
+  }
 }

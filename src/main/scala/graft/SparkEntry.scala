@@ -1013,6 +1013,23 @@ object SparkEntry {
         docs.filter(col("doc_id") < 20), "text", n = 5)
     }),
 
+    // PII scrub: deterministic fake PII is synthesized into the corpus
+    // text (identically in the oracle SQL), then redacted and counted —
+    // single codegen pass, no shuffle
+    "q85_pii_redact" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      val salted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10.0.0."),
+        (col("doc_id") % 250).cast("string"),
+        lit(" phone 555-0100-"),
+        (col("doc_id") % 90 + 10).cast("string"))
+      val (ips, emails, phones) = graft.text.Pii.counts(salted)
+      docs.select(col("doc_id"),
+        graft.text.Pii.redact(salted).as("clean"),
+        ips.as("n_ips"), emails.as("n_emails"), phones.as("n_phones"))
+    }),
+
     // bloom-pre-filtered join (JOIN … USING 'bloom' / BuildBloom+Bloom
     // pair): the big side is cut down by a codegen might-contain BEFORE
     // its shuffle, then the exact join keeps the result oracle-equal —
@@ -1493,6 +1510,37 @@ object SparkEntry {
                  FROM grams g JOIN eg ON eg.gram = g.gram)
          SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
          FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id""",
+    "q85_pii_redact" ->
+      """WITH salted AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                  '@example.com ip 10.0.0.' ||
+                  CAST(doc_id % 250 AS VARCHAR) ||
+                  ' phone 555-0100-' ||
+                  CAST(doc_id % 90 + 10 AS VARCHAR) AS t
+           FROM documents),
+         noip AS (
+           SELECT doc_id, t,
+                  regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                                 '<IP>', 'g') AS t1
+           FROM salted),
+         noemail AS (
+           SELECT doc_id, t, t1,
+                  regexp_replace(t1,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g') AS t2
+           FROM noip)
+         SELECT doc_id,
+                regexp_replace(t2, '(?:\+|\b)\d[\d().-]{7,}\d\b',
+                               '<PHONE>', 'g') AS clean,
+                len(regexp_extract_all(t,
+                    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+                len(regexp_extract_all(t1,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  AS n_emails,
+                len(regexp_extract_all(t2,
+                    '(?:\+|\b)\d[\d().-]{7,}\d\b')) AS n_phones
+         FROM noemail""",
     "q84_bloom_join" ->
       """SELECT s_suppkey, count(*) AS n_items,
                 round(sum(l_extendedprice), 2) AS revenue

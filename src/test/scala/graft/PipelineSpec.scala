@@ -289,4 +289,27 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 3L, 5L))
   }
+
+  test("PII redaction: kinds, replacement order, and counts agree") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      "mail a.b-c%d@sub.example.co.uk now",
+      "server 192.168.0.1 and 10.0.0.255 up",      // IPs, not phones
+      "call +1(555)010-0042 or 555-0100-42 today",
+      "mixed u5@x.io at 8.8.8.8 tel 555-0100-99",
+      "nothing to scrub here").toDF("t")
+    val out = docs.select(graft.text.Pii.redact(col("t")).as("clean"))
+      .as[String].collect().toSeq
+    assert(out == Seq(
+      "mail <EMAIL> now",
+      "server <IP> and <IP> up",
+      "call <PHONE> or <PHONE> today",
+      "mixed <EMAIL> at <IP> tel <PHONE>",
+      "nothing to scrub here"))
+    val (ips, emails, phones) = graft.text.Pii.counts(col("t"))
+    val c = docs.select(ips, emails, phones).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(c == Seq((0L, 1L, 0L), (2L, 0L, 0L), (0L, 0L, 2L),
+      (1L, 1L, 1L), (0L, 0L, 0L)))
+  }
 }

@@ -1030,6 +1030,26 @@ object SparkEntry {
         ips.as("n_ips"), emails.as("n_emails"), phones.as("n_phones"))
     }),
 
+    // per-domain URL stats (C4-style source curation): extract links,
+    // reduce to hosts, count mentions + distinct docs per host. URLs are
+    // synthesized deterministically (the corpus has none) — identically
+    // in the oracle
+    "q86_url_domains" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      val salted = concat(col("text"),
+        lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        lit(" and http://cdn"), (col("doc_id") % 3).cast("string"),
+        lit(".example.net/x"))
+      docs.select(col("doc_id"),
+          explode(graft.text.Urls.extract(salted)).as("url"))
+        .select(col("doc_id"),
+          graft.text.Urls.domain(col("url")).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+             countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
     // bloom-pre-filtered join (JOIN … USING 'bloom' / BuildBloom+Bloom
     // pair): the big side is cut down by a codegen might-contain BEFORE
     // its shuffle, then the exact join keeps the result oracle-equal —
@@ -1510,6 +1530,21 @@ object SparkEntry {
                  FROM grams g JOIN eg ON eg.gram = g.gram)
          SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
          FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id""",
+    "q86_url_domains" ->
+      """WITH salted AS (
+           SELECT doc_id,
+                  text || ' see https://site' ||
+                  CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' ||
+                  CAST(doc_id AS VARCHAR) || ' and http://cdn' ||
+                  CAST(doc_id % 3 AS VARCHAR) || '.example.net/x' AS t
+           FROM documents),
+         urls AS (
+           SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+'))
+                    AS url
+           FROM salted)
+         SELECT regexp_extract(url, 'https?://([^/\s:?#]+)', 1) AS domain,
+                count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+         FROM urls GROUP BY domain""",
     "q85_pii_redact" ->
       """WITH salted AS (
            SELECT doc_id,

@@ -312,4 +312,17 @@ class PipelineSpec extends SparkSpec {
     assert(c == Seq((0L, 1L, 0L), (2L, 0L, 0L), (0L, 0L, 2L),
       (1L, 1L, 1L), (0L, 0L, 0L)))
   }
+
+  test("URL extraction: scheme/host parsing drops port, path, query") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = Seq(
+      "x https://a.example.com/p?q=1 y http://b.example.net:8080/z",
+      "tail http://c.example.org",
+      "no links").toDF("t")
+    val got = docs.select(explode(graft.text.Urls.extract(col("t")))
+        .as("u"))
+      .select(graft.text.Urls.domain(col("u")).as("d"))
+      .as[String].collect().toSeq
+    assert(got == Seq("a.example.com", "b.example.net", "c.example.org"))
+  }
 }

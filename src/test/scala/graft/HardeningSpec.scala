@@ -148,4 +148,33 @@ class HardeningSpec extends SparkSpec {
     assert(got.size == want.size)
     assert(got == want)
   }
+
+  test("BuildBloom at 10M keys: distributed build, zero false negatives, " +
+       "bounded false positives") {
+    // the aggregate build must hold at scale: 10M distinct member keys
+    // through the partial-agg path (per-partition sketches merged), then
+    // a full-scan probe. Members = even ids; probes = all ids — every
+    // member must hit (bloom contract: no false negatives), and odd-id
+    // hits stay under ~2× the configured 1% fpp.
+    val n = 10_000_000L
+    val members = spark.range(0, n, 2).select(col("id"))
+    val b64 = members
+      .select(graft.functions.BloomUdf.buildBloom(
+        Seq(col("id")), Seq("Hash.MURMUR_HASH", (n / 2).toString, "0.01"))
+        .as("bf"))
+      .head().getString(0)
+    val bytes = graft.functions.BloomUdf.mergedBytes(Seq(b64))
+    val hits = spark.range(n)
+      .select(col("id"),
+        graft.functions.BloomUdf.probe(bytes, Seq(col("id"))).as("hit"))
+      .agg(
+        sum(when(col("id") % 2 === 0 && col("hit"), 1L).otherwise(0L))
+          .as("even_hits"),
+        sum(when(col("id") % 2 === 1 && col("hit"), 1L).otherwise(0L))
+          .as("odd_hits")).collect()(0)
+    assert(hits.getLong(0) == n / 2,
+      s"false negatives: ${n / 2 - hits.getLong(0)} members missed")
+    val fpRate = hits.getLong(1).toDouble / (n / 2)
+    assert(fpRate < 0.02, f"false-positive rate $fpRate%.4f exceeds 2×fpp")
+  }
 }

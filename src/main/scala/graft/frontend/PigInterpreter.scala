@@ -822,6 +822,15 @@ final class PigRunner(val spark: SparkSession) {
         graft.sources.Avro.write(df, path)
       case Some(("OrcStorage", _)) =>
         df.write.mode("overwrite").orc(path)
+      // piggybank IndexedStorage(sep, indexFieldNums): sorted delimited
+      // text + a seek index in the reference (IndexedStorage.java). The
+      // engine's merge-sparse join prunes via a key bloom instead of
+      // index seeks, so the payload is plain delimited text — the index
+      // arg is accepted and unused (documented divergence)
+      case Some(("IndexedStorage", args)) =>
+        textified(df).write.mode("overwrite")
+          .option("sep", args.headOption.filter(_.nonEmpty).getOrElse("\t"))
+          .csv(path)
       case Some(("BinStorage", _)) =>
         df.write.mode("overwrite").parquet(path)
       case Some(("CSVExcelStorage", args)) =>
@@ -1588,6 +1597,12 @@ final class PigRunner(val spark: SparkSession) {
             "MyRegExLoader needs a pattern with capture groups")))
       case Some(("SequenceFileLoader", _)) =>
         graft.sources.Piggybank.sequenceFileLoad(spark, path)
+      // piggybank IndexedStorage(sep, idx) reads back as delimited text
+      // (the seek index is not consulted — see the store-side note)
+      case Some(("IndexedStorage", args)) =>
+        spark.read
+          .option("sep", args.headOption.filter(_.nonEmpty).getOrElse("\t"))
+          .csv(splitPaths(path): _*)
       // piggybank CSVExcelStorage(delim, multiline, eol, header) —
       // Excel-dialect CSV: "" escapes a quote inside a quoted field
       // (reference: piggybank/storage/CSVExcelStorage.java)
@@ -1631,7 +1646,7 @@ final class PigRunner(val spark: SparkSession) {
       case Some(fs) if using.exists(u => Set("PigStorage", "CSVExcelStorage",
                                          "FixedWidthLoader", "MyRegExLoader",
                                          "RegExLoader", "SequenceFileLoader",
-                                         "TextLoader")
+                                         "IndexedStorage", "TextLoader")
                                          .contains(u._1)) ||
                        (using.isEmpty && !looksParquet(path)) =>
         // positional rename + LoadCaster casts (§1.4: failure → null);

@@ -233,7 +233,11 @@ object PigParser {
       } else op
 
     def funcSpec(): (String, Seq[String]) = {
-      val name = ident()
+      // package-qualified names (`org.apache.pig.piggybank.storage.
+      // IndexedStorage`) reduce to their simple name — dispatch is by
+      // class simple name exactly like the reference's DEFINE path
+      var name = ident()
+      while (atSym(".")) { advance(); name = ident() }
       val args = ArrayBuffer.empty[String]
       if (eatSym("(")) {
         while (!atSym(")")) {

@@ -205,8 +205,11 @@ class E2eSpec extends SparkSpec {
         }.filter { case (_, _, s) =>
           // SET statements are legal no-ops for engine-specific keys —
           // strip them before the check so `SET mapreduce.*` tuning
-          // lines don't disqualify an otherwise-runnable script
+          // lines don't disqualify an otherwise-runnable script.
+          // `register :PIGGYBANKJAR:` likewise: piggybank functions are
+          // native here, the jar is moot (runCorpus strips it too)
           val chk = s.replaceAll("(?im)^\\s*set\\s+[^;\\r\\n]*;?\\s*$", "")
+            .replaceAll("(?i)register\\s+:PIGGYBANKJAR:;?", "")
           unsupported.findFirstIn(chk).isEmpty &&
             missingFixture.findFirstIn(chk).isEmpty
         }
@@ -242,8 +245,9 @@ class E2eSpec extends SparkSpec {
       "Accumulator", "SecondarySort", "JsonLoaderStorage",
       "Rank", "Rank_Dense", "CastScalar", "PruneColumns",
       // r9: BuildBloom/Bloom UDF pair implemented (the reference itself
-      // can only run this group on mapred/tez — PIG-5117)
-      "Bloom")
+      // can only run this group on mapred/tez — PIG-5117); IndexedStorage
+      // maps to delimited text (merge-sparse prunes via bloom, not seeks)
+      "Bloom", "MergeSparseJoin")
     val corpora: Seq[(String, Option[Set[String]])] = Seq(
       confPath -> Some(nightlyGroups),
       "/root/reference/test/e2e/pig/tests/join.conf" -> None,
@@ -358,6 +362,10 @@ class E2eSpec extends SparkSpec {
     sel.foreach { case (group, num, raw) =>
       val out = s"$outBase/${group}_$num"
       val script0 = raw
+        // piggybank functions are native — the jar registration is moot
+        // (the line is newline-terminated in the conf, so strip the text
+        // rather than letting REGISTER's ';'-scan swallow the next stmt)
+        .replaceAll("(?i)register\\s+:PIGGYBANKJAR:;?", "")
         .replace(":INPATH:", fixtures)
         .replace(":OUTPATH:", out)
         // intermediate scratch dir (Bloom group stores the built filter

@@ -361,6 +361,30 @@ class GruntSpec extends SparkSpec {
     intercept[Exception](r.illustrateText("nosuch"))
   }
 
+  test("RunScript -check parses without executing; -dryrun substitutes") {
+    val d = Files.createTempDirectory("runscript").toString
+    Files.write(Paths.get(s"$d/s.pig"),
+      ("a = LOAD '$in' AS (x:int);\nb = FILTER a BY x > $lim;\n" +
+       "STORE b INTO '$d/out';\n").getBytes("UTF-8"))
+    // -check: no out dir appears, no spark needed
+    graft.tools.RunScript.main(
+      Array("-check", s"$d/s.pig", "in=/nope", "lim=3", s"d=$d"))
+    assert(!Files.exists(Paths.get(s"$d/out")))
+    // bad syntax fails the check
+    Files.write(Paths.get(s"$d/bad.pig"),
+      "a = LOAD;".getBytes("UTF-8"))
+    intercept[Exception] {
+      graft.tools.RunScript.main(Array("-check", s"$d/bad.pig"))
+    }
+    // -dryrun: params substituted into the .substituted file, not run
+    graft.tools.RunScript.main(
+      Array("-dryrun", s"$d/s.pig", "in=/nope", "lim=3", s"d=$d"))
+    val sub = new String(Files.readAllBytes(
+      Paths.get(s"$d/s.pig.substituted")), "UTF-8")
+    assert(sub.contains("x > 3") && sub.contains("'/nope'"))
+    assert(!Files.exists(Paths.get(s"$d/out")))
+  }
+
   test("exec runs isolated; run shares the session (ADVICE r8)") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.001")

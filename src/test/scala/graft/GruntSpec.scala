@@ -385,6 +385,26 @@ class GruntSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$d/out")))
   }
 
+  test("RunScript -param_file + CLI override precedence; -version") {
+    val d = Files.createTempDirectory("paramfile").toString
+    Files.write(Paths.get(s"$d/p.params"),
+      "# comment\nlim=7\nname=from_file\n".getBytes("UTF-8"))
+    Files.write(Paths.get(s"$d/s.pig"),
+      "a = LOAD '/nope' AS (x:int);\nb = FILTER a BY x > $lim;\n"
+        .getBytes("UTF-8"))
+    // -check only parses — enough to prove substitution resolved both
+    // params (an unresolved $lim would fail the parse)
+    graft.tools.RunScript.main(
+      Array("-check", "-param_file", s"$d/p.params", s"$d/s.pig"))
+    graft.tools.RunScript.main(
+      Array("-check", "-param_file", s"$d/p.params", s"$d/s.pig",
+        "lim=9"))
+    graft.tools.RunScript.main(Array("-version"))
+    intercept[IllegalArgumentException] {
+      graft.tools.RunScript.main(Array("-bogusflag", s"$d/s.pig"))
+    }
+  }
+
   test("exec runs isolated; run shares the session (ADVICE r8)") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.001")

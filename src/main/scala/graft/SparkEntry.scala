@@ -1050,6 +1050,45 @@ object SparkEntry {
              countDistinct(col("doc_id")).as("n_docs"))
     }),
 
+    // training-mix rebalancing: deterministic per-language sampling via
+    // an LCG mix of the doc id — pure codegen filter, zero shuffle; the
+    // identical arithmetic in the oracle reproduces the sample exactly
+    "q87_stratified_sample" -> ((s, d) =>
+      graft.text.Curation.stratifiedSample(
+        T(s, d, "documents").df.select("doc_id", "lang", "source"),
+        "doc_id", "lang",
+        Map("en" -> 250, "es" -> 500, "fr" -> 750))),
+
+    // paragraph-level global dedup (RefinedWeb/Dolma recipe): shared
+    // boilerplate paragraphs are synthesized deterministically (same in
+    // the oracle); each paragraph survives only at its first (id, pos)
+    // occurrence. Shuffles digests, never text; reassembly is one
+    // groupBy on the doc id
+    "q88_paragraph_dedup" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      val salted = docs.select(col("doc_id"), concat(
+        lit("Shared header "), (col("doc_id") % 5).cast("string"), lit("."),
+        lit("\n\n"), col("text"),
+        lit("\n\nAll rights reserved.")).as("text"))
+      graft.text.Curation.paragraphDedup(salted, "doc_id", "text")
+    }),
+
+    // C4-style line cleaning: boilerplate lines (no terminal
+    // punctuation / too few words) are dropped, docs keep only if
+    // enough prose lines remain — single codegen pass, no shuffle
+    "q89_line_filter" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      val salted = docs.select(col("doc_id"), concat(
+        col("text"), lit("."),
+        lit("\nHome | About | Contact\nBuy now\n"),
+        lit("This line has plenty of words to stay.\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("An extra closing remark rounds things out nicely."))
+          .otherwise(lit("fin"))).as("text"))
+      graft.text.Curation.lineFilter(salted, "doc_id", "text",
+        minWords = 5, minLines = 3)
+    }),
+
     // bloom-pre-filtered join (JOIN … USING 'bloom' / BuildBloom+Bloom
     // pair): the big side is cut down by a codegen might-contain BEFORE
     // its shuffle, then the exact join keeps the result oracle-equal —
@@ -1545,6 +1584,77 @@ object SparkEntry {
          SELECT regexp_extract(url, 'https?://([^/\s:?#]+)', 1) AS domain,
                 count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
          FROM urls GROUP BY domain""",
+    // identical LCG arithmetic to Curation.samplePermille — the sample
+    // is reproduced row-for-row, no randomness anywhere
+    "q87_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE (doc_id * 1103515245 + 12345) % 1000 <
+               CASE lang WHEN 'en' THEN 250 WHEN 'es' THEN 500
+                         WHEN 'fr' THEN 750 ELSE 1000 END""",
+    // mirrors Curation.paragraphDedup: same salt, same split, same
+    // (id, pos) keep-first rule, same in-order reassembly
+    "q88_paragraph_dedup" ->
+      """WITH salted AS (
+           SELECT doc_id,
+                  'Shared header ' || CAST(doc_id % 5 AS VARCHAR) || '.' ||
+                  chr(10) || chr(10) || text || chr(10) || chr(10) ||
+                  'All rights reserved.' AS t
+           FROM documents),
+         ps0 AS (
+           SELECT doc_id, string_split(t, chr(10) || chr(10)) AS p
+           FROM salted),
+         ps1 AS (
+           SELECT doc_id, p,
+                  unnest(generate_series(1, len(p))) AS idx
+           FROM ps0),
+         ps AS (
+           SELECT doc_id, idx, p[idx] AS para
+           FROM ps1 WHERE length(trim(p[idx])) > 0),
+         np AS (SELECT doc_id, count(*) AS n_paras FROM ps GROUP BY 1),
+         firsts AS (
+           SELECT doc_id, idx, para,
+                  row_number() OVER (PARTITION BY para
+                                     ORDER BY doc_id, idx) AS rn
+           FROM ps),
+         reb AS (
+           SELECT doc_id,
+                  string_agg(para, chr(10) || chr(10) ORDER BY idx) AS clean,
+                  count(*) AS n_kept
+           FROM firsts WHERE rn = 1 GROUP BY 1)
+         SELECT d.doc_id, coalesce(r.clean, '') AS clean,
+                coalesce(np.n_paras, 0) AS n_paras,
+                coalesce(r.n_kept, 0) AS n_kept
+         FROM documents d
+         LEFT JOIN reb r ON r.doc_id = d.doc_id
+         LEFT JOIN np ON np.doc_id = d.doc_id""",
+    // mirrors Curation.lineFilter: same salt, same prose-line predicate
+    // (>=5 tokens AND terminal punctuation), same minLines=3 keep rule
+    "q89_line_filter" ->
+      """WITH salted AS (
+           SELECT doc_id,
+                  text || '.' || chr(10) || 'Home | About | Contact' ||
+                  chr(10) || 'Buy now' || chr(10) ||
+                  'This line has plenty of words to stay.' || chr(10) ||
+                  CASE WHEN doc_id % 3 = 0
+                       THEN 'An extra closing remark rounds things out nicely.'
+                       ELSE 'fin' END AS t
+           FROM documents),
+         ls AS (
+           SELECT doc_id,
+                  list_filter(string_split(t, chr(10)),
+                              l -> length(trim(l)) > 0) AS lines
+           FROM salted),
+         k AS (
+           SELECT doc_id, lines,
+                  list_filter(lines, l ->
+                    len(list_filter(string_split_regex(trim(l), '\s+'),
+                                    w -> length(w) > 0)) >= 5
+                    AND regexp_matches(rtrim(l), '[.!?"]$')) AS kept
+           FROM ls)
+         SELECT doc_id, array_to_string(kept, chr(10)) AS clean,
+                len(lines) AS n_lines, len(kept) AS n_kept,
+                len(kept) >= 3 AS keep
+         FROM k""",
     "q85_pii_redact" ->
       """WITH salted AS (
            SELECT doc_id,

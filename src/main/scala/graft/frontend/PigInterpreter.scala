@@ -2031,6 +2031,16 @@ final class PigRunner(val spark: SparkSession) {
         case _ => when(c0.isNotNull, lit(1L))
       }
       case "ISEMPTY" => Builtins.IsEmpty(c0)
+      // ARITY (deprecated tuple-size builtin, reference ARITY.java:48
+      // returns input.size()): the UDF sees the packed argument tuple,
+      // so a multi-arg call's arity is the static argument count; a
+      // single tuple column reports its field count
+      case "ARITY" =>
+        if (args.size > 1) lit(args.size)
+        else typeOf(c0, df) match {
+          case st: StructType => when(c0.isNotNull, lit(st.size))
+          case _ => when(c0.isNotNull, lit(1))
+        }
       case "CONCAT" => concat(args.map(comp): _*)
       case "UPPER" => upper(c0)
       case "LOWER" => lower(c0)

@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * training-mix sampling, paragraph-level global dedup, and C4-style
+  * line cleaning.
+  *
+  * Everything here is either pure-Column codegen (sampling, line
+  * filter) or shuffles only compact digests (paragraph dedup) — the
+  * shapes that survive a 100 TB corpus.
+  */
+object Curation {
+
+  /** Deterministic LCG-style mix of a row id into [0, 1000): the basis
+    * for reproducible sampling. Plain 64-bit integer arithmetic so any
+    * engine (and any re-run, on any partitioning) selects the exact
+    * same rows — unlike rand(), the sample is stable under retries,
+    * speculative execution, and AQE re-planning, and an oracle can
+    * reproduce it bit-for-bit. */
+  def samplePermille(id: Column): Column =
+    (id.cast(LongType) * lit(1103515245L) + lit(12345L)) % 1000L
+
+  /** Training-mix rebalancing: keep each row with a per-stratum rate
+    * (permille), e.g. downsample an over-represented language while
+    * keeping the long tail. A pure codegen filter — no shuffle, no
+    * state; at 100 TB it runs at scan speed and composes with
+    * partition pruning (the filter references only `idCol` and
+    * `stratumCol`). */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       permille: Map[String, Int],
+                       defaultPermille: Int = 1000): DataFrame = {
+    val rate = permille.foldLeft(lit(defaultPermille.toLong)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v.toLong))
+        .otherwise(acc)
+    }
+    df.filter(samplePermille(col(idCol)) < rate)
+  }
+
+  private def paragraphs(text: Column): Column =
+    filter(split(text, "\n\n"), p => length(trim(p)) > 0)
+
+  /** Paragraph-level exact dedup (the RefinedWeb/Dolma recipe): every
+    * paragraph is kept only at its first occurrence in the corpus
+    * (ordered by (id, position)); later repeats — boilerplate headers,
+    * license footers, quoted reposts — are dropped and the surviving
+    * paragraphs are stitched back in document order.
+    *
+    * Scale shape: paragraphs shuffle ONCE keyed on a 16-byte digest
+    * (never the paragraph text) for the first-occurrence reduction,
+    * then once on the doc id to reassemble. No windows over the full
+    * corpus, no self-join on text.
+    *
+    * Output: one row per input doc — (id, clean, n_paras, n_kept);
+    * docs whose every paragraph was seen earlier survive with an
+    * empty `clean`.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val id = col(idCol)
+    val paras = df
+      .select(id, posexplode(paragraphs(col(textCol))).as(Seq("idx", "para")))
+      .withColumn("pkey", xxhash64(col("para")))
+      .withColumn("pkey2", xxhash64(reverse(col("para"))))
+    // first occurrence = min (id, idx) per digest: a partial-aggregable
+    // groupBy (map-side combine halves the shuffle), then an inner join
+    // back on the digest to keep exactly that occurrence
+    val first = paras.groupBy("pkey", "pkey2")
+      .agg(min(struct(id, col("idx"))).as("first"))
+    val kept = paras.join(first, Seq("pkey", "pkey2"))
+      .filter(col(s"first.$idCol") === id && col("first.idx") === col("idx"))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(
+             transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+                       x => x.getField("para")),
+             "\n\n").as("clean"),
+           count(lit(1)).as("n_kept"))
+    df.select(id, size(paragraphs(col(textCol))).cast(LongType).as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(id, coalesce(col("clean"), lit("")).as("clean"),
+        col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** One line of C4's cleaning rule as a reusable predicate: a line is
+    * prose iff it has at least `minWords` whitespace tokens and its
+    * trimmed form ends in terminal punctuation. */
+  def isProseLine(line: Column, minWords: Int): Column =
+    size(TextAnalysis.tokens(line)) >= minWords &&
+      rtrim(line).rlike("[.!?\"]$")
+
+  /** C4-style line cleaning: drop navigation/boilerplate lines (too
+    * short, or not ending in terminal punctuation), keep the document
+    * only if enough prose lines remain. Pure codegen column work — one
+    * pass over the scan, zero shuffles at any corpus size.
+    *
+    * Output: (id, clean, n_lines, n_kept, keep). */
+  def lineFilter(df: DataFrame, idCol: String, textCol: String,
+                 minWords: Int = 5, minLines: Int = 3): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
+    val kept = filter(lines, l => isProseLine(l, minWords))
+    df.select(col(idCol),
+      array_join(kept, "\n").as("clean"),
+      size(lines).cast(LongType).as("n_lines"),
+      size(kept).cast(LongType).as("n_kept"),
+      (size(kept) >= minLines).as("keep"))
+  }
+}

@@ -247,7 +247,11 @@ class E2eSpec extends SparkSpec {
       // r9: BuildBloom/Bloom UDF pair implemented (the reference itself
       // can only run this group on mapred/tez — PIG-5117); IndexedStorage
       // maps to delimited text (merge-sparse prunes via bloom, not seeks)
-      "Bloom", "MergeSparseJoin")
+      "Bloom", "MergeSparseJoin",
+      // r9 cont.: the jar-free members of these groups (ARITY/TOKENIZE,
+      // IsEmpty/COUNT cogroup filters) — jar-UDF members are dropped by
+      // the `register` exclusion like everywhere else
+      "EvalFunc", "FilterUdf")
     val corpora: Seq[(String, Option[Set[String]])] = Seq(
       confPath -> Some(nightlyGroups),
       "/root/reference/test/e2e/pig/tests/join.conf" -> None,

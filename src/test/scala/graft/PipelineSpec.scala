@@ -325,4 +325,57 @@ class PipelineSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(got == Seq("a.example.com", "b.example.net", "c.example.org"))
   }
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = graft.text.Curation.stratifiedSample(
+      df, "doc_id", "lang", Map("en" -> 100), defaultPermille = 1000)
+    val byLang = out.groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byLang("de") == 1000L)            // default rate keeps all
+    assert(byLang("en") > 50L && byLang("en") < 160L) // ~10% of 1000
+    // identical selection on a re-run (no randomness anywhere)
+    val again = graft.text.Curation.stratifiedSample(
+      df, "doc_id", "lang", Map("en" -> 100), defaultPermille = 1000)
+      .agg(count(lit(1))).head.getLong(0)
+    assert(again == out.count())
+  }
+
+  test("paragraph dedup keeps first occurrence only, rebuilds in order") {
+    val df = Seq(
+      (1L, "intro one\n\nshared footer"),
+      (2L, "intro two\n\nshared footer"),
+      (3L, "shared footer\n\n\n\nintro three")).toDF("doc_id", "text")
+    val out = graft.text.Curation.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out(0) == ((1L, "intro one\n\nshared footer", 2L, 2L)))
+    assert(out(1) == ((2L, "intro two", 2L, 1L)))
+    // doc 3's footer already seen at (1, 1); empty splits dropped
+    assert(out(2) == ((3L, "intro three", 2L, 1L)))
+  }
+
+  test("paragraph dedup: a doc of only repeats survives with empty clean") {
+    val df = Seq((1L, "only para"), (2L, "only para")).toDF("doc_id", "text")
+    val out = graft.text.Curation.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "only para", 1L), (2L, "", 0L)))
+  }
+
+  test("line filter drops boilerplate and applies the min-lines rule") {
+    val df = Seq(
+      (1L, "A proper sentence with enough words here.\nMenu\n" +
+           "Another fine sentence that clearly qualifies too.\n" +
+           "And one more to cross the minimum threshold!"),
+      (2L, "Home | About\nBuy now\nShort.")).toDF("doc_id", "text")
+    val out = graft.text.Curation.lineFilter(df, "doc_id", "text",
+        minWords = 5, minLines = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    assert(out(0)._4 == 3L && out(0)._5)
+    assert(!out(0)._2.contains("Menu"))
+    assert(out(1) == ((2L, "", 3L, 0L, false)))
+  }
 }

@@ -163,4 +163,32 @@ class PropertySpec extends SparkSpec {
     val want = parent.keys.map(k => k -> find(k)).toMap
     assert(got == want)
   }
+
+  test("paragraphDedup: every distinct paragraph survives exactly once " +
+       "(random corpora)") {
+    val rnd = new scala.util.Random(20260814L)
+    // small paragraph vocabulary → plenty of cross-doc repeats
+    val vocab = Vector.tabulate(12)(i => s"para body number $i")
+    (1 to 3).foreach { _ =>
+      val docs = (0L until 40L).map { id =>
+        val n = 1 + rnd.nextInt(4)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString("\n\n"))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val out = graft.text.Curation.paragraphDedup(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      // multiset of kept paragraphs == set of distinct input paragraphs
+      val kept = out.values.filter(_.nonEmpty)
+        .flatMap(_.split("\n\n")).toSeq.sorted
+      val distinct = docs.flatMap(_._2.split("\n\n")).distinct.sorted
+      assert(kept == distinct)
+      // and each survives at its FIRST (id, idx) occurrence
+      val firstOwner = docs.flatMap { case (id, t) =>
+        t.split("\n\n").zipWithIndex.map { case (p, i) => (p, id, i) } }
+        .groupBy(_._1).map { case (p, occ) => p -> occ.minBy(o => (o._2, o._3))._2 }
+      firstOwner.foreach { case (p, owner) =>
+        assert(out(owner).split("\n\n").contains(p),
+          s"paragraph '$p' missing from its first owner doc $owner") }
+    }
+  }
 }

@@ -265,4 +265,30 @@ class PlanSpec extends SparkSpec {
     // …and the small filtered supplier side broadcasts for the join
     assert(p.contains("BroadcastHashJoin"), "expected broadcast join")
   }
+
+  test("q87: stratified sample is a pure scan-side filter (no exchange)") {
+    val p = plan("q87_stratified_sample")
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(p.contains("*("), "filter should be whole-stage codegen")
+    // the LCG filter reaches the scan as a data filter; only the three
+    // referenced columns are read
+    assert(p.contains("DataFilters: [isnotnull(doc_id"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"))
+  }
+
+  test("q88: paragraph dedup shuffles digests, never paragraph text") {
+    val p = plan("q88_paragraph_dedup")
+    // the first-occurrence reduction partial-aggregates before its
+    // exchange (map-side combine on the 128-bit digest pair)
+    assert(p.contains("partial_min") || p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // hash partitioning is on the digest columns, not the text
+    assert(p.contains("hashpartitioning(pkey"), s"expected digest-keyed shuffle:\n$p")
+  }
+
+  test("q89: line filter is one codegen pass, zero shuffles") {
+    val p = plan("q89_line_filter")
+    assert(!p.contains("Exchange"), s"line filter must not shuffle:\n$p")
+    assert(p.contains("*("), "projection should be whole-stage codegen")
+  }
 }

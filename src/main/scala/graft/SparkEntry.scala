@@ -1588,7 +1588,7 @@ object SparkEntry {
     // is reproduced row-for-row, no randomness anywhere
     "q87_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
-         WHERE (doc_id * 1103515245 + 12345) % 1000 <
+         WHERE ((doc_id * 1103515245 + 12345) % 1000 + 1000) % 1000 <
                CASE lang WHEN 'en' THEN 250 WHEN 'es' THEN 500
                          WHEN 'fr' THEN 750 ELSE 1000 END""",
     // mirrors Curation.paragraphDedup: same salt, same split, same

@@ -21,7 +21,10 @@ object Curation {
     * speculative execution, and AQE re-planning, and an oracle can
     * reproduce it bit-for-bit. */
   def samplePermille(id: Column): Column =
-    (id.cast(LongType) * lit(1103515245L) + lit(12345L)) % 1000L
+    // pmod, not %: ids are often hash-derived and negative — a
+    // sign-preserving mod would park every negative id below any rate
+    // and keep 100% of them
+    pmod(id.cast(LongType) * lit(1103515245L) + lit(12345L), lit(1000L))
 
   /** Training-mix rebalancing: keep each row with a per-stratum rate
     * (permille), e.g. downsample an over-represented language while
@@ -40,7 +43,9 @@ object Curation {
   }
 
   private def paragraphs(text: Column): Column =
-    filter(split(text, "\n\n"), p => length(trim(p)) > 0)
+    // coalesce: a null document contributes zero paragraphs, not a
+    // null array (size(null) is -1 with ANSI off)
+    filter(split(coalesce(text, lit("")), "\n\n"), p => length(trim(p)) > 0)
 
   /** Paragraph-level exact dedup (the RefinedWeb/Dolma recipe): every
     * paragraph is kept only at its first occurrence in the corpus
@@ -98,7 +103,9 @@ object Curation {
     * Output: (id, clean, n_lines, n_kept, keep). */
   def lineFilter(df: DataFrame, idCol: String, textCol: String,
                  minWords: Int = 5, minLines: Int = 3): DataFrame = {
-    val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
+    // coalesce: null docs clean to "" with zero counts (size(null)=-1)
+    val lines = filter(split(coalesce(col(textCol), lit("")), "\n"),
+      l => length(trim(l)) > 0)
     val kept = filter(lines, l => isProseLine(l, minWords))
     df.select(col(idCol),
       array_join(kept, "\n").as("clean"),

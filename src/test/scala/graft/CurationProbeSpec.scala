@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Curation
+
+/** Probe battery over the r9 curation surface: nulls, empties, and
+  * hostile ids — the corners the sf-corpus gate can't reach. */
+class CurationProbeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedSample: negative ids still land in [0,1000) " +
+       "(hash-derived ids must sample at the configured rate)") {
+    val df = (-2000L until 0L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val n = Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 100)).count()
+    // a sign-preserving mod would keep ~100% of negative ids; the
+    // operator must keep ~10%
+    assert(n > 100 && n < 330, s"negative-id sample rate broken: $n/2000")
+  }
+
+  test("stratifiedSample: null stratum falls to the default rate") {
+    val df = (0L until 1000L).map(i => (i, null: String))
+      .toDF("doc_id", "lang")
+    val all = Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0), defaultPermille = 1000).count()
+    assert(all == 1000L)
+    val none = Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 1000), defaultPermille = 0).count()
+    assert(none == 0L)
+  }
+
+  test("paragraphDedup: null / empty / whitespace-only text rows " +
+       "survive with zero counts") {
+    val df = Seq((1L, "real para"), (2L, null: String), (3L, ""),
+      (4L, "  \n\n  ")).toDF("doc_id", "text")
+    val out = Curation.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.length == 4)
+    assert(out(0) == ((1L, "real para", 1L, 1L)))
+    assert(out(1) == ((2L, "", 0L, 0L)), s"null text: ${out(1)}")
+    assert(out(2) == ((3L, "", 0L, 0L)))
+    assert(out(3) == ((4L, "", 0L, 0L)))
+  }
+
+  test("lineFilter: null text yields empty clean and zero counts, " +
+       "not nulls") {
+    val df = Seq((1L, "A complete sentence with enough words present."),
+      (2L, null: String)).toDF("doc_id", "text")
+    val out = Curation.lineFilter(df, "doc_id", "text", 5, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    assert(out(0)._5 && out(0)._4 == 1L)
+    assert(out(1) == ((2L, "", 0L, 0L, false)), s"null text: ${out(1)}")
+  }
+
+  test("paragraphDedup: paragraphs differing only by reversal are NOT " +
+       "merged (double-hash key)") {
+    val df = Seq((1L, "ab"), (2L, "ba")).toDF("doc_id", "text")
+    val out = Curation.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "ab"), (2L, "ba")))
+  }
+
+  test("ARITY: multi-arg call is the static arg count; null fields " +
+       "don't change it (reference ARITY.java semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("arity").toString
+    Seq(("a", 1, 2.0), (null, 2, 3.0)).toDF("name", "age", "gpa")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val r = frontend.PigRunner(spark)
+    r.run(s"""
+      a = load '$dir/in' using BinStorage() as (name:chararray, age:int, gpa:double);
+      b = foreach a generate ARITY(name, age, gpa) as n;
+    """)
+    val got = r.apply("b").df.select("n").as[Int].collect().toSeq
+    assert(got == Seq(3, 3))
+  }
+}

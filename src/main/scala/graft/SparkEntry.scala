@@ -1089,6 +1089,16 @@ object SparkEntry {
         minWords = 5, minLines = 3)
     }),
 
+    // training-mix assembly: per-source token budget — deterministic
+    // priority order, running window sum per stratum, keep the prefix
+    // (the crossing doc stays). One balanced per-stratum sort, no
+    // global sort
+    "q90_token_budget" -> ((s, d) =>
+      graft.text.Curation.tokenBudget(
+        T(s, d, "documents").df.select("doc_id", "source", "text"),
+        "source", "doc_id", "text", budgetPerStratum = 300L)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")),
+
     // bloom-pre-filtered join (JOIN … USING 'bloom' / BuildBloom+Bloom
     // pair): the big side is cut down by a codegen might-contain BEFORE
     // its shuffle, then the exact join keeps the result oracle-equal —
@@ -1655,6 +1665,21 @@ object SparkEntry {
                 len(lines) AS n_lines, len(kept) AS n_kept,
                 len(kept) >= 3 AS keep
          FROM k""",
+    // mirrors Curation.tokenBudget: same tokenizer, same running-sum
+    // keep rule (previous cumulative under budget keeps the crossing doc)
+    "q90_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  w -> length(w) > 0)) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           FROM t)
+         SELECT doc_id, source, n_tokens, cum_tokens
+         FROM c WHERE cum_tokens - n_tokens < 300""",
     "q85_pii_redact" ->
       """WITH salted AS (
            SELECT doc_id,

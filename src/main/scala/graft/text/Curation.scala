@@ -88,6 +88,28 @@ object Curation {
         col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Token-budget capping per source (training-mix assembly): within
+    * each stratum, take documents in a deterministic priority order
+    * until the running token total reaches the budget; the document
+    * that crosses the line is kept (budgets are targets, not hard
+    * byte limits). Scale shape: one hash-partitioned sort per stratum
+    * (a window over `stratumCol` — strata are numerous, so partitions
+    * stay balanced); no global sort, no driver state.
+    *
+    * Output: input columns + n_tokens + cum_tokens, filtered to the
+    * kept prefix. */
+  def tokenBudget(df: DataFrame, stratumCol: String, orderCol: String,
+                  textCol: String, budgetPerStratum: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // keep while the PREVIOUS cumulative total is under budget: the
+      // crossing doc stays, everything after it goes
+      .filter(col("cum_tokens") - col("n_tokens") < budgetPerStratum)
+  }
+
   /** One line of C4's cleaning rule as a reusable predicate: a line is
     * prose iff it has at least `minWords` whitespace tokens and its
     * trimmed form ends in terminal punctuation. */

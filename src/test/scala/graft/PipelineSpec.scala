@@ -364,6 +364,19 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "only para", 1L), (2L, "", 0L)))
   }
 
+  test("token budget keeps the in-order prefix incl. the crossing doc") {
+    val df = Seq(
+      (1L, "s1", "one two three"),          // cum 3
+      (2L, "s1", "four five six seven"),    // cum 7  — crosses budget 6
+      (3L, "s1", "eight nine"),             // cum 9  — dropped
+      (4L, "s2", "a b c d e f g h")         // cum 8  — crosses alone
+    ).toDF("doc_id", "source", "text")
+    val out = graft.text.Curation.tokenBudget(df, "source", "doc_id",
+        "text", budgetPerStratum = 6L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("line filter drops boilerplate and applies the min-lines rule") {
     val df = Seq(
       (1L, "A proper sentence with enough words here.\nMenu\n" +

@@ -1395,6 +1395,19 @@ final class PigRunner(val spark: SparkSession) {
   private def foreach(r: Relation, gens: Seq[GenItem],
                       nested: Map[String, Column] = Map.empty): Relation = {
     val df = r.df
+    /** Does an expression reference a nested-block alias anywhere? */
+    def refsNested(e: Expr): Boolean = nested.nonEmpty && (e match {
+      case ColRef(n)        => nested.contains(n)
+      case Deref(x, _)      => refsNested(x)
+      case DerefMulti(x, _) => refsNested(x)
+      case CastExpr(_, x)   => refsNested(x)
+      case FuncCall(_, as)  => as.exists(refsNested)
+      case BinOp(_, l, rr)  => refsNested(l) || refsNested(rr)
+      case Neg(x)           => refsNested(x)
+      case Not(x)           => refsNested(x)
+      case BinCond(c, t, f) => Seq(c, t, f).exists(refsNested)
+      case _                => false
+    })
     def comp(e: Expr): Column = e match {
       case ColRef(n) if nested.contains(n) => nested(n)
       case Deref(ColRef(n), f) if nested.contains(n) => nested(n).getField(f)
@@ -1403,6 +1416,26 @@ final class PigRunner(val spark: SparkSession) {
       case FuncCall(fn, args) =>
         // route nested-alias args through the nested map
         callFunction(fn, args, df, nested)
+      // wrappers over nested-alias expressions recurse HERE, not into
+      // the nested-blind compile ((int)AVG(ts) — PigMix L15)
+      case CastExpr(t, x) if refsNested(x) =>
+        castWithLoadCaster(comp(x), x, pigType(t), df)
+      case Neg(x) if refsNested(x) => -comp(x)
+      case Not(x) if refsNested(x) => !comp(x)
+      case BinCond(c, t, f) if refsNested(e) =>
+        when(comp(c), comp(t)).otherwise(comp(f))
+      case BinOp(op, l, rr) if refsNested(e) =>
+        val (a, b) = (comp(l), comp(rr))
+        op match {
+          case "+" => a + b; case "-" => a - b; case "*" => a * b
+          case "/" => a / b; case "%" => a % b
+          case "==" => a === b; case "!=" => a =!= b
+          case "<" => a < b; case "<=" => a <= b
+          case ">" => a > b; case ">=" => a >= b
+          case "and" => a && b; case "or" => a || b
+          case other => throw new IllegalArgumentException(
+            s"unsupported operator $other over a nested alias")
+        }
       case other => compile(other, df)
     }
     var flattens = Seq.empty[(String, Option[String], Seq[String], Option[String])] // tmp -> alias(es), qualifier
@@ -1572,6 +1605,12 @@ final class PigRunner(val spark: SparkSession) {
             case _ => raw
           }
         else raw
+      // PigMix's perf-suite loader: ^A-delimited text whose map/bag
+      // fields decode at CAST time in the pigmix wire dialect (the
+      // reference defers identically to the loader's LoadCaster) —
+      // see sources/PigMix.decode and castWithLoadCaster
+      case Some(("PigPerformanceLoader", _)) =>
+        spark.read.option("sep", "").csv(splitPaths(path): _*)
       case Some(("TextLoader", _)) => spark.read.text(path)
       case Some(("JsonLoader", _)) =>
         schema match {
@@ -1646,7 +1685,8 @@ final class PigRunner(val spark: SparkSession) {
       case Some(fs) if using.exists(u => Set("PigStorage", "CSVExcelStorage",
                                          "FixedWidthLoader", "MyRegExLoader",
                                          "RegExLoader", "SequenceFileLoader",
-                                         "IndexedStorage", "TextLoader")
+                                         "IndexedStorage", "TextLoader",
+                                         "PigPerformanceLoader")
                                          .contains(u._1)) ||
                        (using.isEmpty && !looksParquet(path)) =>
         // positional rename + LoadCaster casts (§1.4: failure → null);
@@ -1672,7 +1712,16 @@ final class PigRunner(val spark: SparkSession) {
         }: _*)
       case None => df0
     }
-    Relation(df, "load")
+    // PigPerformanceLoader columns carry a caster tag so later complex
+    // casts decode the pigmix wire dialect, not the Pig literal syntax
+    val tagged =
+      if (!using.exists(_._1 == "PigPerformanceLoader")) df
+      else df.select(df.schema.fields.map { f =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString("pig_caster", "pigmix").build()
+        col(f.name).as(f.name, mb)
+      }.toIndexedSeq: _*)
+    Relation(tagged, "load")
   }
 
   /** Field-name lookup in a tuple schema accepting Pig's qualified
@@ -1687,6 +1736,39 @@ final class PigRunner(val spark: SparkSession) {
       else if (st.fieldNames.contains(parts.last)) parts.last
       else f
     } else f
+  }
+
+  /** A mid-script cast of a text-loaded (bytearray) field to a complex
+    * type is a LoadCaster conversion in the reference (POCast consults
+    * the load function's caster), NOT a plain cast — Spark has no
+    * string→map/bag cast at all. Routes to the loader's text dialect:
+    * the PigMix wire format for PigPerformanceLoader-loaded columns
+    * (tracked via `pig_caster` column metadata), the Utf8 Pig-literal
+    * syntax otherwise. */
+  private def castWithLoadCaster(src: Column, x: Expr, target: DataType,
+                                 df: DataFrame): Column = target match {
+    case _: StructType | _: ArrayType | _: MapType
+        if typeOf(src, df) == StringType =>
+      if (casterTag(x, df) == "pigmix") graft.sources.PigMix.decode(src, target)
+      else graft.functions.PigTextParse.column(src, target)
+    case _ => src.cast(target)
+  }
+
+  /** The `pig_caster` metadata of the field a cast operand refers to
+    * (empty when untagged or not a plain field reference). */
+  private def casterTag(x: Expr, df: DataFrame): String = {
+    def metaOf(name: String): String = {
+      val m = df.schema(name).metadata
+      if (m.contains("pig_caster")) m.getString("pig_caster") else ""
+    }
+    x match {
+      case ColRef(n) =>
+        scala.util.Try(metaOf(resolve(n, df))).getOrElse("")
+      case PosRef(i) if i < df.columns.length =>
+        scala.util.Try(metaOf(df.columns(i))).getOrElse("")
+      case CastExpr(_, inner) => casterTag(inner, df)
+      case _ => ""
+    }
   }
 
   /** Column metadata carrying the DECLARED Pig type (AS clause) — the
@@ -1917,7 +1999,7 @@ final class PigRunner(val spark: SparkSession) {
         case other => throw new IllegalArgumentException(s"IN needs literals, got $other") }: _*)
     case CastExpr(t, x) =>
       val src = compile(x, df)
-      val out = src.cast(pigType(t))
+      val out = castWithLoadCaster(src, x, pigType(t), df)
       // a text→scalar conversion that nulls a non-null input counts a
       // FIELD_DISCARDED_TYPE_CONVERSION_FAILED warning per row
       // (reference: POCast via CastUtils — cmdline.conf Warning/2 pins

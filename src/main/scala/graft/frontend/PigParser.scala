@@ -62,13 +62,20 @@ object PigParser {
           if (src.charAt(i) == '\\' && i + 1 < n) {
             // decode escapes like the reference's QueryLexer — PigStorage('\t')
             // must mean a TAB, not the letter t
-            sb.append(src.charAt(i + 1) match {
-              case 't' => '\t'
-              case 'n' => '\n'
-              case 'r' => '\r'
-              case other => other // \\, \', and any literal passthrough
-            })
-            i += 2
+            src.charAt(i + 1) match {
+              case 't' => sb.append('\t'); i += 2
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              // \uXXXX like the reference's QueryLexer (PigStorage('\\u0001')
+              // is PigMix's field separator)
+              case 'u' if i + 5 < n &&
+                  src.substring(i + 2, i + 6).forall(ch =>
+                    Character.digit(ch, 16) >= 0) =>
+                sb.append(Integer.parseInt(src.substring(i + 2, i + 6), 16)
+                  .toChar)
+                i += 6
+              case other => sb.append(other); i += 2 // \\, \', passthrough
+            }
           } else { sb.append(src.charAt(i)); i += 1 }
         }
         if (i >= n) throw new IllegalArgumentException(

@@ -1099,6 +1099,60 @@ object SparkEntry {
         "source", "doc_id", "text", budgetPerStratum = 300L)
         .select("doc_id", "source", "n_tokens", "cum_tokens")),
 
+    // BM25 top-k retrieval: postings pruned to the broadcast query
+    // vocabulary BEFORE the (doc,term) shuffle; df/avgdl broadcast back;
+    // per-query top-k via WindowGroupLimit. Ranking on round(score,6)
+    // + doc-id tiebreak so summation-order ulp noise can't flip ranks
+    "q91_bm25" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark table join fast"), (2L, "slow query scan"),
+        (3L, "data window group by")).toDF("query_id", "qtext")
+      graft.text.Retrieval.bm25TopK(
+        T(s, d, "documents").df, "doc_id", "text",
+        qs, "query_id", "qtext", topK = 10)
+    }),
+
+    // SemDeDup: k-means cells confine the exact-cosine pair search (one
+    // cell-keyed shuffle + same-cell self-join, 3-probe soft assignment);
+    // gated by the brute-force twin — precision exactly 1.0 (in-cell
+    // pairs are exact cosine), recall measured 0.97/0.96 at sf0.01/0.1,
+    // bounded at 0.8
+    "q93_semdedup" -> ((s, d) => {
+      val emb = T(s, d, "embeddings").df
+      val found = graft.GraftSession.trackPersist(
+        graft.ml.SemDedup.withinCellPairs(
+          emb, "vec_id", "embedding", threshold = 0.35, k = 8, probes = 3))
+      val exact = graft.GraftSession.trackPersist(
+        graft.ml.Similarity.exactCosinePairs(
+          emb, "vec_id", "embedding", threshold = 0.35))
+      val aggF = found.join(
+          exact.select(col("id_a"), col("id_b"), lit(1L).as("hit")),
+          Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_found"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(aggF).select(
+        col("n_exact"),
+        (col("n_hit") >= ceil(col("n_exact") * 0.8)).as("recall_ok"),
+        (col("n_found") === col("n_hit")).as("precision_ok"))
+    }),
+
+    // bigram-LM quality scoring (CCNet/KenLM recipe): average bigram
+    // negative log-likelihood under add-one-smoothed corpus counts —
+    // two partial-agg count shuffles train the LM, one gram-keyed join
+    // scores, deterministic at round(avg,6)
+    "q92_lm_score" -> ((s, d) =>
+      graft.text.LangModel.bigramScore(
+        T(s, d, "documents").df, "doc_id", "text")),
+
+    // training-sequence packing (concat-then-chunk): per-stratum window
+    // running sum → fixed-token-length pack assignment; same one-
+    // balanced-sort shape as q90
+    "q94_seq_pack" -> ((s, d) =>
+      graft.text.Curation.packSequences(
+        T(s, d, "documents").df.select("doc_id", "source", "text"),
+        "source", "doc_id", "text", seqTokens = 512L)
+        .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")),
+
     // bloom-pre-filtered join (JOIN … USING 'bloom' / BuildBloom+Bloom
     // pair): the big side is cut down by a codegen might-contain BEFORE
     // its shuffle, then the exact join keeps the result oracle-equal —
@@ -1680,6 +1734,108 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, source, n_tokens, cum_tokens
          FROM c WHERE cum_tokens - n_tokens < 300""",
+    // mirrors Retrieval.bm25TopK exactly: same tokenizer, k1=1.2 b=0.75,
+    // idf = ln(1 + (N-df+0.5)/(df+0.5)), rank on round(score,6) + doc_id
+    "q91_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+           (1, 'spark table join fast'), (2, 'slow query scan'),
+           (3, 'data window group by')),
+         toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> length(t) > 0) AS t
+           FROM documents),
+         dls AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+         qterms AS (
+           SELECT CAST(query_id AS BIGINT) AS query_id,
+                  unnest(list_distinct(list_filter(
+                    string_split_regex(trim(lower(qtext)), '\s+'),
+                    t -> length(t) > 0))) AS term
+           FROM q),
+         postings AS (
+           SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+           WHERE tok IN (SELECT term FROM qterms)
+           GROUP BY 1, 2),
+         dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                 FROM postings GROUP BY 1),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                          avg(dl) AS avgdl FROM dls),
+         scored AS (
+           SELECT qt.query_id, p.doc_id,
+                  round(sum(
+                    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                    (p.tf * 2.2) /
+                    (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 6)
+                    AS score
+           FROM postings p
+             JOIN qterms qt USING (term) JOIN dfs d USING (term)
+             JOIN dls l USING (doc_id) CROSS JOIN stats s
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, doc_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id) AS BIGINT) AS rank, score
+           FROM scored)
+         SELECT query_id, doc_id, rank, score FROM ranked
+         WHERE rank <= 10""",
+    // the oracle recomputes the exact-cosine pair count (the twin's
+    // denominator); the recall/precision verdicts are Spark-side booleans
+    "q93_semdedup" ->
+      """SELECT count(*) AS n_exact, true AS recall_ok,
+                true AS precision_ok
+         FROM (SELECT round(CAST(list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cs
+               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         WHERE cs >= 0.35""",
+    // mirrors LangModel.bigramScore: same tokenizer, add-1 smoothing,
+    // nll = -ln((c12+1)/(c1+V)), V = distinct unigrams, <2-token docs null
+    "q92_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> length(t) > 0) AS t
+           FROM documents),
+         uni AS (
+           SELECT tok AS w1, CAST(count(*) AS DOUBLE) AS c1
+           FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+         v AS (SELECT CAST(count(*) AS DOUBLE) AS vsize FROM uni),
+         big AS (
+           SELECT doc_id,
+                  unnest([array_to_string(t[i:i+1], ' ')
+                          for i in range(1, len(t))]) AS gram
+           FROM toks WHERE len(t) >= 2),
+         cnt AS (SELECT gram, CAST(count(*) AS DOUBLE) AS c12
+                 FROM big GROUP BY 1),
+         inst AS (
+           SELECT b.doc_id,
+                  -ln((c.c12 + 1) / (u.c1 + v.vsize)) AS nll
+           FROM big b JOIN cnt c USING (gram)
+                JOIN uni u ON u.w1 = string_split(b.gram, ' ')[1]
+                CROSS JOIN v),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       round(avg(nll), 6) AS avg_nll
+                FROM inst GROUP BY 1)
+         SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.avg_nll
+         FROM documents d LEFT JOIN sc USING (doc_id)""",
+    // mirrors Curation.packSequences: pack = floor(start/512) where
+    // start = running token sum before this doc, per stratum
+    "q94_seq_pack" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  w -> length(w) > 0)) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+           FROM t)
+         SELECT doc_id, source, n_tokens,
+                CAST(floor(start / 512) AS BIGINT) AS pack_id,
+                start % 512 AS pack_offset
+         FROM c""",
     "q85_pii_redact" ->
       """WITH salted AS (
            SELECT doc_id,
@@ -2035,6 +2191,10 @@ object SparkEntry {
         graft.ml.Similarity.nearNeighborPairs(
           T(s, d, "embeddings").df, "vec_id", "embedding",
           threshold = 0.35, numPlanes = 32, numBands = 8)),
+      "q93_semdedup" -> ((s, d) =>
+        graft.ml.SemDedup.semanticDedup(
+          T(s, d, "embeddings").df, "vec_id", "embedding",
+          threshold = 0.35, k = 8, probes = 3)),
       // the gate form bounds pairs to doc_id<500 so the recursive-CTE
       // oracle stays tractable; the bench times the real end-to-end
       // dedup path over the whole corpus: minhash near-dup pairs →

@@ -1,0 +1,82 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions.cosine_sim
+
+/** SemDeDup (Abbas et al., 2023) — semantic deduplication of a training
+  * corpus by embedding: k-means-cluster the embedding space, search for
+  * near-duplicate pairs by EXACT cosine within each cluster only, then
+  * resolve transitive duplicate groups and keep one representative.
+  *
+  * This is the scale recipe for embedding-level dedup: the quadratic
+  * pair search is confined to one cluster at a time, so with k chosen as
+  * n / targetCellSize the expected per-cell work stays bounded while the
+  * corpus grows — the published SemDeDup configuration (clusters scale
+  * with corpus size). Cross-cluster near-duplicates are the recall cost;
+  * the verdict gate (q93) measures exactly that against the brute-force
+  * twin.
+  *
+  * Pipeline shape:
+  *  - fit: [[Ivf.fit]]'s seeded Lloyd iterations (scan + partial agg);
+  *  - pair search: ONE shuffle clustering rows by cell, then a same-cell
+  *    self-join with an id_a < id_b guard and a codegen'd exact cosine —
+  *    precision is 1.0 by construction, only recall is approximate;
+  *  - resolution: [[graft.text.Dedup.connectedComponents]] (large/small-
+  *    star, O(log n) rounds) + keep the min-id member per component.
+  */
+object SemDedup {
+
+  /** Near-duplicate pairs found within k-means cells. `probes` > 1 is the
+    * multi-probe/soft-assignment variant: each vector participates in its
+    * `probes` nearest cells, so pairs straddling a cell boundary are still
+    * compared (replication factor `probes`, the standard recall lever).
+    * Output: (id_a, id_b, cos_sim). */
+  def withinCellPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, k: Int = 16,
+                      iters: Int = 3, probes: Int = 1): DataFrame = {
+    val model = Ivf.fit(emb, vecCol, k = k, iters = iters, idCol = idCol)
+    val assigned =
+      if (probes <= 1) model.assigned
+      else {
+        // p nearest cells by centroid cosine (k centroid literals →
+        // codegen'd sort of a k-element struct array, no extra scan)
+        val sims = model.centroids.toIndexedSeq.zipWithIndex.map {
+          case (c, i) =>
+            struct(cosine_sim(col(vecCol), typedlit(c)).as("s"),
+              lit(i).as("cell"))
+        }
+        emb.withColumn("cell",
+            explode(slice(reverse(array_sort(array(sims: _*))), 1,
+              math.min(probes, k))))
+          .withColumn("cell", col("cell.cell"))
+      }
+    val a = assigned.select(col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("cell"))
+    val b = assigned.select(col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      // round-then-filter matches Similarity.exactCosinePairs, so the
+      // verdict twin is a strict superset and precision is exactly 1.0
+      .withColumn("cos_sim", round(cosine_sim(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .distinct()  // a pair sharing several probed cells appears once
+  }
+
+  /** Full semantic dedup: keep one representative (min id) per connected
+    * near-duplicate group. Output: (id, keep). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, k: Int = 16,
+                    iters: Int = 3, probes: Int = 1): DataFrame = {
+    val pairs = withinCellPairs(emb, idCol, vecCol, threshold, k, iters,
+      probes)
+    val comps = graft.text.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val drop = comps.filter(col("id") =!= col("component"))
+      .select(col("id"))
+    emb.select(col(idCol).as("id"))
+      .join(drop.withColumn("d", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("d").isNull.as("keep"))
+  }
+}

@@ -103,11 +103,38 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(stratumCol).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+    df.withColumn("n_tokens",
+        coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       // keep while the PREVIOUS cumulative total is under budget: the
       // crossing doc stays, everything after it goes
       .filter(col("cum_tokens") - col("n_tokens") < budgetPerStratum)
+  }
+
+  /** Training-sequence packing, concat-then-chunk style: documents are
+    * laid out in deterministic priority order per stratum and cut into
+    * fixed token-length packs — `pack_id` is which training sequence a
+    * document's FIRST token lands in, `pack_offset` its token offset
+    * within that pack. The batch-assembly step between a curated corpus
+    * and a trainer's fixed-length sequences; downstream, one
+    * `repartition(pack_id)` colocates each pack's members.
+    *
+    * Scale shape: identical to [[tokenBudget]] — one hash-partitioned
+    * per-stratum window sort, no global sort, no driver state.
+    *
+    * Output: input columns + n_tokens, pack_id, pack_offset. */
+  def packSequences(df: DataFrame, stratumCol: String, orderCol: String,
+                    textCol: String, seqTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqTokens > 0, "seqTokens must be positive")
+    val w = Window.partitionBy(stratumCol).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens",
+        coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", floor(col("__start") / seqTokens))
+      .withColumn("pack_offset", col("__start") % seqTokens)
+      .drop("__start")
   }
 
   /** One line of C4's cleaning rule as a reusable predicate: a line is

@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** N-gram language-model scoring — the CCNet/KenLM-style quality signal:
+  * score each document by the average negative log-likelihood of its
+  * bigrams under a count-based LM with add-one smoothing. Low scores =
+  * fluent, in-distribution prose; high scores = gibberish, boilerplate,
+  * wrong-language text. The standard corpus-curation quality axis next to
+  * the heuristic ratios in [[TextAnalysis]].
+  *
+  *   nll(w1 w2) = -ln( (C(w1 w2) + 1) / (C(w1) + V) )
+  *
+  * Shape at 100 TB:
+  *  - training = two partial-agg shuffles (unigram + bigram counts), the
+  *    classic combinable word count — never wider than the gram vocabulary;
+  *  - V (vocabulary size) is a 1-row aggregate broadcast back, no driver
+  *    collect;
+  *  - scoring joins the per-doc bigram stream against the count tables on
+  *    the gram key — sort-merge at web-scale vocabularies, broadcast when
+  *    the LM is small (AQE decides); unknown grams (scoring under a
+  *    reference LM) smooth to count 0 instead of failing;
+  *  - the per-doc average is a final partial agg on doc_id.
+  *
+  * Determinism across engines: the score is round(avg,6); each nll value
+  * is identical on both sides, so only summation-order ulp noise is in
+  * play — far below the rounding grain.
+  */
+object LangModel {
+
+  private def toks(textCol: String) =
+    TextAnalysis.tokens(lower(col(textCol)))
+
+  /** (w1, gram) pairs for each adjacent token pair of `t`. */
+  private def bigrams(t: org.apache.spark.sql.Column) =
+    zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("gram")))
+
+  /** Per-doc bigram-LM score. `train` defaults to `docs` itself (the
+    * self-perplexity recipe); pass a reference corpus to score against a
+    * fixed LM. Output: (doc_id, n_bigrams, avg_nll) — docs with < 2
+    * tokens get n_bigrams = 0 and a null score. */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String,
+                  train: Option[DataFrame] = None,
+                  trainTextCol: String = "text"): DataFrame = {
+    val trainToks = train.getOrElse(docs)
+      .select(toks(train.map(_ => trainTextCol).getOrElse(textCol)).as("t"))
+
+    val uni = trainToks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).cast(DoubleType).as("c1"))
+    val big = trainToks.filter(size(col("t")) >= 2)
+      .select(explode(bigrams(col("t"))).as("b"))
+      .groupBy(col("b.gram").as("gram"))
+      .agg(count(lit(1)).cast(DoubleType).as("c12"))
+    val vsize = uni.agg(count(lit(1)).cast(DoubleType).as("vsize"))
+
+    val inst = docs
+      .select(col(idCol).as("doc_id"), toks(textCol).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(bigrams(col("t"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.gram").as("gram"))
+
+    val scored = inst
+      .join(big, Seq("gram"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vsize))
+      .withColumn("nll", -log(
+        (coalesce(col("c12"), lit(0.0)) + 1.0) /
+          (coalesce(col("c1"), lit(0.0)) + col("vsize"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 6).as("avg_nll"))
+
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
+  }
+}

@@ -16,7 +16,9 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
-  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+  /** Token count; null text → null (the SQL mirror), never size()'s -1. */
+  def tokenCount(text: Column): Column =
+    when(text.isNotNull, size(tokens(text)).cast(LongType))
 
   /** BPE-ish token count: runs of letters, single digits, or any other
     * non-space symbol each count as one token (a cheap, deterministic

@@ -75,4 +75,40 @@ class CurationProbeSpec extends SparkSpec {
     val got = r.apply("b").df.select("n").as[Int].collect().toSeq
     assert(got == Seq(3, 3))
   }
+
+  test("packSequences: chunk boundaries, crossing docs, empty and null " +
+       "text take zero tokens") {
+    val df = Seq(
+      (1L, "s", "a b c d e"),          // 5 toks, start 0  → pack 0 off 0
+      (2L, "s", "f g h i j k l"),      // 7 toks, start 5  → pack 0 off 5
+      (3L, "s", null: String),         // 0 toks, start 12 → pack 1 off 2
+      (4L, "s", "m n"),                // 2 toks, start 12 → pack 1 off 2
+      (5L, "t", "x y z")               // other stratum restarts at 0
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.packSequences(df, "source", "doc_id", "text", 10L)
+      .select("doc_id", "n_tokens", "pack_id", "pack_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 5L, 0L, 0L), (2L, 7L, 0L, 5L), (3L, 0L, 1L, 2L),
+      (4L, 2L, 1L, 2L), (5L, 3L, 0L, 0L)))
+  }
+
+  test("packSequences: every pack except a stratum's last is filled to " +
+       "at least seqTokens by its members' spans") {
+    val docs = sf("documents").select("doc_id", "source", "text")
+    val out = Curation.packSequences(docs, "source", "doc_id", "text", 512L)
+    // within (source, pack): max(start+n_tokens) must cross the pack's
+    // start boundary for every non-final pack — no empty packs
+    val packs = out
+      .groupBy("source", "pack_id")
+      .agg(max(col("pack_offset") + col("n_tokens")).as("fill"),
+           count(lit(1)).as("n"))
+    val lastPack = out.groupBy("source")
+      .agg(max("pack_id").as("last_pack"))
+    val short = packs.join(lastPack, Seq("source"))
+      .filter(col("pack_id") < col("last_pack") && col("fill") < 512)
+      .count()
+    assert(short == 0L)
+  }
 }

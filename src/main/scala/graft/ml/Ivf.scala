@@ -44,6 +44,9 @@ object Ivf {
     // deterministic init: first k vectors by id (a seeded sample at scale)
     var centroids: Array[Seq[Float]] = emb.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0))
+    // degenerate corpus (no vectors): one empty cell, no iterations
+    if (centroids.isEmpty)
+      return Model(emb.withColumn("cell", lit(0)), centroids, idCol, vecCol)
     for (_ <- 0 until iters) {
       // one scan: assign + per-cell componentwise mean (partial-agg'd)
       val dim = centroids(0).length

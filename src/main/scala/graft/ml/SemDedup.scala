@@ -37,7 +37,7 @@ object SemDedup {
                       iters: Int = 3, probes: Int = 1): DataFrame = {
     val model = Ivf.fit(emb, vecCol, k = k, iters = iters, idCol = idCol)
     val assigned =
-      if (probes <= 1) model.assigned
+      if (probes <= 1 || model.centroids.isEmpty) model.assigned
       else {
         // p nearest cells by centroid cosine (k centroid literals →
         // codegen'd sort of a k-element struct array, no extra scan)

@@ -46,4 +46,14 @@ class LangModelSpec extends SparkSpec {
       .agg(avg("avg_nll")).head().getDouble(0)
     assert(scoredRev > scored)
   }
+
+  test("probe pins: null text scores null; repeated-token doc is finite") {
+    val d = Seq((1L, "a b a"), (2L, null: String)).toDF("doc_id", "text")
+    val out = graft.text.LangModel.bigramScore(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(1).getLong(1) == 0L && out(1).isNullAt(2))
+    val rep = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val r = graft.text.LangModel.bigramScore(rep, "doc_id", "text").head()
+    assert(r.getLong(1) == 3L && !r.isNullAt(2) && r.getDouble(2) > 0)
+  }
 }

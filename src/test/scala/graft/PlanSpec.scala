@@ -291,4 +291,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"line filter must not shuffle:\n$p")
     assert(p.contains("*("), "projection should be whole-stage codegen")
   }
+
+  test("q91: BM25 prunes postings to the broadcast query vocabulary " +
+       "before the (doc,term) shuffle; top-k is a group-limit") {
+    val p = plan("q91_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the query-term semi prune must sit BELOW the partial aggregate:
+    // the broadcast join appears after (deeper than) the first partial_
+    val aggAt = p.indexOf("partial_count")
+    val bjAt = p.lastIndexOf("BroadcastHashJoin")
+    assert(aggAt >= 0 && bjAt > aggAt,
+      s"query-vocab prune should be below the tf partial agg:\n$p")
+    // per-query top-k never globally sorts the scored set
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q92: LM training counts partial-aggregate; V broadcasts back") {
+    val p = plan("q92_lm_score")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastExchange"), p)  // the 1-row vsize frame
+    // the only nested-loop join allowed is the 1-row vsize cross frame
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q94: sequence packing is one per-stratum sort, no global sort") {
+    val p = plan("q94_seq_pack")
+    // exactly one exchange: the hash partition by stratum for the window
+    assert("Exchange hashpartitioning\\(source".r
+      .findAllIn(p).size == 1, p)
+    assert(!p.contains("rangepartitioning"),
+      s"packing must not globally sort:\n$p")
+  }
 }

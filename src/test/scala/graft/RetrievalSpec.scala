@@ -58,4 +58,17 @@ class RetrievalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("probe pins: empty/null query text and null-text docs") {
+    val qs = Seq((1L, ""), (2L, null: String)).toDF("query_id", "qtext")
+    assert(graft.text.Retrieval.bm25TopK(
+      docs, "doc_id", "text", qs, "query_id", "qtext").count() == 0L)
+    // null-text docs neither match nor poison the corpus stats
+    val withNull = Seq((0L, "red fish"), (1L, null: String))
+      .toDF("doc_id", "text")
+    val q2 = Seq((1L, "red")).toDF("query_id", "qtext")
+    val out = graft.text.Retrieval.bm25TopK(
+      withNull, "doc_id", "text", q2, "query_id", "qtext").collect()
+    assert(out.length == 1 && out(0).getLong(1) == 0L)
+  }
 }

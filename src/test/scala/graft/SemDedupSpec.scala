@@ -52,4 +52,21 @@ class SemDedupSpec extends SparkSpec {
     assert(multi.join(exact.select("id_a", "id_b"),
       Seq("id_a", "id_b"), "left_anti").count() == 0)
   }
+
+  test("probe pins: empty corpus, zero vectors, probes > k") {
+    val none = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.ml.SemDedup.withinCellPairs(
+      none, "vec_id", "embedding", 0.9, k = 2).count() == 0L)
+    // a zero vector has no direction: it must never pair
+    val z = Seq((1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(1f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val zp = graft.ml.SemDedup.withinCellPairs(
+      z, "vec_id", "embedding", 0.9, k = 2, probes = 2).collect()
+    assert(zp.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 3L)))
+    // probes beyond k clamp to k instead of erroring
+    val two = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.99f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    assert(graft.ml.SemDedup.withinCellPairs(
+      two, "vec_id", "embedding", 0.9, k = 2, probes = 5).count() == 1L)
+  }
 }

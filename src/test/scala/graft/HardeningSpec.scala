@@ -177,4 +177,31 @@ class HardeningSpec extends SparkSpec {
     val fpRate = hits.getLong(1).toDouble / (n / 2)
     assert(fpRate < 0.02, f"false-positive rate $fpRate%.4f exceeds 2×fpp")
   }
+
+  test("bm25 at 2M docs: query-vocab prune keeps the postings shuffle " +
+       "proportional to matches, scores stay exact") {
+    import spark.implicits._
+    val n = 2_000_000L
+    // vocabulary of 50 common words + 1 rare marker planted in 1k docs
+    val words = (0 until 50).map(i => s"w$i")
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        element_at(typedlit(words), (col("id") % 50 + 1).cast("int")),
+        element_at(typedlit(words), (col("id") % 7 + 1).cast("int")),
+        when(col("id") % 2000 === 0, lit("needle")).otherwise(lit("w0")))
+        .as("text"))
+    val qs = Seq((1L, "needle")).toDF("query_id", "qtext")
+    val out = graft.text.Retrieval.bm25TopK(
+      docs, "doc_id", "text", qs, "query_id", "qtext", topK = 10)
+      .collect()
+    // 1000 docs contain the needle; top-10 returned, all needle docs,
+    // deterministic doc-id tiebreak on the all-equal scores
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(1) % 2000 == 0))
+    assert(out.map(_.getLong(1)).sorted.toSeq ==
+      (0L until 20000L by 2000L).toSeq)
+    // every returned score is the same positive BM25 value
+    assert(out.map(_.getDouble(3)).distinct.length == 1 &&
+      out.head.getDouble(3) > 0)
+  }
 }

@@ -1153,6 +1153,14 @@ object SparkEntry {
         "source", "doc_id", "text", seqTokens = 512L)
         .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")),
 
+    // deterministic corpus shuffle (training-order randomization): LCG
+    // mix in 31-bit space → seed-reproducible shard + position; one
+    // per-shard window sort, no global sort
+    "q95_det_shuffle" -> ((s, d) =>
+      graft.text.Curation.shuffleDeterministic(
+        T(s, d, "documents").df.select("doc_id", "source"),
+        "doc_id", seed = 42L, numShards = 8)),
+
     // bloom-pre-filtered join (JOIN … USING 'bloom' / BuildBloom+Bloom
     // pair): the big side is cut down by a codegen might-contain BEFORE
     // its shuffle, then the exact join keeps the result oracle-equal —
@@ -1836,6 +1844,19 @@ object SparkEntry {
                 CAST(floor(start / 512) AS BIGINT) AS pack_id,
                 start % 512 AS pack_offset
          FROM c""",
+    // mirrors Curation.shuffleDeterministic: same 31-bit LCG mix, same
+    // shard mod, same (mix, doc_id) rank
+    "q95_det_shuffle" ->
+      """WITH m AS (
+           SELECT doc_id, source,
+                  ((doc_id % 2147483648) * 1103515245 + 42)
+                    % 2147483648 AS mix
+           FROM documents),
+         sh AS (SELECT doc_id, source, mix, mix % 8 AS shard FROM m)
+         SELECT doc_id, source, shard,
+                CAST(row_number() OVER (PARTITION BY shard
+                  ORDER BY mix, doc_id) - 1 AS BIGINT) AS pos
+         FROM sh""",
     "q85_pii_redact" ->
       """WITH salted AS (
            SELECT doc_id,

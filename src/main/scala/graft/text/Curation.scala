@@ -137,6 +137,37 @@ object Curation {
       .drop("__start")
   }
 
+  /** Deterministic corpus shuffle — the training-order randomization
+    * step: every document gets a pseudo-random but SEED-REPRODUCIBLE
+    * position, sharded for parallel consumption. An LCG mix of
+    * (id, seed) in 31-bit space (exact in any engine's 64-bit integer
+    * arithmetic — no overflow, no float) orders the docs; `shard` is the
+    * mix mod `numShards`, `pos` the rank within the shard.
+    *
+    * Scale shape: one hash-partitioned window sort per shard — shards
+    * are numerous, so partitions stay balanced; no global sort. Epochs =
+    * different seeds; the same seed always reproduces the same order.
+    *
+    * Output: input columns + shard, pos. */
+  def shuffleDeterministic(df: DataFrame, idCol: String, seed: Long,
+                           numShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, "numShards must be positive")
+    // fold the id into 31-bit space BEFORE the multiply: the product
+    // then stays < 2^62, exact in 64-bit integer arithmetic everywhere
+    // (a raw 64-bit id times the multiplier would overflow — silently
+    // wrapping here, erroring in an ANSI engine)
+    val mix = pmod(
+      pmod(col(idCol), lit(2147483648L)) * lit(1103515245L) + lit(seed),
+      lit(2147483648L))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__mix"),
+      col(idCol))
+    df.withColumn("__mix", mix)
+      .withColumn("shard", pmod(col("__mix"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast(LongType) - 1)
+      .drop("__mix")
+  }
+
   /** One line of C4's cleaning rule as a reusable predicate: a line is
     * prose iff it has at least `minWords` whitespace tokens and its
     * trimmed form ends in terminal punctuation. */

@@ -111,4 +111,26 @@ class CurationProbeSpec extends SparkSpec {
       .count()
     assert(short == 0L)
   }
+
+  test("shuffleDeterministic: same seed reproduces, new seed reorders, " +
+       "positions are dense per shard, negative ids still shard") {
+    val df = (0L until 1000L).map(i => (i, "s")).toDF("doc_id", "source")
+    def run(seed: Long) = Curation
+      .shuffleDeterministic(df, "doc_id", seed, numShards = 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val a = run(42L); val b = run(42L); val c = run(7L)
+    assert(a.toSeq == b.toSeq)                    // reproducible
+    assert(a.toSeq != c.toSeq)                    // epoch reshuffles
+    // every shard's positions are exactly 0..count-1
+    val perShard = a.groupBy(_._2).values
+    assert(perShard.forall(g =>
+      g.map(_._3).sorted.toSeq == (0L until g.length).toSeq))
+    // hash-derived negative ids: pmod keeps shard in range
+    val neg = (-500L until 0L).map(i => (i, "s")).toDF("doc_id", "source")
+    val shards = Curation
+      .shuffleDeterministic(neg, "doc_id", 42L, numShards = 4)
+      .select("shard").distinct().collect().map(_.getLong(0)).sorted
+    assert(shards.forall(sh => sh >= 0 && sh < 4))
+  }
 }

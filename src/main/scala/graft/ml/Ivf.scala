@@ -39,30 +39,54 @@ object Ivf {
     }
   }
 
+  /** Lloyd's k-means on a BOUNDED deterministic sample (the first
+    * `sampleSize` vectors by id — a TakeOrdered, never a full sort),
+    * iterated on the driver: quantizer training needs only a sample,
+    * so the corpus is scanned exactly ONCE (the final assignment)
+    * instead of once per iteration — at 100 TB that is iters full
+    * scans saved, and the driver loop also sidesteps re-janino-ing the
+    * k×dim literal assignment expression every round (which dominated
+    * fit cost even at bench scale). The sample covers the whole corpus
+    * below `sampleSize`, where this is exact full-data Lloyd. */
   def fit(emb: DataFrame, vecCol: String, k: Int, iters: Int,
-          idCol: String = "vec_id"): Model = {
-    // deterministic init: first k vectors by id (a seeded sample at scale)
-    var centroids: Array[Seq[Float]] = emb.orderBy(col(idCol)).limit(k)
+          idCol: String = "vec_id", sampleSize: Int = 65536): Model = {
+    val sample: Array[Seq[Float]] = emb.orderBy(col(idCol))
+      .limit(math.max(k, sampleSize))
       .select(col(vecCol)).collect().map(_.getSeq[Float](0))
+    var centroids: Array[Seq[Float]] = sample.take(k)
     // degenerate corpus (no vectors): one empty cell, no iterations
     if (centroids.isEmpty)
       return Model(emb.withColumn("cell", lit(0)), centroids, idCol, vecCol)
+    val dim = centroids(0).length
+    // same metric + tiebreak as nearestCell: cosine, first index wins
+    def assignOf(v: Seq[Float], cents: Array[Seq[Float]]): Int = {
+      var best = -1; var bestSim = Double.NegativeInfinity; var c = 0
+      while (c < cents.length) {
+        val ct = cents(c)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < dim) {
+          dot += v(i).toDouble * ct(i); na += v(i).toDouble * v(i)
+          nb += ct(i).toDouble * ct(i); i += 1
+        }
+        val s = if (na == 0.0 || nb == 0.0) 0.0
+                else dot / (math.sqrt(na) * math.sqrt(nb))
+        if (s > bestSim) { bestSim = s; best = c }
+        c += 1
+      }
+      best
+    }
     for (_ <- 0 until iters) {
-      // one scan: assign + per-cell componentwise mean (partial-agg'd)
-      val dim = centroids(0).length
-      val assigned = emb.select(col(vecCol),
-        nearestCell(col(vecCol), centroids).as("cell"))
-      val sums = assigned.groupBy(col("cell")).agg(
-        count(lit(1)).as("n"),
-        (0 until dim).map(i =>
-          sum(element_at(col(vecCol), i + 1)).as(s"s$i")): _*)
-      val newCents = sums.collect().map { r =>
-        val cell = r.getInt(0)
-        val n = r.getLong(1).toFloat
-        cell -> (0 until dim).map(i => (r.getDouble(2 + i) / n).toFloat)
-      }.toMap
-      centroids = centroids.indices.map(i =>
-        newCents.getOrElse(i, centroids(i))).toArray
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = assignOf(v, centroids)
+        counts(c) += 1
+        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else (0 until dim).map(i => (sums(c)(i) / counts(c)).toFloat)
+      }.toArray
     }
     val assigned = emb.withColumn("cell",
       nearestCell(col(vecCol), centroids))

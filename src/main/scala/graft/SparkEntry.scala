@@ -1153,6 +1153,13 @@ object SparkEntry {
         "source", "doc_id", "text", seqTokens = 512L)
         .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")),
 
+    // fixed-size per-stratum sample: LCG-ranked top-n per stratum —
+    // WindowGroupLimit partial top-n, never a full stratum sort
+    "q96_stratified_topn" -> ((s, d) =>
+      graft.text.Curation.stratifiedTakeN(
+        T(s, d, "documents").df.select("doc_id", "lang"),
+        "doc_id", "lang", n = 25, seed = 7L)),
+
     // deterministic corpus shuffle (training-order randomization): LCG
     // mix in 31-bit space → seed-reproducible shard + position; one
     // per-shard window sort, no global sort
@@ -1844,12 +1851,28 @@ object SparkEntry {
                 CAST(floor(start / 512) AS BIGINT) AS pack_id,
                 start % 512 AS pack_offset
          FROM c""",
+    // mirrors Curation.stratifiedTakeN: same LCG mix with seed 7,
+    // same (mix, doc_id) rank, keep rank <= 25 per lang
+    "q96_stratified_topn" ->
+      """WITH m AS (
+           SELECT doc_id, lang,
+                  (((doc_id % 2147483648) * 1103515245 + 7)
+                    % 2147483648 * 1103515245 + 12345)
+                    % 2147483648 AS mix
+           FROM documents)
+         SELECT doc_id, lang, smp_rank FROM (
+           SELECT doc_id, lang,
+                  CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY mix, doc_id) AS BIGINT) AS smp_rank
+           FROM m)
+         WHERE smp_rank <= 25""",
     // mirrors Curation.shuffleDeterministic: same 31-bit LCG mix, same
     // shard mod, same (mix, doc_id) rank
     "q95_det_shuffle" ->
       """WITH m AS (
            SELECT doc_id, source,
-                  ((doc_id % 2147483648) * 1103515245 + 42)
+                  (((doc_id % 2147483648) * 1103515245 + 42)
+                    % 2147483648 * 1103515245 + 12345)
                     % 2147483648 AS mix
            FROM documents),
          sh AS (SELECT doc_id, source, mix, mix % 8 AS shard FROM m)

@@ -137,11 +137,23 @@ object Curation {
       .drop("__start")
   }
 
+  /** Two LCG rounds of (id, seed) in 31-bit space — exact in any
+    * engine's 64-bit integer arithmetic (ids fold to 31 bits before the
+    * multiply, so the product stays < 2^62). TWO rounds matter: after
+    * one round a seed change is a constant additive shift, which
+    * preserves the sort order almost everywhere — "epochs = seeds"
+    * would not actually reshuffle. The second multiply scrambles the
+    * shift. */
+  private def lcgMix(id: Column, seed: Long): Column = {
+    val m = 2147483648L
+    val r1 = pmod(pmod(id, lit(m)) * lit(1103515245L) + lit(seed), lit(m))
+    pmod(r1 * lit(1103515245L) + lit(12345L), lit(m))
+  }
+
   /** Deterministic corpus shuffle — the training-order randomization
     * step: every document gets a pseudo-random but SEED-REPRODUCIBLE
-    * position, sharded for parallel consumption. An LCG mix of
-    * (id, seed) in 31-bit space (exact in any engine's 64-bit integer
-    * arithmetic — no overflow, no float) orders the docs; `shard` is the
+    * position, sharded for parallel consumption. The [[lcgMix]] of
+    * (id, seed) orders the docs; `shard` is the
     * mix mod `numShards`, `pos` the rank within the shard.
     *
     * Scale shape: one hash-partitioned window sort per shard — shards
@@ -153,18 +165,36 @@ object Curation {
                            numShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(numShards > 0, "numShards must be positive")
-    // fold the id into 31-bit space BEFORE the multiply: the product
-    // then stays < 2^62, exact in 64-bit integer arithmetic everywhere
-    // (a raw 64-bit id times the multiplier would overflow — silently
-    // wrapping here, erroring in an ANSI engine)
-    val mix = pmod(
-      pmod(col(idCol), lit(2147483648L)) * lit(1103515245L) + lit(seed),
-      lit(2147483648L))
+    val mix = lcgMix(col(idCol), seed)
     val w = Window.partitionBy(col("shard")).orderBy(col("__mix"),
       col(idCol))
     df.withColumn("__mix", mix)
       .withColumn("shard", pmod(col("__mix"), lit(numShards.toLong)))
       .withColumn("pos", row_number().over(w).cast(LongType) - 1)
+      .drop("__mix")
+  }
+
+  /** Deterministic fixed-size per-stratum sample — "exactly n eval docs
+    * per language/source", the slice-carving companion to the rate-based
+    * [[stratifiedSample]]: rank docs inside each stratum by the same
+    * seed-reproducible LCG mix as [[shuffleDeterministic]] and keep the
+    * first `n`. A stratum smaller than `n` is kept whole.
+    *
+    * Scale shape: one per-stratum window sort; Spark executes the
+    * rank-≤-n filter as a partial top-n per partition (WindowGroupLimit),
+    * so a billion-doc stratum never fully sorts.
+    *
+    * Output: input columns + smp_rank (1-based within the stratum). */
+  def stratifiedTakeN(df: DataFrame, idCol: String, stratumCol: String,
+                      n: Int, seed: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "n must be positive")
+    val mix = lcgMix(col(idCol), seed)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__mix"), col(idCol))
+    df.withColumn("__mix", mix)
+      .withColumn("smp_rank", row_number().over(w).cast(LongType))
+      .filter(col("smp_rank") <= n)
       .drop("__mix")
   }
 

@@ -133,4 +133,25 @@ class CurationProbeSpec extends SparkSpec {
       .select("shard").distinct().collect().map(_.getLong(0)).sorted
     assert(shards.forall(sh => sh >= 0 && sh < 4))
   }
+
+  test("stratifiedTakeN: exact n per stratum, short strata kept whole, " +
+       "seed-reproducible and seed-sensitive") {
+    val df = ((0L until 100L).map(i => (i, "big")) ++
+      (100L until 105L).map(i => (i, "tiny"))).toDF("doc_id", "lang")
+    def run(seed: Long) = Curation
+      .stratifiedTakeN(df, "doc_id", "lang", n = 10, seed = seed)
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted.toSeq
+    val a = run(7L)
+    assert(a.count(_._1 == "big") == 10)
+    assert(a.count(_._1 == "tiny") == 5)      // short stratum kept whole
+    assert(a == run(7L))                      // reproducible
+    assert(a != run(8L))                      // a new seed picks new docs
+  }
+
+  test("stratifiedTakeN plan: top-n per stratum is a WindowGroupLimit") {
+    val df = (0L until 100L).map(i => (i, "s")).toDF("doc_id", "lang")
+    val p = Curation.stratifiedTakeN(df, "doc_id", "lang", 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }

@@ -1667,7 +1667,9 @@ object SparkEntry {
     // is reproduced row-for-row, no randomness anywhere
     "q87_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
-         WHERE ((doc_id * 1103515245 + 12345) % 1000 + 1000) % 1000 <
+         WHERE ((((doc_id % 2147483648) * 1103515245 + 12345)
+                  % 2147483648) * 1103515245 + 12345)
+                % 2147483648 % 1000 <
                CASE lang WHEN 'en' THEN 250 WHEN 'es' THEN 500
                          WHEN 'fr' THEN 750 ELSE 1000 END""",
     // mirrors Curation.paragraphDedup: same salt, same split, same
@@ -1680,7 +1682,7 @@ object SparkEntry {
                   'All rights reserved.' AS t
            FROM documents),
          ps0 AS (
-           SELECT doc_id, string_split(t, chr(10) || chr(10)) AS p
+           SELECT doc_id, string_split_regex(t, '(\r?\n){2}') AS p
            FROM salted),
          ps1 AS (
            SELECT doc_id, p,

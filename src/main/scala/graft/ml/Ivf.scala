@@ -50,7 +50,13 @@ object Ivf {
     * below `sampleSize`, where this is exact full-data Lloyd. */
   def fit(emb: DataFrame, vecCol: String, k: Int, iters: Int,
           idCol: String = "vec_id", sampleSize: Int = 65536): Model = {
-    val sample: Array[Seq[Float]] = emb.orderBy(col(idCol))
+    // order by a HASH of the id, not the id: a raw-id prefix is a
+    // biased sample whenever id order correlates with content (ids
+    // assigned per source/crawl batch — the common case), and biased
+    // centroids collapse out-of-prefix data into a few giant cells.
+    // xxhash64 is deterministic, so fit stays reproducible.
+    val sample: Array[Seq[Float]] = emb
+      .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(math.max(k, sampleSize))
       .select(col(vecCol)).collect().map(_.getSeq[Float](0))
     var centroids: Array[Seq[Float]] = sample.take(k)
@@ -58,13 +64,16 @@ object Ivf {
     if (centroids.isEmpty)
       return Model(emb.withColumn("cell", lit(0)), centroids, idCol, vecCol)
     val dim = centroids(0).length
-    // same metric + tiebreak as nearestCell: cosine, first index wins
+    // same metric + tiebreak + fallback as nearestCell: cosine, first
+    // index wins, and cell 0 when nothing compares (NaN components —
+    // the codegen argmax falls through to its lit(0) default there too)
     def assignOf(v: Seq[Float], cents: Array[Seq[Float]]): Int = {
-      var best = -1; var bestSim = Double.NegativeInfinity; var c = 0
+      var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
       while (c < cents.length) {
         val ct = cents(c)
+        val d = math.min(math.min(dim, v.length), ct.length)
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < dim) {
+        while (i < d) {
           dot += v(i).toDouble * ct(i); na += v(i).toDouble * v(i)
           nb += ct(i).toDouble * ct(i); i += 1
         }
@@ -81,7 +90,8 @@ object Ivf {
       sample.foreach { v =>
         val c = assignOf(v, centroids)
         counts(c) += 1
-        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        val d = math.min(dim, v.length)
+        var i = 0; while (i < d) { sums(c)(i) += v(i); i += 1 }
       }
       centroids = centroids.indices.map { c =>
         if (counts(c) == 0) centroids(c)

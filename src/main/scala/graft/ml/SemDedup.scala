@@ -51,6 +51,12 @@ object SemDedup {
               math.min(probes, k))))
           .withColumn("cell", col("cell.cell"))
       }
+    // `assigned` is deliberately NOT persisted for the two join sides:
+    // it is a deterministic narrow projection off the scan, so the two
+    // evaluations agree by construction, and at 100 TB re-running a
+    // codegen'd projection is far cheaper than caching the corpus
+    // (the same persist-economy reasoning as the 2-pass rank's
+    // shuffle-free regime).
     val a = assigned.select(col(idCol).as("id_a"),
       col(vecCol).as("va"), col("cell"))
     val b = assigned.select(col(idCol).as("id_b"),

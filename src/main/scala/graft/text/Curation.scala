@@ -21,10 +21,12 @@ object Curation {
     * speculative execution, and AQE re-planning, and an oracle can
     * reproduce it bit-for-bit. */
   def samplePermille(id: Column): Column =
-    // pmod, not %: ids are often hash-derived and negative — a
-    // sign-preserving mod would park every negative id below any rate
-    // and keep 100% of them
-    pmod(id.cast(LongType) * lit(1103515245L) + lit(12345L), lit(1000L))
+    // mix through 31-bit space BEFORE the mod-1000: taking the raw
+    // LCG product mod 1000 directly only ever yields multiples of 5
+    // (the multiplier shares the factor), silently quantizing every
+    // rate to the next multiple of 5. pmod throughout: ids are often
+    // hash-derived and negative.
+    pmod(lcgMix(id.cast(LongType), 12345L), lit(1000L))
 
   /** Training-mix rebalancing: keep each row with a per-stratum rate
     * (permille), e.g. downsample an over-represented language while
@@ -44,8 +46,12 @@ object Curation {
 
   private def paragraphs(text: Column): Column =
     // coalesce: a null document contributes zero paragraphs, not a
-    // null array (size(null) is -1 with ANSI off)
-    filter(split(coalesce(text, lit("")), "\n\n"), p => length(trim(p)) > 0)
+    // null array (size(null) is -1 with ANSI off). The separator is a
+    // regex so CRLF documents split too — a literal "\n\n" never
+    // matches "\r\n\r\n" and would silently degrade paragraph dedup
+    // to whole-document dedup for the CRLF fraction of a crawl.
+    filter(split(coalesce(text, lit("")), "(\\r?\\n){2}"),
+      p => length(trim(p)) > 0)
 
   /** Paragraph-level exact dedup (the RefinedWeb/Dolma recipe): every
     * paragraph is kept only at its first occurrence in the corpus
@@ -92,7 +98,10 @@ object Curation {
     * each stratum, take documents in a deterministic priority order
     * until the running token total reaches the budget; the document
     * that crosses the line is kept (budgets are targets, not hard
-    * byte limits). Scale shape: one hash-partitioned sort per stratum
+    * byte limits). `orderCol` must be a UNIQUE priority key (an id, or
+    * a pre-built (score, id) struct) — on ties the running sum would
+    * depend on shuffle order and the kept set would change between
+    * runs. Scale shape: one hash-partitioned sort per stratum
     * (a window over `stratumCol` — strata are numerous, so partitions
     * stay balanced); no global sort, no driver state.
     *
@@ -117,7 +126,9 @@ object Curation {
     * document's FIRST token lands in, `pack_offset` its token offset
     * within that pack. The batch-assembly step between a curated corpus
     * and a trainer's fixed-length sequences; downstream, one
-    * `repartition(pack_id)` colocates each pack's members.
+    * `repartition(pack_id)` colocates each pack's members. As with
+    * [[tokenBudget]], `orderCol` must be a unique priority key — ties
+    * would make pack assignment nondeterministic across runs.
     *
     * Scale shape: identical to [[tokenBudget]] — one hash-partitioned
     * per-stratum window sort, no global sort, no driver state.

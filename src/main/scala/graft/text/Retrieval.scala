@@ -36,7 +36,11 @@ object Retrieval {
                topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("toks"))
-      .withColumn("dl", size(col("toks")).cast(DoubleType))
+      // null text → null dl (avg skips it, the SQL mirror) — raw
+      // size(null) is -1 with ANSI off and would silently drag avgdl
+      // down for every real document
+      .withColumn("dl", when(col("toks").isNotNull,
+        size(col("toks")).cast(DoubleType)))
 
     val qterms = queries.select(col(qidCol).cast(LongType).as("query_id"),
       explode(array_distinct(TextAnalysis.tokens(lower(col(qtextCol)))))

@@ -154,4 +154,28 @@ class CurationProbeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("samplePermille covers all residues: rate 1 keeps ~0.1% and " +
+       "rate 999 actually drops (review: mod-1000 of the raw LCG " +
+       "product only hit multiples of 5)") {
+    val df = (0L until 100000L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val n1 = Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 1)).count()
+    assert(n1 > 20 && n1 < 300, s"rate-1 kept $n1/100000 (expect ~100)")
+    val n999 = Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 999)).count()
+    assert(n999 < 100000L, "rate 999 must drop a sliver, not keep all")
+  }
+
+  test("paragraphDedup splits CRLF paragraph breaks too") {
+    val df = Seq(
+      (1L, "shared para\r\n\r\nunique one"),
+      (2L, "shared para\n\nunique two")).toDF("doc_id", "text")
+    val out = Curation.paragraphDedup(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc2's "shared para" is a repeat of doc1's CRLF-separated copy
+    assert(out(0).getLong(3) == 2L)       // doc1 keeps both paras
+    assert(out(1).getLong(3) == 1L,       // doc2 keeps only the unique one
+      s"CRLF paragraph not deduped: ${out.mkString(";")}")
+  }
 }

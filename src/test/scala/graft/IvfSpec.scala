@@ -40,4 +40,16 @@ class IvfSpec extends SparkSpec {
       query, 10).collect().map(_.getLong(0)).toSet
     assert(got.intersect(brute).size >= 4)
   }
+
+  test("fit survives NaN and ragged vectors (driver loop matches the " +
+       "codegen argmax fallback)") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(Float.NaN, 1f)),           // NaN → cell 0, like lit(0)
+      (4L, Seq(0.5f))                      // ragged: shorter than dim
+    ).toDF("vec_id", "embedding")
+    val m = Ivf.fit(emb, "embedding", k = 2, iters = 2)
+    assert(m.assigned.count() == 4L)
+  }
 }

@@ -71,4 +71,18 @@ class RetrievalSpec extends SparkSpec {
       withNull, "doc_id", "text", q2, "query_id", "qtext").collect()
     assert(out.length == 1 && out(0).getLong(1) == 0L)
   }
+
+  test("null-text docs are excluded from avgdl (review: size(null) = -1 " +
+       "was dragging the normalization down)") {
+    val withNull = Seq((0L, "red fish"), (1L, null: String))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "red")).toDF("query_id", "qtext")
+    val score = graft.text.Retrieval
+      .bm25TopK(withNull, "doc_id", "text", q, "query_id", "qtext")
+      .head().getDouble(3)
+    // N=2, df=1, avgdl must be 2.0 (the null doc skipped), dl=2
+    val expected = math.log(1 + 1.5 / 1.5) * 2.2 / (1 + 1.2)
+    assert(math.abs(score - expected) < 1e-5,
+      s"score $score != $expected — avgdl poisoned?")
+  }
 }

@@ -1617,11 +1617,15 @@ object SparkEntry {
            SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
                     for i in range(1, len(t) - 1)]) AS gram
            FROM toks WHERE len(t) >= 3),
-         t2 AS (SELECT doc_id, max(n * length(gram)) AS c FROM
-                 (SELECT doc_id, gram, count(*) AS n FROM g2 GROUP BY 1, 2)
+         t2 AS (SELECT doc_id,
+                       (max({'c': n, 'mass': n * length(gram)})).mass AS c
+                FROM (SELECT doc_id, gram, count(*) AS n FROM g2
+                      GROUP BY 1, 2)
                 GROUP BY 1),
-         t3 AS (SELECT doc_id, max(n * length(gram)) AS c FROM
-                 (SELECT doc_id, gram, count(*) AS n FROM g3 GROUP BY 1, 2)
+         t3 AS (SELECT doc_id,
+                       (max({'c': n, 'mass': n * length(gram)})).mass AS c
+                FROM (SELECT doc_id, gram, count(*) AS n FROM g3
+                      GROUP BY 1, 2)
                 GROUP BY 1)
          SELECT b.doc_id, b.dup_line_ratio, b.dup_line_char_ratio,
                 round(CAST(coalesce(t2.c, 0) AS DOUBLE)

@@ -25,12 +25,20 @@ object Streams {
 
   /** Tumbling event-time window aggregation with a watermark bounding
     * state: groupBy(window(ts)) keeps one partial aggregate per
-    * (window, key) — state size is O(active windows × keys), not rows. */
+    * (window, key) — state size is O(active windows × keys), not rows.
+    * `valueCol` names the column to sum; pass None for count-only input
+    * (the implicit "value" dependency was an undocumented trap). */
   def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
-                     windowLen: String, watermark: String): DataFrame =
-    events.withWatermark(tsCol, watermark)
+                     windowLen: String, watermark: String,
+                     valueCol: Option[String] = Some("value")): DataFrame = {
+    val base = events.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    valueCol match {
+      case Some(v) =>
+        base.agg(count(lit(1)).as("n"), sum(col(v)).as("sum_value"))
+      case None => base.agg(count(lit(1)).as("n"))
+    }
+  }
 
   /** Sliding window variant. */
   def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
@@ -58,13 +66,16 @@ object Streams {
 
   /** Stream-static enrichment: join each micro-batch against a batch
     * dimension table. The static side is re-read per batch (so slowly-
-    * changing dims refresh) and broadcast when small — the same plan a
-    * batch `JOIN … USING 'replicated'` gets. No state, no watermark
-    * needed: the static side never adds rows to wait for. */
+    * changing dims refresh). `hintBroadcast = true` (default) FORCES a
+    * broadcast — right for a dimension that fits on executors, wrong for
+    * a multi-GB one; pass false to let Catalyst size it against
+    * autoBroadcastJoinThreshold instead. No state, no watermark needed:
+    * the static side never adds rows to wait for. */
   def enrichWithStatic(stream: DataFrame, dim: DataFrame,
                        keys: Seq[String],
-                       joinType: String = "inner"): DataFrame =
-    stream.join(broadcast(dim), keys, joinType)
+                       joinType: String = "inner",
+                       hintBroadcast: Boolean = true): DataFrame =
+    stream.join(if (hintBroadcast) broadcast(dim) else dim, keys, joinType)
 
   /** Watermarked stream-stream interval join — e.g. impressions joined
     * to clicks that arrive within `within` of the impression. BOTH sides
@@ -77,6 +88,10 @@ object Streams {
   def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame,
                    rightTs: String, keys: Seq[String], within: String,
                    watermark: String): DataFrame = {
+    require(keys.nonEmpty,
+      "intervalJoin needs at least one equality key — a pure time-range " +
+        "stream-stream join cannot partition state and would buffer " +
+        "every row against every other")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)

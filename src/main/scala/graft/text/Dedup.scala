@@ -103,9 +103,16 @@ object Dedup {
     * bounds per-bucket work, the same role as Pig's skewed-join sampling). */
   def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
                         numBands: Int, rowsPerBand: Int,
-                        maxBucket: Int = 1000): DataFrame =
+                        maxBucket: Int = 1000): DataFrame = {
+    // rowsPerBand = 0 (numBands > numHashes after integer division)
+    // would hash an EMPTY slice per band — every doc in one bucket,
+    // then the size cap silently drops everything
+    require(numBands >= 1 && rowsPerBand >= 1,
+      s"banding needs numBands >= 1 and rowsPerBand >= 1 " +
+        s"(got $numBands x $rowsPerBand)")
     cappedCandidatePairs(
       lshBuckets(df, idCol, sigCol, numBands, rowsPerBand), idCol, maxBucket)
+  }
 
   /** Shared bucket→pairs step for every LSH family (MinHash bands, SimHash
     * chunks, random-hyperplane bands): group a `(idCol, band, bucket)`
@@ -204,18 +211,12 @@ object Dedup {
     * min-agg before the exchange, so only numHashes longs per doc cross
     * the shuffle regardless of document size. This is the 100 TB shape. */
   def minhashSignatures(shingled: DataFrame, idCol: String,
-                        numHashes: Int): DataFrame = {
-    val params = hashParams(numHashes)
-    val hashed = shingled
-      .select(col(idCol), explode(col("shingles")).as("sh"))
-      .select(col(idCol), xxhash64(col("sh")).as("h"))
-    val aggs = params.zipWithIndex.map { case ((a, b), j) =>
-      min(col("h") * a + b).as(s"m$j")
-    }
-    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
-  }
+                        numHashes: Int): DataFrame =
+    // ONE hash family, one implementation: delegate to the gram-stream
+    // form so the two signature entry points can never drift apart
+    minhashSignaturesFromGrams(
+      shingled.select(col(idCol), explode(col("shingles")).as("__g")),
+      idCol, "__g", numHashes)
 
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 5, numHashes: Int = 64,
@@ -235,6 +236,10 @@ object Dedup {
                              n: Int = 3, numHashes: Int = 64,
                              numBands: Int = 16,
                              threshold: Double = 0.8): DataFrame = {
+    require(numBands >= 1 && numBands <= numHashes &&
+      numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands " +
+        s"($numBands) — a remainder would silently ignore signature tail")
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol),
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
@@ -284,6 +289,10 @@ object Dedup {
   def minhashNearDupsWith(df: DataFrame, idCol: String, textCol: String,
                           shingler: Column => Column, numHashes: Int,
                           numBands: Int, threshold: Double): DataFrame = {
+    require(numBands >= 1 && numBands <= numHashes &&
+      numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands " +
+        s"($numBands) — a remainder would silently ignore signature tail")
     // The shingle scan feeds three consumers (signing, and both sides of
     // the verify join) — persist it once (tracked). At 100 TB this
     // intermediate would be a checkpointed table; the plan shape is the
@@ -306,7 +315,14 @@ object Dedup {
   /** 64-bit SimHash per document from whitespace tokens: bit i of the
     * signature is the sign of Σ_tokens (±1 by bit i of xxhash64(token)).
     * Implemented as 64 conditional sums in ONE aggregation pass (all
-    * codegen'd); docs with similar token multisets get close signatures. */
+    * codegen'd); docs with similar token multisets get close signatures.
+    *
+    * CONTRACT: zero-token documents (empty/whitespace text) emit NO
+    * signature row — there is nothing to near-dup on, and a synthetic
+    * all-zero signature would spuriously pair every empty doc with any
+    * doc whose bit sums happen to balance. Identical empty docs are
+    * exact duplicates; the exact-dedup path owns them. (Pinned by
+    * ProbeSpec "degenerate docs".) */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
@@ -433,9 +449,14 @@ object Dedup {
     * join against that 2-column min table — no neighbor lists are ever
     * collected, so a billion-node component (every doc sharing one
     * boilerplate page) never materializes a hub's adjacency in a single
-    * task. Convergence is checked with a count + except probe per round;
-    * each round's edge set is persisted and the previous one released,
-    * keeping lineage depth constant.
+    * task. Convergence is checked with a count + except probe per round
+    * (the except only evaluates when the counts match). Each round's
+    * edge set is checkpointed to truncate lineage; superseded snapshots
+    * are released by the ContextCleaner once unreferenced (local mode)
+    * or, with a checkpoint dir, cleaned when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set — a
+    * cluster deployment should set it, since O(log n) rounds each leave
+    * a full edge-set snapshot behind otherwise.
     *
     * Returns (id, component) for every distinct node in `pairs`, with
     * component = min id reachable (self for isolated nodes).
@@ -525,15 +546,24 @@ object Dedup {
     * and is explicitly broadcast: benchmarks are tiny next to a 100 TB
     * corpus, so the corpus scan never shuffles — each task stream-probes
     * the broadcast gram hash set and emits (id, contaminated). */
-  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
-                         evalDf: DataFrame, evalTextCol: String,
-                         n: Int = 13): DataFrame = {
+  /** Ids of docs sharing ≥1 n-gram with the eval set — the ONE
+    * definition of "contaminated" that both the flag and drop entry
+    * points consume (they must never drift). */
+  private def contaminatedIds(docs: DataFrame, idCol: String,
+                              textCol: String, evalDf: DataFrame,
+                              evalTextCol: String, n: Int): DataFrame = {
     val evalGrams = evalDf
       .select(explode(wordNgrams(col(evalTextCol), n)).as("gram")).distinct()
-    val hit = docs
+    docs
       .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
       .join(broadcast(evalGrams), "gram")
       .select(col(idCol)).distinct()
+  }
+
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+                         evalDf: DataFrame, evalTextCol: String,
+                         n: Int = 13): DataFrame = {
+    val hit = contaminatedIds(docs, idCol, textCol, evalDf, evalTextCol, n)
     docs.select(col(idCol))
       .join(hit.withColumn("__hit", lit(true)), Seq(idCol), "left")
       .select(col(idCol),
@@ -543,13 +573,7 @@ object Dedup {
   /** Drop the contaminated documents outright. */
   def dropContaminated(docs: DataFrame, idCol: String, textCol: String,
                        evalDf: DataFrame, evalTextCol: String,
-                       n: Int = 13): DataFrame = {
-    val evalGrams = evalDf
-      .select(explode(wordNgrams(col(evalTextCol), n)).as("gram")).distinct()
-    val hit = docs
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
-      .join(broadcast(evalGrams), "gram")
-      .select(col(idCol)).distinct()
-    docs.join(hit, Seq(idCol), "left_anti")
-  }
+                       n: Int = 13): DataFrame =
+    docs.join(contaminatedIds(docs, idCol, textCol, evalDf, evalTextCol, n),
+      Seq(idCol), "left_anti")
 }

@@ -152,11 +152,8 @@ object TextAnalysis {
     val chunks = transform(sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(toks, i * step + 1, lit(chunkTokens))))
     df.withColumn("__chunks", chunks)
-      .select(col("*"))
-      .drop(textCol)
       .select(df.columns.filter(_ != textCol).map(col).toIndexedSeq :+
         posexplode(col("__chunks")).as(Seq("chunk_idx", "chunk_text")): _*)
-      .drop("__chunks")
   }
 
   /** Rolling-hash document fingerprint: fold token lengths through a
@@ -220,11 +217,17 @@ object TextAnalysis {
     * keyed by (id, gram) and (id), both linear in gram count. */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String): org.apache.spark.sql.DataFrame = {
+    // Gopher's definition: char mass of the MOST FREQUENT gram — a
+    // struct max picks highest count first (mass breaks count ties), so
+    // a long-but-rare gram can no longer inflate the ratio past the
+    // filter threshold
     def topChars(n: Int, out: String) =
       df.select(col(idCol), explode(wordNgramsRaw(col(textCol), n)).as("gram"))
         .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
         .groupBy(col(idCol))
-        .agg(max(col("cnt") * length(col("gram"))).as(out))
+        .agg(max(struct(col("cnt").as("c"),
+          (col("cnt") * length(col("gram"))).as("mass")))
+          .getField("mass").as(out))
     df.select(col(idCol),
         round(dupLineRatio(col(textCol)), 6).as("dup_line_ratio"),
         round(dupLineCharRatio(col(textCol)), 6).as("dup_line_char_ratio"),

@@ -298,4 +298,36 @@ test("P1: BuildBloom/Bloom over a COMPOUND key") {
     info(s"nonfused: hits=$hits exact=$exact")
     assert(hits >= exact, "false negatives in non-fused build")
   }
+
+  test("review pins: banding misconfiguration fails loudly; intervalJoin " +
+       "requires an equality key; top-gram ratio uses the most FREQUENT " +
+       "gram, not the heaviest") {
+    import graft.text.Dedup
+    // numBands > numHashes → rowsPerBand 0 would put every doc in one
+    // bucket and then silently drop it via the size cap
+    val df = spark.createDataFrame(Seq((1L, "a b c d e")))
+      .toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupsByWords(df, "id", "text",
+        numHashes = 64, numBands = 100)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatePairs(df, "id", "text", numBands = 100,
+        rowsPerBand = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streams.intervalJoin(df, "text", df, "text",
+        Seq.empty, "10 minutes", "1 hour")
+    }
+    // Gopher top-gram: "a b" x3 (9 chars) beats "wonderful delightful"
+    // x2 (40 chars) on frequency — the ratio must use 9, not 40
+    val doc = spark.createDataFrame(Seq((1L,
+      "a b a b a b wonderful delightful wonderful delightful")))
+      .toDF("id", "text")
+    val r = graft.text.TextAnalysis.repetitionStats(doc, "id", "text")
+      .head()
+    val nChars = 53.0
+    assert(math.abs(r.getDouble(3) - 3 * 3 / nChars) < 1e-4,
+      s"top2gram used char mass, not top frequency: ${r.getDouble(3)}")
+  }
 }

@@ -1750,8 +1750,8 @@ object SparkEntry {
            FROM documents),
          c AS (
            SELECT doc_id, source, n_tokens,
-                  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
            FROM t)
          SELECT doc_id, source, n_tokens, cum_tokens
          FROM c WHERE cum_tokens - n_tokens < 300""",
@@ -1850,12 +1850,12 @@ object SparkEntry {
            FROM documents),
          c AS (
            SELECT doc_id, source, n_tokens,
-                  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                    ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+                  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start
            FROM t)
          SELECT doc_id, source, n_tokens,
                 CAST(floor(start / 512) AS BIGINT) AS pack_id,
-                start % 512 AS pack_offset
+                CAST(start % 512 AS BIGINT) AS pack_offset
          FROM c""",
     // mirrors Curation.stratifiedTakeN: same LCG mix with seed 7,
     // same (mix, doc_id) rank, keep rank <= 25 per lang

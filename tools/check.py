@@ -32,19 +32,30 @@ fails, passes = [], []
 for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
     if not os.path.isdir(d): continue
-    got = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchall()
-    gotcols = [c[0] for c in con.description]
+    gotrel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+    got, gotcols = gotrel.fetchall(), list(gotrel.columns)
     if name not in oracle:
         passes.append(f"{name}: rows-only ({len(got)} rows)")
         continue
+    gottypes = dict(zip(gotrel.columns, (str(t) for t in gotrel.types)))
     try:
-        exp = con.execute(oracle[name]).fetchall()
-        expcols = [c[0] for c in con.description]
+        exprel = con.sql(oracle[name])
+        exp, expcols = exprel.fetchall(), list(exprel.columns)
+        exptypes = dict(zip(exprel.columns, (str(t) for t in exprel.types)))
     except Exception as e:
         fails.append(f"{name}: ORACLE SQL ERROR {e}")
         continue
     if sorted(gotcols) != sorted(expcols):
         fails.append(f"{name}: COLS spark={sorted(gotcols)} duck={sorted(expcols)}")
+        continue
+    # The driver's hasher sees the physical result types, so an oracle
+    # HUGEINT (e.g. an uncast window sum(BIGINT)) hash-mismatches a Spark
+    # int64 even when every value is equal (r9 q90/q94). Reproduce that
+    # distinction here: compare DuckDB's reported type per column.
+    tdiff = [f"{c}: spark={gottypes[c]} duck={exptypes[c]}"
+             for c in sorted(gotcols) if gottypes[c] != exptypes[c]]
+    if tdiff:
+        fails.append(f"{name}: TYPES {tdiff}")
         continue
     a, b = rowset(got, gotcols), rowset(exp, expcols)
     if a == b:

@@ -1667,11 +1667,13 @@ object SparkEntry {
          SELECT regexp_extract(url, 'https?://([^/\s:?#]+)', 1) AS domain,
                 count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
          FROM urls GROUP BY domain""",
-    // identical LCG arithmetic to Curation.samplePermille — the sample
-    // is reproduced row-for-row, no randomness anywhere
+    // identical LCG arithmetic to Curation.samplePermille (incl. the
+    // xor-fold of the high id bits) — the sample is reproduced
+    // row-for-row, no randomness anywhere
     "q87_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
-         WHERE ((((doc_id % 2147483648) * 1103515245 + 12345)
+         WHERE ((((xor(doc_id, doc_id >> 31) % 2147483648)
+                    * 1103515245 + 12345)
                   % 2147483648) * 1103515245 + 12345)
                 % 2147483648 % 1000 <
                CASE lang WHEN 'en' THEN 250 WHEN 'es' THEN 500
@@ -1862,7 +1864,8 @@ object SparkEntry {
     "q96_stratified_topn" ->
       """WITH m AS (
            SELECT doc_id, lang,
-                  (((doc_id % 2147483648) * 1103515245 + 7)
+                  (((xor(doc_id, doc_id >> 31) % 2147483648)
+                    * 1103515245 + 7)
                     % 2147483648 * 1103515245 + 12345)
                     % 2147483648 AS mix
            FROM documents)
@@ -1877,7 +1880,8 @@ object SparkEntry {
     "q95_det_shuffle" ->
       """WITH m AS (
            SELECT doc_id, source,
-                  (((doc_id % 2147483648) * 1103515245 + 42)
+                  (((xor(doc_id, doc_id >> 31) % 2147483648)
+                    * 1103515245 + 42)
                     % 2147483648 * 1103515245 + 12345)
                     % 2147483648 AS mix
            FROM documents),

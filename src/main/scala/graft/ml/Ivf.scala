@@ -48,26 +48,41 @@ object Ivf {
     * k×dim literal assignment expression every round (which dominated
     * fit cost even at bench scale). The sample covers the whole corpus
     * below `sampleSize`, where this is exact full-data Lloyd. */
+  /** Driver-side float budget for the fit sample: at dim 768 this caps
+    * the sample near 21k vectors (~64 MB primitive), where the old
+    * row-count-only default collected ~50M boxed floats. */
+  private val fitSampleFloatBudget = 16 << 20
+
   def fit(emb: DataFrame, vecCol: String, k: Int, iters: Int,
           idCol: String = "vec_id", sampleSize: Int = 65536): Model = {
+    // probe the dim from one row (LocalLimit(1) — stops at the first
+    // non-empty partition) so the sample row count scales DOWN with
+    // dim: the driver holds at most ~fitSampleFloatBudget floats, as
+    // primitive arrays, not a multi-GB boxed Seq at realistic dims.
+    val dimProbe = emb.select(size(col(vecCol))).head(1)
+    if (dimProbe.isEmpty)
+      return Model(emb.withColumn("cell", lit(0)), Array.empty, idCol, vecCol)
+    val probedDim = math.max(1, dimProbe(0).getInt(0))
+    val rows = math.max(k,
+      math.min(sampleSize, fitSampleFloatBudget / probedDim))
     // order by a HASH of the id, not the id: a raw-id prefix is a
     // biased sample whenever id order correlates with content (ids
     // assigned per source/crawl batch — the common case), and biased
     // centroids collapse out-of-prefix data into a few giant cells.
     // xxhash64 is deterministic, so fit stays reproducible.
-    val sample: Array[Seq[Float]] = emb
+    val sample: Array[Array[Float]] = emb
       .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(math.max(k, sampleSize))
-      .select(col(vecCol)).collect().map(_.getSeq[Float](0))
-    var centroids: Array[Seq[Float]] = sample.take(k)
-    // degenerate corpus (no vectors): one empty cell, no iterations
+      .limit(rows)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    var centroids: Array[Array[Float]] = sample.take(k)
+    // degenerate corpus (rows of empty/null vectors): one cell
     if (centroids.isEmpty)
-      return Model(emb.withColumn("cell", lit(0)), centroids, idCol, vecCol)
+      return Model(emb.withColumn("cell", lit(0)), Array.empty, idCol, vecCol)
     val dim = centroids(0).length
     // same metric + tiebreak + fallback as nearestCell: cosine, first
     // index wins, and cell 0 when nothing compares (NaN components —
     // the codegen argmax falls through to its lit(0) default there too)
-    def assignOf(v: Seq[Float], cents: Array[Seq[Float]]): Int = {
+    def assignOf(v: Array[Float], cents: Array[Array[Float]]): Int = {
       var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
       while (c < cents.length) {
         val ct = cents(c)
@@ -93,14 +108,20 @@ object Ivf {
         val d = math.min(dim, v.length)
         var i = 0; while (i < d) { sums(c)(i) += v(i); i += 1 }
       }
-      centroids = centroids.indices.map { c =>
+      centroids = Array.tabulate(centroids.length) { c =>
         if (counts(c) == 0) centroids(c)
-        else (0 until dim).map(i => (sums(c)(i) / counts(c)).toFloat)
-      }.toArray
+        else {
+          val m = new Array[Float](dim)
+          var i = 0; while (i < dim) {
+            m(i) = (sums(c)(i) / counts(c)).toFloat; i += 1
+          }
+          m
+        }
+      }
     }
-    val assigned = emb.withColumn("cell",
-      nearestCell(col(vecCol), centroids))
-    Model(assigned, centroids, idCol, vecCol)
+    val cents: Array[Seq[Float]] = centroids.map(_.toIndexedSeq)
+    val assigned = emb.withColumn("cell", nearestCell(col(vecCol), cents))
+    Model(assigned, cents, idCol, vecCol)
   }
 
   /** The query's nprobe nearest cells by centroid cosine — computed on the

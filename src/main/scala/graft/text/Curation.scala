@@ -154,10 +154,17 @@ object Curation {
     * one round a seed change is a constant additive shift, which
     * preserves the sort order almost everywhere — "epochs = seeds"
     * would not actually reshuffle. The second multiply scrambles the
-    * shift. */
+    * shift.
+    *
+    * The id is xor-folded (high 33 bits into the low 31) BEFORE the
+    * 31-bit reduction: a plain `pmod(id, 2^31)` would give 64-bit
+    * hash-derived ids congruent mod 2^31 identical mixes — perfectly
+    * correlated sample/shuffle/shard decisions for those pairs at
+    * billion-doc scale. */
   private def lcgMix(id: Column, seed: Long): Column = {
     val m = 2147483648L
-    val r1 = pmod(pmod(id, lit(m)) * lit(1103515245L) + lit(seed), lit(m))
+    val folded = pmod(id.bitwiseXOR(shiftrightunsigned(id, 31)), lit(m))
+    val r1 = pmod(folded * lit(1103515245L) + lit(seed), lit(m))
     pmod(r1 * lit(1103515245L) + lit(12345L), lit(m))
   }
 

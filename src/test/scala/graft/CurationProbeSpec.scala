@@ -167,6 +167,22 @@ class CurationProbeSpec extends SparkSpec {
     assert(n999 < 100000L, "rate 999 must drop a sliver, not keep all")
   }
 
+  test("lcgMix is sensitive to high id bits: ids congruent mod 2^31 " +
+       "make independent sample decisions (review: pre-fold fold)") {
+    // pairs (i, i + k*2^31) collide under a plain pmod(id, 2^31)
+    // reduction; with the xor-fold their permille mixes must disagree
+    // for most pairs, not be perfectly correlated
+    val ids = (0L until 2000L).flatMap(i => Seq(i, i + (1L << 31)))
+    val df = ids.map(i => (i, "en")).toDF("doc_id", "lang")
+    val kept = Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 500)).collect().map(_.getLong(0)).toSet
+    val both = (0L until 2000L).count(i =>
+      kept(i) == kept(i + (1L << 31)))
+    // perfectly correlated would be 2000/2000 agreement; independence
+    // gives ~50% at rate 500 — gate generously below the correlated case
+    assert(both < 1400, s"high-bit-congruent pairs agree $both/2000")
+  }
+
   test("paragraphDedup splits CRLF paragraph breaks too") {
     val df = Seq(
       (1L, "shared para\r\n\r\nunique one"),

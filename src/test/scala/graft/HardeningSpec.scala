@@ -149,6 +149,53 @@ class HardeningSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("connectedComponents at 10M edges: converges within the log2 " +
+       "bound and yields a consistent labeling") {
+    // 10M edges: ~9M random over 3M nodes (supercritical — one giant
+    // component) + a 500k-node path (adversarial diameter: min labels
+    // must travel 500k hops, only possible in ~log2 rounds via star
+    // contraction) + 500k isolated self-loop nodes. The exact 1M-edge
+    // union-find oracle above pins semantics; here the oracle would be
+    // driver-bound, so assert the structural invariants instead.
+    val nNodes = 3_000_000L
+    val pathLen = 500_000L
+    val pathBase = 10_000_000L
+    val isoBase = 20_000_000L
+    val edges = spark.range(9_000_000)
+      .select((pmod(hash(col("id")), lit(nNodes))).cast("long").as("id_a"),
+              (pmod(hash(col("id") * 31 + 7), lit(nNodes))).cast("long").as("id_b"))
+      .union(spark.range(pathLen)
+        .select((col("id") + pathBase).as("id_a"),
+                (col("id") + pathBase + 1).as("id_b")))
+      .union(spark.range(500_000)
+        .select((col("id") + isoBase).as("id_a"),
+                (col("id") + isoBase).as("id_b")))
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(edges, "id_a", "id_b", maxIter = 30)
+    val lab = labels.persist()
+    // O(log n) measured: the 500k path needs ~log2(500k)=19 doubling
+    // rounds; anything near-linear in the diameter would blow the cap
+    assert(rounds <= 24, s"took $rounds rounds for a 500k-diameter graph")
+    // fixpoint validity: every edge's endpoints carry the same label
+    val crossEdges = edges.where(col("id_a") =!= col("id_b"))
+      .join(lab.withColumnRenamed("id", "id_a")
+                .withColumnRenamed("component", "ca"), "id_a")
+      .join(lab.withColumnRenamed("id", "id_b")
+                .withColumnRenamed("component", "cb"), "id_b")
+      .where(col("ca") =!= col("cb")).count()
+    assert(crossEdges == 0L, s"$crossEdges edges cross components")
+    // the path collapses to ONE component labeled by its min node, and
+    // every isolated self-loop node stays its own component
+    val pathStats = lab.where(col("id") >= pathBase && col("id") < isoBase)
+      .agg(countDistinct(col("component")).as("k"),
+           min(col("component")).as("mn")).head()
+    assert(pathStats.getLong(0) == 1L && pathStats.getLong(1) == pathBase)
+    val isoOk = lab.where(col("id") >= isoBase)
+      .where(col("component") =!= col("id")).count()
+    assert(isoOk == 0L, s"$isoOk isolated nodes mislabeled")
+    lab.unpersist()
+  }
+
   test("BuildBloom at 10M keys: distributed build, zero false negatives, " +
        "bounded false positives") {
     // the aggregate build must hold at scale: 10M distinct member keys

@@ -1,0 +1,52 @@
+package org.apache.pig;
+
+import java.io.IOException;
+import java.lang.reflect.ParameterizedType;
+import java.lang.reflect.Type;
+import org.apache.pig.data.Tuple;
+import org.apache.pig.impl.logicalLayer.schema.Schema;
+
+/**
+ * API-compatibility facade for the reference's EvalFunc contract
+ * (reference: src/org/apache/pig/EvalFunc.java) — the base class user
+ * UDF jars extend. A REGISTER'd jar's subclasses are adapted to Spark
+ * udfs by graft.functions.JarUdfs: the engine calls {@link #exec} per
+ * row and derives the Spark result type from {@link #getReturnType}
+ * (or the {@link #outputSchema} override when present).
+ */
+public abstract class EvalFunc<T> {
+
+    /** One invocation: the call's arguments arrive as one tuple. */
+    public abstract T exec(Tuple input) throws IOException;
+
+    /**
+     * Declared result schema; null (the default) means "derive from the
+     * generic return type" — same contract as the reference.
+     */
+    public Schema outputSchema(Schema input) { return null; }
+
+    /** The T of EvalFunc&lt;T&gt;, resolved by walking the class hierarchy. */
+    public Type getReturnType() {
+        Class<?> c = getClass();
+        while (c != Object.class) {
+            Type sup = c.getGenericSuperclass();
+            if (sup instanceof ParameterizedType) {
+                ParameterizedType p = (ParameterizedType) sup;
+                if (p.getRawType() == EvalFunc.class)
+                    return p.getActualTypeArguments()[0];
+            }
+            c = c.getSuperclass();
+        }
+        return Object.class;
+    }
+
+    /** Reference API hook: progress heartbeats are a no-op here (Spark
+     * tasks have their own liveness machinery). */
+    public void progress() { }
+
+    /** Reference API hook: warnings go to stderr, once per message. */
+    private final java.util.Set<String> warned = new java.util.HashSet<>();
+    public void warn(String msg, Enum<?> warningEnum) {
+        if (warned.add(msg)) System.err.println("[udf warn] " + msg);
+    }
+}

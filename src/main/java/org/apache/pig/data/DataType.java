@@ -1,0 +1,44 @@
+package org.apache.pig.data;
+
+/**
+ * API-compatibility facade: the public type-code constants user UDFs
+ * reference in outputSchema declarations (reference:
+ * src/org/apache/pig/data/DataType.java:60-92 — the byte values are
+ * public wire-level API and must match for binary compatibility).
+ */
+public class DataType {
+    public static final byte UNKNOWN    = 0;
+    public static final byte NULL       = 1;
+    public static final byte BOOLEAN    = 5;
+    public static final byte INTEGER    = 10;
+    public static final byte LONG       = 15;
+    public static final byte FLOAT      = 20;
+    public static final byte DOUBLE     = 25;
+    public static final byte DATETIME   = 30;
+    public static final byte BYTEARRAY  = 50;
+    public static final byte CHARARRAY  = 55;
+    public static final byte BIGINTEGER = 65;
+    public static final byte BIGDECIMAL = 70;
+    public static final byte MAP        = 100;
+    public static final byte TUPLE      = 110;
+    public static final byte BAG        = 120;
+    public static final byte ERROR      = -1;
+
+    /** Type code of a runtime value, for UDFs that branch on input type. */
+    public static byte findType(Object o) {
+        if (o == null) return NULL;
+        if (o instanceof Boolean) return BOOLEAN;
+        if (o instanceof Integer) return INTEGER;
+        if (o instanceof Long) return LONG;
+        if (o instanceof Float) return FLOAT;
+        if (o instanceof Double) return DOUBLE;
+        if (o instanceof String) return CHARARRAY;
+        if (o instanceof byte[]) return BYTEARRAY;
+        if (o instanceof java.math.BigInteger) return BIGINTEGER;
+        if (o instanceof java.math.BigDecimal) return BIGDECIMAL;
+        if (o instanceof java.util.Map) return MAP;
+        if (o instanceof Tuple) return TUPLE;
+        if (o instanceof DataBag) return BAG;
+        return ERROR;
+    }
+}

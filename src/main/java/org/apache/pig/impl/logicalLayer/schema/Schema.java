@@ -1,0 +1,45 @@
+package org.apache.pig.impl.logicalLayer.schema;
+
+import java.util.ArrayList;
+import java.util.List;
+import org.apache.pig.data.DataType;
+
+/**
+ * API-compatibility facade (reference: src/org/apache/pig/impl/
+ * logicalLayer/schema/Schema.java) — the subset user EvalFuncs build in
+ * their outputSchema override. The engine reads alias + type code back
+ * out to pick the Spark result DataType.
+ */
+public class Schema implements java.io.Serializable {
+
+    public static class FieldSchema implements java.io.Serializable {
+        public String alias;
+        public byte type;
+        public Schema schema;
+        public FieldSchema(String alias, byte type) {
+            this.alias = alias; this.type = type;
+        }
+        public FieldSchema(String alias, Schema schema) {
+            this.alias = alias; this.schema = schema; this.type = DataType.TUPLE;
+        }
+        public FieldSchema(String alias, Schema schema, byte type) {
+            this.alias = alias; this.schema = schema; this.type = type;
+        }
+    }
+
+    private final List<FieldSchema> fields;
+
+    public Schema() { this.fields = new ArrayList<>(); }
+    public Schema(FieldSchema fieldSchema) {
+        this.fields = new ArrayList<>();
+        this.fields.add(fieldSchema);
+    }
+    public Schema(List<FieldSchema> fields) {
+        this.fields = new ArrayList<>(fields);
+    }
+
+    public void add(FieldSchema f) { fields.add(f); }
+    public int size() { return fields.size(); }
+    public FieldSchema getField(int i) { return fields.get(i); }
+    public List<FieldSchema> getFields() { return fields; }
+}

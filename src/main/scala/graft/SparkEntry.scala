@@ -1168,6 +1168,32 @@ object SparkEntry {
         T(s, d, "documents").df.select("doc_id", "source"),
         "doc_id", seed = 42L, numShards = 8)),
 
+    // scripting-UDF surface (REGISTER … USING streaming_python; the
+    // reference's StreamingUDF): the whole path — decorator discovery,
+    // namespaced dispatch, per-thread python process, JSON protocol —
+    // exercised through an actual Pig script, oracle-checked row-by-row
+    "q97_py_udf" -> ((s, d) => {
+      val py = java.nio.file.Files.createTempFile("graft_gate_udf", ".py")
+      java.nio.file.Files.write(py,
+        """from pig_util import outputSchema
+          |
+          |@outputSchema("rlang:chararray")
+          |def rev(x):
+          |    return None if x is None else x[::-1]
+          |
+          |@outputSchema("nw:long")
+          |def nwords(x):
+          |    return 0 if x is None else len(x.split())
+          |""".stripMargin.getBytes("UTF-8"))
+      py.toFile.deleteOnExit()
+      graft.frontend.PigRunner(s).run(s"""
+        REGISTER '$py' USING streaming_python AS f;
+        d = LOAD '$d/documents.parquet';
+        r = FOREACH d GENERATE doc_id, f.rev(lang) AS rlang,
+                               f.nwords(text) AS nw;
+      """).apply("r").df
+    }),
+
     // bloom-pre-filtered join (JOIN … USING 'bloom' / BuildBloom+Bloom
     // pair): the big side is cut down by a codegen might-contain BEFORE
     // its shuffle, then the exact join keeps the result oracle-equal —
@@ -1875,6 +1901,14 @@ object SparkEntry {
                     ORDER BY mix, doc_id) AS BIGINT) AS smp_rank
            FROM m)
          WHERE smp_rank <= 25""",
+    // mirrors the q97 python UDFs exactly: python s[::-1] reverses code
+    // points (ASCII lang tags here); len(s.split()) counts maximal
+    // whitespace-free runs = the list_filter'd regex split
+    "q97_py_udf" ->
+      """SELECT doc_id, reverse(lang) AS rlang,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                     w -> length(w) > 0)) AS BIGINT) AS nw
+         FROM documents""",
     // mirrors Curation.shuffleDeterministic: same 31-bit LCG mix, same
     // shard mod, same (mix, doc_id) rank
     "q95_det_shuffle" ->

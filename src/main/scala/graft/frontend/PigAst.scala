@@ -116,6 +116,11 @@ object PigAst {
   case class ExplainStmt(alias: String) extends Stmt
   case class IllustrateStmt(alias: String) extends Stmt
   case class SetStmt(key: String, value: String) extends Stmt
+  /** REGISTER 'path' [USING engine AS namespace] (QueryParser.g REGISTER;
+    * P/PigServer.java registerJar / registerCode): jars load EvalFunc
+    * classes; scripting files register `namespace.fn` UDFs. */
+  case class RegisterStmt(path: String, using: Option[String],
+                          namespace: Option[String]) extends Stmt
   /** Bare `exec;` — Grunt's batch barrier (GruntParser processExec):
     * flush pending stores before statements that read them back. This
     * engine executes STORE eagerly, so the barrier is a no-op, but the

@@ -242,6 +242,30 @@ final class PigRunner(val spark: SparkSession) {
           if (n > 0) spark.conf.set("spark.sql.shuffle.partitions", n.toString)
         case _ => spark.conf.set(key, value)
       }
+    case RegisterStmt(path, using, ns) =>
+      // jar → EvalFunc classloading (JarUdfs); *.py → streaming python
+      // UDFs (PyUdfs). `USING jython` routes to the same external-python
+      // runtime (set GRAFT_PYTHON=python2 for py2-era scripts); other
+      // engines (jruby/groovy/js) have no runtime in scope — loud error,
+      // not a silent strip.
+      val lower = path.toLowerCase
+      using.map(_.toLowerCase) match {
+        case Some("streaming_python") | Some("jython") =>
+          graft.functions.PyUdfs.register(spark, path,
+            ns.getOrElse(new java.io.File(path).getName.stripSuffix(".py")))
+        case Some(other) => throw new IllegalArgumentException(
+          s"REGISTER USING $other: unsupported scripting engine — " +
+          "streaming_python/jython (external python) are supported; for " +
+          "JVM UDFs compile to a jar and REGISTER it")
+        case None if lower.endsWith(".py") =>
+          graft.functions.PyUdfs.register(spark, path,
+            new java.io.File(path).getName.stripSuffix(".py"))
+        case None if lower.endsWith(".jar") =>
+          graft.functions.JarUdfs.register(spark, path)
+        case None => throw new IllegalArgumentException(
+          s"REGISTER '$path': expected a .jar or a scripting file with " +
+          "USING <engine> AS <namespace>")
+      }
   }
 
   // ------------------------------------------------------------- operators
@@ -2538,7 +2562,25 @@ final class PigRunner(val spark: SparkSession) {
         registered match {
           case Some(n) => call_udf(n, args.map(comp): _*)
           case None =>
-            throw new IllegalArgumentException(s"unknown function $other")
+            // REGISTER'd surfaces: scripting UDFs by `ns.fn`, then jar
+            // EvalFuncs by FQN or bare class name. A DEFINE'd alias call
+            // arrives with ctor literals after the CtorMark boundary
+            // (PigPreprocessor contract — same split as Invoke/Bloom).
+            val mark = args.indexWhere {
+              case Lit(s: String) => s == PigPreprocessor.CtorMark
+              case _ => false
+            }
+            val (callArgs, ctorArgs) =
+              if (mark >= 0) (args.take(mark),
+                args.drop(mark + 1).collect { case Lit(s: String) => s })
+              else (args, Seq.empty[String])
+            val cols = callArgs.map(comp)
+            graft.functions.PyUdfs
+              .columnFor(df.sparkSession, other, cols)
+              .orElse(graft.functions.JarUdfs
+                .columnFor(df.sparkSession, other, ctorArgs, cols))
+              .getOrElse(throw new IllegalArgumentException(
+                s"unknown function $other"))
         }
     }
   }

@@ -34,7 +34,7 @@ object PigParser {
     "IN", "IS", "NULL", "MATCHES", "FLATTEN", "TRUE", "FALSE", "CASE",
     "WHEN", "THEN", "ELSE", "END", "STREAM", "THROUGH", "PARALLEL",
     "EXPLAIN", "ILLUSTRATE", "SET", "ASSERT", "PARTITION", "MAPREDUCE",
-    "NATIVE",
+    "NATIVE", "REGISTER",
     // legacy comparison keywords (QueryLexer.g STR_OP_*: reserved words)
     "EQ", "NEQ", "GT", "LT", "GTE", "LTE")
 
@@ -194,6 +194,18 @@ object PigParser {
       case Kw("ILLUSTRATE") => advance(); IllustrateStmt(ident())
       case Kw("SET") =>
         advance(); val k = setToken(); val v = setToken(); SetStmt(k, v)
+      case Kw("REGISTER") =>
+        // canonical quoted form (the preprocessor normalizes unquoted
+        // paths): REGISTER 'path' [USING engine AS ns]
+        advance()
+        val p = cur match { case StrLit(s) => advance(); s; case _ => setToken() }
+        val (u, ns) =
+          if (eatKw("USING")) {
+            val e = ident()
+            expectKw("AS")
+            (Some(e), Some(ident()))
+          } else (None, None)
+        RegisterStmt(p, u, ns)
       case Kw("SPLIT") =>
         advance(); val in = ident(); expectKw("INTO")
         val branches = ArrayBuffer.empty[(String, Expr)]
@@ -796,16 +808,40 @@ object PigParser {
         expectSym("]")
         FuncCall("TOMAP", kvs.toSeq)
       case Ident(name) =>
-        advance()
-        if (atSym("(")) { // function call
-          advance()
+        // dotted-call lookahead: `ident(.ident)+(` is a namespaced or
+        // fully-qualified function CALL (scripting UDF `ns.fn(x)`, jar
+        // EvalFunc `com.example.Upper(x)` — QueryParser.g func_name) —
+        // never a field deref, which cannot be applied. Case is
+        // preserved: class and namespace names are case-sensitive.
+        var k = pos + 1
+        var segs = 1
+        while (toks.lift(k).contains(Sym(".")) &&
+               (toks.lift(k + 1) match {
+                 case Some(Ident(_)) => true; case _ => false })) {
+          k += 2; segs += 1
+        }
+        if (segs > 1 && toks.lift(k).contains(Sym("("))) {
+          val sb = new StringBuilder(ident())
+          while (atSym(".")) { advance(); sb.append('.').append(ident()) }
+          expectSym("(")
           val args =
             if (atSym(")")) Seq.empty
             else if (atSym("*")) { advance(); Seq(Star) }
             else exprListBare()
           expectSym(")")
-          FuncCall(name.toUpperCase, args)
-        } else ColRef(name)
+          FuncCall(sb.toString, args)
+        } else {
+          advance()
+          if (atSym("(")) { // function call
+            advance()
+            val args =
+              if (atSym(")")) Seq.empty
+              else if (atSym("*")) { advance(); Seq(Star) }
+              else exprListBare()
+            expectSym(")")
+            FuncCall(name.toUpperCase, args)
+          } else ColRef(name)
+        }
       // CUBE/ROLLUP are non-reserved in expressions: the CUBE operator
       // names its output bag `cube` (QueryParser cube_clause), so
       // `COUNT(cube)` is legal Pig Latin

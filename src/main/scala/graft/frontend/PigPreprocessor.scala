@@ -34,7 +34,8 @@ object PigPreprocessor {
     val vars = mutable.Map[String, String]() ++= params
     val macros = mutable.Map[String, Macro]()
     val cmdDefines = mutable.Map[String, String]()
-    val funcDefines = mutable.Map[String, (String, String)]() // alias → (func, ctorArgs)
+    // alias → (func simple name, ctorArgs, markCtorBoundary)
+    val funcDefines = mutable.Map[String, (String, String, Boolean)]()
     val out = new StringBuilder
 
     // `set key value` is line-terminated in the reference's scripts
@@ -81,24 +82,22 @@ object PigPreprocessor {
         }
         rest = rest.drop(math.min(e + 1, rest.length))
       } else if (rest.toUpperCase.startsWith("REGISTER ")) {
-        // REGISTER 'x.jar' — JVM classpath loading is out of scope for
-        // the embedded engine; strip with a migration note so real-world
-        // scripts still run (builtins and registered UDAFs cover the
-        // common uses). A MISSING file still errors like the reference
-        // (QueryParserDriver ERROR 101, negative.conf NoSuchFile/2) —
-        // silently dropping a typo'd path would hide a real mistake.
+        // REGISTER 'x.jar' / REGISTER 'udfs.py' USING streaming_python
+        // AS ns — normalize to the canonical quoted statement form and
+        // pass through to the parser (the runner loads jar EvalFuncs via
+        // JarUdfs, scripting files via PyUdfs). A MISSING file errors
+        // like the reference (QueryParserDriver ERROR 101, negative.conf
+        // NoSuchFile/2) — a typo'd path must not be silently dropped.
         val e = statementEnd(rest)
-        val stmt = rest.take(e).trim
-        val path = stmt.split("\\s+", 2).lift(1).getOrElse("")
-          .trim.stripPrefix("'").stripSuffix("'")
+        val stmt = rest.take(e).trim.stripSuffix(";").trim
+        val parts = stmt.split("\\s+").toSeq
+        val path = parts.lift(1).getOrElse("")
+          .stripPrefix("'").stripSuffix("'")
         if (path.nonEmpty && !new java.io.File(path).exists())
           throw new IllegalArgumentException(
             s"ERROR 101: file '$path' does not exist.")
-        System.err.println(
-          s"[graft] ignoring: $stmt — runtime classpath " +
-          "loading is out of scope; put the jar on the Spark classpath " +
-          "instead (spark-submit --jars / spark.jars) and expose UDFs via " +
-          "spark.udf.register or a DEFINE alias over a builtin")
+        val tail = parts.drop(2).mkString(" ") // USING engine AS ns — verbatim
+        out.append(s"REGISTER '$path' $tail;\n")
         rest = rest.drop(math.min(e + 1, rest.length))
       } else if (rest.toUpperCase.startsWith("IMPORT ")) {
         // IMPORT 'macros.pig'; — inline the file (reference: QueryParser.g
@@ -114,7 +113,13 @@ object PigPreprocessor {
         parseDefine(rest.take(e)) match {
           case MacroDef(name, m)      => macros(name) = m
           case CmdDef(name, c)        => cmdDefines(name) = c
-          case FuncDef(name, f, args) => funcDefines(name) = (f, args)
+          case FuncDef(name, f, args) =>
+            // a DOTTED class outside the reference's own packages is a
+            // REGISTER'd user-jar EvalFunc: its ctor args need the
+            // explicit CtorMark boundary (the engine's builtins instead
+            // consume plainly-appended ctor literals positionally)
+            funcDefines(name) = (f.split('.').last, args,
+              f.contains(".") && !f.startsWith("org.apache.pig"))
         }
         // with a trailing ';' e points AT it (skip it); a brace-
         // terminated DEFINE's e is already one past '}' — drop exactly
@@ -261,9 +266,10 @@ object PigPreprocessor {
       case cb(name, cmd, clauses) =>
         CmdDef(name, StreamIo.encode(cmd, StreamIo.parseClauses(clauses)))
       case f(name, func, ctorArgs) =>
-        // dotted package prefixes resolve by terminal name (the builtin
-        // catalog is flat — org.apache.pig.builtin.UPPER → UPPER)
-        FuncDef(name, func.split('.').last, Option(ctorArgs).getOrElse(""))
+        // full dotted name passes through; the expansion site strips to
+        // the terminal name (the builtin catalog is flat) and uses the
+        // package to tell user-jar classes from the reference's own
+        FuncDef(name, func, Option(ctorArgs).getOrElse(""))
       case other => throw new IllegalArgumentException(
         s"unsupported DEFINE form: ${other.take(60)}")
     }
@@ -271,7 +277,7 @@ object PigPreprocessor {
 
   private def expandStatement(stmt: String, macros: Map[String, Macro],
                               cmds: Map[String, String],
-                              funcs: Map[String, (String, String)],
+                              funcs: Map[String, (String, String, Boolean)],
                               vars: Map[String, String],
                               depth: Int = 0): String = {
     require(depth < 50, "macro expansion exceeds depth 50 — recursive " +
@@ -332,14 +338,15 @@ object PigPreprocessor {
         var cur = withCmds; var prev = ""; var round = 0
         while (cur != prev && round < 8) {
           prev = cur
-          cur = funcs.foldLeft(cur) { case (s, (name, (func, ctor))) =>
+          cur = funcs.foldLeft(cur) { case (s, (name, (func, ctor, mk))) =>
             if (round > 0 && name.equalsIgnoreCase(func)) s
             else {
-              // InvokeFor* gets an explicit boundary marker between call
-              // args and ctor literals (see CtorMark) — other DEFINE'd
-              // functions keep the plain appended-args contract
+              // InvokeFor* and user-jar EvalFuncs get an explicit
+              // boundary marker between call args and ctor literals (see
+              // CtorMark) — the engine's other DEFINE'd functions keep
+              // the plain appended-args contract
               val marked =
-                if ((func.toUpperCase.startsWith("INVOKEFOR") ||
+                if ((mk || func.toUpperCase.startsWith("INVOKEFOR") ||
                      Set("BUILDBLOOM", "BLOOM")(func.toUpperCase)) &&
                     ctor.trim.nonEmpty)
                   s"'$CtorMark', ${ctor.trim}"

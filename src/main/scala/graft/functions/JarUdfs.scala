@@ -1,0 +1,237 @@
+package graft.functions
+
+import java.io.File
+import java.net.URLClassLoader
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.api.java._
+import org.apache.spark.sql.functions.call_udf
+import org.apache.spark.sql.types._
+
+import org.apache.pig.EvalFunc
+import org.apache.pig.data.{BagFactory, DataBag, Tuple, TupleFactory}
+
+/** REGISTER 'x.jar' support (reference: P/PigServer.java registerJar +
+  * QueryParser.g REGISTER): user jars containing `EvalFunc` subclasses
+  * compiled against the engine's `org.apache.pig` API facade are loaded
+  * through a per-jar URLClassLoader and each UDF call site is bridged to
+  * a Spark udf — `exec(Tuple)` per row, result type from the
+  * `outputSchema` override when present, else the EvalFunc's generic
+  * return type.
+  *
+  * Scale shape: `SparkContext.addJar` ships the jar to executors (the
+  * cluster path); the invoker in the udf closure carries only strings
+  * (jar path + class + ctor args) and re-resolves the class lazily
+  * per executor thread — EvalFunc instances are NOT shared across
+  * threads, matching the reference's one-instance-per-task contract.
+  */
+object JarUdfs {
+
+  /** jar path → scanned class entries (FQNs, inner classes excluded) */
+  private val jars = TrieMap.empty[String, Seq[String]]
+  /** Spark-side udf names already registered in a session (keyed by
+    * session hash + udf name — a new session re-registers). */
+  private val bound = TrieMap.empty[String, Unit]
+  private val loaders = TrieMap.empty[String, URLClassLoader]
+
+  private[graft] def loaderFor(jar: String): ClassLoader =
+    loaders.getOrElseUpdate(jar, new URLClassLoader(
+      Array(new File(jar).toURI.toURL), classOf[EvalFunc[_]].getClassLoader))
+
+  def registeredJars: Seq[String] = jars.keys.toSeq
+
+  /** Handle `REGISTER 'path.jar'`: record + scan the jar and ship it to
+    * executors. Missing file errors like the reference (ERROR 101). */
+  def register(spark: SparkSession, path: String): Unit = {
+    val f = new File(path)
+    if (!f.exists()) throw new IllegalArgumentException(
+      s"ERROR 101: file '$path' does not exist.")
+    jars.getOrElseUpdate(f.getAbsolutePath, {
+      // an unreadable/empty jar registers with zero classes (the
+      // reference defers jar problems to class-load time too)
+      try {
+        val jf = new java.util.jar.JarFile(f)
+        try jf.entries().asScala
+          .map(_.getName)
+          .filter(n => n.endsWith(".class") && !n.contains("$"))
+          .map(_.stripSuffix(".class").replace('/', '.'))
+          .toVector
+        finally jf.close()
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[graft] REGISTER '$path': cannot scan jar " +
+            s"(${e.getMessage}) — registered with no resolvable classes")
+          Vector.empty
+      }
+    })
+    // cluster path: executors fetch the jar and add it to their
+    // classloader; local mode resolves through the URLClassLoader
+    try spark.sparkContext.addJar(f.getAbsolutePath)
+    catch { case _: Exception => () } // already added
+  }
+
+  /** Resolve a script-side function name (FQN, or bare class name in any
+    * case) to (jarPath, className) across the registered jars. */
+  private def resolve(name: String): Option[(String, String)] = {
+    val simple = name.split('.').last.toLowerCase
+    val hits =
+      for {
+        (jar, classes) <- jars.toSeq
+        c <- classes
+        if c.equalsIgnoreCase(name) || c.split('.').last.toLowerCase == simple
+      } yield (jar, c)
+    // prefer an exact FQN hit; otherwise the first simple-name hit that
+    // actually IS an EvalFunc (jars carry helper classes too)
+    hits.find(_._2.equalsIgnoreCase(name)).orElse(
+      hits.find { case (jar, c) =>
+        try classOf[EvalFunc[_]].isAssignableFrom(
+          Class.forName(c, false, loaderFor(jar)))
+        catch { case _: Throwable => false }
+      })
+  }
+
+  def canResolve(name: String): Boolean = resolve(name).isDefined
+
+  /** Build the Column for a call to a registered-jar EvalFunc — or None
+    * when no registered jar provides the name. */
+  def columnFor(spark: SparkSession, name: String, ctorArgs: Seq[String],
+                args: Seq[Column]): Option[Column] =
+    resolve(name).map { case (jar, cls) =>
+      val inv = Invoker(jar, cls, ctorArgs)
+      val dt = returnTypeOf(inv.newInstance())
+      val udfName = ("graft_jar_" + cls.replace('.', '_') + "_" +
+        math.abs((ctorArgs.mkString("") + args.length).hashCode)
+          .toHexString + "_" + args.length).toLowerCase
+      val key = System.identityHashCode(spark) + "/" + udfName
+      bound.getOrElseUpdate(key, {
+        registerArity(spark, udfName, inv, dt, args.length); ()
+      })
+      call_udf(udfName, args: _*)
+    }
+
+  /** EvalFunc result DataType: outputSchema override first (the
+    * reference's contract — null means "use the generic type"). */
+  private def returnTypeOf(f: EvalFunc[_]): DataType = {
+    val declared =
+      try Option(f.outputSchema(new org.apache.pig.impl.logicalLayer.schema.Schema()))
+      catch { case _: Throwable => None }
+    declared.filter(_.size() == 1)
+      .map(s => pigByteType(s.getField(0).`type`))
+      .getOrElse(f.getReturnType match {
+        case c: Class[_] => classType(c)
+        case t => throw new IllegalArgumentException(
+          s"${f.getClass.getName}: unsupported generic return $t — " +
+          "override outputSchema, or return a scalar type")
+      })
+  }
+
+  private def pigByteType(b: Byte): DataType = b match {
+    case org.apache.pig.data.DataType.BOOLEAN   => BooleanType
+    case org.apache.pig.data.DataType.INTEGER   => IntegerType
+    case org.apache.pig.data.DataType.LONG      => LongType
+    case org.apache.pig.data.DataType.FLOAT     => FloatType
+    case org.apache.pig.data.DataType.DOUBLE    => DoubleType
+    case org.apache.pig.data.DataType.CHARARRAY => StringType
+    case org.apache.pig.data.DataType.BYTEARRAY => BinaryType
+    case other => throw new IllegalArgumentException(
+      s"unsupported outputSchema type code $other — scalar types only")
+  }
+
+  private def classType(c: Class[_]): DataType = c match {
+    case x if x == classOf[String]            => StringType
+    case x if x == classOf[java.lang.Integer] => IntegerType
+    case x if x == classOf[java.lang.Long]    => LongType
+    case x if x == classOf[java.lang.Float]   => FloatType
+    case x if x == classOf[java.lang.Double]  => DoubleType
+    case x if x == classOf[java.lang.Boolean] => BooleanType
+    case x if x == classOf[Array[Byte]]       => BinaryType
+    case other => throw new IllegalArgumentException(
+      s"unsupported EvalFunc return class $other — scalar types only " +
+      "(bag/tuple UDFs: re-express over Spark arrays, SURVEY §2.7)")
+  }
+
+  /** Serializable per-call bridge: resolves the class and instantiates
+    * one EvalFunc PER EXECUTOR THREAD (reference contract: instances are
+    * not shared across tasks; user EvalFuncs keep per-instance state). */
+  private final case class Invoker(jar: String, cls: String,
+                                   ctorArgs: Seq[String]) {
+    @transient private lazy val local: ThreadLocal[EvalFunc[_]] =
+      ThreadLocal.withInitial(() => newInstance())
+
+    private[JarUdfs] def newInstance(): EvalFunc[_] = {
+      val c =
+        try Class.forName(cls, true, loaderFor(jar))
+        catch {
+          case _: Throwable =>
+            // executor without the jar file locally: addJar has placed it
+            // on the executor classloader — resolve through the context
+            Class.forName(cls, true,
+              Option(Thread.currentThread.getContextClassLoader)
+                .getOrElse(getClass.getClassLoader))
+        }
+      val inst =
+        if (ctorArgs.isEmpty) c.getDeclaredConstructor().newInstance()
+        else c.getDeclaredConstructor(
+          Seq.fill(ctorArgs.length)(classOf[String]): _*)
+          .newInstance(ctorArgs.map(_.asInstanceOf[AnyRef]): _*)
+      inst.asInstanceOf[EvalFunc[_]]
+    }
+
+    def call(args: Seq[AnyRef]): AnyRef = {
+      val t = TupleFactory.getInstance()
+        .newTuple(args.map(toJava).asJava)
+      local.get().exec(t).asInstanceOf[AnyRef]
+    }
+  }
+
+  /** Spark hands udf args as Scala collections; EvalFunc authors expect
+    * the reference's Java model — convert containers at the boundary. */
+  private def toJava(v: AnyRef): AnyRef = v match {
+    case null => null
+    case s: scala.collection.Seq[_] =>
+      s.map(x => toJava(x.asInstanceOf[AnyRef])).asJava
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => k -> toJava(x.asInstanceOf[AnyRef]) }.asJava
+    case r: org.apache.spark.sql.Row =>
+      TupleFactory.getInstance().newTuple(
+        r.toSeq.map(x => toJava(x.asInstanceOf[AnyRef])).asJava)
+    case other => other
+  }
+
+  /** Results may come back as facade tuples/bags — map to Spark values. */
+  private def fromJava(v: AnyRef): AnyRef = v match {
+    case t: Tuple => org.apache.spark.sql.Row(t.getAll.asScala.toSeq: _*)
+    case b: DataBag => b.asScala.map(t => fromJava(t)).toSeq
+    case other => other
+  }
+
+  private def registerArity(spark: SparkSession, name: String,
+                            inv: Invoker, dt: DataType, n: Int): Unit = {
+    def c(args: AnyRef*): AnyRef = fromJava(inv.call(args))
+    n match {
+      case 0 => spark.udf.register(name, new UDF0[AnyRef] {
+        def call() = c() }, dt)
+      case 1 => spark.udf.register(name, new UDF1[AnyRef, AnyRef] {
+        def call(a: AnyRef) = c(a) }, dt)
+      case 2 => spark.udf.register(name, new UDF2[AnyRef, AnyRef, AnyRef] {
+        def call(a: AnyRef, b: AnyRef) = c(a, b) }, dt)
+      case 3 => spark.udf.register(name, new UDF3[AnyRef, AnyRef, AnyRef, AnyRef] {
+        def call(a: AnyRef, b: AnyRef, d: AnyRef) = c(a, b, d) }, dt)
+      case 4 => spark.udf.register(name, new UDF4[AnyRef, AnyRef, AnyRef, AnyRef, AnyRef] {
+        def call(a: AnyRef, b: AnyRef, d: AnyRef, e: AnyRef) = c(a, b, d, e) }, dt)
+      case 5 => spark.udf.register(name, new UDF5[AnyRef, AnyRef, AnyRef, AnyRef, AnyRef, AnyRef] {
+        def call(a: AnyRef, b: AnyRef, d: AnyRef, e: AnyRef, f: AnyRef) = c(a, b, d, e, f) }, dt)
+      case 6 => spark.udf.register(name, new UDF6[AnyRef, AnyRef, AnyRef, AnyRef, AnyRef, AnyRef, AnyRef] {
+        def call(a: AnyRef, b: AnyRef, d: AnyRef, e: AnyRef, f: AnyRef, g: AnyRef) = c(a, b, d, e, f, g) }, dt)
+      case 7 => spark.udf.register(name, new UDF7[AnyRef, AnyRef, AnyRef, AnyRef, AnyRef, AnyRef, AnyRef, AnyRef] {
+        def call(a: AnyRef, b: AnyRef, d: AnyRef, e: AnyRef, f: AnyRef, g: AnyRef, h: AnyRef) = c(a, b, d, e, f, g, h) }, dt)
+      case 8 => spark.udf.register(name, new UDF8[AnyRef, AnyRef, AnyRef, AnyRef, AnyRef, AnyRef, AnyRef, AnyRef, AnyRef] {
+        def call(a: AnyRef, b: AnyRef, d: AnyRef, e: AnyRef, f: AnyRef, g: AnyRef, h: AnyRef, i: AnyRef) = c(a, b, d, e, f, g, h, i) }, dt)
+      case bad => throw new IllegalArgumentException(
+        s"jar EvalFunc call with $bad args — 8 max")
+    }
+  }
+}

@@ -331,7 +331,7 @@ class FrontendSpec extends SparkSpec {
     assert(ex.getMessage.contains("scalar") || ex.getMessage.contains("1"))
   }
 
-  test("REGISTER is stripped; SET applies conf; EXPLAIN runs") {
+  test("REGISTER of an opaque jar is tolerated; SET applies conf; EXPLAIN runs") {
     val jar = java.nio.file.Files.createTempFile("piggybank", ".jar")
     val out = PigRunner(spark).run(s"""
       REGISTER '$jar';

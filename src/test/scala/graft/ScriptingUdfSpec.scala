@@ -1,0 +1,252 @@
+package graft
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.frontend.PigRunner
+import graft.functions.PyUdfs
+
+/** REGISTER surfaces (VERDICT r9 items 3+4): user EvalFunc jars
+  * (reference: P/PigServer.java registerJar) and streaming python UDFs
+  * (reference: P/scripting/streaming/python/PythonScriptEngine.java,
+  * P/impl/builtin/StreamingUDF.java). The jar below is COMPILED IN-TEST
+  * against the engine's org.apache.pig API facade — the same binary
+  * surface a real user jar links against. */
+class ScriptingUdfSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ----------------------------------------------------------- python
+
+  private def writePy(body: String): String = {
+    val f = Files.createTempFile("graft_udfs", ".py")
+    Files.write(f, body.getBytes(StandardCharsets.UTF_8))
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  test("streaming_python: decorator discovery matches the reference's rule") {
+    val fns = PyUdfs.functionsIn(
+      """from pig_util import outputSchema
+        |
+        |@outputSchema("word:chararray")
+        |def rev(s):
+        |    return s[::-1]
+        |
+        |def helper(x):
+        |    return x
+        |
+        |@outputSchema('n:long')
+        |def wordcount(s):
+        |    return len(s.split())
+        |""".stripMargin)
+    assert(fns == Seq(("rev", "word:chararray"), ("wordcount", "n:long")))
+  }
+
+  test("streaming_python: REGISTER + ns.fn call end-to-end on a relation") {
+    val py = writePy(
+      """from pig_util import outputSchema
+        |
+        |@outputSchema("rev:chararray")
+        |def rev(s):
+        |    return None if s is None else s[::-1]
+        |
+        |@outputSchema("n:long")
+        |def nwords(s):
+        |    return 0 if s is None else len(s.split())
+        |""".stripMargin)
+    val out = PigRunner(spark).run(s"""
+      REGISTER '$py' USING streaming_python AS myfuncs;
+      n = LOAD '$dir/nation.parquet';
+      r = FOREACH n GENERATE n_name, myfuncs.rev(n_name) AS rev,
+                             myfuncs.nwords(n_name) AS nw;
+    """).apply("r").df.collect()
+    assert(out.length == 25)
+    out.foreach { row =>
+      assert(row.getString(1) == row.getString(0).reverse)
+      assert(row.getLong(2) > 0)
+    }
+  }
+
+  test("streaming_python: tuple and bag returns map to struct and array") {
+    val py = writePy(
+      """@outputSchema("t:(a:int,b:int)")
+        |def minmax(s):
+        |    xs = [len(w) for w in s.split()]
+        |    return (min(xs), max(xs))
+        |
+        |@outputSchema("b:{t:(w:chararray)}")
+        |def words(s):
+        |    return [(w,) for w in s.split()]
+        |""".stripMargin)
+    val out = PigRunner(spark).run(s"""
+      REGISTER '$py' USING streaming_python AS f;
+      n = LOAD '$dir/region.parquet';
+      r = FOREACH n GENERATE r_name, f.minmax(r_name) AS mm,
+                             f.words(r_name) AS ws;
+    """).apply("r").df.collect()
+    assert(out.length == 5)
+    out.foreach { row =>
+      val mm = row.getStruct(1)
+      assert(mm.getInt(0) <= mm.getInt(1))
+      val ws = row.getSeq[org.apache.spark.sql.Row](2)
+      assert(ws.map(_.getString(0)).mkString(" ") == row.getString(0))
+    }
+  }
+
+  test("streaming_python: a python exception surfaces with the traceback") {
+    val py = writePy(
+      """@outputSchema("x:long")
+        |def boom(s):
+        |    raise ValueError("kapow: " + s)
+        |""".stripMargin)
+    val e = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        REGISTER '$py' USING streaming_python AS f;
+        n = LOAD '$dir/region.parquet';
+        r = FOREACH n GENERATE f.boom(r_name) AS x;
+        STORE r INTO '${Files.createTempDirectory("pyboom")}/out' USING PigStorage();
+      """)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("kapow")), e.toString)
+  }
+
+  test("streaming_python: missing file errors like the reference (101)") {
+    val e = intercept[IllegalArgumentException] {
+      PigRunner(spark).run("REGISTER '/no/such/file.py' USING streaming_python AS f;")
+    }
+    assert(e.getMessage.contains("ERROR 101"))
+  }
+
+  // -------------------------------------------------------------- jar
+
+  /** Compile EvalFunc sources against the engine's facade and jar them. */
+  private lazy val sampleJar: String = {
+    val tmp = Files.createTempDirectory("graft_jarudf").toFile
+    val srcDir = new File(tmp, "src"); srcDir.mkdirs()
+    val clsDir = new File(tmp, "classes"); clsDir.mkdirs()
+    def writeSrc(rel: String, body: String): File = {
+      val f = new File(srcDir, rel)
+      f.getParentFile.mkdirs()
+      Files.write(f.toPath, body.getBytes(StandardCharsets.UTF_8))
+      f
+    }
+    val exclaim = writeSrc("com/example/udf/Exclaim.java",
+      """package com.example.udf;
+        |import java.io.IOException;
+        |import org.apache.pig.EvalFunc;
+        |import org.apache.pig.data.Tuple;
+        |public class Exclaim extends EvalFunc<String> {
+        |  private final String suffix;
+        |  public Exclaim() { this("!"); }
+        |  public Exclaim(String s) { suffix = s; }
+        |  public String exec(Tuple input) throws IOException {
+        |    Object o = input.get(0);
+        |    return o == null ? null : o.toString() + suffix;
+        |  }
+        |}
+        |""".stripMargin)
+    val addTwo = writeSrc("com/example/udf/AddTwo.java",
+      """package com.example.udf;
+        |import java.io.IOException;
+        |import org.apache.pig.EvalFunc;
+        |import org.apache.pig.data.Tuple;
+        |public class AddTwo extends EvalFunc<Long> {
+        |  public Long exec(Tuple input) throws IOException {
+        |    Object a = input.get(0), b = input.get(1);
+        |    if (a == null || b == null) return null;
+        |    return ((Number) a).longValue() + ((Number) b).longValue();
+        |  }
+        |}
+        |""".stripMargin)
+    val isLong = writeSrc("com/example/udf/IsLongName.java",
+      """package com.example.udf;
+        |import java.io.IOException;
+        |import org.apache.pig.FilterFunc;
+        |import org.apache.pig.data.Tuple;
+        |public class IsLongName extends FilterFunc {
+        |  public Boolean exec(Tuple input) throws IOException {
+        |    Object o = input.get(0);
+        |    return o != null && o.toString().length() > 6;
+        |  }
+        |}
+        |""".stripMargin)
+    // classpath = wherever the engine's facade classes live right now
+    val facadeCp = classOf[org.apache.pig.EvalFunc[_]]
+      .getProtectionDomain.getCodeSource.getLocation.getPath
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    val rc = javac.run(null, null, null,
+      "-cp", facadeCp, "-d", clsDir.getPath,
+      exclaim.getPath, addTwo.getPath, isLong.getPath)
+    assert(rc == 0, "sample EvalFunc javac failed")
+    val jar = new File(tmp, "myudfs.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      new java.io.FileOutputStream(jar))
+    def addAll(dir: File, prefix: String): Unit =
+      dir.listFiles().foreach { f =>
+        if (f.isDirectory) addAll(f, prefix + f.getName + "/")
+        else {
+          jos.putNextEntry(new java.util.jar.JarEntry(prefix + f.getName))
+          jos.write(Files.readAllBytes(f.toPath))
+          jos.closeEntry()
+        }
+      }
+    addAll(clsDir, "")
+    jos.close()
+    jar.getPath
+  }
+
+  test("REGISTER jar: FQN call, bare-name call, and DEFINE'd ctor args") {
+    val out = PigRunner(spark).run(s"""
+      REGISTER '$sampleJar';
+      DEFINE shout com.example.udf.Exclaim('!!');
+      n = LOAD '$dir/region.parquet';
+      r = FOREACH n GENERATE r_name,
+            com.example.udf.Exclaim(r_name) AS e1,
+            AddTwo(r_regionkey, 40) AS s1,
+            shout(r_name) AS e2;
+    """).apply("r").df.collect()
+    assert(out.length == 5)
+    out.foreach { row =>
+      assert(row.getString(1) == row.getString(0) + "!")
+      assert(row.getLong(2) == row.getAs[Long]("s1"))
+      assert(row.getString(3) == row.getString(0) + "!!")
+    }
+    val expectSum = PigRunner(spark).run(s"""
+      n = LOAD '$dir/region.parquet';
+      r = FOREACH n GENERATE r_regionkey;
+    """).apply("r").df.collect().map(_.getInt(0).toLong).sorted
+    assert(out.map(_.getLong(2) - 40).sorted.toSeq == expectSum.toSeq)
+  }
+
+  test("REGISTER jar: FilterFunc usable in FILTER BY") {
+    val out = PigRunner(spark).run(s"""
+      REGISTER '$sampleJar';
+      n = LOAD '$dir/nation.parquet';
+      f = FILTER n BY com.example.udf.IsLongName(n_name);
+      r = FOREACH f GENERATE n_name;
+    """).apply("r").df.collect().map(_.getString(0))
+    assert(out.nonEmpty && out.forall(_.length > 6))
+  }
+
+  test("REGISTER jar: missing file errors like the reference (101)") {
+    val e = intercept[IllegalArgumentException] {
+      PigRunner(spark).run("REGISTER '/no/such/thing.jar';")
+    }
+    assert(e.getMessage.contains("ERROR 101"))
+  }
+
+  test("unknown dotted function still fails loudly") {
+    val e = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        n = LOAD '$dir/region.parquet';
+        r = FOREACH n GENERATE com.nowhere.Missing(r_name);
+      """).apply("r").df.collect()
+    }
+    assert(e.getMessage.contains("unknown function"), e.getMessage)
+  }
+}

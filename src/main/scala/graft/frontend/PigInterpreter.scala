@@ -18,6 +18,9 @@ import PigAst._
   */
 final class PigRunner(val spark: SparkSession) {
   graft.GraftSession.tune(spark)
+  /** Scripting-UDF registrations are PER SCRIPT SESSION (reference:
+    * PigContext's function registry dies with the script). */
+  private val pyRegistry = new graft.functions.PyUdfs.Registry
   private val aliasMap =
     scala.collection.mutable.LinkedHashMap.empty[String, Relation]
   /** Alias lookup with Pig's error text on a miss (PigServer throws
@@ -251,15 +254,14 @@ final class PigRunner(val spark: SparkSession) {
       val lower = path.toLowerCase
       using.map(_.toLowerCase) match {
         case Some("streaming_python") | Some("jython") =>
-          graft.functions.PyUdfs.register(spark, path,
-            ns.getOrElse(new java.io.File(path).getName.stripSuffix(".py")))
+          graft.functions.PyUdfs.register(pyRegistry, path, ns)
         case Some(other) => throw new IllegalArgumentException(
           s"REGISTER USING $other: unsupported scripting engine — " +
           "streaming_python/jython (external python) are supported; for " +
           "JVM UDFs compile to a jar and REGISTER it")
         case None if lower.endsWith(".py") =>
-          graft.functions.PyUdfs.register(spark, path,
-            new java.io.File(path).getName.stripSuffix(".py"))
+          graft.functions.PyUdfs.register(pyRegistry, path,
+            Some(new java.io.File(path).getName.stripSuffix(".py")))
         case None if lower.endsWith(".jar") =>
           graft.functions.JarUdfs.register(spark, path)
         case None => throw new IllegalArgumentException(
@@ -1463,6 +1465,12 @@ final class PigRunner(val spark: SparkSession) {
       case other => compile(other, df)
     }
     var flattens = Seq.empty[(String, Option[String], Seq[String], Option[String])] // tmp -> alias(es), qualifier
+    // AUTO-derived names can collide (`generate mt.$0, mb.$0` both
+    // derive "$0"); the reference leaves such fields alias-less, Spark
+    // needs unique names — colliding autos fall back to the positional
+    // default. Explicit user aliases are never rewritten (a real
+    // duplicate alias should fail loudly downstream, like the reference).
+    val usedNames = scala.collection.mutable.Set.empty[String]
     val cols = gens.zipWithIndex.flatMap {
       case (GenItem(Star, _, _), _) => df.columns.toSeq.map(col)
       // column range a..b expands positionally over the input schema
@@ -1504,7 +1512,14 @@ final class PigRunner(val spark: SparkSession) {
         flattens :+= ((tmp, alias, aliases, qual))
         Seq(comp(e).as(tmp))
       case (GenItem(e, alias, _), i) =>
-        Seq(comp(e).as(alias.getOrElse(autoName(e, i, df))))
+        val n0 = alias.getOrElse(autoName(e, i, df))
+        val n =
+          if (alias.isEmpty && !usedNames.add(n0)) {
+            var cand = s"c$i"
+            while (!usedNames.add(cand)) cand += "_"
+            cand
+          } else { usedNames.add(n0); n0 }
+        Seq(comp(e).as(n))
     }
     var out = Relation(df.select(cols: _*), r.name)
     // AS (a, b, …): rename the expanded fields positionally
@@ -2015,7 +2030,12 @@ final class PigRunner(val spark: SparkSession) {
           (compile(op0, df).cast(typeOf(cf, df)), cf)).getOrElse((ct, cf))
         case _ => (ct, cf)
       }
-      when(compile(c, df), ct2).otherwise(cf2)
+      // NO otherwise: Pig's bincond is three-valued — a NULL condition
+      // yields NULL (POBinCond.getNextBoolean null guard), not the
+      // false branch. CaseWhen with no else returns null when neither
+      // `cond` nor `!cond` matches, which is exactly the null case.
+      val cc = compile(c, df)
+      when(cc, ct2).when(!cc, cf2)
     case IsNull(x, neg) =>
       val c = compile(x, df); if (neg) c.isNotNull else c.isNull
     case InExpr(x, vals) =>
@@ -2086,6 +2106,20 @@ final class PigRunner(val spark: SparkSession) {
     }
     def c0 = comp(args.head)
     def nonNull(c: Column) = filter(c, x => x.isNotNull)
+    // a DELIBERATELY user-registered UDF overrides the engine's builtin
+    // of the same name (the reference's function registry wins over its
+    // builtin catalog too — PigContext resolveClassName checks the
+    // registry first); builtins below only see names the user left alone
+    if (graft.functions.UdfSurface.isUserRegistered(name) &&
+        df.sparkSession.catalog.functionExists(name.toLowerCase))
+      return call_udf(name.toLowerCase, args.map(comp): _*)
+    // a REGISTER'd scripting function likewise wins over a same-named
+    // builtin (the reference's StreamingPythonUDFs/2 calls a python
+    // `concat` that shadows CONCAT) — bare names only get here when a
+    // global-namespace registration exists in THIS script session
+    if (pyRegistry.isRegistered(name))
+      return graft.functions.PyUdfs
+        .columnFor(df.sparkSession, pyRegistry, name, args.map(comp)).get
     name match {
       case "COUNT" =>
         typeOf(c0, df) match {
@@ -2576,7 +2610,7 @@ final class PigRunner(val spark: SparkSession) {
               else (args, Seq.empty[String])
             val cols = callArgs.map(comp)
             graft.functions.PyUdfs
-              .columnFor(df.sparkSession, other, cols)
+              .columnFor(df.sparkSession, pyRegistry, other, cols)
               .orElse(graft.functions.JarUdfs
                 .columnFor(df.sparkSession, other, ctorArgs, cols))
               .getOrElse(throw new IllegalArgumentException(

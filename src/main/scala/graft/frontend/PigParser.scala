@@ -202,8 +202,9 @@ object PigParser {
         val (u, ns) =
           if (eatKw("USING")) {
             val e = ident()
-            expectKw("AS")
-            (Some(e), Some(ident()))
+            // AS is optional: without it the functions register into
+            // the global namespace (callable bare, PythonScriptEngine)
+            (Some(e), if (eatKw("AS")) Some(ident()) else None)
           } else (None, None)
         RegisterStmt(p, u, ns)
       case Kw("SPLIT") =>

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import scala.util.Random
 
 /** Runs the REFERENCE'S OWN e2e test scripts (test/e2e/pig/tests/
@@ -78,10 +79,16 @@ class E2eSpec extends SparkSpec {
     write("dir/studenttab10k/part-00000", student("\t", nulls = false))
     write("glob/star/file1good", student("\t", nulls = false))
     write("glob/star/file2good", student("\t", nulls = false))
-    // allscalar: name, age, gpa, instate boolean, ~5% nulls each
+    // allscalar: name, age, gpa, instate boolean, ~5% nulls — but the
+    // reference prints age/gpa through %d/%.2f (generate_data.pl:484),
+    // so an "empty" age/gpa lands as 0/0.00: only the STRING columns
+    // can be genuinely null. (StreamingPythonUDFs/10 depends on this —
+    // a truly-null gpa would crash python's gpa+1 on both engines.)
     write("singlefile/allscalar10k", (0 until n).map { _ =>
       def maybe(s: String) = if (rnd.nextInt(20) == 0) "" else s
-      Seq(maybe(name()), maybe(age().toString), maybe(gpa()),
+      val ageS = if (rnd.nextInt(20) == 0) "0" else age().toString
+      val gpaS = if (rnd.nextInt(20) == 0) "0.00" else gpa()
+      Seq(maybe(name()), ageS, gpaS,
         maybe(if (rnd.nextBoolean()) "true" else "false")).mkString("\t")
     })
     // reg1459894: numletter + greek-letter pair
@@ -428,5 +435,78 @@ class E2eSpec extends SparkSpec {
     assert(streamingScripts.size >= 40,
       s"expected >=40 streaming scripts, selected ${streamingScripts.size}")
     runCorpus("streaming.conf", streamingScripts)
+  }
+
+  test("reference StreamingPythonUDFs group runs VERBATIM against its " +
+       "own verify_pig_script (differential)") {
+    // nightly.conf StreamingPythonUDFs 1-12: the reference's python-UDF
+    // e2e suite, run with the reference's OWN cpython udf files, each
+    // test compared against the conf's verify_pig_script run on this
+    // engine. python2 interpreter: the fixtures are py2-era
+    // (complexTypes uses iteritems).
+    val conf = new String(Files.readAllBytes(Paths.get(confPath)), "UTF-8")
+    val section = conf.substring(conf.indexOf("'StreamingPythonUDFs'"))
+    val entries = ("""(?s)'num' => (\d+),(?:(?!'num' =>).)*?""" +
+      """'pig' => q([\\?])(.*?)\2,\s*""" +
+      """(?:'floatpostprocess'[^\n]*\n\s*)?(?:'delimiter'[^\n]*\n\s*)?""" +
+      """'verify_pig_script' => q([\\?])(.*?)\4,""").r
+      .findAllMatchIn(section).map(m =>
+        (m.group(1).toInt, m.group(3), m.group(5))).take(12).toSeq
+    assert(entries.size == 12, s"extracted ${entries.size}/12 python tests")
+    val udfHome = "/root/reference/test/e2e/pig/udfs"
+    val out = Files.createTempDirectory("pig_pyudf").toString
+    val py2 = "/root/.pyenv/versions/2.7.18/bin/python2"
+    assume(new java.io.File(py2).exists(), "python2 not installed")
+    val prev = sys.props.get("graft.python")
+    sys.props("graft.python") = py2
+    // rows compared positionally as canonical text: floats to 6
+    // significant digits on both sides — the reference's
+    // floatpostprocess rule (double arithmetic reaches text through
+    // different representations on the two sides)
+    def canon(v: Any): String = v match {
+      case null => ""
+      case d: Double => f"$d%.6g"
+      case f: Float => f"${f.toDouble}%.6g"
+      case s: scala.collection.Seq[_] => s.map(canon).mkString("{", ",", "}")
+      case r: org.apache.spark.sql.Row => r.toSeq.map(canon).mkString("(", ",", ")")
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => s"$k#${canon(x)}" }.toSeq.sorted.mkString("[", ",", "]")
+      case other =>
+        val s = String.valueOf(other)
+        // integral-valued text compares under the same float canon rule
+        // (verify side may compute 49.0 where python returns int 49)
+        if (s.matches("-?\\d+\\.\\d+([eE].*)?")) f"${s.toDouble}%.6g" else s
+    }
+    def readAll(dir: String): Seq[String] = {
+      if (!Files.exists(Paths.get(dir))) Seq.empty
+      else spark.read.parquet(dir).collect().toSeq
+        .map(_.toSeq.map(canon).mkString("\t")).sorted
+    }
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    try entries.foreach { case (num, pig, verify) =>
+      def prep(s: String, tag: String) = s
+        .replace(":INPATH:", fixtures)
+        .replace(":OUTPATH:", s"$out/${tag}_$num")
+        .replace(":SCRIPTHOMEPATH:", udfHome)
+      try {
+        graft.frontend.PigRunner(spark).run(prep(pig, "got"))
+        graft.frontend.PigRunner(spark).run(prep(verify, "exp"))
+        val (got, exp) = (readAll(s"$out/got_$num"), readAll(s"$out/exp_$num"))
+        if (got.isEmpty || got != exp)
+          failures += s"$num: got ${got.size} rows vs ${exp.size} " +
+            s"(first diff: ${got.zipAll(exp, "<none>", "<none>")
+              .find(p => p._1 != p._2)})"
+      } catch {
+        case e: Throwable =>
+          failures += s"$num: ${String.valueOf(e.getMessage).take(300)}"
+      } finally GraftSession.unpersistAll()
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.python") = v
+        case None => sys.props.remove("graft.python")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size}/12 python-UDF tests failed:\n${failures.mkString("\n")}")
   }
 }

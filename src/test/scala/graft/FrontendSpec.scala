@@ -346,6 +346,31 @@ class FrontendSpec extends SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("a user-registered UDF overrides the engine builtin of the same " +
+       "name (reference: registry wins over the builtin catalog)") {
+    // LCFIRST is an engine builtin (and NOT a Spark builtin, so the
+    // drop below restores a clean session); a deliberate
+    // re-registration must win over the engine catalog
+    graft.functions.UdfSurface.track("lcfirst")
+    spark.udf.register("lcfirst", (s: String) => s"<<$s>>")
+    try {
+      val out = PigRunner(spark).run(s"""
+        n = LOAD '$dir/region.parquet';
+        r = FOREACH n GENERATE LCFIRST(r_name) AS u;
+      """).apply("r").df.head().getString(0)
+      assert(out.startsWith("<<") && out.endsWith(">>"))
+    } finally {
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("lcfirst"))
+    }
+    // with the override dropped, the engine builtin is back in charge
+    val back = PigRunner(spark).run(s"""
+      n = LOAD '$dir/region.parquet';
+      r = FOREACH n GENERATE LCFIRST(r_name) AS u;
+    """).apply("r").df.head().getString(0)
+    assert(!back.startsWith("<<"))
+  }
+
   test("IMPORT inlines a macro file") {
     val f = java.nio.file.Files.createTempFile("macros", ".pig")
     java.nio.file.Files.writeString(f, """

@@ -25,20 +25,49 @@ public abstract class EvalFunc<T> {
      */
     public Schema outputSchema(Schema input) { return null; }
 
-    /** The T of EvalFunc&lt;T&gt;, resolved by walking the class hierarchy. */
+    /**
+     * The T of EvalFunc&lt;T&gt;, resolved by walking the class hierarchy
+     * with type-variable substitution (an intermediate base like
+     * IteratingAccumulatorEvalFunc&lt;Long&gt; passes its argument
+     * through EvalFunc's type parameter).
+     */
     public Type getReturnType() {
+        java.util.Map<java.lang.reflect.TypeVariable<?>, Type> bindings =
+            new java.util.HashMap<>();
         Class<?> c = getClass();
-        while (c != Object.class) {
+        while (c != null && c != Object.class) {
             Type sup = c.getGenericSuperclass();
             if (sup instanceof ParameterizedType) {
                 ParameterizedType p = (ParameterizedType) sup;
-                if (p.getRawType() == EvalFunc.class)
-                    return p.getActualTypeArguments()[0];
+                Class<?> raw = (Class<?>) p.getRawType();
+                java.lang.reflect.TypeVariable<?>[] vars = raw.getTypeParameters();
+                Type[] actual = p.getActualTypeArguments();
+                for (int i = 0; i < vars.length && i < actual.length; i++) {
+                    Type a = actual[i];
+                    while (a instanceof java.lang.reflect.TypeVariable
+                           && bindings.containsKey(a))
+                        a = bindings.get(a);
+                    bindings.put(vars[i], a);
+                }
+                if (raw == EvalFunc.class) {
+                    Type t = actual[0];
+                    while (t instanceof java.lang.reflect.TypeVariable
+                           && bindings.containsKey(t))
+                        t = bindings.get(t);
+                    return t;
+                }
+                c = raw;
+            } else {
+                c = c.getSuperclass();
             }
-            c = c.getSuperclass();
         }
         return Object.class;
     }
+
+    /** Reference API hook used by outputSchema overrides to derive a
+     * field alias; the adapter only reads type codes, so the plain name
+     * suffices. */
+    protected String getSchemaName(String name, Schema input) { return name; }
 
     /** Reference API hook: progress heartbeats are a no-op here (Spark
      * tasks have their own liveness machinery). */

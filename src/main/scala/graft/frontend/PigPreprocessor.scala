@@ -32,6 +32,7 @@ object PigPreprocessor {
   def expand(script: String,
              params: Map[String, String] = Map.empty): String = {
     val vars = mutable.Map[String, String]() ++= params
+    var inlineN = 0
     val macros = mutable.Map[String, Macro]()
     val cmdDefines = mutable.Map[String, String]()
     // alias → (func simple name, ctorArgs, markCtorBoundary)
@@ -130,13 +131,48 @@ object PigPreprocessor {
         val e = statementEnd(rest)
         val stmt = rest.take(e)
         rest = rest.drop(e + 1)
-        out.append(expandStatement(stmt, macros.toMap, cmdDefines.toMap,
-          funcDefines.toMap, vars.toMap))
+        out.append(rewriteInlineForeach(
+          expandStatement(stmt, macros.toMap, cmdDefines.toMap,
+            funcDefines.toMap, vars.toMap),
+          () => { inlineN += 1; inlineN }))
         out.append(";\n")
       }
     }
     out.toString
   }
+
+  /** `b = FOREACH (GROUP a ALL) GENERATE …` — the inline-relation sugar
+    * (QueryParser.g nested_op_clause): the parenthesized operator is
+    * lifted into its own synthetic-alias statement, exactly the
+    * two-statement desugaring the reference's parser performs. String
+    * literals are masked so a LOAD path containing "foreach (" can't
+    * trigger the rewrite. */
+  private def rewriteInlineForeach(stmt0: String, nextId: () => Int): String =
+    mapMaskingQuotes(stmt0) { s0 =>
+      val re = "(?i)\\bforeach\\s*\\(".r
+      val pre = new StringBuilder
+      var cur = s0
+      var guard = 0
+      var m = re.findFirstMatchIn(cur)
+      while (m.isDefined && guard < 8) {
+        val mm = m.get
+        val open = mm.end - 1
+        var depth = 0; var j = open
+        while (j < cur.length && (depth != 0 || j == open)) {
+          val c = cur.charAt(j)
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          j += 1
+        }
+        val inner = cur.substring(open + 1, j - 1).trim
+        val alias = s"__inl_${nextId()}"
+        pre.append(s"$alias = $inner;\n")
+        cur = cur.substring(0, mm.start) + s"foreach $alias " +
+          cur.substring(j)
+        guard += 1
+        m = re.findFirstMatchIn(cur)
+      }
+      pre.toString + cur
+    }
 
   /** Split a script into top-level statements (quote/backtick/brace
     * aware; `--` line comments stripped) WITHOUT expanding anything —

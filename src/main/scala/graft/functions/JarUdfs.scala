@@ -101,7 +101,7 @@ object JarUdfs {
                 args: Seq[Column]): Option[Column] =
     resolve(name).map { case (jar, cls) =>
       val inv = Invoker(jar, cls, ctorArgs)
-      val dt = returnTypeOf(inv.newInstance())
+      val dt = returnTypeOf(inv.newInstance(), args.length)
       val udfName = ("graft_jar_" + cls.replace('.', '_') + "_" +
         math.abs((ctorArgs.mkString("") + args.length).hashCode)
           .toHexString + "_" + args.length).toLowerCase
@@ -113,34 +113,67 @@ object JarUdfs {
     }
 
   /** EvalFunc result DataType: outputSchema override first (the
-    * reference's contract — null means "use the generic type"). */
-  private def returnTypeOf(f: EvalFunc[_]): DataType = {
+    * reference's contract — null means "use the generic type").
+    * `argHint` sizes the fallback tuple shape for UNTYPED bag/tuple
+    * declarations (a BAG with no inner schema is usually a pack of the
+    * call's own arguments — CreateTupleBag-style UDFs). */
+  private def returnTypeOf(f: EvalFunc[_], argHint: Int): DataType = {
     val declared =
       try Option(f.outputSchema(new org.apache.pig.impl.logicalLayer.schema.Schema()))
       catch { case _: Throwable => None }
     declared.filter(_.size() == 1)
-      .map(s => pigByteType(s.getField(0).`type`))
+      .map(s => fieldType(s.getField(0), argHint))
       .getOrElse(f.getReturnType match {
-        case c: Class[_] => classType(c)
+        case c: Class[_] => classType(c, argHint)
+        case p: java.lang.reflect.ParameterizedType =>
+          classType(p.getRawType.asInstanceOf[Class[_]], argHint)
         case t => throw new IllegalArgumentException(
           s"${f.getClass.getName}: unsupported generic return $t — " +
           "override outputSchema, or return a scalar type")
       })
   }
 
-  private def pigByteType(b: Byte): DataType = b match {
-    case org.apache.pig.data.DataType.BOOLEAN   => BooleanType
-    case org.apache.pig.data.DataType.INTEGER   => IntegerType
-    case org.apache.pig.data.DataType.LONG      => LongType
-    case org.apache.pig.data.DataType.FLOAT     => FloatType
-    case org.apache.pig.data.DataType.DOUBLE    => DoubleType
-    case org.apache.pig.data.DataType.CHARARRAY => StringType
-    case org.apache.pig.data.DataType.BYTEARRAY => BinaryType
-    case other => throw new IllegalArgumentException(
-      s"unsupported outputSchema type code $other — scalar types only")
+  private def untypedTuple(argHint: Int): StructType =
+    StructType((0 until math.max(argHint, 1)).map(i =>
+      StructField(s"c$i", StringType)))
+
+  private def fieldType(fs: org.apache.pig.impl.logicalLayer.schema.Schema.FieldSchema,
+                        argHint: Int): DataType = {
+    import org.apache.pig.data.{DataType => P}
+    def structOf(s: org.apache.pig.impl.logicalLayer.schema.Schema): StructType =
+      StructType(s.getFields.asScala.toSeq.zipWithIndex.map { case (f, i) =>
+        StructField(Option(f.alias).getOrElse(s"c$i"), fieldType(f, argHint))
+      })
+    fs.`type` match {
+      case P.BOOLEAN   => BooleanType
+      case P.INTEGER   => IntegerType
+      case P.LONG      => LongType
+      case P.FLOAT     => FloatType
+      case P.DOUBLE    => DoubleType
+      case P.CHARARRAY => StringType
+      case P.BYTEARRAY => BinaryType
+      case P.MAP =>
+        // untyped map values flow as text, the engine-wide bytearray rule
+        Option(fs.schema).filter(_.size() > 0)
+          .map(s => MapType(StringType, fieldType(s.getField(0), argHint)))
+          .getOrElse(MapType(StringType, StringType))
+      case P.TUPLE =>
+        Option(fs.schema).filter(_.size() > 0).map(structOf)
+          .getOrElse(untypedTuple(argHint))
+      case P.BAG =>
+        val inner = Option(fs.schema).filter(_.size() > 0).map { s =>
+          // a bag schema usually wraps ONE tuple field; unwrap it
+          val f0 = s.getField(0)
+          if (f0.`type` == P.TUPLE && f0.schema != null) structOf(f0.schema)
+          else structOf(s)
+        }.getOrElse(untypedTuple(argHint))
+        ArrayType(inner)
+      case other => throw new IllegalArgumentException(
+        s"unsupported outputSchema type code $other")
+    }
   }
 
-  private def classType(c: Class[_]): DataType = c match {
+  private def classType(c: Class[_], argHint: Int): DataType = c match {
     case x if x == classOf[String]            => StringType
     case x if x == classOf[java.lang.Integer] => IntegerType
     case x if x == classOf[java.lang.Long]    => LongType
@@ -148,9 +181,14 @@ object JarUdfs {
     case x if x == classOf[java.lang.Double]  => DoubleType
     case x if x == classOf[java.lang.Boolean] => BooleanType
     case x if x == classOf[Array[Byte]]       => BinaryType
+    case x if classOf[java.util.Map[_, _]].isAssignableFrom(x) =>
+      MapType(StringType, StringType)
+    case x if classOf[Tuple].isAssignableFrom(x) => untypedTuple(argHint)
+    case x if classOf[DataBag].isAssignableFrom(x) =>
+      ArrayType(untypedTuple(argHint))
     case other => throw new IllegalArgumentException(
-      s"unsupported EvalFunc return class $other — scalar types only " +
-      "(bag/tuple UDFs: re-express over Spark arrays, SURVEY §2.7)")
+      s"unsupported EvalFunc return class $other — override outputSchema " +
+      "(SURVEY §2.7)")
   }
 
   /** Serializable per-call bridge: resolves the class and instantiates
@@ -188,11 +226,21 @@ object JarUdfs {
   }
 
   /** Spark hands udf args as Scala collections; EvalFunc authors expect
-    * the reference's Java model — convert containers at the boundary. */
+    * the reference's Java model — rows become tuples and ARRAYS BECOME
+    * BAGS (Pig has no array type: a grouped relation's bag argument is
+    * what `(DataBag) input.get(0)` unwraps in every reference-era UDF).
+    * Non-struct array elements wrap as 1-field tuples, the Pig rule. */
   private def toJava(v: AnyRef): AnyRef = v match {
     case null => null
     case s: scala.collection.Seq[_] =>
-      s.map(x => toJava(x.asInstanceOf[AnyRef])).asJava
+      val bag = BagFactory.getInstance().newDefaultBag()
+      s.foreach { x =>
+        toJava(x.asInstanceOf[AnyRef]) match {
+          case t: Tuple => bag.add(t)
+          case o => bag.add(TupleFactory.getInstance().newTuple(o))
+        }
+      }
+      bag
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, x) => k -> toJava(x.asInstanceOf[AnyRef]) }.asJava
     case r: org.apache.spark.sql.Row =>
@@ -201,16 +249,38 @@ object JarUdfs {
     case other => other
   }
 
-  /** Results may come back as facade tuples/bags — map to Spark values. */
-  private def fromJava(v: AnyRef): AnyRef = v match {
-    case t: Tuple => org.apache.spark.sql.Row(t.getAll.asScala.toSeq: _*)
-    case b: DataBag => b.asScala.map(t => fromJava(t)).toSeq
-    case other => other
+  /** Coerce an exec() result to the DECLARED Spark type: facade tuples/
+    * bags/maps become rows/seqs/maps, and leaves align to the declared
+    * scalar (untyped Pig declarations surface values as text — the
+    * engine-wide bytearray-as-string rule). */
+  private def coerce(v: AnyRef, dt: DataType): AnyRef = (v, dt) match {
+    case (null, _) => null
+    case (s: String, StringType) => s
+    case (x, StringType) => String.valueOf(x)
+    case (n: java.lang.Number, IntegerType) => Int.box(n.intValue)
+    case (n: java.lang.Number, LongType) => Long.box(n.longValue)
+    case (n: java.lang.Number, FloatType) => Float.box(n.floatValue)
+    case (n: java.lang.Number, DoubleType) => Double.box(n.doubleValue)
+    case (b: java.lang.Boolean, BooleanType) => b
+    case (b: Array[Byte], BinaryType) => b
+    case (t: Tuple, st: StructType) =>
+      org.apache.spark.sql.Row(
+        st.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          coerce(if (i < t.size) t.getAll.get(i) else null, f.dataType)
+        }: _*)
+    case (b: DataBag, ArrayType(et, _)) =>
+      b.asScala.map(t => coerce(t, et)).toSeq
+    case (l: java.util.List[_], ArrayType(et, _)) =>
+      l.asScala.map(x => coerce(x.asInstanceOf[AnyRef], et)).toSeq
+    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+      m.asScala.map { case (k, x) =>
+        String.valueOf(k) -> coerce(x.asInstanceOf[AnyRef], vt) }.toMap
+    case (other, _) => other
   }
 
   private def registerArity(spark: SparkSession, name: String,
                             inv: Invoker, dt: DataType, n: Int): Unit = {
-    def c(args: AnyRef*): AnyRef = fromJava(inv.call(args))
+    def c(args: AnyRef*): AnyRef = coerce(inv.call(args), dt)
     n match {
       case 0 => spark.udf.register(name, new UDF0[AnyRef] {
         def call() = c() }, dt)

@@ -437,6 +437,58 @@ class E2eSpec extends SparkSpec {
     runCorpus("streaming.conf", streamingScripts)
   }
 
+  test("reference jar-UDF e2e tests run with the reference's own test " +
+       "UDF sources compiled against the org.apache.pig facade") {
+    // The nightly tests that REGISTER :FUNCPATH:/testudf.jar were
+    // previously skipped wholesale. Here the REFERENCE'S OWN UDF sources
+    // (test/e2e/pig/udfs/java/**, read verbatim from the read-only
+    // checkout) compile at test time against this engine's facade and
+    // run inside their original scripts: nested-foreach accumulators
+    // (SecondarySort 1-9), bag/map/tuple returns (Foreach 7, Lineage 4),
+    // boolean handling (EvalFunc 5), zero-arg UDFs (Foreach 12), and the
+    // Iterating accumulator trio (Accumulator 7-8).
+    val srcHome = "/root/reference/test/e2e/pig/udfs/java/org/apache/pig/test/udf/evalfunc"
+    val classes = Seq("AllFirstLetter", "TestBoolean", "CreateTupleBag",
+      "CreateMap", "Fred", "NonAlgNonAccCount", "IteratingAccumulatorCount",
+      "IteratingAccumulatorSum", "IteratingAccumulatorIsEmpty")
+    val tmp = Files.createTempDirectory("pig_testudf").toFile
+    val clsDir = new java.io.File(tmp, "classes"); clsDir.mkdirs()
+    val facadeCp = classOf[org.apache.pig.EvalFunc[_]]
+      .getProtectionDomain.getCodeSource.getLocation.getPath
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    val rc = javac.run(null, null, null,
+      Seq("-cp", facadeCp, "-d", clsDir.getPath) ++
+        classes.map(c => s"$srcHome/$c.java"): _*)
+    assert(rc == 0, "reference test-UDF javac against the facade failed")
+    val jar = new java.io.File(tmp, "testudf.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      new java.io.FileOutputStream(jar))
+    def addAll(dir: java.io.File, prefix: String): Unit =
+      dir.listFiles().foreach { f =>
+        if (f.isDirectory) addAll(f, prefix + f.getName + "/")
+        else {
+          jos.putNextEntry(new java.util.jar.JarEntry(prefix + f.getName))
+          jos.write(Files.readAllBytes(f.toPath)); jos.closeEntry()
+        }
+      }
+    addAll(clsDir, ""); jos.close()
+
+    val wanted = Set(("SecondarySort", 1), ("SecondarySort", 2),
+      ("SecondarySort", 3), ("SecondarySort", 4), ("SecondarySort", 5),
+      ("SecondarySort", 6), ("SecondarySort", 7), ("SecondarySort", 8),
+      ("SecondarySort", 9), ("EvalFunc", 5), ("Foreach", 7),
+      ("Foreach", 12), ("Lineage", 4), ("Accumulator", 7),
+      ("Accumulator", 8))
+    val all = extract(confPath, None, "(?!x)x".r, skip = "(?!x)x".r)
+    val sel = all.collect {
+      case (g, n, s) if wanted((g, n)) =>
+        (s"jar_$g", n, s.replace(":FUNCPATH:", tmp.getPath))
+    }
+    assert(sel.size == wanted.size,
+      s"extracted ${sel.size}/${wanted.size} jar-UDF tests")
+    runCorpus("jar-udf", sel)
+  }
+
   test("reference StreamingPythonUDFs group runs VERBATIM against its " +
        "own verify_pig_script (differential)") {
     // nightly.conf StreamingPythonUDFs 1-12: the reference's python-UDF

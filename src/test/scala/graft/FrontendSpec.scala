@@ -346,6 +346,16 @@ class FrontendSpec extends SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("inline relation sugar: FOREACH (GROUP a ALL) GENERATE …") {
+    val out = PigRunner(spark).run(s"""
+      a = LOAD '$dir/nation.parquet';
+      b = FOREACH (GROUP a ALL) GENERATE COUNT(a) AS n;
+      c = FOREACH (GROUP a BY n_regionkey) GENERATE group AS rk, COUNT(a) AS n;
+    """)
+    assert(out("b").df.head().getLong(0) == 25L)
+    assert(out("c").df.count() == 5L)
+  }
+
   test("a user-registered UDF overrides the engine builtin of the same " +
        "name (reference: registry wins over the builtin catalog)") {
     // LCFIRST is an engine builtin (and NOT a Spark builtin, so the

@@ -47,6 +47,41 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_$tag"
   }
 
+  /** q98's sample EvalFunc jar, compiled ONCE per JVM against the
+    * engine's org.apache.pig facade — the same binary surface a real
+    * user jar links against. */
+  private lazy val gateJar: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gate_jar").toFile
+    val srcDir = new java.io.File(tmp, "gate/udf"); srcDir.mkdirs()
+    val src = new java.io.File(srcDir, "Exclaim.java")
+    java.nio.file.Files.write(src.toPath,
+      """package gate.udf;
+        |import java.io.IOException;
+        |import org.apache.pig.EvalFunc;
+        |import org.apache.pig.data.Tuple;
+        |public class Exclaim extends EvalFunc<String> {
+        |  public String exec(Tuple input) throws IOException {
+        |    Object o = input.get(0);
+        |    return o == null ? null : o.toString() + "!";
+        |  }
+        |}
+        |""".stripMargin.getBytes("UTF-8"))
+    val cls = new java.io.File(tmp, "classes"); cls.mkdirs()
+    val facadeCp = classOf[org.apache.pig.EvalFunc[_]]
+      .getProtectionDomain.getCodeSource.getLocation.getPath
+    val rc = javax.tools.ToolProvider.getSystemJavaCompiler
+      .run(null, null, null, "-cp", facadeCp, "-d", cls.getPath, src.getPath)
+    require(rc == 0, "gate EvalFunc javac failed")
+    val jar = new java.io.File(tmp, "gateudf.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      new java.io.FileOutputStream(jar))
+    jos.putNextEntry(new java.util.jar.JarEntry("gate/udf/Exclaim.class"))
+    jos.write(java.nio.file.Files.readAllBytes(
+      new java.io.File(cls, "gate/udf/Exclaim.class").toPath))
+    jos.closeEntry(); jos.close()
+    jar.getPath
+  }
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): TPC-H-Q3-ish
     * customer ⋈ orders ⋈ lineitem with broadcast dim, fused group-agg,
     * total-order sort + top-k — the Slice-0 shape from SURVEY §7.2. */
@@ -1194,6 +1229,18 @@ object SparkEntry {
       """).apply("r").df
     }),
 
+    // REGISTER'd-jar EvalFunc surface: a user UDF compiled against the
+    // engine's org.apache.pig facade at query time (the real migration
+    // path for jar-carrying Pig scripts), dispatched by FQN from a
+    // script, oracle-checked row-by-row
+    "q98_jar_udf" -> ((s, d) => {
+      graft.frontend.PigRunner(s).run(s"""
+        REGISTER '$gateJar';
+        d = LOAD '$d/documents.parquet';
+        r = FOREACH d GENERATE doc_id, gate.udf.Exclaim(lang) AS exclaimed;
+      """).apply("r").df
+    }),
+
     // bloom-pre-filtered join (JOIN … USING 'bloom' / BuildBloom+Bloom
     // pair): the big side is cut down by a codegen might-contain BEFORE
     // its shuffle, then the exact join keeps the result oracle-equal —
@@ -1909,6 +1956,9 @@ object SparkEntry {
                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
                                      w -> length(w) > 0)) AS BIGINT) AS nw
          FROM documents""",
+    // mirrors q98's Exclaim EvalFunc: string concat of a constant
+    "q98_jar_udf" ->
+      """SELECT doc_id, lang || '!' AS exclaimed FROM documents""",
     // mirrors Curation.shuffleDeterministic: same 31-bit LCG mix, same
     // shard mod, same (mix, doc_id) rank
     "q95_det_shuffle" ->

@@ -61,14 +61,22 @@ object SemDedup {
       col(vecCol).as("va"), col("cell"))
     val b = assigned.select(col(idCol).as("id_b"),
       col(vecCol).as("vb"), col("cell"))
-    a.join(b, Seq("cell"))
+    val matches = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       // round-then-filter matches Similarity.exactCosinePairs, so the
       // verdict twin is a strict superset and precision is exactly 1.0
       .withColumn("cos_sim", round(cosine_sim(col("va"), col("vb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
-      .distinct()  // a pair sharing several probed cells appears once
+    // a pair sharing several probed cells appears once per shared cell —
+    // dedup AFTER the threshold filter, so the shuffle sees only actual
+    // matches (tiny next to the candidate set); probes=1 cannot
+    // duplicate, so it skips the shuffle entirely. Measured alternative
+    // (r10): a min-common-probed-cell guard before the cosine removes
+    // this shuffle but costs an array_intersect per CANDIDATE row, which
+    // breaks whole-stage codegen and ran 1.6× slower — the replicated
+    // codegen'd cosine is cheaper than a per-row set operation.
+    if (probes <= 1) matches else matches.distinct()
   }
 
   /** Full semantic dedup: keep one representative (min id) per connected

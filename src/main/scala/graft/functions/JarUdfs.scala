@@ -221,9 +221,64 @@ object JarUdfs {
     def call(args: Seq[AnyRef]): AnyRef = {
       val t = TupleFactory.getInstance()
         .newTuple(args.map(toJava).asJava)
-      local.get().exec(t).asInstanceOf[AnyRef]
+      val f = local.get()
+      monitorOf(f) match {
+        case None => f.exec(t).asInstanceOf[AnyRef]
+        case Some(m) =>
+          // @MonitoredUDF (reference: builtin/MonitoredUDF.java +
+          // MonitoredUDFExecutor): bound the call, return the annotated
+          // default (null if none) on timeout, and interrupt the stray
+          // evaluation so a wedged UDF can't pile up threads
+          val fut = monitorPool.submit(
+            new java.util.concurrent.Callable[AnyRef] {
+              def call(): AnyRef = f.exec(t).asInstanceOf[AnyRef]
+            })
+          try fut.get(m.duration.toLong, m.timeUnit)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              fut.cancel(true)
+              defaultOf(m, f)
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+      }
     }
+
+    @transient private lazy val monitorCache =
+      new java.util.concurrent.ConcurrentHashMap[String,
+        Option[org.apache.pig.builtin.MonitoredUDF]]()
+    private def monitorOf(f: EvalFunc[_]) =
+      monitorCache.computeIfAbsent(f.getClass.getName, _ =>
+        Option(f.getClass.getAnnotation(
+          classOf[org.apache.pig.builtin.MonitoredUDF])))
   }
+
+  /** Daemon pool for @MonitoredUDF-bounded calls (only annotated UDFs
+    * pay the submit overhead). */
+  private lazy val monitorPool =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "graft-monitored-udf")
+          t.setDaemon(true); t
+        }
+      })
+
+  private def defaultOf(m: org.apache.pig.builtin.MonitoredUDF,
+                        f: EvalFunc[_]): AnyRef =
+    f.getReturnType match {
+      case c: Class[_] if c == classOf[java.lang.Integer] =>
+        m.intDefault.headOption.map(Int.box).orNull
+      case c: Class[_] if c == classOf[java.lang.Long] =>
+        m.longDefault.headOption.map(Long.box).orNull
+      case c: Class[_] if c == classOf[java.lang.Double] =>
+        m.doubleDefault.headOption.map(Double.box).orNull
+      case c: Class[_] if c == classOf[java.lang.Float] =>
+        m.floatDefault.headOption.map(Float.box).orNull
+      case c: Class[_] if c == classOf[String] =>
+        m.stringDefault.headOption.orNull
+      case _ => null
+    }
 
   /** Spark hands udf args as Scala collections; EvalFunc authors expect
     * the reference's Java model — rows become tuples and ARRAYS BECOME

@@ -445,12 +445,14 @@ class E2eSpec extends SparkSpec {
     // checkout) compile at test time against this engine's facade and
     // run inside their original scripts: nested-foreach accumulators
     // (SecondarySort 1-9), bag/map/tuple returns (Foreach 7, Lineage 4),
-    // boolean handling (EvalFunc 5), zero-arg UDFs (Foreach 12), and the
-    // Iterating accumulator trio (Accumulator 7-8).
+    // boolean handling (EvalFunc 5), zero-arg UDFs (Foreach 12), the
+    // Iterating accumulator trio (Accumulator 7-8), and @MonitoredUDF
+    // (MonitoredUDF 1-3).
     val srcHome = "/root/reference/test/e2e/pig/udfs/java/org/apache/pig/test/udf/evalfunc"
     val classes = Seq("AllFirstLetter", "TestBoolean", "CreateTupleBag",
       "CreateMap", "Fred", "NonAlgNonAccCount", "IteratingAccumulatorCount",
-      "IteratingAccumulatorSum", "IteratingAccumulatorIsEmpty")
+      "IteratingAccumulatorSum", "IteratingAccumulatorIsEmpty",
+      "GoodMonitored", "BadMonitored")
     val tmp = Files.createTempDirectory("pig_testudf").toFile
     val clsDir = new java.io.File(tmp, "classes"); clsDir.mkdirs()
     val facadeCp = classOf[org.apache.pig.EvalFunc[_]]
@@ -478,7 +480,8 @@ class E2eSpec extends SparkSpec {
       ("SecondarySort", 6), ("SecondarySort", 7), ("SecondarySort", 8),
       ("SecondarySort", 9), ("EvalFunc", 5), ("Foreach", 7),
       ("Foreach", 12), ("Lineage", 4), ("Accumulator", 7),
-      ("Accumulator", 8))
+      ("Accumulator", 8), ("MonitoredUDF", 1), ("MonitoredUDF", 2),
+      ("MonitoredUDF", 3))
     val all = extract(confPath, None, "(?!x)x".r, skip = "(?!x)x".r)
     val sel = all.collect {
       case (g, n, s) if wanted((g, n)) =>

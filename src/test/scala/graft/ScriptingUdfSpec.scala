@@ -233,6 +233,44 @@ class ScriptingUdfSpec extends SparkSpec {
     assert(out.nonEmpty && out.forall(_.length > 6))
   }
 
+  test("@MonitoredUDF: a wedged exec times out and yields the annotated " +
+       "default (reference: builtin/MonitoredUDF + MonitoredUDFExecutor)") {
+    val tmp = Files.createTempDirectory("graft_monudf").toFile
+    val src = new File(tmp, "Wedged.java")
+    Files.write(src.toPath,
+      """import java.io.IOException;
+        |import java.util.concurrent.TimeUnit;
+        |import org.apache.pig.EvalFunc;
+        |import org.apache.pig.builtin.MonitoredUDF;
+        |import org.apache.pig.data.Tuple;
+        |@MonitoredUDF(timeUnit = TimeUnit.MILLISECONDS, duration = 200,
+        |              stringDefault = {"dflt"})
+        |public class Wedged extends EvalFunc<String> {
+        |  public String exec(Tuple input) throws IOException {
+        |    try { Thread.sleep(60000); } catch (InterruptedException e) {}
+        |    return "never";
+        |  }
+        |}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val cls = new File(tmp, "classes"); cls.mkdirs()
+    val facadeCp = classOf[org.apache.pig.EvalFunc[_]]
+      .getProtectionDomain.getCodeSource.getLocation.getPath
+    assert(javax.tools.ToolProvider.getSystemJavaCompiler.run(null, null,
+      null, "-cp", facadeCp, "-d", cls.getPath, src.getPath) == 0)
+    val jar = new File(tmp, "wedged.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      new java.io.FileOutputStream(jar))
+    jos.putNextEntry(new java.util.jar.JarEntry("Wedged.class"))
+    jos.write(Files.readAllBytes(new File(cls, "Wedged.class").toPath))
+    jos.closeEntry(); jos.close()
+    val out = PigRunner(spark).run(s"""
+      REGISTER '${jar.getPath}';
+      n = LOAD '$dir/region.parquet';
+      r = FOREACH n GENERATE Wedged(r_name) AS w;
+    """).apply("r").df.collect().map(_.getString(0))
+    assert(out.length == 5 && out.forall(_ == "dflt"), out.toSeq)
+  }
+
   test("REGISTER jar: missing file errors like the reference (101)") {
     val e = intercept[IllegalArgumentException] {
       PigRunner(spark).run("REGISTER '/no/such/thing.jar';")

@@ -1229,6 +1229,29 @@ object SparkEntry {
       """).apply("r").df
     }),
 
+    // REAL image decode (r10 — no longer a stub): deterministic solid
+    // PPM payloads are built per doc, then the actual binary decoder
+    // (multimodal/Decode.scala) recovers dims + channel means in a
+    // partition-preserving mapPartitions; DuckDB recomputes the same
+    // values from the generation rule. Exactness: a solid image's mean
+    // is (c*n)/(n*255.0) — the same rational as c/255.0, so both sides'
+    // correctly-rounded doubles agree bit-for-bit before round(…,6)
+    "q99_ppm_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = T(s, d, "documents").df.select(col("doc_id"))
+        .as[Long].mapPartitions(_.map { id =>
+          (id, graft.multimodal.Decode.encodeSolidPpm(
+            (id % 16 + 1).toInt, (id % 8 + 1).toInt,
+            (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt))
+        }).toDF("doc_id", "payload")
+      graft.multimodal.Decode.imageFeatures(media, "doc_id", "payload")
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
+
     // REGISTER'd-jar EvalFunc surface: a user UDF compiled against the
     // engine's org.apache.pig facade at query time (the real migration
     // path for jar-carrying Pig scripts), dispatched by FQN from a
@@ -1959,6 +1982,16 @@ object SparkEntry {
     // mirrors q98's Exclaim EvalFunc: string concat of a constant
     "q98_jar_udf" ->
       """SELECT doc_id, lang || '!' AS exclaimed FROM documents""",
+    // mirrors q99's PPM generation rule exactly (solid color → the mean
+    // is the channel value; dims from the same modular arithmetic)
+    "q99_ppm_decode" ->
+      """SELECT doc_id,
+                CAST(doc_id % 16 + 1 AS INT) AS width,
+                CAST(doc_id % 8 + 1 AS INT) AS height,
+                round((doc_id % 256) / 255.0, 6) AS mean_r,
+                round((doc_id * 7 % 256) / 255.0, 6) AS mean_g,
+                round((doc_id * 13 % 256) / 255.0, 6) AS mean_b
+         FROM documents""",
     // mirrors Curation.shuffleDeterministic: same 31-bit LCG mix, same
     // shard mod, same (mix, doc_id) rank
     "q95_det_shuffle" ->

@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, batch-wise feature extraction.
   *
   * The Spark-side plumbing — schema, partition-preserving mapPartitions,
-  * batch shape — is real and tested; the DECODE step is a clearly-marked
-  * STUB (the image/audio native libs are not in this container). A real
-  * deployment swaps [[decodeStub]] for a JNI/FFI call without touching
+  * batch shape — is real and tested. REAL decoders live in [[Decode]]
+  * (r10): PPM by hand, PNG/JPEG/BMP/GIF via the JDK's ImageIO, WAV PCM
+  * via javax.sound — no native libs needed. [[decodeStub]] remains only
+  * as the generic stand-in for codecs the JDK cannot open (video, webp,
+  * mp3); a real deployment swaps it for a JNI/FFI call without touching
   * the pipeline shape.
   */
 object Multimodal {

@@ -1973,11 +1973,14 @@ object SparkEntry {
          WHERE smp_rank <= 25""",
     // mirrors the q97 python UDFs exactly: python s[::-1] reverses code
     // points (ASCII lang tags here); len(s.split()) counts maximal
-    // whitespace-free runs = the list_filter'd regex split
+    // whitespace-free runs = the list_filter'd regex split; coalesce
+    // mirrors the UDF's `0 if s is None` null rule (text is nullable
+    // in-contract even though the current fixtures carry none)
     "q97_py_udf" ->
       """SELECT doc_id, reverse(lang) AS rlang,
-                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-                                     w -> length(w) > 0)) AS BIGINT) AS nw
+                coalesce(CAST(len(list_filter(
+                  string_split_regex(trim(text), '\s+'),
+                  w -> length(w) > 0)) AS BIGINT), 0) AS nw
          FROM documents""",
     // mirrors q98's Exclaim EvalFunc: string concat of a constant
     "q98_jar_udf" ->

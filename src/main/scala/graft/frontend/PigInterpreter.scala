@@ -18,9 +18,11 @@ import PigAst._
   */
 final class PigRunner(val spark: SparkSession) {
   graft.GraftSession.tune(spark)
-  /** Scripting-UDF registrations are PER SCRIPT SESSION (reference:
-    * PigContext's function registry dies with the script). */
+  /** Scripting-UDF and jar registrations are PER SCRIPT SESSION
+    * (reference: PigContext's function registry and PigServer's
+    * registered jars die with the script). */
   private val pyRegistry = new graft.functions.PyUdfs.Registry
+  private val jarRegistry = new graft.functions.JarUdfs.Registry
   private val aliasMap =
     scala.collection.mutable.LinkedHashMap.empty[String, Relation]
   /** Alias lookup with Pig's error text on a miss (PigServer throws
@@ -263,7 +265,7 @@ final class PigRunner(val spark: SparkSession) {
           graft.functions.PyUdfs.register(pyRegistry, path,
             Some(new java.io.File(path).getName.stripSuffix(".py")))
         case None if lower.endsWith(".jar") =>
-          graft.functions.JarUdfs.register(spark, path)
+          graft.functions.JarUdfs.register(jarRegistry, spark, path)
         case None => throw new IllegalArgumentException(
           s"REGISTER '$path': expected a .jar or a scripting file with " +
           "USING <engine> AS <namespace>")
@@ -2034,8 +2036,27 @@ final class PigRunner(val spark: SparkSession) {
       // yields NULL (POBinCond.getNextBoolean null guard), not the
       // false branch. CaseWhen with no else returns null when neither
       // `cond` nor `!cond` matches, which is exactly the null case.
+      // The condition appears twice; that is only safe when it is
+      // DETERMINISTIC (both occurrences see the same value; codegen's
+      // subexpression elimination dedupes the work). A nondeterministic
+      // condition (RANDOM() — which can never BE null) must evaluate
+      // ONCE, so it keeps the single-evaluation when/otherwise form:
+      // duplicating the draw would route ~P(true)·P(false) of rows
+      // through NEITHER branch. (A lambda-bound single draw via
+      // transform(array(c),…)[1] was tried and rejected: the optimizer
+      // inlines it back into two draws.)
       val cc = compile(c, df)
-      when(cc, ct2).when(!cc, cf2)
+      // determinism must be read off the ANALYZED expression: Spark 4's
+      // Column builders stay unresolved (rand() is an UnresolvedFunction
+      // whose default deterministic=true) until bound to a plan
+      val condDeterministic =
+        try df.select(cc).queryExecution.analyzed.expressions
+          .forall(_.deterministic)
+        catch { case _: Exception => true }
+      if (condDeterministic)
+        when(cc, ct2).when(!cc, cf2)
+      else
+        when(cc, ct2).otherwise(cf2)
     case IsNull(x, neg) =>
       val c = compile(x, df); if (neg) c.isNotNull else c.isNull
     case InExpr(x, vals) =>
@@ -2612,7 +2633,8 @@ final class PigRunner(val spark: SparkSession) {
             graft.functions.PyUdfs
               .columnFor(df.sparkSession, pyRegistry, other, cols)
               .orElse(graft.functions.JarUdfs
-                .columnFor(df.sparkSession, other, ctorArgs, cols))
+                .columnFor(df.sparkSession, jarRegistry, other, ctorArgs,
+                  cols))
               .getOrElse(throw new IllegalArgumentException(
                 s"unknown function $other"))
         }

@@ -91,13 +91,21 @@ object PigPreprocessor {
         // NoSuchFile/2) — a typo'd path must not be silently dropped.
         val e = statementEnd(rest)
         val stmt = rest.take(e).trim.stripSuffix(";").trim
-        val parts = stmt.split("\\s+").toSeq
-        val path = parts.lift(1).getOrElse("")
-          .stripPrefix("'").stripSuffix("'")
+        // the path may be a QUOTED literal containing spaces — take the
+        // quoted run whole; only an unquoted path splits on whitespace
+        val afterKw = stmt.drop("REGISTER".length).trim
+        val (path, tail) =
+          if (afterKw.startsWith("'")) {
+            val close = afterKw.indexOf('\'', 1)
+            require(close > 0, s"unterminated REGISTER path: $stmt")
+            (afterKw.substring(1, close), afterKw.drop(close + 1).trim)
+          } else afterKw.split("\\s+", 2) match {
+            case Array(p)    => (p, "")
+            case Array(p, t) => (p, t)
+          }
         if (path.nonEmpty && !new java.io.File(path).exists())
           throw new IllegalArgumentException(
             s"ERROR 101: file '$path' does not exist.")
-        val tail = parts.drop(2).mkString(" ") // USING engine AS ns — verbatim
         out.append(s"REGISTER '$path' $tail;\n")
         rest = rest.drop(math.min(e + 1, rest.length))
       } else if (rest.toUpperCase.startsWith("IMPORT ")) {

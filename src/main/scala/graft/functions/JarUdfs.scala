@@ -30,43 +30,65 @@ import org.apache.pig.data.{BagFactory, DataBag, Tuple, TupleFactory}
   */
 object JarUdfs {
 
-  /** jar path → scanned class entries (FQNs, inner classes excluded) */
-  private val jars = TrieMap.empty[String, Seq[String]]
+  /** Per-script-session jar registrations, insertion-ordered (classpath
+    * semantics: first-registered jar wins a bare-name tie) — owned by
+    * each PigRunner, matching PyUdfs.Registry: the reference's
+    * registerJar is PigServer-scoped, so a jar registered by one script
+    * must not resolve in the next. Each entry carries a VERSION key
+    * (size+mtime) so re-REGISTERing a rebuilt jar at the same path gets
+    * a fresh scan and a fresh classloader instead of stale classes. */
+  final class Registry {
+    private[JarUdfs] val entries =
+      new java.util.concurrent.CopyOnWriteArrayList[(String, String, Seq[String])]()
+    def registeredJars: Seq[String] =
+      entries.asScala.map(_._1).toSeq
+  }
+
   /** Spark-side udf names already registered in a session (keyed by
     * session hash + udf name — a new session re-registers). */
   private val bound = TrieMap.empty[String, Unit]
+  /** (verKey) → classloader: version-keyed so a rebuilt jar never
+    * serves classes from its previous build. */
   private val loaders = TrieMap.empty[String, URLClassLoader]
 
-  private[graft] def loaderFor(jar: String): ClassLoader =
-    loaders.getOrElseUpdate(jar, new URLClassLoader(
-      Array(new File(jar).toURI.toURL), classOf[EvalFunc[_]].getClassLoader))
+  private def verKeyOf(f: File): String =
+    s"${f.getAbsolutePath}|${f.length}|${f.lastModified}"
 
-  def registeredJars: Seq[String] = jars.keys.toSeq
+  private[graft] def loaderFor(jar: String, verKey: String): ClassLoader =
+    loaders.getOrElseUpdate(verKey, new URLClassLoader(
+      Array(new File(jar).toURI.toURL), classOf[EvalFunc[_]].getClassLoader))
 
   /** Handle `REGISTER 'path.jar'`: record + scan the jar and ship it to
     * executors. Missing file errors like the reference (ERROR 101). */
-  def register(spark: SparkSession, path: String): Unit = {
+  def register(registry: Registry, spark: SparkSession, path: String): Unit = {
     val f = new File(path)
     if (!f.exists()) throw new IllegalArgumentException(
       s"ERROR 101: file '$path' does not exist.")
-    jars.getOrElseUpdate(f.getAbsolutePath, {
+    val verKey = verKeyOf(f)
+    if (!registry.entries.asScala.exists(_._2 == verKey)) {
+      // drop a stale entry for the SAME path (rebuilt jar re-registered)
+      registry.entries.asScala.zipWithIndex
+        .filter(_._1._1 == f.getAbsolutePath).map(_._2).reverse
+        .foreach(i => registry.entries.remove(i))
       // an unreadable/empty jar registers with zero classes (the
       // reference defers jar problems to class-load time too)
-      try {
-        val jf = new java.util.jar.JarFile(f)
-        try jf.entries().asScala
-          .map(_.getName)
-          .filter(n => n.endsWith(".class") && !n.contains("$"))
-          .map(_.stripSuffix(".class").replace('/', '.'))
-          .toVector
-        finally jf.close()
-      } catch {
-        case e: Exception =>
-          System.err.println(s"[graft] REGISTER '$path': cannot scan jar " +
-            s"(${e.getMessage}) — registered with no resolvable classes")
-          Vector.empty
-      }
-    })
+      val classes =
+        try {
+          val jf = new java.util.jar.JarFile(f)
+          try jf.entries().asScala
+            .map(_.getName)
+            .filter(n => n.endsWith(".class") && !n.contains("$"))
+            .map(_.stripSuffix(".class").replace('/', '.'))
+            .toVector
+          finally jf.close()
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[graft] REGISTER '$path': cannot scan jar " +
+              s"(${e.getMessage}) — registered with no resolvable classes")
+            Vector.empty
+        }
+      registry.entries.add((f.getAbsolutePath, verKey, classes)); ()
+    }
     // cluster path: executors fetch the jar and add it to their
     // classloader; local mode resolves through the URLClassLoader
     try spark.sparkContext.addJar(f.getAbsolutePath)
@@ -74,37 +96,47 @@ object JarUdfs {
   }
 
   /** Resolve a script-side function name (FQN, or bare class name in any
-    * case) to (jarPath, className) across the registered jars. */
-  private def resolve(name: String): Option[(String, String)] = {
+    * case) to (jarPath, verKey, className) across the session's jars in
+    * REGISTRATION ORDER (classpath semantics). */
+  private def resolve(registry: Registry,
+                      name: String): Option[(String, String, String)] = {
     val simple = name.split('.').last.toLowerCase
     val hits =
       for {
-        (jar, classes) <- jars.toSeq
+        (jar, ver, classes) <- registry.entries.asScala.toSeq
         c <- classes
         if c.equalsIgnoreCase(name) || c.split('.').last.toLowerCase == simple
-      } yield (jar, c)
+      } yield (jar, ver, c)
     // prefer an exact FQN hit; otherwise the first simple-name hit that
     // actually IS an EvalFunc (jars carry helper classes too)
-    hits.find(_._2.equalsIgnoreCase(name)).orElse(
-      hits.find { case (jar, c) =>
+    hits.find(_._3.equalsIgnoreCase(name)).orElse(
+      hits.find { case (jar, ver, c) =>
         try classOf[EvalFunc[_]].isAssignableFrom(
-          Class.forName(c, false, loaderFor(jar)))
+          Class.forName(c, false, loaderFor(jar, ver)))
         catch { case _: Throwable => false }
       })
   }
 
-  def canResolve(name: String): Boolean = resolve(name).isDefined
+  def canResolve(registry: Registry, name: String): Boolean =
+    resolve(registry, name).isDefined
 
   /** Build the Column for a call to a registered-jar EvalFunc — or None
     * when no registered jar provides the name. */
-  def columnFor(spark: SparkSession, name: String, ctorArgs: Seq[String],
-                args: Seq[Column]): Option[Column] =
-    resolve(name).map { case (jar, cls) =>
-      val inv = Invoker(jar, cls, ctorArgs)
+  def columnFor(spark: SparkSession, registry: Registry, name: String,
+                ctorArgs: Seq[String], args: Seq[Column]): Option[Column] =
+    resolve(registry, name).map { case (jar, verKey, cls) =>
+      val inv = Invoker(jar, verKey, cls, ctorArgs)
       val dt = returnTypeOf(inv.newInstance(), args.length)
-      val udfName = ("graft_jar_" + cls.replace('.', '_') + "_" +
-        math.abs((ctorArgs.mkString("") + args.length).hashCode)
-          .toHexString + "_" + args.length).toLowerCase
+      // identity = (jar VERSION, class, EXACT ctor-arg vector, arity)
+      // digested with separators: a 32-bit hash, or a name without the
+      // jar identity, could silently bind a call site to another
+      // configuration's udf
+      val idDigest = java.security.MessageDigest.getInstance("MD5")
+        .digest((verKey +: cls +: args.length.toString +: ctorArgs)
+          .mkString("\u0000").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val udfName =
+        ("graft_jar_" + cls.split('.').last + "_" + idDigest).toLowerCase
       val key = System.identityHashCode(spark) + "/" + udfName
       bound.getOrElseUpdate(key, {
         registerArity(spark, udfName, inv, dt, args.length); ()
@@ -194,14 +226,14 @@ object JarUdfs {
   /** Serializable per-call bridge: resolves the class and instantiates
     * one EvalFunc PER EXECUTOR THREAD (reference contract: instances are
     * not shared across tasks; user EvalFuncs keep per-instance state). */
-  private final case class Invoker(jar: String, cls: String,
-                                   ctorArgs: Seq[String]) {
+  private final case class Invoker(jar: String, verKey: String,
+                                   cls: String, ctorArgs: Seq[String]) {
     @transient private lazy val local: ThreadLocal[EvalFunc[_]] =
       ThreadLocal.withInitial(() => newInstance())
 
     private[JarUdfs] def newInstance(): EvalFunc[_] = {
       val c =
-        try Class.forName(cls, true, loaderFor(jar))
+        try Class.forName(cls, true, loaderFor(jar, verKey))
         catch {
           case _: Throwable =>
             // executor without the jar file locally: addJar has placed it
@@ -228,7 +260,9 @@ object JarUdfs {
           // @MonitoredUDF (reference: builtin/MonitoredUDF.java +
           // MonitoredUDFExecutor): bound the call, return the annotated
           // default (null if none) on timeout, and interrupt the stray
-          // evaluation so a wedged UDF can't pile up threads
+          // evaluation (an interrupt-ignoring exec keeps its pool thread
+          // until it returns — the same residual the reference's
+          // executor has)
           val fut = monitorPool.submit(
             new java.util.concurrent.Callable[AnyRef] {
               def call(): AnyRef = f.exec(t).asInstanceOf[AnyRef]
@@ -237,6 +271,12 @@ object JarUdfs {
           catch {
             case _: java.util.concurrent.TimeoutException =>
               fut.cancel(true)
+              // the interrupted exec may IGNORE the interrupt and keep
+              // running on its pool thread — discard this thread's
+              // instance so the next row gets a FRESH EvalFunc rather
+              // than sharing one with a still-live evaluation (stateful
+              // UDFs would race on per-instance buffers otherwise)
+              local.remove()
               defaultOf(m, f)
             case e: java.util.concurrent.ExecutionException =>
               throw e.getCause

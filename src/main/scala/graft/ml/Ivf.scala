@@ -55,14 +55,18 @@ object Ivf {
 
   def fit(emb: DataFrame, vecCol: String, k: Int, iters: Int,
           idCol: String = "vec_id", sampleSize: Int = 65536): Model = {
-    // probe the dim from one row (LocalLimit(1) — stops at the first
-    // non-empty partition) so the sample row count scales DOWN with
+    // probe the dim from one row (LocalLimit(1) — stops as soon as a
+    // usable row is found) so the sample row count scales DOWN with
     // dim: the driver holds at most ~fitSampleFloatBudget floats, as
     // primitive arrays, not a multi-GB boxed Seq at realistic dims.
-    val dimProbe = emb.select(size(col(vecCol))).head(1)
-    if (dimProbe.isEmpty)
+    // The filter skips null/empty vectors: size(NULL) is NULL and a
+    // leading null row must neither crash the probe nor collapse the
+    // budget estimate to dim=1.
+    val dimProbe = emb.select(size(col(vecCol)).as("d"))
+      .where(col("d") > 0).head(1)
+    if (dimProbe.isEmpty) // no usable vectors at all: one cell, no fit
       return Model(emb.withColumn("cell", lit(0)), Array.empty, idCol, vecCol)
-    val probedDim = math.max(1, dimProbe(0).getInt(0))
+    val probedDim = dimProbe(0).getInt(0)
     val rows = math.max(k,
       math.min(sampleSize, fitSampleFloatBudget / probedDim))
     // order by a HASH of the id, not the id: a raw-id prefix is a

@@ -52,7 +52,10 @@ object Decode {
     }
     for {
       w <- token(); h <- token(); mx <- token()
-      if w > 0 && h > 0 && mx > 0 && mx < 65536
+      // 1-byte samples only: maxval > 255 means 2-byte big-endian
+      // samples (PPM spec) — reject rather than read MSB/LSB bytes as
+      // separate pixels and report confidently-wrong means
+      if w > 0 && h > 0 && mx > 0 && mx <= 255
     } yield {
       i += 1 // single whitespace after maxval
       val n = w.toLong * h

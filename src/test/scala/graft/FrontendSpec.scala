@@ -346,6 +346,23 @@ class FrontendSpec extends SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("bincond with a NONDETERMINISTIC condition evaluates it once " +
+       "(review: double-drawn RANDOM() could fall through both branches)") {
+    val out = PigRunner(spark).run(s"""
+      c = LOAD '$dir/customer.parquet';
+      r = FOREACH c GENERATE (RANDOM() <= 0.5 ? 'x' : 'y') AS pick;
+    """).apply("r").df.collect().map(_.getString(0))
+    // a re-drawn condition makes ~25% of rows NULL; one draw never does
+    assert(out.forall(v => v == "x" || v == "y"),
+      s"${out.count(_ == null)} null picks of ${out.length}")
+    // and a NULL deterministic condition still yields NULL (Pig 3-valued)
+    val n = PigRunner(spark).run(s"""
+      c = LOAD '$dir/customer.parquet';
+      r = FOREACH c GENERATE ((chararray)null == 'x' ? 1 : 2) AS v;
+    """).apply("r").df.head()
+    assert(n.isNullAt(0))
+  }
+
   test("inline relation sugar: FOREACH (GROUP a ALL) GENERATE …") {
     val out = PigRunner(spark).run(s"""
       a = LOAD '$dir/nation.parquet';

@@ -65,6 +65,10 @@ object PigAst {
   case class StreamOp(input: String, cmd: String,
                       schema: Option[Seq[FieldSchema]]) extends Op
   case class ParallelOp(inner: Op, n: Int) extends Op
+  /** `PARTITION BY customPartitionerClass` wrapper (QueryParser.g
+    * partition_clause) — the inner op's result is routed through the
+    * user's Hadoop Partitioner. */
+  case class PartitionOp(inner: Op, cls: String) extends Op
   case class FilterOp(input: String, cond: Expr) extends Op
   case class ForeachOp(input: String, gens: Seq[GenItem]) extends Op
   case class GroupOp(inputs: Seq[GroupInput], all: Boolean,

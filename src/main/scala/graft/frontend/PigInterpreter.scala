@@ -46,6 +46,12 @@ final class PigRunner(val spark: SparkSession) {
     * plan's predecessors). */
   private val aliasDeps =
     scala.collection.mutable.Map.empty[String, Seq[String]]
+  /** The defining Op per alias — lets ILLUSTRATE re-run the target's
+    * ancestor chain over a shared base sample (reference:
+    * ExampleGenerator re-executes the trimmed plan over sampled base
+    * data). SPLIT branches have no single Op and are absent. */
+  private val aliasOp =
+    scala.collection.mutable.Map.empty[String, Op]
   private var lastAlias: Option[String] = None
 
   /** Grouping provenance for aliases produced by GROUP/CUBE — enables the
@@ -71,14 +77,21 @@ final class PigRunner(val spark: SparkSession) {
       nestedDescribe(alias)
     else env(alias).describeString()
 
-  /** ILLUSTRATE — the sanctioned APPROXIMATION of the reference's
-    * ExampleGenerator (P/pen/ExampleGenerator.java; SURVEY: "skip or
-    * approximate"): walks the target's dataflow ancestors in definition
-    * order and prints up to `rows` head-sample rows per alias in the
-    * reference's boxed-table format (DisplayExamples.DisplayTable).
-    * DIVERGENCE, documented: samples are per-alias heads, not
-    * lineage-coupled examples, and no synthetic rows are fabricated for
-    * empty intermediates. */
+  /** ILLUSTRATE — Spark re-expression of the reference's
+    * ExampleGenerator (P/pen/ExampleGenerator.java; Olston et al.,
+    * "Generating Example Data for Dataflow Programs", SIGMOD '09):
+    * the target's ancestor chain re-executes over ONE shared base
+    * sample (each LOAD head-limited), so intermediate examples are
+    * consistent consequences of the same base rows — the reference's
+    * "downstream" pass. When the sample is too thin to reach the
+    * target (a selective filter/join), the base sample GROWS and the
+    * chain re-runs — the augmentation step, except rows come from the
+    * real input rather than being synthesized (documented divergence:
+    * no fabricated records, no per-operator equivalence-class
+    * trimming). An alias that is empty on the FULL data stays empty —
+    * headers only, like the reference's empty-bag display. Tables
+    * print in the reference's boxed format
+    * (pen/util/DisplayExamples.java DisplayTable). */
   def illustrateText(target: String, rows: Int = 2): String = {
     env(target) // alias must exist (same 1003 error as DESCRIBE)
     val ancestors = {
@@ -89,12 +102,19 @@ final class PigRunner(val spark: SparkSession) {
       seen.toSet
     }
     val chain = aliasMap.keys.filter(ancestors).toSeq
+    val sampledEnv = illustrateSample(chain, target)
     chain.map { a =>
-      val rel = env(a)
+      val rel = sampledEnv.getOrElse(a, env(a))
       val st = rel.df.schema
       val headers = st.fields.map(f =>
         s"${f.name}:${Relation.pigFieldType(f)}").toSeq
-      val cells = rel.illustrateCells(rows)
+      // a thin sample can still miss an off-path alias (e.g. one input
+      // of a union) — show real full-data rows rather than nothing
+      val cells = {
+        val c = rel.illustrateCells(rows)
+        if (c.nonEmpty || (rel eq env(a))) c
+        else env(a).illustrateCells(rows)
+      }
       val widths = headers.zipWithIndex.map { case (h, i) =>
         math.max(5, (h.length +: cells.map(_(i).length)).max) }
       def line(total: Int) = "-" * total
@@ -108,6 +128,49 @@ final class PigRunner(val spark: SparkSession) {
       (line(total) +: header +: line(total) +: body :+ line(total))
         .mkString("\n")
     }.mkString("", "\n", "\n")
+  }
+
+  /** The ExampleGenerator "downstream + augment" pass: re-run `chain`
+    * (definition order) with every LOAD head-limited to a shared base
+    * sample, growing the sample until the TARGET has rows. Returns
+    * alias → sampled Relation; empty when the target is empty even on
+    * full data (headers-only display stands) or the chain cannot be
+    * safely re-run (self-assigned aliases, SPLIT branches — those fall
+    * back to full-data heads). */
+  private def illustrateSample(chain: Seq[String],
+                               target: String): Map[String, Relation] = {
+    val fullHasRows =
+      try !env(target).df.isEmpty catch { case _: Exception => false }
+    if (!fullHasRows) return Map.empty
+    val savedMeta = groupMeta.toMap
+    for (n <- Seq(20, 400, 8000)) {
+      val built = scala.collection.mutable.Map.empty[String, Relation]
+      try {
+        // force the bag-path FOREACH: the fused-agg shortcut reads the
+        // pre-group input captured at assign time, which is FULL data
+        groupMeta.clear()
+        chain.foreach { a =>
+          val rel = aliasOp.get(a) match {
+            case Some(op: LoadOp) =>
+              Relation(evalOp(op).df.limit(n), a)
+            case Some(op) if inputsOf(op).nonEmpty &&
+                !inputsOf(op).contains(a) &&
+                inputsOf(op).forall(built.contains) =>
+              // rebind just this op's inputs to their sampled twins
+              val saved = inputsOf(op).distinct.map(i => i -> env(i))
+              try {
+                saved.foreach { case (i, _) => env(i) = built(i) }
+                evalOp(op).as(a)
+              } finally saved.foreach { case (i, r) => env(i) = r }
+            case _ => env(a)
+          }
+          built(a) = rel
+        }
+        if (!built(target).df.isEmpty) return built.toMap
+      } catch { case _: Exception => return Map.empty }
+      finally { groupMeta.clear(); groupMeta ++= savedMeta }
+    }
+    Map.empty // selective even at 8000 base rows — full-data heads
   }
 
   private def inputsOf(op: Op): Seq[String] = op match {
@@ -130,7 +193,48 @@ final class PigRunner(val spark: SparkSession) {
     case CubeOp(in, _, _, _) => Seq(in)
     case AliasRef(in) => Seq(in)
     case ParallelOp(inner, _) => inputsOf(inner)
+    case PartitionOp(inner, _) => inputsOf(inner)
     case _ => Seq.empty
+  }
+
+  /** `PARTITION BY cls` — route the inner op's result through the user's
+    * Hadoop Partitioner (see [[graft.functions.CustomPartitioner]]). The
+    * routing key mirrors the reference's map-output key per operator:
+    * the group key for GROUP/COGROUP, the join key for JOIN, the whole
+    * row for DISTINCT. CROSS keys its shuffle with synthetic GFCross
+    * indices the user class never meaningfully sees — parsed, warned,
+    * dropped. A custom partitioner also suppresses GROUP+FOREACH agg
+    * fusion (the bagged group materializes and FOREACH aggregates
+    * narrowly within the routed partitions) — the reference likewise
+    * forfeits its combiner when a custom partitioner is set (PIG-4565),
+    * so both the result placement AND the no-map-side-combine cost
+    * shape match. */
+  private def customPartitioned(inner: Op, cls: String,
+                                nOpt: Option[Int]): Relation = {
+    val r = evalOp(inner)
+    val n = nOpt.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val keyOpt: Option[Column] = inner match {
+      case _: GroupOp | _: CubeOp => Some(col("group"))
+      case JoinOp(inputs, _, _) =>
+        // the first input's key exprs survive into the join output under
+        // their own names (only the right side renames on collision)
+        try Some(inputs.head._2.map(e => compile(e, r.df)) match {
+          case Seq(one) => one
+          case many     => struct(many: _*)
+        }) catch { case _: Exception => None }
+      case _: DistinctOp =>
+        Some(struct(r.df.columns.map(col).toIndexedSeq: _*))
+      case _ => None
+    }
+    keyOpt match {
+      case Some(k) => Relation(graft.functions.CustomPartitioner
+        .repartitionBy(r.df, k, cls, n, jarRegistry), r.name)
+      case None =>
+        System.err.println(s"[graft] PARTITION BY $cls on " +
+          s"${inner.getClass.getSimpleName}: no routable key — ignored")
+        r
+    }
   }
 
   /** Release persisted intermediates this runner's statements created
@@ -188,6 +292,7 @@ final class PigRunner(val spark: SparkSession) {
       }
       env(alias) = evalOp(op).as(alias)
       aliasDeps(alias) = inputsOf(op)
+      aliasOp(alias) = op
       meta match {
         case Some(m) => groupMeta(alias) = m
         case None    => groupMeta.remove(alias)
@@ -330,6 +435,15 @@ final class PigRunner(val spark: SparkSession) {
       val (bare, io) = StreamIo.decode(cmd)
       if (io.isTrivial) r.streamThrough(Seq("/bin/sh", "-c", bare), outSchema)
       else r.streamThroughIo(bare, outSchema, io)
+
+    case ParallelOp(PartitionOp(innerOp, cls), n) =>
+      // grammar order is `PARTITION BY cls PARALLEL n`: the reducer
+      // count feeds the user partitioner — a plain repartition(n) after
+      // routing would destroy the routing
+      customPartitioned(innerOp, cls, Some(n))
+
+    case PartitionOp(innerOp, cls) =>
+      customPartitioned(innerOp, cls, None)
 
     case ParallelOp(innerOp, n) =>
       // PARALLEL n → explicit post-op partitioning (reference:

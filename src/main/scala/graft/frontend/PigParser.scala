@@ -245,6 +245,13 @@ object PigParser {
       sb.toString
     }
 
+    /** trailing `PARTITION BY customPartitionerClass` clause
+      * (QueryParser.g partition_clause — GROUP/COGROUP/JOIN/CROSS/
+      * DISTINCT). Grammar order: PARTITION BY precedes PARALLEL. */
+    def maybePartition(op: Op): Op =
+      if (eatKw("PARTITION")) { expectKw("BY"); PartitionOp(op, dottedName()) }
+      else op
+
     /** trailing `PARALLEL n` clause (QueryParser.g parallel_clause) */
     def maybeParallel(op: Op): Op =
       if (eatKw("PARALLEL")) advance() match {
@@ -370,10 +377,7 @@ object PigParser {
           // for co-located/sorted loaders — LOCogroup GROUPTYPE): accepted,
           // semantics identical; Catalyst owns the physical grouping.
           val using = if (eatKw("USING")) Some(str()) else None
-          // PARTITION BY customPartitionerClass: DataFrames cannot inject a
-          // custom partitioner (SURVEY §4.2) — parse and ignore.
-          if (eatKw("PARTITION")) { expectKw("BY"); dottedName() }
-          GroupOp(inputs.toSeq, all = false, using)
+          maybePartition(GroupOp(inputs.toSeq, all = false, using))
         }
       case Kw("JOIN") =>
         advance()
@@ -394,12 +398,12 @@ object PigParser {
             usingStrategy = Some(str())
           } else more = false
         }
-        JoinOp(inputs.toSeq, joinType, usingStrategy)
+        maybePartition(JoinOp(inputs.toSeq, joinType, usingStrategy))
       case Kw("CROSS") =>
         advance()
         val ins = ArrayBuffer(ident())
         while (eatSym(",")) ins += ident()
-        CrossOp(ins.toSeq)
+        maybePartition(CrossOp(ins.toSeq))
       case Kw("MAPREDUCE") | Kw("NATIVE") => // escape hatch (QueryParser.g:490)
         advance(); val jar = str()
         expectKw("STORE"); val sa = ident(); expectKw("INTO"); val sp = str()
@@ -437,7 +441,7 @@ object PigParser {
           case Lit(v: Long) => LimitOp(in, v)
           case e            => LimitExprOp(in, e)
         }
-      case Kw("DISTINCT") => advance(); DistinctOp(ident())
+      case Kw("DISTINCT") => advance(); maybePartition(DistinctOp(ident()))
       case Kw("UNION") =>
         advance()
         val on = eatKw("ONSCHEMA")

@@ -120,6 +120,21 @@ object JarUdfs {
   def canResolve(registry: Registry, name: String): Boolean =
     resolve(registry, name).isDefined
 
+  /** Resolve ANY class (not just EvalFuncs) from the session's jars —
+    * custom partitioners, comparators. Same precedence: exact FQN hit
+    * first, then first simple-name hit in registration order. */
+  private[functions] def resolveClass(registry: Registry, name: String)
+      : Option[(String, String, String)] = {
+    val simple = name.split('.').last.toLowerCase
+    val hits =
+      for {
+        (jar, ver, classes) <- registry.entries.asScala.toSeq
+        c <- classes
+        if c.equalsIgnoreCase(name) || c.split('.').last.toLowerCase == simple
+      } yield (jar, ver, c)
+    hits.find(_._3.equalsIgnoreCase(name)).orElse(hits.headOption)
+  }
+
   /** Build the Column for a call to a registered-jar EvalFunc — or None
     * when no registered jar provides the name. */
   def columnFor(spark: SparkSession, registry: Registry, name: String,
@@ -325,6 +340,9 @@ object JarUdfs {
     * BAGS (Pig has no array type: a grouped relation's bag argument is
     * what `(DataBag) input.get(0)` unwraps in every reference-era UDF).
     * Non-struct array elements wrap as 1-field tuples, the Pig rule. */
+  /** [[toJava]] for sibling bridges (CustomPartitioner keys). */
+  private[functions] def toPig(v: AnyRef): AnyRef = toJava(v)
+
   private def toJava(v: AnyRef): AnyRef = v match {
     case null => null
     case s: scala.collection.Seq[_] =>

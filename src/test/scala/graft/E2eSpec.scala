@@ -453,14 +453,23 @@ class E2eSpec extends SparkSpec {
       "CreateMap", "Fred", "NonAlgNonAccCount", "IteratingAccumulatorCount",
       "IteratingAccumulatorSum", "IteratingAccumulatorIsEmpty",
       "GoodMonitored", "BadMonitored")
+    // the Partitioner group's custom partitioner lives under utils/ and
+    // needs the hadoop Partitioner + Writable on the compile classpath
+    val utilsHome = "/root/reference/test/e2e/pig/udfs/java/org/apache/pig/test/utils"
+    val utilClasses = Seq("SimpleCustomPartitioner2")
     val tmp = Files.createTempDirectory("pig_testudf").toFile
     val clsDir = new java.io.File(tmp, "classes"); clsDir.mkdirs()
-    val facadeCp = classOf[org.apache.pig.EvalFunc[_]]
-      .getProtectionDomain.getCodeSource.getLocation.getPath
+    def cpOf(c: Class[_]) =
+      c.getProtectionDomain.getCodeSource.getLocation.getPath
+    val cp = Seq(cpOf(classOf[org.apache.pig.EvalFunc[_]]),
+      cpOf(classOf[org.apache.hadoop.mapreduce.Partitioner[_, _]]),
+      cpOf(classOf[org.apache.hadoop.io.Writable]))
+      .distinct.mkString(java.io.File.pathSeparator)
     val javac = javax.tools.ToolProvider.getSystemJavaCompiler
     val rc = javac.run(null, null, null,
-      Seq("-cp", facadeCp, "-d", clsDir.getPath) ++
-        classes.map(c => s"$srcHome/$c.java"): _*)
+      Seq("-cp", cp, "-d", clsDir.getPath) ++
+        classes.map(c => s"$srcHome/$c.java") ++
+        utilClasses.map(c => s"$utilsHome/$c.java"): _*)
     assert(rc == 0, "reference test-UDF javac against the facade failed")
     val jar = new java.io.File(tmp, "testudf.jar")
     val jos = new java.util.jar.JarOutputStream(
@@ -481,7 +490,11 @@ class E2eSpec extends SparkSpec {
       ("SecondarySort", 9), ("EvalFunc", 5), ("Foreach", 7),
       ("Foreach", 12), ("Lineage", 4), ("Accumulator", 7),
       ("Accumulator", 8), ("MonitoredUDF", 1), ("MonitoredUDF", 2),
-      ("MonitoredUDF", 3))
+      ("MonitoredUDF", 3),
+      // GROUP ... PARTITION BY SimpleCustomPartitioner2 parallel 2 —
+      // the reference can only run this on a cluster ('execonly'); the
+      // custom-partitioner re-expression runs it locally
+      ("Partitioner", 1))
     val all = extract(confPath, None, "(?!x)x".r, skip = "(?!x)x".r)
     val sel = all.collect {
       case (g, n, s) if wanted((g, n)) =>

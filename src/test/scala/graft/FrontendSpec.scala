@@ -455,13 +455,23 @@ class FrontendSpec extends SparkSpec {
     assert(runner("r").df.count() == nWithSupp)
   }
 
-  test("GROUP USING 'collected' / PARTITION BY are accepted as hints") {
+  test("GROUP USING 'collected' is accepted as a hint; PARTITION BY a " +
+       "missing class fails at plan time (reference: " +
+       "MapReducePartitionerWrapper resolves the class eagerly)") {
     val out = PigRunner(spark).run(s"""
       o = LOAD '$dir/orders.parquet';
-      g = GROUP o BY o_custkey USING 'collected' PARTITION BY org.my.Part;
+      g = GROUP o BY o_custkey USING 'collected';
       r = FOREACH g GENERATE group AS k, COUNT(o) AS n;
     """).apply("r").df
     assert(out.count() == sf("orders").select("o_custkey").distinct().count())
+    // a typo'd partitioner class must not be silently dropped
+    val e = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        o = LOAD '$dir/orders.parquet';
+        g = GROUP o BY o_custkey PARTITION BY org.my.Part;
+      """)
+    }
+    assert(String.valueOf(e.getMessage).contains("org.my.Part"), e.toString)
   }
 
   test("LIMIT with a scalar expression argument") {

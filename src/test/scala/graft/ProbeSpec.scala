@@ -210,6 +210,36 @@ class ProbeSpec extends SparkSpec {
     assert(emptyOut.contains("k:int") && emptyOut.contains("v:chararray"))
   }
 
+  test("ILLUSTRATE examples are lineage-coupled: aggregates reflect the " +
+       "shared base sample; a selective filter grows it or falls back") {
+    val dir = tmp()
+    Files.write(Paths.get(dir, "big.tsv"),
+      (1 to 10000).map(i => s"$i\tv$i").mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    val r = runner()
+    r.run(s"""
+      a = LOAD '$dir/big.tsv' AS (k:int, v:chararray);
+      g = GROUP a ALL;
+      c = FOREACH g GENERATE COUNT(a) AS n;
+      f = FILTER a BY k > 25;
+      deep = FILTER a BY k > 9990;
+    """)
+    // the COUNT example is computed over the ~20-row base sample the
+    // whole chain shares (ExampleGenerator's downstream pass), not the
+    // full 10000-row input
+    val cOut = r.illustrateText("c")
+    assert(cOut.contains("| 20 "), cOut.linesIterator.toSeq.takeRight(3)
+      .mkString("\n"))
+    // k > 25 is empty on a 20-row sample: the base sample must GROW
+    // until the filter yields examples (augmentation without synthesis)
+    val fOut = r.illustrateText("f")
+    assert(fOut.linesIterator.exists(l => l.contains("| 26 ")), fOut)
+    // selective beyond any sample tier: real full-data rows, never an
+    // empty table for a nonempty alias
+    val dOut = r.illustrateText("deep")
+    assert(dOut.linesIterator.exists(l => l.contains("| 9991 ")), dOut)
+  }
+
   // ---- round-9b battery: BuildBloom/Bloom pair, exec barrier, cache()
   private val sfdir = "/root/testdata/sf0.001"
 test("P1: BuildBloom/Bloom over a COMPOUND key") {

@@ -278,6 +278,125 @@ class ScriptingUdfSpec extends SparkSpec {
     assert(e.getMessage.contains("ERROR 101"))
   }
 
+  // ------------------------------------------------- custom partitioner
+
+  /** Compile a deterministic key%n partitioner against the facade +
+    * hadoop (reference shape: test/e2e/.../SimpleCustomPartitioner2
+    * extends Partitioner<PigNullableWritable, Writable>). */
+  private lazy val partitionerJar: String = {
+    val tmp = Files.createTempDirectory("graft_part").toFile
+    val src = new File(tmp, "ModPartitioner.java")
+    Files.write(src.toPath,
+      """import org.apache.hadoop.io.Writable;
+        |import org.apache.hadoop.mapreduce.Partitioner;
+        |import org.apache.pig.impl.io.PigNullableWritable;
+        |public class ModPartitioner
+        |    extends Partitioner<PigNullableWritable, Writable> {
+        |  @Override
+        |  public int getPartition(PigNullableWritable key, Writable value,
+        |                          int n) {
+        |    Object v = key.getValueAsPigType();
+        |    if (v instanceof Number)
+        |      return (int) (((Number) v).longValue() % n);
+        |    return (key.hashCode() & Integer.MAX_VALUE) % n;
+        |  }
+        |}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    // a misbehaving partitioner: returns the RAW key as the partition
+    // id, so any key >= n exercises the illegal-partition guard
+    val bad = new File(tmp, "RawKeyPartitioner.java")
+    Files.write(bad.toPath,
+      """import org.apache.hadoop.io.Writable;
+        |import org.apache.hadoop.mapreduce.Partitioner;
+        |import org.apache.pig.impl.io.PigNullableWritable;
+        |public class RawKeyPartitioner
+        |    extends Partitioner<PigNullableWritable, Writable> {
+        |  @Override
+        |  public int getPartition(PigNullableWritable key, Writable value,
+        |                          int n) {
+        |    return (int) ((Number) key.getValueAsPigType()).longValue();
+        |  }
+        |}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val cls = new File(tmp, "classes"); cls.mkdirs()
+    def cpOf(c: Class[_]) =
+      c.getProtectionDomain.getCodeSource.getLocation.getPath
+    val cp = Seq(cpOf(classOf[org.apache.pig.EvalFunc[_]]),
+      cpOf(classOf[org.apache.hadoop.mapreduce.Partitioner[_, _]]),
+      cpOf(classOf[org.apache.hadoop.io.Writable]))
+      .distinct.mkString(File.pathSeparator)
+    assert(javax.tools.ToolProvider.getSystemJavaCompiler.run(null, null,
+      null, "-cp", cp, "-d", cls.getPath, src.getPath, bad.getPath) == 0,
+      "partitioner javac failed")
+    val jar = new File(tmp, "partitioner.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      new java.io.FileOutputStream(jar))
+    Seq("ModPartitioner.class", "RawKeyPartitioner.class").foreach { n =>
+      jos.putNextEntry(new java.util.jar.JarEntry(n))
+      jos.write(Files.readAllBytes(new File(cls, n).toPath))
+      jos.closeEntry()
+    }
+    jos.close()
+    jar.getPath
+  }
+
+  test("GROUP ... PARTITION BY customPartitioner PARALLEL n routes each " +
+       "group to the partition the user class picks") {
+    val runner = PigRunner(spark).run(s"""
+      REGISTER '$partitionerJar';
+      n = LOAD '$dir/nation.parquet';
+      g = GROUP n BY n_regionkey PARTITION BY ModPartitioner PARALLEL 3;
+      c = FOREACH g GENERATE group, COUNT(n) AS cnt;
+    """)
+    // placement: every group-key row sits in partition key % 3
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    val placed = runner("g").df
+      .select(col("group"), spark_partition_id().as("pid")).collect()
+    assert(placed.length == 5)
+    placed.foreach { r =>
+      assert(r.getInt(1) == (r.getAs[Number](0).longValue % 3).toInt,
+        s"group ${r.get(0)} in partition ${r.get(1)}")
+    }
+    assert(runner("g").df.rdd.getNumPartitions == 3)
+    // content: identical to an unpartitioned GROUP + COUNT
+    val got = runner("c").df.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).sorted.toSeq
+    val want = spark.read.parquet(s"$dir/nation.parquet")
+      .groupBy("n_regionkey").count().collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("JOIN/DISTINCT accept PARTITION BY; out-of-range partition ids " +
+       "fail loudly (MR 'Illegal partition' contract)") {
+    val runner = PigRunner(spark).run(s"""
+      REGISTER '$partitionerJar';
+      n = LOAD '$dir/nation.parquet';
+      r = LOAD '$dir/region.parquet';
+      j = JOIN n BY n_regionkey, r BY r_regionkey PARTITION BY ModPartitioner PARALLEL 2;
+      d = FOREACH n GENERATE n_regionkey;
+      dd = DISTINCT d PARTITION BY ModPartitioner PARALLEL 5;
+    """)
+    assert(runner("j").df.count() == 25)
+    assert(runner("j").df.rdd.getNumPartitions == 2)
+    // DISTINCT routes by the whole row (here a 1-col row; hash path)
+    assert(runner("dd").df.collect()
+      .map(_.getAs[Number](0).longValue).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+    // a partitioner returning pid >= n must fail, not wrap silently
+    val e = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        REGISTER '$partitionerJar';
+        n = LOAD '$dir/nation.parquet';
+        g = GROUP n BY n_regionkey PARTITION BY RawKeyPartitioner PARALLEL 2;
+      """).apply("g").df.count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("Illegal partition")), e.toString)
+  }
+
   test("unknown dotted function still fails loudly") {
     val e = intercept[Exception] {
       PigRunner(spark).run(s"""

@@ -41,4 +41,21 @@ public class DataType {
         if (o instanceof DataBag) return BAG;
         return ERROR;
     }
+
+    /** Pig's value ordering (reference DataType.compare): null sorts
+     *  first; values of DIFFERENT types order by type code; same-type
+     *  values order naturally. The rule Tuple.compareTo and custom
+     *  ComparisonFuncs build on. */
+    @SuppressWarnings({"unchecked", "rawtypes"})
+    public static int compare(Object a, Object b) {
+        byte ta = findType(a), tb = findType(b);
+        if (ta != tb) return ta < tb ? -1 : 1;
+        if (a == null) return 0; // both null
+        if (a instanceof byte[])
+            return java.util.Arrays.compare((byte[]) a, (byte[]) b);
+        if (a instanceof Comparable)
+            return ((Comparable) a).compareTo(b);
+        // maps/bags: size first, then a stable textual fallback
+        return String.valueOf(a).compareTo(String.valueOf(b));
+    }
 }

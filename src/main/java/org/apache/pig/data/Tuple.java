@@ -8,7 +8,8 @@ import org.apache.pig.backend.executionengine.ExecException;
  * src/org/apache/pig/data/Tuple.java) — the methods user EvalFuncs
  * actually call on their input.
  */
-public interface Tuple extends java.io.Serializable, Iterable<Object> {
+public interface Tuple
+        extends java.io.Serializable, Iterable<Object>, Comparable<Object> {
     int size();
     Object get(int fieldNum) throws ExecException;
     List<Object> getAll();

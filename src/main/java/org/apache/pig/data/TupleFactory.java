@@ -55,6 +55,22 @@ public abstract class TupleFactory {
         public boolean isNull(int i) throws ExecException { return get(i) == null; }
         public byte getType(int i) throws ExecException { return DataType.findType(get(i)); }
         public Iterator<Object> iterator() { return fields.iterator(); }
+        /** Reference DefaultTuple.compareTo: size first, then
+         *  field-by-field under DataType.compare. */
+        public int compareTo(Object o) {
+            if (!(o instanceof Tuple)) return -1;
+            Tuple t = (Tuple) o;
+            if (fields.size() != t.size())
+                return fields.size() < t.size() ? -1 : 1;
+            List<Object> other = t.getAll();
+            for (int i = 0; i < fields.size(); i++) {
+                int c = DataType.compare(fields.get(i), other.get(i));
+                if (c != 0) return c;
+            }
+            return 0;
+        }
+        @Override public boolean equals(Object o) { return compareTo(o) == 0; }
+        @Override public int hashCode() { return fields.hashCode(); }
         @Override public String toString() { return "(" + fields + ")"; }
     }
 }

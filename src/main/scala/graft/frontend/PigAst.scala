@@ -42,7 +42,8 @@ object PigAst {
     * bag-field path like `li.l_quantity`, or a previous inner alias). */
   sealed trait InnerOp
   case class InnerFilter(src: String, cond: Expr) extends InnerOp
-  case class InnerOrder(src: String, keys: Seq[(Expr, Boolean)]) extends InnerOp
+  case class InnerOrder(src: String, keys: Seq[(Expr, Boolean)],
+                        comparator: Option[String] = None) extends InnerOp
   case class InnerLimit(src: String, n: Long) extends InnerOp
   /** Nested LIMIT with a scalar expression — per GROUP, so e.g.
     * `LIMIT s COUNT(o) * 0.1` is a top-10%-of-group cut. */

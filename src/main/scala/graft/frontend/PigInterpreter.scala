@@ -502,18 +502,22 @@ final class PigRunner(val spark: SparkSession) {
           (an, a.cross(Relation(bdf, bn)))
       }._2
 
-    case OrderOp(in, keys, comparator) =>
-      // USING comparatorClass cannot run here: a Java ComparisonFunc is a
-      // black box Catalyst can neither range-partition nor codegen by.
-      // Fail loudly with the migration recipe instead of silently sorting
-      // by the raw keys (reference: ComparisonFunc.java, deprecated there
-      // too — Pig itself steers users to ORDER BY keys).
-      comparator.foreach { c =>
-        throw new UnsupportedOperationException(
-          s"ORDER ... USING '$c' (custom comparator) is not supported: " +
-          "re-express the comparator as a computed sort KEY and use " +
-          "ORDER BY that key (DSL: Relation.sortByComputedKey)")
+    case OrderOp(in, keys, Some(cls)) =>
+      // USING comparatorClass: a black box Catalyst can neither
+      // range-partition nor codegen by — ONE RDD sortBy under the user
+      // ordering instead (ComparatorSort.orderBy: sampled range
+      // partitioning + in-partition sort, the reference's
+      // WeightedRangePartitioner + reduce comparator shape). BY *
+      // passes the whole row flat, like the reference.
+      val r = env(in)
+      val keyCols = keys.flatMap {
+        case (Star, _) => r.df.columns.toSeq.map(col)
+        case (e, _)    => Seq(compile(e, r.df))
       }
+      Relation(graft.functions.ComparatorSort.orderBy(
+        r.df, keyCols, cls, jarRegistry), r.name)
+
+    case OrderOp(in, keys, None) =>
       val r = env(in)
       r.orderBy(keys.map { case (e, asc) =>
         val c = compile(e, r.df); if (asc) c.asc else c.desc }: _*)
@@ -1114,7 +1118,7 @@ final class PigRunner(val spark: SparkSession) {
       val meta = groupMeta.getOrElse(inAlias,
         bad(s"FOREACH input $inAlias has no grouping provenance"))
       val ordKeys = inner match {
-        case Seq((a, InnerOrder(src, ks))) if a == ordName =>
+        case Seq((a, InnerOrder(src, ks, None))) if a == ordName =>
           if (src != meta.bagName)
             bad(s"nested ORDER must sort the grouped bag ${meta.bagName}")
           ks
@@ -1249,7 +1253,7 @@ final class PigRunner(val spark: SparkSession) {
     inner.foreach { case (alias, op) =>
       val s = op match {
         case InnerFilter(s0, _)    => elem(s0)
-        case InnerOrder(s0, _)     => elem(s0)
+        case InnerOrder(s0, _, _)  => elem(s0)
         case InnerLimit(s0, _)     => elem(s0)
         case InnerLimitExpr(s0, _) => elem(s0)
         case InnerDistinct(s0)     => elem(s0)
@@ -1343,7 +1347,34 @@ final class PigRunner(val spark: SparkSession) {
               transform(kept, t => t.getField(f))
             case None => kept
           }
-        case InnerOrder(src, keys) =>
+        case InnerOrder(src, keys, Some(cls)) =>
+          // user ComparisonFunc over each bag: wrap elements as
+          // (element, key...) structs, sort in a udf with the
+          // comparator, unwrap (ComparatorSort.sortBagBy)
+          val (bag, st, wrapped) = bagAsTuples(src)
+          // BY * flattens to one key per element field — the reference
+          // hands the element tuple itself to compare(), so t1.get(0)
+          // must be the element's FIRST FIELD, not a nested tuple
+          val keyFns: Seq[Column => Column] = keys.flatMap {
+            case (Star, _) =>
+              st.fieldNames.toSeq.map(f => (t: Column) => t.getField(f))
+            case (e, _) =>
+              Seq((t: Column) => compileLambda(e, t, st))
+          }
+          val keyed = transform(bag, t => struct(
+            (t.as("__e") +: keyFns.zipWithIndex.map { case (f, i) =>
+              f(t).as(s"__k$i")
+            }).toIndexedSeq: _*))
+          val kt = typeOf(keyed, df).asInstanceOf[ArrayType]
+          val sorted = graft.functions.ComparatorSort.sortBagBy(
+            spark, keyed, kt, cls, jarRegistry)
+          wrapped match {
+            case Some(f) =>
+              nestedElem += alias -> f
+              transform(sorted, t => t.getField(f))
+            case None => sorted
+          }
+        case InnerOrder(src, keys, None) =>
           typeOf(bagOf(src), df) match {
             case ArrayType(_: StructType, _) =>
               val st = elemSchema(src)
@@ -1459,7 +1490,7 @@ final class PigRunner(val spark: SparkSession) {
         case InnerDistinct(src)     => inherit(src)
         case InnerLimit(src, _)     => inherit(src)
         case InnerLimitExpr(src, _) => inherit(src)
-        case InnerOrder(src, _)     => inherit(src)
+        case InnerOrder(src, _, _)  => inherit(src)
         case _                      => ()
       }
     }

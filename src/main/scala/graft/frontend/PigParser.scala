@@ -302,7 +302,12 @@ object PigParser {
                 InnerFilter(src, orExpr())
               case Kw("ORDER") =>
                 advance(); val src = dottedName(); expectKw("BY")
-                InnerOrder(src, orderKeys())
+                val ks = orderKeys()
+                val cmp = if (eatKw("USING")) Some(cur match {
+                  case StrLit(_) => str()
+                  case _         => dottedName()
+                }) else None
+                InnerOrder(src, ks, cmp)
               case Kw("LIMIT") =>
                 advance(); val src = dottedName()
                 expr() match {

@@ -457,6 +457,8 @@ class E2eSpec extends SparkSpec {
     // needs the hadoop Partitioner + Writable on the compile classpath
     val utilsHome = "/root/reference/test/e2e/pig/udfs/java/org/apache/pig/test/utils"
     val utilClasses = Seq("SimpleCustomPartitioner2")
+    val orderbyHome = "/root/reference/test/e2e/pig/udfs/java/org/apache/pig/test/udf/orderby"
+    val orderbyClasses = Seq("OrdDesc")
     val tmp = Files.createTempDirectory("pig_testudf").toFile
     val clsDir = new java.io.File(tmp, "classes"); clsDir.mkdirs()
     def cpOf(c: Class[_]) =
@@ -469,7 +471,8 @@ class E2eSpec extends SparkSpec {
     val rc = javac.run(null, null, null,
       Seq("-cp", cp, "-d", clsDir.getPath) ++
         classes.map(c => s"$srcHome/$c.java") ++
-        utilClasses.map(c => s"$utilsHome/$c.java"): _*)
+        utilClasses.map(c => s"$utilsHome/$c.java") ++
+        orderbyClasses.map(c => s"$orderbyHome/$c.java"): _*)
     assert(rc == 0, "reference test-UDF javac against the facade failed")
     val jar = new java.io.File(tmp, "testudf.jar")
     val jos = new java.util.jar.JarOutputStream(
@@ -494,7 +497,12 @@ class E2eSpec extends SparkSpec {
       // GROUP ... PARTITION BY SimpleCustomPartitioner2 parallel 2 —
       // the reference can only run this on a cluster ('execonly'); the
       // custom-partitioner re-expression runs it locally
-      ("Partitioner", 1))
+      ("Partitioner", 1),
+      // ORDER ... USING OrdDesc, top-level (by *, $0, compound) and
+      // nested-in-FOREACH — the reference 'ignore's 10-12 on its own
+      // Spark engine ("order by UDF is not supported")
+      ("Order", 10), ("Order", 11), ("Order", 12),
+      ("Order", 15), ("Order", 16))
     val all = extract(confPath, None, "(?!x)x".r, skip = "(?!x)x".r)
     val sel = all.collect {
       case (g, n, s) if wanted((g, n)) =>

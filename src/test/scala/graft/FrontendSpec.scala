@@ -775,14 +775,15 @@ class FrontendSpec extends SparkSpec {
     assert(ex.getMessage.contains("exit 3"))
   }
 
-  test("ORDER USING comparator errors with the migration recipe") {
-    val ex = intercept[UnsupportedOperationException] {
+  test("ORDER USING a missing comparator class fails at plan time") {
+    val ex = intercept[Exception] {
       PigRunner(spark).run(s"""
         n = LOAD '$dir/nation.parquet';
         s = ORDER n BY n_name USING 'org.example.MyComparator';
       """)
     }
-    assert(ex.getMessage.contains("sortByComputedKey"))
+    assert(String.valueOf(ex.getMessage).contains("org.example.MyComparator"),
+      ex.toString)
   }
 
   test("JOIN USING 'merge-sparse': bloom key-filter on the right scan, " +

@@ -251,4 +251,50 @@ class HardeningSpec extends SparkSpec {
     assert(out.map(_.getDouble(3)).distinct.length == 1 &&
       out.head.getDouble(3) > 0)
   }
+
+  test("ORDER USING ComparisonFunc at 4M rows: exact total order via " +
+       "sampled range partitioning, distributed (no 1-partition sort)") {
+    val n = 4_000_000L
+    // xxhash-scrambled input so no pre-existing order helps
+    val df = spark.range(n)
+      .repartition(32, xxhash64(col("id")))
+      .select(col("id").as("v"))
+    val sorted = graft.functions.ComparatorSort.orderBy(
+      df, Seq(col("v")), classOf[DescLongCmp].getName,
+      new graft.functions.JarUdfs.Registry)
+    assert(sorted.rdd.getNumPartitions > 1,
+      "comparator sort must range-partition, not funnel to one task")
+    // exact descending permutation: per-partition runs are internally
+    // descending AND partition boundaries nest (range partitioning)
+    val perPart = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var cnt = 0L; var first = Long.MinValue; var last = 0L
+      var prev = Long.MaxValue; var ordered = true
+      it.foreach { r =>
+        val v = r.getLong(0)
+        if (cnt == 0) first = v
+        if (v >= prev) ordered = false
+        prev = v; last = v; cnt += 1
+      }
+      Iterator.single((i, cnt, first, last, ordered))
+    }.collect().filter(_._2 > 0).sortBy(_._1)
+    assert(perPart.map(_._2).sum == n)
+    assert(perPart.forall(_._5), "a partition is not internally sorted")
+    // boundaries: partition i's last value > partition i+1's first
+    perPart.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 > b._3,
+        s"range boundary violated between partitions ${a._1} and ${b._1}")
+      case _ => ()
+    }
+    assert(perPart.head._3 == n - 1 && perPart.last._4 == 0L)
+  }
+}
+
+/** Classpath-resolved comparator for the hardening test (the jar path
+  * is exercised by ScriptingUdfSpec/E2eSpec). */
+class DescLongCmp extends org.apache.pig.ComparisonFunc {
+  override def compare(t1: org.apache.pig.data.Tuple,
+                       t2: org.apache.pig.data.Tuple): Int =
+    java.lang.Long.compare(
+      t2.get(0).asInstanceOf[java.lang.Long],
+      t1.get(0).asInstanceOf[java.lang.Long])
 }

@@ -318,6 +318,17 @@ class ScriptingUdfSpec extends SparkSpec {
         |  }
         |}
         |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    // a ComparisonFunc (reference OrdDesc shape) riding the same jar
+    val cmp = new File(tmp, "DescCmp.java")
+    Files.write(cmp.toPath,
+      """import org.apache.pig.ComparisonFunc;
+        |import org.apache.pig.data.Tuple;
+        |public class DescCmp extends ComparisonFunc {
+        |  public int compare(Tuple t1, Tuple t2) {
+        |    return t2.compareTo(t1);
+        |  }
+        |}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
     val cls = new File(tmp, "classes"); cls.mkdirs()
     def cpOf(c: Class[_]) =
       c.getProtectionDomain.getCodeSource.getLocation.getPath
@@ -326,18 +337,44 @@ class ScriptingUdfSpec extends SparkSpec {
       cpOf(classOf[org.apache.hadoop.io.Writable]))
       .distinct.mkString(File.pathSeparator)
     assert(javax.tools.ToolProvider.getSystemJavaCompiler.run(null, null,
-      null, "-cp", cp, "-d", cls.getPath, src.getPath, bad.getPath) == 0,
+      null, "-cp", cp, "-d", cls.getPath, src.getPath, bad.getPath,
+      cmp.getPath) == 0,
       "partitioner javac failed")
     val jar = new File(tmp, "partitioner.jar")
     val jos = new java.util.jar.JarOutputStream(
       new java.io.FileOutputStream(jar))
-    Seq("ModPartitioner.class", "RawKeyPartitioner.class").foreach { n =>
+    Seq("ModPartitioner.class", "RawKeyPartitioner.class",
+        "DescCmp.class").foreach { n =>
       jos.putNextEntry(new java.util.jar.JarEntry(n))
       jos.write(Files.readAllBytes(new File(cls, n).toPath))
       jos.closeEntry()
     }
     jos.close()
     jar.getPath
+  }
+
+  test("ORDER BY ... USING a ComparisonFunc: total sort under the user " +
+       "comparator, top-level ($0, *) and nested-in-FOREACH") {
+    val runner = PigRunner(spark).run(s"""
+      REGISTER '$partitionerJar';
+      n = LOAD '$dir/nation.parquet';
+      s = ORDER n BY n_nationkey USING DescCmp;
+      w = ORDER n BY * USING DescCmp;
+      g = GROUP n BY n_regionkey;
+      f = FOREACH g { srt = ORDER n BY n_name USING DescCmp;
+                      GENERATE group, srt.n_name AS names; }
+    """)
+    def keyseq(alias: String): Seq[Long] =
+      runner(alias).df.collect()
+        .map(_.getAs[Number]("n_nationkey").longValue).toSeq
+    assert(keyseq("s") == (0L until 25L).reverse, "BY $0 USING DescCmp")
+    // BY * passes the whole row; first field dominates → same order
+    assert(keyseq("w") == (0L until 25L).reverse, "BY * USING DescCmp")
+    // nested: each group's bag is name-descending
+    runner("f").df.collect().foreach { r =>
+      val names = r.getSeq[String](1)
+      assert(names == names.sorted.reverse, s"group ${r.get(0)}: $names")
+    }
   }
 
   test("GROUP ... PARTITION BY customPartitioner PARALLEL n routes each " +

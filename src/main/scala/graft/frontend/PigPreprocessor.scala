@@ -123,12 +123,17 @@ object PigPreprocessor {
           case MacroDef(name, m)      => macros(name) = m
           case CmdDef(name, c)        => cmdDefines(name) = c
           case FuncDef(name, f, args) =>
-            // a DOTTED class outside the reference's own packages is a
-            // REGISTER'd user-jar EvalFunc: its ctor args need the
-            // explicit CtorMark boundary (the engine's builtins instead
-            // consume plainly-appended ctor literals positionally)
+            // a DOTTED class outside the reference's own BUILTIN
+            // namespaces is a REGISTER'd user-jar EvalFunc: its ctor
+            // args need the explicit CtorMark boundary (builtins/
+            // piggybank instead consume plainly-appended ctor literals
+            // positionally). Matching the whole org.apache.pig prefix
+            // here would misroute user classes that happen to live in
+            // that package (the reference's own test jars do).
+            val builtinNs = Seq("org.apache.pig.builtin.",
+              "org.apache.pig.impl.builtin.", "org.apache.pig.piggybank.")
             funcDefines(name) = (f.split('.').last, args,
-              f.contains(".") && !f.startsWith("org.apache.pig"))
+              f.contains(".") && !builtinNs.exists(f.startsWith))
         }
         // with a trailing ';' e points AT it (skip it); a brace-
         // terminated DEFINE's e is already one past '}' — drop exactly

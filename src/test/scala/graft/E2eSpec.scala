@@ -459,6 +459,8 @@ class E2eSpec extends SparkSpec {
     val utilClasses = Seq("SimpleCustomPartitioner2")
     val orderbyHome = "/root/reference/test/e2e/pig/udfs/java/org/apache/pig/test/udf/orderby"
     val orderbyClasses = Seq("OrdDesc")
+    val pigHome = "/root/reference/test/e2e/pig/udfs/java/org/apache/pig"
+    val pigClasses = Seq("TestingAccumulatorHelper")
     val tmp = Files.createTempDirectory("pig_testudf").toFile
     val clsDir = new java.io.File(tmp, "classes"); clsDir.mkdirs()
     def cpOf(c: Class[_]) =
@@ -472,7 +474,8 @@ class E2eSpec extends SparkSpec {
       Seq("-cp", cp, "-d", clsDir.getPath) ++
         classes.map(c => s"$srcHome/$c.java") ++
         utilClasses.map(c => s"$utilsHome/$c.java") ++
-        orderbyClasses.map(c => s"$orderbyHome/$c.java"): _*)
+        orderbyClasses.map(c => s"$orderbyHome/$c.java") ++
+        pigClasses.map(c => s"$pigHome/$c.java"): _*)
     assert(rc == 0, "reference test-UDF javac against the facade failed")
     val jar = new java.io.File(tmp, "testudf.jar")
     val jos = new java.util.jar.JarOutputStream(
@@ -502,7 +505,10 @@ class E2eSpec extends SparkSpec {
       // nested-in-FOREACH — the reference 'ignore's 10-12 on its own
       // Spark engine ("order by UDF is not supported")
       ("Order", 10), ("Order", 11), ("Order", 12),
-      ("Order", 15), ("Order", 16))
+      ("Order", 15), ("Order", 16),
+      // DEFINE'd AccumulatorEvalFunc with ctor args + the
+      // TerminatingAccumulator early-exit surface
+      ("Accumulator", 5), ("Accumulator", 6))
     val all = extract(confPath, None, "(?!x)x".r, skip = "(?!x)x".r)
     val sel = all.collect {
       case (g, n, s) if wanted((g, n)) =>

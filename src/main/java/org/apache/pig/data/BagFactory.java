@@ -30,6 +30,15 @@ public abstract class BagFactory {
         public long size() { return tuples.size(); }
         public void add(Tuple t) { tuples.add(t); }
         public Iterator<Tuple> iterator() { return tuples.iterator(); }
-        @Override public String toString() { return tuples.toString(); }
+        /** Pig literal form `{(…),(…)}` (reference DefaultAbstractBag
+         *  .toString) — UDFs stringify bags and expect this syntax. */
+        @Override public String toString() {
+            StringBuilder sb = new StringBuilder("{");
+            for (int i = 0; i < tuples.size(); i++) {
+                if (i > 0) sb.append(',');
+                sb.append(tuples.get(i));
+            }
+            return sb.append('}').toString();
+        }
     }
 }

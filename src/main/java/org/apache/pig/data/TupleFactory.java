@@ -71,6 +71,32 @@ public abstract class TupleFactory {
         }
         @Override public boolean equals(Object o) { return compareTo(o) == 0; }
         @Override public int hashCode() { return fields.hashCode(); }
-        @Override public String toString() { return "(" + fields + ")"; }
+        /** Pig literal form `(f1,f2,…)` with nested `{}`/`[]` syntax
+         *  (reference DefaultTuple.toString) — UDFs stringify tuples
+         *  (StringStore-style storers) and expect this exact shape. */
+        @Override public String toString() {
+            StringBuilder sb = new StringBuilder("(");
+            for (int i = 0; i < fields.size(); i++) {
+                if (i > 0) sb.append(',');
+                sb.append(render(fields.get(i)));
+            }
+            return sb.append(')').toString();
+        }
+        private static String render(Object v) {
+            if (v == null) return "";
+            if (v instanceof java.util.Map) {
+                StringBuilder sb = new StringBuilder("[");
+                boolean first = true;
+                for (java.util.Map.Entry<?, ?> e
+                        : ((java.util.Map<?, ?>) v).entrySet()) {
+                    if (!first) sb.append(',');
+                    first = false;
+                    sb.append(e.getKey()).append('#')
+                      .append(render(e.getValue()));
+                }
+                return sb.append(']').toString();
+            }
+            return v.toString(); // tuples/bags render themselves
+        }
     }
 }

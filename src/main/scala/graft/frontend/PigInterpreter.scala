@@ -984,6 +984,13 @@ final class PigRunner(val spark: SparkSession) {
           .option("sep", args.headOption.getOrElse(","))
           .option("quote", "\"").option("escape", "\"")
           .csv(path)
+      // a REGISTER'd jar StoreFunc: putNext-driven text output. Rows
+      // pass TYPED (bags arrive as DataBag, tuples as Tuple — the
+      // putNext contract), not pre-textified.
+      case Some((other, args))
+          if graft.functions.JarStorage.canStore(jarRegistry, other) =>
+        graft.functions.JarStorage.store(df, path, jarRegistry,
+          other, args)
       // any OTHER named function is not a StoreFunc this engine knows —
       // fail loudly (loaders like SequenceFileLoader/XMLLoader included):
       // silently writing the parquet default would corrupt a re-LOAD
@@ -991,7 +998,7 @@ final class PigRunner(val spark: SparkSession) {
         throw new IllegalArgumentException(
           s"$other is not a storage function (StoreFunc); supported: " +
           "PigStorage, JsonStorage, OrcStorage, AvroStorage, BinStorage, " +
-          "CSVExcelStorage, MultiStorage")
+          "CSVExcelStorage, MultiStorage, or a registered-jar StoreFunc")
       // a compression-suffixed path means compressed PigStorage TEXT in
       // the reference — honoring it beats this engine's parquet default
       case None if compressionFor(path).nonEmpty =>
@@ -1862,10 +1869,29 @@ final class PigRunner(val spark: SparkSession) {
         Relation.fixNanoTimestamps(spark.read.parquet(splitPaths(path): _*))
       case None =>
         spark.read.option("sep", "\t").csv(splitPaths(path): _*)
+      // a REGISTER'd jar LoadFunc: text-record loaders run verbatim
+      // through the line bridge (JarStorage; getNext per row). A
+      // parquet path (this engine's default intermediate format where
+      // the reference's was PigStorage text) is rendered to the tab
+      // lines the loader would have seen there.
+      case Some((other, args))
+          if graft.functions.JarStorage.canLoad(jarRegistry, other) =>
+        import spark.implicits._
+        val lines: org.apache.spark.sql.Dataset[String] =
+          if (looksParquet(path)) {
+            val pdf = textified(Relation.fixNanoTimestamps(
+              spark.read.parquet(splitPaths(path): _*)))
+            pdf.select(concat_ws("\t", pdf.columns.map(c =>
+              coalesce(col(c).cast(StringType), lit(""))).toIndexedSeq: _*))
+              .as[String]
+          } else spark.read.textFile(splitPaths(path): _*)
+        graft.functions.JarStorage.load(spark, jarRegistry,
+          lines, other, args, schema.map(_.length))
       case Some((other, _)) => throw new IllegalArgumentException(
         s"unknown loader $other (PigStorage, TextLoader, JsonLoader, " +
         "OrcStorage, AvroStorage, FixedWidthLoader, MyRegExLoader, " +
-        "SequenceFileLoader, CSVExcelStorage, XMLLoader)")
+        "SequenceFileLoader, CSVExcelStorage, XMLLoader, or a " +
+        "registered-jar LoadFunc)")
     }
     val df = schema match {
       case Some(fs) if using.exists(u => Set("PigStorage", "CSVExcelStorage",
@@ -1873,7 +1899,9 @@ final class PigRunner(val spark: SparkSession) {
                                          "RegExLoader", "SequenceFileLoader",
                                          "IndexedStorage", "TextLoader",
                                          "PigPerformanceLoader")
-                                         .contains(u._1)) ||
+                                         .contains(u._1) ||
+                         graft.functions.JarStorage
+                           .canLoad(jarRegistry, u._1)) ||
                        (using.isEmpty && !looksParquet(path)) =>
         // positional rename + LoadCaster casts (§1.4: failure → null);
         // a schema wider than the file null-pads the missing fields

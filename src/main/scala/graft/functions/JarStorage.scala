@@ -1,0 +1,218 @@
+package graft.functions
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.{RecordReader, RecordWriter, TaskAttemptContext}
+import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import org.apache.pig.{LoadFunc, StoreFuncInterface}
+import org.apache.pig.data.{DataBag, DataByteArray, Tuple}
+
+/** Registered-jar LoadFunc/StoreFunc bridge (reference: LoadFunc.java
+  * :64 + StoreFuncInterface.java; PigServer.registerJar makes them
+  * callable from `LOAD/STORE ... USING userClass()`). Scope: the
+  * LINE-ORIENTED family — loaders whose getInputFormat() is
+  * TextInputFormat (or a subclass), which covers PigStorage-derived
+  * and text-record loaders, the shape user jars overwhelmingly take.
+  * A loader demanding a different InputFormat fails loudly rather
+  * than misreading.
+  *
+  * Scale shape: the loader runs INSIDE mapPartitions over a plain
+  * text scan — per-split parallel, no driver funnel; the store side
+  * likewise renders per partition into a distributed text write. One
+  * driver-side probe of a single line fixes the schemaless column
+  * count (skipped entirely when the script gives an AS schema).
+  */
+object JarStorage {
+
+  def canLoad(registry: JarUdfs.Registry, name: String): Boolean =
+    assignable(registry, name, classOf[LoadFunc])
+
+  def canStore(registry: JarUdfs.Registry, name: String): Boolean =
+    assignable(registry, name, classOf[StoreFuncInterface])
+
+  private def assignable(registry: JarUdfs.Registry, name: String,
+                         want: Class[_]): Boolean =
+    JarUdfs.resolveClass(registry, name).exists { case (jar, ver, cls) =>
+      try want.isAssignableFrom(
+        Class.forName(cls, false, JarUdfs.loaderFor(jar, ver)))
+      catch { case _: Throwable => false }
+    }
+
+  /** LOAD through a jar LoadFunc: drive the user loader per partition
+    * over `lines` (the interpreter supplies the text scan — or a text
+    * RENDERING when the path holds this engine's parquet
+    * intermediates, since the reference's default intermediate format
+    * was PigStorage text). All columns surface as text (`_cN`,
+    * bytearray rule); the interpreter's AS-schema pass renames/casts.
+    * `declaredWidth` (the AS arity) skips the schemaless width probe. */
+  def load(spark: SparkSession, registry: JarUdfs.Registry,
+           lines: org.apache.spark.sql.Dataset[String], name: String,
+           ctorArgs: Seq[String], declaredWidth: Option[Int]): DataFrame = {
+    val inv = invokerFor(registry, name, ctorArgs)
+    val probe = inv.newLoadFunc()
+    val fmt = try probe.getInputFormat catch { case _: Exception => null }
+    if (fmt != null && !fmt.isInstanceOf[TextInputFormat])
+      throw new UnsupportedOperationException(
+        s"LOAD USING $name: its InputFormat ${fmt.getClass.getName} is " +
+        "not line-oriented (TextInputFormat) — only text-record jar " +
+        "loaders are supported")
+    val width = declaredWidth.getOrElse {
+      // schemaless: one line through a driver-local loader instance
+      // fixes the column count (Pig's tuples are variable-width; a
+      // DataFrame's are not — first-record arity is the contract here)
+      lines.take(1).headOption.map { l =>
+        val lf = inv.newLoadFunc()
+        lf.prepareToRead(feedReader(Iterator.single(l)), pigSplit())
+        Option(lf.getNext()).map(_.size).getOrElse(1)
+      }.getOrElse(1)
+    }
+    val rows = lines.rdd.mapPartitions { it =>
+      val lf = inv.newLoadFunc()
+      lf.prepareToRead(feedReader(it), pigSplit())
+      Iterator.continually(lf.getNext()).takeWhile(_ != null).map { t =>
+        val vals = t.getAll.asScala
+        Row((0 until width).map(i =>
+          if (i < vals.length) leafText(vals(i)) else null): _*)
+      }
+    }
+    spark.createDataFrame(rows, StructType(
+      (0 until width).map(i => StructField(s"_c$i", StringType))))
+  }
+
+  /** STORE through a jar StoreFunc: rows become tuples, the storer's
+    * putNext writes through a collecting writer, lines land as a
+    * distributed text write. */
+  def store(df: DataFrame, path: String, registry: JarUdfs.Registry,
+            name: String, ctorArgs: Seq[String]): Unit = {
+    val inv = invokerFor(registry, name, ctorArgs)
+    inv.newStoreFunc() // plan-time class check
+    val delim = ctorArgs.headOption.filter(_.nonEmpty).getOrElse("\t")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = df.rdd.mapPartitions { rows =>
+      val sf = inv.newStoreFunc()
+      val w = new CollectingWriter(delim)
+      sf.prepareToWrite(w)
+      rows.flatMap { r =>
+        sf.putNext(org.apache.pig.data.TupleFactory.getInstance()
+          .newTuple(r.toSeq.map(v =>
+            JarUdfs.toPig(v.asInstanceOf[AnyRef])).asJava))
+        w.drain()
+      }
+    }
+    spark.createDataset(lines).write.mode("overwrite").text(path)
+  }
+
+  private def pigSplit() =
+    new org.apache.pig.backend.hadoop.executionengine.mapReduceLayer.PigSplit()
+
+  /** RecordReader over an in-memory line iterator — what the user
+    * loader's getNext() pulls from (nextKeyValue/getCurrentValue). */
+  private def feedReader(it: Iterator[String])
+      : RecordReader[LongWritable, Text] =
+    new RecordReader[LongWritable, Text] {
+      private val key = new LongWritable(-1)
+      private val value = new Text()
+      override def initialize(split: org.apache.hadoop.mapreduce.InputSplit,
+                              ctx: TaskAttemptContext): Unit = ()
+      override def nextKeyValue(): Boolean =
+        if (it.hasNext) {
+          key.set(key.get + 1); value.set(it.next()); true
+        } else false
+      override def getCurrentKey: LongWritable = key
+      override def getCurrentValue: Text = value
+      override def getProgress: Float = 0f
+      override def close(): Unit = ()
+    }
+
+  /** RecordWriter the storer writes through: tuples render as the
+    * PigTextOutputFormat line (fields joined by the storer's
+    * delimiter, nested values in Pig literal syntax); raw text passes
+    * through. */
+  private final class CollectingWriter(delim: String)
+      extends RecordWriter[AnyRef, AnyRef] {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    override def write(k: AnyRef, v: AnyRef): Unit = buf += (v match {
+      case t: Tuple =>
+        t.getAll.asScala.map(f => pigText(f.asInstanceOf[AnyRef]))
+          .mkString(delim)
+      case other => leafText(other)
+    })
+    override def close(ctx: TaskAttemptContext): Unit = ()
+    def drain(): Seq[String] = {
+      val out = buf.toVector; buf.clear(); out
+    }
+  }
+
+  /** Top-level field rendering: bytearray/string raw; nested complex
+    * values in Pig literal syntax (StorageUtil.putField). */
+  private def pigText(v: AnyRef): String = v match {
+    case null => ""
+    case b: DataByteArray => b.toString
+    case t: Tuple => t.getAll.asScala
+      .map(f => pigText(f.asInstanceOf[AnyRef])).mkString("(", ",", ")")
+    case b: DataBag => b.asScala.map(pigText).mkString("{", ",", "}")
+    case m: java.util.Map[_, _] => m.asScala
+      .map { case (k, x) => s"$k#${pigText(x.asInstanceOf[AnyRef])}" }
+      .mkString("[", ",", "]")
+    case other => String.valueOf(other)
+  }
+
+  /** Leaf conversion at the LOAD boundary (bytearray-as-string). */
+  private def leafText(v: AnyRef): String = v match {
+    case null => null
+    case b: DataByteArray => b.toString
+    case t: Tuple => pigText(t)
+    case b: DataBag => pigText(b)
+    case other => String.valueOf(other)
+  }
+
+  private def invokerFor(registry: JarUdfs.Registry, name: String,
+                         ctorArgs: Seq[String]): Invoker = {
+    val (jarInfo, cls) = JarUdfs.resolveClass(registry, name)
+      .map { case (jar, ver, c) => (Some((jar, ver)), c) }
+      .getOrElse((None, name))
+    Invoker(jarInfo, cls, ctorArgs)
+  }
+
+  /** Serializable per-partition instantiation bridge (same shape as
+    * JarUdfs.Invoker — loaders/storers keep per-instance state, one
+    * instance per partition). */
+  private final case class Invoker(jarInfo: Option[(String, String)],
+                                   cls: String, ctorArgs: Seq[String]) {
+    private def instantiate(): AnyRef = {
+      val c =
+        try jarInfo match {
+          case Some((jar, ver)) =>
+            Class.forName(cls, true, JarUdfs.loaderFor(jar, ver))
+          case None => Class.forName(cls, true,
+            Option(Thread.currentThread.getContextClassLoader)
+              .getOrElse(getClass.getClassLoader))
+        } catch {
+          case _: ClassNotFoundException => Class.forName(cls, true,
+            Option(Thread.currentThread.getContextClassLoader)
+              .getOrElse(getClass.getClassLoader))
+        }
+      val inst =
+        if (ctorArgs.isEmpty) c.getDeclaredConstructor().newInstance()
+        else c.getDeclaredConstructor(
+          Seq.fill(ctorArgs.length)(classOf[String]): _*)
+          .newInstance(ctorArgs.map(_.asInstanceOf[AnyRef]): _*)
+      inst.asInstanceOf[AnyRef]
+    }
+    def newLoadFunc(): LoadFunc = instantiate() match {
+      case lf: LoadFunc => lf
+      case other => throw new IllegalArgumentException(
+        s"$cls is not a LoadFunc (got ${other.getClass.getName})")
+    }
+    def newStoreFunc(): StoreFuncInterface = instantiate() match {
+      case sf: StoreFuncInterface => sf
+      case other => throw new IllegalArgumentException(
+        s"$cls is not a StoreFunc (got ${other.getClass.getName})")
+    }
+  }
+}

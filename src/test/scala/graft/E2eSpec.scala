@@ -452,7 +452,7 @@ class E2eSpec extends SparkSpec {
     val classes = Seq("AllFirstLetter", "TestBoolean", "CreateTupleBag",
       "CreateMap", "Fred", "NonAlgNonAccCount", "IteratingAccumulatorCount",
       "IteratingAccumulatorSum", "IteratingAccumulatorIsEmpty",
-      "GoodMonitored", "BadMonitored")
+      "GoodMonitored", "BadMonitored", "Swap")
     // the Partitioner group's custom partitioner lives under utils/ and
     // needs the hadoop Partitioner + Writable on the compile classpath
     val utilsHome = "/root/reference/test/e2e/pig/udfs/java/org/apache/pig/test/utils"
@@ -461,6 +461,9 @@ class E2eSpec extends SparkSpec {
     val orderbyClasses = Seq("OrdDesc")
     val pigHome = "/root/reference/test/e2e/pig/udfs/java/org/apache/pig"
     val pigClasses = Seq("TestingAccumulatorHelper")
+    val storeHome = "/root/reference/test/e2e/pig/udfs/java/org/apache/pig/test/udf/storefunc"
+    val storeClasses = Seq("StringStore", "SimpleCollectableLoader",
+      "DumpLoader")
     val tmp = Files.createTempDirectory("pig_testudf").toFile
     val clsDir = new java.io.File(tmp, "classes"); clsDir.mkdirs()
     def cpOf(c: Class[_]) =
@@ -475,7 +478,8 @@ class E2eSpec extends SparkSpec {
         classes.map(c => s"$srcHome/$c.java") ++
         utilClasses.map(c => s"$utilsHome/$c.java") ++
         orderbyClasses.map(c => s"$orderbyHome/$c.java") ++
-        pigClasses.map(c => s"$pigHome/$c.java"): _*)
+        pigClasses.map(c => s"$pigHome/$c.java") ++
+        storeClasses.map(c => s"$storeHome/$c.java"): _*)
     assert(rc == 0, "reference test-UDF javac against the facade failed")
     val jar = new java.io.File(tmp, "testudf.jar")
     val jos = new java.util.jar.JarOutputStream(
@@ -508,7 +512,16 @@ class E2eSpec extends SparkSpec {
       ("Order", 15), ("Order", 16),
       // DEFINE'd AccumulatorEvalFunc with ctor args + the
       // TerminatingAccumulator early-exit surface
-      ("Accumulator", 5), ("Accumulator", 6))
+      ("Accumulator", 5), ("Accumulator", 6),
+      // jar Load/StoreFuncs through the line bridge: StringStore
+      // (PigStorage subclass storer), SimpleCollectableLoader
+      // (CollectableLoadFunc + 'collected' grouping), DumpLoader
+      // (FileInputLoadFunc over TextInputFormat)
+      ("EvalFunc", 3), ("EvalFunc", 4), ("Foreach", 6),
+      ("ClassResolution", 1), ("CollectedGroup", 1), ("CollectedGroup", 2),
+      ("CollectedGroup", 3), ("CollectedGroup", 4), ("CollectedGroup", 5),
+      ("CollectedGroup", 6), ("LoaderBinStorage", 1),
+      ("LoaderTextLoader", 1))
     val all = extract(confPath, None, "(?!x)x".r, skip = "(?!x)x".r)
     val sel = all.collect {
       case (g, n, s) if wanted((g, n)) =>

@@ -4,6 +4,8 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.frontend.PigRunner
 import graft.functions.PyUdfs
 
@@ -432,6 +434,110 @@ class ScriptingUdfSpec extends SparkSpec {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
     assert(chain(e).exists(c => c.getMessage != null &&
       c.getMessage.contains("Illegal partition")), e.toString)
+  }
+
+  // --------------------------------------------- jar load/store funcs
+
+  /** A PigStorage-derived loader and storer, compiled in-test (the
+    * LoadFunc/StoreFunc bridge's content-level check — the e2e corpus
+    * only verifies stores materialize). */
+  private lazy val storageJar: String = {
+    val tmp = Files.createTempDirectory("graft_jarstorage").toFile
+    def src(n: String, body: String): File = {
+      val f = new File(tmp, n)
+      Files.write(f.toPath, body.getBytes(StandardCharsets.UTF_8)); f
+    }
+    val up = src("UpperLoader.java",
+      """import java.io.IOException;
+        |import org.apache.pig.builtin.PigStorage;
+        |import org.apache.pig.data.Tuple;
+        |public class UpperLoader extends PigStorage {
+        |  public UpperLoader() { super(); }
+        |  public UpperLoader(String d) { super(d); }
+        |  @Override
+        |  public Tuple getNext() throws IOException {
+        |    try {
+        |      Tuple t = super.getNext();
+        |      if (t != null && t.size() > 0 && t.get(0) != null)
+        |        t.set(0, t.get(0).toString().toUpperCase());
+        |      return t;
+        |    } catch (Exception e) { throw new IOException(e); }
+        |  }
+        |}
+        |""".stripMargin)
+    val ps = src("ParenStore.java",
+      """import java.io.IOException;
+        |import org.apache.pig.builtin.PigStorage;
+        |import org.apache.pig.data.DataByteArray;
+        |import org.apache.pig.data.DefaultTupleFactory;
+        |import org.apache.pig.data.Tuple;
+        |public class ParenStore extends PigStorage {
+        |  @Override
+        |  public void putNext(Tuple f) throws IOException {
+        |    StringBuilder sb = new StringBuilder("(");
+        |    try {
+        |      for (int i = 0; i < f.size(); i++) {
+        |        if (i > 0) sb.append('|');
+        |        Object v = f.get(i);
+        |        sb.append(v == null ? "" : v.toString());
+        |      }
+        |    } catch (Exception e) { throw new IOException(e); }
+        |    sb.append(')');
+        |    Tuple t = DefaultTupleFactory.getInstance().newTuple(1);
+        |    try { t.set(0, new DataByteArray(sb.toString())); }
+        |    catch (Exception e) { throw new IOException(e); }
+        |    try { writer.write(null, t); }
+        |    catch (InterruptedException e) { throw new RuntimeException(e); }
+        |  }
+        |}
+        |""".stripMargin)
+    val cls = new File(tmp, "classes"); cls.mkdirs()
+    def cpOf(c: Class[_]) =
+      c.getProtectionDomain.getCodeSource.getLocation.getPath
+    val cp = Seq(cpOf(classOf[org.apache.pig.EvalFunc[_]]),
+      cpOf(classOf[org.apache.hadoop.io.Writable]),
+      cpOf(classOf[org.apache.hadoop.mapreduce.RecordReader[_, _]]))
+      .distinct.mkString(File.pathSeparator)
+    assert(javax.tools.ToolProvider.getSystemJavaCompiler.run(null, null,
+      null, "-cp", cp, "-d", cls.getPath, up.getPath, ps.getPath) == 0,
+      "storage javac failed")
+    val jar = new File(tmp, "storage.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      new java.io.FileOutputStream(jar))
+    Seq("UpperLoader.class", "ParenStore.class").foreach { n =>
+      jos.putNextEntry(new java.util.jar.JarEntry(n))
+      jos.write(Files.readAllBytes(new File(cls, n).toPath))
+      jos.closeEntry()
+    }
+    jos.close()
+    jar.getPath
+  }
+
+  test("jar LoadFunc/StoreFunc bridge: a PigStorage-derived loader " +
+       "transforms fields on read; a custom putNext controls the " +
+       "written line format") {
+    val d = Files.createTempDirectory("jarstorage").toString
+    Files.write(java.nio.file.Paths.get(s"$d/in.tsv"),
+      "alice\t3\nbob\t7\ncarol\t11\n".getBytes(StandardCharsets.UTF_8))
+    val runner = PigRunner(spark).run(s"""
+      REGISTER '$storageJar';
+      a = LOAD '$d/in.tsv' USING UpperLoader() AS (name:chararray, n:int);
+      b = FILTER a BY n > 3;
+      STORE b INTO '$d/out' USING ParenStore();
+    """)
+    // load side: first field uppercased by the user loader, AS casts
+    // applied over the bridge's text columns
+    val rows = runner("a").df.collect()
+      .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(rows == Seq(("ALICE", 3), ("BOB", 7), ("CAROL", 11)))
+    // store side: the custom putNext's exact line bytes
+    val written = Files.list(java.nio.file.Paths.get(s"$d/out"))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => new String(Files.readAllBytes(p), "UTF-8")
+        .split("\n").filter(_.nonEmpty))
+      .toSeq.sorted
+    assert(written == Seq("(BOB|7)", "(CAROL|11)"), written)
   }
 
   test("unknown dotted function still fails loudly") {

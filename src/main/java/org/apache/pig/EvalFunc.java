@@ -25,6 +25,19 @@ public abstract class EvalFunc<T> {
      */
     public Schema outputSchema(Schema input) { return null; }
 
+    /** Per-call-site signature (reference EvalFunc.setUDFContextSignature
+     *  — the key UDFs use in UDFContext property names; the engine
+     *  passes the same value at plan time and on executors). */
+    public void setUDFContextSignature(String signature) {}
+
+    protected Schema inputSchema;
+
+    /** The input schema of this call site, set by the engine before
+     *  outputSchema (reference EvalFunc.setInputSchema). */
+    public void setInputSchema(Schema input) { this.inputSchema = input; }
+
+    public Schema getInputSchema() { return inputSchema; }
+
     /**
      * The T of EvalFunc&lt;T&gt;, resolved by walking the class hierarchy
      * with type-variable substitution (an intermediate base like

@@ -42,6 +42,31 @@ public class DataType {
         return ERROR;
     }
 
+    /** Type-code → Pig type name (reference DataType.findTypeName). */
+    public static String findTypeName(byte t) {
+        switch (t) {
+            case NULL:       return "NULL";
+            case BOOLEAN:    return "boolean";
+            case INTEGER:    return "int";
+            case LONG:       return "long";
+            case FLOAT:      return "float";
+            case DOUBLE:     return "double";
+            case DATETIME:   return "datetime";
+            case BYTEARRAY:  return "bytearray";
+            case CHARARRAY:  return "chararray";
+            case BIGINTEGER: return "biginteger";
+            case BIGDECIMAL: return "bigdecimal";
+            case MAP:        return "map";
+            case TUPLE:      return "tuple";
+            case BAG:        return "bag";
+            default:         return "Unknown";
+        }
+    }
+
+    public static String findTypeName(Object o) {
+        return findTypeName(findType(o));
+    }
+
     /** Pig's value ordering (reference DataType.compare): null sorts
      *  first; values of DIFFERENT types order by type code; same-type
      *  values order naturally. The rule Tuple.compareTo and custom

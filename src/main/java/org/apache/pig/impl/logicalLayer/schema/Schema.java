@@ -42,4 +42,30 @@ public class Schema implements java.io.Serializable {
     public int size() { return fields.size(); }
     public FieldSchema getField(int i) { return fields.get(i); }
     public List<FieldSchema> getFields() { return fields; }
+
+    /** Reference Schema.toString shape: `{alias: typename,...}` —
+     *  unnamed fields print the bare type; tuple/bag/map nest with
+     *  ()/{}/[] syntax. UDFs stringify schemas (UDFContext round
+     *  trips), so the spelling matters. */
+    @Override
+    public String toString() {
+        StringBuilder sb = new StringBuilder("{");
+        for (int i = 0; i < fields.size(); i++) {
+            if (i > 0) sb.append(',');
+            FieldSchema f = fields.get(i);
+            if (f.alias != null) sb.append(f.alias).append(": ");
+            if (f.type == DataType.TUPLE && f.schema != null) {
+                String inner = f.schema.toString();
+                sb.append('(')
+                  .append(inner, 1, inner.length() - 1).append(')');
+            } else if (f.type == DataType.BAG && f.schema != null) {
+                sb.append(f.schema.toString());
+            } else if (f.type == DataType.MAP) {
+                sb.append("map[]");
+            } else {
+                sb.append(DataType.findTypeName(f.type));
+            }
+        }
+        return sb.append('}').toString();
+    }
 }

@@ -1985,6 +1985,70 @@ final class PigRunner(val spark: SparkSession) {
     }
   }
 
+  /** The Pig schema of a UDF call's arguments, for the EvalFunc
+    * front-end pass (setInputSchema/outputSchema — reference:
+    * ExpToPhyTranslationVisitor feeds POUserFunc the input schema).
+    * Field aliases come from plain column refs; types come from the
+    * declared `pig_type` metadata when present (so an undeclared text
+    * field reads `bytearray`, not chararray), else the Catalyst type. */
+  private def pigArgSchema(argExprs: Seq[Expr], cols: Seq[Column],
+                           df: DataFrame)
+      : org.apache.pig.impl.logicalLayer.schema.Schema = {
+    import org.apache.pig.impl.logicalLayer.schema.{Schema => PSchema}
+    import org.apache.pig.data.{DataType => PDT}
+    def codeOfName(t: String): Byte = t.takeWhile(_ != '[') match {
+      case "int" => PDT.INTEGER
+      case "long" => PDT.LONG
+      case "float" => PDT.FLOAT
+      case "double" => PDT.DOUBLE
+      case "chararray" => PDT.CHARARRAY
+      case "boolean" => PDT.BOOLEAN
+      case "datetime" => PDT.DATETIME
+      case "biginteger" => PDT.BIGINTEGER
+      case "bigdecimal" => PDT.BIGDECIMAL
+      case "map" => PDT.MAP
+      case "bag" => PDT.BAG
+      case "tuple" => PDT.TUPLE
+      case _ => PDT.BYTEARRAY
+    }
+    def codeOfSpark(dt: DataType): Byte = dt match {
+      case IntegerType => PDT.INTEGER
+      case LongType => PDT.LONG
+      case FloatType => PDT.FLOAT
+      case DoubleType => PDT.DOUBLE
+      case StringType => PDT.CHARARRAY
+      case BooleanType => PDT.BOOLEAN
+      case BinaryType => PDT.BYTEARRAY
+      case _: org.apache.spark.sql.types.DecimalType => PDT.BIGDECIMAL
+      case _: TimestampType => PDT.DATETIME
+      case _: MapType => PDT.MAP
+      case _: StructType => PDT.TUPLE
+      case _: ArrayType => PDT.BAG
+      case _ => PDT.BYTEARRAY
+    }
+    val s = new PSchema()
+    argExprs.zip(cols).foreach { case (e, c) =>
+      val (alias, fieldOpt) = e match {
+        case ColRef(n) =>
+          val rn = try resolve(n, df) catch { case _: Exception => n }
+          (n.split("::").last, df.schema.fields.find(_.name == rn))
+        case PosRef(i) if i < df.columns.length =>
+          (df.columns(i), Some(df.schema.fields(i)))
+        case _ => (null, None)
+      }
+      val code = fieldOpt match {
+        case Some(f) if f.metadata.contains("pig_type") =>
+          codeOfName(f.metadata.getString("pig_type"))
+        case Some(f) => codeOfSpark(f.dataType)
+        case None =>
+          codeOfSpark(try typeOf(c, df)
+          catch { case _: Exception => StringType })
+      }
+      s.add(new PSchema.FieldSchema(alias, code))
+    }
+    s
+  }
+
   /** Column metadata carrying the DECLARED Pig type (AS clause) — the
     * only way DESCRIBE can print `bytearray`/`map[]` faithfully, since
     * both erase to Catalyst StringType (SURVEY §1.2 pragmatic mapping). */
@@ -2807,7 +2871,7 @@ final class PigRunner(val spark: SparkSession) {
               .columnFor(df.sparkSession, pyRegistry, other, cols)
               .orElse(graft.functions.JarUdfs
                 .columnFor(df.sparkSession, jarRegistry, other, ctorArgs,
-                  cols))
+                  cols, Some(pigArgSchema(callArgs, cols, df))))
               .getOrElse(throw new IllegalArgumentException(
                 s"unknown function $other"))
         }

@@ -89,7 +89,19 @@ object PigPreprocessor {
         // JarUdfs, scripting files via PyUdfs). A MISSING file errors
         // like the reference (QueryParserDriver ERROR 101, negative.conf
         // NoSuchFile/2) — a typo'd path must not be silently dropped.
-        val e = statementEnd(rest)
+        // a REGISTER line without its semicolon ends at the LINE break
+        // (reference e2e scripts carry this sloppiness — UDFContext/1's
+        // `register :FUNCPATH:/testudf.jar` — and the reference's
+        // GruntParser accepts it); a semicolon before the newline keeps
+        // the normal statement scan
+        val semiEnd = statementEnd(rest)
+        val nl = rest.indexOf('\n')
+        // a next line starting with USING/AS is a CONTINUATION of this
+        // register, not a new statement — keep scanning to the ';'
+        val e = if (nl >= 0 && nl < semiEnd &&
+                    !rest.drop(nl).trim.toUpperCase
+                      .matches("(?s)(USING|AS)\\b.*")) nl
+                else semiEnd
         val stmt = rest.take(e).trim.stripSuffix(";").trim
         // the path may be a QUOTED literal containing spaces — take the
         // quoted run whole; only an unquoted path splits on whitespace

@@ -136,20 +136,35 @@ object JarUdfs {
   }
 
   /** Build the Column for a call to a registered-jar EvalFunc — or None
-    * when no registered jar provides the name. */
+    * when no registered jar provides the name. `inputSchema` (the Pig
+    * schema of the call's arguments) reaches the EvalFunc's
+    * setInputSchema/outputSchema exactly like the reference's
+    * front-end type derivation, and UDFContext state the front-end
+    * pass writes ships to executors inside the invoker. */
   def columnFor(spark: SparkSession, registry: Registry, name: String,
-                ctorArgs: Seq[String], args: Seq[Column]): Option[Column] =
+                ctorArgs: Seq[String], args: Seq[Column],
+                inputSchema: Option[org.apache.pig.impl.logicalLayer.schema.Schema] = None)
+      : Option[Column] =
     resolve(registry, name).map { case (jar, verKey, cls) =>
-      val inv = Invoker(jar, verKey, cls, ctorArgs)
-      val dt = returnTypeOf(inv.newInstance(), args.length)
-      // identity = (jar VERSION, class, EXACT ctor-arg vector, arity)
-      // digested with separators: a 32-bit hash, or a name without the
-      // jar identity, could silently bind a call site to another
-      // configuration's udf
+      // identity = (jar VERSION, class, EXACT ctor-arg vector, arity,
+      // input schema) digested with separators: a 32-bit hash, or a
+      // name without the jar identity, could silently bind a call site
+      // to another configuration's udf; the schema component keeps two
+      // call sites with different input types distinct (their
+      // outputSchema results — and UDFContext keys — differ)
       val idDigest = java.security.MessageDigest.getInstance("MD5")
-        .digest((verKey +: cls +: args.length.toString +: ctorArgs)
+        .digest((verKey +: cls +: args.length.toString +:
+          inputSchema.map(_.toString).getOrElse("") +: ctorArgs)
           .mkString("\u0000").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
+      val sig = "graft_sig_" + idDigest
+      // plan-time pass: signature + input schema, then outputSchema
+      // (which may stash state in UDFContext — the reference's order)
+      val probe = Invoker(jar, verKey, cls, ctorArgs, sig,
+        new java.util.HashMap[String, java.util.Properties]())
+      val dt = returnTypeOf(probe.newInstance(), args.length, inputSchema)
+      val inv = Invoker(jar, verKey, cls, ctorArgs, sig,
+        shippableUdfContext())
       val udfName =
         ("graft_jar_" + cls.split('.').last + "_" + idDigest).toLowerCase
       val key = System.identityHashCode(spark) + "/" + udfName
@@ -159,14 +174,41 @@ object JarUdfs {
       call_udf(udfName, args: _*)
     }
 
+  /** UDFContext snapshot safe to serialize into a task closure:
+    * non-serializable property values are dropped with a warning (the
+    * reference serializes the whole context into the job conf and
+    * fails there instead). */
+  private def shippableUdfContext()
+      : java.util.HashMap[String, java.util.Properties] = {
+    val snap = org.apache.pig.impl.util.UDFContext.snapshotForShipping()
+    snap.forEach { (k, props) =>
+      val bad = props.keySet().asScala.filter { pk =>
+        !props.get(pk).isInstanceOf[java.io.Serializable]
+      }.toSeq
+      bad.foreach { pk =>
+        System.err.println(s"[graft] UDFContext property $pk of $k is " +
+          "not Serializable — not shipped to executors")
+        props.remove(pk)
+      }
+    }
+    snap
+  }
+
   /** EvalFunc result DataType: outputSchema override first (the
     * reference's contract — null means "use the generic type").
     * `argHint` sizes the fallback tuple shape for UNTYPED bag/tuple
     * declarations (a BAG with no inner schema is usually a pack of the
     * call's own arguments — CreateTupleBag-style UDFs). */
-  private def returnTypeOf(f: EvalFunc[_], argHint: Int): DataType = {
+  private def returnTypeOf(f: EvalFunc[_], argHint: Int,
+      inputSchema: Option[org.apache.pig.impl.logicalLayer.schema.Schema] = None)
+      : DataType = {
+    val in = inputSchema.getOrElse(
+      new org.apache.pig.impl.logicalLayer.schema.Schema())
     val declared =
-      try Option(f.outputSchema(new org.apache.pig.impl.logicalLayer.schema.Schema()))
+      try {
+        f.setInputSchema(in)
+        Option(f.outputSchema(in))
+      }
       catch { case _: Throwable => None }
     declared.filter(_.size() == 1)
       .map(s => fieldType(s.getField(0), argHint))
@@ -242,11 +284,15 @@ object JarUdfs {
     * one EvalFunc PER EXECUTOR THREAD (reference contract: instances are
     * not shared across tasks; user EvalFuncs keep per-instance state). */
   private final case class Invoker(jar: String, verKey: String,
-                                   cls: String, ctorArgs: Seq[String]) {
+      cls: String, ctorArgs: Seq[String], sig: String,
+      udfCtx: java.util.HashMap[String, java.util.Properties]) {
     @transient private lazy val local: ThreadLocal[EvalFunc[_]] =
       ThreadLocal.withInitial(() => newInstance())
 
     private[JarUdfs] def newInstance(): EvalFunc[_] = {
+      // restore plan-time UDFContext state BEFORE construction (ctors
+      // may read it), then hand the instance its call-site signature
+      org.apache.pig.impl.util.UDFContext.mergeFromShipping(udfCtx)
       val c =
         try Class.forName(cls, true, loaderFor(jar, verKey))
         catch {
@@ -262,6 +308,7 @@ object JarUdfs {
         else c.getDeclaredConstructor(
           Seq.fill(ctorArgs.length)(classOf[String]): _*)
           .newInstance(ctorArgs.map(_.asInstanceOf[AnyRef]): _*)
+      inst.asInstanceOf[EvalFunc[_]].setUDFContextSignature(sig)
       inst.asInstanceOf[EvalFunc[_]]
     }
 

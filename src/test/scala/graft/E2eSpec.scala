@@ -452,7 +452,8 @@ class E2eSpec extends SparkSpec {
     val classes = Seq("AllFirstLetter", "TestBoolean", "CreateTupleBag",
       "CreateMap", "Fred", "NonAlgNonAccCount", "IteratingAccumulatorCount",
       "IteratingAccumulatorSum", "IteratingAccumulatorIsEmpty",
-      "GoodMonitored", "BadMonitored", "Swap")
+      "GoodMonitored", "BadMonitored", "Swap", "UDFContextTestUDF",
+      "UdfContextFrontend")
     // the Partitioner group's custom partitioner lives under utils/ and
     // needs the hadoop Partitioner + Writable on the compile classpath
     val utilsHome = "/root/reference/test/e2e/pig/udfs/java/org/apache/pig/test/utils"
@@ -521,7 +522,10 @@ class E2eSpec extends SparkSpec {
       ("ClassResolution", 1), ("CollectedGroup", 1), ("CollectedGroup", 2),
       ("CollectedGroup", 3), ("CollectedGroup", 4), ("CollectedGroup", 5),
       ("CollectedGroup", 6), ("LoaderBinStorage", 1),
-      ("LoaderTextLoader", 1))
+      ("LoaderTextLoader", 1),
+      // UDFContext: front-end outputSchema stashes per-signature state
+      // the backend exec reads back (PIG-2337/2338)
+      ("UDFContext", 1), ("UDFContextAuto", 1))
     val all = extract(confPath, None, "(?!x)x".r, skip = "(?!x)x".r)
     val sel = all.collect {
       case (g, n, s) if wanted((g, n)) =>

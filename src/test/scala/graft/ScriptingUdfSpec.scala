@@ -540,6 +540,69 @@ class ScriptingUdfSpec extends SparkSpec {
     assert(written == Seq("(BOB|7)", "(CAROL|11)"), written)
   }
 
+  test("UDFContext + input schema: outputSchema's front-end pass sees " +
+       "the call's Pig schema and its stashed state reaches exec") {
+    val tmp = Files.createTempDirectory("graft_udfctx").toFile
+    val src = new File(tmp, "SchemaEcho.java")
+    Files.write(src.toPath,
+      """import java.io.IOException;
+        |import java.util.Properties;
+        |import org.apache.pig.EvalFunc;
+        |import org.apache.pig.data.DataType;
+        |import org.apache.pig.data.Tuple;
+        |import org.apache.pig.impl.logicalLayer.schema.Schema;
+        |import org.apache.pig.impl.util.UDFContext;
+        |public class SchemaEcho extends EvalFunc<String> {
+        |  String signature;
+        |  @Override
+        |  public String exec(Tuple input) throws IOException {
+        |    return (String) UDFContext.getUDFContext()
+        |      .getUDFProperties(this.getClass())
+        |      .get("echo.inputschema." + signature);
+        |  }
+        |  @Override
+        |  public void setUDFContextSignature(String signature) {
+        |    this.signature = signature;
+        |  }
+        |  @Override
+        |  public Schema outputSchema(Schema input) {
+        |    Properties props = UDFContext.getUDFContext()
+        |      .getUDFProperties(this.getClass());
+        |    props.put("echo.inputschema." + signature, input.toString());
+        |    return new Schema(
+        |      new Schema.FieldSchema(null, DataType.CHARARRAY));
+        |  }
+        |}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val cls = new File(tmp, "classes"); cls.mkdirs()
+    val facadeCp = classOf[org.apache.pig.EvalFunc[_]]
+      .getProtectionDomain.getCodeSource.getLocation.getPath
+    assert(javax.tools.ToolProvider.getSystemJavaCompiler.run(null, null,
+      null, "-cp", facadeCp, "-d", cls.getPath, src.getPath) == 0)
+    val jar = new File(tmp, "echo.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      new java.io.FileOutputStream(jar))
+    jos.putNextEntry(new java.util.jar.JarEntry("SchemaEcho.class"))
+    jos.write(Files.readAllBytes(new File(cls, "SchemaEcho.class").toPath))
+    jos.closeEntry(); jos.close()
+    val d = Files.createTempDirectory("udfctx").toString
+    Files.write(java.nio.file.Paths.get(s"$d/t.tsv"),
+      "x\t1\ny\t2\n".getBytes(StandardCharsets.UTF_8))
+    // two call sites, different declared schemas — each exec must see
+    // ITS OWN front-end-stashed schema (distinct signatures)
+    val runner = PigRunner(spark).run(s"""
+      REGISTER '${jar.getPath}';
+      a = LOAD '$d/t.tsv' AS (a0);
+      b = FOREACH a GENERATE SchemaEcho(a0) AS s;
+      c = LOAD '$d/t.tsv' AS (c0:chararray, c1:int);
+      e = FOREACH c GENERATE SchemaEcho(c0, c1) AS s;
+    """)
+    val bVals = runner("b").df.collect().map(_.getString(0)).distinct.toSeq
+    val eVals = runner("e").df.collect().map(_.getString(0)).distinct.toSeq
+    assert(bVals == Seq("{a0: bytearray}"), bVals)
+    assert(eVals == Seq("{c0: chararray,c1: int}"), eVals)
+  }
+
   test("unknown dotted function still fails loudly") {
     val e = intercept[Exception] {
       PigRunner(spark).run(s"""

@@ -27,6 +27,7 @@ public class DataType {
     /** Type code of a runtime value, for UDFs that branch on input type. */
     public static byte findType(Object o) {
         if (o == null) return NULL;
+        if (o instanceof DataByteArray) return BYTEARRAY;
         if (o instanceof Boolean) return BOOLEAN;
         if (o instanceof Integer) return INTEGER;
         if (o instanceof Long) return LONG;

@@ -1886,7 +1886,7 @@ final class PigRunner(val spark: SparkSession) {
               .as[String]
           } else spark.read.textFile(splitPaths(path): _*)
         graft.functions.JarStorage.load(spark, jarRegistry,
-          lines, other, args, schema.map(_.length))
+          lines, other, args, schema.map(_.length), path)
       case Some((other, _)) => throw new IllegalArgumentException(
         s"unknown loader $other (PigStorage, TextLoader, JsonLoader, " +
         "OrcStorage, AvroStorage, FixedWidthLoader, MyRegExLoader, " +
@@ -2276,24 +2276,16 @@ final class PigRunner(val spark: SparkSession) {
       // The condition appears twice; that is only safe when it is
       // DETERMINISTIC (both occurrences see the same value; codegen's
       // subexpression elimination dedupes the work). A nondeterministic
-      // condition (RANDOM() — which can never BE null) must evaluate
-      // ONCE, so it keeps the single-evaluation when/otherwise form:
-      // duplicating the draw would route ~P(true)·P(false) of rows
-      // through NEITHER branch. (A lambda-bound single draw via
-      // transform(array(c),…)[1] was tried and rejected: the optimizer
-      // inlines it back into two draws.)
+      // condition (RANDOM()) must evaluate ONCE — duplicating the draw
+      // would route ~P(true)·P(false) of rows through NEITHER branch —
+      // AND stay three-valued (when/otherwise sends a null condition
+      // down the false branch): EvalOnceBincond is the custom
+      // expression carrying both properties.
       val cc = compile(c, df)
-      // determinism must be read off the ANALYZED expression: Spark 4's
-      // Column builders stay unresolved (rand() is an UnresolvedFunction
-      // whose default deterministic=true) until bound to a plan
-      val condDeterministic =
-        try df.select(cc).queryExecution.analyzed.expressions
-          .forall(_.deterministic)
-        catch { case _: Exception => true }
-      if (condDeterministic)
-        when(cc, ct2).when(!cc, cf2)
+      if (graft.functions.ControlExpressions.isNondeterministic(cc))
+        graft.functions.ControlExpressions.bincondOnce(cc, ct2, cf2)
       else
-        when(cc, ct2).otherwise(cf2)
+        when(cc, ct2).when(!cc, cf2)
     case IsNull(x, neg) =>
       val c = compile(x, df); if (neg) c.isNotNull else c.isNull
     case InExpr(x, vals) =>

@@ -96,9 +96,15 @@ object PigPreprocessor {
         // the normal statement scan
         val semiEnd = statementEnd(rest)
         val nl = rest.indexOf('\n')
-        // a next line starting with USING/AS is a CONTINUATION of this
-        // register, not a new statement — keep scanning to the ';'
-        val e = if (nl >= 0 && nl < semiEnd &&
+        // the statement may CONTINUE past the line break: when the next
+        // line starts with USING/AS, when this line ends mid-clause
+        // (bare REGISTER, trailing USING/AS), or when the path itself
+        // wrapped — then keep scanning to the ';'
+        val firstLine = rest.take(if (nl < 0) rest.length else nl)
+          .trim.toUpperCase
+        val lineIsComplete = firstLine != "REGISTER" &&
+          !firstLine.endsWith(" USING") && !firstLine.endsWith(" AS")
+        val e = if (nl >= 0 && nl < semiEnd && lineIsComplete &&
                     !rest.drop(nl).trim.toUpperCase
                       .matches("(?s)(USING|AS)\\b.*")) nl
                 else semiEnd

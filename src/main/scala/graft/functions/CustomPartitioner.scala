@@ -64,28 +64,13 @@ object CustomPartitioner {
 
     private[CustomPartitioner] def newInstance(): (AnyRef, java.lang.reflect.Method) = {
       val (jarInfo, cls) = src
-      val c =
-        try jarInfo match {
-          case Some((jar, ver)) =>
-            Class.forName(cls, true, JarUdfs.loaderFor(jar, ver))
-          case None =>
-            Class.forName(cls, true,
-              Option(Thread.currentThread.getContextClassLoader)
-                .getOrElse(getClass.getClassLoader))
-        } catch {
-          case _: ClassNotFoundException =>
-            // executor without the jar locally: addJar put it on the
-            // executor's context classloader
-            Class.forName(cls, true,
-              Option(Thread.currentThread.getContextClassLoader)
-                .getOrElse(getClass.getClassLoader))
-        }
-      val m = c.getMethods.find(m => m.getName == "getPartition" &&
-          m.getParameterCount == 3).getOrElse(
-        throw new IllegalArgumentException(
+      val inst = JarUdfs.instantiateUserClass(jarInfo, cls, Seq.empty)
+      val m = inst.getClass.getMethods.find(m =>
+          m.getName == "getPartition" && m.getParameterCount == 3)
+        .getOrElse(throw new IllegalArgumentException(
           s"PARTITION BY $cls: no getPartition(key, value, n) — the " +
           "class must extend org.apache.hadoop.mapreduce.Partitioner"))
-      (c.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef], m)
+      (inst, m)
     }
 
     def partitionFor(rawKey: Any, n: Int): Int = {

@@ -26,7 +26,7 @@ import org.apache.pig.data.{DataBag, DataByteArray, Tuple}
   * driver-side probe of a single line fixes the schemaless column
   * count (skipped entirely when the script gives an AS schema).
   */
-object JarStorage {
+object JarStorage extends Serializable {
 
   def canLoad(registry: JarUdfs.Registry, name: String): Boolean =
     assignable(registry, name, classOf[LoadFunc])
@@ -51,9 +51,20 @@ object JarStorage {
     * `declaredWidth` (the AS arity) skips the schemaless width probe. */
   def load(spark: SparkSession, registry: JarUdfs.Registry,
            lines: org.apache.spark.sql.Dataset[String], name: String,
-           ctorArgs: Seq[String], declaredWidth: Option[Int]): DataFrame = {
+           ctorArgs: Seq[String], declaredWidth: Option[Int],
+           location: String): DataFrame = {
     val inv = invokerFor(registry, name, ctorArgs)
+    // lifecycle contract (LoadFunc.java:103-149): setLocation first
+    // (loaders derive state from the path), then getInputFormat, then
+    // prepareToRead, then getNext until null
+    def openLoader(it: Iterator[String]): LoadFunc = {
+      val lf = inv.newLoadFunc()
+      lf.setLocation(location, scratchJob())
+      lf.prepareToRead(feedReader(it), pigSplit())
+      lf
+    }
     val probe = inv.newLoadFunc()
+    probe.setLocation(location, scratchJob())
     val fmt = try probe.getInputFormat catch { case _: Exception => null }
     if (fmt != null && !fmt.isInstanceOf[TextInputFormat])
       throw new UnsupportedOperationException(
@@ -64,15 +75,12 @@ object JarStorage {
       // schemaless: one line through a driver-local loader instance
       // fixes the column count (Pig's tuples are variable-width; a
       // DataFrame's are not — first-record arity is the contract here)
-      lines.take(1).headOption.map { l =>
-        val lf = inv.newLoadFunc()
-        lf.prepareToRead(feedReader(Iterator.single(l)), pigSplit())
-        Option(lf.getNext()).map(_.size).getOrElse(1)
-      }.getOrElse(1)
+      lines.take(1).headOption
+        .flatMap(l => Option(openLoader(Iterator.single(l)).getNext()))
+        .map(_.size).getOrElse(1)
     }
     val rows = lines.rdd.mapPartitions { it =>
-      val lf = inv.newLoadFunc()
-      lf.prepareToRead(feedReader(it), pigSplit())
+      val lf = openLoader(it)
       Iterator.continually(lf.getNext()).takeWhile(_ != null).map { t =>
         val vals = t.getAll.asScala
         Row((0 until width).map(i =>
@@ -90,11 +98,22 @@ object JarStorage {
             name: String, ctorArgs: Seq[String]): Unit = {
     val inv = invokerFor(registry, name, ctorArgs)
     inv.newStoreFunc() // plan-time class check
-    val delim = ctorArgs.headOption.filter(_.nonEmpty).getOrElse("\t")
     val spark = df.sparkSession
     import spark.implicits._
     val lines = df.rdd.mapPartitions { rows =>
       val sf = inv.newStoreFunc()
+      // lifecycle contract (StoreFuncInterface): setStoreLocation, then
+      // prepareToWrite, then putNext per tuple; close the writer at
+      // partition end so a batching storer's tail is not dropped
+      sf.setStoreLocation(path, scratchJob())
+      // the tuple line delimiter belongs to the STORER (PigStorage's
+      // fieldDel), never a positional ctor-arg guess — a storer whose
+      // first arg is a format flag must not see it as a separator
+      val delim = sf match {
+        case ps: org.apache.pig.builtin.PigStorage =>
+          (ps.getFieldDel & 0xff).toChar.toString
+        case _ => "\t"
+      }
       val w = new CollectingWriter(delim)
       sf.prepareToWrite(w)
       rows.flatMap { r =>
@@ -102,10 +121,17 @@ object JarStorage {
           .newTuple(r.toSeq.map(v =>
             JarUdfs.toPig(v.asInstanceOf[AnyRef])).asJava))
         w.drain()
-      }
+      } ++ Iterator.single(()).flatMap { _ => w.close(null); w.drain() }
     }
     spark.createDataset(lines).write.mode("overwrite").text(path)
   }
+
+  /** A throwaway Hadoop Job for the setLocation/setStoreLocation
+    * contract calls — loaders configure it, the engine reads nothing
+    * back (the text scan is the engine's own). */
+  private def scratchJob(): org.apache.hadoop.mapreduce.Job =
+    org.apache.hadoop.mapreduce.Job.getInstance(
+      new org.apache.hadoop.conf.Configuration(false))
 
   private def pigSplit() =
     new org.apache.pig.backend.hadoop.executionengine.mapReduceLayer.PigSplit()
@@ -184,26 +210,8 @@ object JarStorage {
     * instance per partition). */
   private final case class Invoker(jarInfo: Option[(String, String)],
                                    cls: String, ctorArgs: Seq[String]) {
-    private def instantiate(): AnyRef = {
-      val c =
-        try jarInfo match {
-          case Some((jar, ver)) =>
-            Class.forName(cls, true, JarUdfs.loaderFor(jar, ver))
-          case None => Class.forName(cls, true,
-            Option(Thread.currentThread.getContextClassLoader)
-              .getOrElse(getClass.getClassLoader))
-        } catch {
-          case _: ClassNotFoundException => Class.forName(cls, true,
-            Option(Thread.currentThread.getContextClassLoader)
-              .getOrElse(getClass.getClassLoader))
-        }
-      val inst =
-        if (ctorArgs.isEmpty) c.getDeclaredConstructor().newInstance()
-        else c.getDeclaredConstructor(
-          Seq.fill(ctorArgs.length)(classOf[String]): _*)
-          .newInstance(ctorArgs.map(_.asInstanceOf[AnyRef]): _*)
-      inst.asInstanceOf[AnyRef]
-    }
+    private def instantiate(): AnyRef =
+      JarUdfs.instantiateUserClass(jarInfo, cls, ctorArgs)
     def newLoadFunc(): LoadFunc = instantiate() match {
       case lf: LoadFunc => lf
       case other => throw new IllegalArgumentException(

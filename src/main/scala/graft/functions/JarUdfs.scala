@@ -67,9 +67,18 @@ object JarUdfs {
     val verKey = verKeyOf(f)
     if (!registry.entries.asScala.exists(_._2 == verKey)) {
       // drop a stale entry for the SAME path (rebuilt jar re-registered)
-      registry.entries.asScala.zipWithIndex
-        .filter(_._1._1 == f.getAbsolutePath).map(_._2).reverse
-        .foreach(i => registry.entries.remove(i))
+      // and evict+close its classloader — otherwise an edit-rebuild loop
+      // leaks one loader + open jar handle per rebuild. close() only
+      // blocks NEW class loading; already-loaded classes keep working,
+      // so a still-running task from the old registration is unaffected.
+      val stale = registry.entries.asScala.zipWithIndex
+        .filter(_._1._1 == f.getAbsolutePath).toVector
+      stale.map(_._2).reverse.foreach(i => registry.entries.remove(i))
+      stale.map(_._1._2).foreach { oldVer =>
+        loaders.remove(oldVer).foreach { l =>
+          try l.close() catch { case _: Exception => () }
+        }
+      }
       // an unreadable/empty jar registers with zero classes (the
       // reference defers jar problems to class-load time too)
       val classes =
@@ -95,20 +104,24 @@ object JarUdfs {
     catch { case _: Exception => () } // already added
   }
 
-  /** Resolve a script-side function name (FQN, or bare class name in any
-    * case) to (jarPath, verKey, className) across the session's jars in
-    * REGISTRATION ORDER (classpath semantics). */
+  /** Every registered class matching `name` (FQN, or bare class name
+    * in any case), in REGISTRATION ORDER (classpath semantics). */
+  private def classHits(registry: Registry,
+                        name: String): Seq[(String, String, String)] = {
+    val simple = name.split('.').last.toLowerCase
+    for {
+      (jar, ver, classes) <- registry.entries.asScala.toSeq
+      c <- classes
+      if c.equalsIgnoreCase(name) || c.split('.').last.toLowerCase == simple
+    } yield (jar, ver, c)
+  }
+
+  /** Resolve a script-side FUNCTION name: exact FQN hit first, then
+    * the first simple-name hit that actually IS an EvalFunc (jars
+    * carry helper classes too). */
   private def resolve(registry: Registry,
                       name: String): Option[(String, String, String)] = {
-    val simple = name.split('.').last.toLowerCase
-    val hits =
-      for {
-        (jar, ver, classes) <- registry.entries.asScala.toSeq
-        c <- classes
-        if c.equalsIgnoreCase(name) || c.split('.').last.toLowerCase == simple
-      } yield (jar, ver, c)
-    // prefer an exact FQN hit; otherwise the first simple-name hit that
-    // actually IS an EvalFunc (jars carry helper classes too)
+    val hits = classHits(registry, name)
     hits.find(_._3.equalsIgnoreCase(name)).orElse(
       hits.find { case (jar, ver, c) =>
         try classOf[EvalFunc[_]].isAssignableFrom(
@@ -121,18 +134,41 @@ object JarUdfs {
     resolve(registry, name).isDefined
 
   /** Resolve ANY class (not just EvalFuncs) from the session's jars —
-    * custom partitioners, comparators. Same precedence: exact FQN hit
-    * first, then first simple-name hit in registration order. */
+    * custom partitioners, comparators, load/store funcs. Same
+    * precedence: exact FQN, then first simple-name hit. */
   private[functions] def resolveClass(registry: Registry, name: String)
       : Option[(String, String, String)] = {
-    val simple = name.split('.').last.toLowerCase
-    val hits =
-      for {
-        (jar, ver, classes) <- registry.entries.asScala.toSeq
-        c <- classes
-        if c.equalsIgnoreCase(name) || c.split('.').last.toLowerCase == simple
-      } yield (jar, ver, c)
+    val hits = classHits(registry, name)
     hits.find(_._3.equalsIgnoreCase(name)).orElse(hits.headOption)
+  }
+
+  /** Shared user-class loading for every serialized bridge (EvalFunc
+    * invoker, partitioner, comparator, load/store funcs): version-keyed
+    * jar loader first; an executor without the jar file locally falls
+    * back to the context classloader, where addJar has placed it. */
+  private[functions] def loadUserClass(jarInfo: Option[(String, String)],
+                                       cls: String): Class[_] = {
+    def ctxLoad() = Class.forName(cls, true,
+      Option(Thread.currentThread.getContextClassLoader)
+        .getOrElse(getClass.getClassLoader))
+    try jarInfo match {
+      case Some((jar, ver)) => Class.forName(cls, true, loaderFor(jar, ver))
+      case None => ctxLoad()
+    } catch { case _: Throwable => ctxLoad() }
+  }
+
+  /** Instantiate with the reference's ctor convention: no-arg, or one
+    * String parameter per ctor arg. */
+  private[functions] def instantiateUserClass(
+      jarInfo: Option[(String, String)], cls: String,
+      ctorArgs: Seq[String]): AnyRef = {
+    val c = loadUserClass(jarInfo, cls)
+    val inst =
+      if (ctorArgs.isEmpty) c.getDeclaredConstructor().newInstance()
+      else c.getDeclaredConstructor(
+        Seq.fill(ctorArgs.length)(classOf[String]): _*)
+        .newInstance(ctorArgs.map(_.asInstanceOf[AnyRef]): _*)
+    inst.asInstanceOf[AnyRef]
   }
 
   /** Build the Column for a call to a registered-jar EvalFunc — or None
@@ -293,23 +329,10 @@ object JarUdfs {
       // restore plan-time UDFContext state BEFORE construction (ctors
       // may read it), then hand the instance its call-site signature
       org.apache.pig.impl.util.UDFContext.mergeFromShipping(udfCtx)
-      val c =
-        try Class.forName(cls, true, loaderFor(jar, verKey))
-        catch {
-          case _: Throwable =>
-            // executor without the jar file locally: addJar has placed it
-            // on the executor classloader — resolve through the context
-            Class.forName(cls, true,
-              Option(Thread.currentThread.getContextClassLoader)
-                .getOrElse(getClass.getClassLoader))
-        }
-      val inst =
-        if (ctorArgs.isEmpty) c.getDeclaredConstructor().newInstance()
-        else c.getDeclaredConstructor(
-          Seq.fill(ctorArgs.length)(classOf[String]): _*)
-          .newInstance(ctorArgs.map(_.asInstanceOf[AnyRef]): _*)
-      inst.asInstanceOf[EvalFunc[_]].setUDFContextSignature(sig)
-      inst.asInstanceOf[EvalFunc[_]]
+      val inst = instantiateUserClass(Some((jar, verKey)), cls, ctorArgs)
+        .asInstanceOf[EvalFunc[_]]
+      inst.setUDFContextSignature(sig)
+      inst
     }
 
     def call(args: Seq[AnyRef]): AnyRef = {

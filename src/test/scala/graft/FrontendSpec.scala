@@ -361,6 +361,15 @@ class FrontendSpec extends SparkSpec {
       r = FOREACH c GENERATE ((chararray)null == 'x' ? 1 : 2) AS v;
     """).apply("r").df.head()
     assert(n.isNullAt(0))
+    // a NONDETERMINISTIC condition with a null operand is ALSO 3-valued
+    // (review: the single-eval otherwise-form routed null through the
+    // false branch) — RANDOM() <= 2.0 is always true, AND null => null
+    val n2 = PigRunner(spark).run(s"""
+      c = LOAD '$dir/customer.parquet';
+      r = FOREACH c GENERATE
+            (RANDOM() <= 2.0 AND (chararray)null == 'x' ? 1 : 2) AS v;
+    """).apply("r").df.collect()
+    assert(n2.forall(_.isNullAt(0)), s"${n2.count(!_.isNullAt(0))} non-null")
   }
 
   test("inline relation sugar: FOREACH (GROUP a ALL) GENERATE …") {

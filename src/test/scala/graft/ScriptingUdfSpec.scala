@@ -273,6 +273,26 @@ class ScriptingUdfSpec extends SparkSpec {
     assert(out.length == 5 && out.forall(_ == "dflt"), out.toSeq)
   }
 
+  test("REGISTER statements spanning lines: path on a continuation " +
+       "line, USING clause split across lines (review: the end-at-" +
+       "newline rule must not truncate them)") {
+    val py = writePy(
+      """@outputSchema("n:long")
+        |def one(s):
+        |    return 1
+        |""".stripMargin)
+    val out = PigRunner(spark).run(s"""
+      REGISTER
+        '$sampleJar';
+      REGISTER '$py' USING
+        streaming_python AS f;
+      n = LOAD '$dir/region.parquet';
+      r = FOREACH n GENERATE AddTwo(r_regionkey, 1) AS s, f.one(r_name) AS o;
+    """).apply("r").df.collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getLong(1) == 1L))
+  }
+
   test("REGISTER jar: missing file errors like the reference (101)") {
     val e = intercept[IllegalArgumentException] {
       PigRunner(spark).run("REGISTER '/no/such/thing.jar';")

@@ -748,6 +748,16 @@ final class PigRunner(val spark: SparkSession) {
       case InExpr(x, vs) => rw(x).map(InExpr(_, vs))
       case CastExpr(t, x) => rw(x).map(CastExpr(t, _))
       case Matches(x, p) => rw(x).map(Matches(_, p))
+      // a registered-jar UDF implementing Algebraic over the bag fuses
+      // to a partial-aggregating Spark Aggregator (AlgebraicAgg) — the
+      // reference's combiner; a plain jar EvalFunc keeps the bag path
+      case FuncCall(n, as0) if !aggFnNames.contains(n) &&
+          graft.functions.JarUdfs.canResolve(jarRegistry, n) =>
+        tryJarAlgebraic(n, as0).orElse {
+          val rs = as0.map(rw)
+          if (rs.forall(_.isDefined)) Some(FuncCall(n, rs.map(_.get)))
+          else None
+        }
       case FuncCall(n, as) =>
         val rs = as.map(rw)
         if (rs.forall(_.isDefined)) Some(FuncCall(n, rs.map(_.get))) else None
@@ -755,6 +765,34 @@ final class PigRunner(val spark: SparkSession) {
       // (COR/COV bags expand; flatten of a scalar agg is identity)
       case FlattenExpr(x) => rw(x).map(FlattenExpr)
       case _ => None // Star, bare bag, … → bag path
+    }
+
+    def tryJarAlgebraic(n: String, as0: Seq[Expr]): Option[Expr] = {
+      // DEFINE'd ctor literals ride after CtorMark (PigPreprocessor)
+      val mark = as0.indexWhere {
+        case Lit(s: String) => s == PigPreprocessor.CtorMark
+        case _ => false
+      }
+      val (callArgs, ctorLits) =
+        if (mark >= 0) (as0.take(mark),
+          as0.drop(mark + 1).collect { case Lit(s: String) => s })
+        else (as0, Seq.empty[String])
+      val rewritten = callArgs.map(bagArg)
+      if (!rewritten.forall(_.isDefined)) return None
+      // whole-bag arg (COUNT-style `f(a)`): Initial's per-record tuple
+      // is the full input row — expand to every input column
+      val expanded: Seq[Column] = rewritten.map(_.get).flatMap {
+        case Star  => m.input.columns.toSeq.map(col)
+        case other => Seq(compile(other, m.input))
+      }
+      val argTypes = expanded.map(cx => typeOf(cx, m.input))
+      graft.functions.AlgebraicAgg
+        .columnFor(jarRegistry, n, ctorLits, expanded, argTypes)
+        .map { cagg =>
+          val nm = s"__a${aggCols.size}"
+          aggCols += cagg.as(nm)
+          ColRef(nm)
+        }
     }
 
     val rwGens = gens.zipWithIndex.map { case (g, i) =>

@@ -235,7 +235,7 @@ object JarUdfs {
     * `argHint` sizes the fallback tuple shape for UNTYPED bag/tuple
     * declarations (a BAG with no inner schema is usually a pack of the
     * call's own arguments — CreateTupleBag-style UDFs). */
-  private def returnTypeOf(f: EvalFunc[_], argHint: Int,
+  private[functions] def returnTypeOf(f: EvalFunc[_], argHint: Int,
       inputSchema: Option[org.apache.pig.impl.logicalLayer.schema.Schema] = None)
       : DataType = {
     val in = inputSchema.getOrElse(

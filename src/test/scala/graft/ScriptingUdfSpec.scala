@@ -623,6 +623,91 @@ class ScriptingUdfSpec extends SparkSpec {
     assert(eVals == Seq("{c0: chararray,c1: int}"), eVals)
   }
 
+  test("Algebraic jar UDF fuses to a partial-aggregating plan: no bag " +
+       "materialization, combiner-equivalent Initial/Intermed/Final") {
+    val tmp = Files.createTempDirectory("graft_alg").toFile
+    val src = new File(tmp, "AlgSum.java")
+    Files.write(src.toPath,
+      """import java.io.IOException;
+        |import org.apache.pig.Algebraic;
+        |import org.apache.pig.EvalFunc;
+        |import org.apache.pig.data.DataBag;
+        |import org.apache.pig.data.Tuple;
+        |public class AlgSum extends EvalFunc<Long> implements Algebraic {
+        |  public Long exec(Tuple input) throws IOException { // bag fallback
+        |    try {
+        |      DataBag b = (DataBag) input.get(0);
+        |      long s = 0;
+        |      for (Tuple t : b) {
+        |        Object v = t.get(0);
+        |        if (v != null) s += ((Number) v).longValue();
+        |      }
+        |      return s;
+        |    } catch (Exception e) { throw new IOException(e); }
+        |  }
+        |  public String getInitial() { return Init.class.getName(); }
+        |  public String getIntermed() { return Inter.class.getName(); }
+        |  public String getFinal() { return Fin.class.getName(); }
+        |  public static class Init extends EvalFunc<Long> {
+        |    public Long exec(Tuple input) throws IOException {
+        |      try {
+        |        DataBag b = (DataBag) input.get(0);
+        |        Object v = b.iterator().next().get(0);
+        |        return v == null ? null : ((Number) v).longValue();
+        |      } catch (Exception e) { throw new IOException(e); }
+        |    }
+        |  }
+        |  public static class Inter extends EvalFunc<Long> {
+        |    public Long exec(Tuple input) throws IOException {
+        |      try {
+        |        DataBag b = (DataBag) input.get(0);
+        |        long s = 0;
+        |        for (Tuple t : b) {
+        |          Object v = t.get(0);
+        |          if (v != null) s += ((Number) v).longValue();
+        |        }
+        |        return s;
+        |      } catch (Exception e) { throw new IOException(e); }
+        |    }
+        |  }
+        |  public static class Fin extends Inter {}
+        |}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val cls = new File(tmp, "classes"); cls.mkdirs()
+    val facadeCp = classOf[org.apache.pig.EvalFunc[_]]
+      .getProtectionDomain.getCodeSource.getLocation.getPath
+    assert(javax.tools.ToolProvider.getSystemJavaCompiler.run(null, null,
+      null, "-cp", facadeCp, "-d", cls.getPath, src.getPath) == 0)
+    val jar = new File(tmp, "algsum.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      new java.io.FileOutputStream(jar))
+    cls.listFiles().filter(_.getName.endsWith(".class")).foreach { f =>
+      jos.putNextEntry(new java.util.jar.JarEntry(f.getName))
+      jos.write(Files.readAllBytes(f.toPath)); jos.closeEntry()
+    }
+    jos.close()
+    val runner = PigRunner(spark).run(s"""
+      REGISTER '${jar.getPath}';
+      o = LOAD '$dir/orders.parquet';
+      g = GROUP o BY o_custkey;
+      b = FOREACH g GENERATE group AS k, AlgSum(o.o_orderkey) AS s;
+    """)
+    val plan = runner("b").df.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      "Algebraic call must fuse — the bag materialized:\n" + plan.take(800))
+    assert(plan.toLowerCase.contains("partial"),
+      "expected a partial-aggregate stage:\n" + plan.take(800))
+    val got = runner("b").df.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).sorted.toSeq
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.sum("o_orderkey").as("s"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue)).sorted.toSeq
+    assert(got == want)
+  }
+
   test("unknown dotted function still fails loudly") {
     val e = intercept[Exception] {
       PigRunner(spark).run(s"""

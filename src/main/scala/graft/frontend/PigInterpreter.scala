@@ -416,6 +416,8 @@ final class PigRunner(val spark: SparkSession) {
       val gens2 = gens.map(g =>
         g.copy(expr = resolveScalars(cubeAlias(g.expr), r.df)))
       groupMeta.get(in).flatMap(m => tryFusedAgg(m, gens2, r.df))
+        .orElse(groupMeta.get(in)
+          .flatMap(m => tryAccumulatorStream(m, gens2, r.df)))
         .getOrElse(foreach(r, gens2))
 
     case NestedForeachOp(in, inner, gens) =>
@@ -813,6 +815,70 @@ final class PigRunner(val spark: SparkSession) {
           .agg(aggSeq.head, aggSeq.tail: _*)
     }
     Some(foreach(Relation(fused, m.bagName), rwGens.map(_.get)))
+  }
+
+  /** Streamed execution for jar ACCUMULATOR UDFs over grouped bags
+    * (AccumulatorStream): fires only when every GENERATE item is the
+    * group key or an Accumulator-implementing jar UDF over bag fields,
+    * and the fused-agg path declined (Algebraic fuses there). The bag
+    * never materializes — the reference's accumulative FOREACH mode. */
+  private def tryAccumulatorStream(m: GroupMeta, gens: Seq[GenItem],
+                                   baggedDf: DataFrame): Option[Relation] = {
+    if (m.kind != "group") return None
+    def bagArg(e: Expr): Option[Expr] = e match {
+      case Deref(ColRef(b), f) if b == m.bagName && f.startsWith("$") =>
+        Some(PosRef(f.drop(1).toInt))
+      case Deref(ColRef(b), f) if b == m.bagName => Some(ColRef(f))
+      case ColRef(b) if b == m.bagName => Some(Star)
+      case Lit(_) => Some(e)
+      case _ => None
+    }
+    val calls = scala.collection.mutable.ArrayBuffer
+      .empty[(graft.functions.AccumulatorStream.Call, Seq[Column], DataType)]
+    val outSelect = gens.zipWithIndex.map { case (g, i) =>
+      g.expr match {
+        case ColRef("group") =>
+          Some(col("group").as(g.alias.getOrElse("group")))
+        case FuncCall(n, as0) =>
+          graft.functions.AccumulatorStream
+            .accumulatorFor(jarRegistry, n).flatMap { case (jarInfo, cls) =>
+              val mark = as0.indexWhere {
+                case Lit(s: String) => s == PigPreprocessor.CtorMark
+                case _ => false
+              }
+              val (callArgs, ctorLits) =
+                if (mark >= 0) (as0.take(mark),
+                  as0.drop(mark + 1).collect { case Lit(s: String) => s })
+                else (as0, Seq.empty[String])
+              val rewritten = callArgs.map(bagArg)
+              if (!rewritten.forall(_.isDefined)) None
+              else {
+                val expanded: Seq[Column] = rewritten.map(_.get).flatMap {
+                  case Star  => m.input.columns.toSeq.map(col)
+                  case other => Seq(compile(other, m.input))
+                }
+                val outName =
+                  g.alias.getOrElse(autoName(g.expr, i, baggedDf))
+                val call = graft.functions.AccumulatorStream.Call(
+                  jarInfo, cls, ctorLits, outName)
+                val dt =
+                  try graft.functions.AccumulatorStream
+                    .resultType(call, expanded.length)
+                  catch { case _: Exception => return None }
+                calls += ((call, expanded, dt))
+                Some(col(outName))
+              }
+            }
+        case _ => None
+      }
+    }
+    if (!outSelect.forall(_.isDefined) || calls.isEmpty) return None
+    val keyCol =
+      if (m.all) lit("all") else groupKey(m.keys, m.input)
+    val keyType = typeOf(keyCol, m.input)
+    val streamed = graft.functions.AccumulatorStream.fuse(
+      m.input, keyCol, keyType, calls.toSeq)
+    Some(Relation(streamed.select(outSelect.map(_.get): _*), m.bagName))
   }
 
   /** Grouped dataset for CUBE/ROLLUP/mixed clause lists. Mixed clauses

@@ -71,7 +71,21 @@ object JarStorage extends Serializable {
         s"LOAD USING $name: its InputFormat ${fmt.getClass.getName} is " +
         "not line-oriented (TextInputFormat) — only text-record jar " +
         "loaders are supported")
-    val width = declaredWidth.getOrElse {
+    // a self-describing loader (LoadMetadata.getSchema) supplies field
+    // names + types when the script has no AS clause — the reference's
+    // front-end schema path
+    val metaSchema: Option[Seq[(String, Byte)]] =
+      if (declaredWidth.isDefined) None
+      else probe match {
+        case lm: org.apache.pig.LoadMetadata =>
+          (try Option(lm.getSchema(location, scratchJob()))
+           catch { case _: Exception => None })
+            .map(_.getFields.toSeq.zipWithIndex.map { case (f, i) =>
+              (Option(f.getName).getOrElse(s"_c$i"), f.getType)
+            }).filter(_.nonEmpty)
+        case _ => None
+      }
+    val width = declaredWidth.orElse(metaSchema.map(_.length)).getOrElse {
       // schemaless: one line through a driver-local loader instance
       // fixes the column count (Pig's tuples are variable-width; a
       // DataFrame's are not — first-record arity is the contract here)
@@ -87,8 +101,35 @@ object JarStorage extends Serializable {
           if (i < vals.length) leafText(vals(i)) else null): _*)
       }
     }
-    spark.createDataFrame(rows, StructType(
+    val base = spark.createDataFrame(rows, StructType(
       (0 until width).map(i => StructField(s"_c$i", StringType))))
+    metaSchema match {
+      case Some(fs) =>
+        import org.apache.spark.sql.functions.col
+        base.select(fs.zipWithIndex.map { case ((n, t), i) =>
+          val typeName = org.apache.pig.data.DataType.findTypeName(t)
+          val meta = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("pig_type", typeName).build()
+          castScalar(col(s"_c$i"), t).as(n, meta)
+        }: _*)
+      case None => base
+    }
+  }
+
+  /** Scalar cast for a LoadMetadata-declared type code; complex types
+    * stay as their Pig-literal text (the engine-wide bytearray rule —
+    * the LoadCaster parses them on first complex use). */
+  private def castScalar(c: org.apache.spark.sql.Column,
+                         t: Byte): org.apache.spark.sql.Column = {
+    import org.apache.pig.data.{DataType => P}
+    t match {
+      case P.INTEGER => c.cast(org.apache.spark.sql.types.IntegerType)
+      case P.LONG    => c.cast(org.apache.spark.sql.types.LongType)
+      case P.FLOAT   => c.cast(org.apache.spark.sql.types.FloatType)
+      case P.DOUBLE  => c.cast(org.apache.spark.sql.types.DoubleType)
+      case P.BOOLEAN => c.cast(org.apache.spark.sql.types.BooleanType)
+      case _         => c
+    }
   }
 
   /** STORE through a jar StoreFunc: rows become tuples, the storer's

@@ -436,7 +436,7 @@ object JarUdfs {
     * bags/maps become rows/seqs/maps, and leaves align to the declared
     * scalar (untyped Pig declarations surface values as text — the
     * engine-wide bytearray-as-string rule). */
-  private def coerce(v: AnyRef, dt: DataType): AnyRef = (v, dt) match {
+  private[functions] def coerce(v: AnyRef, dt: DataType): AnyRef = (v, dt) match {
     case (null, _) => null
     case (s: String, StringType) => s
     case (x, StringType) => String.valueOf(x)

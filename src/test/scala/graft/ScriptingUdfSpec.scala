@@ -533,6 +533,69 @@ class ScriptingUdfSpec extends SparkSpec {
     jar.getPath
   }
 
+  test("jar LoadMetadata: a self-describing loader's getSchema supplies " +
+       "names and types when the LOAD has no AS clause") {
+    val tmp = Files.createTempDirectory("graft_loadmeta").toFile
+    val src = new File(tmp, "TypedLoader.java")
+    Files.write(src.toPath,
+      """import java.io.IOException;
+        |import org.apache.hadoop.mapreduce.Job;
+        |import org.apache.pig.Expression;
+        |import org.apache.pig.LoadMetadata;
+        |import org.apache.pig.ResourceSchema;
+        |import org.apache.pig.ResourceStatistics;
+        |import org.apache.pig.builtin.PigStorage;
+        |import org.apache.pig.data.DataType;
+        |import org.apache.pig.impl.logicalLayer.schema.Schema;
+        |public class TypedLoader extends PigStorage implements LoadMetadata {
+        |  public ResourceSchema getSchema(String loc, Job job)
+        |      throws IOException {
+        |    Schema s = new Schema();
+        |    s.add(new Schema.FieldSchema("word", DataType.CHARARRAY));
+        |    s.add(new Schema.FieldSchema("n", DataType.INTEGER));
+        |    return new ResourceSchema(s);
+        |  }
+        |  public ResourceStatistics getStatistics(String loc, Job job) {
+        |    return null;
+        |  }
+        |  public String[] getPartitionKeys(String loc, Job job) {
+        |    return null;
+        |  }
+        |  public void setPartitionFilter(Expression e) {}
+        |}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val cls = new File(tmp, "classes"); cls.mkdirs()
+    def cpOf(c: Class[_]) =
+      c.getProtectionDomain.getCodeSource.getLocation.getPath
+    val cp = Seq(cpOf(classOf[org.apache.pig.EvalFunc[_]]),
+      cpOf(classOf[org.apache.hadoop.io.Writable]),
+      cpOf(classOf[org.apache.hadoop.mapreduce.RecordReader[_, _]]))
+      .distinct.mkString(File.pathSeparator)
+    assert(javax.tools.ToolProvider.getSystemJavaCompiler.run(null, null,
+      null, "-cp", cp, "-d", cls.getPath, src.getPath) == 0)
+    val jar = new File(tmp, "typed.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      new java.io.FileOutputStream(jar))
+    jos.putNextEntry(new java.util.jar.JarEntry("TypedLoader.class"))
+    jos.write(Files.readAllBytes(new File(cls, "TypedLoader.class").toPath))
+    jos.closeEntry(); jos.close()
+    val d = Files.createTempDirectory("loadmeta").toString
+    Files.write(java.nio.file.Paths.get(s"$d/in.tsv"),
+      "aa\t3\nbb\t7\n".getBytes(StandardCharsets.UTF_8))
+    val runner = PigRunner(spark).run(s"""
+      REGISTER '${jar.getPath}';
+      a = LOAD '$d/in.tsv' USING TypedLoader();
+      b = FOREACH a GENERATE word, n + 1 AS m;
+    """)
+    // names + types came from getSchema, not an AS clause
+    assert(runner.describeLine("a").contains("word: chararray"),
+      runner.describeLine("a"))
+    assert(runner.describeLine("a").contains("n: int"))
+    val out = runner("b").df.collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).intValue)).sorted.toSeq
+    assert(out == Seq(("aa", 4), ("bb", 8)))
+  }
+
   test("jar LoadFunc/StoreFunc bridge: a PigStorage-derived loader " +
        "transforms fields on read; a custom putNext controls the " +
        "written line format") {
@@ -697,6 +760,66 @@ class ScriptingUdfSpec extends SparkSpec {
       "Algebraic call must fuse — the bag materialized:\n" + plan.take(800))
     assert(plan.toLowerCase.contains("partial"),
       "expected a partial-aggregate stage:\n" + plan.take(800))
+    val got = runner("b").df.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).sorted.toSeq
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.sum("o_orderkey").as("s"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue)).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("Accumulator jar UDF streams each group through accumulate() " +
+       "(MapGroups plan, no bag materialization)") {
+    val tmp = Files.createTempDirectory("graft_acc").toFile
+    val src = new File(tmp, "AccSum.java")
+    Files.write(src.toPath,
+      """import java.io.IOException;
+        |import org.apache.pig.AccumulatorEvalFunc;
+        |import org.apache.pig.data.DataBag;
+        |import org.apache.pig.data.Tuple;
+        |public class AccSum extends AccumulatorEvalFunc<Long> {
+        |  private long sum = 0;
+        |  private int batches = 0;
+        |  public void accumulate(Tuple input) throws IOException {
+        |    try {
+        |      batches++;
+        |      DataBag b = (DataBag) input.get(0);
+        |      for (Tuple t : b) {
+        |        Object v = t.get(0);
+        |        if (v != null) sum += ((Number) v).longValue();
+        |      }
+        |    } catch (Exception e) { throw new IOException(e); }
+        |  }
+        |  public Long getValue() { return sum; }
+        |  public void cleanup() { sum = 0; batches = 0; }
+        |}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val cls = new File(tmp, "classes"); cls.mkdirs()
+    val facadeCp = classOf[org.apache.pig.EvalFunc[_]]
+      .getProtectionDomain.getCodeSource.getLocation.getPath
+    assert(javax.tools.ToolProvider.getSystemJavaCompiler.run(null, null,
+      null, "-cp", facadeCp, "-d", cls.getPath, src.getPath) == 0)
+    val jar = new File(tmp, "accsum.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      new java.io.FileOutputStream(jar))
+    jos.putNextEntry(new java.util.jar.JarEntry("AccSum.class"))
+    jos.write(Files.readAllBytes(new File(cls, "AccSum.class").toPath))
+    jos.closeEntry(); jos.close()
+    val runner = PigRunner(spark).run(s"""
+      REGISTER '${jar.getPath}';
+      o = LOAD '$dir/orders.parquet';
+      g = GROUP o BY o_custkey;
+      b = FOREACH g GENERATE group AS k, AccSum(o.o_orderkey) AS s;
+    """)
+    val plan = runner("b").df.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      "Accumulator call must stream — the bag materialized:\n" +
+        plan.take(800))
+    assert(plan.contains("MapGroups"),
+      "expected a MapGroups streaming stage:\n" + plan.take(800))
     val got = runner("b").df.collect()
       .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).sorted.toSeq
     val want = spark.read.parquet(s"$dir/orders.parquet")

@@ -289,6 +289,132 @@ class HardeningSpec extends SparkSpec {
   }
 }
 
+class JarAggHardeningSpec extends SparkSpec {
+  // a 5M-row corpus with ONE dominant group (4M rows in group 0): the
+  // bag path would materialize a 4M-element array in one task — the
+  // fused/streamed paths must not
+  private def skewed(n: Long) = {
+    import org.apache.spark.sql.functions._
+    spark.range(n).select(
+      when(col("id") % 5 =!= 0, lit(0L))
+        .otherwise(col("id") % 1000).as("k"),
+      col("id").as("v"))
+  }
+
+  test("Algebraic jar UDF at 5M rows with a 4M-row group: partial " +
+       "aggregation, exact sums, no bag") {
+    val df = skewed(5_000_000L)
+    import org.apache.spark.sql.functions._
+    // the facade trio straight through AlgebraicAgg (the frontend spec
+    // covers script dispatch; this pins the 100 TB-regime execution)
+    val got = graft.functions.AlgebraicAgg.columnFor(
+      new graft.functions.JarUdfs.Registry, classOf[HardAlgSum].getName,
+      Seq.empty, Seq(col("v")), Seq(org.apache.spark.sql.types.LongType))
+    assert(got.isEmpty, "empty registry must not resolve")
+    // classpath resolution goes through the same instantiation path —
+    // drive the Aggregator via a scripted jar in ScriptingUdfSpec; here
+    // exercise the CORE directly at volume through a private-API-free
+    // equivalent: register the class via a jar built from the compiled
+    // test classpath
+    val clsDir = classOf[HardAlgSum].getProtectionDomain
+      .getCodeSource.getLocation.getPath
+    val tmp = java.nio.file.Files.createTempDirectory("hardalg").toFile
+    val jar = new java.io.File(tmp, "hard.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      new java.io.FileOutputStream(jar))
+    Seq("graft/HardAlgSum.class", "graft/HardAlgSum$HInit.class",
+        "graft/HardAlgSum$HInter.class", "graft/HardAlgSum$HFin.class",
+        "graft/HardAccSum.class").foreach { n =>
+      jos.putNextEntry(new java.util.jar.JarEntry(n))
+      jos.write(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(clsDir, n)))
+      jos.closeEntry()
+    }
+    jos.close()
+    val reg = new graft.functions.JarUdfs.Registry
+    graft.functions.JarUdfs.register(reg, spark, jar.getPath)
+    val aggCol = graft.functions.AlgebraicAgg.columnFor(
+      reg, "graft.HardAlgSum", Seq.empty, Seq(col("v")),
+      Seq(org.apache.spark.sql.types.LongType)).get
+    val rows = df.groupBy(col("k")).agg(aggCol.as("s"))
+    assert(!rows.queryExecution.executedPlan.toString.contains("collect_list"))
+    val got2 = rows.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = df.groupBy(col("k"))
+      .agg(sum(col("v")).as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == want)
+
+    // Accumulator streaming over the same skewed corpus
+    val call = graft.functions.AccumulatorStream.Call(
+      None, classOf[HardAccSum].getName, Seq.empty, "s")
+    val streamed = graft.functions.AccumulatorStream.fuse(
+      df, col("k"), org.apache.spark.sql.types.LongType,
+      Seq((call, Seq(col("v")), org.apache.spark.sql.types.LongType)))
+    val got3 = streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got3 == want)
+  }
+}
+
+/** Reference-shaped Algebraic sum used by JarAggHardeningSpec. */
+class HardAlgSum extends org.apache.pig.EvalFunc[java.lang.Long]
+    with org.apache.pig.Algebraic {
+  import org.apache.pig.data.{DataBag, Tuple}
+  private def sumBag(input: Tuple): java.lang.Long = {
+    val b = input.get(0).asInstanceOf[DataBag]
+    var s = 0L
+    val it = b.iterator()
+    while (it.hasNext) {
+      val v = it.next().get(0)
+      if (v != null) s += v.asInstanceOf[Number].longValue
+    }
+    Long.box(s)
+  }
+  override def exec(input: org.apache.pig.data.Tuple): java.lang.Long =
+    sumBag(input)
+  override def getInitial: String = classOf[HardAlgSum.HInit].getName
+  override def getIntermed: String = classOf[HardAlgSum.HInter].getName
+  override def getFinal: String = classOf[HardAlgSum.HFin].getName
+}
+object HardAlgSum {
+  import org.apache.pig.data.{DataBag, Tuple}
+  class HInit extends org.apache.pig.EvalFunc[java.lang.Long] {
+    override def exec(input: Tuple): java.lang.Long = {
+      val v = input.get(0).asInstanceOf[DataBag].iterator().next().get(0)
+      if (v == null) null else Long.box(v.asInstanceOf[Number].longValue)
+    }
+  }
+  class HInter extends org.apache.pig.EvalFunc[java.lang.Long] {
+    override def exec(input: Tuple): java.lang.Long = {
+      val b = input.get(0).asInstanceOf[DataBag]
+      var s = 0L
+      val it = b.iterator()
+      while (it.hasNext) {
+        val v = it.next().get(0)
+        if (v != null) s += v.asInstanceOf[Number].longValue
+      }
+      Long.box(s)
+    }
+  }
+  class HFin extends HInter
+}
+
+/** Accumulator sum used by JarAggHardeningSpec. */
+class HardAccSum extends org.apache.pig.AccumulatorEvalFunc[java.lang.Long] {
+  import org.apache.pig.data.{DataBag, Tuple}
+  private var sum = 0L
+  override def accumulate(input: Tuple): Unit = {
+    val b = input.get(0).asInstanceOf[DataBag]
+    val it = b.iterator()
+    while (it.hasNext) {
+      val v = it.next().get(0)
+      if (v != null) sum += v.asInstanceOf[Number].longValue
+    }
+  }
+  override def getValue: java.lang.Long = Long.box(sum)
+  override def cleanup(): Unit = { sum = 0L }
+}
+
 /** Classpath-resolved comparator for the hardening test (the jar path
   * is exercised by ScriptingUdfSpec/E2eSpec). */
 class DescLongCmp extends org.apache.pig.ComparisonFunc {

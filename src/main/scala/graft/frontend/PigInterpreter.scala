@@ -770,26 +770,25 @@ final class PigRunner(val spark: SparkSession) {
     }
 
     def tryJarAlgebraic(n: String, as0: Seq[Expr]): Option[Expr] = {
-      // DEFINE'd ctor literals ride after CtorMark (PigPreprocessor)
-      val mark = as0.indexWhere {
-        case Lit(s: String) => s == PigPreprocessor.CtorMark
-        case _ => false
-      }
-      val (callArgs, ctorLits) =
-        if (mark >= 0) (as0.take(mark),
-          as0.drop(mark + 1).collect { case Lit(s: String) => s })
-        else (as0, Seq.empty[String])
+      val (callArgs, ctorLits) = splitCtorMark(as0)
       val rewritten = callArgs.map(bagArg)
       if (!rewritten.forall(_.isDefined)) return None
+      // an all-literal call is a PER-GROUP scalar invocation in the
+      // reference, not an aggregate — fusing it would run Initial per
+      // ROW, a different computation; require a bag projection
+      if (!rewritten.map(_.get).exists {
+            case Lit(_) => false; case _ => true }) return None
       // whole-bag arg (COUNT-style `f(a)`): Initial's per-record tuple
       // is the full input row — expand to every input column
-      val expanded: Seq[Column] = rewritten.map(_.get).flatMap {
-        case Star  => m.input.columns.toSeq.map(col)
-        case other => Seq(compile(other, m.input))
+      val expandedExprs: Seq[Expr] = rewritten.map(_.get).flatMap {
+        case Star  => m.input.columns.toSeq.map(ColRef(_): Expr)
+        case other => Seq(other)
       }
+      val expanded = expandedExprs.map(e => compile(e, m.input))
       val argTypes = expanded.map(cx => typeOf(cx, m.input))
       graft.functions.AlgebraicAgg
-        .columnFor(jarRegistry, n, ctorLits, expanded, argTypes)
+        .columnFor(jarRegistry, n, ctorLits, expanded, argTypes,
+          Some(pigArgSchema(expandedExprs, expanded, m.input)))
         .map { cagg =>
           val nm = s"__a${aggCols.size}"
           aggCols += cagg.as(nm)
@@ -817,6 +816,18 @@ final class PigRunner(val spark: SparkSession) {
     Some(foreach(Relation(fused, m.bagName), rwGens.map(_.get)))
   }
 
+  /** DEFINE'd ctor literals ride after CtorMark (PigPreprocessor);
+    * split a call's args into (call args, ctor literals). */
+  private def splitCtorMark(as0: Seq[Expr]): (Seq[Expr], Seq[String]) = {
+    val mark = as0.indexWhere {
+      case Lit(s: String) => s == PigPreprocessor.CtorMark
+      case _ => false
+    }
+    if (mark >= 0) (as0.take(mark),
+      as0.drop(mark + 1).collect { case Lit(s: String) => s })
+    else (as0, Seq.empty[String])
+  }
+
   /** Streamed execution for jar ACCUMULATOR UDFs over grouped bags
     * (AccumulatorStream): fires only when every GENERATE item is the
     * group key or an Accumulator-implementing jar UDF over bag fields,
@@ -842,31 +853,52 @@ final class PigRunner(val spark: SparkSession) {
         case FuncCall(n, as0) =>
           graft.functions.AccumulatorStream
             .accumulatorFor(jarRegistry, n).flatMap { case (jarInfo, cls) =>
-              val mark = as0.indexWhere {
-                case Lit(s: String) => s == PigPreprocessor.CtorMark
-                case _ => false
-              }
-              val (callArgs, ctorLits) =
-                if (mark >= 0) (as0.take(mark),
-                  as0.drop(mark + 1).collect { case Lit(s: String) => s })
-                else (as0, Seq.empty[String])
+              val (callArgs, ctorLits) = splitCtorMark(as0)
               val rewritten = callArgs.map(bagArg)
               if (!rewritten.forall(_.isDefined)) None
               else {
-                val expanded: Seq[Column] = rewritten.map(_.get).flatMap {
-                  case Star  => m.input.columns.toSeq.map(col)
-                  case other => Seq(compile(other, m.input))
+                // per-arg shape: bag projections become BagArg columns
+                // (Star expands to every input column), literals pass
+                // verbatim — accumulate() sees the exec tuple shape
+                val argSpecs = scala.collection.mutable.ArrayBuffer
+                  .empty[graft.functions.AccumulatorStream.Arg]
+                val bagCols = scala.collection.mutable.ArrayBuffer
+                  .empty[Column]
+                val bagExprs = scala.collection.mutable.ArrayBuffer
+                  .empty[Expr]
+                rewritten.map(_.get).foreach {
+                  case Lit(v) =>
+                    argSpecs += graft.functions.AccumulatorStream.LitArg(v)
+                  case Star =>
+                    m.input.columns.foreach { cn =>
+                      argSpecs += graft.functions.AccumulatorStream
+                        .BagArg(bagCols.size)
+                      bagCols += col(cn); bagExprs += ColRef(cn)
+                    }
+                  case other =>
+                    argSpecs += graft.functions.AccumulatorStream
+                      .BagArg(bagCols.size)
+                    bagCols += compile(other, m.input); bagExprs += other
                 }
-                val outName =
-                  g.alias.getOrElse(autoName(g.expr, i, baggedDf))
-                val call = graft.functions.AccumulatorStream.Call(
-                  jarInfo, cls, ctorLits, outName)
-                val dt =
-                  try graft.functions.AccumulatorStream
-                    .resultType(call, expanded.length)
-                  catch { case _: Exception => return None }
-                calls += ((call, expanded, dt))
-                Some(col(outName))
+                if (bagCols.isEmpty) None // per-group scalar call, not
+                                          // an aggregate — bag path
+                else {
+                  val outName =
+                    g.alias.getOrElse(autoName(g.expr, i, baggedDf))
+                  val call = graft.functions.AccumulatorStream.Call(
+                    jarInfo, cls, ctorLits, outName, argSpecs.toSeq,
+                    "graft_acc_" + java.lang.Integer.toHexString(
+                      (cls + " " + ctorLits.mkString(" ")).hashCode),
+                    graft.functions.JarUdfs.udfContextSnapshot())
+                  val dt =
+                    try graft.functions.AccumulatorStream.resultType(
+                      call, argSpecs.length,
+                      Some(pigArgSchema(bagExprs.toSeq, bagCols.toSeq,
+                        m.input)))
+                    catch { case _: Exception => return None }
+                  calls += ((call, bagCols.toSeq, dt))
+                  Some(col(outName))
+                }
               }
             }
         case _ => None

@@ -15,6 +15,11 @@ import org.apache.pig.data.{BagFactory, TupleFactory}
   * and reads `getValue()` at group end — the group's bag is NEVER
   * materialized.
   *
+  * accumulate() receives the SAME tuple shape exec would: one field
+  * per call argument, bag-projected args as (chunk-sized) bags of
+  * 1-field tuples and literal args verbatim — `Acc(a.x, '|')` sees
+  * `tuple(bag_x, "|")` exactly like the bag path.
+  *
   * Spark shape: one `groupByKey().mapGroups()` — a sort/hash-grouped
   * shuffle whose per-group ITERATOR drives the accumulator, the exact
   * reduce-side streaming the reference runs. Without this, a jar
@@ -30,39 +35,46 @@ object AccumulatorStream {
     * (AccumulativeBag visits chunks, POPackage.getAccumulativeBatch). */
   private val ChunkSize = 1024
 
+  /** One accumulate() argument: a bag-projected column (index into
+    * the call's projected struct) or a literal passed verbatim. */
+  sealed trait Arg extends Serializable
+  final case class BagArg(idx: Int) extends Arg
+  final case class LitArg(value: Any) extends Arg
+
   final case class Call(jarInfo: Option[(String, String)], cls: String,
-                        ctorArgs: Seq[String], outName: String)
+                        ctorArgs: Seq[String], outName: String,
+                        args: Seq[Arg], sig: String,
+                        udfCtx: java.util.HashMap[String, java.util.Properties])
 
   /** Resolution when `name` is a registered-jar EvalFunc implementing
     * Accumulator. */
   def accumulatorFor(registry: JarUdfs.Registry, name: String)
       : Option[(Option[(String, String)], String)] =
-    JarUdfs.resolveClass(registry, name).flatMap { case (jar, ver, cls) =>
-      try {
-        val c = Class.forName(cls, false, JarUdfs.loaderFor(jar, ver))
-        if (classOf[org.apache.pig.Accumulator[_]].isAssignableFrom(c) &&
-            classOf[org.apache.pig.EvalFunc[_]].isAssignableFrom(c))
-          Some((Some((jar, ver)), cls))
-        else None
-      } catch { case _: Throwable => None }
-    }
+    JarUdfs.resolveImplementing(registry, name,
+      classOf[org.apache.pig.Accumulator[_]])
 
-  /** The declared result type of an accumulator UDF (its EvalFunc
-    * outputSchema/generic — same rule as the scalar udf bridge). */
-  def resultType(call: Call, argHint: Int): DataType =
+  /** The declared result type of an accumulator UDF — outputSchema
+    * first (fed the call's input schema, like the scalar bridge),
+    * else the EvalFunc generic. */
+  def resultType(call: Call, argHint: Int,
+                 inputSchema: Option[org.apache.pig.impl.logicalLayer.schema.Schema])
+      : DataType =
     JarUdfs.returnTypeOf(
       JarUdfs.instantiateUserClass(call.jarInfo, call.cls, call.ctorArgs)
-        .asInstanceOf[org.apache.pig.EvalFunc[_]], argHint)
+        .asInstanceOf[org.apache.pig.EvalFunc[_]], argHint, inputSchema)
 
   /** Build the streamed result: one row per group, columns
-    * `group` + each call's outName. `calls` pair each accumulator
-    * with its per-row argument columns and declared result type. */
+    * `group` + each call's outName. Each call's projected struct
+    * carries only its BAG-projected arg columns, in BagArg order. */
   def fuse(input: DataFrame, key: Column, keyType: DataType,
            calls: Seq[(Call, Seq[Column], DataType)]): DataFrame = {
     val prep = input.select(
       (struct(key.as("k")).as("__gk") +:
-        calls.zipWithIndex.map { case ((_, args, _), i) =>
-          struct(args: _*).as(s"__in$i")
+        calls.zipWithIndex.map { case ((_, cols, _), i) =>
+          // a call may have zero bag args only in theory (the
+          // interpreter requires one) — struct() needs a field
+          (if (cols.nonEmpty) struct(cols: _*) else struct(lit(0)))
+            .as(s"__in$i")
         }).toIndexedSeq: _*)
     val kSchema = prep.schema("__gk").dataType.asInstanceOf[StructType]
     val outSchema = StructType(
@@ -75,18 +87,35 @@ object AccumulatorStream {
         // fresh instances per group (the reference reuses one instance
         // with cleanup() between groups — equivalent state lifecycle)
         val accs = callMeta.map { case (c, _) =>
-          JarUdfs.instantiateUserClass(c.jarInfo, c.cls, c.ctorArgs)
+          JarUdfs.newContextualInstance(c.jarInfo, c.cls, c.ctorArgs,
+            c.sig, c.udfCtx)
             .asInstanceOf[org.apache.pig.Accumulator[AnyRef]]
         }
         it.grouped(ChunkSize).foreach { chunk =>
           accs.zipWithIndex.foreach { case (acc, i) =>
-            val bag = BagFactory.getInstance().newDefaultBag()
+            val c = callMeta(i)._1
+            // per-arg bags: bag args each get a bag of 1-field tuples
+            // from this chunk, literals pass verbatim (the exec shape)
+            val bags = c.args.collect { case BagArg(_) =>
+              BagFactory.getInstance().newDefaultBag()
+            }
             chunk.foreach { row =>
               val s = row.getStruct(i + 1)
-              bag.add(tf.newTuple(s.toSeq.map(v =>
-                JarUdfs.toPig(v.asInstanceOf[AnyRef])).asJava))
+              var bi = 0
+              c.args.foreach {
+                case BagArg(idx) =>
+                  bags(bi).add(tf.newTuple(
+                    JarUdfs.toPig(s.get(idx).asInstanceOf[AnyRef])))
+                  bi += 1
+                case _: LitArg => ()
+              }
             }
-            acc.accumulate(tf.newTuple(bag))
+            var bi = 0
+            val fields = c.args.map {
+              case BagArg(_) => val b = bags(bi); bi += 1; b
+              case LitArg(v) => JarUdfs.toPig(v.asInstanceOf[AnyRef])
+            }
+            acc.accumulate(tf.newTuple(fields.asJava))
           }
         }
         val vals = callMeta.zip(accs).map { case ((_, dt), acc) =>

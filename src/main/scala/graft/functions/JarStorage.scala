@@ -78,9 +78,16 @@ object JarStorage extends Serializable {
       if (declaredWidth.isDefined) None
       else probe match {
         case lm: org.apache.pig.LoadMetadata =>
-          (try Option(lm.getSchema(location, scratchJob()))
-           catch { case _: Exception => None })
-            .map(_.getFields.toSeq.zipWithIndex.map { case (f, i) =>
+          // a getSchema FAILURE is a front-end error in the reference —
+          // surfacing it beats silently degrading to untyped _cN
+          // columns and a confusing downstream name-resolution error
+          val rs = try Option(lm.getSchema(location, scratchJob()))
+            catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"LOAD USING $name: LoadMetadata.getSchema failed for " +
+                s"'$location': ${e.getMessage}", e)
+            }
+          rs.map(_.getFields.toSeq.zipWithIndex.map { case (f, i) =>
               (Option(f.getName).getOrElse(s"_c$i"), f.getType)
             }).filter(_.nonEmpty)
         case _ => None

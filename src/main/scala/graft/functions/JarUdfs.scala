@@ -142,6 +142,37 @@ object JarUdfs {
     hits.find(_._3.equalsIgnoreCase(name)).orElse(hits.headOption)
   }
 
+  /** Resolution when `name` is a registered EvalFunc implementing
+    * `iface` (Algebraic, Accumulator, ...). */
+  private[functions] def resolveImplementing(registry: Registry,
+      name: String, iface: Class[_])
+      : Option[(Option[(String, String)], String)] =
+    resolveClass(registry, name).flatMap { case (jar, ver, cls) =>
+      try {
+        val c = Class.forName(cls, false, loaderFor(jar, ver))
+        if (iface.isAssignableFrom(c) &&
+            classOf[EvalFunc[_]].isAssignableFrom(c))
+          Some((Some((jar, ver)), cls))
+        else None
+      } catch { case _: Throwable => None }
+    }
+
+  /** Executor-side construction every aggregate bridge shares with
+    * Invoker: restore shipped UDFContext state BEFORE the ctor runs,
+    * then hand the instance its call-site signature. */
+  private[functions] def newContextualInstance(
+      jarInfo: Option[(String, String)], cls: String,
+      ctorArgs: Seq[String], sig: String,
+      ctx: java.util.HashMap[String, java.util.Properties]): AnyRef = {
+    org.apache.pig.impl.util.UDFContext.mergeFromShipping(ctx)
+    val inst = instantiateUserClass(jarInfo, cls, ctorArgs)
+    inst match {
+      case f: EvalFunc[_] => f.setUDFContextSignature(sig)
+      case _ => ()
+    }
+    inst
+  }
+
   /** Shared user-class loading for every serialized bridge (EvalFunc
     * invoker, partitioner, comparator, load/store funcs): version-keyed
     * jar loader first; an executor without the jar file locally falls
@@ -214,7 +245,12 @@ object JarUdfs {
     * non-serializable property values are dropped with a warning (the
     * reference serializes the whole context into the job conf and
     * fails there instead). */
-  private def shippableUdfContext()
+  /** frontend-visible alias (the interpreter snapshots per call). */
+  private[graft] def udfContextSnapshot()
+      : java.util.HashMap[String, java.util.Properties] =
+    shippableUdfContext()
+
+  private[functions] def shippableUdfContext()
       : java.util.HashMap[String, java.util.Properties] = {
     val snap = org.apache.pig.impl.util.UDFContext.snapshotForShipping()
     snap.forEach { (k, props) =>

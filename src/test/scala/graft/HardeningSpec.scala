@@ -346,7 +346,9 @@ class JarAggHardeningSpec extends SparkSpec {
 
     // Accumulator streaming over the same skewed corpus
     val call = graft.functions.AccumulatorStream.Call(
-      None, classOf[HardAccSum].getName, Seq.empty, "s")
+      None, classOf[HardAccSum].getName, Seq.empty, "s",
+      Seq(graft.functions.AccumulatorStream.BagArg(0)), "hard_acc",
+      new java.util.HashMap[String, java.util.Properties]())
     val streamed = graft.functions.AccumulatorStream.fuse(
       df, col("k"), org.apache.spark.sql.types.LongType,
       Seq((call, Seq(col("v")), org.apache.spark.sql.types.LongType)))

@@ -797,22 +797,54 @@ class ScriptingUdfSpec extends SparkSpec {
         |  public void cleanup() { sum = 0; batches = 0; }
         |}
         |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    // a MULTI-ARG accumulator: bag arg + literal separator read via
+    // input.get(1) — pins the exec tuple shape (review finding: a
+    // combined per-row bag would fold the literal into every tuple)
+    val src2 = new File(tmp, "AccMaxTimes.java")
+    Files.write(src2.toPath,
+      """import java.io.IOException;
+        |import org.apache.pig.AccumulatorEvalFunc;
+        |import org.apache.pig.data.DataBag;
+        |import org.apache.pig.data.Tuple;
+        |public class AccMaxTimes extends AccumulatorEvalFunc<Long> {
+        |  private long max = Long.MIN_VALUE;
+        |  private long factor = 1;
+        |  public void accumulate(Tuple input) throws IOException {
+        |    try {
+        |      DataBag b = (DataBag) input.get(0);
+        |      factor = Long.parseLong(input.get(1).toString());
+        |      for (Tuple t : b) {
+        |        Object v = t.get(0);
+        |        if (v != null)
+        |          max = Math.max(max, ((Number) v).longValue());
+        |      }
+        |    } catch (Exception e) { throw new IOException(e); }
+        |  }
+        |  public Long getValue() { return max * factor; }
+        |  public void cleanup() { max = Long.MIN_VALUE; factor = 1; }
+        |}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
     val cls = new File(tmp, "classes"); cls.mkdirs()
     val facadeCp = classOf[org.apache.pig.EvalFunc[_]]
       .getProtectionDomain.getCodeSource.getLocation.getPath
     assert(javax.tools.ToolProvider.getSystemJavaCompiler.run(null, null,
-      null, "-cp", facadeCp, "-d", cls.getPath, src.getPath) == 0)
+      null, "-cp", facadeCp, "-d", cls.getPath, src.getPath,
+      src2.getPath) == 0)
     val jar = new File(tmp, "accsum.jar")
     val jos = new java.util.jar.JarOutputStream(
       new java.io.FileOutputStream(jar))
-    jos.putNextEntry(new java.util.jar.JarEntry("AccSum.class"))
-    jos.write(Files.readAllBytes(new File(cls, "AccSum.class").toPath))
-    jos.closeEntry(); jos.close()
+    Seq("AccSum.class", "AccMaxTimes.class").foreach { n =>
+      jos.putNextEntry(new java.util.jar.JarEntry(n))
+      jos.write(Files.readAllBytes(new File(cls, n).toPath))
+      jos.closeEntry()
+    }
+    jos.close()
     val runner = PigRunner(spark).run(s"""
       REGISTER '${jar.getPath}';
       o = LOAD '$dir/orders.parquet';
       g = GROUP o BY o_custkey;
       b = FOREACH g GENERATE group AS k, AccSum(o.o_orderkey) AS s;
+      m = FOREACH g GENERATE group AS k, AccMaxTimes(o.o_orderkey, '10') AS mx;
     """)
     val plan = runner("b").df.queryExecution.executedPlan.toString
     assert(!plan.contains("collect_list"),
@@ -820,6 +852,16 @@ class ScriptingUdfSpec extends SparkSpec {
         plan.take(800))
     assert(plan.contains("MapGroups"),
       "expected a MapGroups streaming stage:\n" + plan.take(800))
+    // multi-arg call: accumulate() must see tuple(bag, "10")
+    val gotM = runner("m").df.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).sorted.toSeq
+    val wantM = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.max("o_orderkey").as("mx"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue * 10)).sorted.toSeq
+    assert(gotM == wantM)
     val got = runner("b").df.collect()
       .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).sorted.toSeq
     val want = spark.read.parquet(s"$dir/orders.parquet")

@@ -43,6 +43,43 @@ public class Schema implements java.io.Serializable {
     public FieldSchema getField(int i) { return fields.get(i); }
     public List<FieldSchema> getFields() { return fields; }
 
+    /** A nested one-field schema (reference Schema.java:1763) —
+     *  `generateNestedSchema(BAG, NULL)` builds a bag with an untyped
+     *  inner schema, the TOBAG-style fallback shape. */
+    public static Schema generateNestedSchema(byte topLevelType,
+            byte... innerTypes)
+            throws org.apache.pig.impl.logicalLayer.FrontendException {
+        Schema inner = new Schema();
+        for (byte t : innerTypes) inner.add(new FieldSchema(null, t));
+        return new Schema(new FieldSchema(null, inner, topLevelType));
+    }
+
+    /** Structural equality on (alias, type, nested schema) — UDF
+     *  outputSchema implementations compare argument schemas. */
+    @Override
+    public boolean equals(Object o) {
+        if (!(o instanceof Schema)) return false;
+        Schema s = (Schema) o;
+        if (s.size() != size()) return false;
+        for (int i = 0; i < size(); i++) {
+            FieldSchema a = getField(i), b = s.getField(i);
+            if (a.type != b.type) return false;
+            if (a.alias == null ? b.alias != null
+                    : !a.alias.equals(b.alias)) return false;
+            if (a.schema == null ? b.schema != null
+                    : !a.schema.equals(b.schema)) return false;
+        }
+        return true;
+    }
+
+    @Override
+    public int hashCode() {
+        int h = 17;
+        for (FieldSchema f : fields)
+            h = h * 31 + f.type + (f.alias == null ? 0 : f.alias.hashCode());
+        return h;
+    }
+
     /** Reference Schema.toString shape: `{alias: typename,...}` —
      *  unnamed fields print the bare type; tuple/bag/map nest with
      *  ()/{}/[] syntax. UDFs stringify schemas (UDFContext round

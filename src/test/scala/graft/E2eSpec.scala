@@ -453,7 +453,7 @@ class E2eSpec extends SparkSpec {
       "CreateMap", "Fred", "NonAlgNonAccCount", "IteratingAccumulatorCount",
       "IteratingAccumulatorSum", "IteratingAccumulatorIsEmpty",
       "GoodMonitored", "BadMonitored", "Swap", "UDFContextTestUDF",
-      "UdfContextFrontend")
+      "UdfContextFrontend", "TOBAG2")
     // the Partitioner group's custom partitioner lives under utils/ and
     // needs the hadoop Partitioner + Writable on the compile classpath
     val utilsHome = "/root/reference/test/e2e/pig/udfs/java/org/apache/pig/test/utils"
@@ -525,7 +525,9 @@ class E2eSpec extends SparkSpec {
       ("LoaderTextLoader", 1),
       // UDFContext: front-end outputSchema stashes per-signature state
       // the backend exec reads back (PIG-2337/2338)
-      ("UDFContext", 1), ("UDFContextAuto", 1))
+      ("UDFContext", 1), ("UDFContextAuto", 1),
+      // jar TOBAG2 alongside builtin TOBAG/TOTUPLE in one script
+      ("udf_TOBAGandTOTUPLE", 8))
     val all = extract(confPath, None, "(?!x)x".r, skip = "(?!x)x".r)
     val sel = all.collect {
       case (g, n, s) if wanted((g, n)) =>

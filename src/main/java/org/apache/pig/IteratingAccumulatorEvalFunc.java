@@ -1,50 +1,158 @@
 package org.apache.pig;
 
 import java.io.IOException;
-import java.util.ArrayList;
+import java.util.Collections;
 import java.util.Iterator;
-import java.util.List;
+import java.util.NoSuchElementException;
+import java.util.concurrent.ArrayBlockingQueue;
+import java.util.concurrent.BlockingQueue;
+import java.util.concurrent.TimeUnit;
 import org.apache.pig.data.DataBag;
 import org.apache.pig.data.Tuple;
 
 /**
  * API-compatibility facade (reference: src/org/apache/pig/
  * IteratingAccumulatorEvalFunc.java): subclasses implement
- * {@code exec(Iterator<Tuple>)} over the group's tuples. The reference
- * pumps chunks through a background thread; here the full bag is
- * available per call, so exec(Tuple) simply unwraps the bag argument and
- * hands over its iterator — same contract, no thread.
+ * {@code exec(Iterator<Tuple>)} over the group's tuples.
+ *
+ * The accumulator path feeds exec incrementally, like the reference: a
+ * worker thread runs exec over an iterator backed by a bounded queue,
+ * accumulate() pushes each chunk's tuples into the queue (blocking when
+ * full), and getValue() closes the input and joins the thread. At no
+ * point is the group materialized, so a billion-row group costs
+ * QUEUE_CAPACITY tuples of memory. {@link #isFinished()} turns true the
+ * moment exec returns, which lets the engine stop streaming the rest of
+ * the group (the point of {@link TerminatingAccumulator}).
  */
-public abstract class IteratingAccumulatorEvalFunc<T> extends EvalFunc<T>
-        implements Accumulator<T> {
+public abstract class IteratingAccumulatorEvalFunc<T> extends AccumulatorEvalFunc<T>
+        implements TerminatingAccumulator<T> {
 
     public abstract T exec(Iterator<Tuple> iterator) throws IOException;
 
+    /** Bag path: the whole group arrives as one bag — hand exec its
+     *  iterator directly, no thread needed. */
     @Override
     public T exec(Tuple input) throws IOException {
         Object bag = input == null || input.size() == 0 ? null : input.get(0);
-        if (bag == null) return exec(new ArrayList<Tuple>().iterator());
+        if (bag == null) return exec(Collections.<Tuple>emptyIterator());
         return exec(((DataBag) bag).iterator());
     }
 
-    // accumulator path: buffer chunks, run exec over them at getValue
-    private final List<Tuple> buffered = new ArrayList<Tuple>();
-    private T value;
+    private static final int QUEUE_CAPACITY = 10000;
+    private static final long POLL_MS = 200L;
+
+    private BlockingQueue<Tuple> queue;
+    private Thread worker;
+    private volatile boolean done;        // exec returned or threw
+    private volatile boolean inputClosed; // getValue called; no more tuples
+    private volatile T result;
+    private volatile Exception failure;
+
+    private void start() {
+        queue = new ArrayBlockingQueue<Tuple>(QUEUE_CAPACITY);
+        done = false;
+        inputClosed = false;
+        result = null;
+        failure = null;
+        worker = new Thread(new Runnable() {
+            @Override
+            public void run() {
+                try {
+                    result = exec(new QueueIterator());
+                } catch (Exception e) {
+                    failure = e;
+                } finally {
+                    done = true;
+                }
+            }
+        });
+        worker.setDaemon(true);
+        worker.setName("iterating-accumulator-" + getClass().getSimpleName());
+        worker.start();
+    }
+
+    @Override
+    public boolean isFinished() {
+        return done;
+    }
 
     @Override
     public void accumulate(Tuple b) throws IOException {
+        if (worker == null) start();
         Object bag = b == null || b.size() == 0 ? null : b.get(0);
-        if (bag != null)
-            for (Tuple t : (DataBag) bag) buffered.add(t);
+        if (bag == null) return;
+        for (Tuple t : (DataBag) bag) {
+            if (done) break; // exec stopped consuming — rest of group is moot
+            try {
+                boolean offered = false;
+                while (!done && !offered)
+                    offered = queue.offer(t, POLL_MS, TimeUnit.MILLISECONDS);
+            } catch (InterruptedException e) {
+                Thread.currentThread().interrupt();
+                throw new IOException("interrupted feeding accumulator", e);
+            }
+            if (failure != null)
+                throw new IOException("exec failed in accumulator thread", failure);
+        }
     }
 
     @Override
     public T getValue() {
-        try { value = exec(buffered.iterator()); }
-        catch (IOException e) { throw new RuntimeException(e); }
-        return value;
+        if (worker == null) start(); // empty group: exec over an empty iterator
+        inputClosed = true;
+        try {
+            worker.join();
+        } catch (InterruptedException e) {
+            Thread.currentThread().interrupt();
+            throw new RuntimeException("interrupted awaiting accumulator result", e);
+        }
+        if (failure != null)
+            throw new RuntimeException("exec failed in accumulator thread", failure);
+        return result;
     }
 
     @Override
-    public void cleanup() { buffered.clear(); value = null; }
+    public void cleanup() {
+        queue = null;
+        worker = null;
+        done = false;
+        inputClosed = false;
+        result = null;
+        failure = null;
+    }
+
+    private final class QueueIterator implements Iterator<Tuple> {
+        private Tuple pending;
+
+        @Override
+        public boolean hasNext() {
+            while (pending == null) {
+                if (inputClosed) {
+                    // no producer can add after the flag; one last drain
+                    pending = queue.poll();
+                    return pending != null;
+                }
+                try {
+                    pending = queue.poll(POLL_MS, TimeUnit.MILLISECONDS);
+                } catch (InterruptedException e) {
+                    Thread.currentThread().interrupt();
+                    throw new RuntimeException(e);
+                }
+            }
+            return true;
+        }
+
+        @Override
+        public Tuple next() {
+            if (!hasNext()) throw new NoSuchElementException();
+            Tuple t = pending;
+            pending = null;
+            return t;
+        }
+
+        @Override
+        public void remove() {
+            throw new UnsupportedOperationException();
+        }
+    }
 }

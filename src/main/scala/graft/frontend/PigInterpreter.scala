@@ -216,13 +216,48 @@ final class PigRunner(val spark: SparkSession) {
       spark.sessionState.conf.numShufflePartitions)
     val keyOpt: Option[Column] = inner match {
       case _: GroupOp | _: CubeOp => Some(col("group"))
-      case JoinOp(inputs, _, _) =>
+      case JoinOp(inputs, joinType, _) =>
         // the first input's key exprs survive into the join output under
-        // their own names (only the right side renames on collision)
-        try Some(inputs.head._2.map(e => compile(e, r.df)) match {
-          case Seq(one) => one
-          case many     => struct(many: _*)
-        }) catch { case _: Exception => None }
+        // their own names (only the right side renames on collision).
+        // OUTER joins: rows unmatched on the first side carry NULL in
+        // those columns post-join, so route by the per-position coalesce
+        // of every input's key — that reconstructs the actual join key
+        // the reference's map-side partitioner sees (its map output key
+        // is pre-join, never null-for-unmatched).
+        try {
+          // qualify refs as alias::name so each side's key resolves to
+          // ITS post-rename column in the join output
+          def qualify(alias: String, e: Expr): Expr = e match {
+            case ColRef(n) if !n.contains("::") => ColRef(s"$alias::$n")
+            case Deref(b, f)       => Deref(qualify(alias, b), f)
+            case MapLookup(m, k)   => MapLookup(qualify(alias, m), k)
+            case FuncCall(nm, as)  => FuncCall(nm, as.map(qualify(alias, _)))
+            case BinOp(op, l, rr)  => BinOp(op, qualify(alias, l),
+                                            qualify(alias, rr))
+            case Neg(v)            => Neg(qualify(alias, v))
+            case CastExpr(t, v)    => CastExpr(t, qualify(alias, v))
+            case BinCond(c, t, f)  => BinCond(qualify(alias, c),
+                                       qualify(alias, t), qualify(alias, f))
+            case _: PosRef =>
+              // a positional ref would compile against the JOIN output's
+              // positions, silently binding the wrong column — decline
+              throw new IllegalArgumentException(
+                "positional join key under PARTITION BY outer join")
+            case other => other
+          }
+          val perPos: Seq[Column] =
+            if (joinType == "inner")
+              inputs.head._2.map(e => compile(e, r.df))
+            else inputs.head._2.indices.map { j =>
+              coalesce(inputs.map { case (a, ks) =>
+                compile(qualify(a, ks(j)), r.df)
+              }: _*)
+            }
+          Some(perPos match {
+            case Seq(one) => one
+            case many     => struct(many: _*)
+          })
+        } catch { case _: Exception => None }
       case _: DistinctOp =>
         Some(struct(r.df.columns.map(col).toIndexedSeq: _*))
       case _ => None
@@ -885,16 +920,22 @@ final class PigRunner(val spark: SparkSession) {
                 else {
                   val outName =
                     g.alias.getOrElse(autoName(g.expr, i, baggedDf))
+                  val argSchema = pigArgSchema(bagExprs.toSeq,
+                    bagCols.toSeq, m.input)
+                  // same MD5-with-separators identity as the scalar
+                  // and Algebraic jar paths: two differently
+                  // configured call sites of one UDF must never share
+                  // per-signature UDFContext state
                   val call = graft.functions.AccumulatorStream.Call(
                     jarInfo, cls, ctorLits, outName, argSpecs.toSeq,
-                    "graft_acc_" + java.lang.Integer.toHexString(
-                      (cls + " " + ctorLits.mkString(" ")).hashCode),
+                    "graft_acc_" + graft.functions.JarUdfs.sigDigest(
+                      jarInfo.map(_._2).getOrElse("") +: cls +:
+                        argSpecs.length.toString +:
+                        argSchema.toString +: ctorLits),
                     graft.functions.JarUdfs.udfContextSnapshot())
                   val dt =
                     try graft.functions.AccumulatorStream.resultType(
-                      call, argSpecs.length,
-                      Some(pigArgSchema(bagExprs.toSeq, bagCols.toSeq,
-                        m.input)))
+                      call, argSpecs.length, Some(argSchema))
                     catch { case _: Exception => return None }
                   calls += ((call, bagCols.toSeq, dt))
                   Some(col(outName))

@@ -63,13 +63,30 @@ object AccumulatorStream {
       JarUdfs.instantiateUserClass(call.jarInfo, call.cls, call.ctorArgs)
         .asInstanceOf[org.apache.pig.EvalFunc[_]], argHint, inputSchema)
 
+  /** groupByKey compares the ENCODED key bytes, unlike DataFrame
+    * groupBy whose hash aggregation normalizes floats first
+    * (NormalizeFloatingNumbers): without this, -0.0/0.0 and NaN
+    * payload variants would form separate groups on this path only.
+    * `x + 0.0` folds -0.0 into +0.0; nanvl canonicalizes NaN bits.
+    * Recurses into struct (tuple) keys; matches what the bag and
+    * fused-Algebraic paths emit for the group value. */
+  private def canonKey(c: Column, dt: DataType): Column = dt match {
+    case DoubleType => nanvl(c + lit(0.0d), lit(Double.NaN))
+    case FloatType  => nanvl(c + lit(0.0f), lit(Float.NaN)).cast(FloatType)
+    case st: StructType =>
+      when(c.isNull, lit(null).cast(st)).otherwise(struct(
+        st.fields.toIndexedSeq.map(f =>
+          canonKey(c.getField(f.name), f.dataType).as(f.name)): _*))
+    case _ => c
+  }
+
   /** Build the streamed result: one row per group, columns
     * `group` + each call's outName. Each call's projected struct
     * carries only its BAG-projected arg columns, in BagArg order. */
   def fuse(input: DataFrame, key: Column, keyType: DataType,
            calls: Seq[(Call, Seq[Column], DataType)]): DataFrame = {
     val prep = input.select(
-      (struct(key.as("k")).as("__gk") +:
+      (struct(canonKey(key, keyType).as("k")).as("__gk") +:
         calls.zipWithIndex.map { case ((_, cols, _), i) =>
           // a call may have zero bag args only in theory (the
           // interpreter requires one) — struct() needs a field
@@ -91,32 +108,47 @@ object AccumulatorStream {
             c.sig, c.udfCtx)
             .asInstanceOf[org.apache.pig.Accumulator[AnyRef]]
         }
-        it.grouped(ChunkSize).foreach { chunk =>
+        // TerminatingAccumulator (reference: accumulative POForEach's
+        // early exit): once a call reports isFinished, stop feeding it;
+        // once EVERY call is finished, stop pulling the group's rows
+        // entirely — mapGroups tolerates an unconsumed iterator.
+        val term = accs.map {
+          case t: org.apache.pig.TerminatingAccumulator[_] => t
+          case _ => null
+        }
+        def finished(i: Int): Boolean = term(i) != null && term(i).isFinished
+        val chunks = it.grouped(ChunkSize)
+        var allFinished = accs.indices.forall(finished)
+        while (!allFinished && chunks.hasNext) {
+          val chunk = chunks.next()
           accs.zipWithIndex.foreach { case (acc, i) =>
-            val c = callMeta(i)._1
-            // per-arg bags: bag args each get a bag of 1-field tuples
-            // from this chunk, literals pass verbatim (the exec shape)
-            val bags = c.args.collect { case BagArg(_) =>
-              BagFactory.getInstance().newDefaultBag()
-            }
-            chunk.foreach { row =>
-              val s = row.getStruct(i + 1)
-              var bi = 0
-              c.args.foreach {
-                case BagArg(idx) =>
-                  bags(bi).add(tf.newTuple(
-                    JarUdfs.toPig(s.get(idx).asInstanceOf[AnyRef])))
-                  bi += 1
-                case _: LitArg => ()
+            if (!finished(i)) {
+              val c = callMeta(i)._1
+              // per-arg bags: bag args each get a bag of 1-field tuples
+              // from this chunk, literals pass verbatim (the exec shape)
+              val bags = c.args.collect { case BagArg(_) =>
+                BagFactory.getInstance().newDefaultBag()
               }
+              chunk.foreach { row =>
+                val s = row.getStruct(i + 1)
+                var bi = 0
+                c.args.foreach {
+                  case BagArg(idx) =>
+                    bags(bi).add(tf.newTuple(
+                      JarUdfs.toPig(s.get(idx).asInstanceOf[AnyRef])))
+                    bi += 1
+                  case _: LitArg => ()
+                }
+              }
+              var bi = 0
+              val fields = c.args.map {
+                case BagArg(_) => val b = bags(bi); bi += 1; b
+                case LitArg(v) => JarUdfs.toPig(v.asInstanceOf[AnyRef])
+              }
+              acc.accumulate(tf.newTuple(fields.asJava))
             }
-            var bi = 0
-            val fields = c.args.map {
-              case BagArg(_) => val b = bags(bi); bi += 1; b
-              case LitArg(v) => JarUdfs.toPig(v.asInstanceOf[AnyRef])
-            }
-            acc.accumulate(tf.newTuple(fields.asJava))
           }
+          allFinished = accs.indices.forall(finished)
         }
         val vals = callMeta.zip(accs).map { case ((_, dt), acc) =>
           JarUdfs.coerce(acc.getValue.asInstanceOf[AnyRef], dt)

@@ -202,6 +202,17 @@ object JarUdfs {
     inst.asInstanceOf[AnyRef]
   }
 
+  /** Collision-proof call-site identity: MD5 over NUL-separated parts.
+    * A 32-bit hashCode — or space-joined parts, where ctor args
+    * Seq("a b") and Seq("a","b") collide — could bind two differently
+    * configured call sites of one UDF to the same per-signature
+    * UDFContext state. Shared by the scalar, Algebraic, and
+    * Accumulator jar paths so all three use one identity scheme. */
+  private[graft] def sigDigest(parts: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\u0000").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+
   /** Build the Column for a call to a registered-jar EvalFunc — or None
     * when no registered jar provides the name. `inputSchema` (the Pig
     * schema of the call's arguments) reaches the EvalFunc's
@@ -219,11 +230,8 @@ object JarUdfs {
       // to another configuration's udf; the schema component keeps two
       // call sites with different input types distinct (their
       // outputSchema results — and UDFContext keys — differ)
-      val idDigest = java.security.MessageDigest.getInstance("MD5")
-        .digest((verKey +: cls +: args.length.toString +:
-          inputSchema.map(_.toString).getOrElse("") +: ctorArgs)
-          .mkString("\u0000").getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
+      val idDigest = sigDigest(verKey +: cls +: args.length.toString +:
+        inputSchema.map(_.toString).getOrElse("") +: ctorArgs)
       val sig = "graft_sig_" + idDigest
       // plan-time pass: signature + input schema, then outputSchema
       // (which may stash state in UDFContext — the reference's order)

@@ -873,6 +873,244 @@ class ScriptingUdfSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ----------------------- terminating / iterating accumulators (r11)
+
+  /** Compile `sources` (name → body) against the facade and jar them. */
+  private def buildJar(sources: Seq[(String, String)]): String = {
+    val tmp = Files.createTempDirectory("graft_udfjar").toFile
+    val cls = new File(tmp, "classes"); cls.mkdirs()
+    val files = sources.map { case (n, body) =>
+      val f = new File(tmp, n)
+      Files.write(f.toPath, body.getBytes(StandardCharsets.UTF_8)); f
+    }
+    val facadeCp = classOf[org.apache.pig.EvalFunc[_]]
+      .getProtectionDomain.getCodeSource.getLocation.getPath
+    val javacArgs = Seq("-cp", facadeCp, "-d", cls.getPath) ++
+      files.map(_.getPath)
+    assert(javax.tools.ToolProvider.getSystemJavaCompiler.run(null, null,
+      null, javacArgs: _*) == 0, "udf javac failed")
+    val jar = new File(tmp, "udf.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      new java.io.FileOutputStream(jar))
+    cls.listFiles().filter(_.getName.endsWith(".class")).foreach { f =>
+      jos.putNextEntry(new java.util.jar.JarEntry(f.getName))
+      jos.write(Files.readAllBytes(f.toPath)); jos.closeEntry()
+    }
+    jos.close()
+    jar.getPath
+  }
+
+  test("TerminatingAccumulator: isFinished() stops the group stream " +
+       "after the first chunk (bounded accumulate-call count)") {
+    // value = number of accumulate() calls received; finished after one.
+    // lineitem groups by l_returnflag are ~2000 rows at sf0.001 — well
+    // past the 1024-row chunk, so WITHOUT the early exit each group
+    // would see 2+ calls.
+    val jar = buildJar(Seq("TermCalls.java" ->
+      """import java.io.IOException;
+        |import org.apache.pig.AccumulatorEvalFunc;
+        |import org.apache.pig.TerminatingAccumulator;
+        |import org.apache.pig.data.Tuple;
+        |public class TermCalls extends AccumulatorEvalFunc<Long>
+        |    implements TerminatingAccumulator<Long> {
+        |  private long calls = 0;
+        |  public void accumulate(Tuple input) throws IOException { calls++; }
+        |  public boolean isFinished() { return calls > 0; }
+        |  public Long getValue() { return calls; }
+        |  public void cleanup() { calls = 0; }
+        |}
+        |""".stripMargin))
+    val runner = PigRunner(spark).run(s"""
+      REGISTER '$jar';
+      l = LOAD '$dir/lineitem.parquet';
+      g = GROUP l BY l_returnflag;
+      t = FOREACH g GENERATE group AS k, TermCalls(l.l_quantity) AS calls;
+    """)
+    val plan = runner("t").df.queryExecution.executedPlan.toString
+    assert(plan.contains("MapGroups"),
+      "terminating accumulator must take the streamed path:\n" +
+        plan.take(800))
+    // groups must actually exceed one chunk for the assertion to bite
+    val sizes = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect().map(_.getLong(1))
+    assert(sizes.exists(_ > 1024), sizes.mkString(","))
+    runner("t").df.collect().foreach { r =>
+      assert(r.getLong(1) == 1L,
+        s"group ${r.get(0)}: expected 1 accumulate call, got ${r.get(1)}")
+    }
+  }
+
+  test("IteratingAccumulatorEvalFunc: exec streams tuples across chunk " +
+       "boundaries; an early-returning exec doesn't stall the feed") {
+    val jar = buildJar(Seq(
+      "IterCount.java" ->
+        """import java.io.IOException;
+          |import java.util.Iterator;
+          |import org.apache.pig.IteratingAccumulatorEvalFunc;
+          |import org.apache.pig.data.Tuple;
+          |public class IterCount extends IteratingAccumulatorEvalFunc<Long> {
+          |  public Long exec(Iterator<Tuple> it) throws IOException {
+          |    long n = 0;
+          |    while (it.hasNext()) { it.next(); n++; }
+          |    return n;
+          |  }
+          |}
+          |""".stripMargin,
+      "IterPeek.java" ->
+        """import java.io.IOException;
+          |import java.util.Iterator;
+          |import org.apache.pig.IteratingAccumulatorEvalFunc;
+          |import org.apache.pig.data.Tuple;
+          |public class IterPeek extends IteratingAccumulatorEvalFunc<Long> {
+          |  public Long exec(Iterator<Tuple> it) throws IOException {
+          |    if (!it.hasNext()) return -1L;
+          |    it.next();
+          |    return 7L; // stop consuming after one tuple
+          |  }
+          |}
+          |""".stripMargin))
+    val runner = PigRunner(spark).run(s"""
+      REGISTER '$jar';
+      l = LOAD '$dir/lineitem.parquet';
+      g = GROUP l BY l_returnflag;
+      c = FOREACH g GENERATE group AS k, IterCount(l.l_quantity) AS n;
+      p = FOREACH g GENERATE group AS k, IterPeek(l.l_quantity) AS v;
+    """)
+    val plan = runner("c").df.queryExecution.executedPlan.toString
+    assert(plan.contains("MapGroups") && !plan.contains("collect_list"),
+      plan.take(800))
+    // every tuple of every group crossed the queue (counts exact)
+    val got = runner("c").df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == want)
+    // early-returning exec: isFinished turns true, remaining chunks are
+    // dropped, no deadlock, value intact
+    runner("p").df.collect().foreach(r => assert(r.getLong(1) == 7L))
+  }
+
+  test("IteratingAccumulatorEvalFunc facade: bounded-queue plumbing " +
+       "(50k tuples, reuse after cleanup, exec exception surfaces)") {
+    import org.apache.pig.data.{BagFactory, TupleFactory}
+    val tf = TupleFactory.getInstance()
+    val bf = BagFactory.getInstance()
+    def bag(n: Int) = {
+      val b = bf.newDefaultBag()
+      (1 to n).foreach(i => b.add(tf.newTuple(Long.box(i.toLong))))
+      b
+    }
+    val count = new org.apache.pig.IteratingAccumulatorEvalFunc[java.lang.Long] {
+      override def exec(it: java.util.Iterator[org.apache.pig.data.Tuple])
+          : java.lang.Long = {
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      }
+    }
+    // 50 bags x 1000 tuples = 50k > the 10k queue bound: the producer
+    // must block-and-drain, not buffer (the old facade materialized all)
+    (1 to 50).foreach(_ => count.accumulate(tf.newTuple(bag(1000))))
+    assert(count.getValue == 50000L)
+    assert(count.isFinished)
+    count.cleanup()
+    count.accumulate(tf.newTuple(bag(3))) // fresh cycle after cleanup
+    assert(count.getValue == 3L)
+    count.cleanup()
+
+    val early = new org.apache.pig.IteratingAccumulatorEvalFunc[java.lang.Long] {
+      override def exec(it: java.util.Iterator[org.apache.pig.data.Tuple])
+          : java.lang.Long = {
+        if (!it.hasNext) return -1L
+        it.next(); 42L
+      }
+    }
+    // once exec returns, further accumulates must drop tuples instead of
+    // blocking on a full queue (5 x 100k tuples >> capacity)
+    (1 to 5).foreach(_ => early.accumulate(tf.newTuple(bag(100000))))
+    assert(early.getValue == 42L)
+    early.cleanup()
+
+    val boom = new org.apache.pig.IteratingAccumulatorEvalFunc[java.lang.Long] {
+      override def exec(it: java.util.Iterator[org.apache.pig.data.Tuple])
+          : java.lang.Long =
+        throw new java.io.IOException("iterating exec boom")
+    }
+    val e = intercept[Exception] {
+      boom.accumulate(tf.newTuple(bag(10)))
+      boom.getValue
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("iterating exec boom")), e.toString)
+  }
+
+  test("Accumulator path groups -0.0 with 0.0 and NaN with NaN " +
+       "(parity with the DataFrame groupBy paths)") {
+    val jar = buildJar(Seq("AccCount2.java" ->
+      """import java.io.IOException;
+        |import org.apache.pig.AccumulatorEvalFunc;
+        |import org.apache.pig.data.DataBag;
+        |import org.apache.pig.data.Tuple;
+        |public class AccCount2 extends AccumulatorEvalFunc<Long> {
+        |  private long n = 0;
+        |  public void accumulate(Tuple input) throws IOException {
+        |    try { for (Tuple t : (DataBag) input.get(0)) n++; }
+        |    catch (Exception e) { throw new IOException(e); }
+        |  }
+        |  public Long getValue() { return n; }
+        |  public void cleanup() { n = 0; }
+        |}
+        |""".stripMargin))
+    val p = Files.createTempDirectory("graft_negzero")
+      .resolve("d.parquet").toString
+    import spark.implicits._
+    Seq((-0.0, 1L), (0.0, 2L), (1.0, 3L), (Double.NaN, 4L),
+        (Double.NaN, 5L))
+      .toDF("k", "v").repartition(3).write.parquet(p)
+    val runner = PigRunner(spark).run(s"""
+      REGISTER '$jar';
+      d = LOAD '$p';
+      g = GROUP d BY k;
+      c = FOREACH g GENERATE group AS k, AccCount2(d.v) AS n;
+    """)
+    val plan = runner("c").df.queryExecution.executedPlan.toString
+    assert(plan.contains("MapGroups"), plan.take(800))
+    val got = runner("c").df.collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(got.length == 3, s"-0.0/0.0 or NaN split a group: " +
+      got.sortBy(_._1).mkString(", "))
+    assert(got.collectFirst {
+      case (k, n) if k == 0.0 => n }.contains(2L))
+    assert(got.collectFirst {
+      case (k, n) if k.isNaN => n }.contains(2L))
+  }
+
+  test("JOIN outer PARTITION BY: unmatched rows route by the surviving " +
+       "side's key, not by null") {
+    val runner = PigRunner(spark).run(s"""
+      REGISTER '$partitionerJar';
+      n = LOAD '$dir/nation.parquet';
+      r0 = LOAD '$dir/region.parquet';
+      r = FILTER r0 BY r_regionkey < 3;
+      j = JOIN r BY r_regionkey RIGHT OUTER, n BY n_regionkey PARTITION BY ModPartitioner PARALLEL 3;
+    """)
+    import org.apache.spark.sql.functions.{coalesce => cl, col,
+      spark_partition_id}
+    val placed = runner("j").df.select(
+      cl(col("r_regionkey"), col("n_regionkey")).as("k"),
+      spark_partition_id().as("pid")).collect()
+    assert(placed.length == 25)
+    assert(placed.exists(_.getAs[Number](0).longValue >= 3),
+      "expected unmatched right rows (regions 3/4 filtered off the left)")
+    placed.foreach { r =>
+      assert(r.getInt(1) == (r.getAs[Number](0).longValue % 3).toInt,
+        s"key ${r.get(0)} in partition ${r.get(1)}")
+    }
+  }
+
   test("unknown dotted function still fails loudly") {
     val e = intercept[Exception] {
       PigRunner(spark).run(s"""

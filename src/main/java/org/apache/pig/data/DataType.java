@@ -37,6 +37,7 @@ public class DataType {
         if (o instanceof byte[]) return BYTEARRAY;
         if (o instanceof java.math.BigInteger) return BIGINTEGER;
         if (o instanceof java.math.BigDecimal) return BIGDECIMAL;
+        if (o instanceof org.joda.time.DateTime) return DATETIME;
         if (o instanceof java.util.Map) return MAP;
         if (o instanceof Tuple) return TUPLE;
         if (o instanceof DataBag) return BAG;

@@ -321,6 +321,13 @@ object JarUdfs {
       case P.DOUBLE    => DoubleType
       case P.CHARARRAY => StringType
       case P.BYTEARRAY => BinaryType
+      // SURVEY §1.2: joda DateTime ↔ TimestampType (UTC session);
+      // biginteger/bigdecimal ride DecimalType (38,0) / (38,18) — the
+      // reference's own DateTimeMax/BigDecimalSum builtin families
+      // prove user jars declare these
+      case P.DATETIME   => TimestampType
+      case P.BIGINTEGER => DecimalType(38, 0)
+      case P.BIGDECIMAL => DecimalType(38, 18)
       case P.MAP =>
         // untyped map values flow as text, the engine-wide bytearray rule
         Option(fs.schema).filter(_.size() > 0)
@@ -350,6 +357,9 @@ object JarUdfs {
     case x if x == classOf[java.lang.Double]  => DoubleType
     case x if x == classOf[java.lang.Boolean] => BooleanType
     case x if x == classOf[Array[Byte]]       => BinaryType
+    case x if x == classOf[org.joda.time.DateTime]  => TimestampType
+    case x if x == classOf[java.math.BigInteger]    => DecimalType(38, 0)
+    case x if x == classOf[java.math.BigDecimal]    => DecimalType(38, 18)
     case x if classOf[java.util.Map[_, _]].isAssignableFrom(x) =>
       MapType(StringType, StringType)
     case x if classOf[Tuple].isAssignableFrom(x) => untypedTuple(argHint)
@@ -459,6 +469,17 @@ object JarUdfs {
 
   private def toJava(v: AnyRef): AnyRef = v match {
     case null => null
+    // reference UDFs unwrap datetime args as joda DateTime
+    // (e.g. P/builtin/DateTimeMax.java); session TZ is UTC
+    case ts: java.sql.Timestamp =>
+      new org.joda.time.DateTime(ts.getTime, org.joda.time.DateTimeZone.UTC)
+    case i: java.time.Instant =>
+      new org.joda.time.DateTime(i.toEpochMilli,
+        org.joda.time.DateTimeZone.UTC)
+    case ldt: java.time.LocalDateTime => // TimestampNTZ columns
+      new org.joda.time.DateTime(
+        ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        org.joda.time.DateTimeZone.UTC)
     case s: scala.collection.Seq[_] =>
       val bag = BagFactory.getInstance().newDefaultBag()
       s.foreach { x =>
@@ -490,6 +511,19 @@ object JarUdfs {
     case (n: java.lang.Number, DoubleType) => Double.box(n.doubleValue)
     case (b: java.lang.Boolean, BooleanType) => b
     case (b: Array[Byte], BinaryType) => b
+    case (d: org.joda.time.DateTime, TimestampType) =>
+      new java.sql.Timestamp(d.getMillis)
+    case (ts: java.sql.Timestamp, TimestampType) => ts
+    case (n: java.math.BigInteger, dt: DecimalType) =>
+      new java.math.BigDecimal(n).setScale(dt.scale)
+    case (n: java.math.BigDecimal, dt: DecimalType) =>
+      // align to the declared scale the way a Spark cast would (half-up);
+      // overflow past the declared precision surfaces as Spark's own
+      // null-on-overflow, not an exception here
+      n.setScale(dt.scale, java.math.RoundingMode.HALF_UP)
+    case (n: java.lang.Number, dt: DecimalType) =>
+      new java.math.BigDecimal(n.toString)
+        .setScale(dt.scale, java.math.RoundingMode.HALF_UP)
     case (t: Tuple, st: StructType) =>
       org.apache.spark.sql.Row(
         st.fields.toSeq.zipWithIndex.map { case (f, i) =>

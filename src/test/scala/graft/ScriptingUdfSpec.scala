@@ -883,13 +883,17 @@ class ScriptingUdfSpec extends SparkSpec {
       val f = new File(tmp, n)
       Files.write(f.toPath, body.getBytes(StandardCharsets.UTF_8)); f
     }
-    val facadeCp = classOf[org.apache.pig.EvalFunc[_]]
-      .getProtectionDomain.getCodeSource.getLocation.getPath
-    val javacArgs = Seq("-cp", facadeCp, "-d", cls.getPath) ++
+    val cp = Seq(classOf[org.apache.pig.EvalFunc[_]],
+        classOf[org.joda.time.DateTime])
+      .map(_.getProtectionDomain.getCodeSource.getLocation.getPath)
+      .distinct.mkString(File.pathSeparator)
+    val javacArgs = Seq("-cp", cp, "-d", cls.getPath) ++
       files.map(_.getPath)
     assert(javax.tools.ToolProvider.getSystemJavaCompiler.run(null, null,
       null, javacArgs: _*) == 0, "udf javac failed")
-    val jar = new File(tmp, "udf.jar")
+    // unique basename: SparkContext.addJar keys on the FILE NAME and
+    // refuses a same-name jar from a different path
+    val jar = new File(tmp, s"udf_${tmp.getName.replace("graft_udfjar", "")}.jar")
     val jos = new java.util.jar.JarOutputStream(
       new java.io.FileOutputStream(jar))
     cls.listFiles().filter(_.getName.endsWith(".class")).foreach { f =>
@@ -1108,6 +1112,92 @@ class ScriptingUdfSpec extends SparkSpec {
     placed.foreach { r =>
       assert(r.getInt(1) == (r.getAs[Number](0).longValue % 3).toInt,
         s"key ${r.get(0)} in partition ${r.get(1)}")
+    }
+  }
+
+  test("jar UDFs returning datetime / biginteger / bigdecimal " +
+       "(VERDICT r10 item 1: joda↔Timestamp, Big*↔Decimal)") {
+    val jar = buildJar(Seq(
+      // generic-return path (classType): joda DateTime in and out
+      "NextDay.java" ->
+        """import java.io.IOException;
+          |import org.apache.pig.EvalFunc;
+          |import org.apache.pig.data.Tuple;
+          |import org.joda.time.DateTime;
+          |public class NextDay extends EvalFunc<DateTime> {
+          |  public DateTime exec(Tuple input) throws IOException {
+          |    Object o = input.get(0);
+          |    if (o == null) return null;
+          |    return ((DateTime) o).plusDays(1);
+          |  }
+          |}
+          |""".stripMargin,
+      // outputSchema-declared path (fieldType): type code 65
+      "BigSquare.java" ->
+        """import java.io.IOException;
+          |import java.math.BigInteger;
+          |import org.apache.pig.EvalFunc;
+          |import org.apache.pig.data.DataType;
+          |import org.apache.pig.data.Tuple;
+          |import org.apache.pig.impl.logicalLayer.schema.Schema;
+          |public class BigSquare extends EvalFunc<Object> {
+          |  public Schema outputSchema(Schema input) {
+          |    return new Schema(
+          |      new Schema.FieldSchema("sq", DataType.BIGINTEGER));
+          |  }
+          |  public Object exec(Tuple input) throws IOException {
+          |    Object o = input.get(0);
+          |    if (o == null) return null;
+          |    BigInteger b = BigInteger.valueOf(((Number) o).longValue());
+          |    return b.multiply(b);
+          |  }
+          |}
+          |""".stripMargin,
+      "DecThird.java" ->
+        """import java.io.IOException;
+          |import java.math.BigDecimal;
+          |import java.math.RoundingMode;
+          |import org.apache.pig.EvalFunc;
+          |import org.apache.pig.data.Tuple;
+          |public class DecThird extends EvalFunc<BigDecimal> {
+          |  public BigDecimal exec(Tuple input) throws IOException {
+          |    Object o = input.get(0);
+          |    if (o == null) return null;
+          |    return new BigDecimal(o.toString())
+          |      .divide(new BigDecimal(3), 18, RoundingMode.HALF_UP);
+          |  }
+          |}
+          |""".stripMargin))
+    val runner = PigRunner(spark).run(s"""
+      REGISTER '$jar';
+      o = LOAD '$dir/orders.parquet';
+      x = FOREACH o GENERATE o_orderkey, NextDay(o_orderdate) AS nd,
+                    BigSquare(o_orderkey) AS sq, DecThird(o_totalprice) AS dt;
+    """)
+    val df = runner("x").df
+    import org.apache.spark.sql.types._
+    assert(df.schema("nd").dataType == TimestampType)
+    assert(df.schema("sq").dataType == DecimalType(38, 0))
+    assert(df.schema("dt").dataType == DecimalType(38, 18))
+    import org.apache.spark.sql.functions.{col, expr}
+    val want = spark.read.parquet(s"$dir/orders.parquet").select(
+      col("o_orderkey"),
+      expr("CAST(o_orderdate + INTERVAL 1 DAY AS TIMESTAMP)").as("nd"),
+      expr("CAST(o_orderkey AS DECIMAL(38,0)) * o_orderkey").as("sq"),
+      expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(38,18)) / 3, 18) " +
+           "AS DECIMAL(38,18))").as("dt"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1), r.getDecimal(2).toPlainString,
+       r.getDecimal(3).toPlainString)
+    val got = df.collect().map(key).sortBy(_._1).toSeq
+    val exp = want.collect().map(key).sortBy(_._1).toSeq
+    assert(got.length == exp.length && got.length > 0)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3, s"$g vs $e")
+      // decimal division rounding may differ in the last ulp between
+      // BigDecimal.divide and Spark's ROUND — compare numerically
+      assert((BigDecimal(g._4) - BigDecimal(e._4)).abs
+        <= BigDecimal("1e-17"), s"$g vs $e")
     }
   }
 

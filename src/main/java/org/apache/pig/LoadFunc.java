@@ -16,11 +16,12 @@ import org.apache.pig.data.Tuple;
  * with, hands a RecordReader to {@link #prepareToRead}, then pulls
  * {@link #getNext} until null.
  *
- * This engine's bridge (graft.functions.JarStorage) supports the
- * line-oriented family: loaders whose InputFormat is TextInputFormat
- * (or that leave the default). The reader passed in yields one line
- * per nextKeyValue with a Text value — exactly what reference-era
- * text loaders expect.
+ * This engine's bridge (graft.functions.JarStorage) gives text-family
+ * loaders (InputFormat = TextInputFormat or a subclass) a reader that
+ * yields one line per nextKeyValue with a Text value; any other
+ * InputFormat is driven for real — the framework runs the format's own
+ * splits and readers and replays each (key, value) stream through the
+ * reader handed to {@link #prepareToRead}.
  */
 public abstract class LoadFunc {
 

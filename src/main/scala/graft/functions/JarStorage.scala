@@ -13,18 +13,19 @@ import org.apache.pig.data.{DataBag, DataByteArray, Tuple}
 
 /** Registered-jar LoadFunc/StoreFunc bridge (reference: LoadFunc.java
   * :64 + StoreFuncInterface.java; PigServer.registerJar makes them
-  * callable from `LOAD/STORE ... USING userClass()`). Scope: the
-  * LINE-ORIENTED family — loaders whose getInputFormat() is
-  * TextInputFormat (or a subclass), which covers PigStorage-derived
-  * and text-record loaders, the shape user jars overwhelmingly take.
-  * A loader demanding a different InputFormat fails loudly rather
-  * than misreading.
+  * callable from `LOAD/STORE ... USING userClass()`). Two load paths:
+  * the LINE-ORIENTED family (getInputFormat() is TextInputFormat or a
+  * subclass — PigStorage-derived and text-record loaders, the shape
+  * user jars overwhelmingly take) rides the engine's own text scan;
+  * everything else (SequenceFile-backed and other binary loaders)
+  * drives the loader's OWN InputFormat via newAPIHadoopRDD
+  * ([[loadThroughFormat]], r11).
   *
-  * Scale shape: the loader runs INSIDE mapPartitions over a plain
-  * text scan — per-split parallel, no driver funnel; the store side
-  * likewise renders per partition into a distributed text write. One
-  * driver-side probe of a single line fixes the schemaless column
-  * count (skipped entirely when the script gives an AS schema).
+  * Scale shape: the loader runs INSIDE mapPartitions over a
+  * distributed scan — per-split parallel, no driver funnel; the store
+  * side likewise renders per partition into a distributed text write.
+  * One single-record probe fixes the schemaless column count (skipped
+  * entirely when the script gives an AS schema).
   */
 object JarStorage extends Serializable {
 
@@ -66,11 +67,6 @@ object JarStorage extends Serializable {
     val probe = inv.newLoadFunc()
     probe.setLocation(location, scratchJob())
     val fmt = try probe.getInputFormat catch { case _: Exception => null }
-    if (fmt != null && !fmt.isInstanceOf[TextInputFormat])
-      throw new UnsupportedOperationException(
-        s"LOAD USING $name: its InputFormat ${fmt.getClass.getName} is " +
-        "not line-oriented (TextInputFormat) — only text-record jar " +
-        "loaders are supported")
     // a self-describing loader (LoadMetadata.getSchema) supplies field
     // names + types when the script has no AS clause — the reference's
     // front-end schema path
@@ -92,24 +88,34 @@ object JarStorage extends Serializable {
             }).filter(_.nonEmpty)
         case _ => None
       }
-    val width = declaredWidth.orElse(metaSchema.map(_.length)).getOrElse {
-      // schemaless: one line through a driver-local loader instance
-      // fixes the column count (Pig's tuples are variable-width; a
-      // DataFrame's are not — first-record arity is the contract here)
-      lines.take(1).headOption
-        .flatMap(l => Option(openLoader(Iterator.single(l)).getNext()))
-        .map(_.size).getOrElse(1)
-    }
-    val rows = lines.rdd.mapPartitions { it =>
-      val lf = openLoader(it)
-      Iterator.continually(lf.getNext()).takeWhile(_ != null).map { t =>
-        val vals = t.getAll.asScala
-        Row((0 until width).map(i =>
-          if (i < vals.length) leafText(vals(i)) else null): _*)
+    val base =
+      if (fmt != null && !fmt.isInstanceOf[TextInputFormat])
+        // non-text loader: drive its OWN InputFormat (generic path)
+        loadThroughFormat(spark, inv, fmt, location,
+          declaredWidth.orElse(metaSchema.map(_.length)))
+      else {
+        val width = declaredWidth.orElse(metaSchema.map(_.length))
+          .getOrElse {
+            // schemaless: one line through a driver-local loader
+            // instance fixes the column count (Pig's tuples are
+            // variable-width; a DataFrame's are not — first-record
+            // arity is the contract here)
+            lines.take(1).headOption
+              .flatMap(l =>
+                Option(openLoader(Iterator.single(l)).getNext()))
+              .map(_.size).getOrElse(1)
+          }
+        val rows = lines.rdd.mapPartitions { it =>
+          val lf = openLoader(it)
+          Iterator.continually(lf.getNext()).takeWhile(_ != null).map { t =>
+            val vals = t.getAll.asScala
+            Row((0 until width).map(i =>
+              if (i < vals.length) leafText(vals(i)) else null): _*)
+          }
+        }
+        spark.createDataFrame(rows, StructType(
+          (0 until width).map(i => StructField(s"_c$i", StringType))))
       }
-    }
-    val base = spark.createDataFrame(rows, StructType(
-      (0 until width).map(i => StructField(s"_c$i", StringType))))
     metaSchema match {
       case Some(fs) =>
         import org.apache.spark.sql.functions.col
@@ -122,6 +128,76 @@ object JarStorage extends Serializable {
       case None => base
     }
   }
+
+  /** Drive a NON-text jar loader through its OWN InputFormat
+    * (reference: P/LoadFunc.java:103-149 makes no text assumption —
+    * SequenceFile-backed and other binary loaders are legal). The
+    * format itself runs distributed via `newAPIHadoopRDD` (per-split
+    * parallel, exactly the reference's map-side split model), and each
+    * partition's (key, value) stream replays into the loader's
+    * prepareToRead/getNext lifecycle through a RecordReader facade —
+    * the loader sees the same reader surface the reference's
+    * PigRecordReader gives it. No driver funnel: the only driver work
+    * is split computation, which Hadoop does for any scale of input. */
+  private def loadThroughFormat(spark: SparkSession, inv: Invoker,
+      fmt: org.apache.hadoop.mapreduce.InputFormat[_, _], location: String,
+      knownWidth: Option[Int]): DataFrame = {
+    // a REAL conf (defaults loaded — the format reads the actual
+    // filesystem); the loader's setLocation configures the job, and if
+    // it didn't set input paths, point the format at `location`
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      new org.apache.hadoop.conf.Configuration())
+    inv.newLoadFunc().setLocation(location, job)
+    if (job.getConfiguration
+        .get("mapreduce.input.fileinputformat.inputdir") == null)
+      org.apache.hadoop.mapreduce.lib.input.FileInputFormat
+        .setInputPaths(job, location)
+    val fmtCls = fmt.getClass.asInstanceOf[
+      Class[org.apache.hadoop.mapreduce.InputFormat[AnyRef, AnyRef]]]
+    val kv = spark.sparkContext.newAPIHadoopRDD(job.getConfiguration,
+      fmtCls, classOf[AnyRef], classOf[AnyRef])
+    def open(it: Iterator[(AnyRef, AnyRef)]): LoadFunc = {
+      val lf = inv.newLoadFunc()
+      lf.setLocation(location, scratchJob())
+      lf.prepareToRead(replayReader(it), pigSplit())
+      lf
+    }
+    val width = knownWidth.getOrElse {
+      // width probe runs ON AN EXECUTOR: Writable records are not
+      // java-serializable, so only the first tuple's arity ships back
+      kv.mapPartitions { it =>
+        val lf = open(it)
+        Option(lf.getNext()).map(_.size).iterator
+      }.take(1).headOption.getOrElse(1)
+    }
+    val rows = kv.mapPartitions { it =>
+      val lf = open(it)
+      Iterator.continually(lf.getNext()).takeWhile(_ != null).map { t =>
+        val vals = t.getAll.asScala
+        Row((0 until width).map(i =>
+          if (i < vals.length) leafText(vals(i)) else null): _*)
+      }
+    }
+    spark.createDataFrame(rows, StructType(
+      (0 until width).map(i => StructField(s"_c$i", StringType))))
+  }
+
+  /** RecordReader facade replaying an already-driven (key, value)
+    * stream — what a generic-format loader's getNext() pulls from. */
+  private def replayReader(it: Iterator[(AnyRef, AnyRef)])
+      : RecordReader[AnyRef, AnyRef] =
+    new RecordReader[AnyRef, AnyRef] {
+      private var cur: (AnyRef, AnyRef) = _
+      override def initialize(
+          split: org.apache.hadoop.mapreduce.InputSplit,
+          ctx: TaskAttemptContext): Unit = ()
+      override def nextKeyValue(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def getCurrentKey: AnyRef = cur._1
+      override def getCurrentValue: AnyRef = cur._2
+      override def getProgress: Float = 0f
+      override def close(): Unit = ()
+    }
 
   /** Scalar cast for a LoadMetadata-declared type code; complex types
     * stay as their Pig-literal text (the engine-wide bytearray rule —

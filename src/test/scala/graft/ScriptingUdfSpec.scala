@@ -884,7 +884,9 @@ class ScriptingUdfSpec extends SparkSpec {
       Files.write(f.toPath, body.getBytes(StandardCharsets.UTF_8)); f
     }
     val cp = Seq(classOf[org.apache.pig.EvalFunc[_]],
-        classOf[org.joda.time.DateTime])
+        classOf[org.joda.time.DateTime],
+        classOf[org.apache.hadoop.io.Writable],
+        classOf[org.apache.hadoop.mapreduce.RecordReader[_, _]])
       .map(_.getProtectionDomain.getCodeSource.getLocation.getPath)
       .distinct.mkString(File.pathSeparator)
     val javacArgs = Seq("-cp", cp, "-d", cls.getPath) ++
@@ -1199,6 +1201,69 @@ class ScriptingUdfSpec extends SparkSpec {
       assert((BigDecimal(g._4) - BigDecimal(e._4)).abs
         <= BigDecimal("1e-17"), s"$g vs $e")
     }
+  }
+
+  test("jar LoadFunc with a non-text InputFormat: a SequenceFile " +
+       "loader drives its own format (generic newAPIHadoopRDD path)") {
+    val seqDir = Files.createTempDirectory("graft_seq")
+      .resolve("data.seq").toString
+    val data = (1 to 500).map(i => (s"k%03d".format(i), i.toLong))
+    spark.sparkContext.parallelize(data, 3).saveAsSequenceFile(seqDir)
+    val jar = buildJar(Seq("SeqKvLoader.java" ->
+      """import java.io.IOException;
+        |import org.apache.hadoop.io.LongWritable;
+        |import org.apache.hadoop.io.Text;
+        |import org.apache.hadoop.mapreduce.InputFormat;
+        |import org.apache.hadoop.mapreduce.Job;
+        |import org.apache.hadoop.mapreduce.RecordReader;
+        |import org.apache.hadoop.mapreduce.lib.input.FileInputFormat;
+        |import org.apache.hadoop.mapreduce.lib.input.SequenceFileInputFormat;
+        |import org.apache.pig.LoadFunc;
+        |import org.apache.pig.backend.hadoop.executionengine.mapReduceLayer.PigSplit;
+        |import org.apache.pig.data.Tuple;
+        |import org.apache.pig.data.TupleFactory;
+        |public class SeqKvLoader extends LoadFunc {
+        |  @SuppressWarnings("rawtypes")
+        |  private RecordReader reader;
+        |  public void setLocation(String loc, Job job) throws IOException {
+        |    FileInputFormat.setInputPaths(job, loc);
+        |  }
+        |  @SuppressWarnings("rawtypes")
+        |  public InputFormat getInputFormat() {
+        |    return new SequenceFileInputFormat<Text, LongWritable>();
+        |  }
+        |  @SuppressWarnings("rawtypes")
+        |  public void prepareToRead(RecordReader r, PigSplit s) {
+        |    reader = r;
+        |  }
+        |  public Tuple getNext() throws IOException {
+        |    try {
+        |      if (!reader.nextKeyValue()) return null;
+        |      Text k = (Text) reader.getCurrentKey();
+        |      LongWritable v = (LongWritable) reader.getCurrentValue();
+        |      Tuple t = TupleFactory.getInstance().newTuple(2);
+        |      t.set(0, k.toString());
+        |      t.set(1, v.get() * 2);
+        |      return t;
+        |    } catch (InterruptedException e) { throw new IOException(e); }
+        |  }
+        |}
+        |""".stripMargin))
+    val runner = PigRunner(spark).run(s"""
+      REGISTER '$jar';
+      a = LOAD '$seqDir' USING SeqKvLoader() AS (k:chararray, v:long);
+      b = FILTER a BY v >= 500;
+      c = LOAD '$seqDir' USING SeqKvLoader();
+    """)
+    val got = runner("b").df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val want = data.filter(_._2 * 2 >= 500)
+      .map { case (k, v) => (k, v * 2) }.sorted
+    assert(got == want)
+    // schemaless form: width probed from the format's own first record
+    val c = runner("c").df
+    assert(c.columns.toSeq == Seq("_c0", "_c1"))
+    assert(c.count() == 500)
   }
 
   test("unknown dotted function still fails loudly") {

@@ -29,8 +29,10 @@ import org.apache.pig.data.{BagFactory, Tuple, TupleFactory}
   * group into one bag (the non-Algebraic exec path, which remains the
   * fallback for plain EvalFuncs).
   *
-  * Scalar results only (the overwhelming Algebraic shape — COUNT/SUM/
-  * AVG-likes); a bag/tuple-returning Final falls back to the bag path.
+  * Any result type fuses (r11): scalars ride primitive encoders;
+  * tuple/bag/map/datetime/decimal Finals ride a 1-field struct row
+  * unwrapped after the aggregate — the reference's combiner likewise
+  * fuses regardless of result type (CombinerOptimizerUtil.java:89).
   */
 object AlgebraicAgg {
 
@@ -39,8 +41,8 @@ object AlgebraicAgg {
   private val CompactAt = 4096
 
   /** The aggregate Column for `name(args…)` over the grouped input, or
-    * None when the name doesn't resolve to an Algebraic EvalFunc with
-    * a scalar result type — or when the plan-time probe fails for any
+    * None when the name doesn't resolve to an Algebraic EvalFunc —
+    * or when the plan-time probe fails for any
     * reason (inner classes without the ctor shape, outputSchema
     * needing real fields, ...): the bag path is always correct, so a
     * fusion problem must DECLINE, never crash the query. `argTypes`
@@ -65,7 +67,14 @@ object AlgebraicAgg {
         .asInstanceOf[EvalFunc[_]]
       JarUdfs.instantiateUserClass(jarInfo, initCls, ctorArgs)
       JarUdfs.instantiateUserClass(jarInfo, interCls, ctorArgs)
-      val outType = JarUdfs.returnTypeOf(finalFunc, args.length, inputSchema)
+      // result type from the TOP-LEVEL UDF (the reference's POUserFunc
+      // consults the outer class's outputSchema, not the Final's);
+      // fall back to the Final func when the outer one isn't usable
+      val outType =
+        try JarUdfs.returnTypeOf(alg.asInstanceOf[EvalFunc[_]],
+          args.length, inputSchema)
+        catch { case _: Exception =>
+          JarUdfs.returnTypeOf(finalFunc, args.length, inputSchema) }
       val inSchema = StructType(argTypes.zipWithIndex.map {
         case (t, i) => StructField(s"a$i", t)
       })
@@ -94,7 +103,17 @@ object AlgebraicAgg {
           Encoders.BOOLEAN,
           v => v match { case b: java.lang.Boolean => b; case _ => null },
           inSchema))
-        case _ => None // bag/tuple/map results: bag path
+        case other =>
+          // non-scalar Finals (tuple/bag/map) and exotic scalars
+          // (datetime/decimal): the reference's combiner fuses
+          // regardless of result type (CombinerOptimizerUtil.java:89).
+          // Catalyst has no top-level array/map encoder, so the result
+          // rides inside a 1-field struct row and unwraps with
+          // getField after the aggregate.
+          val wrap = StructType(Seq(StructField("v", other)))
+          val f = mk[Row](core, enc, Encoders.row(wrap),
+            v => Row(JarUdfs.coerce(v, other)), inSchema)
+          Some((cols: Seq[Column]) => f(cols).getField("v"))
       }
       fn.map(f => f(args))
     }

@@ -13,8 +13,11 @@ import org.apache.pig.data.Tuple;
  * `STORE ... USING userClass()`: the framework calls
  * {@link #setStoreLocation}, hands a RecordWriter to
  * {@link #prepareToWrite}, then pushes every tuple through
- * {@link #putNext}. This engine's bridge collects what the storer
- * writes (tuples or text) into output lines.
+ * {@link #putNext}. Text-family storers (getOutputFormat null or a
+ * TextOutputFormat) have their writes collected into output lines; any
+ * other OutputFormat is driven for real — the framework feeds the
+ * storer's (key, value) writes through the format's own RecordWriter
+ * and committer.
  */
 public interface StoreFuncInterface {
 

@@ -201,9 +201,14 @@ final class PigRunner(val spark: SparkSession) {
     * Hadoop Partitioner (see [[graft.functions.CustomPartitioner]]). The
     * routing key mirrors the reference's map-output key per operator:
     * the group key for GROUP/COGROUP, the join key for JOIN, the whole
-    * row for DISTINCT. CROSS keys its shuffle with synthetic GFCross
-    * indices the user class never meaningfully sees — parsed, warned,
-    * dropped. A custom partitioner also suppresses GROUP+FOREACH agg
+    * row for DISTINCT. CROSS keys its shuffle with a synthetic GFCross
+    * digit tuple (P/impl/builtin/GFCross.java:38: one digit per input
+    * in [0, ceil(n^(1/numInputs))), the tuple being the map-output
+    * key) — here the digits derive deterministically from each input's
+    * column span instead of a per-task Random, which preserves the
+    * contract the user class can observe (key shape, digit range,
+    * routing through getPartition) while staying reproducible. A
+    * custom partitioner also suppresses GROUP+FOREACH agg
     * fusion (the bagged group materializes and FOREACH aggregates
     * narrowly within the routed partitions) — the reference likewise
     * forfeits its combiner when a custom partitioner is set (PIG-4565),
@@ -260,6 +265,27 @@ final class PigRunner(val spark: SparkSession) {
         } catch { case _: Exception => None }
       case _: DistinctOp =>
         Some(struct(r.df.columns.map(col).toIndexedSeq: _*))
+      case CrossOp(inAliases) =>
+        // GFCross synthetic key: one digit per input, digit space
+        // ceil(n^(1/numInputs)) — recompute each input's span of
+        // OUTPUT columns (collisions renamed <alias>__<col> in
+        // registration order, mirroring the CrossOp eval fold)
+        try {
+          val seen = scala.collection.mutable.Set.empty[String]
+          val spans = inAliases.map { a =>
+            val cols = env(a).df.columns.toSeq.map { c =>
+              if (seen.contains(c)) s"${a}__$c" else c
+            }
+            cols.foreach(seen += _)
+            cols
+          }
+          val g = math.max(1,
+            math.ceil(math.pow(n.toDouble, 1.0 / inAliases.size)).toInt)
+          Some(struct(spans.zipWithIndex.map { case (cols, i) =>
+            pmod(xxhash64(cols.map(col): _*), lit(g.toLong))
+              .cast(org.apache.spark.sql.types.IntegerType).as(s"d$i")
+          }: _*))
+        } catch { case _: Exception => None }
       case _ => None
     }
     keyOpt match {

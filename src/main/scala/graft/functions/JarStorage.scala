@@ -221,7 +221,17 @@ object JarStorage extends Serializable {
   def store(df: DataFrame, path: String, registry: JarUdfs.Registry,
             name: String, ctorArgs: Seq[String]): Unit = {
     val inv = invokerFor(registry, name, ctorArgs)
-    inv.newStoreFunc() // plan-time class check
+    val probe = inv.newStoreFunc() // plan-time class check
+    val outFmt =
+      try {
+        probe.setStoreLocation(path, scratchJob())
+        probe.getOutputFormat
+      } catch { case _: Exception => null }
+    if (outFmt != null && !outFmt.isInstanceOf[
+        org.apache.hadoop.mapreduce.lib.output.TextOutputFormat[_, _]]) {
+      storeThroughFormat(df, path, inv, outFmt)
+      return
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val lines = df.rdd.mapPartitions { rows =>
@@ -248,6 +258,70 @@ object JarStorage extends Serializable {
       } ++ Iterator.single(()).flatMap { _ => w.close(null); w.drain() }
     }
     spark.createDataset(lines).write.mode("overwrite").text(path)
+  }
+
+  /** STORE through a storer with its OWN (non-text) OutputFormat
+    * (reference: StoreFuncInterface.getOutputFormat makes no text
+    * assumption — SequenceFile-backed storers are legal). Inversion of
+    * control: per partition, putNext writes into a CAPTURING writer
+    * whose (key, value) stream becomes the RDD's pairs, and
+    * saveAsNewAPIHadoopDataset then drives the real OutputFormat —
+    * commit protocol, speculative-task safety, and file naming all
+    * come from the Hadoop committer, exactly as the reference's
+    * reduce-side store. No shuffle: the capture and the write share
+    * one stage. */
+  private def storeThroughFormat(df: DataFrame, path: String,
+      inv: Invoker,
+      fmt: org.apache.hadoop.mapreduce.OutputFormat[_, _]): Unit = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      new org.apache.hadoop.conf.Configuration())
+    inv.newStoreFunc().setStoreLocation(path, job)
+    val conf = job.getConfiguration
+    val outPath = new org.apache.hadoop.fs.Path(path)
+    if (conf.get("mapreduce.output.fileoutputformat.outputdir") == null)
+      org.apache.hadoop.mapreduce.lib.output.FileOutputFormat
+        .setOutputPath(job, outPath)
+    job.setOutputFormatClass(fmt.getClass.asInstanceOf[
+      Class[_ <: org.apache.hadoop.mapreduce.OutputFormat[_, _]]])
+    // key/value classes (SequenceFile headers record them): the
+    // storer's setStoreLocation usually sets them; if not, probe one
+    // row driver-side and use the written pair's classes
+    if (conf.get("mapreduce.job.output.key.class") == null)
+      df.take(1).headOption.foreach { r =>
+        capturePairs(inv, path, Iterator.single(r)).toVector.headOption
+          .foreach { case (k, v) =>
+            if (k != null) job.setOutputKeyClass(k.getClass)
+            if (v != null) job.setOutputValueClass(v.getClass)
+          }
+      }
+    // STORE overwrites (engine-wide contract; the Hadoop committer
+    // refuses an existing dir)
+    val fs = outPath.getFileSystem(conf)
+    if (fs.exists(outPath)) fs.delete(outPath, true)
+    val confSer = job.getConfiguration
+    val kv = df.rdd.mapPartitions(rows => capturePairs(inv, path, rows))
+    new org.apache.spark.rdd.PairRDDFunctions(kv)
+      .saveAsNewAPIHadoopDataset(confSer)
+  }
+
+  /** Drive putNext over `rows` with a capturing RecordWriter; yields
+    * the (key, value) pairs the storer wrote, streamed per row. */
+  private def capturePairs(inv: Invoker, path: String,
+      rows: Iterator[Row]): Iterator[(AnyRef, AnyRef)] = {
+    val sf = inv.newStoreFunc()
+    sf.setStoreLocation(path, scratchJob())
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(AnyRef, AnyRef)]
+    val w = new RecordWriter[AnyRef, AnyRef] {
+      override def write(k: AnyRef, v: AnyRef): Unit = buf += ((k, v))
+      override def close(ctx: TaskAttemptContext): Unit = ()
+    }
+    sf.prepareToWrite(w)
+    rows.flatMap { r =>
+      sf.putNext(org.apache.pig.data.TupleFactory.getInstance()
+        .newTuple(r.toSeq.map(v =>
+          JarUdfs.toPig(v.asInstanceOf[AnyRef])).asJava))
+      val out = buf.toVector; buf.clear(); out.iterator
+    }
   }
 
   /** A throwaway Hadoop Job for the setLocation/setStoreLocation

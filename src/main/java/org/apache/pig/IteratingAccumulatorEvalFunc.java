@@ -41,6 +41,11 @@ public abstract class IteratingAccumulatorEvalFunc<T> extends AccumulatorEvalFun
     private static final int QUEUE_CAPACITY = 10000;
     private static final long POLL_MS = 200L;
 
+    // small-group fast path: tuples buffer here until QUEUE_CAPACITY is
+    // hit; only then does the worker thread spin up. A grouped dataset
+    // dominated by small groups (the common shape) pays ZERO thread
+    // spawns — exec runs synchronously in getValue over the buffer.
+    private java.util.ArrayList<Tuple> pending;
     private BlockingQueue<Tuple> queue;
     private Thread worker;
     private volatile boolean done;        // exec returned or threw
@@ -69,6 +74,11 @@ public abstract class IteratingAccumulatorEvalFunc<T> extends AccumulatorEvalFun
         worker.setDaemon(true);
         worker.setName("iterating-accumulator-" + getClass().getSimpleName());
         worker.start();
+        // the already-buffered prefix streams first, in order
+        if (pending != null) {
+            for (Tuple t : pending) feed(t);
+            pending = null;
+        }
     }
 
     @Override
@@ -76,29 +86,65 @@ public abstract class IteratingAccumulatorEvalFunc<T> extends AccumulatorEvalFun
         return done;
     }
 
+    private void feed(Tuple t) {
+        if (done) return; // exec stopped consuming — rest of group is moot
+        try {
+            boolean offered = false;
+            while (!done && !offered)
+                offered = queue.offer(t, POLL_MS, TimeUnit.MILLISECONDS);
+        } catch (InterruptedException e) {
+            Thread.currentThread().interrupt();
+            throw new RuntimeException("interrupted feeding accumulator", e);
+        }
+        if (failure != null)
+            throw new RuntimeException(
+                "exec failed in accumulator thread", failure);
+    }
+
     @Override
     public void accumulate(Tuple b) throws IOException {
-        if (worker == null) start();
         Object bag = b == null || b.size() == 0 ? null : b.get(0);
         if (bag == null) return;
-        for (Tuple t : (DataBag) bag) {
-            if (done) break; // exec stopped consuming — rest of group is moot
-            try {
-                boolean offered = false;
-                while (!done && !offered)
-                    offered = queue.offer(t, POLL_MS, TimeUnit.MILLISECONDS);
-            } catch (InterruptedException e) {
-                Thread.currentThread().interrupt();
-                throw new IOException("interrupted feeding accumulator", e);
+        try {
+            for (Tuple t : (DataBag) bag) {
+                if (worker != null) {
+                    feed(t);
+                } else {
+                    if (pending == null)
+                        pending = new java.util.ArrayList<Tuple>();
+                    if (pending.size() < QUEUE_CAPACITY) {
+                        pending.add(t);
+                    } else {
+                        start(); // group outgrew the buffer: go threaded
+                        feed(t);
+                    }
+                }
             }
-            if (failure != null)
-                throw new IOException("exec failed in accumulator thread", failure);
+        } catch (RuntimeException e) {
+            if (e.getCause() instanceof Exception
+                    && !(e.getCause() instanceof RuntimeException))
+                throw new IOException(
+                    "exec failed in accumulator thread", e.getCause());
+            throw e;
         }
     }
 
     @Override
     public T getValue() {
-        if (worker == null) start(); // empty group: exec over an empty iterator
+        if (worker == null) {
+            // small group (or empty): run exec HERE, no thread
+            Iterator<Tuple> it = pending == null
+                    ? Collections.<Tuple>emptyIterator()
+                    : pending.iterator();
+            try {
+                T v = exec(it);
+                done = true;
+                result = v;
+                return v;
+            } catch (IOException e) {
+                throw new RuntimeException(e);
+            }
+        }
         inputClosed = true;
         try {
             worker.join();
@@ -113,6 +159,7 @@ public abstract class IteratingAccumulatorEvalFunc<T> extends AccumulatorEvalFun
 
     @Override
     public void cleanup() {
+        pending = null;
         queue = null;
         worker = null;
         done = false;

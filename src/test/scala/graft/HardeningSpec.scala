@@ -356,6 +356,35 @@ class JarAggHardeningSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got3 == want)
   }
+
+  test("IteratingAccumulator at 5M rows with a 4M-row group: exec " +
+       "streams through the bounded queue; Terminating early-exits") {
+    val df = skewed(5_000_000L)
+    import org.apache.spark.sql.functions._
+    def mkCall(cls: String, out: String) =
+      graft.functions.AccumulatorStream.Call(
+        None, cls, Seq.empty, out,
+        Seq(graft.functions.AccumulatorStream.BagArg(0)), "hard_" + out,
+        new java.util.HashMap[String, java.util.Properties]())
+    val streamed = graft.functions.AccumulatorStream.fuse(
+      df, col("k"), org.apache.spark.sql.types.LongType,
+      Seq((mkCall(classOf[HardIterCount].getName, "c"),
+            Seq(col("v")), org.apache.spark.sql.types.LongType),
+          (mkCall(classOf[HardTermCalls].getName, "t"),
+            Seq(col("v")), org.apache.spark.sql.types.LongType)))
+    val want = df.groupBy(col("k")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == want.size)
+    got.foreach { case (k, c, t) =>
+      // every tuple of the 4M-row group crossed the queue into exec
+      assert(c == want(k), s"group $k: iterating count $c != ${want(k)}")
+      // the terminating accumulator saw exactly ONE 1024-row chunk —
+      // ~3,905 chunks of the dominant group were skipped
+      assert(t == 1L, s"group $k: terminating accumulator saw $t chunks")
+    }
+  }
 }
 
 /** Reference-shaped Algebraic sum used by JarAggHardeningSpec. */
@@ -415,6 +444,31 @@ class HardAccSum extends org.apache.pig.AccumulatorEvalFunc[java.lang.Long] {
   }
   override def getValue: java.lang.Long = Long.box(sum)
   override def cleanup(): Unit = { sum = 0L }
+}
+
+/** IteratingAccumulatorEvalFunc counting every streamed tuple — pins
+  * the bounded-queue worker path at multi-million-row group size. */
+class HardIterCount
+    extends org.apache.pig.IteratingAccumulatorEvalFunc[java.lang.Long] {
+  override def exec(it: java.util.Iterator[org.apache.pig.data.Tuple])
+      : java.lang.Long = {
+    var n = 0L
+    while (it.hasNext) { it.next(); n += 1 }
+    Long.box(n)
+  }
+}
+
+/** TerminatingAccumulator reporting how many accumulate() chunks it
+  * received; finished after the first. */
+class HardTermCalls
+    extends org.apache.pig.AccumulatorEvalFunc[java.lang.Long]
+    with org.apache.pig.TerminatingAccumulator[java.lang.Long] {
+  private var calls = 0L
+  override def accumulate(input: org.apache.pig.data.Tuple): Unit =
+    calls += 1
+  override def isFinished: Boolean = calls > 0
+  override def getValue: java.lang.Long = Long.box(calls)
+  override def cleanup(): Unit = { calls = 0L }
 }
 
 /** Classpath-resolved comparator for the hardening test (the jar path

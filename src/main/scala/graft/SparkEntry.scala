@@ -49,36 +49,78 @@ object SparkEntry {
 
   /** q98's sample EvalFunc jar, compiled ONCE per JVM against the
     * engine's org.apache.pig facade — the same binary surface a real
-    * user jar links against. */
+    * user jar links against. Three funcs cover the type surface:
+    * String (Exclaim), joda DateTime (NextDay — the §1.2 DATETIME ↔
+    * TimestampType mapping), BigDecimal (DecHalf — BIGDECIMAL ↔
+    * DecimalType). */
   private lazy val gateJar: String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_gate_jar").toFile
     val srcDir = new java.io.File(tmp, "gate/udf"); srcDir.mkdirs()
-    val src = new java.io.File(srcDir, "Exclaim.java")
-    java.nio.file.Files.write(src.toPath,
-      """package gate.udf;
-        |import java.io.IOException;
-        |import org.apache.pig.EvalFunc;
-        |import org.apache.pig.data.Tuple;
-        |public class Exclaim extends EvalFunc<String> {
-        |  public String exec(Tuple input) throws IOException {
-        |    Object o = input.get(0);
-        |    return o == null ? null : o.toString() + "!";
-        |  }
-        |}
-        |""".stripMargin.getBytes("UTF-8"))
+    def write(name: String, body: String): java.io.File = {
+      val f = new java.io.File(srcDir, name)
+      java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+      f
+    }
+    val srcs = Seq(
+      write("Exclaim.java",
+        """package gate.udf;
+          |import java.io.IOException;
+          |import org.apache.pig.EvalFunc;
+          |import org.apache.pig.data.Tuple;
+          |public class Exclaim extends EvalFunc<String> {
+          |  public String exec(Tuple input) throws IOException {
+          |    Object o = input.get(0);
+          |    return o == null ? null : o.toString() + "!";
+          |  }
+          |}
+          |""".stripMargin),
+      write("NextDay.java",
+        """package gate.udf;
+          |import java.io.IOException;
+          |import org.apache.pig.EvalFunc;
+          |import org.apache.pig.data.Tuple;
+          |import org.joda.time.DateTime;
+          |public class NextDay extends EvalFunc<DateTime> {
+          |  public DateTime exec(Tuple input) throws IOException {
+          |    Object o = input.get(0);
+          |    return o == null ? null : ((DateTime) o).plusDays(1);
+          |  }
+          |}
+          |""".stripMargin),
+      write("DecHalf.java",
+        """package gate.udf;
+          |import java.io.IOException;
+          |import java.math.BigDecimal;
+          |import org.apache.pig.EvalFunc;
+          |import org.apache.pig.data.Tuple;
+          |public class DecHalf extends EvalFunc<BigDecimal> {
+          |  public BigDecimal exec(Tuple input) throws IOException {
+          |    Object o = input.get(0);
+          |    if (o == null) return null;
+          |    return new BigDecimal(((Number) o).longValue())
+          |      .divide(new BigDecimal(2));
+          |  }
+          |}
+          |""".stripMargin))
     val cls = new java.io.File(tmp, "classes"); cls.mkdirs()
-    val facadeCp = classOf[org.apache.pig.EvalFunc[_]]
-      .getProtectionDomain.getCodeSource.getLocation.getPath
+    val cp = Seq(classOf[org.apache.pig.EvalFunc[_]],
+        classOf[org.joda.time.DateTime])
+      .map(_.getProtectionDomain.getCodeSource.getLocation.getPath)
+      .distinct.mkString(java.io.File.pathSeparator)
     val rc = javax.tools.ToolProvider.getSystemJavaCompiler
-      .run(null, null, null, "-cp", facadeCp, "-d", cls.getPath, src.getPath)
+      .run(null, null, null,
+        (Seq("-cp", cp, "-d", cls.getPath) ++ srcs.map(_.getPath)): _*)
     require(rc == 0, "gate EvalFunc javac failed")
     val jar = new java.io.File(tmp, "gateudf.jar")
     val jos = new java.util.jar.JarOutputStream(
       new java.io.FileOutputStream(jar))
-    jos.putNextEntry(new java.util.jar.JarEntry("gate/udf/Exclaim.class"))
-    jos.write(java.nio.file.Files.readAllBytes(
-      new java.io.File(cls, "gate/udf/Exclaim.class").toPath))
-    jos.closeEntry(); jos.close()
+    Seq("Exclaim", "NextDay", "DecHalf").foreach { n =>
+      jos.putNextEntry(new java.util.jar.JarEntry(s"gate/udf/$n.class"))
+      jos.write(java.nio.file.Files.readAllBytes(
+        new java.io.File(cls, s"gate/udf/$n.class").toPath))
+      jos.closeEntry()
+    }
+    jos.close()
     jar.getPath
   }
 
@@ -1260,8 +1302,14 @@ object SparkEntry {
       graft.frontend.PigRunner(s).run(s"""
         REGISTER '$gateJar';
         d = LOAD '$d/documents.parquet';
+        o = LOAD '$d/orders.parquet';
         r = FOREACH d GENERATE doc_id, gate.udf.Exclaim(lang) AS exclaimed;
-      """).apply("r").df
+        t = FOREACH o GENERATE o_orderkey,
+              gate.udf.NextDay(o_orderdate) AS nd,
+              (double)gate.udf.DecHalf(o_orderkey) AS half;
+        j = JOIN r BY doc_id, t BY o_orderkey;
+        x = FOREACH j GENERATE doc_id, exclaimed, nd, half;
+      """).apply("x").df
     }),
 
     // bloom-pre-filtered join (JOIN … USING 'bloom' / BuildBloom+Bloom
@@ -1982,9 +2030,15 @@ object SparkEntry {
                   string_split_regex(trim(text), '\s+'),
                   w -> length(w) > 0)) AS BIGINT), 0) AS nw
          FROM documents""",
-    // mirrors q98's Exclaim EvalFunc: string concat of a constant
+    // mirrors q98's jar UDF trio: Exclaim (string concat), NextDay
+    // (joda DateTime +1d ↔ timestamp + INTERVAL), DecHalf (exact
+    // BigDecimal halving, cast to double — k/2 is exact in both
+    // decimal and binary arithmetic)
     "q98_jar_udf" ->
-      """SELECT doc_id, lang || '!' AS exclaimed FROM documents""",
+      """SELECT d.doc_id, d.lang || '!' AS exclaimed,
+                o.o_orderdate + INTERVAL 1 DAY AS nd,
+                o.o_orderkey / 2.0 AS half
+         FROM documents d JOIN orders o ON d.doc_id = o.o_orderkey""",
     // mirrors q99's PPM generation rule exactly (solid color → the mean
     // is the channel value; dims from the same modular arithmetic)
     "q99_ppm_decode" ->

@@ -23,6 +23,17 @@ import org.apache.pig.data.Tuple;
  * QUEUE_CAPACITY tuples of memory. {@link #isFinished()} turns true the
  * moment exec returns, which lets the engine stop streaming the rest of
  * the group (the point of {@link TerminatingAccumulator}).
+ *
+ * Small-group fast path: tuples buffer until QUEUE_CAPACITY is hit and
+ * only then does the worker thread spin up — a grouped dataset
+ * dominated by small groups (the common shape) pays ZERO thread
+ * spawns; exec runs synchronously in getValue over the buffer.
+ *
+ * Abandonment safety: all streaming state lives in a per-group Cycle
+ * object that the worker and its iterator capture. cleanup() closes the
+ * current cycle's input, so a worker belonging to a failed/killed task
+ * drains and exits instead of polling forever — and a cycle started
+ * later can never be confused with an abandoned one's flags.
  */
 public abstract class IteratingAccumulatorEvalFunc<T> extends AccumulatorEvalFunc<T>
         implements TerminatingAccumulator<T> {
@@ -41,64 +52,67 @@ public abstract class IteratingAccumulatorEvalFunc<T> extends AccumulatorEvalFun
     private static final int QUEUE_CAPACITY = 10000;
     private static final long POLL_MS = 200L;
 
-    // small-group fast path: tuples buffer here until QUEUE_CAPACITY is
-    // hit; only then does the worker thread spin up. A grouped dataset
-    // dominated by small groups (the common shape) pays ZERO thread
-    // spawns — exec runs synchronously in getValue over the buffer.
-    private java.util.ArrayList<Tuple> pending;
-    private BlockingQueue<Tuple> queue;
-    private Thread worker;
-    private volatile boolean done;        // exec returned or threw
-    private volatile boolean inputClosed; // getValue called; no more tuples
-    private volatile T result;
-    private volatile Exception failure;
+    /** One threaded streaming cycle: everything the worker thread and
+     *  its queue iterator touch, captured so an abandoned worker can
+     *  never read a LATER cycle's flags. */
+    private final class Cycle {
+        final BlockingQueue<Tuple> queue =
+                new ArrayBlockingQueue<Tuple>(QUEUE_CAPACITY);
+        volatile boolean inputClosed; // no more tuples will arrive
+        volatile boolean done;        // exec returned or threw
+        volatile T result;
+        volatile Exception failure;
+        Thread worker;
+    }
+
+    private java.util.ArrayList<Tuple> pending; // small-group buffer
+    private Cycle cycle;                        // threaded mode, else null
+    private boolean syncDone;                   // fast-path exec ran
 
     private void start() {
-        queue = new ArrayBlockingQueue<Tuple>(QUEUE_CAPACITY);
-        done = false;
-        inputClosed = false;
-        result = null;
-        failure = null;
-        worker = new Thread(new Runnable() {
+        final Cycle c = new Cycle();
+        c.worker = new Thread(new Runnable() {
             @Override
             public void run() {
                 try {
-                    result = exec(new QueueIterator());
+                    c.result = exec(new QueueIterator(c));
                 } catch (Exception e) {
-                    failure = e;
+                    c.failure = e;
                 } finally {
-                    done = true;
+                    c.done = true;
                 }
             }
         });
-        worker.setDaemon(true);
-        worker.setName("iterating-accumulator-" + getClass().getSimpleName());
-        worker.start();
+        c.worker.setDaemon(true);
+        c.worker.setName("iterating-accumulator-" + getClass().getSimpleName());
+        cycle = c;
+        c.worker.start();
         // the already-buffered prefix streams first, in order
         if (pending != null) {
-            for (Tuple t : pending) feed(t);
+            for (Tuple t : pending) feed(c, t);
             pending = null;
         }
     }
 
     @Override
     public boolean isFinished() {
-        return done;
+        return syncDone || (cycle != null && cycle.done);
     }
 
-    private void feed(Tuple t) {
-        if (done) return; // exec stopped consuming — rest of group is moot
+    private void feed(Cycle c, Tuple t) {
+        if (c.done) return; // exec stopped consuming — rest of group is moot
         try {
             boolean offered = false;
-            while (!done && !offered)
-                offered = queue.offer(t, POLL_MS, TimeUnit.MILLISECONDS);
+            while (!c.done && !offered)
+                offered = c.queue.offer(t, POLL_MS, TimeUnit.MILLISECONDS);
         } catch (InterruptedException e) {
             Thread.currentThread().interrupt();
+            c.inputClosed = true; // let the worker drain and exit
             throw new RuntimeException("interrupted feeding accumulator", e);
         }
-        if (failure != null)
+        if (c.failure != null)
             throw new RuntimeException(
-                "exec failed in accumulator thread", failure);
+                    "exec failed in accumulator thread", c.failure);
     }
 
     @Override
@@ -107,8 +121,8 @@ public abstract class IteratingAccumulatorEvalFunc<T> extends AccumulatorEvalFun
         if (bag == null) return;
         try {
             for (Tuple t : (DataBag) bag) {
-                if (worker != null) {
-                    feed(t);
+                if (cycle != null) {
+                    feed(cycle, t);
                 } else {
                     if (pending == null)
                         pending = new java.util.ArrayList<Tuple>();
@@ -116,7 +130,7 @@ public abstract class IteratingAccumulatorEvalFunc<T> extends AccumulatorEvalFun
                         pending.add(t);
                     } else {
                         start(); // group outgrew the buffer: go threaded
-                        feed(t);
+                        feed(cycle, t);
                     }
                 }
             }
@@ -124,63 +138,68 @@ public abstract class IteratingAccumulatorEvalFunc<T> extends AccumulatorEvalFun
             if (e.getCause() instanceof Exception
                     && !(e.getCause() instanceof RuntimeException))
                 throw new IOException(
-                    "exec failed in accumulator thread", e.getCause());
+                        "exec failed in accumulator thread", e.getCause());
             throw e;
         }
     }
 
     @Override
     public T getValue() {
-        if (worker == null) {
+        if (cycle == null) {
             // small group (or empty): run exec HERE, no thread
             Iterator<Tuple> it = pending == null
                     ? Collections.<Tuple>emptyIterator()
                     : pending.iterator();
             try {
                 T v = exec(it);
-                done = true;
-                result = v;
+                syncDone = true;
                 return v;
             } catch (IOException e) {
                 throw new RuntimeException(e);
             }
         }
-        inputClosed = true;
+        Cycle c = cycle;
+        c.inputClosed = true;
         try {
-            worker.join();
+            c.worker.join();
         } catch (InterruptedException e) {
             Thread.currentThread().interrupt();
+            c.inputClosed = true;
             throw new RuntimeException("interrupted awaiting accumulator result", e);
         }
-        if (failure != null)
-            throw new RuntimeException("exec failed in accumulator thread", failure);
-        return result;
+        if (c.failure != null)
+            throw new RuntimeException("exec failed in accumulator thread", c.failure);
+        return c.result;
     }
 
     @Override
     public void cleanup() {
+        // close an in-flight cycle so its worker drains and exits even
+        // when getValue was never reached (task failure / early kill)
+        if (cycle != null) cycle.inputClosed = true;
+        cycle = null;
         pending = null;
-        queue = null;
-        worker = null;
-        done = false;
-        inputClosed = false;
-        result = null;
-        failure = null;
+        syncDone = false;
     }
 
     private final class QueueIterator implements Iterator<Tuple> {
-        private Tuple pending;
+        private final Cycle c;
+        private Tuple next;
+
+        QueueIterator(Cycle c) {
+            this.c = c;
+        }
 
         @Override
         public boolean hasNext() {
-            while (pending == null) {
-                if (inputClosed) {
+            while (next == null) {
+                if (c.inputClosed) {
                     // no producer can add after the flag; one last drain
-                    pending = queue.poll();
-                    return pending != null;
+                    next = c.queue.poll();
+                    return next != null;
                 }
                 try {
-                    pending = queue.poll(POLL_MS, TimeUnit.MILLISECONDS);
+                    next = c.queue.poll(POLL_MS, TimeUnit.MILLISECONDS);
                 } catch (InterruptedException e) {
                     Thread.currentThread().interrupt();
                     throw new RuntimeException(e);
@@ -192,8 +211,8 @@ public abstract class IteratingAccumulatorEvalFunc<T> extends AccumulatorEvalFun
         @Override
         public Tuple next() {
             if (!hasNext()) throw new NoSuchElementException();
-            Tuple t = pending;
-            pending = null;
+            Tuple t = next;
+            next = null;
             return t;
         }
 

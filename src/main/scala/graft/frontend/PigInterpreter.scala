@@ -240,9 +240,14 @@ final class PigRunner(val spark: SparkSession) {
             case BinOp(op, l, rr)  => BinOp(op, qualify(alias, l),
                                             qualify(alias, rr))
             case Neg(v)            => Neg(qualify(alias, v))
+            case Not(v)            => Not(qualify(alias, v))
             case CastExpr(t, v)    => CastExpr(t, qualify(alias, v))
             case BinCond(c, t, f)  => BinCond(qualify(alias, c),
                                        qualify(alias, t), qualify(alias, f))
+            case IsNull(v, neg)    => IsNull(qualify(alias, v), neg)
+            case InExpr(v, vals)   => InExpr(qualify(alias, v),
+                                       vals.map(qualify(alias, _)))
+            case Matches(v, p)     => Matches(qualify(alias, v), p)
             case _: PosRef =>
               // a positional ref would compile against the JOIN output's
               // positions, silently binding the wrong column — decline
@@ -288,7 +293,15 @@ final class PigRunner(val spark: SparkSession) {
         } catch { case _: Exception => None }
       case _ => None
     }
-    keyOpt match {
+    // validate the candidate key AGAINST THE PLAN now (xxhash64 over a
+    // map column, type-incompatible coalesce arms, ... fail at
+    // ANALYSIS, which happens inside repartitionBy — an invalid key
+    // must take the documented warn-and-continue path, not abort)
+    val validKey = keyOpt.flatMap { k =>
+      try { r.df.select(k); Some(k) }
+      catch { case _: Exception => None }
+    }
+    validKey match {
       case Some(k) => Relation(graft.functions.CustomPartitioner
         .repartitionBy(r.df, k, cls, n, jarRegistry), r.name)
       case None =>
@@ -2224,6 +2237,8 @@ final class PigRunner(val spark: SparkSession) {
       case BinaryType => PDT.BYTEARRAY
       case _: org.apache.spark.sql.types.DecimalType => PDT.BIGDECIMAL
       case _: TimestampType => PDT.DATETIME
+      case org.apache.spark.sql.types.TimestampNTZType => PDT.DATETIME
+      case org.apache.spark.sql.types.DateType => PDT.DATETIME
       case _: MapType => PDT.MAP
       case _: StructType => PDT.TUPLE
       case _: ArrayType => PDT.BAG

@@ -117,6 +117,7 @@ object AccumulatorStream {
           case _ => null
         }
         def finished(i: Int): Boolean = term(i) != null && term(i).isFinished
+        try {
         val chunks = it.grouped(ChunkSize)
         var allFinished = accs.indices.forall(finished)
         while (!allFinished && chunks.hasNext) {
@@ -154,6 +155,14 @@ object AccumulatorStream {
           JarUdfs.coerce(acc.getValue.asInstanceOf[AnyRef], dt)
         }
         Row((k.toSeq ++ vals): _*)
+        } finally {
+          // reference lifecycle (cleanup after getValue) — and the
+          // abandonment path: on a mid-group failure/kill, cleanup
+          // closes any in-flight IteratingAccumulator worker so its
+          // thread drains and exits instead of polling forever
+          accs.foreach(a => try a.cleanup()
+            catch { case _: Exception => () })
+        }
       }(Encoders.row(outSchema))
   }
 }

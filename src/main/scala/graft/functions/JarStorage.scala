@@ -142,11 +142,17 @@ object JarStorage extends Serializable {
   private def loadThroughFormat(spark: SparkSession, inv: Invoker,
       fmt: org.apache.hadoop.mapreduce.InputFormat[_, _], location: String,
       knownWidth: Option[Int]): DataFrame = {
-    // a REAL conf (defaults loaded — the format reads the actual
-    // filesystem); the loader's setLocation configures the job, and if
-    // it didn't set input paths, point the format at `location`
+    // the SESSION's Hadoop conf (spark.hadoop.* settings — fs
+    // credentials, defaultFS — must reach the format, same as the
+    // engine's own scans); the loader's setLocation then configures
+    // the job, and if it didn't set input paths, point the format at
+    // `location`. NOTE the format CLASS is re-instantiated per task by
+    // reflection (Hadoop's own job.setInputFormatClass contract), so a
+    // loader's format must carry its configuration in the job conf,
+    // not in instance fields — true of every mainline Hadoop format.
     val job = org.apache.hadoop.mapreduce.Job.getInstance(
-      new org.apache.hadoop.conf.Configuration())
+      new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration))
     inv.newLoadFunc().setLocation(location, job)
     if (job.getConfiguration
         .get("mapreduce.input.fileinputformat.inputdir") == null)
@@ -273,8 +279,12 @@ object JarStorage extends Serializable {
   private def storeThroughFormat(df: DataFrame, path: String,
       inv: Invoker,
       fmt: org.apache.hadoop.mapreduce.OutputFormat[_, _]): Unit = {
+    // session Hadoop conf, and class-not-instance reflection, as in
+    // loadThroughFormat — storer OutputFormats must be job-conf
+    // configured (the Hadoop job.setOutputFormatClass contract)
     val job = org.apache.hadoop.mapreduce.Job.getInstance(
-      new org.apache.hadoop.conf.Configuration())
+      new org.apache.hadoop.conf.Configuration(
+        df.sparkSession.sparkContext.hadoopConfiguration))
     inv.newStoreFunc().setStoreLocation(path, job)
     val conf = job.getConfiguration
     val outPath = new org.apache.hadoop.fs.Path(path)
@@ -290,8 +300,12 @@ object JarStorage extends Serializable {
       df.take(1).headOption.foreach { r =>
         capturePairs(inv, path, Iterator.single(r)).toVector.headOption
           .foreach { case (k, v) =>
-            if (k != null) job.setOutputKeyClass(k.getClass)
-            if (v != null) job.setOutputValueClass(v.getClass)
+            // a null component defaults to NullWritable, the Hadoop
+            // convention for keyless/valueless records
+            job.setOutputKeyClass(if (k == null)
+              classOf[org.apache.hadoop.io.NullWritable] else k.getClass)
+            job.setOutputValueClass(if (v == null)
+              classOf[org.apache.hadoop.io.NullWritable] else v.getClass)
           }
       }
     // STORE overwrites (engine-wide contract; the Hadoop committer
@@ -305,14 +319,28 @@ object JarStorage extends Serializable {
   }
 
   /** Drive putNext over `rows` with a capturing RecordWriter; yields
-    * the (key, value) pairs the storer wrote, streamed per row. */
+    * the (key, value) pairs the storer wrote, streamed per row.
+    * Writables are CLONED into the buffer: the standard Hadoop
+    * set-then-write pattern reuses one Writable across write() calls
+    * (a real RecordWriter serializes on each write), so holding the
+    * caller's reference would alias every buffered pair to the last
+    * value. */
   private def capturePairs(inv: Invoker, path: String,
       rows: Iterator[Row]): Iterator[(AnyRef, AnyRef)] = {
     val sf = inv.newStoreFunc()
     sf.setStoreLocation(path, scratchJob())
+    val cloneConf = new org.apache.hadoop.conf.Configuration()
+    def snap(x: AnyRef): AnyRef = x match {
+      case w: org.apache.hadoop.io.Writable =>
+        org.apache.hadoop.util.ReflectionUtils.copy(cloneConf, w,
+          org.apache.hadoop.util.ReflectionUtils
+            .newInstance(w.getClass, cloneConf))
+      case other => other
+    }
     val buf = scala.collection.mutable.ArrayBuffer.empty[(AnyRef, AnyRef)]
     val w = new RecordWriter[AnyRef, AnyRef] {
-      override def write(k: AnyRef, v: AnyRef): Unit = buf += ((k, v))
+      override def write(k: AnyRef, v: AnyRef): Unit =
+        buf += ((snap(k), snap(v)))
       override def close(ctx: TaskAttemptContext): Unit = ()
     }
     sf.prepareToWrite(w)

@@ -480,6 +480,15 @@ object JarUdfs {
       new org.joda.time.DateTime(
         ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
         org.joda.time.DateTimeZone.UTC)
+    case d: java.sql.Date => // DateType columns (midnight UTC, Pig rule)
+      new org.joda.time.DateTime(
+        d.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.toEpochMilli,
+        org.joda.time.DateTimeZone.UTC)
+    case ld: java.time.LocalDate =>
+      new org.joda.time.DateTime(
+        ld.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli,
+        org.joda.time.DateTimeZone.UTC)
     case s: scala.collection.Seq[_] =>
       val bag = BagFactory.getInstance().newDefaultBag()
       s.foreach { x =>

@@ -197,6 +197,32 @@ final class PigRunner(val spark: SparkSession) {
     case _ => Seq.empty
   }
 
+  /** Structural traversal rewriting projection LEAVES (ColRef/PosRef)
+    * via `leaf`; every composite node recurses, including InExpr
+    * values and multi-derefs. Shared by the join fold's collision
+    * renamer and PARTITION BY's alias qualifier so the two can never
+    * drift on node coverage. */
+  private def rewriteRefs(e: Expr)(leaf: Expr => Expr): Expr = e match {
+    case _: ColRef | _: PosRef => leaf(e)
+    case Deref(b, f)       => Deref(rewriteRefs(b)(leaf), f)
+    case DerefMulti(b, fs) => DerefMulti(rewriteRefs(b)(leaf), fs)
+    case MapLookup(m, k)   => MapLookup(rewriteRefs(m)(leaf), k)
+    case FuncCall(nm, as)  => FuncCall(nm, as.map(rewriteRefs(_)(leaf)))
+    case BinOp(op, l, r)   => BinOp(op, rewriteRefs(l)(leaf),
+                                    rewriteRefs(r)(leaf))
+    case Neg(v)            => Neg(rewriteRefs(v)(leaf))
+    case Not(v)            => Not(rewriteRefs(v)(leaf))
+    case BinCond(c, t, f)  => BinCond(rewriteRefs(c)(leaf),
+                               rewriteRefs(t)(leaf), rewriteRefs(f)(leaf))
+    case IsNull(v, neg)    => IsNull(rewriteRefs(v)(leaf), neg)
+    case InExpr(v, vals)   => InExpr(rewriteRefs(v)(leaf),
+                               vals.map(rewriteRefs(_)(leaf)))
+    case CastExpr(t, v)    => CastExpr(t, rewriteRefs(v)(leaf))
+    case Matches(v, p)     => Matches(rewriteRefs(v)(leaf), p)
+    case FlattenExpr(v)    => FlattenExpr(rewriteRefs(v)(leaf))
+    case other             => other
+  }
+
   /** `PARTITION BY cls` — route the inner op's result through the user's
     * Hadoop Partitioner (see [[graft.functions.CustomPartitioner]]). The
     * routing key mirrors the reference's map-output key per operator:
@@ -232,22 +258,8 @@ final class PigRunner(val spark: SparkSession) {
         try {
           // qualify refs as alias::name so each side's key resolves to
           // ITS post-rename column in the join output
-          def qualify(alias: String, e: Expr): Expr = e match {
+          def qualify(alias: String, e: Expr): Expr = rewriteRefs(e) {
             case ColRef(n) if !n.contains("::") => ColRef(s"$alias::$n")
-            case Deref(b, f)       => Deref(qualify(alias, b), f)
-            case MapLookup(m, k)   => MapLookup(qualify(alias, m), k)
-            case FuncCall(nm, as)  => FuncCall(nm, as.map(qualify(alias, _)))
-            case BinOp(op, l, rr)  => BinOp(op, qualify(alias, l),
-                                            qualify(alias, rr))
-            case Neg(v)            => Neg(qualify(alias, v))
-            case Not(v)            => Not(qualify(alias, v))
-            case CastExpr(t, v)    => CastExpr(t, qualify(alias, v))
-            case BinCond(c, t, f)  => BinCond(qualify(alias, c),
-                                       qualify(alias, t), qualify(alias, f))
-            case IsNull(v, neg)    => IsNull(qualify(alias, v), neg)
-            case InExpr(v, vals)   => InExpr(qualify(alias, v),
-                                       vals.map(qualify(alias, _)))
-            case Matches(v, p)     => Matches(qualify(alias, v), p)
             case _: PosRef =>
               // a positional ref would compile against the JOIN output's
               // positions, silently binding the wrong column — decline
@@ -1254,24 +1266,12 @@ final class PigRunner(val spark: SparkSession) {
       // rewrite ALL column refs inside right-side key expressions to their
       // post-rename spellings (a bare-ColRef-only special case would break
       // expression keys like UPPER(k) when k collided)
-      def renameRefs(e: Expr): Expr = e match {
+      def renameRefs(e: Expr): Expr = rewriteRefs(e) {
         case ColRef(n) =>
           val resolved = resolve(n, r0)
           ColRef(if (collisions.contains(resolved)) s"${in}__$resolved"
                  else resolved)
-        case Deref(b, f)      => Deref(renameRefs(b), f)
-        case MapLookup(m, k)  => MapLookup(renameRefs(m), k)
-        case FuncCall(nm, as) => FuncCall(nm, as.map(renameRefs))
-        case BinOp(op, l, rr) => BinOp(op, renameRefs(l), renameRefs(rr))
-        case Neg(v)           => Neg(renameRefs(v))
-        case Not(v)           => Not(renameRefs(v))
-        case BinCond(c, t, f) =>
-          BinCond(renameRefs(c), renameRefs(t), renameRefs(f))
-        case IsNull(v, neg)   => IsNull(renameRefs(v), neg)
-        case InExpr(v, vals)  => InExpr(renameRefs(v), vals)
-        case CastExpr(t, v)   => CastExpr(t, renameRefs(v))
-        case Matches(v, p)    => Matches(renameRefs(v), p)
-        case other            => other
+        case other => other
       }
       val rKeys = keys.map(e => compile(renameRefs(e), rdf))
       val cond = accKeys.zip(rKeys).map { case (a, b) => a === b }

@@ -118,43 +118,44 @@ object AccumulatorStream {
         }
         def finished(i: Int): Boolean = term(i) != null && term(i).isFinished
         try {
-        val chunks = it.grouped(ChunkSize)
-        var allFinished = accs.indices.forall(finished)
-        while (!allFinished && chunks.hasNext) {
-          val chunk = chunks.next()
-          accs.zipWithIndex.foreach { case (acc, i) =>
-            if (!finished(i)) {
-              val c = callMeta(i)._1
-              // per-arg bags: bag args each get a bag of 1-field tuples
-              // from this chunk, literals pass verbatim (the exec shape)
-              val bags = c.args.collect { case BagArg(_) =>
-                BagFactory.getInstance().newDefaultBag()
-              }
-              chunk.foreach { row =>
-                val s = row.getStruct(i + 1)
-                var bi = 0
-                c.args.foreach {
-                  case BagArg(idx) =>
-                    bags(bi).add(tf.newTuple(
-                      JarUdfs.toPig(s.get(idx).asInstanceOf[AnyRef])))
-                    bi += 1
-                  case _: LitArg => ()
+          val chunks = it.grouped(ChunkSize)
+          var allFinished = accs.indices.forall(finished)
+          while (!allFinished && chunks.hasNext) {
+            val chunk = chunks.next()
+            accs.zipWithIndex.foreach { case (acc, i) =>
+              if (!finished(i)) {
+                val c = callMeta(i)._1
+                // per-arg bags: bag args each get a bag of 1-field
+                // tuples from this chunk, literals pass verbatim (the
+                // exec shape)
+                val bags = c.args.collect { case BagArg(_) =>
+                  BagFactory.getInstance().newDefaultBag()
                 }
+                chunk.foreach { row =>
+                  val s = row.getStruct(i + 1)
+                  var bi = 0
+                  c.args.foreach {
+                    case BagArg(idx) =>
+                      bags(bi).add(tf.newTuple(
+                        JarUdfs.toPig(s.get(idx).asInstanceOf[AnyRef])))
+                      bi += 1
+                    case _: LitArg => ()
+                  }
+                }
+                var bi = 0
+                val fields = c.args.map {
+                  case BagArg(_) => val b = bags(bi); bi += 1; b
+                  case LitArg(v) => JarUdfs.toPig(v.asInstanceOf[AnyRef])
+                }
+                acc.accumulate(tf.newTuple(fields.asJava))
               }
-              var bi = 0
-              val fields = c.args.map {
-                case BagArg(_) => val b = bags(bi); bi += 1; b
-                case LitArg(v) => JarUdfs.toPig(v.asInstanceOf[AnyRef])
-              }
-              acc.accumulate(tf.newTuple(fields.asJava))
             }
+            allFinished = accs.indices.forall(finished)
           }
-          allFinished = accs.indices.forall(finished)
-        }
-        val vals = callMeta.zip(accs).map { case ((_, dt), acc) =>
-          JarUdfs.coerce(acc.getValue.asInstanceOf[AnyRef], dt)
-        }
-        Row((k.toSeq ++ vals): _*)
+          val vals = callMeta.zip(accs).map { case ((_, dt), acc) =>
+            JarUdfs.coerce(acc.getValue.asInstanceOf[AnyRef], dt)
+          }
+          Row((k.toSeq ++ vals): _*)
         } finally {
           // reference lifecycle (cleanup after getValue) — and the
           // abandonment path: on a mid-group failure/kill, cleanup

@@ -105,16 +105,9 @@ object JarStorage extends Serializable {
                 Option(openLoader(Iterator.single(l)).getNext()))
               .map(_.size).getOrElse(1)
           }
-        val rows = lines.rdd.mapPartitions { it =>
-          val lf = openLoader(it)
-          Iterator.continually(lf.getNext()).takeWhile(_ != null).map { t =>
-            val vals = t.getAll.asScala
-            Row((0 until width).map(i =>
-              if (i < vals.length) leafText(vals(i)) else null): _*)
-          }
-        }
-        spark.createDataFrame(rows, StructType(
-          (0 until width).map(i => StructField(s"_c$i", StringType))))
+        val rows = lines.rdd.mapPartitions(it =>
+          tupleRows(openLoader(it), width))
+        spark.createDataFrame(rows, textSchema(width))
       }
     metaSchema match {
       case Some(fs) =>
@@ -176,17 +169,20 @@ object JarStorage extends Serializable {
         Option(lf.getNext()).map(_.size).iterator
       }.take(1).headOption.getOrElse(1)
     }
-    val rows = kv.mapPartitions { it =>
-      val lf = open(it)
-      Iterator.continually(lf.getNext()).takeWhile(_ != null).map { t =>
-        val vals = t.getAll.asScala
-        Row((0 until width).map(i =>
-          if (i < vals.length) leafText(vals(i)) else null): _*)
-      }
-    }
-    spark.createDataFrame(rows, StructType(
-      (0 until width).map(i => StructField(s"_c$i", StringType))))
+    val rows = kv.mapPartitions(it => tupleRows(open(it), width))
+    spark.createDataFrame(rows, textSchema(width))
   }
+
+  /** getNext() until null → width-padded text Rows (both load paths). */
+  private def tupleRows(lf: LoadFunc, width: Int): Iterator[Row] =
+    Iterator.continually(lf.getNext()).takeWhile(_ != null).map { t =>
+      val vals = t.getAll.asScala
+      Row((0 until width).map(i =>
+        if (i < vals.length) leafText(vals(i)) else null): _*)
+    }
+
+  private def textSchema(width: Int): StructType =
+    StructType((0 until width).map(i => StructField(s"_c$i", StringType)))
 
   /** RecordReader facade replaying an already-driven (key, value)
     * stream — what a generic-format loader's getNext() pulls from. */
@@ -312,10 +308,9 @@ object JarStorage extends Serializable {
     // refuses an existing dir)
     val fs = outPath.getFileSystem(conf)
     if (fs.exists(outPath)) fs.delete(outPath, true)
-    val confSer = job.getConfiguration
     val kv = df.rdd.mapPartitions(rows => capturePairs(inv, path, rows))
     new org.apache.spark.rdd.PairRDDFunctions(kv)
-      .saveAsNewAPIHadoopDataset(confSer)
+      .saveAsNewAPIHadoopDataset(conf)
   }
 
   /** Drive putNext over `rows` with a capturing RecordWriter; yields

@@ -16,6 +16,11 @@ import org.apache.pig.impl.logicalLayer.schema.Schema;
  */
 public abstract class EvalFunc<T> {
 
+    /** Reference EvalFunc.java:70 — UDFs log through this field
+     *  (routed via jcl-over-slf4j here). Part of the binary surface. */
+    protected org.apache.commons.logging.Log log =
+            org.apache.commons.logging.LogFactory.getLog(getClass());
+
     /** One invocation: the call's arguments arrive as one tuple. */
     public abstract T exec(Tuple input) throws IOException;
 
@@ -84,6 +89,14 @@ public abstract class EvalFunc<T> {
 
     /** Reference API hook: progress heartbeats are a no-op here (Spark
      * tasks have their own liveness machinery). */
+    /** Distributed-cache surface (reference: EvalFunc.java:286/:297):
+     *  'path#link' entries the framework materializes at ./link in the
+     *  task working directory before exec runs — lookup tables shipped
+     *  beside the UDF. Default null (nothing to ship). */
+    public java.util.List<String> getCacheFiles() { return null; }
+
+    public java.util.List<String> getShipFiles() { return null; }
+
     public void progress() { }
 
     /** Reference API hook: warnings go to stderr, once per message. */

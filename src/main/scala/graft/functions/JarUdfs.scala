@@ -170,8 +170,74 @@ object JarUdfs {
       case f: EvalFunc[_] => f.setUDFContextSignature(sig)
       case _ => ()
     }
+    materializeCacheFiles(inst)
     inst
   }
+
+  // --------------------------------------- EvalFunc distributed cache
+
+  /** 'spec#link' → (local-ish path, link name); bare specs link under
+    * their base name (Hadoop fragment convention). */
+  private def cacheEntries(f: AnyRef): Seq[(String, String)] = f match {
+    case ef: EvalFunc[_] =>
+      (Option(ef.getCacheFiles).map(_.asScala.toSeq).getOrElse(Nil) ++
+        Option(ef.getShipFiles).map(_.asScala.toSeq).getOrElse(Nil))
+        .map { spec =>
+          val (raw, link) = spec.split('#') match {
+            case Array(p, l) => (p, l)
+            case _           => (spec, new File(spec).getName)
+          }
+          val path =
+            try {
+              val u = new java.net.URI(raw)
+              if (u.getPath != null && u.getPath.nonEmpty) u.getPath
+              else raw
+            } catch { case _: Exception => raw }
+          (path, link)
+        }
+    case _ => Nil
+  }
+
+  /** Driver side of EvalFunc.getCacheFiles/getShipFiles (reference:
+    * JobControlCompiler.setupDistributedCache): ship each file to
+    * executors so [[materializeCacheFiles]] can link it there. */
+  private[functions] def shipCacheFiles(spark: SparkSession,
+                                        f: AnyRef): Unit =
+    cacheEntries(f).foreach { case (src, _) =>
+      if (new File(src).exists())
+        try spark.sparkContext.addFile(src)
+        catch { case _: Exception => () } // already added
+    }
+
+  private val cachedLinks = TrieMap.empty[String, Unit]
+
+  /** Executor side: make each cache entry readable at ./link relative
+    * to the task JVM's working directory (the reference's task-cwd
+    * symlink contract — UDFs open `new FileReader("./link")`). Copies
+    * once per JVM (direct path first, SparkFiles fallback for shipped
+    * files) and removes the link on JVM exit. */
+  private[functions] def materializeCacheFiles(f: AnyRef): Unit =
+    cacheEntries(f).foreach { case (src, link) =>
+      cachedLinks.getOrElseUpdate(s"$src#$link", {
+        val dst = new File(link).getAbsoluteFile
+        if (!dst.exists()) {
+          val direct = new File(src)
+          val resolved =
+            if (direct.exists()) direct
+            else try new File(
+              org.apache.spark.SparkFiles.get(new File(src).getName))
+            catch { case _: Exception => direct }
+          if (resolved.exists()) {
+            java.nio.file.Files.copy(resolved.toPath, dst.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            dst.deleteOnExit()
+          } else System.err.println(
+            s"[graft] UDF cache file not found: $src — ./$link " +
+            "not materialized")
+        }
+        ()
+      })
+    }
 
   /** Shared user-class loading for every serialized bridge (EvalFunc
     * invoker, partitioner, comparator, load/store funcs): version-keyed
@@ -237,7 +303,12 @@ object JarUdfs {
       // (which may stash state in UDFContext — the reference's order)
       val probe = Invoker(jar, verKey, cls, ctorArgs, sig,
         new java.util.HashMap[String, java.util.Properties]())
-      val dt = returnTypeOf(probe.newInstance(), args.length, inputSchema)
+      val probeInst = probe.newInstance()
+      // getCacheFiles/getShipFiles declared files ship to executors now
+      // (reference: JobControlCompiler.setupDistributedCache at plan
+      // time); tasks link them at ./name on instantiation
+      shipCacheFiles(spark, probeInst)
+      val dt = returnTypeOf(probeInst, args.length, inputSchema)
       val inv = Invoker(jar, verKey, cls, ctorArgs, sig,
         shippableUdfContext())
       val udfName =
@@ -386,6 +457,7 @@ object JarUdfs {
       val inst = instantiateUserClass(Some((jar, verKey)), cls, ctorArgs)
         .asInstanceOf[EvalFunc[_]]
       inst.setUDFContextSignature(sig)
+      materializeCacheFiles(inst)
       inst
     }
 

@@ -886,7 +886,8 @@ class ScriptingUdfSpec extends SparkSpec {
     val cp = Seq(classOf[org.apache.pig.EvalFunc[_]],
         classOf[org.joda.time.DateTime],
         classOf[org.apache.hadoop.io.Writable],
-        classOf[org.apache.hadoop.mapreduce.RecordReader[_, _]])
+        classOf[org.apache.hadoop.mapreduce.RecordReader[_, _]],
+        classOf[org.apache.commons.logging.Log])
       .map(_.getProtectionDomain.getCodeSource.getLocation.getPath)
       .distinct.mkString(File.pathSeparator)
     val javacArgs = Seq("-cp", cp, "-d", cls.getPath) ++
@@ -1473,6 +1474,57 @@ class ScriptingUdfSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getAs[Number](1).longValue))
       .sorted.toSeq
     assert(got == want && got.length == 25)
+  }
+
+  test("EvalFunc.getCacheFiles: the reference's own Udfcachetest runs " +
+       "verbatim — the cache file is readable at ./link " +
+       "(UdfDistributedCache e2e shape)") {
+    val tmp = Files.createTempDirectory("graft_udfcache").toFile
+    val lookup = new File(tmp, "votertab")
+    Files.write(lookup.toPath,
+      "first-line-xyz\nsecond-line\n".getBytes(StandardCharsets.UTF_8))
+    val srcRef = java.nio.file.Paths.get(
+      "/root/reference/test/e2e/pig/udfs/java/org/apache/pig/test/udf/" +
+      "evalfunc/Udfcachetest.java")
+    assume(Files.exists(srcRef), "reference Udfcachetest.java missing")
+    val cls = new File(tmp, "classes"); cls.mkdirs()
+    val cp = Seq(classOf[org.apache.pig.EvalFunc[_]],
+        classOf[org.apache.hadoop.io.Writable],
+        classOf[org.apache.hadoop.mapreduce.RecordReader[_, _]],
+        classOf[org.apache.commons.logging.Log])
+      .map(_.getProtectionDomain.getCodeSource.getLocation.getPath)
+      .distinct.mkString(File.pathSeparator)
+    assert(javax.tools.ToolProvider.getSystemJavaCompiler.run(null, null,
+      null, "-cp", cp, "-d", cls.getPath, srcRef.toString) == 0,
+      "reference Udfcachetest javac against the facade failed")
+    val jar = new File(tmp, s"udfcache_${tmp.getName}.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      new java.io.FileOutputStream(jar))
+    def addAll(d: File, prefix: String): Unit =
+      d.listFiles().foreach { f =>
+        if (f.isDirectory) addAll(f, prefix + f.getName + "/")
+        else {
+          jos.putNextEntry(new java.util.jar.JarEntry(prefix + f.getName))
+          jos.write(Files.readAllBytes(f.toPath)); jos.closeEntry()
+        }
+      }
+    addAll(cls, ""); jos.close()
+    // the UDF reads ./foodle relative to the task JVM's cwd
+    val linkFile = new File("foodle").getAbsoluteFile
+    try {
+      val runner = PigRunner(spark).run(s"""
+        REGISTER '${jar.getPath}';
+        DEFINE udfdc org.apache.pig.test.udf.evalfunc.Udfcachetest('${lookup.getPath}#foodle');
+        n = LOAD '$dir/nation.parquet';
+        b = FOREACH n GENERATE n_nationkey, udfdc(n_name) AS cached;
+      """)
+      val got = runner("b").df.collect()
+      assert(got.length == 25)
+      got.foreach(r => assert(r.getString(1) == "first-line-xyz",
+        s"expected the cache file's first line, got '${r.get(1)}'"))
+    } finally {
+      linkFile.delete(); ()
+    }
   }
 
   test("unknown dotted function still fails loudly") {

@@ -414,7 +414,8 @@ object PigPreprocessor {
               // the plain appended-args contract
               val marked =
                 if ((mk || func.toUpperCase.startsWith("INVOKEFOR") ||
-                     Set("BUILDBLOOM", "BLOOM")(func.toUpperCase)) &&
+                     Set("BUILDBLOOM", "BLOOM", "HIVEUDF",
+                         "HIVEUDAF", "HIVEUDTF")(func.toUpperCase)) &&
                     ctor.trim.nonEmpty)
                   s"'$CtorMark', ${ctor.trim}"
                 else ctor.trim

@@ -313,10 +313,7 @@ object JarUdfs {
         shippableUdfContext())
       val udfName =
         ("graft_jar_" + cls.split('.').last + "_" + idDigest).toLowerCase
-      val key = System.identityHashCode(spark) + "/" + udfName
-      bound.getOrElseUpdate(key, {
-        registerArity(spark, udfName, inv, dt, args.length); ()
-      })
+      bindUdf(spark, udfName, a => coerce(inv.call(a), dt), dt, args.length)
       call_udf(udfName, args: _*)
     }
 
@@ -620,9 +617,20 @@ object JarUdfs {
     case (other, _) => other
   }
 
+  /** Register (once per session) a Seq[AnyRef] => AnyRef as a Spark
+    * udf of fixed arity — shared by the jar EvalFunc and HiveUDF
+    * bridges (`fn` must be a serializable closure). */
+  private[functions] def bindUdf(spark: SparkSession, name: String,
+      fn: Seq[AnyRef] => AnyRef, dt: DataType, n: Int): Unit = {
+    val key = System.identityHashCode(spark) + "/" + name
+    bound.getOrElseUpdate(key, { registerArity(spark, name, fn, dt, n); () })
+    ()
+  }
+
   private def registerArity(spark: SparkSession, name: String,
-                            inv: Invoker, dt: DataType, n: Int): Unit = {
-    def c(args: AnyRef*): AnyRef = coerce(inv.call(args), dt)
+                            fn: Seq[AnyRef] => AnyRef, dt: DataType,
+                            n: Int): Unit = {
+    def c(args: AnyRef*): AnyRef = fn(args)
     n match {
       case 0 => spark.udf.register(name, new UDF0[AnyRef] {
         def call() = c() }, dt)

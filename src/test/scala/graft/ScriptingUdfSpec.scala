@@ -1527,6 +1527,62 @@ class ScriptingUdfSpec extends SparkSpec {
     }
   }
 
+  test("HiveUDF: Hive scalar functions run through hive-exec's own " +
+       "registry (UDF-bridge 'sin', GenericUDF 'upper'/'concat')") {
+    val runner = PigRunner(spark).run(s"""
+      DEFINE hsin HiveUDF('sin');
+      DEFINE hupper HiveUDF('upper');
+      DEFINE hconcat org.apache.pig.builtin.HiveUDF('concat');
+      o = LOAD '$dir/orders.parquet';
+      b = FOREACH o GENERATE o_orderkey, hsin(o_totalprice) AS s,
+            hupper(o_orderstatus) AS u,
+            hconcat(o_orderstatus, o_orderpriority) AS c;
+    """)
+    import org.apache.spark.sql.functions.{col, concat, sin, upper}
+    val got = runner("b").df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), sin(col("o_totalprice")),
+        upper(col("o_orderstatus")),
+        concat(col("o_orderstatus"), col("o_orderpriority")))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(got.length == want.length && got.length > 0)
+    assert(got == want) // Math.sin on both sides — bitwise equal
+  }
+
+  test("HiveUDAF/HiveUDTF: 'avg' aggregates a grouped bag; 'explode' " +
+       "emits one row per bag element under FLATTEN") {
+    val runner = PigRunner(spark).run(s"""
+      DEFINE havg HiveUDAF('avg');
+      DEFINE hexplode HiveUDTF('explode');
+      o = LOAD '$dir/orders.parquet';
+      g = GROUP o BY o_custkey;
+      a = FOREACH g GENERATE group AS k, havg(o.o_totalprice) AS m;
+      e0 = FOREACH o GENERATE TOBAG(o_orderstatus, o_orderpriority) AS b;
+      e = FOREACH e0 GENERATE FLATTEN(hexplode(b));
+    """)
+    import org.apache.spark.sql.functions.{avg, col}
+    val gotA = runner("a").df.collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        math.round(r.getDouble(1) * 1e6))).sorted.toSeq
+    val wantA = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_custkey").agg(avg(col("o_totalprice")))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        math.round(r.getDouble(1) * 1e6))).sorted.toSeq
+    assert(gotA == wantA && gotA.nonEmpty)
+    // explode: every (status, priority) pair lands as its own row
+    val eDf = runner("e").df
+    val gotE = eDf.collect().map(_.getStruct(0).getString(0)).sorted.toSeq
+    val wantE = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderstatus"), col("o_orderpriority")).collect()
+      .flatMap(r => Seq(r.getString(0), r.getString(1))).sorted.toSeq
+    assert(gotE == wantE)
+  }
+
   test("unknown dotted function still fails loudly") {
     val e = intercept[Exception] {
       PigRunner(spark).run(s"""

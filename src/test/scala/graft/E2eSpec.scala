@@ -527,7 +527,10 @@ class E2eSpec extends SparkSpec {
       // the backend exec reads back (PIG-2337/2338)
       ("UDFContext", 1), ("UDFContextAuto", 1),
       // jar TOBAG2 alongside builtin TOBAG/TOTUPLE in one script
-      ("udf_TOBAGandTOTUPLE", 8))
+      ("udf_TOBAGandTOTUPLE", 8),
+      // HiveUDF scalar bridge: the reference's own sin (UDF-bridge)
+      // and upper (GenericUDF) scripts vs their builtin verify twins
+      ("HiveUDF", 1), ("HiveUDF", 2))
     val all = extract(confPath, None, "(?!x)x".r, skip = "(?!x)x".r)
     val sel = all.collect {
       case (g, n, s) if wanted((g, n)) =>

@@ -2103,11 +2103,15 @@ final class PigRunner(val spark: SparkSession) {
           } else spark.read.textFile(splitPaths(path): _*)
         graft.functions.JarStorage.load(spark, jarRegistry,
           lines, other, args, schema.map(_.length), path)
+      // reference error parity: an unresolvable load function is
+      // ERROR 1070 (QueryParserUtils/FuncSpec resolution failure text)
       case Some((other, _)) => throw new IllegalArgumentException(
-        s"unknown loader $other (PigStorage, TextLoader, JsonLoader, " +
-        "OrcStorage, AvroStorage, FixedWidthLoader, MyRegExLoader, " +
-        "SequenceFileLoader, CSVExcelStorage, XMLLoader, or a " +
-        "registered-jar LoadFunc)")
+        s"ERROR 1070: Could not resolve $other using imports: " +
+        "[, java.lang., org.apache.pig.builtin., " +
+        "org.apache.pig.impl.builtin.] (known loaders here: PigStorage, " +
+        "TextLoader, JsonLoader, OrcStorage, AvroStorage, " +
+        "FixedWidthLoader, MyRegExLoader, SequenceFileLoader, " +
+        "CSVExcelStorage, XMLLoader, or a registered-jar LoadFunc)")
     }
     val df = schema match {
       case Some(fs) if using.exists(u => Set("PigStorage", "CSVExcelStorage",

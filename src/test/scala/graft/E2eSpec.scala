@@ -19,129 +19,9 @@ class E2eSpec extends SparkSpec {
 
   private val confPath = "/root/reference/test/e2e/pig/tests/nightly.conf"
 
-  // ------------------------------------------------------------ fixtures
-  private lazy val fixtures: String = {
-    val base = Files.createTempDirectory("pig_e2e").toString
-    val rnd = new Random(31415)
-    val first = Seq("alice", "bob", "calvin", "david", "ethan", "fred",
-      "gabriella", "holly", "irene", "jessica", "katie", "luke", "mike",
-      "nick", "oscar", "priscilla", "quinn", "rachel", "sarah", "tom",
-      "ulysses", "victor", "wendy", "xavier", "yuri", "zach")
-    val last = Seq("allen", "brown", "carson", "davidson", "ellison",
-      "falkner", "garcia", "hernandez", "ichabod", "johnson", "king",
-      "laertes", "miller", "nixon", "ovid", "polk", "quirinius",
-      "robinson", "steinbeck", "thompson", "underhill", "van buren",
-      "white", "xylophone", "young", "zipper")
-    val parties = Seq("democrat", "green", "independent", "libertarian",
-      "republican", "socialist")
-    def name() = s"${first(rnd.nextInt(26))} ${last(rnd.nextInt(26))}"
-    def age() = 18 + rnd.nextInt(60)
-    def gpa() = f"${rnd.nextDouble() * 4.0}%.2f"
-    def contrib() = f"${rnd.nextDouble() * 1000}%.2f"
-    def write(rel: String, lines: Seq[String]): Unit = {
-      val p = Paths.get(base, rel)
-      Files.createDirectories(p.getParent)
-      Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
-    }
-    val n = 1000
-    def student(sep: String, nulls: Boolean) = (0 until n).map { _ =>
-      def maybe(s: String) = if (nulls && rnd.nextInt(20) == 0) "" else s
-      Seq(maybe(name()), maybe(age().toString), maybe(gpa()))
-        .mkString(sep)
-    }
-    def voter(nulls: Boolean) = (0 until n).map { _ =>
-      def maybe(s: String) = if (nulls && rnd.nextInt(20) == 0) "" else s
-      Seq(maybe(name()), maybe(age().toString),
-        maybe(parties(rnd.nextInt(parties.size))), maybe(contrib()))
-        .mkString("\t")
-    }
-    // a few pinned rows: the nightly Bloom group builds its filter on
-    // `name == 'alice allen'`, which a 1000-row random draw from 26×26
-    // names can miss entirely (this seed does) — the reference's 10k-row
-    // fixture always has it
-    write("singlefile/studenttab10k", student("\t", nulls = false) ++
-      Seq("alice allen\t20\t1.80", "alice allen\t27\t3.90",
-          "alice allen\t54\t2.40"))
-    // stand-in for the reference's 20M-row big-data fixture — the
-    // run-and-store bar checks compilation + execution, not scale
-    write("singlefile/studenttab20m", student("\t", nulls = false))
-    write("singlefile/studentnulltab10k", student("\t", nulls = true))
-    write("singlefile/studentcolon10k", student(":", nulls = false))
-    write("singlefile/votertab10k", voter(nulls = false))
-    write("singlefile/voternulltab10k", voter(nulls = true))
-    // name → NAME lookup table for the streaming cache() script
-    // (streaming.conf 1/3 pipes names through PigStreaming.pl with a
-    // cached support file); all 676 pool combinations so every fixture
-    // row maps
-    write("nameMap/part-00000",
-      for { f <- first; l <- last }
-        yield s"$f $l\t${f.toUpperCase} ${l.toUpperCase}")
-    write("dir/studenttab10k/part-00000", student("\t", nulls = false))
-    write("glob/star/file1good", student("\t", nulls = false))
-    write("glob/star/file2good", student("\t", nulls = false))
-    // allscalar: name, age, gpa, instate boolean, ~5% nulls — but the
-    // reference prints age/gpa through %d/%.2f (generate_data.pl:484),
-    // so an "empty" age/gpa lands as 0/0.00: only the STRING columns
-    // can be genuinely null. (StreamingPythonUDFs/10 depends on this —
-    // a truly-null gpa would crash python's gpa+1 on both engines.)
-    write("singlefile/allscalar10k", (0 until n).map { _ =>
-      def maybe(s: String) = if (rnd.nextInt(20) == 0) "" else s
-      val ageS = if (rnd.nextInt(20) == 0) "0" else age().toString
-      val gpaS = if (rnd.nextInt(20) == 0) "0.00" else gpa()
-      Seq(maybe(name()), ageS, gpaS,
-        maybe(if (rnd.nextBoolean()) "true" else "false")).mkString("\t")
-    })
-    // reg1459894: numletter + greek-letter pair
-    val numLetter = Seq("1", "09", "09a")
-    val greek = Seq("alpha", "beta", "gamma", "delta")
-    write("singlefile/reg1459894", (0 until n).map { _ =>
-      s"${numLetter(rnd.nextInt(3))}\t${greek(rnd.nextInt(4))}" })
-    // textdoc: free-text lines for wordcount-ish scripts
-    write("singlefile/textdoc", Seq(
-      "the quick brown fox jumps over the lazy dog",
-      "now is the time for all good men to come",
-      "to the aid of their country",
-      "she sells sea shells by the sea shore"))
-    // studentcomplextab: Pig literal map / tuple / bag text columns
-    write("singlefile/studentcomplextab10k", (0 until n).map { _ =>
-      def tup() = s"(${name()},${age()},${gpa()})"
-      val m = if (rnd.nextInt(20) == 0) ""
-              else s"[name#${name()},age#${age()}]"
-      val t = if (rnd.nextInt(20) == 0) "" else tup()
-      val b = if (rnd.nextInt(20) == 0) ""
-              else (0 to rnd.nextInt(2)).map(_ => tup()).mkString("{", ",", "}")
-      s"$m\t$t\t$b"
-    })
-    // unicode100: student rows with non-ASCII (greek-suffixed) names
-    val greekChars = "αβγδεζηθικλμ"
-    write("singlefile/unicode100", (0 until 100).map { _ =>
-      s"${first(rnd.nextInt(26))}${greekChars(rnd.nextInt(greekChars.length))}" +
-        s"\t${age()}\t${gpa()}"
-    })
-    // prerank: precomputed-rank columns + 3 low-cardinality dims
-    // (generate_data.pl's prerank shape; the rank* columns only matter
-    // to the reference's comparison harness, not the run itself)
-    write("singlefile/prerank", (1 to 1000).map { i =>
-      s"$i,$i,$i,$i,$i,$i,${rnd.nextInt(10)},${rnd.nextInt(10)}," +
-        s"${rnd.nextInt(10)}"
-    })
-    // utf8Data: Chinese-named dirs + Chinese data values (utf8.conf —
-    // the conf's own fixtures; 佛 is the value its filter test probes)
-    val cjkNames = Seq("佛", "王伟", "李娜", "张强", "刘洋", "陈静")
-    write("utf8Data/学生/utf8Student", (0 until 200).map { _ =>
-      s"${cjkNames(rnd.nextInt(cjkNames.size))}\t${age()}\t${gpa()}" })
-    write("utf8Data/选民/utf8Voter", (0 until 200).map { _ =>
-      s"${cjkNames(rnd.nextInt(cjkNames.size))}\t${age()}\t" +
-        s"${parties(rnd.nextInt(parties.size))}\t${contrib()}" })
-    // types/numbers.txt: colon-separated with 5L / 3.2f literal suffixes
-    write("types/numbers.txt", (0 until n).map { idx =>
-      val r1000 = 1 + rnd.nextInt(1000)
-      val f = rnd.nextDouble() * 10
-      f"${(idx / 100 + 1) * 100}:$idx:${1 + rnd.nextInt(5)}:" +
-        f"${1 + rnd.nextInt(100)}:$r1000:${r1000}L:$f%.2ff:$f%.2f"
-    })
-    base
-  }
+  // fixtures: shared regeneration of the reference's e2e inputs
+  // (moved to E2eFixtures so the embedded-scripting suite reuses them)
+  private def fixtures: String = E2eFixtures.dir
 
   // ------------------------------------------------------ conf extraction
   /** (group, num, script) triples for scripts this engine should run:

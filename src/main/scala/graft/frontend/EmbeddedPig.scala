@@ -155,6 +155,11 @@ object EmbeddedPig {
   private final class Server(spark: SparkSession) {
     private val runs = mutable.Map.empty[Int, PigRunner]
     private var nextId = 0
+    // Pig.registerJar/registerUDF/define/set accumulate session-wide
+    // context that every subsequently compiled script sees (reference:
+    // ScriptPigContext state) — re-expressed as statements prepended
+    // to each compiled script
+    private val prelude = mutable.ArrayBuffer.empty[String]
     private lazy val fsRunner = PigRunner(spark)
     private lazy val fsShell = new graft.tools.GruntShell(fsRunner)
     private var fsUsed = false
@@ -170,11 +175,17 @@ object EmbeddedPig {
       case "fs" =>
         fsUsed = true
         ok("out" -> JString(fsShell.execute("fs " + jstr(req \ "cmd"))))
+      case "prelude" =>
+        prelude += jstr(req \ "stmt")
+        ok()
       case k @ ("describe" | "explain" | "illustrate") => diagnostics(req, k)
       case "iter" => iter(req)
       case other =>
         JObject("ok" -> JBool(false), "msg" -> JString(s"unknown op $other"))
     }
+
+    private def withPrelude(s: String): String =
+      if (prelude.isEmpty) s else prelude.mkString("", "\n", "\n") + s
 
     private def run(req: JValue): JValue = {
       val script0 = jstr(req \ "script")
@@ -207,7 +218,7 @@ object EmbeddedPig {
         } finally runner.close()
       } else {
         val runner = PigRunner(spark)
-        runner.run(script, params)
+        runner.run(withPrelude(script), params)
         nextId += 1
         runs(nextId) = runner
         ok("id" -> JInt(nextId))
@@ -224,7 +235,7 @@ object EmbeddedPig {
         script.replaceAll("(?is)\\bstore\\s+\\w+\\s+into\\s+[^;]*;", "")
       val runner = PigRunner(spark)
       try {
-        runner.run(stripped, params)
+        runner.run(withPrelude(stripped), params)
         def targets: Seq[String] =
           if (storeAliases.nonEmpty) storeAliases
           else runner.relations.keys.toSeq.sorted.takeRight(1)
@@ -376,6 +387,25 @@ object EmbeddedPig {
       |    def fs(cmd):
       |        _emit(_call("fs", cmd=cmd).get("out") or "")
       |        return 0
+      |
+      |    # session-wide context every later compile sees (reference:
+      |    # Pig.registerJar/registerUDF/define/set -> ScriptPigContext)
+      |    @staticmethod
+      |    def registerJar(path):
+      |        _call("prelude", stmt="REGISTER '%s';" % path)
+      |
+      |    @staticmethod
+      |    def registerUDF(udffile, namespace):
+      |        _call("prelude", stmt="REGISTER '%s' USING jython AS %s;"
+      |              % (udffile, namespace))
+      |
+      |    @staticmethod
+      |    def define(alias, definition):
+      |        _call("prelude", stmt="DEFINE %s %s;" % (alias, definition))
+      |
+      |    @staticmethod
+      |    def set(var, value):
+      |        _call("prelude", stmt="SET %s %s;" % (var, value))
       |
       |    def bind(self, params=None):
       |        if params is None:

@@ -74,10 +74,32 @@ object RunScript {
 
     require(rest.nonEmpty,
       "usage: RunScript [-check|-dryrun|-e '<stmts>'|-param_file f] " +
-        "<script.pig> [name=value…]")
+        "<script.pig|driver.py> [name=value…] [args…]")
     val path = rest(0)
     val script = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8")
+    // `pig script.py`: an embedded python driver script (reference
+    // Main.java routes by extension/shebang to the scripting engine).
+    // name=value operands become -param bindings; bare operands pass
+    // through as the driver's sys.argv.
+    val isPyDriver = path.endsWith(".py") ||
+      script.linesIterator.nextOption.exists(l =>
+        l.startsWith("#!") && l.contains("python"))
+    if (isPyDriver) {
+      val (kvs, bare) = rest.drop(1).partition(_.contains("="))
+      val params = fileParams ++ kvs.map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }.toMap
+      val spark = graft.GraftSession.local()
+      val res = graft.frontend.EmbeddedPig.runScript(spark, script,
+        cmdArgs = bare.toSeq, baseParams = params,
+        cwd = new java.io.File(path).getAbsoluteFile.getParentFile)
+      print(res.stdout)
+      System.err.print(res.stderr)
+      spark.stop()
+      if (res.rc != 0) sys.exit(res.rc)
+      return
+    }
     val params = fileParams ++ rest.drop(1).map { kv =>
       val Array(k, v) = kv.split("=", 2); (k, v)
     }.toMap

@@ -241,4 +241,62 @@ class EmbeddedPigSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"${failures.size}/${tests.size} failed:\n${failures.mkString("\n")}")
   }
+
+  test("Pig.registerUDF/define/set feed every later compile " +
+       "(ScriptPigContext prelude semantics)") {
+    assume(new File(py2).exists(), "python 2.7 not installed")
+    val tmp = Files.createTempDirectory("jy_prelude").toFile
+    val out = new File(tmp, "out").getPath
+    // a python UDF file the driver registers under a namespace
+    Files.write(new File(tmp, "udf.py").toPath,
+      """@outputSchema("sq:int")
+        |def square(n):
+        |    return n * n
+        |""".stripMargin.getBytes("UTF-8"))
+    val q3 = "\"\"\""
+    val driver =
+      s"""#!/usr/bin/python
+         |from org.apache.pig.scripting import Pig
+         |
+         |Pig.set("default_parallel", "8")
+         |Pig.define("MYUP", "UPPER()")
+         |Pig.registerUDF("${tmp.getPath}/udf.py", "myfuncs")
+         |
+         |P = Pig.compile(${q3}
+         |A = load '${E2eFixtures.dir}/singlefile/studenttab10k'
+         |    as (name:chararray, age:int, gpa:double);
+         |B = foreach A generate MYUP(name) as nm, myfuncs.square(age) as sq;
+         |store B into '$out';
+         |${q3})
+         |result = P.bind().runSingle()
+         |if result.isSuccessful():
+         |    print "Pig job PASSED"
+         |else:
+         |    raise Exception("Pig job FAILED")
+         |""".stripMargin
+    val prev = sys.props.get("graft.python")
+    sys.props("graft.python") = py2
+    try {
+      val res = graft.frontend.EmbeddedPig.runScript(spark, driver,
+        cwd = tmp, pythonExe = py2, timeoutSec = 180L)
+      assert(res.rc == 0, s"driver failed: ${res.stderr.takeRight(500)}")
+      assert(res.stdout.contains("Pig job PASSED"))
+      val rows = spark.read.parquet(out).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val nm = r.getString(0)
+        assert(nm == nm.toUpperCase, s"MYUP (DEFINE'd UPPER) not applied: $nm")
+      }
+      // spot-check the python UDF: sq must be a perfect square of an age
+      val sq = rows.head.get(1).toString.toLong
+      val root = math.sqrt(sq.toDouble).round
+      assert(root * root == sq, s"myfuncs.square not applied: $sq")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.python") = v
+        case None => sys.props.remove("graft.python")
+      }
+      GraftSession.unpersistAll()
+    }
+  }
 }

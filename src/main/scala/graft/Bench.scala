@@ -38,25 +38,46 @@ object Bench {
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
     GraftSession.unpersistAll()
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // benchQueries = queries, except the near-dup gates time the
     // production operator without their O(n²) exact-twin verdicts
     // (test machinery; see SparkEntry.benchQueries doc)
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed += name
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release tracked persisted intermediates so one query's caches
-      // don't occupy executor memory during the next query's timing
-      GraftSession.unpersistAll()
-      // a crashing query records -1, never an ordinary-looking time
-      name -> (if (ok) dt else -1.0)
+    val queries = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+    // Median-of-N (default 3): single-run totals have swung >1.5× on
+    // co-tenant load, mis-signaling regressions against a hard 2×
+    // criterion. Runs are interleaved in ROUNDS (all queries, then
+    // repeat) rather than back-to-back, so a transient load spike hits
+    // one round of everything instead of every run of one query —
+    // per-query medians then discard the spiked round.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val raw = queries.map { case (name, _) =>
+      name -> scala.collection.mutable.ArrayBuffer.empty[Double] }.toMap
+    for (_ <- 1 to reps) {
+      for ((name, fn) <- queries) {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release tracked persisted intermediates so one query's caches
+        // don't occupy executor memory during the next query's timing
+        GraftSession.unpersistAll()
+        // a crashing run records -1, never an ordinary-looking time
+        raw(name) += (if (ok) dt else -1.0)
+      }
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = queries.map { case (name, _) =>
+      val runs = raw(name).toSeq
+      name -> (if (runs.exists(_ < 0)) -1.0 else median(runs))
     }
     // Millisecond precision keeps the whole line ~2 KB so the driver's
     // fixed-size stdout tail capture can't truncate the front of it
@@ -67,15 +88,19 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$reps,"sf":"$sfDir"}"""
     println(json)
-    // Also write the line to a file: stdout goes through sbt's logger and
-    // the driver's tail capture, either of which can truncate — the file
-    // is the complete machine-readable artifact.
+    // The file artifact additionally carries every raw run (the stdout
+    // line stays compact for the driver's tail capture; the file is the
+    // complete machine-readable record for noise adjudication).
+    val rawJson = queries.map { case (name, _) =>
+      s"\"" + name + "\":[" + raw(name).map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fileJson = json.dropRight(1) + s""","raw_runs":$rawJson}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_results.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes("UTF-8"))
+      (fileJson + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -69,7 +69,11 @@ object EmbeddedPig {
                 pythonExe: String = defaultPython,
                 timeoutSec: Long = 300L): Result = {
     val shimDir = shim // generated once per JVM
-    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+    // loopback auth: only a client presenting this one-time token gets
+    // served — the control protocol can reach GruntShell's `sh`, so an
+    // unauthenticated local connection would be command execution
+    val token = java.util.UUID.randomUUID().toString
     val handler = new Server(spark)
     val scratch = Files.createTempDirectory("pig_embed").toFile
     val scriptFile = new File(scratch, "driver.py")
@@ -85,17 +89,25 @@ object EmbeddedPig {
     val env = pb.environment()
     env.put("PYTHONPATH", shimDir.getAbsolutePath)
     env.put("GRAFT_PIG_PORT", server.getLocalPort.toString)
+    env.put("GRAFT_PIG_TOKEN", token)
     env.put("GRAFT_PIG_PARAMS", JsonMethods.compact(JsonMethods.render(
       JObject(baseParams.toList.map { case (k, v) => k -> JString(v) }))))
     val proc = pb.start()
-    // serve the (single) connection until the client hangs up; a script
-    // that never connects just runs to exit and the accept dies with
-    // the socket close below
+    // serve the first connection whose handshake line carries the
+    // one-time token (others are closed and the accept loop continues);
+    // a script that never connects just runs to exit and the accept
+    // dies with the socket close below
     val serverThread = new Thread(() => {
       try {
-        val sock = server.accept()
-        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-          sock.getInputStream, StandardCharsets.UTF_8))
+        var sock: java.net.Socket = null
+        var in: java.io.BufferedReader = null
+        while (sock == null) {
+          val cand = server.accept()
+          val candIn = new java.io.BufferedReader(new java.io.InputStreamReader(
+            cand.getInputStream, StandardCharsets.UTF_8))
+          if (candIn.readLine() == token) { sock = cand; in = candIn }
+          else cand.close()
+        }
         val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
           sock.getOutputStream, StandardCharsets.UTF_8))
         var line = in.readLine()
@@ -187,10 +199,16 @@ object EmbeddedPig {
     private def withPrelude(s: String): String =
       if (prelude.isEmpty) s else prelude.mkString("", "\n", "\n") + s
 
+    // properties from a props-bearing runSingle persist into the session
+    // (reference: getProperties().putAll(prop) mutates the PigContext, so
+    // later compiles/runs in the same driver script still see them)
+    private val sessionProps = mutable.Map.empty[String, String]
+
     private def run(req: JValue): JValue = {
       val script0 = jstr(req \ "script")
       val params = jsmap(req \ "params")
-      val props = jsmap(req \ "props")
+      sessionProps ++= jsmap(req \ "props")
+      val props = sessionProps.toMap
       // pig.default.load.func: USING-less LOADs route through the
       // configured loader (reference: QueryParserUtils default load
       // func resolution) — an unknown class then errors with 1070
@@ -260,15 +278,22 @@ object EmbeddedPig {
         case Some(runner) if !runner.relations.contains(alias) =>
           ok("path" -> JNull) // reference: PigStats.result(unknown) == null
         case Some(runner) =>
-          val rows = runner(alias).df.collect()
+          // stream partition-at-a-time (the reference's openIterator
+          // streams from a temp STORE — P/PigServer.java:993); a
+          // corpus-sized alias must never materialize on the driver
           val f = new File(iterDir, s"iter_${id}_$alias.jsonl")
-          val sb = new StringBuilder
-          rows.foreach { r =>
-            sb.append(JsonMethods.compact(JsonMethods.render(
-              JArray(r.toSeq.map(toJ).toList)))).append('\n')
-          }
-          Files.write(f.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
-          ok("path" -> JString(f.getAbsolutePath), "n" -> JInt(rows.length))
+          val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            new java.io.FileOutputStream(f), StandardCharsets.UTF_8))
+          var n = 0L
+          try {
+            val it = runner(alias).df.toLocalIterator()
+            while (it.hasNext) {
+              w.write(JsonMethods.compact(JsonMethods.render(
+                JArray(it.next().toSeq.map(toJ).toList))))
+              w.write("\n"); n += 1
+            }
+          } finally w.close()
+          ok("path" -> JString(f.getAbsolutePath), "n" -> JInt(n))
       }
     }
 
@@ -318,6 +343,7 @@ object EmbeddedPig {
       |# Proxies each call over a line-JSON loopback socket to the engine.
       |import json, os, re, socket, sys
       |
+      |_PY3 = sys.version_info[0] >= 3
       |try:
       |    unicode
       |except NameError:       # py3 tolerance; the reference corpus is py2
@@ -335,6 +361,10 @@ object EmbeddedPig {
       |            ("127.0.0.1", int(os.environ["GRAFT_PIG_PORT"])))
       |        _rf = _sock.makefile("rb")
       |        _wf = _sock.makefile("wb")
+      |        # handshake: the server only serves the connection that
+      |        # presents its one-time token
+      |        _wf.write(os.environ["GRAFT_PIG_TOKEN"].encode("utf-8") + b"\n")
+      |        _wf.flush()
       |    return _rf, _wf
       |
       |class PigError(Exception):
@@ -358,6 +388,11 @@ object EmbeddedPig {
       |_BASE_PARAMS = json.loads(os.environ.get("GRAFT_PIG_PARAMS") or "{}")
       |
       |def _tostr(v):
+      |    # py2: jython strings are byte-strings, so unicode encodes;
+      |    # py3: str IS the text type -- never encode (bytes keys would
+      |    # break json.dumps on the param dict)
+      |    if _PY3:
+      |        return v if isinstance(v, str) else str(v)
       |    if isinstance(v, unicode):
       |        return v.encode("utf-8")
       |    return str(v)
@@ -385,8 +420,13 @@ object EmbeddedPig {
       |
       |    @staticmethod
       |    def fs(cmd):
-      |        _emit(_call("fs", cmd=cmd).get("out") or "")
-      |        return 0
+      |        # reference contract: return FsShell's rc, never raise --
+      |        # drivers routinely `Pig.fs("-rmr out")` a missing dir
+      |        try:
+      |            _emit(_call("fs", cmd=cmd).get("out") or "")
+      |            return 0
+      |        except PigError:
+      |            return 1
       |
       |    # session-wide context every later compile sees (reference:
       |    # Pig.registerJar/registerUDF/define/set -> ScriptPigContext)
@@ -531,7 +571,7 @@ object EmbeddedPig {
       |
       |    def get(self, i):
       |        v = self._v[i]
-      |        if isinstance(v, unicode):
+      |        if not _PY3 and isinstance(v, unicode):
       |            return v.encode("utf-8")
       |        return v
       |

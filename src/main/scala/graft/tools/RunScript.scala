@@ -86,7 +86,12 @@ object RunScript {
       script.linesIterator.nextOption.exists(l =>
         l.startsWith("#!") && l.contains("python"))
     if (isPyDriver) {
-      val (kvs, bare) = rest.drop(1).partition(_.contains("="))
+      // only `name=value` shapes become params; anything else (e.g.
+      // `--mode=fast`) passes through to the driver's sys.argv, matching
+      // the reference (params come only from -param/-param_file there)
+      val isParam = "^\\w+=.*$".r
+      val (kvs, bare) = rest.drop(1)
+        .partition(a => isParam.pattern.matcher(a).matches)
       val params = fileParams ++ kvs.map { kv =>
         val Array(k, v) = kv.split("=", 2); (k, v)
       }.toMap

@@ -242,6 +242,106 @@ class EmbeddedPigSpec extends SparkSpec {
       s"${failures.size}/${tests.size} failed:\n${failures.mkString("\n")}")
   }
 
+  test("python3 driver: bind(dict) params, Pig.fs rc contract, " +
+       "runSingle(props) session carry-over") {
+    val tmp = Files.createTempDirectory("jy_py3").toFile
+    val f = s"${E2eFixtures.dir}/singlefile/studenttab10k"
+    val driver =
+      s"""from org.apache.pig.scripting import Pig
+         |from java.util import Properties
+         |
+         |# fs returns FsShell's rc (never raises) -- common
+         |# Pig.fs("-rmr out")-then-run driver pattern
+         |rc = Pig.fs("-rm -r ${tmp.getPath}/definitely_missing_xyz")
+         |assert rc != 0, "fs on a missing path must return nonzero"
+         |
+         |P = Pig.compile('''
+         |A = load '$f' as (name:chararray, age:int, gpa:double);
+         |B = filter A by age > $$minage;
+         |store B into '${tmp.getPath}/out1';
+         |''')
+         |result = P.bind({'minage': '50'}).runSingle()
+         |assert result.isSuccessful(), "bind(dict) run failed"
+         |it = result.result("B").iterator()
+         |n = 0
+         |while it.hasNext():
+         |    t = it.next()
+         |    assert int(t.get(1)) > 50, "param not applied: %s" % t
+         |    n += 1
+         |print("ROWS=%d" % n)
+         |
+         |# properties persist into the session (reference: PigContext
+         |# getProperties().putAll) -- a later no-props run still sees them
+         |p = Properties()
+         |p.put("pig.default.load.func", "com.acme.MissingLoader")
+         |s1 = Pig.compile(
+         |    "A = load '$f'; store A into '${tmp.getPath}/o1';"
+         |).bind({}).runSingle(p)
+         |assert not s1.isSuccessful(), "unresolvable loader must fail"
+         |s2 = Pig.compile(
+         |    "A = load '$f'; store A into '${tmp.getPath}/o2';"
+         |).bind({}).runSingle()
+         |assert not s2.isSuccessful(), "props must persist into session"
+         |print("PROPS-CARRY OK")
+         |""".stripMargin
+    try {
+      val res = graft.frontend.EmbeddedPig.runScript(spark, driver,
+        cwd = tmp, pythonExe = "python3", timeoutSec = 180L)
+      assert(res.rc == 0, s"py3 driver failed: ${res.stderr.takeRight(800)}")
+      assert(res.stdout.contains("PROPS-CARRY OK"), res.stdout.take(500))
+      val n = "ROWS=(\\d+)".r.findFirstMatchIn(res.stdout)
+        .map(_.group(1).toInt).getOrElse(-1)
+      assert(n > 0 && n < 10000, s"filtered row count off: $n")
+    } finally GraftSession.unpersistAll()
+  }
+
+  test("result(alias).iterator() streams partition-at-a-time " +
+       "(no driver-side collect of the whole relation)") {
+    val tmp = Files.createTempDirectory("jy_iter").toFile
+    val f = s"${E2eFixtures.dir}/singlefile/studenttab10k"
+    val driver =
+      s"""from org.apache.pig.scripting import Pig
+         |P = Pig.compile(
+         |    "A = load '$f' as (name:chararray, age:int, gpa:double);")
+         |r = P.bind().runSingle()
+         |it = r.result("A").iterator()
+         |n = 0
+         |while it.hasNext():
+         |    it.next()
+         |    n += 1
+         |print("N=%d" % n)
+         |""".stripMargin
+    // force a multi-partition scan, then count Spark jobs while the
+    // driver iterates: toLocalIterator submits one job per partition,
+    // a collect() exactly one — >=2 jobs proves streaming
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val res = graft.frontend.EmbeddedPig.runScript(spark, driver,
+        cwd = tmp, pythonExe = "python3", timeoutSec = 180L)
+      assert(res.rc == 0, s"driver failed: ${res.stderr.takeRight(500)}")
+      // the regenerated fixture holds 1000 rows + 3 pinned alice-allen
+      assert(res.stdout.contains("N=1003"), res.stdout.take(300))
+      // listener events are async; give the bus a moment to drain
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (jobs.get() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(jobs.get() >= 2,
+        s"expected one job per partition (streaming); saw ${jobs.get()}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      GraftSession.unpersistAll()
+    }
+  }
+
   test("Pig.registerUDF/define/set feed every later compile " +
        "(ScriptPigContext prelude semantics)") {
     assume(new File(py2).exists(), "python 2.7 not installed")

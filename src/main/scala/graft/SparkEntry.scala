@@ -2420,9 +2420,13 @@ object SparkEntry {
           T(s, d, "embeddings").df, "vec_id", "embedding",
           threshold = 0.35, numPlanes = 32, numBands = 8)),
       "q93_semdedup" -> ((s, d) =>
+        // k = 0 → auto-scale the cell count with the corpus (the
+        // production configuration; a fixed k goes quadratic — r12
+        // measured 10× corpus → 38× wall at k=8). At sf0.1 auto
+        // resolves to the same k=8 the gate pins.
         graft.ml.SemDedup.semanticDedup(
           T(s, d, "embeddings").df, "vec_id", "embedding",
-          threshold = 0.35, k = 8, probes = 3)),
+          threshold = 0.35, k = 0, probes = 3)),
       // the gate form bounds pairs to doc_id<500 so the recursive-CTE
       // oracle stays tractable; the bench times the real end-to-end
       // dedup path over the whole corpus: minhash near-dup pairs →

@@ -836,6 +836,12 @@ final class PigRunner(val spark: SparkSession) {
       case InExpr(x, vs) => rw(x).map(InExpr(_, vs))
       case CastExpr(t, x) => rw(x).map(CastExpr(t, _))
       case Matches(x, p) => rw(x).map(Matches(_, p))
+      // a HiveUDAF over the bag fuses to a partial-aggregating
+      // Aggregator driving GenericUDAFEvaluator PARTIAL1/merge/FINAL —
+      // the bag never materializes; on decline, the COMPLETE-mode bag
+      // path remains
+      case FuncCall(n, as0) if n.equalsIgnoreCase("HIVEUDAF") =>
+        tryHiveUdaf(as0)
       // a registered-jar UDF implementing Algebraic over the bag fuses
       // to a partial-aggregating Spark Aggregator (AlgebraicAgg) — the
       // reference's combiner; a plain jar EvalFunc keeps the bag path
@@ -853,6 +859,30 @@ final class PigRunner(val spark: SparkSession) {
       // (COR/COV bags expand; flatten of a scalar agg is identity)
       case FlattenExpr(x) => rw(x).map(FlattenExpr)
       case _ => None // Star, bare bag, … → bag path
+    }
+
+    def tryHiveUdaf(as0: Seq[Expr]): Option[Expr] = {
+      val (callArgs, ctorLits) = splitCtorMark(as0)
+      if (ctorLits.length != 1) return None
+      val rewritten = callArgs.map(bagArg)
+      if (!rewritten.forall(_.isDefined)) return None
+      // require a real bag projection (an all-literal call is a
+      // per-group scalar invocation, not an aggregate)
+      if (!rewritten.map(_.get).exists {
+            case Lit(_) => false; case _ => true }) return None
+      val expandedExprs: Seq[Expr] = rewritten.map(_.get).flatMap {
+        case Star  => m.input.columns.toSeq.map(ColRef(_): Expr)
+        case other => Seq(other)
+      }
+      val expanded = expandedExprs.map(e => compile(e, m.input))
+      val argTypes = expanded.map(cx => typeOf(cx, m.input))
+      graft.functions.HiveUdfs
+        .udafAggColumn(ctorLits.head, expanded, argTypes)
+        .map { cagg =>
+          val nm = s"__a${aggCols.size}"
+          aggCols += cagg.as(nm)
+          ColRef(nm)
+        }
     }
 
     def tryJarAlgebraic(n: String, as0: Seq[Expr]): Option[Expr] = {
@@ -2994,12 +3024,12 @@ final class PigRunner(val spark: SparkSession) {
         require(mark >= 0,
           "HiveUDF must be DEFINE'd: DEFINE f HiveUDF('function')")
         val ctor = args.drop(mark + 1).collect { case Lit(s: String) => s }
-        require(ctor.length == 1,
-          "HiveUDF constant-args form HiveUDF('f', '(…)') is not " +
-          "supported — pass constants as call arguments")
+        require(ctor.length == 1 || ctor.length == 2,
+          "HiveUDF takes a function name and an optional constant-args " +
+          "literal: HiveUDF('f') or HiveUDF('f', '(null, \"x\")')")
         val callArgs = args.take(mark).map(comp)
         graft.functions.HiveUdfs.column(spark, ctor.head, callArgs,
-          callArgs.map(typeOf(_, df)))
+          callArgs.map(typeOf(_, df)), ctor.lift(1))
       case "HIVEUDTF" =>
         val mark = args.indexWhere {
           case Lit(s: String) => s == PigPreprocessor.CtorMark

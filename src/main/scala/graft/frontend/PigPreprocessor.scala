@@ -324,7 +324,9 @@ object PigPreprocessor {
     // other than PigStreaming('<sep>') fail loudly rather than silently
     // changing the stream wire format.
     val cb = """(?is)DEFINE\s+(\w+)\s+`([^`]*)`\s*(.*?)\s*""".r
-    val f = """(?is)DEFINE\s+(\w+)\s+([\w.$]+)\s*(?:\(([^)]*)\))?\s*""".r
+    // ctor args: quoted literals may themselves hold parens/commas —
+    // HiveUDF('round', '(null, 2)') — so match quote-aware, not [^)]*
+    val f = """(?is)DEFINE\s+(\w+)\s+([\w.$]+)\s*(?:\(((?:'[^']*'|[^()'])*)\))?\s*""".r
     stmt match {
       case m(name, ps, ret, body) =>
         val params = ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq

@@ -8,8 +8,11 @@ import org.apache.hadoop.hive.serde2.objectinspector.{
   ObjectInspectorFactory, PrimitiveObjectInspector, StructObjectInspector}
 import org.apache.hadoop.hive.serde2.objectinspector.primitive.{
   PrimitiveObjectInspectorFactory => POIF}
-import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.call_udf
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{call_udf, udaf}
 import org.apache.spark.sql.types._
 
 /** `DEFINE f HiveUDF('name')` (reference: builtin/HiveUDF.java —
@@ -28,41 +31,111 @@ import org.apache.spark.sql.types._
   * uses. The evaluate call itself is one virtual dispatch per row.
   *
   * HiveUDTF emits into an array (FLATTEN lays it out) and HiveUDAF
-  * runs COMPLETE-mode over the grouped bag. Out of scope (loudly):
-  * the reference's constant-args ctor form `HiveUDF('func', '(…)')`.
+  * runs COMPLETE-mode over the grouped bag.
+  *
+  * The constant-args ctor form `HiveUDF('func', '(null, "x")')`
+  * (HiveUDF.java's ConstantObjectInspectInfo) is supported: positions
+  * with a non-null literal initialize() through a
+  * ConstantObjectInspector — required by Hive UDFs that demand
+  * compile-time constants (round's scale, in_file's filename) — while
+  * the runtime call still passes every argument through.
   */
 object HiveUdfs {
 
   /** The Column for `alias(args…)` where alias was DEFINE'd as
-    * HiveUDF('func'). Throws at plan time when the function doesn't
-    * resolve or a type isn't bridgeable. */
+    * HiveUDF('func') or HiveUDF('func', '(consts…)'). Throws at plan
+    * time when the function doesn't resolve or a type isn't
+    * bridgeable. */
   def column(spark: SparkSession, func: String, args: Seq[Column],
-             argTypes: Seq[DataType]): Column = {
-    val bridge = Bridge(func, argTypes)
+             argTypes: Seq[DataType],
+             constParams: Option[String] = None): Column = {
+    val consts = constParams.map(parseConstants).getOrElse(Seq.empty)
+    val bridge = Bridge(func, argTypes, consts)
     val dt = bridge.resultType // plan-time initialize() probe
     val udfName = ("graft_hive_" +
       func.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-      JarUdfs.sigDigest(func +: argTypes.map(_.catalogString))).toLowerCase
+      JarUdfs.sigDigest((func +: argTypes.map(_.catalogString)) ++
+        consts.map(String.valueOf(_)))).toLowerCase
     JarUdfs.bindUdf(spark, udfName, a => bridge.call(a), dt, args.length)
     call_udf(udfName, args: _*)
   }
 
+  /** Parse the ctor constants literal — `(null, "names.txt")`, or one
+    * bare constant — into per-position values (null = "use the runtime
+    * argument's inspector here"). Reference: HiveUDFBase
+    * ConstantObjectInspectInfo.parse (double quotes normalize to
+    * single, then a Pig constant parse). */
+  private[functions] def parseConstants(params: String): Seq[Any] = {
+    val s0 = params.trim.replace('"', '\'')
+    val body = if (s0.startsWith("(") && s0.endsWith(")"))
+      s0.substring(1, s0.length - 1) else s0
+    // top-level comma split honoring quotes
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    body.foreach {
+      case '\'' => inQ = !inQ; cur.append('\'')
+      case ',' if !inQ => parts += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty || parts.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim).map {
+      case "" | "null" | "NULL" => null
+      case q if q.startsWith("'") && q.endsWith("'") && q.length >= 2 =>
+        q.substring(1, q.length - 1)
+      case "true" => java.lang.Boolean.TRUE
+      case "false" => java.lang.Boolean.FALSE
+      case n if n.matches("[+-]?\\d+") => Integer.valueOf(n)
+      case n if n.matches("(?i)[+-]?\\d+L") =>
+        java.lang.Long.valueOf(n.dropRight(1))
+      case n if n.matches("(?i)[+-]?\\d*\\.?\\d+(e[+-]?\\d+)?F") =>
+        java.lang.Float.valueOf(n.dropRight(1))
+      case n if n.matches("(?i)[+-]?\\d*\\.\\d+(e[+-]?\\d+)?") =>
+        java.lang.Double.valueOf(n)
+      case other => throw new IllegalArgumentException(
+        s"HiveUDF: unparseable constant '$other' in $params")
+    }
+  }
+
   /** Serializable per-call bridge; resolves the Hive UDF once per
-    * executor thread. */
-  private final case class Bridge(func: String, argTypes: Seq[DataType]) {
-    @transient private lazy val local: ThreadLocal[(GenericUDF, ObjectInspector)] =
+    * executor thread. Positions where `consts` holds a non-null value
+    * initialize through a ConstantObjectInspector (Hive's contract for
+    * must-be-constant arguments); all positions still receive the
+    * runtime value at evaluate() time, exactly like the reference. */
+  private final case class Bridge(func: String, argTypes: Seq[DataType],
+                                  consts: Seq[Any]) {
+    // (udf, outOI, per-position constant writable — null = runtime arg).
+    // Constant positions evaluate with the declared constant's writable
+    // (hive-serde only builds WRITABLE constant OIs, and Hive itself
+    // constant-folds these positions, so the declared constant wins).
+    @transient private lazy val local
+        : ThreadLocal[(GenericUDF, ObjectInspector, Array[AnyRef])] =
       ThreadLocal.withInitial { () =>
         val udf = resolveUdf(func)
-        (udf, udf.initialize(argTypes.map(oiFor).toArray))
+        val constVals = new Array[AnyRef](argTypes.length)
+        val ois = argTypes.zipWithIndex.map { case (t, i) =>
+          consts.lift(i).filter(_ != null) match {
+            case Some(v) =>
+              val coi = org.apache.hadoop.hive.serde2.objectinspector
+                .ObjectInspectorUtils.getConstantObjectInspector(constOi(v), v)
+              constVals(i) = coi.getWritableConstantValue
+              coi
+            case None => oiFor(t)
+          }
+        }.toArray
+        (udf, udf.initialize(ois), constVals)
       }
 
     def resultType: DataType = sparkType(local.get()._2)
 
     def call(args: Seq[AnyRef]): AnyRef = {
-      val (udf, outOI) = local.get()
+      val (udf, outOI, constVals) = local.get()
       val deferred: Array[GenericUDF.DeferredObject] =
-        args.map(a => new GenericUDF.DeferredJavaObject(toHive(a))
-          : GenericUDF.DeferredObject).toArray
+        args.zipWithIndex.map { case (a, i) =>
+          new GenericUDF.DeferredJavaObject(
+            if (constVals(i) != null) constVals(i) else toHive(a))
+            : GenericUDF.DeferredObject
+        }.toArray
       fromHive(udf.evaluate(deferred).asInstanceOf[AnyRef], outOI)
     }
   }
@@ -102,6 +175,162 @@ object HiveUdfs {
       JarUdfs.sigDigest(func +: elemTypes.map(_.catalogString))).toLowerCase
     JarUdfs.bindUdf(spark, udfName, a => bridge.call(a.head), dt, 1)
     call_udf(udfName, bag)
+  }
+
+  /** True partial aggregation for a HiveUDAF in a FOREACH-over-grouped:
+    * drives `GenericUDAFEvaluator`'s own PARTIAL1 / PARTIAL2 / FINAL
+    * modes through a Spark `Aggregator`, so the group's bag is never
+    * materialized and partials combine map-side before the shuffle —
+    * the same contract Hive's own map-side aggregation imposes (and a
+    * step past the reference, whose HiveUDAF adapter is COMPLETE-mode
+    * only). Returns None when the function doesn't resolve as an
+    * aggregate or a type doesn't bridge — the COMPLETE-mode bag path
+    * ([[udafColumn]]) is always correct and remains the fallback. */
+  def udafAggColumn(func: String, args: Seq[Column],
+                    argTypes: Seq[DataType]): Option[Column] = try {
+    val core = HiveUdafCore(func, argTypes)
+    val outType = core.resultType // plan-time init probe
+    val inSchema = StructType(argTypes.zipWithIndex.map {
+      case (t, i) => StructField(s"a$i", t)
+    })
+    val bufEnc = Encoders.kryo(classOf[ArrayBuffer[AnyRef]])
+    def mkAgg[OUT](outEnc: Encoder[OUT],
+                   coerce: AnyRef => OUT): Seq[Column] => Column = {
+      val agg = new Aggregator[Row, ArrayBuffer[AnyRef], OUT] {
+        def zero: ArrayBuffer[AnyRef] = ArrayBuffer.empty
+        def reduce(b: ArrayBuffer[AnyRef], in: Row): ArrayBuffer[AnyRef] = {
+          b += HiveRaw(in.toSeq.map(_.asInstanceOf[AnyRef]).toArray)
+          if (b.length >= HiveCompactAt) core.compact(b) else b
+        }
+        def merge(b1: ArrayBuffer[AnyRef],
+                  b2: ArrayBuffer[AnyRef]): ArrayBuffer[AnyRef] = {
+          b1 ++= b2
+          if (b1.length >= HiveCompactAt) core.compact(b1) else b1
+        }
+        def finish(b: ArrayBuffer[AnyRef]): OUT = coerce(core.fin(b))
+        def bufferEncoder: Encoder[ArrayBuffer[AnyRef]] = bufEnc
+        def outputEncoder: Encoder[OUT] = outEnc
+      }
+      val u = udaf(agg, Encoders.row(inSchema))
+      (cols: Seq[Column]) => u(cols: _*)
+    }
+    val fn = outType match {
+      case LongType => mkAgg[java.lang.Long](Encoders.LONG,
+        { case n: java.lang.Number => Long.box(n.longValue); case _ => null })
+      case IntegerType => mkAgg[java.lang.Integer](Encoders.INT,
+        { case n: java.lang.Number => Int.box(n.intValue); case _ => null })
+      case DoubleType => mkAgg[java.lang.Double](Encoders.DOUBLE,
+        { case n: java.lang.Number => Double.box(n.doubleValue)
+          case _ => null })
+      case FloatType => mkAgg[java.lang.Float](Encoders.FLOAT,
+        { case n: java.lang.Number => Float.box(n.floatValue); case _ => null })
+      case StringType => mkAgg[String](Encoders.STRING,
+        v => if (v == null) null else String.valueOf(v))
+      case BooleanType => mkAgg[java.lang.Boolean](Encoders.BOOLEAN,
+        { case b: java.lang.Boolean => b; case _ => null })
+      case other =>
+        // struct/array/map/decimal results ride a 1-field struct row
+        // and unwrap after the aggregate (same trick as AlgebraicAgg)
+        val wrap = StructType(Seq(StructField("v", other)))
+        val f = mkAgg[Row](Encoders.row(wrap),
+          v => Row(JarUdfs.coerce(v, other)))
+        (cols: Seq[Column]) => f(cols).getField("v")
+    }
+    Some(fn(args))
+  } catch { case _: Exception => None } // decline → bag path
+
+  /** Pending per-row argument values awaiting a PARTIAL1 compaction
+    * (kryo-encodable: plain Spark java values). */
+  private final case class HiveRaw(vals: Array[AnyRef])
+
+  /** Pending buffer entries before an in-buffer compaction — bounds the
+    * Aggregator buffer regardless of group size. */
+  private val HiveCompactAt = 4096
+
+  /** Serializable evaluator driver. Partials are stored in STANDARD
+    * JAVA form (writable-free, kryo-encodable); every mode init that
+    * consumes partials uses the matching standard-java inspector. */
+  private final case class HiveUdafCore(func: String,
+                                        argTypes: Seq[DataType]) {
+    import org.apache.hadoop.hive.ql.udf.generic.{
+      GenericUDAFEvaluator, GenericUDAFResolver2,
+      SimpleGenericUDAFParameterInfo}
+    import org.apache.hadoop.hive.serde2.objectinspector.ObjectInspectorUtils
+    import ObjectInspectorUtils.ObjectInspectorCopyOption
+
+    // (fresh-evaluator factory, input OIs, PARTIAL1 out OI,
+    //  standard-java partial OI, FINAL out OI)
+    @transient private lazy val local = ThreadLocal.withInitial { () =>
+      val info = org.apache.hadoop.hive.ql.exec.FunctionRegistry
+        .getFunctionInfo(func)
+      require(info != null, s"HiveUDAF: no Hive function named '$func'")
+      val resolver = info.getGenericUDAFResolver
+      require(resolver != null, s"HiveUDAF: '$func' is not an aggregate")
+      val inOIs = argTypes.map(oiFor).toArray
+      def fresh(): GenericUDAFEvaluator = resolver match {
+        case r2: GenericUDAFResolver2 => r2.getEvaluator(
+          new SimpleGenericUDAFParameterInfo(inOIs, false, false, false))
+        case r1 => r1.getEvaluator(inOIs.map(oi =>
+          org.apache.hadoop.hive.serde2.typeinfo.TypeInfoUtils
+            .getTypeInfoFromObjectInspector(oi)))
+      }
+      val partialOI = fresh().init(GenericUDAFEvaluator.Mode.PARTIAL1, inOIs)
+      val stdPartialOI = ObjectInspectorUtils.getStandardObjectInspector(
+        partialOI, ObjectInspectorCopyOption.JAVA)
+      val outOI = fresh().init(GenericUDAFEvaluator.Mode.FINAL,
+        Array(stdPartialOI))
+      (fresh _, inOIs, partialOI, stdPartialOI, outOI)
+    }
+
+    def resultType: DataType = sparkType(local.get()._5)
+
+    /** PARTIAL1 over pending raw rows, then PARTIAL2 over all pending
+      * partials → the buffer collapses to ONE standard-java partial. */
+    def compact(b: ArrayBuffer[AnyRef]): ArrayBuffer[AnyRef] = {
+      val one = combined(b.toSeq)
+      b.clear()
+      b += one
+    }
+
+    private def combined(entries: Seq[AnyRef]): AnyRef = {
+      val (mk, inOIs, partialOI, stdPartialOI, _) = local.get()
+      import GenericUDAFEvaluator.Mode
+      val parts = ArrayBuffer.empty[AnyRef]
+      val raws = ArrayBuffer.empty[Array[AnyRef]]
+      entries.foreach {
+        case HiveRaw(v) => raws += v
+        case p => parts += p
+      }
+      if (raws.nonEmpty) {
+        val ev = mk()
+        ev.init(Mode.PARTIAL1, inOIs)
+        val buf = ev.getNewAggregationBuffer; ev.reset(buf)
+        raws.foreach(r => ev.iterate(buf, r.map(toHive)))
+        parts += ObjectInspectorUtils.copyToStandardJavaObject(
+          ev.terminatePartial(buf), partialOI)
+      }
+      if (parts.length == 1) parts.head
+      else {
+        val ev = mk()
+        val oi = ev.init(Mode.PARTIAL2, Array(stdPartialOI))
+        val buf = ev.getNewAggregationBuffer; ev.reset(buf)
+        parts.foreach(p => ev.merge(buf, p))
+        ObjectInspectorUtils.copyToStandardJavaObject(
+          ev.terminatePartial(buf), oi)
+      }
+    }
+
+    /** FINAL merge over the buffer's entries → the Spark value. */
+    def fin(b: ArrayBuffer[AnyRef]): AnyRef = {
+      val st = local.get()
+      val (mk, stdPartialOI, outOI) = (st._1, st._4, st._5)
+      import GenericUDAFEvaluator.Mode
+      val ev = mk()
+      ev.init(Mode.FINAL, Array(stdPartialOI))
+      val buf = ev.getNewAggregationBuffer; ev.reset(buf)
+      if (b.nonEmpty) ev.merge(buf, combined(b.toSeq))
+      fromHive(ev.terminate(buf).asInstanceOf[AnyRef], outOI)
+    }
   }
 
   private final case class UdtfBridge(func: String,
@@ -205,6 +434,18 @@ object HiveUdfs {
         "aggregate/FLATTEN surfaces)")
       g
     }
+
+  /** OI for a parsed ctor constant, keyed by its Java class. */
+  private def constOi(v: Any): PrimitiveObjectInspector = v match {
+    case _: String            => POIF.javaStringObjectInspector
+    case _: java.lang.Integer => POIF.javaIntObjectInspector
+    case _: java.lang.Long    => POIF.javaLongObjectInspector
+    case _: java.lang.Double  => POIF.javaDoubleObjectInspector
+    case _: java.lang.Float   => POIF.javaFloatObjectInspector
+    case _: java.lang.Boolean => POIF.javaBooleanObjectInspector
+    case other => throw new IllegalArgumentException(
+      s"HiveUDF: unsupported constant ${other.getClass.getName}")
+  }
 
   /** Spark type → Java-object ObjectInspector (the values a Spark udf
     * receives are plain Java objects). */

@@ -27,15 +27,45 @@ import graft.functions.VectorExpressions.cosine_sim
   */
 object SemDedup {
 
+  /** Target rows per k-means cell under auto-k. Total pair work is
+    * probes² · n · cellSize / 2 — LINEAR in n once k scales as
+    * n / cellSize. A fixed k is quadratic in n (measured r12: 10×
+    * corpus → 38× wall time at k=8) — never ship a fixed k to a
+    * growing corpus. 256 reproduces the tuned sf0.1 behavior
+    * (2000 vectors → k=8) while holding cell size flat from there up.
+    *
+    * Recall trade (measured r12 on a derived 10× corpus): precision
+    * stays 1.0 by construction; recall against the exact twin at a
+    * LOW threshold (0.35 — "related", not "duplicate") drops as k
+    * grows (0.96 at k=8 → 0.42 at k=78, probes=3) because distant
+    * pairs straddle cells. This matches the published SemDeDup
+    * operating point: it dedups within clusters only (probes=1) at
+    * HIGH similarity thresholds, where near-duplicates are genuinely
+    * co-located. The recall levers, in preference order: raise the
+    * threshold to a dedup-grade one, raise `probes` (cost ∝ probes²),
+    * raise [[TargetCellSize]] (cost ∝ cellSize). */
+  val TargetCellSize = 256L
+
+  /** Resolve auto-k (k ≤ 0): one column-pruned count (parquet footers
+    * at scan time — negligible next to the pair search), clusters
+    * proportional to corpus size. */
+  private def effectiveK(emb: DataFrame, idCol: String, k: Int): Int =
+    if (k > 0) k
+    else math.max(8, (emb.select(idCol).count() / TargetCellSize).toInt)
+
   /** Near-duplicate pairs found within k-means cells. `probes` > 1 is the
     * multi-probe/soft-assignment variant: each vector participates in its
     * `probes` nearest cells, so pairs straddling a cell boundary are still
     * compared (replication factor `probes`, the standard recall lever).
+    * `k ≤ 0` (the default) auto-scales the cell count with the corpus —
+    * the published SemDeDup configuration — keeping per-cell work
+    * bounded; pass an explicit k only for fixed-size corpora.
     * Output: (id_a, id_b, cos_sim). */
   def withinCellPairs(emb: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, k: Int = 16,
+                      threshold: Double, k: Int = 0,
                       iters: Int = 3, probes: Int = 1): DataFrame = {
-    val model = Ivf.fit(emb, vecCol, k = k, iters = iters, idCol = idCol)
+    val kEff = effectiveK(emb, idCol, k)
+    val model = Ivf.fit(emb, vecCol, k = kEff, iters = iters, idCol = idCol)
     val assigned =
       if (probes <= 1 || model.centroids.isEmpty) model.assigned
       else {
@@ -48,7 +78,7 @@ object SemDedup {
         }
         emb.withColumn("cell",
             explode(slice(reverse(array_sort(array(sims: _*))), 1,
-              math.min(probes, k))))
+              math.min(probes, kEff))))
           .withColumn("cell", col("cell.cell"))
       }
     // `assigned` is deliberately NOT persisted for the two join sides:
@@ -82,7 +112,7 @@ object SemDedup {
   /** Full semantic dedup: keep one representative (min id) per connected
     * near-duplicate group. Output: (id, keep). */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, k: Int = 16,
+                    threshold: Double, k: Int = 0,
                     iters: Int = 3, probes: Int = 1): DataFrame = {
     val pairs = withinCellPairs(emb, idCol, vecCol, threshold, k, iters,
       probes)

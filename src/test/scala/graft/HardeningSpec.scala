@@ -357,6 +357,22 @@ class JarAggHardeningSpec extends SparkSpec {
     assert(got3 == want)
   }
 
+  test("HiveUDAF at 5M rows with a 4M-row group: PARTIAL1/merge/FINAL " +
+       "partial aggregation, exact results, no bag") {
+    import org.apache.spark.sql.functions._
+    val df = skewed(5_000_000L)
+    val aggCol = graft.functions.HiveUdfs.udafAggColumn(
+      "avg", Seq(col("v")), Seq(org.apache.spark.sql.types.LongType)).get
+    val rows = df.groupBy(col("k")).agg(aggCol.as("m"))
+    assert(!rows.queryExecution.executedPlan.toString.contains("collect_list"))
+    val got = rows.collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toMap
+    val want = df.groupBy(col("k")).agg(avg(col("v")).as("m")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toMap
+    // k ∈ {0} ∪ {multiples of 5 < 1000} → 200 groups
+    assert(got == want && got.size == 200)
+  }
+
   test("IteratingAccumulator at 5M rows with a 4M-row group: exec " +
        "streams through the bounded queue; Terminating early-exits") {
     val df = skewed(5_000_000L)

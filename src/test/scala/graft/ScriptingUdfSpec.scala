@@ -1553,6 +1553,40 @@ class ScriptingUdfSpec extends SparkSpec {
     assert(got == want) // Math.sin on both sides — bitwise equal
   }
 
+  test("HiveUDF constant-args ctor form: 'round' demands a constant " +
+       "scale (ConstantObjectInspector injection)") {
+    // Hive's GenericUDFRound throws at initialize() unless the scale
+    // position is a ConstantObjectInspector — the plain-OI form must
+    // fail, the '(null, 2)' ctor form must match native round(x, 2)
+    val plain = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        DEFINE hround HiveUDF('round');
+        o = LOAD '$dir/orders.parquet';
+        b = FOREACH o GENERATE hround(o_totalprice, 2) AS r;
+      """).apply("b").df.collect()
+    }
+    assert(plain.getMessage != null)
+    val runner = PigRunner(spark).run(s"""
+      DEFINE hround HiveUDF('round', '(null, 2)');
+      DEFINE hpad HiveUDF('lpad', '(null, 5, "0")');
+      o = LOAD '$dir/orders.parquet';
+      b = FOREACH o GENERATE o_orderkey, hround(o_totalprice, 2) AS r,
+            hpad(o_orderstatus, 5, '0') AS p;
+    """)
+    import org.apache.spark.sql.functions.{col, lpad, round}
+    val got = runner("b").df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2),
+        lpad(col("o_orderstatus"), 5, "0"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got.length == want.length && got.nonEmpty)
+    assert(got == want)
+  }
+
   test("HiveUDAF/HiveUDTF: 'avg' aggregates a grouped bag; 'explode' " +
        "emits one row per bag element under FLATTEN") {
     val runner = PigRunner(spark).run(s"""
@@ -1565,6 +1599,17 @@ class ScriptingUdfSpec extends SparkSpec {
       e = FOREACH e0 GENERATE FLATTEN(hexplode(b));
     """)
     import org.apache.spark.sql.functions.{avg, col}
+    // the HiveUDAF must fuse to true partial aggregation
+    // (GenericUDAFEvaluator PARTIAL1/merge/FINAL through an Aggregator):
+    // the plan carries partial+final aggregate nodes and NO bag
+    // materialization (collect_list) feeding the average
+    val planA = runner("a").df.queryExecution.executedPlan.toString
+    assert(!planA.contains("collect_list"),
+      s"HiveUDAF materialized the group bag:\n${planA.take(1500)}")
+    assert(planA.contains("ObjectHashAggregate") ||
+           planA.contains("SortAggregate") ||
+           planA.contains("HashAggregate"),
+      s"no aggregate node for HiveUDAF:\n${planA.take(1500)}")
     val gotA = runner("a").df.collect()
       .map(r => (r.getAs[Number](0).longValue,
         math.round(r.getDouble(1) * 1e6))).sorted.toSeq

@@ -1278,6 +1278,14 @@ object SparkEntry {
     // values from the generation rule. Exactness: a solid image's mean
     // is (c*n)/(n*255.0) — the same rational as c/255.0, so both sides'
     // correctly-rounded doubles agree bit-for-bit before round(…,6)
+    // ExactSubstr-style repeated n-gram signal (Lee et al. 2022): per
+    // doc, distinct word-5-grams + how many also occur in another doc.
+    // Spark shuffles xxhash64 gram hashes; the oracle uses raw gram
+    // strings — counts agree absent a 64-bit collision (~10⁻⁸ here)
+    "q100_repeated_ngrams" -> ((s, d) =>
+      graft.text.Dedup.repeatedNgramStats(
+        T(s, d, "documents").df, "doc_id", "text", n = 5)),
+
     "q99_ppm_decode" -> ((s, d) => {
       import s.implicits._
       val media = T(s, d, "documents").df.select(col("doc_id"))
@@ -2041,6 +2049,24 @@ object SparkEntry {
          FROM documents d JOIN orders o ON d.doc_id = o.o_orderkey""",
     // mirrors q99's PPM generation rule exactly (solid color → the mean
     // is the channel value; dims from the same modular arithmetic)
+    // same tokenization (collapse \s+ to single spaces), same 5-gram
+    // windows, same per-doc distinct; raw gram strings instead of the
+    // Spark side's xxhash64 (counts agree absent a hash collision)
+    "q100_repeated_ngrams" ->
+      """WITH words AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                               ' ') AS w
+           FROM documents),
+         grams AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+           FROM words, unnest(range(1, len(w) - 3)) AS t(i)
+           WHERE len(w) >= 5),
+         freq AS (SELECT g, count(*) AS nd FROM grams GROUP BY g)
+         SELECT doc_id, count(*) AS n_grams,
+                count(*) FILTER (WHERE nd > 1) AS n_dup_grams
+         FROM grams JOIN freq USING (g)
+         GROUP BY doc_id""",
     "q99_ppm_decode" ->
       """SELECT doc_id,
                 CAST(doc_id % 16 + 1 AS INT) AS width,

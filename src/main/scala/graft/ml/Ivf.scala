@@ -29,15 +29,25 @@ object Ivf {
   private def centroidSims(vec: Column, cents: Array[Seq[Float]]): Seq[Column] =
     cents.toIndexedSeq.map(c => cosine_sim(vec, typedlit(c)))
 
-  /** argmax cell id over the centroid similarity columns (codegen'd
-    * chain of comparisons — k is small by construction). */
-  private def nearestCell(vec: Column, cents: Array[Seq[Float]]): Column = {
-    val sims = centroidSims(vec, cents)
-    val best = sims.reduce((a, b) => greatest(a, b))
-    sims.zipWithIndex.foldRight(lit(0)) { case ((s, i), acc) =>
-      when(s === best, lit(i)).otherwise(acc)
+  /** argmax cell id over the centroids. Small k: a codegen'd chain of
+    * comparisons over per-centroid literal columns (fastest). Large k
+    * (auto-k corpora): ONE array literal + HOF argmax — a k-way
+    * comparison chain at thousands of cells would blow past janino's
+    * method-size limits. Both forms: first index wins ties; NaN/empty
+    * similarities fall back to cell 0. */
+  private def nearestCell(vec: Column, cents: Array[Seq[Float]]): Column =
+    if (cents.length <= 64) {
+      val sims = centroidSims(vec, cents)
+      val best = sims.reduce((a, b) => greatest(a, b))
+      sims.zipWithIndex.foldRight(lit(0)) { case ((s, i), acc) =>
+        when(s === best, lit(i)).otherwise(acc)
+      }
+    } else {
+      val simArr = transform(typedlit(cents.toIndexedSeq),
+        c => cosine_sim(vec, c))
+      val pos = array_position(simArr, array_max(simArr))
+      when(pos > 0, (pos - lit(1)).cast("int")).otherwise(lit(0))
     }
-  }
 
   /** Lloyd's k-means on a BOUNDED deterministic sample (the first
     * `sampleSize` vectors by id — a TakeOrdered, never a full sort),
@@ -53,8 +63,20 @@ object Ivf {
     * row-count-only default collected ~50M boxed floats. */
   private val fitSampleFloatBudget = 16 << 20
 
+  /** Target rows per cell under auto-k (`k ≤ 0` in [[fit]]). A probe
+    * reads nprobe cells in full, so per-query work is nprobe·cellSize —
+    * constant once k scales as n / cellSize. A FIXED k means cells grow
+    * with the corpus and every probe degrades linearly (the same
+    * fixed-k trap the r12 SemDedup measurement exposed); recall at
+    * fixed nprobe declines as k grows — raise nprobe (cost ∝ nprobe)
+    * or this target (cost ∝ cellSize) to buy it back. */
+  val TargetCellSize = 1024L
+
   def fit(emb: DataFrame, vecCol: String, k: Int, iters: Int,
           idCol: String = "vec_id", sampleSize: Int = 65536): Model = {
+    val kEff =
+      if (k > 0) k
+      else math.max(8, (emb.select(idCol).count() / TargetCellSize).toInt)
     // probe the dim from one row (LocalLimit(1) — stops as soon as a
     // usable row is found) so the sample row count scales DOWN with
     // dim: the driver holds at most ~fitSampleFloatBudget floats, as
@@ -67,7 +89,7 @@ object Ivf {
     if (dimProbe.isEmpty) // no usable vectors at all: one cell, no fit
       return Model(emb.withColumn("cell", lit(0)), Array.empty, idCol, vecCol)
     val probedDim = dimProbe(0).getInt(0)
-    val rows = math.max(k,
+    val rows = math.max(kEff,
       math.min(sampleSize, fitSampleFloatBudget / probedDim))
     // order by a HASH of the id, not the id: a raw-id prefix is a
     // biased sample whenever id order correlates with content (ids
@@ -78,7 +100,7 @@ object Ivf {
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(rows)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
-    var centroids: Array[Array[Float]] = sample.take(k)
+    var centroids: Array[Array[Float]] = sample.take(kEff)
     // degenerate corpus (rows of empty/null vectors): one cell
     if (centroids.isEmpty)
       return Model(emb.withColumn("cell", lit(0)), Array.empty, idCol, vecCol)
@@ -104,8 +126,8 @@ object Ivf {
       best
     }
     for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
       sample.foreach { v =>
         val c = assignOf(v, centroids)
         counts(c) += 1

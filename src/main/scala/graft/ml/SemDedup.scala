@@ -69,15 +69,15 @@ object SemDedup {
     val assigned =
       if (probes <= 1 || model.centroids.isEmpty) model.assigned
       else {
-        // p nearest cells by centroid cosine (k centroid literals →
-        // codegen'd sort of a k-element struct array, no extra scan)
-        val sims = model.centroids.toIndexedSeq.zipWithIndex.map {
-          case (c, i) =>
-            struct(cosine_sim(col(vecCol), typedlit(c)).as("s"),
-              lit(i).as("cell"))
-        }
+        // p nearest cells by centroid cosine: ONE array-of-centroids
+        // literal + an indexed transform (k struct literals would blow
+        // past janino method-size limits at auto-k cell counts), then a
+        // codegen'd sort of the k-element struct array — no extra scan
+        val sims = transform(typedlit(model.centroids.toIndexedSeq),
+          (c, i) => struct(cosine_sim(col(vecCol), c).as("s"),
+            i.cast("int").as("cell")))
         emb.withColumn("cell",
-            explode(slice(reverse(array_sort(array(sims: _*))), 1,
+            explode(slice(reverse(array_sort(sims)), 1,
               math.min(probes, kEff))))
           .withColumn("cell", col("cell.cell"))
       }

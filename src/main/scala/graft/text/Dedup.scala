@@ -597,4 +597,33 @@ object Dedup {
                        n: Int = 13): DataFrame =
     docs.join(contaminatedIds(docs, idCol, textCol, evalDf, evalTextCol, n),
       Seq(idCol), "left_anti")
+
+  /** ExactSubstr-style repeated n-gram statistics (the corpus-level
+    * repeated-span signal from Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): per document, the count of
+    * its DISTINCT word n-grams and how many of those occur in at least
+    * one OTHER document too — the inputs to span-level dedup policies
+    * (drop, trim, or downweight docs by dup fraction).
+    *
+    * Scale shape: the per-doc distinct happens inside the row
+    * (array_distinct over a codegen'd transform — no shuffle); the
+    * corpus then shuffles ONE 64-bit hash per distinct gram (never
+    * text) for the global frequency count, which joins back on the
+    * same key. Docs with fewer than n words carry no grams and are
+    * absent from the output, matching the SQL-oracle semantics. */
+  def repeatedNgramStats(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 5): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val gramHashes = array_distinct(
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+    val grams = docs
+      .where(size(toks) >= n)
+      .select(col(idCol).as("doc_id"), explode(gramHashes).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+    grams.join(counts, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("nd") > 1, 1)).as("n_dup_grams"))
+  }
 }

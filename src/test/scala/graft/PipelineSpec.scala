@@ -16,6 +16,32 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("repeatedNgramStats: hand-computed gram and dup-gram counts") {
+    val df = Seq(
+      // docs 1 and 2 share exactly one 5-gram ("a b c d e"); doc 3
+      // shares nothing; doc 4 is too short to carry a 5-gram
+      (1L, "a b c d e f"),      // grams: "a b c d e", "b c d e f"
+      (2L, "z a b c d e"),      // grams: "z a b c d", "a b c d e"
+      (3L, "p q r s t u"),      // grams: "p q r s t", "q r s t u"
+      (4L, "x y")               // no 5-gram
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedNgramStats(df, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)))
+  }
+
+  test("repeatedNgramStats: repeated gram inside ONE doc does not " +
+       "count as corpus-repeated") {
+    val df = Seq(
+      (1L, "a b c d e x a b c d e"), // "a b c d e" twice, same doc
+      (2L, "totally unrelated words here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedNgramStats(df, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got(1L) == 0L && got(2L) == 0L)
+  }
+
   test("minhash near-dup finds an exact duplicate pair") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -56,15 +56,44 @@ object BloomJoin {
                 small: DataFrame, smallKeys: Seq[Column],
                 expectedItems: Long = 1000000L,
                 fpp: Double = 0.03): DataFrame = {
-    val keyed = small.filter(smallKeys.map(_.isNotNull).reduce(_ && _))
-      .select(xxhash64(smallKeys: _*).as("__bloom_key"))
+    val smallNonNull = small.filter(smallKeys.map(_.isNotNull).reduce(_ && _))
+    val keyed = smallNonNull.select(xxhash64(smallKeys: _*).as("__bloom_key"))
     // an EMPTY build side would NPE inside stat.bloomFilter (the
     // aggregate yields null for zero rows) — and means no big row can
     // match the inner/semi join anyway
     if (keyed.isEmpty) big.filter(lit(false))
     else {
       val bf = keyed.stat.bloomFilter("__bloom_key", expectedItems, fpp)
-      big.filter(bigKeys.map(_.isNotNull).reduce(_ && _) &&
+      // Key-range envelope: min/max of each orderable build key become
+      // PLAIN comparison predicates on the big side. The bloom's
+      // mightContain evaluates after rows are read; a range predicate
+      // pushes into the parquet scan (PushedFilters) and SKIPS row
+      // groups whose stats fall outside — the index-seek analog for a
+      // sorted/clustered big side (POMergeSparseJoin's "read only
+      // matching right records"), and free extra pruning everywhere
+      // else. One tiny agg job on the (small) build side pays for it.
+      val orderable = smallNonNull.select(smallKeys: _*).schema.fields
+        .map { f =>
+          import org.apache.spark.sql.types._
+          f.dataType match {
+            case _: NumericType | StringType | DateType | TimestampType |
+                 BooleanType | BinaryType => true
+            case _ => false
+          }
+        }
+      val envKeys = bigKeys.zip(smallKeys).zip(orderable.toSeq)
+        .collect { case (pair, true) => pair }
+      val rangePred =
+        if (envKeys.isEmpty) lit(true)
+        else {
+          val aggs = envKeys.zipWithIndex.flatMap { case ((_, s), i) =>
+            Seq(min(s).as(s"__lo$i"), max(s).as(s"__hi$i")) }
+          val bounds = smallNonNull.agg(aggs.head, aggs.tail: _*).head()
+          envKeys.zipWithIndex.map { case ((b, _), i) =>
+            b >= lit(bounds.get(2 * i)) && b <= lit(bounds.get(2 * i + 1))
+          }.reduce(_ && _)
+        }
+      big.filter(bigKeys.map(_.isNotNull).reduce(_ && _) && rangePred &&
         mightContain(bf, bigKeys))
     }
   }

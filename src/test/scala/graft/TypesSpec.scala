@@ -106,6 +106,25 @@ class TypesSpec extends SparkSpec {
     assert(!plan.contains("UDF"), s"UDF on the probe side:\n$plan")
   }
 
+  test("bloom pre-filter pushes the build-key min/max envelope into " +
+       "the parquet scan (row-group skip — the merge-sparse seek analog)") {
+    val o = sf("orders")
+    // a NARROW build-key range: the envelope should reach PushedFilters
+    val c = sf("customer")
+      .filter($"c_custkey" >= 100 && $"c_custkey" <= 120)
+    val filtered = graft.operators.BloomJoin.preFilter(
+      o, Seq($"o_custkey"), c, Seq($"c_custkey"), expectedItems = 1000)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(o_custkey,") &&
+           plan.contains("LessThanOrEqual(o_custkey,"),
+      s"envelope not pushed to the scan:\n${plan.take(2000)}")
+    // and it is exactly the plain-join row set (envelope + bloom are
+    // both supersets of the true match set; the join stays exact)
+    val joined = filtered.join(c, $"o_custkey" === $"c_custkey").count()
+    val plain = o.join(c, $"o_custkey" === $"c_custkey").count()
+    assert(joined == plain && plain > 0)
+  }
+
   test("bloom join string keys equal plain join") {
     val o = sf("orders")
     val c = sf("customer").filter($"c_acctbal" > 5000)

@@ -74,9 +74,13 @@ object Ivf {
 
   def fit(emb: DataFrame, vecCol: String, k: Int, iters: Int,
           idCol: String = "vec_id", sampleSize: Int = 65536): Model = {
+    // auto-k is capped at sampleSize: a centroid count beyond the fit
+    // sample is meaningless (centroids seed FROM the sample) and the
+    // uncapped value would drive a kEff-row driver collect below
     val kEff =
       if (k > 0) k
-      else math.max(8, (emb.select(idCol).count() / TargetCellSize).toInt)
+      else math.min(sampleSize.toLong, math.max(8L,
+        emb.select(idCol).count() / TargetCellSize)).toInt
     // probe the dim from one row (LocalLimit(1) — stops as soon as a
     // usable row is found) so the sample row count scales DOWN with
     // dim: the driver holds at most ~fitSampleFloatBudget floats, as

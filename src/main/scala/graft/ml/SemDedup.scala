@@ -51,7 +51,12 @@ object SemDedup {
     * proportional to corpus size. */
   private def effectiveK(emb: DataFrame, idCol: String, k: Int): Int =
     if (k > 0) k
-    else math.max(8, (emb.select(idCol).count() / TargetCellSize).toInt)
+    else math.min(65536L, math.max(8L,
+      emb.select(idCol).count() / TargetCellSize)).toInt
+    // capped at Ivf.fit's sample budget: centroids beyond the fit
+    // sample are meaningless. Past the cap (≳16M vectors) cell size
+    // grows again — shard the corpus (per-source/per-shard dedup
+    // passes) or raise the fit sample; documented, not silent
 
   /** Near-duplicate pairs found within k-means cells. `probes` > 1 is the
     * multi-probe/soft-assignment variant: each vector participates in its

@@ -614,12 +614,19 @@ object Dedup {
   def repeatedNgramStats(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 5): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val gramHashes = array_distinct(
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+    // hash each token ONCE, then combine n token-hashes per gram as
+    // longs (hash-of-hashes): per-gram slice+concat_ws string building
+    // measured ~4× slower at corpus scale for identical distinct-count
+    // semantics (equal absent a 64-bit collision, same caveat as the
+    // oracle comparison)
+    val tokHashes = transform(toks, t => xxhash64(t))
     val grams = docs
       .where(size(toks) >= n)
-      .select(col(idCol).as("doc_id"), explode(gramHashes).as("g"))
+      .select(col(idCol).as("doc_id"), tokHashes.as("__th"))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("__th")) - (n - 1)),
+          i => xxhash64((0 until n).map(j =>
+            element_at(col("__th"), i + lit(j))): _*)))).as("g"))
     val counts = grams.groupBy("g").agg(count(lit(1)).as("nd"))
     grams.join(counts, "g")
       .groupBy("doc_id")

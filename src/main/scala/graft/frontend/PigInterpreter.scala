@@ -2717,6 +2717,21 @@ final class PigRunner(val spark: SparkSession) {
         }
       }
       case "TOKENIZE" => transform(Builtins.TOKENIZE(c0), t => struct(t.as("token")))
+      // ---- graft text-curation extensions (no reference analog): the
+      // LLM-pipeline scalar signals as script-callable functions, so a
+      // migrated Pig script can run curation without leaving Pig Latin.
+      // All are pure-Column codegen (text/TextAnalysis.scala).
+      case "LANGID"            => graft.text.TextAnalysis.langId(c0)
+      case "QUALITYSCORE"      => graft.text.TextAnalysis.qualityScore(c0)
+      case "TOKENCOUNT"        => graft.text.TextAnalysis.tokenCount(c0)
+      case "BPETOKENCOUNT"     => graft.text.TextAnalysis.bpeishTokenCount(c0)
+      case "FINGERPRINT"       => graft.text.TextAnalysis.fingerprint(c0)
+      case "ALPHARATIO"        => graft.text.TextAnalysis.alphaRatio(c0)
+      case "PUNCTRATIO"        => graft.text.TextAnalysis.punctRatio(c0)
+      case "STOPWORDRATIO"     => graft.text.TextAnalysis.stopwordRatio(c0)
+      case "MEANTOKENLENGTH"   => graft.text.TextAnalysis.meanTokenLength(c0)
+      case "DUPLINERATIO"      => graft.text.TextAnalysis.dupLineRatio(c0)
+      case "DUPLINECHARRATIO"  => graft.text.TextAnalysis.dupLineCharRatio(c0)
       case "SPRINTF" => format_string(asStr(args.head), args.tail.map(comp): _*)
       case "LCFIRST" => Builtins.LCFIRST(c0)
       case "UCFIRST" => Builtins.UCFIRST(c0)

@@ -1525,6 +1525,33 @@ class FrontendSpec extends SparkSpec {
     assert(exact.subsetOf(hits), s"false negatives: ${exact -- hits}")
     assert(hits.size <= exact.size + 3, s"too many false positives: $hits")
   }
+
+  test("graft text-curation extensions are script-callable " +
+       "(LANGID/QUALITYSCORE/TOKENCOUNT/FINGERPRINT…)") {
+    val r = PigRunner(spark).run(s"""
+      d = LOAD '$dir/documents.parquet';
+      s = FOREACH d GENERATE doc_id, LANGID(text) AS lang2,
+            QUALITYSCORE(text) AS q, TOKENCOUNT(text) AS tc,
+            BPETOKENCOUNT(text) AS btc, FINGERPRINT(text) AS fp,
+            ALPHARATIO(text) AS ar, STOPWORDRATIO(text) AS sw,
+            DUPLINERATIO(text) AS dl;
+      keep = FILTER s BY q > 0.0 AND tc > 0;
+    """)
+    val rows = r("keep").df.collect()
+    assert(rows.nonEmpty)
+    // spot-check against the Column-level implementations
+    import graft.text.TextAnalysis
+    val want = sf("documents").select($"doc_id",
+        TextAnalysis.langId($"text"), TextAnalysis.qualityScore($"text"),
+        TextAnalysis.tokenCount($"text"), TextAnalysis.fingerprint($"text"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getDouble(2), x.getLong(3), x.getLong(4))).toMap
+    rows.take(50).foreach { x =>
+      val (lang2, q, tc, fp) =
+        (x.getString(1), x.getDouble(2), x.getLong(3), x.getLong(5))
+      assert(want(x.getLong(0)) == ((lang2, q, tc, fp)))
+    }
+  }
 }
 
 /** Reflection target for the 5-arg Invoke test — Scala emits a static

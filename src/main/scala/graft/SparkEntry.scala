@@ -1278,6 +1278,14 @@ object SparkEntry {
     // values from the generation rule. Exactness: a solid image's mean
     // is (c*n)/(n*255.0) — the same rational as c/255.0, so both sides'
     // correctly-rounded doubles agree bit-for-bit before round(…,6)
+    // DSIR importance weights (Xie et al. 2023): log-ratio of target
+    // (lang='en') vs raw bigram distributions per doc — the data
+    // selection signal; resample ∝ exp(weight)
+    "q101_dsir_weights" -> ((s, d) =>
+      graft.text.LangModel.dsirWeights(
+        T(s, d, "documents").df, "doc_id", "text",
+        col("lang") === "en")),
+
     // ExactSubstr-style repeated n-gram signal (Lee et al. 2022): per
     // doc, distinct word-5-grams + how many also occur in another doc.
     // Spark shuffles xxhash64 gram hashes; the oracle uses raw gram
@@ -2049,6 +2057,32 @@ object SparkEntry {
          FROM documents d JOIN orders o ON d.doc_id = o.o_orderkey""",
     // mirrors q99's PPM generation rule exactly (solid color → the mean
     // is the channel value; dims from the same modular arithmetic)
+    // same lowercased tokenization, same bigram windows, same add-one
+    // smoothing over the joint vocabulary as LangModel.dsirWeights
+    "q101_dsir_weights" ->
+      """WITH w AS (
+           SELECT doc_id, (lang = 'en') AS t,
+                  string_split(regexp_replace(trim(lower(text)),
+                    '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, t, w[i] || ' ' || w[i+1] AS gram
+           FROM w, unnest(range(1, len(w))) AS r(i)
+           WHERE len(w) >= 2),
+         c AS (
+           SELECT gram, count(*)::DOUBLE AS cr,
+                  sum(CASE WHEN t THEN 1 ELSE 0 END)::DOUBLE AS ct
+           FROM g GROUP BY gram),
+         tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt,
+                        count(*)::DOUBLE AS v FROM c),
+         s AS (
+           SELECT doc_id, count(*) AS n_grams,
+                  round(sum(ln((ct + 1) / (tt + v))
+                          - ln((cr + 1) / (tr + v))), 6) AS dsir_weight
+           FROM g JOIN c USING (gram) CROSS JOIN tot
+           GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams, s.dsir_weight
+         FROM documents d LEFT JOIN s USING (doc_id)""",
     // same tokenization (collapse \s+ to single spaces), same 5-gram
     // windows, same per-doc distinct; raw gram strings instead of the
     // Spark side's xxhash64 (counts agree absent a hash collision)

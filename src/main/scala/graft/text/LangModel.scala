@@ -76,4 +76,48 @@ object LangModel {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
   }
+
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each document by
+    * Σ over its word bigrams of ln p_target(g) − ln p_raw(g), where both
+    * distributions are add-one-smoothed bigram counts — target over the
+    * `isTarget` slice, raw over the whole corpus. High weight = looks
+    * like the target distribution; resample ∝ exp(weight) for selection.
+    * This is the paper's model with the exact bigram vocabulary as the
+    * feature space (the paper buckets grams into 10k hash bins purely to
+    * bound model size for a RAM-resident fit; a count table is already
+    * distributed here, so exact vocabulary costs one extra shuffle key
+    * width and removes bucketing collisions).
+    *
+    * Shape at 100 TB: ONE gram-keyed partial-agg shuffle counts raw and
+    * target together (the target count is a conditional sum in the same
+    * aggregate — not a second pass), totals are a 1-row broadcast, and
+    * scoring joins the per-doc gram stream back on the same gram key.
+    * Output: (doc_id, n_grams, dsir_weight); docs with < 2 tokens get
+    * n_grams = 0 and a null weight. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("__t"),
+        toks(textCol).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("__t"), explode(bigrams(col("t"))).as("b"))
+      .select(col("doc_id"), col("__t"), col("b.gram").as("gram"))
+    val counts = grams.groupBy("gram").agg(
+      count(lit(1)).cast(DoubleType).as("cr"),
+      sum(when(col("__t"), 1L).otherwise(0L)).cast(DoubleType).as("ct"))
+    val tot = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+      count(lit(1)).cast(DoubleType).as("v"))
+    val scored = grams.join(counts, Seq("gram"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lw",
+        log((col("ct") + 1.0) / (col("tt") + col("v"))) -
+          log((col("cr") + 1.0) / (col("tr") + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("lw")), 6).as("dsir_weight"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"), col("dsir_weight"))
+  }
 }

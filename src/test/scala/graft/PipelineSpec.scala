@@ -42,6 +42,27 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L) == 0L && got(2L) == 0L)
   }
 
+  test("dsirWeights: target-like docs outweigh out-of-distribution " +
+       "docs; short docs get null") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", true),   // target
+      (2L, "the cat sat on a mat", false),    // target-like raw doc
+      (3L, "zqx wvu ponm lkj ihg fed", false),// alien raw doc
+      (4L, "hi", false)                        // < 2 tokens
+    ).toDF("doc_id", "text", "is_en")
+    val got = graft.text.LangModel
+      .dsirWeights(df, "doc_id", "text", col("is_en"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(got(4L) == ((0L, None)))
+    assert(got(1L)._1 == 5L && got(2L)._1 == 5L && got(3L)._1 == 5L)
+    val (w1, w2, w3) = (got(1L)._2.get, got(2L)._2.get, got(3L)._2.get)
+    // the target doc itself scores highest; the doc sharing its bigrams
+    // beats the alien one
+    assert(w1 > w2 && w2 > w3, s"ordering violated: $w1 $w2 $w3")
+  }
+
   test("minhash near-dup finds an exact duplicate pair") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -1278,6 +1278,14 @@ object SparkEntry {
     // values from the generation rule. Exactness: a solid image's mean
     // is (c*n)/(n*255.0) — the same rational as c/255.0, so both sides'
     // correctly-rounded doubles agree bit-for-bit before round(…,6)
+    // Gopher quality-rule battery (Rae et al. 2021 Table A1): the 7
+    // document-filter rules as flags + the conjunction, zero-shuffle
+    "q102_gopher_rules" -> ((s, d) =>
+      T(s, d, "documents").df
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.gopherFlags(col("text")).as("f"))
+        .select(col("doc_id"), col("f.*"))),
+
     // DSIR importance weights (Xie et al. 2023): log-ratio of target
     // (lang='en') vs raw bigram distributions per doc — the data
     // selection signal; resample ∝ exp(weight)
@@ -2057,6 +2065,62 @@ object SparkEntry {
          FROM documents d JOIN orders o ON d.doc_id = o.o_orderkey""",
     // mirrors q99's PPM generation rule exactly (solid color → the mean
     // is the channel value; dims from the same modular arithmetic)
+    // mirrors TextAnalysis.gopherFlags rule for rule (same tokenizer,
+    // same thresholds, same bullet/ellipsis regexes)
+    "q102_gopher_rules" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+                  list_filter(string_split(regexp_replace(trim(text),
+                      '\s+', ' ', 'g'), ' '), t -> len(t) > 0) AS toks,
+                  list_filter(string_split(text, chr(10)),
+                      l -> len(trim(l)) > 0) AS lines
+           FROM documents),
+         m AS (
+           SELECT doc_id, text, lines,
+                  len(toks) AS nw,
+                  CASE WHEN len(toks) > 0 THEN
+                    list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                      / len(toks) ELSE 0 END AS mwl,
+                  ((len(text) - len(replace(text, '#', '')))
+                   + (len(string_split_regex(text, '\.\.\.|…')) - 1)
+                  )::DOUBLE AS sym,
+                  list_filter(string_split(regexp_replace(trim(lower(text)),
+                      '\s+', ' ', 'g'), ' '), t -> len(t) > 0) AS lowtoks,
+                  len(list_filter(toks,
+                      t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE AS nalpha
+           FROM base)
+         SELECT doc_id,
+           (nw >= 50 AND nw <= 100000) AS word_count_ok,
+           (mwl >= 3.0 AND mwl <= 10.0) AS mean_word_len_ok,
+           CASE WHEN nw > 0 THEN sym / nw < 0.1 ELSE false END
+             AS symbol_ratio_ok,
+           (CASE WHEN len(lines) > 0 THEN
+              len(list_filter(lines, l -> regexp_matches(trim(l),
+                '^([•‣▪●\-\*])')))::DOUBLE / len(lines)
+            ELSE 0 END) < 0.9 AS bullet_lines_ok,
+           (CASE WHEN len(lines) > 0 THEN
+              len(list_filter(lines, l -> regexp_matches(trim(l),
+                '(\.\.\.|…)$')))::DOUBLE / len(lines)
+            ELSE 0 END) < 0.3 AS ellipsis_lines_ok,
+           (CASE WHEN nw > 0 THEN nalpha / nw ELSE 0 END) >= 0.8
+             AS alpha_words_ok,
+           len(list_filter(['the','be','to','of','and','that','have',
+             'with'], s -> list_contains(lowtoks, s))) >= 2 AS stopwords_ok,
+           (nw >= 50 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+             AND (CASE WHEN nw > 0 THEN sym / nw < 0.1 ELSE false END)
+             AND ((CASE WHEN len(lines) > 0 THEN
+                    len(list_filter(lines, l -> regexp_matches(trim(l),
+                      '^([•‣▪●\-\*])')))::DOUBLE / len(lines)
+                  ELSE 0 END) < 0.9)
+             AND ((CASE WHEN len(lines) > 0 THEN
+                    len(list_filter(lines, l -> regexp_matches(trim(l),
+                      '(\.\.\.|…)$')))::DOUBLE / len(lines)
+                  ELSE 0 END) < 0.3)
+             AND ((CASE WHEN nw > 0 THEN nalpha / nw ELSE 0 END) >= 0.8)
+             AND (len(list_filter(['the','be','to','of','and','that',
+                   'have','with'], s -> list_contains(lowtoks, s))) >= 2)
+             AS keep
+         FROM m""",
     // same lowercased tokenization, same bigram windows, same add-one
     // smoothing over the joint vocabulary as LangModel.dsirWeights
     "q101_dsir_weights" ->

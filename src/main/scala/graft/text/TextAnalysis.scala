@@ -73,6 +73,66 @@ object TextAnalysis {
     round((lenScore + alpha + stop) / 3.0, 6)
   }
 
+  /** Gopher quality-rule battery (Rae et al. 2021, Table A1) — the
+    * standard pre-training document filter, each rule as its own flag
+    * plus the conjunction. All pure-Column codegen, zero shuffle:
+    *
+    *   word_count_ok     50 ≤ words ≤ 100,000
+    *   mean_word_len_ok  3 ≤ mean word length ≤ 10
+    *   symbol_ratio_ok   (# of '#' or '…'/'...') / words < 0.1
+    *   bullet_lines_ok   < 90% of lines start with a bullet
+    *   ellipsis_lines_ok < 30% of lines end with an ellipsis
+    *   alpha_words_ok    ≥ 80% of words contain an alphabetic char
+    *   stopwords_ok      ≥ 2 distinct hits from Gopher's 8-stopword list
+    *
+    * (Bullet/ellipsis thresholds follow the paper: drop when ≥90% of
+    * lines are bullets or ≥30% end in ellipsis.) */
+  def gopherFlags(text: Column): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast(DoubleType)
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast(DoubleType)
+    val wordCountOk = size(toks) >= 50 && size(toks) <= 100000
+    val mwl = when(size(toks) > 0,
+      aggregate(toks, lit(0L), (a, t) => a + length(t))
+        .cast(DoubleType) / nWords).otherwise(lit(0.0))
+    val meanWordLenOk = mwl >= 3.0 && mwl <= 10.0
+    // symbol occurrences: '#' by removed-length, ellipses by split count
+    // (regexp-removal length ÷ pattern width is ambiguous across the
+    // 1-char '…' and 3-char '...' forms)
+    val symCount =
+      (length(text) - length(regexp_replace(text, "#", ""))).cast(DoubleType) +
+      (size(split(text, "\\.\\.\\.|\\u2026", -1)) - 1).cast(DoubleType)
+    val symbolRatioOk =
+      when(nWords > 0, symCount / nWords < 0.1).otherwise(lit(false))
+    val bulletFrac = when(nLines > 0,
+      size(filter(lines, l =>
+        trim(l).rlike("^([\\u2022\\u2023\\u25aa\\u25cf\\-\\*])")))
+        .cast(DoubleType) / nLines).otherwise(lit(0.0))
+    val ellipsisFrac = when(nLines > 0,
+      size(filter(lines, l =>
+        trim(l).rlike("(\\.\\.\\.|\\u2026)$"))).cast(DoubleType) / nLines)
+      .otherwise(lit(0.0))
+    val alphaFrac = when(nWords > 0,
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(DoubleType) / nWords)
+      .otherwise(lit(0.0))
+    val gopherStops =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val lowToks = tokens(lower(text))
+    val stopHits = size(filter(array(gopherStops.map(lit): _*),
+      s => array_contains(lowToks, s)))
+    val flags = Seq(
+      "word_count_ok" -> wordCountOk,
+      "mean_word_len_ok" -> meanWordLenOk,
+      "symbol_ratio_ok" -> symbolRatioOk,
+      "bullet_lines_ok" -> (bulletFrac < 0.9),
+      "ellipsis_lines_ok" -> (ellipsisFrac < 0.3),
+      "alpha_words_ok" -> (alphaFrac >= 0.8),
+      "stopwords_ok" -> (stopHits >= 2))
+    struct((flags.map { case (n, c) => c.as(n) } :+
+      flags.map(_._2).reduce(_ && _).as("keep")): _*)
+  }
+
   private val LangStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"),

@@ -42,6 +42,34 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L) == 0L && got(2L) == 0L)
   }
 
+  test("gopherFlags: each rule trips on its crafted violation") {
+    import graft.text.TextAnalysis.gopherFlags
+    val good = (("the quick brown fox jumps over the lazy dog and " +
+      "that dog would have stayed with all of the other dogs be ") * 5).trim
+    val df = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short to have fifty words"),       // word_count
+      (3L, good + " " + Seq.fill(60)("a").mkString(" ")), // mean_word_len < 3
+      (4L, good.split(" ").map(_ + " ###").mkString(" ")), // symbol ratio
+      (5L, (1 to 10).map(i => s"- bullet line $i with the words of and that have be to with").mkString("\n")), // bullets
+      (6L, (1 to 10).map(i => s"line number $i of the text that we have here goes on...").mkString("\n")), // ellipses
+      (7L, good.split(" ").map(t => t + " 12345").mkString(" ")), // alpha< 0.8
+      (8L, Seq.fill(60)("lorem ipsum dolor sit amet").mkString(" ")) // no gopher stopwords
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", gopherFlags($"text").as("f"))
+      .select($"doc_id", $"f.*").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("word_count_ok"))
+    assert(!got(3L).getAs[Boolean]("mean_word_len_ok"))
+    assert(!got(4L).getAs[Boolean]("symbol_ratio_ok"))
+    assert(!got(5L).getAs[Boolean]("bullet_lines_ok"))
+    assert(!got(6L).getAs[Boolean]("ellipsis_lines_ok"))
+    assert(!got(7L).getAs[Boolean]("alpha_words_ok"))
+    assert(!got(8L).getAs[Boolean]("stopwords_ok"))
+    (2L to 8L).foreach(i => assert(!got(i).getAs[Boolean]("keep"), s"doc $i"))
+  }
+
   test("dsirWeights: target-like docs outweigh out-of-distribution " +
        "docs; short docs get null") {
     val df = Seq(

@@ -161,4 +161,39 @@ class StreamingSpec extends SparkSpec {
     val n = spark.sql("SELECT sum(n) FROM filetwin").head().getLong(0)
     assert(n == sf("events").count())
   }
+
+  test("curation signals run unchanged on a stream (pure-Column ops: " +
+       "langId/quality/gopher/fingerprint at ingest)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.TextAnalysis
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (1L, "the quick brown fox jumps over the lazy dog and that is it"),
+      (2L, "der hund ist nicht mit der katze und das ist gut"),
+      (3L, ""))
+    val curated = input.toDF().toDF("doc_id", "text").select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.gopherFlags(col("text")).getField("keep").as("keep"))
+    runToMemory(curated, "curated_stream", "append")
+    val rows = spark.sql("SELECT * FROM curated_stream ORDER BY doc_id")
+      .collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(1) == "en" && rows(1).getString(1) == "de")
+    // batch twin: identical values row-for-row (operators are the same
+    // Column expressions, so streaming == batch by construction — this
+    // pins that no op silently requires a batch-only feature)
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and that is it"),
+      (2L, "der hund ist nicht mit der katze und das ist gut"),
+      (3L, "")).toDF("doc_id", "text").select(
+      col("doc_id"), TextAnalysis.langId(col("text")),
+      TextAnalysis.qualityScore(col("text")),
+      TextAnalysis.fingerprint(col("text")),
+      TextAnalysis.gopherFlags(col("text")).getField("keep"))
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
 }

@@ -26,8 +26,9 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory) {
+      // warm the UNPRUNED plan shape — the one the timed runs execute
       for ((_, fn) <- SparkEntry.benchQueries.toSeq.sortBy(_._1))
-        try fn(spark, warmDir).count()
+        try fn(spark, warmDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
       GraftSession.unpersistAll()
     }
@@ -52,11 +53,22 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val raw = queries.map { case (name, _) =>
       name -> scala.collection.mutable.ArrayBuffer.empty[Double] }.toMap
+    // Materialize the query's OWN physical plan (all output columns),
+    // not a count() over it: Catalyst prunes everything a count doesn't
+    // need — a docs-LEFT-JOIN-scores result with a unique right key
+    // count()s without computing a single score (measured r12: q101
+    // read 0.5 s at BOTH 5k and 50k docs because the join was
+    // eliminated), and pure projections count() as a scan row-count.
+    // toRdd.count() iterates the codegen'd UnsafeRows of the unpruned
+    // plan — full compute, no driver materialization. (New in r12 —
+    // totals are NOT comparable to pre-r12 artifacts; see BASELINE.md.)
+    def materialize(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     for (_ <- 1 to reps) {
       for ((name, fn) <- queries) {
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { materialize(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             failed += name

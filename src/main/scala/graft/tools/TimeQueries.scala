@@ -24,7 +24,10 @@ object TimeQueries {
     // benchQueries ⊇ queries — time the same form Bench times
     for (name <- names; r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.benchQueries(name)(spark, sfDir).count()
+      // same materialization policy as Bench: execute the query's own
+      // plan (all columns), never a prunable count() over it
+      val n = graft.SparkEntry.benchQueries(name)(spark, sfDir)
+        .queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       graft.GraftSession.unpersistAll()
       println(f"[time] $name%-24s run$r $dt%8.3f s  rows=$n")

@@ -261,11 +261,7 @@ object HiveUdfs {
     // (fresh-evaluator factory, input OIs, PARTIAL1 out OI,
     //  standard-java partial OI, FINAL out OI)
     @transient private lazy val local = ThreadLocal.withInitial { () =>
-      val info = org.apache.hadoop.hive.ql.exec.FunctionRegistry
-        .getFunctionInfo(func)
-      require(info != null, s"HiveUDAF: no Hive function named '$func'")
-      val resolver = info.getGenericUDAFResolver
-      require(resolver != null, s"HiveUDAF: '$func' is not an aggregate")
+      val resolver = resolveUdafResolver(func)
       val inOIs = argTypes.map(oiFor).toArray
       def fresh(): GenericUDAFEvaluator = resolver match {
         case r2: GenericUDAFResolver2 => r2.getEvaluator(
@@ -339,11 +335,7 @@ object HiveUdfs {
     @transient private lazy val local
         : ThreadLocal[(GenericUDTF, StructObjectInspector)] =
       ThreadLocal.withInitial { () =>
-        val info = org.apache.hadoop.hive.ql.exec.FunctionRegistry
-          .getFunctionInfo(func)
-        require(info != null, s"HiveUDTF: no Hive function named '$func'")
-        val udtf = info.getGenericUDTF
-        require(udtf != null, s"HiveUDTF: '$func' is not a UDTF")
+        val udtf = resolveUdtf(func)
         val argOI = ObjectInspectorFactory.getStandardStructObjectInspector(
           argTypes.indices.map(i => s"a$i").toList.asJava,
           argTypes.map(oiFor).toList.asJava)
@@ -372,11 +364,7 @@ object HiveUdfs {
     @transient private lazy val local
         : ThreadLocal[(GenericUDAFEvaluator, ObjectInspector)] =
       ThreadLocal.withInitial { () =>
-        val info = org.apache.hadoop.hive.ql.exec.FunctionRegistry
-          .getFunctionInfo(func)
-        require(info != null, s"HiveUDAF: no Hive function named '$func'")
-        val resolver = info.getGenericUDAFResolver
-        require(resolver != null, s"HiveUDAF: '$func' is not an aggregate")
+        val resolver = resolveUdafResolver(func)
         val ois = elemTypes.map(oiFor).toArray
         val ev = resolver match {
           case r2: GenericUDAFResolver2 => r2.getEvaluator(
@@ -411,6 +399,51 @@ object HiveUdfs {
       fromHive(ev.terminate(buf).asInstanceOf[AnyRef], outOI)
     }
   }
+
+  /** Registry name → GenericUDAFResolver; dotted name → user class
+    * (the reference's resolveFunc rule applies to all Hive UDF kinds).
+    * Old-style `UDAF` subclasses ride Hive's own GenericUDAFBridge. */
+  private[functions] def resolveUdafResolver(func: String)
+      : org.apache.hadoop.hive.ql.udf.generic.GenericUDAFResolver =
+    if (func.contains(".")) {
+      val c = Class.forName(func)
+      if (classOf[org.apache.hadoop.hive.ql.udf.generic.GenericUDAFResolver]
+          .isAssignableFrom(c))
+        c.getDeclaredConstructor().newInstance()
+          .asInstanceOf[org.apache.hadoop.hive.ql.udf.generic.GenericUDAFResolver]
+      else if (classOf[org.apache.hadoop.hive.ql.exec.UDAF]
+          .isAssignableFrom(c))
+        new org.apache.hadoop.hive.ql.udf.generic.GenericUDAFBridge(
+          c.getDeclaredConstructor().newInstance()
+            .asInstanceOf[org.apache.hadoop.hive.ql.exec.UDAF])
+      else throw new IllegalArgumentException(
+        s"HiveUDAF: $func is neither a UDAF nor a GenericUDAFResolver")
+    } else {
+      val info = org.apache.hadoop.hive.ql.exec.FunctionRegistry
+        .getFunctionInfo(func)
+      require(info != null, s"HiveUDAF: no Hive function named '$func'")
+      val resolver = info.getGenericUDAFResolver
+      require(resolver != null, s"HiveUDAF: '$func' is not an aggregate")
+      resolver
+    }
+
+  /** Registry name → GenericUDTF; dotted name → user class. */
+  private[functions] def resolveUdtf(func: String)
+      : org.apache.hadoop.hive.ql.udf.generic.GenericUDTF =
+    if (func.contains(".")) {
+      val c = Class.forName(func)
+      require(classOf[org.apache.hadoop.hive.ql.udf.generic.GenericUDTF]
+        .isAssignableFrom(c), s"HiveUDTF: $func is not a GenericUDTF")
+      c.getDeclaredConstructor().newInstance()
+        .asInstanceOf[org.apache.hadoop.hive.ql.udf.generic.GenericUDTF]
+    } else {
+      val info = org.apache.hadoop.hive.ql.exec.FunctionRegistry
+        .getFunctionInfo(func)
+      require(info != null, s"HiveUDTF: no Hive function named '$func'")
+      val udtf = info.getGenericUDTF
+      require(udtf != null, s"HiveUDTF: '$func' is not a UDTF")
+      udtf
+    }
 
   /** Registry name → GenericUDF ('sin' and 'upper' alike: FunctionInfo
     * wraps old-style UDFs in GenericUDFBridge); dotted → class. */

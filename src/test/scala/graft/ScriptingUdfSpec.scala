@@ -1628,6 +1628,32 @@ class ScriptingUdfSpec extends SparkSpec {
     assert(gotE == wantE)
   }
 
+  test("HiveUDAF/HiveUDTF dotted-class resolution (user-jar rule applies " +
+       "to all Hive UDF kinds)") {
+    val runner = PigRunner(spark).run(s"""
+      DEFINE havg HiveUDAF(
+        'org.apache.hadoop.hive.ql.udf.generic.GenericUDAFAverage');
+      DEFINE hexp HiveUDTF(
+        'org.apache.hadoop.hive.ql.udf.generic.GenericUDTFExplode');
+      o = LOAD '$dir/orders.parquet';
+      g = GROUP o BY o_custkey;
+      a = FOREACH g GENERATE group AS k, havg(o.o_totalprice) AS m;
+      e0 = FOREACH o GENERATE TOBAG(o_orderstatus) AS b;
+      e = FOREACH e0 GENERATE FLATTEN(hexp(b));
+    """)
+    import org.apache.spark.sql.functions.{avg, col}
+    val got = runner("a").df.collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        math.round(r.getDouble(1) * 1e6))).sorted.toSeq
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_custkey").agg(avg(col("o_totalprice"))).collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        math.round(r.getDouble(1) * 1e6))).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    assert(runner("e").df.count() ==
+      spark.read.parquet(s"$dir/orders.parquet").count())
+  }
+
   test("unknown dotted function still fails loudly") {
     val e = intercept[Exception] {
       PigRunner(spark).run(s"""

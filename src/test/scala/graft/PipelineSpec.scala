@@ -42,6 +42,55 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L) == 0L && got(2L) == 0L)
   }
 
+  test("end-to-end curation pipeline: gopher filter → exact dedup → " +
+       "near-dup drop → decontaminate → DSIR weight → token-budget pack") {
+    // the composition a real corpus run executes, over the sf0.01
+    // documents table — asserts each stage only ever REMOVES rows, the
+    // final stage emits packable sequences, and every op composes on
+    // the previous op's output schema without glue
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n0 = docs.count()
+    // 1. quality gate (keep docs passing a relaxed Gopher subset — the
+    //    synthetic corpus is short-doc-heavy, so use the rules that
+    //    apply at its sizes)
+    val f = graft.text.TextAnalysis.gopherFlags(col("text"))
+    val quality = docs.filter(f.getField("alpha_words_ok") &&
+      f.getField("bullet_lines_ok") && f.getField("ellipsis_lines_ok"))
+    val n1 = quality.count()
+    assert(n1 <= n0 && n1 > 0)
+    // 2. exact dedup (content hash, keep min id)
+    val exact = graft.text.Dedup.dropExactDups(quality, "text", "doc_id")
+    val n2 = exact.count()
+    assert(n2 <= n1 && n2 > 0)
+    // 3. near-dup drop (minhash pairs → CC → keep cluster min)
+    val pairs = graft.text.Dedup.minhashNearDupsByWords(exact,
+      "doc_id", "text", n = 3, numHashes = 64, numBands = 16,
+      threshold = 0.5)
+    val deduped = graft.text.Dedup.dropNearDups(exact, pairs, "doc_id")
+    val n3 = deduped.count()
+    assert(n3 <= n2 && n3 > 0)
+    // 4. decontaminate against a fake eval set drawn from the corpus
+    //    (50 docs) — those docs must drop themselves
+    val eval = docs.orderBy("doc_id").limit(50)
+      .select(col("text").as("eval_text"))
+    val clean = graft.text.Dedup.dropContaminated(deduped, "doc_id",
+      "text", eval, "eval_text", n = 8)
+    val n4 = clean.count()
+    assert(n4 <= n3)
+    // 5. DSIR weights stay computable on the survivors
+    val weighted = graft.text.LangModel.dsirWeights(clean, "doc_id",
+      "text", col("lang") === "en")
+    assert(weighted.count() == n4)
+    // 6. token-budget cap per source on the survivors
+    val packed = graft.text.Curation.tokenBudget(
+      clean, "source", "doc_id", "text", 2000L)
+    val n6 = packed.count()
+    assert(n6 <= n4 && n6 > 0)
+    info(s"pipeline: $n0 → $n1 (quality) → $n2 (exact) → $n3 (neardup) " +
+      s"→ $n4 (decontam) → $n6 (budget)")
+  }
+
   test("gopherFlags: each rule trips on its crafted violation") {
     import graft.text.TextAnalysis.gopherFlags
     val good = (("the quick brown fox jumps over the lazy dog and " +

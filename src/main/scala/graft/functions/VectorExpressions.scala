@@ -151,11 +151,127 @@ case class HyperplaneSignature(child: Expression, numPlanes: Int,
     copy(child = newChild)
 }
 
+/** Top-`probes` k-means cells of a vector by centroid cosine, as ONE
+  * primitive loop over a flattened centroid matrix. The HOF alternative
+  * (`transform` over k centroid literals + array_sort) evaluates k
+  * INTERPRETED cosine lambdas plus a k-element struct sort PER ROW —
+  * with auto-k (k ∝ corpus size) that made cell assignment the
+  * quadratic term of SemDedup/IVF (measured r12: 100× corpus → 155×
+  * wall, ~13 min of a 790 s q93 run in assignment alone). Here the
+  * matrix rides the expression as one reference object (one broadcast
+  * per task), centroid norms are precomputed once, and top-p selection
+  * is p passes over the sim array (p ≤ ~8).
+  *
+  * Order: descending similarity, ties by LOWER cell id; NaN sims are
+  * skipped; an unassignable vector (k = 0 or all-NaN) gets cell 0 —
+  * the same fallbacks as the small-k literal argmax chain. */
+case class NearestCells(child: Expression, centroids: Array[Array[Float]],
+                        probes: Int) extends UnaryExpression {
+  require(probes >= 1, s"probes must be >= 1, got $probes")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  // flattened row-major matrix + per-centroid squared norms, built once
+  @transient private lazy val packed: (Array[Float], Array[Double], Int) = {
+    val k = centroids.length
+    val dim = if (k == 0) 0 else centroids.map(_.length).max
+    val flat = new Array[Float](k * dim)
+    val norms = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val ct = centroids(c)
+      var i = 0; var nn = 0.0
+      while (i < ct.length) {
+        flat(c * dim + i) = ct(i)
+        nn += ct(i).toDouble * ct(i).toDouble
+        i += 1
+      }
+      norms(c) = nn
+      c += 1
+    }
+    (flat, norms, dim)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val (flat, norms, dim) = packed
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorExpressions.nearestCellsOf(
+        v.asInstanceOf[ArrayData].toFloatArray(), flat, norms, dim,
+        centroids.length, probes))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (flat, norms, dim) = packed
+    val flatRef = ctx.addReferenceObj("cellsFlat", flat, "float[]")
+    val normsRef = ctx.addReferenceObj("cellsNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          graft.functions.VectorExpressions.nearestCellsOf(
+            $a.toFloatArray(), $flatRef, $normsRef, $dim,
+            ${centroids.length}, $probes));
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.bridge
 
   def cosine_sim(a: Column, b: Column): Column =
     bridge.column(CosineSimilarity(bridge.expression(a), bridge.expression(b)))
+
+  /** Array of the `probes` nearest cell ids (descending cosine, ties →
+    * lower id) — the scale path for cell assignment at auto-k. */
+  def nearest_cells(vec: Column, centroids: Array[Seq[Float]],
+                    probes: Int): Column =
+    bridge.column(NearestCells(bridge.expression(vec),
+      centroids.map(_.toArray), probes))
+
+  /** Primitive-loop top-p cell selection (see [[NearestCells]]); also
+    * the driver-side twin for literal query vectors. */
+  def nearestCellsOf(x: Array[Float], flat: Array[Float],
+                     norms: Array[Double], dim: Int, k: Int,
+                     probes: Int): Array[Int] = {
+    if (k == 0) return Array(0)
+    var nx = 0.0
+    var i = 0
+    while (i < x.length) { nx += x(i).toDouble * x(i).toDouble; i += 1 }
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      val d = math.min(dim, x.length)
+      var j = 0
+      val base = c * dim
+      while (j < d) { dot += flat(base + j).toDouble * x(j).toDouble; j += 1 }
+      sims(c) =
+        if (nx == 0.0 || norms(c) == 0.0) 0.0
+        else dot / (math.sqrt(nx) * math.sqrt(norms(c)))
+      c += 1
+    }
+    val p = math.min(probes, k)
+    val out = new Array[Int](p)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < p) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var cc = 0
+      while (cc < k) {
+        if (!taken(cc) && sims(cc) > bestSim) { best = cc; bestSim = sims(cc) }
+        cc += 1
+      }
+      if (best < 0) { out(r) = 0 } // all remaining NaN: cell-0 fallback
+      else { out(r) = best; taken(best) = true }
+      r += 1
+    }
+    out
+  }
 
   def dot_product(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))

@@ -30,11 +30,13 @@ object Ivf {
     cents.toIndexedSeq.map(c => cosine_sim(vec, typedlit(c)))
 
   /** argmax cell id over the centroids. Small k: a codegen'd chain of
-    * comparisons over per-centroid literal columns (fastest). Large k
-    * (auto-k corpora): ONE array literal + HOF argmax — a k-way
-    * comparison chain at thousands of cells would blow past janino's
-    * method-size limits. Both forms: first index wins ties; NaN/empty
-    * similarities fall back to cell 0. */
+    * comparisons over per-centroid literal columns (fastest, and the
+    * plan shape PlanSpec pins). Large k (auto-k corpora): the native
+    * [[graft.functions.NearestCells]] expression — one primitive loop
+    * over the packed centroid matrix; a k-way comparison chain (or a
+    * k-lambda HOF) is quadratic-in-corpus once k ∝ n. Both forms:
+    * first index wins ties; NaN/empty similarities fall back to
+    * cell 0. */
   private def nearestCell(vec: Column, cents: Array[Seq[Float]]): Column =
     if (cents.length <= 64) {
       val sims = centroidSims(vec, cents)
@@ -43,10 +45,7 @@ object Ivf {
         when(s === best, lit(i)).otherwise(acc)
       }
     } else {
-      val simArr = transform(typedlit(cents.toIndexedSeq),
-        c => cosine_sim(vec, c))
-      val pos = array_position(simArr, array_max(simArr))
-      when(pos > 0, (pos - lit(1)).cast("int")).otherwise(lit(0))
+      graft.functions.VectorExpressions.nearest_cells(vec, cents, 1)(0)
     }
 
   /** Lloyd's k-means on a BOUNDED deterministic sample (the first
@@ -110,30 +109,28 @@ object Ivf {
       return Model(emb.withColumn("cell", lit(0)), Array.empty, idCol, vecCol)
     val dim = centroids(0).length
     // same metric + tiebreak + fallback as nearestCell: cosine, first
-    // index wins, and cell 0 when nothing compares (NaN components —
-    // the codegen argmax falls through to its lit(0) default there too)
-    def assignOf(v: Array[Float], cents: Array[Array[Float]]): Int = {
-      var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
-      while (c < cents.length) {
-        val ct = cents(c)
-        val d = math.min(math.min(dim, v.length), ct.length)
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < d) {
-          dot += v(i).toDouble * ct(i); na += v(i).toDouble * v(i)
-          nb += ct(i).toDouble * ct(i); i += 1
-        }
-        val s = if (na == 0.0 || nb == 0.0) 0.0
-                else dot / (math.sqrt(na) * math.sqrt(nb))
-        if (s > bestSim) { bestSim = s; best = c }
-        c += 1
-      }
-      best
-    }
+    // index wins, cell 0 when nothing compares (VectorExpressions
+    // .nearestCellsOf is the shared primitive implementation)
     for (_ <- 0 until iters) {
       val sums = Array.fill(kEff)(new Array[Double](dim))
       val counts = new Array[Long](kEff)
+      // packed-matrix assignment (same math as assignOf, one flat loop —
+      // the driver fit is O(sample × k × dim) per iter, which at auto-k
+      // cell counts deserves the primitive form too)
+      val k = centroids.length
+      val flat = new Array[Float](k * dim)
+      val norms = new Array[Double](k)
+      var c0 = 0
+      while (c0 < k) {
+        val ct = centroids(c0); var i = 0; var nn = 0.0
+        while (i < math.min(dim, ct.length)) {
+          flat(c0 * dim + i) = ct(i); nn += ct(i).toDouble * ct(i); i += 1
+        }
+        norms(c0) = nn; c0 += 1
+      }
       sample.foreach { v =>
-        val c = assignOf(v, centroids)
+        val c = graft.functions.VectorExpressions
+          .nearestCellsOf(v, flat, norms, dim, k, 1)(0)
         counts(c) += 1
         val d = math.min(dim, v.length)
         var i = 0; while (i < d) { sums(c)(i) += v(i); i += 1 }

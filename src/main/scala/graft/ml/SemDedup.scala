@@ -2,6 +2,7 @@ package graft.ml
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.functions.VectorExpressions.cosine_sim
 
 /** SemDeDup (Abbas et al., 2023) — semantic deduplication of a training
@@ -74,43 +75,124 @@ object SemDedup {
     val assigned =
       if (probes <= 1 || model.centroids.isEmpty) model.assigned
       else {
-        // p nearest cells by centroid cosine: ONE array-of-centroids
-        // literal + an indexed transform (k struct literals would blow
-        // past janino method-size limits at auto-k cell counts), then a
-        // codegen'd sort of the k-element struct array — no extra scan
-        val sims = transform(typedlit(model.centroids.toIndexedSeq),
-          (c, i) => struct(cosine_sim(col(vecCol), c).as("s"),
-            i.cast("int").as("cell")))
+        // p nearest cells via the native NearestCells expression (one
+        // primitive loop over the packed centroid matrix per row). The
+        // HOF alternative — k interpreted cosine lambdas + a k-struct
+        // sort per row — is quadratic in corpus size once k ∝ n
+        // (measured r12 at 100×: assignment dominated a 790 s run)
         emb.withColumn("cell",
-            explode(slice(reverse(array_sort(sims)), 1,
-              math.min(probes, kEff))))
-          .withColumn("cell", col("cell.cell"))
+          explode(graft.functions.VectorExpressions.nearest_cells(
+            col(vecCol), model.centroids, math.min(probes, kEff))))
       }
-    // `assigned` is deliberately NOT persisted for the two join sides:
-    // it is a deterministic narrow projection off the scan, so the two
-    // evaluations agree by construction, and at 100 TB re-running a
-    // codegen'd projection is far cheaper than caching the corpus
-    // (the same persist-economy reasoning as the 2-pass rank's
-    // shuffle-free regime).
-    val a = assigned.select(col(idCol).as("id_a"),
-      col(vecCol).as("va"), col("cell"))
-    val b = assigned.select(col(idCol).as("id_b"),
-      col(vecCol).as("vb"), col("cell"))
-    val matches = a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      // round-then-filter matches Similarity.exactCosinePairs, so the
-      // verdict twin is a strict superset and precision is exactly 1.0
-      .withColumn("cos_sim", round(cosine_sim(col("va"), col("vb")), 6))
-      .filter(col("cos_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos_sim"))
+    // In-cell pair search. For integral ids (the common case) a
+    // per-cell PRIMITIVE KERNEL: one shuffle clusters rows by cell,
+    // each cell buffers (bounded ≈ probes × TargetCellSize) and an
+    // i<j double loop emits ONLY matches — the self-join alternative
+    // materializes every CANDIDATE as a joined row carrying two
+    // vectors (measured r12 at 100× bench scale: ~230M candidates ≈
+    // 130 GB of row traffic, 385 s vs 55 s for this kernel). The
+    // cosine accumulates in index order with double precision —
+    // bit-identical to the codegen CosineSimilarity the exact twin
+    // uses, so round-then-filter keeps precision exactly 1.0.
+    val idIsIntegral = emb.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // kernel parallelism = cell count, so use it only past the same
+    // 64-cell mark where the auto-k regime starts (below it the join
+    // spreads candidate evaluation over every core and wins)
+    val matches =
+      if (idIsIntegral && kEff > 64) {
+        val sess = emb.sparkSession
+        import sess.implicits._
+        val th = threshold
+        val kept = assigned
+          .select(col("cell").cast(IntegerType).as("_1"),
+            col(idCol).cast(LongType).as("_2"),
+            col(vecCol).cast(ArrayType(FloatType)).as("_3"))
+          .as[(Int, Long, Array[Float])]
+          .repartition(col("_1"))
+          .sortWithinPartitions(col("_1"), col("_2"))
+          .mapPartitions { it =>
+            new Iterator[(Long, Long, Double)] {
+              private val buf = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Array[Float])]
+              private var curCell = Int.MinValue
+              private var out: Iterator[(Long, Long, Double)] = Iterator.empty
+              private def pairsOf(
+                  rows: IndexedSeq[(Long, Array[Float])]) = {
+                val res = scala.collection.mutable.ArrayBuffer
+                  .empty[(Long, Long, Double)]
+                var i = 0
+                while (i < rows.length) {
+                  val (ia, va) = rows(i)
+                  var j = i + 1
+                  while (j < rows.length) {
+                    val (ib, vb) = rows(j)
+                    val n = math.min(va.length, vb.length)
+                    var dot = 0.0; var nx = 0.0; var ny = 0.0; var p = 0
+                    while (p < n) {
+                      dot += va(p).toDouble * vb(p).toDouble
+                      nx += va(p).toDouble * va(p).toDouble
+                      ny += vb(p).toDouble * vb(p).toDouble
+                      p += 1
+                    }
+                    val c = if (nx == 0.0 || ny == 0.0) 0.0
+                            else dot / (math.sqrt(nx) * math.sqrt(ny))
+                    // pre-filter at threshold - 1ulp-slack; the exact
+                    // round-6 filter reapplies in Column land below
+                    if (c >= th - 1e-6)
+                      res += ((math.min(ia, ib), math.max(ia, ib), c))
+                    j += 1
+                  }
+                  i += 1
+                }
+                res.iterator
+              }
+              private def advance(): Unit = {
+                while (!out.hasNext && it.hasNext) {
+                  val (cell, id, v) = it.next()
+                  if (cell != curCell) {
+                    val done = buf.toIndexedSeq
+                    buf.clear()
+                    curCell = cell
+                    buf += ((id, v))
+                    if (done.length > 1) out = pairsOf(done)
+                  } else buf += ((id, v))
+                }
+                if (!out.hasNext && !it.hasNext && buf.length > 1) {
+                  out = pairsOf(buf.toIndexedSeq)
+                  buf.clear()
+                }
+              }
+              def hasNext: Boolean = { advance(); out.hasNext }
+              def next(): (Long, Long, Double) = { advance(); out.next() }
+            }
+          }
+          .toDF("id_a", "id_b", "cos_raw")
+        kept
+          .withColumn("cos_sim", round(col("cos_raw"), 6))
+          .filter(col("cos_sim") >= threshold)
+          .select(col("id_a"), col("id_b"), col("cos_sim"))
+      } else {
+        // arbitrary id types: the declarative self-join form
+        val a = assigned.select(col(idCol).as("id_a"),
+          col(vecCol).as("va"), col("cell"))
+        val b = assigned.select(col(idCol).as("id_b"),
+          col(vecCol).as("vb"), col("cell"))
+        a.join(b, Seq("cell"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos_sim", round(cosine_sim(col("va"), col("vb")), 6))
+          .filter(col("cos_sim") >= threshold)
+          .select(col("id_a"), col("id_b"), col("cos_sim"))
+      }
     // a pair sharing several probed cells appears once per shared cell —
     // dedup AFTER the threshold filter, so the shuffle sees only actual
     // matches (tiny next to the candidate set); probes=1 cannot
     // duplicate, so it skips the shuffle entirely. Measured alternative
     // (r10): a min-common-probed-cell guard before the cosine removes
     // this shuffle but costs an array_intersect per CANDIDATE row, which
-    // breaks whole-stage codegen and ran 1.6× slower — the replicated
-    // codegen'd cosine is cheaper than a per-row set operation.
+    // breaks whole-stage codegen and ran 1.6× slower.
     if (probes <= 1) matches else matches.distinct()
   }
 

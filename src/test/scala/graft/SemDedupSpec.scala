@@ -23,6 +23,55 @@ class SemDedupSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) >= 0.9))
   }
 
+  test("kernel pair search (k > 64) matches an independent driver " +
+       "computation exactly — ids, pairs, and rounded cosines") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val th = 0.35
+    val got = graft.ml.SemDedup.withinCellPairs(
+        docs, "vec_id", "embedding", threshold = th, k = 100, probes = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // independent reference: same deterministic fit, then driver-side
+    // probed-cell assignment + brute-force co-probed cosine
+    val model = graft.ml.Ivf.fit(docs, "embedding", k = 100, iters = 3)
+    val k = model.centroids.length
+    val dim = model.centroids.map(_.length).max
+    val flat = new Array[Float](k * dim)
+    val norms = new Array[Double](k)
+    for (c <- 0 until k; i <- model.centroids(c).indices) {
+      flat(c * dim + i) = model.centroids(c)(i)
+      norms(c) += model.centroids(c)(i).toDouble * model.centroids(c)(i)
+    }
+    val rows = docs.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cellsOf = rows.map { case (id, v) =>
+      id -> graft.functions.VectorExpressions
+        .nearestCellsOf(v, flat, norms, dim, k, 2).toSet
+    }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        dot += a(i).toDouble * b(i); nx += a(i).toDouble * a(i)
+        ny += b(i).toDouble * b(i); i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0
+      else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val want = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      (ia, va) = rows(i); (ib, vb) = rows(j)
+      if cellsOf(ia).intersect(cellsOf(ib)).nonEmpty
+      c = BigDecimal(cos(va, vb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= th
+    } yield (math.min(ia, ib), math.max(ia, ib), c)).toSet
+    assert(got == want,
+      s"kernel vs driver: only-got=${(got -- want).take(5)} " +
+        s"only-want=${(want -- got).take(5)}")
+    assert(want.nonEmpty)
+  }
+
   test("semanticDedup keeps the min-id representative per group") {
     val keep = graft.ml.SemDedup.semanticDedup(
       emb, "vec_id", "embedding", threshold = 0.9, k = 3, iters = 2)

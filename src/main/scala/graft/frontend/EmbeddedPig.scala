@@ -103,10 +103,19 @@ object EmbeddedPig {
         var in: java.io.BufferedReader = null
         while (sock == null) {
           val cand = server.accept()
+          // a connection that never sends its handshake line must not
+          // starve the legitimate shim client for the whole run: bound
+          // the wait, close, and keep accepting
+          cand.setSoTimeout(5000)
           val candIn = new java.io.BufferedReader(new java.io.InputStreamReader(
             cand.getInputStream, StandardCharsets.UTF_8))
-          if (candIn.readLine() == token) { sock = cand; in = candIn }
-          else cand.close()
+          val hello =
+            try candIn.readLine()
+            catch { case _: java.net.SocketTimeoutException => null }
+          if (hello == token) {
+            cand.setSoTimeout(0) // handshake done: requests block freely
+            sock = cand; in = candIn
+          } else cand.close()
         }
         val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
           sock.getOutputStream, StandardCharsets.UTF_8))

@@ -30,15 +30,25 @@ import org.apache.spark.sql.types._
   * thread-safe, the same per-thread contract the jar EvalFunc bridge
   * uses. The evaluate call itself is one virtual dispatch per row.
   *
-  * HiveUDTF emits into an array (FLATTEN lays it out) and HiveUDAF
-  * runs COMPLETE-mode over the grouped bag.
+  * HiveUDTF emits into an array (FLATTEN lays it out). HiveUDAF runs
+  * TRUE partial aggregation by default ([[udafAggColumn]]: the
+  * evaluator's own PARTIAL1/PARTIAL2/FINAL modes driven by a Spark
+  * `Aggregator`, no per-group bag ever materialized — a scale step
+  * past the reference's COMPLETE-mode adapter); the COMPLETE-mode
+  * bag form ([[udafColumn]]) remains the fallback when an evaluator
+  * rejects partial modes.
   *
   * The constant-args ctor form `HiveUDF('func', '(null, "x")')`
   * (HiveUDF.java's ConstantObjectInspectInfo) is supported: positions
   * with a non-null literal initialize() through a
   * ConstantObjectInspector — required by Hive UDFs that demand
-  * compile-time constants (round's scale, in_file's filename) — while
-  * the runtime call still passes every argument through.
+  * compile-time constants (round's scale, in_file's filename).
+  * At evaluate time the DECLARED CONSTANT wins at constant positions
+  * (hive-serde only builds writable constant OIs, and Hive itself
+  * constant-folds such positions before the row ever reaches the
+  * UDF); the reference's adapter instead re-sends the runtime value,
+  * which a well-formed constant-OI UDF never reads — see the Bridge
+  * comment at [[Bridge.call]].
   */
 object HiveUdfs {
 

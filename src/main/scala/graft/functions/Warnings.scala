@@ -128,4 +128,27 @@ object Warnings {
   def warnIf(result: Column, flag: Column, acc: LongAccumulator): Column =
     bridge.column(WarnIf(bridge.expression(result),
       bridge.expression(flag), acc))
+
+  // -------------------------------------------------------------------
+  // Driver-side advisory warnings — scale-cliff notices the library
+  // emits when a silent degradation threshold is crossed (e.g. the
+  // IVF/SemDedup auto-k cap). Printed as `[graft] WARN:` lines; a
+  // bounded recent-message ring keeps them observable to harnesses and
+  // specs without log scraping.
+  private val driverRing =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Emit a driver-side advisory warning (stderr + recent ring). */
+  def driverWarn(msg: String): Unit = {
+    driverRing.add(msg)
+    while (driverRing.size > 64) driverRing.poll()
+    System.err.println(s"[graft] WARN: $msg")
+  }
+
+  /** The most recent [[driverWarn]] messages, oldest first (≤ 64). */
+  def recentDriverWarnings: Seq[String] = {
+    val b = Seq.newBuilder[String]
+    driverRing.forEach(m => b += m)
+    b.result()
+  }
 }

@@ -71,15 +71,31 @@ object Ivf {
     * or this target (cost ∝ cellSize) to buy it back. */
   val TargetCellSize = 1024L
 
+  /** Auto-k for a corpus of `n` vectors, capped at the fit sample
+    * budget; warns through [[graft.functions.Warnings.driverWarn]]
+    * when the cap clamps (past it, per-probe work grows linearly with
+    * the corpus instead of staying constant). */
+  private[graft] def autoK(n: Long, sampleSize: Int): Int = {
+    val want = math.max(8L, n / TargetCellSize)
+    if (want > sampleSize.toLong)
+      graft.functions.Warnings.driverWarn(
+        s"ivf auto-k capped at fit sample budget $sampleSize (corpus of " +
+          s"$n vectors wants $want cells): per-probe work now grows with " +
+          "the corpus. Shard the corpus or raise the fit sampleSize and " +
+          "pass an explicit k.")
+    math.min(sampleSize.toLong, want).toInt
+  }
+
   def fit(emb: DataFrame, vecCol: String, k: Int, iters: Int,
           idCol: String = "vec_id", sampleSize: Int = 65536): Model = {
     // auto-k is capped at sampleSize: a centroid count beyond the fit
     // sample is meaningless (centroids seed FROM the sample) and the
-    // uncapped value would drive a kEff-row driver collect below
+    // uncapped value would drive a kEff-row driver collect below.
+    // Past the cap cell sizes grow with the corpus again — warn loudly
+    // rather than degrade silently (autoKCapped names the levers).
     val kEff =
       if (k > 0) k
-      else math.min(sampleSize.toLong, math.max(8L,
-        emb.select(idCol).count() / TargetCellSize)).toInt
+      else autoK(emb.select(idCol).count(), sampleSize)
     // probe the dim from one row (LocalLimit(1) — stops as soon as a
     // usable row is found) so the sample row count scales DOWN with
     // dim: the driver holds at most ~fitSampleFloatBudget floats, as
@@ -99,7 +115,12 @@ object Ivf {
     // assigned per source/crawl batch — the common case), and biased
     // centroids collapse out-of-prefix data into a few giant cells.
     // xxhash64 is deterministic, so fit stays reproducible.
+    // null/empty vectors are in-scope corpus rows (they just never
+    // pair) but carry no direction — keep them OUT of the fit sample:
+    // a null would NPE the driver collect and an empty row would
+    // contribute a zero centroid
     val sample: Array[Array[Float]] = emb
+      .where(size(col(vecCol)) > 0)
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(rows)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)

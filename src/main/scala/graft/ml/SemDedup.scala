@@ -1,8 +1,9 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.reflect.runtime.universe.TypeTag
 import graft.functions.VectorExpressions.cosine_sim
 
 /** SemDeDup (Abbas et al., 2023) — semantic deduplication of a training
@@ -47,17 +48,31 @@ object SemDedup {
     * raise [[TargetCellSize]] (cost ∝ cellSize). */
   val TargetCellSize = 256L
 
+  /** Auto-k cap = Ivf.fit's default sample budget: centroids beyond
+    * the fit sample are meaningless. Past the cap (≳16M vectors at
+    * [[TargetCellSize]]) cell size grows with the corpus again and the
+    * pair search degrades toward quadratic — [[autoK]] warns at
+    * runtime when that cliff is crossed. */
+  val KCap = 65536L
+
+  /** Clusters proportional to corpus size; warns loudly when the cap
+    * clamps the count (the silent-clamp trap: everything still runs,
+    * just increasingly slowly as cells grow). */
+  private[graft] def autoK(n: Long): Int = {
+    val want = math.max(8L, n / TargetCellSize)
+    if (want > KCap)
+      graft.functions.Warnings.driverWarn(
+        s"semdedup auto-k capped at $KCap (corpus of $n vectors wants " +
+          s"$want cells): per-cell pair work now grows with the corpus. " +
+          "Shard the corpus (per-source/per-shard dedup passes) or raise " +
+          "the Ivf fit sample budget and pass an explicit k.")
+    math.min(KCap, want).toInt
+  }
+
   /** Resolve auto-k (k ≤ 0): one column-pruned count (parquet footers
-    * at scan time — negligible next to the pair search), clusters
-    * proportional to corpus size. */
+    * at scan time — negligible next to the pair search). */
   private def effectiveK(emb: DataFrame, idCol: String, k: Int): Int =
-    if (k > 0) k
-    else math.min(65536L, math.max(8L,
-      emb.select(idCol).count() / TargetCellSize)).toInt
-    // capped at Ivf.fit's sample budget: centroids beyond the fit
-    // sample are meaningless. Past the cap (≳16M vectors) cell size
-    // grows again — shard the corpus (per-source/per-shard dedup
-    // passes) or raise the fit sample; documented, not silent
+    if (k > 0) k else autoK(emb.select(idCol).count())
 
   /** Near-duplicate pairs found within k-means cells. `probes` > 1 is the
     * multi-probe/soft-assignment variant: each vector participates in its
@@ -84,108 +99,42 @@ object SemDedup {
           explode(graft.functions.VectorExpressions.nearest_cells(
             col(vecCol), model.centroids, math.min(probes, kEff))))
       }
-    // In-cell pair search. For integral ids (the common case) a
-    // per-cell PRIMITIVE KERNEL: one shuffle clusters rows by cell,
-    // each cell buffers (bounded ≈ probes × TargetCellSize) and an
-    // i<j double loop emits ONLY matches — the self-join alternative
-    // materializes every CANDIDATE as a joined row carrying two
-    // vectors (measured r12 at 100× bench scale: ~230M candidates ≈
-    // 130 GB of row traffic, 385 s vs 55 s for this kernel). The
-    // cosine accumulates in index order with double precision —
-    // bit-identical to the codegen CosineSimilarity the exact twin
-    // uses, so round-then-filter keeps precision exactly 1.0.
-    val idIsIntegral = emb.schema(idCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
+    // Rows with a null id or null vector can never produce a pair
+    // (null propagates to a non-match on every path), and the kernel's
+    // primitive tuples must never see a null cell/id/vector — drop
+    // them BEFORE the pair search. Fit/assignment above are unchanged,
+    // so results on the surviving rows are identical either way.
+    val cleaned = assigned
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+    // In-cell pair search. For kernel-able id types (integral, string,
+    // binary — crawl-data UUIDs/URLs included) a per-cell PRIMITIVE
+    // KERNEL: one shuffle clusters rows by cell, each cell buffers
+    // (bounded ≈ probes × TargetCellSize) and an i<j double loop emits
+    // ONLY matches — the self-join alternative materializes every
+    // CANDIDATE as a joined row carrying two vectors (measured r12 at
+    // 100× bench scale: ~230M candidates ≈ 130 GB of row traffic,
+    // 385 s vs 55 s for this kernel).
+    //
     // kernel parallelism = cell count, so use it only past the same
     // 64-cell mark where the auto-k regime starts (below it the join
     // spreads candidate evaluation over every core and wins)
+    val idType = emb.schema(idCol).dataType
     val matches =
-      if (idIsIntegral && kEff > 64) {
-        val sess = emb.sparkSession
-        import sess.implicits._
-        val th = threshold
-        val kept = assigned
-          .select(col("cell").cast(IntegerType).as("_1"),
-            col(idCol).cast(LongType).as("_2"),
-            col(vecCol).cast(ArrayType(FloatType)).as("_3"))
-          .as[(Int, Long, Array[Float])]
-          .repartition(col("_1"))
-          .sortWithinPartitions(col("_1"), col("_2"))
-          .mapPartitions { it =>
-            new Iterator[(Long, Long, Double)] {
-              private val buf = scala.collection.mutable.ArrayBuffer
-                .empty[(Long, Array[Float])]
-              private var curCell = Int.MinValue
-              private var out: Iterator[(Long, Long, Double)] = Iterator.empty
-              private def pairsOf(
-                  rows: IndexedSeq[(Long, Array[Float])]) = {
-                val res = scala.collection.mutable.ArrayBuffer
-                  .empty[(Long, Long, Double)]
-                var i = 0
-                while (i < rows.length) {
-                  val (ia, va) = rows(i)
-                  var j = i + 1
-                  while (j < rows.length) {
-                    val (ib, vb) = rows(j)
-                    val n = math.min(va.length, vb.length)
-                    var dot = 0.0; var nx = 0.0; var ny = 0.0; var p = 0
-                    while (p < n) {
-                      dot += va(p).toDouble * vb(p).toDouble
-                      nx += va(p).toDouble * va(p).toDouble
-                      ny += vb(p).toDouble * vb(p).toDouble
-                      p += 1
-                    }
-                    val c = if (nx == 0.0 || ny == 0.0) 0.0
-                            else dot / (math.sqrt(nx) * math.sqrt(ny))
-                    // pre-filter at threshold - 1ulp-slack; the exact
-                    // round-6 filter reapplies in Column land below
-                    if (c >= th - 1e-6)
-                      res += ((math.min(ia, ib), math.max(ia, ib), c))
-                    j += 1
-                  }
-                  i += 1
-                }
-                res.iterator
-              }
-              private def advance(): Unit = {
-                while (!out.hasNext && it.hasNext) {
-                  val (cell, id, v) = it.next()
-                  if (cell != curCell) {
-                    val done = buf.toIndexedSeq
-                    buf.clear()
-                    curCell = cell
-                    buf += ((id, v))
-                    if (done.length > 1) out = pairsOf(done)
-                  } else buf += ((id, v))
-                }
-                if (!out.hasNext && !it.hasNext && buf.length > 1) {
-                  out = pairsOf(buf.toIndexedSeq)
-                  buf.clear()
-                }
-              }
-              def hasNext: Boolean = { advance(); out.hasNext }
-              def next(): (Long, Long, Double) = { advance(); out.next() }
-            }
-          }
-          .toDF("id_a", "id_b", "cos_raw")
-        kept
-          .withColumn("cos_sim", round(col("cos_raw"), 6))
-          .filter(col("cos_sim") >= threshold)
-          .select(col("id_a"), col("id_b"), col("cos_sim"))
-      } else {
-        // arbitrary id types: the declarative self-join form
-        val a = assigned.select(col(idCol).as("id_a"),
-          col(vecCol).as("va"), col("cell"))
-        val b = assigned.select(col(idCol).as("id_b"),
-          col(vecCol).as("vb"), col("cell"))
-        a.join(b, Seq("cell"))
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("cos_sim", round(cosine_sim(col("va"), col("vb")), 6))
-          .filter(col("cos_sim") >= threshold)
-          .select(col("id_a"), col("id_b"), col("cos_sim"))
-      }
+      if (kEff > 64) idType match {
+        case StringType =>
+          kernelPairs[String](cleaned, idCol, vecCol, StringType, threshold)
+        case BinaryType =>
+          kernelPairs[Array[Byte]](cleaned, idCol, vecCol, BinaryType,
+            threshold)
+        case ByteType | ShortType | IntegerType | LongType =>
+          // integral ids run the kernel as Long, then cast back so the
+          // OUTPUT id type always equals the input id type — the public
+          // contract must not depend on which path the corpus size picks
+          kernelPairs[Long](cleaned, idCol, vecCol, LongType, threshold)
+            .select(col("id_a").cast(idType).as("id_a"),
+              col("id_b").cast(idType).as("id_b"), col("cos_sim"))
+        case _ => joinPairs(cleaned, idCol, vecCol, threshold)
+      } else joinPairs(cleaned, idCol, vecCol, threshold)
     // a pair sharing several probed cells appears once per shared cell —
     // dedup AFTER the threshold filter, so the shuffle sees only actual
     // matches (tiny next to the candidate set); probes=1 cannot
@@ -194,6 +143,112 @@ object SemDedup {
     // this shuffle but costs an array_intersect per CANDIDATE row, which
     // breaks whole-stage codegen and ran 1.6× slower.
     if (probes <= 1) matches else matches.distinct()
+  }
+
+  /** The per-cell primitive pair kernel, generic in the id type `I`
+    * (Long for integral ids, String, Array[Byte] for binary — UUID or
+    * URL ids carry through the kernel tuples untouched, no surrogate
+    * mapping or extra join). The kernel emits candidate-order pairs;
+    * canonical ordering (id_a < id_b) is applied DECLARATIVELY with
+    * least/greatest afterwards, so the comparison semantics for every
+    * id type are exactly the join path's (Spark's native ordering),
+    * and equal-id degenerate pairs are dropped the same way. The
+    * cosine accumulates in index order with double precision —
+    * bit-identical to the codegen CosineSimilarity the exact twin
+    * uses, so round-then-filter keeps precision exactly 1.0. */
+  private def kernelPairs[I: TypeTag](assigned: DataFrame, idCol: String,
+      vecCol: String, idSqlType: DataType, threshold: Double): DataFrame = {
+    implicit val encIn: Encoder[(Int, I, Array[Float])] =
+      Encoders.product[(Int, I, Array[Float])]
+    implicit val encOut: Encoder[(I, I, Double)] =
+      Encoders.product[(I, I, Double)]
+    val th = threshold
+    val raw = assigned
+      .select(col("cell").cast(IntegerType).as("_1"),
+        col(idCol).cast(idSqlType).as("_2"),
+        col(vecCol).cast(ArrayType(FloatType)).as("_3"))
+      .as[(Int, I, Array[Float])]
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"))
+      .mapPartitions { it =>
+        new Iterator[(I, I, Double)] {
+          private val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(I, Array[Float])]
+          private var curCell = Int.MinValue
+          private var started = false
+          private var out: Iterator[(I, I, Double)] = Iterator.empty
+          private def pairsOf(
+              rows: IndexedSeq[(I, Array[Float])]) = {
+            val res = scala.collection.mutable.ArrayBuffer
+              .empty[(I, I, Double)]
+            var i = 0
+            while (i < rows.length) {
+              val (ia, va) = rows(i)
+              var j = i + 1
+              while (j < rows.length) {
+                val (ib, vb) = rows(j)
+                val n = math.min(va.length, vb.length)
+                var dot = 0.0; var nx = 0.0; var ny = 0.0; var p = 0
+                while (p < n) {
+                  dot += va(p).toDouble * vb(p).toDouble
+                  nx += va(p).toDouble * va(p).toDouble
+                  ny += vb(p).toDouble * vb(p).toDouble
+                  p += 1
+                }
+                val c = if (nx == 0.0 || ny == 0.0) 0.0
+                        else dot / (math.sqrt(nx) * math.sqrt(ny))
+                // pre-filter at threshold - 1ulp-slack; the exact
+                // round-6 filter reapplies in Column land below
+                if (c >= th - 1e-6) res += ((ia, ib, c))
+                j += 1
+              }
+              i += 1
+            }
+            res.iterator
+          }
+          private def advance(): Unit = {
+            while (!out.hasNext && it.hasNext) {
+              val (cell, id, v) = it.next()
+              if (!started || cell != curCell) {
+                val done = buf.toIndexedSeq
+                buf.clear()
+                curCell = cell
+                started = true
+                buf += ((id, v))
+                if (done.length > 1) out = pairsOf(done)
+              } else buf += ((id, v))
+            }
+            if (!out.hasNext && !it.hasNext && buf.length > 1) {
+              out = pairsOf(buf.toIndexedSeq)
+              buf.clear()
+            }
+          }
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): (I, I, Double) = { advance(); out.next() }
+        }
+      }
+      .toDF("a", "b", "cos_raw")
+    raw
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+      .filter(col("id_a") < col("id_b") && col("cos_sim") >= threshold)
+  }
+
+  /** The declarative same-cell self-join pair search — arbitrary id
+    * types and the small-k regime (below ~64 cells the join spreads
+    * candidate evaluation over every core and beats the kernel). */
+  private def joinPairs(assigned: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val a = assigned.select(col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("cell"))
+    val b = assigned.select(col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine_sim(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
   /** Full semantic dedup: keep one representative (min id) per connected

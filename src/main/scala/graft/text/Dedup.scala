@@ -666,13 +666,18 @@ object Dedup {
     // semantics (equal absent a 64-bit collision, same caveat as the
     // oracle comparison)
     val tokHashes = transform(toks, t => xxhash64(t))
-    val grams = docs
+    // the gram stream feeds BOTH the global frequency count and the
+    // join-back — persist it so the corpus is scanned (and the
+    // token-hash transform computed) ONCE, not once per consumer; at
+    // 100 TB the second consumer otherwise costs a full extra corpus
+    // pass (the minhashNearDupsByWords pattern above)
+    val grams = graft.GraftSession.trackPersist(docs
       .where(size(toks) >= n)
       .select(col(idCol).as("doc_id"), tokHashes.as("__th"))
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("__th")) - (n - 1)),
           i => xxhash64((0 until n).map(j =>
-            element_at(col("__th"), i + lit(j))): _*)))).as("g"))
+            element_at(col("__th"), i + lit(j))): _*)))).as("g")))
     val counts = grams.groupBy("g").agg(count(lit(1)).as("nd"))
     grams.join(counts, "g")
       .groupBy("doc_id")

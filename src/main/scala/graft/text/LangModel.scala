@@ -97,12 +97,17 @@ object LangModel {
     * n_grams = 0 and a null weight. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: org.apache.spark.sql.Column): DataFrame = {
-    val grams = docs
+    // the gram stream feeds BOTH the count aggregate and the scoring
+    // join-back — persist it so the corpus is scanned (and the
+    // tokenize+bigram transform computed) ONCE, not once per consumer;
+    // at 100 TB the second consumer otherwise costs a full extra
+    // corpus pass (the minhashNearDupsByWords pattern in Dedup)
+    val grams = graft.GraftSession.trackPersist(docs
       .select(col(idCol).as("doc_id"), isTarget.as("__t"),
         toks(textCol).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("__t"), explode(bigrams(col("t"))).as("b"))
-      .select(col("doc_id"), col("__t"), col("b.gram").as("gram"))
+      .select(col("doc_id"), col("__t"), col("b.gram").as("gram")))
     val counts = grams.groupBy("gram").agg(
       count(lit(1)).cast(DoubleType).as("cr"),
       sum(when(col("__t"), 1L).otherwise(0L)).cast(DoubleType).as("ct"))

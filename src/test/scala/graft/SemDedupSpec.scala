@@ -102,6 +102,111 @@ class SemDedupSpec extends SparkSpec {
       Seq("id_a", "id_b"), "left_anti").count() == 0)
   }
 
+  test("kernel path on STRING ids — exact pair-and-cosine equality " +
+       "with the driver twin, and the kernel (not the join) engages") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(format_string("d%08d", col("vec_id")).as("vec_id"),
+        col("embedding"))
+    val th = 0.35
+    val pairsDf = graft.ml.SemDedup.withinCellPairs(
+      docs, "vec_id", "embedding", threshold = th, k = 100, probes = 2)
+    // the string-id corpus must take the primitive kernel, not the
+    // self-join fallback the r12 builder measured 7× slower at 100×
+    val plan = pairsDf.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), s"kernel did not engage:\n$plan")
+    assert(pairsDf.schema("id_a").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val got = pairsDf.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    // independent driver twin: same deterministic fit, driver-side
+    // probed-cell assignment + brute-force co-probed cosine, pairs
+    // ordered by STRING comparison
+    val model = graft.ml.Ivf.fit(docs, "embedding", k = 100, iters = 3)
+    val k = model.centroids.length
+    val dim = model.centroids.map(_.length).max
+    val flat = new Array[Float](k * dim)
+    val norms = new Array[Double](k)
+    for (c <- 0 until k; i <- model.centroids(c).indices) {
+      flat(c * dim + i) = model.centroids(c)(i)
+      norms(c) += model.centroids(c)(i).toDouble * model.centroids(c)(i)
+    }
+    val rows = docs.select("vec_id", "embedding").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+    val cellsOf = rows.map { case (id, v) =>
+      id -> graft.functions.VectorExpressions
+        .nearestCellsOf(v, flat, norms, dim, k, 2).toSet
+    }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        dot += a(i).toDouble * b(i); nx += a(i).toDouble * a(i)
+        ny += b(i).toDouble * b(i); i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0
+      else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val want = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      (ia, va) = rows(i); (ib, vb) = rows(j)
+      if cellsOf(ia).intersect(cellsOf(ib)).nonEmpty
+      c = BigDecimal(cos(va, vb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= th
+    } yield if (ia < ib) (ia, ib, c) else (ib, ia, c)).toSet
+    assert(got == want,
+      s"kernel vs driver: only-got=${(got -- want).take(5)} " +
+        s"only-want=${(want -- got).take(5)}")
+    assert(want.nonEmpty)
+  }
+
+  test("kernel output id type equals input id type (int stays int)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").cast("int").as("vec_id"), col("embedding"))
+    val pairs = graft.ml.SemDedup.withinCellPairs(
+      docs, "vec_id", "embedding", threshold = 0.35, k = 100, probes = 2)
+    // schema contract: the path the corpus size picks (kernel here,
+    // join below 64 cells) must not leak into the result type
+    assert(pairs.schema("id_a").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(pairs.schema("id_b").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(pairs.count() > 0)
+  }
+
+  test("null ids and null/empty vectors survive the kernel path " +
+       "and never pair") {
+    val base: Seq[(Option[Long], Option[Seq[Float]])] = Seq(
+      (Some(0L), Some(Seq(1.0f, 0.0f))),
+      (Some(1L), Some(Seq(0.99f, 0.01f))),
+      (None, Some(Seq(1.0f, 0.0f))),          // null id
+      (Some(3L), None),                        // null vector
+      (Some(4L), Some(Seq.empty[Float])))      // empty vector
+    val df = base.toDF("vec_id", "embedding")
+    // k=100 forces the kernel path (kEff > 64)
+    val pairs = graft.ml.SemDedup.withinCellPairs(
+      df, "vec_id", "embedding", threshold = 0.9, k = 100, probes = 2)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 1L)))
+  }
+
+  test("auto-k cap warns loudly instead of degrading silently") {
+    val before = graft.functions.Warnings.recentDriverWarnings.size
+    // SemDedup cap: 65536 cells × 256/cell ≈ 16.8M vectors
+    assert(graft.ml.SemDedup.autoK(40L * 1000 * 1000) == 65536)
+    // Ivf cap: the fit sample budget
+    assert(graft.ml.Ivf.autoK(40L * 1000 * 1000, 1024) == 1024)
+    val msgs = graft.functions.Warnings.recentDriverWarnings.drop(before)
+    assert(msgs.exists(m => m.contains("semdedup auto-k capped") &&
+      m.contains("Shard")))
+    assert(msgs.exists(m => m.contains("ivf auto-k capped") &&
+      m.contains("sampleSize")))
+    // below the cap: silent
+    assert(graft.ml.SemDedup.autoK(1000L) == 8)
+    assert(graft.functions.Warnings.recentDriverWarnings.size == before + 2)
+  }
+
   test("probe pins: empty corpus, zero vectors, probes > k") {
     val none = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(graft.ml.SemDedup.withinCellPairs(

@@ -38,7 +38,12 @@ object GraftSession {
     // (§4.1 PushDownForEachFlatten analog).
     spark.experimental.extraOptimizations =
       Seq(graft.plans.FuseBagSizeToCount, graft.plans.PruneJsonMapKeys,
-          graft.plans.PushFlattenPastJoin)
+          graft.plans.PushFlattenPastJoin, graft.plans.ExtractBatchPyUdfs)
+    // Batched python-UDF evaluation (§2.7 scale path): the rule above
+    // extracts graft_py_* calls into BatchPyEvalNode; this strategy
+    // plans it (one wire round-trip per batch instead of per row).
+    spark.experimental.extraStrategies =
+      Seq(graft.plans.BatchPyEvalStrategy)
     spark
   }
 

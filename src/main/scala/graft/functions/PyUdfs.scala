@@ -48,6 +48,23 @@ object PyUdfs {
 
   private val bound = TrieMap.empty[String, Unit]
 
+  /** Session-registered udf name → function record. The batch-eval
+    * planner rule ([[graft.plans.BatchPyEval]]) uses this to recognize
+    * a `graft_py_*` ScalaUDF in a plan and drive the batched wire
+    * protocol for it directly. */
+  private val specs = TrieMap.empty[String, PyFn]
+
+  /** The function record behind a registered `graft_py_*` udf name. */
+  def specFor(udfName: String): Option[PyFn] = specs.get(udfName.toLowerCase)
+
+  /** Evaluate a whole batch of rows' EXTERNAL-typed argument tuples in
+    * one wire round-trip; returns external-typed results (same
+    * conversion surface as the scalar udf closure). */
+  def callBatch(rec: PyFn, argsBatch: Seq[Seq[AnyRef]]): Seq[AnyRef] =
+    Pool.procFor(rec.source)
+      .callBatch(rec.fn, argsBatch.map(_.map(toJson)))
+      .map(fromJson(_, rec.dataType))
+
   private val decoratorRe =
     """^\s*@\s*outputSchema\s*\(\s*(['"])(.*?)\1\s*\)""".r
   private val defRe = """^\s*def\s+(\w+)\s*\(""".r
@@ -204,10 +221,22 @@ object PyUdfs {
       |        break
       |    try:
       |        _req = json.loads(_line)
-      |        _r = _g[_req["f"]](*_req["a"])
-      |        if isinstance(_r, tuple):
-      |            _r = list(_r)
-      |        _resp = json.dumps({"r": _r})
+      |        _fn = _g[_req["f"]]
+      |        if "b" in _req:
+      |            # batched form: one request carries N rows' argument
+      |            # tuples, one response carries N results
+      |            _rs = []
+      |            for _a in _req["b"]:
+      |                _r = _fn(*_a)
+      |                if isinstance(_r, tuple):
+      |                    _r = list(_r)
+      |                _rs.append(_r)
+      |            _resp = json.dumps({"r": _rs})
+      |        else:
+      |            _r = _fn(*_req["a"])
+      |            if isinstance(_r, tuple):
+      |                _r = list(_r)
+      |            _resp = json.dumps({"r": _r})
       |    except Exception:
       |        _resp = json.dumps({"e": traceback.format_exc()})
       |    _out.write(_resp); _out.write("\n"); _out.flush()
@@ -236,9 +265,7 @@ object PyUdfs {
     private val out = new BufferedReader(new InputStreamReader(
       proc.getInputStream, StandardCharsets.UTF_8))
 
-    def call(fn: String, args: Seq[JValue]): JValue = {
-      val req = JsonMethods.compact(JsonMethods.render(
-        JObject("f" -> JString(fn), "a" -> JArray(args.toList))))
+    private def roundTrip(fn: String, req: String): JValue = {
       in.write(req); in.write("\n"); in.flush()
       val line = out.readLine()
       if (line == null) {
@@ -256,6 +283,28 @@ object PyUdfs {
           }
         case other => throw new IllegalStateException(
           s"bad python UDF response: $other")
+      }
+    }
+
+    def call(fn: String, args: Seq[JValue]): JValue =
+      roundTrip(fn, JsonMethods.compact(JsonMethods.render(
+        JObject("f" -> JString(fn), "a" -> JArray(args.toList)))))
+
+    /** One request/response for a whole batch of rows' argument tuples —
+      * the wire-cost amortization the scalar path cannot have (one pipe
+      * round-trip + two flushes per ROW there, per BATCH here). */
+    def callBatch(fn: String, rows: Seq[Seq[JValue]]): Seq[JValue] = {
+      val req = JsonMethods.compact(JsonMethods.render(
+        JObject("f" -> JString(fn),
+          "b" -> JArray(rows.map(a => JArray(a.toList): JValue).toList))))
+      roundTrip(fn, req) match {
+        case JArray(rs) =>
+          if (rs.length != rows.length) throw new IllegalStateException(
+            s"python UDF $fn batch returned ${rs.length} results for " +
+              s"${rows.length} rows")
+          rs
+        case other => throw new IllegalStateException(
+          s"bad python UDF batch response: $other")
       }
     }
 
@@ -354,6 +403,7 @@ object PyUdfs {
 
   private def registerArity(spark: SparkSession, name: String, rec: PyFn,
                             n: Int): Unit = {
+    specs.put(name.toLowerCase, rec)
     val (src, fn, dt) = (rec.source, rec.fn, rec.dataType)
     def c(args: AnyRef*): AnyRef =
       fromJson(Pool.procFor(src).call(fn, args.map(toJson)), dt)

@@ -1,0 +1,221 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan, Project, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.SparkStrategy
+
+import graft.functions.PyUdfs
+
+/** Batched evaluation for streaming-python UDFs (SURVEY §2.7) — the
+  * same design Spark itself uses for its Python UDFs (its
+  * ExtractPythonUDFs rule + BatchEvalPython operator), re-built here
+  * for graft's external-interpreter protocol:
+  *
+  * A `ns.fn(args)` call site registers as a scalar Spark udf
+  * (`graft_py_*`), which costs ONE pipe round-trip (two flushes + a
+  * JSON parse on each side) PER ROW — the honest per-row cost the r12
+  * bench measured as 8.9× growth at 10× data on q97. The scalar form
+  * cannot batch: Spark's row-at-a-time evaluation demands each result
+  * before the next row arrives.
+  *
+  * So [[ExtractBatchPyUdfs]] (an optimizer rule, registered with
+  * the strategy in GraftSession.tune) pulls `graft_py_*` ScalaUDF
+  * calls out of Project/Filter nodes into a dedicated
+  * [[BatchPyEvalNode]], planned by [[BatchPyEvalStrategy]] as
+  * [[BatchPyEvalExec]]: per partition, rows buffer into bounded
+  * batches and each UDF's whole batch travels in ONE wire round-trip
+  * (`{"f":…,"b":[[args…]…]}` → `{"r":[results…]}`). Per-row wire cost
+  * drops by the batch factor; the interpreter process, value
+  * conversion, and result types are exactly the scalar path's.
+  *
+  * Scalar evaluation remains for call sites the rule leaves alone
+  * (join conditions, aggregate expressions — rare in Pig scripts,
+  * where UDFs live in FOREACH/FILTER) — correctness never depends on
+  * extraction. Like Spark's own rule, extraction evaluates the UDF
+  * unconditionally on every row reaching the operator, even where the
+  * original expression guarded it behind a conditional.
+  */
+object BatchPyEval {
+  /** Rows per wire round-trip. Amortizes round-trip latency ~batch×
+    * while bounding request size (a batch of wide text rows stays in
+    * the tens of MB). */
+  val BatchRows = 128
+
+  private[plans] def isPyUdf(e: Expression): Boolean = e match {
+    case u: ScalaUDF => u.udfName.exists(_.startsWith("graft_py_"))
+    case _ => false
+  }
+
+  /** Extractable: a py-udf call whose own arguments contain no nested
+    * py-udf (inner calls extract first; the fixpoint batch picks up
+    * outer ones on the next pass). */
+  private[plans] def extractable(e: Expression): Boolean =
+    isPyUdf(e) && e.children.forall(c => !c.exists(isPyUdf))
+}
+
+/** One extracted call: the ScalaUDF (kept whole — its children are the
+  * argument expressions, its udfName keys the PyUdfs spec) and the
+  * attribute its batched result binds to. */
+case class PyCall(udf: ScalaUDF, resultAttr: Attribute)
+
+case class BatchPyEvalNode(calls: Seq[PyCall], child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ calls.map(_.resultAttr)
+  override def producedAttributes: AttributeSet =
+    AttributeSet(calls.map(_.resultAttr))
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): BatchPyEvalNode = copy(child = newChild)
+}
+
+object ExtractBatchPyUdfs extends Rule[LogicalPlan] {
+
+  import BatchPyEval._
+
+  private def hasExtractable(e: Expression): Boolean = e.exists(extractable)
+
+  /** Replace every extractable py-udf call in `exprs` with a reference
+    * to a batch-computed attribute; duplicate calls (same canonical
+    * expression) share one attribute. */
+  private def pullOut(exprs: Seq[Expression])
+      : (Seq[Expression], Seq[PyCall]) = {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[PyCall]
+    def attrFor(u: ScalaUDF): Attribute = {
+      calls.find(_.udf.canonicalized == u.canonicalized) match {
+        case Some(c) => c.resultAttr
+        case None =>
+          val a = AttributeReference(
+            s"__pybatch_${calls.length}", u.dataType, nullable = true)()
+          calls += PyCall(u, a)
+          a
+      }
+    }
+    val rewritten = exprs.map(_.transformUp {
+      case u: ScalaUDF if extractable(u) &&
+          PyUdfs.specFor(u.udfName.get).isDefined => attrFor(u)
+    })
+    (rewritten, calls.toSeq)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(list, child) if list.exists(hasExtractable) =>
+      val (newList, calls) = pullOut(list)
+      if (calls.isEmpty) p
+      else {
+        // column pruning already ran, and FileSourceStrategy's scan
+        // pruning can't see THROUGH the new node — re-prune explicitly
+        // below it (project only the columns the rewritten list and the
+        // udf arguments still need) so a parquet scan under a py-udf
+        // projection keeps its narrow ReadSchema
+        val produced = AttributeSet(calls.map(_.resultAttr))
+        val needed =
+          AttributeSet(newList.flatMap(_.references)) -- produced ++
+            AttributeSet(calls.flatMap(_.udf.references))
+        val pruned =
+          if (child.outputSet.subsetOf(needed)) child
+          else Project(child.output.filter(needed.contains), child)
+        Project(newList.map(_.asInstanceOf[NamedExpression]),
+          BatchPyEvalNode(calls, pruned))
+      }
+    case f @ Filter(cond, child) if hasExtractable(cond) =>
+      val (newConds, calls) = pullOut(Seq(cond))
+      if (calls.isEmpty) f
+      // project back to the child's columns so the extra batch column
+      // doesn't leak into the filter's output schema
+      else Project(child.output,
+        Filter(newConds.head, BatchPyEvalNode(calls, child)))
+    // FLATTEN(ns.fn(x)) — a bag-returning python UDF under explode:
+    // batch the udf below the Generate, explode the result attribute
+    case g: Generate if hasExtractable(g.generator) =>
+      val (newGens, calls) = pullOut(Seq(g.generator))
+      if (calls.isEmpty) g
+      else {
+        val node = BatchPyEvalNode(calls, g.child)
+        // the appended batch columns are generator inputs only — mark
+        // them unrequired so the Generate's own output is unchanged
+        val extraIdx =
+          g.child.output.length until node.output.length
+        g.copy(
+          generator =
+            newGens.head.asInstanceOf[org.apache.spark.sql.catalyst
+              .expressions.Generator],
+          unrequiredChildIndex = g.unrequiredChildIndex ++ extraIdx,
+          child = node)
+      }
+  }
+}
+
+object BatchPyEvalStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case BatchPyEvalNode(calls, child) =>
+      BatchPyEvalExec(calls, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Appends one column per extracted call. Evaluation per partition:
+  * copy up to [[BatchPyEval.BatchRows]] rows, evaluate each call's
+  * argument expressions row-wise (codegen'd child values, internal →
+  * external conversion identical to ScalaUDF's), one wire round-trip
+  * per call per batch, convert results back, emit joined rows. */
+case class BatchPyEvalExec(calls: Seq[PyCall], child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output ++ calls.map(_.resultAttr)
+  override def outputPartitioning = child.outputPartitioning
+  override def outputOrdering = child.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // serializable per-call state: the function record + bound args
+    val specs = calls.map { c =>
+      val rec = PyUdfs.specFor(c.udf.udfName.get).getOrElse(
+        throw new IllegalStateException(
+          s"no python UDF spec for ${c.udf.udfName}"))
+      val bound = c.udf.children.map(
+        BindReferences.bindReference(_, child.output))
+      val argTypes = c.udf.children.map(_.dataType)
+      (rec, bound, argTypes, c.udf.dataType)
+    }
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val toExternal = specs.map { case (_, _, argTypes, _) =>
+        argTypes.map(CatalystTypeConverters.createToScalaConverter)
+      }
+      val toInternal = specs.map { case (_, _, _, dt) =>
+        CatalystTypeConverters.createToCatalystConverter(dt)
+      }
+      val joined = new JoinedRow
+      val project = UnsafeProjection.create(output, output)
+      // copy BEFORE grouping: the child iterator reuses one mutable row
+      // object, and grouped() would buffer 128 references to it
+      iter.map(_.copy()).grouped(BatchPyEval.BatchRows).flatMap { batch =>
+        // one wire round-trip per call for the whole batch
+        val results: Seq[Seq[AnyRef]] = specs.zipWithIndex.map {
+          case ((rec, bound, _, _), ci) =>
+            val ext = toExternal(ci)
+            val argsBatch = batch.map { row =>
+              bound.zipWithIndex.map { case (b, ai) =>
+                ext(ai)(b.eval(row)).asInstanceOf[AnyRef]
+              }
+            }
+            PyUdfs.callBatch(rec, argsBatch)
+        }
+        // LAZY iterator: the projection's output buffer is reused, so
+        // each row must be consumed downstream before the next is built
+        // (an eager map would alias every row to the last one)
+        batch.iterator.zipWithIndex.map { case (row, ri) =>
+          val extra = InternalRow.fromSeq(
+            results.indices.map(ci => toInternal(ci)(results(ci)(ri))))
+          project(joined(row, extra))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): BatchPyEvalExec = copy(child = newChild)
+}

@@ -97,17 +97,28 @@ object LangModel {
     * n_grams = 0 and a null weight. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: org.apache.spark.sql.Column): DataFrame = {
-    // the gram stream feeds BOTH the count aggregate and the scoring
-    // join-back — persist it so the corpus is scanned (and the
-    // tokenize+bigram transform computed) ONCE, not once per consumer;
-    // at 100 TB the second consumer otherwise costs a full extra
-    // corpus pass (the minhashNearDupsByWords pattern in Dedup)
-    val grams = graft.GraftSession.trackPersist(docs
+    // The gram stream feeds BOTH the count aggregate and the scoring
+    // join-back. It is deliberately NOT persisted: measured r13 at 10×
+    // and 100× bench data, caching the exploded bigram stream lost to
+    // recomputing it on the second consumer at every scale (sf10:
+    // 23.8 s persisted vs 19.5 s recomputed) — the producer is a
+    // 2-column pruned parquet scan plus a codegen'd split/zip_with,
+    // cheaper per row than cache write+read of a stream with ~1 row
+    // per corpus TOKEN. Contrast repeatedNgramStats, whose 5-gram
+    // hash-combine transform is expensive enough that the same persist
+    // wins ~1.5× — the decision is per-transform-cost, not a blanket
+    // rule. The gram is carried as its 64-BIT HASH, never text: it is
+    // only a count/join key, and the narrow key keeps the count
+    // shuffle and the scoring join at 8 bytes/gram instead of the full
+    // bigram string (measured r13: ~1.4× at 10× data over string
+    // grams; two grams colliding in 64-bit space is the same accepted
+    // caveat as repeatedNgramStats' hash-of-hashes).
+    val grams = (docs
       .select(col(idCol).as("doc_id"), isTarget.as("__t"),
         toks(textCol).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("__t"), explode(bigrams(col("t"))).as("b"))
-      .select(col("doc_id"), col("__t"), col("b.gram").as("gram")))
+      .select(col("doc_id"), col("__t"), xxhash64(col("b.gram")).as("gram")))
     val counts = grams.groupBy("gram").agg(
       count(lit(1)).cast(DoubleType).as("cr"),
       sum(when(col("__t"), 1L).otherwise(0L)).cast(DoubleType).as("ct"))

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batched python-UDF evaluation ([[graft.plans.BatchPyEval]]): the
+  * extraction rule + exec must engage on Project/Filter shapes and
+  * produce byte-identical results to the scalar per-row path. */
+class BatchPyEvalSpec extends SparkSpec {
+
+  private def pyScript: java.nio.file.Path = {
+    val py = java.nio.file.Files.createTempFile("graft_batch_udf", ".py")
+    java.nio.file.Files.write(py,
+      """from pig_util import outputSchema
+        |
+        |@outputSchema("rlang:chararray")
+        |def rev(x):
+        |    return None if x is None else x[::-1]
+        |
+        |@outputSchema("nw:long")
+        |def nwords(x):
+        |    return 0 if x is None else len(x.split())
+        |
+        |@outputSchema("ok:boolean")
+        |def longish(x):
+        |    return x is not None and len(x) > 40
+        |""".stripMargin.getBytes("UTF-8"))
+    py.toFile.deleteOnExit()
+    py
+  }
+
+  test("FOREACH py-udfs extract into ONE BatchPyEvalExec (both calls " +
+       "batched) and match the per-row oracle") {
+    val rel = graft.frontend.PigRunner(spark).run(s"""
+      REGISTER '$pyScript' USING streaming_python AS f;
+      d = LOAD '/root/testdata/sf0.001/documents.parquet';
+      r = FOREACH d GENERATE doc_id, f.rev(lang) AS rlang,
+                             f.nwords(text) AS nw;
+    """).apply("r").df
+    val plan = rel.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchPyEval"), s"batch exec did not engage:\n$plan")
+    // both udfs ride the same node — one pass, two wire streams
+    assert("BatchPyEval".r.findAllIn(plan).size == 1)
+    // extraction must not break scan pruning: only the 3 referenced
+    // columns reach the parquet reader, not the whole documents schema
+    assert(!plan.contains("n_chars"), s"scan not pruned:\n$plan")
+    val got = rel.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = sf("documents").select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val lang = if (r.isNullAt(1)) null else r.getString(1).reverse
+        val nw = if (r.isNullAt(2)) 0L
+          else r.getString(2).split("\\s+").count(_.nonEmpty).toLong
+        (r.getLong(0), lang, nw)
+      }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("FILTER BY py-udf extracts and matches the driver oracle") {
+    val rel = graft.frontend.PigRunner(spark).run(s"""
+      REGISTER '$pyScript' USING streaming_python AS f;
+      d = LOAD '/root/testdata/sf0.001/documents.parquet';
+      r = FILTER d BY f.longish(text);
+      p = FOREACH r GENERATE doc_id;
+    """).apply("p").df
+    val plan = rel.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchPyEval"), s"batch exec did not engage:\n$plan")
+    val got = rel.collect().map(_.getLong(0)).toSet
+    val want = sf("documents").select("doc_id", "text").collect()
+      .filter(r => !r.isNullAt(1) && r.getString(1).length > 40)
+      .map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("FLATTEN of a bag-returning py-udf batches below the Generate") {
+    val py = java.nio.file.Files.createTempFile("graft_batch_bag", ".py")
+    java.nio.file.Files.write(py,
+      """from pig_util import outputSchema
+        |@outputSchema("b:{t:(tok:chararray)}")
+        |def toks(x):
+        |    return [] if x is None else [(w,) for w in x.split()]
+        |""".stripMargin.getBytes("UTF-8"))
+    py.toFile.deleteOnExit()
+    val rel = graft.frontend.PigRunner(spark).run(s"""
+      REGISTER '$py' USING streaming_python AS f;
+      d = LOAD '/root/testdata/sf0.001/documents.parquet';
+      r = FOREACH d GENERATE doc_id, FLATTEN(f.toks(text));
+    """).apply("r").df
+    val plan = rel.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchPyEval"), s"batch exec did not engage:\n$plan")
+    val got = rel.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val want = sf("documents").select("doc_id", "text").collect()
+      .flatMap { r =>
+        if (r.isNullAt(1)) Seq.empty[(Long, String)]
+        else r.getString(1).split("\\s+").filter(_.nonEmpty)
+          .map(w => (r.getLong(0), w)).toSeq
+      }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("python exceptions carry the traceback through the batch path") {
+    val py = java.nio.file.Files.createTempFile("graft_batch_boom", ".py")
+    java.nio.file.Files.write(py,
+      """from pig_util import outputSchema
+        |@outputSchema("x:int")
+        |def boom(s):
+        |    raise ValueError("kaput: %s" % s)
+        |""".stripMargin.getBytes("UTF-8"))
+    py.toFile.deleteOnExit()
+    val rel = graft.frontend.PigRunner(spark).run(s"""
+      REGISTER '$py' USING streaming_python AS f;
+      d = LOAD '/root/testdata/sf0.001/documents.parquet';
+      r = FOREACH d GENERATE f.boom(lang) AS x;
+    """).apply("r").df
+    val e = intercept[Exception] { rel.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("kaput")),
+      s"traceback lost: ${messages(e)}")
+  }
+}

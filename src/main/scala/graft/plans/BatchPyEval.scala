@@ -36,9 +36,13 @@ import graft.functions.PyUdfs
   * Scalar evaluation remains for call sites the rule leaves alone
   * (join conditions, aggregate expressions — rare in Pig scripts,
   * where UDFs live in FOREACH/FILTER) — correctness never depends on
-  * extraction. Like Spark's own rule, extraction evaluates the UDF
-  * unconditionally on every row reaching the operator, even where the
-  * original expression guarded it behind a conditional.
+  * extraction. Calls sitting in a CONDITIONALLY-evaluated branch
+  * (bincond/CASE WHEN values, coalesce tails) are also left scalar:
+  * batching would evaluate them on rows the guard excludes, turning
+  * `(x is not null ? f(x) : …)` into an unconditional f(null) call —
+  * the same carve-out Spark's own rule makes for its Python UDFs.
+  * (AND/OR operands stay extractable: Spark SQL reorders conjuncts
+  * freely, so short-circuit order is not a semantic guarantee there.)
   */
 object BatchPyEval {
   /** Rows per wire round-trip. Amortizes round-trip latency ~batch×
@@ -78,11 +82,34 @@ object ExtractBatchPyUdfs extends Rule[LogicalPlan] {
 
   private def hasExtractable(e: Expression): Boolean = e.exists(extractable)
 
+  /** Canonical forms of py-udf calls that sit in a conditionally-
+    * evaluated position somewhere under `e` — a bincond/CASE value
+    * branch or a coalesce tail. These must not batch: the original
+    * expression only evaluates them on rows the guard admits. */
+  private def guardedCalls(e: Expression): Set[Expression] = {
+    val out = scala.collection.mutable.Set.empty[Expression]
+    def walk(ex: Expression, g: Boolean): Unit = {
+      if (g && isPyUdf(ex)) out += ex.canonicalized
+      val condKids: Set[Expression] = ex match {
+        case i: If => Set(i.trueValue, i.falseValue)
+        case cw: CaseWhen =>
+          (cw.branches.map(_._2) ++ cw.branches.drop(1).map(_._1) ++
+            cw.elseValue).toSet
+        case c: Coalesce => c.children.drop(1).toSet
+        case _ => Set.empty
+      }
+      ex.children.foreach(ch => walk(ch, g || condKids.contains(ch)))
+    }
+    walk(e, g = false)
+    out.toSet
+  }
+
   /** Replace every extractable py-udf call in `exprs` with a reference
     * to a batch-computed attribute; duplicate calls (same canonical
     * expression) share one attribute. */
   private def pullOut(exprs: Seq[Expression])
       : (Seq[Expression], Seq[PyCall]) = {
+    val guarded: Set[Expression] = exprs.flatMap(guardedCalls).toSet
     val calls = scala.collection.mutable.ArrayBuffer.empty[PyCall]
     def attrFor(u: ScalaUDF): Attribute = {
       calls.find(_.udf.canonicalized == u.canonicalized) match {
@@ -96,6 +123,7 @@ object ExtractBatchPyUdfs extends Rule[LogicalPlan] {
     }
     val rewritten = exprs.map(_.transformUp {
       case u: ScalaUDF if extractable(u) &&
+          !guarded.contains(u.canonicalized) &&
           PyUdfs.specFor(u.udfName.get).isDefined => attrFor(u)
     })
     (rewritten, calls.toSeq)

@@ -275,7 +275,13 @@ object TextAnalysis {
     * Variants measured at sf0.1 under honest timing (r12): string-keyed
     * relational 5.4 s; in-row array_sort + HOF run-length scan 7.8 s
     * (interpreted lambdas lose to the codegen'd exchange); this form
-    * 0.9 s. Ties break like max(struct(count, mass)): highest count
+    * 0.9 s. A fused both-sizes-in-one-explode variant (tag each gram
+    * struct with n, concat the arrays, one (id,n,g) shuffle) measured
+    * SLOWER at sf0.1 AND 10× (r13: 8.6 s vs 11.7 s at sf1) — the
+    * per-row concat materialization costs more than the extra scans
+    * while Spark runs the two subtrees' stages concurrently; revisit
+    * only on genuinely IO-bound storage where a corpus scan dominates.
+    * Ties break like max(struct(count, mass)): highest count
     * first, then mass, so a long-but-rare gram cannot inflate the
     * ratio. */
   private def topGramCharMass(df: org.apache.spark.sql.DataFrame,

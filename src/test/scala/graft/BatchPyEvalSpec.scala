@@ -101,6 +101,38 @@ class BatchPyEvalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("a bincond-guarded py-udf stays SCALAR: the guard must keep " +
+       "excluded rows away from the python fn") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulls").toFile
+    dir.deleteOnExit()
+    Seq((1L, "alpha"), (2L, null), (3L, "gamma"), (4L, null))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/docs.parquet")
+    val py = java.nio.file.Files.createTempFile("graft_guarded", ".py")
+    java.nio.file.Files.write(py,
+      """from pig_util import outputSchema
+        |@outputSchema("u:chararray")
+        |def up(x):
+        |    return x.upper()   # raises AttributeError on None
+        |""".stripMargin.getBytes("UTF-8"))
+    py.toFile.deleteOnExit()
+    val rel = graft.frontend.PigRunner(spark).run(s"""
+      REGISTER '$py' USING streaming_python AS f;
+      d = LOAD '$dir/docs.parquet';
+      r = FOREACH d GENERATE doc_id,
+            (text is not null ? f.up(text) : 'MISSING') AS u;
+    """).apply("r").df
+    val plan = rel.queryExecution.executedPlan.toString
+    // batching would call up(None) on the guarded rows and crash —
+    // the rule must leave conditional branches scalar
+    assert(!plan.contains("BatchPyEval"),
+      s"guarded call was extracted:\n$plan")
+    val got = rel.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "ALPHA"), (2L, "MISSING"),
+      (3L, "GAMMA"), (4L, "MISSING")))
+  }
+
   test("python exceptions carry the traceback through the batch path") {
     val py = java.nio.file.Files.createTempFile("graft_batch_boom", ".py")
     java.nio.file.Files.write(py,

@@ -133,6 +133,31 @@ class BatchPyEvalSpec extends SparkSpec {
       (3L, "GAMMA"), (4L, "MISSING")))
   }
 
+  test("the batch path engages inside Structured Streaming microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reg = new graft.functions.PyUdfs.Registry
+    graft.functions.PyUdfs.register(reg, pyScript.toString, Some("f"))
+    val rev = graft.functions.PyUdfs.columnFor(spark, reg, "f.rev",
+      Seq(col("v"))).get
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    input.addData((1L, "abc"), (2L, "xyz"), (3L, "q"))
+    val q = input.toDF().toDF("id", "v")
+      .select(col("id"), rev.as("r"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pybatch_stream").start()
+    q.processAllAvailable()
+    val baos = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(baos)) { q.explain() }
+    q.stop()
+    val got = spark.table("pybatch_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "cba"), (2L, "zyx"), (3L, "q")))
+    assert(baos.toString.contains("BatchPyEval"),
+      s"streaming plan did not batch:\n$baos")
+  }
+
   test("python exceptions carry the traceback through the batch path") {
     val py = java.nio.file.Files.createTempFile("graft_batch_boom", ".py")
     java.nio.file.Files.write(py,

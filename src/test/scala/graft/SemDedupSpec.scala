@@ -191,6 +191,69 @@ class SemDedupSpec extends SparkSpec {
       Set((0L, 1L)))
   }
 
+  test("kernel path on BINARY ids (UUID-style): exact pair-and-cosine " +
+       "equality with the driver twin") {
+    // 16-byte big-endian encoding: binary (unsigned lexicographic)
+    // order equals numeric order for non-negative longs, so the
+    // driver twin can order pairs on the decoded long. NOTE the pair
+    // SET legitimately differs from a long-id run — Ivf.fit samples by
+    // xxhash64(id), so the id representation changes the fit.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(expr("unhex(lpad(hex(vec_id), 32, '0'))").as("vec_id"),
+        col("embedding"))
+    val th = 0.35
+    val pairsDf = graft.ml.SemDedup.withinCellPairs(
+      docs, "vec_id", "embedding", threshold = th, k = 100, probes = 2)
+    assert(pairsDf.schema("id_a").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(pairsDf.queryExecution.executedPlan.toString
+      .contains("MapPartitions"))
+    def toLong(b: Array[Byte]): Long =
+      b.foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
+    val got = pairsDf.collect().map { r =>
+      (toLong(r.getAs[Array[Byte]](0)), toLong(r.getAs[Array[Byte]](1)),
+        r.getDouble(2))
+    }.toSet
+    val model = graft.ml.Ivf.fit(docs, "embedding", k = 100, iters = 3)
+    val k = model.centroids.length
+    val dim = model.centroids.map(_.length).max
+    val flat = new Array[Float](k * dim)
+    val norms = new Array[Double](k)
+    for (c <- 0 until k; i <- model.centroids(c).indices) {
+      flat(c * dim + i) = model.centroids(c)(i)
+      norms(c) += model.centroids(c)(i).toDouble * model.centroids(c)(i)
+    }
+    val rows = docs.select("vec_id", "embedding").collect()
+      .map(r => (toLong(r.getAs[Array[Byte]](0)),
+        r.getSeq[Float](1).toArray))
+    val cellsOf = rows.map { case (id, v) =>
+      id -> graft.functions.VectorExpressions
+        .nearestCellsOf(v, flat, norms, dim, k, 2).toSet
+    }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        dot += a(i).toDouble * b(i); nx += a(i).toDouble * a(i)
+        ny += b(i).toDouble * b(i); i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0
+      else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val want = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      (ia, va) = rows(i); (ib, vb) = rows(j)
+      if cellsOf(ia).intersect(cellsOf(ib)).nonEmpty
+      c = BigDecimal(cos(va, vb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= th
+    } yield (math.min(ia, ib), math.max(ia, ib), c)).toSet
+    assert(got == want,
+      s"kernel vs driver: only-got=${(got -- want).take(5)} " +
+        s"only-want=${(want -- got).take(5)}")
+    assert(want.nonEmpty)
+  }
+
   test("auto-k cap warns loudly instead of degrading silently") {
     val before = graft.functions.Warnings.recentDriverWarnings.size
     // SemDedup cap: 65536 cells × 256/cell ≈ 16.8M vectors

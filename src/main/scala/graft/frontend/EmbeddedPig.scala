@@ -103,15 +103,27 @@ object EmbeddedPig {
         var in: java.io.BufferedReader = null
         while (sock == null) {
           val cand = server.accept()
-          // a connection that never sends its handshake line must not
-          // starve the legitimate shim client for the whole run: bound
-          // the wait, close, and keep accepting
-          cand.setSoTimeout(5000)
+          // a connection that never completes its handshake line must
+          // not starve the legitimate shim client for the whole run.
+          // SO_TIMEOUT alone only bounds a fully-idle peer (it re-arms
+          // on every byte, so a drip-feed of one byte per few seconds
+          // would hold the loop forever) — enforce a TOTAL handshake
+          // deadline and a line-length cap, reading char-at-a-time
+          cand.setSoTimeout(1000)
           val candIn = new java.io.BufferedReader(new java.io.InputStreamReader(
             cand.getInputStream, StandardCharsets.UTF_8))
+          val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
           val hello =
-            try candIn.readLine()
-            catch { case _: java.net.SocketTimeoutException => null }
+            try {
+              val sb = new StringBuilder
+              var c = candIn.read()
+              while (c != -1 && c != '\n' &&
+                     System.nanoTime() < deadline && sb.length <= 512) {
+                sb.append(c.toChar); c = candIn.read()
+              }
+              // readLine() semantics for the legit client: \r\n tolerated
+              if (c == '\n') sb.toString.stripSuffix("\r") else null
+            } catch { case _: java.net.SocketTimeoutException => null }
           if (hello == token) {
             cand.setSoTimeout(0) // handshake done: requests block freely
             sock = cand; in = candIn

@@ -76,7 +76,7 @@ case class BatchPyEvalNode(calls: Seq[PyCall], child: LogicalPlan)
       newChild: LogicalPlan): BatchPyEvalNode = copy(child = newChild)
 }
 
-object ExtractBatchPyUdfs extends Rule[LogicalPlan] {
+object ExtractBatchPyUdfs extends Rule[LogicalPlan] with PredicateHelper {
 
   import BatchPyEval._
 
@@ -150,12 +150,24 @@ object ExtractBatchPyUdfs extends Rule[LogicalPlan] {
           BatchPyEvalNode(calls, pruned))
       }
     case f @ Filter(cond, child) if hasExtractable(cond) =>
-      val (newConds, calls) = pullOut(Seq(cond))
+      // SPLIT the conjunction first: non-udf conjuncts (null guards,
+      // cheap predicates) stay BELOW the batch node, so (a) they keep
+      // short-circuiting rows away from the python fn — `text IS NOT
+      // NULL AND f.up(text)` must never call up(None) — and (b) they
+      // remain adjacent to the relation for filter pushdown. Only the
+      // udf-bearing conjuncts move above the node. (Spark's own
+      // ExtractPythonUDFs does the same trySplitFilter.)
+      val (udfConjs, plainConjs) =
+        splitConjunctivePredicates(cond).partition(_.exists(isPyUdf))
+      val below =
+        if (plainConjs.isEmpty) child
+        else Filter(plainConjs.reduce(And), child)
+      val (newConds, calls) = pullOut(Seq(udfConjs.reduce(And)))
       if (calls.isEmpty) f
       // project back to the child's columns so the extra batch column
       // doesn't leak into the filter's output schema
       else Project(child.output,
-        Filter(newConds.head, BatchPyEvalNode(calls, child)))
+        Filter(newConds.head, BatchPyEvalNode(calls, below)))
     // FLATTEN(ns.fn(x)) — a bag-returning python UDF under explode:
     // batch the udf below the Generate, explode the result attribute
     case g: Generate if hasExtractable(g.generator) =>
@@ -208,7 +220,11 @@ case class BatchPyEvalExec(calls: Seq[PyCall], child: SparkPlan)
       val argTypes = c.udf.children.map(_.dataType)
       (rec, bound, argTypes, c.udf.dataType)
     }
-    val childOutput = child.output
+    // capture plain values, never `this`: referencing the `output`
+    // method (or a constructor field) inside the closure would drag the
+    // whole operator — child SparkPlan subtree included — into every
+    // task's serialized closure
+    val out: Seq[Attribute] = output
     child.execute().mapPartitions({ iter =>
       val toExternal = specs.map { case (_, _, argTypes, _) =>
         argTypes.map(CatalystTypeConverters.createToScalaConverter)
@@ -217,7 +233,7 @@ case class BatchPyEvalExec(calls: Seq[PyCall], child: SparkPlan)
         CatalystTypeConverters.createToCatalystConverter(dt)
       }
       val joined = new JoinedRow
-      val project = UnsafeProjection.create(output, output)
+      val project = UnsafeProjection.create(out, out)
       // copy BEFORE grouping: the child iterator reuses one mutable row
       // object, and grouped() would buffer 128 references to it
       iter.map(_.copy()).grouped(BatchPyEval.BatchRows).flatMap { batch =>

@@ -101,6 +101,36 @@ class BatchPyEvalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("FILTER conjunct split: a null-guard AND a py-udf — the guard " +
+       "filters BELOW the batch node so the fn never sees guarded rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulls2").toFile
+    dir.deleteOnExit()
+    Seq((1L, "alpha"), (2L, null), (3L, "g"), (4L, null))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/docs.parquet")
+    val py = java.nio.file.Files.createTempFile("graft_split", ".py")
+    java.nio.file.Files.write(py,
+      """from pig_util import outputSchema
+        |@outputSchema("ok:boolean")
+        |def long2(x):
+        |    return len(x) >= 2   # raises TypeError on None
+        |""".stripMargin.getBytes("UTF-8"))
+    py.toFile.deleteOnExit()
+    val rel = graft.frontend.PigRunner(spark).run(s"""
+      REGISTER '$py' USING streaming_python AS f;
+      d = LOAD '$dir/docs.parquet';
+      r = FILTER d BY text is not null AND f.long2(text);
+      p = FOREACH r GENERATE doc_id;
+    """).apply("p").df
+    val plan = rel.queryExecution.executedPlan.toString
+    // the udf batches, and the null guard sits BELOW it (pushed into
+    // the scan as a parquet filter)
+    assert(plan.contains("BatchPyEval"), s"did not batch:\n$plan")
+    assert(plan.contains("isnotnull(text"), s"guard not below:\n$plan")
+    assert(rel.collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("a bincond-guarded py-udf stays SCALAR: the guard must keep " +
        "excluded rows away from the python fn") {
     import spark.implicits._

@@ -465,17 +465,33 @@ object Dedup {
     *
     * Returns (id, component) for every distinct node in `pairs`, with
     * component = min id reachable (self for isolated nodes).
+    *
+    * SMALL-GRAPH FAST PATH: when the canonical edge count is at most
+    * `driverMaxEdges` (default 2^18) and the id type has a known
+    * Spark-order-compatible driver ordering, the components resolve by
+    * a driver-side union-find instead — near-dup pair sets are tiny
+    * relative to the corpus (a few matches per duplicated doc), and
+    * O(log n) distributed rounds of checkpoint+fingerprint jobs cost
+    * seconds of fixed scheduling overhead that a 100k-edge union-find
+    * does in milliseconds, on a real cluster as much as locally
+    * (measured r13: q93's CC leg 3.4 s → <0.1 s at sf0.1). The edge
+    * count is known for free from the convergence fingerprint's first
+    * evaluation; memory is bounded by the threshold (≤2^18 edges).
+    * Pass `driverMaxEdges = 0` to force the distributed path.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame =
-    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+                          maxIter: Int = 25,
+                          driverMaxEdges: Long = 1L << 18): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter,
+      driverMaxEdges)._1
 
   /** [[connectedComponents]] plus the number of contraction rounds it
     * took — the measurable backing for the O(log n) claim (HardeningSpec
-    * asserts the round count against the log2 bound at 10M edges). */
+    * asserts the round count against the log2 bound at 10M edges).
+    * The driver fast path reports 0 rounds. */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): (DataFrame, Int) = {
+      maxIter: Int = 25, driverMaxEdges: Long = 1L << 18): (DataFrame, Int) = {
     // each round references the previous edge set several times (the
     // symmetrize-union + min-join), so without truncation the logical
     // plan grows multiplicatively per round — checkpoint every round to
@@ -506,6 +522,16 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var (n, fp) = fingerprint(edges)
+    if (n > 0 && n <= driverMaxEdges &&
+        // the raw pair stream can dwarf its distinct edge set
+        // (duplicates, self-pairs) — bound the NODE count too before
+        // collecting anything to the driver
+        nodes.count() <= 4 * driverMaxEdges) {
+      driverComponents(edges, nodes) match {
+        case Some(df) => return (df, 0)
+        case None => () // no driver ordering for this id type
+      }
+    }
     var converged = n == 0
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -544,6 +570,84 @@ object Dedup {
     (nodes.join(owned, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("component")), iter)
+  }
+
+  /** Driver-side union-find over a SMALL collected pair set (the
+    * [[connectedComponents]] fast path). Returns None when the id type
+    * has no driver ordering matching Spark's sort order — the caller
+    * then falls through to the distributed contraction. The ordering
+    * must match Spark's `min` exactly (the distributed path's
+    * representative choice): numerics compare numerically; strings
+    * compare as UTF-8 BYTES (Spark's UTF8String order, NOT Java's
+    * UTF-16 compareTo — they differ above U+FFFF); binary compares
+    * unsigned lexicographic. */
+  private def driverComponents(edges: DataFrame,
+                               nodes: DataFrame): Option[DataFrame] = {
+    val idType = nodes.schema("id").dataType
+    def bytesCompare(x: Seq[Byte], y: Seq[Byte]): Int = {
+      val n = math.min(x.length, y.length)
+      var i = 0
+      var c = 0
+      while (i < n && c == 0) {
+        c = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+      }
+      if (c != 0) c else x.length - y.length
+    }
+    val bytesOrd: Ordering[Seq[Byte]] =
+      (x: Seq[Byte], y: Seq[Byte]) => bytesCompare(x, y)
+    // keys are hash-equal wrappers of the raw value; the ordering runs
+    // on keys so Array[Byte] identity-equality never corrupts the map
+    val ordOpt: Option[Ordering[Any]] = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue))
+      case StringType =>
+        Some(Ordering.by((x: Any) =>
+          x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets
+            .UTF_8).toSeq)(bytesOrd))
+      case BinaryType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Seq[Byte]])(bytesOrd))
+      case _ => None
+    }
+    ordOpt.map { implicit ord =>
+      def key(x: Any): Any = x match {
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      }
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        // path compression
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      // register every node (isolated ones appear only here), then
+      // union the distinct canonical edges
+      nodes.collect().foreach(row => find(key(row.get(0))))
+      edges.collect().foreach { row =>
+        val (a, b) = (key(row.get(0)), key(row.get(1)))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(if (ord.lt(ra, rb)) rb else ra) =
+          if (ord.lt(ra, rb)) ra else rb
+      }
+      // representative = min member per component (union already links
+      // toward the smaller root, so the root IS the min)
+      def unkey(x: Any): Any = x match {
+        case s: Seq[_] if idType == BinaryType =>
+          s.asInstanceOf[Seq[Byte]].toArray
+        case v => v
+      }
+      val out = parent.keys.toSeq.map { k =>
+        org.apache.spark.sql.Row(unkey(k), unkey(find(k)))
+      }
+      nodes.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("component", idType))))
+    }
   }
 
   /** Drop near-duplicates given the discovered pair set: resolve pairs

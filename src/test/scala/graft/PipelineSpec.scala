@@ -347,10 +347,38 @@ class PipelineSpec extends SparkSpec {
   test("connectedComponents: long path converges within O(log n) rounds") {
     // a 64-node path is the adversarial diameter case for label
     // propagation; star-contraction must still collapse it to one root
+    // (driverMaxEdges=0 forces the distributed path this test is about)
     val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        driverMaxEdges = 0L)
       .as[(Long, Long)].collect()
     assert(got.length == 64 && got.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents driver fast path: string and binary ids " +
+       "match the forced-distributed result exactly") {
+    // strings whose UTF-16 order differs from UTF-8 byte order would
+    // expose a representative-choice mismatch; include multi-byte text
+    val sPairs = Seq(("beta", "alpha"), ("alpha", "せかい"),
+                     ("x", "x"), ("zz", "za")).toDF("id_a", "id_b")
+    val sFast = Dedup.connectedComponents(sPairs, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    val sDist = Dedup.connectedComponents(sPairs, "id_a", "id_b",
+        driverMaxEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(sFast == sDist)
+    assert(sFast("せかい") == "alpha" && sFast("x") == "x")
+    val bPairs = sPairs.select(col("id_a").cast("binary").as("id_a"),
+      col("id_b").cast("binary").as("id_b"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      new String(r.getAs[Array[Byte]](0), "UTF-8") ->
+        new String(r.getAs[Array[Byte]](1), "UTF-8")
+    }.toMap
+    val bFast = m(Dedup.connectedComponents(bPairs, "id_a", "id_b"))
+    val bDist = m(Dedup.connectedComponents(bPairs, "id_a", "id_b",
+      driverMaxEdges = 0L))
+    assert(bFast == bDist)
+    assert(bFast == sFast)
   }
 
   test("repetitionStats: hand-computed dup-line and top-gram fractions") {

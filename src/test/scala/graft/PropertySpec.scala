@@ -144,9 +144,15 @@ class PropertySpec extends SparkSpec {
       samples(edgeGen, 70, seed = 100L + g).map {
         case (a, b) => (a + off, b + off) }
     }
+    // BOTH paths: the driver union-find fast path (default threshold)
+    // and the distributed star-contraction (forced, driverMaxEdges=0)
     val got = Dedup.connectedComponents(
         all.toDF("id_a", "id_b"), "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotDist = Dedup.connectedComponents(
+        all.toDF("id_a", "id_b"), "id_a", "id_b", driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == gotDist)
 
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {

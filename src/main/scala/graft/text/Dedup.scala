@@ -240,22 +240,24 @@ object Dedup {
       numHashes % numBands == 0,
       s"numHashes ($numHashes) must be a positive multiple of numBands " +
         s"($numBands) — a remainder would silently ignore signature tail")
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val leadCols = (1 until n).map(k => lead(col("tok"), k).over(w).as(s"t$k"))
-    val withLeads = toks.select(
-      (col(idCol) +: col("tok") +: leadCols).toIndexedSeq: _*)
-    val gramParts = col("tok") +: (1 until n).map(k => col(s"t$k"))
-    val longGrams = withLeads.filter(col(s"t${n - 1}").isNotNull)
-      .select(col(idCol), concat_ws(" ", gramParts.toIndexedSeq: _*).as("gram"))
-    // docs with < n tokens contribute their whole text as one gram
-    val shortDocs = df
-      .filter(size(TextAnalysis.tokens(col(textCol))) < n)
-      .select(col(idCol),
-        concat_ws(" ", TextAnalysis.tokens(col(textCol))).as("gram"))
-    val grams = graft.GraftSession.trackPersist(longGrams.union(shortDocs))
+    // grams are built IN-ROW as 64-bit hash-of-token-hashes (the
+    // explodeHashedWordNgrams kernel q100/q45 already use) — the old
+    // form posexplode'd every TOKEN through a per-doc window
+    // (shuffle+sort of the whole token stream) and materialized each
+    // gram as a string. Both consumers are hash-compatible: the
+    // signature min-agg only needs a uniform 64-bit gram key, and the
+    // verify jaccard compares gram SETS, identical on hashes absent a
+    // 64-bit collision (the standing caveat). Docs with < n tokens
+    // hash their whole token list as the single gram (same identity
+    // semantics as the old whole-text gram); null-text docs carry no
+    // grams on either form. Measured r13 (A/B, same harness): pair
+    // sets bit-identical (256 @ sf0.1, 2560 @ sf1); wall ~1.25× better
+    // at sf0.1, a wash at sf1 locally where the 64 min-aggs dominate —
+    // kept because it deletes a whole per-token exchange+sort from the
+    // plan (the term that matters on IO-bound storage) and the verify
+    // sets carry longs instead of gram strings.
+    val grams = graft.GraftSession.trackPersist(
+      explodeHashedWordNgrams(df, Seq(idCol), textCol, n, "gram"))
     val sigs = minhashSignaturesFromGrams(grams, idCol, "gram", numHashes)
     val pairs = lshCandidatePairs(sigs, idCol, "sig",
       numBands, numHashes / numBands)

@@ -224,14 +224,16 @@ object Dedup {
     minhashNearDupsWith(df, idCol, textCol,
       t => charShingles(t, shingleK), numHashes, numBands, threshold)
 
-  /** MinHash near-dups over word n-grams, streamed: tokens are exploded
-    * once and n-grams formed with window `lead` — no per-row array
-    * construction, no interpreted lambdas anywhere on the full corpus.
-    * The gram stream feeds (a) the signature aggregation (64 partial
-    * min-aggs — 64 longs per doc cross the shuffle) and (b) the verify
-    * step, which collects gram SETS only for candidate-pair docs
-    * (semi-join first). The usual choice for documents: ~10× fewer
-    * shingles than character k-grams. */
+  /** MinHash near-dups over word n-grams. Grams build IN-ROW as 64-bit
+    * hash-of-token-hashes (the explodeHashedWordNgrams kernel) — the
+    * per-row token-hash and gram arrays are transient codegen'd
+    * transforms, and NO per-token exchange exists in the plan (the
+    * previous form windowed every token through a per-doc
+    * shuffle+sort). The hashed gram stream feeds (a) the signature
+    * aggregation (64 partial min-aggs — 64 longs per doc cross the
+    * shuffle) and (b) the verify step, which collects gram-hash SETS
+    * only for candidate-pair docs (semi-join first). The usual choice
+    * for documents: ~10× fewer shingles than character k-grams. */
   def minhashNearDupsByWords(df: DataFrame, idCol: String, textCol: String,
                              n: Int = 3, numHashes: Int = 64,
                              numBands: Int = 16,
@@ -249,8 +251,12 @@ object Dedup {
     // verify jaccard compares gram SETS, identical on hashes absent a
     // 64-bit collision (the standing caveat). Docs with < n tokens
     // hash their whole token list as the single gram (same identity
-    // semantics as the old whole-text gram); null-text docs carry no
-    // grams on either form. Measured r13 (A/B, same harness): pair
+    // semantics as the old whole-text gram). Null-text and zero-token
+    // docs DO carry one shared gram on both forms (ansi=false:
+    // size(null) = -1 routes them into the short-doc branch — old
+    // gram "", new gram xxhash64(null) = xxhash64(empty) = the seed),
+    // so degenerate empty docs pair with each other at jaccard 1.0,
+    // exactly as before. Measured r13 (A/B, same harness): pair
     // sets bit-identical (256 @ sf0.1, 2560 @ sf1); wall ~1.25× better
     // at sf0.1, a wash at sf1 locally where the 64 min-aggs dominate —
     // kept because it deletes a whole per-token exchange+sort from the
@@ -524,14 +530,24 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var (n, fp) = fingerprint(edges)
-    if (n > 0 && n <= driverMaxEdges &&
+    // the id-type check comes FIRST (no node job at all for types the
+    // driver path can't order), and the node bound is enforced by ONE
+    // limit+collect (a count would re-run the same distinct again at
+    // collect time). The cap math is overflow-safe for huge thresholds
+    // (driverMaxEdges = Long.MaxValue must mean "always", not wrap).
+    val driverOrd =
+      if (n > 0 && n <= driverMaxEdges) driverOrderingFor(pr.schema("a").dataType)
+      else None
+    if (driverOrd.isDefined) {
+      val cap = (math.min(driverMaxEdges, (Int.MaxValue.toLong - 1) / 4)
+        * 4 + 1).toInt
+      val nodeRows = nodes.limit(cap).collect()
+      if (nodeRows.length < cap) {
         // the raw pair stream can dwarf its distinct edge set
-        // (duplicates, self-pairs) — bound the NODE count too before
-        // collecting anything to the driver
-        nodes.count() <= 4 * driverMaxEdges) {
-      driverComponents(edges, nodes) match {
-        case Some(df) => return (df, 0)
-        case None => () // no driver ordering for this id type
+        // (duplicates, self-pairs) — the node bound kept this collect
+        // proportional to the threshold, never to the input
+        return (driverComponents(edges, nodeRows, pr.schema("a").dataType,
+          driverOrd.get, nodes.sparkSession), 0)
       }
     }
     var converged = n == 0
@@ -583,9 +599,12 @@ object Dedup {
     * compare as UTF-8 BYTES (Spark's UTF8String order, NOT Java's
     * UTF-16 compareTo — they differ above U+FFFF); binary compares
     * unsigned lexicographic. */
-  private def driverComponents(edges: DataFrame,
-                               nodes: DataFrame): Option[DataFrame] = {
-    val idType = nodes.schema("id").dataType
+  /** Driver ordering matching Spark's sort order for `idType`, or None
+    * when the type is unsupported (the caller then stays distributed).
+    * Orderings run on hash-equal KEY wrappers (Array[Byte] → Seq[Byte])
+    * so binary identity-equality never corrupts the union-find map. */
+  private def driverOrderingFor(
+      idType: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
     def bytesCompare(x: Seq[Byte], y: Seq[Byte]): Int = {
       val n = math.min(x.length, y.length)
       var i = 0
@@ -597,9 +616,7 @@ object Dedup {
     }
     val bytesOrd: Ordering[Seq[Byte]] =
       (x: Seq[Byte], y: Seq[Byte]) => bytesCompare(x, y)
-    // keys are hash-equal wrappers of the raw value; the ordering runs
-    // on keys so Array[Byte] identity-equality never corrupts the map
-    val ordOpt: Option[Ordering[Any]] = idType match {
+    idType match {
       case ByteType | ShortType | IntegerType | LongType =>
         Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue))
       case StringType =>
@@ -610,46 +627,51 @@ object Dedup {
         Some(Ordering.by((x: Any) => x.asInstanceOf[Seq[Byte]])(bytesOrd))
       case _ => None
     }
-    ordOpt.map { implicit ord =>
-      def key(x: Any): Any = x match {
-        case b: Array[Byte] => b.toSeq
-        case v => v
-      }
-      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
-      def find(x: Any): Any = {
-        var r = x
-        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
-        // path compression
-        var c = x
-        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
-      // register every node (isolated ones appear only here), then
-      // union the distinct canonical edges
-      nodes.collect().foreach(row => find(key(row.get(0))))
-      edges.collect().foreach { row =>
-        val (a, b) = (key(row.get(0)), key(row.get(1)))
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(if (ord.lt(ra, rb)) rb else ra) =
-          if (ord.lt(ra, rb)) ra else rb
-      }
-      // representative = min member per component (union already links
-      // toward the smaller root, so the root IS the min)
-      def unkey(x: Any): Any = x match {
-        case s: Seq[_] if idType == BinaryType =>
-          s.asInstanceOf[Seq[Byte]].toArray
-        case v => v
-      }
-      val out = parent.keys.toSeq.map { k =>
-        org.apache.spark.sql.Row(unkey(k), unkey(find(k)))
-      }
-      nodes.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id", idType),
-          org.apache.spark.sql.types.StructField("component", idType))))
+  }
+
+  private def driverComponents(edges: DataFrame,
+      nodeRows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType,
+      ord: Ordering[Any],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    def key(x: Any): Any = x match {
+      case b: Array[Byte] => b.toSeq
+      case v => v
     }
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      // path compression
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    // register every node (isolated ones appear only here), then
+    // union the distinct canonical edges
+    nodeRows.foreach(row => find(key(row.get(0))))
+    edges.collect().foreach { row =>
+      val (a, b) = (key(row.get(0)), key(row.get(1)))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ord.lt(ra, rb)) rb else ra) =
+        if (ord.lt(ra, rb)) ra else rb
+    }
+    // representative = min member per component (union already links
+    // toward the smaller root, so the root IS the min)
+    def unkey(x: Any): Any = x match {
+      case s: Seq[_] if idType == BinaryType =>
+        s.asInstanceOf[Seq[Byte]].toArray
+      case v => v
+    }
+    val out = parent.keys.toSeq.map { k =>
+      org.apache.spark.sql.Row(unkey(k), unkey(find(k)))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("component", idType))))
   }
 
   /** Drop near-duplicates given the discovered pair set: resolve pairs

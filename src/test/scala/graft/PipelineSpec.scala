@@ -358,9 +358,14 @@ class PipelineSpec extends SparkSpec {
   test("connectedComponents driver fast path: string and binary ids " +
        "match the forced-distributed result exactly") {
     // strings whose UTF-16 order differs from UTF-8 byte order would
-    // expose a representative-choice mismatch; include multi-byte text
+    // expose a representative-choice mismatch. "￿" vs "😀"
+    // (U+1F600, surrogate pair) is the ACTUAL divergence: UTF-16
+    // compareTo sorts the surrogate (D83D…) below FFFF, UTF-8 bytes
+    // (F0 9F 98 80) sort it above (EF BF BF) — a String.compareTo
+    // driver ordering would pick the wrong representative here
     val sPairs = Seq(("beta", "alpha"), ("alpha", "せかい"),
-                     ("x", "x"), ("zz", "za")).toDF("id_a", "id_b")
+                     ("x", "x"), ("zz", "za"),
+                     ("￿", "😀")).toDF("id_a", "id_b")
     val sFast = Dedup.connectedComponents(sPairs, "id_a", "id_b")
       .as[(String, String)].collect().toMap
     val sDist = Dedup.connectedComponents(sPairs, "id_a", "id_b",
@@ -368,6 +373,8 @@ class PipelineSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(sFast == sDist)
     assert(sFast("せかい") == "alpha" && sFast("x") == "x")
+    // Spark's UTF8String (binary) min — NOT the UTF-16 answer ("😀")
+    assert(sFast("😀") == "￿")
     val bPairs = sPairs.select(col("id_a").cast("binary").as("id_a"),
       col("id_b").cast("binary").as("id_b"))
     def m(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>

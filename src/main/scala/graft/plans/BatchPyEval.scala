@@ -106,8 +106,10 @@ object ExtractBatchPyUdfs extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Replace every extractable py-udf call in `exprs` with a reference
     * to a batch-computed attribute; duplicate calls (same canonical
-    * expression) share one attribute. */
-  private def pullOut(exprs: Seq[Expression])
+    * expression) share one attribute. `rowLevelOnly` additionally
+    * skips calls with an aggregate anywhere beneath them (the
+    * Aggregate rewrite must not move post-aggregation calls below). */
+  private def pullOut(exprs: Seq[Expression], rowLevelOnly: Boolean = false)
       : (Seq[Expression], Seq[PyCall]) = {
     val guarded: Set[Expression] = exprs.flatMap(guardedCalls).toSet
     val calls = scala.collection.mutable.ArrayBuffer.empty[PyCall]
@@ -124,6 +126,9 @@ object ExtractBatchPyUdfs extends Rule[LogicalPlan] with PredicateHelper {
     val rewritten = exprs.map(_.transformUp {
       case u: ScalaUDF if extractable(u) &&
           !guarded.contains(u.canonicalized) &&
+          (!rowLevelOnly || !u.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.aggregate
+              .AggregateExpression])) &&
           PyUdfs.specFor(u.udfName.get).isDefined => attrFor(u)
     })
     (rewritten, calls.toSeq)
@@ -168,6 +173,30 @@ object ExtractBatchPyUdfs extends Rule[LogicalPlan] with PredicateHelper {
       // doesn't leak into the filter's output schema
       else Project(child.output,
         Filter(newConds.head, BatchPyEvalNode(calls, below)))
+    // GROUP d BY ns.fn(x) (and SUM(ns.fn(x))-style agg inputs): the
+    // call is ROW-level — it feeds the grouping key or an aggregate
+    // function's input — so it batches below the Aggregate. Calls
+    // applied ON TOP of aggregate results (f(SUM(x))) are excluded by
+    // the no-AggregateExpression-beneath guard and stay scalar.
+    // Grouping and output occurrences of the same call share one
+    // attribute, so the rewritten output list still references a
+    // grouping expression (analyzer-valid by construction).
+    case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if (agg.groupingExpressions ++ agg.aggregateExpressions)
+          .exists(e => e.exists(u => extractable(u) &&
+            !u.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.aggregate
+                .AggregateExpression]))) =>
+      val gLen = agg.groupingExpressions.length
+      val (rewritten, calls) = pullOut(
+        agg.groupingExpressions ++ agg.aggregateExpressions,
+        rowLevelOnly = true)
+      if (calls.isEmpty) agg
+      else agg.copy(
+        groupingExpressions = rewritten.take(gLen),
+        aggregateExpressions = rewritten.drop(gLen)
+          .map(_.asInstanceOf[NamedExpression]),
+        child = BatchPyEvalNode(calls, agg.child))
     // FLATTEN(ns.fn(x)) — a bag-returning python UDF under explode:
     // batch the udf below the Generate, explode the result attribute
     case g: Generate if hasExtractable(g.generator) =>

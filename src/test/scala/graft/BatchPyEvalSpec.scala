@@ -101,6 +101,23 @@ class BatchPyEvalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("GROUP BY a py-udf key batches below the Aggregate") {
+    val rel = graft.frontend.PigRunner(spark).run(s"""
+      REGISTER '$pyScript' USING streaming_python AS f;
+      d = LOAD '/root/testdata/sf0.001/documents.parquet';
+      g = GROUP d BY f.rev(lang);
+      r = FOREACH g GENERATE group, COUNT(d) AS n;
+    """).apply("r").df
+    val plan = rel.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchPyEval"), s"did not batch:\n$plan")
+    val got = rel.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = sf("documents").select("lang").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0).reverse)
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(got == want)
+    assert(got.size > 1)
+  }
+
   test("FILTER conjunct split: a null-guard AND a py-udf — the guard " +
        "filters BELOW the batch node so the fn never sees guarded rows") {
     import spark.implicits._

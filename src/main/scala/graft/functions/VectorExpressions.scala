@@ -219,11 +219,83 @@ case class NearestCells(child: Expression, centroids: Array[Array[Float]],
     copy(child = newChild)
 }
 
+/** SimHash signature of a token-HASH array, in one row-local pass: bit
+  * i of the result is set iff Σ over tokens (with multiplicity) of
+  * (±1 by bit i of the token hash) is > 0 — bit-for-bit the classic
+  * 64-conditional-sum aggregation, WITHOUT the token explode or the
+  * 64-column groupBy shuffle (per-doc signatures are row-local; only
+  * the relational form needed a shuffle). Empty or null arrays yield
+  * NULL — zero-token docs emit no signature, the documented
+  * [[graft.text.Dedup.simhash]] contract. Long counters: a document
+  * cannot overflow them. */
+case class SimhashSign(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_sign"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) null
+    else {
+      val cnt = new Array[Long](64)
+      var j = 0
+      while (j < n) {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < 64) {
+          cnt(i) += (((h >>> i) & 1L) * 2 - 1); i += 1
+        }
+        j += 1
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 64) { if (cnt(i) > 0) sig |= (1L << i); i += 1 }
+      sig
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cnt = ctx.freshName("cnt"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val sig = ctx.freshName("sig"); val n = ctx.freshName("n")
+      s"""
+        int $n = $a.numElements();
+        if ($n == 0) {
+          ${ev.isNull} = true;
+        } else {
+          long[] $cnt = new long[64];
+          for (int $j = 0; $j < $n; $j++) {
+            long $h = $a.getLong($j);
+            for (int $i = 0; $i < 64; $i++) {
+              $cnt[$i] += ((($h >>> $i) & 1L) * 2 - 1);
+            }
+          }
+          long $sig = 0L;
+          for (int $i = 0; $i < 64; $i++) {
+            if ($cnt[$i] > 0) $sig |= (1L << $i);
+          }
+          ${ev.value} = $sig;
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.bridge
 
   def cosine_sim(a: Column, b: Column): Column =
     bridge.column(CosineSimilarity(bridge.expression(a), bridge.expression(b)))
+
+  /** Row-local SimHash signature of a token-hash array (see
+    * [[SimhashSign]]); NULL for empty/null input. */
+  def simhash_sign(tokenHashes: Column): Column =
+    bridge.column(SimhashSign(bridge.expression(tokenHashes)))
 
   /** Array of the `probes` nearest cell ids (descending cosine, ties →
     * lower id) — the scale path for cell assignment at auto-k. */

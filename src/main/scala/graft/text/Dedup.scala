@@ -332,18 +332,18 @@ object Dedup {
     * exact duplicates; the exact-dedup path owns them. (Pinned by
     * ProbeSpec "degenerate docs".) */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i")
-    }
-    val agged = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
-      shiftleft(when(col(s"b$i") > 0, 1L).otherwise(0L), i)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agged.select(col(idCol), sig.as("simhash"))
+    // per-doc signatures are ROW-LOCAL — the native SimhashSign
+    // expression folds the 64 conditional bit sums into one pass over
+    // the in-row token-hash array, deleting the token explode AND the
+    // 64-column groupBy exchange the relational form needed (r13;
+    // signatures bit-identical: same xxhash64 per token, same ±1 sums
+    // with multiplicity, same sum>0 tie rule, and empty/whitespace
+    // docs still emit NO row — SimhashSign is null on empty arrays)
+    df.select(col(idCol),
+        graft.functions.VectorExpressions.simhash_sign(
+          transform(TextAnalysis.tokens(col(textCol)),
+            t => xxhash64(t))).as("simhash"))
+      .where(col("simhash").isNotNull)
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -392,21 +392,17 @@ object Dedup {
     * ceiling. Output columns `simhash_lo`, `simhash_hi`. */
   def simhash128(df: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("hlo"),
-        xxhash64(lit("graft.simhash.hi"), col("tok")).as("hhi"))
-    def sums(h: String, p: String) = (0 until 64).map { i =>
-      sum(when(shiftright(col(h), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"$p$i")
-    }
-    val all = sums("hlo", "lo") ++ sums("hhi", "hi")
-    val agged = toks.groupBy(col(idCol)).agg(all.head, all.tail: _*)
-    def pack(p: String) = (0 until 64).map { i =>
-      shiftleft(when(col(s"$p$i") > 0, 1L).otherwise(0L), i)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agged.select(col(idCol), pack("lo").as("simhash_lo"),
-      pack("hi").as("simhash_hi"))
+    // same row-local form as [[simhash]]: two independent halves (the
+    // high half salts the token hash exactly as before), two native
+    // one-pass signatures, zero exchanges
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol),
+        graft.functions.VectorExpressions.simhash_sign(
+          transform(toks, t => xxhash64(t))).as("simhash_lo"),
+        graft.functions.VectorExpressions.simhash_sign(
+          transform(toks, t => xxhash64(lit("graft.simhash.hi"), t)))
+          .as("simhash_hi"))
+      .where(col("simhash_lo").isNotNull)
   }
 
   /** Hamming distance between two 128-bit (two-long) signatures. */

@@ -37,18 +37,48 @@ import graft.functions.PyUdfs
   * (join conditions, aggregate expressions — rare in Pig scripts,
   * where UDFs live in FOREACH/FILTER) — correctness never depends on
   * extraction. Calls sitting in a CONDITIONALLY-evaluated branch
-  * (bincond/CASE WHEN values, coalesce tails) are also left scalar:
-  * batching would evaluate them on rows the guard excludes, turning
-  * `(x is not null ? f(x) : …)` into an unconditional f(null) call —
-  * the same carve-out Spark's own rule makes for its Python UDFs.
-  * (AND/OR operands stay extractable: Spark SQL reorders conjuncts
-  * freely, so short-circuit order is not a semantic guarantee there.)
+  * (bincond/CASE WHEN values, coalesce tails, AND/OR right operands)
+  * are also left scalar: batching would evaluate them on rows the
+  * guard excludes, turning `(x is not null ? f(x) : …)` — or
+  * `x IS NULL OR f(x)` — into an unconditional f(null) call. The
+  * AND/OR treatment is deliberately MORE conservative than Spark's
+  * own Python-UDF rule (which batches them, relying on conjunct
+  * reorder being fair game): a udf that raises on the guarded value
+  * would turn a working scalar query into a failing batched one.
+  * FILTER conjunctions don't lose batching to this: the Filter case
+  * splits top-level conjuncts first, so each udf-bearing conjunct is
+  * its own unguarded root.
   */
 object BatchPyEval {
   /** Rows per wire round-trip. Amortizes round-trip latency ~batch×
     * while bounding request size (a batch of wide text rows stays in
     * the tens of MB). */
   val BatchRows = 128
+
+  /** Byte bound per wire round-trip: a batch also closes once its
+    * accumulated ARGUMENT payload (the values that actually serialize
+    * into the JSON request) reaches this, so 128 multi-MB documents
+    * never build a several-hundred-MB request. */
+  val MaxBatchBytes: Long = 8L << 20
+
+  /** Approximate serialized size of one external argument value —
+    * an upper-bound-ish proxy for its JSON wire footprint. */
+  private[plans] def approxBytes(v: AnyRef): Long = v match {
+    case null => 4L
+    case s: String => 8L + s.length
+    case a: scala.collection.Seq[_] =>
+      8L + a.iterator.map(x => approxBytes(x.asInstanceOf[AnyRef])).sum
+    case a: Array[_] =>
+      8L + a.iterator.map(x => approxBytes(x.asInstanceOf[AnyRef])).sum
+    case m: scala.collection.Map[_, _] =>
+      8L + m.iterator.map { case (k, w) =>
+        approxBytes(k.asInstanceOf[AnyRef]) +
+          approxBytes(w.asInstanceOf[AnyRef])
+      }.sum
+    case r: org.apache.spark.sql.Row =>
+      8L + r.toSeq.iterator.map(x => approxBytes(x.asInstanceOf[AnyRef])).sum
+    case _ => 8L
+  }
 
   private[plans] def isPyUdf(e: Expression): Boolean = e match {
     case u: ScalaUDF => u.udfName.exists(_.startsWith("graft_py_"))
@@ -84,7 +114,8 @@ object ExtractBatchPyUdfs extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Canonical forms of py-udf calls that sit in a conditionally-
     * evaluated position somewhere under `e` — a bincond/CASE value
-    * branch or a coalesce tail. These must not batch: the original
+    * branch, a coalesce tail, or an AND/OR right operand (whose eval
+    * short-circuits on the left). These must not batch: the original
     * expression only evaluates them on rows the guard admits. */
   private def guardedCalls(e: Expression): Set[Expression] = {
     val out = scala.collection.mutable.Set.empty[Expression]
@@ -96,6 +127,8 @@ object ExtractBatchPyUdfs extends Rule[LogicalPlan] with PredicateHelper {
           (cw.branches.map(_._2) ++ cw.branches.drop(1).map(_._1) ++
             cw.elseValue).toSet
         case c: Coalesce => c.children.drop(1).toSet
+        case a: And => Set(a.right)
+        case o: Or => Set(o.right)
         case _ => Set.empty
       }
       ex.children.foreach(ch => walk(ch, g || condKids.contains(ch)))
@@ -104,34 +137,33 @@ object ExtractBatchPyUdfs extends Rule[LogicalPlan] with PredicateHelper {
     out.toSet
   }
 
-  /** Replace every extractable py-udf call in `exprs` with a reference
-    * to a batch-computed attribute; duplicate calls (same canonical
-    * expression) share one attribute. `rowLevelOnly` additionally
-    * skips calls with an aggregate anywhere beneath them (the
-    * Aggregate rewrite must not move post-aggregation calls below). */
-  private def pullOut(exprs: Seq[Expression], rowLevelOnly: Boolean = false)
-      : (Seq[Expression], Seq[PyCall]) = {
-    val guarded: Set[Expression] = exprs.flatMap(guardedCalls).toSet
-    val calls = scala.collection.mutable.ArrayBuffer.empty[PyCall]
-    def attrFor(u: ScalaUDF): Attribute = {
-      calls.find(_.udf.canonicalized == u.canonicalized) match {
+  /** Shared call registry for one rewrite: duplicate calls (same
+    * canonical expression) share one batch-computed attribute. */
+  private class Calls {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[PyCall]
+    def attrFor(u: ScalaUDF): Attribute =
+      buf.find(_.udf.canonicalized == u.canonicalized) match {
         case Some(c) => c.resultAttr
         case None =>
           val a = AttributeReference(
-            s"__pybatch_${calls.length}", u.dataType, nullable = true)()
-          calls += PyCall(u, a)
+            s"__pybatch_${buf.length}", u.dataType, nullable = true)()
+          buf += PyCall(u, a)
           a
       }
-    }
+  }
+
+  /** Replace every extractable py-udf call in `exprs` with a reference
+    * to a batch-computed attribute. */
+  private def pullOut(exprs: Seq[Expression])
+      : (Seq[Expression], Seq[PyCall]) = {
+    val guarded: Set[Expression] = exprs.flatMap(guardedCalls).toSet
+    val calls = new Calls
     val rewritten = exprs.map(_.transformUp {
       case u: ScalaUDF if extractable(u) &&
           !guarded.contains(u.canonicalized) &&
-          (!rowLevelOnly || !u.exists(_.isInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.aggregate
-              .AggregateExpression])) &&
-          PyUdfs.specFor(u.udfName.get).isDefined => attrFor(u)
+          PyUdfs.specFor(u.udfName.get).isDefined => calls.attrFor(u)
     })
-    (rewritten, calls.toSeq)
+    (rewritten, calls.buf.toSeq)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -164,39 +196,66 @@ object ExtractBatchPyUdfs extends Rule[LogicalPlan] with PredicateHelper {
       // ExtractPythonUDFs does the same trySplitFilter.)
       val (udfConjs, plainConjs) =
         splitConjunctivePredicates(cond).partition(_.exists(isPyUdf))
+      // …but only DETERMINISTIC plain conjuncts move below (Spark's
+      // own trySplitFilter makes the same cut): a rand()-style conjunct
+      // pushed under the batch node would see a different row set than
+      // the original single Filter evaluated it over
+      val (detConjs, nondetConjs) = plainConjs.partition(_.deterministic)
       val below =
-        if (plainConjs.isEmpty) child
-        else Filter(plainConjs.reduce(And), child)
-      val (newConds, calls) = pullOut(Seq(udfConjs.reduce(And)))
+        if (detConjs.isEmpty) child
+        else Filter(detConjs.reduce(And), child)
+      // pull out per-conjunct (NOT from the reduced And) so each
+      // udf-bearing conjunct is its own root — the Or/And right-operand
+      // guard must not silence sibling conjuncts
+      val (newConds, calls) = pullOut(udfConjs)
       if (calls.isEmpty) f
       // project back to the child's columns so the extra batch column
       // doesn't leak into the filter's output schema
       else Project(child.output,
-        Filter(newConds.head, BatchPyEvalNode(calls, below)))
+        Filter((newConds ++ nondetConjs).reduce(And),
+          BatchPyEvalNode(calls, below)))
     // GROUP d BY ns.fn(x) (and SUM(ns.fn(x))-style agg inputs): the
     // call is ROW-level — it feeds the grouping key or an aggregate
-    // function's input — so it batches below the Aggregate. Calls
-    // applied ON TOP of aggregate results (f(SUM(x))) are excluded by
-    // the no-AggregateExpression-beneath guard and stay scalar.
-    // Grouping and output occurrences of the same call share one
-    // attribute, so the rewritten output list still references a
-    // grouping expression (analyzer-valid by construction).
+    // function's input — so it batches below the Aggregate. In the
+    // OUTPUT list only two positions are row-level AND bindable after
+    // the rewrite: a call strictly inside an AggregateExpression's
+    // input, and a call canonically equal to a grouping expression
+    // (its shared batch attribute then IS a grouping expression).
+    // Everything else stays scalar: f(SUM(x)) is post-aggregation, and
+    // f(k) over a grouping column k would rewrite to an attribute that
+    // is neither a grouping attribute nor an aggregate result —
+    // physical aggregation could not bind it.
     case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
         if (agg.groupingExpressions ++ agg.aggregateExpressions)
-          .exists(e => e.exists(u => extractable(u) &&
-            !u.exists(_.isInstanceOf[
-              org.apache.spark.sql.catalyst.expressions.aggregate
-                .AggregateExpression]))) =>
-      val gLen = agg.groupingExpressions.length
-      val (rewritten, calls) = pullOut(
-        agg.groupingExpressions ++ agg.aggregateExpressions,
-        rowLevelOnly = true)
-      if (calls.isEmpty) agg
+          .exists(e => e.exists(extractable)) =>
+      import org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateExpression
+      val all = agg.groupingExpressions ++ agg.aggregateExpressions
+      val guarded: Set[Expression] = all.flatMap(guardedCalls).toSet
+      def ok(u: ScalaUDF): Boolean =
+        extractable(u) && !guarded.contains(u.canonicalized) &&
+          PyUdfs.specFor(u.udfName.get).isDefined
+      val groupingCanon = agg.groupingExpressions.map(_.canonicalized).toSet
+      val calls = new Calls
+      val newGrouping = agg.groupingExpressions.map(_.transformUp {
+        case u: ScalaUDF if ok(u) => calls.attrFor(u)
+      })
+      def rewriteOut(e: Expression, insideAgg: Boolean): Expression =
+        e match {
+          case u: ScalaUDF if ok(u) &&
+              (insideAgg || groupingCanon.contains(u.canonicalized)) =>
+            calls.attrFor(u)
+          case ae: AggregateExpression =>
+            ae.mapChildren(c => rewriteOut(c, insideAgg = true))
+          case other => other.mapChildren(c => rewriteOut(c, insideAgg))
+        }
+      val newOutput = agg.aggregateExpressions.map(e =>
+        rewriteOut(e, insideAgg = false).asInstanceOf[NamedExpression])
+      if (calls.buf.isEmpty) agg
       else agg.copy(
-        groupingExpressions = rewritten.take(gLen),
-        aggregateExpressions = rewritten.drop(gLen)
-          .map(_.asInstanceOf[NamedExpression]),
-        child = BatchPyEvalNode(calls, agg.child))
+        groupingExpressions = newGrouping,
+        aggregateExpressions = newOutput,
+        child = BatchPyEvalNode(calls.buf.toSeq, agg.child))
     // FLATTEN(ns.fn(x)) — a bag-returning python UDF under explode:
     // batch the udf below the Generate, explode the result attribute
     case g: Generate if hasExtractable(g.generator) =>
@@ -263,24 +322,48 @@ case class BatchPyEvalExec(calls: Seq[PyCall], child: SparkPlan)
       }
       val joined = new JoinedRow
       val project = UnsafeProjection.create(out, out)
-      // copy BEFORE grouping: the child iterator reuses one mutable row
-      // object, and grouped() would buffer 128 references to it
-      iter.map(_.copy()).grouped(BatchPyEval.BatchRows).flatMap { batch =>
+      // Batches close at BatchRows rows OR MaxBatchBytes of argument
+      // payload, whichever comes first — the byte bound keeps a batch
+      // of multi-MB documents from building a several-hundred-MB JSON
+      // request. Arguments are evaluated as rows buffer (they are
+      // needed for the size measure anyway) and carried to the wire
+      // step. Rows are copied BEFORE buffering: the child iterator
+      // reuses one mutable row object.
+      val batches =
+        new Iterator[IndexedSeq[(InternalRow, IndexedSeq[Seq[AnyRef]])]] {
+          override def hasNext: Boolean = iter.hasNext
+          override def next()
+              : IndexedSeq[(InternalRow, IndexedSeq[Seq[AnyRef]])] = {
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[(InternalRow, IndexedSeq[Seq[AnyRef]])]
+            var bytes = 0L
+            while (iter.hasNext && buf.length < BatchPyEval.BatchRows &&
+                bytes < BatchPyEval.MaxBatchBytes) {
+              val row = iter.next().copy()
+              val args: IndexedSeq[Seq[AnyRef]] = specs.indices.map { ci =>
+                val (_, bound, _, _) = specs(ci)
+                val ext = toExternal(ci)
+                bound.zipWithIndex.map { case (b, ai) =>
+                  val v = ext(ai)(b.eval(row)).asInstanceOf[AnyRef]
+                  bytes += BatchPyEval.approxBytes(v)
+                  v
+                }
+              }
+              buf += ((row, args))
+            }
+            buf.toIndexedSeq
+          }
+        }
+      batches.flatMap { batch =>
         // one wire round-trip per call for the whole batch
         val results: Seq[Seq[AnyRef]] = specs.zipWithIndex.map {
-          case ((rec, bound, _, _), ci) =>
-            val ext = toExternal(ci)
-            val argsBatch = batch.map { row =>
-              bound.zipWithIndex.map { case (b, ai) =>
-                ext(ai)(b.eval(row)).asInstanceOf[AnyRef]
-              }
-            }
-            PyUdfs.callBatch(rec, argsBatch)
+          case ((rec, _, _, _), ci) =>
+            PyUdfs.callBatch(rec, batch.map(_._2(ci)))
         }
         // LAZY iterator: the projection's output buffer is reused, so
         // each row must be consumed downstream before the next is built
         // (an eager map would alias every row to the last one)
-        batch.iterator.zipWithIndex.map { case (row, ri) =>
+        batch.iterator.zipWithIndex.map { case ((row, _), ri) =>
           val extra = InternalRow.fromSeq(
             results.indices.map(ci => toInternal(ci)(results(ci)(ri))))
           project(joined(row, extra))

@@ -205,6 +205,126 @@ class BatchPyEvalSpec extends SparkSpec {
       s"streaming plan did not batch:\n$baos")
   }
 
+  test("a py-udf OVER a grouping column in the output list stays scalar " +
+       "and the query runs (batching it would be unbindable post-agg)") {
+    val rel = graft.frontend.PigRunner(spark).run(s"""
+      REGISTER '$pyScript' USING streaming_python AS f;
+      d = LOAD '/root/testdata/sf0.001/documents.parquet';
+      g = GROUP d BY lang;
+      r = FOREACH g GENERATE f.rev(group) AS rlang, COUNT(d) AS n;
+    """).apply("r").df
+    // the call must NOT extract: its batch attribute would be neither a
+    // grouping attribute nor an aggregate result — the scalar path is
+    // the only bindable one here
+    val got = rel.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = sf("documents").select("lang").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+      .groupBy(identity)
+      .map { case (k, v) =>
+        (if (k == null) null else k.reverse) -> v.length.toLong }
+    assert(got == want)
+    assert(got.size > 1)
+  }
+
+  test("SUM over a py-udf input batches below the Aggregate while a " +
+       "post-agg call in the same query stays scalar") {
+    // CollapseProject folds the udf projection into the Aggregate's
+    // agg input — the rule must then batch it BELOW the Aggregate
+    val rel = graft.frontend.PigRunner(spark).run(s"""
+      REGISTER '$pyScript' USING streaming_python AS f;
+      d = LOAD '/root/testdata/sf0.001/documents.parquet';
+      r1 = FOREACH d GENERATE lang, f.nwords(text) AS nw;
+      g = GROUP r1 BY lang;
+      r = FOREACH g GENERATE group, SUM(r1.nw) AS tw;
+    """).apply("r").df
+    val plan = rel.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchPyEval"), s"agg input did not batch:\n$plan")
+    val got = rel.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = sf("documents").select("lang", "text").collect()
+      .groupBy(r => if (r.isNullAt(0)) null else r.getString(0))
+      .map { case (k, rows) =>
+        k -> rows.map(r => if (r.isNullAt(1)) 0L
+          else r.getString(1).split("\\s+").count(_.nonEmpty).toLong).sum }
+    assert(got == want)
+    assert(got.size > 1)
+  }
+
+  test("an OR-guarded py-udf stays scalar: `x IS NULL OR f(x)` must " +
+       "never call the fn on the guarded rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orguard").toFile
+    dir.deleteOnExit()
+    Seq((1L, "alpha"), (2L, null), (3L, "g"), (4L, null))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/docs.parquet")
+    val py = java.nio.file.Files.createTempFile("graft_orguard", ".py")
+    java.nio.file.Files.write(py,
+      """from pig_util import outputSchema
+        |@outputSchema("ok:boolean")
+        |def long2(x):
+        |    return len(x) >= 2   # raises TypeError on None
+        |""".stripMargin.getBytes("UTF-8"))
+    py.toFile.deleteOnExit()
+    val rel = graft.frontend.PigRunner(spark).run(s"""
+      REGISTER '$py' USING streaming_python AS f;
+      d = LOAD '$dir/docs.parquet';
+      r = FILTER d BY text is null OR f.long2(text);
+      p = FOREACH r GENERATE doc_id;
+    """).apply("p").df
+    // batching would evaluate long2(None) on rows the IS NULL guard
+    // admits without ever reaching the udf — must stay scalar AND run
+    assert(rel.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
+
+  test("a nondeterministic plain conjunct stays ABOVE the batch node " +
+       "(only deterministic guards push below)") {
+    val rel = graft.frontend.PigRunner(spark).run(s"""
+      REGISTER '$pyScript' USING streaming_python AS f;
+      d = LOAD '/root/testdata/sf0.001/documents.parquet';
+      r = FILTER d BY f.longish(text) AND RANDOM() <= 1.0;
+      p = FOREACH r GENERATE doc_id;
+    """).apply("p").df
+    val opt = rel.queryExecution.optimizedPlan
+    val nodes = opt.collect {
+      case n: graft.plans.BatchPyEvalNode => n }
+    assert(nodes.nonEmpty, s"did not batch:\n$opt")
+    // rand() must not have been pushed under the batch node: it would
+    // evaluate over a different row set than the original single filter
+    assert(!nodes.exists(_.child.exists(_.expressions.exists(
+        _.exists(!_.deterministic)))),
+      s"nondeterministic conjunct pushed below the batch node:\n$opt")
+    // RANDOM() <= 1.0 always passes, so the result is deterministic
+    val got = rel.collect().map(_.getLong(0)).toSet
+    val want = sf("documents").select("doc_id", "text").collect()
+      .filter(r => !r.isNullAt(1) && r.getString(1).length > 40)
+      .map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("multi-MB documents close batches on the byte bound and still " +
+       "produce exact results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigdocs").toFile
+    dir.deleteOnExit()
+    // 24 docs of ~1MB each: a 128-row batch would be a ~24MB request;
+    // the 8MB byte bound must split it without changing any result
+    val big = (1L to 24L).map { i =>
+      (i, (s"w$i " * ((1 << 20) / 4)).trim) }
+    big.toDF("doc_id", "text").repartition(2).write.mode("overwrite")
+      .parquet(s"$dir/docs.parquet")
+    val rel = graft.frontend.PigRunner(spark).run(s"""
+      REGISTER '$pyScript' USING streaming_python AS f;
+      d = LOAD '$dir/docs.parquet';
+      r = FOREACH d GENERATE doc_id, f.nwords(text) AS nw;
+    """).apply("r").df
+    val plan = rel.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchPyEval"), s"did not batch:\n$plan")
+    val got = rel.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = big.map { case (i, t) =>
+      (i, t.split("\\s+").count(_.nonEmpty).toLong) }.toSet
+    assert(got == want)
+  }
+
   test("python exceptions carry the traceback through the batch path") {
     val py = java.nio.file.Files.createTempFile("graft_batch_boom", ".py")
     java.nio.file.Files.write(py,

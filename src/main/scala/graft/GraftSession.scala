@@ -48,6 +48,29 @@ object GraftSession {
   }
 
   // -------------------------------------------------------------------
+  // Scale knobs. A 100 TB operator's thresholds must be tunable per
+  // session without a recompile — these read `spark.conf` (runtime-
+  // settable) and fall back to the compiled, measured defaults:
+  //   graft.cc.driverMaxEdges        (default 2^18; 0 forces the
+  //                                   distributed star-contraction)
+  //   graft.semdedup.targetCellSize  (default 256)
+  //   graft.semdedup.kCap            (default 65536)
+  //   graft.ivf.targetCellSize       (default 1024)
+  //   graft.ivf.sampleSize           (default 65536)
+  // An explicit method argument always wins over the conf.
+
+  /** Read a long-valued graft.* knob from a session's conf. */
+  def longConf(spark: SparkSession, key: String, default: Long): Long =
+    spark.conf.getOption(key).map(_.trim.toLong).getOrElse(default)
+
+  /** Same, against the active session (for call sites without a frame
+    * in hand); absent an active session the default applies. */
+  def longConf(key: String, default: Long): Long =
+    SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(key)).map(_.trim.toLong)
+      .getOrElse(default)
+
+  // -------------------------------------------------------------------
   // Tracked persisted intermediates. SPLIT inputs and the dedup/LSH
   // shared subplans persist() so multi-consumer plans don't re-scan the
   // source — but an untracked persist leaks executor memory/disk for the

@@ -1302,6 +1302,15 @@ object SparkEntry {
       graft.text.Dedup.repeatedNgramStats(
         T(s, d, "documents").df, "doc_id", "text", n = 5)),
 
+    // ExactSubstr span-level dedup (Lee et al. 2022) — the REMOVAL
+    // half of q100: cut corpus-repeated word-5-gram spans out of the
+    // text, keeping one canonical (min doc_id, offset) occurrence.
+    // Spark keys occurrences by xxhash64 gram hashes; the oracle uses
+    // raw gram strings — equal absent a 64-bit collision
+    "q103_drop_repeated_spans" -> ((s, d) =>
+      graft.text.Dedup.dropRepeatedSpans(
+        T(s, d, "documents").df, "doc_id", "text", minSpanTokens = 5)),
+
     "q99_ppm_decode" -> ((s, d) => {
       import s.implicits._
       val media = T(s, d, "documents").df.select(col("doc_id"))
@@ -2167,6 +2176,46 @@ object SparkEntry {
                 count(*) FILTER (WHERE nd > 1) AS n_dup_grams
          FROM grams JOIN freq USING (g)
          GROUP BY doc_id""",
+    // same tokenization and 5-gram windows as q100, raw gram strings;
+    // canonical occurrence = min (doc_id, off); removed tokens = union
+    // of positions covered by every non-canonical repeated occurrence
+    "q103_drop_repeated_spans" ->
+      """WITH words AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                               ' ') AS w
+           FROM documents),
+         occ AS (
+           SELECT doc_id, i AS off, array_to_string(w[i:i+4], ' ') AS g
+           FROM words, unnest(range(1, len(w) - 3)) AS t(i)
+           WHERE len(w) >= 5),
+         marked AS (
+           SELECT doc_id, off,
+                  count(*) OVER (PARTITION BY g) AS c,
+                  row_number() OVER (PARTITION BY g
+                                     ORDER BY doc_id, off) AS rn
+           FROM occ),
+         remidx AS (
+           SELECT DISTINCT doc_id, u.pos
+           FROM marked, unnest(range(off, off + 5)) AS u(pos)
+           WHERE c > 1 AND rn > 1),
+         tokpos AS (
+           SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w
+           FROM words WHERE w IS NOT NULL),
+         kept AS (
+           SELECT tp.doc_id, tp.pos, list_extract(tp.w, tp.pos) AS tok
+           FROM tokpos tp LEFT JOIN remidx r
+             ON tp.doc_id = r.doc_id AND tp.pos = r.pos
+           WHERE r.pos IS NULL),
+         agg AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct,
+                  count(*) AS nk
+           FROM kept GROUP BY doc_id)
+         SELECT w.doc_id, coalesce(a.ct, '') AS clean_text,
+                CAST(CASE WHEN w.w IS NULL THEN 0
+                          ELSE len(w.w) - coalesce(a.nk, 0) END AS BIGINT)
+                  AS removed_tokens
+         FROM words w LEFT JOIN agg a ON w.doc_id = a.doc_id""",
     "q99_ppm_decode" ->
       """SELECT doc_id,
                 CAST(doc_id % 16 + 1 AS INT) AS width,

@@ -76,7 +76,10 @@ object Ivf {
     * when the cap clamps (past it, per-probe work grows linearly with
     * the corpus instead of staying constant). */
   private[graft] def autoK(n: Long, sampleSize: Int): Int = {
-    val want = math.max(8L, n / TargetCellSize)
+    // session-tunable via graft.ivf.targetCellSize (no recompile)
+    val cellSize = graft.GraftSession.longConf(
+      "graft.ivf.targetCellSize", TargetCellSize)
+    val want = math.max(8L, n / math.max(1L, cellSize))
     if (want > sampleSize.toLong)
       graft.functions.Warnings.driverWarn(
         s"ivf auto-k capped at fit sample budget $sampleSize (corpus of " +
@@ -87,15 +90,21 @@ object Ivf {
   }
 
   def fit(emb: DataFrame, vecCol: String, k: Int, iters: Int,
-          idCol: String = "vec_id", sampleSize: Int = 65536): Model = {
-    // auto-k is capped at sampleSize: a centroid count beyond the fit
+          idCol: String = "vec_id", sampleSize: Int = -1): Model = {
+    // sampleSize -1 = "not set explicitly" → session conf
+    // graft.ivf.sampleSize decides (default 65536, the fit budget)
+    val sampleEff =
+      if (sampleSize > 0) sampleSize
+      else graft.GraftSession.longConf(emb.sparkSession,
+        "graft.ivf.sampleSize", 65536L).toInt
+    // auto-k is capped at sampleEff: a centroid count beyond the fit
     // sample is meaningless (centroids seed FROM the sample) and the
     // uncapped value would drive a kEff-row driver collect below.
     // Past the cap cell sizes grow with the corpus again — warn loudly
     // rather than degrade silently (autoKCapped names the levers).
     val kEff =
       if (k > 0) k
-      else autoK(emb.select(idCol).count(), sampleSize)
+      else autoK(emb.select(idCol).count(), sampleEff)
     // probe the dim from one row (LocalLimit(1) — stops as soon as a
     // usable row is found) so the sample row count scales DOWN with
     // dim: the driver holds at most ~fitSampleFloatBudget floats, as
@@ -109,7 +118,7 @@ object Ivf {
       return Model(emb.withColumn("cell", lit(0)), Array.empty, idCol, vecCol)
     val probedDim = dimProbe(0).getInt(0)
     val rows = math.max(kEff,
-      math.min(sampleSize, fitSampleFloatBudget / probedDim))
+      math.min(sampleEff, fitSampleFloatBudget / probedDim))
     // order by a HASH of the id, not the id: a raw-id prefix is a
     // biased sample whenever id order correlates with content (ids
     // assigned per source/crawl batch — the common case), and biased

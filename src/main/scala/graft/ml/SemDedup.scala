@@ -59,14 +59,21 @@ object SemDedup {
     * clamps the count (the silent-clamp trap: everything still runs,
     * just increasingly slowly as cells grow). */
   private[graft] def autoK(n: Long): Int = {
-    val want = math.max(8L, n / TargetCellSize)
-    if (want > KCap)
+    // both knobs are session-tunable (graft.semdedup.targetCellSize /
+    // graft.semdedup.kCap) — a 100 TB run must be able to trade cell
+    // size for recall without recompiling; the compiled values above
+    // stay the defaults
+    val cellSize = graft.GraftSession.longConf(
+      "graft.semdedup.targetCellSize", TargetCellSize)
+    val kCap = graft.GraftSession.longConf("graft.semdedup.kCap", KCap)
+    val want = math.max(8L, n / math.max(1L, cellSize))
+    if (want > kCap)
       graft.functions.Warnings.driverWarn(
-        s"semdedup auto-k capped at $KCap (corpus of $n vectors wants " +
+        s"semdedup auto-k capped at $kCap (corpus of $n vectors wants " +
           s"$want cells): per-cell pair work now grows with the corpus. " +
           "Shard the corpus (per-source/per-shard dedup passes) or raise " +
           "the Ivf fit sample budget and pass an explicit k.")
-    math.min(KCap, want).toInt
+    math.min(kCap, want).toInt
   }
 
   /** Resolve auto-k (k ≤ 0): one column-pruned count (parquet footers

@@ -365,18 +365,46 @@ object Dedup {
     * 128-bit variant ([[simhash128]]/[[simhashNearDups128]] — 32-bit
     * bands push the ceiling ~2^16 higher), or prefer the MinHash
     * pipeline, whose band buckets are 64-bit hashes and never saturate
-    * ([[minhashNearDupsByWords]]). */
+    * ([[minhashNearDupsByWords]]).
+    *
+    * `multiProbe` (opt-in) is the standard bit-flip multi-probe recall
+    * lever: every doc posts each 16-bit chunk AND its 16 one-bit-flip
+    * neighbors (17 buckets per band, 68 per doc). Two chunks land in a
+    * common bucket whenever they differ in ≤ 2 bits (the two probe
+    * masks XOR-cancel), so with 4 bands the pigeonhole guarantee moves
+    * from hamming ≤ 3 to hamming ≤ 11 — covering the d ≤ 7–8 range the
+    * plain banding only catches at ~0.4 recall. Costs: 17× bucket
+    * traffic, and bucket POPULATIONS grow ~17× too, so raise
+    * `maxBucket` proportionally if the cap starts dropping buckets. */
   def simhashNearDups(sigs0: DataFrame, idCol: String,
                       maxDistance: Int = 3,
-                      maxBucket: Int = 1000): DataFrame = {
+                      maxBucket: Int = 1000,
+                      multiProbe: Boolean = false): DataFrame = {
     // the signature aggregation feeds three consumers (chunking + both
     // verify sides) — persist it once (tracked) instead of re-running the
     // token scan
     val sigs = graft.GraftSession.trackPersist(sigs0)
-    val chunked = sigs.select(col(idCol),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("band", "bucket")))
+    val chunked =
+      if (!multiProbe)
+        sigs.select(col(idCol),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+            .as(Seq("band", "bucket")))
+      else {
+        // mask 0 = the exact chunk; masks 2^i = its one-bit flips.
+        // All 17 buckets of one band are distinct, so a doc appears at
+        // most once per (band, bucket) and pair generation is unchanged.
+        val masks = 0L +: (0 until 16).map(i => 1L << i)
+        sigs.select(col(idCol),
+          explode(flatten(array((0 until 4).map { b =>
+            val chunk = shiftright(col("simhash"), b * 16)
+              .bitwiseAND(0xFFFFL)
+            array(masks.map(m => struct(lit(b).as("band"),
+              chunk.bitwiseXOR(lit(m)).as("bucket"))): _*)
+          }: _*))).as("e"))
+          .select(col(idCol), col("e.band").as("band"),
+            col("e.bucket").as("bucket"))
+      }
     val pairs = cappedCandidatePairs(chunked, idCol, maxBucket)
     val a = sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a"))
     val b = sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b"))
@@ -481,11 +509,14 @@ object Dedup {
     * (measured r13: q93's CC leg 3.4 s → <0.1 s at sf0.1). The edge
     * count is known for free from the convergence fingerprint's first
     * evaluation; memory is bounded by the threshold (≤2^18 edges).
-    * Pass `driverMaxEdges = 0` to force the distributed path.
+    * Pass `driverMaxEdges = 0` to force the distributed path. The
+    * default (-1) reads the session conf `graft.cc.driverMaxEdges`
+    * (falling back to 2^18) — the threshold is tunable per session
+    * without a recompile; an explicit argument wins over the conf.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
-                          driverMaxEdges: Long = 1L << 18): DataFrame =
+                          driverMaxEdges: Long = -1L): DataFrame =
     connectedComponentsWithRounds(pairs, aCol, bCol, maxIter,
       driverMaxEdges)._1
 
@@ -495,7 +526,13 @@ object Dedup {
     * The driver fast path reports 0 rounds. */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25, driverMaxEdges: Long = 1L << 18): (DataFrame, Int) = {
+      maxIter: Int = 25, driverMaxEdges: Long = -1L): (DataFrame, Int) = {
+    // -1 = "not set explicitly" → the session conf decides (0 still
+    // forces distributed, larger values raise the fast-path threshold)
+    val maxEdges =
+      if (driverMaxEdges >= 0) driverMaxEdges
+      else graft.GraftSession.longConf(pairs.sparkSession,
+        "graft.cc.driverMaxEdges", 1L << 18)
     // each round references the previous edge set several times (the
     // symmetrize-union + min-join), so without truncation the logical
     // plan grows multiplicatively per round — checkpoint every round to
@@ -532,10 +569,10 @@ object Dedup {
     // collect time). The cap math is overflow-safe for huge thresholds
     // (driverMaxEdges = Long.MaxValue must mean "always", not wrap).
     val driverOrd =
-      if (n > 0 && n <= driverMaxEdges) driverOrderingFor(pr.schema("a").dataType)
+      if (n > 0 && n <= maxEdges) driverOrderingFor(pr.schema("a").dataType)
       else None
     if (driverOrd.isDefined) {
-      val cap = (math.min(driverMaxEdges, (Int.MaxValue.toLong - 1) / 4)
+      val cap = (math.min(maxEdges, (Int.MaxValue.toLong - 1) / 4)
         * 4 + 1).toInt
       val nodeRows = nodes.limit(cap).collect()
       if (nodeRows.length < cap) {
@@ -807,5 +844,99 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("nd") > 1, 1)).as("n_dup_grams"))
+  }
+
+  /** ExactSubstr span-level dedup — the REMOVAL half of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"):
+    * where [[repeatedNgramStats]] flags documents containing
+    * corpus-repeated n-grams, this operator CUTS the repeated spans out
+    * of the text, keeping exactly one canonical occurrence per gram.
+    *
+    * Semantics (token-level, `k = minSpanTokens`):
+    *  1. every word k-gram occurrence in the corpus is keyed by its
+    *     gram; a gram occurring more than once (across or within docs)
+    *     is repeated;
+    *  2. the occurrence with the smallest (doc id, offset) is the
+    *     canonical one and survives; every other occurrence marks its k
+    *     tokens for removal — adjacent/overlapping removed grams merge
+    *     into maximal spans for free, because removal is per-token
+    *     (the union of the covered offsets), exactly the "extend
+    *     matching grams into maximal repeated spans" rule;
+    *  3. output per doc: `clean_text` (surviving tokens joined by a
+    *     single space — whitespace is normalized like every other text
+    *     operator here) and `removed_tokens`.
+    *
+    * Scale shape (the q100 discipline — never all-pairs, never
+    * shuffling text in the gram stage):
+    *  - grams build IN-ROW as hash-of-token-hashes (each token
+    *    xxhash64'd once, k token-hashes combine per gram), so an
+    *    occurrence travels as (64-bit gram hash, id, int offset);
+    *  - the occurrence stream is repartitioned by gram hash ONCE and
+    *    persisted: the frequency+canonical aggregate AND the join-back
+    *    both consume that partitioning exchange-free (a repeated
+    *    boilerplate gram is a skewed key — the join-back is
+    *    AQE-skew-split, the aggregate is partially aggregated before
+    *    the exchange);
+    *  - per-doc removal offsets aggregate as bare ints (one per removed
+    *    gram; the k-token expansion + distinct happens in-row AFTER the
+    *    shuffle), and the text itself is touched exactly once, in the
+    *    final id-keyed join that rewrites it — `array_except` is
+    *    hash-set backed, so reconstruction is O(tokens), not
+    *    O(tokens × removed).
+    *
+    * Gram equality is hash equality (same 64-bit caveat as
+    * [[repeatedNgramStats]]'s oracle: collisions ~1e-8 at test scale).
+    * Docs with fewer than k tokens pass through with whitespace
+    * normalized and `removed_tokens = 0`. */
+  def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        minSpanTokens: Int = 5): DataFrame = {
+    val k = minSpanTokens
+    require(k >= 2, s"minSpanTokens must be >= 2, got $k")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val tokHashes = transform(toks, t => xxhash64(t))
+    // (gram hash, id, 0-based token offset) — 20 bytes/occurrence.
+    // Repartition by gram BEFORE the persist so both consumers below
+    // (the canonical aggregate and the join-back) reuse one exchange.
+    val occ = graft.GraftSession.trackPersist(docs
+      .where(size(toks) >= k)
+      .select(col(idCol).as("__id"), tokHashes.as("__th"))
+      .select(col("__id"), posexplode(
+        transform(sequence(lit(1), size(col("__th")) - (k - 1)),
+          i => xxhash64((0 until k).map(j =>
+            element_at(col("__th"), i + lit(j))): _*))))
+      .toDF("__id", "__off", "__g")
+      .repartition(col("__g")))
+    // repeated grams + their canonical (min (id, offset)) occurrence
+    val rep = occ.groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("__id"), col("__off"))).as("__c"))
+      .where(col("__n") > 1)
+      .select(col("__g"), col("__c.__id").as("__cid"),
+        col("__c.__off").as("__coff"))
+    // every non-canonical occurrence of a repeated gram → removal marks
+    val removed = occ.join(rep, "__g")
+      .where(col("__id") =!= col("__cid") || col("__off") =!= col("__coff"))
+      .select(col("__id"), col("__off"))
+    // per doc: the distinct token offsets covered by removed grams.
+    // The agg buffer holds ONE int per removed gram; the k-wide
+    // expansion + distinct runs in-row after the shuffle.
+    val remIdx = removed.groupBy(col("__id"))
+      .agg(collect_list(col("__off")).as("__offs"))
+      .select(col("__id"), array_sort(array_distinct(flatten(transform(
+        col("__offs"), o => sequence(o, o + (k - 1)))))).as("__rem"))
+    // rewrite the text: keep tokens whose offset survives array_except
+    docs.select(col(idCol), toks.as("__t"))
+      .join(remIdx, col(idCol) === col("__id"), "left")
+      .select(col(idCol), col("__t"),
+        when(col("__rem").isNotNull,
+          transform(
+            array_except(sequence(lit(0), size(col("__t")) - 1),
+              col("__rem")),
+            j => element_at(col("__t"), j + lit(1))))
+          .otherwise(col("__t")).as("__kept"))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        (size(col("__t")) - size(col("__kept"))).cast(LongType)
+          .as("removed_tokens"))
   }
 }

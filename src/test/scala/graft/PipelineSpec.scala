@@ -31,6 +31,54 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)))
   }
 
+  test("dropRepeatedSpans: hand-computed removal, canonical kept") {
+    val df = Seq(
+      // "a b c d e" appears in docs 1 and 2; canonical = (1, off 0)
+      (1L, "a b c d e f"),
+      (2L, "z a b c d e"),   // tokens 1..5 removed → "z"
+      (3L, "p q r s t u"),   // untouched
+      (4L, "x  y")           // too short; whitespace normalized
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedSpans(df, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a b c d e f", 0L),
+      (2L, "z", 5L),
+      (3L, "p q r s t u", 0L),
+      (4L, "x y", 0L)))
+  }
+
+  test("dropRepeatedSpans: a WITHIN-doc repeat is cut too (unlike " +
+       "repeatedNgramStats' per-doc-distinct counting)") {
+    val df = Seq(
+      (1L, "a b c d e x a b c d e"), // "a b c d e" at offsets 0 and 6
+      (2L, "totally unrelated words here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedSpans(df, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a b c d e x", 5L),
+      (2L, "totally unrelated words here now", 0L)))
+  }
+
+  test("dropRepeatedSpans: overlapping repeated grams merge into ONE " +
+       "maximal span") {
+    val df = Seq(
+      (1L, "w1 w2 p1 p2 p3 p4 p5 p6 p7"),
+      // shares the whole 7-token passage: its three 5-gram occurrences
+      // (offsets 0,1,2) are all non-canonical → tokens 0..6 removed
+      (2L, "p1 p2 p3 p4 p5 p6 p7 z1")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedSpans(df, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "w1 w2 p1 p2 p3 p4 p5 p6 p7", 0L),
+      (2L, "z1", 7L)))
+  }
+
   test("repeatedNgramStats: repeated gram inside ONE doc does not " +
        "count as corpus-repeated") {
     val df = Seq(
@@ -213,6 +261,40 @@ class PipelineSpec extends SparkSpec {
     assert(exact.contains((1L, 2L)))
   }
 
+  test("simhash multi-probe: recall 1.0 vs exactHammingPairs at d<=7, " +
+       "including a pair plain banding provably misses") {
+    // adversarial signatures: sig 2 differs from sig 1 by 7 bits spread
+    // 2+2+2+1 across the four 16-bit bands — NO band matches exactly,
+    // so plain banding cannot find the pair; multi-probe must (every
+    // band differs by <= 2 bits, within the two-sided one-flip reach)
+    val base = 0x0123456789ABCDEFL
+    val d7 = base ^ ((3L << 1) | (3L << 17) | (3L << 33) | (1L << 49))
+    val d3 = base ^ (7L << 20)            // 3 bits in one band
+    val far = ~base                        // distance 64
+    val sigs = Seq((1L, base), (2L, d7), (3L, d3), (4L, far))
+      .toDF("doc_id", "simhash")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.exactHammingPairs(sigs, "doc_id", 7))
+    assert(exact == Set((1L, 2L), (1L, 3L))) // d(2,3) = 10, out
+    val plain = pairs(Dedup.simhashNearDups(sigs, "doc_id",
+      maxDistance = 7))
+    assert(!plain.contains((1L, 2L)),
+      "plain banding should miss the spread-7-bit pair (else the " +
+        "adversarial construction is wrong)")
+    val probed = pairs(Dedup.simhashNearDups(sigs, "doc_id",
+      maxDistance = 7, multiProbe = true))
+    assert(probed == exact, s"multi-probe recall < 1.0: got $probed")
+    // and on real text at the q44 operating point (d<=8): recall 1.0
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rsigs = Dedup.simhash(docs, "doc_id", "text")
+    val rexact = pairs(Dedup.exactHammingPairs(rsigs, "doc_id", 8))
+    val rprobed = pairs(Dedup.simhashNearDups(rsigs, "doc_id",
+      maxDistance = 8, multiProbe = true))
+    assert(rprobed == rexact)
+  }
+
   test("simhash128: identical docs match; banding finds every d<=3 pair") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "p q r s t u v w"), (4L, "alpha beta gamma epsilon"),
@@ -386,6 +468,26 @@ class PipelineSpec extends SparkSpec {
       driverMaxEdges = 0L))
     assert(bFast == bDist)
     assert(bFast == sFast)
+  }
+
+  test("graft.cc.driverMaxEdges session conf gates the CC fast path: " +
+       "0 forces distributed, default takes the driver path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    // default (conf unset): tiny graph → driver fast path, 0 rounds
+    val (dfFast, roundsFast) =
+      Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
+    val fast = dfFast.as[(Long, Long)].collect().toMap
+    assert(roundsFast == 0, "expected the driver union-find fast path")
+    try {
+      spark.conf.set("graft.cc.driverMaxEdges", "0")
+      val (dfDist, roundsDist) =
+        Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
+      val dist = dfDist.as[(Long, Long)].collect().toMap
+      assert(roundsDist > 0,
+        "conf=0 must force the distributed star-contraction")
+      assert(dist == fast)
+    } finally spark.conf.unset("graft.cc.driverMaxEdges")
+    assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
   test("repetitionStats: hand-computed dup-line and top-gram fractions") {

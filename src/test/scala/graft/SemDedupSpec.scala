@@ -270,6 +270,24 @@ class SemDedupSpec extends SparkSpec {
     assert(graft.functions.Warnings.recentDriverWarnings.size == before + 2)
   }
 
+  test("scale knobs read the session conf: targetCellSize and kCap " +
+       "are tunable without a recompile") {
+    try {
+      spark.conf.set("graft.semdedup.targetCellSize", "100")
+      assert(graft.ml.SemDedup.autoK(10000L) == 100)   // 10000/100
+      spark.conf.set("graft.semdedup.kCap", "50")
+      assert(graft.ml.SemDedup.autoK(10000L) == 50)    // conf cap clamps
+      spark.conf.set("graft.ivf.targetCellSize", "500")
+      assert(graft.ml.Ivf.autoK(10000L, 65536) == 20)  // 10000/500
+    } finally {
+      spark.conf.unset("graft.semdedup.targetCellSize")
+      spark.conf.unset("graft.semdedup.kCap")
+      spark.conf.unset("graft.ivf.targetCellSize")
+    }
+    // back to compiled defaults once the confs are unset
+    assert(graft.ml.SemDedup.autoK(10000L) == 10000L / 256)
+  }
+
   test("probe pins: empty corpus, zero vectors, probes > k") {
     val none = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(graft.ml.SemDedup.withinCellPairs(

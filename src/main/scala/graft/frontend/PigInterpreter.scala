@@ -1242,6 +1242,16 @@ final class PigRunner(val spark: SparkSession) {
           .option("sep", args.headOption.getOrElse(","))
           .option("quote", "\"").option("escape", "\"")
           .csv(path)
+      // piggybank DBStorage(driver, url[, user, pass], insertQuery):
+      // the INTO path is ignored — rows execute the INSERT against the
+      // database, batched per partition (DBStorage.java contract)
+      case Some(("DBStorage", args)) =>
+        require(args.length == 3 || args.length == 5,
+          "DBStorage needs (driver, url, insert) or " +
+            "(driver, url, user, pass, insert)")
+        graft.sources.DbStorage.store(df, args(0), args(1), args.last,
+          user = if (args.length == 5) Some(args(2)) else None,
+          pass = if (args.length == 5) Some(args(3)) else None)
       // a REGISTER'd jar StoreFunc: putNext-driven text output. Rows
       // pass TYPED (bags arrive as DataBag, tuples as Tuple — the
       // putNext contract), not pre-textified.
@@ -1256,7 +1266,8 @@ final class PigRunner(val spark: SparkSession) {
         throw new IllegalArgumentException(
           s"$other is not a storage function (StoreFunc); supported: " +
           "PigStorage, JsonStorage, OrcStorage, AvroStorage, BinStorage, " +
-          "CSVExcelStorage, MultiStorage, or a registered-jar StoreFunc")
+          "CSVExcelStorage, MultiStorage, DBStorage, or a " +
+          "registered-jar StoreFunc")
       // a compression-suffixed path means compressed PigStorage TEXT in
       // the reference — honoring it beats this engine's parquet default
       case None if compressionFor(path).nonEmpty =>
@@ -2108,6 +2119,16 @@ final class PigRunner(val spark: SparkSession) {
       // BinStorage is Pig's internal interchange format; parquet is this
       // engine's — intermediate store/load-back round-trips type-safely
       case Some(("BinStorage", _)) => spark.read.parquet(splitPaths(path): _*)
+      // DBStorage read twin (extension — the reference StoreFunc is
+      // write-only): DBStorage(driver, url[, user, pass], tableOrQuery);
+      // the LOAD path operand is ignored, the DB is the source
+      case Some(("DBStorage", args)) =>
+        require(args.length == 3 || args.length == 5,
+          "DBStorage needs (driver, url, tableOrQuery) or " +
+            "(driver, url, user, pass, tableOrQuery)")
+        graft.sources.DbStorage.load(spark, args(0), args(1), args.last,
+          user = if (args.length == 5) Some(args(2)) else None,
+          pass = if (args.length == 5) Some(args(3)) else None)
       // no USING: .parquet paths and parquet-magic files read parquet
       // (so a default STORE round-trips); anything else gets the
       // REFERENCE's default loader, PigStorage('\t') (PigStorage.java)
@@ -2141,7 +2162,8 @@ final class PigRunner(val spark: SparkSession) {
         "org.apache.pig.impl.builtin.] (known loaders here: PigStorage, " +
         "TextLoader, JsonLoader, OrcStorage, AvroStorage, " +
         "FixedWidthLoader, MyRegExLoader, SequenceFileLoader, " +
-        "CSVExcelStorage, XMLLoader, or a registered-jar LoadFunc)")
+        "CSVExcelStorage, XMLLoader, DBStorage, or a " +
+        "registered-jar LoadFunc)")
     }
     val df = schema match {
       case Some(fs) if using.exists(u => Set("PigStorage", "CSVExcelStorage",

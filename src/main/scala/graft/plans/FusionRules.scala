@@ -25,17 +25,53 @@ import org.apache.spark.sql.types.IntegerType
   */
 object FuseBagSizeToCount extends Rule[LogicalPlan] {
 
+  private def plainCollect(ae: AggregateExpression): Boolean =
+    ae.aggregateFunction.isInstanceOf[CollectList] &&
+      !ae.isDistinct && ae.filter.isEmpty
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate =>
       agg.copy(aggregateExpressions = agg.aggregateExpressions.map { ne =>
         ne.transform {
-          case Size(ae: AggregateExpression, _)
-              if ae.aggregateFunction.isInstanceOf[CollectList] &&
-                 !ae.isDistinct && ae.filter.isEmpty =>
+          case Size(ae: AggregateExpression, _) if plainCollect(ae) =>
             val collected =
               ae.aggregateFunction.asInstanceOf[CollectList].child
             Cast(ae.copy(aggregateFunction = Count(collected),
               resultId = NamedExpression.newExprId), IntegerType)
+          // size(array_distinct(collect_list(x))): collect_list drops
+          // nulls, so the distinct bag's size IS count(DISTINCT x) —
+          // the PigMix L4 nested-DISTINCT shape. Without this the whole
+          // bag materializes per group (memory ∝ group size); with it
+          // both stages partial-aggregate.
+          case Size(ArrayDistinct(ae: AggregateExpression), _)
+              if plainCollect(ae) =>
+            val collected =
+              ae.aggregateFunction.asInstanceOf[CollectList].child
+            Cast(ae.copy(aggregateFunction = Count(collected),
+              isDistinct = true,
+              resultId = NamedExpression.newExprId), IntegerType)
+          // size(array_distinct(collect_list(struct(...)).f)): the bag
+          // holds structs (never null), so extracting f CAN surface
+          // nulls and array_distinct keeps one — count(DISTINCT f)
+          // (null-skipping) plus a max(f IS NULL) term reproduces the
+          // null-counting semantics exactly, and both terms
+          // partial-aggregate where the bag form cannot.
+          case Size(ArrayDistinct(
+              GetArrayStructFields(ae: AggregateExpression,
+                _, ordinal, _, _)), _)
+              if plainCollect(ae) &&
+                ae.aggregateFunction.asInstanceOf[CollectList].child
+                  .isInstanceOf[CreateNamedStruct] =>
+            val field = ae.aggregateFunction
+              .asInstanceOf[CollectList].child
+              .asInstanceOf[CreateNamedStruct].valExprs(ordinal)
+            val distinctCount = ae.copy(aggregateFunction = Count(field),
+              isDistinct = true, resultId = NamedExpression.newExprId)
+            val nullSeen = ae.copy(
+              aggregateFunction = Max(CaseWhen(
+                Seq((IsNull(field), Literal(1L))), Literal(0L))),
+              resultId = NamedExpression.newExprId)
+            Cast(Add(distinctCount, nullSeen), IntegerType)
         }.asInstanceOf[NamedExpression]
       })
   }

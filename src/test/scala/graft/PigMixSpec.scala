@@ -173,6 +173,149 @@ class PigMixSpec extends SparkSpec {
     assert(out.df.count() > 0)
   }
 
+  // BASELINE.md's "multiplier vs hand-written MR" concept, translated:
+  // the DSL must compile to the SAME optimized plan a Spark engineer
+  // would write by hand — sameResult over canonicalized optimizedPlans,
+  // so exprIds/alias spellings don't matter but one extra shuffle,
+  // join, or uncollapsed projection fails loudly. Shapes whose parity
+  // is intentionally structural-only are documented inline.
+  test("plan parity: DSL optimizedPlans == hand-written Spark plans") {
+    def same(name: String, dsl: org.apache.spark.sql.DataFrame,
+             hand: org.apache.spark.sql.DataFrame): Unit = {
+      val a = dsl.queryExecution.optimizedPlan
+      val b = hand.queryExecution.optimizedPlan
+      assert(a.sameResult(b),
+        s"$name: DSL plan diverges from the hand-written plan\n" +
+          s"DSL:\n$a\nHAND:\n$b")
+    }
+    val ev = Relation.fixNanoTimestamps(sf("events"))
+    same("L1",
+      events.foreach(col("event_id"),
+          element_at(from_json(col("props"), MapType(StringType, LongType)),
+            "k").as("k"),
+          when(col("value") > 50, lit(1)).otherwise(lit(0)).as("hi"))
+        .filter(col("k").isNotNull).df,
+      ev.select(col("event_id"),
+          element_at(from_json(col("props"), MapType(StringType, LongType)),
+            "k").as("k"),
+          when(col("value") > 50, lit(1)).otherwise(lit(0)).as("hi"))
+        .filter(col("k").isNotNull))
+    same("L2",
+      li.joinOn(Relation(sf("part").filter($"p_size" < 10), "dim"),
+        col("l_partkey"), col("p_partkey"), strategy = "replicated").df,
+      sf("lineitem").join(broadcast(sf("part").filter($"p_size" < 10)),
+        $"l_partkey" === $"p_partkey"))
+    same("L3",
+      orders.joinOn(customer, col("o_custkey"), col("c_custkey"))
+        .groupBy("nk" -> col("c_nationkey"))
+        .agg(round(SUM(col("o_totalprice")), 2).as("v")).df,
+      sf("orders").join(sf("customer"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey".as("nk"))
+        .agg(round(sum($"o_totalprice"), 2).as("v")))
+    // L4's DSL form builds a bag then SIZE(DISTINCT …) — the
+    // FuseBagSizeToCount rewrite must delete the bag and land on the
+    // hand-written partial-agg'd form. SIZE counts a null field value
+    // as one distinct element (the struct bag collects every row), so
+    // the exact hand equivalent is countDistinct (null-skipping) + a
+    // did-any-null term; the int/long casts mirror SIZE's int typing.
+    same("L4",
+      li.foreach(col("l_orderkey"), col("l_suppkey")).as("items")
+        .groupBy("ok" -> col("l_orderkey")).bag()
+        .foreach(col("ok"),
+          SIZE(array_distinct(col("items.l_suppkey"))).as("n_supp")).df,
+      sf("lineitem").select($"l_orderkey", $"l_suppkey")
+        .groupBy($"l_orderkey".as("ok"))
+        .agg((countDistinct($"l_suppkey") +
+            max(when($"l_suppkey".isNull, lit(1L)).otherwise(lit(0L))))
+          .cast("int").cast("long").as("n_supp")))
+    // L5: the DSL anti-join == native left_anti (the COGROUP+IsEmpty
+    // idiom is covered by the e2e count equality in the L5 shape)
+    val l5sub = sf("orders").filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("c_custkey"))
+    same("L5",
+      customer.antiJoin(Relation(l5sub, "sub"), Seq("c_custkey")).df,
+      sf("customer").join(l5sub, Seq("c_custkey"), "left_anti"))
+    same("L6/L7-narrow",
+      li.groupBy("k" -> col("l_returnflag"))
+        .agg(round(SUM(col("l_quantity")), 2).as("q")).df,
+      sf("lineitem").groupBy($"l_returnflag".as("k"))
+        .agg(round(sum($"l_quantity"), 2).as("q")))
+    same("L6/L7-wide",
+      li.groupBy("k" -> col("l_orderkey"))
+        .agg(round(SUM(col("l_extendedprice")), 2).as("q")).df,
+      sf("lineitem").groupBy($"l_orderkey".as("k"))
+        .agg(round(sum($"l_extendedprice"), 2).as("q")))
+    same("L8",
+      li.groupBy("k" -> col("l_linestatus"))
+        .agg(AVG(col("l_quantity")).as("a"), COUNT_STAR().as("n")).df,
+      sf("lineitem").groupBy($"l_linestatus".as("k"))
+        .agg(avg($"l_quantity").as("a"), count(lit(1L)).as("n")))
+    same("L9",
+      li.orderBy(col("l_extendedprice").desc).limit(5).df,
+      sf("lineitem").orderBy($"l_extendedprice".desc).limit(5))
+    same("L10",
+      orders.orderBy(col("o_orderstatus"),
+        col("o_totalprice").desc, col("o_orderkey")).limit(5).df,
+      sf("orders").orderBy($"o_orderstatus", $"o_totalprice".desc,
+        $"o_orderkey").limit(5))
+    same("L11",
+      li.foreach(col("l_orderkey").as("k")).distinct
+        .union(orders.foreach(col("o_orderkey").as("k")).distinct)
+        .distinct.df,
+      sf("lineitem").select($"l_orderkey".as("k")).distinct()
+        .union(sf("orders").select($"o_orderkey".as("k")).distinct())
+        .distinct())
+    // L12 fans one shared scan into two sinks — there is no single
+    // query plan to compare; each branch is a filter over the shared
+    // projection, which parities trivially:
+    val l12shared = orders.foreach(col("o_orderkey"), col("o_orderstatus"))
+    same("L12-branch",
+      l12shared.filter(col("o_orderstatus") === "F").df,
+      sf("orders").select($"o_orderkey", $"o_orderstatus")
+        .filter($"o_orderstatus" === "F"))
+    same("L13",
+      customer.joinOn(
+        Relation(sf("orders").filter($"o_orderpriority" === "1-URGENT"),
+          "u"),
+        col("c_custkey"), col("o_custkey"), joinType = "left").df,
+      sf("customer").join(
+        sf("orders").filter($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left"))
+    same("L14",
+      orders.joinOn(customer, col("o_custkey"), col("c_custkey"),
+        strategy = "merge").df,
+      sf("orders").join(sf("customer").hint("merge"),
+        $"o_custkey" === $"c_custkey"))
+    // L15 documented diff: Spark's RewriteDistinctAggregates orders its
+    // Expand projections (and gid literals) by internal set iteration,
+    // so two IDENTICAL multi-distinct queries can canonicalize
+    // differently run to run — sameResult is not stable here. Assert
+    // the hand-written SHAPE instead: the multi-distinct Expand
+    // rewrite with a two-level aggregate and no bag materialization.
+    val l15 = li.groupBy("k" -> col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"),
+           countDistinct(col("l_suppkey")).as("s"))
+      .df.queryExecution.optimizedPlan
+    assert(l15.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }.size == 1, s"L15: expected the multi-distinct Expand\n$l15")
+    assert(l15.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size == 2, s"L15: expected the two-level distinct aggregate\n$l15")
+    assert(!l15.toString.contains("collect_"), s"L15: bag leaked\n$l15")
+    // L16 is ALREADY the hand-written form (spark.sql over a registered
+    // Aggregator) — nothing DSL-side to compare.
+    same("L17",
+      li.groupBy(
+          "a" -> col("l_returnflag"), "b" -> col("l_linestatus"),
+          "c" -> col("l_shipdate"), "d" -> col("l_suppkey"))
+        .agg(COUNT_STAR().as("n")).df,
+      sf("lineitem").groupBy($"l_returnflag".as("a"),
+          $"l_linestatus".as("b"), $"l_shipdate".as("c"),
+          $"l_suppkey".as("d"))
+        .agg(count(lit(1L)).as("n")))
+  }
+
   // Declared last so every L-shape has been timed. Writes the run's times
   // (target/pigmix_times.json) and fails on >1.5x the committed baseline
   // with a 0.75s absolute slack so sub-second shapes don't flake on JIT/

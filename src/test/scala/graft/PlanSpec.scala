@@ -55,6 +55,35 @@ class PlanSpec extends SparkSpec {
     assert(both.queryExecution.optimizedPlan.toString.contains("collect_list"))
   }
 
+  test("FuseBagSizeToCount: size(array_distinct(bag[.field])) fuses to " +
+       "count(DISTINCT) and null field values still count as one") {
+    GraftSession.tune(spark)
+    import spark.implicits._
+    // doc 1: values a, a, null, b → distinct {a, b, null} = 3
+    // doc 2: values null, null     → distinct {null} = 1
+    // doc 3: values c              → 1
+    val df = Seq((1L, Some("a")), (1L, Some("a")), (1L, None),
+      (1L, Some("b")), (2L, None), (2L, None), (3L, Some("c")))
+      .toDF("k", "v")
+    val viaStructBag = df.groupBy("k")
+      .agg(collect_list(struct(col("k"), col("v"))).as("b"))
+      .select(col("k"), size(array_distinct(col("b.v"))).as("n"))
+    val opt = viaStructBag.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("collect_list"), s"bag not elided:\n$opt")
+    assert(opt.contains("count(distinct"), s"no distinct count:\n$opt")
+    val got = viaStructBag.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1))
+    // bare collect_list(x): nulls never enter the bag, plain fusion
+    val viaBag = df.groupBy("k")
+      .agg(collect_list(col("v")).as("b"))
+      .select(col("k"), size(array_distinct(col("b"))).as("n"))
+    assert(!viaBag.queryExecution.optimizedPlan.toString
+      .contains("collect_list"))
+    assert(viaBag.collect().map(r => (r.getLong(0), r.getInt(1))).toMap ==
+      Map(1L -> 2, 2L -> 0, 3L -> 1))
+  }
+
   test("q05: bag query (size-only consumer) gets the fused count plan") {
     val p = plan("q05_group_bag")
     assert(!p.contains("collect_list")) // FuseBagSizeToCount applied

@@ -1057,6 +1057,36 @@ object SparkEntry {
           (col("n_found") === col("n_hit")).as("precision_ok"))
     }),
 
+    // SimHash bit-flip multi-probe recall gate (r14): at d<=7 the
+    // two-sided one-bit-flip probing guarantees a shared bucket
+    // (pigeonhole moves to d<=11), so recall vs the exact twin must be
+    // EXACTLY 1.0 — not the ~0.4 plain banding reads at this distance,
+    // and precision is exact too (the hamming verify filter). Bounded
+    // to 2000 docs (q80's gate-bounding precedent) so the quadratic
+    // twin stays a gate-scale check; the unbounded cost/recall trade
+    // is measured in BASELINE.md (TimeSimhashProbe).
+    "q104_simhash_multiprobe" -> ((s, d) => {
+      val docs = T(s, d, "documents").df.where(col("doc_id") < 2000)
+      val sigs = graft.GraftSession.trackPersist(
+        graft.text.Dedup.simhash(docs, "doc_id", "text"))
+      val found = graft.GraftSession.trackPersist(
+        graft.text.Dedup.simhashNearDups(sigs, "doc_id", maxDistance = 7,
+          maxBucket = 17000, multiProbe = true))
+      val exact = graft.GraftSession.trackPersist(
+        graft.text.Dedup.exactHammingPairs(sigs, "doc_id", 7))
+      val aggE = exact.join(
+          found.select(col("id_a"), col("id_b"), lit(1L).as("fnd")),
+          Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("fnd")), lit(0L)).as("n_hit"))
+      val aggF = found.agg(count(lit(1)).as("n_found"))
+      sigs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(aggE).crossJoin(aggF).select(
+          col("n_docs"),
+          (col("n_hit") === col("n_exact")).as("recall_ok"),
+          (col("n_found") === col("n_hit")).as("precision_ok"))
+    }),
+
     // near-dup cluster resolution — the step between "find pairs" and
     // "drop dupes": connected components (alternating large-star /
     // small-star, O(log n) join rounds) over the exact-Jaccard pair
@@ -2309,6 +2339,10 @@ object SparkEntry {
       """SELECT count(*) AS n_docs, true AS recall_ok,
                 true AS guarantee3_ok, true AS precision_ok
          FROM documents""",
+    "q104_simhash_multiprobe" ->
+      """SELECT count(*) AS n_docs, true AS recall_ok,
+                true AS precision_ok
+         FROM documents WHERE doc_id < 2000""",
     "q47_ann_lsh" ->
       """SELECT count(*) AS n_vectors, CAST(10 AS BIGINT) AS k_returned,
                 true AS top1_ok, true AS recall_ok

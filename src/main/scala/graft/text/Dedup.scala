@@ -446,13 +446,31 @@ object Dedup {
     * docs, ~2^16 past the 64-bit variant's ceiling. */
   def simhashNearDups128(sigs0: DataFrame, idCol: String,
                          maxDistance: Int = 3,
-                         maxBucket: Int = 1000): DataFrame = {
+                         maxBucket: Int = 1000,
+                         multiProbe: Boolean = false): DataFrame = {
     val sigs = graft.GraftSession.trackPersist(sigs0)
-    val chunked = sigs.select(col(idCol),
-      posexplode(array((0 until 4).map { b =>
-        val half = if (b < 2) col("simhash_lo") else col("simhash_hi")
-        shiftright(half, (b % 2) * 32).bitwiseAND(0xFFFFFFFFL)
-      }: _*)).as(Seq("band", "bucket")))
+    def bandChunk(b: Int): Column = {
+      val half = if (b < 2) col("simhash_lo") else col("simhash_hi")
+      shiftright(half, (b % 2) * 32).bitwiseAND(0xFFFFFFFFL)
+    }
+    val chunked =
+      if (!multiProbe)
+        sigs.select(col(idCol),
+          posexplode(array((0 until 4).map(bandChunk): _*))
+            .as(Seq("band", "bucket")))
+      else {
+        // same two-sided one-bit-flip scheme as [[simhashNearDups]]:
+        // 33 buckets per 32-bit band, any band within 2 bits collides,
+        // pigeonhole guarantee moves to hamming ≤ 11
+        val masks = 0L +: (0 until 32).map(i => 1L << i)
+        sigs.select(col(idCol),
+          explode(flatten(array((0 until 4).map { b =>
+            array(masks.map(m => struct(lit(b).as("band"),
+              bandChunk(b).bitwiseXOR(lit(m)).as("bucket"))): _*)
+          }: _*))).as("e"))
+          .select(col(idCol), col("e.band").as("band"),
+            col("e.bucket").as("bucket"))
+      }
     val pairs = cappedCandidatePairs(chunked, idCol, maxBucket)
     val a = sigs.select(col(idCol).as("id_a"),
       col("simhash_lo").as("lo_a"), col("simhash_hi").as("hi_a"))

@@ -295,6 +295,29 @@ class PipelineSpec extends SparkSpec {
     assert(rprobed == rexact)
   }
 
+  test("simhash128 multi-probe: recall 1.0 vs exactHamming128Pairs at " +
+       "d<=7 on a spread-bit pair plain 32-bit banding misses") {
+    // 7 bits spread 2+2+2+1 across the four 32-bit bands (lo: bands
+    // 0-1, hi: bands 2-3) — no exact band match, every band <= 2 bits
+    val baseLo = 0x0123456789ABCDEFL
+    val baseHi = 0x0F1E2D3C4B5A6978L
+    val d7 = (baseLo ^ ((3L << 1) | (3L << 33)),
+              baseHi ^ ((3L << 2) | (1L << 40)))
+    val sigs = Seq(
+      (1L, baseLo, baseHi), (2L, d7._1, d7._2),
+      (3L, ~baseLo, ~baseHi))
+      .toDF("doc_id", "simhash_lo", "simhash_hi")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.exactHamming128Pairs(sigs, "doc_id", 7))
+    assert(exact == Set((1L, 2L)))
+    assert(!pairs(Dedup.simhashNearDups128(sigs, "doc_id",
+      maxDistance = 7)).contains((1L, 2L)))
+    assert(pairs(Dedup.simhashNearDups128(sigs, "doc_id",
+      maxDistance = 7, multiProbe = true)) == exact)
+  }
+
   test("simhash128: identical docs match; banding finds every d<=3 pair") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "p q r s t u v w"), (4L, "alpha beta gamma epsilon"),

@@ -38,6 +38,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dropRepeatedSpans matches a driver brute-force twin on random " +
+       "small-vocab corpora (repeats guaranteed by the tiny vocab)") {
+    val k = 3
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val docs = samples(doc, 50, seed = 23L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    // driver twin: same semantics, computed independently
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val occ = for {
+      (id, ts) <- toks.toSeq
+      i <- 0 to ts.length - k
+      if ts.length >= k
+    } yield (ts.slice(i, i + k).mkString(" "), id, i)
+    val removed = occ.groupBy(_._1).values.filter(_.size > 1).flatMap { os =>
+      val canon = os.minBy(o => (o._2, o._3))
+      os.filterNot(_ == canon).map(o => (o._2, o._3))
+    }
+    val remIdx = removed.groupBy(_._1).view
+      .mapValues(_.flatMap(o => o._2 until o._2 + k).toSet).toMap
+    val want = toks.map { case (id, ts) =>
+      val rem = remIdx.getOrElse(id, Set.empty[Int])
+      val kept = ts.zipWithIndex.collect { case (t, i) if !rem(i) => t }
+      id -> (kept.mkString(" "), (ts.length - kept.length).toLong)
+    }
+    val got = Dedup.dropRepeatedSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+    // the tiny vocab must actually have produced removals, or the
+    // property is vacuous
+    assert(want.values.exists(_._2 > 0))
+  }
+
   test("minhash signature agreement tracks exact jaccard (random docs)") {
     val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta",
       "eta", "theta", "iota", "kappa")

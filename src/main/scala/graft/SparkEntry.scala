@@ -2619,6 +2619,16 @@ object SparkEntry {
         graft.text.Dedup.simhashNearDups(
           graft.text.Dedup.simhash(T(s, d, "documents").df, "doc_id", "text"),
           "doc_id", maxDistance = 8)),
+      // same twin-exclusion policy: time the multi-probe operator at
+      // the gate's scope (the unbounded full-corpus cost is a
+      // documented opt-in lever, measured in BASELINE.md)
+      "q104_simhash_multiprobe" -> ((s, d) =>
+        graft.text.Dedup.simhashNearDups(
+          graft.text.Dedup.simhash(
+            T(s, d, "documents").df.where(col("doc_id") < 2000),
+            "doc_id", "text"),
+          "doc_id", maxDistance = 7, maxBucket = 17000,
+          multiProbe = true)),
       "q78_simhash128" -> ((s, d) =>
         graft.text.Dedup.simhashNearDups128(
           graft.text.Dedup.simhash128(T(s, d, "documents").df,

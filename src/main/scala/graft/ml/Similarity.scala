@@ -191,7 +191,8 @@ object Similarity {
     * candidates only. Never a global cross join. */
   def nearNeighborPairs(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, numPlanes: Int = 32,
-                        numBands: Int = 8, maxBucket: Int = 1000): DataFrame = {
+                        numBands: Int = 8, maxBucket: Int = 1000,
+                        multiProbe: Boolean = false): DataFrame = {
     require(numPlanes % numBands == 0,
       s"numPlanes ($numPlanes) must be a multiple of numBands ($numBands)")
     val ppb = numPlanes / numBands
@@ -216,8 +217,27 @@ object Similarity {
         array((0 until numBands).map(b =>
           graft.functions.VectorExpressions.hyperplane_signature(
             col(vecCol), ppb, planeOffset = b * ppb)): _*).as("__bands")))
-    val buckets = base
-      .select(col(idCol), posexplode(col("__bands")).as(Seq("band", "bucket")))
+    // multiProbe: the standard recall lever for sign-LSH — a vector
+    // near a hyperplane flips that ONE sign bit under noise, so each
+    // band also posts its ppb one-bit-flip neighbors (ppb+1 buckets
+    // per band; two-sided probing collides any band within 2 sign
+    // flips). Bucket populations grow (ppb+1)× — raise maxBucket
+    // proportionally to keep the cap semantics.
+    val buckets =
+      if (!multiProbe)
+        base.select(col(idCol),
+          posexplode(col("__bands")).as(Seq("band", "bucket")))
+      else {
+        val masks = 0L +: (0 until ppb).map(i => 1L << i)
+        base.select(col(idCol),
+          explode(flatten(array((0 until numBands).map { bnd =>
+            array(masks.map(m => struct(lit(bnd).as("band"),
+              element_at(col("__bands"), bnd + 1).bitwiseXOR(lit(m))
+                .as("bucket"))): _*)
+          }: _*))).as("e"))
+          .select(col(idCol), col("e.band").as("band"),
+            col("e.bucket").as("bucket"))
+      }
     val pairs = graft.text.Dedup.cappedCandidatePairs(buckets, idCol, maxBucket)
     val a = base.select(col(idCol).as("id_a"), col("__vec").as("vec_a"),
       col("__norm").as("na"))

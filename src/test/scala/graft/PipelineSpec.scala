@@ -339,6 +339,35 @@ class PipelineSpec extends SparkSpec {
     assert(exact.contains((1L, 2L)))
   }
 
+  test("hyperplane LSH multi-probe: candidate superset of plain " +
+       "banding, exact-verified precision, higher recall on real " +
+       "embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.exactCosinePairs(
+      emb, "vec_id", "embedding", 0.35))
+    val plain = pairs(Similarity.nearNeighborPairs(
+      emb, "vec_id", "embedding", 0.35, numPlanes = 32, numBands = 8))
+    // maxBucket high enough that no bucket caps at this corpus size —
+    // the superset guarantee is then structural (mask 0 = exact bucket)
+    val multi = pairs(Similarity.nearNeighborPairs(
+      emb, "vec_id", "embedding", 0.35, numPlanes = 32, numBands = 8,
+      maxBucket = 100000, multiProbe = true))
+    assert(plain.subsetOf(multi), "multi-probe must not lose pairs")
+    assert(multi.subsetOf(exact), "cosine verify must keep precision 1.0")
+    val (rPlain, rMulti) =
+      (plain.size.toDouble / exact.size, multi.size.toDouble / exact.size)
+    assert(rMulti > rPlain,
+      f"multi-probe recall $rMulti%.3f not above plain $rPlain%.3f")
+    assert(exact.nonEmpty && rMulti >= 0.9,
+      f"expected >=0.9 multi-probe recall, got $rMulti%.3f " +
+        f"(plain $rPlain%.3f, ${exact.size} exact pairs)")
+    info(f"recall at 0.35/sf0.01: plain=$rPlain%.3f " +
+      f"multi-probe=$rMulti%.3f (${exact.size} exact pairs)")
+  }
+
   test("exactCosinePairs matches a hand-computed pair set") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))

@@ -1057,6 +1057,46 @@ object SparkEntry {
           (col("n_found") === col("n_hit")).as("precision_ok"))
     }),
 
+    // Incremental dedup against a persisted bucketed index (r14,
+    // DedupIndex): the corpus splits into an indexed 3/4 and an
+    // ingest-batch 1/4 (doc_id mod 4 — scale-invariant); the gate
+    // bounds both to doc_id < 500 so the DuckDB twin stays tractable.
+    // Verdicts: exact-dup count matches DuckDB text equality; LSH
+    // recall >= 0.8 of the exact cross-Jaccard pairs (the q43
+    // operating point); precision exact (candidates are
+    // Jaccard-verified). Bench times the UNtwinned production path
+    // at full corpus scope (benchQueries override).
+    "q105_dedup_index" -> ((s, d) => {
+      val sub = T(s, d, "documents").df.filter(col("doc_id") < 500)
+      val old = sub.filter(pmod(col("doc_id"), lit(4)) < 3)
+      val batch = sub.filter(pmod(col("doc_id"), lit(4)) === 3)
+      graft.text.DedupIndex.write(old, "doc_id", "text", "q105_ix")
+      val nExactDups = graft.text.DedupIndex.exactDupsAgainst(
+        batch, "doc_id", "text", "q105_ix")
+        .agg(count(lit(1)).as("n_exact_dups"))
+      val near = graft.GraftSession.trackPersist(
+        graft.text.DedupIndex.nearDupsAgainst(
+          batch, "doc_id", "text", "q105_ix", threshold = 0.5))
+      val twin = graft.GraftSession.trackPersist(
+        graft.text.Dedup.exactJaccardPairs(sub, "doc_id", "text",
+          n = 3, threshold = 0.5)
+          // cross pairs only: one side indexed, one side in the batch
+          .filter((pmod(col("id_a"), lit(4)) === 3) =!=
+                  (pmod(col("id_b"), lit(4)) === 3)))
+      val verdicts = twin.join(
+          near.select(col("new_id"), col("old_id"), lit(1L).as("hit"))
+            .select(greatest(col("new_id"), col("old_id")).as("id_b"),
+              least(col("new_id"), col("old_id")).as("id_a"), col("hit")),
+          Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_cross_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      val nFound = near.agg(count(lit(1)).as("n_found"))
+      nExactDups.crossJoin(verdicts).crossJoin(nFound).select(
+        col("n_exact_dups"), col("n_cross_exact"),
+        (col("n_hit") >= ceil(col("n_cross_exact") * 0.8)).as("recall_ok"),
+        (col("n_found") === col("n_hit")).as("precision_ok"))
+    }),
+
     // SimHash bit-flip multi-probe recall gate (r14): at d<=7 the
     // two-sided one-bit-flip probing guarantees a shared bucket
     // (pigeonhole moves to d<=11), so recall vs the exact twin must be
@@ -2343,6 +2383,34 @@ object SparkEntry {
       """SELECT count(*) AS n_docs, true AS recall_ok,
                 true AS precision_ok
          FROM documents WHERE doc_id < 2000""",
+    // q43's gram/jaccard recompute, restricted to (indexed, batch)
+    // cross pairs; exact-dup count recomputed via raw text equality
+    "q105_dedup_index" ->
+      """WITH sub AS (SELECT * FROM documents WHERE doc_id < 500),
+         ed AS (
+           SELECT count(DISTINCT n.doc_id) AS n_exact_dups
+           FROM sub n JOIN sub o ON n.text = o.text
+            AND n.doc_id % 4 = 3 AND o.doc_id % 4 < 3),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)]) AS grams
+           FROM (SELECT doc_id,
+                        list_filter(string_split_regex(trim(text), '\s+'),
+                                    t -> length(t) > 0) AS toks
+                 FROM sub)),
+         pairs AS (
+           SELECT round(CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                    THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(a.grams || b.grams))
+                    ELSE 0.0 END, 6) AS jac
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            AND ((a.doc_id % 4 = 3) <> (b.doc_id % 4 = 3)))
+         SELECT ed.n_exact_dups,
+                (SELECT count(*) FROM pairs WHERE jac >= 0.5)
+                  AS n_cross_exact,
+                true AS recall_ok, true AS precision_ok
+         FROM ed""",
     "q47_ann_lsh" ->
       """SELECT count(*) AS n_vectors, CAST(10 AS BIGINT) AS k_returned,
                 true AS top1_ok, true AS recall_ok
@@ -2629,6 +2697,22 @@ object SparkEntry {
             "doc_id", "text"),
           "doc_id", maxDistance = 7, maxBucket = 17000,
           multiProbe = true)),
+      // untwinned production path at FULL corpus scope. The index is
+      // an EPOCH artifact (written once, queried per ingest batch), so
+      // it builds on first use per (session, sf dir) — Bench's first
+      // interleaved round absorbs the build and the medians time the
+      // recurring batch-ingest filter, the production steady state
+      // (same reasoning as the untimed q47/q63 index builds).
+      "q105_dedup_index" -> ((s, d) => {
+        val docs = T(s, d, "documents").df
+        val old = docs.filter(pmod(col("doc_id"), lit(4)) < 3)
+        val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+        val ix = s"q105_ix_${(d.hashCode & 0x7fffffff).toHexString}"
+        if (!s.catalog.tableExists(s"${ix}_meta"))
+          graft.text.DedupIndex.write(old, "doc_id", "text", ix)
+        graft.text.DedupIndex.dropDupsAgainst(
+          batch, "doc_id", "text", ix, threshold = 0.5)
+      }),
       "q78_simhash128" -> ((s, d) =>
         graft.text.Dedup.simhashNearDups128(
           graft.text.Dedup.simhash128(T(s, d, "documents").df,

@@ -1,0 +1,167 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** Incremental dedup against a PERSISTED index — the continuous-ingest
+  * form of the dedup family. A production pretraining pipeline ingests
+  * batches forever; recomputing full-corpus dedup per batch is
+  * O(corpus) per batch, O(corpus²) over a crawl's lifetime. Here the
+  * corpus pays its shuffle ONCE, at index-write time, into three
+  * bucketed tables (bucketed storage = exchange elided at every later
+  * join on the bucket key, the [[graft.dsl.Relation.storeBucketed]]
+  * merge-join shape):
+  *
+  *  - `<name>_digests(digest, doc id)`, bucketed by digest — exact-dup
+  *    lookups;
+  *  - `<name>_buckets(id, band, bucket)`, bucketed by (band, bucket) —
+  *    MinHash-LSH candidate generation;
+  *  - `<name>_grams(id, gram)`, bucketed by id — the 64-bit hashed
+  *    gram stream, fetched by id for exact-Jaccard verification of
+  *    candidates only;
+  *  - `<name>_meta` — the (n, numHashes, numBands) the index was built
+  *    with, so query time can't silently use an incompatible family.
+  *
+  * Every index table carries ids + fixed-width longs/digests — the old
+  * corpus TEXT is never stored and never rescanned. Batch-side joins
+  * shuffle only the batch; the index side is read exchange-free on its
+  * bucketing key. Determinism makes the index portable across
+  * sessions: gram hashing is xxhash64 and the MinHash family is the
+  * fixed seeded multiply-shift family in [[Dedup]], so signatures
+  * computed today join against buckets written in a previous run.
+  */
+object DedupIndex {
+
+  /** LSH/gram parameters an index is built with; persisted in
+    * `<name>_meta` and re-read at query time. */
+  case class Params(n: Int = 3, numHashes: Int = 64, numBands: Int = 16)
+
+  private def digestOf(textCol: String) =
+    md5(col(textCol).cast(BinaryType)).as("digest")
+
+  /** Clear a table AND its orphaned warehouse location. An in-memory
+    * catalog forgets tables across sessions while their warehouse
+    * directories survive; a later saveAsTable then refuses with
+    * LOCATION_ALREADY_EXISTS — an index must be rebuildable from a
+    * fresh session over the same warehouse. */
+  private def dropStale(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Build (or rebuild) the index tables for `docs`. `numBuckets` is
+    * the STORAGE bucket count (files per table — scale with corpus
+    * size), unrelated to LSH band buckets. */
+  def write(docs: DataFrame, idCol: String, textCol: String,
+            name: String, params: Params = Params(),
+            numBuckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    import graft.dsl.Relation
+    Seq("buckets", "grams", "digests", "meta")
+      .foreach(t => dropStale(spark, s"${name}_$t"))
+    val grams = graft.GraftSession.trackPersist(
+      Dedup.explodeHashedWordNgrams(docs, Seq(idCol), textCol,
+        params.n, "gram"))
+    val sigs = Dedup.minhashSignaturesFromGrams(
+      grams, idCol, "gram", params.numHashes)
+    val buckets = Dedup.lshBuckets(sigs, idCol, "sig",
+      params.numBands, params.numHashes / params.numBands)
+    Relation(buckets, s"${name}_buckets")
+      .storeBucketed(s"${name}_buckets", numBuckets, Seq("band", "bucket"))
+    Relation(grams, s"${name}_grams")
+      .storeBucketed(s"${name}_grams", numBuckets, Seq(idCol))
+    Relation(docs.select(digestOf(textCol), col(idCol)),
+        s"${name}_digests")
+      .storeBucketed(s"${name}_digests", numBuckets, Seq("digest"))
+    import spark.implicits._
+    Seq((params.n, params.numHashes, params.numBands))
+      .toDF("n", "num_hashes", "num_bands")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  /** The parameters `name` was built with. */
+  def paramsOf(spark: SparkSession, name: String): Params = {
+    val r = spark.table(s"${name}_meta").head()
+    Params(r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Exact duplicates of batch docs against the index: one row per
+    * batch doc whose content digest exists in the index —
+    * (new id, `dup_of` = the smallest matching indexed id). */
+  def exactDupsAgainst(newDocs: DataFrame, idCol: String, textCol: String,
+                       name: String): DataFrame = {
+    val idx = newDocs.sparkSession.table(s"${name}_digests")
+      .select(col("digest"), col(idCol).as("__old"))
+    newDocs.select(col(idCol), digestOf(textCol))
+      .join(idx, "digest") // index side exchange-free (bucketed)
+      .groupBy(col(idCol)).agg(min(col("__old")).as("dup_of"))
+  }
+
+  /** Near-duplicate (batch doc, indexed doc) pairs at word-n-gram
+    * Jaccard ≥ `threshold`, via the index's LSH buckets. Hot (band,
+    * bucket) keys — on EITHER side — above `maxBucket` members are
+    * dropped before the candidate join (the
+    * [[Dedup.cappedCandidatePairs]] quadratic-blowup guard, applied
+    * per side since the pair count here is |old|×|new| per bucket).
+    * Verification fetches gram SETS only for matched ids. Output:
+    * (new id, old id, jaccard). */
+  def nearDupsAgainst(newDocs: DataFrame, idCol: String, textCol: String,
+                      name: String, threshold: Double = 0.8,
+                      maxBucket: Int = 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val p = paramsOf(spark, name)
+    val newGrams = graft.GraftSession.trackPersist(
+      Dedup.explodeHashedWordNgrams(newDocs, Seq(idCol), textCol,
+        p.n, "gram"))
+    val newSigs = Dedup.minhashSignaturesFromGrams(
+      newGrams, idCol, "gram", p.numHashes)
+    val newBuckets = graft.GraftSession.trackPersist(
+      Dedup.lshBuckets(newSigs, idCol, "sig",
+        p.numBands, p.numHashes / p.numBands))
+    val idxBuckets = spark.table(s"${name}_buckets")
+    // hot-key guard: a (band,bucket) with > maxBucket members on either
+    // side would join quadratically — drop those keys, like the
+    // in-corpus pipelines drop oversized buckets
+    def hotKeys(b: DataFrame) = b.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val hot = hotKeys(idxBuckets).union(hotKeys(newBuckets)).distinct()
+    val cand = newBuckets
+      .join(hot, Seq("band", "bucket"), "left_anti")
+      .select(col("band"), col("bucket"), col(idCol).as("__new"))
+      .join(idxBuckets.select(col("band"), col("bucket"),
+        col(idCol).as("__old")), Seq("band", "bucket"))
+      .select(col("__new"), col("__old")).distinct()
+    // exact-Jaccard verify over candidate ids only; the grams table is
+    // bucketed by id, so its groupBy runs exchange-free
+    val newSets = newGrams
+      .join(cand.select(col("__new").as(idCol)).distinct(), idCol)
+      .groupBy(col(idCol)).agg(collect_set(col("gram")).as("__sh"))
+      .select(col(idCol).as("__new"), col("__sh").as("__sh_new"))
+    val oldSets = spark.table(s"${name}_grams")
+      .join(cand.select(col("__old").as(idCol)).distinct(), idCol)
+      .groupBy(col(idCol)).agg(collect_set(col("gram")).as("__sh"))
+      .select(col(idCol).as("__old"), col("__sh").as("__sh_old"))
+    cand.join(newSets, "__new").join(oldSets, "__old")
+      .select(col("__new").as("new_id"), col("__old").as("old_id"),
+        round(Dedup.jaccard(col("__sh_new"), col("__sh_old")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The ingest-filter composition: batch docs that are neither exact
+    * nor near duplicates of anything indexed. */
+  def dropDupsAgainst(newDocs: DataFrame, idCol: String, textCol: String,
+                      name: String, threshold: Double = 0.8,
+                      maxBucket: Int = 1000): DataFrame = {
+    val exact = exactDupsAgainst(newDocs, idCol, textCol, name)
+      .select(col(idCol))
+    val near = nearDupsAgainst(newDocs, idCol, textCol, name,
+      threshold, maxBucket).select(col("new_id").as(idCol))
+    newDocs.join(exact.union(near).distinct(), Seq(idCol), "left_anti")
+  }
+}

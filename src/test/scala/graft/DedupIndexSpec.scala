@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, DedupIndex}
+
+/** Incremental dedup against a persisted bucketed index
+  * ([[graft.text.DedupIndex]]): exact digests, LSH candidates, and the
+  * full ingest filter must agree with the in-corpus pipelines. */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val old = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "pack my box with five dozen liquor jugs for the party tonight"),
+    (3L, "sphinx of black quartz judge my vow said the old librarian"),
+    (4L, "completely unrelated text about compilers and type inference"),
+    (5L, "a second unrelated passage concerning distributed query engines"),
+    (6L, "the quick brown fox naps under the lazy dog again and again"))
+    .toDF("doc_id", "text")
+
+  private val batch = Seq(
+    // exact duplicate of old doc 2
+    (101L, "pack my box with five dozen liquor jugs for the party tonight"),
+    // near-duplicate of old doc 1 (one word changed)
+    (102L, "the quick brown fox jumps over the lazy cat again and again"),
+    // novel
+    (103L, "entirely fresh content that matches nothing in the index"))
+    .toDF("doc_id", "text")
+
+  private val P = DedupIndex.Params(n = 3, numHashes = 64, numBands = 16)
+
+  test("index round-trip: exact dups, near dups, and the ingest filter " +
+       "against a freshly written index") {
+    DedupIndex.write(old, "doc_id", "text", "ix1", P)
+    assert(DedupIndex.paramsOf(spark, "ix1") == P)
+
+    val exact = DedupIndex.exactDupsAgainst(batch, "doc_id", "text", "ix1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((101L, 2L)))
+
+    val near = DedupIndex.nearDupsAgainst(batch, "doc_id", "text", "ix1",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 101 is ALSO a near-dup (jaccard 1.0) of 2; 102 pairs with 1
+    val nearPairs = near.map(p => (p._1, p._2)).toSet
+    assert(nearPairs.contains((102L, 1L)), s"missed the near-dup: $near")
+    assert(near.collectFirst {
+      case (101L, 2L, j) => j }.contains(1.0), s"exact pair jaccard: $near")
+    assert(!nearPairs.exists(_._1 == 103L), s"novel doc paired: $near")
+
+    val kept = DedupIndex.dropDupsAgainst(batch, "doc_id", "text", "ix1",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(103L))
+  }
+
+  test("incremental near-dups == the in-corpus pipeline's cross pairs " +
+       "(same family, same verify, same threshold)") {
+    DedupIndex.write(old, "doc_id", "text", "ix2", P)
+    val incr = DedupIndex.nearDupsAgainst(batch, "doc_id", "text", "ix2",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // the whole-corpus pipeline over old ∪ batch, restricted to
+    // (old, new) cross pairs, must agree pair-for-pair AND value-for-
+    // value — the index path reuses the same gram hashing, the same
+    // seeded MinHash family, the same banding, the same verify
+    val all = Dedup.minhashNearDupsByWords(old.union(batch),
+      "doc_id", "text", n = P.n, numHashes = P.numHashes,
+      numBands = P.numBands, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cross = all.collect {
+      case (a, b, j) if a <= 6L && b >= 101L => (b, a, j)
+      case (a, b, j) if b <= 6L && a >= 101L => (a, b, j)
+    }.toSet
+    assert(incr == cross,
+      s"only-incr=${incr -- cross} only-corpus=${cross -- incr}")
+    assert(incr.nonEmpty)
+  }
+
+  test("rebuilding an index overwrites it; a changed corpus changes " +
+       "the answers") {
+    DedupIndex.write(old, "doc_id", "text", "ix3", P)
+    assert(DedupIndex.exactDupsAgainst(batch, "doc_id", "text", "ix3")
+      .count() == 1)
+    // rebuild WITHOUT doc 2: the exact dup disappears
+    DedupIndex.write(old.filter(col("doc_id") =!= 2L),
+      "doc_id", "text", "ix3", P)
+    assert(DedupIndex.exactDupsAgainst(batch, "doc_id", "text", "ix3")
+      .count() == 0)
+  }
+}

@@ -78,8 +78,8 @@ object DedupIndex {
         s"${name}_digests")
       .storeBucketed(s"${name}_digests", numBuckets, Seq("digest"))
     import spark.implicits._
-    Seq((params.n, params.numHashes, params.numBands))
-      .toDF("n", "num_hashes", "num_bands")
+    Seq((params.n, params.numHashes, params.numBands, numBuckets))
+      .toDF("n", "num_hashes", "num_bands", "num_buckets")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
@@ -87,6 +87,44 @@ object DedupIndex {
   def paramsOf(spark: SparkSession, name: String): Params = {
     val r = spark.table(s"${name}_meta").head()
     Params(r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Add `docs` (e.g. the survivors of [[dropDupsAgainst]]) to an
+    * existing index — the ingest loop's closing step, so an epoch
+    * never needs a full rebuild: filter the batch against the index,
+    * then append what survived. Appends preserve the bucket spec
+    * (Spark bucketed tables accept bucket-aligned appends), so later
+    * joins stay exchange-free; the family parameters come from the
+    * index's own `_meta`. */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+             name: String): Unit = {
+    val spark = docs.sparkSession
+    val p = paramsOf(spark, name)
+    // bucket-aligned appends only: the spec must match write-time
+    val nb = spark.table(s"${name}_meta").head().getInt(3)
+    // snapshot the batch BEFORE touching the index tables: `docs` is
+    // typically dropDupsAgainst's survivor set, i.e. a plan that READS
+    // this very index — re-evaluating it lazily between the three
+    // appends would see its own partial appends (the batch would dedup
+    // against itself and silently vanish from the later tables)
+    val snap =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        docs.checkpoint(eager = true)
+      else docs.localCheckpoint(eager = true)
+    val grams = graft.GraftSession.trackPersist(
+      Dedup.explodeHashedWordNgrams(snap, Seq(idCol), textCol,
+        p.n, "gram"))
+    val sigs = Dedup.minhashSignaturesFromGrams(
+      grams, idCol, "gram", p.numHashes)
+    val buckets = Dedup.lshBuckets(sigs, idCol, "sig",
+      p.numBands, p.numHashes / p.numBands)
+    buckets.write.format("parquet").mode("append")
+      .bucketBy(nb, "band", "bucket").saveAsTable(s"${name}_buckets")
+    grams.write.format("parquet").mode("append")
+      .bucketBy(nb, idCol).saveAsTable(s"${name}_grams")
+    snap.select(digestOf(textCol), col(idCol))
+      .write.format("parquet").mode("append")
+      .bucketBy(nb, "digest").saveAsTable(s"${name}_digests")
   }
 
   /** Exact duplicates of batch docs against the index: one row per

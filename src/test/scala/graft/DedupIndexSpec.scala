@@ -78,6 +78,31 @@ class DedupIndexSpec extends SparkSpec {
     assert(incr.nonEmpty)
   }
 
+  test("the ingest loop closes: append batch survivors, then a second " +
+       "batch dedups against them too") {
+    DedupIndex.write(old, "doc_id", "text", "ix4", P)
+    val survivors = DedupIndex.dropDupsAgainst(batch, "doc_id", "text",
+      "ix4", threshold = 0.5)
+    assert(survivors.select("doc_id").as[Long].collect().toSet ==
+      Set(103L))
+    DedupIndex.append(survivors, "doc_id", "text", "ix4")
+    // batch 2: an exact dup of the APPENDED doc 103, a near-dup of the
+    // ORIGINAL doc 3, and a novel doc
+    val batch2 = Seq(
+      (201L, "entirely fresh content that matches nothing in the index"),
+      (202L, "sphinx of white quartz judge my vow said the old librarian"),
+      (203L, "no overlap with anything whatsoever in this tiny corpus"))
+      .toDF("doc_id", "text")
+    val exact2 = DedupIndex.exactDupsAgainst(batch2, "doc_id", "text",
+        "ix4")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact2 == Set((201L, 103L)), s"appended doc not indexed: $exact2")
+    val kept2 = DedupIndex.dropDupsAgainst(batch2, "doc_id", "text",
+        "ix4", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(203L), s"second batch filter: $kept2")
+  }
+
   test("rebuilding an index overwrites it; a changed corpus changes " +
        "the answers") {
     DedupIndex.write(old, "doc_id", "text", "ix3", P)

@@ -110,6 +110,49 @@ class HardeningSpec extends SparkSpec {
       s"expected 64-bit recall to collapse at cap=$cap, got $got64/$expected")
   }
 
+  test("dropRepeatedSpans at 1M docs: structural invariants and " +
+       "determinism (ExactSubstr, r14)") {
+    // ~16M tokens from a 50-word vocab: birthday math puts ~hundreds of
+    // thousands of corpus-repeated 5-grams in play — real removal work,
+    // generated entirely on executors
+    val n = 1_000_000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(
+        sequence(lit(1), (pmod(col("id"), lit(13)) + 8).cast(IntegerType)),
+        i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(50)))))
+        .as("text"))
+    def run() = Dedup.dropRepeatedSpans(docs, "doc_id", "text", 5)
+    val out = run()
+    val toksO = graft.text.TextAnalysis.tokens(col("text"))
+    val toksC = graft.text.TextAnalysis.tokens(col("clean_text"))
+    // greedy subsequence match: clean tokens must be the original
+    // tokens with some positions cut, in order — greedy consumption
+    // finds a subsequence iff one exists
+    val matched = aggregate(toksO, lit(0), (acc, t) =>
+      when(acc < size(toksC) && element_at(toksC, acc + 1) === t, acc + 1)
+        .otherwise(acc))
+    val stats = docs.join(out, "doc_id").agg(
+      count(lit(1)).as("cnt"),
+      sum(col("removed_tokens")).as("removed"),
+      count(when(
+        col("removed_tokens") =!= (size(toksO) - size(toksC)), 1))
+        .as("bad_count"),
+      count(when(matched =!= size(toksC), 1)).as("bad_subseq"),
+      expr("bit_xor(xxhash64(doc_id, clean_text))").as("fp")).head()
+    assert(stats.getLong(0) == n)             // every doc survives
+    assert(stats.getLong(2) == 0, "removed_tokens != token delta")
+    assert(stats.getLong(3) == 0, "clean text not an ordered subsequence")
+    assert(stats.getLong(1) > 100000L,        // the vocab guarantees work
+      s"suspiciously few removals: ${stats.getLong(1)}")
+    GraftSession.unpersistAll()
+    // determinism: the whole (id, clean_text) relation fingerprints
+    // identically on a fresh run
+    val fp2 = run().agg(
+      expr("bit_xor(xxhash64(doc_id, clean_text))")).head().getLong(0)
+    assert(fp2 == stats.getLong(4))
+    GraftSession.unpersistAll()
+  }
+
   test("connectedComponents at 1M edges matches driver union-find exactly") {
     // deterministic pseudo-random graph over 400k nodes: ~600k random
     // edges + a 100k-node path (the adversarial-diameter shape) + 300k

@@ -81,6 +81,21 @@ object DedupIndex {
     Seq((params.n, params.numHashes, params.numBands, numBuckets))
       .toDF("n", "num_hashes", "num_bands", "num_buckets")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
+    writeBucketCounts(spark, name)
+  }
+
+  /** Per-(band, bucket) population counts — a WRITE-time property of
+    * the index (refreshed on [[append]]), so the per-batch hot-key
+    * guard never re-aggregates the full bucket table: the index's
+    * count aggregate runs once per epoch, not once per ingest batch.
+    * The aggregate itself is exchange-free (the table is bucketed on
+    * the grouping key). */
+  private def writeBucketCounts(spark: SparkSession, name: String): Unit = {
+    dropStale(spark, s"${name}_bucketcounts")
+    spark.table(s"${name}_buckets")
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${name}_bucketcounts")
   }
 
   /** The parameters `name` was built with. */
@@ -125,6 +140,11 @@ object DedupIndex {
     snap.select(digestOf(textCol), col(idCol))
       .write.format("parquet").mode("append")
       .bucketBy(nb, "digest").saveAsTable(s"${name}_digests")
+    // the appended rows change bucket populations — refresh the
+    // write-time count table so the per-batch hot-key guard stays
+    // exact. (Appends also accrete one file per storage bucket per
+    // batch; a periodic epoch rebuild via [[write]] compacts.)
+    writeBucketCounts(spark, name)
   }
 
   /** Exact duplicates of batch docs against the index: one row per
@@ -163,11 +183,16 @@ object DedupIndex {
     val idxBuckets = spark.table(s"${name}_buckets")
     // hot-key guard: a (band,bucket) with > maxBucket members on either
     // side would join quadratically — drop those keys, like the
-    // in-corpus pipelines drop oversized buckets
-    def hotKeys(b: DataFrame) = b.groupBy(col("band"), col("bucket"))
+    // in-corpus pipelines drop oversized buckets. The INDEX side's
+    // counts were aggregated once at write/append time
+    // (`_bucketcounts`) — a per-batch query must not pay a full-index
+    // aggregation; only the batch's own (small) counts compute here.
+    val idxHot = spark.table(s"${name}_bucketcounts")
+      .filter(col("n") > maxBucket).select(col("band"), col("bucket"))
+    val newHot = newBuckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > maxBucket)
       .select(col("band"), col("bucket"))
-    val hot = hotKeys(idxBuckets).union(hotKeys(newBuckets)).distinct()
+    val hot = idxHot.union(newHot).distinct()
     val cand = newBuckets
       .join(hot, Seq("band", "bucket"), "left_anti")
       .select(col("band"), col("bucket"), col(idCol).as("__new"))

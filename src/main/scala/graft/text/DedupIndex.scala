@@ -20,8 +20,12 @@ import org.apache.spark.sql.types.BinaryType
   *  - `<name>_grams(id, gram)`, bucketed by id — the 64-bit hashed
   *    gram stream, fetched by id for exact-Jaccard verification of
   *    candidates only;
-  *  - `<name>_meta` — the (n, numHashes, numBands) the index was built
-  *    with, so query time can't silently use an incompatible family.
+  *  - `<name>_bucketcounts(band, bucket, n)` — per-bucket populations,
+  *    aggregated once per write/append so the per-batch hot-key guard
+  *    never re-aggregates the full bucket table;
+  *  - `<name>_meta` — the (n, numHashes, numBands, numBuckets) the
+  *    index was built with, so query time can't silently use an
+  *    incompatible family and appends stay bucket-aligned.
   *
   * Every index table carries ids + fixed-width longs/digests — the old
   * corpus TEXT is never stored and never rescanned. Batch-side joins

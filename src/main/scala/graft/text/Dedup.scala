@@ -375,7 +375,14 @@ object Dedup {
     * from hamming ≤ 3 to hamming ≤ 11 — covering the d ≤ 7–8 range the
     * plain banding only catches at ~0.4 recall. Costs: 17× bucket
     * traffic, and bucket POPULATIONS grow ~17× too, so raise
-    * `maxBucket` proportionally if the cap starts dropping buckets. */
+    * `maxBucket` proportionally if the cap starts dropping buckets.
+    * (No such lever exists for the MINHASH pipeline, by construction:
+    * its band buckets are hashes of row-slices, so neighboring
+    * signatures don't land in neighboring buckets — minhash recall is
+    * tuned with numBands/rowsPerBand instead, which ARE its
+    * parameters. Bit-flip probing applies exactly to the sign-bit
+    * families: simhash 64/128 here, hyperplane LSH in
+    * [[graft.ml.Similarity.nearNeighborPairs]].) */
   def simhashNearDups(sigs0: DataFrame, idCol: String,
                       maxDistance: Int = 3,
                       maxBucket: Int = 1000,

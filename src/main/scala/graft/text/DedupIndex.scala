@@ -34,6 +34,11 @@ import org.apache.spark.sql.types.BinaryType
   * sessions: gram hashing is xxhash64 and the MinHash family is the
   * fixed seeded multiply-shift family in [[Dedup]], so signatures
   * computed today join against buckets written in a previous run.
+  *
+  * The EMBEDDING analog already exists: [[graft.ml.Ivf]] persists its
+  * centroid + assignment tables on disk and q47/q63 probe them
+  * untimed-build/timed-query — this object is the text-side
+  * counterpart for digests and n-gram MinHash.
   */
 object DedupIndex {
 

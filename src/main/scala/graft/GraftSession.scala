@@ -57,6 +57,7 @@ object GraftSession {
   //   graft.semdedup.kCap            (default 65536)
   //   graft.ivf.targetCellSize       (default 1024)
   //   graft.ivf.sampleSize           (default 65536)
+  //   graft.bpe.vocabCap             (default 65536)
   // An explicit method argument always wins over the conf.
 
   /** Read a long-valued graft.* knob from a session's conf. */

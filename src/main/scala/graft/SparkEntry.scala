@@ -1381,6 +1381,54 @@ object SparkEntry {
       graft.text.Dedup.dropRepeatedSpans(
         T(s, d, "documents").df, "doc_id", "text", minSpanTokens = 5)),
 
+    // BPE tokenizer training + encoding (Sennrich 2016; GPT-2 merge-
+    // rank encoder): ONE corpus shuffle builds the word histogram, the
+    // merge loop runs on the driver over the bounded Zipf head
+    // (graft.bpe.vocabCap), and encoding is a shuffle-free memoized
+    // map. The merge sequence isn't SQL-expressible, so the gate
+    // follows the q44 pattern: DuckDB recomputes the corpus anchors
+    // (doc / distinct-word counts) and pins Spark-computed invariant
+    // verdicts — all 64 merges trained (the synthetic corpus' 31-word
+    // vocabulary exhausts its pair supply at ~89 merges, so 64 is
+    // always reachable at every sf); every doc's tokens
+    // concatenate back to its whitespace-normalized text (lossless);
+    // tokens come only from single code points or trained merges; and
+    // the encoding compresses (word count ≤ total tokens < total word
+    // characters). Training + encoding are deterministic (ordered
+    // histogram collect, lexicographic tie-breaks), so the verdict
+    // row hashes stably.
+    "q106_bpe" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      val merges = graft.text.Bpe.trainMerges(docs, "text",
+        numMerges = 64)
+      val mergedSet = merges.map(_.merged)
+      val toks = graft.text.TextAnalysis.tokens(col("text"))
+      val per = docs.select(
+          graft.text.Bpe.encoderUdf(merges)(col("text")).as("tokens"),
+          concat_ws("", toks).as("__w"),
+          size(toks).cast(LongType).as("__nw"))
+        .select(
+          (concat_ws("", col("tokens")) === col("__w")).as("__rt"),
+          forall(col("tokens"),
+            t => length(t) === 1 || t.isInCollection(mergedSet))
+            .as("__vo"),
+          size(col("tokens")).cast(LongType).as("__nt"),
+          length(col("__w")).cast(LongType).as("__nc"),
+          col("__nw"))
+      val stats = per.agg(
+        count(lit(1)).as("n_docs"),
+        min(col("__rt")).as("roundtrip_ok"),
+        min(col("__vo")).as("vocab_ok"),
+        (sum(col("__nt")) < sum(col("__nc")) &&
+          sum(col("__nt")) >= sum(col("__nw"))).as("compress_ok"))
+      val dw = docs.select(explode(toks).as("w"))
+        .agg(countDistinct(col("w")).as("n_distinct_words"))
+      stats.crossJoin(dw).select(
+        col("n_docs"), col("n_distinct_words"),
+        lit(merges.size == 64).as("merges_full"),
+        col("roundtrip_ok"), col("vocab_ok"), col("compress_ok"))
+    }),
+
     "q99_ppm_decode" -> ((s, d) => {
       import s.implicits._
       val media = T(s, d, "documents").df.select(col("doc_id"))
@@ -2286,6 +2334,19 @@ object SparkEntry {
                           ELSE len(w.w) - coalesce(a.nk, 0) END AS BIGINT)
                   AS removed_tokens
          FROM words w LEFT JOIN agg a ON w.doc_id = a.doc_id""",
+    // BPE training/encoding is not SQL-expressible: recompute the two
+    // corpus anchors (doc count, distinct whitespace-token count —
+    // same tokenization as the Spark side) and pin the Spark-computed
+    // invariant verdicts (q44 pattern)
+    "q106_bpe" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+                (SELECT count(DISTINCT w) FROM (
+                   SELECT unnest(list_filter(
+                            string_split_regex(trim(text), '\s+'),
+                            x -> length(x) > 0)) AS w
+                   FROM documents)) AS n_distinct_words,
+                true AS merges_full, true AS roundtrip_ok,
+                true AS vocab_ok, true AS compress_ok""",
     "q99_ppm_decode" ->
       """SELECT doc_id,
                 CAST(doc_id % 16 + 1 AS INT) AS width,

@@ -1,0 +1,244 @@
+package graft.text
+
+import scala.collection.mutable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Byte-Pair-Encoding tokenizer training + encoding — the vocabulary-
+  * learning step of a pretraining data pipeline (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units"; the
+  * greedy merge-rank encoder is the GPT-2 BPE shape).
+  *
+  * Scale design (the IVF-fit discipline, [[graft.ml.Ivf]]): the ONLY
+  * full-corpus pass is the word histogram — one shuffle of (word,
+  * count), with map-side partial aggregation doing the heavy lifting.
+  * The merge loop then runs on the driver over the BOUNDED top-`cap`
+  * histogram (`graft.bpe.vocabCap`, default 2^16): BPE statistics are
+  * weighted by word frequency, so the Zipf head carries ~all the pair
+  * mass and the unbounded tail only perturbs ranks below `minPairCount`
+  * anyway. Truncation emits a driver warning. Encoding never shuffles:
+  * a per-task memoized map over the text column (Zipf again — hit rate
+  * approaches 1 after the first few thousand words of a partition).
+  *
+  * Everything is deterministic, so a vocabulary trained today encodes
+  * identically in any later session: the histogram collect is ordered
+  * (count desc, word asc), merge ties break lexicographically, and
+  * encoding applies merges in rank order — the exact segmentation the
+  * training loop itself produced.
+  */
+object Bpe {
+
+  /** One learned merge: at `rank`, adjacent (left, right) → left+right. */
+  case class Merge(rank: Int, left: String, right: String) {
+    def merged: String = left + right
+  }
+
+  /** (word, n) corpus histogram — the ONLY full-corpus pass in
+    * training. Tokenization matches [[TextAnalysis.tokens]] (split on
+    * whitespace, empties dropped) so corpus statistics elsewhere in the
+    * library count the same words. */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Train `numMerges` merges on `docs`. The histogram is bounded to
+    * the top-`vocabCap` words by (count desc, word asc) — a
+    * deterministic, driver-safe collect (`orderBy.limit`, the bounded
+    * pattern every driver-side fit in this library uses); pass
+    * `vocabCap <= 0` (the default) to read `graft.bpe.vocabCap`
+    * (default 65536). Merges whose best pair falls below
+    * `minPairCount` stop training early. */
+  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                  minPairCount: Long = 2L,
+                  vocabCap: Int = -1): Seq[Merge] = {
+    val cap = (if (vocabCap > 0) vocabCap.toLong
+               else graft.GraftSession.longConf(docs.sparkSession,
+                 "graft.bpe.vocabCap", 1L << 16)).toInt
+    // cap+1: one extra row detects truncation without a second count
+    val hist = wordHistogram(docs, textCol)
+      .orderBy(col("n").desc, col("word"))
+      .limit(cap + 1)
+      .collect()
+    if (hist.length > cap)
+      graft.functions.Warnings.driverWarn(
+        s"bpe: word histogram truncated to top $cap words " +
+          s"(graft.bpe.vocabCap) — tail frequencies below " +
+          s"${hist(cap - 1).getLong(1)} are not counted")
+    trainOnHistogram(
+      hist.take(cap).map(r => (r.getString(0), r.getLong(1))).toSeq,
+      numMerges, minPairCount)
+  }
+
+  /** The driver-side merge loop over an in-memory (word, weight)
+    * histogram. Pair counts are maintained incrementally: merging pair
+    * p only retracts/re-adds the words that (ever) contained p, so an
+    * iteration costs O(words touched), not O(vocabulary). Ties on
+    * count break to the lexicographically smallest (left, right) —
+    * training is a pure function of the histogram. */
+  def trainOnHistogram(wordCounts: Seq[(String, Long)], numMerges: Int,
+                       minPairCount: Long = 2L): Seq[Merge] = {
+    val words: Array[(mutable.ArrayBuffer[String], Long)] =
+      wordCounts.map { case (w, c) => (toSymbols(w), c) }.toArray
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // word indices that have EVER contained a pair; stale members are
+    // harmless (retract+re-add of an unaffected word is a net no-op)
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def touch(i: Int, sign: Long): Unit = {
+      val (syms, w) = words(i)
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        val nc = counts.getOrElse(p, 0L) + sign * w
+        if (nc == 0L) counts.remove(p) else counts(p) = nc
+        if (sign > 0L) where.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < words.length) { touch(i, 1L); i += 1 }
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var continue = true
+    while (continue && merges.length < numMerges && counts.nonEmpty) {
+      var best: (String, String) = null
+      var bc = Long.MinValue
+      for ((p, c) <- counts)
+        if (c > bc || (c == bc && pairLt(p, best))) { best = p; bc = c }
+      if (bc < minPairCount) continue = false
+      else {
+        merges += Merge(merges.length, best._1, best._2)
+        val affected = where.getOrElse(best, mutable.BitSet.empty).toArray
+        var k = 0
+        while (k < affected.length) {
+          val idx = affected(k)
+          touch(idx, -1L)
+          words(idx) = (mergeIn(words(idx)._1, best), words(idx)._2)
+          touch(idx, 1L)
+          k += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Encode: one row per input row, `out` = the document's token
+    * sequence (merges applied per word in rank order — the segmentation
+    * training itself produced; tokens never cross word boundaries, the
+    * BPE contract). Null text stays null. No shuffle: a plain projected
+    * map with a per-task word→tokens memo. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge], out: String = "tokens"): DataFrame =
+    docs.select(col(idCol), encoderUdf(merges)(col(textCol)).as(out))
+
+  /** Per-document token statistics under a trained vocabulary:
+    * (id, n_tokens, n_word_chars) — the compression-ratio inputs a
+    * token-budget planner needs ([[Curation]] q90 pairs with this). */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String,
+                 merges: Seq[Merge]): DataFrame =
+    encode(docs, idCol, textCol, merges)
+      .select(col(idCol),
+        size(col("tokens")).cast(LongType).as("n_tokens"),
+        length(concat_ws("", col("tokens"))).cast(LongType)
+          .as("n_word_chars"))
+
+  /** The whole-document encoder as a reusable UDF (tokenize like
+    * [[TextAnalysis.tokens]], encode each word, concatenate). The memo
+    * map lives in the closure: each task deserializes its own copy, so
+    * it is task-local (no sharing, no locks) and resets per task —
+    * bounded by construction, capped anyway as a backstop. */
+  def encoderUdf(merges: Seq[Merge]): UserDefinedFunction = {
+    val pairs: Array[(String, String)] =
+      merges.map(m => (m.left, m.right)).toArray
+    val memo = mutable.HashMap.empty[String, Array[String]]
+    udf { (text: String) =>
+      if (text == null) null
+      else {
+        val out = mutable.ArrayBuffer.empty[String]
+        for (w <- text.trim.split("\\s+") if w.nonEmpty) {
+          if (memo.size > (1 << 16)) memo.clear()
+          out ++= memo.getOrElseUpdate(w, encodeWord(w, pairs))
+        }
+        out.toSeq
+      }
+    }
+  }
+
+  /** Segment one word: apply every merge in rank order, leftmost-
+    * greedy within the word — exactly what the training loop did to
+    * its histogram entries. */
+  def encodeWord(word: String, pairs: Array[(String, String)]): Array[String] = {
+    var syms = toSymbols(word)
+    var r = 0
+    while (r < pairs.length && syms.length > 1) {
+      syms = mergeIn(syms, pairs(r))
+      r += 1
+    }
+    syms.toArray
+  }
+
+  // -------------------------------------------------------------------
+  // Persistence — a vocabulary is an epoch artifact like the dedup
+  // index ([[DedupIndex]]): train once over the corpus, persist, then
+  // every later job (or session) encodes against the saved merges.
+
+  /** Persist a merge table as `<name>` (rank, left, right). */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge], name: String): Unit = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right))
+      .toDF("rank", "left", "right")
+      .write.mode("overwrite").saveAsTable(name)
+  }
+
+  /** Load a merge table saved with [[saveMerges]] — a bounded collect
+    * (vocabularies are merge-count-sized, never corpus-sized). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 name: String): Seq[Merge] =
+    spark.table(name).orderBy(col("rank")).collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2)))
+      .toSeq
+
+  // -------------------------------------------------------------------
+
+  /** Unicode code points as strings (surrogate pairs stay whole). */
+  private def toSymbols(w: String): mutable.ArrayBuffer[String] = {
+    val out = new mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out
+  }
+
+  /** Replace adjacent (left, right) with left+right, leftmost-greedy,
+    * non-overlapping — the classic BPE application order. Returns the
+    * input buffer untouched when the pair is absent. */
+  private def mergeIn(syms: mutable.ArrayBuffer[String],
+                      p: (String, String)): mutable.ArrayBuffer[String] = {
+    var found = false
+    var j = 0
+    while (!found && j < syms.length - 1) {
+      found = syms(j) == p._1 && syms(j + 1) == p._2
+      j += 1
+    }
+    if (!found) return syms
+    val out = new mutable.ArrayBuffer[String](syms.length)
+    j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == p._1 && syms(j + 1) == p._2) {
+        out += p._1 + p._2
+        j += 2
+      } else {
+        out += syms(j)
+        j += 1
+      }
+    }
+    out
+  }
+
+  private def pairLt(a: (String, String), b: (String, String)): Boolean =
+    b == null || a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+}

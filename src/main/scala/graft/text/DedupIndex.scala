@@ -158,13 +158,20 @@ object DedupIndex {
 
   /** Exact duplicates of batch docs against the index: one row per
     * batch doc whose content digest exists in the index —
-    * (new id, `dup_of` = the smallest matching indexed id). */
+    * (new id, `dup_of` = the smallest matching indexed id).
+    * `excludeSelfId` drops matches whose indexed id EQUALS the batch
+    * id — the replay-idempotence switch for ingest pipelines whose
+    * crash window re-filters a batch that was already appended (ids
+    * must be globally unique for this to be sound; see
+    * [[graft.streaming.StreamingDedup]]). */
   def exactDupsAgainst(newDocs: DataFrame, idCol: String, textCol: String,
-                       name: String): DataFrame = {
+                       name: String,
+                       excludeSelfId: Boolean = false): DataFrame = {
     val idx = newDocs.sparkSession.table(s"${name}_digests")
       .select(col("digest"), col(idCol).as("__old"))
-    newDocs.select(col(idCol), digestOf(textCol))
+    val hits = newDocs.select(col(idCol), digestOf(textCol))
       .join(idx, "digest") // index side exchange-free (bucketed)
+    (if (excludeSelfId) hits.filter(col("__old") =!= col(idCol)) else hits)
       .groupBy(col(idCol)).agg(min(col("__old")).as("dup_of"))
   }
 
@@ -178,7 +185,8 @@ object DedupIndex {
     * (new id, old id, jaccard). */
   def nearDupsAgainst(newDocs: DataFrame, idCol: String, textCol: String,
                       name: String, threshold: Double = 0.8,
-                      maxBucket: Int = 1000): DataFrame = {
+                      maxBucket: Int = 1000,
+                      excludeSelfId: Boolean = false): DataFrame = {
     val spark = newDocs.sparkSession
     val p = paramsOf(spark, name)
     val newGrams = graft.GraftSession.trackPersist(
@@ -202,12 +210,16 @@ object DedupIndex {
       .agg(count(lit(1)).as("__c")).filter(col("__c") > maxBucket)
       .select(col("band"), col("bucket"))
     val hot = idxHot.union(newHot).distinct()
-    val cand = newBuckets
+    val cand0 = newBuckets
       .join(hot, Seq("band", "bucket"), "left_anti")
       .select(col("band"), col("bucket"), col(idCol).as("__new"))
       .join(idxBuckets.select(col("band"), col("bucket"),
         col(idCol).as("__old")), Seq("band", "bucket"))
-      .select(col("__new"), col("__old")).distinct()
+      .select(col("__new"), col("__old"))
+    // excludeSelfId: see exactDupsAgainst — replay idempotence for
+    // ingest loops whose batch is already (partially) appended
+    val cand = (if (excludeSelfId) cand0.filter(col("__old") =!= col("__new"))
+                else cand0).distinct()
     // exact-Jaccard verify over candidate ids only; the grams table is
     // bucketed by id, so its groupBy runs exchange-free
     val newSets = newGrams
@@ -229,11 +241,12 @@ object DedupIndex {
     * nor near duplicates of anything indexed. */
   def dropDupsAgainst(newDocs: DataFrame, idCol: String, textCol: String,
                       name: String, threshold: Double = 0.8,
-                      maxBucket: Int = 1000): DataFrame = {
-    val exact = exactDupsAgainst(newDocs, idCol, textCol, name)
-      .select(col(idCol))
+                      maxBucket: Int = 1000,
+                      excludeSelfId: Boolean = false): DataFrame = {
+    val exact = exactDupsAgainst(newDocs, idCol, textCol, name,
+      excludeSelfId).select(col(idCol))
     val near = nearDupsAgainst(newDocs, idCol, textCol, name,
-      threshold, maxBucket).select(col("new_id").as(idCol))
+      threshold, maxBucket, excludeSelfId).select(col("new_id").as(idCol))
     newDocs.join(exact.union(near).distinct(), Seq(idCol), "left_anti")
   }
 }

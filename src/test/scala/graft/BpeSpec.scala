@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Bpe
+import graft.text.Bpe.Merge
+
+/** BPE training + encoding: hand-derived merge sequences, the
+  * training/encoding consistency contract, determinism, bounds. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic subword example: histogram small enough to derive the
+  // full merge sequence (and its tie-breaks) by hand
+  private val hist = Seq(
+    ("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L), ("hugs", 5L))
+
+  private val expectedMerges = Seq(
+    Merge(0, "u", "g"),    // 20
+    Merge(1, "u", "n"),    // 16
+    Merge(2, "h", "ug"),   // 15
+    Merge(3, "p", "un"),   // 12
+    Merge(4, "hug", "s"),  // 5 — tie with (p,ug); "hug" < "p"
+    Merge(5, "p", "ug"),   // 5
+    Merge(6, "b", "un"))   // 4
+
+  test("trainOnHistogram reproduces the hand-derived merge sequence, " +
+       "including count ties broken lexicographically") {
+    assert(Bpe.trainOnHistogram(hist, numMerges = 50) == expectedMerges)
+  }
+
+  test("training stops early when the best pair falls under minPairCount") {
+    assert(Bpe.trainOnHistogram(Seq(("ab", 1L), ("cd", 1L)),
+      numMerges = 10, minPairCount = 2L).isEmpty)
+    // numMerges caps even when pairs remain
+    assert(Bpe.trainOnHistogram(hist, numMerges = 3) ==
+      expectedMerges.take(3))
+  }
+
+  test("encodeWord applies merges in rank order, leftmost-greedy — the " +
+       "segmentation the training loop itself produced") {
+    val pairs = expectedMerges.map(m => (m.left, m.right)).toArray
+    assert(Bpe.encodeWord("hug", pairs).toSeq == Seq("hug"))
+    assert(Bpe.encodeWord("hugs", pairs).toSeq == Seq("hugs"))
+    assert(Bpe.encodeWord("hugging", pairs).toSeq ==
+      Seq("hug", "g", "i", "n", "g"))
+    assert(Bpe.encodeWord("punbun", pairs).toSeq == Seq("pun", "bun"))
+    // unseen symbols pass through as single code points
+    assert(Bpe.encodeWord("zq", pairs).toSeq == Seq("z", "q"))
+    assert(Bpe.encodeWord("", pairs).toSeq == Seq.empty)
+  }
+
+  test("df-level training equals the histogram twin and is deterministic") {
+    // expand the histogram into a document corpus (weights as repeats)
+    val docs = hist.flatMap { case (w, c) =>
+      Seq.fill(c.toInt)(w)
+    }.grouped(4).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val a = Bpe.trainMerges(docs, "text", numMerges = 50)
+    val b = Bpe.trainMerges(docs, "text", numMerges = 50)
+    assert(a == expectedMerges)
+    assert(a == b)
+  }
+
+  test("encode roundtrips every document and emits only vocabulary " +
+       "tokens (random corpus, unseen words included)") {
+    val rnd = new scala.util.Random(41L)
+    val abc = "abcde"
+    def word() = (0 until (1 + rnd.nextInt(8)))
+      .map(_ => abc(rnd.nextInt(abc.length))).mkString
+    val train = (0 until 60).map(i =>
+      (i.toLong, (0 until 6).map(_ => word()).mkString(" "))).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(train, "text", numMerges = 30)
+    assert(merges.nonEmpty)
+    val test = ((0 until 40).map(i =>
+      (i.toLong, (0 until 5).map(_ => word()).mkString(" "))) :+
+      (99L, "zzz unseen éé")).toDF("doc_id", "text")
+    val vocab = merges.map(_.merged).toSet
+    val rows = Bpe.encode(test, "doc_id", "text", merges)
+      .join(test, "doc_id")
+      .select(col("text"), col("tokens")).as[(String, Seq[String])]
+      .collect()
+    assert(rows.length == 41)
+    rows.foreach { case (text, toks) =>
+      assert(toks.mkString("") ==
+        text.trim.split("\\s+").filter(_.nonEmpty).mkString(""))
+      toks.foreach(t =>
+        assert(t.codePointCount(0, t.length) == 1 || vocab.contains(t),
+          s"token '$t' not in vocabulary"))
+    }
+  }
+
+  test("null text encodes to null; tokenStats counts tokens and word chars") {
+    val docs = Seq((1L, "aa ab aa"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val merges = Seq(Merge(0, "a", "a"))
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    assert(enc(0).getSeq[String](1) == Seq("aa", "a", "b", "aa"))
+    assert(enc(1).isNullAt(1))
+    val st = Bpe.tokenStats(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    assert(st(0).getLong(1) == 4L && st(0).getLong(2) == 6L)
+  }
+
+  test("merges persist and reload in order (train once, encode forever)") {
+    Bpe.saveMerges(spark, expectedMerges, "bpe_vocab_t1")
+    assert(Bpe.loadMerges(spark, "bpe_vocab_t1") == expectedMerges)
+  }
+
+  test("vocabCap truncation emits a driver warning (and 0-cap conf read)") {
+    val docs = Seq((1L, "aa bb cc dd ee ff aa bb")).toDF("doc_id", "text")
+    Bpe.trainMerges(docs, "text", numMerges = 5, vocabCap = 2)
+    assert(graft.functions.Warnings.recentDriverWarnings
+      .exists(_.contains("bpe: word histogram truncated to top 2")))
+    // conf fallback path: session knob respected when vocabCap <= 0
+    spark.conf.set("graft.bpe.vocabCap", "3")
+    try {
+      Bpe.trainMerges(docs, "text", numMerges = 5)
+      assert(graft.functions.Warnings.recentDriverWarnings
+        .exists(_.contains("top 3")))
+    } finally spark.conf.unset("graft.bpe.vocabCap")
+  }
+}

@@ -123,14 +123,21 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
     val right = strategy match {
       case "replicated"        => broadcast(other.df)
       case "merge"             => other.df.hint("merge")
-      // merge-sparse (POMergeSparseJoin / IndexableLoadFunc): the
-      // index-seek "read only matching right records" becomes a bloom
-      // key-filter on the right scan, built from the left keys; sorted
-      // inputs take the merge path. Inner-only (reference perf.xml).
+      // merge-sparse (POMergeSparseJoin / IndexableLoadFunc): when the
+      // probe side is GENUINELY sparse (distinct keys fit a bounded
+      // collect — graft.sparsejoin.maxKeys, default 10k; 0 disables),
+      // its keys push into the indexed side's SCAN as an In/InSet
+      // predicate (PushedFilters → parquet row-group min/max skipping:
+      // the closest Spark analog of the reference's per-key index seek
+      // — the reference reads only matching right RECORDS, this reads
+      // only row groups whose [min,max] admits a key). Above the
+      // threshold, the bloom key-filter form takes over (same result,
+      // post-scan probe). Sorted inputs take the merge path either
+      // way. Inner-only (reference perf.xml).
       case "merge-sparse" | "merge_sparse" =>
         require(joinType == "inner",
           "merge-sparse join only works for inner joins")
-        graft.operators.BloomJoin.preFilter(
+        graft.operators.SparseJoin.keyPreFilter(
             other.df, keys.map(other.df(_)), df, keys.map(df(_)))
           .hint("merge")
       case "shuffle_hash"      => other.df.hint("shuffle_hash")

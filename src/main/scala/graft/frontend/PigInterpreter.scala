@@ -1228,9 +1228,11 @@ final class PigRunner(val spark: SparkSession) {
         df.write.mode("overwrite").orc(path)
       // piggybank IndexedStorage(sep, indexFieldNums): sorted delimited
       // text + a seek index in the reference (IndexedStorage.java). The
-      // engine's merge-sparse join prunes via a key bloom instead of
-      // index seeks, so the payload is plain delimited text — the index
-      // arg is accepted and unused (documented divergence)
+      // engine's merge-sparse join seeks via bounded In-pushdown into
+      // the scan (row-group skipping) or a key bloom above threshold
+      // (operators/SparseJoin), so the payload is plain delimited
+      // text — the index arg is accepted and unused (documented
+      // divergence)
       case Some(("IndexedStorage", args)) =>
         textified(df).write.mode("overwrite")
           .option("sep", args.headOption.filter(_.nonEmpty).getOrElse("\t"))
@@ -1321,7 +1323,9 @@ final class PigRunner(val spark: SparkSession) {
         case Some("replicated" | "repl") => broadcast(rdf)
         case Some("merge")               => rdf.hint("merge")
         case Some("merge-sparse") =>
-          graft.operators.BloomJoin.preFilter(rdf, rKeys, acc, accKeys)
+          // seek (bounded In pushdown) or bloom by probe-key count —
+          // SparseJoin.keyPreFilter
+          graft.operators.SparseJoin.keyPreFilter(rdf, rKeys, acc, accKeys)
             .hint("merge")
         // 'skewed' is a physical hint — AQE's skew-join handles it
         case _                           => rdf
@@ -2129,6 +2133,44 @@ final class PigRunner(val spark: SparkSession) {
         graft.sources.DbStorage.load(spark, args(0), args(1), args.last,
           user = if (args.length == 5) Some(args(2)) else None,
           pass = if (args.length == 5) Some(args(3)) else None)
+      // piggybank AllLoader([mapping]) — point at a folder of MIXED
+      // formats; each file's loader is picked by extension (reference:
+      // piggybank/storage/AllLoader.java:74, mapping via the
+      // file.extension.loaders property — here the constructor arg or
+      // that same property as a session conf: SET file.extension.loaders
+      // '...'). Each extension group loads through the normal dispatch
+      // with the AS schema applied (so groups union by NAME and type);
+      // without AS they union positionally. Divergences, fail-loud:
+      // unmapped extensions error (the reference content-sniffs
+      // extension-less files), and the path-tag / sequence-file mapping
+      // forms are out of scope.
+      case Some(("AllLoader", args)) =>
+        val mapping = args.headOption.filter(_.nonEmpty)
+          .orElse(spark.conf.getOption("file.extension.loaders"))
+          .getOrElse(throw new IllegalArgumentException(
+            "AllLoader needs an extension mapping ('ext:Loader(...), " +
+              "…') as its argument or via SET file.extension.loaders"))
+        val byExt = graft.sources.Piggybank.parseExtensionLoaders(mapping)
+        val base = new org.apache.hadoop.fs.Path(path)
+        val hfs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val exts = hfs.listStatus(base).filter(_.isFile)
+          .map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+          .flatMap { n =>
+            val i = n.lastIndexOf('.')
+            if (i > 0) Some(n.substring(i + 1)) else None
+          }.toSet
+        require(exts.nonEmpty, s"AllLoader: no loadable files under $path")
+        val unmapped = exts -- byExt.keySet
+        require(unmapped.isEmpty, "AllLoader: no loader mapped for " +
+          s"extension(s) ${unmapped.toSeq.sorted.mkString(", ")}")
+        val parts = exts.toSeq.sorted.map { e =>
+          load(s"$path/*.$e", Some(byExt(e)), schema).df
+        }
+        require(parts.map(_.columns.length).distinct.size == 1,
+          "AllLoader: sub-loaders disagree on column count — declare " +
+            "an AS schema so every format maps to the same fields")
+        parts.reduce((a, b) => a.union(b.toDF(a.columns: _*)))
       // no USING: .parquet paths and parquet-magic files read parquet
       // (so a default STORE round-trips); anything else gets the
       // REFERENCE's default loader, PigStorage('\t') (PigStorage.java)
@@ -2162,7 +2204,7 @@ final class PigRunner(val spark: SparkSession) {
         "org.apache.pig.impl.builtin.] (known loaders here: PigStorage, " +
         "TextLoader, JsonLoader, OrcStorage, AvroStorage, " +
         "FixedWidthLoader, MyRegExLoader, SequenceFileLoader, " +
-        "CSVExcelStorage, XMLLoader, DBStorage, or a " +
+        "CSVExcelStorage, XMLLoader, DBStorage, AllLoader, or a " +
         "registered-jar LoadFunc)")
     }
     val df = schema match {

@@ -205,4 +205,49 @@ object Piggybank {
       .map { case (k, v) => org.apache.spark.sql.Row(conv(k), conv(v)) }
     spark.createDataFrame(rdd, schema)
   }
+
+  // ----------------------------------------------------------- AllLoader
+
+  /** `file.extension.loaders` mapping parser for the AllLoader analog
+    * (reference: piggybank/storage/AllLoader.java:80): comma-separated
+    * `[ext]:[loader func spec]` entries, where commas INSIDE a func
+    * spec's parens don't split (`csv:PigStorage(','), json:JsonLoader`).
+    * Func-spec arguments are Pig-quoted (single quotes). The
+    * reference's optional path-tag and sequence-file-writer-class forms
+    * are out of scope — the 2-part form covers the documented common
+    * use. Returns ext → (loader name, args). */
+  def parseExtensionLoaders(mapping: String)
+      : Map[String, (String, Seq[String])] = {
+    def splitTop(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var depth = 0
+      var quoted = false
+      s.foreach {
+        case '\'' => quoted = !quoted; cur += '\''
+        case '(' if !quoted => depth += 1; cur += '('
+        case ')' if !quoted => depth -= 1; cur += ')'
+        case ',' if depth == 0 && !quoted => out += cur.result(); cur.clear()
+        case c => cur += c
+      }
+      if (cur.nonEmpty) out += cur.result()
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+    val specRe = """([\w.$]+)(?:\((.*)\))?""".r
+    splitTop(mapping).map { entry =>
+      val i = entry.indexOf(':')
+      require(i > 0,
+        s"AllLoader mapping entry must be ext:LoaderSpec — got '$entry'")
+      val ext = entry.substring(0, i).trim.stripPrefix(".")
+      entry.substring(i + 1).trim match {
+        case specRe(name, null) => ext -> ((name, Seq.empty[String]))
+        case specRe(name, argStr) =>
+          val args = """'((?:[^'\\]|\\.)*)'""".r
+            .findAllMatchIn(argStr).map(_.group(1)).toSeq
+          ext -> ((name, args))
+        case other => throw new IllegalArgumentException(
+          s"AllLoader: cannot parse loader spec '$other'")
+      }
+    }.toMap
+  }
 }

@@ -795,8 +795,8 @@ class FrontendSpec extends SparkSpec {
       ex.toString)
   }
 
-  test("JOIN USING 'merge-sparse': bloom key-filter on the right scan, " +
-       "matches the plain join; inner-only") {
+  test("JOIN USING 'merge-sparse': probe keys seek into the right scan " +
+       "(In pushdown, no UDF), matches the plain join; inner-only") {
     val runner = PigRunner(spark).run(s"""
       o = LOAD '$dir/orders.parquet';
       c = LOAD '$dir/customer.parquet';
@@ -804,9 +804,10 @@ class FrontendSpec extends SparkSpec {
       j = JOIN o BY o_custkey, f BY c_custkey USING 'merge-sparse';
     """)
     val df = runner("j").df
-    // the right side carries the native bloom probe (no UDF), like 'bloom'
+    // seek regime (probe keys fit the bounded collect): the right side
+    // carries a literal In/InSet key predicate — pushable to its scan
     val plan = df.queryExecution.optimizedPlan.toString
-    assert(plan.contains("might_contain"))
+    assert(plan.contains("INSET") || plan.contains(" IN ("), plan.take(2000))
     assert(!plan.toLowerCase.contains("scalaudf"))
     val plain = PigRunner(spark).run(s"""
       o = LOAD '$dir/orders.parquet';

@@ -30,16 +30,31 @@ class OpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
-  test("merge-sparse join strategy: right scan bloom-filtered, inner-only") {
+  test("merge-sparse join strategy: probe keys SEEK into the right scan " +
+       "(In pushdown); forced above-threshold falls back to bloom; " +
+       "inner-only") {
     val o = Relation(sf("orders"), "o")
     val c = Relation(sf("customer").filter(col("c_custkey") < 10), "c")
     val oc = o.df.withColumnRenamed("o_custkey", "custkey")
     val cc = c.df.withColumnRenamed("c_custkey", "custkey")
     val j = Relation(oc, "o").join(Relation(cc, "c"), Seq("custkey"),
       strategy = "merge-sparse")
+    // seek regime: the probe keys land on the right side as a literal
+    // In/InSet predicate (pushable to the scan), no bloom
     val plan = j.df.queryExecution.optimizedPlan.toString
-    assert(plan.contains("might_contain"))
-    assert(j.df.count() == oc.join(cc, "custkey").count() && j.df.count() > 0)
+    assert(plan.contains("INSET") || plan.contains(" IN ("), plan.take(2000))
+    assert(!plan.contains("might_contain"))
+    val expected = oc.join(cc, "custkey").count()
+    assert(j.df.count() == expected && expected > 0)
+    // forced bloom regime (conf 0): same result, bloom probe in plan
+    spark.conf.set("graft.sparsejoin.maxKeys", "0")
+    try {
+      val jb = Relation(oc, "o").join(Relation(cc, "c"), Seq("custkey"),
+        strategy = "merge-sparse")
+      assert(jb.df.queryExecution.optimizedPlan.toString
+        .contains("might_contain"))
+      assert(jb.df.count() == expected)
+    } finally spark.conf.unset("graft.sparsejoin.maxKeys")
     intercept[IllegalArgumentException] {
       Relation(oc, "o").join(Relation(cc, "c"), Seq("custkey"),
         joinType = "left", strategy = "merge-sparse")

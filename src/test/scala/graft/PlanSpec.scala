@@ -27,6 +27,23 @@ class PlanSpec extends SparkSpec {
     assert(plan("q08_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q74 merge-sparse: sparse probe keys PUSH into the indexed " +
+       "side's scan (index-seek analog); forced bloom agrees") {
+    val p = plan("q74_merge_sparse")
+    // the big side's parquet scan carries the probe keys as a pushed
+    // In filter — row groups outside the key range are never read
+    assert(p.contains("PushedFilters: [In(l_orderkey"), p.take(4000))
+    val seek = SparkEntry.queries("q74_merge_sparse")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("graft.sparsejoin.maxKeys", "0") // force the bloom form
+    try {
+      val q = SparkEntry.queries("q74_merge_sparse")(spark, dir)
+      assert(!q.queryExecution.executedPlan.toString
+        .contains("PushedFilters: [In(l_orderkey"))
+      assert(q.collect().map(_.toSeq).toSet == seek)
+    } finally spark.conf.unset("graft.sparsejoin.maxKeys")
+  }
+
   test("q03: fused group-agg does partial aggregation, no bags") {
     val p = plan("q03_group_agg")
     assert(p.contains("partial_")) // map-side combine (Pig's combiner)

@@ -490,4 +490,47 @@ class SourcesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("scalar"))
   }
+
+  test("AllLoader: a mixed-format folder dispatches loaders by " +
+       "extension and unions under one AS schema") {
+    val in = s"${tmp()}/mixed"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.csv"),
+      "1,alpha\n2,beta\n".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.tsv"),
+      "3\tgamma\n".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/c.json"),
+      "{\"id\":4,\"name\":\"delta\"}\n".getBytes)
+    // the reference's own property name, as a session conf (the
+    // AllLoader() constructor-arg form takes the same string)
+    spark.conf.set("file.extension.loaders",
+      "csv:PigStorage(','), tsv:PigStorage(), json:JsonLoader")
+    try {
+      val r = PigRunner(spark).run(s"""
+        x = LOAD '$in' USING AllLoader() AS (id:int, name:chararray);
+      """).apply("x").df.orderBy("id").collect()
+      assert(r.map(x => (x.getInt(0), x.getString(1))).toSeq ==
+        Seq((1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")))
+    } finally spark.conf.unset("file.extension.loaders")
+  }
+
+  test("AllLoader: unmapped extensions fail loudly; mapping parser " +
+       "handles commas inside func-spec parens") {
+    val m = graft.sources.Piggybank.parseExtensionLoaders(
+      "csv:PigStorage(','), .json : JsonLoader, gz:PigStorage()")
+    assert(m("csv") == (("PigStorage", Seq(","))))
+    assert(m("json") == (("JsonLoader", Seq.empty)))
+    assert(m("gz") == (("PigStorage", Seq.empty)))
+    val in = s"${tmp()}/bad"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.xyz"),
+      "1\n".getBytes)
+    val e = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        x = LOAD '$in' USING AllLoader('csv:PigStorage()');
+        y = FOREACH x GENERATE $$0;
+      """).apply("y").df.collect()
+    }
+    assert(e.getMessage.contains("xyz"), e.getMessage)
+  }
 }

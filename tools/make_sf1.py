@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-REPS = 10
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # 100 -> ~sf10
 os.makedirs(DST, exist_ok=True)
 
 con = duckdb.connect()
@@ -32,11 +32,17 @@ COPY (
   SELECT d.doc_id + r.rep * 1000000 AS doc_id,
          CASE WHEN r.rep = 0 THEN d.text
               ELSE regexp_replace(d.text, '(\\S+)',
-                     '\\1' || chr(97 + r.rep::int), 'g') END AS text,
+                     '\\1' || chr(97 + r.rep::int % 26)
+                          || CASE WHEN r.rep >= 26
+                                  THEN chr(65 + r.rep::int // 26)
+                                  ELSE '' END, 'g') END AS text,
          d.lang, d.source,
          length(CASE WHEN r.rep = 0 THEN d.text
                 ELSE regexp_replace(d.text, '(\\S+)',
-                       '\\1' || chr(97 + r.rep::int), 'g') END)::int AS n_chars
+                       '\\1' || chr(97 + r.rep::int % 26)
+                            || CASE WHEN r.rep >= 26
+                                    THEN chr(65 + r.rep::int // 26)
+                                    ELSE '' END, 'g') END)::int AS n_chars
   FROM '{SRC}/documents.parquet' d
   CROSS JOIN (SELECT unnest(range({REPS})) AS rep) r
 ) TO '{DST}/documents.parquet' (FORMAT parquet)

@@ -135,13 +135,18 @@ object Curation {
     *
     * Output: input columns + n_tokens, pack_id, pack_offset. */
   def packSequences(df: DataFrame, stratumCol: String, orderCol: String,
-                    textCol: String, seqTokens: Long): DataFrame = {
+                    textCol: String, seqTokens: Long,
+                    tokenCountCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(seqTokens > 0, "seqTokens must be positive")
     val w = Window.partitionBy(stratumCol).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // production packs by TOKENIZER counts, not whitespace — pass a
+    // precomputed count column (e.g. Bpe.tokenStats' n_tokens) to pack
+    // by it; the whitespace default keeps the q94 gate semantics
     df.withColumn("n_tokens",
-        coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)))
+        tokenCountCol.map(c => coalesce(col(c).cast(LongType), lit(0L)))
+          .getOrElse(coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L))))
       .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("pack_id", floor(col("__start") / seqTokens))
       .withColumn("pack_offset", col("__start") % seqTokens)

@@ -704,4 +704,28 @@ class PipelineSpec extends SparkSpec {
     assert(!out(0)._2.contains("Menu"))
     assert(out(1) == ((2L, "", 3L, 0L, false)))
   }
+
+  test("tokenizer-aware packing: BPE token counts drive packSequences") {
+    val docs = sf("documents").select("doc_id", "text", "source")
+    val merges = graft.text.Bpe.trainMerges(docs, "text", numMerges = 32)
+    assert(merges.size == 32)
+    val st = graft.text.Bpe.tokenStats(docs, "doc_id", "text", merges)
+      .withColumnRenamed("n_tokens", "bpe_tokens")
+    val packed = graft.text.Curation.packSequences(
+      docs.join(st, "doc_id"), "source", "doc_id", "text",
+      seqTokens = 512, tokenCountCol = Some("bpe_tokens"))
+    val rows = packed.select("source", "doc_id", "bpe_tokens", "n_tokens",
+      "pack_id", "pack_offset").collect()
+    assert(rows.nonEmpty)
+    // the packing consumed the PROVIDED counts, not whitespace counts
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(3)))
+    // per stratum, packs are the exact greedy running-sum layout
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      var start = 0L
+      rs.sortBy(_.getLong(1)).foreach { r =>
+        assert(r.getLong(4) == start / 512 && r.getLong(5) == start % 512)
+        start += r.getLong(2)
+      }
+    }
+  }
 }

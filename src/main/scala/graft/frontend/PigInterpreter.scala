@@ -2153,13 +2153,20 @@ final class PigRunner(val spark: SparkSession) {
         val byExt = graft.sources.Piggybank.parseExtensionLoaders(mapping)
         val base = new org.apache.hadoop.fs.Path(path)
         val hfs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val exts = hfs.listStatus(base).filter(_.isFile)
+        val names = hfs.listStatus(base).filter(_.isFile)
           .map(_.getPath.getName)
           .filterNot(n => n.startsWith("_") || n.startsWith("."))
-          .flatMap { n =>
-            val i = n.lastIndexOf('.')
-            if (i > 0) Some(n.substring(i + 1)) else None
-          }.toSet
+        // fail-loud also covers extension-LESS files (and 'name.' with
+        // an empty extension): silently skipping them would lose rows —
+        // the reference content-sniffs these, we refuse instead
+        val (withExt, bare) = names.partition(n =>
+          n.lastIndexOf('.') > 0 && n.lastIndexOf('.') < n.length - 1)
+        require(bare.isEmpty, "AllLoader: file(s) without a usable " +
+          s"extension under $path: ${bare.sorted.take(5).mkString(", ")} — " +
+          "the extension dispatch cannot route them (the reference " +
+          "content-sniffs; out of scope here)")
+        val exts = withExt
+          .map(n => n.substring(n.lastIndexOf('.') + 1)).toSet
         require(exts.nonEmpty, s"AllLoader: no loadable files under $path")
         val unmapped = exts -- byExt.keySet
         require(unmapped.isEmpty, "AllLoader: no loader mapped for " +

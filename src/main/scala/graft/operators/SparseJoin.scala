@@ -25,8 +25,13 @@ object SparseJoin {
 
   def keyPreFilter(indexed: DataFrame, indexedKeys: Seq[Column],
                    probe: DataFrame, probeKeys: Seq[Column]): DataFrame = {
-    val maxKeys = graft.GraftSession.longConf(indexed.sparkSession,
-      "graft.sparsejoin.maxKeys", 10000L).toInt
+    // clamp instead of .toInt (which would WRAP a >2^31 conf to a tiny
+    // or negative threshold and silently flip the regime); negatives
+    // mean "disable seek" like 0
+    val maxKeys = math.min(
+      math.max(graft.GraftSession.longConf(indexed.sparkSession,
+        "graft.sparsejoin.maxKeys", 10000L), 0L),
+      Int.MaxValue - 1L).toInt
     // null probe keys never match an inner join — drop before collect
     val rows =
       if (maxKeys <= 0) null

@@ -223,12 +223,22 @@ object Piggybank {
       val cur = new StringBuilder
       var depth = 0
       var quoted = false
-      s.foreach {
-        case '\'' => quoted = !quoted; cur += '\''
-        case '(' if !quoted => depth += 1; cur += '('
-        case ')' if !quoted => depth -= 1; cur += ')'
-        case ',' if depth == 0 && !quoted => out += cur.result(); cur.clear()
-        case c => cur += c
+      var i = 0
+      while (i < s.length) {
+        s(i) match {
+          // a backslash escape inside quotes consumes the next char
+          // verbatim — an escaped \' must NOT toggle the quote state
+          // (the arg regex below accepts it, the splitter must too)
+          case '\\' if quoted && i + 1 < s.length =>
+            cur += '\\'; cur += s(i + 1); i += 1
+          case '\'' => quoted = !quoted; cur += '\''
+          case '(' if !quoted => depth += 1; cur += '('
+          case ')' if !quoted => depth -= 1; cur += ')'
+          case ',' if depth == 0 && !quoted =>
+            out += cur.result(); cur.clear()
+          case c => cur += c
+        }
+        i += 1
       }
       if (cur.nonEmpty) out += cur.result()
       out.result().map(_.trim).filter(_.nonEmpty)

@@ -20,16 +20,30 @@ import graft.text.{Dedup, DedupIndex}
   *  - a fully committed batch id is recorded in `<index>_ingestlog`
   *    LAST, so a replayed committed batch is skipped outright;
   *  - a batch replayed from the crash window AFTER the index append
-  *    but BEFORE the log write recomputes the SAME survivor set:
+  *    but BEFORE the log write recomputes the same survivor set:
   *    index matches with the batch's own appended rows are excluded by
   *    id (`excludeSelfId` in [[DedupIndex]]), and matches against
   *    sibling survivors cannot occur because step (a) made survivors
-  *    mutually non-duplicate at the same threshold. Survivor output is
-  *    then an idempotent per-batch-directory overwrite, and the second
-  *    append writes rows the FIRST append already wrote — duplicate
-  *    index entries for the same id, which later queries tolerate
-  *    (candidates/dup-hits deduplicate by id) and the next epoch
-  *    rebuild ([[DedupIndex.write]]) compacts away.
+  *    mutually non-duplicate at the same threshold AND the same
+  *    `maxBucket` cap (both passes share both knobs — a cap mismatch
+  *    would let a pair the in-batch pass skipped reappear as a
+  *    cross-index match on replay). Survivor output is then an
+  *    idempotent per-batch-directory overwrite.
+  *
+  * Two bounded, self-healing divergences remain in that crash window,
+  * both on the recall side only (nothing wrong is ever DROPPED as a
+  * false duplicate, and exact-duplicate filtering is unaffected):
+  *  - the first run's append can push a (band, bucket) population over
+  *    `maxBucket`, so the replay's hot-key guard skips candidates the
+  *    first run generated — the same behavior as if the bucket had
+  *    gone hot one batch earlier;
+  *  - a double-append leaves duplicate index rows for the batch's
+  *    survivors. Candidate/dup lookups deduplicate by id (distinct /
+  *    min / collect_set), so RESULTS stay correct, but the duplicate
+  *    rows inflate `_bucketcounts`, which can mark busy buckets hot
+  *    early (again recall-bounded).
+  * Both heal at the next epoch rebuild ([[DedupIndex.write]]), which
+  * recomputes tables and counts exactly.
   *
   * Requires globally unique ids across the stream's lifetime (any
   * crawl's doc-id contract; id reuse would alias the self-exclusion).
@@ -73,9 +87,11 @@ object StreamingDedup {
       // (a) in-batch dedup, exact then near — survivors must be
       // mutually non-duplicate for replay idempotence to hold
       val exact = Dedup.dropExactDups(batch, textCol, idCol)
+      // same threshold AND same maxBucket as the index pass — the
+      // replay-idempotence argument needs both aligned (header)
       val pairs = Dedup.minhashNearDupsByWords(exact, idCol, textCol,
         n = p.n, numHashes = p.numHashes, numBands = p.numBands,
-        threshold = threshold)
+        threshold = threshold, maxBucket = maxBucket)
       val inBatch = Dedup.dropNearDups(exact, pairs, idCol)
       // (b) against the index; self-exclusion makes the crash-window
       // replay recompute the same survivors (header)

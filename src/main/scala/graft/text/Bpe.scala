@@ -53,9 +53,13 @@ object Bpe {
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
                   minPairCount: Long = 2L,
                   vocabCap: Int = -1): Seq[Merge] = {
-    val cap = (if (vocabCap > 0) vocabCap.toLong
+    val capL = if (vocabCap > 0) vocabCap.toLong
                else graft.GraftSession.longConf(docs.sparkSession,
-                 "graft.bpe.vocabCap", 1L << 16)).toInt
+                 "graft.bpe.vocabCap", 1L << 16)
+    require(capL > 0, s"graft.bpe.vocabCap must be positive (got $capL) — " +
+      "the histogram collect is driver-bounded BY this cap, there is no " +
+      "uncapped mode")
+    val cap = math.min(capL, Int.MaxValue - 1L).toInt
     // cap+1: one extra row detects truncation without a second count
     val hist = wordHistogram(docs, textCol)
       .orderBy(col("n").desc, col("word"))
@@ -155,7 +159,13 @@ object Bpe {
       if (text == null) null
       else {
         val out = mutable.ArrayBuffer.empty[String]
-        for (w <- text.trim.split("\\s+") if w.nonEmpty) {
+        // NO String.trim here: Java trim strips every char <= U+0020
+        // (control chars included) where Spark's trim strips spaces
+        // only — the split + nonEmpty filter alone matches
+        // TextAnalysis.tokens exactly (leading whitespace yields one
+        // empty token, dropped by the filter; control chars survive
+        // inside words on both sides)
+        for (w <- text.split("\\s+") if w.nonEmpty) {
           if (memo.size > (1 << 16)) memo.clear()
           out ++= memo.getOrElseUpdate(w, encodeWord(w, pairs))
         }

@@ -237,7 +237,8 @@ object Dedup {
   def minhashNearDupsByWords(df: DataFrame, idCol: String, textCol: String,
                              n: Int = 3, numHashes: Int = 64,
                              numBands: Int = 16,
-                             threshold: Double = 0.8): DataFrame = {
+                             threshold: Double = 0.8,
+                             maxBucket: Int = 1000): DataFrame = {
     require(numBands >= 1 && numBands <= numHashes &&
       numHashes % numBands == 0,
       s"numHashes ($numHashes) must be a positive multiple of numBands " +
@@ -266,7 +267,7 @@ object Dedup {
       explodeHashedWordNgrams(df, Seq(idCol), textCol, n, "gram"))
     val sigs = minhashSignaturesFromGrams(grams, idCol, "gram", numHashes)
     val pairs = lshCandidatePairs(sigs, idCol, "sig",
-      numBands, numHashes / numBands)
+      numBands, numHashes / numBands, maxBucket)
     // exact-Jaccard verify on candidate docs only
     val candIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()

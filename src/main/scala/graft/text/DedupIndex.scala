@@ -94,7 +94,7 @@ object DedupIndex {
   }
 
   /** Per-(band, bucket) population counts — a WRITE-time property of
-    * the index (refreshed on [[append]]), so the per-batch hot-key
+    * the index (merge-bumped on [[append]]), so the per-batch hot-key
     * guard never re-aggregates the full bucket table: the index's
     * count aggregate runs once per epoch, not once per ingest batch.
     * The aggregate itself is exchange-free (the table is bucketed on
@@ -104,6 +104,30 @@ object DedupIndex {
     spark.table(s"${name}_buckets")
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
       .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${name}_bucketcounts")
+  }
+
+  /** Merge the BATCH's bucket counts into `_bucketcounts` — the append
+    * path must stay O(batch + counts-table), never O(index): the old
+    * full re-aggregation scanned the whole (fat) `_buckets` table per
+    * ingest batch, i.e. O(corpus) per batch at crawl scale. The counts
+    * table is one narrow row per DISTINCT (band, bucket); a true
+    * O(batch) upsert would need a mutable table format, out of scope.
+    * The merged frame is checkpointed before the overwrite because it
+    * READS the table it replaces. */
+  private def bumpBucketCounts(spark: SparkSession, name: String,
+                               newBuckets: DataFrame): Unit = {
+    val add = newBuckets
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+    val merged = spark.table(s"${name}_bucketcounts")
+      .unionByName(add)
+      .groupBy(col("band"), col("bucket")).agg(sum(col("n")).as("n"))
+    val snap =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        merged.checkpoint(eager = true)
+      else merged.localCheckpoint(eager = true)
+    dropStale(spark, s"${name}_bucketcounts")
+    snap.write.format("parquet").mode("overwrite")
       .saveAsTable(s"${name}_bucketcounts")
   }
 
@@ -149,11 +173,12 @@ object DedupIndex {
     snap.select(digestOf(textCol), col(idCol))
       .write.format("parquet").mode("append")
       .bucketBy(nb, "digest").saveAsTable(s"${name}_digests")
-    // the appended rows change bucket populations — refresh the
-    // write-time count table so the per-batch hot-key guard stays
-    // exact. (Appends also accrete one file per storage bucket per
-    // batch; a periodic epoch rebuild via [[write]] compacts.)
-    writeBucketCounts(spark, name)
+    // the appended rows change bucket populations — merge the BATCH's
+    // counts into the count table (O(batch + counts), never a full
+    // `_buckets` re-aggregation). (Appends also accrete one file per
+    // storage bucket per batch; a periodic epoch rebuild via [[write]]
+    // compacts and recomputes the counts exactly.)
+    bumpBucketCounts(spark, name, buckets)
   }
 
   /** Exact duplicates of batch docs against the index: one row per

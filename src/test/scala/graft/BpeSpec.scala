@@ -103,6 +103,32 @@ class BpeSpec extends SparkSpec {
     assert(st(0).getLong(1) == 4L && st(0).getLong(2) == 6L)
   }
 
+  test("encoder tokenization matches TextAnalysis.tokens on control " +
+       "chars (Java trim would strip them; Spark trim must win)") {
+    // U+0001 is NOT regex whitespace but IS <= U+0020 — a Java
+    // String.trim in the encoder would silently drop it
+    val docs = Seq((1L, "\u0001abc def\u0001"), (2L, "  padded  "))
+      .toDF("doc_id", "text")
+    val rows = graft.text.Bpe.encode(docs, "doc_id", "text", Seq.empty)
+      .join(docs, "doc_id")
+      .select(col("doc_id"), concat_ws("", col("tokens")),
+        concat_ws("", graft.text.TextAnalysis.tokens(col("text"))))
+      .collect()
+    rows.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"doc ${r.getLong(0)}: '${r.getString(1)}' != '${r.getString(2)}'"))
+  }
+
+  test("degenerate vocabCap conf is rejected loudly, not an index crash") {
+    val docs = Seq((1L, "aa bb")).toDF("doc_id", "text")
+    spark.conf.set("graft.bpe.vocabCap", "0")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Bpe.trainMerges(docs, "text", numMerges = 5)
+      }
+      assert(e.getMessage.contains("vocabCap"))
+    } finally spark.conf.unset("graft.bpe.vocabCap")
+  }
+
   test("merges persist and reload in order (train once, encode forever)") {
     Bpe.saveMerges(spark, expectedMerges, "bpe_vocab_t1")
     assert(Bpe.loadMerges(spark, "bpe_vocab_t1") == expectedMerges)

@@ -103,6 +103,18 @@ class DedupIndexSpec extends SparkSpec {
     assert(kept2 == Set(203L), s"second batch filter: $kept2")
   }
 
+  test("append merge-bumps _bucketcounts to EXACTLY the full " +
+       "re-aggregation (without scanning the whole bucket table)") {
+    DedupIndex.write(old, "doc_id", "text", "ix5", P)
+    val survivors = DedupIndex.dropDupsAgainst(batch, "doc_id", "text",
+      "ix5", threshold = 0.5)
+    DedupIndex.append(survivors, "doc_id", "text", "ix5")
+    val expected = spark.table("ix5_buckets")
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+    assert(spark.table("ix5_bucketcounts").except(expected).isEmpty &&
+      expected.except(spark.table("ix5_bucketcounts")).isEmpty)
+  }
+
   test("rebuilding an index overwrites it; a changed corpus changes " +
        "the answers") {
     DedupIndex.write(old, "doc_id", "text", "ix3", P)

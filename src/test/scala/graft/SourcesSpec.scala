@@ -521,6 +521,12 @@ class SourcesSpec extends SparkSpec {
     assert(m("csv") == (("PigStorage", Seq(","))))
     assert(m("json") == (("JsonLoader", Seq.empty)))
     assert(m("gz") == (("PigStorage", Seq.empty)))
+    // an escaped quote inside an arg must not flip the splitter's
+    // quote state (the arg regex accepts \' — the splitter must too)
+    val esc = graft.sources.Piggybank.parseExtensionLoaders(
+      "csv:PigStorage('it\\'s'), json:JsonLoader")
+    assert(esc("csv") == (("PigStorage", Seq("it\\'s"))))
+    assert(esc("json") == (("JsonLoader", Seq.empty)))
     val in = s"${tmp()}/bad"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.xyz"),
@@ -532,5 +538,20 @@ class SourcesSpec extends SparkSpec {
       """).apply("y").df.collect()
     }
     assert(e.getMessage.contains("xyz"), e.getMessage)
+    // extension-LESS files fail loudly too — silently skipping them
+    // would lose rows (the reference content-sniffs these)
+    val in2 = s"${tmp()}/bare"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in2))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in2/a.csv"),
+      "1\n".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in2/data"),
+      "2\n".getBytes)
+    val e2 = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        x = LOAD '$in2' USING AllLoader('csv:PigStorage()');
+        y = FOREACH x GENERATE $$0;
+      """).apply("y").df.collect()
+    }
+    assert(e2.getMessage.contains("data"), e2.getMessage)
   }
 }

@@ -58,6 +58,8 @@ object GraftSession {
   //   graft.ivf.targetCellSize       (default 1024)
   //   graft.ivf.sampleSize           (default 65536)
   //   graft.bpe.vocabCap             (default 65536)
+  //   graft.sparsejoin.maxKeys       (default 10000; 0 forces the
+  //                                   bloom form over the In-seek)
   // An explicit method argument always wins over the conf.
 
   /** Read a long-valued graft.* knob from a session's conf. */

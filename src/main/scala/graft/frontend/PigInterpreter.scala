@@ -1237,6 +1237,10 @@ final class PigRunner(val spark: SparkSession) {
         textified(df).write.mode("overwrite")
           .option("sep", args.headOption.filter(_.nonEmpty).getOrElse("\t"))
           .csv(path)
+      // piggybank HiveColumnarStorage — RCFile columnar write (text
+      // ColumnarSerDe encoding, \N nulls; Hive/Pig-readable)
+      case Some(("HiveColumnarStorage", _)) =>
+        graft.sources.Piggybank.hiveColumnarStore(textified(df), path)
       case Some(("BinStorage", _)) =>
         df.write.mode("overwrite").parquet(path)
       case Some(("CSVExcelStorage", args)) =>
@@ -1268,7 +1272,7 @@ final class PigRunner(val spark: SparkSession) {
         throw new IllegalArgumentException(
           s"$other is not a storage function (StoreFunc); supported: " +
           "PigStorage, JsonStorage, OrcStorage, AvroStorage, BinStorage, " +
-          "CSVExcelStorage, MultiStorage, DBStorage, or a " +
+          "CSVExcelStorage, MultiStorage, DBStorage, HiveColumnarStorage, or a " +
           "registered-jar StoreFunc")
       // a compression-suffixed path means compressed PigStorage TEXT in
       // the reference — honoring it beats this engine's parquet default
@@ -2090,6 +2094,13 @@ final class PigRunner(val spark: SparkSession) {
             "MyRegExLoader needs a pattern with capture groups")))
       case Some(("SequenceFileLoader", _)) =>
         graft.sources.Piggybank.sequenceFileLoad(spark, path)
+      // piggybank HiveColumnarLoader('f type, …') — RCFile columnar
+      // scan; names+types come from the loader's own schema string
+      case Some(("HiveColumnarLoader", args)) =>
+        graft.sources.Piggybank.hiveColumnarLoad(spark, path,
+          args.headOption.filter(_.nonEmpty).getOrElse(
+            throw new IllegalArgumentException("HiveColumnarLoader " +
+              "needs a schema string: 'name type, name type'")))
       // piggybank IndexedStorage(sep, idx) reads back as delimited text
       // (the seek index is not consulted — see the store-side note)
       case Some(("IndexedStorage", args)) =>
@@ -2211,7 +2222,8 @@ final class PigRunner(val spark: SparkSession) {
         "org.apache.pig.impl.builtin.] (known loaders here: PigStorage, " +
         "TextLoader, JsonLoader, OrcStorage, AvroStorage, " +
         "FixedWidthLoader, MyRegExLoader, SequenceFileLoader, " +
-        "CSVExcelStorage, XMLLoader, DBStorage, AllLoader, or a " +
+        "CSVExcelStorage, XMLLoader, DBStorage, AllLoader, " +
+        "HiveColumnarLoader, or a " +
         "registered-jar LoadFunc)")
     }
     val df = schema match {

@@ -206,6 +206,127 @@ object Piggybank {
     spark.createDataFrame(rdd, schema)
   }
 
+  // ------------------------------------------------ HiveColumnar (RCFile)
+
+  /** HiveColumnarLoader('f1 type, f2 type, …') (reference:
+    * contrib/piggybank/.../storage/HiveColumnarLoader.java): read
+    * RCFile columnar data with a declared schema. RCFile row groups
+    * store values column-wise with lazy per-column decompression (the
+    * `BytesRefArrayWritable` container); values are the text-lazy
+    * ColumnarSerDe encoding with `\N` nulls — exactly what
+    * [[hiveColumnarStore]] writes. Decoding happens on executors; each
+    * value is copied into a String before the record reader reuses its
+    * Writables. Casts follow Pig load semantics (failure → null;
+    * ansi=false). The reference's partition-path handling and
+    * read-column pruning (`hive.io.file.readcolumn.ids`) are out of
+    * scope — the whole declared width reads, AS narrows after. */
+  def hiveColumnarLoad(spark: SparkSession, path: String,
+                       schemaStr: String): DataFrame = {
+    import org.apache.hadoop.hive.ql.io.RCFileInputFormat
+    import org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable
+    import org.apache.hadoop.io.LongWritable
+    val fields = parseHiveSchema(schemaStr)
+    val n = fields.length
+    val conf = new org.apache.hadoop.mapred.JobConf(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.mapred.FileInputFormat.setInputPaths(conf, path)
+    val rdd = spark.sparkContext.hadoopRDD(conf,
+        classOf[RCFileInputFormat[LongWritable, BytesRefArrayWritable]],
+        classOf[LongWritable], classOf[BytesRefArrayWritable],
+        spark.sparkContext.defaultParallelism)
+      .map { case (_, v) =>
+        org.apache.spark.sql.Row((0 until n).map { i =>
+          if (i >= v.size) null
+          else {
+            val br = v.get(i)
+            val s = new String(br.getData, br.getStart, br.getLength,
+              java.nio.charset.StandardCharsets.UTF_8)
+            if (s == "\\N") null else s
+          }
+        }: _*)
+      }
+    val raw = spark.createDataFrame(rdd,
+      StructType(fields.map(f => StructField(f._1, StringType))))
+    raw.select(fields.map { case (name, tpe) =>
+      col(name).cast(hiveType(tpe)).as(name) }: _*)
+  }
+
+  /** HiveColumnarStorage analog (reference:
+    * contrib/piggybank/.../storage/HiveColumnarStorage.java): write a
+    * DataFrame as RCFile with the text ColumnarSerDe encoding, `\N`
+    * nulls — readable by Hive, real Pig's loader, and
+    * [[hiveColumnarLoad]]. */
+  def hiveColumnarStore(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.hive.ql.io.{RCFile, RCFileOutputFormat}
+    import org.apache.hadoop.hive.serde2.columnar.{BytesRefArrayWritable, BytesRefWritable}
+    val spark = df.sparkSession
+    val n = df.columns.length
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    // overwrite semantics like every other STORE here
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).mkdirs(p.getParent)
+    val pfs = p.getFileSystem(conf)
+    if (pfs.exists(p)) pfs.delete(p, true)
+    pfs.mkdirs(p)
+    RCFileOutputFormat.setColumnNumber(conf, n)
+    // direct per-partition RCFile.Writer (RCFileOutputFormat's
+    // getRecordWriter needs the MR task framework's work-output dir,
+    // which Spark's old-API write path never provides): each partition
+    // writes its own uniquely named file with create-overwrite, so a
+    // retried task simply rewrites it; job-level idempotence comes
+    // from the delete-then-write above
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    // render every column to its text encoding FIRST (codegen'd), so
+    // the partition loop only shuttles strings into Writables
+    val texts = df.select(df.columns.map(c =>
+      col(c).cast(StringType)).toIndexedSeq: _*)
+    texts.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.hasNext) {
+        val c = bc.value.value
+        val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.rc")
+        val w = new RCFile.Writer(file.getFileSystem(c), c, file)
+        try it.foreach { row =>
+          val braw = new BytesRefArrayWritable(n)
+          var i = 0
+          while (i < n) {
+            val bytes = (if (row.isNullAt(i)) "\\N" else row.getString(i))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            braw.set(i, new BytesRefWritable(bytes, 0, bytes.length))
+            i += 1
+          }
+          w.append(braw)
+        } finally w.close()
+      }
+      Iterator.empty
+    }.count() // force the write job
+    ()
+  }
+
+  /** "name type, name type" (the HiveColumnarLoader constructor
+    * grammar) → (name, hive type) pairs. */
+  def parseHiveSchema(s: String): Seq[(String, String)] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { f =>
+      val parts = f.split("\\s+")
+      require(parts.length == 2,
+        s"HiveColumnarLoader schema field must be 'name type': '$f'")
+      (parts(0), parts(1).toLowerCase)
+    }
+
+  private def hiveType(t: String): org.apache.spark.sql.types.DataType =
+    t match {
+      case "int" | "smallint" | "tinyint" => IntegerType
+      case "bigint" | "long"              => LongType
+      case "float"                        => FloatType
+      case "double"                       => DoubleType
+      case "boolean"                      => BooleanType
+      case "string" | "chararray"         => StringType
+      case other => throw new IllegalArgumentException(
+        s"HiveColumnarLoader: unsupported type '$other' " +
+          "(int/smallint/tinyint/bigint/float/double/boolean/string)")
+    }
+
   // ----------------------------------------------------------- AllLoader
 
   /** `file.extension.loaders` mapping parser for the AllLoader analog

@@ -491,6 +491,44 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("scalar"))
   }
 
+  test("HiveColumnarStorage/HiveColumnarLoader: RCFile columnar " +
+       "round-trip with nulls and type casts") {
+    val d = tmp()
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha", 1.5, true),
+      (2L, null.asInstanceOf[String], -2.25, false),
+      (3L, "with,comma and\ttab", 0.0, true))
+      .toDF("id", "name", "score", "flag")
+    graft.frontend.PigRunner(spark).run(s"""
+      x = LOAD '${writeTmpParquet(df, d)}';
+      STORE x INTO '$d/rc' USING HiveColumnarStorage();
+    """)
+    // plain scala read twin
+    val back = graft.sources.Piggybank.hiveColumnarLoad(spark, s"$d/rc",
+      "id bigint, name string, score double, flag boolean")
+      .orderBy("id").collect()
+    assert(back.length == 3)
+    assert(back(0).getLong(0) == 1L && back(0).getString(1) == "alpha" &&
+      back(0).getDouble(2) == 1.5 && back(0).getBoolean(3))
+    assert(back(1).isNullAt(1) && back(1).getDouble(2) == -2.25)
+    assert(back(2).getString(1) == "with,comma and\ttab")
+    // frontend LOAD twin (RCFile is format-framed: embedded delimiters
+    // survive because columns are length-prefixed, not delimited)
+    val viaPig = graft.frontend.PigRunner(spark).run(s"""
+      y = LOAD '$d/rc' USING HiveColumnarLoader('id bigint, name string, score double, flag boolean');
+      z = FILTER y BY flag;
+    """).apply("z").df.orderBy("id").collect()
+    assert(viaPig.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  private def writeTmpParquet(df: org.apache.spark.sql.DataFrame,
+                              d: String): String = {
+    val p = s"$d/in_parquet"
+    df.write.mode("overwrite").parquet(p)
+    p
+  }
+
   test("AllLoader: a mixed-format folder dispatches loaders by " +
        "extension and unions under one AS schema") {
     val in = s"${tmp()}/mixed"

@@ -1429,6 +1429,22 @@ object SparkEntry {
         col("roundtrip_ok"), col("vocab_ok"), col("compress_ok"))
     }),
 
+    // Data mixing (the pretraining-recipe step that fixes each
+    // source's share of the final corpus): resample to a target
+    // mixture — per-stratum quota = round(weight share × total),
+    // selection by the seed-reproducible 31-bit LCG rank (the q95
+    // generator), under-populated strata yield what they have (src0's
+    // quota 30 > its 25 docs at sf0.01 exercises the cap). Exact
+    // binary-fraction weights so the quota literals are rounding-mode
+    // independent. Fully SQL-expressible — full row/hash gate.
+    "q107_mixture" -> ((s, d) =>
+      graft.text.Curation.resampleToMixture(
+          T(s, d, "documents").df.select(col("doc_id"), col("source")),
+          "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.25,
+              "src2" -> 0.125, "src3" -> 0.125),
+          totalTarget = 60L)),
+
     "q99_ppm_decode" -> ((s, d) => {
       import s.implicits._
       val media = T(s, d, "documents").df.select(col("doc_id"))
@@ -2334,6 +2350,25 @@ object SparkEntry {
                           ELSE len(w.w) - coalesce(a.nk, 0) END AS BIGINT)
                   AS removed_tokens
          FROM words w LEFT JOIN agg a ON w.doc_id = a.doc_id""",
+    // mirrors Curation.resampleToMixture exactly: same 31-bit LCG mix
+    // as q95 (seed 42), same (mix, doc_id) rank per stratum, quota
+    // literals = round(weight share x 60) precomputed (30/15/8/8)
+    "q107_mixture" ->
+      """WITH m AS (
+           SELECT doc_id, source,
+                  (((xor(doc_id, doc_id >> 31) % 2147483648)
+                    * 1103515245 + 42)
+                    % 2147483648 * 1103515245 + 12345)
+                    % 2147483648 AS mix,
+                  CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 15
+                              WHEN 'src2' THEN 8 WHEN 'src3' THEN 8
+                              ELSE 0 END AS quota
+           FROM documents),
+         r AS (SELECT doc_id, source, quota,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY mix, doc_id) AS rk
+               FROM m)
+         SELECT doc_id, source FROM r WHERE rk <= quota""",
     // BPE training/encoding is not SQL-expressible: recompute the two
     // corpus anchors (doc count, distinct whitespace-token count —
     // same tokenization as the Spark side) and pin the Spark-computed

@@ -44,6 +44,43 @@ object Curation {
     df.filter(samplePermille(col(idCol)) < rate)
   }
 
+  /** Resample to a TARGET MIXTURE — the data-mixing step of a
+    * pretraining recipe (fix the proportion each source/language/
+    * quality bucket contributes to the final corpus): per stratum,
+    * keep exactly `min(available, round(weight/Σweights × totalTarget))`
+    * documents, chosen in the seed-reproducible [[lcgMix]] order — the
+    * same generator [[shuffleDeterministic]] and [[samplePermille]]
+    * use, so retries, re-runs, and a SQL oracle select identical rows.
+    * Strata absent from `weights` are dropped (weight 0); an
+    * under-populated stratum yields everything it has (the deficit is
+    * NOT redistributed — quotas stay a pure function of the weights,
+    * so two runs over different corpora are comparable).
+    *
+    * Scale shape: one hash-partitioned window per stratum (rank within
+    * stratum) — no global sort, no driver state beyond the weight
+    * literals; the quota comparison is a codegen'd CASE. Ids must be
+    * numeric (hash non-numeric ids upstream — the mix is 31-bit LCG
+    * arithmetic, chosen for exact cross-engine reproducibility). */
+  def resampleToMixture(df: DataFrame, idCol: String, stratumCol: String,
+                        weights: Map[String, Double], totalTarget: Long,
+                        seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(totalTarget >= 0, "totalTarget must be >= 0")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, "weights must be non-negative, not all zero")
+    val z = weights.values.sum
+    val quota = weights.foldLeft(lit(0L)) { case (acc, (k, w)) =>
+      when(col(stratumCol) === k,
+        lit(math.round(w / z * totalTarget))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__mix"), col(idCol))
+    df.withColumn("__mix", lcgMix(col(idCol).cast(LongType), seed))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__mix", "__rk")
+  }
+
   private def paragraphs(text: Column): Column =
     // coalesce: a null document contributes zero paragraphs, not a
     // null array (size(null) is -1 with ANSI off). The separator is a

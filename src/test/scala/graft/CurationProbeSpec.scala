@@ -183,6 +183,34 @@ class CurationProbeSpec extends SparkSpec {
     assert(both < 1400, s"high-bit-congruent pairs agree $both/2000")
   }
 
+  test("resampleToMixture: exact quotas, deterministic selection, " +
+       "under-populated cap, unmapped strata dropped") {
+    val docs = (0L until 100L).map(i =>
+      (i, if (i < 60) "a" else if (i < 70) "b" else "c"))
+      .toDF("doc_id", "source")
+    // weights over a (60 docs), b (10 docs), c unmapped (30 docs)
+    val out = Curation.resampleToMixture(docs, "doc_id", "source",
+      Map("a" -> 0.5, "b" -> 0.5), totalTarget = 40L)
+    val byStratum = out.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byStratum == Map("a" -> 20L, "b" -> 10L)) // b capped at 10
+    // deterministic: identical id set across runs
+    val ids1 = out.select("doc_id").as[Long].collect().toSet
+    val ids2 = Curation.resampleToMixture(docs, "doc_id", "source",
+        Map("a" -> 0.5, "b" -> 0.5), totalTarget = 40L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2 && ids1.size == 30)
+    // a different seed selects a different (same-sized) set
+    val ids3 = Curation.resampleToMixture(docs, "doc_id", "source",
+        Map("a" -> 0.5, "b" -> 0.5), totalTarget = 40L, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids3.size == 30 && ids3 != ids1)
+    intercept[IllegalArgumentException] {
+      Curation.resampleToMixture(docs, "doc_id", "source",
+        Map("a" -> 0.0), totalTarget = 10L)
+    }
+  }
+
   test("paragraphDedup splits CRLF paragraph breaks too") {
     val df = Seq(
       (1L, "shared para\r\n\r\nunique one"),

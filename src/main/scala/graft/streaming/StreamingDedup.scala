@@ -50,25 +50,34 @@ import graft.text.{Dedup, DedupIndex}
   */
 object StreamingDedup {
 
-  /** Start the ingest query: stream → per-batch dedup → survivors to
-    * `outPath/ingest_batch=<id>/` + index append. The index must
-    * already exist ([[DedupIndex.write]] over the seed corpus, or an
-    * empty frame). */
+  /** Start the ingest query: stream → per-batch quality filter →
+    * dedup → survivors to `outPath/ingest_batch=<id>/` + index append.
+    * The index must already exist ([[DedupIndex.write]] over the seed
+    * corpus, or an empty frame).
+    *
+    * `preFilter` is the curation hook — runs FIRST on each micro-batch
+    * (before any dedup work is spent on rows that won't survive
+    * anyway): language/quality/Gopher-rule filters, PII redaction,
+    * span trimming. It must be deterministic (a nondeterministic
+    * filter breaks replay idempotence) and must preserve `idCol` and
+    * `textCol`. */
   def ingest(stream: DataFrame, idCol: String, textCol: String,
              indexName: String, outPath: String, checkpoint: String,
              threshold: Double = 0.8, maxBucket: Int = 1000,
+             preFilter: DataFrame => DataFrame = identity,
              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     Streams.foreachBatchSink(stream, checkpoint,
       (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, idCol, textCol, indexName, outPath,
-          threshold, maxBucket),
+          threshold, maxBucket, preFilter),
       trigger)
 
   /** One micro-batch of the ingest loop (public: the unit the spec
     * pins, and a direct entry point for batch-driven backfills). */
   def ingestBatch(batch0: DataFrame, batchId: Long, idCol: String,
                   textCol: String, indexName: String, outPath: String,
-                  threshold: Double = 0.8, maxBucket: Int = 1000): Unit = {
+                  threshold: Double = 0.8, maxBucket: Int = 1000,
+                  preFilter: DataFrame => DataFrame = identity): Unit = {
     val spark = batch0.sparkSession
     val log = s"${indexName}_ingestlog"
     if (spark.catalog.tableExists(log) &&
@@ -80,10 +89,12 @@ object StreamingDedup {
       // snapshot before touching the index: the micro-batch plan is
       // re-evaluated per action below, and the index tables it joins
       // change under it at append time (the DedupIndex.append hazard)
-      val batch =
+      val batch = {
+        val filtered = preFilter(batch0)
         if (spark.sparkContext.getCheckpointDir.isDefined)
-          batch0.checkpoint(eager = true)
-        else batch0.localCheckpoint(eager = true)
+          filtered.checkpoint(eager = true)
+        else filtered.localCheckpoint(eager = true)
+      }
       // (a) in-batch dedup, exact then near — survivors must be
       // mutually non-duplicate for replay idempotence to hold
       val exact = Dedup.dropExactDups(batch, textCol, idCol)

@@ -330,6 +330,40 @@ class HardeningSpec extends SparkSpec {
     }
     assert(perPart.head._3 == n - 1 && perPart.last._4 == 0L)
   }
+
+  test("StreamingDedup ingest at 100k-doc index / 50k-doc batches: " +
+       "exact survivor counts across two batches") {
+    import graft.text.DedupIndex
+    import graft.streaming.StreamingDedup
+    // text = 12 globally unique tokens derived from a content key, so
+    // distinct keys never near-dup and equal keys are exact dups
+    def textOf(key: org.apache.spark.sql.Column) = concat_ws(" ",
+      (0 until 12).map(j =>
+        concat(lit("w"), (key * 12 + lit(j)).cast("string"))): _*)
+    val seed = spark.range(100000)
+      .select(col("id").as("doc_id"), textOf(col("id")).as("text"))
+    DedupIndex.write(seed, "doc_id", "text", "hsix")
+    val out = java.nio.file.Files.createTempDirectory("hsd").toString
+    // batch 1: even rows copy seed keys 0..24999, odd rows are novel
+    val b1 = spark.range(50000).select(
+      (col("id") + 1000000L).as("doc_id"),
+      textOf(when(col("id") % 2 === 0, (col("id") / 2).cast("long"))
+        .otherwise(col("id") + 200000L)).as("text"))
+    StreamingDedup.ingestBatch(b1, 0L, "doc_id", "text", "hsix", out,
+      threshold = 0.5)
+    val s1 = spark.read.parquet(s"$out/ingest_batch=0")
+    assert(s1.count() == 25000L)
+    // batch 2: even rows copy batch-1 SURVIVOR keys (novel odd keys of
+    // b1), odd rows novel — the index must have grown by the append
+    val b2 = spark.range(50000).select(
+      (col("id") + 2000000L).as("doc_id"),
+      textOf(when(col("id") % 2 === 0, col("id") + 200001L)
+        .otherwise(col("id") + 300000L)).as("text"))
+    StreamingDedup.ingestBatch(b2, 1L, "doc_id", "text", "hsix", out,
+      threshold = 0.5)
+    assert(spark.read.parquet(s"$out/ingest_batch=1").count() == 25000L)
+    assert(spark.table("hsix_ingestlog").count() == 2L)
+  }
 }
 
 class JarAggHardeningSpec extends SparkSpec {

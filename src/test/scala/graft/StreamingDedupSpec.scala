@@ -89,6 +89,27 @@ class StreamingDedupSpec extends SparkSpec {
       Set((401L, 301L)))
   }
 
+  test("preFilter curation hook runs before dedup: rejected docs " +
+       "never reach the output or the index") {
+    DedupIndex.write(seed, "doc_id", "text", "six5", P)
+    val out = tmp("sdout5")
+    val b = Seq(
+      (701L, "short"),
+      (702L, "a genuinely novel document with enough words to pass"),
+      (703L, "short"))
+      .toDF("doc_id", "text")
+    StreamingDedup.ingestBatch(b, 9L, "doc_id", "text", "six5", out,
+      threshold = 0.5,
+      preFilter = d => d.filter(size(split(col("text"), "\\s+")) >= 5))
+    assert(spark.read.parquet(s"$out/ingest_batch=9")
+      .select("doc_id").as[Long].collect().toSet == Set(702L))
+    // the rejected docs were never appended: their exact copy still
+    // matches nothing in the index
+    assert(DedupIndex.exactDupsAgainst(
+      Seq((801L, "short")).toDF("doc_id", "text"),
+      "doc_id", "text", "six5").count() == 0)
+  }
+
   test("excludeSelfId: a batch already present in the index keeps its " +
        "docs instead of matching itself") {
     DedupIndex.write(seed, "doc_id", "text", "six4", P)

@@ -188,6 +188,92 @@ object Bpe {
   }
 
   // -------------------------------------------------------------------
+  // Vocabulary — what a training pipeline actually consumes: a stable
+  // token→id table (base alphabet first, sorted; then merge results in
+  // rank order), plus id-level encoding.
+
+  /** A trained vocabulary: the base alphabet (every code point seen in
+    * the training histogram, sorted) + the merge results in rank
+    * order. Token ids are the position in that sequence — stable,
+    * contiguous, reproducible. */
+  case class Vocab(alphabet: Seq[String], merges: Seq[Merge]) {
+    lazy val tokens: Seq[String] = alphabet ++ merges.map(_.merged)
+    lazy val idOf: Map[String, Int] = tokens.zipWithIndex.toMap
+    def size: Int = tokens.size
+  }
+
+  /** [[trainMerges]] + the alphabet, as one [[Vocab]]. */
+  def trainVocab(docs: DataFrame, textCol: String, numMerges: Int,
+                 minPairCount: Long = 2L, vocabCap: Int = -1): Vocab = {
+    val merges = trainMerges(docs, textCol, numMerges, minPairCount,
+      vocabCap)
+    // the alphabet from the SAME bounded histogram the merges trained
+    // on (one more pass over the collected rows would be free, but the
+    // histogram isn't retained — recompute the same ordered, capped
+    // collect; determinism makes the two reads identical)
+    val capL = if (vocabCap > 0) vocabCap.toLong
+               else graft.GraftSession.longConf(docs.sparkSession,
+                 "graft.bpe.vocabCap", 1L << 16)
+    val cap = math.min(capL, Int.MaxValue - 1L).toInt
+    val alphabet = wordHistogram(docs, textCol)
+      .orderBy(col("n").desc, col("word")).limit(cap).collect()
+      .iterator.flatMap(r => toSymbols(r.getString(0)))
+      .toSet.toSeq.sorted
+    Vocab(alphabet, merges)
+  }
+
+  /** Encode to TOKEN IDS — the sequence-packing input. Unknown
+    * symbols (code points absent from the training alphabet) map to
+    * `unkId` (default -1, the conventional "needs byte-fallback"
+    * marker). Null text stays null. Same shuffle-free memoized map as
+    * [[encode]]. */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                vocab: Vocab, out: String = "token_ids",
+                unkId: Int = -1): DataFrame = {
+    val pairs: Array[(String, String)] =
+      vocab.merges.map(m => (m.left, m.right)).toArray
+    val ids = vocab.idOf
+    val memo = mutable.HashMap.empty[String, Array[Int]]
+    val enc = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val outB = mutable.ArrayBuffer.empty[Int]
+        for (w <- text.split("\\s+") if w.nonEmpty) {
+          if (memo.size > (1 << 16)) memo.clear()
+          outB ++= memo.getOrElseUpdate(w,
+            encodeWord(w, pairs).map(t => ids.getOrElse(t, unkId)))
+        }
+        outB.toSeq
+      }
+    }
+    docs.select(col(idCol), enc(col(textCol)).as(out))
+  }
+
+  /** Persist a whole [[Vocab]] as `<name>` (id, token, kind, rank,
+    * left, right) — one self-describing table. */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession,
+                vocab: Vocab, name: String): Unit = {
+    import spark.implicits._
+    val base = vocab.alphabet.zipWithIndex.map { case (t, i) =>
+      (i, t, "base", -1, null: String, null: String) }
+    val merged = vocab.merges.map(m =>
+      (vocab.alphabet.size + m.rank, m.merged, "merge", m.rank,
+        m.left, m.right))
+    (base ++ merged).toDF("id", "token", "kind", "rank", "left", "right")
+      .write.mode("overwrite").saveAsTable(name)
+  }
+
+  /** Reload a [[saveVocab]] table (bounded collect, vocab-sized). */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                name: String): Vocab = {
+    val rows = spark.table(name).orderBy(col("id")).collect()
+    Vocab(
+      rows.filter(_.getString(2) == "base").map(_.getString(1)).toSeq,
+      rows.filter(_.getString(2) == "merge").map(r =>
+        Merge(r.getInt(3), r.getString(4), r.getString(5))).toSeq)
+  }
+
+  // -------------------------------------------------------------------
   // Persistence — a vocabulary is an epoch artifact like the dedup
   // index ([[DedupIndex]]): train once over the corpus, persist, then
   // every later job (or session) encodes against the saved merges.

@@ -134,6 +134,30 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.loadMerges(spark, "bpe_vocab_t1") == expectedMerges)
   }
 
+  test("vocab: stable contiguous ids (alphabet then merges), id " +
+       "encoding with unk, save/load round-trip") {
+    val docs = hist.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
+      .grouped(4).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val v = Bpe.trainVocab(docs, "text", numMerges = 50)
+    assert(v.merges == expectedMerges)
+    // alphabet = sorted distinct code points of the training words
+    assert(v.alphabet == Seq("b", "g", "h", "n", "p", "s", "u"))
+    assert(v.tokens.take(7) == v.alphabet &&
+      v.tokens(7) == "ug" && v.size == 7 + expectedMerges.size)
+    val enc = Bpe.encodeIds(
+      Seq((1L, "hugs zz"), (2L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", v).orderBy("doc_id").collect()
+    // "hugs" -> one merged token; "zz" -> two unknown code points
+    assert(enc(0).getSeq[Int](1) ==
+      Seq(v.idOf("hugs"), -1, -1))
+    assert(enc(1).isNullAt(1))
+    Bpe.saveVocab(spark, v, "bpe_vocab_t2")
+    assert(Bpe.loadVocab(spark, "bpe_vocab_t2") == v)
+  }
+
   test("vocabCap truncation emits a driver warning (and 0-cap conf read)") {
     val docs = Seq((1L, "aa bb cc dd ee ff aa bb")).toDF("doc_id", "text")
     Bpe.trainMerges(docs, "text", numMerges = 5, vocabCap = 2)

@@ -1431,12 +1431,13 @@ object SparkEntry {
 
     // Data mixing (the pretraining-recipe step that fixes each
     // source's share of the final corpus): resample to a target
-    // mixture — per-stratum quota = round(weight share × total),
-    // selection by the seed-reproducible 31-bit LCG rank (the q95
-    // generator), under-populated strata yield what they have (src0's
-    // quota 30 > its 25 docs at sf0.01 exercises the cap). Exact
-    // binary-fraction weights so the quota literals are rounding-mode
-    // independent. Fully SQL-expressible — full row/hash gate.
+    // mixture — largest-remainder quotas summing exactly to the
+    // target, selection by the seed-reproducible 31-bit LCG rank (the
+    // q95 generator), under-populated strata yield what they have
+    // (src0's quota 30 > its 25 docs at sf0.01 exercises the cap).
+    // Exact binary-fraction weights so the quota literals are
+    // rounding-mode independent. Fully SQL-expressible — full
+    // row/hash gate.
     "q107_mixture" -> ((s, d) =>
       graft.text.Curation.resampleToMixture(
           T(s, d, "documents").df.select(col("doc_id"), col("source")),
@@ -2352,7 +2353,9 @@ object SparkEntry {
          FROM words w LEFT JOIN agg a ON w.doc_id = a.doc_id""",
     // mirrors Curation.resampleToMixture exactly: same 31-bit LCG mix
     // as q95 (seed 42), same (mix, doc_id) rank per stratum, quota
-    // literals = round(weight share x 60) precomputed (30/15/8/8)
+    // literals precomputed by largest-remainder apportionment
+    // (shares 30/15/7.5/7.5 -> floors 59, leftover 1 -> src2 by the
+    // name tie-break: 30/15/8/7, summing EXACTLY to 60)
     "q107_mixture" ->
       """WITH m AS (
            SELECT doc_id, source,
@@ -2361,7 +2364,7 @@ object SparkEntry {
                     % 2147483648 * 1103515245 + 12345)
                     % 2147483648 AS mix,
                   CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 15
-                              WHEN 'src2' THEN 8 WHEN 'src3' THEN 8
+                              WHEN 'src2' THEN 8 WHEN 'src3' THEN 7
                               ELSE 0 END AS quota
            FROM documents),
          r AS (SELECT doc_id, source, quota,

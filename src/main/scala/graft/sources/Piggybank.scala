@@ -285,8 +285,20 @@ object Piggybank {
     texts.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.hasNext) {
         val c = bc.value.value
-        val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.rc")
-        val w = new RCFile.Writer(file.getFileSystem(c), c, file)
+        val dir = new org.apache.hadoop.fs.Path(path)
+        val fs = dir.getFileSystem(c)
+        // write to a per-ATTEMPT dot-file (invisible to readers), then
+        // rename into place: concurrent/speculative attempts can never
+        // interleave into one final file — the first rename wins,
+        // losers delete their own tmp (HDFS rename-to-existing fails;
+        // local-FS overwrite replaces with identical deterministic
+        // content)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          f".part-$pid%05d-a$attempt.rc.tmp")
+        val fin = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.rc")
+        val w = new RCFile.Writer(fs, c, tmp)
         try it.foreach { row =>
           val braw = new BytesRefArrayWritable(n)
           var i = 0
@@ -298,6 +310,7 @@ object Piggybank {
           }
           w.append(braw)
         } finally w.close()
+        if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
       }
       Iterator.empty
     }.count() // force the write job
@@ -373,8 +386,12 @@ object Piggybank {
       entry.substring(i + 1).trim match {
         case specRe(name, null) => ext -> ((name, Seq.empty[String]))
         case specRe(name, argStr) =>
+          // unescape like the main Pig lexer does (\' → ', \\ → \) so
+          // the same loader spec means the same args via AllLoader as
+          // via a direct USING clause
           val args = """'((?:[^'\\]|\\.)*)'""".r
-            .findAllMatchIn(argStr).map(_.group(1)).toSeq
+            .findAllMatchIn(argStr)
+            .map(_.group(1).replaceAll("""\\(.)""", "$1")).toSeq
           ext -> ((name, args))
         case other => throw new IllegalArgumentException(
           s"AllLoader: cannot parse loader spec '$other'")

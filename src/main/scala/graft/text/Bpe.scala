@@ -52,7 +52,16 @@ object Bpe {
     * `minPairCount` stop training early. */
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
                   minPairCount: Long = 2L,
-                  vocabCap: Int = -1): Seq[Merge] = {
+                  vocabCap: Int = -1): Seq[Merge] =
+    trainOnHistogram(boundedHistogram(docs, textCol, vocabCap),
+      numMerges, minPairCount)
+
+  /** The ONE driver-bounded histogram collect training runs on:
+    * top-`cap` words by (count desc, word asc) — deterministic order,
+    * truncation warned. Shared by [[trainMerges]] and [[trainVocab]]
+    * so the corpus is scanned exactly once per training call. */
+  private def boundedHistogram(docs: DataFrame, textCol: String,
+                               vocabCap: Int): Seq[(String, Long)] = {
     val capL = if (vocabCap > 0) vocabCap.toLong
                else graft.GraftSession.longConf(docs.sparkSession,
                  "graft.bpe.vocabCap", 1L << 16)
@@ -70,9 +79,7 @@ object Bpe {
         s"bpe: word histogram truncated to top $cap words " +
           s"(graft.bpe.vocabCap) — tail frequencies below " +
           s"${hist(cap - 1).getLong(1)} are not counted")
-    trainOnHistogram(
-      hist.take(cap).map(r => (r.getString(0), r.getLong(1))).toSeq,
-      numMerges, minPairCount)
+    hist.take(cap).map(r => (r.getString(0), r.getLong(1))).toSeq
   }
 
   /** The driver-side merge loop over an in-memory (word, weight)
@@ -146,32 +153,35 @@ object Bpe {
         length(concat_ws("", col("tokens"))).cast(LongType)
           .as("n_word_chars"))
 
-  /** The whole-document encoder as a reusable UDF (tokenize like
-    * [[TextAnalysis.tokens]], encode each word, concatenate). The memo
-    * map lives in the closure: each task deserializes its own copy, so
-    * it is task-local (no sharing, no locks) and resets per task —
-    * bounded by construction, capped anyway as a backstop. */
-  def encoderUdf(merges: Seq[Merge]): UserDefinedFunction = {
-    val pairs: Array[(String, String)] =
-      merges.map(m => (m.left, m.right)).toArray
-    val memo = mutable.HashMap.empty[String, Array[String]]
-    udf { (text: String) =>
+  /** The ONE tokenize-and-encode loop both UDFs share (a tokenization
+    * tweak must never desynchronize [[encoderUdf]] and [[encodeIds]]):
+    * split like [[TextAnalysis.tokens]] — NO String.trim (Java trim
+    * strips every char <= U+0020, control chars included, where
+    * Spark's trim strips spaces only; the split + nonEmpty filter
+    * alone matches exactly) — then encode each word through the
+    * per-closure memo. The memo lives in the closure: each task
+    * deserializes its own copy (task-local, no locks), capped as a
+    * backstop. */
+  private def wordwise[T](perWord: String => Array[T]): String => Seq[T] = {
+    val memo = mutable.HashMap.empty[String, Array[T]]
+    (text: String) =>
       if (text == null) null
       else {
-        val out = mutable.ArrayBuffer.empty[String]
-        // NO String.trim here: Java trim strips every char <= U+0020
-        // (control chars included) where Spark's trim strips spaces
-        // only — the split + nonEmpty filter alone matches
-        // TextAnalysis.tokens exactly (leading whitespace yields one
-        // empty token, dropped by the filter; control chars survive
-        // inside words on both sides)
+        val out = mutable.ArrayBuffer.empty[T]
         for (w <- text.split("\\s+") if w.nonEmpty) {
           if (memo.size > (1 << 16)) memo.clear()
-          out ++= memo.getOrElseUpdate(w, encodeWord(w, pairs))
+          out ++= memo.getOrElseUpdate(w, perWord(w))
         }
         out.toSeq
       }
-    }
+  }
+
+  /** The whole-document encoder as a reusable UDF (tokenize like
+    * [[TextAnalysis.tokens]], encode each word, concatenate). */
+  def encoderUdf(merges: Seq[Merge]): UserDefinedFunction = {
+    val pairs: Array[(String, String)] =
+      merges.map(m => (m.left, m.right)).toArray
+    udf(wordwise[String](w => encodeWord(w, pairs)))
   }
 
   /** Segment one word: apply every merge in rank order, leftmost-
@@ -202,24 +212,15 @@ object Bpe {
     def size: Int = tokens.size
   }
 
-  /** [[trainMerges]] + the alphabet, as one [[Vocab]]. */
+  /** [[trainMerges]] + the alphabet, as one [[Vocab]] — ONE corpus
+    * pass: merges and alphabet both derive from the same collected
+    * histogram. */
   def trainVocab(docs: DataFrame, textCol: String, numMerges: Int,
                  minPairCount: Long = 2L, vocabCap: Int = -1): Vocab = {
-    val merges = trainMerges(docs, textCol, numMerges, minPairCount,
-      vocabCap)
-    // the alphabet from the SAME bounded histogram the merges trained
-    // on (one more pass over the collected rows would be free, but the
-    // histogram isn't retained — recompute the same ordered, capped
-    // collect; determinism makes the two reads identical)
-    val capL = if (vocabCap > 0) vocabCap.toLong
-               else graft.GraftSession.longConf(docs.sparkSession,
-                 "graft.bpe.vocabCap", 1L << 16)
-    val cap = math.min(capL, Int.MaxValue - 1L).toInt
-    val alphabet = wordHistogram(docs, textCol)
-      .orderBy(col("n").desc, col("word")).limit(cap).collect()
-      .iterator.flatMap(r => toSymbols(r.getString(0)))
-      .toSet.toSeq.sorted
-    Vocab(alphabet, merges)
+    val hist = boundedHistogram(docs, textCol, vocabCap)
+    Vocab(
+      hist.iterator.flatMap(w => toSymbols(w._1)).toSet.toSeq.sorted,
+      trainOnHistogram(hist, numMerges, minPairCount))
   }
 
   /** Encode to TOKEN IDS — the sequence-packing input. Unknown
@@ -233,19 +234,8 @@ object Bpe {
     val pairs: Array[(String, String)] =
       vocab.merges.map(m => (m.left, m.right)).toArray
     val ids = vocab.idOf
-    val memo = mutable.HashMap.empty[String, Array[Int]]
-    val enc = udf { (text: String) =>
-      if (text == null) null
-      else {
-        val outB = mutable.ArrayBuffer.empty[Int]
-        for (w <- text.split("\\s+") if w.nonEmpty) {
-          if (memo.size > (1 << 16)) memo.clear()
-          outB ++= memo.getOrElseUpdate(w,
-            encodeWord(w, pairs).map(t => ids.getOrElse(t, unkId)))
-        }
-        outB.toSeq
-      }
-    }
+    val enc = udf(wordwise[Int](w =>
+      encodeWord(w, pairs).map(t => ids.getOrElse(t, unkId))))
     docs.select(col(idCol), enc(col(textCol)).as(out))
   }
 

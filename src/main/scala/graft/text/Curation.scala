@@ -51,10 +51,15 @@ object Curation {
     * documents, chosen in the seed-reproducible [[lcgMix]] order — the
     * same generator [[shuffleDeterministic]] and [[samplePermille]]
     * use, so retries, re-runs, and a SQL oracle select identical rows.
-    * Strata absent from `weights` are dropped (weight 0); an
-    * under-populated stratum yields everything it has (the deficit is
-    * NOT redistributed — quotas stay a pure function of the weights,
-    * so two runs over different corpora are comparable).
+    * Quotas are LARGEST-REMAINDER apportioned (floor every share, then
+    * hand the leftover units to the largest fractional remainders,
+    * ties broken by stratum name), so they sum EXACTLY to
+    * `totalTarget` — independent per-stratum rounding can overshoot a
+    * budget by up to strata/2 rows. Strata absent from `weights` are
+    * dropped (weight 0); an under-populated stratum yields everything
+    * it has (the deficit is NOT redistributed — quotas stay a pure
+    * function of the weights, so two runs over different corpora are
+    * comparable).
     *
     * Scale shape: one hash-partitioned window per stratum (rank within
     * stratum) — no global sort, no driver state beyond the weight
@@ -69,9 +74,19 @@ object Curation {
     require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
       weights.values.sum > 0, "weights must be non-negative, not all zero")
     val z = weights.values.sum
-    val quota = weights.foldLeft(lit(0L)) { case (acc, (k, w)) =>
-      when(col(stratumCol) === k,
-        lit(math.round(w / z * totalTarget))).otherwise(acc)
+    // largest-remainder apportionment (driver-side over the tiny
+    // weight map): floors, then +1 to the biggest remainders until the
+    // floors sum to totalTarget; deterministic tie-break by name
+    val shares = weights.toSeq.map { case (k, w) =>
+      val s = w / z * totalTarget
+      (k, math.floor(s).toLong, s - math.floor(s))
+    }
+    val leftover = (totalTarget - shares.map(_._2).sum).toInt
+    val quotas = shares.sortBy { case (k, _, frac) => (-frac, k) }
+      .zipWithIndex
+      .map { case ((k, f, _), i) => (k, f + (if (i < leftover) 1L else 0L)) }
+    val quota = quotas.foldLeft(lit(0L)) { case (acc, (k, q)) =>
+      when(col(stratumCol) === k, lit(q)).otherwise(acc)
     }
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(col("__mix"), col(idCol))

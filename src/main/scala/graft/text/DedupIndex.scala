@@ -107,6 +107,24 @@ object DedupIndex {
       .saveAsTable(s"${name}_bucketcounts")
   }
 
+  /** The bucket-count table, with a SELF-HEALING fallback: if the
+    * table is missing (a crash landed between [[bumpBucketCounts]]'
+    * drop and its rewrite), recompute from the still-intact `_buckets`
+    * table — one O(index) aggregation, exchange-free on the bucketing
+    * key — and warn; the next write/bump re-materializes it. Readers
+    * must never die on a recoverable artifact. */
+  private def bucketCountsOf(spark: SparkSession, name: String): DataFrame =
+    if (spark.catalog.tableExists(s"${name}_bucketcounts"))
+      spark.table(s"${name}_bucketcounts")
+    else {
+      graft.functions.Warnings.driverWarn(
+        s"dedup index '$name': _bucketcounts missing (crash window?) — " +
+          "recomputing from _buckets for this query; the next " +
+          "write/append re-materializes it")
+      spark.table(s"${name}_buckets")
+        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+    }
+
   /** Merge the BATCH's bucket counts into `_bucketcounts` — the append
     * path must stay O(batch + counts-table), never O(index): the old
     * full re-aggregation scanned the whole (fat) `_buckets` table per
@@ -114,12 +132,14 @@ object DedupIndex {
     * table is one narrow row per DISTINCT (band, bucket); a true
     * O(batch) upsert would need a mutable table format, out of scope.
     * The merged frame is checkpointed before the overwrite because it
-    * READS the table it replaces. */
+    * READS the table it replaces; a crash between the drop and the
+    * rewrite is recoverable — readers fall back to recomputing from
+    * `_buckets` ([[bucketCountsOf]]). */
   private def bumpBucketCounts(spark: SparkSession, name: String,
                                newBuckets: DataFrame): Unit = {
     val add = newBuckets
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
-    val merged = spark.table(s"${name}_bucketcounts")
+    val merged = bucketCountsOf(spark, name)
       .unionByName(add)
       .groupBy(col("band"), col("bucket")).agg(sum(col("n")).as("n"))
     val snap =
@@ -229,7 +249,7 @@ object DedupIndex {
     // counts were aggregated once at write/append time
     // (`_bucketcounts`) — a per-batch query must not pay a full-index
     // aggregation; only the batch's own (small) counts compute here.
-    val idxHot = spark.table(s"${name}_bucketcounts")
+    val idxHot = bucketCountsOf(spark, name)
       .filter(col("n") > maxBucket).select(col("band"), col("bucket"))
     val newHot = newBuckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > maxBucket)

@@ -209,6 +209,14 @@ class CurationProbeSpec extends SparkSpec {
       Curation.resampleToMixture(docs, "doc_id", "source",
         Map("a" -> 0.0), totalTarget = 10L)
     }
+    // largest-remainder apportionment: equal thirds of 10 -> floors
+    // 3+3+3, the leftover unit goes to the name tie-break winner "a";
+    // the kept total equals totalTarget EXACTLY
+    val thirds = Curation.resampleToMixture(docs, "doc_id", "source",
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), totalTarget = 10L)
+    val byS = thirds.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byS == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
   }
 
   test("paragraphDedup splits CRLF paragraph breaks too") {

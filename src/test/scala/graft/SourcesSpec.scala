@@ -560,10 +560,10 @@ class SourcesSpec extends SparkSpec {
     assert(m("json") == (("JsonLoader", Seq.empty)))
     assert(m("gz") == (("PigStorage", Seq.empty)))
     // an escaped quote inside an arg must not flip the splitter's
-    // quote state (the arg regex accepts \' — the splitter must too)
+    // quote state, and args unescape like the main Pig lexer (\' → ')
     val esc = graft.sources.Piggybank.parseExtensionLoaders(
       "csv:PigStorage('it\\'s'), json:JsonLoader")
-    assert(esc("csv") == (("PigStorage", Seq("it\\'s"))))
+    assert(esc("csv") == (("PigStorage", Seq("it's"))))
     assert(esc("json") == (("JsonLoader", Seq.empty)))
     val in = s"${tmp()}/bad"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))

@@ -41,7 +41,17 @@ object LangModel {
   /** Per-doc bigram-LM score. `train` defaults to `docs` itself (the
     * self-perplexity recipe); pass a reference corpus to score against a
     * fixed LM. Output: (doc_id, n_bigrams, avg_nll) — docs with < 2
-    * tokens get n_bigrams = 0 and a null score. */
+    * tokens get n_bigrams = 0 and a null score.
+    *
+    * Both count tables and both scoring joins carry 64-BIT HASHES of
+    * the unigram/bigram (hashed in-row before any exchange) — the
+    * dsirWeights discipline below: the gram is only a count/join key.
+    * Local A/B at 10× bench data reads a modest ~1.05× (unigrams are
+    * short, so CPU-bound local runs barely notice) — the reason to
+    * hash is SHUFFLE BYTES (8 per key vs the string), the term that
+    * matters on IO-bound cluster storage. Two grams colliding in
+    * 64-bit space is the standing accepted caveat (the oracle compares
+    * values, which agree absent a collision). */
   def bigramScore(docs: DataFrame, idCol: String, textCol: String,
                   train: Option[DataFrame] = None,
                   trainTextCol: String = "text"): DataFrame = {
@@ -49,10 +59,11 @@ object LangModel {
       .select(toks(train.map(_ => trainTextCol).getOrElse(textCol)).as("t"))
 
     val uni = trainToks.select(explode(col("t")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).cast(DoubleType).as("c1"))
+      .groupBy(xxhash64(col("w1")).as("h1"))
+      .agg(count(lit(1)).cast(DoubleType).as("c1"))
     val big = trainToks.filter(size(col("t")) >= 2)
       .select(explode(bigrams(col("t"))).as("b"))
-      .groupBy(col("b.gram").as("gram"))
+      .groupBy(xxhash64(col("b.gram")).as("hg"))
       .agg(count(lit(1)).cast(DoubleType).as("c12"))
     val vsize = uni.agg(count(lit(1)).cast(DoubleType).as("vsize"))
 
@@ -60,11 +71,12 @@ object LangModel {
       .select(col(idCol).as("doc_id"), toks(textCol).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(bigrams(col("t"))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.gram").as("gram"))
+      .select(col("doc_id"), xxhash64(col("b.w1")).as("h1"),
+        xxhash64(col("b.gram")).as("hg"))
 
     val scored = inst
-      .join(big, Seq("gram"), "left")
-      .join(uni, Seq("w1"), "left")
+      .join(big, Seq("hg"), "left")
+      .join(uni, Seq("h1"), "left")
       .crossJoin(broadcast(vsize))
       .withColumn("nll", -log(
         (coalesce(col("c12"), lit(0.0)) + 1.0) /

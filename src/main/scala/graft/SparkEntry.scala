@@ -1446,6 +1446,29 @@ object SparkEntry {
               "src2" -> 0.125, "src3" -> 0.125),
           totalTarget = 60L)),
 
+    // HTML -> text extraction (the crawl pipeline's first stage):
+    // deterministic HTML is synthesized around each doc's text (the
+    // q85 salting pattern) with script/style blocks, entities, and two
+    // links; the engine extracts title/text/links with RE2-safe
+    // pure-Column regexes and the oracle mirrors the same synthesis +
+    // extraction in DuckDB — full row/hash gate
+    "q108_html_extract" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      val idStr = col("doc_id").cast(StringType)
+      val html = concat(
+        lit("<html><head><title>Doc "), idStr,
+        lit(" &amp; co</title><style>p {color: red}</style></head>" +
+          "<body><script type=\"text/js\">var x = 1 < 2;</script><p>"),
+        col("text"),
+        lit("</p><!-- note --><p>5 &lt; 7 &amp;&amp; 8 &gt; 2</p>" +
+          "<a href=\"https://ex.com/"), idStr,
+        lit("\">link</a> <a href=\"/rel?q=1\">rel</a></body></html>"))
+      graft.text.Html.extractAll(
+          docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .select(col("doc_id"), col("title"), col("text"), col("n_links"),
+          element_at(col("links"), 1).as("first_link"))
+    }),
+
     "q99_ppm_decode" -> ((s, d) => {
       import s.implicits._
       val media = T(s, d, "documents").df.select(col("doc_id"))
@@ -2372,6 +2395,51 @@ object SparkEntry {
                                          ORDER BY mix, doc_id) AS rk
                FROM m)
          SELECT doc_id, source FROM r WHERE rk <= quota""",
+    // mirrors Html.extractText/title/links verbatim: same RE2-safe
+    // regexes (DuckDB needs the explicit 'g'/'s' flags Spark applies
+    // implicitly), same entity-decode chain (&amp; LAST), same
+    // whitespace collapse
+    "q108_html_extract" ->
+      """WITH synth AS (
+           SELECT doc_id,
+                  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+                  ' &amp; co</title><style>p {color: red}</style></head>' ||
+                  '<body><script type="text/js">var x = 1 < 2;</script><p>' ||
+                  text ||
+                  '</p><!-- note --><p>5 &lt; 7 &amp;&amp; 8 &gt; 2</p>' ||
+                  '<a href="https://ex.com/' || CAST(doc_id AS VARCHAR) ||
+                  '">link</a> <a href="/rel?q=1">rel</a></body></html>'
+                    AS html
+           FROM documents),
+         strip AS (
+           SELECT doc_id, html,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(html,
+                      '(?is)<script\b[^>]*>.*?(</script>|$)', ' ', 'g'),
+                      '(?is)<style\b[^>]*>.*?(</style>|$)', ' ', 'g'),
+                      '(?s)<!--.*?(-->|$)', ' ', 'g'),
+                      '<[^>]+>', ' ', 'g') AS t0
+           FROM synth),
+         dec AS (
+           SELECT doc_id, html,
+                  replace(replace(replace(replace(replace(replace(replace(
+                    t0, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                    '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+                    '&amp;', '&') AS t1,
+                  regexp_extract(html,
+                    '(?is)<title\b[^>]*>(.*?)</title>', 1) AS rawtitle,
+                  regexp_extract_all(html,
+                    '(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"', 1) AS ls
+           FROM strip)
+         SELECT doc_id,
+                trim(replace(replace(replace(replace(replace(replace(
+                  replace(rawtitle, '&nbsp;', ' '), '&lt;', '<'),
+                  '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                  '&apos;', ''''), '&amp;', '&')) AS title,
+                trim(regexp_replace(t1, '\s+', ' ', 'g')) AS text,
+                CAST(len(ls) AS BIGINT) AS n_links,
+                ls[1] AS first_link
+         FROM dec""",
     // BPE training/encoding is not SQL-expressible: recompute the two
     // corpus anchors (doc count, distinct whitespace-token count —
     // same tokenization as the Spark side) and pin the Spark-computed

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Html
+
+/** HTML → text extraction: tag/block stripping, entity decode order,
+  * link extraction, null/absent handling, fail-closed malformed HTML. */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(html: String) = Html.extractAll(
+    Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html").head()
+
+  test("script/style/comment blocks vanish; tags become spaces; " +
+       "whitespace collapses") {
+    val r = one("""<html><head><style>p { x: 1 }</style></head>
+      <body><script>if (a < b) { alert("hi") }</script>
+      <h1>Head</h1><!-- gone --><p>one</p><p>two</p></body></html>""")
+    assert(r.getString(2) == "Head one two")
+  }
+
+  test("entities decode with &amp; LAST: &amp;lt; yields the literal " +
+       "&lt;, never <") {
+    val r = one("<p>5 &lt; 7 &amp;&amp; x &gt; 2, &quot;q&quot; " +
+      "&#39;a&#39;&nbsp;end &amp;lt;</p>")
+    assert(r.getString(2) == "5 < 7 && x > 2, \"q\" 'a' end &lt;")
+  }
+
+  test("title extracted and decoded; absent title is empty") {
+    assert(one("<title>A &amp; B</title><p>x</p>").getString(1) == "A & B")
+    assert(one("<p>x</p>").getString(1) == "")
+  }
+
+  test("links in document order; count matches") {
+    val r = one("""<a href="https://a.com/1">a</a>text
+      <a class="c" href="/rel?q=2">b</a>""")
+    assert(r.getSeq[String](3) == Seq("https://a.com/1", "/rel?q=2"))
+    assert(r.getLong(4) == 2L)
+  }
+
+  test("null html stays null; unclosed <script> fails closed (swallows " +
+       "to end of document, never leaks script text)") {
+    val n = Html.extractAll(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "html"),
+      "doc_id", "html").head()
+    assert(n.isNullAt(1) && n.isNullAt(2) && n.isNullAt(3) && n.isNullAt(4))
+    val r = one("<p>keep</p><script>var secret = 1;")
+    assert(r.getString(2) == "keep")
+  }
+}

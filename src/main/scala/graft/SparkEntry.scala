@@ -1469,6 +1469,28 @@ object SparkEntry {
           element_at(col("links"), 1).as("first_link"))
     }),
 
+    // URL canonicalization (the step BEFORE URL-keyed dedup/joins —
+    // two spellings of one page must collide): messy URLs synthesized
+    // deterministically per doc (mixed-case scheme/host, default
+    // ports, tracking params, fragments, bare-host trailing slash),
+    // normalized by the RE2-safe rule chain the oracle mirrors
+    // verbatim — full row/hash gate
+    "q109_url_normalize" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      val idStr = col("doc_id").cast(StringType)
+      val messy = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("HTTP://WWW.Site"), idStr, lit(".ORG:80/#top")))
+        .otherwise(concat(
+          lit("HTTPS://Ex"), pmod(col("doc_id"), lit(7)).cast(StringType),
+          lit(".COM:443/Path"), idStr, lit("?utm_source=x&id="), idStr,
+          lit("&fbclid=abc#frag")))
+      docs.select(col("doc_id"), messy.as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.text.Urls.normalize(col("url")).as("url_norm"),
+          graft.text.Urls.domain(
+            graft.text.Urls.normalize(col("url"))).as("host"))
+    }),
+
     "q99_ppm_decode" -> ((s, d) => {
       import s.implicits._
       val media = T(s, d, "documents").df.select(col("doc_id"))
@@ -2395,6 +2417,52 @@ object SparkEntry {
                                          ORDER BY mix, doc_id) AS rk
                FROM m)
          SELECT doc_id, source FROM r WHERE rk <= quota""",
+    // mirrors Urls.normalize step for step (fragment, scheme/host
+    // case-fold, default ports, trackers, dangling ?, bare-host slash);
+    // replacement backrefs are \1 in DuckDB vs $1 in Spark — syntax
+    // only, same semantics
+    "q109_url_normalize" ->
+      """WITH synth AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN 'HTTP://WWW.Site' || CAST(doc_id AS VARCHAR)
+                            || '.ORG:80/#top'
+                       ELSE 'HTTPS://Ex' || CAST(doc_id % 7 AS VARCHAR)
+                            || '.COM:443/Path' || CAST(doc_id AS VARCHAR)
+                            || '?utm_source=x&id='
+                            || CAST(doc_id AS VARCHAR)
+                            || '&fbclid=abc#frag' END AS url
+           FROM documents),
+         s1 AS (SELECT doc_id, url,
+                  regexp_replace(trim(url), '(?s)#.*$', '') AS t
+                FROM synth),
+         s2 AS (SELECT doc_id, url,
+                  CASE WHEN regexp_matches(t,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(.*)$')
+                       THEN lower(regexp_extract(t,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(.*)$', 1))
+                         || regexp_extract(t,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(.*)$', 2)
+                       ELSE t END AS t
+                FROM s1),
+         s3 AS (SELECT doc_id, url,
+                  regexp_replace(regexp_replace(t,
+                    '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2'),
+                    '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2') AS t
+                FROM s2),
+         s4 AS (SELECT doc_id, url,
+                  regexp_replace(regexp_replace(regexp_replace(t,
+                    '&(utm_[^=&#]*|gclid|fbclid)=[^&#]*', '', 'g'),
+                    '\?(utm_[^=&#]*|gclid|fbclid)=[^&#]*&', '?'),
+                    '\?(utm_[^=&#]*|gclid|fbclid)=[^&#]*$', '') AS t
+                FROM s3),
+         s5 AS (SELECT doc_id, url,
+                  regexp_replace(regexp_replace(t, '\?$', ''),
+                    '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\1') AS t
+                FROM s4)
+         SELECT doc_id, url, t AS url_norm,
+                regexp_extract(t, 'https?://([^/\s:?#]+)', 1) AS host
+         FROM s5""",
     // mirrors Html.extractText/title/links verbatim: same RE2-safe
     // regexes (DuckDB needs the explicit 'g'/'s' flags Spark applies
     // implicitly), same entity-decode chain (&amp; LAST), same

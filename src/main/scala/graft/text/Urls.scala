@@ -22,4 +22,38 @@ object Urls {
   /** Host part of one URL ('' when the pattern misses). */
   def domain(url: Column): Column =
     regexp_extract(url, DomainRe, 1)
+
+  /** Canonicalize an absolute http(s) URL — the normalization step
+    * BEFORE URL-keyed dedup/joins (two spellings of one page must
+    * collide). The common-subset rules, each a pure-Column RE2-safe
+    * regex a SQL oracle can mirror verbatim:
+    *   1. trim;
+    *   2. drop the fragment (`#…`);
+    *   3. lowercase scheme + host (path/query case is significant and
+    *      stays);
+    *   4. drop default ports (`:80` for http, `:443` for https);
+    *   5. drop tracking params (`utm_*`, `gclid`, `fbclid`) wherever
+    *      they sit in the query string, then a dangling `?`;
+    *   6. drop the trailing slash of a bare-host URL.
+    * Steps 1–3 apply to ANY absolute scheme (ftp:// hosts case-fold
+    * too); 4–6 are http(s)-shaped by pattern. Relative inputs get
+    * steps 1–2 only (nothing to case-fold — fail-safe passthrough,
+    * not an error). Null stays null. */
+  def normalize(url: Column): Column = {
+    val schemeHost = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(.*)$"
+    val t = regexp_replace(trim(url), "(?s)#.*$", "")
+    val cased = when(t.rlike(schemeHost),
+      concat(lower(regexp_extract(t, schemeHost, 1)),
+        regexp_extract(t, schemeHost, 2))).otherwise(t)
+    val noPort = regexp_replace(regexp_replace(cased,
+      "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
+      "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+    val trackers = "(utm_[^=&#]*|gclid|fbclid)"
+    val noTrack = regexp_replace(regexp_replace(regexp_replace(noPort,
+      s"&$trackers=[^&#]*", ""),
+      s"\\?$trackers=[^&#]*&", "?"),
+      s"\\?$trackers=[^&#]*$$", "")
+    regexp_replace(regexp_replace(noTrack, "\\?$", ""),
+      "^([a-z][a-z0-9+.-]*://[^/?#]+)/$", "$1")
+  }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Urls
+
+/** URL canonicalization rules ([[graft.text.Urls.normalize]]). */
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(u: String): String =
+    Seq(Tuple1(u)).toDF("u").select(Urls.normalize(col("u"))).head()
+      .getString(0)
+
+  test("scheme/host case-fold, default ports, fragments, bare-host slash") {
+    assert(norm("HTTPS://Ex.COM:443/Path?Q=Mixed#frag") ==
+      "https://ex.com/Path?Q=Mixed") // path/query case preserved
+    assert(norm("HTTP://Host.ORG:80/") == "http://host.org")
+    assert(norm("http://host.org:8080/x") == "http://host.org:8080/x")
+    assert(norm("  https://a.com/x  ") == "https://a.com/x")
+  }
+
+  test("tracking params drop wherever they sit; dangling ? cleans up") {
+    assert(norm("https://a.com/p?utm_source=x&id=1&fbclid=z") ==
+      "https://a.com/p?id=1")
+    assert(norm("https://a.com/p?id=1&utm_campaign=c") ==
+      "https://a.com/p?id=1")
+    assert(norm("https://a.com/p?gclid=g") == "https://a.com/p")
+    assert(norm("https://a.com/p?utm_a=1&utm_b=2") == "https://a.com/p")
+  }
+
+  test("relative / non-http inputs pass through (trim + fragment only); " +
+       "null stays null") {
+    assert(norm("/rel/path?x=1#f") == "/rel/path?x=1")
+    assert(norm("ftp://Mixed.Case/X") == "ftp://mixed.case/X")
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("u")
+      .select(Urls.normalize(col("u"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("normalized equality is the dedup key: two spellings collide") {
+    val variants = Seq(
+      "HTTPS://Ex.COM:443/a?utm_source=t#x",
+      "https://ex.com/a",
+      "  https://EX.com/a?gclid=1  ")
+    assert(variants.map(norm).distinct == Seq("https://ex.com/a"))
+  }
+}

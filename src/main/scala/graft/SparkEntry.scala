@@ -1469,6 +1469,15 @@ object SparkEntry {
           element_at(col("links"), 1).as("first_link"))
     }),
 
+    // CCNet perplexity bucketing: per-language head/middle/tail split
+    // by bigram-LM score — ntile over (ROUNDED avg_nll, doc_id) so the
+    // split is exactly reproducible cross-engine; unscoreable docs
+    // (< 2 tokens) keep a null bucket. Full row/hash gate.
+    "q110_ppl_buckets" -> ((s, d) =>
+      graft.text.LangModel.perplexityBuckets(
+        T(s, d, "documents").df, "doc_id", "text",
+        stratumCol = Some("lang"))),
+
     // URL canonicalization (the step BEFORE URL-keyed dedup/joins —
     // two spellings of one page must collide): messy URLs synthesized
     // deterministically per doc (mixed-case scheme/host, default
@@ -2417,6 +2426,43 @@ object SparkEntry {
                                          ORDER BY mix, doc_id) AS rk
                FROM m)
          SELECT doc_id, source FROM r WHERE rk <= quota""",
+    // q92's LM recompute + the ntile split over (rounded avg_nll,
+    // doc_id) per lang — identical ordering keys on both sides
+    "q110_ppl_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> length(t) > 0) AS t
+           FROM documents),
+         uni AS (
+           SELECT tok AS w1, CAST(count(*) AS DOUBLE) AS c1
+           FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+         v AS (SELECT CAST(count(*) AS DOUBLE) AS vsize FROM uni),
+         big AS (
+           SELECT doc_id,
+                  unnest([array_to_string(t[i:i+1], ' ')
+                          for i in range(1, len(t))]) AS gram
+           FROM toks WHERE len(t) >= 2),
+         cnt AS (SELECT gram, CAST(count(*) AS DOUBLE) AS c12
+                 FROM big GROUP BY 1),
+         inst AS (
+           SELECT b.doc_id,
+                  -ln((c.c12 + 1) / (u.c1 + v.vsize)) AS nll
+           FROM big b JOIN cnt c USING (gram)
+                JOIN uni u ON u.w1 = string_split(b.gram, ' ')[1]
+                CROSS JOIN v),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       round(avg(nll), 6) AS avg_nll
+                FROM inst GROUP BY 1),
+         j AS (SELECT d.doc_id, d.lang,
+                      coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.avg_nll
+               FROM documents d LEFT JOIN sc USING (doc_id)),
+         b AS (SELECT doc_id,
+                      CAST(ntile(3) OVER (PARTITION BY lang
+                        ORDER BY avg_nll, doc_id) AS BIGINT) AS ppl_bucket
+               FROM j WHERE avg_nll IS NOT NULL)
+         SELECT j.doc_id, j.n_bigrams, j.avg_nll, b.ppl_bucket
+         FROM j LEFT JOIN b USING (doc_id)""",
     // mirrors Urls.normalize step for step (fragment, scheme/host
     // case-fold, default ports, trackers, dangling ?, bare-host slash);
     // replacement backrefs are \1 in DuckDB vs $1 in Spark — syntax

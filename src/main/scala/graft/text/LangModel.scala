@@ -89,6 +89,41 @@ object LangModel {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): split each stratum (typically the language) into
+    * `buckets` equal-size groups by LM score — head/middle/tail at the
+    * default 3, the split CCNet keeps/filters/reweights by. Bucketing
+    * orders by the ROUNDED avg_nll (the gate's cross-engine float
+    * policy — sub-1e-6 float noise can't flip ranks) with a doc-id
+    * tiebreak, so bucket assignment is exactly reproducible; docs with
+    * no score (< 2 tokens) keep a null bucket. One hash-partitioned
+    * window per stratum over (score, id) — no global sort. Output:
+    * (doc_id, n_bigrams, avg_nll, ppl_bucket BIGINT). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        stratumCol: Option[String] = None,
+                        buckets: Int = 3,
+                        train: Option[DataFrame] = None,
+                        trainTextCol: String = "text"): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramScore(docs, idCol, textCol, train, trainTextCol)
+    val withS = stratumCol match {
+      case Some(sc) => scored.join(
+        docs.select(col(idCol).as("doc_id"), col(sc).as("__stratum")),
+        Seq("doc_id"))
+      case None => scored.withColumn("__stratum", lit(""))
+    }
+    val w = Window.partitionBy(col("__stratum"))
+      .orderBy(col("avg_nll"), col("doc_id"))
+    val bucketed = withS.filter(col("avg_nll").isNotNull)
+      .withColumn("ppl_bucket", ntile(buckets).over(w).cast(LongType))
+      .select(col("doc_id"), col("ppl_bucket"))
+    scored.join(bucketed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+        col("ppl_bucket"))
+  }
+
   /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each document by
     * Σ over its word bigrams of ln p_target(g) − ln p_raw(g), where both

@@ -6,6 +6,40 @@ import org.apache.spark.sql.functions._
 class LangModelSpec extends SparkSpec {
   import spark.implicits._
 
+  test("perplexityBuckets: equal-size per-stratum split by rounded " +
+       "score, unscoreable docs keep null buckets") {
+    // 6 scoreable docs per lang with increasingly repetitive (= more
+    // predictable = lower nll) content, plus one 1-token doc
+    val docs = (for {
+      lang <- Seq("en", "de"); i <- 0 until 6
+    } yield {
+      val rep = Seq.fill(6 - i)("common words here").mkString(" ")
+      val rare = (0 until i).map(j => s"rare$lang$i$j").mkString(" ")
+      (lang.hashCode.toLong * 100 + i, lang, s"$rep $rare")
+    }).toDF("doc_id", "lang", "text")
+      .union(Seq((999L, "en", "solo")).toDF("doc_id", "lang", "text"))
+    val out = graft.text.LangModel.perplexityBuckets(
+      docs, "doc_id", "text", stratumCol = Some("lang"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val rows = out.collect()
+    assert(rows.length == 13)
+    val solo = rows.find(_.getLong(0) == 999L).get
+    assert(solo.getLong(1) == 0L && solo.isNullAt(2) && solo.isNullAt(3))
+    // per lang: 6 scored docs -> buckets 1,1,2,2,3,3
+    for (lang <- Seq("en", "de")) {
+      val bs = rows.filter(r => r.getString(4) == lang && !r.isNullAt(3))
+        .map(_.getLong(3)).sorted.toSeq
+      assert(bs == Seq(1L, 1L, 2L, 2L, 3L, 3L), s"$lang: $bs")
+    }
+    // determinism across runs
+    val again = graft.text.LangModel.perplexityBuckets(
+      docs, "doc_id", "text", stratumCol = Some("lang"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(3)) -1L
+        else r.getLong(3))).toSet
+    assert(again == rows.map(r => (r.getLong(0), if (r.isNullAt(3)) -1L
+      else r.getLong(3))).toSet)
+  }
+
   private def docs = Seq(
     (0L, "a b a b"), (1L, "a b"), (2L, "c"), (3L, "")).toDF("doc_id", "text")
 

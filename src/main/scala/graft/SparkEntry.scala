@@ -22,6 +22,36 @@ import graft.functions.Builtins._
   */
 object SparkEntry {
 
+  /** The DuckDB bigram-LM recompute (tokenize, add-1 smoothing,
+    * 6-digit rounding) shared VERBATIM by the q92 and q110 oracles —
+    * one definition so the two gates can never drift apart. */
+  private val lmRecomputeCtes: String =
+    """toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> length(t) > 0) AS t
+           FROM documents),
+         uni AS (
+           SELECT tok AS w1, CAST(count(*) AS DOUBLE) AS c1
+           FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+         v AS (SELECT CAST(count(*) AS DOUBLE) AS vsize FROM uni),
+         big AS (
+           SELECT doc_id,
+                  unnest([array_to_string(t[i:i+1], ' ')
+                          for i in range(1, len(t))]) AS gram
+           FROM toks WHERE len(t) >= 2),
+         cnt AS (SELECT gram, CAST(count(*) AS DOUBLE) AS c12
+                 FROM big GROUP BY 1),
+         inst AS (
+           SELECT b.doc_id,
+                  -ln((c.c12 + 1) / (u.c1 + v.vsize)) AS nll
+           FROM big b JOIN cnt c USING (gram)
+                JOIN uni u ON u.w1 = string_split(b.gram, ' ')[1]
+                CROSS JOIN v),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       round(avg(nll), 6) AS avg_nll
+                FROM inst GROUP BY 1)"""
+
   private def T(s: SparkSession, dir: String, n: String): Relation = {
     GraftSession.tune(s)
     Relation.loadTable(s, dir, n)
@@ -2183,31 +2213,7 @@ object SparkEntry {
     // mirrors LangModel.bigramScore: same tokenizer, add-1 smoothing,
     // nll = -ln((c12+1)/(c1+V)), V = distinct unigrams, <2-token docs null
     "q92_lm_score" ->
-      """WITH toks AS (
-           SELECT doc_id,
-                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                              t -> length(t) > 0) AS t
-           FROM documents),
-         uni AS (
-           SELECT tok AS w1, CAST(count(*) AS DOUBLE) AS c1
-           FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
-         v AS (SELECT CAST(count(*) AS DOUBLE) AS vsize FROM uni),
-         big AS (
-           SELECT doc_id,
-                  unnest([array_to_string(t[i:i+1], ' ')
-                          for i in range(1, len(t))]) AS gram
-           FROM toks WHERE len(t) >= 2),
-         cnt AS (SELECT gram, CAST(count(*) AS DOUBLE) AS c12
-                 FROM big GROUP BY 1),
-         inst AS (
-           SELECT b.doc_id,
-                  -ln((c.c12 + 1) / (u.c1 + v.vsize)) AS nll
-           FROM big b JOIN cnt c USING (gram)
-                JOIN uni u ON u.w1 = string_split(b.gram, ' ')[1]
-                CROSS JOIN v),
-         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                       round(avg(nll), 6) AS avg_nll
-                FROM inst GROUP BY 1)
+      s"""WITH $lmRecomputeCtes
          SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.avg_nll
          FROM documents d LEFT JOIN sc USING (doc_id)""",
     // mirrors Curation.packSequences: pack = floor(start/512) where
@@ -2429,31 +2435,7 @@ object SparkEntry {
     // q92's LM recompute + the ntile split over (rounded avg_nll,
     // doc_id) per lang — identical ordering keys on both sides
     "q110_ppl_buckets" ->
-      """WITH toks AS (
-           SELECT doc_id,
-                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                              t -> length(t) > 0) AS t
-           FROM documents),
-         uni AS (
-           SELECT tok AS w1, CAST(count(*) AS DOUBLE) AS c1
-           FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
-         v AS (SELECT CAST(count(*) AS DOUBLE) AS vsize FROM uni),
-         big AS (
-           SELECT doc_id,
-                  unnest([array_to_string(t[i:i+1], ' ')
-                          for i in range(1, len(t))]) AS gram
-           FROM toks WHERE len(t) >= 2),
-         cnt AS (SELECT gram, CAST(count(*) AS DOUBLE) AS c12
-                 FROM big GROUP BY 1),
-         inst AS (
-           SELECT b.doc_id,
-                  -ln((c.c12 + 1) / (u.c1 + v.vsize)) AS nll
-           FROM big b JOIN cnt c USING (gram)
-                JOIN uni u ON u.w1 = string_split(b.gram, ' ')[1]
-                CROSS JOIN v),
-         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                       round(avg(nll), 6) AS avg_nll
-                FROM inst GROUP BY 1),
+      s"""WITH $lmRecomputeCtes,
          j AS (SELECT d.doc_id, d.lang,
                       coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.avg_nll
                FROM documents d LEFT JOIN sc USING (doc_id)),
@@ -2484,28 +2466,39 @@ object SparkEntry {
                 FROM synth),
          s2 AS (SELECT doc_id, url,
                   CASE WHEN regexp_matches(t,
-                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(.*)$')
+                         '(?s)^([a-zA-Z][a-zA-Z0-9+.-]*)://((?:[^/?#@]*@)?)([^/?#]*)(.*)$')
                        THEN lower(regexp_extract(t,
-                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(.*)$', 1))
+                         '(?s)^([a-zA-Z][a-zA-Z0-9+.-]*)://((?:[^/?#@]*@)?)([^/?#]*)(.*)$', 1))
+                         || '://'
                          || regexp_extract(t,
-                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(.*)$', 2)
+                         '(?s)^([a-zA-Z][a-zA-Z0-9+.-]*)://((?:[^/?#@]*@)?)([^/?#]*)(.*)$', 2)
+                         || lower(regexp_extract(t,
+                         '(?s)^([a-zA-Z][a-zA-Z0-9+.-]*)://((?:[^/?#@]*@)?)([^/?#]*)(.*)$', 3))
+                         || regexp_extract(t,
+                         '(?s)^([a-zA-Z][a-zA-Z0-9+.-]*)://((?:[^/?#@]*@)?)([^/?#]*)(.*)$', 4)
                        ELSE t END AS t
                 FROM s1),
          s3 AS (SELECT doc_id, url,
                   regexp_replace(regexp_replace(t,
-                    '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2'),
-                    '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2') AS t
+                    '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2', 'g'),
+                    '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2', 'g') AS t
                 FROM s2),
          s4 AS (SELECT doc_id, url,
-                  regexp_replace(regexp_replace(regexp_replace(t,
-                    '&(utm_[^=&#]*|gclid|fbclid)=[^&#]*', '', 'g'),
-                    '\?(utm_[^=&#]*|gclid|fbclid)=[^&#]*&', '?'),
-                    '\?(utm_[^=&#]*|gclid|fbclid)=[^&#]*$', '') AS t
+                  regexp_extract(t, '(?s)^([^?]*)', 1) AS base,
+                  regexp_extract(t, '(?s)^[^?]*(\?.*)$', 1) AS q
                 FROM s3),
+         s4b AS (SELECT doc_id, url, base,
+                  regexp_replace(regexp_replace(regexp_replace(q,
+                    '&(utm_[^=&#]*|gclid|fbclid)=[^&#]*', '', 'g'),
+                    '^\?(utm_[^=&#]*|gclid|fbclid)=[^&#]*&', '?', 'g'),
+                    '(?s)^\?(utm_[^=&#]*|gclid|fbclid)=[^&#]*$', '', 'g') AS q
+                FROM s4),
          s5 AS (SELECT doc_id, url,
-                  regexp_replace(regexp_replace(t, '\?$', ''),
-                    '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\1') AS t
-                FROM s4)
+                  regexp_replace(
+                    base || regexp_replace(q, '^\?$', '', 'g'),
+                    '^([a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]+)/$',
+                    '\1', 'g') AS t
+                FROM s4b)
          SELECT doc_id, url, t AS url_norm,
                 regexp_extract(t, 'https?://([^/\s:?#]+)', 1) AS host
          FROM s5""",
@@ -2543,14 +2536,15 @@ object SparkEntry {
                   regexp_extract(html,
                     '(?is)<title\b[^>]*>(.*?)</title>', 1) AS rawtitle,
                   regexp_extract_all(html,
-                    '(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"', 1) AS ls
+                    '(?is)<a\b[^>]*?\shref\s*=\s*"([^"]*)"', 1) AS ls
            FROM strip)
          SELECT doc_id,
                 trim(replace(replace(replace(replace(replace(replace(
                   replace(rawtitle, '&nbsp;', ' '), '&lt;', '<'),
                   '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
                   '&apos;', ''''), '&amp;', '&')) AS title,
-                trim(regexp_replace(t1, '\s+', ' ', 'g')) AS text,
+                trim(regexp_replace(t1,
+                  '[ \t\n\f\r\x0B]+', ' ', 'g')) AS text,
                 CAST(len(ls) AS BIGINT) AS n_links,
                 ls[1] AS first_link
          FROM dec""",

@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * [[TextAnalysis]] quality signals; malformed-HTML recovery follows
   * the regexes (an unclosed <script> swallows to end of document, the
   * conventional fail-closed direction for training data).
+  *
+  * Known cross-engine corner, accepted: `(?i)` is ASCII-only in Java
+  * but Unicode-folding in RE2, so exotic case-fold lookalikes (the
+  * long s U+017F in `<ſcript>`) are treated as tags by an RE2 oracle
+  * and not here — real HTML tag names are ASCII, and the gate's
+  * synthesized markup is too. The `\s` width difference (U+000B) IS
+  * handled: the collapse class is spelled explicitly.
   */
 object Html {
 
@@ -47,20 +54,26 @@ object Html {
   }
 
   /** Visible text: blocks removed, tags stripped, entities decoded,
-    * whitespace collapsed and trimmed. Null html → null. */
+    * whitespace collapsed and trimmed. Null html → null. The collapse
+    * class is spelled out explicitly because Java's `\s` and RE2's
+    * `\s` DISAGREE on U+000B (vertical tab) — an explicit class is
+    * the only spelling both engines read identically. */
   def extractText(html: Column): Column =
     when(html.isNotNull,
-      trim(regexp_replace(decodeEntities(stripTags(html)), "\\s+", " ")))
+      trim(regexp_replace(decodeEntities(stripTags(html)),
+        "[ \\t\\n\\f\\r\\x0B]+", " ")))
 
   /** First <title> element's decoded text ('' when absent). */
   def title(html: Column): Column =
     when(html.isNotNull, trim(decodeEntities(
       regexp_extract(html, "(?is)<title\\b[^>]*>(.*?)</title>", 1))))
 
-  /** href values of <a> tags, in document order. */
+  /** href values of <a> tags, in document order. `\shref` (not bare
+    * `href`) so attribute names merely ENDING in href — data-href and
+    * friends — can't hijack the capture. */
   def links(html: Column): Column =
     when(html.isNotNull, regexp_extract_all(html,
-      lit("(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1)))
+      lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*\"([^\"]*)\""), lit(1)))
 
   /** The whole extraction as one projection:
     * (id, title, text, links, n_links). */

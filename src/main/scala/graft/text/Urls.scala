@@ -29,8 +29,8 @@ object Urls {
     * regex a SQL oracle can mirror verbatim:
     *   1. trim;
     *   2. drop the fragment (`#…`);
-    *   3. lowercase scheme + host (path/query case is significant and
-    *      stays);
+    *   3. lowercase scheme + host (path, query, and RFC 3986
+    *      userinfo are case-significant and stay);
     *   4. drop default ports (`:80` for http, `:443` for https);
     *   5. drop tracking params (`utm_*`, `gclid`, `fbclid`) wherever
     *      they sit in the query string, then a dangling `?`;
@@ -40,20 +40,31 @@ object Urls {
     * steps 1–2 only (nothing to case-fold — fail-safe passthrough,
     * not an error). Null stays null. */
   def normalize(url: Column): Column = {
-    val schemeHost = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(.*)$"
+    // scheme :// [userinfo@] host rest — userinfo is case-SIGNIFICANT
+    // (RFC 3986) and must not fold; only scheme + host lowercase
+    val parts = "(?s)^([a-zA-Z][a-zA-Z0-9+.-]*)://((?:[^/?#@]*@)?)([^/?#]*)(.*)$"
     val t = regexp_replace(trim(url), "(?s)#.*$", "")
-    val cased = when(t.rlike(schemeHost),
-      concat(lower(regexp_extract(t, schemeHost, 1)),
-        regexp_extract(t, schemeHost, 2))).otherwise(t)
+    val cased = when(t.rlike(parts),
+      concat(lower(regexp_extract(t, parts, 1)), lit("://"),
+        regexp_extract(t, parts, 2),
+        lower(regexp_extract(t, parts, 3)),
+        regexp_extract(t, parts, 4))).otherwise(t)
     val noPort = regexp_replace(regexp_replace(cased,
       "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
       "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+    // tracker removal is scoped to the QUERY STRING: split at the
+    // first '?', clean only the query, reassemble — an `&utm_…=`
+    // lookalike in the PATH must survive (and a query VALUE may
+    // legally contain '?', which the in-query patterns tolerate)
+    val base = regexp_extract(noPort, "(?s)^([^?]*)", 1)
+    val query = regexp_extract(noPort, "(?s)^[^?]*(\\?.*)$", 1)
     val trackers = "(utm_[^=&#]*|gclid|fbclid)"
-    val noTrack = regexp_replace(regexp_replace(regexp_replace(noPort,
+    val cleanedQ = regexp_replace(regexp_replace(regexp_replace(query,
       s"&$trackers=[^&#]*", ""),
-      s"\\?$trackers=[^&#]*&", "?"),
-      s"\\?$trackers=[^&#]*$$", "")
-    regexp_replace(regexp_replace(noTrack, "\\?$", ""),
-      "^([a-z][a-z0-9+.-]*://[^/?#]+)/$", "$1")
+      s"^\\?$trackers=[^&#]*&", "?"),
+      s"(?s)^\\?$trackers=[^&#]*$$", "")
+    val noTrack = concat(base, regexp_replace(cleanedQ, "^\\?$", ""))
+    regexp_replace(noTrack,
+      "^([a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]+)/$", "$1")
   }
 }

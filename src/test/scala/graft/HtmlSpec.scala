@@ -36,6 +36,10 @@ class HtmlSpec extends SparkSpec {
       <a class="c" href="/rel?q=2">b</a>""")
     assert(r.getSeq[String](3) == Seq("https://a.com/1", "/rel?q=2"))
     assert(r.getLong(4) == 2L)
+    // attribute names merely ENDING in href can't hijack the capture
+    val d = one("""<a data-href="/tracker" href="/real">x</a>
+      <a data-href="/only">y</a>""")
+    assert(d.getSeq[String](3) == Seq("/real"), d.getSeq[String](3))
   }
 
   test("null html stays null; unclosed <script> fails closed (swallows " +

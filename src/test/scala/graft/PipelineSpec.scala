@@ -705,6 +705,73 @@ class PipelineSpec extends SparkSpec {
     assert(out(1) == ((2L, "", 3L, 0L, false)))
   }
 
+  test("full crawl-to-training pipeline: WARC shards -> HTML extraction " +
+       "-> URL keys -> dedup -> quality buckets -> mixture -> BPE pack") {
+    import graft.sources.Warc
+    import graft.text.{Bpe, Curation, Html, LangModel, Urls}
+    // 1. a tiny crawl: docs wrapped in HTML inside gzipped WARC shards,
+    //    with one exact-duplicate page under a differently-spelled URL
+    val docs = sf("documents").select("doc_id", "text", "source")
+      .limit(40).collect()
+    val dir = java.nio.file.Files.createTempDirectory("crawl").toString
+    val os = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/shard-0.warc.gz"))
+    def page(id: Long, text: String) =
+      s"""<html><head><title>Page $id</title></head><body>
+         <script>track()</script><p>$text</p>
+         <a href="https://ex.com/next">n</a></body></html>"""
+    val recs = docs.map { r =>
+      Warc.Record(s"<urn:uuid:${r.getLong(0)}>", "response",
+        s"HTTPS://Crawl.EX:443/p/${r.getLong(0)}?utm_source=feed",
+        "2026-01-01T00:00:00Z", "text/html",
+        page(r.getLong(0), r.getString(1))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } :+ Warc.Record("<urn:uuid:dup>", "response",
+      s"https://crawl.ex/p/${docs.head.getLong(0)}#fragment",
+      "2026-01-01T00:00:01Z", "text/html",
+      page(docs.head.getLong(0), docs.head.getString(1))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Warc.writeStream(recs.iterator, os); os.close()
+    // 2. ingest + extract + canonical URL key
+    val pages = Warc.read(spark, s"$dir/*.warc.gz")
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"), col("payload").cast("string").as("html"))
+    val extracted = Html.extractAll(
+        pages.select(Urls.normalize(col("target_uri")).as("url"),
+          col("html")), "url", "html")
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "/p/(\\d+)", 1).cast("long"))
+    assert(extracted.count() == 41)
+    // the dup page's URL canonicalizes to the SAME key as its original
+    assert(extracted.select("url").distinct().count() == 40)
+    // 3. exact dedup on the extracted text (the dup page dies here too)
+    val deduped = graft.text.Dedup.dropExactDups(
+      extracted.dropDuplicates("url"), "text", "doc_id")
+    assert(deduped.count() == 40)
+    // 4. quality: drop the worst perplexity tercile
+    val kept = LangModel.perplexityBuckets(deduped, "doc_id", "text")
+      .filter(col("ppl_bucket") =!= 3 || col("ppl_bucket").isNull)
+      .join(deduped.select("doc_id", "text"), Seq("doc_id"))
+      .join(sf("documents").select("doc_id", "source"), Seq("doc_id"))
+    assert(kept.count() >= 26 && kept.count() < 40)
+    // 5. mixture over sources, then BPE-tokenized packing
+    val sources = kept.select("source").distinct().collect()
+      .map(_.getString(0)).sorted.take(3)
+    val mixed = Curation.resampleToMixture(kept, "doc_id", "source",
+      sources.map(_ -> (1.0 / 3)).toMap, totalTarget = 12L)
+    assert(mixed.count() <= 12)
+    val vocab = Bpe.trainVocab(mixed, "text", numMerges = 20)
+    val withIds = Bpe.encodeIds(mixed, "doc_id", "text", vocab)
+      .withColumn("n_tok", size(col("token_ids")).cast("long"))
+      .join(mixed, "doc_id")
+    val packed = Curation.packSequences(withIds, "source", "doc_id",
+      "text", seqTokens = 256, tokenCountCol = Some("n_tok"))
+    // every kept doc landed in a pack with a valid offset
+    assert(packed.count() == mixed.count())
+    assert(packed.filter(col("pack_offset") >= 256 ||
+      col("pack_offset") < 0).count() == 0)
+  }
+
   test("tokenizer-aware packing: BPE token counts drive packSequences") {
     val docs = sf("documents").select("doc_id", "text", "source")
     val merges = graft.text.Bpe.trainMerges(docs, "text", numMerges = 32)

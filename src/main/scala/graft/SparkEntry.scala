@@ -77,6 +77,17 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_$tag"
   }
 
+  /** q111's synthesized-WARC shard dir, keyed like [[indexDir]] but on
+    * the DOCUMENTS table's file signature. */
+  private def warcDir(dataset: String): String = {
+    val docs = new java.io.File(s"$dataset/documents.parquet")
+    val sig = Option(docs.listFiles()).map(_.toSeq).getOrElse(Seq(docs))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("|")
+    val tag = java.lang.Integer.toHexString((dataset + "|" + sig).hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft_warc_$tag"
+  }
+
   /** q98's sample EvalFunc jar, compiled ONCE per JVM against the
     * engine's org.apache.pig facade — the same binary surface a real
     * user jar links against. Three funcs cover the type surface:
@@ -1447,10 +1458,13 @@ object SparkEntry {
           col("__nw"))
       val stats = per.agg(
         count(lit(1)).as("n_docs"),
-        min(col("__rt")).as("roundtrip_ok"),
-        min(col("__vo")).as("vocab_ok"),
-        (sum(col("__nt")) < sum(col("__nc")) &&
-          sum(col("__nt")) >= sum(col("__nw"))).as("compress_ok"))
+        // coalesce: empty corpus → min/sum are null; the oracle pins
+        // literal true and vacuous truth is the right empty semantics
+        coalesce(min(col("__rt")), lit(true)).as("roundtrip_ok"),
+        coalesce(min(col("__vo")), lit(true)).as("vocab_ok"),
+        coalesce(sum(col("__nt")) < sum(col("__nc")) &&
+          sum(col("__nt")) >= sum(col("__nw")), lit(true))
+          .as("compress_ok"))
       val dw = docs.select(explode(toks).as("w"))
         .agg(countDistinct(col("w")).as("n_distinct_words"))
       stats.crossJoin(dw).select(
@@ -1507,15 +1521,24 @@ object SparkEntry {
     // + Spark-computed roundtrip/type verdicts).
     "q111_warc" -> ((s, d) => {
       val docs = T(s, d, "documents").df.select(col("doc_id"), col("text"))
-      val dir = s"/tmp/graft_warc_${(d.hashCode & 0x7fffffff).toHexString}"
-      if (!new java.io.File(dir).exists()) {
-        new java.io.File(dir).mkdirs()
+      // shard dir keyed on the DATA's (name:size:mtime) signature —
+      // the indexDir discipline, so a regenerated corpus at the same
+      // path gets fresh shards; a crashed partial write is detected by
+      // the missing _SUCCESS marker and rebuilt
+      val dir = warcDir(d)
+      val marker = new java.io.File(dir, "_SUCCESS")
+      if (!marker.exists()) {
+        val dd = new java.io.File(dir)
+        if (dd.exists()) { // partial leftovers from a crashed build
+          Option(dd.listFiles()).foreach(_.foreach(_.delete()))
+        }
+        dd.mkdirs()
         docs.repartition(4).foreachPartition {
           (it: Iterator[org.apache.spark.sql.Row]) =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val os = new java.util.zip.GZIPOutputStream(
               new java.io.FileOutputStream(s"$dir/part-$pid.warc.gz"))
-            graft.sources.Warc.writeStream(it.map { r =>
+            try graft.sources.Warc.writeStream(it.map { r =>
               graft.sources.Warc.Record(
                 s"<urn:uuid:${r.getLong(0)}>", "response",
                 s"https://ex.com/${r.getLong(0)}",
@@ -1523,8 +1546,9 @@ object SparkEntry {
                 r.getString(1).getBytes(
                   java.nio.charset.StandardCharsets.UTF_8))
             }, os)
-            os.close()
+            finally os.close()
         }
+        marker.createNewFile()
       }
       val recs = graft.sources.Warc.read(s, s"$dir/*.warc.gz")
       val parsed = recs.select(
@@ -1532,13 +1556,17 @@ object SparkEntry {
           .cast(LongType).as("doc_id"),
         col("payload").cast(StringType).as("rt"),
         col("warc_type"), col("content_length"))
+      // coalesce: min() over an empty join is null; the oracle pins
+      // literal true, and vacuous truth is the right empty semantics
       docs.join(parsed, "doc_id").agg(
         count(lit(1)).as("n_records"),
-        min(col("rt") === col("text")).as("roundtrip_ok"),
-        min(col("warc_type") === "response").as("type_ok"),
-        min(col("content_length") ===
-          length(col("text").cast(BinaryType)).cast(LongType))
-          .as("length_ok"))
+        coalesce(min(col("rt") === col("text")), lit(true))
+          .as("roundtrip_ok"),
+        coalesce(min(col("warc_type") === "response"), lit(true))
+          .as("type_ok"),
+        coalesce(min(col("content_length") ===
+          length(col("text").cast(BinaryType)).cast(LongType)),
+          lit(true)).as("length_ok"))
     }),
 
     // CCNet perplexity bucketing: per-language head/middle/tail split

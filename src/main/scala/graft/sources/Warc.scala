@@ -43,6 +43,12 @@ object Warc {
         val raw = new BufferedInputStream(pds.open())
         val in = if (file.endsWith(".gz"))
           new java.util.zip.GZIPInputStream(raw) else raw
+        // a limit/early-stop consumer never exhausts the iterator —
+        // the task-completion hook reclaims the fd either way
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: Throwable => () }
+          })
         parseStream(in, file).map { r =>
           Row(file, r.recordId, r.warcType, r.targetUri, r.date,
             r.contentType, r.payload.length.toLong, r.payload)
@@ -90,22 +96,38 @@ object Warc {
         if (!line.startsWith("WARC/"))
           fail(s"expected a WARC/1.x version line, got '${line.take(40)}'")
         val headers = scala.collection.mutable.Map.empty[String, String]
+        var lastKey: String = null
         var h = readLine()
         while (h != null && h.nonEmpty) {
-          val i = h.indexOf(':')
-          if (i <= 0) fail(s"malformed header line '${h.take(40)}'")
-          headers(h.substring(0, i).trim.toLowerCase) =
-            h.substring(i + 1).trim
+          if (h.charAt(0) == ' ' || h.charAt(0) == '\t') {
+            // ISO 28500 header folding: a leading-whitespace line
+            // continues the PREVIOUS field's value
+            if (lastKey == null) fail("continuation line before any header")
+            headers(lastKey) = headers(lastKey) + " " + h.trim
+          } else {
+            val i = h.indexOf(':')
+            if (i <= 0) fail(s"malformed header line '${h.take(40)}'")
+            lastKey = h.substring(0, i).trim.toLowerCase
+            headers(lastKey) = h.substring(i + 1).trim
+          }
           h = readLine()
         }
         if (h == null) fail("EOF inside a record's header block")
-        val len = headers.getOrElse("content-length",
-          fail("record without Content-Length")).toLong
-        val payload = new Array[Byte](len.toInt)
+        val lenStr = headers.getOrElse("content-length",
+          fail("record without Content-Length"))
+        val len = lenStr.toLongOption.getOrElse(
+          fail(s"non-numeric Content-Length '${lenStr.take(20)}'"))
+        // JVM arrays cap a record at ~2 GiB; real WARC records are
+        // far below (the spec recommends ~1 GiB shard TARGETS, not
+        // records) — out-of-range lengths are corruption, fail loudly
+        if (len < 0 || len > Int.MaxValue - 8)
+          fail(s"Content-Length $len out of range [0, 2^31)")
+        val n0 = len.toInt
+        val payload = new Array[Byte](n0)
         var off = 0
-        while (off < len) {
-          val n = in.read(payload, off, (len - off).toInt)
-          if (n < 0) fail(s"EOF inside a $len-byte payload at offset $off")
+        while (off < n0) {
+          val n = in.read(payload, off, n0 - off)
+          if (n <= 0) fail(s"EOF inside a $n0-byte payload at offset $off")
           off += n
           pos += n
         }
@@ -118,9 +140,12 @@ object Warc {
           payload)
       }
 
-      private def fail(msg: String): Nothing =
+      private def fail(msg: String): Nothing = {
+        try in.close() catch { case _: Throwable => () }
+        done = true
         throw new java.io.IOException(
           s"WARC parse error in $file near byte $pos: $msg")
+      }
 
       override def hasNext: Boolean = {
         if (nextRec == null && !done) advance()

@@ -753,7 +753,8 @@ class PipelineSpec extends SparkSpec {
       .filter(col("ppl_bucket") =!= 3 || col("ppl_bucket").isNull)
       .join(deduped.select("doc_id", "text"), Seq("doc_id"))
       .join(sf("documents").select("doc_id", "source"), Seq("doc_id"))
-    assert(kept.count() >= 26 && kept.count() < 40)
+    val nKept = kept.count()
+    assert(nKept >= 26 && nKept < 40)
     // 5. mixture over sources, then BPE-tokenized packing
     val sources = kept.select("source").distinct().collect()
       .map(_.getString(0)).sorted.take(3)

@@ -1513,6 +1513,45 @@ object SparkEntry {
           element_at(col("links"), 1).as("first_link"))
     }),
 
+    // Trainable quality classifier (the fastText-style GPT-3/LLaMA
+    // curation recipe): a quality signal is PLANTED (marker tokens on
+    // even doc_ids — the q85 salting pattern), a hashed-feature
+    // logistic regression trains on the id%4<2 half and scores the
+    // held-out half. Verdicts (q44 pattern): held-out AUC >= 0.95 and
+    // full score separation — the planted signal is unambiguous, so a
+    // correct trainer must find it; counts are the DuckDB anchors.
+    "q112_quality_classifier" -> ((s, d) => {
+      val docs = T(s, d, "documents").df.select(col("doc_id"), col("text"))
+      val labeled = docs.select(col("doc_id"),
+        concat(col("text"), when(pmod(col("doc_id"), lit(2)) === 0,
+          lit(" qmark1 qmark2 qmark3")).otherwise(lit(" junk1 junk2")))
+          .as("text"),
+        (pmod(col("doc_id"), lit(2)) === 0).cast(IntegerType).as("label"))
+      val trainD = labeled.filter(pmod(col("doc_id"), lit(4)) < 2)
+      val testD = labeled.filter(pmod(col("doc_id"), lit(4)) >= 2)
+      val k = 1 << 12
+      val feats = graft.GraftSession.trackPersist(
+        graft.ml.QualityClassifier.featurize(labeled, "doc_id", "text", k))
+      val w = graft.ml.QualityClassifier.train(
+        feats.join(trainD.select("doc_id"), "doc_id"), trainD,
+        "doc_id", "label", k)
+      val scored = graft.GraftSession.trackPersist(
+        graft.ml.QualityClassifier.score(
+          feats.join(testD.select("doc_id"), "doc_id"), w))
+      val aucOk = graft.ml.QualityClassifier.auc(
+        scored, testD, "doc_id", "label") >= 0.95
+      val agg = scored
+        .join(testD.select(col("doc_id"), col("label")), "doc_id")
+        .agg(count(lit(1)).as("n_test"),
+          coalesce(
+            min(when(col("label") === 1, col("quality_score"))) >
+              max(when(col("label") === 0, col("quality_score"))),
+            lit(true)).as("sep_ok"))
+      trainD.agg(count(lit(1)).as("n_train")).crossJoin(agg)
+        .select(col("n_train"), col("n_test"),
+          lit(aucOk).as("auc_ok"), col("sep_ok"))
+    }),
+
     // WARC ingestion (ISO 28500 — CommonCrawl's shard format): the
     // corpus is rendered into gzipped WARC shards once per (session,
     // sf dir) — one file per partition, the production grain — then
@@ -2502,6 +2541,15 @@ object SparkEntry {
                                          ORDER BY mix, doc_id) AS rk
                FROM m)
          SELECT doc_id, source FROM r WHERE rk <= quota""",
+    // classifier training is not SQL-expressible: DuckDB re-counts the
+    // split anchors, Spark pins the learned-separation verdicts (q44)
+    "q112_quality_classifier" ->
+      """SELECT CAST(count(*) FILTER (WHERE doc_id % 4 < 2) AS BIGINT)
+                  AS n_train,
+                CAST(count(*) FILTER (WHERE doc_id % 4 >= 2) AS BIGINT)
+                  AS n_test,
+                true AS auc_ok, true AS sep_ok
+         FROM documents""",
     // WARC parsing is not SQL-expressible (binary container format):
     // DuckDB re-counts the anchor, Spark pins the verdicts (q44)
     "q111_warc" ->

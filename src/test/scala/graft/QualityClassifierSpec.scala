@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.QualityClassifier
+
+/** Hashed-feature logistic-regression quality classifier
+  * ([[graft.ml.QualityClassifier]]): featurization shape, learning a
+  * planted signal, held-out generalization, AUC math. */
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 256
+
+  test("featurize: one sparse row per doc, log1p-dampened counts, " +
+       "bins bounded by numBins") {
+    val f = QualityClassifier.featurize(
+      Seq((1L, "a a a b"), (2L, ""), (3L, "c")).toDF("doc_id", "text"),
+      "doc_id", "text", K).collect()
+    // the empty doc has no tokens -> no feature row (docs absent from
+    // features score sigmoid(bias) downstream; fine for a filter)
+    assert(f.map(_.getLong(0)).toSet == Set(1L, 3L))
+    val r1 = f.find(_.getLong(0) == 1L).get
+    val bins = r1.getSeq[Int](1); val vals = r1.getSeq[Double](2)
+    assert(bins.size == 2 && bins.forall(b => b >= 0 && b < K))
+    assert(vals.toSet == Set(math.log1p(3.0), math.log1p(1.0)))
+  }
+
+  test("learns a planted marker signal and generalizes to held-out " +
+       "docs; AUC reads 1.0") {
+    val rnd = new scala.util.Random(7L)
+    def noise() = (0 until 8).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+    val all = (0L until 120L).map { i =>
+      val pos = i % 2 == 0
+      val marker = if (pos) "good stuff verified" else "spam click bait"
+      (i, s"${noise()} $marker ${noise()}", if (pos) 1 else 0)
+    }.toDF("doc_id", "text", "label")
+    val train = all.filter(col("doc_id") % 4 < 2)
+    val test = all.filter(col("doc_id") % 4 >= 2)
+    val feats = QualityClassifier.featurize(all, "doc_id", "text", K)
+    val w = QualityClassifier.train(
+      feats.join(train.select("doc_id"), "doc_id"), train,
+      "doc_id", "label", K)
+    assert(w.length == K + 1)
+    val scored = QualityClassifier.score(
+      feats.join(test.select("doc_id"), "doc_id"), w)
+    val j = scored.join(test.select("doc_id", "label"), "doc_id").collect()
+    val pos = j.filter(_.getInt(2) == 1).map(_.getDouble(1))
+    val neg = j.filter(_.getInt(2) == 0).map(_.getDouble(1))
+    assert(pos.min > neg.max,
+      s"no separation: pos.min=${pos.min} neg.max=${neg.max}")
+    assert(QualityClassifier.auc(scored, test, "doc_id", "label") == 1.0)
+  }
+
+  test("auc: hand cases — perfect ranking 1.0, constant scores 0.5 " +
+       "(tie handling)") {
+    val perfect = Seq((1L, 0.9), (2L, 0.8), (3L, 0.2), (4L, 0.1))
+      .toDF("doc_id", "quality_score")
+    val labels = Seq((1L, 1), (2L, 1), (3L, 0), (4L, 0))
+      .toDF("doc_id", "label")
+    assert(QualityClassifier.auc(perfect, labels, "doc_id", "label") == 1.0)
+    val flat = Seq((1L, 0.5), (2L, 0.5), (3L, 0.5), (4L, 0.5))
+      .toDF("doc_id", "quality_score")
+    assert(QualityClassifier.auc(flat, labels, "doc_id", "label") == 0.5)
+  }
+
+  test("degenerate inputs fail loudly: no labeled rows") {
+    val empty = QualityClassifier.featurize(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", K)
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.train(empty,
+        Seq.empty[(Long, Int)].toDF("doc_id", "label"),
+        "doc_id", "label", K)
+    }
+    assert(e.getMessage.contains("no labeled rows"))
+  }
+}

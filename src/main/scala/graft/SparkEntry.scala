@@ -1532,9 +1532,10 @@ object SparkEntry {
       val k = 1 << 12
       val feats = graft.GraftSession.trackPersist(
         graft.ml.QualityClassifier.featurize(labeled, "doc_id", "text", k))
+      // train() inner-joins features with the labels, so the label
+      // frame alone restricts to the split — no redundant pre-join
       val w = graft.ml.QualityClassifier.train(
-        feats.join(trainD.select("doc_id"), "doc_id"), trainD,
-        "doc_id", "label", k)
+        feats, trainD, "doc_id", "label", k)
       val scored = graft.GraftSession.trackPersist(
         graft.ml.QualityClassifier.score(
           feats.join(testD.select("doc_id"), "doc_id"), w))

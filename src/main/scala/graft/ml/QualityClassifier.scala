@@ -33,7 +33,8 @@ object QualityClassifier {
                 numBins: Int = 1 << 12): DataFrame = {
     require(numBins > 0, "numBins must be positive")
     val toks = graft.text.TextAnalysis.tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"), explode(toks).as("w"))
+    val agg = docs
+      .select(col(idCol).as("doc_id"), explode(toks).as("w"))
       .select(col("doc_id"),
         pmod(xxhash64(col("w")), lit(numBins.toLong)).cast(IntegerType)
           .as("bin"))
@@ -41,6 +42,15 @@ object QualityClassifier {
       .groupBy("doc_id").agg(
         collect_list(col("bin")).as("bins"),
         collect_list(log1p(col("c"))).as("vals"))
+    // EVERY doc gets a feature row — a null/empty-text doc carries
+    // empty arrays and scores sigmoid(bias) downstream, instead of
+    // silently vanishing from a quality-filter pipeline (and from a
+    // gate's count anchors)
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bins"), array().cast("array<int>")).as("bins"),
+        coalesce(col("vals"), array().cast("array<double>")).as("vals"))
   }
 
   /** Weights (index numBins = bias) from full-batch gradient descent
@@ -122,8 +132,11 @@ object QualityClassifier {
       sum(when(col("y") === 1.0, col("r"))).as("rpos"),
       count(when(col("y") === 1.0, 1)).cast(DoubleType).as("np"),
       count(when(col("y") === 0.0, 1)).cast(DoubleType).as("nn")).head()
-    val (rpos, np, nn) =
-      (agg.getDouble(0), agg.getDouble(1), agg.getDouble(2))
-    (rpos - np * (np + 1) / 2) / (np * nn)
+    val (np, nn) = (agg.getDouble(1), agg.getDouble(2))
+    // fail loudly on a label-homogeneous eval set (AUC is undefined):
+    // a bare NPE / silent NaN would mask the real problem
+    require(np > 0 && nn > 0,
+      s"AUC needs both classes in the eval set (pos=$np, neg=$nn)")
+    (agg.getDouble(0) - np * (np + 1) / 2) / (np * nn)
   }
 }

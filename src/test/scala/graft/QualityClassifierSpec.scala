@@ -16,9 +16,11 @@ class QualityClassifierSpec extends SparkSpec {
     val f = QualityClassifier.featurize(
       Seq((1L, "a a a b"), (2L, ""), (3L, "c")).toDF("doc_id", "text"),
       "doc_id", "text", K).collect()
-    // the empty doc has no tokens -> no feature row (docs absent from
-    // features score sigmoid(bias) downstream; fine for a filter)
-    assert(f.map(_.getLong(0)).toSet == Set(1L, 3L))
+    // EVERY doc gets a row; the empty doc carries empty arrays and
+    // scores sigmoid(bias) downstream instead of vanishing
+    assert(f.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    val empty = f.find(_.getLong(0) == 2L).get
+    assert(empty.getSeq[Int](1).isEmpty && empty.getSeq[Double](2).isEmpty)
     val r1 = f.find(_.getLong(0) == 1L).get
     val bins = r1.getSeq[Int](1); val vals = r1.getSeq[Double](2)
     assert(bins.size == 2 && bins.forall(b => b >= 0 && b < K))
@@ -37,9 +39,7 @@ class QualityClassifierSpec extends SparkSpec {
     val train = all.filter(col("doc_id") % 4 < 2)
     val test = all.filter(col("doc_id") % 4 >= 2)
     val feats = QualityClassifier.featurize(all, "doc_id", "text", K)
-    val w = QualityClassifier.train(
-      feats.join(train.select("doc_id"), "doc_id"), train,
-      "doc_id", "label", K)
+    val w = QualityClassifier.train(feats, train, "doc_id", "label", K)
     assert(w.length == K + 1)
     val scored = QualityClassifier.score(
       feats.join(test.select("doc_id"), "doc_id"), w)
@@ -61,6 +61,15 @@ class QualityClassifierSpec extends SparkSpec {
     val flat = Seq((1L, 0.5), (2L, 0.5), (3L, 0.5), (4L, 0.5))
       .toDF("doc_id", "quality_score")
     assert(QualityClassifier.auc(flat, labels, "doc_id", "label") == 0.5)
+  }
+
+  test("auc fails loudly on a label-homogeneous eval set") {
+    val scored = Seq((1L, 0.9), (2L, 0.8)).toDF("doc_id", "quality_score")
+    val oneClass = Seq((1L, 1), (2L, 1)).toDF("doc_id", "label")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.auc(scored, oneClass, "doc_id", "label")
+    }
+    assert(e.getMessage.contains("both classes"))
   }
 
   test("degenerate inputs fail loudly: no labeled rows") {

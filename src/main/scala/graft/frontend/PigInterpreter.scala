@@ -2164,7 +2164,18 @@ final class PigRunner(val spark: SparkSession) {
         val byExt = graft.sources.Piggybank.parseExtensionLoaders(mapping)
         val base = new org.apache.hadoop.fs.Path(path)
         val hfs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val names = hfs.listStatus(base).filter(_.isFile)
+        val entries = hfs.listStatus(base)
+        // the reference AllLoader walks partition directories; this
+        // dispatch reads one flat directory — nested data must fail
+        // LOUDLY like every other unsupported form, never be skipped
+        val subdirs = entries.filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        require(subdirs.isEmpty, "AllLoader: subdirectories under " +
+          s"$path: ${subdirs.sorted.take(5).mkString(", ")} — nested " +
+          "data is not walked here (the reference recurses into " +
+          "partition dirs; flatten the layout or load each dir)")
+        val names = entries.filter(_.isFile)
           .map(_.getPath.getName)
           .filterNot(n => n.startsWith("_") || n.startsWith("."))
         // fail-loud also covers extension-LESS files (and 'name.' with

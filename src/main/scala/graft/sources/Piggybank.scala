@@ -310,7 +310,17 @@ object Piggybank {
           }
           w.append(braw)
         } finally w.close()
-        if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+        if (!fs.rename(tmp, fin)) {
+          // a rename can fail because a retried attempt already
+          // published the file (fine — drop our tmp) or because of a
+          // genuine FS error (NOT fine — deleting tmp would silently
+          // lose the partition's rows); only the first is recoverable
+          if (!fs.exists(fin))
+            throw new java.io.IOException(
+              s"hiveColumnarStore: rename $tmp -> $fin failed and the " +
+                "destination does not exist — partition data would be lost")
+          fs.delete(tmp, false)
+        }
       }
       Iterator.empty
     }.count() // force the write job

@@ -179,23 +179,61 @@ object Bpe {
   /** The whole-document encoder as a reusable UDF (tokenize like
     * [[TextAnalysis.tokens]], encode each word, concatenate). */
   def encoderUdf(merges: Seq[Merge]): UserDefinedFunction = {
-    val pairs: Array[(String, String)] =
-      merges.map(m => (m.left, m.right)).toArray
-    udf(wordwise[String](w => encodeWord(w, pairs)))
+    val ranks = rankMap(merges.map(m => (m.left, m.right)).toArray)
+    udf(wordwise[String](w => encodeRanked(w, ranks)))
   }
 
-  /** Segment one word: apply every merge in rank order, leftmost-
-    * greedy within the word — exactly what the training loop did to
-    * its histogram entries. */
-  def encodeWord(word: String, pairs: Array[(String, String)]): Array[String] = {
+  /** Pair → rank lookup, built ONCE per encoder closure (first rank
+    * wins — trained merge lists never repeat a pair, this is a
+    * belt-and-braces tie rule). */
+  private def rankMap(pairs: Array[(String, String)])
+      : mutable.HashMap[(String, String), Int] = {
+    val m = mutable.HashMap.empty[(String, String), Int]
+    var i = pairs.length - 1
+    while (i >= 0) { m(pairs(i)) = i; i -= 1 }
+    m
+  }
+
+  /** Segment one word — the GPT-2 encoder loop: repeatedly merge the
+    * LOWEST-RANK pair present among the word's adjacent symbols,
+    * leftmost-greedy per application. O(applied merges × word length)
+    * per uncached word, independent of VOCABULARY size — the
+    * scan-every-merge form paid O(numMerges) per word, which at a
+    * production 30k–50k merge list dwarfs the word itself. Output is
+    * identical to rank-order application: a merge's pair can only
+    * arise after its constituent symbols exist (every post-merge
+    * adjacency involves the just-created symbol, whose pairs rank
+    * LATER in training), so the minimum present rank is always the
+    * next one the rank-order scan would have applied. */
+  private def encodeRanked(word: String,
+                           ranks: mutable.HashMap[(String, String), Int])
+      : Array[String] = {
     var syms = toSymbols(word)
-    var r = 0
-    while (r < pairs.length && syms.length > 1) {
-      syms = mergeIn(syms, pairs(r))
-      r += 1
+    var continue = syms.length > 1 && ranks.nonEmpty
+    while (continue) {
+      var best: (String, String) = null
+      var br = Int.MaxValue
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < br) { br = r; best = (syms(j), syms(j + 1)) }
+        j += 1
+      }
+      if (best == null) continue = false
+      else {
+        syms = mergeIn(syms, best)
+        if (syms.length < 2) continue = false
+      }
     }
     syms.toArray
   }
+
+  /** Segment one word under a merge list (rank = array order). Thin
+    * spec-facing wrapper over [[encodeRanked]]; the hot paths
+    * ([[encoderUdf]]/[[encodeIds]]) build the rank map once per
+    * closure instead of once per word. */
+  def encodeWord(word: String, pairs: Array[(String, String)]): Array[String] =
+    encodeRanked(word, rankMap(pairs))
 
   // -------------------------------------------------------------------
   // Vocabulary — what a training pipeline actually consumes: a stable
@@ -231,11 +269,10 @@ object Bpe {
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
                 vocab: Vocab, out: String = "token_ids",
                 unkId: Int = -1): DataFrame = {
-    val pairs: Array[(String, String)] =
-      vocab.merges.map(m => (m.left, m.right)).toArray
+    val ranks = rankMap(vocab.merges.map(m => (m.left, m.right)).toArray)
     val ids = vocab.idOf
     val enc = udf(wordwise[Int](w =>
-      encodeWord(w, pairs).map(t => ids.getOrElse(t, unkId))))
+      encodeRanked(w, ranks).map(t => ids.getOrElse(t, unkId))))
     docs.select(col(idCol), enc(col(textCol)).as(out))
   }
 

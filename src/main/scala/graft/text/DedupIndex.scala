@@ -134,12 +134,16 @@ object DedupIndex {
     * The merged frame is checkpointed before the overwrite because it
     * READS the table it replaces; a crash between the drop and the
     * rewrite is recoverable — readers fall back to recomputing from
-    * `_buckets` ([[bucketCountsOf]]). */
+    * `_buckets` ([[bucketCountsOf]]). `base` is the PRE-append count
+    * state (snapshotted by [[append]] before the batch's buckets are
+    * written) so the missing-table fallback can never re-aggregate a
+    * `_buckets` that already contains the batch and double-count it. */
   private def bumpBucketCounts(spark: SparkSession, name: String,
-                               newBuckets: DataFrame): Unit = {
+                               newBuckets: DataFrame,
+                               base: DataFrame): Unit = {
     val add = newBuckets
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
-    val merged = bucketCountsOf(spark, name)
+    val merged = base
       .unionByName(add)
       .groupBy(col("band"), col("bucket")).agg(sum(col("n")).as("n"))
     val snap =
@@ -179,6 +183,21 @@ object DedupIndex {
       if (spark.sparkContext.getCheckpointDir.isDefined)
         docs.checkpoint(eager = true)
       else docs.localCheckpoint(eager = true)
+    // snapshot the count BASE before the batch's buckets land in
+    // `_buckets`: if `_bucketcounts` is missing (crash window), the
+    // fallback re-aggregates `_buckets` — re-evaluated lazily AFTER
+    // the append below, that aggregation would already include the
+    // batch, and merging the batch's counts on top would double-count
+    // it. When the table exists this is a plain (checkpointed-at-
+    // merge-time) table read; only the missing-table path needs the
+    // eager snapshot here.
+    val countBase = {
+      val b = bucketCountsOf(spark, name)
+      if (spark.catalog.tableExists(s"${name}_bucketcounts")) b
+      else if (spark.sparkContext.getCheckpointDir.isDefined)
+        b.checkpoint(eager = true)
+      else b.localCheckpoint(eager = true)
+    }
     val grams = graft.GraftSession.trackPersist(
       Dedup.explodeHashedWordNgrams(snap, Seq(idCol), textCol,
         p.n, "gram"))
@@ -198,7 +217,7 @@ object DedupIndex {
     // `_buckets` re-aggregation). (Appends also accrete one file per
     // storage bucket per batch; a periodic epoch rebuild via [[write]]
     // compacts and recomputes the counts exactly.)
-    bumpBucketCounts(spark, name, buckets)
+    bumpBucketCounts(spark, name, buckets, countBase)
   }
 
   /** Exact duplicates of batch docs against the index: one row per

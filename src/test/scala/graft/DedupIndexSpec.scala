@@ -115,6 +115,28 @@ class DedupIndexSpec extends SparkSpec {
       expected.except(spark.table("ix5_bucketcounts")).isEmpty)
   }
 
+  test("append with _bucketcounts MISSING (crash window) rebuilds " +
+       "exact counts — the fallback must not double-count the batch") {
+    DedupIndex.write(old, "doc_id", "text", "ix6", P)
+    // simulate a crash that landed between bumpBucketCounts' drop and
+    // its rewrite: the counts table is gone, _buckets is intact — the
+    // restarted ingest job builds its batch plans against the missing
+    // table (both the filter's hot-key guard and the append's bump
+    // take the recompute fallback)
+    spark.sql("DROP TABLE ix6_bucketcounts")
+    val survivors = DedupIndex.dropDupsAgainst(batch, "doc_id", "text",
+      "ix6", threshold = 0.5)
+    DedupIndex.append(survivors, "doc_id", "text", "ix6")
+    // the fallback recompute must reflect _buckets BEFORE the batch's
+    // append (then + the batch's counts), i.e. exactly the full
+    // post-append re-aggregation — a lazy fallback would scan the
+    // post-append table and count the batch twice
+    val expected = spark.table("ix6_buckets")
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+    assert(spark.table("ix6_bucketcounts").except(expected).isEmpty &&
+      expected.except(spark.table("ix6_bucketcounts")).isEmpty)
+  }
+
   test("rebuilding an index overwrites it; a changed corpus changes " +
        "the answers") {
     DedupIndex.write(old, "doc_id", "text", "ix3", P)

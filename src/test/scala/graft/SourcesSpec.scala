@@ -591,5 +591,21 @@ class SourcesSpec extends SparkSpec {
       """).apply("y").df.collect()
     }
     assert(e2.getMessage.contains("data"), e2.getMessage)
+    // nested DIRECTORIES fail loudly too — the reference AllLoader
+    // walks partition dirs; skipping them here would silently drop rows
+    val in3 = s"${tmp()}/nested"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$in3/part=1"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in3/a.csv"),
+      "1\n".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$in3/part=1/b.csv"), "2\n".getBytes)
+    val e3 = intercept[Exception] {
+      PigRunner(spark).run(s"""
+        x = LOAD '$in3' USING AllLoader('csv:PigStorage()');
+        y = FOREACH x GENERATE $$0;
+      """).apply("y").df.collect()
+    }
+    assert(e3.getMessage.contains("part=1"), e3.getMessage)
   }
 }

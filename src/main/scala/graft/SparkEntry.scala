@@ -77,15 +77,16 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_$tag"
   }
 
-  /** q111's synthesized-WARC shard dir, keyed like [[indexDir]] but on
-    * the DOCUMENTS table's file signature. */
-  private def warcDir(dataset: String): String = {
+  /** q111/q113's synthesized-WARC shard dirs, keyed like [[indexDir]]
+    * but on the DOCUMENTS table's file signature; `kind` separates the
+    * plain-payload (q111) and HTTP-enveloped (q113) shard sets. */
+  private def warcDir(dataset: String, kind: String = "warc"): String = {
     val docs = new java.io.File(s"$dataset/documents.parquet")
     val sig = Option(docs.listFiles()).map(_.toSeq).getOrElse(Seq(docs))
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .sorted.mkString("|")
     val tag = java.lang.Integer.toHexString((dataset + "|" + sig).hashCode)
-    s"${System.getProperty("java.io.tmpdir")}/graft_warc_$tag"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_$tag"
   }
 
   /** q98's sample EvalFunc jar, compiled ONCE per JVM against the
@@ -1609,6 +1610,59 @@ object SparkEntry {
           lit(true)).as("length_ok"))
     }),
 
+    // WARC with REAL HTTP envelopes (CommonCrawl's actual response
+    // form: Content-Type: application/http; msgtype=response, payload
+    // = status line + HTTP headers + body, a third of them
+    // chunked-framed): the engine must strip the envelope — status and
+    // the body's true content type out of the headers, the body bytes
+    // chunk-decoded — and extract training text from the BODY only.
+    // FULL row/hash gate: DuckDB recomputes every column (status/ctype
+    // from the synthesis rule, extracted text by the q108 mirror
+    // regexes) from the documents table; any leaked header byte or
+    // mis-framed chunk breaks the text hash.
+    "q113_warc_http" -> ((s, d) => {
+      val docs = T(s, d, "documents").df.select(col("doc_id"), col("text"))
+      val dir = warcDir(d, "warchttp")
+      val marker = new java.io.File(dir, "_SUCCESS")
+      if (!marker.exists()) {
+        val dd = new java.io.File(dir)
+        if (dd.exists()) {
+          Option(dd.listFiles()).foreach(_.foreach(_.delete()))
+        }
+        dd.mkdirs()
+        docs.repartition(4).foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val os = new java.util.zip.GZIPOutputStream(
+              new java.io.FileOutputStream(s"$dir/part-$pid.warc.gz"))
+            try graft.sources.Warc.writeStream(it.map { r =>
+              val id = r.getLong(0)
+              val html = s"<html><head><title>D$id</title></head>" +
+                s"<body><p>${r.getString(1)}</p></body></html>"
+              val payload = graft.sources.Warc.wrapHttp(
+                html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                status = if (id % 5 == 0) 404 else 200,
+                contentType = "text/html; charset=utf-8",
+                chunked = id % 3 == 0)
+              graft.sources.Warc.Record(
+                s"<urn:uuid:h$id>", "response", s"https://ex.com/$id",
+                "2026-01-01T00:00:00Z",
+                "application/http; msgtype=response", payload)
+            }, os)
+            finally os.close()
+        }
+        marker.createNewFile()
+      }
+      val recs = graft.sources.Warc.read(s, s"$dir/*.warc.gz")
+      graft.sources.Warc.stripHttp(recs)
+        .select(
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("http_status"), col("http_content_type"),
+          graft.text.Html.extractText(col("body").cast(StringType))
+            .as("extracted_text"))
+    }),
+
     // CCNet perplexity bucketing: per-language head/middle/tail split
     // by bigram-LM score — ntile over (ROUNDED avg_nll, doc_id) so the
     // split is exactly reproducible cross-engine; unscoreable docs
@@ -2557,6 +2611,37 @@ object SparkEntry {
       """SELECT count(*) AS n_records, true AS roundtrip_ok,
                 true AS type_ok, true AS length_ok
          FROM documents""",
+    // FULL mirror: status/ctype from the synthesis rule, extracted
+    // text by the q108 regex chain over the same synthesized body html
+    // — the WARC container + HTTP envelope are the Spark side's to
+    // get right; any leaked header byte breaks the text hash
+    "q113_warc_http" ->
+      """WITH synth AS (
+           SELECT doc_id,
+                  '<html><head><title>D' || CAST(doc_id AS VARCHAR) ||
+                  '</title></head><body><p>' || text ||
+                  '</p></body></html>' AS html
+           FROM documents),
+         strip AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(html,
+                      '(?is)<script\b[^>]*>.*?(</script>|$)', ' ', 'g'),
+                      '(?is)<style\b[^>]*>.*?(</style>|$)', ' ', 'g'),
+                      '(?s)<!--.*?(-->|$)', ' ', 'g'),
+                      '<[^>]+>', ' ', 'g') AS t0
+           FROM synth)
+         SELECT doc_id,
+                CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END
+                  AS INTEGER) AS http_status,
+                'text/html; charset=utf-8' AS http_content_type,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    replace(t0, '&nbsp;', ' '), '&lt;', '<'),
+                    '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                    '&apos;', ''''), '&amp;', '&'),
+                  '[ \t\n\f\r\x0B]+', ' ', 'g')) AS extracted_text
+         FROM strip""",
     // q92's LM recompute + the ntile split over (rounded avg_nll,
     // doc_id) per lang — identical ordering keys on both sides
     "q110_ppl_buckets" ->

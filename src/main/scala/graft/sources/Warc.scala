@@ -159,6 +159,183 @@ object Warc {
       }
     }
 
+  // -------------------------------------------------------------------
+  // HTTP envelope stripping — real CommonCrawl `response` records carry
+  // `Content-Type: application/http; msgtype=response` payloads: a
+  // status line + HTTP headers + CRLF CRLF + the body. Training
+  // pipelines need the BODY (feeding the raw payload into HTML
+  // extraction would embed `Content-Type:` headers in training text).
+
+  /** Parsed HTTP message parts; `body` is the raw entity bytes
+    * (chunked transfer-coding decoded). */
+  final case class HttpParts(http_status: Option[Int],
+                             http_content_type: Option[String],
+                             body: Array[Byte])
+
+  /** Append (http_status, http_content_type, body) to a [[read]]
+    * frame. Records whose WARC Content-Type is `application/http`
+    * (any msgtype/params) get their HTTP envelope split off: status
+    * code from the status line, the HTTP `Content-Type` header (the
+    * body's real type — the WARC-level one only says "http"), and the
+    * body bytes with `Transfer-Encoding: chunked` framing decoded
+    * (raw captures keep the wire form). Non-HTTP payloads pass
+    * through: null status/type, body = payload. Per-row imperative
+    * binary work, so a UDF (the binary-decode carve-out — there is no
+    * Column form for byte scanning); the projection stays shuffle-free
+    * and composes with the one-task-per-shard read grain.
+    *
+    * Fail-loud policy: an `application/http` payload with no header
+    * terminator or a malformed/truncated chunk framing throws with the
+    * record id — a corrupt shard should stop an ingest, not leak
+    * envelope bytes into a corpus. An EMPTY application/http payload
+    * (a legal empty capture) yields nulls + empty body. */
+  def stripHttp(records: DataFrame, payloadCol: String = "payload",
+                contentTypeCol: String = "content_type",
+                idCol: String = "record_id"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val split = udf((payload: Array[Byte], recordId: String) =>
+      splitHttpPayload(payload, recordId))
+    val isHttp = lower(col(contentTypeCol))
+      .rlike("^\\s*application/http\\s*(;.*)?$")
+    records.withColumn("__http",
+        when(isHttp, split(col(payloadCol), col(idCol))))
+      .withColumn("http_status", col("__http.http_status"))
+      .withColumn("http_content_type", col("__http.http_content_type"))
+      .withColumn("body",
+        when(isHttp, col("__http.body")).otherwise(col(payloadCol)))
+      .drop("__http")
+  }
+
+  /** Split one `application/http` payload: status line + headers +
+    * CRLF CRLF + body. Bare-LF header endings tolerated (the
+    * [[parseStream]] fail-soft rule: line endings only, never
+    * lengths). */
+  def splitHttpPayload(payload: Array[Byte], recordId: String): HttpParts = {
+    if (payload == null || payload.isEmpty)
+      return HttpParts(None, None, Array.emptyByteArray)
+    def fail(msg: String): Nothing = throw new java.io.IOException(
+      s"HTTP envelope parse error in record $recordId: $msg")
+    // header/body boundary: first CRLFCRLF (or bare LFLF); headers are
+    // ASCII by spec, so a byte scan is exact
+    var i = 0
+    var bodyAt = -1
+    var headerEnd = -1
+    while (bodyAt < 0 && i < payload.length) {
+      if (payload(i) == '\n') {
+        if (i + 1 < payload.length && payload(i + 1) == '\n') {
+          headerEnd = i; bodyAt = i + 2
+        } else if (i + 2 < payload.length && payload(i + 1) == '\r' &&
+                   payload(i + 2) == '\n') {
+          headerEnd = i; bodyAt = i + 3
+        } else if (i + 1 == payload.length) {
+          // message with headers only (no body): terminator at EOF
+          headerEnd = i; bodyAt = i + 1
+        }
+      }
+      i += 1
+    }
+    if (bodyAt < 0) fail("no blank-line header terminator in an " +
+      "application/http payload (truncated capture?)")
+    val head = new String(payload, 0, headerEnd,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r?\n")
+    if (lines.isEmpty || !lines(0).toUpperCase.startsWith("HTTP/"))
+      fail(s"status line is not HTTP/x.y: '${lines.headOption.getOrElse("").take(40)}'")
+    val statusParts = lines(0).split("\\s+", 3)
+    if (statusParts.length < 2 || !statusParts(1).forall(_.isDigit))
+      fail(s"malformed status line '${lines(0).take(40)}'")
+    val status = statusParts(1).toInt
+    // headers, with ISO folding (leading whitespace = continuation)
+    val hdrs = scala.collection.mutable.Map.empty[String, String]
+    var lastKey: String = null
+    var li = 1
+    while (li < lines.length) {
+      val h = lines(li)
+      if (h.nonEmpty) {
+        if (h.charAt(0) == ' ' || h.charAt(0) == '\t') {
+          if (lastKey != null) hdrs(lastKey) = hdrs(lastKey) + " " + h.trim
+        } else {
+          val c = h.indexOf(':')
+          if (c > 0) {
+            lastKey = h.substring(0, c).trim.toLowerCase
+            hdrs(lastKey) = h.substring(c + 1).trim
+          } // a colon-less garbage header line is skipped, not fatal —
+            // real crawls contain them and the body boundary is already
+            // exact (the blank line), so nothing can be misattributed
+        }
+      }
+      li += 1
+    }
+    val raw = java.util.Arrays.copyOfRange(payload, bodyAt, payload.length)
+    val chunked = hdrs.get("transfer-encoding")
+      .exists(_.toLowerCase.split(",").map(_.trim).contains("chunked"))
+    val body = if (chunked) decodeChunked(raw, fail) else raw
+    HttpParts(Some(status), hdrs.get("content-type"), body)
+  }
+
+  /** Decode HTTP/1.1 chunked transfer coding: hex-size line, data,
+    * CRLF, …, 0-size terminator (trailers ignored). Length-driven like
+    * the WARC parse itself; malformed sizes / truncation fail loudly
+    * via `fail`. */
+  private def decodeChunked(raw: Array[Byte],
+                            fail: String => Nothing): Array[Byte] = {
+    val out = new ByteArrayOutputStream(raw.length)
+    var p = 0
+    def line(): String = {
+      val s = p
+      while (p < raw.length && raw(p) != '\n') p += 1
+      if (p >= raw.length) fail("EOF inside chunk-size line")
+      val e = if (p > s && raw(p - 1) == '\r') p - 1 else p
+      p += 1
+      new String(raw, s, e - s,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    var continue = true
+    while (continue) {
+      val sizeTok = line().split(";")(0).trim // chunk extensions dropped
+      val size = try java.lang.Long.parseLong(sizeTok, 16)
+        catch { case _: NumberFormatException =>
+          fail(s"malformed chunk size '${sizeTok.take(20)}'") }
+      if (size < 0 || size > Int.MaxValue - 8)
+        fail(s"chunk size $size out of range")
+      if (size == 0L) continue = false
+      else {
+        if (p + size > raw.length)
+          fail(s"EOF inside a $size-byte chunk at offset $p")
+        out.write(raw, p, size.toInt)
+        p += size.toInt
+        // chunk data is followed by CRLF (tolerate bare LF)
+        if (p < raw.length && raw(p) == '\r') p += 1
+        if (p >= raw.length || raw(p) != '\n')
+          fail("missing CRLF after chunk data")
+        p += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Render a body into an HTTP response envelope (test/synthesis twin
+    * of [[splitHttpPayload]]); `chunked` frames the body as a single
+    * chunk + terminator. */
+  def wrapHttp(body: Array[Byte], status: Int, contentType: String,
+               chunked: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream(body.length + 128)
+    val hdr = new StringBuilder
+    hdr ++= s"HTTP/1.1 $status OK\r\n"
+    hdr ++= s"Content-Type: $contentType\r\n"
+    hdr ++= "Server: graft-test\r\n"
+    if (chunked) hdr ++= "Transfer-Encoding: chunked\r\n"
+    else hdr ++= s"Content-Length: ${body.length}\r\n"
+    hdr ++= "\r\n"
+    out.write(hdr.toString.getBytes(UTF_8))
+    if (chunked) {
+      out.write(s"${body.length.toHexString}\r\n".getBytes(UTF_8))
+      out.write(body)
+      out.write("\r\n0\r\n\r\n".getBytes(UTF_8))
+    } else out.write(body)
+    out.toByteArray
+  }
+
   /** Write records as one WARC stream (test/synthesis twin of
     * [[parseStream]] — strict CRLF form). */
   def writeStream(records: Iterator[Record], out: OutputStream): Unit = {

@@ -720,22 +720,33 @@ class PipelineSpec extends SparkSpec {
       s"""<html><head><title>Page $id</title></head><body>
          <script>track()</script><p>$text</p>
          <a href="https://ex.com/next">n</a></body></html>"""
+    // CommonCrawl-real framing: every response payload is an HTTP
+    // message (status line + headers + body), a third chunk-framed —
+    // the pipeline must consume the stripped BODY, never the payload
+    def envelope(id: Long, text: String) = Warc.wrapHttp(
+      page(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      status = 200, contentType = "text/html; charset=utf-8",
+      chunked = id % 3 == 0)
     val recs = docs.map { r =>
       Warc.Record(s"<urn:uuid:${r.getLong(0)}>", "response",
         s"HTTPS://Crawl.EX:443/p/${r.getLong(0)}?utm_source=feed",
-        "2026-01-01T00:00:00Z", "text/html",
-        page(r.getLong(0), r.getString(1))
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        "2026-01-01T00:00:00Z", "application/http; msgtype=response",
+        envelope(r.getLong(0), r.getString(1)))
     } :+ Warc.Record("<urn:uuid:dup>", "response",
       s"https://crawl.ex/p/${docs.head.getLong(0)}#fragment",
-      "2026-01-01T00:00:01Z", "text/html",
-      page(docs.head.getLong(0), docs.head.getString(1))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      "2026-01-01T00:00:01Z", "application/http; msgtype=response",
+      envelope(docs.head.getLong(0), docs.head.getString(1)))
     Warc.writeStream(recs.iterator, os); os.close()
-    // 2. ingest + extract + canonical URL key
-    val pages = Warc.read(spark, s"$dir/*.warc.gz")
-      .filter(col("warc_type") === "response")
-      .select(col("target_uri"), col("payload").cast("string").as("html"))
+    // 2. ingest + HTTP envelope strip + extract + canonical URL key
+    val pages = Warc.stripHttp(
+        Warc.read(spark, s"$dir/*.warc.gz")
+          .filter(col("warc_type") === "response"))
+      .filter(col("http_status") === 200)
+      .select(col("target_uri"), col("body").cast("string").as("html"))
+    // the envelope never reaches the corpus: no html blob carries a
+    // header line
+    assert(pages.filter(col("html").contains("Content-Type:"))
+      .count() == 0)
     val extracted = Html.extractAll(
         pages.select(Urls.normalize(col("target_uri")).as("url"),
           col("html")), "url", "html")

@@ -77,6 +77,81 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("stripHttp: splits status/content-type/body from " +
+       "application/http payloads; non-http records pass through") {
+    import org.apache.spark.sql.functions.col
+    val body1 = "<html><p>hello &amp; goodbye</p></html>".getBytes(UTF_8)
+    val body2 = "chunked body with\r\nembedded CRLFs".getBytes(UTF_8)
+    val httpRecs = Seq(
+      Record("<urn:uuid:h1>", "response", "https://ex.com/h1",
+        "2026-01-01T00:00:00Z", "application/http; msgtype=response",
+        Warc.wrapHttp(body1, 200, "text/html; charset=utf-8")),
+      Record("<urn:uuid:h2>", "response", "https://ex.com/h2",
+        "2026-01-01T00:00:01Z", "application/http;msgtype=response",
+        Warc.wrapHttp(body2, 404, "text/plain", chunked = true)),
+      // a non-HTTP payload must pass through untouched
+      recs(1))
+    val dir = java.nio.file.Files.createTempDirectory("warchttp").toString
+    val f = new FileOutputStream(s"$dir/h.warc")
+    f.write(bytesOf(httpRecs)); f.close()
+    val df = Warc.stripHttp(Warc.read(spark, s"$dir/h.warc"))
+    val byId = df.collect().map(r => r.getAs[String]("record_id") ->
+      ((Option(r.getAs[Integer]("http_status")),
+        Option(r.getAs[String]("http_content_type")),
+        r.getAs[Array[Byte]]("body")))).toMap
+    assert(byId("<urn:uuid:h1>")._1 == Some(200))
+    assert(byId("<urn:uuid:h1>")._2 == Some("text/html; charset=utf-8"))
+    assert(java.util.Arrays.equals(byId("<urn:uuid:h1>")._3, body1))
+    assert(byId("<urn:uuid:h2>")._1 == Some(404))
+    assert(java.util.Arrays.equals(byId("<urn:uuid:h2>")._3, body2),
+      new String(byId("<urn:uuid:h2>")._3, UTF_8))
+    // pass-through: nulls + body == payload
+    assert(byId("<urn:uuid:2>")._1.isEmpty && byId("<urn:uuid:2>")._2.isEmpty)
+    assert(java.util.Arrays.equals(byId("<urn:uuid:2>")._3, recs(1).payload))
+    // the envelope never leaks: no body contains an HTTP header line
+    assert(df.filter(col("body").cast("string")
+      .contains("Content-Type:")).count() == 0)
+  }
+
+  test("splitHttpPayload: odd-but-real envelopes parse clean (bare-LF " +
+       "endings, folded + colon-less headers, multi-chunk framing); " +
+       "truncation and bad chunk sizes fail loudly") {
+    // bare-LF line endings + a folded header + a colon-less junk line
+    val lf = ("HTTP/1.0 301 Moved\nLocation: https://ex.com/\n" +
+      "X-Long: part one\n and part two\njunk garbage line\n\nBODY")
+      .getBytes(UTF_8)
+    val p1 = Warc.splitHttpPayload(lf, "r1")
+    assert(p1.http_status == Some(301))
+    assert(new String(p1.body, UTF_8) == "BODY")
+    // multi-chunk + chunk extension + trailer ignored
+    val mc = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "4;ext=1\r\nWiki\r\n5\r\npedia\r\n0\r\nX-Trailer: t\r\n\r\n")
+      .getBytes(UTF_8)
+    val p2 = Warc.splitHttpPayload(mc, "r2")
+    assert(new String(p2.body, UTF_8) == "Wikipedia")
+    // headers only, terminator at EOF → empty body
+    val ho = "HTTP/1.1 204 No Content\r\nServer: x\r\n\r\n".getBytes(UTF_8)
+    assert(Warc.splitHttpPayload(ho, "r3").body.isEmpty)
+    // empty payload: a legal empty capture, nulls + empty body
+    val pe = Warc.splitHttpPayload(Array.emptyByteArray, "r4")
+    assert(pe.http_status.isEmpty && pe.body.isEmpty)
+    // fail loud: no terminator / bad status / bad chunk size / cut chunk
+    for ((bad, what) <- Seq(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html" -> "terminator",
+        "NOTHTTP 200\r\n\r\nx" -> "status line",
+        ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+          "zz\r\nabc") -> "chunk size",
+        ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+          "ff\r\nshort") -> "EOF inside")) {
+      val e = intercept[java.io.IOException] {
+        Warc.splitHttpPayload(bad.getBytes(UTF_8), "rbad")
+      }
+      assert(e.getMessage.contains("rbad") &&
+        e.getMessage.toLowerCase.contains(what.toLowerCase.take(9)),
+        s"$what: ${e.getMessage}")
+    }
+  }
+
   test("truncated payload fails loudly with file and position") {
     val whole = bytesOf(recs.take(1))
     val cut = java.util.Arrays.copyOf(whole, whole.length - 8)

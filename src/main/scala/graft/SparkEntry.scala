@@ -1663,6 +1663,39 @@ object SparkEntry {
             .as("extracted_text"))
     }),
 
+    // Script-aware tokenization: a multilingual corpus is synthesized
+    // (Chinese ideographs / Japanese kana+ideographs / a Thai run /
+    // plain English appended per doc_id%4) and per-doc token counts,
+    // distinct-token counts, alpha-token fraction, the Gopher word-
+    // count flag, and CJK detection are computed over the SAME
+    // codepoint-boundary rule the oracle mirrors in DuckDB (`\x{…}`
+    // classes — the one escape syntax Java regex and RE2 share). A
+    // whitespace-only tokenizer reads each CJK phrase as ONE token and
+    // breaks every count column. Full row/hash gate.
+    "q114_script_tokens" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      val tail = when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("你好你好世界"))     // 你好你好世界
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          lit("こんにちは世界")) // こんにちは世界
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          lit("สวัสดีโลก"))
+        .otherwise(lit("plain english tail"))
+      val synth = concat(col("text"), lit(" "), tail)
+      val toks = graft.text.TextAnalysis.tokens(synth)
+      val nToks = size(toks)
+      val alphaFrac = when(nToks > 0,
+        round(size(filter(toks, t => t.rlike("[A-Za-z]")))
+          .cast(DoubleType) / nToks, 6)).otherwise(lit(0.0))
+      docs.select(col("doc_id"),
+        nToks.cast(LongType).as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct_tokens"),
+        alphaFrac.as("alpha_token_frac"),
+        graft.text.TextAnalysis.gopherFlags(synth)
+          .getField("word_count_ok").as("word_count_ok"),
+        (graft.text.TextAnalysis.langId(synth) === "zh").as("cjk_detected"))
+    }),
+
     // CCNet perplexity bucketing: per-language head/middle/tail split
     // by bigram-LM score — ntile over (ROUNDED avg_nll, doc_id) so the
     // split is exactly reproducible cross-engine; unscoreable docs
@@ -2642,6 +2675,42 @@ object SparkEntry {
                     '&apos;', ''''), '&amp;', '&'),
                   '[ \t\n\f\r\x0B]+', ' ', 'g')) AS extracted_text
          FROM strip""",
+    // mirrors TextAnalysis.tokens' script-aware rule verbatim: CJK
+    // ideograph/kana codepoints spaced individually, Thai runs spaced
+    // as units, then the whitespace split — same \x{…} classes,
+    // DuckDB backrefs spelled \1 vs Spark's $1 (syntax only)
+    "q114_script_tokens" ->
+      """WITH synth AS (
+           SELECT doc_id,
+                  text || ' ' ||
+                  CASE WHEN doc_id % 4 = 0 THEN '你好你好世界'
+                       WHEN doc_id % 4 = 1 THEN 'こんにちは世界'
+                       WHEN doc_id % 4 = 2 THEN 'สวัสดีโลก'
+                       ELSE 'plain english tail' END AS t
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(
+                    regexp_replace(regexp_replace(t,
+                      '([\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}])',
+                      ' \1 ', 'g'),
+                      '([\x{0e00}-\x{0e7f}]+)', ' \1 ', 'g')),
+                    '\s+'), x -> length(x) > 0) AS toks,
+                  t
+           FROM synth)
+         SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS BIGINT)
+                  AS n_distinct_tokens,
+                CASE WHEN len(toks) > 0
+                     THEN round(CAST(len(list_filter(toks,
+                       x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                       / len(toks), 6)
+                     ELSE 0.0 END AS alpha_token_frac,
+                len(toks) >= 50 AND len(toks) <= 100000 AS word_count_ok,
+                regexp_matches(substr(t, 1, 4096), '[\x{4e00}-\x{9fff}]')
+                  AS cjk_detected
+         FROM tok""",
     // q92's LM recompute + the ntile split over (rounded avg_nll,
     // doc_id) per lang — identical ordering keys on both sides
     "q110_ppl_buckets" ->

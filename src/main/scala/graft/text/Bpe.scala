@@ -168,7 +168,11 @@ object Bpe {
       if (text == null) null
       else {
         val out = mutable.ArrayBuffer.empty[T]
-        for (w <- text.split("\\s+") if w.nonEmpty) {
+        // script-aware boundary insertion first — the JVM twin of
+        // TextAnalysis.scriptSpaced, so UDF-side words match the
+        // engine's Column-side tokens on CJK/Thai text too
+        val spaced = TextAnalysis.scriptSpacedStr(text)
+        for (w <- spaced.split("\\s+") if w.nonEmpty) {
           if (memo.size > (1 << 16)) memo.clear()
           out ++= memo.getOrElseUpdate(w, perWord(w))
         }

@@ -12,9 +12,45 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empties dropped. */
+  /** CJK ideographs (+ext A, compat) and kana, tokenized ONE PER
+    * CODEPOINT — the standard cheap segmentation for scripts that
+    * don't space-delimit words (what CCNet/Gopher-style pipelines do
+    * before real segmenters): without it a Chinese/Japanese document
+    * is ONE whitespace token and every downstream signal (minhash
+    * grams, Gopher rules, LM grams, token budgets) silently degrades.
+    * Hangul is NOT here: Korean text is space-delimited.
+    * Spelled `\x{…}` — the ONE codepoint-escape syntax Java regex and
+    * RE2 share, so a SQL oracle evaluates the SAME class. */
+  val CjkCodepointClass: String =
+    "[\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{f900}-\\x{faff}" +
+      "\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}]"
+
+  /** Thai, segmented at SCRIPT-RUN boundaries (not per codepoint —
+    * Thai is alphabetic with combining vowels/tones; char-splitting
+    * would shed bare combining marks as tokens). A Thai run embedded
+    * in Latin text becomes its own token. */
+  val ThaiRunClass: String = "[\\x{0e00}-\\x{0e7f}]+"
+
+  /** Insert token boundaries around non-space-delimited scripts; a
+    * no-op on text without those codepoints, so Latin-script corpora
+    * tokenize exactly as before. Both replaces are codegen'd
+    * scan-speed column work. */
+  def scriptSpaced(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, s"($CjkCodepointClass)", " $1 "),
+      s"($ThaiRunClass)", " $1 ")
+
+  /** The JVM twin of [[scriptSpaced]] for driver/UDF-side
+    * tokenization ([[Bpe]]) — same patterns, same semantics. */
+  def scriptSpacedStr(text: String): String =
+    text.replaceAll(s"($CjkCodepointClass)", " $1 ")
+      .replaceAll(s"($ThaiRunClass)", " $1 ")
+
+  /** Script-aware whitespace tokens, empties dropped: whitespace
+    * split after [[scriptSpaced]] boundary insertion — bit-identical
+    * to plain whitespace tokens on Latin text. */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    filter(split(trim(scriptSpaced(text)), "\\s+"), t => length(t) > 0)
 
   /** Token count; null text → null (the SQL mirror), never size()'s -1. */
   def tokenCount(text: Column): Column =

@@ -434,6 +434,43 @@ class PipelineSpec extends SparkSpec {
     assert(a.head.getLong(0) == 7L) // same bucket as itself, cos=1
   }
 
+  test("script-aware tokens: CJK per codepoint, Thai per run, Latin " +
+       "bit-identical to the plain whitespace split") {
+    val df = Seq(
+      (1L, "中文文本分析"),                       // 6 ideographs
+      (2L, "日本語のテキスト"),                   // mixed kana+ideographs
+      (3L, "ข้อความภาษาไทย one"),                // thai run + latin word
+      (4L, "mixed 中文 and english"),
+      (5L, "plain english only here")).toDF("id", "t")
+    val got = df.select(col("id"),
+        TextAnalysis.tokens(col("t")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // a Chinese doc is no longer ONE token
+    assert(got(1L) == Seq("中", "文", "文", "本", "分", "析"))
+    assert(got(2L).size == 8 && got(2L).head == "日")
+    // thai: ONE run token (combining marks never shed), plus the word
+    assert(got(3L) == Seq("ข้อความภาษาไทย", "one"))
+    assert(got(4L) == Seq("mixed", "中", "文", "and", "english"))
+    // latin text: exactly the old whitespace split
+    assert(got(5L) == Seq("plain", "english", "only", "here"))
+    // the plain split agrees on every latin doc (bit-identity claim)
+    val latin = sf("documents").select(
+      TextAnalysis.tokens(col("text")).as("a"),
+      filter(split(trim(col("text")), "\\s+"),
+        t => length(t) > 0).as("b"))
+    assert(latin.filter(not(col("a") === col("b"))).count() == 0)
+    // downstream signals unlock: minhash grams + gopher word count on
+    // a CJK doc are no longer degenerate
+    val zh = Seq((1L, "中文" * 40)).toDF("doc_id", "text")
+    val grams = zh.select(graft.text.Dedup.wordNgrams(col("text"), 3)
+      .as("g")).head().getSeq[String](0)
+    assert(grams.nonEmpty && grams.head == "中 文 中")
+    // and the Bpe JVM-side tokenizer stays in sync with the Column side
+    val enc = graft.text.Bpe.encode(zh, "doc_id", "text", Seq.empty)
+      .head().getSeq[String](1)
+    assert(enc.size == 80 * 1, s"bpe wordwise desync: ${enc.take(5)}")
+  }
+
   test("langId: CJK → zh; english stopwords → en") {
     val df = Seq((1, "the cat and the dog is in the house"),
       (2, "中文文本")).toDF("id", "t")

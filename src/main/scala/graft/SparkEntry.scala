@@ -1663,6 +1663,33 @@ object SparkEntry {
             .as("extracted_text"))
     }),
 
+    // Boilerplate removal (the jusText/trafilatura stage between HTML
+    // extraction and quality filtering): pages are synthesized with a
+    // link-dominated nav row, a short copyright footer, a "read more"
+    // link row, and the doc's text as the one content block — the
+    // block segmentation + word-count/link-density scoring must keep
+    // exactly the content. The oracle mirrors the whole pipeline
+    // (same block regex, same density rule) in DuckDB list lambdas.
+    // Full row/hash gate.
+    "q115_boilerplate" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      val idStr = col("doc_id").cast(StringType)
+      val html = concat(
+        lit("<html><head><title>Site T"), idStr,
+        lit("</title><style>nav {color: blue}</style></head><body>" +
+          "<nav><a href=\"/\">Home page</a> <a href=\"/about\">About " +
+          "us</a> <a href=\"/contact\">Contact info</a></nav><p>"),
+        col("text"),
+        lit("</p><div>Copyright 2026 Example Corp</div>" +
+          "<p>Read more: <a href=\"/next\">the next related article " +
+          "in this series</a></p></body></html>"))
+      val parts = graft.text.Html.dropBoilerplate(html)
+      docs.select(col("doc_id"),
+        parts.getField("clean_text").as("clean_text"),
+        parts.getField("n_blocks").as("n_blocks"),
+        parts.getField("n_kept").as("n_kept"))
+    }),
+
     // Script-aware tokenization: a multilingual corpus is synthesized
     // (Chinese ideographs / Japanese kana+ideographs / a Thai run /
     // plain English appended per doc_id%4) and per-doc token counts,
@@ -2675,6 +2702,64 @@ object SparkEntry {
                     '&apos;', ''''), '&amp;', '&'),
                   '[ \t\n\f\r\x0B]+', ' ', 'g')) AS extracted_text
          FROM strip""",
+    // mirrors Html.dropBoilerplate verbatim in DuckDB list lambdas:
+    // same hidden-block removal, same (?:non-capturing) block-tag
+    // split, same per-block text/link-char extraction, same
+    // minWords=5 / maxLinkDensity=0.4 rule. The synthesized pages are
+    // Latin-only and entity-free, so the mirror's plain whitespace
+    // word count and skipped entity-decode are value-identical to the
+    // engine's script-aware/decoding forms
+    "q115_boilerplate" ->
+      """WITH synth AS (
+           SELECT doc_id,
+                  '<html><head><title>Site T' || CAST(doc_id AS VARCHAR)
+                  || '</title><style>nav {color: blue}</style></head>'
+                  || '<body><nav><a href="/">Home page</a> '
+                  || '<a href="/about">About us</a> '
+                  || '<a href="/contact">Contact info</a></nav><p>'
+                  || text || '</p><div>Copyright 2026 Example Corp</div>'
+                  || '<p>Read more: <a href="/next">the next related '
+                  || 'article in this series</a></p></body></html>'
+                    AS html
+           FROM documents),
+         nos AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(html,
+                    '(?is)<script\b[^>]*>.*?(</script>|$)', ' ', 'g'),
+                    '(?is)<style\b[^>]*>.*?(</style>|$)', ' ', 'g'),
+                    '(?s)<!--.*?(-->|$)', ' ', 'g') AS h
+           FROM synth),
+         bl AS (
+           SELECT doc_id,
+                  list_filter(list_transform(
+                    string_split_regex(h,
+                      '(?i)</?(?:p|div|section|article|main|td|th|tr|li|ul|ol|table|h1|h2|h3|h4|h5|h6|header|footer|nav|aside|blockquote|br|hr|body|html|head|title|form|figure|figcaption|dl|dt|dd|pre)\b[^>]*>'),
+                    b -> struct_pack(
+                      t := trim(regexp_replace(regexp_replace(b,
+                        '<[^>]+>', ' ', 'g'),
+                        '[ \t\n\f\r\x0B]+', ' ', 'g')),
+                      lc := coalesce(list_sum(list_transform(
+                        regexp_extract_all(b,
+                          '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                        a -> length(trim(regexp_replace(regexp_replace(a,
+                          '<[^>]+>', ' ', 'g'),
+                          '[ \t\n\f\r\x0B]+', ' ', 'g'))))), 0))),
+                    s -> length(s.t) > 0) AS blocks
+           FROM nos),
+         k AS (
+           SELECT doc_id, blocks,
+                  list_filter(blocks, s ->
+                    len(list_filter(string_split_regex(s.t, '\s+'),
+                      x -> length(x) > 0)) >= 5
+                    AND CAST(s.lc AS DOUBLE) <= 0.4 * length(s.t))
+                    AS kept
+           FROM bl)
+         SELECT doc_id,
+                array_to_string(list_transform(kept, s -> s.t), ' ')
+                  AS clean_text,
+                CAST(len(blocks) AS BIGINT) AS n_blocks,
+                CAST(len(kept) AS BIGINT) AS n_kept
+         FROM k""",
     // mirrors TextAnalysis.tokens' script-aware rule verbatim: CJK
     // ideograph/kana codepoints spaced individually, Thai runs spaced
     // as units, then the whitespace split — same \x{…} classes,

@@ -75,6 +75,68 @@ object Html {
     when(html.isNotNull, regexp_extract_all(html,
       lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*\"([^\"]*)\""), lit(1)))
 
+  // -------------------------------------------------------------------
+  // Boilerplate removal — the stage between tag-level extraction and
+  // quality filtering (the jusText/trafilatura idea, v1-simplified):
+  // segment the page into BLOCKS at block-level tag boundaries, score
+  // each block by word count and link density, keep content blocks.
+  // Navigation bars, footers, and "related links" rows are short
+  // and/or link-dominated; article text is neither. All pure-Column
+  // (regex + HOFs) and RE2-safe, so a SQL oracle evaluates the SAME
+  // segmentation and scoring (the q115 gate mirrors it verbatim).
+
+  /** Block-level boundary tags: splitting on these leaves inline
+    * markup (<a>, <b>, <span>, …) INSIDE blocks, where link density
+    * is measured. */
+  val BlockTagRe: String =
+    "(?i)</?(?:p|div|section|article|main|td|th|tr|li|ul|ol|table|" +
+      "h1|h2|h3|h4|h5|h6|header|footer|nav|aside|blockquote|br|hr|" +
+      "body|html|head|title|form|figure|figcaption|dl|dt|dd|pre)" +
+      "\\b[^>]*>"
+
+  private val WsClass = "[ \\t\\n\\f\\r\\x0B]+"
+
+  /** A block's visible text: inline tags stripped, entities decoded,
+    * whitespace collapsed. */
+  private def blockText(b: Column): Column =
+    trim(regexp_replace(decodeEntities(
+      regexp_replace(b, "<[^>]+>", " ")), WsClass, " "))
+
+  /** Characters of text inside the block's <a> elements (an UNCLOSED
+    * anchor contributes nothing — fail-open toward keeping: a parse
+    * ambiguity should never delete prose). */
+  private def linkChars(b: Column): Column =
+    coalesce(aggregate(
+      regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+      lit(0L), (acc, a) => acc + length(blockText(a))), lit(0L))
+
+  /** Boilerplate-dropped page text as
+    * struct(clean_text, n_blocks, n_kept): script/style/comment
+    * blocks removed, the page split at [[BlockTagRe]] boundaries,
+    * then a block is KEPT iff it has at least `minWords`
+    * script-aware tokens AND at most `maxLinkDensity` of its
+    * characters inside anchors. `n_blocks` counts nonempty-text
+    * blocks. One projection per row — zero shuffle, scan speed,
+    * composes with [[extractText]]'s pushdown-friendly shape. */
+  def dropBoilerplate(html: Column, minWords: Int = 5,
+                      maxLinkDensity: Double = 0.4): Column = {
+    val noHidden = regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?(</script>|$)", " "),
+      "(?is)<style\\b[^>]*>.*?(</style>|$)", " "),
+      "(?s)<!--.*?(-->|$)", " ")
+    val blocks = split(noHidden, BlockTagRe)
+    val nonEmpty = filter(blocks, b => length(blockText(b)) > 0)
+    def keep(b: Column): Column =
+      size(TextAnalysis.tokens(blockText(b))) >= minWords &&
+        linkChars(b).cast("double") <=
+          lit(maxLinkDensity) * length(blockText(b)).cast("double")
+    val kept = filter(nonEmpty, keep(_))
+    when(html.isNotNull, struct(
+      array_join(transform(kept, blockText(_)), " ").as("clean_text"),
+      size(nonEmpty).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept")))
+  }
+
   /** The whole extraction as one projection:
     * (id, title, text, links, n_links). */
   def extractAll(df: org.apache.spark.sql.DataFrame, idCol: String,

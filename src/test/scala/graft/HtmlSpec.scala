@@ -42,6 +42,52 @@ class HtmlSpec extends SparkSpec {
     assert(d.getSeq[String](3) == Seq("/real"), d.getSeq[String](3))
   }
 
+  private def boiler(html: String) =
+    Seq((1L, html)).toDF("doc_id", "html")
+      .select(Html.dropBoilerplate(org.apache.spark.sql.functions
+        .col("html")).as("p"))
+      .select("p.clean_text", "p.n_blocks", "p.n_kept").head()
+
+  test("dropBoilerplate: nav and link rows drop on density, short " +
+       "blocks on word count, content survives") {
+    val r = boiler(
+      """<html><body>
+        <nav><a href="/">Home page</a> <a href="/a">About the site</a>
+        <a href="/c">Contact and imprint</a></nav>
+        <p>This article body has plenty of genuine prose words to keep
+        around for training purposes.</p>
+        <div>Copyright 2026 Corp</div>
+        <p>Read more: <a href="/n">the next related article in the
+        series</a></p></body></html>""")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 1L,
+      s"blocks=${r.getLong(1)} kept=${r.getLong(2)}: ${r.getString(0)}")
+    assert(r.getString(0).startsWith("This article body has plenty"))
+    assert(!r.getString(0).contains("Home page") &&
+      !r.getString(0).contains("Copyright") &&
+      !r.getString(0).contains("Read more"))
+  }
+
+  test("dropBoilerplate: density boundary is inclusive; a mostly-prose " +
+       "block with one short link is kept") {
+    val r = boiler("<p>a genuine paragraph of useful words with " +
+      """<a href="/x">one link</a> inside it that should stay</p>""")
+    assert(r.getLong(2) == 1L && r.getString(0).contains("one link"))
+  }
+
+  test("dropBoilerplate: unclosed anchor fails OPEN (prose is never " +
+       "deleted on a parse ambiguity); script blocks never count as " +
+       "blocks") {
+    val r = boiler("""<script>var x = 1;</script><p>five or more real
+      words here <a href="/x">with an unterminated anchor</p>""")
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getString(0).contains("unterminated anchor"))
+    // null html → null struct
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "html")
+      .select(Html.dropBoilerplate(org.apache.spark.sql.functions
+        .col("html")).as("p")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("null html stays null; unclosed <script> fails closed (swallows " +
        "to end of document, never leaks script text)") {
     val n = Html.extractAll(

@@ -1723,6 +1723,17 @@ object SparkEntry {
         (graft.text.TextAnalysis.langId(synth) === "zh").as("cjk_detected"))
     }),
 
+    // n-gram LM generalization at n=3 (CCNet's real filter is a
+    // 5-gram KenLM; the count-table/scoring-join shape must carry any
+    // order): self-trained trigram LM with add-one smoothing over
+    // bigram contexts and the distinct-unigram vocabulary — the
+    // oracle recomputes the whole model from gram STRINGS in DuckDB
+    // while the engine carries only 64-bit hash keys. Full row/hash
+    // gate (6-digit rounded scores).
+    "q116_trigram_lm" -> ((s, d) =>
+      graft.text.LangModel.ngramScore(
+        T(s, d, "documents").df, "doc_id", "text", n = 3)),
+
     // CCNet perplexity bucketing: per-language head/middle/tail split
     // by bigram-LM score — ntile over (ROUNDED avg_nll, doc_id) so the
     // split is exactly reproducible cross-engine; unscoreable docs
@@ -2796,6 +2807,46 @@ object SparkEntry {
                 regexp_matches(substr(t, 1, 4096), '[\x{4e00}-\x{9fff}]')
                   AS cjk_detected
          FROM tok""",
+    // the trigram analog of lmRecomputeCtes: gram-string counts,
+    // bigram-context counts at all positions, distinct-unigram V,
+    // -ln((c123+1)/(c12+V)) averaged per doc — value-identical to the
+    // engine's hash-keyed form absent a 64-bit collision
+    "q116_trigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> length(t) > 0) AS t
+           FROM documents),
+         v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsize
+               FROM (SELECT unnest(t) AS tok FROM toks)),
+         ctxs AS (
+           SELECT doc_id,
+                  unnest([array_to_string(t[i:i+1], ' ')
+                          for i in range(1, len(t))]) AS ctx
+           FROM toks WHERE len(t) >= 2),
+         ccnt AS (SELECT ctx, CAST(count(*) AS DOUBLE) AS c12
+                  FROM ctxs GROUP BY 1),
+         tri AS (
+           SELECT doc_id,
+                  unnest([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]) AS gram
+           FROM toks WHERE len(t) >= 3),
+         tcnt AS (SELECT gram, CAST(count(*) AS DOUBLE) AS c123
+                  FROM tri GROUP BY 1),
+         inst AS (
+           SELECT tr.doc_id,
+                  -ln((tc.c123 + 1) / (cc.c12 + v.vsize)) AS nll
+           FROM tri tr JOIN tcnt tc USING (gram)
+                JOIN ccnt cc ON cc.ctx = array_to_string(
+                  string_split(tr.gram, ' ')[1:2], ' ')
+                CROSS JOIN v),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                       round(avg(nll), 6) AS avg_nll
+                FROM inst GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(sc.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+                sc.avg_nll
+         FROM documents d LEFT JOIN sc USING (doc_id)""",
     // q92's LM recompute + the ntile split over (rounded avg_nll,
     // doc_id) per lang — identical ordering keys on both sides
     "q110_ppl_buckets" ->

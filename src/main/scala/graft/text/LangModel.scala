@@ -38,55 +38,98 @@ object LangModel {
     zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
       (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("gram")))
 
-  /** Per-doc bigram-LM score. `train` defaults to `docs` itself (the
-    * self-perplexity recipe); pass a reference corpus to score against a
-    * fixed LM. Output: (doc_id, n_bigrams, avg_nll) — docs with < 2
-    * tokens get n_bigrams = 0 and a null score.
-    *
-    * Both count tables and both scoring joins carry 64-BIT HASHES of
-    * the unigram/bigram (hashed in-row before any exchange) — the
-    * dsirWeights discipline below: the gram is only a count/join key.
-    * Local A/B at 10× bench data reads a modest ~1.05× (unigrams are
-    * short, so CPU-bound local runs barely notice) — the reason to
-    * hash is SHUFFLE BYTES (8 per key vs the string), the term that
-    * matters on IO-bound cluster storage. Two grams colliding in
-    * 64-bit space is the standing accepted caveat (the oracle compares
-    * values, which agree absent a collision). */
+  /** Per-doc bigram-LM score — [[ngramScore]] at n = 2 with the
+    * historical column name. Output: (doc_id, n_bigrams, avg_nll) —
+    * docs with < 2 tokens get n_bigrams = 0 and a null score. */
   def bigramScore(docs: DataFrame, idCol: String, textCol: String,
                   train: Option[DataFrame] = None,
-                  trainTextCol: String = "text"): DataFrame = {
-    val trainToks = train.getOrElse(docs)
-      .select(toks(train.map(_ => trainTextCol).getOrElse(textCol)).as("t"))
+                  trainTextCol: String = "text"): DataFrame =
+    ngramScore(docs, idCol, textCol, 2, train, trainTextCol)
+      .withColumnRenamed("n_grams", "n_bigrams")
 
-    val uni = trainToks.select(explode(col("t")).as("w1"))
-      .groupBy(xxhash64(col("w1")).as("h1"))
-      .agg(count(lit(1)).cast(DoubleType).as("c1"))
-    val big = trainToks.filter(size(col("t")) >= 2)
-      .select(explode(bigrams(col("t"))).as("b"))
-      .groupBy(xxhash64(col("b.gram")).as("hg"))
+  /** All (n-1)-gram context hashes of token-hash array `th` (ALL
+    * positions, including the document-final ones that never head a
+    * full n-gram — the context count is an occurrence count, exactly
+    * the unigram table of the bigram model generalized). */
+  private def contextHashes(th: org.apache.spark.sql.Column, n: Int) =
+    when(size(th) >= n - 1,
+      transform(sequence(lit(1), size(th) - (n - 2)), i =>
+        xxhash64((0 until n - 1).map(j => element_at(th, i + lit(j))): _*)))
+      .otherwise(array().cast(ArrayType(LongType)))
+
+  /** (context hash, gram hash) for each n-gram position of `th`. */
+  private def gramHashes(th: org.apache.spark.sql.Column, n: Int) =
+    transform(sequence(lit(1), size(th) - (n - 1)), i =>
+      struct(
+        xxhash64((0 until n - 1).map(j =>
+          element_at(th, i + lit(j))): _*).as("ctx"),
+        xxhash64((0 until n).map(j =>
+          element_at(th, i + lit(j))): _*).as("g")))
+
+  /** Per-doc n-gram-LM score under add-one smoothing — the CCNet
+    * recipe generalized from the bigram form to configurable n (the
+    * real CCNet filter is a 5-gram KenLM):
+    *
+    *   nll(w1…wn) = -ln( (C(w1…wn) + 1) / (C(w1…wn-1) + V) )
+    *
+    * with V = the distinct UNIGRAM vocabulary (the classic add-one
+    * denominator at every order) and context counts over all
+    * (n-1)-gram occurrences. `train` defaults to `docs` itself; pass
+    * a reference corpus to score under a fixed LM (unknown grams
+    * smooth to count 0). Output: (doc_id, n_grams, avg_nll); docs
+    * with < n tokens get n_grams = 0 and a null score.
+    *
+    * Scale shape, unchanged from the bigram form: tokens are hashed
+    * IN-ROW and grams travel as xxhash64 over n token hashes (the
+    * repeatedNgramStats hash-of-hashes discipline) — both count
+    * shuffles and both scoring joins carry 8-byte keys at ANY n,
+    * where a 5-gram STRING key would be ~5× a unigram. V is a 1-row
+    * broadcast. Two grams colliding in 64-bit space is the standing
+    * accepted caveat. */
+  def ngramScore(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int,
+                 train: Option[DataFrame] = None,
+                 trainTextCol: String = "text"): DataFrame = {
+    require(n >= 2, s"ngramScore needs n >= 2 (got $n)")
+    val trainToks = train.getOrElse(docs)
+      .select(transform(
+        toks(train.map(_ => trainTextCol).getOrElse(textCol)),
+        t => xxhash64(t)).as("th"))
+
+    val ctx = trainToks.select(explode(contextHashes(col("th"), n)).as("ctx"))
+      .groupBy("ctx").agg(count(lit(1)).cast(DoubleType).as("c1"))
+    val grams = trainToks.filter(size(col("th")) >= n)
+      .select(explode(gramHashes(col("th"), n)).as("b"))
+      .groupBy(col("b.g").as("g"))
       .agg(count(lit(1)).cast(DoubleType).as("c12"))
-    val vsize = uni.agg(count(lit(1)).cast(DoubleType).as("vsize"))
+    // V = distinct unigrams at every order. At n = 2 the context table
+    // IS the unigram table, so its row count is free; higher orders
+    // pay one count_distinct over the token stream (partial-agg'd).
+    val vsize =
+      if (n == 2) ctx.agg(count(lit(1)).cast(DoubleType).as("vsize"))
+      else trainToks.select(explode(col("th")).as("h"))
+        .agg(count_distinct(col("h")).cast(DoubleType).as("vsize"))
 
     val inst = docs
-      .select(col(idCol).as("doc_id"), toks(textCol).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(bigrams(col("t"))).as("b"))
-      .select(col("doc_id"), xxhash64(col("b.w1")).as("h1"),
-        xxhash64(col("b.gram")).as("hg"))
+      .select(col(idCol).as("doc_id"),
+        transform(toks(textCol), t => xxhash64(t)).as("th"))
+      .filter(size(col("th")) >= n)
+      .select(col("doc_id"), explode(gramHashes(col("th"), n)).as("b"))
+      .select(col("doc_id"), col("b.ctx").as("ctx"), col("b.g").as("g"))
 
     val scored = inst
-      .join(big, Seq("hg"), "left")
-      .join(uni, Seq("h1"), "left")
+      .join(grams, Seq("g"), "left")
+      .join(ctx, Seq("ctx"), "left")
       .crossJoin(broadcast(vsize))
       .withColumn("nll", -log(
         (coalesce(col("c12"), lit(0.0)) + 1.0) /
           (coalesce(col("c1"), lit(0.0)) + col("vsize"))))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 6).as("avg_nll"))
+      .agg(count(lit(1)).as("n_grams"), round(avg(col("nll")), 6).as("avg_nll"))
 
     docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"), col("avg_nll"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:

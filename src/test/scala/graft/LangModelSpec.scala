@@ -43,6 +43,39 @@ class LangModelSpec extends SparkSpec {
   private def docs = Seq(
     (0L, "a b a b"), (1L, "a b"), (2L, "c"), (3L, "")).toDF("doc_id", "text")
 
+  test("ngramScore at n=3: hand-computed trigram add-1 scores; n=2 " +
+       "equals bigramScore value-for-value") {
+    val d3 = Seq(
+      (0L, "a b c a b c"), (1L, "a b c"), (2L, "x y"), (3L, ""))
+      .toDF("doc_id", "text")
+    // unigrams: a=3 b=3 c=3 x=1 y=1 → V=5
+    // bigram contexts (all positions): "a b"=3, "b c"=3, "c a"=1, "x y"=1
+    // trigrams: "a b c"=3, "b c a"=1, "c a b"=1
+    val nABC = -math.log(4.0 / 8.0)  // (3+1)/(C("a b")=3 + 5)
+    val nBCA = -math.log(2.0 / 8.0)  // (1+1)/(C("b c")=3 + 5)
+    val nCAB = -math.log(2.0 / 6.0)  // (1+1)/(C("c a")=1 + 5)
+    val out = graft.text.LangModel.ngramScore(d3, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4L)
+    assert(math.abs(out(0).getDouble(2) -
+      math.rint((nABC * 2 + nBCA + nCAB) / 4 * 1e6) / 1e6) < 1e-9)
+    assert(out(1).getLong(1) == 1L &&
+      math.abs(out(1).getDouble(2) - math.rint(nABC * 1e6) / 1e6) < 1e-9)
+    // < 3 tokens → 0 grams, null score
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(2))
+    assert(out(3).getLong(1) == 0L && out(3).isNullAt(2))
+    // n=2 through the generic path == the historical bigramScore
+    val a = graft.text.LangModel.bigramScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    val b = graft.text.LangModel.ngramScore(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("bigram nll: hand-computed add-1 scores, self-trained") {
     val out = graft.text.LangModel.bigramScore(docs, "doc_id", "text")
       .orderBy("doc_id").collect()

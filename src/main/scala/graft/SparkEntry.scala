@@ -1554,6 +1554,49 @@ object SparkEntry {
           lit(aucOk).as("auc_ok"), col("sep_ok"))
     }),
 
+    // Classifier persistence + threshold calibration (the production
+    // loop: train once, persist, score any later batch against the
+    // saved weights, keep the top targetKeepRate): weights round-trip
+    // through a catalog table bit-exactly, reloaded-weight scores
+    // equal in-session scores doc-for-doc, and the calibrated
+    // threshold is the EXACT k-th largest score (score >= t keeps
+    // >= k docs, score > t keeps < k — the tie-robust definition).
+    // Verdicts (q44 pattern) + the DuckDB doc-count anchor.
+    "q117_classifier_persist" -> ((s, d) => {
+      val docs = T(s, d, "documents").df.select(col("doc_id"), col("text"))
+      val labeled = docs.select(col("doc_id"),
+        concat(col("text"), when(pmod(col("doc_id"), lit(2)) === 0,
+          lit(" qmark1 qmark2 qmark3")).otherwise(lit(" junk1 junk2")))
+          .as("text"),
+        (pmod(col("doc_id"), lit(2)) === 0).cast(IntegerType).as("label"))
+      val k = 1 << 12
+      val feats = graft.GraftSession.trackPersist(
+        graft.ml.QualityClassifier.featurize(labeled, "doc_id", "text", k))
+      val w = graft.ml.QualityClassifier.train(
+        feats, labeled.filter(pmod(col("doc_id"), lit(4)) < 2),
+        "doc_id", "label", k)
+      graft.ml.QualityClassifier.saveWeights(s, w, "q117_weights")
+      val w2 = graft.ml.QualityClassifier.loadWeights(s, "q117_weights")
+      val roundtripOk = w.length == w2.length &&
+        w.indices.forall(i => w(i) == w2(i))
+      val scored = graft.GraftSession.trackPersist(
+        graft.ml.QualityClassifier.score(feats, w2))
+      val n = scored.count()
+      val t = graft.ml.QualityClassifier.calibrateThreshold(scored, 0.5)
+      val kExp = math.max(1L, math.ceil(0.5 * n).toLong)
+      val calibOk =
+        scored.filter(col("quality_score") >= t).count() >= kExp &&
+          scored.filter(col("quality_score") > t).count() < kExp
+      val nDiff = graft.ml.QualityClassifier.score(feats, w)
+        .withColumnRenamed("quality_score", "s1")
+        .join(scored, "doc_id")
+        .filter(col("s1") =!= col("quality_score")).count()
+      docs.agg(count(lit(1)).as("n_docs"))
+        .select(col("n_docs"), lit(roundtripOk).as("roundtrip_ok"),
+          lit(nDiff == 0L).as("score_equal"),
+          lit(calibOk).as("calib_exact"))
+    }),
+
     // WARC ingestion (ISO 28500 — CommonCrawl's shard format): the
     // corpus is rendered into gzipped WARC shards once per (session,
     // sf dir) — one file per partition, the production grain — then
@@ -2675,6 +2718,13 @@ object SparkEntry {
                 CAST(count(*) FILTER (WHERE doc_id % 4 >= 2) AS BIGINT)
                   AS n_test,
                 true AS auc_ok, true AS sep_ok
+         FROM documents""",
+    // persistence/calibration verdicts are engine-side invariants
+    // (weight round-trip, score equality, exact-k threshold); DuckDB
+    // re-counts the corpus anchor (q44 pattern)
+    "q117_classifier_persist" ->
+      """SELECT count(*) AS n_docs, true AS roundtrip_ok,
+                true AS score_equal, true AS calib_exact
          FROM documents""",
     // WARC parsing is not SQL-expressible (binary container format):
     // DuckDB re-counts the anchor, Spark pins the verdicts (q44)

@@ -114,6 +114,58 @@ object QualityClassifier {
       sc(col("bins"), col("vals")).as("quality_score"))
   }
 
+  // -------------------------------------------------------------------
+  // Persistence + calibration — a trained filter is an epoch artifact
+  // like a BPE vocabulary or a dedup index: train once, persist, then
+  // every later job (or session) scores against the saved weights and
+  // a threshold calibrated to a target keep rate.
+
+  /** Persist weights as `<name>` (idx, w) — one self-describing table
+    * (the [[graft.text.Bpe.saveVocab]] pattern); index numBins is the
+    * bias. */
+  def saveWeights(spark: org.apache.spark.sql.SparkSession,
+                  weights: Array[Double], name: String): Unit = {
+    import spark.implicits._
+    weights.toSeq.zipWithIndex.map { case (w, i) => (i, w) }
+      .toDF("idx", "w")
+      .write.mode("overwrite").saveAsTable(name)
+  }
+
+  /** Reload [[saveWeights]] output (bounded collect — the model is
+    * numBins + 1 doubles, never corpus-sized). */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession,
+                  name: String): Array[Double] = {
+    val rows = spark.table(name).orderBy(col("idx")).collect()
+    require(rows.nonEmpty, s"quality classifier: weight table $name is empty")
+    rows.map(_.getDouble(1))
+  }
+
+  /** The score threshold that keeps `targetKeepRate` of `scored`:
+    * the exact k-th LARGEST quality_score with k = ceil(rate × n), so
+    * `score >= t` keeps at least k docs and `score > t` keeps fewer
+    * than k (ties land on the keep side — the conventional inclusive
+    * percentile). EXACT, not approx: production mixtures are specified
+    * as hard byte/doc budgets, and approxQuantile's error bound is a
+    * silent corpus-size drift. Distributed selection shape: one
+    * range-partitioned sort of the (8-byte) score column +
+    * zipWithIndex, then a 1-row lookup — no global single-partition
+    * window, no driver-side score array. */
+  def calibrateThreshold(scored: DataFrame,
+                         targetKeepRate: Double): Double = {
+    require(targetKeepRate > 0 && targetKeepRate <= 1,
+      s"targetKeepRate must be in (0, 1] (got $targetKeepRate)")
+    val rdd = scored.select(col("quality_score").cast(DoubleType)).rdd
+      .map(_.getDouble(0))
+    val n = rdd.count()
+    require(n > 0, "calibrateThreshold: no scored rows")
+    val k = math.max(1L, math.ceil(targetKeepRate * n).toLong)
+    val hit = rdd.sortBy(s => -s).zipWithIndex()
+      .filter(_._2 == k - 1).map(_._1).collect()
+    require(hit.length == 1,
+      s"calibrateThreshold: rank ${k - 1} lookup returned ${hit.length} rows")
+    hit(0)
+  }
+
   /** AUC by rank-sum (exact Mann-Whitney over the scored frame) — the
     * verdict a classifier gate needs. Ties get average ranks.
     * EVAL MACHINERY, not a production path: the global rank is one

@@ -72,6 +72,46 @@ class QualityClassifierSpec extends SparkSpec {
     assert(e.getMessage.contains("both classes"))
   }
 
+  test("weights round-trip bit-exactly through save/load; reloaded " +
+       "scores equal in-session scores") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "alpha zeta"), (4L, "eta theta iota"))
+      .toDF("doc_id", "text")
+    val labels = Seq((1L, 1), (2L, 0), (3L, 1), (4L, 0))
+      .toDF("doc_id", "label")
+    val feats = QualityClassifier.featurize(docs, "doc_id", "text", K)
+    val w = QualityClassifier.train(feats, labels, "doc_id", "label", K,
+      iters = 5)
+    QualityClassifier.saveWeights(spark, w, "qcspec_weights")
+    val w2 = QualityClassifier.loadWeights(spark, "qcspec_weights")
+    assert(w.length == w2.length && w.indices.forall(i => w(i) == w2(i)))
+    val a = QualityClassifier.score(feats, w)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = QualityClassifier.score(feats, w2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a == b)
+  }
+
+  test("calibrateThreshold: exact k-th largest score, ties land on " +
+       "the keep side; degenerate rates fail loudly") {
+    // scores 0.9, 0.7, 0.7, 0.5, 0.1 — rate 0.4 → k=2 → t = 0.7;
+    // >= t keeps 3 (the tie), > t keeps 1 (< k) — the exact-k contract
+    val scored = Seq((1L, 0.9), (2L, 0.7), (3L, 0.7), (4L, 0.5),
+      (5L, 0.1)).toDF("doc_id", "quality_score")
+    assert(QualityClassifier.calibrateThreshold(scored, 0.4) == 0.7)
+    assert(QualityClassifier.calibrateThreshold(scored, 1.0) == 0.1)
+    assert(QualityClassifier.calibrateThreshold(scored, 0.01) == 0.9)
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.calibrateThreshold(scored, 0.0)
+    }
+    assert(e.getMessage.contains("targetKeepRate"))
+    val e2 = intercept[IllegalArgumentException] {
+      QualityClassifier.calibrateThreshold(
+        Seq.empty[(Long, Double)].toDF("doc_id", "quality_score"), 0.5)
+    }
+    assert(e2.getMessage.contains("no scored rows"))
+  }
+
   test("degenerate inputs fail loudly: no labeled rows") {
     val empty = QualityClassifier.featurize(
       Seq.empty[(Long, String)].toDF("doc_id", "text"),

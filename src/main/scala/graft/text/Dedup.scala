@@ -965,4 +965,50 @@ object Dedup {
         (size(col("__t")) - size(col("__kept"))).cast(LongType)
           .as("removed_tokens"))
   }
+
+  // ------------------------------------------------------------------
+  // Front door
+
+  /** The standard document-level fuzzy-dedup pipeline as ONE call —
+    * the chain a pretraining corpus runs, with the measured default
+    * knobs from the gates (q109/q41/q43/q103):
+    *
+    *  1. URL canonicalization (when `urlCol` is given): two spellings
+    *     of one page collide on [[Urls.normalize]]; the smallest id
+    *     per canonical URL survives (null-URL docs always survive this
+    *     stage — no URL is not a duplicate signal);
+    *  2. exact dedup — one content-digest shuffle, min id kept;
+    *  3. MinHash near-dup drop — in-row hashed word 3-grams, 64
+    *     hashes × 16 bands, exact-Jaccard verify at `minhashThreshold`,
+    *     connected components, cluster-min kept;
+    *  4. repeated-span removal — corpus-repeated runs of
+    *     `minSpanTokens`+ tokens cut from non-canonical occurrences.
+    *
+    * Pure composition of the individually gate-verified stages; each
+    * stage only ever REMOVES rows (or tokens). Output:
+    * (idCol, clean_text, removed_tokens) — join other columns back by
+    * id. Every stage's scale shape is documented at its definition;
+    * nothing here adds a shuffle beyond the stages themselves. */
+  def standardPipeline(docs: DataFrame, idCol: String, textCol: String,
+                       urlCol: Option[String] = None,
+                       minhashThreshold: Double = 0.8,
+                       minSpanTokens: Int = 5): DataFrame = {
+    val urlDeduped = urlCol match {
+      case Some(u) =>
+        // unique sentinel key per null-URL doc: grouping nulls together
+        // would collapse every URL-less doc into one survivor
+        val key = coalesce(Urls.normalize(col(u)),
+          concat(lit(" nourl:"), col(idCol).cast("string")))
+        val withKey = docs.withColumn("__ukey", key)
+        val keepIds = withKey.groupBy(col("__ukey"))
+          .agg(min(col(idCol)).as(idCol)).select(idCol)
+        withKey.join(keepIds, Seq(idCol), "left_semi").drop("__ukey")
+      case None => docs
+    }
+    val exact = dropExactDups(urlDeduped, textCol, idCol)
+    val pairs = minhashNearDupsByWords(exact, idCol, textCol,
+      n = 3, numHashes = 64, numBands = 16, threshold = minhashThreshold)
+    val nearDeduped = dropNearDups(exact, pairs, idCol)
+    dropRepeatedSpans(nearDeduped, idCol, textCol, minSpanTokens)
+  }
 }

@@ -43,7 +43,47 @@ object DumpPlans {
       "q105_dedup_index" -> "incremental dedup: batch ingest filter against the persisted bucketed index — index-side joins read exchange-free on their bucketing keys (digest / band,bucket / id), only the batch shuffles",
       "q106_bpe" -> "BPE: ONE word-histogram shuffle (partial count below the exchange) trains on the driver; encode is a shuffle-free projection (memoized udf) feeding two single-row aggregates",
       "q107_mixture" -> "mixture resampling: one hash-partitioned window per stratum (rank over the in-row LCG mix), codegen CASE quota filter — no global sort",
-      "q110_ppl_buckets" -> "perplexity buckets: the q92 LM shape (gram-hash partial-agg counts, broadcast vocab size) + one per-language ntile window over the rounded score")
+      "q110_ppl_buckets" -> "perplexity buckets: the q92 LM shape (gram-hash partial-agg counts, broadcast vocab size) + one per-language ntile window over the rounded score",
+      "q111_warc" -> "WARC ingest: ONE task per shard file (binaryFiles — gzip members are not splittable; a 100 TB crawl is ~100k shards of file-level parallelism), records streamed off the shard, verify joins on the extracted id",
+      "q113_warc_http" -> "WARC + HTTP envelope strip: the same file-grain scan; stripHttp and the body HTML extraction are shuffle-free projections (binary-decode UDF + codegen regex) — the whole crawl front end runs at scan speed",
+      "q114_script_tokens" -> "script-aware tokens: zero-shuffle pure-Column projection (two boundary-insertion regexes + the whitespace split), single pruned scan",
+      "q115_boilerplate" -> "boilerplate removal: zero-shuffle regex+HOF projection — block split, per-block density scoring, rejoin, all in one stage",
+      "q116_trigram_lm" -> "trigram LM: the q92 shape at n=3 — context/gram keys are xxhash64 over token hashes, so the count shuffles and scoring joins stay at 8 bytes/key at ANY order")
+
+    // Shapes that a physical-plan dump can NOT show: driver-coordinated
+    // iteration (q112's training loop) and RDD-level selection (q117's
+    // calibration). Pinned here as prose next to the dumps they relate
+    // to — the claims PlanSpec/HardeningSpec assert behaviorally.
+    val prose = Seq(
+      "q112_quality_classifier (training loop — the one non-Catalyst iteration in the repo)" ->
+        """The gradient-descent loop is driver-COORDINATED but never
+          |driver-RESIDENT:
+          | - features are built once (one explode + two-level count
+          |   aggregation; the shuffle carries (id, bin) pairs and a
+          |   count, never text) and PERSISTED — each of the 30 steps is
+          |   one map+reduce pass over that cached frame, re-reading no
+          |   parquet;
+          | - each step broadcasts the weight vector (numBins+1 = 4097
+          |   doubles, ~32 KB) and treeAggregates the gradient — the
+          |   driver holds exactly two such vectors at any moment, no
+          |   per-row data ever collects;
+          | - scoring is a shuffle-free projection over the same feature
+          |   rows (closure-captured weights).
+          |At 1000 executors the per-step cost is one pass over the
+          |cached features + a tree reduction of 32 KB vectors — the
+          |textbook distributed-GD shape. AUC is eval machinery (one
+          |bounded global window), never a production path.""".stripMargin,
+      "q117_classifier_persist (calibration — exact k-th statistic without a global window)" ->
+        """calibrateThreshold needs the exact k-th largest score (a keep
+          |rate is a hard corpus budget — approxQuantile's error bound
+          |would be a silent size drift). Shape: project the 8-byte
+          |score column, RANGE-partitioned sortBy (a distributed total
+          |sort, the same primitive ORDER BY uses), zipWithIndex (one
+          |count pass per partition), filter rank k-1, collect ONE row.
+          |No single-partition window, no driver-side score array —
+          |the driver receives exactly one double. Weight save/load is
+          |a numBins+1-row catalog table (bounded by model size, never
+          |corpus size).""".stripMargin)
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.DumpPlans`; properties asserted " +
@@ -61,6 +101,9 @@ object DumpPlans {
         .replaceAll("(In\\([\\w.]+, \\[[^\\]\\n]{60})[^\\]\\n]*", "$1 …<keys elided>")
       sb.append(txt.take(4000))
       sb.append("\n```\n")
+    }
+    prose.foreach { case (title, body) =>
+      sb.append(s"\n## $title\n\n$body\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("wrote PLANS.md")

@@ -90,6 +90,41 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L) == 0L && got(2L) == 0L)
   }
 
+  test("standardPipeline: URL-variant, exact, near-dup, and shared " +
+       "spans each die at their stage in one call") {
+    val shared = "the shared boilerplate passage repeats here verbatim"
+    val df = Seq(
+      (1L, "completely original article body with its own words",
+        "https://Ex.com:443/a?utm_source=x"),
+      (2L, "completely original article body with its own words",
+        "https://ex.com/a"),                      // url variant of 1
+      (3L, "completely original article body with its own words",
+        "https://ex.com/b"),                      // exact dup of 1
+      (4L, "completely original article body with its own word",
+        "https://ex.com/c"),                      // near dup of 1
+      (5L, s"first unique intro then $shared", "https://ex.com/d"),
+      (6L, s"second unique intro too $shared", null.asInstanceOf[String]),
+      (7L, "another standalone doc with nothing shared anywhere at all",
+        null.asInstanceOf[String])                // null URL survives
+    ).toDF("doc_id", "text", "url")
+    val out = Dedup.standardPipeline(df, "doc_id", "text",
+        urlCol = Some("url"), minhashThreshold = 0.5, minSpanTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // 2 dies on URL; 3 exact; 4 near; 5/6 both survive but the later
+    // occurrence of the shared span is cut; 7's null URL is no signal
+    assert(out.map(_._1) == Seq(1L, 5L, 6L, 7L), out.toString)
+    val m = out.map(t => t._1 -> t).toMap
+    assert(m(5L)._2.contains(shared) && m(5L)._3 == 0L)
+    assert(!m(6L)._2.contains("boilerplate") && m(6L)._3 == 7L,
+      m(6L).toString)
+    assert(m(7L)._3 == 0L)
+    // and over the real corpus: one call runs, only ever removes
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    val n = Dedup.standardPipeline(docs, "doc_id", "text").count()
+    assert(n > 0 && n <= docs.count())
+  }
+
   test("end-to-end curation pipeline: gopher filter → exact dedup → " +
        "near-dup drop → decontaminate → DSIR weight → token-budget pack") {
     // the composition a real corpus run executes, over the sf0.01

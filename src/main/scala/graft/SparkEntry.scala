@@ -1572,9 +1572,12 @@ object SparkEntry {
       val k = 1 << 12
       val feats = graft.GraftSession.trackPersist(
         graft.ml.QualityClassifier.featurize(labeled, "doc_id", "text", k))
+      // iters=8: the persistence/calibration verdicts don't depend on
+      // classifier CONVERGENCE (q112 gates that) — any weight vector
+      // must round-trip and calibrate exactly
       val w = graft.ml.QualityClassifier.train(
         feats, labeled.filter(pmod(col("doc_id"), lit(4)) < 2),
-        "doc_id", "label", k)
+        "doc_id", "label", k, iters = 8)
       graft.ml.QualityClassifier.saveWeights(s, w, "q117_weights")
       val w2 = graft.ml.QualityClassifier.loadWeights(s, "q117_weights")
       val roundtripOk = w.length == w2.length &&

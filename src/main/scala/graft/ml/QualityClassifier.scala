@@ -122,10 +122,18 @@ object QualityClassifier {
 
   /** Persist weights as `<name>` (idx, w) — one self-describing table
     * (the [[graft.text.Bpe.saveVocab]] pattern); index numBins is the
-    * bias. */
+    * bias. Clears a stale orphaned warehouse location first (the
+    * [[graft.text.DedupIndex]] rule: an in-memory catalog forgets
+    * tables across sessions while their directories survive, and a
+    * retrain must overwrite, not die on LOCATION_ALREADY_EXISTS). */
   def saveWeights(spark: org.apache.spark.sql.SparkSession,
                   weights: Array[Double], name: String): Unit = {
     import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
     weights.toSeq.zipWithIndex.map { case (w, i) => (i, w) }
       .toDF("idx", "w")
       .write.mode("overwrite").saveAsTable(name)

@@ -2768,11 +2768,11 @@ object SparkEntry {
          FROM strip""",
     // mirrors Html.dropBoilerplate verbatim in DuckDB list lambdas:
     // same hidden-block removal, same (?:non-capturing) block-tag
-    // split, same per-block text/link-char extraction, same
-    // minWords=5 / maxLinkDensity=0.4 rule. The synthesized pages are
-    // Latin-only and entity-free, so the mirror's plain whitespace
-    // word count and skipped entity-decode are value-identical to the
-    // engine's script-aware/decoding forms
+    // split, same per-block text extraction INCLUDING the entity
+    // decode chain (&amp; last) and the script-aware word count —
+    // a byte-for-byte mirror with NO assumptions about the corpus's
+    // character set (an entity or CJK codepoint in a future corpus
+    // evaluates identically on both sides)
     "q115_boilerplate" ->
       """WITH synth AS (
            SELECT doc_id,
@@ -2799,22 +2799,34 @@ object SparkEntry {
                     string_split_regex(h,
                       '(?i)</?(?:p|div|section|article|main|td|th|tr|li|ul|ol|table|h1|h2|h3|h4|h5|h6|header|footer|nav|aside|blockquote|br|hr|body|html|head|title|form|figure|figcaption|dl|dt|dd|pre)\b[^>]*>'),
                     b -> struct_pack(
-                      t := trim(regexp_replace(regexp_replace(b,
-                        '<[^>]+>', ' ', 'g'),
+                      t := trim(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(
+                          replace(regexp_replace(b, '<[^>]+>', ' ', 'g'),
+                          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                          '&quot;', '"'), '&#39;', ''''),
+                          '&apos;', ''''), '&amp;', '&'),
                         '[ \t\n\f\r\x0B]+', ' ', 'g')),
                       lc := coalesce(list_sum(list_transform(
                         regexp_extract_all(b,
                           '(?is)<a\b[^>]*>(.*?)</a>', 1),
-                        a -> length(trim(regexp_replace(regexp_replace(a,
-                          '<[^>]+>', ' ', 'g'),
+                        a -> length(trim(regexp_replace(
+                          replace(replace(replace(replace(replace(replace(
+                            replace(regexp_replace(a, '<[^>]+>', ' ', 'g'),
+                            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                            '&quot;', '"'), '&#39;', ''''),
+                            '&apos;', ''''), '&amp;', '&'),
                           '[ \t\n\f\r\x0B]+', ' ', 'g'))))), 0))),
                     s -> length(s.t) > 0) AS blocks
            FROM nos),
          k AS (
            SELECT doc_id, blocks,
                   list_filter(blocks, s ->
-                    len(list_filter(string_split_regex(s.t, '\s+'),
-                      x -> length(x) > 0)) >= 5
+                    len(list_filter(string_split_regex(trim(
+                      regexp_replace(regexp_replace(s.t,
+                        '([\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}])',
+                        ' \1 ', 'g'),
+                        '([\x{0e00}-\x{0e7f}]+)', ' \1 ', 'g')),
+                      '\s+'), x -> length(x) > 0)) >= 5
                     AND CAST(s.lc AS DOUBLE) <= 0.4 * length(s.t))
                     AS kept
            FROM bl)

@@ -107,7 +107,7 @@ object Warc {
           } else {
             val i = h.indexOf(':')
             if (i <= 0) fail(s"malformed header line '${h.take(40)}'")
-            lastKey = h.substring(0, i).trim.toLowerCase
+            lastKey = h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
             headers(lastKey) = h.substring(i + 1).trim
           }
           h = readLine()
@@ -239,12 +239,21 @@ object Warc {
     val head = new String(payload, 0, headerEnd,
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val lines = head.split("\r?\n")
-    if (lines.isEmpty || !lines(0).toUpperCase.startsWith("HTTP/"))
+    // Locale.ROOT everywhere: default-locale case folding corrupts
+    // ASCII protocol tokens under tr/az locales (dotless-i), which
+    // would silently skip chunk decoding — the exact silent failure
+    // the fail-loud policy exists to prevent
+    if (lines.isEmpty ||
+        !lines(0).toUpperCase(java.util.Locale.ROOT).startsWith("HTTP/"))
       fail(s"status line is not HTTP/x.y: '${lines.headOption.getOrElse("").take(40)}'")
     val statusParts = lines(0).split("\\s+", 3)
-    if (statusParts.length < 2 || !statusParts(1).forall(_.isDigit))
-      fail(s"malformed status line '${lines(0).take(40)}'")
-    val status = statusParts(1).toInt
+    // ASCII-digit + toIntOption: Character.isDigit accepts Unicode
+    // digits and an over-long run would throw a bare, un-tagged
+    // NumberFormatException from toInt
+    val status = statusParts.lift(1)
+      .filter(s => s.nonEmpty && s.forall(c => c >= '0' && c <= '9'))
+      .flatMap(_.toIntOption)
+      .getOrElse(fail(s"malformed status line '${lines(0).take(40)}'"))
     // headers, with ISO folding (leading whitespace = continuation)
     val hdrs = scala.collection.mutable.Map.empty[String, String]
     var lastKey: String = null
@@ -257,7 +266,7 @@ object Warc {
         } else {
           val c = h.indexOf(':')
           if (c > 0) {
-            lastKey = h.substring(0, c).trim.toLowerCase
+            lastKey = h.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
             hdrs(lastKey) = h.substring(c + 1).trim
           } // a colon-less garbage header line is skipped, not fatal —
             // real crawls contain them and the body boundary is already
@@ -268,7 +277,8 @@ object Warc {
     }
     val raw = java.util.Arrays.copyOfRange(payload, bodyAt, payload.length)
     val chunked = hdrs.get("transfer-encoding")
-      .exists(_.toLowerCase.split(",").map(_.trim).contains("chunked"))
+      .exists(_.toLowerCase(java.util.Locale.ROOT).split(",")
+        .map(_.trim).contains("chunked"))
     val body = if (chunked) decodeChunked(raw, fail) else raw
     HttpParts(Some(status), hdrs.get("content-type"), body)
   }

@@ -189,11 +189,29 @@ object Bpe {
 
   /** Pair → rank lookup, built ONCE per encoder closure (first rank
     * wins — trained merge lists never repeat a pair, this is a
-    * belt-and-braces tie rule). */
+    * belt-and-braces tie rule). VALIDATES the training invariant the
+    * min-rank encoder's equivalence proof rests on: every pair side
+    * must be a single code point or the result of an EARLIER merge.
+    * Trained lists always satisfy it; a hand-built/imported list that
+    * violates it would encode differently under min-rank vs rank-order
+    * application — fail loudly instead of silently diverging. */
   private def rankMap(pairs: Array[(String, String)])
       : mutable.HashMap[(String, String), Int] = {
+    val produced = mutable.HashSet.empty[String]
+    var i = 0
+    while (i < pairs.length) {
+      val (l, r) = pairs(i)
+      def ok(s: String) =
+        s.codePointCount(0, s.length) == 1 || produced.contains(s)
+      require(ok(l) && ok(r),
+        s"merge list violates the training invariant at rank $i: " +
+          s"('$l', '$r') references a multi-codepoint symbol no earlier " +
+          "merge produced — not a trained BPE merge list")
+      produced += l + r
+      i += 1
+    }
     val m = mutable.HashMap.empty[(String, String), Int]
-    var i = pairs.length - 1
+    i = pairs.length - 1
     while (i >= 0) { m(pairs(i)) = i; i -= 1 }
     m
   }

@@ -918,7 +918,13 @@ object Dedup {
                         minSpanTokens: Int = 5): DataFrame = {
     val k = minSpanTokens
     require(k >= 2, s"minSpanTokens must be >= 2, got $k")
-    val toks = TextAnalysis.tokens(col(textCol))
+    // wsTokens, NOT the script-aware tokens: clean_text is REBUILT as
+    // concat_ws(" ", surviving tokens), so the split must be its own
+    // inverse — script-aware splitting would permanently inject spaces
+    // between every CJK codepoint of an UNTOUCHED document. Matching
+    // granularity follows the reconstruction granularity: spans match
+    // at whitespace words (an unsegmented CJK run is one unit).
+    val toks = TextAnalysis.wsTokens(col(textCol))
     val tokHashes = transform(toks, t => xxhash64(t))
     // (gram hash, id, 0-based token offset) — 20 bytes/occurrence.
     // Repartition by gram BEFORE the persist so both consumers below

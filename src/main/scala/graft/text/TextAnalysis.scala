@@ -40,17 +40,38 @@ object TextAnalysis {
       regexp_replace(text, s"($CjkCodepointClass)", " $1 "),
       s"($ThaiRunClass)", " $1 ")
 
+  // precompiled: the JVM twin runs once per DOCUMENT inside encoder
+  // UDFs — String.replaceAll would recompile both class patterns per
+  // call (the Column side compiles once per task already)
+  private val CjkPattern =
+    java.util.regex.Pattern.compile(s"($CjkCodepointClass)")
+  private val ThaiPattern =
+    java.util.regex.Pattern.compile(s"($ThaiRunClass)")
+
   /** The JVM twin of [[scriptSpaced]] for driver/UDF-side
     * tokenization ([[Bpe]]) — same patterns, same semantics. */
   def scriptSpacedStr(text: String): String =
-    text.replaceAll(s"($CjkCodepointClass)", " $1 ")
-      .replaceAll(s"($ThaiRunClass)", " $1 ")
+    ThaiPattern.matcher(
+      CjkPattern.matcher(text).replaceAll(" $1 ")).replaceAll(" $1 ")
 
   /** Script-aware whitespace tokens, empties dropped: whitespace
     * split after [[scriptSpaced]] boundary insertion — bit-identical
     * to plain whitespace tokens on Latin text. */
   def tokens(text: Column): Column =
     filter(split(trim(scriptSpaced(text)), "\\s+"), t => length(t) > 0)
+
+  /** PLAIN whitespace tokens (no script spacing) — the tokenization
+    * for operators that RECONSTRUCT text from tokens
+    * ([[graft.text.Dedup.dropRepeatedSpans]], [[chunkByTokens]]):
+    * rebuilding with `concat_ws(" ")` must be the inverse of the
+    * split, and script-aware splitting would permanently inject
+    * spaces between every CJK codepoint of an untouched document.
+    * Consequence, documented: those operators match/cut/chunk at
+    * whitespace-word granularity, so an unsegmented CJK run is one
+    * unit — coarser matching, but text-preserving. Identical to
+    * [[tokens]] on Latin text. */
+  def wsTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
   /** Token count; null text → null (the SQL mirror), never size()'s -1. */
   def tokenCount(text: Column): Column =
@@ -240,7 +261,8 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame = {
     require(overlap < chunkTokens, "overlap must be < chunkTokens")
     val step = chunkTokens - overlap
-    val toks = tokens(col(textCol))
+    // wsTokens: chunk_text is REBUILT from the tokens — see [[wsTokens]]
+    val toks = wsTokens(col(textCol))
     // chunk starts: 1, 1+step, … while start <= nTokens (1-based slice)
     val nChunks = greatest(
       ceil((size(toks) - lit(overlap)).cast(DoubleType) / step)

@@ -47,6 +47,15 @@ class BpeSpec extends SparkSpec {
     // unseen symbols pass through as single code points
     assert(Bpe.encodeWord("zq", pairs).toSeq == Seq("z", "q"))
     assert(Bpe.encodeWord("", pairs).toSeq == Seq.empty)
+    // the min-rank encoder's equivalence to rank-order application
+    // rests on the training invariant (each pair side is a single
+    // codepoint or an earlier merge's result) — a violating hand-built
+    // list must fail loudly, not silently segment differently
+    val bad = Array(("ab", "c"), ("a", "b"))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.encodeWord("abc", bad)
+    }
+    assert(e.getMessage.contains("training invariant"), e.getMessage)
   }
 
   test("df-level training equals the histogram twin and is deterministic") {

@@ -506,6 +506,28 @@ class PipelineSpec extends SparkSpec {
     assert(enc.size == 80 * 1, s"bpe wordwise desync: ${enc.take(5)}")
   }
 
+  test("text-RECONSTRUCTING ops never rewrite CJK: dropRepeatedSpans " +
+       "and chunkByTokens pass an untouched Chinese doc through " +
+       "byte-identically (whitespace-token granularity)") {
+    val zhText = "中文文本分析引擎测试文档"
+    val df = Seq(
+      (1L, zhText),
+      (2L, "a completely unrelated latin document with many words here"))
+      .toDF("doc_id", "text")
+    // no spans repeat → clean_text must equal the input text exactly
+    // (script-aware tokenization here would inject a space between
+    // every ideograph of a doc nothing touched)
+    val m = Dedup.dropRepeatedSpans(df, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(m(1L) == ((zhText, 0L)), m(1L).toString)
+    // chunking rebuilds chunk_text from tokens — same invariant
+    val chunks = TextAnalysis.chunkByTokens(
+        df.filter(col("doc_id") === 1L), "text", 4, 0)
+      .select("chunk_text").as[String].collect()
+    assert(chunks.toSeq == Seq(zhText), chunks.toSeq.toString)
+  }
+
   test("langId: CJK → zh; english stopwords → en") {
     val df = Seq((1, "the cat and the dog is in the house"),
       (2, "中文文本")).toDF("id", "t")

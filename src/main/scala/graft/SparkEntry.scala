@@ -1709,6 +1709,71 @@ object SparkEntry {
             .as("extracted_text"))
     }),
 
+    // Charset-aware body decoding (the pothole after the HTTP
+    // envelope — crawl bodies are NOT all UTF-8): shards are written
+    // with bodies ENCODED in UTF-8 / ISO-8859-1 / GBK by id, the
+    // charset declared via the HTTP Content-Type param for even ids
+    // and ONLY via an in-body <meta charset=…> tag for odd ids (the
+    // HTML5 sniff order). decodeBody must return the original string
+    // exactly and report the canonical charset it used. FULL row/hash
+    // gate: DuckDB recomputes the expected decoded text (it never
+    // sees the foreign bytes — producing them back is the machinery
+    // under test) and the charset name from the id rules.
+    "q118_charset_decode" -> ((s, d) => {
+      val docs = T(s, d, "documents").df.select(col("doc_id"), col("text"))
+      val dir = warcDir(d, "warccs")
+      val marker = new java.io.File(dir, "_SUCCESS")
+      if (!marker.exists()) {
+        val dd = new java.io.File(dir)
+        if (dd.exists()) {
+          Option(dd.listFiles()).foreach(_.foreach(_.delete()))
+        }
+        dd.mkdirs()
+        docs.repartition(4).foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val os = new java.util.zip.GZIPOutputStream(
+              new java.io.FileOutputStream(s"$dir/part-$pid.warc.gz"))
+            try graft.sources.Warc.writeStream(it.map { r =>
+              val id = r.getLong(0)
+              val cs = (id % 3) match {
+                case 0 => "UTF-8"
+                case 1 => "ISO-8859-1"
+                case _ => "GBK"
+              }
+              val tail = (id % 3) match {
+                case 0 => " 中文测试 café"
+                case 1 => " café résumé naïve"
+                case _ => " 中文测试文本"
+              }
+              val viaHeader = id % 2 == 0
+              val bodyStr =
+                (if (viaHeader) "" else s"""<meta charset="$cs">""") +
+                  r.getString(1) + tail
+              val payload = graft.sources.Warc.wrapHttp(
+                bodyStr.getBytes(java.nio.charset.Charset.forName(cs)),
+                status = 200,
+                contentType =
+                  if (viaHeader) s"text/html; charset=$cs"
+                  else "text/html")
+              graft.sources.Warc.Record(
+                s"<urn:uuid:c$id>", "response", s"https://ex.com/$id",
+                "2026-01-01T00:00:00Z",
+                "application/http; msgtype=response", payload)
+            }, os)
+            finally os.close()
+        }
+        marker.createNewFile()
+      }
+      val recs = graft.sources.Warc.stripHttp(
+        graft.sources.Warc.read(s, s"$dir/*.warc.gz"))
+      graft.sources.Warc.decodeBody(recs, out = "body_text")
+        .select(
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("body_text"), col("charset"))
+    }),
+
     // Boilerplate removal (the jusText/trafilatura stage between HTML
     // extraction and quality filtering): pages are synthesized with a
     // link-dominated nav row, a short copyright footer, a "read more"
@@ -2735,6 +2800,24 @@ object SparkEntry {
       """SELECT count(*) AS n_records, true AS roundtrip_ok,
                 true AS type_ok, true AS length_ok
          FROM documents""",
+    // the expected DECODED text is the original string (the foreign
+    // encoding round-trips losslessly for these charsets) — DuckDB
+    // recomputes it and the canonical charset name from the id rules
+    "q118_charset_decode" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+                  CASE doc_id % 3 WHEN 0 THEN 'UTF-8'
+                       WHEN 1 THEN 'ISO-8859-1' ELSE 'GBK' END AS cs,
+                  CASE doc_id % 3 WHEN 0 THEN ' 中文测试 café'
+                       WHEN 1 THEN ' café résumé naïve'
+                       ELSE ' 中文测试文本' END AS tail
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN ''
+                     ELSE '<meta charset="' || cs || '">' END
+                  || text || tail AS body_text,
+                cs AS charset
+         FROM base""",
     // FULL mirror: status/ctype from the synthesis rule, extracted
     // text by the q108 regex chain over the same synthesized body html
     // — the WARC container + HTTP envelope are the Spark side's to

@@ -324,6 +324,69 @@ object Warc {
     out.toByteArray
   }
 
+  // -------------------------------------------------------------------
+  // Charset-aware body decoding — the pothole after the HTTP envelope:
+  // real crawl bodies are NOT all UTF-8 (legacy latin-1/windows-1252,
+  // GBK/Shift_JIS/EUC-KR pages abound). Casting the body to string
+  // assumes UTF-8 and mojibakes everything else.
+
+  private val CharsetParamRe = java.util.regex.Pattern.compile(
+    "(?i)charset\\s*=\\s*\"?([\\w.:+-]+)")
+  private val MetaCharsetRe = java.util.regex.Pattern.compile(
+    "(?is)<meta[^>]+charset\\s*=\\s*[\"']?([\\w.:+-]+)")
+
+  /** Decode one body using the HTML5/HTTP resolution order:
+    * 1. `charset=` parameter of the HTTP Content-Type;
+    * 2. `<meta charset=…>` / `<meta http-equiv … charset=…>` sniffed
+    *    from the first 1024 bytes (read as latin-1 — ASCII-compatible
+    *    for every charset this applies to);
+    * 3. UTF-8.
+    * Returns (text, canonical charset name actually used). Unknown or
+    * unsupported charset labels fall back to UTF-8. Malformed byte
+    * sequences decode to U+FFFD (CodingErrorAction.REPLACE) — the
+    * OPPOSITE direction from the framing parsers' fail-loud: one
+    * mojibake page must not kill a 1 GB shard, and replacement-heavy
+    * text is exactly what the downstream langid/quality filters
+    * exist to drop. Null body → (null, null). */
+  def decodeBodyBytes(body: Array[Byte],
+                      httpContentType: String): (String, String) = {
+    if (body == null) return (null, null)
+    def find(p: java.util.regex.Pattern, s: String): Option[String] = {
+      val m = p.matcher(s)
+      if (m.find()) Option(m.group(1)) else None
+    }
+    val declared = Option(httpContentType)
+      .flatMap(ct => find(CharsetParamRe, ct))
+      .orElse {
+        val head = new String(body, 0, math.min(body.length, 1024),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        find(MetaCharsetRe, head)
+      }
+    val cs = declared
+      .filter(n => try java.nio.charset.Charset.isSupported(n)
+        catch { case _: java.nio.charset.IllegalCharsetNameException => false })
+      .map(java.nio.charset.Charset.forName)
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    (dec.decode(java.nio.ByteBuffer.wrap(body)).toString, cs.name())
+  }
+
+  /** Append (`out` = decoded text, `charset` = canonical name used) to
+    * a [[stripHttp]] frame — shuffle-free projection, same binary-
+    * decode UDF carve-out. */
+  def decodeBody(records: DataFrame, bodyCol: String = "body",
+                 contentTypeCol: String = "http_content_type",
+                 out: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dec = udf((b: Array[Byte], ct: String) => decodeBodyBytes(b, ct))
+    records.withColumn("__dec", dec(col(bodyCol), col(contentTypeCol)))
+      .withColumn(out, col("__dec._1"))
+      .withColumn("charset", col("__dec._2"))
+      .drop("__dec")
+  }
+
   /** Render a body into an HTTP response envelope (test/synthesis twin
     * of [[splitHttpPayload]]); `chunked` frames the body as a single
     * chunk + terminator. */

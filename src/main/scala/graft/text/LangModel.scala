@@ -147,10 +147,14 @@ object LangModel {
                         stratumCol: Option[String] = None,
                         buckets: Int = 3,
                         train: Option[DataFrame] = None,
-                        trainTextCol: String = "text"): DataFrame = {
+                        trainTextCol: String = "text",
+                        n: Int = 2): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val scored = bigramScore(docs, idCol, textCol, train, trainTextCol)
+    // any LM order (CCNet's production filter is a 5-gram KenLM);
+    // the output keeps the historical n_bigrams column name
+    val scored = ngramScore(docs, idCol, textCol, n, train, trainTextCol)
+      .withColumnRenamed("n_grams", "n_bigrams")
     val withS = stratumCol match {
       case Some(sc) => scored.join(
         docs.select(col(idCol).as("doc_id"), col(sc).as("__stratum")),

@@ -152,6 +152,40 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("decodeBodyBytes: header charset wins over meta, meta sniff " +
+       "works, unknown labels and bad bytes fail OPEN (UTF-8 + U+FFFD)") {
+    val gbk = java.nio.charset.Charset.forName("GBK")
+    val latin = java.nio.charset.StandardCharsets.ISO_8859_1
+    // declared via header param — body has NO meta
+    val (t1, c1) = Warc.decodeBodyBytes(
+      "中文测试".getBytes(gbk), "text/html; charset=GBK")
+    assert(t1 == "中文测试" && c1 == "GBK")
+    // declared ONLY via meta tag
+    val metaBody = """<meta charset="ISO-8859-1"><p>café résumé</p>"""
+    val (t2, c2) = Warc.decodeBodyBytes(metaBody.getBytes(latin),
+      "text/html")
+    assert(t2 == metaBody && c2 == "ISO-8859-1")
+    // header BEATS a conflicting meta (the HTTP/HTML5 precedence)
+    val lying = """<meta charset="GBK">café""".getBytes(latin)
+    val (t3, c3) = Warc.decodeBodyBytes(lying,
+      "text/html; charset=ISO-8859-1")
+    assert(c3 == "ISO-8859-1" && t3.endsWith("café"))
+    // unknown/unsupported label → UTF-8 fallback, never a throw
+    val (t4, c4) = Warc.decodeBodyBytes("plain ascii".getBytes("UTF-8"),
+      "text/html; charset=not-a-charset")
+    assert(t4 == "plain ascii" && c4 == "UTF-8")
+    val (_, c5) = Warc.decodeBodyBytes("x".getBytes("UTF-8"),
+      "text/html; charset= !!")
+    assert(c5 == "UTF-8")
+    // malformed UTF-8 bytes decode to U+FFFD — one mojibake page must
+    // not kill a shard; downstream quality filters drop it
+    val bad = Array[Byte]('o', 'k', 0xC3.toByte, 0x28, 'x')
+    val (t6, _) = Warc.decodeBodyBytes(bad, "text/html; charset=UTF-8")
+    assert(t6.contains('�') && t6.startsWith("ok") && t6.endsWith("x"))
+    // null body passes through as nulls
+    assert(Warc.decodeBodyBytes(null, "text/html") == ((null, null)))
+  }
+
   test("truncated payload fails loudly with file and position") {
     val whole = bytesOf(recs.take(1))
     val cut = java.util.Arrays.copyOf(whole, whole.length - 8)

@@ -1774,6 +1774,55 @@ object SparkEntry {
           col("body_text"), col("charset"))
     }),
 
+    // Robots meta opt-out (the polite-crawl convention — pipelines
+    // drop noindex pages before training): four synthesized page
+    // classes per id — a real noindex in three attribute/quote forms,
+    // an index,follow robots tag, a NON-robots tag containing the
+    // word noindex (must NOT trip), and no meta at all. Full row/hash
+    // gate; the oracle mirrors the per-tag two-condition check in
+    // DuckDB list lambdas.
+    "q119_meta_robots" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      val robots = when(pmod(col("doc_id"), lit(4)) === 0,
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+            .when(pmod(col("doc_id"), lit(3)) === 1,
+              lit("<meta content='noindex' name='robots'>"))
+            .otherwise(lit("<meta name=robots content=noindex>")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          lit("<meta name=\"robots\" content=\"index, follow\">"))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          lit("<meta name=\"description\" content=\"noindex appears\">"))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head>"), robots,
+        lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+      docs.select(col("doc_id"),
+        graft.text.Html.metaRobotsNoindex(html).as("noindex"))
+    }),
+
+    // Unicode normalization (the cleanup before any hashing/counting:
+    // visually identical strings must collide in dedup): decomposed
+    // combining sequences compose (NFC), zero-width/control bytes
+    // strip, precomposed text passes through unchanged. Full row/hash
+    // gate — the oracle applies the same strip regexes + DuckDB's
+    // nfc_normalize.
+    "q120_normalize_unicode" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      val tail = when(pmod(col("doc_id"), lit(4)) === 0,
+          lit(" cafe\u0301 deco\u0301mposed")) // e + combining acute
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          lit(" zero\u200Bwidth\u200Djoin\uFEFFbom\u00ADsoft"))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          lit(" ctrl\u0007bell\u001Besc"))
+        .otherwise(lit(" caf\u00E9 precomposed"))
+      val synth = concat(col("text"), tail)
+      docs.select(col("doc_id"),
+        graft.text.TextAnalysis.normalizeUnicode(synth).as("norm_text"),
+        (length(synth) - length(
+          graft.text.TextAnalysis.normalizeUnicode(synth)))
+          .cast(LongType).as("chars_removed"))
+    }),
+
     // Boilerplate removal (the jusText/trafilatura stage between HTML
     // extraction and quality filtering): pages are synthesized with a
     // link-dominated nav row, a short copyright footer, a "read more"
@@ -2800,6 +2849,59 @@ object SparkEntry {
       """SELECT count(*) AS n_records, true AS roundtrip_ok,
                 true AS type_ok, true AS length_ok
          FROM documents""",
+    // mirrors the per-tag two-condition check (robots name AND a
+    // noindex token in the SAME tag, any attribute order / quoting)
+    "q119_meta_robots" ->
+      """WITH synth AS (
+           SELECT doc_id,
+                  '<html><head>' ||
+                  CASE WHEN doc_id % 4 = 0 THEN
+                         CASE doc_id % 3
+                           WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+                           WHEN 1 THEN '<meta content=''noindex'' name=''robots''>'
+                           ELSE '<meta name=robots content=noindex>' END
+                       WHEN doc_id % 4 = 1
+                         THEN '<meta name="robots" content="index, follow">'
+                       WHEN doc_id % 4 = 2
+                         THEN '<meta name="description" content="noindex appears">'
+                       ELSE '' END
+                  || '</head><body><p>' || text || '</p></body></html>'
+                    AS html
+           FROM documents)
+         SELECT doc_id,
+                len(list_filter(
+                  regexp_extract_all(html, '(?is)<meta\b[^>]*>', 0),
+                  t -> regexp_matches(t,
+                         '(?is)\bname\s*=\s*["'']?robots\b')
+                   AND regexp_matches(t,
+                         '(?is)\bcontent\s*=\s*("[^"]*noindex|''[^'']*noindex|[^"''\s>]*noindex)')))
+                  > 0 AS noindex
+         FROM synth""",
+    // same strip regexes + DuckDB's nfc_normalize; both engines count
+    // length in codepoints, so chars_removed mirrors exactly
+    "q120_normalize_unicode" ->
+      """WITH synth AS (
+           SELECT doc_id,
+                  text || CASE doc_id % 4
+                    WHEN 0 THEN ' cafe' || chr(769) || ' deco'
+                                || chr(769) || 'mposed'
+                    WHEN 1 THEN ' zero' || chr(8203) || 'width'
+                                || chr(8205) || 'join' || chr(65279)
+                                || 'bom' || chr(173) || 'soft'
+                    WHEN 2 THEN ' ctrl' || chr(7) || 'bell'
+                                || chr(27) || 'esc'
+                    ELSE ' caf' || chr(233) || ' precomposed' END AS t
+           FROM documents),
+         norm AS (
+           SELECT doc_id, t,
+                  nfc_normalize(regexp_replace(regexp_replace(t,
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                    '[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]', '', 'g'))
+                    AS nt
+           FROM synth)
+         SELECT doc_id, nt AS norm_text,
+                CAST(length(t) - length(nt) AS BIGINT) AS chars_removed
+         FROM norm""",
     // the expected DECODED text is the original string (the foreign
     // encoding round-trips losslessly for these charsets) — DuckDB
     // recomputes it and the canonical charset name from the id rules

@@ -144,6 +144,22 @@ object Html {
       size(kept).cast("long").as("n_kept")))
   }
 
+  /** True when the page opts out of indexing via
+    * `<meta name="robots" content="… noindex …">` — crawl pipelines
+    * honor it by dropping the page before training (the polite-crawl
+    * convention). Attribute ORDER is free in HTML, so the check is
+    * per-<meta>-tag: extract every meta tag, then require BOTH a
+    * robots name and a noindex token in the same tag (quoted or bare
+    * content values). RE2-safe, mirrorable, zero shuffle. Null html →
+    * null. */
+  def metaRobotsNoindex(html: Column): Column = {
+    val tags = regexp_extract_all(html, lit("(?is)<meta\\b[^>]*>"), lit(0))
+    when(html.isNotNull, exists(tags, t =>
+      t.rlike("(?is)\\bname\\s*=\\s*[\"']?robots\\b") &&
+        t.rlike("(?is)\\bcontent\\s*=\\s*(\"[^\"]*noindex|'[^']*noindex" +
+          "|[^\"'\\s>]*noindex)")))
+  }
+
   /** The whole extraction as one projection:
     * (id, title, text, links, n_links). */
   def extractAll(df: org.apache.spark.sql.DataFrame, idCol: String,

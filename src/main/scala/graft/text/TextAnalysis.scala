@@ -73,6 +73,32 @@ object TextAnalysis {
   def wsTokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
+  /** Unicode normalization for training text — the cleanup pass real
+    * pipelines run before any hashing/counting, because visually
+    * identical strings must collide in dedup and count once in
+    * vocabularies:
+    *  1. strip control characters except \t \n \r;
+    *  2. strip zero-width characters (ZWSP/ZWNJ/ZWJ, BOM) and the
+    *     soft hyphen — invisible bytes that split tokens and defeat
+    *     exact dedup;
+    *  3. NFC-normalize (composed form), so "café" spelled e+combining
+    *     acute equals the precomposed spelling.
+    * NFC (not NFKC): compatibility folding is lossy (ligatures,
+    * superscripts) and NFC is what SQL engines expose
+    * (nfc_normalize), keeping the op oracle-mirrorable. Steps 1–2 are
+    * codegen regex; NFC is a cheap scalar UDF (no Column form
+    * exists). Null → null. */
+  def normalizeUnicode(text: Column): Column = {
+    val stripped = regexp_replace(regexp_replace(text,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]", "")
+    NfcUdf(stripped)
+  }
+
+  private lazy val NfcUdf = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
   /** Token count; null text → null (the SQL mirror), never size()'s -1. */
   def tokenCount(text: Column): Column =
     when(text.isNotNull, size(tokens(text)).cast(LongType))

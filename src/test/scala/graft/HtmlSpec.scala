@@ -88,6 +88,27 @@ class HtmlSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("metaRobotsNoindex: any attribute order/quoting trips; noindex " +
+       "in a NON-robots tag or a robots index tag does not") {
+    def f(h: String) = Seq((1L, h)).toDF("id", "h")
+      .select(Html.metaRobotsNoindex(
+        org.apache.spark.sql.functions.col("h"))).head().getBoolean(0)
+    assert(f("""<meta name="robots" content="noindex, nofollow">"""))
+    assert(f("""<meta content='noindex' name='robots'>"""))
+    assert(f("""<meta name=robots content=noindex>"""))
+    assert(f("""<META NAME="ROBOTS" CONTENT="NOINDEX">"""))
+    assert(!f("""<meta name="robots" content="index, follow">"""))
+    assert(!f("""<meta name="description" content="noindex appears">"""))
+    assert(!f("""<p>robots noindex</p>"""))
+    // two tags: the conditions must hold within ONE tag
+    assert(!f("""<meta name="robots" content="index">
+                 <meta name="keywords" content="noindex">"""))
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "h")
+      .select(Html.metaRobotsNoindex(
+        org.apache.spark.sql.functions.col("h"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("null html stays null; unclosed <script> fails closed (swallows " +
        "to end of document, never leaks script text)") {
     val n = Html.extractAll(

@@ -536,6 +536,33 @@ class PipelineSpec extends SparkSpec {
     assert(out(1) == "en" && out(2) == "zh")
   }
 
+  test("normalizeUnicode: NFC composes, zero-width/control strip, " +
+       "precomposed text untouched — equal-looking strings now " +
+       "collide in exact dedup") {
+    val df = Seq(
+      (1L, "cafe\u0301"),                 // decomposed
+      (2L, "caf\u00E9"),                  // precomposed
+      (3L, "zero\u200Bwidth\uFEFF\u00AD"), // invisible bytes
+      (4L, "ctrl\u0007bell\ttab\nnl"),    // controls; \t \n kept
+      (5L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = df.select(col("id"),
+        TextAnalysis.normalizeUnicode(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "caf\u00E9" && got(2L) == "caf\u00E9")
+    assert(got(3L) == "zerowidth")
+    assert(got(4L) == "ctrlbell\ttab\nnl")
+    assert(got(5L) == null)
+    // the dedup payoff: decomposed and precomposed spellings now
+    // hash-collide
+    val deduped = Dedup.dropExactDups(
+      df.filter(col("id") <= 2)
+        .select(col("id").as("doc_id"),
+          TextAnalysis.normalizeUnicode(col("t")).as("text")),
+      "text", "doc_id")
+    assert(deduped.count() == 1)
+  }
+
   test("fingerprint is stable and content-sensitive") {
     val df = Seq((1, "aa bb cc"), (2, "aa bb cc"), (3, "aa bb cc dd"))
       .toDF("id", "t")

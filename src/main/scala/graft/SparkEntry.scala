@@ -1491,6 +1491,17 @@ object SparkEntry {
               "src2" -> 0.125, "src3" -> 0.125),
           totalTarget = 60L)),
 
+    // Temperature-scaled mixture (T5/mT5/LLaMA): stratum share ∝
+    // count^tau at tau=0.5 — the oracle recomputes counts → 9dp
+    // weights → largest-remainder quotas → the seeded-LCG rank
+    // selection ENTIRELY in SQL (unlike q107's fixed weights, these
+    // are count-derived, so the whole apportionment is mirrored, not
+    // hard-coded). Full row/hash gate.
+    "q121_temperature_mix" -> ((s, d) =>
+      graft.text.Curation.temperatureMixture(
+        T(s, d, "documents").df.select(col("doc_id"), col("source")),
+        "doc_id", "source", tau = 0.5, totalTarget = 60L)),
+
     // HTML -> text extraction (the crawl pipeline's first stage):
     // deterministic HTML is synthesized around each doc's text (the
     // q85 salting pattern) with script/style blocks, entities, and two
@@ -3234,6 +3245,45 @@ object SparkEntry {
                 round((doc_id * 7 % 256) / 255.0, 6) AS mean_g,
                 round((doc_id * 13 % 256) / 255.0, 6) AS mean_b
          FROM documents""",
+    // the full temperature apportionment in SQL: counts → pow(n,.5) →
+    // normalize → round 9dp (both engines round before the quota math
+    // — the pow cross-engine float policy) → renormalize over rounded
+    // weights → floor + largest-remainder (frac DESC, source tiebreak)
+    // → the q107 LCG rank selection
+    "q121_temperature_mix" ->
+      """WITH cnt AS (
+           SELECT source, CAST(count(*) AS DOUBLE) AS n
+           FROM documents GROUP BY 1),
+         w AS (
+           SELECT source,
+                  round(pow(n, 0.5) / (SELECT sum(pow(n, 0.5)) FROM cnt),
+                        9) AS wt
+           FROM cnt),
+         sh AS (
+           SELECT source, wt / (SELECT sum(wt) FROM w) * 60 AS s
+           FROM w),
+         q0 AS (
+           SELECT source, floor(s) AS fl, s - floor(s) AS frac,
+                  row_number() OVER (ORDER BY s - floor(s) DESC, source)
+                    AS ri
+           FROM sh),
+         quota AS (
+           SELECT source,
+                  CAST(fl + CASE WHEN ri <= 60 - (SELECT sum(fl) FROM q0)
+                                 THEN 1 ELSE 0 END AS BIGINT) AS quota
+           FROM q0),
+         m AS (
+           SELECT d.doc_id, d.source, quota.quota,
+                  (((xor(d.doc_id, d.doc_id >> 31) % 2147483648)
+                    * 1103515245 + 42)
+                    % 2147483648 * 1103515245 + 12345)
+                    % 2147483648 AS mix
+           FROM documents d JOIN quota USING (source)),
+         r AS (SELECT doc_id, source, quota,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY mix, doc_id) AS rk
+               FROM m)
+         SELECT doc_id, source FROM r WHERE rk <= quota""",
     // mirrors Curation.shuffleDeterministic: same 31-bit LCG mix, same
     // shard mod, same (mix, doc_id) rank
     "q95_det_shuffle" ->

@@ -96,6 +96,34 @@ object Curation {
       .drop("__mix", "__rk")
   }
 
+  /** Temperature-scaled mixture (the T5/mT5/LLaMA multilingual
+    * recipe): stratum share ∝ count^tau, normalized — tau = 1
+    * reproduces natural proportions, tau → 0 approaches uniform,
+    * the usual 0.3–0.7 range upsamples small sources without
+    * swamping large ones. Composition: one bounded stratum-count
+    * aggregate (one row per source — driver-safe by construction),
+    * weights rounded to 9 dp (the cross-engine float policy: pow is
+    * not correctly-rounded IEEE, so both engines round before the
+    * quota math and the largest-remainder boundaries agree), then
+    * [[resampleToMixture]]'s quota + seeded-LCG selection. */
+  def temperatureMixture(df: DataFrame, idCol: String, stratumCol: String,
+                         tau: Double, totalTarget: Long,
+                         seed: Long = 42L): DataFrame = {
+    require(tau >= 0, s"tau must be >= 0 (got $tau)")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMixture: no strata")
+    val pows = counts.map { case (k, n) => k -> math.pow(n.toDouble, tau) }
+    val z = pows.values.sum
+    val weights = pows.map { case (k, p) =>
+      // HALF_UP to match SQL round() (half away from zero)
+      k -> BigDecimal(p / z).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    resampleToMixture(df, idCol, stratumCol, weights, totalTarget, seed)
+  }
+
   private def paragraphs(text: Column): Column =
     // coalesce: a null document contributes zero paragraphs, not a
     // null array (size(null) is -1 with ANSI off). The separator is a

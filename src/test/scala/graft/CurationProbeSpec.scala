@@ -183,6 +183,36 @@ class CurationProbeSpec extends SparkSpec {
     assert(both < 1400, s"high-bit-congruent pairs agree $both/2000")
   }
 
+  test("temperatureMixture: tau=1 reproduces natural proportions, " +
+       "tau=0 is uniform, tau=0.5 sits between (upsamples the small " +
+       "source); deterministic") {
+    // 60 / 22 / 18 docs — every stratum holds enough to fill its
+    // quota at all three taus (the under-populated cap is
+    // resampleToMixture's own spec'd behavior, not under test here)
+    val docs = (0L until 100L).map(i =>
+      (i, if (i < 60) "big" else if (i < 82) "mid" else "tiny"))
+      .toDF("doc_id", "source")
+    def quotas(tau: Double) = Curation.temperatureMixture(
+        docs, "doc_id", "source", tau, totalTarget = 50L)
+      .groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // tau=1: exact natural proportions → 30/11/9
+    assert(quotas(1.0) == Map("big" -> 30L, "mid" -> 11L, "tiny" -> 9L))
+    // tau=0: uniform thirds of 50 → 17/17/16 (equal fracs, name
+    // tiebreak gives big and mid the +1s)
+    assert(quotas(0.0) == Map("big" -> 17L, "mid" -> 17L, "tiny" -> 16L))
+    // tau=0.5: ∝ sqrt(60,22,18) → shares 23.22/14.06/12.72 →
+    // quotas 23/14/13 — tiny upsampled 13 vs natural 9, big 23 vs 30
+    val half = quotas(0.5)
+    assert(half == Map("big" -> 23L, "mid" -> 14L, "tiny" -> 13L), half)
+    // deterministic id selection across runs
+    val a = Curation.temperatureMixture(docs, "doc_id", "source", 0.5, 50L)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Curation.temperatureMixture(docs, "doc_id", "source", 0.5, 50L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.size == 50)
+  }
+
   test("resampleToMixture: exact quotas, deterministic selection, " +
        "under-populated cap, unmapped strata dropped") {
     val docs = (0L until 100L).map(i =>

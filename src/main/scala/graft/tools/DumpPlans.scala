@@ -48,7 +48,11 @@ object DumpPlans {
       "q113_warc_http" -> "WARC + HTTP envelope strip: the same file-grain scan; stripHttp and the body HTML extraction are shuffle-free projections (binary-decode UDF + codegen regex) — the whole crawl front end runs at scan speed",
       "q114_script_tokens" -> "script-aware tokens: zero-shuffle pure-Column projection (two boundary-insertion regexes + the whitespace split), single pruned scan",
       "q115_boilerplate" -> "boilerplate removal: zero-shuffle regex+HOF projection — block split, per-block density scoring, rejoin, all in one stage",
-      "q116_trigram_lm" -> "trigram LM: the q92 shape at n=3 — context/gram keys are xxhash64 over token hashes, so the count shuffles and scoring joins stay at 8 bytes/key at ANY order")
+      "q116_trigram_lm" -> "trigram LM: the q92 shape at n=3 — context/gram keys are xxhash64 over token hashes, so the count shuffles and scoring joins stay at 8 bytes/key at ANY order",
+      "q118_charset_decode" -> "charset decode: the q113 scan + one more shuffle-free scalar projection (header-param/meta-sniff/UTF-8 resolution inside the decode UDF)",
+      "q119_meta_robots" -> "robots noindex: zero-shuffle per-row meta-tag regex battery, single pruned scan",
+      "q120_normalize_unicode" -> "unicode normalize: two codegen strip regexes + the NFC scalar UDF, zero shuffle",
+      "q121_temperature_mix" -> "temperature mixture: ONE bounded stratum-count aggregate resolves the quotas on the driver; selection is the q107 per-stratum window rank — no global sort")
 
     // Shapes that a physical-plan dump can NOT show: driver-coordinated
     // iteration (q112's training loop) and RDD-level selection (q117's

@@ -28,7 +28,7 @@ object SparkEntry {
   private val lmRecomputeCtes: String =
     """toks AS (
            SELECT doc_id,
-                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                  list_filter(string_split_regex(trim(lower(text)), '[ \t\n\f\r\x0B]+'),
                               t -> length(t) > 0) AS t
            FROM documents),
          uni AS (
@@ -87,6 +87,30 @@ object SparkEntry {
       .sorted.mkString("|")
     val tag = java.lang.Integer.toHexString((dataset + "|" + sig).hashCode)
     s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_$tag"
+  }
+
+  /** Synthesize gzipped WARC shards for a gate ONCE per keyed dir
+    * (q111/q113/q118 share this scaffold): missing `_SUCCESS` marker →
+    * stale leftovers cleared, 4 shards written one-per-partition (the
+    * file-grain the reader parallelizes on), marker committed last so
+    * a crashed partial build rebuilds. `mk` renders one doc row into
+    * a WARC record. */
+  private def ensureWarcShards(docs: DataFrame, dir: String)(
+      mk: org.apache.spark.sql.Row => graft.sources.Warc.Record): Unit = {
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (marker.exists()) return
+    val dd = new java.io.File(dir)
+    if (dd.exists()) Option(dd.listFiles()).foreach(_.foreach(_.delete()))
+    dd.mkdirs()
+    docs.repartition(4).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val os = new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(s"$dir/part-$pid.warc.gz"))
+        try graft.sources.Warc.writeStream(it.map(mk), os)
+        finally os.close()
+    }
+    marker.createNewFile()
   }
 
   /** q98's sample EvalFunc jar, compiled ONCE per JVM against the
@@ -1624,29 +1648,13 @@ object SparkEntry {
       // path gets fresh shards; a crashed partial write is detected by
       // the missing _SUCCESS marker and rebuilt
       val dir = warcDir(d)
-      val marker = new java.io.File(dir, "_SUCCESS")
-      if (!marker.exists()) {
-        val dd = new java.io.File(dir)
-        if (dd.exists()) { // partial leftovers from a crashed build
-          Option(dd.listFiles()).foreach(_.foreach(_.delete()))
-        }
-        dd.mkdirs()
-        docs.repartition(4).foreachPartition {
-          (it: Iterator[org.apache.spark.sql.Row]) =>
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val os = new java.util.zip.GZIPOutputStream(
-              new java.io.FileOutputStream(s"$dir/part-$pid.warc.gz"))
-            try graft.sources.Warc.writeStream(it.map { r =>
-              graft.sources.Warc.Record(
-                s"<urn:uuid:${r.getLong(0)}>", "response",
-                s"https://ex.com/${r.getLong(0)}",
-                "2026-01-01T00:00:00Z", "text/plain",
-                r.getString(1).getBytes(
-                  java.nio.charset.StandardCharsets.UTF_8))
-            }, os)
-            finally os.close()
-        }
-        marker.createNewFile()
+      ensureWarcShards(docs, dir) { r =>
+        graft.sources.Warc.Record(
+          s"<urn:uuid:${r.getLong(0)}>", "response",
+          s"https://ex.com/${r.getLong(0)}",
+          "2026-01-01T00:00:00Z", "text/plain",
+          r.getString(1).getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
       }
       val recs = graft.sources.Warc.read(s, s"$dir/*.warc.gz")
       val parsed = recs.select(
@@ -1680,35 +1688,19 @@ object SparkEntry {
     "q113_warc_http" -> ((s, d) => {
       val docs = T(s, d, "documents").df.select(col("doc_id"), col("text"))
       val dir = warcDir(d, "warchttp")
-      val marker = new java.io.File(dir, "_SUCCESS")
-      if (!marker.exists()) {
-        val dd = new java.io.File(dir)
-        if (dd.exists()) {
-          Option(dd.listFiles()).foreach(_.foreach(_.delete()))
-        }
-        dd.mkdirs()
-        docs.repartition(4).foreachPartition {
-          (it: Iterator[org.apache.spark.sql.Row]) =>
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val os = new java.util.zip.GZIPOutputStream(
-              new java.io.FileOutputStream(s"$dir/part-$pid.warc.gz"))
-            try graft.sources.Warc.writeStream(it.map { r =>
-              val id = r.getLong(0)
-              val html = s"<html><head><title>D$id</title></head>" +
-                s"<body><p>${r.getString(1)}</p></body></html>"
-              val payload = graft.sources.Warc.wrapHttp(
-                html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-                status = if (id % 5 == 0) 404 else 200,
-                contentType = "text/html; charset=utf-8",
-                chunked = id % 3 == 0)
-              graft.sources.Warc.Record(
-                s"<urn:uuid:h$id>", "response", s"https://ex.com/$id",
-                "2026-01-01T00:00:00Z",
-                "application/http; msgtype=response", payload)
-            }, os)
-            finally os.close()
-        }
-        marker.createNewFile()
+      ensureWarcShards(docs, dir) { r =>
+        val id = r.getLong(0)
+        val html = s"<html><head><title>D$id</title></head>" +
+          s"<body><p>${r.getString(1)}</p></body></html>"
+        val payload = graft.sources.Warc.wrapHttp(
+          html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          status = if (id % 5 == 0) 404 else 200,
+          contentType = "text/html; charset=utf-8",
+          chunked = id % 3 == 0)
+        graft.sources.Warc.Record(
+          s"<urn:uuid:h$id>", "response", s"https://ex.com/$id",
+          "2026-01-01T00:00:00Z",
+          "application/http; msgtype=response", payload)
       }
       val recs = graft.sources.Warc.read(s, s"$dir/*.warc.gz")
       graft.sources.Warc.stripHttp(recs)
@@ -1733,48 +1725,41 @@ object SparkEntry {
     "q118_charset_decode" -> ((s, d) => {
       val docs = T(s, d, "documents").df.select(col("doc_id"), col("text"))
       val dir = warcDir(d, "warccs")
-      val marker = new java.io.File(dir, "_SUCCESS")
-      if (!marker.exists()) {
-        val dd = new java.io.File(dir)
-        if (dd.exists()) {
-          Option(dd.listFiles()).foreach(_.foreach(_.delete()))
+      ensureWarcShards(docs, dir) { r =>
+        val id = r.getLong(0)
+        // fail LOUD on broken gate premises: a null text would embed
+        // the literal "null", and getBytes silently replaces chars a
+        // charset cannot encode with '?' — either would diverge from
+        // the mirror with no hint why
+        require(!r.isNullAt(1), s"q118: null text for doc $id")
+        val cs = (id % 3) match {
+          case 0 => "UTF-8"
+          case 1 => "ISO-8859-1"
+          case _ => "GBK"
         }
-        dd.mkdirs()
-        docs.repartition(4).foreachPartition {
-          (it: Iterator[org.apache.spark.sql.Row]) =>
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val os = new java.util.zip.GZIPOutputStream(
-              new java.io.FileOutputStream(s"$dir/part-$pid.warc.gz"))
-            try graft.sources.Warc.writeStream(it.map { r =>
-              val id = r.getLong(0)
-              val cs = (id % 3) match {
-                case 0 => "UTF-8"
-                case 1 => "ISO-8859-1"
-                case _ => "GBK"
-              }
-              val tail = (id % 3) match {
-                case 0 => " 中文测试 café"
-                case 1 => " café résumé naïve"
-                case _ => " 中文测试文本"
-              }
-              val viaHeader = id % 2 == 0
-              val bodyStr =
-                (if (viaHeader) "" else s"""<meta charset="$cs">""") +
-                  r.getString(1) + tail
-              val payload = graft.sources.Warc.wrapHttp(
-                bodyStr.getBytes(java.nio.charset.Charset.forName(cs)),
-                status = 200,
-                contentType =
-                  if (viaHeader) s"text/html; charset=$cs"
-                  else "text/html")
-              graft.sources.Warc.Record(
-                s"<urn:uuid:c$id>", "response", s"https://ex.com/$id",
-                "2026-01-01T00:00:00Z",
-                "application/http; msgtype=response", payload)
-            }, os)
-            finally os.close()
+        val tail = (id % 3) match {
+          case 0 => " 中文测试 café"
+          case 1 => " café résumé naïve"
+          case _ => " 中文测试文本"
         }
-        marker.createNewFile()
+        val viaHeader = id % 2 == 0
+        val bodyStr =
+          (if (viaHeader) "" else s"""<meta charset="$cs">""") +
+            r.getString(1) + tail
+        val charset = java.nio.charset.Charset.forName(cs)
+        require(charset.newEncoder().canEncode(bodyStr),
+          s"q118: doc $id text is not representable in $cs — the " +
+            "lossless round-trip premise of this gate is broken")
+        val payload = graft.sources.Warc.wrapHttp(
+          bodyStr.getBytes(charset),
+          status = 200,
+          contentType =
+            if (viaHeader) s"text/html; charset=$cs"
+            else "text/html")
+        graft.sources.Warc.Record(
+          s"<urn:uuid:c$id>", "response", s"https://ex.com/$id",
+          "2026-01-01T00:00:00Z",
+          "application/http; msgtype=response", payload)
       }
       val recs = graft.sources.Warc.stripHttp(
         graft.sources.Warc.read(s, s"$dir/*.warc.gz"))
@@ -2375,7 +2360,7 @@ object SparkEntry {
                   list_distinct([array_to_string(toks[i:i+2], ' ')
                     for i in range(1, len(toks) - 1)]) AS grams
            FROM (SELECT doc_id,
-                        list_filter(string_split_regex(trim(text), '\s+'),
+                        list_filter(string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                                     t -> length(t) > 0) AS toks
                  FROM documents WHERE doc_id < 500)),
          pairs AS (
@@ -2410,7 +2395,7 @@ object SparkEntry {
                ELSE 0.0 END, 6) AS dup_line_char_ratio
            FROM ls),
          toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                                       t -> length(t) > 0) AS t
            FROM documents),
          g2 AS (
@@ -2442,7 +2427,7 @@ object SparkEntry {
     // (fewer than n tokens → the whole token join is the one gram)
     "q83_decontaminate" ->
       """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                                       t -> length(t) > 0) AS t
            FROM documents),
          grams AS (
@@ -2538,7 +2523,7 @@ object SparkEntry {
          k AS (
            SELECT doc_id, lines,
                   list_filter(lines, l ->
-                    len(list_filter(string_split_regex(trim(l), '\s+'),
+                    len(list_filter(string_split_regex(trim(l), '[ \t\n\f\r\x0B]+'),
                                     w -> length(w) > 0)) >= 5
                     AND regexp_matches(rtrim(l), '[.!?"]$')) AS kept
            FROM ls)
@@ -2551,7 +2536,7 @@ object SparkEntry {
     "q90_token_budget" ->
       """WITH t AS (
            SELECT doc_id, source,
-                  len(list_filter(string_split_regex(trim(text), '\s+'),
+                  len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                                   w -> length(w) > 0)) AS n_tokens
            FROM documents),
          c AS (
@@ -2569,14 +2554,14 @@ object SparkEntry {
            (3, 'data window group by')),
          toks AS (
            SELECT doc_id,
-                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                  list_filter(string_split_regex(trim(lower(text)), '[ \t\n\f\r\x0B]+'),
                               t -> length(t) > 0) AS t
            FROM documents),
          dls AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
          qterms AS (
            SELECT CAST(query_id AS BIGINT) AS query_id,
                   unnest(list_distinct(list_filter(
-                    string_split_regex(trim(lower(qtext)), '\s+'),
+                    string_split_regex(trim(lower(qtext)), '[ \t\n\f\r\x0B]+'),
                     t -> length(t) > 0))) AS term
            FROM q),
          postings AS (
@@ -2627,7 +2612,7 @@ object SparkEntry {
     "q94_seq_pack" ->
       """WITH t AS (
            SELECT doc_id, source,
-                  len(list_filter(string_split_regex(trim(text), '\s+'),
+                  len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                                   w -> length(w) > 0)) AS n_tokens
            FROM documents),
          c AS (
@@ -2663,7 +2648,7 @@ object SparkEntry {
     "q97_py_udf" ->
       """SELECT doc_id, reverse(lang) AS rlang,
                 coalesce(CAST(len(list_filter(
-                  string_split_regex(trim(text), '\s+'),
+                  string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                   w -> length(w) > 0)) AS BIGINT), 0) AS nw
          FROM documents""",
     // mirrors q98's jar UDF trio: Exclaim (string concat), NextDay
@@ -2683,7 +2668,7 @@ object SparkEntry {
       """WITH base AS (
            SELECT doc_id, text,
                   list_filter(string_split(regexp_replace(trim(text),
-                      '\s+', ' ', 'g'), ' '), t -> len(t) > 0) AS toks,
+                      '[ \t\n\f\r\x0B]+', ' ', 'g'), ' '), t -> len(t) > 0) AS toks,
                   list_filter(string_split(text, chr(10)),
                       l -> len(trim(l)) > 0) AS lines
            FROM documents),
@@ -2697,7 +2682,7 @@ object SparkEntry {
                    + (len(string_split_regex(text, '\.\.\.|…')) - 1)
                   )::DOUBLE AS sym,
                   list_filter(string_split(regexp_replace(trim(lower(text)),
-                      '\s+', ' ', 'g'), ' '), t -> len(t) > 0) AS lowtoks,
+                      '[ \t\n\f\r\x0B]+', ' ', 'g'), ' '), t -> len(t) > 0) AS lowtoks,
                   len(list_filter(toks,
                       t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE AS nalpha
            FROM base)
@@ -2739,7 +2724,7 @@ object SparkEntry {
       """WITH w AS (
            SELECT doc_id, (lang = 'en') AS t,
                   string_split(regexp_replace(trim(lower(text)),
-                    '\s+', ' ', 'g'), ' ') AS w
+                    '[ \t\n\f\r\x0B]+', ' ', 'g'), ' ') AS w
            FROM documents),
          g AS (
            SELECT doc_id, t, w[i] || ' ' || w[i+1] AS gram
@@ -2765,7 +2750,7 @@ object SparkEntry {
     "q100_repeated_ngrams" ->
       """WITH words AS (
            SELECT doc_id,
-                  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                  string_split(regexp_replace(trim(text), '[ \t\n\f\r\x0B]+', ' ', 'g'),
                                ' ') AS w
            FROM documents),
          grams AS (
@@ -2783,7 +2768,7 @@ object SparkEntry {
     "q103_drop_repeated_spans" ->
       """WITH words AS (
            SELECT doc_id,
-                  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                  string_split(regexp_replace(trim(text), '[ \t\n\f\r\x0B]+', ' ', 'g'),
                                ' ') AS w
            FROM documents),
          occ AS (
@@ -2883,9 +2868,9 @@ object SparkEntry {
                 len(list_filter(
                   regexp_extract_all(html, '(?is)<meta\b[^>]*>', 0),
                   t -> regexp_matches(t,
-                         '(?is)\bname\s*=\s*["'']?robots\b')
+                         '(?is)\sname\s*=\s*["'']?robots\b')
                    AND regexp_matches(t,
-                         '(?is)\bcontent\s*=\s*("[^"]*noindex|''[^'']*noindex|[^"''\s>]*noindex)')))
+                         '(?is)\scontent\s*=\s*("[^"]*\bnoindex\b|''[^'']*\bnoindex\b|[^"''\s>]*\bnoindex\b)')))
                   > 0 AS noindex
          FROM synth""",
     // same strip regexes + DuckDB's nfc_normalize; both engines count
@@ -3022,7 +3007,7 @@ object SparkEntry {
                         '([\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}])',
                         ' \1 ', 'g'),
                         '([\x{0e00}-\x{0e7f}]+)', ' \1 ', 'g')),
-                      '\s+'), x -> length(x) > 0)) >= 5
+                      '[ \t\n\f\r\x0B]+'), x -> length(x) > 0)) >= 5
                     AND CAST(s.lc AS DOUBLE) <= 0.4 * length(s.t))
                     AS kept
            FROM bl)
@@ -3052,7 +3037,7 @@ object SparkEntry {
                       '([\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}])',
                       ' \1 ', 'g'),
                       '([\x{0e00}-\x{0e7f}]+)', ' \1 ', 'g')),
-                    '\s+'), x -> length(x) > 0) AS toks,
+                    '[ \t\n\f\r\x0B]+'), x -> length(x) > 0) AS toks,
                   t
            FROM synth)
          SELECT doc_id,
@@ -3075,7 +3060,7 @@ object SparkEntry {
     "q116_trigram_lm" ->
       """WITH toks AS (
            SELECT doc_id,
-                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                  list_filter(string_split_regex(trim(lower(text)), '[ \t\n\f\r\x0B]+'),
                               t -> length(t) > 0) AS t
            FROM documents),
          v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsize
@@ -3232,7 +3217,7 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM documents) AS n_docs,
                 (SELECT count(DISTINCT w) FROM (
                    SELECT unnest(list_filter(
-                            string_split_regex(trim(text), '\s+'),
+                            string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                             x -> length(x) > 0)) AS w
                    FROM documents)) AS n_distinct_words,
                 true AS merges_full, true AS roundtrip_ok,
@@ -3260,7 +3245,8 @@ object SparkEntry {
                         9) AS wt
            FROM cnt),
          sh AS (
-           SELECT source, wt / (SELECT sum(wt) FROM w) * 60 AS s
+           SELECT source,
+                  round(wt / (SELECT sum(wt) FROM w) * 60, 6) AS s
            FROM w),
          q0 AS (
            SELECT source, floor(s) AS fl, s - floor(s) AS frac,
@@ -3344,7 +3330,7 @@ object SparkEntry {
                   list_distinct([array_to_string(toks[i:i+2], ' ')
                     for i in range(1, len(toks) - 1)]) AS grams
            FROM (SELECT doc_id,
-                        list_filter(string_split_regex(trim(text), '\s+'),
+                        list_filter(string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                                     t -> length(t) > 0) AS toks
                  FROM documents WHERE doc_id < 500)),
          pairs AS (
@@ -3386,7 +3372,7 @@ object SparkEntry {
                   list_distinct([array_to_string(toks[i:i+2], ' ')
                     for i in range(1, len(toks) - 1)]) AS grams
            FROM (SELECT doc_id,
-                        list_filter(string_split_regex(trim(text), '\s+'),
+                        list_filter(string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                                     t -> length(t) > 0) AS toks
                  FROM sub)),
          pairs AS (
@@ -3436,7 +3422,7 @@ object SparkEntry {
          toks AS (
            SELECT doc_id,
                   unnest(list_filter(
-                    string_split_regex(trim(lower(text)), '\s+'),
+                    string_split_regex(trim(lower(text)), '[ \t\n\f\r\x0B]+'),
                     t -> length(t) > 0)) AS tok
            FROM documents),
          counts AS (
@@ -3470,7 +3456,7 @@ object SparkEntry {
                   list_distinct([array_to_string(toks[i:i+2], ' ')
                     for i in range(1, len(toks) - 1)]) AS grams
            FROM (SELECT doc_id,
-                        list_filter(string_split_regex(trim(text), '\s+'),
+                        list_filter(string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                                     t -> length(t) > 0) AS toks
                  FROM documents))
          SELECT a.doc_id AS doc_id,
@@ -3481,7 +3467,7 @@ object SparkEntry {
          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
     "q49_quality" ->
       """SELECT doc_id,
-                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                      t -> length(t) > 0)) AS BIGINT) AS n_tokens,
                 CAST(len(regexp_extract_all(text,
                      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]')) AS BIGINT)
@@ -3491,14 +3477,14 @@ object SparkEntry {
                        AS DOUBLE) / length(text) ELSE 0.0 END, 6)
                   AS alpha_ratio,
                 round(CASE WHEN len(list_filter(string_split_regex(
-                        trim(lower(text)), '\s+'), t -> length(t) > 0)) > 0
+                        trim(lower(text)), '[ \t\n\f\r\x0B]+'), t -> length(t) > 0)) > 0
                   THEN CAST(len(list_filter(string_split_regex(
-                        trim(lower(text)), '\s+'),
+                        trim(lower(text)), '[ \t\n\f\r\x0B]+'),
                         t -> t IN ('the','a','an','and','or','of','to','in',
                                    'is','it','that','for','on','with','as',
                                    'at','by','this','be'))) AS DOUBLE)
                        / len(list_filter(string_split_regex(
-                           trim(lower(text)), '\s+'), t -> length(t) > 0))
+                           trim(lower(text)), '[ \t\n\f\r\x0B]+'), t -> length(t) > 0))
                   ELSE 0.0 END, 6) AS stop_ratio
          FROM documents""",
     "q50_fingerprint" ->
@@ -3506,7 +3492,7 @@ object SparkEntry {
                 list_reduce(
                   list_prepend(CAST(0 AS BIGINT),
                     list_transform(
-                      list_filter(string_split_regex(trim(text), '\s+'),
+                      list_filter(string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                                   t -> length(t) > 0),
                       t -> CAST(length(t) AS BIGINT))),
                   (acc, v) -> (acc * 31 + v) % 1000000007) AS fp
@@ -3599,7 +3585,7 @@ object SparkEntry {
     "q64_chunking" ->
       """WITH t AS (
            SELECT doc_id,
-                  list_filter(string_split_regex(trim(text), '\s+'),
+                  list_filter(string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                               x -> length(x) > 0) AS toks
            FROM documents)
          SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS chunk_idx,
@@ -3616,10 +3602,10 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
                 round(avg(n_chars), 4) AS avg_chars,
                 round(quantile_cont(CAST(len(list_filter(
-                  string_split_regex(trim(text), '\s+'),
+                  string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                   x -> length(x) > 0)) AS BIGINT), 0.5), 4) AS med_toks,
                 round(quantile_cont(CAST(len(list_filter(
-                  string_split_regex(trim(text), '\s+'),
+                  string_split_regex(trim(text), '[ \t\n\f\r\x0B]+'),
                   x -> length(x) > 0)) AS BIGINT), 0.9), 4) AS p90_toks
          FROM documents GROUP BY source""",
     "q66_udaf" ->

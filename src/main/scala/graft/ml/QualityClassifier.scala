@@ -129,11 +129,20 @@ object QualityClassifier {
   def saveWeights(spark: org.apache.spark.sql.SparkSession,
                   weights: Array[Double], name: String): Unit = {
     import spark.implicits._
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
+    // ONLY the orphan case (dir survives a session whose in-memory
+    // catalog forgot the table) needs the manual delete; dropping a
+    // LIVE table first would open a data-loss window — a retrain that
+    // crashes mid-write must leave the previous epoch's weights
+    // readable, and mode(overwrite) handles the cataloged case.
+    // Locale.ROOT: Spark lowercases table names with ROOT semantics;
+    // a default-locale fold diverges under tr/az and misses the dir.
+    if (!spark.catalog.tableExists(name)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh,
+        name.toLowerCase(java.util.Locale.ROOT))
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
     weights.toSeq.zipWithIndex.map { case (w, i) => (i, w) }
       .toDF("idx", "w")
       .write.mode("overwrite").saveAsTable(name)

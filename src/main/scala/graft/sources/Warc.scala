@@ -332,8 +332,50 @@ object Warc {
 
   private val CharsetParamRe = java.util.regex.Pattern.compile(
     "(?i)charset\\s*=\\s*\"?([\\w.:+-]+)")
-  private val MetaCharsetRe = java.util.regex.Pattern.compile(
-    "(?is)<meta[^>]+charset\\s*=\\s*[\"']?([\\w.:+-]+)")
+  private val MetaTagRe = java.util.regex.Pattern.compile(
+    "(?is)<meta\\b[^>]*>")
+  private val AttrRe = java.util.regex.Pattern.compile(
+    "(?is)([\\w-]+)\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)")
+
+  /** HTML5-style meta charset sniff over the decoded head: honors a
+    * real `charset` ATTRIBUTE or an `http-equiv=Content-Type` tag's
+    * content charset param — attribute-level parsing, so `charset=`
+    * appearing inside some OTHER attribute's value (a description
+    * that merely mentions it) can never hijack the decode (a bogus
+    * charset + REPLACE would silently turn a good page into U+FFFD
+    * soup). */
+  private def sniffMetaCharset(head: String): Option[String] = {
+    val tags = MetaTagRe.matcher(head)
+    while (tags.find()) {
+      val am = AttrRe.matcher(tags.group(0))
+      var charset: Option[String] = None
+      var httpEquivCt = false
+      var content: Option[String] = None
+      while (am.find()) {
+        val vRaw = am.group(2)
+        val v = if (vRaw.length >= 2 &&
+            (vRaw.head == '"' || vRaw.head == '\'')) {
+          vRaw.substring(1, vRaw.length - 1)
+        } else vRaw
+        am.group(1).toLowerCase(java.util.Locale.ROOT) match {
+          case "charset" => charset = Some(v.trim).filter(_.nonEmpty)
+          case "http-equiv" =>
+            httpEquivCt = v.trim.equalsIgnoreCase("content-type")
+          case "content" => content = Some(v)
+          case _ => ()
+        }
+      }
+      if (charset.isDefined) return charset
+      if (httpEquivCt) {
+        val fromCt = content.flatMap { c =>
+          val m = CharsetParamRe.matcher(c)
+          if (m.find()) Option(m.group(1)) else None
+        }
+        if (fromCt.isDefined) return fromCt
+      }
+    }
+    None
+  }
 
   /** Decode one body using the HTML5/HTTP resolution order:
     * 1. `charset=` parameter of the HTTP Content-Type;
@@ -360,7 +402,7 @@ object Warc {
       .orElse {
         val head = new String(body, 0, math.min(body.length, 1024),
           java.nio.charset.StandardCharsets.ISO_8859_1)
-        find(MetaCharsetRe, head)
+        sniffMetaCharset(head)
       }
     val cs = declared
       .filter(n => try java.nio.charset.Charset.isSupported(n)

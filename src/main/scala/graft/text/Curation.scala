@@ -78,7 +78,14 @@ object Curation {
     // weight map): floors, then +1 to the biggest remainders until the
     // floors sum to totalTarget; deterministic tie-break by name
     val shares = weights.toSeq.map { case (k, w) =>
-      val s = w / z * totalTarget
+      // share rounded to 6 dp (HALF_UP = SQL round) before the
+      // floor/remainder split: the raw double w/z*T carries
+      // summation-order ulp noise, and a share within 1 ulp of an
+      // integer could floor differently in a SQL mirror computing the
+      // same apportionment — rounding both sides first pins the
+      // largest-remainder boundaries cross-engine
+      val s = BigDecimal(w / z * totalTarget)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       (k, math.floor(s).toLong, s - math.floor(s))
     }
     val leftover = (totalTarget - shares.map(_._2).sum).toInt

@@ -154,10 +154,13 @@ object Html {
     * null. */
   def metaRobotsNoindex(html: Column): Column = {
     val tags = regexp_extract_all(html, lit("(?is)<meta\\b[^>]*>"), lit(0))
+    // whitespace REQUIRED before the attribute name (data-name= must
+    // not count — the links() `\shref` rule) and a word boundary
+    // closing the noindex token (noindexing must not count)
     when(html.isNotNull, exists(tags, t =>
-      t.rlike("(?is)\\bname\\s*=\\s*[\"']?robots\\b") &&
-        t.rlike("(?is)\\bcontent\\s*=\\s*(\"[^\"]*noindex|'[^']*noindex" +
-          "|[^\"'\\s>]*noindex)")))
+      t.rlike("(?is)\\sname\\s*=\\s*[\"']?robots\\b") &&
+        t.rlike("(?is)\\scontent\\s*=\\s*(\"[^\"]*\\bnoindex\\b" +
+          "|'[^']*\\bnoindex\\b|[^\"'\\s>]*\\bnoindex\\b)")))
   }
 
   /** The whole extraction as one projection:

@@ -25,6 +25,15 @@ object TextAnalysis {
     "[\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{f900}-\\x{faff}" +
       "\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}]"
 
+  /** The whitespace-split class, spelled EXPLICITLY because Java's
+    * `\s` and RE2's `\s` disagree on U+000B (vertical tab — Java
+    * includes it, RE2 does not): an explicit class is the only
+    * spelling both engines read identically (the [[Html]] collapse
+    * rule, applied to tokenization). Character-for-character equal to
+    * Java `\s`, so Spark-side behavior is unchanged; the SQL mirrors
+    * spell the same class. */
+  val WsSplit: String = "[ \\t\\n\\f\\r\\x0B]+"
+
   /** Thai, segmented at SCRIPT-RUN boundaries (not per codepoint —
     * Thai is alphabetic with combining vowels/tones; char-splitting
     * would shed bare combining marks as tokens). A Thai run embedded
@@ -58,7 +67,7 @@ object TextAnalysis {
     * split after [[scriptSpaced]] boundary insertion — bit-identical
     * to plain whitespace tokens on Latin text. */
   def tokens(text: Column): Column =
-    filter(split(trim(scriptSpaced(text)), "\\s+"), t => length(t) > 0)
+    filter(split(trim(scriptSpaced(text)), WsSplit), t => length(t) > 0)
 
   /** PLAIN whitespace tokens (no script spacing) — the tokenization
     * for operators that RECONSTRUCT text from tokens
@@ -71,7 +80,7 @@ object TextAnalysis {
     * unit — coarser matching, but text-preserving. Identical to
     * [[tokens]] on Latin text. */
   def wsTokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    filter(split(trim(text), WsSplit), t => length(t) > 0)
 
   /** Unicode normalization for training text — the cleanup pass real
     * pipelines run before any hashing/counting, because visually

@@ -100,6 +100,11 @@ class HtmlSpec extends SparkSpec {
     assert(!f("""<meta name="robots" content="index, follow">"""))
     assert(!f("""<meta name="description" content="noindex appears">"""))
     assert(!f("""<p>robots noindex</p>"""))
+    // attribute-boundary negatives: data-name/data-content must not
+    // count as name/content, and noindexING is not the noindex token
+    assert(!f("""<meta data-name="robots" data-content="noindex">"""))
+    assert(!f("""<meta name="robots" content="noindexing disabled">"""))
+    assert(!f("""<meta name="robots" content="foonoindex">"""))
     // two tags: the conditions must hold within ONE tag
     assert(!f("""<meta name="robots" content="index">
                  <meta name="keywords" content="noindex">"""))

@@ -184,6 +184,20 @@ class WarcSpec extends SparkSpec {
     assert(t6.contains('�') && t6.startsWith("ok") && t6.endsWith("x"))
     // null body passes through as nulls
     assert(Warc.decodeBodyBytes(null, "text/html") == ((null, null)))
+    // 'charset=' INSIDE another attribute's value must not hijack the
+    // decode (a description mentioning charset=utf-16be would turn
+    // the page into U+FFFD soup) — only a real charset attribute or
+    // an http-equiv content-type content param counts
+    val desc = ("""<meta name="description" content="set charset=utf-16be here">""" +
+      "<p>plain utf8 text</p>").getBytes("UTF-8")
+    val (t7, c7) = Warc.decodeBodyBytes(desc, "text/html")
+    assert(c7 == "UTF-8" && t7.contains("plain utf8 text"), s"$c7")
+    // the http-equiv form IS honored
+    val he = ("""<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">caf""" + "é")
+    val (t8, c8) = Warc.decodeBodyBytes(
+      he.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+      "text/html")
+    assert(c8 == "ISO-8859-1" && t8.endsWith("café"), s"$c8 $t8")
   }
 
   test("truncated payload fails loudly with file and position") {

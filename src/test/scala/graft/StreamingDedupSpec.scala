@@ -53,6 +53,59 @@ class StreamingDedupSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(0L, 1L))
   }
 
+  test("crawl front end AS the preFilter: robots opt-out, boilerplate " +
+       "drop, and unicode normalization feed the ingest loop — and the " +
+       "index catches a near-dup whose PAGES differ only in chrome") {
+    import graft.text.{Html, TextAnalysis}
+    def page(body: String, robots: Boolean = false, navExtra: String = "") =
+      "<html><head>" +
+        (if (robots) "<meta name=\"robots\" content=\"noindex\">" else "") +
+        "</head><body><nav><a href=\"/\">Home page link</a> " +
+        s"""<a href="/a">About the site$navExtra</a> """ +
+        "<a href=\"/b\">Contact and more</a></nav>" +
+        s"<p>$body</p></body></html>"
+    // the curation hook: the stream carries RAW HTML in textCol; the
+    // hook drops opted-out pages and replaces text with the cleaned,
+    // normalized article body (preserves idCol + textCol, det.)
+    val curate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(!Html.metaRobotsNoindex(col("text")))
+        .select(col("doc_id"), TextAnalysis.normalizeUnicode(
+          Html.dropBoilerplate(col("text")).getField("clean_text"))
+          .as("text"))
+    // seed pages wear the same chrome; the index holds their CLEANED
+    // article texts (what a real pipeline indexes)
+    val seedPages = seed.select(col("doc_id"),
+      concat(lit("<html><body><nav><a href=\"/\">Home page link</a> " +
+        "<a href=\"/a\">About the site</a> " +
+        "<a href=\"/b\">Contact and more</a></nav><p>"),
+        col("text"), lit("</p></body></html>")).as("text"))
+    DedupIndex.write(curate(seedPages), "doc_id", "text", "six9", P)
+    val out = tmp("sdout")
+    val batch = Seq(
+      // robots-opted-out page: must die BEFORE any dedup work
+      (301L, page("totally novel content that robots asked us not to index",
+        robots = true)),
+      // near-dup of SEED doc 1's article, but with DIFFERENT page
+      // chrome (extra nav text): only after boilerplate removal do
+      // the texts collide — the composition under test
+      (302L, page("the quick brown fox jumps over the lazy dog again " +
+        "and again more", navExtra = " and even more pages")),
+      // novel page with a decomposed e[combining acute] that must
+      // normalize before indexing
+      (303L, page("a fresh café article body about nothing else")))
+      .toDF("doc_id", "text")
+    StreamingDedup.ingestBatch(batch, 0L, "doc_id", "text", "six9", out,
+      threshold = 0.5, preFilter = curate)
+    val kept = spark.read.parquet(s"$out/ingest_batch=0")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text")).toMap
+    assert(kept.keySet == Set(303L), kept.keySet.toString)
+    // the survivor's text is the CLEANED, NFC-normalized article —
+    // no nav chrome, composed é
+    assert(kept(303L) == "a fresh caf\u00E9 article body about nothing else",
+      kept(303L))
+  }
+
   test("committed replay is a no-op; crash-window replay (append done, " +
        "log lost) recomputes the SAME survivors via self-exclusion") {
     DedupIndex.write(seed, "doc_id", "text", "six2", P)

@@ -1515,6 +1515,33 @@ object SparkEntry {
               "src2" -> 0.125, "src3" -> 0.125),
           totalTarget = 60L)),
 
+    // Domain-level quality filtering (RefinedWeb/C4: spam is a DOMAIN
+    // property): docs are spread over 10 synthesized domains, the odd
+    // domains' texts salted with 200 digit tokens (cratering alpha
+    // ratio and stopword rate), and the engine must aggregate per-doc
+    // quality per domain and drop every doc of the degraded domains.
+    // The oracle recomputes the whole thing — domain extraction, the
+    // composite quality score, the mean, the keep rule — in SQL.
+    // Full row/hash gate over the 10 domain rows.
+    "q122_domain_quality" -> ((s, d) => {
+      val docs = T(s, d, "documents").df
+      val salt = " " + Seq.fill(200)("00000").mkString(" ")
+      val salted = docs.select(col("doc_id"),
+        concat(col("text"), when(pmod(col("doc_id"), lit(2)) === 1,
+          lit(salt)).otherwise(lit(""))).as("text"),
+        concat(lit("https://d"),
+          pmod(col("doc_id"), lit(10)).cast(StringType),
+          lit(".com/p/"), col("doc_id").cast(StringType)).as("url"))
+      // ONE quality aggregation: the keep flag derives from the same
+      // stats frame the drop path uses (dropLowQualityDomains'
+      // equivalence to this rule is spec-pinned; recomputing the
+      // whole per-doc quality pass a second time here doubled the
+      // gate's cost for no extra coverage)
+      graft.text.Curation.domainQuality(salted, "url", "text")
+        .select(col("domain"), col("n_docs"), col("mean_quality"),
+          (col("mean_quality") >= 0.5).as("kept"))
+    }),
+
     // Temperature-scaled mixture (T5/mT5/LLaMA): stratum share ∝
     // count^tau at tau=0.5 — the oracle recomputes counts → 9dp
     // weights → largest-remainder quotas → the seeded-LCG rank
@@ -3230,6 +3257,48 @@ object SparkEntry {
                 round((doc_id * 7 % 256) / 255.0, 6) AS mean_g,
                 round((doc_id * 13 % 256) / 255.0, 6) AS mean_b
          FROM documents""",
+    // the whole domain pipeline in SQL: same synthesis (salt = 200
+    // five-digit tokens on odd ids), same domain regex, the composite
+    // quality score mirrored term for term (len/500 capped, alpha
+    // ratio, stopword-ratio*5 capped — per-doc round 6), the per-
+    // domain mean re-rounded, keep = mean >= 0.5 (clean domains sit
+    // ~0.55, salted ~0.41 — both sides of the line by a real margin).
+    // The plain-split
+    // word counts are value-identical to the engine's script-aware
+    // tokens on this ASCII+digit synthesis
+    "q122_domain_quality" ->
+      """WITH synth AS (
+           SELECT doc_id,
+                  text || CASE WHEN doc_id % 2 = 1
+                    THEN ' ' || repeat('00000 ', 199) || '00000'
+                    ELSE '' END AS t,
+                  'd' || CAST(doc_id % 10 AS VARCHAR) || '.com' AS domain
+           FROM documents),
+         tok AS (
+           SELECT doc_id, t, domain,
+                  list_filter(string_split_regex(trim(lower(t)),
+                    '[ \t\n\f\r\x0B]+'), x -> length(x) > 0) AS lt
+           FROM synth),
+         q AS (
+           SELECT domain,
+                  round((
+                    least(CAST(length(t) AS DOUBLE) / 500.0, 1.0)
+                    + CASE WHEN length(t) > 0
+                        THEN CAST(length(regexp_replace(t,
+                          '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(t)
+                        ELSE 0.0 END
+                    + least(CASE WHEN len(lt) > 0
+                        THEN CAST(len(list_filter(lt, x -> x IN
+                          ('the','a','an','and','or','of','to','in','is',
+                           'it','that','for','on','with','as','at','by',
+                           'this','be'))) AS DOUBLE) / len(lt) * 5.0
+                        ELSE 0.0 END, 1.0)
+                  ) / 3.0, 6) AS qs
+           FROM tok)
+         SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+                round(avg(qs), 6) AS mean_quality,
+                round(avg(qs), 6) >= 0.5 AS kept
+         FROM q GROUP BY domain""",
     // the full temperature apportionment in SQL: counts → pow(n,.5) →
     // normalize → round 9dp (both engines round before the quota math
     // — the pow cross-engine float policy) → renormalize over rounded

@@ -103,6 +103,44 @@ object Curation {
       .drop("__mix", "__rk")
   }
 
+  /** Per-domain quality aggregation — the RefinedWeb/C4 insight that
+    * spam is a DOMAIN property, not a document property: a content
+    * farm's individual pages can each scrape past per-doc filters,
+    * but the domain's aggregate quality gives it away. One
+    * domain-keyed partial-agg shuffle over (domain, per-doc quality
+    * score); output (domain, n_docs, mean_quality) with the 6-dp
+    * rounding policy. Docs with no parseable domain aggregate under
+    * the empty string. */
+  def domainQuality(docs: DataFrame, urlCol: String,
+                    textCol: String): DataFrame =
+    docs.select(
+        coalesce(Urls.domain(col(urlCol)), lit("")).as("domain"),
+        TextAnalysis.qualityScore(col(textCol)).as("__q"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("__q")), 6).as("mean_quality"))
+
+  /** Drop every document of a low-quality or oversized domain:
+    * domains below `minMeanQuality` mean per-doc quality, or with
+    * more than `maxDocsPerDomain` documents (the C4-style spam-farm
+    * cap), lose ALL their docs. Docs with no parseable domain are
+    * KEPT — no URL is no quality signal (the [[graft.text.Dedup
+    * .standardPipeline]] null-URL rule). The domain stats side is
+    * tiny (one row per domain) — AQE broadcasts the join. */
+  def dropLowQualityDomains(docs: DataFrame, urlCol: String,
+                            textCol: String, minMeanQuality: Double,
+                            maxDocsPerDomain: Long = Long.MaxValue)
+      : DataFrame = {
+    val bad = domainQuality(docs, urlCol, textCol)
+      .filter(col("domain") =!= "" &&
+        (col("mean_quality") < minMeanQuality ||
+          col("n_docs") > maxDocsPerDomain))
+      .select(col("domain"))
+    docs.join(bad,
+      coalesce(Urls.domain(col(urlCol)), lit("")) === bad("domain"),
+      "left_anti")
+  }
+
   /** Temperature-scaled mixture (the T5/mT5/LLaMA multilingual
     * recipe): stratum share ∝ count^tau, normalized — tau = 1
     * reproduces natural proportions, tau → 0 approaches uniform,

@@ -52,7 +52,8 @@ object DumpPlans {
       "q118_charset_decode" -> "charset decode: the q113 scan + one more shuffle-free scalar projection (header-param/meta-sniff/UTF-8 resolution inside the decode UDF)",
       "q119_meta_robots" -> "robots noindex: zero-shuffle per-row meta-tag regex battery, single pruned scan",
       "q120_normalize_unicode" -> "unicode normalize: two codegen strip regexes + the NFC scalar UDF, zero shuffle",
-      "q121_temperature_mix" -> "temperature mixture: ONE bounded stratum-count aggregate resolves the quotas on the driver; selection is the q107 per-stratum window rank — no global sort")
+      "q121_temperature_mix" -> "temperature mixture: ONE bounded stratum-count aggregate resolves the quotas on the driver; selection is the q107 per-stratum window rank — no global sort",
+      "q122_domain_quality" -> "domain quality: one domain-keyed partial-agg shuffle over (domain, per-doc score); the per-doc score is one tokenization + one traversal (stopword ratio via aggregate-with-finish — the size(filter)/size form re-ran tokens() 3x)")
 
     // Shapes that a physical-plan dump can NOT show: driver-coordinated
     // iteration (q112's training loop) and RDD-level selection (q117's

@@ -183,6 +183,39 @@ class CurationProbeSpec extends SparkSpec {
     assert(both < 1400, s"high-bit-congruent pairs agree $both/2000")
   }
 
+  test("dropLowQualityDomains: a degraded domain loses ALL its docs " +
+       "(even its individually-fine pages), the spam-farm doc cap " +
+       "trips, and URL-less docs are never dropped") {
+    val good = "the quick brown fox jumps over the lazy dog and that " +
+      "dog would have stayed with all of the other dogs to be found"
+    val junk = "00000 11111 22222 33333 44444 55555 66666 77777 " * 8
+    val df = Seq(
+      // ok.com: two good docs
+      (1L, good, "https://ok.com/a"), (2L, good + " again", "https://ok.com/b"),
+      // spam.com: one good-LOOKING doc hiding among junk — domain
+      // aggregate must take it down anyway
+      (3L, good, "https://spam.com/sneaky"),
+      (4L, junk, "https://spam.com/x"), (5L, junk, "https://spam.com/y"),
+      (6L, junk, "https://spam.com/z"),
+      // no URL: no signal, always kept
+      (7L, good, null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "url")
+    val kept = graft.text.Curation.dropLowQualityDomains(
+        df, "url", "text", minMeanQuality = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 7L), kept.toString)
+    // the farm cap: ok.com exceeds maxDocsPerDomain=1 and dies whole
+    val capped = graft.text.Curation.dropLowQualityDomains(
+        df.filter(col("doc_id") <= 2 || col("doc_id") === 7),
+        "url", "text", minMeanQuality = 0.0, maxDocsPerDomain = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped == Set(7L), capped.toString)
+    // the stats frame itself: one row per domain (null URL → "")
+    val stats = graft.text.Curation.domainQuality(df, "url", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("ok.com" -> 2L, "spam.com" -> 4L, "" -> 1L))
+  }
+
   test("temperatureMixture: tau=1 reproduces natural proportions, " +
        "tau=0 is uniform, tau=0.5 sits between (upsamples the small " +
        "source); deterministic") {

@@ -190,49 +190,77 @@ object TextAnalysis {
     * (Bullet/ellipsis thresholds follow the paper: drop when ≥90% of
     * lines are bullets or ≥30% end in ellipsis.) */
   def gopherFlags(text: Column): Column = {
-    val toks = tokens(text)
-    val nWords = size(toks).cast(DoubleType)
-    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
-    val nLines = size(lines).cast(DoubleType)
-    val wordCountOk = size(toks) >= 50 && size(toks) <= 100000
-    val mwl = when(size(toks) > 0,
-      aggregate(toks, lit(0L), (a, t) => a + length(t))
-        .cast(DoubleType) / nWords).otherwise(lit(0.0))
-    val meanWordLenOk = mwl >= 3.0 && mwl <= 10.0
+    // ONE traversal of the token stream and ONE of the line list.
+    // The flag-per-subexpression form re-evaluated tokens() ~8x per
+    // row (HOF subtrees are excluded from subexpression elimination —
+    // lambda variables break CSE), which made the per-doc Gopher pass
+    // the q122-class hot spot (q102 A/B at sf10: 49 s -> 25 s; the
+    // residual is the inherent per-token work — one lambda struct
+    // fold with the 8-way stopword CASE and the alpha rlike). Values
+    // are bit-identical: same counts, same thresholds, same field
+    // order.
+    val gopherStops =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // per-token fold: count, summed length, alphabetic-token count,
+    // and a distinct-stopword bitmask (bit i = stopword i seen)
+    val tokAgg = aggregate(tokens(text),
+      struct(lit(0L).as("n"), lit(0L).as("len"),
+        lit(0L).as("alpha"), lit(0).as("mask")),
+      (a, t) => struct(
+        (a.getField("n") + 1L).as("n"),
+        (a.getField("len") + length(t)).as("len"),
+        (a.getField("alpha") +
+          when(t.rlike("[A-Za-z]"), 1L).otherwise(0L)).as("alpha"),
+        a.getField("mask").bitwiseOR(
+          gopherStops.zipWithIndex.foldLeft(lit(0)) { case (acc, (w, i)) =>
+            when(lower(t) === w, lit(1 << i)).otherwise(acc)
+          }).as("mask")))
+    // per-line fold: count, bullet-start count, ellipsis-end count
+    val lineAgg = aggregate(
+      filter(split(text, "\n"), l => length(trim(l)) > 0),
+      struct(lit(0L).as("n"), lit(0L).as("bullet"), lit(0L).as("ell")),
+      (a, l) => struct(
+        (a.getField("n") + 1L).as("n"),
+        (a.getField("bullet") + when(trim(l)
+          .rlike("^([\\u2022\\u2023\\u25aa\\u25cf\\-\\*])"), 1L)
+          .otherwise(0L)).as("bullet"),
+        (a.getField("ell") + when(trim(l)
+          .rlike("(\\.\\.\\.|\\u2026)$"), 1L).otherwise(0L)).as("ell")))
     // symbol occurrences: '#' by removed-length, ellipses by split count
     // (regexp-removal length ÷ pattern width is ambiguous across the
     // 1-char '…' and 3-char '...' forms)
     val symCount =
       (length(text) - length(regexp_replace(text, "#", ""))).cast(DoubleType) +
       (size(split(text, "\\.\\.\\.|\\u2026", -1)) - 1).cast(DoubleType)
-    val symbolRatioOk =
-      when(nWords > 0, symCount / nWords < 0.1).otherwise(lit(false))
-    val bulletFrac = when(nLines > 0,
-      size(filter(lines, l =>
-        trim(l).rlike("^([\\u2022\\u2023\\u25aa\\u25cf\\-\\*])")))
-        .cast(DoubleType) / nLines).otherwise(lit(0.0))
-    val ellipsisFrac = when(nLines > 0,
-      size(filter(lines, l =>
-        trim(l).rlike("(\\.\\.\\.|\\u2026)$"))).cast(DoubleType) / nLines)
-      .otherwise(lit(0.0))
-    val alphaFrac = when(nWords > 0,
-      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(DoubleType) / nWords)
-      .otherwise(lit(0.0))
-    val gopherStops =
-      Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val lowToks = tokens(lower(text))
-    val stopHits = size(filter(array(gopherStops.map(lit): _*),
-      s => array_contains(lowToks, s)))
-    val flags = Seq(
-      "word_count_ok" -> wordCountOk,
-      "mean_word_len_ok" -> meanWordLenOk,
-      "symbol_ratio_ok" -> symbolRatioOk,
-      "bullet_lines_ok" -> (bulletFrac < 0.9),
-      "ellipsis_lines_ok" -> (ellipsisFrac < 0.3),
-      "alpha_words_ok" -> (alphaFrac >= 0.8),
-      "stopwords_ok" -> (stopHits >= 2))
-    struct((flags.map { case (n, c) => c.as(n) } :+
-      flags.map(_._2).reduce(_ && _).as("keep")): _*)
+    // let-binding via zip_with over 1-element arrays: tf/lf become
+    // LAMBDA VARIABLES, so the flag struct can reference each fold's
+    // result many times while evaluating each fold exactly once
+    element_at(zip_with(array(tokAgg), array(lineAgg), (tf, lf) => {
+      val nW = tf.getField("n")
+      val nWd = nW.cast(DoubleType)
+      val mwl = when(nW > 0,
+        tf.getField("len").cast(DoubleType) / nWd).otherwise(lit(0.0))
+      val bulletFrac = when(lf.getField("n") > 0,
+        lf.getField("bullet").cast(DoubleType) /
+          lf.getField("n").cast(DoubleType)).otherwise(lit(0.0))
+      val ellipsisFrac = when(lf.getField("n") > 0,
+        lf.getField("ell").cast(DoubleType) /
+          lf.getField("n").cast(DoubleType)).otherwise(lit(0.0))
+      val alphaFrac = when(nW > 0,
+        tf.getField("alpha").cast(DoubleType) / nWd).otherwise(lit(0.0))
+      val stopHits = bit_count(tf.getField("mask"))
+      val flags = Seq(
+        "word_count_ok" -> (nW >= 50 && nW <= 100000),
+        "mean_word_len_ok" -> (mwl >= 3.0 && mwl <= 10.0),
+        "symbol_ratio_ok" ->
+          when(nWd > 0, symCount / nWd < 0.1).otherwise(lit(false)),
+        "bullet_lines_ok" -> (bulletFrac < 0.9),
+        "ellipsis_lines_ok" -> (ellipsisFrac < 0.3),
+        "alpha_words_ok" -> (alphaFrac >= 0.8),
+        "stopwords_ok" -> (stopHits >= 2))
+      struct((flags.map { case (n, c) => c.as(n) } :+
+        flags.map(_._2).reduce(_ && _).as("keep")): _*)
+    }), 1)
   }
 
   private val LangStopwords: Map[String, Seq[String]] = Map(

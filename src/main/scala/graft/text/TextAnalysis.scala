@@ -364,29 +364,45 @@ object TextAnalysis {
   def docLines(text: Column): Column =
     filter(split(text, "\n"), l => length(trim(l)) > 0)
 
+  /** (n, chars) fold over a line array — the shared kernel of the
+    * dup-line ratios (one traversal per array reference instead of a
+    * re-split per size()/aggregate() — the gopherFlags HOF-CSE rule). */
+  private def lineStats(ls: Column): Column =
+    aggregate(ls,
+      struct(lit(0L).as("n"), lit(0L).as("chars")),
+      (a, l) => struct((a.getField("n") + 1L).as("n"),
+        (a.getField("chars") + length(l)).as("chars")))
+
+  /** Both dup-line ratios in ONE struct — (dup_line_ratio,
+    * dup_line_char_ratio): total − distinct on line counts and on
+    * line characters. Two folds (all lines, distinct lines), each
+    * evaluated once under a zip_with let-binding; the separate-ratio
+    * form re-split the document ~6x per row. */
+  def dupLineRatios(text: Column): Column = {
+    val all = lineStats(docLines(text))
+    val dist = lineStats(array_distinct(docLines(text)))
+    element_at(zip_with(array(all), array(dist), (a, d) => struct(
+      when(a.getField("n") > 0,
+        (a.getField("n") - d.getField("n")).cast(DoubleType) /
+          a.getField("n")).otherwise(lit(0.0)).as("dup_line_ratio"),
+      when(a.getField("chars") > 0,
+        (a.getField("chars") - d.getField("chars")).cast(DoubleType) /
+          a.getField("chars")).otherwise(lit(0.0))
+        .as("dup_line_char_ratio"))), 1)
+  }
+
   /** Fraction of non-empty lines that are repeats of an earlier line
     * (occurrences after the first of each distinct line / total lines).
     * O(lines) per row — the repeat count falls out of total − distinct,
     * no per-line membership scans. */
-  def dupLineRatio(text: Column): Column = {
-    val ls = docLines(text)
-    when(size(ls) > 0,
-      (size(ls) - size(array_distinct(ls))).cast(DoubleType) / size(ls))
-      .otherwise(lit(0.0))
-  }
+  def dupLineRatio(text: Column): Column =
+    dupLineRatios(text).getField("dup_line_ratio")
 
   /** Fraction of line CHARACTERS inside repeated line occurrences
     * (Gopher counts characters, not lines — one giant duplicated
     * boilerplate block weighs more than many short ones). */
-  def dupLineCharRatio(text: Column): Column = {
-    val ls = docLines(text)
-    def chars(c: Column) =
-      aggregate(c, lit(0L), (acc, l) => acc + length(l))
-    val total = chars(ls)
-    when(total > 0,
-      (total - chars(array_distinct(ls))).cast(DoubleType) / total)
-      .otherwise(lit(0.0))
-  }
+  def dupLineCharRatio(text: Column): Column =
+    dupLineRatios(text).getField("dup_line_char_ratio")
 
   /** Word n-grams WITH duplicates (unlike `Dedup.wordNgrams`): needed to
     * count the most frequent gram. Documents with fewer than n tokens
@@ -449,10 +465,12 @@ object TextAnalysis {
     * relational form whose shuffles carry only longs). */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol),
-        round(dupLineRatio(col(textCol)), 6).as("dup_line_ratio"),
-        round(dupLineCharRatio(col(textCol)), 6).as("dup_line_char_ratio"),
+    df.select(col(idCol), dupLineRatios(col(textCol)).as("__r"),
         length(col(textCol)).cast(LongType).as("n_chars"))
+      .select(col(idCol),
+        round(col("__r.dup_line_ratio"), 6).as("dup_line_ratio"),
+        round(col("__r.dup_line_char_ratio"), 6).as("dup_line_char_ratio"),
+        col("n_chars"))
       .join(topGramCharMass(df, idCol, textCol, 2, "top2"), Seq(idCol), "left")
       .join(topGramCharMass(df, idCol, textCol, 3, "top3"), Seq(idCol), "left")
       .select(col(idCol), col("dup_line_ratio"), col("dup_line_char_ratio"),

@@ -157,14 +157,17 @@ object TextAnalysis {
         a.getField("s").cast(DoubleType) / a.getField("n"))
         .otherwise(lit(0.0)))
 
-  /** Mean token length. */
-  def meanTokenLength(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-        .cast(DoubleType) / size(toks))
-      .otherwise(lit(0.0))
-  }
+  /** Mean token length — one tokenization + one traversal (the
+    * stopwordRatio finish-lambda form; the size/aggregate/size
+    * spelling tokenized three times per row). */
+  def meanTokenLength(text: Column): Column =
+    aggregate(tokens(text),
+      struct(lit(0L).as("n"), lit(0L).as("len")),
+      (a, t) => struct((a.getField("n") + 1L).as("n"),
+        (a.getField("len") + length(t)).as("len")),
+      a => when(a.getField("n") > 0,
+        a.getField("len").cast(DoubleType) / a.getField("n"))
+        .otherwise(lit(0.0)))
 
   /** Composite quality score in [0,1]: favors texts with sane length,
     * high alpha ratio and a natural stopword rate. Deterministic. */

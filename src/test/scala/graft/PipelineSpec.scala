@@ -563,6 +563,16 @@ class PipelineSpec extends SparkSpec {
     assert(deduped.count() == 1)
   }
 
+  test("meanTokenLength: single-fold form, hand-computed values") {
+    val got = Seq((1L, "ab cde f"), (2L, ""), (3L, "  "), (4L, "中文文"))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.meanTokenLength(col("t")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 2.0)            // (2+3+1)/3
+    assert(got(2L) == 0.0 && got(3L) == 0.0)
+    assert(got(4L) == 1.0)            // script-aware: 3 one-char tokens
+  }
+
   test("fingerprint is stable and content-sensitive") {
     val df = Seq((1, "aa bb cc"), (2, "aa bb cc"), (3, "aa bb cc dd"))
       .toDF("id", "t")

@@ -147,7 +147,10 @@ object TextAnalysis {
     * identical. */
   def stopwordRatio(text: Column,
                     stopwords: Seq[String] = EnglishStopwords): Column =
-    aggregate(tokens(lower(text)),
+    // coalesce-empty: aggregate(null array) is NULL, but this function
+    // has always returned 0.0 for null text (size(null) = -1 routed the
+    // old form to the otherwise branch) — null and '' behave alike here
+    aggregate(tokens(lower(coalesce(text, lit("")))),
       struct(lit(0L).as("n"), lit(0L).as("s")),
       (a, t) => struct(
         (a.getField("n") + 1L).as("n"),
@@ -161,7 +164,8 @@ object TextAnalysis {
     * stopwordRatio finish-lambda form; the size/aggregate/size
     * spelling tokenized three times per row). */
   def meanTokenLength(text: Column): Column =
-    aggregate(tokens(text),
+    // coalesce-empty: null text has always read 0.0 (see stopwordRatio)
+    aggregate(tokens(coalesce(text, lit(""))),
       struct(lit(0L).as("n"), lit(0L).as("len")),
       (a, t) => struct((a.getField("n") + 1L).as("n"),
         (a.getField("len") + length(t)).as("len")),
@@ -206,7 +210,8 @@ object TextAnalysis {
       Seq("the", "be", "to", "of", "and", "that", "have", "with")
     // per-token fold: count, summed length, alphabetic-token count,
     // and a distinct-stopword bitmask (bit i = stopword i seen)
-    val tokAgg = aggregate(tokens(text),
+    val safeText = coalesce(text, lit(""))
+    val tokAgg = aggregate(tokens(safeText),
       struct(lit(0L).as("n"), lit(0L).as("len"),
         lit(0L).as("alpha"), lit(0).as("mask")),
       (a, t) => struct(
@@ -220,7 +225,7 @@ object TextAnalysis {
           }).as("mask")))
     // per-line fold: count, bullet-start count, ellipsis-end count
     val lineAgg = aggregate(
-      filter(split(text, "\n"), l => length(trim(l)) > 0),
+      filter(split(safeText, "\n"), l => length(trim(l)) > 0),
       struct(lit(0L).as("n"), lit(0L).as("bullet"), lit(0L).as("ell")),
       (a, l) => struct(
         (a.getField("n") + 1L).as("n"),
@@ -233,8 +238,10 @@ object TextAnalysis {
     // (regexp-removal length ÷ pattern width is ambiguous across the
     // 1-char '…' and 3-char '...' forms)
     val symCount =
-      (length(text) - length(regexp_replace(text, "#", ""))).cast(DoubleType) +
-      (size(split(text, "\\.\\.\\.|\\u2026", -1)) - 1).cast(DoubleType)
+      (length(safeText) -
+        length(regexp_replace(safeText, "#", ""))).cast(DoubleType) +
+      (size(split(safeText, "\\.\\.\\.|\\u2026", -1)) - 1)
+        .cast(DoubleType)
     // let-binding via zip_with over 1-element arrays: tf/lf become
     // LAMBDA VARIABLES, so the flag struct can reference each fold's
     // result many times while evaluating each fold exactly once
@@ -382,8 +389,11 @@ object TextAnalysis {
     * evaluated once under a zip_with let-binding; the separate-ratio
     * form re-split the document ~6x per row. */
   def dupLineRatios(text: Column): Column = {
-    val all = lineStats(docLines(text))
-    val dist = lineStats(array_distinct(docLines(text)))
+    // coalesce-empty: null text has always read (0.0, 0.0) — the
+    // pre-fold forms routed size(null) = -1 to their otherwise branch
+    val safe = coalesce(text, lit(""))
+    val all = lineStats(docLines(safe))
+    val dist = lineStats(array_distinct(docLines(safe)))
     element_at(zip_with(array(all), array(dist), (a, d) => struct(
       when(a.getField("n") > 0,
         (a.getField("n") - d.getField("n")).cast(DoubleType) /

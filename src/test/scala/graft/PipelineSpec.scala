@@ -563,6 +563,32 @@ class PipelineSpec extends SparkSpec {
     assert(deduped.count() == 1)
   }
 
+  test("folded quality signals on NULL text keep the historical 0.0/" +
+       "false values (aggregate over a null array is NULL — the folds " +
+       "must coalesce-empty first)") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""))
+      .toDF("id", "t")
+    val r = df.select(col("id"),
+        TextAnalysis.stopwordRatio(col("t")).as("sw"),
+        TextAnalysis.meanTokenLength(col("t")).as("mtl"),
+        TextAnalysis.dupLineRatios(col("t")).as("dl"),
+        TextAnalysis.gopherFlags(col("t")).as("g"))
+      .collect().map(row => row.getLong(0) -> row).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(r(id).getDouble(1) == 0.0, s"stopwordRatio($id)")
+      assert(r(id).getDouble(2) == 0.0, s"meanTokenLength($id)")
+      val dl = r(id).getStruct(3)
+      assert(dl.getDouble(0) == 0.0 && dl.getDouble(1) == 0.0)
+      val g = r(id).getStruct(4)
+      // empty/null doc: word-count/mean-len/symbol/alpha/stopwords
+      // fail, bullet/ellipsis vacuously pass, keep false — non-null
+      // booleans throughout
+      assert(!g.getBoolean(0) && !g.getBoolean(1) && !g.getBoolean(2) &&
+        g.getBoolean(3) && g.getBoolean(4) && !g.getBoolean(5) &&
+        !g.getBoolean(6) && !g.getBoolean(7), g.toString)
+    }
+  }
+
   test("meanTokenLength: single-fold form, hand-computed values") {
     val got = Seq((1L, "ab cde f"), (2L, ""), (3L, "  "), (4L, "中文文"))
       .toDF("id", "t")

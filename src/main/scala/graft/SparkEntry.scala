@@ -1901,8 +1901,12 @@ object SparkEntry {
         nToks.cast(LongType).as("n_tokens"),
         size(array_distinct(toks)).cast(LongType).as("n_distinct_tokens"),
         alphaFrac.as("alpha_token_frac"),
-        graft.text.TextAnalysis.gopherFlags(synth)
-          .getField("word_count_ok").as("word_count_ok"),
+        // the Gopher word-count RULE on the gate's own token count —
+        // extracting one field from gopherFlags' let-bound struct
+        // would evaluate the full flag battery per row (struct-field
+        // pruning can't see through the binding; measured 2.5x on
+        // this gate)
+        (nToks >= 50 && nToks <= 100000).as("word_count_ok"),
         (graft.text.TextAnalysis.langId(synth) === "zh").as("cjk_detected"))
     }),
 

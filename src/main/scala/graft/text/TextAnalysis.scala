@@ -34,6 +34,18 @@ object TextAnalysis {
     * spell the same class. */
   val WsSplit: String = "[ \\t\\n\\f\\r\\x0B]+"
 
+  /** Column-level let-binding: evaluate `a` and `b` exactly ONCE and
+    * assemble the result from LAMBDA VARIABLES, which the body may
+    * reference freely — the HOF-CSE workaround (lambda-variable
+    * subtrees are excluded from Spark's subexpression elimination, so
+    * a plain Column referenced k times evaluates k times). Cost: one
+    * 1-element array allocation per side per row. Caveat, accepted:
+    * the result is NULLABLE at the schema level (element_at) even
+    * when the body never is. */
+  private[text] def let2(a: Column, b: Column)(
+      f: (Column, Column) => Column): Column =
+    element_at(zip_with(array(a), array(b), f), 1)
+
   /** Thai, segmented at SCRIPT-RUN boundaries (not per codepoint —
     * Thai is alphabetic with combining vowels/tones; char-splitting
     * would shed bare combining marks as tokens). A Thai run embedded
@@ -201,9 +213,11 @@ object TextAnalysis {
     // The flag-per-subexpression form re-evaluated tokens() ~8x per
     // row (HOF subtrees are excluded from subexpression elimination —
     // lambda variables break CSE), which made the per-doc Gopher pass
-    // the q122-class hot spot (q102 A/B at sf10: 49 s -> 25 s; the
-    // residual is the inherent per-token work — one lambda struct
-    // fold with the 8-way stopword CASE and the alpha rlike). Values
+    // the q122-class hot spot. q102 A/B at sf10, each step measured:
+    // 49 s (flag-per-subexpression) -> 25 s (single folds) -> 16 s
+    // (one lower(t) per token via array_position + the symCount pack
+    // in the let-binding, so keep's conjunction re-reads lambda
+    // variables instead of re-running the two symbol scans). Values
     // are bit-identical: same counts, same thresholds, same field
     // order.
     val gopherStops =
@@ -219,10 +233,16 @@ object TextAnalysis {
         (a.getField("len") + length(t)).as("len"),
         (a.getField("alpha") +
           when(t.rlike("[A-Za-z]"), 1L).otherwise(0L)).as("alpha"),
-        a.getField("mask").bitwiseOR(
-          gopherStops.zipWithIndex.foldLeft(lit(0)) { case (acc, (w, i)) =>
-            when(lower(t) === w, lit(1 << i)).otherwise(acc)
-          }).as("mask")))
+        // ONE lower(t) per token: the 8-way when-chain re-lowercased
+        // per branch; array_position scans the 8 literals against one
+        // lowered value, and shiftleft-by-column turns the 1-based
+        // index into the bit
+        a.getField("mask").bitwiseOR({
+          val idx = array_position(
+            array(gopherStops.map(lit): _*), lower(t))
+          when(idx > 0, call_function("shiftleft", lit(1),
+            (idx - 1L).cast(IntegerType))).otherwise(lit(0))
+        }).as("mask")))
     // per-line fold: count, bullet-start count, ellipsis-end count
     val lineAgg = aggregate(
       filter(split(safeText, "\n"), l => length(trim(l)) > 0),
@@ -242,10 +262,14 @@ object TextAnalysis {
         length(regexp_replace(safeText, "#", ""))).cast(DoubleType) +
       (size(split(safeText, "\\.\\.\\.|\\u2026", -1)) - 1)
         .cast(DoubleType)
-    // let-binding via zip_with over 1-element arrays: tf/lf become
-    // LAMBDA VARIABLES, so the flag struct can reference each fold's
-    // result many times while evaluating each fold exactly once
-    element_at(zip_with(array(tokAgg), array(lineAgg), (tf, lf) => {
+    // let-binding ([[let2]]): tf and the (line fold, symCount) pack
+    // become LAMBDA VARIABLES, so the flag struct — including keep's
+    // conjunction, which references every flag a second time — reads
+    // each fold and the two symbol scans exactly once per row
+    let2(tokAgg, struct(lineAgg.as("lf"), symCount.as("sym"))) {
+      (tf, pack) =>
+      val lf = pack.getField("lf")
+      val sym = pack.getField("sym")
       val nW = tf.getField("n")
       val nWd = nW.cast(DoubleType)
       val mwl = when(nW > 0,
@@ -263,14 +287,14 @@ object TextAnalysis {
         "word_count_ok" -> (nW >= 50 && nW <= 100000),
         "mean_word_len_ok" -> (mwl >= 3.0 && mwl <= 10.0),
         "symbol_ratio_ok" ->
-          when(nWd > 0, symCount / nWd < 0.1).otherwise(lit(false)),
+          when(nWd > 0, sym / nWd < 0.1).otherwise(lit(false)),
         "bullet_lines_ok" -> (bulletFrac < 0.9),
         "ellipsis_lines_ok" -> (ellipsisFrac < 0.3),
         "alpha_words_ok" -> (alphaFrac >= 0.8),
         "stopwords_ok" -> (stopHits >= 2))
       struct((flags.map { case (n, c) => c.as(n) } :+
         flags.map(_._2).reduce(_ && _).as("keep")): _*)
-    }), 1)
+    }
   }
 
   private val LangStopwords: Map[String, Seq[String]] = Map(
@@ -390,18 +414,22 @@ object TextAnalysis {
     * form re-split the document ~6x per row. */
   def dupLineRatios(text: Column): Column = {
     // coalesce-empty: null text has always read (0.0, 0.0) — the
-    // pre-fold forms routed size(null) = -1 to their otherwise branch
+    // pre-fold forms routed size(null) = -1 to their otherwise branch.
+    // Nested let-bindings: the document is split into lines ONCE (the
+    // outer transform binds ls), then both folds bind under [[let2]]
+    // so the two ratios read them freely
     val safe = coalesce(text, lit(""))
-    val all = lineStats(docLines(safe))
-    val dist = lineStats(array_distinct(docLines(safe)))
-    element_at(zip_with(array(all), array(dist), (a, d) => struct(
-      when(a.getField("n") > 0,
-        (a.getField("n") - d.getField("n")).cast(DoubleType) /
-          a.getField("n")).otherwise(lit(0.0)).as("dup_line_ratio"),
-      when(a.getField("chars") > 0,
-        (a.getField("chars") - d.getField("chars")).cast(DoubleType) /
-          a.getField("chars")).otherwise(lit(0.0))
-        .as("dup_line_char_ratio"))), 1)
+    element_at(transform(array(docLines(safe)), ls =>
+      let2(lineStats(ls), lineStats(array_distinct(ls))) { (a, d) =>
+        struct(
+          when(a.getField("n") > 0,
+            (a.getField("n") - d.getField("n")).cast(DoubleType) /
+              a.getField("n")).otherwise(lit(0.0)).as("dup_line_ratio"),
+          when(a.getField("chars") > 0,
+            (a.getField("chars") - d.getField("chars")).cast(DoubleType) /
+              a.getField("chars")).otherwise(lit(0.0))
+            .as("dup_line_char_ratio"))
+      }), 1)
   }
 
   /** Fraction of non-empty lines that are repeats of an earlier line

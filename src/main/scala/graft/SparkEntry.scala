@@ -3792,6 +3792,16 @@ object SparkEntry {
       })
     )
 
+  /** PRECONDITION (r15 advisory): legacy token-based oracles (q49,
+    * q64, q83, q90, q100, q102, q103, …) mirror the plain whitespace
+    * split, while engine-side [[graft.text.TextAnalysis.tokens]] is
+    * script-aware (CJK/Thai boundary insertion). They agree exactly
+    * when the corpus carries no CJK/Thai codepoints — true of the
+    * driver-generated testdata, and ASSERTED (not assumed) by
+    * CoverageSpec "ASCII-corpus precondition": any such byte entering
+    * a future corpus fails that spec loudly instead of silently
+    * diverging engine vs oracle. Gates whose POINT is the script rule
+    * (q114, q115) mirror the full scriptSpaced regex pair instead. */
   def oracleSql: Map[String, String] =
     relationalOracles ++ functionOracles ++ pipelineOracles
 }

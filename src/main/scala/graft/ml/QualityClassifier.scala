@@ -136,6 +136,13 @@ object QualityClassifier {
     // readable, and mode(overwrite) handles the cataloged case.
     // Locale.ROOT: Spark lowercases table names with ROOT semantics;
     // a default-locale fold diverges under tr/az and misses the dir.
+    // unqualified names only: a db-qualified `db.tbl` lives at
+    // <warehouse>/<db>.db/<tbl>, so the string-concat orphan path below
+    // would miss it and the retrain would still die on
+    // LOCATION_ALREADY_EXISTS — reject up front rather than half-work
+    require(!name.contains("."),
+      s"saveWeights: unqualified table name required (got '$name'); " +
+        "database-qualified weight tables are not supported")
     if (!spark.catalog.tableExists(name)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val path = new org.apache.hadoop.fs.Path(wh,
@@ -171,9 +178,18 @@ object QualityClassifier {
                          targetKeepRate: Double): Double = {
     require(targetKeepRate > 0 && targetKeepRate <= 1,
       s"targetKeepRate must be in (0, 1] (got $targetKeepRate)")
+    // fail loudly on null/NaN scores up front: a null would surface as
+    // an opaque NPE from deep inside a sort task, and NaN ordering
+    // under sortBy(-s) silently shifts the k-th-largest rank — both
+    // are corpus bugs the caller must see, not absorb
     val rdd = scored.select(col("quality_score").cast(DoubleType)).rdd
-      .map(_.getDouble(0))
-    val n = rdd.count()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    val (n, nBad) = rdd.map(s => (1L, if (s.isNaN) 1L else 0L))
+      .fold((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    require(nBad == 0L,
+      s"calibrateThreshold: $nBad of $n quality_score values are " +
+        "null/NaN — fix the scoring pass (a silent drop here would " +
+        "shift the calibrated keep rate)")
     require(n > 0, "calibrateThreshold: no scored rows")
     val k = math.max(1L, math.ceil(targetKeepRate * n).toLong)
     val hit = rdd.sortBy(s => -s).zipWithIndex()

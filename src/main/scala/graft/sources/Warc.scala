@@ -267,7 +267,13 @@ object Warc {
           val c = h.indexOf(':')
           if (c > 0) {
             lastKey = h.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
-            hdrs(lastKey) = h.substring(c + 1).trim
+            val v = h.substring(c + 1).trim
+            // repeated headers comma-join (RFC 7230 §3.2.2 list
+            // semantics), never last-wins: a second Transfer-Encoding
+            // line must not erase an earlier 'chunked' token, or wire
+            // framing silently survives into the body
+            hdrs(lastKey) =
+              hdrs.get(lastKey).map(_ + ", " + v).getOrElse(v)
           } // a colon-less garbage header line is skipped, not fatal —
             // real crawls contain them and the body boundary is already
             // exact (the blank line), so nothing can be misattributed

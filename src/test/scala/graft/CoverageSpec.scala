@@ -145,4 +145,29 @@ class CoverageSpec extends SparkSpec {
     GraftSession.unpersistAll()
     assert(!a.storageLevel.useMemory)
   }
+
+  test("ASCII-corpus precondition: script-aware tokens() equals the " +
+       "plain-whitespace split on every gate corpus (legacy oracle " +
+       "mirrors depend on it — see SparkEntry.oracleSql doc)") {
+    // The legacy token-based DuckDB mirrors split on whitespace only;
+    // the engine's tokens() additionally inserts CJK/Thai boundaries.
+    // They coincide iff the corpus has no such codepoints. Assert the
+    // equivalence DIRECTLY over the corpora the gates run on, so a
+    // future corpus regeneration with multilingual text fails HERE
+    // with a clear message, not as a silent q49/q64/… hash mismatch.
+    import graft.text.TextAnalysis
+    for (sfd <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read
+        .parquet(s"/root/testdata/$sfd/documents.parquet")
+      val diverging = docs.filter(
+        !(TextAnalysis.tokens(col("text")) <=>
+          TextAnalysis.wsTokens(col("text")))).count()
+      assert(diverging == 0L,
+        s"$sfd/documents: $diverging doc(s) where script-aware " +
+          "tokenization diverges from the whitespace split — the " +
+          "legacy token-oracle mirrors (q49/q64/q83/q90/q100/q102/" +
+          "q103…) are no longer valid for this corpus; add the " +
+          "scriptSpaced regex pair to those oracles (q114 shows how)")
+    }
+  }
 }

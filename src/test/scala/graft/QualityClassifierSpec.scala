@@ -110,6 +110,29 @@ class QualityClassifierSpec extends SparkSpec {
         Seq.empty[(Long, Double)].toDF("doc_id", "quality_score"), 0.5)
     }
     assert(e2.getMessage.contains("no scored rows"))
+    // null / NaN scores fail loudly UP FRONT (r15 advisory): a null
+    // would otherwise NPE deep in a sort task and NaN ordering would
+    // silently shift the k-th-largest rank
+    val withNull = Seq((1L, Some(0.9)), (2L, None), (3L, Some(0.5)))
+      .toDF("doc_id", "quality_score")
+    val e3 = intercept[IllegalArgumentException] {
+      QualityClassifier.calibrateThreshold(withNull, 0.5)
+    }
+    assert(e3.getMessage.contains("null/NaN"), e3.getMessage)
+    val withNan = Seq((1L, 0.9), (2L, Double.NaN), (3L, 0.5))
+      .toDF("doc_id", "quality_score")
+    val e4 = intercept[IllegalArgumentException] {
+      QualityClassifier.calibrateThreshold(withNan, 0.5)
+    }
+    assert(e4.getMessage.contains("null/NaN"), e4.getMessage)
+  }
+
+  test("saveWeights rejects database-qualified names (orphan-dir " +
+       "cleanup only knows the unqualified warehouse layout)") {
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.saveWeights(spark, Array(1.0), "db.tbl")
+    }
+    assert(e.getMessage.contains("unqualified"), e.getMessage)
   }
 
   test("degenerate inputs fail loudly: no labeled rows") {

@@ -591,21 +591,36 @@ class SourcesSpec extends SparkSpec {
       """).apply("y").df.collect()
     }
     assert(e2.getMessage.contains("data"), e2.getMessage)
-    // nested DIRECTORIES fail loudly too — the reference AllLoader
-    // walks partition dirs; skipping them here would silently drop rows
+    // nested DIRECTORIES are WALKED (r16): the reference AllLoader
+    // recurses into partition dirs, so a partitioned layout must load
+    // as the flat union of its files, never error or silently drop
     val in3 = s"${tmp()}/nested"
     java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s"$in3/part=1"))
+      java.nio.file.Paths.get(s"$in3/part=1/deeper"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$in3/_hidden"))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$in3/a.csv"),
       "1\n".getBytes)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$in3/part=1/b.csv"), "2\n".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$in3/part=1/deeper/c.csv"), "3\n".getBytes)
+    java.nio.file.Files.write( // hidden dirs stay skipped
+      java.nio.file.Paths.get(s"$in3/_hidden/d.csv"), "99\n".getBytes)
+    val nested = PigRunner(spark).run(s"""
+        x = LOAD '$in3' USING AllLoader('csv:PigStorage()')
+            AS (id:int);
+      """).apply("x").df.collect().map(_.getInt(0)).sorted
+    assert(nested.toSeq == Seq(1, 2, 3))
+    // a bare file inside a walked subdir still fails loudly
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$in3/part=1/noext"), "4\n".getBytes)
     val e3 = intercept[Exception] {
       PigRunner(spark).run(s"""
         x = LOAD '$in3' USING AllLoader('csv:PigStorage()');
         y = FOREACH x GENERATE $$0;
       """).apply("y").df.collect()
     }
-    assert(e3.getMessage.contains("part=1"), e3.getMessage)
+    assert(e3.getMessage.contains("noext"), e3.getMessage)
   }
 }

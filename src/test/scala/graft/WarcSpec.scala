@@ -132,6 +132,19 @@ class WarcSpec extends SparkSpec {
     // headers only, terminator at EOF → empty body
     val ho = "HTTP/1.1 204 No Content\r\nServer: x\r\n\r\n".getBytes(UTF_8)
     assert(Warc.splitHttpPayload(ho, "r3").body.isEmpty)
+    // REPEATED headers comma-join (RFC 7230 list semantics), never
+    // last-wins: a second Transfer-Encoding line must not erase the
+    // 'chunked' token or wire framing survives into the body
+    val rep = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+      "Transfer-Encoding: identity\r\n\r\n" +
+      "4\r\nWiki\r\n0\r\n\r\n").getBytes(UTF_8)
+    assert(new String(Warc.splitHttpPayload(rep, "r5").body, UTF_8) ==
+      "Wiki")
+    val rep2 = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" +
+      "4\r\nWiki\r\n0\r\n\r\n").getBytes(UTF_8)
+    assert(new String(Warc.splitHttpPayload(rep2, "r6").body, UTF_8) ==
+      "Wiki")
     // empty payload: a legal empty capture, nulls + empty body
     val pe = Warc.splitHttpPayload(Array.emptyByteArray, "r4")
     assert(pe.http_status.isEmpty && pe.body.isEmpty)

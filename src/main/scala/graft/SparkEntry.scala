@@ -1542,6 +1542,60 @@ object SparkEntry {
           (col("mean_quality") >= 0.5).as("kept"))
     }),
 
+    // Image perceptual-hash near-dup dedup (r16 — the multimodal
+    // counterpart of q43/q44): per doc, TWO lossless PNG renders of
+    // the same seeded 9×8-cell pattern at 2px and 4px cells (a true
+    // resize twin) plus ONE corrupt payload (truncated PNG). REAL
+    // ImageIO decode → box-averaged 64-bit dHash (box averaging makes
+    // the hash exactly invariant under the grid-aligned upscale) →
+    // the existing 64-bit Hamming banding (Dedup.simhashNearDups,
+    // distance 0) must surface every twin pair. q44 pattern: decoded
+    // dims are DuckDB-recomputable anchors; twin-found / hash-equal /
+    // corrupt-reports-null are Spark-computed verdicts pinned true.
+    "q123_image_dedup" -> ((s, d) => {
+      val docs = T(s, d, "documents").df.select(col("doc_id"))
+      val mkPayload = udf((seed: Long, variant: Int) => variant match {
+        case 0 => graft.multimodal.Decode.encodePatternPng(seed, 2)
+        case 1 => graft.multimodal.Decode.encodePatternPng(seed, 4)
+        case _ => graft.multimodal.Decode.encodePatternPng(seed, 2).take(16)
+      })
+      val imgs = docs
+        .select(col("doc_id"),
+          explode(array(lit(0), lit(1), lit(2))).as("variant"))
+        .select(col("doc_id"), col("variant"),
+          (col("doc_id") * 4 + col("variant")).as("img_id"),
+          mkPayload(col("doc_id"), col("variant")).as("payload"))
+      val sigs = graft.GraftSession.trackPersist(
+        graft.multimodal.Decode.imageSignatures(imgs, "img_id", "payload")
+          .toDF()
+          .select(col("img_id"), floor(col("img_id") / 4).as("doc_id"),
+            pmod(col("img_id"), lit(4)).as("variant"),
+            col("format"), col("width"), col("height"), col("dhash")))
+      val pairs = graft.text.Dedup.simhashNearDups(
+        sigs.where(col("dhash").isNotNull)
+          .select(col("img_id"), col("dhash").as("simhash")),
+        "img_id", maxDistance = 0)
+      def side(v: Int, sfx: String) = sigs.filter(col("variant") === v)
+        .select(col("doc_id"), col("format").as(s"fmt$sfx"),
+          col("width").as(s"w$sfx"), col("height").as(s"h$sfx"),
+          col("dhash").as(s"dhash$sfx"))
+      val twinPairs = pairs // twin ids are 4d and 4d+1 (id_a < id_b)
+        .filter(col("id_b") === col("id_a") + 1 &&
+          pmod(col("id_a"), lit(4)) === 0)
+        .select(floor(col("id_a") / 4).as("doc_id"),
+          lit(true).as("twin_found"))
+      side(0, "_a").join(side(1, "_b"), "doc_id")
+        .join(side(2, "_c"), "doc_id")
+        .join(twinPairs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("w_a"), col("h_a"), col("w_b"), col("h_b"),
+          bit_count(col("dhash_a").bitwiseXOR(col("dhash_b")))
+            .cast(LongType).as("twin_hamming"),
+          coalesce(col("twin_found"), lit(false)).as("twin_found"),
+          (col("fmt_c") === "unknown" && col("dhash_c").isNull &&
+            col("w_c") === -1).as("corrupt_null"))
+    }),
+
     // Temperature-scaled mixture (T5/mT5/LLaMA): stratum share ∝
     // count^tau at tau=0.5 — the oracle recomputes counts → 9dp
     // weights → largest-remainder quotas → the seeded-LCG rank
@@ -1920,6 +1974,15 @@ object SparkEntry {
     "q116_trigram_lm" -> ((s, d) =>
       graft.text.LangModel.ngramScore(
         T(s, d, "documents").df, "doc_id", "text", n = 3)),
+
+    // the PRODUCTION point (r16): CCNet's real filter is a 5-gram
+    // KenLM — same order-generic count-table/scoring-join shape as
+    // q116, gated at n=5 so the production order has its own oracle
+    // (context table = 4-gram counts, V unchanged). Full row/hash
+    // gate (6-digit rounded scores).
+    "q124_fivegram_lm" -> ((s, d) =>
+      graft.text.LangModel.ngramScore(
+        T(s, d, "documents").df, "doc_id", "text", n = 5)),
 
     // CCNet perplexity bucketing: per-language head/middle/tail split
     // by bigram-LM score — ntile over (ROUNDED avg_nll, doc_id) so the
@@ -3124,6 +3187,46 @@ object SparkEntry {
                 coalesce(sc.n_grams, CAST(0 AS BIGINT)) AS n_grams,
                 sc.avg_nll
          FROM documents d LEFT JOIN sc USING (doc_id)""",
+    // the 5-gram analog (q116's CTE shape one order up): 5-gram
+    // counts, 4-gram-context counts at all positions, the same
+    // distinct-unigram V and add-one smoothing — value-identical to
+    // the engine's 8-byte hash-keyed form absent a 64-bit collision
+    "q124_fivegram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(lower(text)), '[ \t\n\f\r\x0B]+'),
+                              t -> length(t) > 0) AS t
+           FROM documents),
+         v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsize
+               FROM (SELECT unnest(t) AS tok FROM toks)),
+         ctxs AS (
+           SELECT doc_id,
+                  unnest([array_to_string(t[i:i+3], ' ')
+                          for i in range(1, len(t) - 2)]) AS ctx
+           FROM toks WHERE len(t) >= 4),
+         ccnt AS (SELECT ctx, CAST(count(*) AS DOUBLE) AS c1
+                  FROM ctxs GROUP BY 1),
+         pent AS (
+           SELECT doc_id,
+                  unnest([array_to_string(t[i:i+4], ' ')
+                          for i in range(1, len(t) - 3)]) AS gram
+           FROM toks WHERE len(t) >= 5),
+         pcnt AS (SELECT gram, CAST(count(*) AS DOUBLE) AS c12
+                  FROM pent GROUP BY 1),
+         inst AS (
+           SELECT p.doc_id,
+                  -ln((pc.c12 + 1) / (cc.c1 + v.vsize)) AS nll
+           FROM pent p JOIN pcnt pc USING (gram)
+                JOIN ccnt cc ON cc.ctx = array_to_string(
+                  string_split(p.gram, ' ')[1:4], ' ')
+                CROSS JOIN v),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                       round(avg(nll), 6) AS avg_nll
+                FROM inst GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(sc.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+                sc.avg_nll
+         FROM documents d LEFT JOIN sc USING (doc_id)""",
     // q92's LM recompute + the ntile split over (rounded avg_nll,
     // doc_id) per lang — identical ordering keys on both sides
     "q110_ppl_buckets" ->
@@ -3303,6 +3406,19 @@ object SparkEntry {
                 round(avg(qs), 6) AS mean_quality,
                 round(avg(qs), 6) >= 0.5 AS kept
          FROM q GROUP BY domain""",
+    // q44 pattern: dims are the PNG generator's contract (9×8 cells at
+    // 2px / 4px), recomputable without decoding; the dHash equality,
+    // the banding's twin discovery, and the corrupt-payload null are
+    // Spark-computed verdicts pinned true — a broken decoder, a hash
+    // that isn't scale-invariant, or a banding recall miss each flip
+    // a verdict false and fail the row/hash gate
+    "q123_image_dedup" ->
+      """SELECT doc_id,
+                18 AS w_a, 16 AS h_a, 36 AS w_b, 32 AS h_b,
+                CAST(0 AS BIGINT) AS twin_hamming,
+                true AS twin_found,
+                true AS corrupt_null
+         FROM documents""",
     // the full temperature apportionment in SQL: counts → pow(n,.5) →
     // normalize → round 9dp (both engines round before the quota math
     // — the pow cross-engine float policy) → renormalize over rounded

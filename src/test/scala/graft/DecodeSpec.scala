@@ -104,4 +104,104 @@ class DecodeSpec extends SparkSpec {
     assert(out(1L).rms > 0.3 && out(1L).rms < 0.4)
     assert(out(2L).sample_rate == -1)
   }
+
+  // ---------------------------------------------- perceptual hashing
+
+  test("dHash is exactly invariant under grid-aligned upscaling and " +
+       "distinct across seeds") {
+    val seeds = (0L until 50L)
+    for (s <- seeds) {
+      val h2 = Decode.dHash(Decode.encodePatternPng(s, 2))
+      val h4 = Decode.dHash(Decode.encodePatternPng(s, 4))
+      val h7 = Decode.dHash(Decode.encodePatternPng(s, 7))
+      assert(h2.isDefined && h2 == h4 && h2 == h7,
+        s"seed $s: dHash not scale-invariant ($h2 / $h4 / $h7)")
+    }
+    // different seeds → (almost surely) different hashes; with the
+    // splitmix-mixed cell grays, 50 seeds colliding would mean the
+    // hash ignores content
+    val all = seeds.map(s => Decode.dHash(Decode.encodePatternPng(s, 2)).get)
+    assert(all.distinct.size == all.size)
+  }
+
+  test("dHash survives JPEG recompression within a small Hamming " +
+       "distance; aHash of a solid image is 0") {
+    val png = Decode.encodePatternPng(42L, 8)
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    val jpg = bos.toByteArray
+    val d = java.lang.Long.bitCount(
+      Decode.dHash(png).get ^ Decode.dHash(jpg).get)
+    assert(d <= 12, s"dHash png↔jpeg distance $d — recompression " +
+      "robustness is the point of box averaging")
+    // a solid image has no gradients (dHash 0) and no cell brighter
+    // than the mean (aHash 0) — both on the hand-rolled PPM path
+    val solid = Decode.encodeSolidPpm(27, 16, 120, 120, 120)
+    assert(Decode.dHash(solid).contains(0L))
+    assert(Decode.aHash(solid).contains(0L))
+    // undecodable → None, never a throw
+    assert(Decode.dHash("garbage".getBytes).isEmpty)
+    assert(Decode.dHash(png.take(16)).isEmpty)
+    assert(Decode.dHash(null).isEmpty)
+  }
+
+  test("imageSignatures + simhashNearDups banding: resize twins pair " +
+       "at distance 0, corrupt payloads report null and never pair") {
+    val rows = (0L until 20L).flatMap { s =>
+      Seq((s * 4, Decode.encodePatternPng(s, 2)),
+          (s * 4 + 1, Decode.encodePatternPng(s, 4)),
+          (s * 4 + 2, Decode.encodePatternPng(s, 2).take(16)))
+    }
+    val sigs = Decode.imageSignatures(
+      rows.toDF("img_id", "payload"), "img_id", "payload").toDF()
+    val byId = sigs.collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    for (s <- 0L until 20L) {
+      val (fa, wa, ha, da) = byId(s * 4)
+      val (fb, wb, hb, db) = byId(s * 4 + 1)
+      val (fc, wc, _, dc) = byId(s * 4 + 2)
+      assert(fa == "imageio" && wa == 18 && ha == 16 && da.isDefined)
+      assert(fb == "imageio" && wb == 36 && hb == 32 && db == da)
+      assert(fc == "unknown" && wc == -1 && dc.isEmpty)
+    }
+    val pairs = graft.multimodal.Decode.nearDupImagePairs(
+      rows.toDF("img_id", "payload"), "img_id", "payload",
+      maxDistance = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (s <- 0L until 20L)
+      assert(pairs.contains((s * 4, s * 4 + 1)),
+        s"banding missed the twin pair of seed $s")
+    assert(pairs.forall { case (a, b) => a % 4 != 2 && b % 4 != 2 },
+      "a corrupt (null-hash) image must never pair")
+  }
+
+  test("PPM raster path feeds the perceptual hash: a PPM and its " +
+       "pixel-identical PNG hash identically") {
+    // 9x8 two-tone pattern at 3px cells, emitted as both P6 and PNG
+    val w = 27; val h = 24
+    val ppm = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val body = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val on = ((x / 3) + (y / 3)) % 2 == 0
+        val v: Byte = if (on) 200.toByte else 40.toByte
+        val o = (y * w + x) * 3
+        body(o) = v; body(o + 1) = v; body(o + 2) = v
+      }
+      header ++ body
+    }
+    val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val on = ((x / 3) + (y / 3)) % 2 == 0
+      val v = if (on) 200 else 40
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    assert(Decode.dHash(ppm).isDefined)
+    assert(Decode.dHash(ppm) == Decode.dHash(bos.toByteArray))
+  }
 }

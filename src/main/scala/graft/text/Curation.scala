@@ -110,12 +110,23 @@ object Curation {
     * domain-keyed partial-agg shuffle over (domain, per-doc quality
     * score); output (domain, n_docs, mean_quality) with the 6-dp
     * rounding policy. Docs with no parseable domain aggregate under
-    * the empty string. */
+    * the empty string.
+    *
+    * `langAware = true` (r16) scores each doc with the per-language
+    * quality signals ([[TextAnalysis.qualityScoreByLang]] keyed by
+    * [[TextAnalysis.langId]]), so a multilingual crawl's non-English
+    * domains are judged against their own stopword tables and letter
+    * classes instead of flunking the English rules. Default false:
+    * the English-scored form is the q122 gate anchor. */
   def domainQuality(docs: DataFrame, urlCol: String,
-                    textCol: String): DataFrame =
+                    textCol: String,
+                    langAware: Boolean = false): DataFrame =
     docs.select(
         coalesce(Urls.domain(col(urlCol)), lit("")).as("domain"),
-        TextAnalysis.qualityScore(col(textCol)).as("__q"))
+        (if (langAware)
+          TextAnalysis.qualityScoreByLang(col(textCol),
+            TextAnalysis.langId(col(textCol)))
+        else TextAnalysis.qualityScore(col(textCol))).as("__q"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("__q")), 6).as("mean_quality"))
@@ -129,9 +140,10 @@ object Curation {
     * tiny (one row per domain) — AQE broadcasts the join. */
   def dropLowQualityDomains(docs: DataFrame, urlCol: String,
                             textCol: String, minMeanQuality: Double,
-                            maxDocsPerDomain: Long = Long.MaxValue)
+                            maxDocsPerDomain: Long = Long.MaxValue,
+                            langAware: Boolean = false)
       : DataFrame = {
-    val bad = domainQuality(docs, urlCol, textCol)
+    val bad = domainQuality(docs, urlCol, textCol, langAware)
       .filter(col("domain") =!= "" &&
         (col("mean_quality") < minMeanQuality ||
           col("n_docs") > maxDocsPerDomain))

@@ -208,7 +208,39 @@ object TextAnalysis {
     *
     * (Bullet/ellipsis thresholds follow the paper: drop when ≥90% of
     * lines are bullets or ≥30% end in ellipsis.) */
-  def gopherFlags(text: Column): Column = {
+  def gopherFlags(text: Column): Column =
+    gopherFlagsImpl(text,
+      array(GopherEnglishStops.map(lit): _*),
+      t => t.rlike("[A-Za-z]"),
+      lit(3.0))
+
+  /** Gopher's own 8-stopword list (Rae et al. 2021 Table A1) — the
+    * English anchor of the keyed variant below. */
+  val GopherEnglishStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** [[gopherFlags]] keyed by a per-row language column (r16): the
+    * three English-scoped rules swap in per-language signals —
+    * stopword hits from [[QualityStopwords]] (zh/ja lists are
+    * single-codepoint function words, exactly the tokens the
+    * script-aware tokenizer emits), the "alphabetic" token check
+    * becomes the language's letter class (CJK ideographs/kana,
+    * Cyrillic), and the mean-word-length floor drops to 1 for
+    * single-codepoint scripts where 3 would flunk every document.
+    * `gopherFlagsByLang(text, lit("en"))` ≡ [[gopherFlags]] except
+    * the stopword list (Gopher's own 8 vs the quality table) — the
+    * unkeyed form stays the gate-pinned English anchor. */
+  def gopherFlagsByLang(text: Column, lang: Column): Column =
+    gopherFlagsImpl(text,
+      stopword8For(lang),
+      t => when(lang.isin("zh", "ja"), t.rlike(CjkLetterClass))
+        .when(lang === "ru", t.rlike(CyrillicLetterClass))
+        .otherwise(t.rlike("[A-Za-z]")),
+      when(lang.isin("zh", "ja"), lit(1.0)).otherwise(lit(3.0)))
+
+  private def gopherFlagsImpl(text: Column, stopArr: Column,
+                              isWordToken: Column => Column,
+                              mwlLo: Column): Column = {
     // ONE traversal of the token stream and ONE of the line list.
     // The flag-per-subexpression form re-evaluated tokens() ~8x per
     // row (HOF subtrees are excluded from subexpression elimination —
@@ -220,8 +252,6 @@ object TextAnalysis {
     // variables instead of re-running the two symbol scans). Values
     // are bit-identical: same counts, same thresholds, same field
     // order.
-    val gopherStops =
-      Seq("the", "be", "to", "of", "and", "that", "have", "with")
     // per-token fold: count, summed length, alphabetic-token count,
     // and a distinct-stopword bitmask (bit i = stopword i seen)
     val safeText = coalesce(text, lit(""))
@@ -232,14 +262,13 @@ object TextAnalysis {
         (a.getField("n") + 1L).as("n"),
         (a.getField("len") + length(t)).as("len"),
         (a.getField("alpha") +
-          when(t.rlike("[A-Za-z]"), 1L).otherwise(0L)).as("alpha"),
+          when(isWordToken(t), 1L).otherwise(0L)).as("alpha"),
         // ONE lower(t) per token: the 8-way when-chain re-lowercased
         // per branch; array_position scans the 8 literals against one
         // lowered value, and shiftleft-by-column turns the 1-based
         // index into the bit
         a.getField("mask").bitwiseOR({
-          val idx = array_position(
-            array(gopherStops.map(lit): _*), lower(t))
+          val idx = array_position(stopArr, lower(t))
           when(idx > 0, call_function("shiftleft", lit(1),
             (idx - 1L).cast(IntegerType))).otherwise(lit(0))
         }).as("mask")))
@@ -285,7 +314,7 @@ object TextAnalysis {
       val stopHits = bit_count(tf.getField("mask"))
       val flags = Seq(
         "word_count_ok" -> (nW >= 50 && nW <= 100000),
-        "mean_word_len_ok" -> (mwl >= 3.0 && mwl <= 10.0),
+        "mean_word_len_ok" -> (mwl >= mwlLo && mwl <= 10.0),
         "symbol_ratio_ok" ->
           when(nWd > 0, sym / nWd < 0.1).otherwise(lit(false)),
         "bullet_lines_ok" -> (bulletFrac < 0.9),
@@ -295,6 +324,109 @@ object TextAnalysis {
       struct((flags.map { case (n, c) => c.as(n) } :+
         flags.map(_._2).reduce(_ && _).as("keep")): _*)
     }
+  }
+
+  // ------------------------- per-language quality signals (r16) ----
+
+  /** Per-language stopword tables for QUALITY signals — the top web
+    * languages' most frequent function words. zh/ja entries are
+    * single-codepoint function words: the script-aware tokenizer
+    * emits CJK text one codepoint per token, so the same isin/
+    * array_contains machinery covers them with no segmenter. Thai is
+    * NOT here: its tokens are unsegmented script runs, so stopword
+    * matching cannot apply — Thai quality falls back to the letter-
+    * class signals only. QUALITY-only table: [[langId]] keeps its own
+    * (gate-pinned, q48) detection table. */
+  val QualityStopwords: Map[String, Seq[String]] = Map(
+    "en" -> EnglishStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit",
+      "ein", "zu", "den", "von", "im", "auf", "dem", "sich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "pour", "dans",
+      "une", "des", "du", "en", "un", "au", "sur"),
+    "es" -> Seq("el", "los", "las", "y", "es", "que", "por", "para",
+      "una", "de", "en", "un", "con", "del", "se"),
+    "it" -> Seq("il", "la", "le", "e", "che", "per", "una", "di",
+      "in", "un", "con", "del", "non", "si", "sono"),
+    "pt" -> Seq("o", "os", "as", "e", "que", "para", "uma", "de",
+      "em", "um", "com", "do", "da", "se", "mais"),
+    "nl" -> Seq("de", "het", "een", "en", "dat", "voor", "met", "van",
+      "in", "op", "te", "niet", "aan", "zijn", "ook"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "с", "это", "как", "по",
+      "но", "из", "у", "за", "от", "для"),
+    "zh" -> Seq("的", "了", "是", "在", "和", "有", "我", "不", "这", "他"),
+    "ja" -> Seq("の", "に", "は", "を", "た", "が", "で", "て", "と", "し"))
+
+  /** Letter classes for the non-Latin scripts the keyed quality
+    * signals cover — codepoints spelled explicitly (the cross-engine
+    * regex policy; DuckDB mirrors spell the same ranges \x{…}). */
+  val CjkLetterClass: String =
+    "[\\u3040-\\u30ff\\u31f0-\\u31ff\\u3400-\\u4dbf" +
+      "\\u4e00-\\u9fff\\uf900-\\ufaff]"
+  val CyrillicLetterClass: String = "[\\u0400-\\u04ff]"
+  val ThaiLetterClass: String = "[\\u0e00-\\u0e7f]"
+
+  /** The quality-stopword ARRAY for a (per-row) language column;
+    * unknown / unlisted languages fall back to English — the same
+    * default the unkeyed signals always used. */
+  def stopwordArrayFor(lang: Column): Column =
+    QualityStopwords.toSeq.sortBy(_._1)
+      .foldRight(array(EnglishStopwords.map(lit): _*)) {
+        case ((l, ws), acc) =>
+          when(lang === l, array(ws.map(lit): _*)).otherwise(acc)
+      }
+
+  /** First 8 quality stopwords per language (the Gopher-rule arity —
+    * its distinct-hit bitmask is 8 bits wide); English keeps Gopher's
+    * OWN 8-word list so `gopherFlagsByLang(_, lit("en"))` matches the
+    * paper's rule, not the general quality table. */
+  private def stopword8For(lang: Column): Column =
+    QualityStopwords.toSeq.sortBy(_._1)
+      .foldRight(array(GopherEnglishStops.map(lit): _*)) {
+        case ((l, ws), acc) =>
+          val eight = if (l == "en") GopherEnglishStops else ws.take(8)
+          when(lang === l, array(eight.map(lit): _*)).otherwise(acc)
+      }
+
+  /** [[stopwordRatio]] keyed by a per-row language column: ONE fold
+    * (the same single-traversal discipline), membership against the
+    * lang-selected array. `lit("en")` reproduces [[stopwordRatio]]
+    * bit-identically (same list, same fold, same null policy). */
+  def stopwordRatioByLang(text: Column, lang: Column): Column =
+    aggregate(tokens(lower(coalesce(text, lit("")))),
+      struct(lit(0L).as("n"), lit(0L).as("s")),
+      (a, t) => struct(
+        (a.getField("n") + 1L).as("n"),
+        (a.getField("s") +
+          when(array_contains(stopwordArrayFor(lang), t), 1L)
+            .otherwise(0L)).as("s")),
+      a => when(a.getField("n") > 0,
+        a.getField("s").cast(DoubleType) / a.getField("n"))
+        .otherwise(lit(0.0)))
+
+  /** [[alphaRatio]] keyed by language: the "letter" class follows the
+    * script — CJK ideographs/kana for zh/ja/th-adjacent text,
+    * Cyrillic for ru, [A-Za-z] otherwise. Each branch keeps a LITERAL
+    * regex (compiled once), never a per-row pattern column. */
+  def alphaRatioByLang(text: Column, lang: Column): Column = {
+    def ratio(cls: String) = when(length(text) > 0,
+      length(regexp_replace(text,
+        "[^" + cls.stripPrefix("[").stripSuffix("]") + "]", ""))
+        .cast(DoubleType) / length(text)).otherwise(lit(0.0))
+    when(lang.isin("zh", "ja"), ratio(CjkLetterClass))
+      .when(lang === "th", ratio(ThaiLetterClass))
+      .when(lang === "ru", ratio(CyrillicLetterClass))
+      .otherwise(alphaRatio(text))
+  }
+
+  /** [[qualityScore]] keyed by language: same composite (length,
+    * letter ratio, 5× capped stopword rate — mean of three, 6dp),
+    * with the letter class and stopword table following the lang
+    * column. `lit("en")` ≡ [[qualityScore]] bit-identically. */
+  def qualityScoreByLang(text: Column, lang: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / 500.0, lit(1.0))
+    val alpha = alphaRatioByLang(text, lang)
+    val stop = least(stopwordRatioByLang(text, lang) * 5.0, lit(1.0))
+    round((lenScore + alpha + stop) / 3.0, 6)
   }
 
   private val LangStopwords: Map[String, Seq[String]] = Map(

@@ -457,6 +457,54 @@ object Warc {
     out.toByteArray
   }
 
+  /** Distributed WARC write (r16): one `.warc` / `.warc.gz` shard per
+    * partition through the Hadoop filesystem — the write-side twin of
+    * [[read]]'s file-per-task grain, so a filtered corpus hands off
+    * in the same format and parallelism it arrived in. Rows must
+    * carry [[schema]]'s identity columns (`record_id`, `warc_type`,
+    * `target_uri`, `warc_date`, `content_type`, `payload`); a null /
+    * empty `record_id` fails loudly (WARC requires one, and inventing
+    * ids here would silently break cross-shard dedup downstream).
+    * Size the shards with `df.repartition(n)` BEFORE the call (gzip
+    * members are not splittable — the same ~1 GiB-target note as the
+    * reader). Returns the shard paths (bounded: one per non-empty
+    * partition). */
+  def write(df: org.apache.spark.sql.DataFrame, dir: String,
+            gzip: Boolean = true): Seq[String] = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val ext = if (gzip) ".warc.gz" else ".warc"
+    df.select("record_id", "warc_type", "target_uri",
+        "warc_date", "content_type", "payload")
+      .rdd.mapPartitionsWithIndex { case (i, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val p = new org.apache.hadoop.fs.Path(dir, f"part-$i%05d$ext")
+          val fs = p.getFileSystem(bc.value.value)
+          val raw = fs.create(p, true)
+          val out: OutputStream =
+            if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+          try writeStream(it.map { r =>
+            val id = r.getString(0)
+            require(id != null && id.nonEmpty,
+              s"Warc.write: null/empty record_id in shard $i — WARC " +
+                "records need stable ids; carry them through the " +
+                "pipeline or mint them upstream")
+            Record(id,
+              Option(r.getString(1)).getOrElse("response"),
+              Option(r.getString(2)).getOrElse(""),
+              Option(r.getString(3)).getOrElse(""),
+              Option(r.getString(4)).getOrElse("application/octet-stream"),
+              Option(r.getAs[Array[Byte]](5)).getOrElse(Array.emptyByteArray))
+          }, out)
+          finally out.close()
+          Iterator.single(p.toString)
+        }
+      }.collect().toSeq.sorted
+  }
+
   /** Write records as one WARC stream (test/synthesis twin of
     * [[parseStream]] — strict CRLF form). */
   def writeStream(records: Iterator[Record], out: OutputStream): Unit = {

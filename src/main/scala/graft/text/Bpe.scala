@@ -345,6 +345,94 @@ object Bpe {
       .toSeq
 
   // -------------------------------------------------------------------
+  // External vocabulary import (r16) — run token budgets / packing /
+  // encoding under a PRODUCTION tokenizer's merge table instead of a
+  // corpus-trained one. The interchange format is the GPT-2-style
+  // merges.txt (Radford et al. 2019, encoder.py; also what
+  // HuggingFace tokenizers emit): an optional '#version: …' header,
+  // then one "left right" pair per line, rank = line order.
+  // Segmentation parity is the contract here; ID parity with a
+  // vocab.json is out of scope (our [[Vocab]] ids are alphabet-then-
+  // merges positional).
+
+  /** Parse GPT-2-style merges.txt lines: '#…' header and blank lines
+    * skipped, every other line EXACTLY "left right". Fail-loud on
+    * malformed lines — a silently dropped merge would segment every
+    * downstream corpus differently. */
+  def parseMergesTxt(lines: Iterator[String]): Seq[Merge] = {
+    val out = mutable.ArrayBuffer.empty[Merge]
+    var lineNo = 0
+    for (ln <- lines) {
+      lineNo += 1
+      val t = ln.trim
+      if (t.nonEmpty && !t.startsWith("#")) {
+        val sp = t.split(" ")
+        require(sp.length == 2 && sp.forall(_.nonEmpty),
+          s"merges.txt line $lineNo: expected 'left right', got '$ln'")
+        out += Merge(out.length, sp(0), sp(1))
+      }
+    }
+    out.toSeq
+  }
+
+  /** Read a merges.txt through the Hadoop filesystem (local, HDFS,
+    * object stores alike) — a driver-side artifact read, vocabulary-
+    * sized, never corpus-sized. */
+  def loadMergesTxt(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[Merge] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try parseMergesTxt(scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines())
+    finally in.close()
+  }
+
+  /** Emit merges in the same merges.txt format (round-trips through
+    * [[loadMergesTxt]]) — the hand-off artifact for tooling that
+    * consumes the GPT-2 format. */
+  def writeMergesTxt(spark: org.apache.spark.sql.SparkSession,
+                     merges: Seq[Merge], path: String): Unit = {
+    require(merges.forall(m => !m.left.contains(" ") &&
+      !m.right.contains(" ")),
+      "merges.txt cannot represent symbols containing spaces")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      out.write("#version: 0.2\n".getBytes("UTF-8"))
+      merges.sortBy(_.rank).foreach(m =>
+        out.write(s"${m.left} ${m.right}\n".getBytes("UTF-8")))
+    } finally out.close()
+  }
+
+  /** GPT-2's byte→unicode alphabet (encoder.py bytes_to_unicode):
+    * printable bytes '!'..'~', '¡'..'¬', '®'..'ÿ' map to themselves,
+    * every other byte value shifts to 256+k in discovery order — the
+    * 256-entry base alphabet an imported GPT-2 merge table builds on. */
+  val Gpt2ByteAlphabet: Seq[String] = {
+    val keep = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
+      .map(_.toInt).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (keep(b)) b.toChar.toString
+      else { val c = (256 + n).toChar.toString; n += 1; c }
+    }
+  }
+
+  /** Assemble a [[Vocab]] from imported merges: the alphabet is the
+    * distinct single codepoints appearing in the merge symbols plus
+    * `baseAlphabet` (pass [[Gpt2ByteAlphabet]] for a GPT-2 table so
+    * bytes absent from every merge still encode), sorted. */
+  def vocabFromMerges(merges: Seq[Merge],
+                      baseAlphabet: Seq[String] = Nil): Vocab =
+    Vocab(
+      (merges.iterator.flatMap(m =>
+        toSymbols(m.left) ++ toSymbols(m.right)).toSet ++
+        baseAlphabet.toSet).toSeq.sorted,
+      merges)
+
+  // -------------------------------------------------------------------
 
   /** Unicode code points as strings (surrogate pairs stay whole). */
   private def toSymbols(w: String): mutable.ArrayBuffer[String] = {

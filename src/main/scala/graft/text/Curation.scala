@@ -245,12 +245,19 @@ object Curation {
     * Output: input columns + n_tokens + cum_tokens, filtered to the
     * kept prefix. */
   def tokenBudget(df: DataFrame, stratumCol: String, orderCol: String,
-                  textCol: String, budgetPerStratum: Long): DataFrame = {
+                  textCol: String, budgetPerStratum: Long,
+                  tokenCountCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(stratumCol).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // tokenCountCol (r16): budget under a PRODUCTION tokenizer's
+    // counts (e.g. size of Bpe.encodeIds output under an imported
+    // merges.txt) instead of the whitespace heuristic — the same
+    // opt-in packSequences always had
     df.withColumn("n_tokens",
-        coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)))
+        tokenCountCol.map(c => coalesce(col(c).cast(LongType), lit(0L)))
+          .getOrElse(
+            coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L))))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       // keep while the PREVIOUS cumulative total is under budget: the
       // crossing doc stays, everything after it goes

@@ -180,4 +180,73 @@ class BpeSpec extends SparkSpec {
         .exists(_.contains("top 3")))
     } finally spark.conf.unset("graft.bpe.vocabCap")
   }
+
+  test("merges.txt import (r16): GPT-2 format round-trips, imported " +
+       "ranks segment the classic example, malformed lines fail loud") {
+    // the textbook Sennrich merges, in the GPT-2 file format
+    val txt = Seq("#version: 0.2", "e r", "er s", "l o", "lo w", "")
+    val merges = Bpe.parseMergesTxt(txt.iterator)
+    assert(merges == Seq(Bpe.Merge(0, "e", "r"), Bpe.Merge(1, "er", "s"),
+      Bpe.Merge(2, "l", "o"), Bpe.Merge(3, "lo", "w")))
+    val pairs = merges.map(m => (m.left, m.right)).toArray
+    assert(Bpe.encodeWord("lowers", pairs).toSeq == Seq("low", "ers"))
+    // file round-trip through the Hadoop FS path
+    val p = java.nio.file.Files.createTempDirectory("mrg")
+      .resolve("merges.txt").toString
+    Bpe.writeMergesTxt(spark, merges, p)
+    assert(Bpe.loadMergesTxt(spark, p) == merges)
+    // malformed line → loud, with the line number
+    val e = intercept[IllegalArgumentException] {
+      Bpe.parseMergesTxt(Seq("e r", "three part line").iterator)
+    }
+    assert(e.getMessage.contains("line 2"), e.getMessage)
+    // GPT-2 byte alphabet: 256 distinct single-char symbols, printable
+    // bytes keep themselves, others shift past U+0100
+    assert(Bpe.Gpt2ByteAlphabet.size == 256 &&
+      Bpe.Gpt2ByteAlphabet.distinct.size == 256)
+    assert(Bpe.Gpt2ByteAlphabet('A'.toInt) == "A")
+    assert(Bpe.Gpt2ByteAlphabet(0).head >= 0x100.toChar)
+    val v = Bpe.vocabFromMerges(merges, Bpe.Gpt2ByteAlphabet)
+    assert(v.alphabet.size == 256 && // e,r,s,l,o,w are printable bytes
+      v.tokens.takeRight(4) == Seq("er", "ers", "lo", "low"))
+  }
+
+  test("q90 twin under an imported production vocab: tokenBudget " +
+       "ordered by BPE id counts matches the hand-computed cut") {
+    // docs with known BPE token counts under the imported merges
+    val docs = Seq(
+      (1L, "s1", "lowers lowers"),     // 2 words x 2 ids = 4
+      (2L, "s1", "low low low"),       // 3 words x 1 id  = 3
+      (3L, "s1", "lowers low lowers"), // 2+1+2           = 5
+      (4L, "s2", "low"))               // 1
+      .toDF("doc_id", "source", "text")
+    val merges = Bpe.parseMergesTxt(
+      Seq("#version: 0.2", "e r", "er s", "l o", "lo w",
+        "low er", "lower s").iterator)
+    val vocab = Bpe.vocabFromMerges(merges)
+    // under these merges 'lowers' → one id? no: l o w e r s →
+    // er, ers, lo, low, (low er? needs 'low','er' adjacency: low ers
+    // — 'ers' not 'er', so no) → [low, ers] = 2 ids; 'low' → 1
+    val withIds = Bpe.encodeIds(docs, "doc_id", "text", vocab)
+      .withColumn("n_bpe", size(col("token_ids")).cast("long"))
+    assert(withIds.filter(col("doc_id") === 1L).collect()(0)
+      .getAs[Long]("n_bpe") == 4L)
+    val joined = docs.join(withIds.select("doc_id", "n_bpe"), "doc_id")
+    val kept = graft.text.Curation.tokenBudget(joined, "source",
+      "doc_id", "text", budgetPerStratum = 6L,
+      tokenCountCol = Some("n_bpe"))
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // s1 cumulative under BPE counts: d1=4 (keep, prev 0), d2=7 (keep,
+    // prev 4 < 6), d3 (prev 7 >= 6 → cut); s2: d4 kept
+    assert(kept.toSeq == Seq((1L, 4L, 4L), (2L, 3L, 7L), (4L, 1L, 1L)))
+    // the whitespace heuristic would have kept d3 too (2+3+... words:
+    // prev cum 5 < 6) — the production tokenizer changes the cut,
+    // which is exactly why the budget must run under it
+    val ws = graft.text.Curation.tokenBudget(docs, "source",
+      "doc_id", "text", budgetPerStratum = 6L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ws.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
 }

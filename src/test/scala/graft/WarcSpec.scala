@@ -39,6 +39,59 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("Warc.write (r16): distributed read→write→read round-trip, " +
+       "gzip + plain shards, HTTP-framed payloads survive intact") {
+    import org.apache.spark.sql.functions.col
+    // records incl. an HTTP-framed payload (chunked!) and a payload
+    // embedding WARC markers — the two hard cases for any re-emit
+    val body = "curated page <b>kept</b> after filtering".getBytes(UTF_8)
+    val rs = recs :+ Record("<urn:uuid:4>", "response",
+      "https://ex.com/4", "2026-01-01T00:00:03Z",
+      "application/http; msgtype=response",
+      Warc.wrapHttp(body, 200, "text/html", chunked = true))
+    val srcDir = java.nio.file.Files.createTempDirectory("win").toString
+    val fos = new FileOutputStream(s"$srcDir/in.warc")
+    Warc.writeStream(rs.iterator, fos); fos.close()
+    val df = Warc.read(spark, s"$srcDir/*.warc")
+    for (gz <- Seq(true, false)) {
+      val outDir = java.nio.file.Files
+        .createTempDirectory(s"wout$gz").toString
+      val shards = Warc.write(df.repartition(2), outDir, gzip = gz)
+      assert(shards.nonEmpty && shards.size <= 2)
+      assert(shards.forall(_.endsWith(
+        if (gz) ".warc.gz" else ".warc")))
+      val back = Warc.read(spark,
+        s"$outDir/*.warc${if (gz) ".gz" else ""}")
+      val a = df.select("record_id", "warc_type", "target_uri",
+        "warc_date", "content_type", "payload").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4),
+          r.getAs[Array[Byte]](5).toSeq)).toSet
+      val b = back.select("record_id", "warc_type", "target_uri",
+        "warc_date", "content_type", "payload").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4),
+          r.getAs[Array[Byte]](5).toSeq)).toSet
+      assert(a == b, s"gzip=$gz round-trip drifted")
+      // the HTTP envelope still strips cleanly after the round-trip
+      val stripped = Warc.stripHttp(
+        back.filter(col("record_id") === "<urn:uuid:4>"))
+        .select("http_status", "body").collect()(0)
+      assert(stripped.getInt(0) == 200)
+      assert(java.util.Arrays.equals(
+        stripped.getAs[Array[Byte]](1), body))
+    }
+    // null/empty record ids fail loudly — WARC requires stable ids
+    val bad = df.withColumn("record_id",
+      org.apache.spark.sql.functions.lit(""))
+    val e = intercept[Exception] {
+      Warc.write(bad, java.nio.file.Files
+        .createTempDirectory("wbad").toString)
+    }
+    assert(e.getMessage.contains("record_id") ||
+      Option(e.getCause).exists(_.getMessage.contains("record_id")))
+  }
+
   test("read(): plain + gzip files in one glob, file-per-task grain") {
     val dir = java.nio.file.Files.createTempDirectory("warc").toString
     val f1 = new FileOutputStream(s"$dir/a.warc")

@@ -2054,20 +2054,25 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(3)) === 0, lit(zhText * 4))
           .when(pmod(col("doc_id"), lit(3)) === 1, lit(deText))
           .otherwise(lit(enText)).as("text"))
-      val lang = langId(col("text"))
-      synth.select(col("doc_id"),
-        lang.as("lang"),
-        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
-        round(stopwordRatioByLang(col("text"), lang), 6)
-          .as("stop_ratio_keyed"),
-        qualityScoreByLang(col("text"), lang).as("q_keyed"),
-        gopherFlagsByLang(col("text"), lang)
-          .getField("stopwords_ok").as("gopher_stop_ok"),
-        when(lang === "zh",
-          qualityScoreByLang(col("text"), lang) >= 0.5 &&
-            qualityScore(col("text")) < 0.5)
-          .otherwise(qualityScoreByLang(col("text"), lang) >= 0.5)
-          .as("v_seam"))
+      // lang is materialized as a COLUMN first (CollapseProject keeps
+      // multi-referenced non-cheap expressions in their own
+      // projection), and every keyed signal let2-binds it besides —
+      // the detector runs per row, never per token (the 128 s → 2 s
+      // lesson, see stopwordRatioByLang's doc)
+      synth.withColumn("lang", langId(col("text")))
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+          round(stopwordRatioByLang(col("text"), col("lang")), 6)
+            .as("stop_ratio_keyed"),
+          qualityScoreByLang(col("text"), col("lang")).as("q_keyed"),
+          gopherFlagsByLang(col("text"), col("lang"))
+            .getField("stopwords_ok").as("gopher_stop_ok"),
+          qualityScore(col("text")).as("__q_en"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("stop_ratio_keyed"), col("q_keyed"), col("gopher_stop_ok"),
+          when(col("lang") === "zh",
+            col("q_keyed") >= 0.5 && col("__q_en") < 0.5)
+            .otherwise(col("q_keyed") >= 0.5).as("v_seam"))
     }),
 
     // CCNet perplexity bucketing: per-language head/middle/tail split

@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, batch-wise feature extraction.
   *
   * The Spark-side plumbing — schema, partition-preserving mapPartitions,
-  * batch shape — is real and tested. REAL decoders live in [[Decode]]
-  * (r10): PPM by hand, PNG/JPEG/BMP/GIF via the JDK's ImageIO, WAV PCM
-  * via javax.sound — no native libs needed. [[decodeStub]] remains only
-  * as the generic stand-in for codecs the JDK cannot open (video, webp,
-  * mp3); a real deployment swaps it for a JNI/FFI call without touching
-  * the pipeline shape.
+  * batch shape — is real and tested. REAL decoders live in [[Decode]]:
+  * PPM by hand, PNG/JPEG/BMP/GIF via the JDK's ImageIO, WAV PCM via
+  * javax.sound (r10), plus box-averaged dHash/aHash perceptual
+  * fingerprints feeding the SimHash Hamming-banding near-dup machinery
+  * (r16, gated by q123) — the image counterpart of the text dedup
+  * stack, no native libs needed. [[decodeStub]] remains only as the
+  * generic stand-in for codecs the JDK cannot open (video, webp, mp3);
+  * a real deployment swaps it for a JNI/FFI call without touching the
+  * pipeline shape (q51 gates exactly that batch plumbing; q99 and q123
+  * gate the real decodes).
   */
 object Multimodal {
 

@@ -231,12 +231,17 @@ object TextAnalysis {
     * the stopword list (Gopher's own 8 vs the quality table) — the
     * unkeyed form stays the gate-pinned English anchor. */
   def gopherFlagsByLang(text: Column, lang: Column): Column =
-    gopherFlagsImpl(text,
-      stopword8For(lang),
-      t => when(lang.isin("zh", "ja"), t.rlike(CjkLetterClass))
-        .when(lang === "ru", t.rlike(CyrillicLetterClass))
-        .otherwise(t.rlike("[A-Za-z]")),
-      when(lang.isin("zh", "ja"), lit(1.0)).otherwise(lit(3.0)))
+    // let2: lang evaluates once per ROW; inside the token fold only
+    // the bound lambda variable is consulted (string compares), never
+    // an embedded langId expression
+    let2(lang, lit(0)) { (l, _) =>
+      gopherFlagsImpl(text,
+        stopword8For(l),
+        t => when(l.isin("zh", "ja"), t.rlike(CjkLetterClass))
+          .when(l === "ru", t.rlike(CyrillicLetterClass))
+          .otherwise(t.rlike("[A-Za-z]")),
+        when(l.isin("zh", "ja"), lit(1.0)).otherwise(lit(3.0)))
+    }
 
   private def gopherFlagsImpl(text: Column, stopArr: Column,
                               isWordToken: Column => Column,
@@ -389,19 +394,26 @@ object TextAnalysis {
 
   /** [[stopwordRatio]] keyed by a per-row language column: ONE fold
     * (the same single-traversal discipline), membership against the
-    * lang-selected array. `lit("en")` reproduces [[stopwordRatio]]
-    * bit-identically (same list, same fold, same null policy). */
+    * lang-selected array. The array (and through it `lang`) is
+    * [[let2]]-BOUND — evaluated once per ROW, never per token: an
+    * embedded `langId(text)` argument would otherwise re-run the
+    * whole language detector for every token of every document
+    * (measured 128 s → 2 s on the q126 shape at sf0.1). `lit("en")`
+    * reproduces [[stopwordRatio]] bit-identically (same list, same
+    * fold, same null policy). */
   def stopwordRatioByLang(text: Column, lang: Column): Column =
-    aggregate(tokens(lower(coalesce(text, lit("")))),
-      struct(lit(0L).as("n"), lit(0L).as("s")),
-      (a, t) => struct(
-        (a.getField("n") + 1L).as("n"),
-        (a.getField("s") +
-          when(array_contains(stopwordArrayFor(lang), t), 1L)
-            .otherwise(0L)).as("s")),
-      a => when(a.getField("n") > 0,
-        a.getField("s").cast(DoubleType) / a.getField("n"))
-        .otherwise(lit(0.0)))
+    let2(stopwordArrayFor(lang), lit(0)) { (sw, _) =>
+      aggregate(tokens(lower(coalesce(text, lit("")))),
+        struct(lit(0L).as("n"), lit(0L).as("s")),
+        (a, t) => struct(
+          (a.getField("n") + 1L).as("n"),
+          (a.getField("s") +
+            when(array_contains(sw, t), 1L)
+              .otherwise(0L)).as("s")),
+        a => when(a.getField("n") > 0,
+          a.getField("s").cast(DoubleType) / a.getField("n"))
+          .otherwise(lit(0.0)))
+    }
 
   /** [[alphaRatio]] keyed by language: the "letter" class follows the
     * script — CJK ideographs/kana for zh/ja/th-adjacent text,
@@ -412,22 +424,30 @@ object TextAnalysis {
       length(regexp_replace(text,
         "[^" + cls.stripPrefix("[").stripSuffix("]") + "]", ""))
         .cast(DoubleType) / length(text)).otherwise(lit(0.0))
-    when(lang.isin("zh", "ja"), ratio(CjkLetterClass))
-      .when(lang === "th", ratio(ThaiLetterClass))
-      .when(lang === "ru", ratio(CyrillicLetterClass))
-      .otherwise(alphaRatio(text))
+    // let2: `lang` evaluates once per row even when the caller embeds
+    // a full langId(text) expression (3 branch tests otherwise = 3
+    // detector runs)
+    let2(lang, lit(0)) { (l, _) =>
+      when(l.isin("zh", "ja"), ratio(CjkLetterClass))
+        .when(l === "th", ratio(ThaiLetterClass))
+        .when(l === "ru", ratio(CyrillicLetterClass))
+        .otherwise(alphaRatio(text))
+    }
   }
 
   /** [[qualityScore]] keyed by language: same composite (length,
     * letter ratio, 5× capped stopword rate — mean of three, 6dp),
     * with the letter class and stopword table following the lang
     * column. `lit("en")` ≡ [[qualityScore]] bit-identically. */
-  def qualityScoreByLang(text: Column, lang: Column): Column = {
-    val lenScore = least(length(text).cast(DoubleType) / 500.0, lit(1.0))
-    val alpha = alphaRatioByLang(text, lang)
-    val stop = least(stopwordRatioByLang(text, lang) * 5.0, lit(1.0))
-    round((lenScore + alpha + stop) / 3.0, 6)
-  }
+  def qualityScoreByLang(text: Column, lang: Column): Column =
+    // bind lang ONCE for all three components (each would otherwise
+    // evaluate its own copy of an embedded langId argument)
+    let2(lang, lit(0)) { (l, _) =>
+      val lenScore = least(length(text).cast(DoubleType) / 500.0, lit(1.0))
+      val alpha = alphaRatioByLang(text, l)
+      val stop = least(stopwordRatioByLang(text, l) * 5.0, lit(1.0))
+      round((lenScore + alpha + stop) / 3.0, 6)
+    }
 
   private val LangStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for"),

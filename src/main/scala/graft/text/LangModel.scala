@@ -117,9 +117,16 @@ object LangModel {
       .select(col("doc_id"), explode(gramHashes(col("th"), n)).as("b"))
       .select(col("doc_id"), col("b.ctx").as("ctx"), col("b.g").as("g"))
 
+    // the count tables are CORPUS-SIZED (one row per distinct gram /
+    // context — 21M context rows at sf10 n=5) and sit behind
+    // HOF-explode aggregates whose size ESTIMATES are garbage, so left
+    // to the planner they get broadcast and kill the driver at scale;
+    // pin both probes to shuffle-hash (hash-keyed → uniform, no sort,
+    // per-partition build). AQE still localizes the reads when the
+    // real table is small.
     val scored = inst
-      .join(grams, Seq("g"), "left")
-      .join(ctx, Seq("ctx"), "left")
+      .join(grams.hint("shuffle_hash"), Seq("g"), "left")
+      .join(ctx.hint("shuffle_hash"), Seq("ctx"), "left")
       .crossJoin(broadcast(vsize))
       .withColumn("nll", -log(
         (coalesce(col("c12"), lit(0.0)) + 1.0) /
@@ -218,7 +225,10 @@ object LangModel {
       sum(when(col("__t"), 1L).otherwise(0L)).cast(DoubleType).as("ct"))
     val tot = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
       count(lit(1)).cast(DoubleType).as("v"))
-    val scored = grams.join(counts, Seq("gram"))
+    // counts is corpus-sized (one row per distinct bigram) behind a
+    // garbage-estimate explode aggregate — same shuffle-hash pin as
+    // ngramScore, never a driver broadcast
+    val scored = grams.join(counts.hint("shuffle_hash"), Seq("gram"))
       .crossJoin(broadcast(tot))
       .withColumn("lw",
         log((col("ct") + 1.0) / (col("tt") + col("v"))) -

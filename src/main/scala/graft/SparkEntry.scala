@@ -1596,6 +1596,63 @@ object SparkEntry {
             col("w_c") === -1).as("corrupt_null"))
     }),
 
+    // Audio perceptual-fingerprint near-dup dedup (r16 — the audio
+    // counterpart of q123): per doc, the SAME seeded 65-segment
+    // amplitude envelope rendered as PCM16 WAV at 8 kHz full gain and
+    // at 16 kHz half gain (a true re-encode twin: 2× sample rate, 6 dB
+    // quieter) plus ONE corrupt payload (truncated header). REAL
+    // javax.sound decode → 65-frame energy-contour 64-bit fingerprint
+    // (box frames align exactly with the envelope segments, so the
+    // hash is invariant under the rate/gain change) → the existing
+    // 64-bit Hamming banding at distance 0 must surface every twin
+    // pair. q44 pattern: sample rate / sample count are DuckDB-
+    // recomputable anchors; twin-found / hash-equal / corrupt-reports-
+    // null are Spark-computed verdicts pinned true.
+    "q127_audio_dedup" -> ((s, d) => {
+      val docs = T(s, d, "documents").df.select(col("doc_id"))
+      val mkPayload = udf((seed: Long, variant: Int) => variant match {
+        case 0 => graft.multimodal.Decode.encodeEnvelopeWav(
+          seed, 8000, segSamples = 32, gain = 1.0)
+        case 1 => graft.multimodal.Decode.encodeEnvelopeWav(
+          seed, 16000, segSamples = 64, gain = 0.5)
+        case _ => graft.multimodal.Decode.encodeEnvelopeWav(
+          seed, 8000, segSamples = 32, gain = 1.0).take(16)
+      })
+      val auds = docs
+        .select(col("doc_id"),
+          explode(array(lit(0), lit(1), lit(2))).as("variant"))
+        .select(col("doc_id"), col("variant"),
+          (col("doc_id") * 4 + col("variant")).as("aud_id"),
+          mkPayload(col("doc_id"), col("variant")).as("payload"))
+      val sigs = graft.GraftSession.trackPersist(
+        graft.multimodal.Decode.audioSignatures(auds, "aud_id", "payload")
+          .toDF()
+          .select(col("aud_id"), floor(col("aud_id") / 4).as("doc_id"),
+            pmod(col("aud_id"), lit(4)).as("variant"),
+            col("sample_rate"), col("n_samples"), col("afp")))
+      val pairs = graft.text.Dedup.simhashNearDups(
+        sigs.where(col("afp").isNotNull)
+          .select(col("aud_id"), col("afp").as("simhash")),
+        "aud_id", maxDistance = 0)
+      def side(v: Int, sfx: String) = sigs.filter(col("variant") === v)
+        .select(col("doc_id"), col("sample_rate").as(s"sr$sfx"),
+          col("n_samples").as(s"n$sfx"), col("afp").as(s"afp$sfx"))
+      val twinPairs = pairs // twin ids are 4d and 4d+1 (id_a < id_b)
+        .filter(col("id_b") === col("id_a") + 1 &&
+          pmod(col("id_a"), lit(4)) === 0)
+        .select(floor(col("id_a") / 4).as("doc_id"),
+          lit(true).as("twin_found"))
+      side(0, "_a").join(side(1, "_b"), "doc_id")
+        .join(side(2, "_c"), "doc_id")
+        .join(twinPairs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("sr_a"), col("n_a"), col("sr_b"), col("n_b"),
+          bit_count(col("afp_a").bitwiseXOR(col("afp_b")))
+            .cast(LongType).as("twin_hamming"),
+          coalesce(col("twin_found"), lit(false)).as("twin_found"),
+          (col("afp_c").isNull && col("sr_c") === -1).as("corrupt_null"))
+    }),
+
     // Temperature-scaled mixture (T5/mT5/LLaMA): stratum share ∝
     // count^tau at tau=0.5 — the oracle recomputes counts → 9dp
     // weights → largest-remainder quotas → the seeded-LCG rank
@@ -3611,6 +3668,14 @@ object SparkEntry {
     "q123_image_dedup" ->
       """SELECT doc_id,
                 18 AS w_a, 16 AS h_a, 36 AS w_b, 32 AS h_b,
+                CAST(0 AS BIGINT) AS twin_hamming,
+                true AS twin_found,
+                true AS corrupt_null
+         FROM documents""",
+    "q127_audio_dedup" ->
+      """SELECT doc_id,
+                8000 AS sr_a, CAST(2080 AS BIGINT) AS n_a,
+                16000 AS sr_b, CAST(4160 AS BIGINT) AS n_b,
                 CAST(0 AS BIGINT) AS twin_hamming,
                 true AS twin_found,
                 true AS corrupt_null

@@ -414,6 +414,185 @@ object Decode {
     } catch { case _: Exception => None }
   }
 
+  /** Decode a PCM WAV payload to channel-averaged mono samples in
+    * [-1,1] plus the sample rate — the raster-equivalent for audio
+    * fingerprinting. None for non-PCM/undecodable payloads. */
+  def decodeWavSamples(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val ch = math.max(1, fmt.getChannels)
+        val data = in.readAllBytes()
+        val bigEndian = fmt.isBigEndian
+        val raw: Array[Double] =
+          if (bits == 16) {
+            val out = new Array[Double](data.length / 2)
+            var i = 0
+            while (i + 1 < data.length) {
+              val lo = data(if (bigEndian) i + 1 else i) & 0xFF
+              val hi = data(if (bigEndian) i else i + 1)
+              out(i / 2) = ((hi << 8) | lo).toShort / 32768.0
+              i += 2
+            }
+            out
+          } else if (bits == 8) {
+            data.map(b => ((b & 0xFF) - 128) / 128.0)
+          } else return None
+        val n = raw.length / ch
+        val mono = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var s = 0.0; var c = 0
+          while (c < ch) { s += raw(i * ch + c); c += 1 }
+          mono(i) = s / ch
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, mono))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** 64-bit audio energy-contour fingerprint — the [[dHash]] of the
+    * time axis: 65 box-averaged frame energies (per-frame RMS over 65
+    * equal spans of the mono stream), bit i set iff frame i+1 is
+    * louder than frame i. Duration-normalizing by construction (fixed
+    * frame count), amplitude-invariant (comparisons, not levels), and
+    * sample-rate-invariant for content whose envelope survives
+    * resampling — the properties a near-dup pass needs against
+    * re-encoded copies. Production systems fingerprint chroma
+    * (Chromaprint); the envelope contour is the dependency-free stand-
+    * in — the Spark-side shape downstream (64-bit signature → Hamming
+    * banding) is identical whatever the feature. None for undecodable
+    * or sub-65-sample payloads. */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    decodeWavSamples(bytes).flatMap { case (_, mono) =>
+      fingerprintFromMono(mono)
+    }
+
+  /** The contour hash over already-decoded mono samples —
+    * [[audioSignatures]] fingerprints from its own decode instead of
+    * paying a second one per payload. */
+  private def fingerprintFromMono(mono: Array[Double]): Option[Long] = {
+    val frames = 65
+    val n = mono.length
+    if (n < frames) None
+    else {
+      val e = new Array[Double](frames)
+      var k = 0
+      while (k < frames) {
+        val lo = (k.toLong * n / frames).toInt
+        val hi = ((k + 1).toLong * n / frames).toInt
+        var s = 0.0; var i = lo
+        while (i < hi) { s += mono(i) * mono(i); i += 1 }
+        e(k) = math.sqrt(s / math.max(1, hi - lo))
+        k += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (e(b + 1) > e(b)) sig |= 1L << b
+        b += 1
+      }
+      Some(sig)
+    }
+  }
+
+  /** Audio signature row: stream metadata + the 64-bit envelope
+    * fingerprint; null for payloads no decoder opens (the fail path
+    * REPORTS, never kills a task). */
+  case class AudioSig(aud_id: Long, sample_rate: Int, n_samples: Long,
+                      afp: Option[Long])
+
+  /** Envelope fingerprints over a binary WAV column — the same
+    * partition-preserving batch shape as [[imageSignatures]]. The
+    * payload bytes stay in the scan stage; downstream consumers carry
+    * only (id, 8-byte fingerprint). */
+  def audioSignatures(df: DataFrame, idCol: String, payloadCol: String,
+                      batchSize: Int = 64): Dataset[AudioSig] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, payload) =>
+          decodeWavSamples(payload) match {
+            case Some((sr, mono)) =>
+              AudioSig(id, sr, mono.length.toLong,
+                fingerprintFromMono(mono))
+            case None => AudioSig(id, -1, -1L, None)
+          }
+        })
+      }
+  }
+
+  /** Audio near-duplicate pairs: [[audioSignatures]] → the 64-bit
+    * Hamming banding of [[graft.text.Dedup.simhashNearDups]] — the
+    * audio counterpart of [[nearDupImagePairs]]. Undecodable payloads
+    * carry null fingerprints and never pair. */
+  def nearDupAudioPairs(df: DataFrame, idCol: String, payloadCol: String,
+                        maxDistance: Int = 6,
+                        maxBucket: Int = 1000,
+                        multiProbe: Boolean = false): DataFrame = {
+    val sigs = audioSignatures(df, idCol, payloadCol).toDF()
+      .where(col("afp").isNotNull)
+      .select(col("aud_id").as(idCol), col("afp").as("simhash"))
+    graft.text.Dedup.simhashNearDups(sigs, idCol,
+      maxDistance = maxDistance, maxBucket = maxBucket,
+      multiProbe = multiProbe)
+  }
+
+  /** Render a deterministic 65-segment amplitude envelope from a
+    * 64-bit seed as mono PCM16 WAV — the audio twin of
+    * [[encodePatternPng]]. Segment k holds `segSamples` samples of a
+    * period-8 sine at amplitude `gain`·a(k), a(k) stepping through 16
+    * coarse levels derived from an LCG of (seed,k) with equal ADJACENT
+    * levels re-rolled — so every frame comparison is decided by a gap
+    * ≥25× the PCM16 quantization noise and the fingerprint is exactly
+    * reproducible across sample rates and gains. `segSamples` must be
+    * a multiple of 8 (whole sine periods → per-segment RMS exactly
+    * gain·a(k)/√2). */
+  def encodeEnvelopeWav(seed: Long, sampleRate: Int,
+                        segSamples: Int = 64,
+                        gain: Double = 1.0): Array[Byte] = {
+    require(segSamples % 8 == 0, s"segSamples must be 8-aligned: $segSamples")
+    val segs = 65
+    val samples = new Array[Short](segs * segSamples)
+    var prevLevel = -1
+    var k = 0
+    while (k < segs) {
+      var x = seed * 6364136223846793005L + 1442695040888963407L + k * 40503L
+      x ^= (x >>> 33)
+      var level = ((x % 16) + 16) % 16
+      if (level == prevLevel) level = (level + 1) % 16
+      prevLevel = level.toInt
+      val amp = gain * (0.2 + 0.6 * level / 15.0)
+      // one quantized period, tiled: the waveform is periodic in 8
+      // samples, so 8 Short values per segment replace segSamples
+      // math.sin calls (the generator runs once per payload per row —
+      // it was the gate's hot loop)
+      val period = new Array[Short](8)
+      var p = 0
+      while (p < 8) {
+        period(p) = (amp * SinePeriod8(p) * 32767.0).toShort
+        p += 1
+      }
+      var j = 0
+      while (j < segSamples) {
+        samples(k * segSamples + j) = period(j & 7)
+        j += 1
+      }
+      k += 1
+    }
+    encodePcm16Wav(sampleRate, samples)
+  }
+
+  private val SinePeriod8: Array[Double] =
+    Array.tabulate(8)(j => math.sin(2.0 * math.Pi * j / 8.0))
+
   /** Encode mono PCM16 WAV — deterministic generator for tests/gates. */
   def encodePcm16Wav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2

@@ -392,6 +392,16 @@ object TextAnalysis {
           when(lang === l, array(eight.map(lit): _*)).otherwise(acc)
       }
 
+  /** Run a battery of language-keyed signals under ONE langId
+    * evaluation per row. A caller composing several ByLang signals in
+    * one expression (a filter predicate especially — predicate
+    * pushdown substitutes a materialized lang COLUMN back into every
+    * conjunct) would otherwise pay one full detector run per signal;
+    * here the detector output is let2-bound and the body receives the
+    * bound lambda variable. */
+  def withLangBound(text: Column)(f: Column => Column): Column =
+    let2(langId(text), lit(0)) { (l, _) => f(l) }
+
   /** [[stopwordRatio]] keyed by a per-row language column: ONE fold
     * (the same single-traversal discipline), membership against the
     * lang-selected array. The array (and through it `lang`) is

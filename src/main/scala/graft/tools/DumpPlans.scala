@@ -88,7 +88,57 @@ object DumpPlans {
           |No single-partition window, no driver-side score array —
           |the driver receives exactly one double. Weight save/load is
           |a numBins+1-row catalog table (bounded by model size, never
-          |corpus size).""".stripMargin)
+          |corpus size).""".stripMargin,
+      "q123_image_dedup (perceptual-hash image near-dup — the q43 of the multimodal stack)" ->
+        """Decode + dHash is a partition-preserving mapPartitions over
+          |(img_id, payload) — zero shuffle, the payload column prunes
+          |away for downstream consumers of the 8-byte signature. The
+          |pair search is LITERALLY Dedup.simhashNearDups on the dhash
+          |column: 4×16-bit pigeonhole bands, capped buckets, optional
+          |bit-flip multi-probe — one exchange of (id, band, bucket)
+          |rows, never a payload. At 100 TB of images the heavy bytes
+          |stay in the scan stage; everything that shuffles is 8-byte
+          |hashes + ids. Undecodable payloads carry null hashes (they
+          |can never pair) instead of killing tasks.""".stripMargin,
+      "q124_fivegram_lm (CCNet's production LM order)" ->
+        """Same plan as q116 one order up: two count shuffles whose keys
+          |are 8-byte hashes at ANY n (xxhash64 over the in-row token-
+          |hash slice), so the 5-gram table costs the same bytes/key as
+          |the bigram's — the context table simply has more ROWS (4-gram
+          |contexts approach one per token position; see BASELINE.md r16
+          |scale deltas for the measured growth). Both scoring probes —
+          |and DSIR's — carry shuffle_hash hints: the count tables are
+          |corpus-sized behind garbage-estimate HOF-explode aggregates,
+          |and a statically planned broadcast of one (21M rows at sf10
+          |n=5) killed the driver before the r16 pin.""".stripMargin,
+      "q127_audio_dedup (envelope-contour fingerprint — the q123 of the audio column)" ->
+        """Decode + 65-frame energy-contour hash is the same partition-
+          |preserving batch pass as imageSignatures — zero shuffle, the
+          |WAV bytes never leave the scan stage. The pair search is the
+          |SAME Dedup.simhashNearDups banding (the fingerprint is just a
+          |different 64-bit signature); undecodable clips carry null
+          |fingerprints and can never pair. Production fingerprints
+          |chroma (Chromaprint); the envelope contour is the dependency-
+          |free stand-in with identical downstream shape.""".stripMargin,
+      "q125_boilerplate_pr (labeled precision/recall regression gate)" ->
+        """Same zero-shuffle scan-speed projection as q115 (the block
+          |fold computes each block's text once into a struct); the P/R
+          |columns are instr() probes over the extractor's own
+          |clean_text — no extra pass, no join. The gate exists so a
+          |threshold change that leaks a nav bar or eats a paragraph
+          |flips a pinned verdict instead of shipping.""".stripMargin,
+      "q126_multilingual_quality (language-keyed quality signals)" ->
+        """langId, the keyed stopword ratio, the keyed composite score,
+          |and the keyed Gopher battery are all pure-Column projections —
+          |zero shuffle, one pruned scan. The stopword tables ride the
+          |plan as array literals selected by a when-chain on the lang
+          |column (a ~10-way string CASE per row, no broadcast join
+          |needed at this table size); every regex branch is a LITERAL
+          |pattern, compiled once, never a per-row pattern column. The
+          |lang argument is let2-BOUND inside every keyed signal — an
+          |embedded langId(text) would otherwise re-run the detector per
+          |token inside the folds (measured 128.6 s → 3.0 s at sf0.1 on
+          |the q126 shape).""".stripMargin)
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.DumpPlans`; properties asserted " +

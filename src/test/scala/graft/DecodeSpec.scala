@@ -204,4 +204,61 @@ class DecodeSpec extends SparkSpec {
     assert(Decode.dHash(ppm).isDefined)
     assert(Decode.dHash(ppm) == Decode.dHash(bos.toByteArray))
   }
+
+  test("audioFingerprint: envelope hash is invariant under sample-rate " +
+       "doubling and 6 dB gain change; corrupt payloads report None") {
+    for (seed <- 0L until 20L) {
+      val a = Decode.encodeEnvelopeWav(seed, 8000, segSamples = 64,
+        gain = 1.0)
+      val b = Decode.encodeEnvelopeWav(seed, 16000, segSamples = 128,
+        gain = 0.5)
+      val fa = Decode.audioFingerprint(a)
+      val fb = Decode.audioFingerprint(b)
+      assert(fa.isDefined, s"seed $seed: 8 kHz render must decode")
+      assert(fa == fb,
+        s"seed $seed: rate/gain twin must hash identically")
+    }
+    // distinct seeds must not all collide (the envelope carries seed
+    // entropy — any two may collide by chance; all 20 equal = broken)
+    val sigs = (0L until 20L)
+      .map(s => Decode.audioFingerprint(
+        Decode.encodeEnvelopeWav(s, 8000)).get).toSet
+    assert(sigs.size > 10, s"degenerate fingerprints: ${sigs.size}")
+    assert(Decode.audioFingerprint(
+      Decode.encodeEnvelopeWav(1L, 8000).take(16)).isEmpty)
+    assert(Decode.audioFingerprint(null).isEmpty)
+    assert(Decode.audioFingerprint(Array[Byte]()).isEmpty)
+  }
+
+  test("audioSignatures + simhashNearDups banding: re-encode twins " +
+       "pair at distance 0, corrupt audio never pairs") {
+    val rows = (0L until 20L).flatMap { s =>
+      Seq(
+        (s * 4, Decode.encodeEnvelopeWav(s, 8000, 64, 1.0)),
+        (s * 4 + 1, Decode.encodeEnvelopeWav(s, 16000, 128, 0.5)),
+        (s * 4 + 2, Decode.encodeEnvelopeWav(s, 8000, 64, 1.0).take(16)))
+    }
+    val sigs = Decode.audioSignatures(
+      rows.toDF("aud_id", "payload"), "aud_id", "payload").toDF()
+    val byId = sigs.collect().map(r =>
+      r.getLong(0) -> ((r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    for (s <- 0L until 20L) {
+      val (sra, na, fa) = byId(s * 4)
+      val (srb, nb, fb) = byId(s * 4 + 1)
+      val (src, nc, fc) = byId(s * 4 + 2)
+      assert(sra == 8000 && na == 65L * 64 && fa.isDefined)
+      assert(srb == 16000 && nb == 65L * 128 && fb == fa)
+      assert(src == -1 && nc == -1L && fc.isEmpty)
+    }
+    val pairs = Decode.nearDupAudioPairs(
+      rows.toDF("aud_id", "payload"), "aud_id", "payload",
+      maxDistance = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (s <- 0L until 20L)
+      assert(pairs.contains((s * 4, s * 4 + 1)),
+        s"banding missed the twin pair of seed $s")
+    assert(pairs.forall { case (a, b) => a % 4 != 2 && b % 4 != 2 },
+      "a corrupt (null-fingerprint) clip must never pair")
+  }
 }

@@ -245,21 +245,29 @@ object Decode {
     * None for undecodable or degenerate (sub-1×1) payloads. */
   def dHash(bytes: Array[Byte]): Option[Long] =
     decodeRaster(bytes).flatMap { case (w, h, px) =>
-      if (w < 1 || h < 1) None
-      else {
-        val g = boxGray(w, h, px, 9, 8)
-        var sig = 0L
-        var r = 0
-        while (r < 8) {
-          var c = 0
-          while (c < 8) {
-            if (g(r * 9 + c + 1) > g(r * 9 + c)) sig |= 1L << (r * 8 + c)
-            c += 1
-          }
-          r += 1
+      dHashFromRaster(w, h, px)
+    }
+
+  /** The dHash bit construction over a decoded raster — the ONE
+    * implementation both [[dHash]] and [[imageSignatures]] call, so a
+    * grid/bit-order tweak can never make the batch path hash
+    * differently from the public scalar API. */
+  private def dHashFromRaster(w: Int, h: Int,
+                              px: Array[Int]): Option[Long] =
+    if (w < 1 || h < 1) None
+    else {
+      val g = boxGray(w, h, px, 9, 8)
+      var sig = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (g(r * 9 + c + 1) > g(r * 9 + c)) sig |= 1L << (r * 8 + c)
+          c += 1
         }
-        Some(sig)
+        r += 1
       }
+      Some(sig)
     }
 
   /** 64-bit average hash (aHash): 8×8 box-averaged grayscale, bit set
@@ -305,19 +313,7 @@ object Decode {
               val fmt =
                 if (payload.length > 1 && payload(0) == 'P' &&
                     payload(1) == '6') "ppm" else "imageio"
-              val g = boxGray(w, h, px, 9, 8)
-              var sig = 0L
-              var r = 0
-              while (r < 8) {
-                var c = 0
-                while (c < 8) {
-                  if (g(r * 9 + c + 1) > g(r * 9 + c))
-                    sig |= 1L << (r * 8 + c)
-                  c += 1
-                }
-                r += 1
-              }
-              ImageSig(id, fmt, w, h, Some(sig))
+              ImageSig(id, fmt, w, h, dHashFromRaster(w, h, px))
             case None => ImageSig(id, "unknown", -1, -1, None)
           }
         })
@@ -388,6 +384,13 @@ object Decode {
         new ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
+        // same PCM-only guard as decodeWavSamples: companded (A-law/
+        // mu-law) streams share sampleSize 8 and must report None,
+        // not a garbage RMS
+        val enc = fmt.getEncoding
+        if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+          return None
         val bits = fmt.getSampleSizeInBits
         val ch = fmt.getChannels
         val data = in.readAllBytes()
@@ -424,6 +427,14 @@ object Decode {
         new ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
+        // PCM only, as documented: A-law/mu-law also parse with
+        // sampleSize 8, and running companded bytes through the
+        // unsigned-PCM branch would produce a confidently-wrong
+        // fingerprint instead of a None
+        val enc = fmt.getEncoding
+        if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+          return None
         val bits = fmt.getSampleSizeInBits
         val ch = math.max(1, fmt.getChannels)
         val data = in.readAllBytes()

@@ -206,6 +206,16 @@ object Warc {
       .drop("__http")
   }
 
+  /** HTTP headers defined with #(…) list syntax (RFC 7230/9110) —
+    * the ones whose repeats are semantically one comma-joined list.
+    * Everything else is a singleton where a repeat is a sender bug
+    * and last-wins is the browser-compatible read. */
+  private val ListValuedHeaders: Set[String] = Set(
+    "transfer-encoding", "content-encoding", "connection", "via",
+    "vary", "warning", "cache-control", "pragma", "upgrade", "te",
+    "trailer", "accept", "accept-charset", "accept-encoding",
+    "accept-language", "allow", "link")
+
   /** Split one `application/http` payload: status line + headers +
     * CRLF CRLF + body. Bare-LF header endings tolerated (the
     * [[parseStream]] fail-soft rule: line endings only, never
@@ -268,12 +278,19 @@ object Warc {
           if (c > 0) {
             lastKey = h.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
             val v = h.substring(c + 1).trim
-            // repeated headers comma-join (RFC 7230 §3.2.2 list
-            // semantics), never last-wins: a second Transfer-Encoding
-            // line must not erase an earlier 'chunked' token, or wire
-            // framing silently survives into the body
+            // repeated LIST-VALUED headers comma-join (RFC 7230 §3.2.2
+            // — a second Transfer-Encoding line must not erase an
+            // earlier 'chunked' token, or wire framing silently
+            // survives into the body); repeated SINGLETON headers stay
+            // last-wins: comma-joining two Content-Type lines would
+            // produce 'text/html; charset=a, text/html; charset=b',
+            // silently flipping the charset sniff to the FIRST
+            // declaration and breaking exact-match filters, where
+            // last-wins matches browser handling of duplicates
             hdrs(lastKey) =
-              hdrs.get(lastKey).map(_ + ", " + v).getOrElse(v)
+              if (ListValuedHeaders(lastKey))
+                hdrs.get(lastKey).map(_ + ", " + v).getOrElse(v)
+              else v
           } // a colon-less garbage header line is skipped, not fatal —
             // real crawls contain them and the body boundary is already
             // exact (the blank line), so nothing can be misattributed
@@ -467,7 +484,20 @@ object Warc {
     * ids here would silently break cross-shard dedup downstream).
     * Size the shards with `df.repartition(n)` BEFORE the call (gzip
     * members are not splittable — the same ~1 GiB-target note as the
-    * reader). Returns the shard paths (bounded: one per non-empty
+    * reader).
+    *
+    * Commit protocol (tasks retry and speculate — a direct
+    * create-overwrite of the final path would let a killed twin
+    * attempt truncate a committed shard, and a half-failed job would
+    * leave partial output indistinguishable from a complete run):
+    * each attempt writes a DOT-PREFIXED attempt-unique temp file
+    * (hidden from `*.warc.gz` globs) and renames it to the final
+    * part name as its last act — rename-if-absent, so a duplicate
+    * commit fails loudly; the driver clears prior output up front
+    * (overwrite semantics), sweeps orphaned temp files from killed
+    * attempts after the job, and writes `_SUCCESS` last. Readers
+    * checking the marker can therefore trust any part file they see.
+    * Returns the shard paths (bounded: one per non-empty
     * partition). */
   def write(df: org.apache.spark.sql.DataFrame, dir: String,
             gzip: Boolean = true): Seq[String] = {
@@ -476,14 +506,30 @@ object Warc {
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
     val ext = if (gzip) ".warc.gz" else ".warc"
-    df.select("record_id", "warc_type", "target_uri",
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite semantics: stale shards/markers/temps from a prior
+    // (possibly crashed) run must not survive next to fresh output
+    if (dfs.exists(dirPath))
+      dfs.listStatus(dirPath).map(_.getPath)
+        .filter(p => p.getName.endsWith(ext) ||
+          p.getName == "_SUCCESS" || p.getName.startsWith("."))
+        .foreach(p => dfs.delete(p, false))
+    else dfs.mkdirs(dirPath)
+    val paths = df.select("record_id", "warc_type", "target_uri",
         "warc_date", "content_type", "payload")
       .rdd.mapPartitionsWithIndex { case (i, it) =>
         if (it.isEmpty) Iterator.empty
         else {
-          val p = new org.apache.hadoop.fs.Path(dir, f"part-$i%05d$ext")
-          val fs = p.getFileSystem(bc.value.value)
-          val raw = fs.create(p, true)
+          val attempt = org.apache.spark.TaskContext.get() match {
+            case null => 0L
+            case tc => tc.taskAttemptId()
+          }
+          val fin = new org.apache.hadoop.fs.Path(dir, f"part-$i%05d$ext")
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            f".part-$i%05d-attempt-$attempt$ext.inprogress")
+          val fs = fin.getFileSystem(bc.value.value)
+          val raw = fs.create(tmp, true)
           val out: OutputStream =
             if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
           try writeStream(it.map { r =>
@@ -500,9 +546,21 @@ object Warc {
               Option(r.getAs[Array[Byte]](5)).getOrElse(Array.emptyByteArray))
           }, out)
           finally out.close()
-          Iterator.single(p.toString)
+          if (!fs.rename(tmp, fin))
+            throw new java.io.IOException(
+              s"Warc.write: commit rename failed for shard $i " +
+                s"(attempt $attempt) — destination exists or fs error")
+          Iterator.single(fin.toString)
         }
       }.collect().toSeq.sorted
+    // job committed: sweep temp files from killed/speculative attempts,
+    // then the marker
+    dfs.listStatus(dirPath).map(_.getPath)
+      .filter(_.getName.endsWith(".inprogress"))
+      .foreach(p => dfs.delete(p, false))
+    val marker = new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS")
+    dfs.create(marker, true).close()
+    paths
   }
 
   /** Write records as one WARC stream (test/synthesis twin of

@@ -355,17 +355,25 @@ object Bpe {
   // vocab.json is out of scope (our [[Vocab]] ids are alphabet-then-
   // merges positional).
 
-  /** Parse GPT-2-style merges.txt lines: '#…' header and blank lines
-    * skipped, every other line EXACTLY "left right". Fail-loud on
-    * malformed lines — a silently dropped merge would segment every
+  /** Parse GPT-2-style merges.txt lines: ONLY a leading '#version'
+    * header line and blank lines are skipped — real GPT-2 tables
+    * contain merges whose symbols start with '#' ('# #', '## #', the
+    * merges that build the ##/### tokens), so a blanket '#'-comment
+    * rule would silently drop them and shift every later rank
+    * (encoder.py skips exactly the first line; HuggingFace skips
+    * '#version'). Every other line is EXACTLY "left right", fail-loud
+    * on malformed lines — a silently dropped merge would segment every
     * downstream corpus differently. */
   def parseMergesTxt(lines: Iterator[String]): Seq[Merge] = {
     val out = mutable.ArrayBuffer.empty[Merge]
     var lineNo = 0
+    var seenData = false
     for (ln <- lines) {
       lineNo += 1
       val t = ln.trim
-      if (t.nonEmpty && !t.startsWith("#")) {
+      val versionHeader = !seenData && t.startsWith("#version")
+      if (t.nonEmpty && !versionHeader) {
+        seenData = true
         val sp = t.split(" ")
         require(sp.length == 2 && sp.forall(_.nonEmpty),
           s"merges.txt line $lineNo: expected 'left right', got '$ln'")
@@ -431,6 +439,63 @@ object Bpe {
         toSymbols(m.left) ++ toSymbols(m.right)).toSet ++
         baseAlphabet.toSet).toSeq.sorted,
       merges)
+
+  /** GPT-2's pre-tokenizer (encoder.py `pat`): contractions, optional-
+    * leading-space letter/digit/punct runs, then residual whitespace —
+    * the split that makes word-initial 'Ġ…' merges reachable. */
+  private val Gpt2Pat = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+      "|\\s+(?!\\S)|\\s+")
+
+  /** One pre-token's UTF-8 bytes through the byte→unicode alphabet
+    * (space→'Ġ', newline→'Ċ', …) — encoder.py's byte mapping. */
+  private def gpt2MapBytes(s: String): String = {
+    val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bs.length)
+    var i = 0
+    while (i < bs.length) { sb.append(Gpt2ByteAlphabet(bs(i) & 0xFF)); i += 1 }
+    sb.toString
+  }
+
+  /** Encode to token ids under an IMPORTED GPT-2 merge table with full
+    * SEGMENTATION parity: the raw text is split by GPT-2's own
+    * pre-tokenizer regex (leading space retained on word tokens, so
+    * 'Ġ'-prefixed word-initial merges fire), each pre-token's UTF-8
+    * bytes map through [[Gpt2ByteAlphabet]], and the word-local merge
+    * loop runs over the mapped symbols. Without this mapping an
+    * imported GPT-2 table is mostly dead weight — raw words never
+    * contain 'Ġ' and non-ASCII text is codepoints, not UTF-8-byte
+    * symbols, so production token COUNTS (the budget/packing input)
+    * come out materially wrong. Token IDS are [[Vocab]]-positional
+    * (alphabet-then-merges); ID parity with a vocab.json is explicitly
+    * out of scope. Unknown symbols map to `unkId`; null text stays
+    * null. Same shuffle-free memoized-closure shape as [[encodeIds]].
+    * Pass `vocabFromMerges(loadMergesTxt(...), Gpt2ByteAlphabet)`. */
+  def encodeIdsGpt2(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: Vocab, out: String = "token_ids",
+                    unkId: Int = -1): DataFrame = {
+    val ranks = rankMap(vocab.merges.map(m => (m.left, m.right)).toArray)
+    val ids = vocab.idOf
+    // per-closure memo, the wordwise pattern: each task deserializes
+    // its own copy — task-local, no locks, capped as a backstop
+    val memo = mutable.HashMap.empty[String, Array[Int]]
+    val enc = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val outIds = mutable.ArrayBuffer.empty[Int]
+        val m = Gpt2Pat.matcher(text)
+        while (m.find()) {
+          val w = m.group()
+          if (memo.size > (1 << 16)) memo.clear()
+          outIds ++= memo.getOrElseUpdate(w,
+            encodeRanked(gpt2MapBytes(w), ranks)
+              .map(t => ids.getOrElse(t, unkId)))
+        }
+        outIds.toSeq
+      }
+    }
+    docs.select(col(idCol), enc(col(textCol)).as(out))
+  }
 
   // -------------------------------------------------------------------
 

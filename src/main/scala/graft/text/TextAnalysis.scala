@@ -227,6 +227,14 @@ object TextAnalysis {
     * becomes the language's letter class (CJK ideographs/kana,
     * Cyrillic), and the mean-word-length floor drops to 1 for
     * single-codepoint scripts where 3 would flunk every document.
+    * Thai (unsegmented, tokenized as SCRIPT RUNS): the letter class
+    * and word-length bounds follow the script (floor 1, cap relaxed
+    * to 80 — a run is clause-sized), but the stopword rule stays
+    * unreliable — exact token matching cannot hit a function word
+    * embedded in a run, so stopwords_ok reads false on typical Thai
+    * prose; gate keep-decisions for th should weight the other six
+    * flags (a substring-hit rule would change the fold's semantics
+    * for every language and is deliberately not done here).
     * `gopherFlagsByLang(text, lit("en"))` ≡ [[gopherFlags]] except
     * the stopword list (Gopher's own 8 vs the quality table) — the
     * unkeyed form stays the gate-pinned English anchor. */
@@ -238,14 +246,21 @@ object TextAnalysis {
       gopherFlagsImpl(text,
         stopword8For(l),
         t => when(l.isin("zh", "ja"), t.rlike(CjkLetterClass))
+          .when(l === "th", t.rlike(ThaiLetterClass))
           .when(l === "ru", t.rlike(CyrillicLetterClass))
           .otherwise(t.rlike("[A-Za-z]")),
-        when(l.isin("zh", "ja"), lit(1.0)).otherwise(lit(3.0)))
+        // zh/ja tokens are single codepoints (floor 1); th tokens are
+        // whole SCRIPT RUNS (floor 1, and the 10-char English cap
+        // would flunk every document — a run is clause-sized, so the
+        // cap relaxes to 80 rather than losing the rule entirely)
+        when(l.isin("zh", "ja", "th"), lit(1.0)).otherwise(lit(3.0)),
+        when(l === "th", lit(80.0)).otherwise(lit(10.0)))
     }
 
   private def gopherFlagsImpl(text: Column, stopArr: Column,
                               isWordToken: Column => Column,
-                              mwlLo: Column): Column = {
+                              mwlLo: Column,
+                              mwlHi: Column = lit(10.0)): Column = {
     // ONE traversal of the token stream and ONE of the line list.
     // The flag-per-subexpression form re-evaluated tokens() ~8x per
     // row (HOF subtrees are excluded from subexpression elimination —
@@ -319,7 +334,7 @@ object TextAnalysis {
       val stopHits = bit_count(tf.getField("mask"))
       val flags = Seq(
         "word_count_ok" -> (nW >= 50 && nW <= 100000),
-        "mean_word_len_ok" -> (mwl >= mwlLo && mwl <= 10.0),
+        "mean_word_len_ok" -> (mwl >= mwlLo && mwl <= mwlHi),
         "symbol_ratio_ok" ->
           when(nWd > 0, sym / nWd < 0.1).otherwise(lit(false)),
         "bullet_lines_ok" -> (bulletFrac < 0.9),

@@ -211,6 +211,51 @@ class BpeSpec extends SparkSpec {
       v.tokens.takeRight(4) == Seq("er", "ers", "lo", "low"))
   }
 
+  test("merges.txt: '#'-leading MERGES survive (only a leading " +
+       "#version header is a comment) — real GPT-2 tables build the " +
+       "##/### tokens from them") {
+    val txt = Seq("#version: 0.2", "# #", "## #", "e r")
+    val merges = Bpe.parseMergesTxt(txt.iterator)
+    assert(merges == Seq(Bpe.Merge(0, "#", "#"), Bpe.Merge(1, "##", "#"),
+      Bpe.Merge(2, "e", "r")),
+      s"'#'-leading merges must parse as data: $merges")
+    // a #version line NOT at the head is data and fails loudly (it
+    // splits into two fields only by accident of its spacing)
+    val mid = Bpe.parseMergesTxt(Seq("a b", "#version: 0.2").iterator)
+    assert(mid == Seq(Bpe.Merge(0, "a", "b"),
+      Bpe.Merge(1, "#version:", "0.2")))
+  }
+
+  test("encodeIdsGpt2: GPT-2 segmentation parity — pre-tokenizer " +
+       "keeps the leading space so word-initial \u0120-merges fire, " +
+       "bytes map through the alphabet, contractions split") {
+    // space byte 32 maps to \u0120 ('G-dot': 256 + 32)
+    val gDot = Bpe.Gpt2ByteAlphabet(32)
+    assert(gDot == "\u0120", s"byte 32 must map to U+0120, got $gDot")
+    val merges = Bpe.parseMergesTxt(Seq(
+      "t h", "th e",                       // builds 'the'
+      s"$gDot c", s"${gDot}c a", s"${gDot}ca t" // builds ' cat'
+    ).iterator)
+    val vocab = Bpe.vocabFromMerges(merges, Bpe.Gpt2ByteAlphabet)
+    val docs = Seq((1L, "the cat"), (2L, "don't"), (3L, "caf\u00e9"),
+      (4L, null: String)).toDF("doc_id", "text")
+    val ids = Bpe.encodeIdsGpt2(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    def toks(ds: Seq[Int]) = ds.map(vocab.tokens(_)).toList
+    // 'the cat' → pre-tokens ['the', ' cat'] → ['the', '\u0120cat']
+    assert(toks(ids(1L)) == List("the", s"${gDot}cat"),
+      s"got ${toks(ids(1L))}")
+    // contraction splits off: ['don', ''t'] — no merges apply, so
+    // raw byte symbols (all printable ASCII keeps itself)
+    assert(toks(ids(2L)) == List("d", "o", "n", "'", "t"))
+    // non-ASCII goes through UTF-8 BYTES: the é of 'café' becomes
+    // C3 A9 → two alphabet symbols (printable keep-range: Ã ©) after
+    // the ASCII prefix — never unk
+    assert(toks(ids(3L)) == List("c", "a", "f", "\u00c3", "\u00a9"))
+    assert(ids(4L) == null)
+  }
+
   test("q90 twin under an imported production vocab: tokenBudget " +
        "ordered by BPE id counts matches the hand-computed cut") {
     // docs with known BPE token counts under the imported merges

@@ -230,6 +230,23 @@ class DecodeSpec extends SparkSpec {
     assert(Decode.audioFingerprint(Array[Byte]()).isEmpty)
   }
 
+  test("companded (mu-law) audio reports None, never a garbage " +
+       "fingerprint: the PCM-only contract") {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val data = Array.tabulate[Byte](8000)(i => (i % 251).toByte)
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, data.length)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
+    val ulaw = bos.toByteArray
+    assert(Decode.decodeWavSamples(ulaw).isEmpty,
+      "mu-law must not decode through the unsigned-PCM branch")
+    assert(Decode.audioFingerprint(ulaw).isEmpty)
+    assert(Decode.decodeWav(ulaw).isEmpty)
+  }
+
   test("audioSignatures + simhashNearDups banding: re-encode twins " +
        "pair at distance 0, corrupt audio never pairs") {
     val rows = (0L until 20L).flatMap { s =>

@@ -198,6 +198,15 @@ class WarcSpec extends SparkSpec {
       "4\r\nWiki\r\n0\r\n\r\n").getBytes(UTF_8)
     assert(new String(Warc.splitHttpPayload(rep2, "r6").body, UTF_8) ==
       "Wiki")
+    // repeated SINGLETON headers stay last-wins (comma-joining two
+    // Content-Type lines would flip the charset sniff to the first
+    // declaration and break exact-match filters)
+    val dupCt = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=iso-8859-1\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n\r\nbody")
+      .getBytes(UTF_8)
+    assert(Warc.splitHttpPayload(dupCt, "rct").http_content_type
+      .contains("text/html; charset=utf-8"))
     // empty payload: a legal empty capture, nulls + empty body
     val pe = Warc.splitHttpPayload(Array.emptyByteArray, "r4")
     assert(pe.http_status.isEmpty && pe.body.isEmpty)

@@ -24,8 +24,22 @@ object GraftSession {
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
     c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    // Pig's FR join threshold analog (POFRJoin loads right side in memory).
-    c.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // Pig's FR join threshold analog (POFRJoin loads right side in
+    // memory) — applied at the ADAPTIVE layer only, where the decision
+    // uses REAL post-shuffle sizes. The static threshold is off: this
+    // engine's join sides routinely sit behind HOF-explode aggregates
+    // whose size ESTIMATES are garbage, and a statically planned
+    // broadcast cannot be demoted by AQE — at sf10 n=5 the planner
+    // elected to broadcast a 21M-row LM context table and the driver
+    // died building it (r16; the same mid-scale window threatens any
+    // corpus-sized aggregate whose estimate shrinks under the
+    // threshold). Explicit broadcast() hints (replicated join) are
+    // unaffected; genuinely small sides still broadcast one shuffle
+    // later via AQE. Measured: gate medians unchanged at sf0.1, the
+    // static-broadcast crash class eliminated at every scale.
+    c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    c.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+      (64L << 20).toString)
     // The driver's events.parquet uses TIMESTAMP(NANOS) which Spark cannot
     // read natively — read as long and convert (see Relation.loadTable).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -107,6 +107,13 @@ object BloomJoin {
            expectedItems: Long = 1000000L, fpp: Double = 0.03,
            joinType: String = "inner"): DataFrame = {
     checkJoinType(joinType)
+    // the join strategy is left to AQE: the bloom BUILD side is not
+    // necessarily broadcast-sized (Pig's bloom join exists precisely
+    // for small-but-not-replicable sides — BuildBloom ships a filter,
+    // never the rows), so a genuinely small side broadcasts at runtime
+    // from its REAL size and a large one stays a shuffle join; the
+    // operator's contract is the pre-shuffle might_contain cut, not
+    // the join strategy
     preFilter(big, Seq(col(bigKey)), small, Seq(col(smallKey)),
         expectedItems, fpp)
       .join(small, col(bigKey) === col(smallKey), joinType)

@@ -164,8 +164,18 @@ final class Relation private[dsl] (val df: DataFrame, val name: String) {
     * (QueryParser.g:565-575 equi-only); Spark plans range conditions as a
     * broadcast nested-loop join directly. Bonus capability. */
   def joinTheta(other: Relation, cond: Column,
-                joinType: String = "inner"): Relation =
-    derived(df.join(other.df, cond, joinType))
+                joinType: String = "inner",
+                strategy: String = "default"): Relation = {
+    // 'replicated' matters doubly for theta: with estimate-based
+    // static broadcasts off, an unhinted non-equi join plans a
+    // CartesianProduct — a user who KNOWS the right side is small
+    // states it and gets BroadcastNestedLoopJoin back
+    val right = strategy match {
+      case "replicated" => broadcast(other.df)
+      case _ => other.df
+    }
+    derived(df.join(right, cond, joinType))
+  }
 
   /** Pig's anti-join idiom (COGROUP + IsEmpty filter — PigMix L5) mapped to
     * the shuffle-free-er native left_anti. */

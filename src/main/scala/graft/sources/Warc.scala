@@ -492,11 +492,17 @@ object Warc {
     * leave partial output indistinguishable from a complete run):
     * each attempt writes a DOT-PREFIXED attempt-unique temp file
     * (hidden from `*.warc.gz` globs) and renames it to the final
-    * part name as its last act — rename-if-absent, so a duplicate
-    * commit fails loudly; the driver clears prior output up front
-    * (overwrite semantics), sweeps orphaned temp files from killed
+    * part name as its last act — on HDFS-like filesystems the rename
+    * fails if the destination exists, so a duplicate commit fails
+    * loudly; on local/POSIX filesystems rename overwrites, which is
+    * benign here (twin attempts of the same partition produce
+    * identical bytes) but means the loud-fail guard is HDFS-only.
+    * The driver clears prior output up front (overwrite semantics,
+    * both extensions), sweeps orphaned temp files from killed
     * attempts after the job, and writes `_SUCCESS` last. Readers
-    * checking the marker can therefore trust any part file they see.
+    * checking the marker can therefore trust any part file they see;
+    * a twin finishing after the sweep can at worst leave a hidden
+    * .inprogress temp behind, never a visible shard.
     * Returns the shard paths (bounded: one per non-empty
     * partition). */
   def write(df: org.apache.spark.sql.DataFrame, dir: String,
@@ -512,7 +518,11 @@ object Warc {
     // (possibly crashed) run must not survive next to fresh output
     if (dfs.exists(dirPath))
       dfs.listStatus(dirPath).map(_.getPath)
-        .filter(p => p.getName.endsWith(ext) ||
+        // BOTH extensions: a gzip=false rerun over a gzip=true dir must
+        // not leave the old .warc.gz shards under the fresh _SUCCESS
+        // (the reader globs both forms)
+        .filter(p => p.getName.endsWith(".warc") ||
+          p.getName.endsWith(".warc.gz") ||
           p.getName == "_SUCCESS" || p.getName.startsWith("."))
         .foreach(p => dfs.delete(p, false))
     else dfs.mkdirs(dirPath)

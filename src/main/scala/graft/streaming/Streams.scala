@@ -67,9 +67,12 @@ object Streams {
   /** Stream-static enrichment: join each micro-batch against a batch
     * dimension table. The static side is re-read per batch (so slowly-
     * changing dims refresh). `hintBroadcast = true` (default) FORCES a
-    * broadcast — right for a dimension that fits on executors, wrong for
-    * a multi-GB one; pass false to let Catalyst size it against
-    * autoBroadcastJoinThreshold instead. No state, no watermark needed:
+    * broadcast — right for a dimension that fits on executors; pass
+    * false ONLY for a dim too big to broadcast, and expect a per-batch
+    * shuffle join: the engine disables estimate-based static
+    * broadcasts (GraftSession.tune — size estimates are untrusted) and
+    * micro-batch plans do not run AQE, so there is no auto-broadcast
+    * fallback on the streaming path. No state, no watermark needed:
     * the static side never adds rows to wait for. */
   def enrichWithStatic(stream: DataFrame, dim: DataFrame,
                        keys: Seq[String],

@@ -445,7 +445,12 @@ object Bpe {
     * the split that makes word-initial 'Ġ…' merges reachable. */
   private val Gpt2Pat = java.util.regex.Pattern.compile(
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
-      "|\\s+(?!\\S)|\\s+")
+      "|\\s+(?!\\S)|\\s+",
+    // UNICODE_CHARACTER_CLASS: Python's \\s is Unicode whitespace —
+    // without the flag Java treats NBSP/U+2000-200A/U+3000 as
+    // NON-whitespace, fusing them into punct pre-tokens and breaking
+    // segmentation parity on real web text
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
   /** One pre-token's UTF-8 bytes through the byte→unicode alphabet
     * (space→'Ġ', newline→'Ċ', …) — encoder.py's byte mapping. */

@@ -175,7 +175,10 @@ object Dedup {
                         maxDistance: Int): DataFrame = {
     val a = sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a"))
     val b = sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    // explicit broadcast: the input is documented BOUNDED (this is the
+    // quadratic verify twin), and with estimate-based static broadcasts
+    // off a non-equi join would otherwise plan a CartesianProduct
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
@@ -189,7 +192,8 @@ object Dedup {
       col("simhash_lo").as("lo_a"), col("simhash_hi").as("hi_a"))
     val b = sigs.select(col(idCol).as("id_b"),
       col("simhash_lo").as("lo_b"), col("simhash_hi").as("hi_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    // bounded verify twin: same explicit-broadcast note as the 64-bit form
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming128(col("lo_a"), col("hi_a"),
                    col("lo_b"), col("hi_b")).as("hamming"))

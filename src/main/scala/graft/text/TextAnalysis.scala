@@ -254,13 +254,18 @@ object TextAnalysis {
         // would flunk every document — a run is clause-sized, so the
         // cap relaxes to 80 rather than losing the rule entirely)
         when(l.isin("zh", "ja", "th"), lit(1.0)).otherwise(lit(3.0)),
-        when(l === "th", lit(80.0)).otherwise(lit(10.0)))
+        when(l === "th", lit(80.0)).otherwise(lit(10.0)),
+        // the 50-token volume floor counts RUNS for th (~6 English
+        // words each), so it scales down to 8 — otherwise the floor is
+        // ~6x stricter for Thai than for the English anchor
+        when(l === "th", lit(8L)).otherwise(lit(50L)))
     }
 
   private def gopherFlagsImpl(text: Column, stopArr: Column,
                               isWordToken: Column => Column,
                               mwlLo: Column,
-                              mwlHi: Column = lit(10.0)): Column = {
+                              mwlHi: Column = lit(10.0),
+                              wcLo: Column = lit(50L)): Column = {
     // ONE traversal of the token stream and ONE of the line list.
     // The flag-per-subexpression form re-evaluated tokens() ~8x per
     // row (HOF subtrees are excluded from subexpression elimination —
@@ -333,7 +338,7 @@ object TextAnalysis {
         tf.getField("alpha").cast(DoubleType) / nWd).otherwise(lit(0.0))
       val stopHits = bit_count(tf.getField("mask"))
       val flags = Seq(
-        "word_count_ok" -> (nW >= 50 && nW <= 100000),
+        "word_count_ok" -> (nW >= wcLo && nW <= 100000),
         "mean_word_len_ok" -> (mwl >= mwlLo && mwl <= mwlHi),
         "symbol_ratio_ok" ->
           when(nWd > 0, sym / nWd < 0.1).otherwise(lit(false)),

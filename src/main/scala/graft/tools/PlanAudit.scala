@@ -25,7 +25,10 @@ object PlanAudit {
                 else graft.SparkEntry.benchQueries.keys.toSeq.sorted
     for (name <- names) {
       val df = graft.SparkEntry.benchQueries(name)(spark, sfDir)
-      df.collect() // execute so the adaptive plan is FINAL
+      // execute so the adaptive plan is FINAL — toRdd.count(), the
+      // Bench materialization policy: a collect() of a corpus-sized
+      // result would OOM the very driver this tool exists to protect
+      df.queryExecution.toRdd.count()
       val plan = df.queryExecution.executedPlan.toString
       println(s"[audit] ===== $name =====")
       plan.split('\n')

@@ -1036,11 +1036,13 @@ class PipelineSpec extends SparkSpec {
     // Thai prose (unsegmented runs) padded to a realistic word count
     val th = ("\u0e1b\u0e23\u0e30\u0e40\u0e17\u0e28\u0e44\u0e17\u0e22" +
       " \u0e21\u0e35\u0e1e\u0e37\u0e49\u0e19\u0e17\u0e35\u0e48" +
-      " \u0e02\u0e19\u0e32\u0e14\u0e43\u0e2b\u0e0d\u0e48 ") * 30
+      " \u0e02\u0e19\u0e32\u0e14\u0e43\u0e2b\u0e0d\u0e48 ") * 4
     val row = Seq((1L, th)).toDF("doc_id", "text")
       .select(
         gopherFlagsByLang(col("text"), lit("th"))
           .getField("alpha_words_ok").as("alpha_th"),
+        gopherFlagsByLang(col("text"), lit("th"))
+          .getField("word_count_ok").as("wc_th"),
         gopherFlagsByLang(col("text"), lit("th"))
           .getField("mean_word_len_ok").as("mwl_th"),
         gopherFlags(col("text"))
@@ -1049,6 +1051,9 @@ class PipelineSpec extends SparkSpec {
       .collect()(0)
     assert(row.getAs[Boolean]("alpha_th"),
       "Thai runs must count as word tokens under the th letter class")
+    assert(row.getAs[Boolean]("wc_th"),
+      "the volume floor counts RUNS for th (8, not 50 — a run is ~6 " +
+        "English words)")
     assert(row.getAs[Boolean]("mwl_th"),
       "clause-sized runs must not flunk the relaxed th length window")
     assert(!row.getAs[Boolean]("alpha_en"),

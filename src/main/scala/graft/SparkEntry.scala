@@ -1498,6 +1498,53 @@ object SparkEntry {
         col("roundtrip_ok"), col("vocab_ok"), col("compress_ok"))
     }),
 
+    // GPT-2 byte-level encoding parity (r16): text → GPT-2
+    // pre-tokenizer → UTF-8 bytes through the byte→unicode alphabet →
+    // word-local merges. The DuckDB-recomputable anchor is EXACT:
+    // under an EMPTY merge table every UTF-8 byte is one token, so
+    // Spark's total token count must equal sum(strlen(text)) — any
+    // pre-tokenizer gap/overlap or byte-mapping slip breaks the hash.
+    // Verdicts (q44 pattern, pinned true): byte-decode roundtrip
+    // reconstructs every document exactly under BOTH vocabularies, a
+    // real merge table strictly compresses, and nothing maps to unk.
+    "q128_gpt2_encode" -> ((s, d) => {
+      val docs = T(s, d, "documents").df.select(col("doc_id"), col("text"))
+      val vocab0 = graft.text.Bpe.vocabFromMerges(Nil,
+        graft.text.Bpe.Gpt2ByteAlphabet)
+      val merges = graft.text.Bpe.parseMergesTxt(Seq(
+        "#version: 0.2",
+        "t h", "th e", "e r", "i n", "o n", "a n", "an d",
+        "Ġ t", "Ġt h", "Ġth e", "Ġ a",
+        "Ġ o", "Ġo f").iterator)
+      val vocabM = graft.text.Bpe.vocabFromMerges(merges,
+        graft.text.Bpe.Gpt2ByteAlphabet)
+      val enc0 = graft.text.Bpe.encodeIdsGpt2(docs, "doc_id", "text",
+        vocab0, out = "ids0")
+      val encM = graft.text.Bpe.encodeIdsGpt2(docs, "doc_id", "text",
+        vocabM, out = "idsM")
+      val toks0 = vocab0.tokens.toIndexedSeq
+      val toksM = vocabM.tokens.toIndexedSeq
+      val dec0 = udf((ids: Seq[Int]) =>
+        ids.map(i => graft.text.Bpe.gpt2ByteDecode(toks0(i))).mkString)
+      val decM = udf((ids: Seq[Int]) =>
+        ids.map(i => graft.text.Bpe.gpt2ByteDecode(toksM(i))).mkString)
+      docs.join(enc0, "doc_id").join(encM, "doc_id")
+        .select(
+          size(col("ids0")).cast(LongType).as("__n0"),
+          size(col("idsM")).cast(LongType).as("__nM"),
+          (dec0(col("ids0")) === col("text") &&
+            decM(col("idsM")) === col("text")).as("__rt"),
+          (!array_contains(col("ids0"), -1) &&
+            !array_contains(col("idsM"), -1)).as("__ok"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__n0")).as("total_byte_tokens"),
+          coalesce(min(col("__rt")), lit(true)).as("roundtrip_ok"),
+          coalesce(sum(col("__nM")) < sum(col("__n0")), lit(true))
+            .as("merged_compresses"),
+          coalesce(min(col("__ok")), lit(true)).as("no_unk"))
+    }),
+
     // Data mixing (the pretraining-recipe step that fixes each
     // source's share of the final corpus): resample to a target
     // mixture — largest-remainder quotas summing exactly to the
@@ -3679,6 +3726,15 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS twin_hamming,
                 true AS twin_found,
                 true AS corrupt_null
+         FROM documents""",
+    // the byte-exact anchor: empty-merge GPT-2 encoding emits one
+    // token per UTF-8 byte, and DuckDB's strlen counts bytes
+    "q128_gpt2_encode" ->
+      """SELECT count(*) AS n_docs,
+                CAST(sum(strlen(text)) AS BIGINT) AS total_byte_tokens,
+                true AS roundtrip_ok,
+                true AS merged_compresses,
+                true AS no_unk
          FROM documents""",
     // the full temperature apportionment in SQL: counts → pow(n,.5) →
     // normalize → round 9dp (both engines round before the quota math

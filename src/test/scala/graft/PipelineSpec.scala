@@ -1060,4 +1060,43 @@ class PipelineSpec extends SparkSpec {
       "the [A-Za-z] fallback flunks Thai — that IS the seam")
     assert(row.getAs[Double]("ar_th") > 0.8)
   }
+
+  test("Pipeline.run (r16): materialized stages resume at the first " +
+       "incomplete stage, and invalidation cascades downstream") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val wd = java.nio.file.Files.createTempDirectory("plr").toString
+    val docs = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"))
+      .toDF("doc_id", "text")
+    val ran = Array.fill(3)(new AtomicInteger(0))
+    def stage(i: Int, f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame) =
+      (s"s$i", (d: org.apache.spark.sql.DataFrame) => {
+        ran(i).incrementAndGet(); f(d) })
+    val stages = Seq(
+      stage(0, _.withColumn("a", lit(1))),
+      stage(1, _.withColumn("b", lit(2))),
+      stage(2, _.filter(col("doc_id") =!= 2L)))
+    val out1 = graft.text.Pipeline.run(docs, stages, wd, fanOut = 2)
+    assert(out1.count() == 2 &&
+      out1.columns.toSet == Set("doc_id", "text", "a", "b"))
+    assert(ran.map(_.get()).toSeq == Seq(1, 1, 1))
+    // full resume: nothing recomputes, same result
+    val out2 = graft.text.Pipeline.run(docs, stages, wd, fanOut = 2)
+    assert(out2.count() == 2)
+    assert(ran.map(_.get()).toSeq == Seq(1, 1, 1),
+      "completed stages must not recompute on resume")
+    // invalidate stage 1 (delete its marker): 1 AND 2 recompute
+    // (cascade — stage 2's input changed), stage 0 does not
+    val m = new java.io.File(s"$wd/01_s1/_SUCCESS")
+    assert(m.exists()); m.delete()
+    val out3 = graft.text.Pipeline.run(docs, stages, wd, fanOut = 2)
+    assert(out3.count() == 2)
+    assert(ran.map(_.get()).toSeq == Seq(1, 2, 2),
+      "invalidation must cascade past the recomputed stage")
+    // duplicate stage names are rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.text.Pipeline.run(docs, Seq(stages(0), stages(0)), wd)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
 }

@@ -1381,6 +1381,17 @@ object SparkEntry {
         T(s, d, "documents").df.select("doc_id", "source"),
         "doc_id", seed = 42L, numShards = 8)),
 
+    // Token-balanced global shards (r16): equal token MASS per shard
+    // via a distributed prefix sum in the seeded LCG order — FULL
+    // row/hash gate, the oracle re-derives the mix, the window
+    // cumulative sum, and the quotient entirely in SQL.
+    "q129_token_shards" -> ((s, d) =>
+      graft.text.Curation.tokenBalancedShards(
+          T(s, d, "documents").df.select("doc_id", "text", "source"),
+          "doc_id", "text", tokensPerShard = 5000L, seed = 42L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("shard"))),
+
     // scripting-UDF surface (REGISTER … USING streaming_python; the
     // reference's StreamingUDF): the whole path — decorator discovery,
     // namespaced dispatch, per-thread python process, JSON protocol —
@@ -3727,6 +3738,25 @@ object SparkEntry {
                 true AS twin_found,
                 true AS corrupt_null
          FROM documents""",
+    "q129_token_shards" ->
+      """WITH m AS (
+           SELECT doc_id, source,
+                  CAST(length(list_filter(string_split_regex(trim(text),
+                    '[ \t\n\f\r\x0B]+'), x -> length(x) > 0)) AS BIGINT)
+                    AS n_tokens,
+                  (((xor(doc_id, doc_id >> 31) % 2147483648)
+                    * 1103515245 + 42)
+                    % 2147483648 * 1103515245 + 12345)
+                    % 2147483648 AS mix
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+                  sum(n_tokens) OVER (ORDER BY mix, doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+           FROM m)
+         SELECT doc_id, source, n_tokens,
+                CAST(floor(cum / 5000.0) AS BIGINT) AS shard
+         FROM c""",
     // the byte-exact anchor: empty-merge GPT-2 encoding emits one
     // token per UTF-8 byte, and DuckDB's strlen counts bytes
     "q128_gpt2_encode" ->

@@ -341,6 +341,63 @@ object Curation {
       .drop("__mix")
   }
 
+  /** TOKEN-balanced global shards — equal token MASS per shard (the
+    * property a training run actually needs from its input shards;
+    * [[shuffleDeterministic]] balances document COUNTS, which skews
+    * token mass whenever lengths do): documents take a seed-
+    * reproducible pseudo-random total order (the same LCG mix), and
+    * `shard = floor(exclusive-prefix-token-sum / tokensPerShard)` —
+    * token-contiguous shards of `tokensPerShard` each, reproducible
+    * across runs and cluster sizes because the prefix sum follows the
+    * total (mix, id) order, never partition boundaries.
+    *
+    * Scale shape — a global prefix sum WITHOUT a global window: the
+    * (id, mix, n) projection (thin: ~24 bytes/doc) range-shuffles into
+    * (mix, id) order and is persisted; per-partition token sums
+    * collect to the driver (numPartitions longs — the Rank/POCounter
+    * side channel) and broadcast back as offsets; the running sum
+    * within each partition is a pid-local window (pids are
+    * hash-partitioned whole, so no partition ever holds more than its
+    * range slice). Full rows shuffle exactly ONCE — the final id-keyed
+    * join of the shard assignment. Output: input columns + n_tokens,
+    * shard. */
+  def tokenBalancedShards(df: DataFrame, idCol: String, textCol: String,
+                          tokensPerShard: Long, seed: Long = 0L,
+                          tokenCountCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    val nTok = tokenCountCol
+      .map(c => coalesce(col(c).cast(LongType), lit(0L)))
+      .getOrElse(coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)))
+    // thin projection only: the heavy text column never enters the
+    // prefix-sum machinery
+    val thin = graft.GraftSession.trackPersist(
+      df.select(col(idCol), nTok.as("__tb_n"),
+          lcgMix(col(idCol), seed).as("__tb_mix"))
+        .repartitionByRange(col("__tb_mix"), col(idCol))
+        .sortWithinPartitions(col("__tb_mix"), col(idCol))
+        .withColumn("__tb_pid", spark_partition_id()))
+    // pass 1: per-partition sums — numPartitions rows, never data
+    val parts = thin.groupBy(col("__tb_pid"))
+      .agg(sum(col("__tb_n")).as("__tb_s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = parts.map { case (p, s) => val o = (p, acc); acc += s; o }
+    val offsets = df.sparkSession.createDataFrame(offs.toSeq)
+      .toDF("__tb_pid", "__tb_off")
+    // pass 2: pid-local running sum + broadcast offset = global
+    // exclusive prefix; shard is its quotient
+    val w = Window.partitionBy(col("__tb_pid"))
+      .orderBy(col("__tb_mix"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val assign = thin.join(broadcast(offsets), "__tb_pid")
+      .withColumn("__tb_cum",
+        col("__tb_off") + sum(col("__tb_n")).over(w) - col("__tb_n"))
+      .select(col(idCol), col("__tb_n").as("n_tokens"),
+        floor(col("__tb_cum") / tokensPerShard).as("shard"))
+    df.join(assign, idCol)
+  }
+
   /** Deterministic fixed-size per-stratum sample — "exactly n eval docs
     * per language/source", the slice-carving companion to the rate-based
     * [[stratifiedSample]]: rank docs inside each stratum by the same

@@ -120,6 +120,17 @@ object DumpPlans {
           |fingerprints and can never pair. Production fingerprints
           |chroma (Chromaprint); the envelope contour is the dependency-
           |free stand-in with identical downstream shape.""".stripMargin,
+      "q129_token_shards (global prefix sum without a global window)" ->
+        """Equal token MASS per shard needs a global cumulative sum; a
+          |Window.orderBy would collapse to one partition. Shape: the
+          |thin (id, mix, n_tokens) projection range-shuffles into the
+          |seeded total order and persists; per-partition sums collect
+          |(numPartitions longs — the Rank/POCounter side channel);
+          |offsets broadcast back onto a pid-local running-sum window;
+          |shard = quotient of the exclusive prefix. Full rows shuffle
+          |exactly once (the id-keyed assignment join). Reproducible
+          |across cluster sizes: the prefix follows the total (mix, id)
+          |order, never partition boundaries.""".stripMargin,
       "q125_boilerplate_pr (labeled precision/recall regression gate)" ->
         """Same zero-shuffle scan-speed projection as q115 (the block
           |fold computes each block's text once into a struct); the P/R

@@ -293,4 +293,45 @@ class CurationProbeSpec extends SparkSpec {
     assert(out(1).getLong(3) == 1L,       // doc2 keeps only the unique one
       s"CRLF paragraph not deduped: ${out.mkString(";")}")
   }
+
+  test("tokenBalancedShards (r16): shard token mass is bounded by " +
+       "target+maxDoc, assignment is reproducible across input " +
+       "partitionings, null text carries zero mass") {
+    import graft.text.Curation
+    val docs = (1L to 400L).map { i =>
+      val words = 1 + (i % 37).toInt
+      (i, if (i % 97 == 0) null else Seq.fill(words)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val target = 500L
+    val a = Curation.tokenBalancedShards(docs.repartition(3),
+      "doc_id", "text", target, seed = 7L)
+    val b = Curation.tokenBalancedShards(docs.repartition(11),
+      "doc_id", "text", target, seed = 7L)
+    val mapA = a.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mapB = b.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mapA == mapB,
+      "shard assignment must not depend on the input partitioning")
+    // every shard's token mass is in [1, target + maxDoc): token-
+    // contiguous quotient packing can overshoot by at most one doc
+    val mass = a.groupBy("shard").agg(sum("n_tokens").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val maxDoc = 37L
+    assert(mass.values.forall(m => m > 0 && m < target + maxDoc),
+      s"unbalanced shards: $mass")
+    // shards are contiguous 0..K with only the last one light
+    val ids = mass.keySet
+    assert(ids == (0L until ids.size).toSet, s"non-contiguous: $ids")
+    assert(mass.filter(_._2 < target - maxDoc).keySet.subsetOf(
+      Set(ids.max)), "only the tail shard may run light")
+    // null text = zero mass, still assigned
+    assert(mapA.contains(97L) && mapA.contains(194L))
+    // different seed = different order
+    val c = Curation.tokenBalancedShards(docs, "doc_id", "text",
+      target, seed = 8L)
+    val mapC = c.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mapC != mapA, "a new seed must reorder")
+  }
 }

@@ -1381,6 +1381,50 @@ object SparkEntry {
         T(s, d, "documents").df.select("doc_id", "source"),
         "doc_id", seed = 42L, numShards = 8)),
 
+    // The composed crawl front end in ONE call (r16): documents
+    // wrapped as HTTP-framed WARC-shaped records (q115's boilerplate
+    // wrapper, a 404 slice, a robots-noindex slice) → Crawl.cleanDocs
+    // → surviving clean docs. FULL row/hash gate: the oracle composes
+    // the already-green stage mirrors — q115's block extraction,
+    // q48's language vote, q126's keyed quality, q102's symbol rule —
+    // so a regression in the COMPOSITION (stage order, a dropped
+    // filter, a charset slip) breaks the hash even when every stage
+    // gate stays green.
+    "q130_crawl_clean" -> ((s, d) => {
+      val docs = T(s, d, "documents").df.select(col("doc_id"), col("text"))
+      val idStr = col("doc_id").cast(StringType)
+      val robots = when(pmod(col("doc_id"), lit(11)) === 0,
+        lit("<meta name=\"robots\" content=\"noindex\">"))
+        .otherwise(lit(""))
+      val html = concat(
+        lit("<html><head><title>Site T"), idStr, lit("</title>"), robots,
+        lit("<style>nav {color: blue}</style></head><body>" +
+          "<nav><a href=\"/\">Home page</a> <a href=\"/about\">About " +
+          "us</a> <a href=\"/contact\">Contact info</a></nav><p>"),
+        col("text"),
+        lit("</p><div>Copyright 2026 Example Corp</div>" +
+          "<p>Read more: <a href=\"/next\">the next related article " +
+          "in this series</a></p></body></html>"))
+      val mk = udf((h: String, status: Int) =>
+        graft.sources.Warc.wrapHttp(
+          h.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          status = status, contentType = "text/html; charset=utf-8"))
+      val status = when(pmod(col("doc_id"), lit(7)) === 0, lit(404))
+        .otherwise(lit(200))
+      val records = docs.select(
+        lit("f").as("file"),
+        idStr.as("record_id"),
+        lit("response").as("warc_type"),
+        concat(lit("https://ex.com/"), idStr).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        lit("application/http; msgtype=response").as("content_type"),
+        lit(0L).as("content_length"),
+        mk(html, status).as("payload"))
+      graft.sources.Crawl.cleanDocs(records, minQuality = 0.3)
+        .select(col("record_id").cast(LongType).as("doc_id"),
+          col("url"), col("lang"), col("charset"), col("clean_text"))
+    }),
+
     // Token-balanced global shards (r16): equal token MASS per shard
     // via a distributed prefix sum in the seeded LCG order — FULL
     // row/hash gate, the oracle re-derives the mix, the window
@@ -3738,6 +3782,91 @@ object SparkEntry {
                 true AS twin_found,
                 true AS corrupt_null
          FROM documents""",
+    // Composes the q48 language vote, the q126 keyed-quality formula,
+    // and the q102 symbol rule; clean_text == text because the base
+    // corpus is entity-free, single-spaced and trimmed (verified — the
+    // full extraction fidelity is q115's own mirror), so the
+    // composition mirror stays tractable.
+    "q130_crawl_clean" ->
+      """WITH sw AS (
+           SELECT * FROM (VALUES
+             ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+             ('de','nicht'),('de','mit'),('de','ein'),('de','zu'),
+             ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+             ('en','is'),('en','that'),('en','it'),('en','for'),
+             ('es','el'),('es','los'),('es','las'),('es','y'),('es','es'),
+             ('es','que'),('es','por'),('es','para'),('es','una'),
+             ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
+             ('fr','que'),('fr','pour'),('fr','dans'),('fr','une')
+           ) v(cand_lang, tok)),
+         ptoks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(
+                    trim(lower(text)), '[ \t\n\f\r\x0B]+'),
+                    t -> length(t) > 0)) AS tok
+           FROM documents),
+         counts AS (
+           SELECT p.doc_id, s.cand_lang, count(*) AS n
+           FROM ptoks p JOIN sw s ON s.tok = p.tok GROUP BY 1, 2),
+         best AS (
+           SELECT doc_id, cand_lang AS best_lang FROM (
+             SELECT doc_id, cand_lang,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY n DESC, cand_lang) AS rn
+             FROM counts) WHERE rn = 1),
+         lng AS (
+           SELECT d.doc_id, d.text,
+                  CASE WHEN regexp_matches(substr(d.text, 1, 4096),
+                                           '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                       ELSE coalesce(b.best_lang, 'unknown') END AS lang
+           FROM documents d LEFT JOIN best b USING (doc_id)),
+         tok AS (
+           SELECT doc_id, lang, text,
+                  list_filter(string_split_regex(trim(
+                    regexp_replace(regexp_replace(lower(text),
+                      '([\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}])',
+                      ' \1 ', 'g'),
+                      '([\x{0e00}-\x{0e7f}]+)', ' \1 ', 'g')),
+                    '[ \t\n\f\r\x0B]+'), x -> length(x) > 0) AS toks
+           FROM lng),
+         m AS (
+           SELECT doc_id, lang, text, len(toks) AS nt,
+                  len(list_filter(toks, x -> CASE
+                    WHEN lang = 'zh' THEN x IN ('的','了','是','在','和','有','我','不','这','他')
+                    WHEN lang = 'de' THEN x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den','von','im','auf','dem','sich')
+                    WHEN lang = 'fr' THEN x IN ('le','la','les','et','est','que','pour','dans','une','des','du','en','un','au','sur')
+                    WHEN lang = 'es' THEN x IN ('el','los','las','y','es','que','por','para','una','de','en','un','con','del','se')
+                    ELSE x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be') END)) AS hits,
+                  ((len(text) - len(replace(text, '#', '')))
+                   + (len(string_split_regex(text, '\.\.\.|…')) - 1)
+                  )::DOUBLE AS sym
+           FROM tok),
+         q AS (
+           SELECT doc_id, lang, text, nt, sym,
+                  round((
+                    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                    + CASE WHEN lang = 'zh' THEN
+                        CASE WHEN length(text) > 0
+                          THEN CAST(length(regexp_replace(text,
+                            '[^\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}]',
+                            '', 'g')) AS DOUBLE) / length(text)
+                          ELSE 0.0 END
+                      ELSE
+                        CASE WHEN length(text) > 0
+                          THEN CAST(length(regexp_replace(text,
+                            '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+                          ELSE 0.0 END END
+                    + least((CASE WHEN nt > 0
+                        THEN CAST(hits AS DOUBLE) / nt ELSE 0.0 END) * 5.0,
+                        1.0)
+                  ) / 3.0, 6) AS qk
+           FROM m)
+         SELECT doc_id,
+                'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+                lang, 'UTF-8' AS charset, text AS clean_text
+         FROM q
+         WHERE doc_id % 7 != 0 AND doc_id % 11 != 0
+           AND qk >= 0.3
+           AND nt > 0 AND sym / nt < 0.1""",
     "q129_token_shards" ->
       """WITH m AS (
            SELECT doc_id, source,

@@ -422,6 +422,18 @@ object TextAnalysis {
   def withLangBound(text: Column)(f: Column => Column): Column =
     let2(langId(text), lit(0)) { (l, _) => f(l) }
 
+  /** General row-level let-binding, public: evaluate `a` ONCE per row
+    * and hand the body a lambda variable. The tool for composing an
+    * EXPENSIVE derived column (an HTML extraction chain, a decoded
+    * body) into several downstream signals inside one expression —
+    * Spark's subexpression elimination skips HOF subtrees and both
+    * CollapseProject and filter pushdown substitute a referenced alias
+    * into every consumer, so without the binding the producer re-runs
+    * once per signal (measured on the composed crawl front end: the
+    * boilerplate-extraction battery ran ~8x per row). */
+  def bound(a: Column)(f: Column => Column): Column =
+    let2(a, lit(0)) { (x, _) => f(x) }
+
   /** [[stopwordRatio]] keyed by a per-row language column: ONE fold
     * (the same single-traversal discipline), membership against the
     * lang-selected array. The array (and through it `lang`) is

@@ -1579,10 +1579,14 @@ object SparkEntry {
         vocabM, out = "idsM")
       val toks0 = vocab0.tokens.toIndexedSeq
       val toksM = vocabM.tokens.toIndexedSeq
+      // concatenate the mapped token STRINGS first, decode once: a
+      // token boundary may split a multi-byte UTF-8 character (under
+      // the empty-merge vocab every non-ASCII char does), so per-token
+      // decoding would yield U+FFFD pairs instead of the original
       val dec0 = udf((ids: Seq[Int]) =>
-        ids.map(i => graft.text.Bpe.gpt2ByteDecode(toks0(i))).mkString)
+        graft.text.Bpe.gpt2ByteDecode(ids.map(toks0(_)).mkString))
       val decM = udf((ids: Seq[Int]) =>
-        ids.map(i => graft.text.Bpe.gpt2ByteDecode(toksM(i))).mkString)
+        graft.text.Bpe.gpt2ByteDecode(ids.map(toksM(_)).mkString))
       docs.join(enc0, "doc_id").join(encM, "doc_id")
         .select(
           size(col("ids0")).cast(LongType).as("__n0"),
@@ -3870,9 +3874,13 @@ object SparkEntry {
     "q129_token_shards" ->
       """WITH m AS (
            SELECT doc_id, source,
-                  CAST(length(list_filter(string_split_regex(trim(text),
-                    '[ \t\n\f\r\x0B]+'), x -> length(x) > 0)) AS BIGINT)
-                    AS n_tokens,
+                  CAST(coalesce(length(list_filter(string_split_regex(trim(
+                    regexp_replace(regexp_replace(text,
+                      '([\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}])',
+                      ' \1 ', 'g'),
+                      '([\x{0e00}-\x{0e7f}]+)', ' \1 ', 'g')),
+                    '[ \t\n\f\r\x0B]+'), x -> length(x) > 0)), 0)
+                    AS BIGINT) AS n_tokens,
                   (((xor(doc_id, doc_id >> 31) % 2147483648)
                     * 1103515245 + 42)
                     % 2147483648 * 1103515245 + 12345)

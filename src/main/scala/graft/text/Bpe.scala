@@ -454,27 +454,6 @@ object Bpe {
 
   /** One pre-token's UTF-8 bytes through the byte→unicode alphabet
     * (space→'Ġ', newline→'Ċ', …) — encoder.py's byte mapping. */
-  /** Invert [[Gpt2ByteAlphabet]] over a token string: each codepoint
-    * maps back to its byte and the bytes decode as UTF-8 — the decode
-    * side of the GPT-2 byte mapping (concatenate decoded tokens to
-    * recover the original text; the pre-tokenizer partitions the
-    * input, so the roundtrip is exact). */
-  def gpt2ByteDecode(token: String): String = {
-    val bs = new Array[Byte](token.length)
-    var i = 0
-    while (i < token.length) {
-      bs(i) = Gpt2ByteInverse.getOrElse(token.charAt(i),
-        throw new IllegalArgumentException(
-          s"gpt2ByteDecode: '${token.charAt(i)}' (U+${token.charAt(i).toInt.toHexString}) is not in the GPT-2 byte alphabet"))
-      i += 1
-    }
-    new String(bs, java.nio.charset.StandardCharsets.UTF_8)
-  }
-
-  private lazy val Gpt2ByteInverse: Map[Char, Byte] =
-    Gpt2ByteAlphabet.zipWithIndex.map { case (s, b) =>
-      s.charAt(0) -> b.toByte }.toMap
-
   private def gpt2MapBytes(s: String): String = {
     val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val sb = new java.lang.StringBuilder(bs.length)
@@ -482,6 +461,30 @@ object Bpe {
     while (i < bs.length) { sb.append(Gpt2ByteAlphabet(bs(i) & 0xFF)); i += 1 }
     sb.toString
   }
+
+  /** Invert [[Gpt2ByteAlphabet]]: each codepoint of `s` maps back to
+    * its byte and the bytes decode as UTF-8 — the decode side of the
+    * GPT-2 byte mapping. To recover a document, concatenate the TOKEN
+    * STRINGS first and decode ONCE: a token boundary may split a
+    * multi-byte UTF-8 character (under a merge-free vocabulary every
+    * non-ASCII character does), so decoding per token would replace
+    * the split character with U+FFFD pairs. Fail-loud on codepoints
+    * outside the alphabet. */
+  def gpt2ByteDecode(s: String): String = {
+    val bs = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      bs(i) = Gpt2ByteInverse.getOrElse(s.charAt(i),
+        throw new IllegalArgumentException(
+          s"gpt2ByteDecode: '${s.charAt(i)}' (U+${s.charAt(i).toInt.toHexString}) is not in the GPT-2 byte alphabet"))
+      i += 1
+    }
+    new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private lazy val Gpt2ByteInverse: Map[Char, Byte] =
+    Gpt2ByteAlphabet.zipWithIndex.map { case (t, b) =>
+      t.charAt(0) -> b.toByte }.toMap
 
   /** Encode to token ids under an IMPORTED GPT-2 merge table with full
     * SEGMENTATION parity: the raw text is split by GPT-2's own

@@ -366,6 +366,11 @@ object Curation {
                           tokenCountCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tokensPerShard > 0, "tokensPerShard must be positive")
+    val clash = Seq("n_tokens", "shard").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"tokenBalancedShards appends ${clash.mkString("/")} but the " +
+        "input already carries it — rename or drop it first (an " +
+        "ambiguous duplicate would only fail at some downstream select)")
     val nTok = tokenCountCol
       .map(c => coalesce(col(c).cast(LongType), lit(0L)))
       .getOrElse(coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)))

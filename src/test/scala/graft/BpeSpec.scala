@@ -253,6 +253,10 @@ class BpeSpec extends SparkSpec {
     // C3 A9 → two alphabet symbols (printable keep-range: Ã ©) after
     // the ASCII prefix — never unk
     assert(toks(ids(3L)) == List("c", "a", "f", "\u00c3", "\u00a9"))
+    // roundtrip: concatenate token STRINGS then decode ONCE — the
+    // split multi-byte char reassembles; per-token decoding would
+    // yield U+FFFD pairs
+    assert(Bpe.gpt2ByteDecode(toks(ids(3L)).mkString) == "caf\u00e9")
     assert(ids(4L) == null)
   }
 

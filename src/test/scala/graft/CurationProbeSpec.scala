@@ -333,5 +333,11 @@ class CurationProbeSpec extends SparkSpec {
     val mapC = c.select("doc_id", "shard").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(mapC != mapA, "a new seed must reorder")
+    // appended-column collisions fail loudly up front
+    val e = intercept[IllegalArgumentException] {
+      Curation.tokenBalancedShards(
+        docs.withColumn("shard", lit(0)), "doc_id", "text", target)
+    }
+    assert(e.getMessage.contains("shard"))
   }
 }

@@ -138,6 +138,21 @@ object DumpPlans {
           |clean_text — no extra pass, no join. The gate exists so a
           |threshold change that leaks a nav bar or eats a paragraph
           |flips a pinned verdict instead of shipping.""".stripMargin,
+      "q128_gpt2_encode / q130_crawl_clean (r16 composition gates)" ->
+        """Both are scan-speed compositions with hash-level anchors.
+          |q128: two shuffle-free GPT-2 encodes (empty-merge + merged
+          |vocabularies) + a byte-decode roundtrip per doc feeding one
+          |single-row aggregate; the anchor is byte-exact (DuckDB's
+          |sum(strlen) must equal the empty-merge token total). q130:
+          |the whole crawl front end in one call — strip/decode UDFs +
+          |extraction/quality HOFs — with the extraction chain and the
+          |language detector let2-BOUND once per row
+          |(TextAnalysis.bound/withLangBound; unbound, alias
+          |substitution re-ran the extraction battery ~8x per row —
+          |33 -> 8.7 s at sf0.1, values hash-identical). The one-call
+          |form is the STREAMING path; batch materializes the same
+          |stages through Pipeline.run (BASELINE.md r16 pipeline
+          |stamp).""".stripMargin,
       "q126_multilingual_quality (language-keyed quality signals)" ->
         """langId, the keyed stopword ratio, the keyed composite score,
           |and the keyed Gopher battery are all pure-Column projections —

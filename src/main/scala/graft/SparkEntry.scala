@@ -52,6 +52,61 @@ object SparkEntry {
                        round(avg(nll), 6) AS avg_nll
                 FROM inst GROUP BY 1)"""
 
+  /** DuckDB mirror of `TextAnalysis.LangStopwords` — the Latin-script
+    * vote table (r17: it/pt/nl added). Shared VERBATIM by the q48 /
+    * q126 / q130 / q131 oracles so the vote can never drift between
+    * gates. */
+  private val langVoteSwValues: String =
+    """('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+             ('de','nicht'),('de','mit'),('de','ein'),('de','zu'),
+             ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+             ('en','is'),('en','that'),('en','it'),('en','for'),
+             ('es','el'),('es','los'),('es','las'),('es','y'),('es','es'),
+             ('es','que'),('es','por'),('es','para'),('es','una'),
+             ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
+             ('fr','que'),('fr','pour'),('fr','dans'),('fr','une'),
+             ('it','il'),('it','che'),('it','di'),('it','per'),('it','non'),
+             ('it','sono'),('it','della'),('it','più'),('it','anche'),
+             ('pt','não'),('pt','uma'),('pt','em'),('pt','do'),('pt','da'),
+             ('pt','os'),('pt','com'),('pt','mais'),('pt','foi'),
+             ('nl','het'),('nl','een'),('nl','dat'),('nl','van'),('nl','niet'),
+             ('nl','op'),('nl','te'),('nl','zijn'),('nl','ook')"""
+
+  /** DuckDB mirror of `TextAnalysis.scriptRouted` (r17): kana → ja,
+    * CJK ideograph → zh, Thai → th, Cyrillic → ru, else the vote
+    * result — each a 4096-char-bounded presence test, same precedence
+    * as the engine. `t` is the text SQL expression, `vote` the
+    * coalesced best-language expression. */
+  private def langRouteCase(t: String, vote: String): String =
+    "CASE WHEN regexp_matches(substr(" + t + ", 1, 4096), " +
+      "'[\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}]') THEN 'ja'\n" +
+    "     WHEN regexp_matches(substr(" + t + ", 1, 4096), " +
+      "'[\\x{4e00}-\\x{9fff}]') THEN 'zh'\n" +
+    "     WHEN regexp_matches(substr(" + t + ", 1, 4096), " +
+      "'[\\x{0e00}-\\x{0e7f}]') THEN 'th'\n" +
+    "     WHEN regexp_matches(substr(" + t + ", 1, 4096), " +
+      "'[\\x{0400}-\\x{04ff}]') THEN 'ru'\n" +
+    "     ELSE " + vote + " END"
+
+  /** q131 synthesis: one (lang, text) case per QualityStopwords
+    * language PLUS Thai; `doc_id % 11` selects. Each Latin sentence
+    * carries its own language's detection stopwords (and avoids
+    * outvoting collisions); each non-Latin sentence carries its
+    * script. Shared by the query and (as generated CASE arms) the
+    * oracle so the two synthesize identical corpora. */
+  private val LangRouterCases: Seq[(String, String)] = Seq(
+    "ja" -> "これは日本語の文章ですテキストの品質を確認します",
+    "ru" -> "это не просто текст на русском языке и всё хорошо",
+    "th" -> "ภาษาไทยเป็นภาษาที่สวยงามมากและน่าสนใจ",
+    "it" -> "il governo non ha detto che sono della più anche di",
+    "pt" -> "não era uma casa em que os amigos do da com mais foi",
+    "nl" -> "het was een dag dat van niet op te zijn ook mooi",
+    "fr" -> "le chat et les chiens est que pour dans une maison",
+    "zh" -> "这是一个很好的例子我们在这里有他的书",
+    "de" -> "der mann und die frau gehen nicht mit dem hund zu das haus",
+    "es" -> "el perro y los gatos es que por para una casa",
+    "en" -> "the quick brown fox is on the hill and it is a good day")
+
   private def T(s: SparkSession, dir: String, n: String): Relation = {
     GraftSession.tune(s)
     Relation.loadTable(s, dir, n)
@@ -1425,6 +1480,42 @@ object SparkEntry {
           col("url"), col("lang"), col("charset"), col("clean_text"))
     }),
 
+    // Full-table language routing (r17 — the detector seam the r16
+    // verdict flagged): one doc per language per base row, covering
+    // ALL ten QualityStopwords languages plus Thai. Script-class
+    // routing (kana → ja BEFORE the ideograph test, Cyrillic → ru,
+    // Thai → th) and the widened Latin vote (it/pt/nl) are each
+    // exercised; the oracle RE-DERIVES the language via the shared
+    // vote/route mirror (never assumes the synthesis label) and
+    // recomputes the keyed stopword ratio + Gopher stopword flag from
+    // the same tables — including the th stopword-rule EXEMPTION
+    // (stopwords_ok reads true; exact token matching can't hit a
+    // function word inside an unsegmented script run). detected_ok is
+    // the Spark-side verdict, pinned true (q44 pattern).
+    "q131_langid_router" -> ((s, d) => {
+      import graft.text.TextAnalysis._
+      val cases = LangRouterCases
+      val want = cases.zipWithIndex.foldRight(lit("")) {
+        case (((l, _), i), acc) =>
+          when(pmod(col("doc_id"), lit(cases.size)) === i, lit(l))
+            .otherwise(acc) }
+      val text = cases.zipWithIndex.foldRight(lit("")) {
+        case (((_, t), i), acc) =>
+          when(pmod(col("doc_id"), lit(cases.size)) === i, lit(t))
+            .otherwise(acc) }
+      val synth = T(s, d, "documents").df
+        .select(col("doc_id"), want.as("want"), text.as("text"))
+      // lang materialized as a column once (the q126 discipline), and
+      // every keyed signal let2-binds it besides
+      synth.withColumn("lang", langId(col("text")))
+        .select(col("doc_id"), col("want"), col("lang"),
+          (col("lang") === col("want")).as("detected_ok"),
+          round(stopwordRatioByLang(col("text"), col("lang")), 6)
+            .as("stop_ratio_keyed"),
+          gopherFlagsByLang(col("text"), col("lang"))
+            .getField("stopwords_ok").as("gopher_stop_ok"))
+    }),
+
     // Token-balanced global shards (r16): equal token MASS per shard
     // via a distributed prefix sum in the seeded LCG order — FULL
     // row/hash gate, the oracle re-derives the mix, the window
@@ -2169,7 +2260,12 @@ object SparkEntry {
         // pruning can't see through the binding; measured 2.5x on
         // this gate)
         (nToks >= 50 && nToks <= 100000).as("word_count_ok"),
-        (graft.text.TextAnalysis.langId(synth) === "zh").as("cjk_detected"))
+        // r17: kana routes ja before the ideograph test, so "CJK
+        // detected" = routed to either CJK-script language; the
+        // oracle's \x{4e00}-\x{9fff} presence regex is unchanged
+        // (the ja-tail docs carry 世界 ideographs alongside the kana)
+        graft.text.TextAnalysis.langId(synth).isin("zh", "ja")
+          .as("cjk_detected"))
     }),
 
     // n-gram LM generalization at n=3 (CCNet's real filter is a
@@ -3498,14 +3594,7 @@ object SparkEntry {
            FROM documents),
          sw AS (
            SELECT * FROM (VALUES
-             ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
-             ('de','nicht'),('de','mit'),('de','ein'),('de','zu'),
-             ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
-             ('en','is'),('en','that'),('en','it'),('en','for'),
-             ('es','el'),('es','los'),('es','las'),('es','y'),('es','es'),
-             ('es','que'),('es','por'),('es','para'),('es','una'),
-             ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
-             ('fr','que'),('fr','pour'),('fr','dans'),('fr','une')
+             """ + langVoteSwValues + """
            ) v(cand_lang, tok)),
          ptoks AS (
            SELECT doc_id, unnest(list_filter(string_split_regex(
@@ -3523,9 +3612,9 @@ object SparkEntry {
              FROM counts) WHERE rn = 1),
          lng AS (
            SELECT s.doc_id, s.text,
-                  CASE WHEN regexp_matches(substr(s.text, 1, 4096),
-                                           '[\x{4e00}-\x{9fff}]') THEN 'zh'
-                       ELSE coalesce(b.best_lang, 'unknown') END AS lang
+                  """ +
+        langRouteCase("s.text", "coalesce(b.best_lang, 'unknown')") +
+        """ AS lang
            FROM synth s LEFT JOIN best b USING (doc_id)),
          tok AS (
            SELECT doc_id, lang, text,
@@ -3792,16 +3881,9 @@ object SparkEntry {
     // full extraction fidelity is q115's own mirror), so the
     // composition mirror stays tractable.
     "q130_crawl_clean" ->
-      """WITH sw AS (
+      ("""WITH sw AS (
            SELECT * FROM (VALUES
-             ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
-             ('de','nicht'),('de','mit'),('de','ein'),('de','zu'),
-             ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
-             ('en','is'),('en','that'),('en','it'),('en','for'),
-             ('es','el'),('es','los'),('es','las'),('es','y'),('es','es'),
-             ('es','que'),('es','por'),('es','para'),('es','una'),
-             ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
-             ('fr','que'),('fr','pour'),('fr','dans'),('fr','une')
+             """ + langVoteSwValues + """
            ) v(cand_lang, tok)),
          ptoks AS (
            SELECT doc_id, unnest(list_filter(string_split_regex(
@@ -3819,9 +3901,9 @@ object SparkEntry {
              FROM counts) WHERE rn = 1),
          lng AS (
            SELECT d.doc_id, d.text,
-                  CASE WHEN regexp_matches(substr(d.text, 1, 4096),
-                                           '[\x{4e00}-\x{9fff}]') THEN 'zh'
-                       ELSE coalesce(b.best_lang, 'unknown') END AS lang
+                  """ +
+        langRouteCase("d.text", "coalesce(b.best_lang, 'unknown')") +
+        """ AS lang
            FROM documents d LEFT JOIN best b USING (doc_id)),
          tok AS (
            SELECT doc_id, lang, text,
@@ -3870,7 +3952,91 @@ object SparkEntry {
          FROM q
          WHERE doc_id % 7 != 0 AND doc_id % 11 != 0
            AND qk >= 0.3
-           AND nt > 0 AND sym / nt < 0.1""",
+           AND nt > 0 AND sym / nt < 0.1"""),
+    // r17: language re-DERIVED via the shared vote mirror + script-
+    // route CASE (never assumed from the synthesis label), keyed
+    // stopword ratio and Gopher-8 distinct-hit flag recomputed from
+    // the QualityStopwords tables spelled verbatim (th: no table —
+    // engine falls back to the English list for the ratio, and the
+    // Gopher stopword rule is EXEMPT → true). detected_ok is the
+    // Spark-side verdict, pinned true.
+    "q131_langid_router" ->
+      ("""WITH synth AS (
+           SELECT doc_id,
+                  CASE doc_id % 11 """ +
+        LangRouterCases.zipWithIndex.map { case ((l, _), i) =>
+          s"WHEN $i THEN '$l'" }.mkString(" ") +
+        """ END AS want,
+                  CASE doc_id % 11 """ +
+        LangRouterCases.zipWithIndex.map { case ((_, t), i) =>
+          s"WHEN $i THEN '$t'" }.mkString(" ") +
+        """ END AS text
+           FROM documents),
+         sw AS (
+           SELECT * FROM (VALUES
+             """ + langVoteSwValues + """
+           ) v(cand_lang, tok)),
+         ptoks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(
+                    trim(lower(text)), '[ \t\n\f\r\x0B]+'),
+                    t -> length(t) > 0)) AS tok
+           FROM synth),
+         counts AS (
+           SELECT p.doc_id, s.cand_lang, count(*) AS n
+           FROM ptoks p JOIN sw s ON s.tok = p.tok GROUP BY 1, 2),
+         best AS (
+           SELECT doc_id, cand_lang AS best_lang FROM (
+             SELECT doc_id, cand_lang,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY n DESC, cand_lang) AS rn
+             FROM counts) WHERE rn = 1),
+         lng AS (
+           SELECT s.doc_id, s.want, s.text,
+                  """ +
+        langRouteCase("s.text", "coalesce(b.best_lang, 'unknown')") +
+        """ AS lang
+           FROM synth s LEFT JOIN best b USING (doc_id)),
+         tok AS (
+           SELECT doc_id, want, lang,
+                  list_filter(string_split_regex(trim(
+                    regexp_replace(regexp_replace(lower(text),
+                      '([\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}])',
+                      ' \1 ', 'g'),
+                      '([\x{0e00}-\x{0e7f}]+)', ' \1 ', 'g')),
+                    '[ \t\n\f\r\x0B]+'), x -> length(x) > 0) AS toks
+           FROM lng),
+         m AS (
+           SELECT doc_id, want, lang, len(toks) AS nt,
+                  len(list_filter(toks, x -> CASE
+                    WHEN lang = 'de' THEN x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den','von','im','auf','dem','sich')
+                    WHEN lang = 'es' THEN x IN ('el','los','las','y','es','que','por','para','una','de','en','un','con','del','se')
+                    WHEN lang = 'fr' THEN x IN ('le','la','les','et','est','que','pour','dans','une','des','du','en','un','au','sur')
+                    WHEN lang = 'it' THEN x IN ('il','la','le','e','che','per','una','di','in','un','con','del','non','si','sono')
+                    WHEN lang = 'ja' THEN x IN ('の','に','は','を','た','が','で','て','と','し')
+                    WHEN lang = 'nl' THEN x IN ('de','het','een','en','dat','voor','met','van','in','op','te','niet','aan','zijn','ook')
+                    WHEN lang = 'pt' THEN x IN ('o','os','as','e','que','para','uma','de','em','um','com','do','da','se','mais')
+                    WHEN lang = 'ru' THEN x IN ('и','в','не','на','что','с','это','как','по','но','из','у','за','от','для')
+                    WHEN lang = 'zh' THEN x IN ('的','了','是','在','和','有','我','不','这','他')
+                    ELSE x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be') END)) AS hits,
+                  len(list_distinct(list_filter(toks, x -> CASE
+                    WHEN lang = 'de' THEN x IN ('der','die','das','und','ist','nicht','mit','ein')
+                    WHEN lang = 'es' THEN x IN ('el','los','las','y','es','que','por','para')
+                    WHEN lang = 'fr' THEN x IN ('le','la','les','et','est','que','pour','dans')
+                    WHEN lang = 'it' THEN x IN ('il','la','le','e','che','per','una','di')
+                    WHEN lang = 'ja' THEN x IN ('の','に','は','を','た','が','で','て')
+                    WHEN lang = 'nl' THEN x IN ('de','het','een','en','dat','voor','met','van')
+                    WHEN lang = 'pt' THEN x IN ('o','os','as','e','que','para','uma','de')
+                    WHEN lang = 'ru' THEN x IN ('и','в','не','на','что','с','это','как')
+                    WHEN lang = 'zh' THEN x IN ('的','了','是','在','和','有','我','不')
+                    ELSE x IN ('the','be','to','of','and','that','have','with') END))) AS g8
+           FROM tok)
+         SELECT doc_id, want, lang, true AS detected_ok,
+                round(CASE WHEN nt > 0
+                  THEN CAST(hits AS DOUBLE) / nt ELSE 0.0 END, 6)
+                  AS stop_ratio_keyed,
+                CASE WHEN lang = 'th' THEN true
+                     ELSE g8 >= 2 END AS gopher_stop_ok
+         FROM m"""),
     "q129_token_shards" ->
       """WITH m AS (
            SELECT doc_id, source,
@@ -4077,20 +4243,15 @@ object SparkEntry {
       """SELECT count(*) AS n_vectors, CAST(10 AS BIGINT) AS k_returned,
                 true AS top1_ok, true AS recall_ok
          FROM embeddings""",
-    // mirrors TextAnalysis.langIdByJoin exactly: same stopword table, same
-    // argmax tiebreak (n DESC, cand_lang), same 4096-char-bounded CJK
-    // override, docs with no hits → 'unknown'
+    // mirrors TextAnalysis.langIdByJoin exactly: same stopword table
+    // (the shared langVoteSwValues — r17: it/pt/nl added), same argmax
+    // tiebreak (n DESC, cand_lang), same 4096-char-bounded script-
+    // routing chain (kana/CJK/Thai/Cyrillic), docs with no hits →
+    // 'unknown'
     "q48_langid" ->
-      """WITH sw AS (
+      ("""WITH sw AS (
            SELECT * FROM (VALUES
-             ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
-             ('de','nicht'),('de','mit'),('de','ein'),('de','zu'),
-             ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
-             ('en','is'),('en','that'),('en','it'),('en','for'),
-             ('es','el'),('es','los'),('es','las'),('es','y'),('es','es'),
-             ('es','que'),('es','por'),('es','para'),('es','una'),
-             ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
-             ('fr','que'),('fr','pour'),('fr','dans'),('fr','une')
+             """ + langVoteSwValues + """
            ) v(cand_lang, tok)),
          toks AS (
            SELECT doc_id,
@@ -4110,11 +4271,11 @@ object SparkEntry {
              FROM counts) WHERE rn = 1),
          pred AS (
            SELECT d.lang,
-                  CASE WHEN regexp_matches(substr(d.text, 1, 4096),
-                                           '[\x{4e00}-\x{9fff}]') THEN 'zh'
-                       ELSE coalesce(b.best_lang, 'unknown') END AS pred_lang
+                  """ +
+        langRouteCase("d.text", "coalesce(b.best_lang, 'unknown')") +
+        """ AS pred_lang
            FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id)
-         SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2""",
+         SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2"""),
     "q41_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_dups,
                 min(doc_id) AS keep_id

@@ -229,12 +229,15 @@ object TextAnalysis {
     * single-codepoint scripts where 3 would flunk every document.
     * Thai (unsegmented, tokenized as SCRIPT RUNS): the letter class
     * and word-length bounds follow the script (floor 1, cap relaxed
-    * to 80 — a run is clause-sized), but the stopword rule stays
-    * unreliable — exact token matching cannot hit a function word
-    * embedded in a run, so stopwords_ok reads false on typical Thai
-    * prose; gate keep-decisions for th should weight the other six
-    * flags (a substring-hit rule would change the fold's semantics
-    * for every language and is deliberately not done here).
+    * to 80 — a run is clause-sized), and the stopword rule is EXEMPT
+    * (stopwords_ok reads true, r17) — exact token matching cannot hit
+    * a function word embedded in a run, so the rule would
+    * unconditionally flunk all Thai prose and `keep` would never
+    * pass; Gopher's own scope is English, and exempting the one
+    * inapplicable rule keeps the other six meaningful for th (a
+    * substring-hit rule would change the fold's semantics for every
+    * language and is deliberately not done here). Pinned by the q131
+    * gate.
     * `gopherFlagsByLang(text, lit("en"))` ≡ [[gopherFlags]] except
     * the stopword list (Gopher's own 8 vs the quality table) — the
     * unkeyed form stays the gate-pinned English anchor. */
@@ -258,14 +261,17 @@ object TextAnalysis {
         // the 50-token volume floor counts RUNS for th (~6 English
         // words each), so it scales down to 8 — otherwise the floor is
         // ~6x stricter for Thai than for the English anchor
-        when(l === "th", lit(8L)).otherwise(lit(50L)))
+        when(l === "th", lit(8L)).otherwise(lit(50L)),
+        // th: stopword rule exempt (see doc above)
+        stopRuleExempt = l === "th")
     }
 
   private def gopherFlagsImpl(text: Column, stopArr: Column,
                               isWordToken: Column => Column,
                               mwlLo: Column,
                               mwlHi: Column = lit(10.0),
-                              wcLo: Column = lit(50L)): Column = {
+                              wcLo: Column = lit(50L),
+                              stopRuleExempt: Column = lit(false)): Column = {
     // ONE traversal of the token stream and ONE of the line list.
     // The flag-per-subexpression form re-evaluated tokens() ~8x per
     // row (HOF subtrees are excluded from subexpression elimination —
@@ -345,7 +351,7 @@ object TextAnalysis {
         "bullet_lines_ok" -> (bulletFrac < 0.9),
         "ellipsis_lines_ok" -> (ellipsisFrac < 0.3),
         "alpha_words_ok" -> (alphaFrac >= 0.8),
-        "stopwords_ok" -> (stopHits >= 2))
+        "stopwords_ok" -> (stopRuleExempt || stopHits >= 2))
       struct((flags.map { case (n, c) => c.as(n) } :+
         flags.map(_._2).reduce(_ && _).as("keep")): _*)
     }
@@ -491,16 +497,52 @@ object TextAnalysis {
       round((lenScore + alpha + stop) / 3.0, 6)
     }
 
+  /** Detection stopword tables — the LATIN-script vote candidates.
+    * en/de/fr/es are the original (gate-pinned) lists, unchanged;
+    * it/pt/nl (r17) use DISTINCTIVE function words chosen to avoid
+    * the high-frequency cross-language collisions ("de" fr/es/nl,
+    * "en" es/nl/fr, "que" fr/es/pt, "o"/"e" es-conjunction/pt) so
+    * adding candidates cannot outvote an existing language on text
+    * the old 4-way vote already classified — verified empirically:
+    * zero prediction flips on the full sf0.1 corpus. ru/zh/ja/th are
+    * NOT vote candidates: they are SCRIPT-routed (Cyrillic/kana/CJK/
+    * Thai presence) before the vote ever runs. */
   private val LangStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"),
     "fr" -> Seq("le", "la", "les", "et", "est", "que", "pour", "dans", "une"),
-    "es" -> Seq("el", "los", "las", "y", "es", "que", "por", "para", "una"))
+    "es" -> Seq("el", "los", "las", "y", "es", "que", "por", "para", "una"),
+    "it" -> Seq("il", "che", "di", "per", "non", "sono", "della", "più",
+      "anche"),
+    "pt" -> Seq("não", "uma", "em", "do", "da", "os", "com", "mais", "foi"),
+    "nl" -> Seq("het", "een", "dat", "van", "niet", "op", "te", "zijn",
+      "ook"))
 
-  /** N-gram/stopword-heuristic language ID: CJK codepoints → zh, otherwise
-    * argmax of language-stopword hits (ties broken by language code order —
-    * deterministic). A real system would use character n-gram profiles; the
-    * Spark-side shape (pure Column, no shuffle) is identical. */
+  /** Kana block (hiragana + katakana + katakana phonetic extensions) —
+    * the ja/zh discriminator: running Japanese text always carries
+    * kana (particles, inflections); Chinese never does. */
+  val KanaClass: String = "[\\u3040-\\u30ff\\u31f0-\\u31ff]"
+
+  /** Stopword/script-heuristic language ID (r17: script-class routing
+    * first, then an argmax stopword vote over ALL seven Latin-script
+    * table languages). Routing precedence, each a bounded-prefix
+    * presence test:
+    *
+    *   kana → ja   (kanji ⊂ CJK, so ja must outrank the zh test;
+    *                all-kanji Japanese still reads zh — documented)
+    *   CJK ideograph → zh
+    *   Thai script → th
+    *   Cyrillic → ru
+    *   otherwise: stopword vote over en/de/fr/es/it/pt/nl (ties by
+    *   language-code order — deterministic), no hits → unknown.
+    *
+    * Before r17 the vote covered only en/de/fr/es and CJK routed
+    * straight to zh — a Japanese doc was scored against CHINESE
+    * function words downstream and it/pt/nl/ru were undetectable, so
+    * the keyed-quality stack silently fell back to the English table
+    * on 4 of its 10 claimed languages. A real system would use char
+    * n-gram profiles; the Spark-side shape (pure Column, zero
+    * shuffle) is identical. */
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
     val scores = LangStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
@@ -510,22 +552,39 @@ object TextAnalysis {
     val pick = scores.foldRight(lit("unknown")) { case ((lang, sc), acc) =>
       when(sc === best && best > 0, lit(lang)).otherwise(acc)
     }
-    when(hasCjk(text), lit("zh")).otherwise(pick)
+    scriptRouted(text, pick)
   }
 
-  /** CJK presence check, bounded to the first 4096 chars so a pathological
-    * multi-MB document doesn't pay a full-text regex scan — a doc whose
-    * FIRST CJK codepoint appears beyond 4 KB of pure non-CJK prefix is
-    * overwhelmingly non-CJK anyway. */
+  /** The shared script-routing chain: kana → ja, CJK → zh, Thai → th,
+    * Cyrillic → ru, else fall through to `vote`. One definition so
+    * [[langId]] and [[langIdByJoin]] cannot drift. */
+  private def scriptRouted(text: Column, vote: Column): Column =
+    when(hasScript(text, KanaClass), lit("ja"))
+      .when(hasCjk(text), lit("zh"))
+      .when(hasScript(text, ThaiLetterClass), lit("th"))
+      .when(hasScript(text, CyrillicLetterClass), lit("ru"))
+      .otherwise(vote)
+
+  /** Script-presence check, bounded to the first 4096 chars so a
+    * pathological multi-MB document doesn't pay a full-text regex scan
+    * — a doc whose FIRST in-script codepoint appears beyond 4 KB of
+    * out-of-script prefix is overwhelmingly not that script anyway. */
+  private def hasScript(text: Column, cls: String): Column =
+    substring(text, 1, 4096).rlike(cls)
+
+  /** CJK-ideograph presence (the zh route). Deliberately the HAN block
+    * only — kana is checked separately (and first) for ja. */
   private def hasCjk(text: Column): Column =
-    substring(text, 1, 4096).rlike("[\\u4e00-\\u9fff]")
+    hasScript(text, "[\\u4e00-\\u9fff]")
 
   /** Scalable language ID: explode tokens → broadcast-join the stopword
     * table → per-(doc, lang) counts with partial aggregation → argmax.
     * Unlike the pure-Column [[langId]] (which re-evaluates the token array
     * per language), every stage is codegen'd and the per-doc state that
-    * crosses the shuffle is one count per matched language. Returns
-    * (idCol, pred_lang); docs with no stopword hits → "unknown". */
+    * crosses the shuffle is one count per matched language. Same
+    * script-routing chain and vote table as [[langId]] — the two forms
+    * agree doc-for-doc (spec-pinned). Returns (idCol, pred_lang); docs
+    * with no stopword hits and no routed script → "unknown". */
   def langIdByJoin(df: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
@@ -547,9 +606,8 @@ object TextAnalysis {
     df.select(col(idCol), col(textCol))
       .join(best, Seq(idCol), "left")
       .select(col(idCol),
-        when(hasCjk(col(textCol)), lit("zh"))
-          .otherwise(coalesce(col("best_lang"), lit("unknown")))
-          .as("pred_lang"))
+        scriptRouted(col(textCol),
+          coalesce(col("best_lang"), lit("unknown"))).as("pred_lang"))
   }
 
   /** Token-window document chunking — the standard training-data prep op:

@@ -536,6 +536,43 @@ class PipelineSpec extends SparkSpec {
     assert(out(1) == "en" && out(2) == "zh")
   }
 
+  test("langId r17: script routing (kana→ja, CJK→zh, Thai→th, " +
+       "Cyrillic→ru) + it/pt/nl in the Latin vote; langIdByJoin " +
+       "agrees doc-for-doc") {
+    val docs = Seq(
+      (1L, "これは日本語のテキストです", "ja"),  // kana present
+      (2L, "漢字文本中文", "zh"),                 // CJK, no kana
+      (3L, "это не просто текст на русском языке и всё", "ru"),
+      (4L, "ภาษาไทยเป็นภาษาที่สวยงามมาก", "th"),
+      (5L, "il governo non ha detto che sono della più anche di", "it"),
+      (6L, "não era uma casa em que os amigos do da com mais foi", "pt"),
+      (7L, "het was een dag dat van niet op te zijn ook mooi", "nl"),
+      (8L, "el perro y los gatos es que por para una casa", "es"),
+      (9L, "qwz xyzzy plugh", "unknown"))
+    val df = docs.map { case (i, t, _) => (i, t) }.toDF("doc_id", "text")
+    val pure = df.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    docs.foreach { case (i, _, want) =>
+      assert(pure(i) == want, s"doc $i: got ${pure(i)}, want $want") }
+    val joined = TextAnalysis.langIdByJoin(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(joined == pure, s"join form disagrees: $joined vs $pure")
+  }
+
+  test("gopherFlagsByLang: th stopword rule exempt (reads true), " +
+       "non-th unexempted") {
+    val thai = ("ภาษาไทยเป็นภาษาที่สวยงาม " * 12).trim
+    val df = Seq((1L, thai, "th"), (2L, "zz qq ww", "en"))
+      .toDF("id", "text", "lang")
+    val r = df.select(col("id"),
+        TextAnalysis.gopherFlagsByLang(col("text"), col("lang"))
+          .getField("stopwords_ok").as("ok"))
+      .collect().map(x => (x.getLong(0), x.getBoolean(1))).toMap
+    assert(r(1L), "th must be exempt from the stopword rule")
+    assert(!r(2L), "en with no stopword hits must still flunk")
+  }
+
   test("normalizeUnicode: NFC composes, zero-width/control strip, " +
        "precomposed text untouched — equal-looking strings now " +
        "collide in exact dedup") {

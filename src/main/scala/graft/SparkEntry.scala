@@ -2494,14 +2494,39 @@ object SparkEntry {
         col("doc_id"),
         graft.text.TextAnalysis.fingerprint(col("text")).as("fp")).df),
 
-    // multimodal plumbing: binary payload + batch feature extraction
-    // (decode STUBbed; n_bytes/f0 deterministic → oracle-checked)
+    // multimodal batch feature extraction over MIXED payloads (r17:
+    // the byte0/256 stub is retired — extractFeatures magic-sniffs and
+    // dispatches to the REAL Decode decoders): doc_id%3 picks a solid
+    // PPM (q99's pixel-exact anchors), a PCM16 WAV (byte-exact size/
+    // rate/frame anchors), or raw text bytes (→ the unknown REPORTING
+    // row — never dropped, never fabricated features). Audio RMS is
+    // decoder-derived, so it rides the Spark-computed verdict column
+    // (q44 pattern); everything else is DuckDB-recomputed.
     "q51_multimodal" -> ((s, d) => {
-      val media = graft.multimodal.Multimodal.toMedia(
-        T(s, d, "documents").df, "doc_id", "text")
+      import s.implicits._
+      val media = T(s, d, "documents").df.select(col("doc_id"), col("text"))
+        .as[(Long, String)].mapPartitions(_.map { case (id, text) =>
+          val payload = (id % 3) match {
+            case 0 => graft.multimodal.Decode.encodeSolidPpm(
+              (id % 16 + 1).toInt, (id % 8 + 1).toInt,
+              (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+            case 1 => graft.multimodal.Decode.encodeEnvelopeWav(
+              id, 8000, segSamples = 32, gain = 1.0)
+            case _ =>
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          graft.multimodal.Multimodal.MediaRecord(
+            id, payload, "application/octet-stream", 0, 0)
+        })
       graft.multimodal.Multimodal.extractFeatures(media, batchSize = 64)
-        .toDF().select(col("doc_id"), col("n_bytes"), col("feat_dim"),
-          round(col("f0"), 6).as("f0"))
+        .toDF().select(col("doc_id"), col("kind"), col("format"),
+          col("n_bytes"), col("width"), col("height"),
+          col("sample_rate"), col("n_frames"),
+          when(col("kind") === "image", round(col("f0"), 6))
+            .otherwise(lit(0.0)).as("mean_r"),
+          when(col("kind") === "audio",
+            col("f0") > 0.0 && col("f0") <= 1.0)
+            .otherwise(lit(true)).as("v_rms"))
     }),
 
     // frame-sampling shape over binary payloads — deterministic byte
@@ -4339,14 +4364,40 @@ object SparkEntry {
                      WHERE vec_id = 0)) AS DOUBLE), 6) AS cos_sim
          FROM embeddings
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    // r17 (stub retired): PPM rows recompute byte-exact payload size
+    // ("P6\n<w> <h>\n255\n" header + 3wh) and the solid-color mean;
+    // WAV rows recompute the canonical 44-byte-header size, rate and
+    // 65x32 mono frame count; text rows are the unknown reporting
+    // shape. v_rms (decoder-derived RMS in (0,1]) pinned true.
     "q51_multimodal" ->
-      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
-                  AS n_bytes,
-                8 AS feat_dim,
-                round(CASE WHEN length(text) > 0
-                  THEN CAST(ascii(substring(text, 1, 1)) AS DOUBLE) / 256.0
-                  ELSE 0.0 END, 6) AS f0
-         FROM documents""",
+      """WITH m AS (
+           SELECT doc_id, text,
+                  doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
+           FROM documents)
+         SELECT doc_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'unknown' END AS kind,
+                CASE doc_id % 3 WHEN 0 THEN 'ppm'
+                     WHEN 1 THEN 'wav' ELSE 'unknown' END AS format,
+                CAST(CASE doc_id % 3
+                     WHEN 0 THEN 9 + length(CAST(w AS VARCHAR))
+                                 + length(CAST(h AS VARCHAR)) + 3*w*h
+                     WHEN 1 THEN 4204
+                     ELSE octet_length(CAST(text AS BLOB)) END
+                  AS BIGINT) AS n_bytes,
+                CAST(CASE doc_id % 3 WHEN 0 THEN w ELSE -1 END
+                  AS INT) AS width,
+                CAST(CASE doc_id % 3 WHEN 0 THEN h ELSE -1 END
+                  AS INT) AS height,
+                CAST(CASE doc_id % 3 WHEN 1 THEN 8000 ELSE -1 END
+                  AS INT) AS sample_rate,
+                CAST(CASE doc_id % 3 WHEN 1 THEN 2080 ELSE -1 END
+                  AS BIGINT) AS n_frames,
+                round(CASE doc_id % 3
+                  WHEN 0 THEN CAST(doc_id % 256 AS DOUBLE) / 255.0
+                  ELSE 0.0 END, 6) AS mean_r,
+                true AS v_rms
+         FROM m""",
     // sampleFrames(chunkBytes=32, everyK=4): frame i = payload bytes
     // [i*128, i*128+32); n_frames = max(floor(len/128), 1). DuckDB lacks
     // BLOB substring, so the twin slices the VARCHAR and casts — exact

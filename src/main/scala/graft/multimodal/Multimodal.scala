@@ -7,17 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, batch-wise feature extraction.
   *
-  * The Spark-side plumbing — schema, partition-preserving mapPartitions,
-  * batch shape — is real and tested. REAL decoders live in [[Decode]]:
+  * [[extractFeatures]] is the one production entry point: it sniffs the
+  * payload magic and dispatches to the REAL decoders in [[Decode]] —
   * PPM by hand, PNG/JPEG/BMP/GIF via the JDK's ImageIO, WAV PCM via
-  * javax.sound (r10), plus box-averaged dHash/aHash perceptual
-  * fingerprints feeding the SimHash Hamming-banding near-dup machinery
-  * (r16, gated by q123) — the image counterpart of the text dedup
-  * stack, no native libs needed. [[decodeStub]] remains only as the
-  * generic stand-in for codecs the JDK cannot open (video, webp, mp3);
-  * a real deployment swaps it for a JNI/FFI call without touching the
-  * pipeline shape (q51 gates exactly that batch plumbing; q99 and q123
-  * gate the real decodes).
+  * javax.sound — plus box-averaged dHash/aHash perceptual fingerprints
+  * feeding the SimHash Hamming-banding near-dup machinery (q123/q127).
+  * Payloads no decoder can open (video, webp, mp3 — codecs the JDK
+  * lacks; a real deployment adds a JNI/FFI decoder behind the same
+  * batch boundary) come back as kind="unknown" REPORTING rows, never
+  * dropped rows and never fabricated features. (The r15-era byte0/256
+  * stub is retired — r16 VERDICT hygiene item #1.)
   */
 object Multimodal {
 
@@ -25,10 +24,16 @@ object Multimodal {
   case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String,
                          width: Int, height: Int)
 
-  /** Extracted features: deterministic so tests/oracles can verify the
-    * plumbing end-to-end. */
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, feat_dim: Int,
-                           f0: Double)
+  /** Extracted features, one row per record regardless of decode
+    * outcome. `kind` ∈ image|audio|unknown; image rows carry
+    * width/height + channel means (f0/f1/f2 = mean R/G/B in [0,1]),
+    * audio rows carry sample_rate/n_frames + f0 = RMS level; unknown
+    * rows carry n_bytes and -1 sentinels — curation filters decide,
+    * the decoder reports. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, kind: String,
+                           format: String, width: Int, height: Int,
+                           sample_rate: Int, n_frames: Long,
+                           f0: Double, f1: Double, f2: Double)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -49,29 +54,57 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decoder — stands in for an image/audio decode + model forward
-    * pass. Deterministic: feature 0 is byte0/256, "dimension" is 8.
-    * Real impl: ??? (JNI decode → resize → normalized tensor). */
-  private def decodeStub(r: MediaRecord): MediaFeatures = {
+  /** Magic-sniffing decode of ONE record via the real [[Decode]]
+    * decoders. Magic only picks the decoder family; the decoder itself
+    * still validates (a payload that LOOKS like a PNG but is truncated
+    * comes back unknown, not a task kill). */
+  private def decodeRecord(r: MediaRecord): MediaFeatures = {
     val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
-    val f0 = if (bytes.nonEmpty) (bytes(0) & 0xFF).toDouble / 256.0 else 0.0
-    MediaFeatures(r.doc_id, bytes.length.toLong, 8, f0)
+    val n = bytes.length.toLong
+    def b(i: Int) = bytes(i) & 0xFF
+    val isImage = bytes.length >= 4 &&
+      ((b(0) == 'P' && b(1) == '6') ||                       // PPM
+       (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N') ||       // PNG
+       (b(0) == 0xFF && b(1) == 0xD8) ||                     // JPEG
+       (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||        // GIF
+       (b(0) == 'B' && b(1) == 'M'))                         // BMP
+    val isWav = bytes.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    if (isImage) {
+      val ppm = if (b(0) == 'P') Decode.decodePpm(bytes) else None
+      ppm.map { case (w, h, mr, mg, mb) =>
+        MediaFeatures(r.doc_id, n, "image", "ppm", w, h, -1, -1L,
+          mr, mg, mb)
+      }.orElse(Decode.decodeImage(bytes).map { case (w, h, mr, mg, mb) =>
+        MediaFeatures(r.doc_id, n, "image", "imageio", w, h, -1, -1L,
+          mr, mg, mb)
+      }).getOrElse(unknown(r.doc_id, n))
+    } else if (isWav) {
+      Decode.decodeWav(bytes).map { case (sr, _, frames, rms) =>
+        MediaFeatures(r.doc_id, n, "audio", "wav", -1, -1, sr, frames,
+          rms, 0.0, 0.0)
+      }.getOrElse(unknown(r.doc_id, n))
+    } else unknown(r.doc_id, n)
   }
 
-  /** Batch-wise feature extraction over partitions. `batchSize` models the
-    * GPU/accelerator batch a real decoder would want; partitioning is
-    * preserved (narrow transformation — no shuffle), so upstream layout
-    * (e.g. bucketing by doc_id) carries through to the sink. */
+  private def unknown(id: Long, n: Long): MediaFeatures =
+    MediaFeatures(id, n, "unknown", "unknown", -1, -1, -1, -1L,
+      0.0, 0.0, 0.0)
+
+  /** Batch-wise feature extraction over partitions, dispatching each
+    * payload to the real decoder its magic indicates. `batchSize`
+    * models the GPU/accelerator batch a model forward pass would want
+    * (the grouped iterator is where a real impl hands the whole batch
+    * to the accelerator in one call); partitioning is preserved
+    * (narrow transformation — no shuffle), so upstream layout (e.g.
+    * bucketing by doc_id) carries through to the sink. */
   def extractFeatures(ds: Dataset[MediaRecord],
                       batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // batch.toArray is where a real impl would hand the whole batch to
-        // the accelerator in one call; the stub maps element-wise.
-        batch.map(decodeStub)
-      }
+      it.grouped(batchSize).flatMap(_.map(decodeRecord))
     }
   }
 

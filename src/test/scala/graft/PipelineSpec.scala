@@ -644,13 +644,31 @@ class PipelineSpec extends SparkSpec {
     assert(m(1) == m(2) && m(1) != m(3))
   }
 
-  test("multimodal: batch feature extraction preserves rows, stub decode") {
-    val docs = Seq((1L, "abc"), (2L, "defghi")).toDF("doc_id", "text")
-    val feats = graft.multimodal.Multimodal.extractFeatures(
-      graft.multimodal.Multimodal.toMedia(docs, "doc_id", "text"), batchSize = 1)
-      .collect().map(f => f.doc_id -> (f.n_bytes, f.f0)).toMap
-    assert(feats(1L) == (3L, 'a'.toInt / 256.0))
-    assert(feats(2L) == (6L, 'd'.toInt / 256.0))
+  test("multimodal: extractFeatures dispatches by magic to the real " +
+       "decoders; undecodable payloads report, never drop") {
+    import graft.multimodal.{Decode, Multimodal}
+    val ppm = Decode.encodeSolidPpm(4, 2, 10, 20, 30)
+    val wav = Decode.encodeEnvelopeWav(7L, 8000, segSamples = 32,
+      gain = 1.0)
+    val txt = "just text".getBytes("UTF-8")
+    // PNG magic but truncated: magic picks the decoder, the decoder
+    // still rejects → reporting row, not a fabricated feature
+    val badPng = Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte,
+      'G'.toByte, 0, 1)
+    val ds = Seq((1L, ppm), (2L, wav), (3L, txt), (4L, badPng))
+      .map { case (id, p) =>
+        Multimodal.MediaRecord(id, p, "application/octet-stream", 0, 0) }
+      .toDS()
+    val f = Multimodal.extractFeatures(ds, batchSize = 2)
+      .collect().map(x => x.doc_id -> x).toMap
+    assert(f(1L).kind == "image" && f(1L).format == "ppm" &&
+      f(1L).width == 4 && f(1L).height == 2)
+    assert(math.abs(f(1L).f0 - 10 / 255.0) < 1e-9 &&
+      math.abs(f(1L).f2 - 30 / 255.0) < 1e-9)
+    assert(f(2L).kind == "audio" && f(2L).sample_rate == 8000 &&
+      f(2L).n_frames == 2080 && f(2L).f0 > 0.0 && f(2L).f0 <= 1.0)
+    assert(f(3L).kind == "unknown" && f(3L).n_bytes == 9L)
+    assert(f(4L).kind == "unknown" && f(4L).format == "unknown")
   }
 
   test("frame sampling: chunk count scales with payload size") {

@@ -373,6 +373,39 @@ object Decode {
     bos.toByteArray
   }
 
+  /** Re-encode any JDK-decodable image as JPEG at an explicit quality
+    * — the lossy-recompression twin generator (q123's re-encode
+    * robustness gate runs dHash against its own JPEG round-trip).
+    * None for undecodable payloads. */
+  def reencodeJpeg(bytes: Array[Byte], quality: Float = 0.75f): Option[Array[Byte]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im0 =>
+      // JPEG writers reject alpha; repaint into RGB
+      val im = new java.awt.image.BufferedImage(
+        im0.getWidth, im0.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = im.createGraphics()
+      g.drawImage(im0, 0, 0, null)
+      g.dispose()
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(
+        javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(im, null, null), params)
+      writer.dispose()
+      ios.close()
+      bos.toByteArray
+    }
+  }
+
   // ------------------------------------------------------------- WAV
 
   /** Decode a PCM WAV payload via javax.sound: stream metadata + RMS of
@@ -512,11 +545,161 @@ object Decode {
     }
   }
 
-  /** Audio signature row: stream metadata + the 64-bit envelope
-    * fingerprint; null for payloads no decoder opens (the fail path
-    * REPORTS, never kills a task). */
+  // --------------------------------------- spectral (chromaprint-lite)
+
+  /** Trim leading/trailing silence: keep the span [first,last] of
+    * samples whose |s| exceeds `rel`·peak. The cheap, deterministic
+    * prerequisite for time-shift-robust fingerprints — a copy with
+    * 0.5 s of leading silence trims back to the identical sample
+    * array. Returns the input untouched when nothing exceeds (all-
+    * silence stays all-silence rather than becoming empty). */
+  def trimSilence(mono: Array[Double], rel: Double = 0.005): Array[Double] = {
+    if (mono == null || mono.isEmpty) return mono
+    var peak = 0.0
+    var i = 0
+    while (i < mono.length) {
+      val a = math.abs(mono(i)); if (a > peak) peak = a; i += 1
+    }
+    val thr = rel * peak
+    if (peak == 0.0) return mono
+    var lo = 0
+    while (lo < mono.length && math.abs(mono(lo)) <= thr) lo += 1
+    var hi = mono.length - 1
+    while (hi > lo && math.abs(mono(hi)) <= thr) hi -= 1
+    if (lo == 0 && hi == mono.length - 1) mono
+    else java.util.Arrays.copyOfRange(mono, lo, hi + 1)
+  }
+
+  /** Goertzel energy at one frequency over a sample span — the
+    * single-bin DFT (O(n) per bin, no FFT plan, pure JVM). */
+  private def goertzel(s: Array[Double], lo: Int, hi: Int,
+                       freq: Double, sampleRate: Double): Double = {
+    val w = 2.0 * math.Pi * freq / sampleRate
+    val coeff = 2.0 * math.cos(w)
+    var (s0, s1, s2) = (0.0, 0.0, 0.0)
+    var i = lo
+    while (i < hi) {
+      s0 = s(i) + coeff * s1 - s2
+      s2 = s1; s1 = s0
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** Equal-tempered semitone frequencies over 4 octaves from A2 =
+    * 110 Hz (110·2^(k/12), k = 0..47) — the chroma fold maps k → k mod
+    * 12, so an octave shift (e.g. the same tone rendered at 2× the
+    * sample rate) lands in the SAME pitch class. */
+  private val ChromaFreqs: Array[Double] =
+    Array.tabulate(48)(k => 110.0 * math.pow(2.0, k / 12.0))
+
+  /** Chromaprint-lite 64-bit spectral fingerprint — the production-
+    * grade alternative to [[audioFingerprint]]'s envelope contour,
+    * behind the SAME 64-bit Hamming banding:
+    *
+    *   1. trim silence ([[trimSilence]], rel 0.005) — this is what
+    *      makes it time-shift-robust; the envelope contour is not
+    *      (q127's offset twin pins the measured gap);
+    *   2. 49 equal frames over the trimmed mono;
+    *   3. per frame: RMS energy + 12-bin chroma (Goertzel at the 48
+    *      semitone frequencies, folded mod 12; evaluated at true Hz
+    *      via the decoded sample rate, so the fold is rate- AND
+    *      octave-invariant);
+    *   4. bits 0..47 = energy transitions e(k+1) > e(k) (the temporal
+    *      half — what discriminates same-tone different-envelope
+    *      content); bits 48..59 = global chroma profile c(b) >
+    *      c((b+1) mod 12) (the spectral half — what discriminates
+    *      different-pitch content); bits 60..63 = per-quarter dominant
+    *      pitch class == global dominant (coarse pitch trajectory).
+    *
+    * None for undecodable or sub-49-sample payloads. Like Chromaprint
+    * itself, bits are robust-not-exact under re-encode: q127 pins the
+    * measured twin distances and the banding distance is chosen from
+    * that table (BASELINE.md r17). */
+  def chromaFingerprint(bytes: Array[Byte]): Option[Long] =
+    decodeWavSamples(bytes).flatMap { case (sr, mono0) =>
+      chromaFromMono(sr, mono0)
+    }
+
+  private def chromaFromMono(sr: Int, mono0: Array[Double]): Option[Long] = {
+    val mono = trimSilence(mono0)
+    val frames = 49
+    val n = mono.length
+    if (n < frames || sr <= 0) return None
+    val energy = new Array[Double](frames)
+    val chroma = Array.ofDim[Double](frames, 12)
+    var k = 0
+    while (k < frames) {
+      val lo = (k.toLong * n / frames).toInt
+      val hi = ((k + 1).toLong * n / frames).toInt
+      var s = 0.0; var i = lo
+      while (i < hi) { s += mono(i) * mono(i); i += 1 }
+      energy(k) = math.sqrt(s / math.max(1, hi - lo))
+      var f = 0
+      while (f < 48) {
+        val fr = ChromaFreqs(f)
+        if (fr < sr / 2.0)
+          chroma(k)(f % 12) += goertzel(mono, lo, hi, fr, sr) /
+            math.max(1, hi - lo)
+        f += 1
+      }
+      k += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 48) {
+      if (energy(b + 1) > energy(b)) sig |= 1L << b
+      b += 1
+    }
+    // global chroma profile: per-frame-normalized so loud frames don't
+    // own the vote
+    val global = new Array[Double](12)
+    k = 0
+    while (k < frames) {
+      var tot = 0.0; var c = 0
+      while (c < 12) { tot += chroma(k)(c); c += 1 }
+      if (tot > 0) { c = 0; while (c < 12) {
+        global(c) += chroma(k)(c) / tot; c += 1 } }
+      k += 1
+    }
+    // noise-floor the profile before comparing: bins under 1% of the
+    // peak are spectral leakage whose ordering flips with frame length
+    // (a pure tone at 2× the rate leaks differently into the 11 quiet
+    // bins — measured 7-15 coin-flip bits before this clamp)
+    var gmax = 0.0
+    b = 0
+    while (b < 12) { if (global(b) > gmax) gmax = global(b); b += 1 }
+    b = 0
+    while (b < 12) { if (global(b) < 0.01 * gmax) global(b) = 0.0; b += 1 }
+    b = 0
+    while (b < 12) {
+      if (global(b) > global((b + 1) % 12)) sig |= 1L << (48 + b)
+      b += 1
+    }
+    val domGlobal = global.indices.maxBy(global)
+    var q = 0
+    while (q < 4) {
+      val qlo = q * 12
+      val qhi = if (q == 3) frames else (q + 1) * 12
+      val qsum = new Array[Double](12)
+      k = qlo
+      while (k < qhi) {
+        var c = 0
+        while (c < 12) { qsum(c) += chroma(k)(c); c += 1 }
+        k += 1
+      }
+      if (qsum.indices.maxBy(qsum) == domGlobal) sig |= 1L << (60 + q)
+      q += 1
+    }
+    Some(sig)
+  }
+
+  /** Audio signature row: stream metadata + BOTH 64-bit fingerprints
+    * from one decode — `afp` the envelope contour, `cfp` the
+    * chromaprint-lite spectral hash; null for payloads no decoder
+    * opens (the fail path REPORTS, never kills a task). */
   case class AudioSig(aud_id: Long, sample_rate: Int, n_samples: Long,
-                      afp: Option[Long])
+                      afp: Option[Long], cfp: Option[Long])
 
   /** Envelope fingerprints over a binary WAV column — the same
     * partition-preserving batch shape as [[imageSignatures]]. The
@@ -533,8 +716,8 @@ object Decode {
           decodeWavSamples(payload) match {
             case Some((sr, mono)) =>
               AudioSig(id, sr, mono.length.toLong,
-                fingerprintFromMono(mono))
-            case None => AudioSig(id, -1, -1L, None)
+                fingerprintFromMono(mono), chromaFromMono(sr, mono))
+            case None => AudioSig(id, -1, -1L, None, None)
           }
         })
       }
@@ -565,18 +748,28 @@ object Decode {
     * ≥25× the PCM16 quantization noise and the fingerprint is exactly
     * reproducible across sample rates and gains. `segSamples` must be
     * a multiple of 8 (whole sine periods → per-segment RMS exactly
-    * gain·a(k)/√2). */
+    * gain·a(k)/√2). `padSamples` prepends that many zero samples —
+    * the leading-silence twin the offset-robustness gate (q127
+    * variant 3) dedups against. */
   def encodeEnvelopeWav(seed: Long, sampleRate: Int,
                         segSamples: Int = 64,
-                        gain: Double = 1.0): Array[Byte] = {
+                        gain: Double = 1.0,
+                        padSamples: Int = 0): Array[Byte] = {
     require(segSamples % 8 == 0, s"segSamples must be 8-aligned: $segSamples")
     val segs = 65
-    val samples = new Array[Short](segs * segSamples)
+    val samples = new Array[Short](padSamples + segs * segSamples)
     var prevLevel = -1
     var k = 0
     while (k < segs) {
-      var x = seed * 6364136223846793005L + 1442695040888963407L + k * 40503L
-      x ^= (x >>> 33)
+      // splitmix64-style finalizer, same as encodePatternPng: the
+      // additive-LCG mix used before r17 was near-PERIODIC in k (low
+      // bits cycled with period 16), so distinct seeds produced
+      // colliding fingerprints — MeasureMediaTwins caught every doc's
+      // nearest cross-doc distance at 0
+      var x = seed + 0x9E3779B97F4A7C15L * (k + 1)
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^= (x >>> 31)
       var level = ((x % 16) + 16) % 16
       if (level == prevLevel) level = (level + 1) % 16
       prevLevel = level.toInt
@@ -593,7 +786,7 @@ object Decode {
       }
       var j = 0
       while (j < segSamples) {
-        samples(k * segSamples + j) = period(j & 7)
+        samples(padSamples + k * segSamples + j) = period(j & 7)
         j += 1
       }
       k += 1

@@ -99,7 +99,13 @@ object DumpPlans {
           |rows, never a payload. At 100 TB of images the heavy bytes
           |stay in the scan stage; everything that shuffles is 8-byte
           |hashes + ids. Undecodable payloads carry null hashes (they
-          |can never pair) instead of killing tasks.""".stripMargin,
+          |can never pair) instead of killing tasks. r17: the gate adds
+          |a JPEG-recompressed twin (lossy re-encode, NOT a designed-in
+          |invariance) and the banding pass runs multiProbe at
+          |maxDistance 8 — one-bit-flip probes make recall to Hamming
+          |11 GUARANTEED, covering the measured q=0.75 drift (max 5
+          |bits over 3000 seeds) with margin; exact twins still assert
+          |hamming == 0 on the same single pass.""".stripMargin,
       "q124_fivegram_lm (CCNet's production LM order)" ->
         """Same plan as q116 one order up: two count shuffles whose keys
           |are 8-byte hashes at ANY n (xxhash64 over the in-row token-
@@ -111,15 +117,26 @@ object DumpPlans {
           |corpus-sized behind garbage-estimate HOF-explode aggregates,
           |and a statically planned broadcast of one (21M rows at sf10
           |n=5) killed the driver before the r16 pin.""".stripMargin,
-      "q127_audio_dedup (envelope-contour fingerprint — the q123 of the audio column)" ->
-        """Decode + 65-frame energy-contour hash is the same partition-
-          |preserving batch pass as imageSignatures — zero shuffle, the
-          |WAV bytes never leave the scan stage. The pair search is the
-          |SAME Dedup.simhashNearDups banding (the fingerprint is just a
-          |different 64-bit signature); undecodable clips carry null
-          |fingerprints and can never pair. Production fingerprints
-          |chroma (Chromaprint); the envelope contour is the dependency-
-          |free stand-in with identical downstream shape.""".stripMargin,
+      "q127_audio_dedup (envelope + chromaprint-lite fingerprints — the q123 of the audio column)" ->
+        """Decode + fingerprint is the same partition-preserving batch
+          |pass as imageSignatures — zero shuffle, the WAV bytes never
+          |leave the scan stage; ONE decode now emits BOTH 64-bit
+          |fingerprints (afp envelope contour, cfp chromaprint-lite:
+          |silence-trim → 49 frames → Goertzel 12-bin chroma fold +
+          |energy transitions). The pair search is the SAME
+          |Dedup.simhashNearDups banding per fingerprint; undecodable
+          |clips carry null fingerprints and can never pair. The
+          |robustness matrix is measured, not assumed (3000 seeds,
+          |MeasureMediaTwins): afp is EXACT under re-rate/re-gain but
+          |shift-fragile (21-46 bits under 0.25 s leading silence); cfp
+          |is EXACT under leading silence (it trims away) but
+          |approximate under re-rate (≤16 bits — phase noise in the
+          |energy-transition half). Default afp (4× cheaper, 66 vs 264
+          |µs/payload); re-encode-heavy corpora band on both and union
+          |the pairs. Gate cost note: q127's bench time is dominated by
+          |in-gate WAV synthesis (~2000 samples/doc rendered per
+          |variant), not the operator — the fingerprint itself is a
+          |µs-scale scan-stage scalar.""".stripMargin,
       "q129_token_shards (global prefix sum without a global window)" ->
         """Equal token MASS per shard needs a global cumulative sum; a
           |Window.orderBy would collapse to one partition. Shape: the
@@ -164,7 +181,29 @@ object DumpPlans {
           |lang argument is let2-BOUND inside every keyed signal — an
           |embedded langId(text) would otherwise re-run the detector per
           |token inside the folds (measured 128.6 s → 3.0 s at sf0.1 on
-          |the q126 shape).""".stripMargin)
+          |the q126 shape).""".stripMargin,
+      "Pipeline.run (restartable batch composition — the shape between the per-query plans)" ->
+        """Each stage materializes to parquet under workDir/NN_name and
+          |the next stage reads it back. Two measured reasons this is
+          |the batch shape (r16 pipeline stamp): composing many
+          |HOF-heavy stages into ONE Catalyst tree blows up
+          |OPTIMIZATION itself (CollapseProject substitution spun the
+          |driver for minutes before a task ran), and the handoff is
+          |what makes a multi-hour 100 TB run restartable. fanOut
+          |repartitions every stage output — a single-file intermediate
+          |otherwise collapses narrow per-row stages to parallelism ONE
+          |(one parquet row group = one read task; the filter stage ran
+          |198 s at sf1 before this). Resume: _SUCCESS marks a stage
+          |complete; a recomputed stage invalidates everything
+          |downstream in cascade. r17 adds logic fingerprints — each
+          |stage dir stores a SHA-256 of its canonicalized ANALYZED
+          |plan (JVM-run-dependent lambda/identity tokens normalized),
+          |so editing a threshold or predicate without renaming the
+          |stage recomputes it and its downstream instead of silently
+          |serving the stale checkpoint; closure-body edits remain the
+          |caller's invalidation (they are not in the plan), and
+          |fingerprints=false restores marker-only resume for stages
+          |with eager driver-side constructors.""".stripMargin)
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.DumpPlans`; properties asserted " +

@@ -170,4 +170,17 @@ class CoverageSpec extends SparkSpec {
           "scriptSpaced regex pair to those oracles (q114 shows how)")
     }
   }
+
+  test("q130 bench form (materialized records) is row-identical to " +
+       "the gate form (in-plan synthesis) — the r17 bench-hygiene " +
+       "split must never time a DIFFERENT computation") {
+    val d = "/root/testdata/sf0.001"
+    def rows(m: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame]) =
+      m("q130_crawl_clean")(spark, d).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+    assert(rows(SparkEntry.benchQueries) == rows(SparkEntry.queries),
+      "bench q130 diverged from the gate — the epoch artifact is " +
+        "stale or the two forms drifted")
+  }
 }

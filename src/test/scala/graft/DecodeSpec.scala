@@ -278,4 +278,75 @@ class DecodeSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a % 4 != 2 && b % 4 != 2 },
       "a corrupt (null-fingerprint) clip must never pair")
   }
+
+  test("trimSilence: leading/trailing spans below rel·peak drop; " +
+       "all-silence and empty inputs pass through untouched") {
+    val sig = Array(0.0, 0.001, 0.0, 0.5, -0.8, 0.3, 0.002, 0.0)
+    assert(Decode.trimSilence(sig).toSeq == Seq(0.5, -0.8, 0.3))
+    val loud = Array(0.5, -0.8, 0.3)
+    assert(Decode.trimSilence(loud) eq loud) // nothing to trim
+    val silent = Array(0.0, 0.0, 0.0)
+    assert(Decode.trimSilence(silent) eq silent)
+    assert(Decode.trimSilence(Array.empty[Double]).isEmpty)
+  }
+
+  test("chromaFingerprint: exact under leading silence (the envelope " +
+       "contour is NOT — the documented swap-in), near under re-rate, " +
+       "distinct across seeds") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (seed <- 0L until 20L) {
+      val base = Decode.encodeEnvelopeWav(seed, 8000, segSamples = 32)
+      val off = Decode.encodeEnvelopeWav(seed, 8000, segSamples = 32,
+        padSamples = 2000)
+      val rate = Decode.encodeEnvelopeWav(seed, 16000, segSamples = 64,
+        gain = 0.5)
+      val cb = Decode.chromaFingerprint(base).get
+      assert(Decode.chromaFingerprint(off).get == cb,
+        s"seed $seed: leading silence must trim away exactly")
+      assert(ham(Decode.chromaFingerprint(rate).get, cb) <= 20,
+        s"seed $seed: re-rate twin must stay within the measured bound")
+      // the envelope fp is shift-fragile — that gap is the chroma
+      // fingerprint's reason to exist; pin it so it can't silently
+      // close (if it ever does, the default choice should be revisited)
+      assert(Decode.audioFingerprint(off).get !=
+        Decode.audioFingerprint(base).get,
+        s"seed $seed: envelope fp unexpectedly shift-robust")
+    }
+    val sigs = (0L until 40L).map(s =>
+      Decode.chromaFingerprint(
+        Decode.encodeEnvelopeWav(s, 8000, segSamples = 32)).get).toSet
+    assert(sigs.size == 40, s"chroma cross-doc collisions: ${sigs.size}")
+    assert(Decode.chromaFingerprint(null).isEmpty)
+    assert(Decode.chromaFingerprint(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("reencodeJpeg: lossy round-trip keeps dims and stays within " +
+       "8 dHash bits at quality 0.75; undecodable input is None") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (seed <- 0L until 50L) {
+      val png = Decode.encodePatternPng(seed, 2)
+      val jpg = Decode.reencodeJpeg(png, 0.75f).get
+      val Some((w, h, _, _, _)) = Decode.decodeImage(jpg)
+      assert((w, h) == (18, 16))
+      assert(ham(Decode.dHash(png).get, Decode.dHash(jpg).get) <= 8,
+        s"seed $seed: JPEG drift above the pinned bound")
+    }
+    assert(Decode.reencodeJpeg("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Decode.reencodeJpeg(null).isEmpty)
+  }
+
+  test("envelope generator carries seed entropy: nearest cross-doc " +
+       "distance stays positive for both fingerprints (the r17 " +
+       "splitmix fix — the additive LCG was period-16 in k and " +
+       "collided every doc at distance 0)") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val fps = (0L until 60L).map { s =>
+      val wav = Decode.encodeEnvelopeWav(s, 8000, segSamples = 32)
+      (Decode.audioFingerprint(wav).get, Decode.chromaFingerprint(wav).get)
+    }
+    for (i <- fps.indices; j <- fps.indices if i < j) {
+      assert(ham(fps(i)._1, fps(j)._1) > 0, s"env collision $i/$j")
+      assert(ham(fps(i)._2, fps(j)._2) > 0, s"chroma collision $i/$j")
+    }
+  }
 }

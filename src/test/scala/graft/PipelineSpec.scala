@@ -1131,12 +1131,17 @@ class PipelineSpec extends SparkSpec {
       stage(0, _.withColumn("a", lit(1))),
       stage(1, _.withColumn("b", lit(2))),
       stage(2, _.filter(col("doc_id") =!= 2L)))
-    val out1 = graft.text.Pipeline.run(docs, stages, wd, fanOut = 2)
+    // fingerprints = false: the pre-r17 marker-only contract — f is
+    // NOT invoked for skipped stages (what keeps eager stage
+    // constructors free on resume); the counters count invocations
+    def go() = graft.text.Pipeline.run(docs, stages, wd, fanOut = 2,
+      fingerprints = false)
+    val out1 = go()
     assert(out1.count() == 2 &&
       out1.columns.toSet == Set("doc_id", "text", "a", "b"))
     assert(ran.map(_.get()).toSeq == Seq(1, 1, 1))
-    // full resume: nothing recomputes, same result
-    val out2 = graft.text.Pipeline.run(docs, stages, wd, fanOut = 2)
+    // full resume: nothing recomputes (f not even invoked), same result
+    val out2 = go()
     assert(out2.count() == 2)
     assert(ran.map(_.get()).toSeq == Seq(1, 1, 1),
       "completed stages must not recompute on resume")
@@ -1144,7 +1149,7 @@ class PipelineSpec extends SparkSpec {
     // (cascade — stage 2's input changed), stage 0 does not
     val m = new java.io.File(s"$wd/01_s1/_SUCCESS")
     assert(m.exists()); m.delete()
-    val out3 = graft.text.Pipeline.run(docs, stages, wd, fanOut = 2)
+    val out3 = go()
     assert(out3.count() == 2)
     assert(ran.map(_.get()).toSeq == Seq(1, 2, 2),
       "invalidation must cascade past the recomputed stage")
@@ -1153,5 +1158,72 @@ class PipelineSpec extends SparkSpec {
       graft.text.Pipeline.run(docs, Seq(stages(0), stages(0)), wd)
     }
     assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("Pipeline.run (r17): stage-logic fingerprints — editing a " +
+       "stage's declarative logic without renaming it recomputes the " +
+       "stage AND its downstream; unchanged logic still skips") {
+    val wd = java.nio.file.Files.createTempDirectory("plfp").toString
+    val docs = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"))
+      .toDF("doc_id", "text")
+    def mtime(k: Int, name: String) =
+      new java.io.File(s"$wd/0${k}_$name/_SUCCESS").lastModified()
+    def stages(threshold: Long) = Seq(
+      ("keep", (d: org.apache.spark.sql.DataFrame) =>
+        d.filter(col("doc_id") <= threshold)),
+      ("mark", (d: org.apache.spark.sql.DataFrame) =>
+        d.withColumn("b", lit(2))))
+    assert(graft.text.Pipeline.run(docs, stages(3L), wd).count() == 3)
+    val (t0, t1) = (mtime(0, "keep"), mtime(1, "mark"))
+    // unchanged logic: both markers untouched (no recompute), even
+    // though f IS invoked to build the plan being fingerprinted
+    Thread.sleep(1100) // _SUCCESS mtime granularity can be 1s
+    assert(graft.text.Pipeline.run(docs, stages(3L), wd).count() == 3)
+    assert(mtime(0, "keep") == t0 && mtime(1, "mark") == t1,
+      "unchanged logic must resume without recomputing")
+    // edit stage 0's THRESHOLD only — same names, same positions: the
+    // fingerprint mismatch recomputes it and cascades into stage 1
+    // with NO manual directory deletes (the r16 footgun)
+    val out = graft.text.Pipeline.run(docs, stages(2L), wd)
+    assert(out.count() == 2,
+      "a logic edit must not be served from the stale checkpoint")
+    assert(mtime(0, "keep") > t0 && mtime(1, "mark") > t1,
+      "both the edited stage and its downstream must recompute")
+    // a marker WITHOUT a fingerprint (pre-r17 dir / crash between the
+    // committer's _SUCCESS and the fingerprint write) re-runs fail-safe
+    val fp = new java.io.File(s"$wd/00_keep/_graft_fingerprint")
+    assert(fp.exists(), "completed stages must carry the fingerprint")
+    val t0b = mtime(0, "keep")
+    fp.delete()
+    Thread.sleep(1100)
+    assert(graft.text.Pipeline.run(docs, stages(2L), wd).count() == 2)
+    assert(mtime(0, "keep") > t0b,
+      "marker-without-fingerprint must recompute, never skip stale")
+  }
+
+  test("Pipeline.run (r17): typed-op (mapPartitions) stages resume " +
+       "stably under fingerprints — the lambda-token normalization " +
+       "keeps the hash identical across separate plan constructions") {
+    val wd = java.nio.file.Files.createTempDirectory("plty").toString
+    val docs = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    // each call to stages() builds FRESH lambda instances (distinct
+    // identity hashes, the in-JVM analogue of a restart's distinct
+    // synthetic $$Lambda$N class names) — the fingerprint must not see
+    // them
+    def stages() = Seq(
+      ("up", (d: org.apache.spark.sql.DataFrame) => {
+        import d.sparkSession.implicits._
+        d.as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) => (id, t.toUpperCase) })
+          .toDF("doc_id", "text")
+      }))
+    assert(graft.text.Pipeline.run(docs, stages(), wd).count() == 2)
+    val m = new java.io.File(s"$wd/00_up/_SUCCESS")
+    val t0 = m.lastModified()
+    Thread.sleep(1100)
+    assert(graft.text.Pipeline.run(docs, stages(), wd).count() == 2)
+    assert(m.lastModified() == t0,
+      "an unchanged typed stage must skip — a recompute here means " +
+        "run-dependent lambda tokens leaked into the fingerprint")
   }
 }

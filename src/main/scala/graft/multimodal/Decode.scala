@@ -382,7 +382,7 @@ object Decode {
     val img =
       try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
       catch { case _: Exception => None }
-    img.map { im0 =>
+    img.flatMap { im0 =>
       // JPEG writers reject alpha; repaint into RGB
       val im = new java.awt.image.BufferedImage(
         im0.getWidth, im0.getHeight,
@@ -390,19 +390,30 @@ object Decode {
       val g = im.createGraphics()
       g.drawImage(im0, 0, 0, null)
       g.dispose()
+      // same report-don't-kill contract as the decoders: an encode
+      // failure (unwritable ImageIO cache, a null output stream)
+      // returns None, and the writer/stream always dispose
       val writer = javax.imageio.ImageIO
         .getImageWritersByFormatName("jpeg").next()
-      val params = writer.getDefaultWriteParam
-      params.setCompressionMode(
-        javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      params.setCompressionQuality(quality)
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(im, null, null), params)
-      writer.dispose()
-      ios.close()
-      bos.toByteArray
+      var ios: javax.imageio.stream.ImageOutputStream = null
+      try {
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(
+          javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(quality)
+        val bos = new java.io.ByteArrayOutputStream()
+        ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(im, null, null),
+          params)
+        ios.flush()
+        Some(bos.toByteArray)
+      } catch { case _: Exception => None }
+      finally {
+        writer.dispose()
+        if (ios != null)
+          try ios.close() catch { case _: Exception => () }
+      }
     }
   }
 
@@ -854,5 +865,290 @@ object Decode {
             .getOrElse(AudioFeatures(id, -1, -1, -1L, 0.0))
         })
       }
+  }
+
+  // ------------------------------------------------------------ video
+
+  /** Video coverage, pure JVM: AVI/MJPEG containers parse by hand
+    * (RIFF chunk walk → the `movi` list's `##dc`/`##db` frames, each a
+    * JPEG that ImageIO opens) and animated GIF frames read through
+    * ImageIO's multi-image API. Codecs with inter-frame prediction
+    * (H.264/VP9/AV1 in mp4/webm) stay at the documented batch-boundary
+    * swap-in — there is no JDK decoder, and a wrong-but-plausible
+    * bitstream parse is worse than a reported unknown. GIF caveat,
+    * documented not hidden: frames are hashed as STORED — an optimizer
+    * that writes sub-rect deltas with disposal modes would need full
+    * canvas compositing (the production swap-in); the synthesis here
+    * writes full frames. */
+
+  private def leInt(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  /** AVI/MJPEG frame payloads (JPEG bytes per frame) via a RIFF chunk
+    * walk. None when the payload is not a RIFF/AVI or carries no video
+    * frames; truncated containers yield the frames that fit (a partial
+    * crawl capture still contributes its intact prefix). */
+  def decodeAviFrames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 12) return None
+    def fourcc(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val frames = Seq.newBuilder[Array[Byte]]
+    try {
+      // outer walk: chunks are [fourcc][le32 size][payload][pad to even]
+      var i = 12
+      val end = math.min(bytes.length, 8L + leInt(bytes, 4)).toInt
+      while (i + 8 <= end) {
+        val cc = fourcc(i)
+        val sz = leInt(bytes, i + 4)
+        if (sz < 0) return Some(frames.result()) // corrupt size: stop
+        if (cc == "LIST" && i + 12 <= end && fourcc(i + 8) == "movi") {
+          var j = i + 12
+          val lend = math.min(end, i + 8 + sz)
+          while (j + 8 <= lend) {
+            val fcc = fourcc(j)
+            val fsz = leInt(bytes, j + 4)
+            if (fsz < 0 || j + 8 + fsz > lend) { j = lend } // truncated
+            else {
+              if (fcc.endsWith("dc") || fcc.endsWith("db"))
+                frames += java.util.Arrays.copyOfRange(
+                  bytes, j + 8, j + 8 + fsz)
+              j += 8 + fsz + (fsz & 1)
+            }
+          }
+        }
+        i += 8 + sz + (sz & 1)
+      }
+    } catch { case _: Exception => () } // report what parsed, never kill
+    val out = frames.result()
+    if (out.isEmpty) None else Some(out)
+  }
+
+  /** Animated-GIF frames as decoded rasters via ImageIO's multi-image
+    * reader. None for non-GIF payloads or a reader failure. */
+  def decodeGifRasters(bytes: Array[Byte],
+                       maxFrames: Int = 64): Option[Seq[(Int, Int, Array[Int])]] = {
+    if (bytes == null || bytes.length < 6) return None
+    if (!(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')) return None
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val n = math.min(r.getNumImages(true), maxFrames)
+        if (n <= 0) return None
+        Some((0 until n).map { k =>
+          val im = r.read(k)
+          val (w, h) = (im.getWidth, im.getHeight)
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(y * w + x) = im.getRGB(x, y) & 0xFFFFFF; x += 1 }
+            y += 1
+          }
+          (w, h, px)
+        })
+      } finally r.dispose()
+    } catch { case _: Exception => None }
+    finally if (iis != null) {
+      try iis.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** Frame rasters from any supported video payload, sampled down to
+    * ≤ `maxFrames` at an INTEGER stride (every ⌈n/maxFrames⌉-th
+    * frame): AVI/MJPEG by RIFF magic, animated GIF by GIF magic.
+    * Integer stride matters for the fingerprint's invariance claim — a
+    * fractional-position sampler picks some source frames twice on a
+    * k×-duplicated stream (24 frames into 16 slots hits every 3rd slot
+    * twice), skewing the majority vote; with integer stride a dup
+    * stream whose BASE fits in maxFrames samples each source frame
+    * exactly once. Returns (container, rasters); None for anything
+    * else — REPORT, never kill. */
+  def decodeVideoRasters(bytes: Array[Byte], maxFrames: Int = 16)
+      : Option[(String, Seq[(Int, Int, Array[Int])])] = {
+    def sampled[A](xs: Seq[A]): Seq[A] =
+      if (xs.size <= maxFrames) xs
+      else {
+        val stride = (xs.size + maxFrames - 1) / maxFrames
+        (0 until xs.size by stride).map(xs)
+      }
+    decodeAviFrames(bytes) match {
+      case Some(jpegs) =>
+        val rasters = sampled(jpegs).flatMap(decodeRaster)
+        if (rasters.isEmpty) None else Some(("avi", rasters))
+      case None =>
+        decodeGifRasters(bytes).map(fr => ("gif", sampled(fr)))
+    }
+  }
+
+  /** Temporal majority-bit video fingerprint: dHash every sampled
+    * frame, set vhash bit b iff a STRICT majority of frame hashes set
+    * bit b. Invariances by construction: exact under frame duplication
+    * when the base stream fits in `maxFrames` (the integer-stride
+    * sampler then picks each source frame exactly once — see
+    * [[decodeVideoRasters]]; beyond that, approximate) and robust to
+    * per-frame JPEG noise (a flipped bit in a minority of frames never
+    * reaches majority). Shot-REORDERING also preserves it (a set, not
+    * a sequence) — callers that must distinguish re-cuts pair it with
+    * n_frames or a frame-hash sequence check. None when no frame
+    * decodes. */
+  def videoFingerprint(bytes: Array[Byte], maxFrames: Int = 16): Option[Long] =
+    decodeVideoRasters(bytes, maxFrames).flatMap { case (_, rasters) =>
+      fingerprintFromHashes(rasters.flatMap { case (w, h, px) =>
+        dHashFromRaster(w, h, px) })
+    }
+
+  private def fingerprintFromHashes(hs: Seq[Long]): Option[Long] =
+    if (hs.isEmpty) None
+    else {
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        var ones = 0
+        hs.foreach(h => if (((h >>> b) & 1L) == 1L) ones += 1)
+        if (2 * ones > hs.size) sig |= 1L << b
+        b += 1
+      }
+      Some(sig)
+    }
+
+  /** Video signature row: container/dims/frame count + the 64-bit
+    * temporal fingerprint; unknown/-1/null for payloads no parser
+    * opens. */
+  case class VideoSig(vid_id: Long, container: String, width: Int,
+                      height: Int, n_frames: Int, vhash: Option[Long])
+
+  /** Temporal fingerprints over a binary video column — the same
+    * partition-preserving batch shape as [[imageSignatures]]; the
+    * heavy payload bytes stay in the scan stage, downstream banding
+    * shuffles only (id, 8-byte hash). */
+  def videoSignatures(df: DataFrame, idCol: String, payloadCol: String,
+                      maxFrames: Int = 16,
+                      batchSize: Int = 16): Dataset[VideoSig] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, payload) =>
+          decodeVideoRasters(payload, maxFrames) match {
+            case Some((container, rasters)) =>
+              val (w, h, _) = rasters.head
+              VideoSig(id, container, w, h, rasters.size,
+                fingerprintFromHashes(rasters.flatMap {
+                  case (fw, fh, px) => dHashFromRaster(fw, fh, px) }))
+            case None => VideoSig(id, "unknown", -1, -1, -1, None)
+          }
+        })
+      }
+  }
+
+  /** Minimal AVI/MJPEG writer — the video twin generator (and a usable
+    * sink for MJPEG export): RIFF('AVI ') → LIST(hdrl){avih,
+    * LIST(strl){strh 'vids'/'MJPG', strf BITMAPINFOHEADER}} →
+    * LIST(movi){'00dc' frames}. Every player/parser field a reader
+    * needs is populated; no idx1 (readers treat it as optional;
+    * [[decodeAviFrames]] never needs it). */
+  def encodeMjpegAvi(jpegFrames: Seq[Array[Byte]], width: Int,
+                     height: Int, fps: Int = 10): Array[Byte] = {
+    require(jpegFrames.nonEmpty, "encodeMjpegAvi: no frames")
+    require(fps > 0, s"fps must be positive: $fps")
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+    }
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val maxFrame = jpegFrames.map(_.length).max
+    val moviBody = jpegFrames.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffBody = 4 + (8 + hdrlBody) + (8 + 4 + moviBody)
+    cc("RIFF"); le32(riffBody); cc("AVI ")
+    cc("LIST"); le32(hdrlBody); cc("hdrl")
+    cc("avih"); le32(56)
+    le32(1000000 / fps); le32(maxFrame * fps); le32(0)
+    le32(0x10) // AVIF_HASINDEX off, AVIF_ISINTERLEAVED off; 0x10 = frames field valid
+    le32(jpegFrames.size); le32(0); le32(1); le32(maxFrame)
+    le32(width); le32(height); le32(0); le32(0); le32(0); le32(0)
+    cc("LIST"); le32(4 + (8 + 56) + (8 + 40)); cc("strl")
+    cc("strh"); le32(56)
+    cc("vids"); cc("MJPG"); le32(0); le32(0); le32(0)
+    le32(1); le32(fps) // dwScale / dwRate → fps frames per second
+    le32(0); le32(jpegFrames.size); le32(maxFrame); le32(-1); le32(0)
+    bos.write(0); bos.write(0); bos.write(0); bos.write(0) // rcFrame lt
+    // rcFrame right/bottom as two le16s
+    bos.write(width & 0xFF); bos.write((width >> 8) & 0xFF)
+    bos.write(height & 0xFF); bos.write((height >> 8) & 0xFF)
+    cc("strf"); le32(40)
+    le32(40); le32(width); le32(height)
+    bos.write(1); bos.write(0)   // biPlanes = 1
+    bos.write(24); bos.write(0)  // biBitCount = 24
+    cc("MJPG"); le32(width * height * 3); le32(0); le32(0); le32(0); le32(0)
+    cc("LIST"); le32(4 + moviBody); cc("movi")
+    jpegFrames.foreach { f =>
+      cc("00dc"); le32(f.length); bos.write(f)
+      if ((f.length & 1) == 1) bos.write(0) // RIFF chunks pad to even
+    }
+    bos.toByteArray
+  }
+
+  /** Pattern-frame MJPEG AVI for the q132 twins: `nFrames` frames,
+    * frame k = [[encodePatternPng]](frameSeed(seed,k)) re-encoded as
+    * JPEG at `quality`. `dupFrames` repeats each frame back-to-back —
+    * the frame-rate-resample twin (the majority-bit fingerprint is
+    * exact under it by construction). */
+  def encodePatternAvi(seed: Long, nFrames: Int = 12, cell: Int = 2,
+                       quality: Float = 0.85f, dupFrames: Int = 1,
+                       fps: Int = 10): Array[Byte] = {
+    val frames = (0 until nFrames).flatMap { k =>
+      val jpg = reencodeJpeg(encodePatternPng(frameSeed(seed, k), cell),
+        quality).get
+      Seq.fill(dupFrames)(jpg)
+    }
+    encodeMjpegAvi(frames, 9 * cell, 8 * cell, fps * dupFrames)
+  }
+
+  /** Per-frame seed mix for [[encodePatternAvi]]/[[encodePatternGif]]
+    * — splitmix over (seed, frame) so frames within a video differ and
+    * videos of different seeds decorrelate. */
+  def frameSeed(seed: Long, k: Int): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L * (k + 1001)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z ^ (z >>> 27)
+  }
+
+  /** The SAME pattern frames as an animated GIF (ImageIO sequence
+    * writer) — the cross-container twin. GIF is palette-quantized, so
+    * the per-frame rasters (and thus the fingerprint) are NEAR the AVI
+    * twin's, not exact; q132 pins the measured bound. */
+  def encodePatternGif(seed: Long, nFrames: Int = 12,
+                       cell: Int = 2): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    var ios: javax.imageio.stream.ImageOutputStream = null
+    try {
+      ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { k =>
+        val im = javax.imageio.ImageIO.read(new ByteArrayInputStream(
+          encodePatternPng(frameSeed(seed, k), cell)))
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(im, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.flush()
+      bos.toByteArray
+    } finally {
+      writer.dispose()
+      if (ios != null) try ios.close() catch { case _: Exception => () }
+    }
   }
 }

@@ -10,13 +10,16 @@ import org.apache.spark.sql.types._
   * [[extractFeatures]] is the one production entry point: it sniffs the
   * payload magic and dispatches to the REAL decoders in [[Decode]] —
   * PPM by hand, PNG/JPEG/BMP/GIF via the JDK's ImageIO, WAV PCM via
-  * javax.sound — plus box-averaged dHash/aHash perceptual fingerprints
-  * feeding the SimHash Hamming-banding near-dup machinery (q123/q127).
-  * Payloads no decoder can open (video, webp, mp3 — codecs the JDK
-  * lacks; a real deployment adds a JNI/FFI decoder behind the same
-  * batch boundary) come back as kind="unknown" REPORTING rows, never
-  * dropped rows and never fabricated features. (The r15-era byte0/256
-  * stub is retired — r16 VERDICT hygiene item #1.)
+  * javax.sound, AVI/MJPEG + animated GIF via the hand-rolled container
+  * parsers (r17) — plus box-averaged dHash/aHash perceptual
+  * fingerprints and the temporal majority-bit video hash feeding the
+  * SimHash Hamming-banding near-dup machinery (q123/q127/q132).
+  * Payloads no decoder can open (webp, mp3, inter-frame-predicted
+  * video — codecs the JDK lacks; a real deployment adds a JNI/FFI
+  * decoder behind the same batch boundary) come back as
+  * kind="unknown" REPORTING rows, never dropped rows and never
+  * fabricated features. (The r15-era byte0/256 stub is retired — r16
+  * VERDICT hygiene item #1.)
   */
 object Multimodal {
 
@@ -35,25 +38,6 @@ object Multimodal {
                            sample_rate: Int, n_frames: Long,
                            f0: Double, f1: Double, f2: Double)
 
-  val mediaSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("payload", BinaryType),
-    StructField("mime", StringType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType)))
-
-  /** Wrap a text corpus as fake media records (payload = UTF-8 bytes) —
-    * exercises the binary-column path with deterministic content. */
-  def toMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast(LongType).as("doc_id"),
-        col(textCol).cast(BinaryType).as("payload"),
-        lit("application/octet-stream").as("mime"),
-        lit(0).as("width"), lit(0).as("height"))
-      .as[MediaRecord]
-  }
-
   /** Magic-sniffing decode of ONE record via the real [[Decode]]
     * decoders. Magic only picks the decoder family; the decoder itself
     * still validates (a payload that LOOKS like a PNG but is truncated
@@ -68,9 +52,12 @@ object Multimodal {
        (b(0) == 0xFF && b(1) == 0xD8) ||                     // JPEG
        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||        // GIF
        (b(0) == 'B' && b(1) == 'M'))                         // BMP
-    val isWav = bytes.length >= 12 &&
-      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+    val isRiff = bytes.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
+    val isWav = isRiff &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    val isAvi = isRiff &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
     if (isImage) {
       val ppm = if (b(0) == 'P') Decode.decodePpm(bytes) else None
       ppm.map { case (w, h, mr, mg, mb) =>
@@ -84,6 +71,20 @@ object Multimodal {
       Decode.decodeWav(bytes).map { case (sr, _, frames, rms) =>
         MediaFeatures(r.doc_id, n, "audio", "wav", -1, -1, sr, frames,
           rms, 0.0, 0.0)
+      }.getOrElse(unknown(r.doc_id, n))
+    } else if (isAvi) {
+      // video rows: dims + SAMPLED frame count, f0/f1/f2 = first-frame
+      // channel means (the cheap content fingerprint, same scale as
+      // image rows); the temporal hash lives in Decode.videoSignatures
+      Decode.decodeVideoRasters(bytes).map { case (container, rasters) =>
+        val (w, h, px) = rasters.head
+        var (sr_, sg, sb) = (0L, 0L, 0L)
+        px.foreach { p =>
+          sr_ += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        }
+        val dnm = px.length * 255.0
+        MediaFeatures(r.doc_id, n, "video", container, w, h, -1,
+          rasters.size.toLong, sr_ / dnm, sg / dnm, sb / dnm)
       }.getOrElse(unknown(r.doc_id, n))
     } else unknown(r.doc_id, n)
   }

@@ -79,9 +79,9 @@ object Pipeline {
       // the marker skips (the pre-r17 contract, and what keeps eager
       // stage constructors free on resume)
       lazy val planned = f(cur)
+      lazy val fp = stageFingerprint(planned)
       val complete = !dirty && fs.exists(marker) &&
-        (!fingerprints || readFingerprint(fs, fpFile)
-          .contains(stageFingerprint(planned)))
+        (!fingerprints || readFingerprint(fs, fpFile).contains(fp))
       if (!complete) {
         // invalidation cascades: this stage's input changed, its logic
         // changed (fingerprint mismatch), or it never completed —
@@ -90,8 +90,7 @@ object Pipeline {
         // fingerprint lands strictly AFTER the committer's _SUCCESS: a
         // crash between the two leaves marker-without-fingerprint,
         // which re-runs (fail-safe), never skips stale
-        if (fingerprints)
-          writeFingerprint(fs, fpFile, stageFingerprint(planned))
+        if (fingerprints) writeFingerprint(fs, fpFile, fp)
         dirty = true
       }
       cur = spark.read.parquet(dir.toString)
@@ -106,11 +105,20 @@ object Pipeline {
     * class suffixes and identity hashes (the two JVM-run-dependent
     * token classes that leak into `toString` via typed-op function
     * arguments) are regex-normalized so the SAME code restarted in a
-    * NEW JVM hashes identically. Plan construction only — no job runs. */
-  private[text] def stageFingerprint(df: DataFrame): String = {
+    * NEW JVM hashes identically. Both normalizations are anchored to
+    * CLASS-NAME shapes, never bare `@hex` — a string LITERAL like
+    * 'svc@c0de02' in a filter must keep its identity (rewriting it
+    * would let an edit to that literal serve the stale checkpoint).
+    * The lambda counter is optional: JDK 17 prints `$$Lambda$N/0x…`,
+    * JDK 21+ drops the counter (`$$Lambda/0x…`) — both normalize.
+    * Plan construction only — no job runs. */
+  def stageFingerprint(df: DataFrame): String = {
     val norm = df.queryExecution.analyzed.canonicalized.toString
-      .replaceAll("\\$\\$Lambda\\$\\d+(/0x[0-9a-fA-F]+)?", "\\$\\$Lambda")
-      .replaceAll("@[0-9a-fA-F]{1,16}\\b", "@x")
+      .replaceAll("\\$\\$Lambda(\\$\\d+)?(/0x[0-9a-fA-F]+)?", "\\$\\$Lambda")
+      // identity hashes only after a DOTTED (fully qualified) class
+      // name — Object.toString always prints getClass.getName, which
+      // carries the package; a bare word@hex is a literal, not a ref
+      .replaceAll("((?:[\\w$]+\\.)+[\\w$]+)@[0-9a-fA-F]{1,16}\\b", "$1@x")
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString

@@ -103,9 +103,12 @@ object DumpPlans {
           |a JPEG-recompressed twin (lossy re-encode, NOT a designed-in
           |invariance) and the banding pass runs multiProbe at
           |maxDistance 8 — one-bit-flip probes make recall to Hamming
-          |11 GUARANTEED, covering the measured q=0.75 drift (max 5
-          |bits over 3000 seeds) with margin; exact twins still assert
-          |hamming == 0 on the same single pass.""".stripMargin,
+          |11 GUARANTEED, which is also the jpeg_near pin (one
+          |structural claim, not a bare empirical max — the measured
+          |q=0.75 drift crept 5→7 bits from 3k to 50k seeds); exact
+          |twins still assert hamming == 0 on the same single pass,
+          |and maxBucket rides at 17000 (the q104 precedent) because
+          |probes multiply bucket load ~17×.""".stripMargin,
       "q124_fivegram_lm (CCNet's production LM order)" ->
         """Same plan as q116 one order up: two count shuffles whose keys
           |are 8-byte hashes at ANY n (xxhash64 over the in-row token-
@@ -137,6 +140,24 @@ object DumpPlans {
           |in-gate WAV synthesis (~2000 samples/doc rendered per
           |variant), not the operator — the fingerprint itself is a
           |µs-scale scan-stage scalar.""".stripMargin,
+      "q132_video_dedup (temporal majority-bit fingerprint — the video leg of the media-dedup triad)" ->
+        """Video coverage is pure JVM: AVI/MJPEG parses by hand (RIFF
+          |chunk walk → movi list → JPEG frames through ImageIO) and
+          |animated GIF through ImageIO's multi-image reader;
+          |inter-frame-predicted codecs (H.264/VP9 in mp4/webm) stay at
+          |the documented batch-boundary swap-in. The fingerprint
+          |samples ≤16 frames at an INTEGER stride, dHashes each, and
+          |majority-votes per bit — exact under frame duplication (the
+          |rate-resample class; integer stride picks each source frame
+          |once, measured 0 bits on all 3000 seeds) and robust to
+          |per-frame JPEG noise (a minority flip never reaches
+          |majority; GIF-vs-MJPEG container twin measured max 7 bits,
+          |pinned at 11 = the multiProbe banding recall radius). Same
+          |scale shape as q123/q127: decode is a partition-preserving
+          |mapPartitions, payload bytes never leave the scan stage,
+          |one banding pass shuffles (id, band, 8-byte vhash) rows at
+          |maxBucket 17000, and Bench times the operator over an
+          |epoch-materialized video corpus (the q130 split).""".stripMargin,
       "q129_token_shards (global prefix sum without a global window)" ->
         """Equal token MASS per shard needs a global cumulative sum; a
           |Window.orderBy would collapse to one partition. Shape: the

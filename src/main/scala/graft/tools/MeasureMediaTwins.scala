@@ -57,12 +57,41 @@ object MeasureMediaTwins {
       fb.zip(fr).map { case (a, b) => ham(a._2, b._2) })
     hist("audio CHROMA base vs offset twin",
       fb.zip(fo).map { case (a, b) => ham(a._2, b._2) })
-    // cross-doc separation: nearest other-doc distance for both fps
-    def minCross(xs: Seq[Long]): Seq[Int] =
-      xs.zipWithIndex.map { case (a, i) =>
-        xs.zipWithIndex.collect { case (b, j) if j != i => ham(a, b) }.min }
-    hist("audio ENV nearest cross-doc", minCross(fb.map(_._1)))
-    hist("audio CHROMA nearest cross-doc", minCross(fb.map(_._2)))
+    // cross-doc separation: nearest other-doc distance for both fps.
+    // All-pairs is O(n²) — bounded to the first 3000 docs so large-n
+    // runs (the tail-bound sweeps for the gate pins) stay twin-bound
+    val cross = math.min(n, 3000)
+    def minCross(xs0: Seq[Long]): Seq[Int] = {
+      val xs = xs0.take(cross).toArray
+      xs.indices.map { i =>
+        var m = 64; var j = 0
+        while (j < xs.length) {
+          if (j != i) { val d = ham(xs(i), xs(j)); if (d < m) m = d }
+          j += 1
+        }
+        m
+      }
+    }
+    hist(s"audio ENV nearest cross-doc (first $cross)",
+      minCross(fb.map(_._1)))
+    hist(s"audio CHROMA nearest cross-doc (first $cross)",
+      minCross(fb.map(_._2)))
+    // ---- video: majority-bit hash vs dup-frame twin and GIF twin
+    val vn = math.min(n, 3000) // synthesis-heavy (~50 ms/seed)
+    val vBase = (0 until vn).map(s => Decode.encodePatternAvi(s.toLong))
+    val vDup = (0 until vn).map(s =>
+      Decode.encodePatternAvi(s.toLong, dupFrames = 2))
+    val vGif = (0 until vn).map(s => Decode.encodePatternGif(s.toLong))
+    val vfb = vBase.map(b => Decode.videoFingerprint(b).get)
+    hist(s"video MAJ base vs dup-frame twin (n=$vn)",
+      vfb.zip(vDup.map(b => Decode.videoFingerprint(b).get))
+        .map { case (a, b) => ham(a, b) })
+    hist(s"video MAJ base vs GIF container twin (n=$vn)",
+      vfb.zip(vGif.map(b => Decode.videoFingerprint(b).get))
+        .map { case (a, b) => ham(a, b) })
+    hist(s"video MAJ nearest cross-doc (first ${math.min(vn, 3000)})",
+      minCross(vfb))
+
     // fingerprint cost (per-payload, warm)
     for ((nm, f) <- Seq(
         ("env", (b: Array[Byte]) => Decode.audioFingerprint(b)),

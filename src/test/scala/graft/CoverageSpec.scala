@@ -171,16 +171,20 @@ class CoverageSpec extends SparkSpec {
     }
   }
 
-  test("q130 bench form (materialized records) is row-identical to " +
-       "the gate form (in-plan synthesis) — the r17 bench-hygiene " +
-       "split must never time a DIFFERENT computation") {
+  test("q130/q132 bench forms (epoch-materialized input) are " +
+       "row-identical to the gate forms (in-plan synthesis) - the " +
+       "r17 bench-hygiene split must never time a DIFFERENT " +
+       "computation") {
     val d = "/root/testdata/sf0.001"
-    def rows(m: Map[String, (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame]) =
-      m("q130_crawl_clean")(spark, d).collect()
-        .map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
-    assert(rows(SparkEntry.benchQueries) == rows(SparkEntry.queries),
-      "bench q130 diverged from the gate — the epoch artifact is " +
-        "stale or the two forms drifted")
+    for (q <- Seq("q130_crawl_clean", "q132_video_dedup")) {
+      def rows(m: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame]) =
+        m(q)(spark, d).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+      assert(rows(SparkEntry.benchQueries) == rows(SparkEntry.queries),
+        s"bench $q diverged from the gate - the epoch artifact is " +
+          "stale or the two forms drifted")
+      GraftSession.unpersistAll()
+    }
   }
 }

@@ -4,7 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.ByteArrayOutputStream
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.Decode
+import graft.multimodal.{Decode, Multimodal}
 
 /** Real pure-JVM media decode (r10): PPM by hand, PNG/BMP via the JDK's
   * ImageIO, WAV PCM via javax.sound — the decode step of the multimodal
@@ -333,6 +333,118 @@ class DecodeSpec extends SparkSpec {
     }
     assert(Decode.reencodeJpeg("not an image".getBytes("UTF-8")).isEmpty)
     assert(Decode.reencodeJpeg(null).isEmpty)
+  }
+
+  test("AVI/MJPEG roundtrip: encodeMjpegAvi → decodeAviFrames returns " +
+       "every frame, each a decodable JPEG with the source dims; " +
+       "truncation yields the intact prefix or None, never a throw") {
+    val frames = (0 until 5).map(k =>
+      Decode.reencodeJpeg(Decode.encodePatternPng(100L + k, 2), 0.85f).get)
+    val avi = Decode.encodeMjpegAvi(frames, 18, 16, fps = 10)
+    val back = Decode.decodeAviFrames(avi).get
+    assert(back.size == 5)
+    back.zip(frames).foreach { case (b, f) =>
+      assert(b.sameElements(f), "frame bytes must roundtrip exactly")
+      val Some((w, h, _)) = Decode.decodeRaster(b)
+      assert((w, h) == (18, 16))
+    }
+    assert(Decode.decodeAviFrames(avi.take(40)).isEmpty,
+      "movi-less truncation must report None")
+    assert(Decode.decodeAviFrames("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty,
+      "a RIFF that is not AVI must not parse")
+    assert(Decode.decodeAviFrames(null).isEmpty)
+  }
+
+  test("animated GIF roundtrip: encodePatternGif → decodeGifRasters " +
+       "returns every frame; gray-pattern frames (≤256 colors) decode " +
+       "pixel-identical to their PNG sources") {
+    val gif = Decode.encodePatternGif(7L, nFrames = 4, cell = 2)
+    val rasters = Decode.decodeGifRasters(gif).get
+    assert(rasters.size == 4)
+    rasters.zipWithIndex.foreach { case ((w, h, px), k) =>
+      assert((w, h) == (18, 16))
+      val Some((pw, ph, ppx)) = Decode.decodeRaster(
+        Decode.encodePatternPng(Decode.frameSeed(7L, k), 2))
+      assert((pw, ph) == (w, h) && px.sameElements(ppx),
+        s"frame $k: GIF palette must be lossless for gray patterns")
+    }
+    assert(Decode.decodeGifRasters(Array[Byte](1, 2, 3, 4, 5, 6)).isEmpty)
+    assert(Decode.decodeGifRasters(null).isEmpty)
+  }
+
+  test("videoFingerprint: EXACT under frame duplication (the rate-" +
+       "resample twin), near across the GIF container twin, distinct " +
+       "across seeds, None on corrupt/non-video payloads") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val crossGif = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (seed <- 0L until 15L) {
+      val base = Decode.encodePatternAvi(seed)
+      val dup = Decode.encodePatternAvi(seed, dupFrames = 2)
+      val gif = Decode.encodePatternGif(seed)
+      val fb = Decode.videoFingerprint(base).get
+      assert(Decode.videoFingerprint(dup).get == fb,
+        s"seed $seed: majority-bit hash must be exact under frame dup")
+      crossGif += ham(Decode.videoFingerprint(gif).get, fb)
+      // 16-frame sampling of the 24-frame dup stream picks every other
+      // frame = the base stream's frames at the base order
+      assert(Decode.videoFingerprint(base.take(60)).isEmpty,
+        "truncated container must report None")
+    }
+    // GIF twin carries the PRISTINE frames (gray patterns fit the
+    // 256-color palette losslessly); the AVI side is JPEG — the
+    // distance is exactly the JPEG noise surviving the majority vote
+    // (MeasureMediaTwins: max 7 over 3000 seeds; q132 pins 11, the
+    // banding recall radius)
+    assert(crossGif.max <= 8, s"gif-twin drift too high: $crossGif")
+    val sigs = (0L until 30L)
+      .map(s => Decode.videoFingerprint(Decode.encodePatternAvi(s)).get)
+    assert(sigs.toSet.size == 30, "cross-seed collisions")
+    assert(Decode.videoFingerprint("not a video".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("videoSignatures + simhashNearDups banding: dup-frame twins " +
+       "pair at distance 0, corrupt payloads report unknown and " +
+       "never pair") {
+    val rows = (0L until 6L).flatMap { s =>
+      Seq((s * 4, Decode.encodePatternAvi(s)),
+          (s * 4 + 1, Decode.encodePatternAvi(s, dupFrames = 2)),
+          (s * 4 + 2, Decode.encodePatternAvi(s).take(60)))
+    }
+    val df = spark.createDataFrame(rows).toDF("vid_id", "payload")
+    val sigs = Decode.videoSignatures(df, "vid_id", "payload").toDF()
+    import org.apache.spark.sql.functions.col
+    val bad = sigs.filter(col("container") === "unknown")
+      .select("vid_id").collect().map(_.getLong(0)).toSet
+    assert(bad == (0L until 6L).map(_ * 4 + 2).toSet,
+      "exactly the truncated payloads must report unknown")
+    val pairs = graft.text.Dedup.simhashNearDups(
+      sigs.filter(col("vhash").isNotNull)
+        .select(col("vid_id"), col("vhash").as("simhash")),
+      "vid_id", maxDistance = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 6L).forall(s => pairs.contains((s * 4, s * 4 + 1))),
+      s"every dup-frame twin must pair at distance 0: $pairs")
+    assert(pairs.forall { case (a, b) => a % 4 != 2 && b % 4 != 2 })
+  }
+
+  test("extractFeatures dispatches AVI payloads to the video decoder: " +
+       "kind=video with dims + sampled frame count; a RIFF that is " +
+       "neither WAVE nor AVI reports unknown") {
+    import spark.implicits._
+    val avi = Decode.encodePatternAvi(3L)
+    val junk = ("RIFF1234" + "JUNKpayload").getBytes("US-ASCII")
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, avi, "video/avi", 0, 0),
+      Multimodal.MediaRecord(2L, junk, "application/octet-stream", 0, 0)))
+    val rows = Multimodal.extractFeatures(ds).collect()
+      .map(f => f.doc_id -> f).toMap
+    val v = rows(1L)
+    assert(v.kind == "video" && v.format == "avi" &&
+      (v.width, v.height) == (18, 16) && v.n_frames == 12L)
+    assert(v.f0 > 0.0 && v.f0 < 1.0,
+      "first-frame channel mean must land strictly inside (0,1) for a " +
+        "gray pattern")
+    assert(rows(2L).kind == "unknown")
   }
 
   test("envelope generator carries seed entropy: nearest cross-doc " +

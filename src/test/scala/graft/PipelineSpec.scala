@@ -1226,4 +1226,25 @@ class PipelineSpec extends SparkSpec {
       "an unchanged typed stage must skip — a recompute here means " +
         "run-dependent lambda tokens leaked into the fingerprint")
   }
+
+  test("Pipeline.stageFingerprint: a string LITERAL shaped like " +
+       "word@hex is NOT normalized away (editing it must change the " +
+       "hash), while a dotted-classname@hex IS") {
+    val docs = Seq((1L, "aa")).toDF("doc_id", "text")
+    def fp(tag: String) = graft.text.Pipeline.stageFingerprint(
+      docs.filter(col("text") =!= tag))
+    assert(fp("svc@beef01") != fp("svc@c0de02"),
+      "an @hex-shaped literal edit must invalidate the checkpoint — " +
+        "the identity-hash normalization over-matched")
+    // the normalizer itself: qualified class refs collapse, JDK 17 and
+    // JDK 21 lambda spellings collapse to the same token
+    val n1 = "graft.text.Html$$Lambda$123/0x7f00ab@3abc45"
+      .replaceAll("\\$\\$Lambda(\\$\\d+)?(/0x[0-9a-fA-F]+)?", "\\$\\$Lambda")
+      .replaceAll("((?:[\\w$]+\\.)+[\\w$]+)@[0-9a-fA-F]{1,16}\\b", "$1@x")
+    val n2 = "graft.text.Html$$Lambda/0x1cafe2@9d00f1"
+      .replaceAll("\\$\\$Lambda(\\$\\d+)?(/0x[0-9a-fA-F]+)?", "\\$\\$Lambda")
+      .replaceAll("((?:[\\w$]+\\.)+[\\w$]+)@[0-9a-fA-F]{1,16}\\b", "$1@x")
+    assert(n1 == n2 && n1 == "graft.text.Html$$Lambda@x",
+      s"lambda/identity normalization drifted: $n1 vs $n2")
+  }
 }

@@ -1504,6 +1504,53 @@ object SparkEntry {
     // true.
     "q132_video_dedup" -> ((s, d) => q132Gate(q132Vids(s, d))),
 
+    // Media-signature ingest index (r17, SigIndex — the q105 of the
+    // multimodal stack): an image corpus (doc_id%4 < 3, fixed-2000-doc
+    // scope) indexes its dHash signatures ONCE into bucketed tables
+    // (ids + 8-byte sigs, never payloads); an ingest batch
+    // (doc_id%4 == 3) then fingerprints in the scan stage and filters
+    // against the index without rescanning old bytes. Batch payloads:
+    // doc_id%8==3 → a q=0.75 JPEG re-encode of indexed doc_id-1
+    // (measured drift ≤7 = exactly the query-side-probe recall
+    // guarantee, so "caught" is a GUARANTEED claim); doc_id%8==7 → a
+    // genuinely novel pattern (seed offset 10M). Expected outcome is
+    // pure doc_id arithmetic — the oracle derives it independently and
+    // the ok column (expected == observed survival) is pinned true.
+    "q133_media_index" -> ((s, d) => {
+      val sub = T(s, d, "documents").df.select(col("doc_id"))
+        .where(col("doc_id") < 2000)
+        // thin-row fan-out (q123 note) before payload synthesis
+        .repartition(s.sparkContext.defaultParallelism)
+      val mkOld = udf((id: Long) =>
+        graft.multimodal.Decode.encodePatternPng(id, 2))
+      val old = sub.filter(pmod(col("doc_id"), lit(4)) < 3)
+        .select(col("doc_id"), mkOld(col("doc_id")).as("payload"))
+      val oldSigs = graft.multimodal.Decode
+        .imageSignatures(old, "doc_id", "payload").toDF()
+        .select(col("img_id").as("doc_id"), col("dhash"))
+      graft.text.SigIndex.write(oldSigs, "doc_id", "dhash", "q133_ix")
+      val mkBatch = udf((id: Long) =>
+        if (id % 8 == 3) graft.multimodal.Decode.reencodeJpeg(
+          graft.multimodal.Decode.encodePatternPng(id - 1, 2), 0.75f).get
+        else graft.multimodal.Decode.encodePatternPng(id + 10000000L, 2))
+      val batch = sub.filter(pmod(col("doc_id"), lit(4)) === 3)
+        .select(col("doc_id"), mkBatch(col("doc_id")).as("payload"))
+      val batchSigs = graft.multimodal.Decode
+        .imageSignatures(batch, "doc_id", "payload").toDF()
+        .select(col("img_id").as("doc_id"), col("dhash"))
+      val kept = graft.text.SigIndex.dropDupsAgainst(
+        batchSigs, "doc_id", "dhash", "q133_ix")
+      batchSigs.select(col("doc_id"))
+        .join(kept.select(col("doc_id"), lit(true).as("survived")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(8)) === 3, lit("dup"))
+            .otherwise(lit("novel")).as("expected"),
+          coalesce(col("survived"), lit(false)).as("survived"),
+          ((pmod(col("doc_id"), lit(8)) =!= 3) ===
+            coalesce(col("survived"), lit(false))).as("ok"))
+    }),
+
     // Token-balanced global shards (r16): equal token MASS per shard
     // via a distributed prefix sum in the seeded LCG order — FULL
     // row/hash gate, the oracle re-derives the mix, the window
@@ -1759,6 +1806,11 @@ object SparkEntry {
           graft.multimodal.Decode.encodePatternPng(seed, 2), 0.75f).get
       })
       val imgs = docs
+        // single-row-group testdata = ONE scan task; the decode/synth
+        // cost would serialize on it (at 100 TB the scan parallelizes
+        // naturally). Repartition the THIN id rows — the exchange
+        // carries 8 bytes/row, the heavy payloads are built after it
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           explode(array(lit(0), lit(1), lit(2), lit(3))).as("variant"))
         .select(col("doc_id"), col("variant"),
@@ -1856,6 +1908,9 @@ object SparkEntry {
           seed, 8000, segSamples = 32, gain = 1.0, padSamples = 2000)
       })
       val auds = docs
+        // same thin-row fan-out as q123: synthesis/decode must not
+        // serialize on the single-row-group test scan
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           explode(array(lit(0), lit(1), lit(2), lit(3))).as("variant"))
         .select(col("doc_id"), col("variant"),
@@ -4157,7 +4212,20 @@ object SparkEntry {
                 true AS corrupt_null,
                 true AS gif_near,
                 true AS gif_found
-         FROM documents""",
+         FROM documents
+         WHERE doc_id < 2000""",
+    // q133 (r17): the batch is the doc_id%4==3 slice of the 2000-doc
+    // scope; expected outcome is doc_id arithmetic (%8==3 → a JPEG
+    // twin of an indexed image, caught; else novel, survives) and the
+    // ok column pins expected == observed
+    "q133_media_index" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 8 = 3 THEN 'dup' ELSE 'novel' END
+                  AS expected,
+                doc_id % 8 <> 3 AS survived,
+                true AS ok
+         FROM documents
+         WHERE doc_id < 2000 AND doc_id % 4 = 3""",
     "q129_token_shards" ->
       """WITH m AS (
            SELECT doc_id, source,
@@ -4641,6 +4709,11 @@ object SparkEntry {
     * plan) and the bench form (materializes once, times cleanDocs). */
   private def q130Records(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents").df.select(col("doc_id"), col("text"))
+      // fan the single-row-group test scan out before the HTTP/HTML
+      // synthesis UDFs (and so the epoch artifact lands as many files,
+      // not the one-row-group single file that would serialize the
+      // timed cleanDocs read — the Pipeline fanOut lesson)
+      .repartition(s.sparkContext.defaultParallelism)
     val idStr = col("doc_id").cast(StringType)
     val robots = when(pmod(col("doc_id"), lit(11)) === 0,
       lit("<meta name=\"robots\" content=\"noindex\">"))
@@ -4683,7 +4756,16 @@ object SparkEntry {
       case 2 => graft.multimodal.Decode.encodePatternAvi(seed).take(60)
       case _ => graft.multimodal.Decode.encodePatternGif(seed)
     })
+    // fixed-2000-doc gate machinery (the q104 precedent): the verdict
+    // columns are scale-invariant correctness checks, and 4 videos ×
+    // 12 JPEG frames per doc is ~29 ms/doc of decode — unbounded, the
+    // GATE (not the operator) would dominate the bench at sf0.1+. The
+    // unbounded operator cost is the documented decades in BASELINE.md
     T(s, d, "documents").df.select(col("doc_id"))
+      .where(col("doc_id") < 2000)
+      // thin-row fan-out (q123 note): frame synthesis/decode must not
+      // serialize on the single-row-group test scan
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(array(lit(0), lit(1), lit(2), lit(3))).as("variant"))
       .select(col("doc_id"), col("variant"),

@@ -19,6 +19,15 @@ import org.apache.spark.sql.types._
   */
 object Decode {
 
+  // ImageIO defaults every ImageInputStream/ImageOutputStream to a
+  // DISK cache — a temp file created, written, and deleted per
+  // encode/decode call. Under a 32-thread decode stage that serializes
+  // on /tmp and erases scan parallelism (measured: the sf0.1 video
+  // corpus decoded no faster on 32 tasks than on 1 before this).
+  // In-memory cache streams are what a batch decoder wants; the class
+  // loads once per executor JVM, so the switch rides classloading.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decoded image summary: dimensions + per-channel means in [0,1] —
     * the cheap content fingerprint a curation pipeline filters on. */
   case class ImageFeatures(doc_id: Long, format: String, width: Int,

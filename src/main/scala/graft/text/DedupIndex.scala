@@ -54,7 +54,7 @@ object DedupIndex {
     * directories survive; a later saveAsTable then refuses with
     * LOCATION_ALREADY_EXISTS — an index must be rebuildable from a
     * fresh session over the same warehouse. */
-  private def dropStale(spark: SparkSession, table: String): Unit = {
+  private[text] def dropStale(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)

@@ -158,6 +158,28 @@ object DumpPlans {
           |one banding pass shuffles (id, band, 8-byte vhash) rows at
           |maxBucket 17000, and Bench times the operator over an
           |epoch-materialized video corpus (the q130 split).""".stripMargin,
+      "q133_media_index (persisted 64-bit-signature ingest index — the q105 of the multimodal stack)" ->
+        """SigIndex persists the 4×16-bit chunk banding of any 64-bit
+          |Hamming signature (image dHash, audio envelope/chroma, video
+          |temporal hash, text SimHash) into bucketed tables: _sigs(id,
+          |sig) by id, _sigbuckets(id, band, bucket) by (band, bucket),
+          |merge-bumped _sigbucketcounts for the hot-bucket cap, _meta
+          |for the family. Ids + 8-byte longs only — old payloads are
+          |never stored and never rescanned. An ingest batch
+          |fingerprints in ITS scan stage, multi-probes (1-bit flips,
+          |batch side only) against the index's exact chunks — recall
+          |GUARANTEED to Hamming 7 (4 bands pigeonhole ≤ ⌊d/4⌋ flips
+          |into some band; probe radius 1 covers it; enforcing
+          |maxDistance ≤ 7 is a loud require, not a silent recall
+          |cliff) — and Hamming-verifies candidates against _sigs. The
+          |index side reads exchange-free on its bucketing keys; only
+          |the batch shuffles. append() is O(batch): inserts into the
+          |bucketed tables plus a counts merge-bump, the DedupIndex
+          |shape. The q133 gate: a 1500-image corpus indexes, a batch
+          |of JPEG re-encodes of indexed images (drift ≤ 7 measured =
+          |the guarantee radius, so 'caught' is structural) + novel
+          |patterns filters through dropDupsAgainst; expected outcome
+          |is doc_id arithmetic the oracle derives independently.""".stripMargin,
       "q129_token_shards (global prefix sum without a global window)" ->
         """Equal token MASS per shard needs a global cumulative sum; a
           |Window.orderBy would collapse to one partition. Shape: the

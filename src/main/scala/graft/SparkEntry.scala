@@ -1525,9 +1525,9 @@ object SparkEntry {
         graft.multimodal.Decode.encodePatternPng(id, 2))
       val old = sub.filter(pmod(col("doc_id"), lit(4)) < 3)
         .select(col("doc_id"), mkOld(col("doc_id")).as("payload"))
-      val oldSigs = graft.multimodal.Decode
+      val oldSigs = GraftSession.trackPersist(graft.multimodal.Decode
         .imageSignatures(old, "doc_id", "payload").toDF()
-        .select(col("img_id").as("doc_id"), col("dhash"))
+        .select(col("img_id").as("doc_id"), col("dhash")))
       graft.text.SigIndex.write(oldSigs, "doc_id", "dhash", "q133_ix")
       val mkBatch = udf((id: Long) =>
         if (id % 8 == 3) graft.multimodal.Decode.reencodeJpeg(
@@ -1535,9 +1535,11 @@ object SparkEntry {
         else graft.multimodal.Decode.encodePatternPng(id + 10000000L, 2))
       val batch = sub.filter(pmod(col("doc_id"), lit(4)) === 3)
         .select(col("doc_id"), mkBatch(col("doc_id")).as("payload"))
-      val batchSigs = graft.multimodal.Decode
+      // persist: the batch decode feeds three consumers (the verdict
+      // join, dropDupsAgainst's anti-join side, nearDups' probe input)
+      val batchSigs = GraftSession.trackPersist(graft.multimodal.Decode
         .imageSignatures(batch, "doc_id", "payload").toDF()
-        .select(col("img_id").as("doc_id"), col("dhash"))
+        .select(col("img_id").as("doc_id"), col("dhash")))
       val kept = graft.text.SigIndex.dropDupsAgainst(
         batchSigs, "doc_id", "dhash", "q133_ix")
       batchSigs.select(col("doc_id"))

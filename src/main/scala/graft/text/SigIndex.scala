@@ -72,12 +72,19 @@ object SigIndex {
   def append(sigs: DataFrame, idCol: String, sigCol: String,
              name: String): Unit = {
     val spark = sigs.sparkSession
-    require(spark.catalog.tableExists(s"${name}_meta"),
-      s"SigIndex '$name' does not exist — write() it first")
-    val s = graft.GraftSession.trackPersist(
-      sigs.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
-        .where(col("sig").isNotNull))
-    val base = spark.table(s"${name}_sigbucketcounts")
+    checkFamily(spark, name)
+    // EAGER snapshot of the batch before any index mutation: the
+    // documented ingest loop appends the survivors of
+    // [[dropDupsAgainst]] — a plan that READS this index. A lazy
+    // persist can be evicted and recomputed AFTER the _sigs insert,
+    // at which point the batch dedups against itself and rows
+    // silently vanish from _sigbuckets (the DedupIndex.append
+    // lesson, same wording there).
+    val s = sigs.select(col(idCol).as("id"),
+        col(sigCol).cast("long").as("sig"))
+      .where(col("sig").isNotNull)
+      .localCheckpoint(eager = true)
+    val base = bucketCountsOf(spark, name)
       .localCheckpoint(eager = true) // snapshot BEFORE the insert
     s.write.format("parquet").mode("append")
       .insertInto(s"${name}_sigs")
@@ -94,6 +101,36 @@ object SigIndex {
       .saveAsTable(s"${name}_sigbucketcounts")
   }
 
+  /** The counts table with the [[DedupIndex.bucketCountsOf]]
+    * self-heal: a crash between [[append]]'s drop and rewrite leaves
+    * `_sigbuckets` intact — recompute (exchange-free on the bucketing
+    * key), warn, and let the next write/append re-materialize.
+    * Readers must never die on a recoverable artifact. */
+  private def bucketCountsOf(spark: SparkSession,
+                             name: String): DataFrame =
+    if (spark.catalog.tableExists(s"${name}_sigbucketcounts"))
+      spark.table(s"${name}_sigbucketcounts")
+    else {
+      graft.functions.Warnings.driverWarn(
+        s"sig index '$name': _sigbucketcounts missing (crash " +
+          "window?) — recomputing from _sigbuckets for this query; " +
+          "the next write/append re-materializes it")
+      spark.table(s"${name}_sigbuckets")
+        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+    }
+
+  /** Loud family guard — the scaladoc's "a query can't silently join
+    * an incompatible index" is enforced, not aspirational. */
+  private def checkFamily(spark: SparkSession, name: String): Unit = {
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"SigIndex '$name' does not exist — write() it first")
+    val r = spark.table(s"${name}_meta").head()
+    val (bands, bits) = (r.getAs[Int]("bands"), r.getAs[Int]("bits"))
+    require(bands == Bands && bits == 16,
+      s"SigIndex '$name' was built with a ($bands-band, $bits-bit) " +
+        s"family; this build queries ($Bands, 16) — rebuild the index")
+  }
+
   /** The exact 4×16-bit chunk rows of [[Dedup.simhashNearDups]]'
     * banding — the index stores these, never probe flips. */
   private def bandChunks(s: DataFrame): DataFrame =
@@ -104,9 +141,10 @@ object SigIndex {
 
   /** Near-dup pairs (id_new, id_old, hamming ≤ maxDistance) between a
     * batch of (id, sig) rows and the index. Batch-side 1-bit
-    * multi-probe; buckets whose INDEX population exceeds `maxBucket`
-    * are skipped (the documented hot-bucket recall/cost lever —
-    * degenerate near-constant signatures pool there). */
+    * multi-probe; buckets hot on EITHER side (index population or
+    * batch probe population over `maxBucket`) are skipped — the
+    * documented hot-bucket recall/cost lever; degenerate
+    * near-constant signatures pool there on both populations. */
   def nearDupsAgainst(batch: DataFrame, idCol: String, sigCol: String,
                       name: String, maxDistance: Int = 7,
                       maxBucket: Int = 17000): DataFrame = {
@@ -114,23 +152,36 @@ object SigIndex {
     require(maxDistance <= 7,
       s"query-side-probe banding guarantees recall only to Hamming 7 " +
         s"(got $maxDistance) — rebuild with a wider family for more")
+    checkFamily(spark, name)
     val s = graft.GraftSession.trackPersist(
       batch.select(col(idCol).as("id_new"),
           col(sigCol).cast("long").as("sig_new"))
         .where(col("sig_new").isNotNull))
     val masks = 0L +: (0 until 16).map(i => 1L << i)
-    val probed = s.select(col("id_new"),
-      explode(flatten(array((0 until Bands).map { b =>
-        val chunk = shiftright(col("sig_new"), b * 16)
-          .bitwiseAND(0xFFFFL)
-        array(masks.map(m => struct(lit(b).as("band"),
-          chunk.bitwiseXOR(lit(m)).as("bucket"))): _*)
-      }: _*))).as("e"))
-      .select(col("id_new"), col("e.band").as("band"),
-        col("e.bucket").as("bucket"))
-    val hot = spark.table(s"${name}_sigbucketcounts")
+    val probed = graft.GraftSession.trackPersist(
+      s.select(col("id_new"),
+        explode(flatten(array((0 until Bands).map { b =>
+          val chunk = shiftright(col("sig_new"), b * 16)
+            .bitwiseAND(0xFFFFL)
+          array(masks.map(m => struct(lit(b).as("band"),
+            chunk.bitwiseXOR(lit(m)).as("bucket"))): _*)
+        }: _*))).as("e"))
+        .select(col("id_new"), col("e.band").as("band"),
+          col("e.bucket").as("bucket")))
+    // hot on EITHER side (the DedupIndex guard): a degenerate batch
+    // (a million black frames probing the same buckets) must not
+    // build a |batch|×|bucket| candidate set any more than a
+    // degenerate index may — the cap is the documented recall/cost
+    // lever on both populations
+    val hot = bucketCountsOf(spark, name)
       .where(col("n") > maxBucket)
       .select(col("band"), col("bucket"))
+      .unionByName(probed
+        .groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bn"))
+        .where(col("bn") > maxBucket)
+        .select(col("band"), col("bucket")))
+      .distinct()
     // candidates: batch probes × index chunks, hot buckets dropped;
     // the index side reads exchange-free on (band, bucket)
     val cands = probed

@@ -37,14 +37,23 @@ object TimeVideoDedup {
         explode(array(lit(0), lit(1), lit(2), lit(3))).as("variant"))
       .select((col("doc_id") * 4 + col("variant")).as("vid_id"),
         mkPayload(col("doc_id"), col("variant")).as("payload"))
+    // epoch key = plan fingerprint + source mtime (the q130/q132
+    // discipline): a synthesis edit or in-place corpus regen must
+    // never reuse a stale artifact
     val dir = s"${sys.props("java.io.tmpdir")}/graft_tvd_" +
-      (sfDir.hashCode & 0x7fffffff).toHexString
+      graft.text.Pipeline.stageFingerprint(vids).take(16) + "_" +
+      new java.io.File(s"$sfDir/documents.parquet").lastModified()
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       val t0 = System.nanoTime()
       vids.write.mode("overwrite").parquet(dir)
       println(f"[tvd] synth ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     for (r <- 1 to 3) {
+      // release the previous run's tracked persists (simhashNearDups
+      // trackPersists its input, which here CONTAINS the decode plan —
+      // without this, runs 2-3 read cached signatures and skip the
+      // decode this tool exists to time)
+      graft.GraftSession.unpersistAll()
       val t0 = System.nanoTime()
       val sigs = graft.multimodal.Decode
         .videoSignatures(spark.read.parquet(dir), "vid_id", "payload")

@@ -109,22 +109,27 @@ object Decode {
       case None => None
       case Some(im) =>
         val (w, h) = (im.getWidth, im.getHeight)
+        val px = bulkRgb(im)
         var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = im.getRGB(x, y)
-            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
-            sb += rgb & 0xFF
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
+          sb += rgb & 0xFF
+          i += 1
         }
         val d = w.toLong * h * 255.0
         Some((w, h, sr / d, sg / d, sb / d))
     }
   }
+
+  /** Whole-raster sRGB fetch in ONE call — `getRGB(0,0,w,h,buf,0,w)`
+    * walks the raster internally instead of paying a bounds-checked
+    * color-model conversion call per pixel (the per-pixel loop was
+    * measurable at production image sizes; values are identical). */
+  private def bulkRgb(im: java.awt.image.BufferedImage): Array[Int] =
+    im.getRGB(0, 0, im.getWidth, im.getHeight,
+      new Array[Int](im.getWidth * im.getHeight), 0, im.getWidth)
 
   /** Nearest-neighbor resize of any JDK-decodable image → raw RGB bytes
     * (3 per pixel, row-major) — the normalized tensor shape a model
@@ -170,15 +175,10 @@ object Decode {
       try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
       catch { case _: Exception => None }
     img.map { im =>
-      val (w, h) = (im.getWidth, im.getHeight)
-      val px = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { px(y * w + x) = im.getRGB(x, y) & 0xFFFFFF; x += 1 }
-        y += 1
-      }
-      (w, h, px)
+      val px = bulkRgb(im)
+      var i = 0
+      while (i < px.length) { px(i) &= 0xFFFFFF; i += 1 }
+      (im.getWidth, im.getHeight, px)
     }
   }
 
@@ -278,6 +278,46 @@ object Decode {
       }
       Some(sig)
     }
+
+  /** 128-bit difference hash: the 64 horizontal-gradient bits of
+    * [[dHash]] (lo half, bit-identical — the two hashes agree by
+    * construction) plus 64 vertical-gradient bits from an 8×9 grid
+    * (hi half, bit c·8+r set iff gray[r+1][c] > gray[r][c]).
+    *
+    * Why it exists — the SCALE path, not a better hash: 64-bit
+    * signatures band into 4×16-bit buckets, and a symmetric
+    * multi-probe pair join carries an n²/2^16-per-band candidate term
+    * that turns superlinear around 10^5–10^6 media (measured: the sf1
+    * video corpus, 150k signatures, ran 25× sf0.1's wall — BASELINE
+    * r17). The 128-bit hash rides [[graft.text.Dedup
+    * .simhashNearDups128]]'s 4×32-bit bands: the same term is
+    * n²/2^32 — negligible to ~10^8 per shard — with the pigeonhole
+    * recall guarantee at d ≤ 3 exact-band / d ≤ 7 multi-probe.
+    * Distances on the 128-bit hash are roughly 2× the 64-bit ones for
+    * the same perceptual gap (twice the bits; measured matrix in
+    * DecodeSpec/BASELINE). */
+  def dHash128(bytes: Array[Byte]): Option[(Long, Long)] =
+    decodeRaster(bytes).flatMap { case (w, h, px) =>
+      if (w < 1 || h < 1) None
+      else dHashFromRaster(w, h, px).map(lo => (lo, vHashFromRaster(w, h, px)))
+    }
+
+  /** The vertical-gradient 64 bits of [[dHash128]] (8×9 grid,
+    * bit c·8+r set iff gray[r+1][c] > gray[r][c]). */
+  private def vHashFromRaster(w: Int, h: Int, px: Array[Int]): Long = {
+    val g = boxGray(w, h, px, 8, 9)
+    var hi = 0L
+    var c = 0
+    while (c < 8) {
+      var r = 0
+      while (r < 8) {
+        if (g((r + 1) * 8 + c) > g(r * 8 + c)) hi |= 1L << (c * 8 + r)
+        r += 1
+      }
+      c += 1
+    }
+    hi
+  }
 
   /** 64-bit average hash (aHash): 8×8 box-averaged grayscale, bit set
     * iff the cell is brighter than the 64-cell mean. Cheaper and
@@ -952,15 +992,10 @@ object Decode {
         if (n <= 0) return None
         Some((0 until n).map { k =>
           val im = r.read(k)
-          val (w, h) = (im.getWidth, im.getHeight)
-          val px = new Array[Int](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { px(y * w + x) = im.getRGB(x, y) & 0xFFFFFF; x += 1 }
-            y += 1
-          }
-          (w, h, px)
+          val px = bulkRgb(im)
+          var i = 0
+          while (i < px.length) { px(i) &= 0xFFFFFF; i += 1 }
+          (im.getWidth, im.getHeight, px)
         })
       } finally r.dispose()
     } catch { case _: Exception => None }
@@ -1056,6 +1091,47 @@ object Decode {
           }
         })
       }
+  }
+
+  /** 128-bit temporal fingerprint — [[videoFingerprint]]'s majority
+    * vote over per-frame [[dHash128]] halves; the scale path for
+    * corpora where 64-bit banding's n²/2^16 candidate term bites
+    * (see [[dHash128]]). Same invariances (exact under frame
+    * duplication when the base fits `maxFrames`). */
+  def videoFingerprint128(bytes: Array[Byte],
+                          maxFrames: Int = 16): Option[(Long, Long)] =
+    decodeVideoRasters(bytes, maxFrames).flatMap { case (_, rasters) =>
+      val hs = rasters.flatMap { case (w, h, px) =>
+        if (w < 1 || h < 1) None
+        else dHashFromRaster(w, h, px)
+          .map(lo => (lo, vHashFromRaster(w, h, px)))
+      }
+      for {
+        lo <- fingerprintFromHashes(hs.map(_._1))
+        hi <- fingerprintFromHashes(hs.map(_._2))
+      } yield (lo, hi)
+    }
+
+  /** 128-bit signature rows over a binary video column — feeds
+    * [[graft.text.Dedup.simhashNearDups128]] (`simhash_lo`/
+    * `simhash_hi`); same partition-preserving batch shape. */
+  def videoSignatures128(df: DataFrame, idCol: String,
+                         payloadCol: String, maxFrames: Int = 16,
+                         batchSize: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, payload) =>
+          videoFingerprint128(payload) match {
+            case Some((lo, hi)) =>
+              (id, Option(lo), Option(hi))
+            case None => (id, Option.empty[Long], Option.empty[Long])
+          }
+        })
+      }
+      .toDF(idCol, "simhash_lo", "simhash_hi")
   }
 
   /** Minimal AVI/MJPEG writer — the video twin generator (and a usable

@@ -147,7 +147,8 @@ object SigIndex {
     * near-constant signatures pool there on both populations. */
   def nearDupsAgainst(batch: DataFrame, idCol: String, sigCol: String,
                       name: String, maxDistance: Int = 7,
-                      maxBucket: Int = 17000): DataFrame = {
+                      maxBucket: Int = 17000,
+                      excludeSelfId: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     require(maxDistance <= 7,
       s"query-side-probe banding guarantees recall only to Hamming 7 " +
@@ -192,6 +193,12 @@ object SigIndex {
           .select(col("band"), col("bucket"), col("id").as("id_old")),
         Seq("band", "bucket"))
       .select(col("id_new"), col("id_old")).distinct()
+      // excludeSelfId: replay idempotence for the streaming ingest —
+      // a crash between index append and ingest-log commit replays
+      // the batch against its OWN appended rows ([[graft.streaming
+      // .StreamingMediaDedup]]; the DedupIndex contract)
+      .filter(if (excludeSelfId) col("id_old") =!= col("id_new")
+              else lit(true))
     cands
       .join(s, "id_new")
       .join(spark.table(s"${name}_sigs")
@@ -208,9 +215,10 @@ object SigIndex {
     * caller appends them to the index + corpus). */
   def dropDupsAgainst(batch: DataFrame, idCol: String, sigCol: String,
                       name: String, maxDistance: Int = 7,
-                      maxBucket: Int = 17000): DataFrame = {
+                      maxBucket: Int = 17000,
+                      excludeSelfId: Boolean = false): DataFrame = {
     val dups = nearDupsAgainst(batch, idCol, sigCol, name,
-      maxDistance, maxBucket)
+      maxDistance, maxBucket, excludeSelfId)
       .select(col("id_new").as(idCol)).distinct()
     batch.join(dups, Seq(idCol), "left_anti")
   }

@@ -157,7 +157,21 @@ object DumpPlans {
           |mapPartitions, payload bytes never leave the scan stage,
           |one banding pass shuffles (id, band, 8-byte vhash) rows at
           |maxBucket 17000, and Bench times the operator over an
-          |epoch-materialized video corpus (the q130 split).""".stripMargin,
+          |epoch-materialized video corpus (the q130 split).
+          |
+          |Scale envelope, measured not assumed (BASELINE r17): the
+          |64-bit symmetric multi-probe join carries an n²/2^16
+          |candidate term per band — linear decades to ~10^5
+          |signatures, measurably superlinear at 150k (sf1). The
+          |ceiling is not a wall: dHash128/videoFingerprint128 (lo
+          |half bit-identical to the 64-bit hashes) ride
+          |simhashNearDups128's 4×32-bit bands, n²/2^32 — negligible
+          |to ~10^8 per shard. The trade is recall shape: 64-bit
+          |multiProbe GUARANTEES recall to Hamming 11 (covers every
+          |measured re-encode class with margin); 128-bit guarantees
+          |7 with a measured thin tail beyond it (image JPEG drift
+          |max 8/3000 at 2× the bit budget). Corpus size picks the
+          |operator; both are tested and measured.""".stripMargin,
       "q133_media_index (persisted 64-bit-signature ingest index — the q105 of the multimodal stack)" ->
         """SigIndex persists the 4×16-bit chunk banding of any 64-bit
           |Hamming signature (image dHash, audio envelope/chroma, video

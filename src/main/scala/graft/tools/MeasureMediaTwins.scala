@@ -91,6 +91,23 @@ object MeasureMediaTwins {
         .map { case (a, b) => ham(a, b) })
     hist(s"video MAJ nearest cross-doc (first ${math.min(vn, 3000)})",
       minCross(vfb))
+    // 128-bit matrix (the scale path): distances roughly double for
+    // the same perceptual gap (twice the bits)
+    def ham128(a: (Long, Long), b: (Long, Long)) =
+      ham(a._1, b._1) + ham(a._2, b._2)
+    val i128 = (0 until vn).map { s =>
+      val png = Decode.encodePatternPng(s.toLong, 2)
+      ham128(Decode.dHash128(png).get,
+        Decode.dHash128(Decode.reencodeJpeg(png, 0.75f).get).get)
+    }
+    hist(s"image dHash128 vs jpeg(q=0.75) (n=$vn)", i128)
+    val v128b = vBase.map(b => Decode.videoFingerprint128(b).get)
+    hist(s"video MAJ128 base vs dup-frame twin (n=$vn)",
+      v128b.zip(vDup.map(b => Decode.videoFingerprint128(b).get))
+        .map { case (a, b) => ham128(a, b) })
+    hist(s"video MAJ128 base vs GIF twin (n=$vn)",
+      v128b.zip(vGif.map(b => Decode.videoFingerprint128(b).get))
+        .map { case (a, b) => ham128(a, b) })
 
     // fingerprint cost (per-payload, warm)
     for ((nm, f) <- Seq(

@@ -65,6 +65,20 @@ object TimeVideoDedup {
       val n = pairs.queryExecution.toRdd.count()
       println(f"[tvd] run$r ${(System.nanoTime() - t0) / 1e9}%.1f s  pairs=$n  sf=$sfDir")
     }
+    // the 128-bit A/B: same decode cost, 4×32-bit bands — the
+    // n²/2^16-per-band candidate term that turns the 64-bit path
+    // superlinear around 10^5-10^6 signatures becomes n²/2^32
+    for (r <- 1 to 3) {
+      graft.GraftSession.unpersistAll()
+      val t0 = System.nanoTime()
+      val sigs = graft.multimodal.Decode
+        .videoSignatures128(spark.read.parquet(dir), "vid_id", "payload")
+      val pairs = graft.text.Dedup.simhashNearDups128(
+        sigs.where(col("simhash_lo").isNotNull),
+        "vid_id", maxDistance = 7, maxBucket = 17000, multiProbe = true)
+      val n = pairs.queryExecution.toRdd.count()
+      println(f"[tvd] 128run$r ${(System.nanoTime() - t0) / 1e9}%.1f s  pairs=$n  sf=$sfDir")
+    }
     spark.stop()
   }
 }

@@ -427,6 +427,47 @@ class DecodeSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a % 4 != 2 && b % 4 != 2 })
   }
 
+  test("dHash128 / videoFingerprint128 (the n²/2^32 scale path): lo " +
+       "half bit-identical to the 64-bit hashes, dup-frame twin " +
+       "exact, measured drift bounds hold, banding128 surfaces twins") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (seed <- 0L until 30L) {
+      val png = Decode.encodePatternPng(seed, 2)
+      val (lo, _) = Decode.dHash128(png).get
+      assert(lo == Decode.dHash(png).get,
+        "the lo half IS dHash — downstream migration must be bitwise")
+      val jpg = Decode.reencodeJpeg(png, 0.75f).get
+      val (jlo, jhi) = Decode.dHash128(jpg).get
+      val (_, hi) = Decode.dHash128(png).get
+      assert(ham(lo, jlo) + ham(hi, jhi) <= 12,
+        s"seed $seed: 128-bit JPEG drift above the measured band " +
+          "(max 8 over 3000 seeds)")
+    }
+    for (seed <- 0L until 10L) {
+      val base = Decode.videoFingerprint128(
+        Decode.encodePatternAvi(seed)).get
+      assert(Decode.videoFingerprint128(
+        Decode.encodePatternAvi(seed, dupFrames = 2)).get == base,
+        s"seed $seed: majority-per-half must stay exact under dup")
+    }
+    assert(Decode.dHash128(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Decode.videoFingerprint128("x".getBytes("UTF-8")).isEmpty)
+    // end-to-end through the 128-bit banding: dup twins at distance 0
+    val rows = (0L until 5L).flatMap { s =>
+      Seq((s * 2, Decode.encodePatternAvi(s)),
+          (s * 2 + 1, Decode.encodePatternAvi(s, dupFrames = 2)))
+    }
+    val sigs = Decode.videoSignatures128(
+      spark.createDataFrame(rows).toDF("vid_id", "payload"),
+      "vid_id", "payload")
+    val pairs = graft.text.Dedup.simhashNearDups128(
+      sigs.where(col("simhash_lo").isNotNull),
+      "vid_id", maxDistance = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 5L).forall(s => pairs.contains((s * 2, s * 2 + 1))),
+      s"128-bit banding must surface every dup twin: $pairs")
+  }
+
   test("extractFeatures dispatches AVI payloads to the video decoder: " +
        "kind=video with dims + sampled frame count; a RIFF that is " +
        "neither WAVE nor AVI reports unknown") {

@@ -1517,40 +1517,8 @@ object SparkEntry {
     // pure doc_id arithmetic — the oracle derives it independently and
     // the ok column (expected == observed survival) is pinned true.
     "q133_media_index" -> ((s, d) => {
-      val sub = T(s, d, "documents").df.select(col("doc_id"))
-        .where(col("doc_id") < 2000)
-        // thin-row fan-out (q123 note) before payload synthesis
-        .repartition(s.sparkContext.defaultParallelism)
-      val mkOld = udf((id: Long) =>
-        graft.multimodal.Decode.encodePatternPng(id, 2))
-      val old = sub.filter(pmod(col("doc_id"), lit(4)) < 3)
-        .select(col("doc_id"), mkOld(col("doc_id")).as("payload"))
-      val oldSigs = GraftSession.trackPersist(graft.multimodal.Decode
-        .imageSignatures(old, "doc_id", "payload").toDF()
-        .select(col("img_id").as("doc_id"), col("dhash")))
-      graft.text.SigIndex.write(oldSigs, "doc_id", "dhash", "q133_ix")
-      val mkBatch = udf((id: Long) =>
-        if (id % 8 == 3) graft.multimodal.Decode.reencodeJpeg(
-          graft.multimodal.Decode.encodePatternPng(id - 1, 2), 0.75f).get
-        else graft.multimodal.Decode.encodePatternPng(id + 10000000L, 2))
-      val batch = sub.filter(pmod(col("doc_id"), lit(4)) === 3)
-        .select(col("doc_id"), mkBatch(col("doc_id")).as("payload"))
-      // persist: the batch decode feeds three consumers (the verdict
-      // join, dropDupsAgainst's anti-join side, nearDups' probe input)
-      val batchSigs = GraftSession.trackPersist(graft.multimodal.Decode
-        .imageSignatures(batch, "doc_id", "payload").toDF()
-        .select(col("img_id").as("doc_id"), col("dhash")))
-      val kept = graft.text.SigIndex.dropDupsAgainst(
-        batchSigs, "doc_id", "dhash", "q133_ix")
-      batchSigs.select(col("doc_id"))
-        .join(kept.select(col("doc_id"), lit(true).as("survived")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(8)) === 3, lit("dup"))
-            .otherwise(lit("novel")).as("expected"),
-          coalesce(col("survived"), lit(false)).as("survived"),
-          ((pmod(col("doc_id"), lit(8)) =!= 3) ===
-            coalesce(col("survived"), lit(false))).as("ok"))
+      q133BuildIndex(s, d, "q133_ix")
+      q133Verdict(q133BatchPayloads(s, d), "q133_ix")
     }),
 
     // Token-balanced global shards (r16): equal token MASS per shard
@@ -1798,76 +1766,7 @@ object SparkEntry {
     // ~5× per bit — 6:6, 7:1 — so even sf100's seed range stays
     // inside 11 with overwhelming margin). The exact upscale twin
     // still requires hamming 0 (filter on the same pass).
-    "q123_image_dedup" -> ((s, d) => {
-      val docs = T(s, d, "documents").df.select(col("doc_id"))
-      val mkPayload = udf((seed: Long, variant: Int) => variant match {
-        case 0 => graft.multimodal.Decode.encodePatternPng(seed, 2)
-        case 1 => graft.multimodal.Decode.encodePatternPng(seed, 4)
-        case 2 => graft.multimodal.Decode.encodePatternPng(seed, 2).take(16)
-        case _ => graft.multimodal.Decode.reencodeJpeg(
-          graft.multimodal.Decode.encodePatternPng(seed, 2), 0.75f).get
-      })
-      val imgs = docs
-        // single-row-group testdata = ONE scan task; the decode/synth
-        // cost would serialize on it (at 100 TB the scan parallelizes
-        // naturally). Repartition the THIN id rows — the exchange
-        // carries 8 bytes/row, the heavy payloads are built after it
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          explode(array(lit(0), lit(1), lit(2), lit(3))).as("variant"))
-        .select(col("doc_id"), col("variant"),
-          (col("doc_id") * 4 + col("variant")).as("img_id"),
-          mkPayload(col("doc_id"), col("variant")).as("payload"))
-      val sigs = graft.GraftSession.trackPersist(
-        graft.multimodal.Decode.imageSignatures(imgs, "img_id", "payload")
-          .toDF()
-          .select(col("img_id"), floor(col("img_id") / 4).as("doc_id"),
-            pmod(col("img_id"), lit(4)).as("variant"),
-            col("format"), col("width"), col("height"), col("dhash")))
-      // maxBucket raised from the 1000 default (the q104 multi-probe
-      // precedent): probes multiply per-band bucket load ~17× (exact
-      // chunk + 16 one-bit flips), and cappedCandidatePairs DROPS
-      // over-cap buckets wholesale — at the default the gate's
-      // guaranteed-recall claim would silently expire near ~1.3M
-      // docs (avg occupancy 17·3·docs/2^16 > 1000). At 17000 the
-      // ceiling is back at ~22M docs — the pre-probe gate's ceiling;
-      // production corpora beyond that tune maxBucket with the
-      // documented recall/cost lever.
-      val pairs = graft.text.Dedup.simhashNearDups(
-        sigs.where(col("dhash").isNotNull)
-          .select(col("img_id"), col("dhash").as("simhash")),
-        "img_id", maxDistance = 8, maxBucket = 17000, multiProbe = true)
-      def side(v: Int, sfx: String) = sigs.filter(col("variant") === v)
-        .select(col("doc_id"), col("format").as(s"fmt$sfx"),
-          col("width").as(s"w$sfx"), col("height").as(s"h$sfx"),
-          col("dhash").as(s"dhash$sfx"))
-      val twinPairs = pairs // twin ids are 4d and 4d+1 (id_a < id_b)
-        .filter(col("id_b") === col("id_a") + 1 &&
-          pmod(col("id_a"), lit(4)) === 0 && col("hamming") === 0)
-        .select(floor(col("id_a") / 4).as("doc_id"),
-          lit(true).as("twin_found"))
-      val jpegPairs = pairs // jpeg twin ids are 4d and 4d+3
-        .filter(col("id_b") === col("id_a") + 3 &&
-          pmod(col("id_a"), lit(4)) === 0)
-        .select(floor(col("id_a") / 4).as("doc_id"),
-          lit(true).as("jpeg_found"))
-      side(0, "_a").join(side(1, "_b"), "doc_id")
-        .join(side(2, "_c"), "doc_id")
-        .join(side(3, "_d"), "doc_id")
-        .join(twinPairs, Seq("doc_id"), "left")
-        .join(jpegPairs, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          col("w_a"), col("h_a"), col("w_b"), col("h_b"),
-          bit_count(col("dhash_a").bitwiseXOR(col("dhash_b")))
-            .cast(LongType).as("twin_hamming"),
-          coalesce(col("twin_found"), lit(false)).as("twin_found"),
-          (col("fmt_c") === "unknown" && col("dhash_c").isNull &&
-            col("w_c") === -1).as("corrupt_null"),
-          (col("w_d") === col("w_a") && col("h_d") === col("h_a") &&
-            bit_count(col("dhash_a").bitwiseXOR(col("dhash_d"))) <= 11)
-            .as("jpeg_near"),
-          coalesce(col("jpeg_found"), lit(false)).as("jpeg_found"))
-    }),
+    "q123_image_dedup" -> ((s, d) => q123Gate(q123Imgs(s, d))),
 
     // Audio perceptual-fingerprint near-dup dedup (r16 — the audio
     // counterpart of q123): per doc, the SAME seeded 65-segment
@@ -1897,75 +1796,7 @@ object SparkEntry {
     // Data picks the DEFAULT: afp (4× cheaper — 66 vs 264 µs/payload — exact on re-rate);
     // cfp is the shift-robust complement — re-encode-heavy corpora
     // band on both and union the pairs.
-    "q127_audio_dedup" -> ((s, d) => {
-      val docs = T(s, d, "documents").df.select(col("doc_id"))
-      val mkPayload = udf((seed: Long, variant: Int) => variant match {
-        case 0 => graft.multimodal.Decode.encodeEnvelopeWav(
-          seed, 8000, segSamples = 32, gain = 1.0)
-        case 1 => graft.multimodal.Decode.encodeEnvelopeWav(
-          seed, 16000, segSamples = 64, gain = 0.5)
-        case 2 => graft.multimodal.Decode.encodeEnvelopeWav(
-          seed, 8000, segSamples = 32, gain = 1.0).take(16)
-        case _ => graft.multimodal.Decode.encodeEnvelopeWav(
-          seed, 8000, segSamples = 32, gain = 1.0, padSamples = 2000)
-      })
-      val auds = docs
-        // same thin-row fan-out as q123: synthesis/decode must not
-        // serialize on the single-row-group test scan
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          explode(array(lit(0), lit(1), lit(2), lit(3))).as("variant"))
-        .select(col("doc_id"), col("variant"),
-          (col("doc_id") * 4 + col("variant")).as("aud_id"),
-          mkPayload(col("doc_id"), col("variant")).as("payload"))
-      val sigs = graft.GraftSession.trackPersist(
-        graft.multimodal.Decode.audioSignatures(auds, "aud_id", "payload")
-          .toDF()
-          .select(col("aud_id"), floor(col("aud_id") / 4).as("doc_id"),
-            pmod(col("aud_id"), lit(4)).as("variant"),
-            col("sample_rate"), col("n_samples"), col("afp"),
-            col("cfp")))
-      val pairs = graft.text.Dedup.simhashNearDups(
-        sigs.where(col("afp").isNotNull)
-          .select(col("aud_id"), col("afp").as("simhash")),
-        "aud_id", maxDistance = 0)
-      val cpairs = graft.text.Dedup.simhashNearDups(
-        sigs.where(col("cfp").isNotNull)
-          .select(col("aud_id"), col("cfp").as("simhash")),
-        "aud_id", maxDistance = 0)
-      def side(v: Int, sfx: String) = sigs.filter(col("variant") === v)
-        .select(col("doc_id"), col("sample_rate").as(s"sr$sfx"),
-          col("n_samples").as(s"n$sfx"), col("afp").as(s"afp$sfx"),
-          col("cfp").as(s"cfp$sfx"))
-      val twinPairs = pairs // twin ids are 4d and 4d+1 (id_a < id_b)
-        .filter(col("id_b") === col("id_a") + 1 &&
-          pmod(col("id_a"), lit(4)) === 0)
-        .select(floor(col("id_a") / 4).as("doc_id"),
-          lit(true).as("twin_found"))
-      val offPairs = cpairs // offset twin ids are 4d and 4d+3
-        .filter(col("id_b") === col("id_a") + 3 &&
-          pmod(col("id_a"), lit(4)) === 0)
-        .select(floor(col("id_a") / 4).as("doc_id"),
-          lit(true).as("off_found"))
-      side(0, "_a").join(side(1, "_b"), "doc_id")
-        .join(side(2, "_c"), "doc_id")
-        .join(side(3, "_d"), "doc_id")
-        .join(twinPairs, Seq("doc_id"), "left")
-        .join(offPairs, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          col("sr_a"), col("n_a"), col("sr_b"), col("n_b"), col("n_d"),
-          bit_count(col("afp_a").bitwiseXOR(col("afp_b")))
-            .cast(LongType).as("twin_hamming"),
-          coalesce(col("twin_found"), lit(false)).as("twin_found"),
-          (col("afp_c").isNull && col("sr_c") === -1).as("corrupt_null"),
-          (bit_count(col("afp_a").bitwiseXOR(col("afp_d"))) > 0)
-            .as("off_env_differs"),
-          bit_count(col("cfp_a").bitwiseXOR(col("cfp_d")))
-            .cast(LongType).as("off_chroma_hamming"),
-          coalesce(col("off_found"), lit(false)).as("off_found"),
-          (bit_count(col("cfp_a").bitwiseXOR(col("cfp_b"))) <= 24)
-            .as("rate_chroma_near"))
-    }),
+    "q127_audio_dedup" -> ((s, d) => q127Gate(q127Auds(s, d))),
 
     // Temperature-scaled mixture (T5/mT5/LLaMA): stratum share ∝
     // count^tau at tau=0.5 — the oracle recomputes counts → 9dp
@@ -2810,8 +2641,17 @@ object SparkEntry {
         graft.ml.Ivf.writeIndex(model, p)
         (p, model.centroids)
       })
+      // nprobe=4 (r17 correctness fix, was 2): at sf0.001 (500
+      // vectors over k=8 cells) the exact top-10 spans >2 cells and
+      // the deterministic fit put only 3 of them in the 2 probed
+      // cells — recall_ok read FALSE at a scale factor the sf0.01
+      // gate never exercised. Probing is monotone (more cells ⇒
+      // superset of candidates ⇒ recall can only rise), measured
+      // n_hit 3→7 / 6→7 / 7→8 at sf0.001/0.01/0.1, so every
+      // previously-green verdict is unchanged and the gate's claim
+      // now holds at every checked scale.
       val ann = graft.ml.Ivf.searchIndex(s, path, centroids, "vec_id",
-        "embedding", q, topK = 10, nprobe = 2)
+        "embedding", q, topK = 10, nprobe = 4)
       val exact = graft.ml.Similarity.bruteForceTopK(
         emb, "vec_id", "embedding", q, 10)
       // every verdict from ONE agg over the probe result
@@ -4823,50 +4663,277 @@ object SparkEntry {
         coalesce(col("gif_found"), lit(false)).as("gif_found"))
   }
 
+  /** q123's synthetic image corpus: per doc a pattern PNG, its 2×
+    * upscale twin, a truncated-corrupt variant, and a q=0.75 JPEG
+    * re-encode. Shared by the gate form (synthesizes in-plan) and the
+    * bench form (epoch-materialized via [[epochParquet]]). */
+  private def q123Imgs(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents").df.select(col("doc_id"))
+    val mkPayload = udf((seed: Long, variant: Int) => variant match {
+      case 0 => graft.multimodal.Decode.encodePatternPng(seed, 2)
+      case 1 => graft.multimodal.Decode.encodePatternPng(seed, 4)
+      case 2 => graft.multimodal.Decode.encodePatternPng(seed, 2).take(16)
+      case _ => graft.multimodal.Decode.reencodeJpeg(
+        graft.multimodal.Decode.encodePatternPng(seed, 2), 0.75f).get
+    })
+    docs
+      // single-row-group testdata = ONE scan task; the decode/synth
+      // cost would serialize on it (at 100 TB the scan parallelizes
+      // naturally). Repartition the THIN id rows — the exchange
+      // carries 8 bytes/row, the heavy payloads are built after it
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(array(lit(0), lit(1), lit(2), lit(3))).as("variant"))
+      .select(col("doc_id"), col("variant"),
+        (col("doc_id") * 4 + col("variant")).as("img_id"),
+        mkPayload(col("doc_id"), col("variant")).as("payload"))
+  }
+
+  /** q123's operator half: decode → dHash → one multiProbe banding
+    * pass → the twin/corrupt/jpeg verdict columns. */
+  private def q123Gate(imgs: DataFrame): DataFrame = {
+    val sigs = graft.GraftSession.trackPersist(
+      graft.multimodal.Decode.imageSignatures(imgs, "img_id", "payload")
+        .toDF()
+        .select(col("img_id"), floor(col("img_id") / 4).as("doc_id"),
+          pmod(col("img_id"), lit(4)).as("variant"),
+          col("format"), col("width"), col("height"), col("dhash")))
+    // maxBucket raised from the 1000 default (the q104 multi-probe
+    // precedent): probes multiply per-band bucket load ~17× (exact
+    // chunk + 16 one-bit flips), and cappedCandidatePairs DROPS
+    // over-cap buckets wholesale — at the default the gate's
+    // guaranteed-recall claim would silently expire near ~1.3M
+    // docs (avg occupancy 17·3·docs/2^16 > 1000). At 17000 the
+    // ceiling is back at ~22M docs — the pre-probe gate's ceiling;
+    // production corpora beyond that tune maxBucket with the
+    // documented recall/cost lever.
+    val pairs = graft.text.Dedup.simhashNearDups(
+      sigs.where(col("dhash").isNotNull)
+        .select(col("img_id"), col("dhash").as("simhash")),
+      "img_id", maxDistance = 8, maxBucket = 17000, multiProbe = true)
+    def side(v: Int, sfx: String) = sigs.filter(col("variant") === v)
+      .select(col("doc_id"), col("format").as(s"fmt$sfx"),
+        col("width").as(s"w$sfx"), col("height").as(s"h$sfx"),
+        col("dhash").as(s"dhash$sfx"))
+    val twinPairs = pairs // twin ids are 4d and 4d+1 (id_a < id_b)
+      .filter(col("id_b") === col("id_a") + 1 &&
+        pmod(col("id_a"), lit(4)) === 0 && col("hamming") === 0)
+      .select(floor(col("id_a") / 4).as("doc_id"),
+        lit(true).as("twin_found"))
+    val jpegPairs = pairs // jpeg twin ids are 4d and 4d+3
+      .filter(col("id_b") === col("id_a") + 3 &&
+        pmod(col("id_a"), lit(4)) === 0)
+      .select(floor(col("id_a") / 4).as("doc_id"),
+        lit(true).as("jpeg_found"))
+    side(0, "_a").join(side(1, "_b"), "doc_id")
+      .join(side(2, "_c"), "doc_id")
+      .join(side(3, "_d"), "doc_id")
+      .join(twinPairs, Seq("doc_id"), "left")
+      .join(jpegPairs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("w_a"), col("h_a"), col("w_b"), col("h_b"),
+        bit_count(col("dhash_a").bitwiseXOR(col("dhash_b")))
+          .cast(LongType).as("twin_hamming"),
+        coalesce(col("twin_found"), lit(false)).as("twin_found"),
+        (col("fmt_c") === "unknown" && col("dhash_c").isNull &&
+          col("w_c") === -1).as("corrupt_null"),
+        (col("w_d") === col("w_a") && col("h_d") === col("h_a") &&
+          bit_count(col("dhash_a").bitwiseXOR(col("dhash_d"))) <= 11)
+          .as("jpeg_near"),
+        coalesce(col("jpeg_found"), lit(false)).as("jpeg_found"))
+  }
+
+  /** q127's synthetic audio corpus: per doc the seeded envelope as
+    * 8 kHz full-gain WAV, a 16 kHz half-gain re-encode twin, a
+    * truncated-corrupt variant, and a leading-silence offset twin.
+    * Shared by gate (in-plan) and bench (epoch) forms. */
+  private def q127Auds(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents").df.select(col("doc_id"))
+    val mkPayload = udf((seed: Long, variant: Int) => variant match {
+      case 0 => graft.multimodal.Decode.encodeEnvelopeWav(
+        seed, 8000, segSamples = 32, gain = 1.0)
+      case 1 => graft.multimodal.Decode.encodeEnvelopeWav(
+        seed, 16000, segSamples = 64, gain = 0.5)
+      case 2 => graft.multimodal.Decode.encodeEnvelopeWav(
+        seed, 8000, segSamples = 32, gain = 1.0).take(16)
+      case _ => graft.multimodal.Decode.encodeEnvelopeWav(
+        seed, 8000, segSamples = 32, gain = 1.0, padSamples = 2000)
+    })
+    docs
+      // same thin-row fan-out as q123: synthesis/decode must not
+      // serialize on the single-row-group test scan
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(array(lit(0), lit(1), lit(2), lit(3))).as("variant"))
+      .select(col("doc_id"), col("variant"),
+        (col("doc_id") * 4 + col("variant")).as("aud_id"),
+        mkPayload(col("doc_id"), col("variant")).as("payload"))
+  }
+
+  /** q127's operator half: decode → envelope + chroma fingerprints →
+    * two distance-0 banding passes → the twin/corrupt/offset verdict
+    * columns. */
+  private def q127Gate(auds: DataFrame): DataFrame = {
+    val sigs = graft.GraftSession.trackPersist(
+      graft.multimodal.Decode.audioSignatures(auds, "aud_id", "payload")
+        .toDF()
+        .select(col("aud_id"), floor(col("aud_id") / 4).as("doc_id"),
+          pmod(col("aud_id"), lit(4)).as("variant"),
+          col("sample_rate"), col("n_samples"), col("afp"),
+          col("cfp")))
+    val pairs = graft.text.Dedup.simhashNearDups(
+      sigs.where(col("afp").isNotNull)
+        .select(col("aud_id"), col("afp").as("simhash")),
+      "aud_id", maxDistance = 0)
+    val cpairs = graft.text.Dedup.simhashNearDups(
+      sigs.where(col("cfp").isNotNull)
+        .select(col("aud_id"), col("cfp").as("simhash")),
+      "aud_id", maxDistance = 0)
+    def side(v: Int, sfx: String) = sigs.filter(col("variant") === v)
+      .select(col("doc_id"), col("sample_rate").as(s"sr$sfx"),
+        col("n_samples").as(s"n$sfx"), col("afp").as(s"afp$sfx"),
+        col("cfp").as(s"cfp$sfx"))
+    val twinPairs = pairs // twin ids are 4d and 4d+1 (id_a < id_b)
+      .filter(col("id_b") === col("id_a") + 1 &&
+        pmod(col("id_a"), lit(4)) === 0)
+      .select(floor(col("id_a") / 4).as("doc_id"),
+        lit(true).as("twin_found"))
+    val offPairs = cpairs // offset twin ids are 4d and 4d+3
+      .filter(col("id_b") === col("id_a") + 3 &&
+        pmod(col("id_a"), lit(4)) === 0)
+      .select(floor(col("id_a") / 4).as("doc_id"),
+        lit(true).as("off_found"))
+    side(0, "_a").join(side(1, "_b"), "doc_id")
+      .join(side(2, "_c"), "doc_id")
+      .join(side(3, "_d"), "doc_id")
+      .join(twinPairs, Seq("doc_id"), "left")
+      .join(offPairs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("sr_a"), col("n_a"), col("sr_b"), col("n_b"), col("n_d"),
+        bit_count(col("afp_a").bitwiseXOR(col("afp_b")))
+          .cast(LongType).as("twin_hamming"),
+        coalesce(col("twin_found"), lit(false)).as("twin_found"),
+        (col("afp_c").isNull && col("sr_c") === -1).as("corrupt_null"),
+        (bit_count(col("afp_a").bitwiseXOR(col("afp_d"))) > 0)
+          .as("off_env_differs"),
+        bit_count(col("cfp_a").bitwiseXOR(col("cfp_d")))
+          .cast(LongType).as("off_chroma_hamming"),
+        coalesce(col("off_found"), lit(false)).as("off_found"),
+        (bit_count(col("cfp_a").bitwiseXOR(col("cfp_b"))) <= 24)
+          .as("rate_chroma_near"))
+  }
+
+  /** q133's shared fixed-2000-doc id spine (thin-row fan-out before
+    * payload synthesis — the q123 note). */
+  private def q133Sub(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents").df.select(col("doc_id"))
+      .where(col("doc_id") < 2000)
+      .repartition(s.sparkContext.defaultParallelism)
+
+  /** q133's index half: synthesize the indexed corpus (doc_id%4 < 3),
+    * decode to dHash signatures, and (re)write the SigIndex tables
+    * under `name`. */
+  private def q133BuildIndex(s: SparkSession, d: String,
+                             name: String): Unit = {
+    val mkOld = udf((id: Long) =>
+      graft.multimodal.Decode.encodePatternPng(id, 2))
+    val old = q133Sub(s, d).filter(pmod(col("doc_id"), lit(4)) < 3)
+      .select(col("doc_id"), mkOld(col("doc_id")).as("payload"))
+    val oldSigs = GraftSession.trackPersist(graft.multimodal.Decode
+      .imageSignatures(old, "doc_id", "payload").toDF()
+      .select(col("img_id").as("doc_id"), col("dhash")))
+    graft.text.SigIndex.write(oldSigs, "doc_id", "dhash", name)
+  }
+
+  /** q133's ingest-batch payloads (doc_id%4 == 3): half q=0.75 JPEG
+    * re-encodes of indexed docs (must be caught), half novel
+    * patterns (must survive). */
+  private def q133BatchPayloads(s: SparkSession, d: String): DataFrame = {
+    val mkBatch = udf((id: Long) =>
+      if (id % 8 == 3) graft.multimodal.Decode.reencodeJpeg(
+        graft.multimodal.Decode.encodePatternPng(id - 1, 2), 0.75f).get
+      else graft.multimodal.Decode.encodePatternPng(id + 10000000L, 2))
+    q133Sub(s, d).filter(pmod(col("doc_id"), lit(4)) === 3)
+      .select(col("doc_id"), mkBatch(col("doc_id")).as("payload"))
+  }
+
+  /** q133's operator half: decode the batch, filter it against the
+    * SigIndex under `ix`, emit the expected/observed verdicts. */
+  private def q133Verdict(batch: DataFrame, ix: String): DataFrame = {
+    // persist: the batch decode feeds three consumers (the verdict
+    // join, dropDupsAgainst's anti-join side, nearDups' probe input)
+    val batchSigs = GraftSession.trackPersist(graft.multimodal.Decode
+      .imageSignatures(batch, "doc_id", "payload").toDF()
+      .select(col("img_id").as("doc_id"), col("dhash")))
+    val kept = graft.text.SigIndex.dropDupsAgainst(
+      batchSigs, "doc_id", "dhash", ix)
+    batchSigs.select(col("doc_id"))
+      .join(kept.select(col("doc_id"), lit(true).as("survived")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(8)) === 3, lit("dup"))
+          .otherwise(lit("novel")).as("expected"),
+        coalesce(col("survived"), lit(false)).as("survived"),
+        ((pmod(col("doc_id"), lit(8)) =!= 3) ===
+          coalesce(col("survived"), lit(false))).as("ok"))
+  }
+
+  /** Bench hygiene (§1.4): materialize a SYNTHESIZED bench input once
+    * per (plan fingerprint, source mtime) epoch and return the parquet
+    * scan over it, so the timed run measures the operator over a
+    * storage scan — the production shape, where payloads arrive from
+    * WARC/parquet, not from an in-plan generator. Keyed on `tag` +
+    * the plan fingerprint + the source table's mtime (another sf dir
+    * or an in-place corpus regeneration never reuses a stale
+    * artifact) — the same stale-checkpoint discipline Pipeline.run
+    * uses. Honesty note: the fingerprint canonicalizes Scala lambda
+    * identities away (it must, to be stable across JVMs), so an
+    * edited UDF BODY alone does not invalidate — q123Imgs and
+    * q127Auds fingerprint identically; `tag` is what separates them.
+    * Bench prebuilds these untimed; the rounds time the recurring
+    * path. */
+  private def epochParquet(s: SparkSession, df: DataFrame, tag: String,
+                           d: String): DataFrame = {
+    val srcMtime = new java.io.File(s"$d/documents.parquet")
+      .lastModified()
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+      graft.text.Pipeline.stageFingerprint(df).take(16) + s"_$srcMtime"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      df.write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ Map[String, (SparkSession, String) => DataFrame](
-      // same epoch split as q130: the synthesized video corpus writes
-      // once per (plan fingerprint, source mtime) and the timed run
-      // measures decode+fingerprint+banding over a parquet scan — the
-      // production shape
-      "q132_video_dedup" -> ((s, d) => {
-        val vids = q132Vids(s, d)
-        val srcMtime = new java.io.File(s"$d/documents.parquet")
-          .lastModified()
-        val dir = s"${sys.props("java.io.tmpdir")}/graft_q132_vids_" +
-          graft.text.Pipeline.stageFingerprint(vids).take(16) +
-          s"_$srcMtime"
-        if (!new java.io.File(s"$dir/_SUCCESS").exists())
-          vids.write.mode("overwrite").parquet(dir)
-        q132Gate(s.read.parquet(dir))
-      }),
-      // bench hygiene (r17 — VERDICT ask): the gate form synthesizes
-      // the HTTP/HTML payloads IN the timed plan, so q130's r16 bench
-      // median (9.2 s) was dominated by record SYNTHESIS, not the
-      // operator. The bench form writes the synthesized records ONCE
-      // per (session, sf dir) as an epoch artifact (the q105
-      // precedent — Bench's first interleaved round absorbs the
-      // write, the medians time the recurring path) and times
-      // cleanDocs over the parquet scan — the production shape, where
-      // crawl records arrive from WARC/parquet, not from a generator.
-      "q130_crawl_clean" -> ((s, d) => {
-        val records = q130Records(s, d)
-        // epoch key = plan fingerprint (captures the synthesis LOGIC
-        // and the sf-dir path — an edited wrapper or another sf dir
-        // never reuses a stale artifact) + the source table's mtime
-        // (an in-place corpus regeneration invalidates too). The same
-        // stale-checkpoint discipline Pipeline.run got this round.
-        val srcMtime = new java.io.File(s"$d/documents.parquet")
-          .lastModified()
-        val dir = s"${sys.props("java.io.tmpdir")}/graft_q130_records_" +
-          graft.text.Pipeline.stageFingerprint(records).take(16) +
-          s"_$srcMtime"
-        if (!new java.io.File(s"$dir/_SUCCESS").exists())
-          records.write.mode("overwrite").parquet(dir)
-        graft.sources.Crawl.cleanDocs(s.read.parquet(dir),
+      // epoch splits ([[epochParquet]] — the r17 VERDICT ask for
+      // q130, extended to every media gate that synthesizes payloads
+      // in-plan): the timed run measures decode/fingerprint/banding —
+      // or cleanDocs — over a parquet scan, never the payload
+      // generator the gate form embeds for hash-gate composition.
+      "q132_video_dedup" -> ((s, d) =>
+        q132Gate(epochParquet(s, q132Vids(s, d), "q132_vids", d))),
+      "q130_crawl_clean" -> ((s, d) =>
+        graft.sources.Crawl.cleanDocs(
+            epochParquet(s, q130Records(s, d), "q130_records", d),
             minQuality = 0.3)
           .select(col("record_id").cast(LongType).as("doc_id"),
-            col("url"), col("lang"), col("charset"), col("clean_text"))
+            col("url"), col("lang"), col("charset"), col("clean_text"))),
+      "q123_image_dedup" -> ((s, d) =>
+        q123Gate(epochParquet(s, q123Imgs(s, d), "q123_imgs", d))),
+      "q127_audio_dedup" -> ((s, d) =>
+        q127Gate(epochParquet(s, q127Auds(s, d), "q127_auds", d))),
+      // q133: the index is additionally an EPOCH artifact (the q105
+      // precedent — built once per (session, sf dir); the timed run
+      // measures the recurring batch-ingest filter, the production
+      // steady state an index exists for). The batch payloads epoch
+      // like the other media gates; their DECODE stays timed — that
+      // is the operator's scan stage.
+      "q133_media_index" -> ((s, d) => {
+        val ix = s"q133_ix_${(d.hashCode & 0x7fffffff).toHexString}"
+        if (!s.catalog.tableExists(s"${ix}_meta"))
+          q133BuildIndex(s, d, ix)
+        q133Verdict(
+          epochParquet(s, q133BatchPayloads(s, d), "q133_batch", d), ix)
       }),
       "q43_minhash_neardups" -> ((s, d) =>
         graft.text.Dedup.minhashNearDupsByWords(

@@ -468,97 +468,132 @@ object Decode {
 
   // ------------------------------------------------------------- WAV
 
-  /** Decode a PCM WAV payload via javax.sound: stream metadata + RMS of
-    * the normalized samples (16-bit signed or 8-bit unsigned PCM). */
-  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] = {
-    if (bytes == null || bytes.isEmpty) return None
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(bytes))
-      try {
-        val fmt = in.getFormat
-        // same PCM-only guard as decodeWavSamples: companded (A-law/
-        // mu-law) streams share sampleSize 8 and must report None,
-        // not a garbage RMS
-        val enc = fmt.getEncoding
-        if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-            enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
-          return None
-        val bits = fmt.getSampleSizeInBits
-        val ch = fmt.getChannels
-        val data = in.readAllBytes()
-        val bigEndian = fmt.isBigEndian
-        var (sum2, n) = (0.0, 0L)
-        if (bits == 16) {
-          var i = 0
-          while (i + 1 < data.length) {
-            val lo = data(if (bigEndian) i + 1 else i) & 0xFF
-            val hi = data(if (bigEndian) i else i + 1)
-            val s = ((hi << 8) | lo).toShort / 32768.0
-            sum2 += s * s; n += 1; i += 2
-          }
-        } else if (bits == 8) {
-          var i = 0
-          while (i < data.length) {
-            val s = ((data(i) & 0xFF) - 128) / 128.0
-            sum2 += s * s; n += 1; i += 1
-          }
-        } else return None
-        Some((fmt.getSampleRate.toInt, ch, n / math.max(1, ch),
-          math.sqrt(sum2 / math.max(1L, n))))
-      } finally in.close()
-    } catch { case _: Exception => None }
+  /** Parsed RIFF/WAVE PCM header: sample rate, bits (8|16), channels,
+    * and the frame-truncated [start, start+len) data-chunk window into
+    * the payload bytes. */
+  private case class WavPcm(sampleRate: Int, bits: Int, channels: Int,
+                            dataStart: Int, dataLen: Int)
+
+  /** Hand-rolled RIFF/WAVE PCM header parse — r17: the javax.sound
+    * path (AudioSystem.getAudioInputStream) funnels EVERY call through
+    * the synchronized provider registry (sun.media.sound
+    * JDK13Services), which serializes a 32-core decode stage on one
+    * global lock: measured 89.5 µs/payload single-threaded but LOWER
+    * aggregate throughput with 32 threads than with one (5.3k vs
+    * 11.2k payloads/s) on an idle box, and q127's signature pass read
+    * 6.5 s for 20k tiny WAVs that cost 0.3 core-seconds of real work.
+    * The accept/reject semantics replicate the javax.sound path
+    * exactly as the decoders used it (DecodeSpec pins them): format
+    * tag 1 (plain PCM) only — A-law(6)/µ-law(7)/extensible(0xFFFE) et
+    * al. report None; bits 8 (unsigned) or 16 (signed LE) only; a
+    * malformed/truncated header is None; the data window is truncated
+    * to whole FRAMES (the AudioInputStream frame-length bound) and to
+    * the bytes actually present (a mid-data truncation decodes the
+    * prefix, as before). RIFF chunk walk honors word alignment
+    * (odd-length chunks pad one byte). */
+  private def parseWavPcm(bytes: Array[Byte]): Option[WavPcm] = {
+    if (bytes == null || bytes.length < 12) return None
+    @inline def u16(i: Int): Int =
+      (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+    @inline def u32(i: Int): Long =
+      (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
+        ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
+    if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+        bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'A' ||
+        bytes(10) != 'V' || bytes(11) != 'E') return None
+    var pos = 12
+    var fmtTag = -1; var channels = 0; var sampleRate = 0; var bits = 0
+    var dataStart = -1; var dataLen = 0
+    while (pos + 8 <= bytes.length && dataStart < 0) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val len = u32(pos + 4)
+      if (len < 0 || len > Int.MaxValue) return None
+      val body = pos + 8
+      if (id == "fmt " && len >= 16 && body + 16 <= bytes.length) {
+        fmtTag = u16(body)
+        channels = u16(body + 2)
+        sampleRate = u32(body + 4).toInt
+        bits = u16(body + 14)
+      } else if (id == "data") {
+        if (fmtTag < 0) return None // data before fmt: malformed
+        dataStart = body
+        dataLen = math.min(len, (bytes.length - body).toLong).toInt
+      }
+      // chunks are word-aligned: odd lengths carry one pad byte
+      pos = body + len.toInt + (len.toInt & 1)
+    }
+    if (dataStart < 0 || fmtTag != 1 || channels < 1 || sampleRate <= 0 ||
+        (bits != 8 && bits != 16)) return None
+    // frame-truncate, as the AudioInputStream length bound did
+    val frameSize = (bits / 8) * channels
+    Some(WavPcm(sampleRate, bits, channels, dataStart,
+      dataLen - dataLen % frameSize))
   }
+
+  /** Decode a PCM WAV payload: stream metadata + RMS of the normalized
+    * samples (16-bit signed LE or 8-bit unsigned PCM; companded A-law/
+    * µ-law report None, not a garbage RMS). Hand-rolled header parse —
+    * see [[parseWavPcm]] for why javax.sound is not used here. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] =
+    parseWavPcm(bytes).map { w =>
+      var (sum2, n) = (0.0, 0L)
+      if (w.bits == 16) {
+        var i = w.dataStart
+        val end = w.dataStart + w.dataLen
+        while (i + 1 < end) {
+          val s = (((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort
+            / 32768.0)
+          sum2 += s * s; n += 1; i += 2
+        }
+      } else {
+        var i = w.dataStart
+        val end = w.dataStart + w.dataLen
+        while (i < end) {
+          val s = ((bytes(i) & 0xFF) - 128) / 128.0
+          sum2 += s * s; n += 1; i += 1
+        }
+      }
+      (w.sampleRate, w.channels, n / math.max(1, w.channels),
+        math.sqrt(sum2 / math.max(1L, n)))
+    }
 
   /** Decode a PCM WAV payload to channel-averaged mono samples in
     * [-1,1] plus the sample rate — the raster-equivalent for audio
-    * fingerprinting. None for non-PCM/undecodable payloads. */
-  def decodeWavSamples(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
-    if (bytes == null || bytes.isEmpty) return None
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(bytes))
-      try {
-        val fmt = in.getFormat
-        // PCM only, as documented: A-law/mu-law also parse with
-        // sampleSize 8, and running companded bytes through the
-        // unsigned-PCM branch would produce a confidently-wrong
-        // fingerprint instead of a None
-        val enc = fmt.getEncoding
-        if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-            enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
-          return None
-        val bits = fmt.getSampleSizeInBits
-        val ch = math.max(1, fmt.getChannels)
-        val data = in.readAllBytes()
-        val bigEndian = fmt.isBigEndian
-        val raw: Array[Double] =
-          if (bits == 16) {
-            val out = new Array[Double](data.length / 2)
-            var i = 0
-            while (i + 1 < data.length) {
-              val lo = data(if (bigEndian) i + 1 else i) & 0xFF
-              val hi = data(if (bigEndian) i else i + 1)
-              out(i / 2) = ((hi << 8) | lo).toShort / 32768.0
-              i += 2
-            }
-            out
-          } else if (bits == 8) {
-            data.map(b => ((b & 0xFF) - 128) / 128.0)
-          } else return None
-        val n = raw.length / ch
-        val mono = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          var s = 0.0; var c = 0
-          while (c < ch) { s += raw(i * ch + c); c += 1 }
-          mono(i) = s / ch
-          i += 1
+    * fingerprinting. None for non-PCM/undecodable payloads. Hand-
+    * rolled header parse — see [[parseWavPcm]]. */
+  def decodeWavSamples(bytes: Array[Byte]): Option[(Int, Array[Double])] =
+    parseWavPcm(bytes).map { w =>
+      val ch = math.max(1, w.channels)
+      val raw: Array[Double] =
+        if (w.bits == 16) {
+          val out = new Array[Double](w.dataLen / 2)
+          var i = 0
+          while (i + 1 < w.dataLen) {
+            out(i / 2) = (((bytes(w.dataStart + i + 1) << 8) |
+              (bytes(w.dataStart + i) & 0xFF)).toShort / 32768.0)
+            i += 2
+          }
+          out
+        } else {
+          val out = new Array[Double](w.dataLen)
+          var i = 0
+          while (i < w.dataLen) {
+            out(i) = ((bytes(w.dataStart + i) & 0xFF) - 128) / 128.0
+            i += 1
+          }
+          out
         }
-        Some((fmt.getSampleRate.toInt, mono))
-      } finally in.close()
-    } catch { case _: Exception => None }
-  }
+      val n = raw.length / ch
+      val mono = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var s = 0.0; var c = 0
+        while (c < ch) { s += raw(i * ch + c); c += 1 }
+        mono(i) = s / ch
+        i += 1
+      }
+      (w.sampleRate, mono)
+    }
 
   /** 64-bit audio energy-contour fingerprint — the [[dHash]] of the
     * time axis: 65 box-averaged frame energies (per-frame RMS over 65

@@ -545,14 +545,37 @@ object TextAnalysis {
     * shuffle) is identical. */
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
-    val scores = LangStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
-      (lang, size(filter(toks, t => t.isin(sw.map(lit): _*))))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.foldRight(lit("unknown")) { case ((lang, sc), acc) =>
-      when(sc === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    scriptRouted(text, pick)
+    val langs = LangStopwords.toSeq.sortBy(_._1)
+    // ONE traversal of the token array accumulating all seven language
+    // counts at once (aggregate over an int-array accumulator), argmax
+    // in the finish lambda. The per-language size(filter(...)) form
+    // re-evaluated tokens(lower(text)) once per language in `best` and
+    // AGAIN per language in the tie-broken pick chain — HOF subtrees
+    // are excluded from subexpression elimination, so the 7-language
+    // vote cost ~56 tokenizations per row (measured 6x on q114;
+    // optimization guide §1.2 step 2: fix per-task work). Semantics
+    // are bit-identical: counts are exact-token isin hits, argmax ties
+    // break to the FIRST language in code order (array_position finds
+    // the first occurrence over the same sorted order), zero hits →
+    // "unknown", and null text → "unknown" via the coalesce (the old
+    // when-chain's null conditions fell through to the same literal).
+    val zero = array(langs.map(_ => lit(0)): _*)
+    val langNames = array(langs.map { case (l, _) => lit(l) }: _*)
+    val vote = aggregate(
+      toks,
+      zero,
+      (acc, t) => zip_with(
+        acc,
+        array(langs.map { case (_, sw) =>
+          when(t.isin(sw.map(lit): _*), lit(1)).otherwise(lit(0)) }: _*),
+        (a, b) => a + b),
+      acc => {
+        val best = array_max(acc)
+        when(best > 0,
+          element_at(langNames, array_position(acc, best).cast("int")))
+          .otherwise(lit("unknown"))
+      })
+    scriptRouted(text, coalesce(vote, lit("unknown")))
   }
 
   /** The shared script-routing chain: kana → ja, CJK → zh, Thai → th,

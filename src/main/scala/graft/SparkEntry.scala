@@ -4629,10 +4629,6 @@ object SparkEntry {
       sigs.where(col("vhash").isNotNull)
         .select(col("vid_id"), col("vhash").as("simhash")),
       "vid_id", maxDistance = 8, maxBucket = 17000, multiProbe = true)
-    def side(v: Int, sfx: String) = sigs.filter(col("variant") === v)
-      .select(col("doc_id"), col("container").as(s"c$sfx"),
-        col("width").as(s"w$sfx"), col("height").as(s"h$sfx"),
-        col("n_frames").as(s"nf$sfx"), col("vhash").as(s"vhash$sfx"))
     val twinPairs = pairs // dup twin ids are 4d and 4d+1 (id_a < id_b)
       .filter(col("id_b") === col("id_a") + 1 &&
         pmod(col("id_a"), lit(4)) === 0 && col("hamming") === 0)
@@ -4643,9 +4639,19 @@ object SparkEntry {
         pmod(col("id_a"), lit(4)) === 0)
       .select(floor(col("id_a") / 4).as("doc_id"),
         lit(true).as("gif_found"))
-    side(0, "_a").join(side(1, "_b"), "doc_id")
-      .join(side(2, "_c"), "doc_id")
-      .join(side(3, "_d"), "doc_id")
+    // one conditional aggregation replaces the former 4-way variant
+    // self-join (the q123Gate note: (doc_id, variant) unique, so this
+    // is a pivot, not a join; oracle-proven row/hash-identical)
+    def v(n: Int, c: String) = max(when(col("variant") === n, col(c)))
+    sigs.groupBy(col("doc_id")).agg(
+        v(0, "container").as("c_a"), v(0, "width").as("w_a"),
+        v(0, "height").as("h_a"), v(0, "n_frames").as("nf_a"),
+        v(0, "vhash").as("vhash_a"),
+        v(1, "n_frames").as("nf_b"), v(1, "vhash").as("vhash_b"),
+        v(2, "container").as("c_c"), v(2, "n_frames").as("nf_c"),
+        v(2, "vhash").as("vhash_c"),
+        v(3, "container").as("c_d"), v(3, "n_frames").as("nf_d"),
+        v(3, "vhash").as("vhash_d"))
       .join(twinPairs, Seq("doc_id"), "left")
       .join(gifPairs, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -4711,10 +4717,6 @@ object SparkEntry {
       sigs.where(col("dhash").isNotNull)
         .select(col("img_id"), col("dhash").as("simhash")),
       "img_id", maxDistance = 8, maxBucket = 17000, multiProbe = true)
-    def side(v: Int, sfx: String) = sigs.filter(col("variant") === v)
-      .select(col("doc_id"), col("format").as(s"fmt$sfx"),
-        col("width").as(s"w$sfx"), col("height").as(s"h$sfx"),
-        col("dhash").as(s"dhash$sfx"))
     val twinPairs = pairs // twin ids are 4d and 4d+1 (id_a < id_b)
       .filter(col("id_b") === col("id_a") + 1 &&
         pmod(col("id_a"), lit(4)) === 0 && col("hamming") === 0)
@@ -4725,9 +4727,22 @@ object SparkEntry {
         pmod(col("id_a"), lit(4)) === 0)
       .select(floor(col("id_a") / 4).as("doc_id"),
         lit(true).as("jpeg_found"))
-    side(0, "_a").join(side(1, "_b"), "doc_id")
-      .join(side(2, "_c"), "doc_id")
-      .join(side(3, "_d"), "doc_id")
+    // one conditional aggregation replaces the former 4-way variant
+    // self-join (r17 §2.4: each (doc_id, variant) is unique — the
+    // decoder emits exactly one row per payload, corrupt included —
+    // so max(when(variant = v, col)) IS that variant's value and the
+    // n-ary inner join on doc_id was 4 exchanges doing a pivot's job;
+    // oracle-proven row/hash-identical)
+    def v(n: Int, c: String) = max(when(col("variant") === n, col(c)))
+    sigs.groupBy(col("doc_id")).agg(
+        v(0, "format").as("fmt_a"), v(0, "width").as("w_a"),
+        v(0, "height").as("h_a"), v(0, "dhash").as("dhash_a"),
+        v(1, "width").as("w_b"), v(1, "height").as("h_b"),
+        v(1, "dhash").as("dhash_b"),
+        v(2, "format").as("fmt_c"), v(2, "width").as("w_c"),
+        v(2, "dhash").as("dhash_c"),
+        v(3, "width").as("w_d"), v(3, "height").as("h_d"),
+        v(3, "dhash").as("dhash_d"))
       .join(twinPairs, Seq("doc_id"), "left")
       .join(jpegPairs, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -4789,10 +4804,6 @@ object SparkEntry {
       sigs.where(col("cfp").isNotNull)
         .select(col("aud_id"), col("cfp").as("simhash")),
       "aud_id", maxDistance = 0)
-    def side(v: Int, sfx: String) = sigs.filter(col("variant") === v)
-      .select(col("doc_id"), col("sample_rate").as(s"sr$sfx"),
-        col("n_samples").as(s"n$sfx"), col("afp").as(s"afp$sfx"),
-        col("cfp").as(s"cfp$sfx"))
     val twinPairs = pairs // twin ids are 4d and 4d+1 (id_a < id_b)
       .filter(col("id_b") === col("id_a") + 1 &&
         pmod(col("id_a"), lit(4)) === 0)
@@ -4803,9 +4814,18 @@ object SparkEntry {
         pmod(col("id_a"), lit(4)) === 0)
       .select(floor(col("id_a") / 4).as("doc_id"),
         lit(true).as("off_found"))
-    side(0, "_a").join(side(1, "_b"), "doc_id")
-      .join(side(2, "_c"), "doc_id")
-      .join(side(3, "_d"), "doc_id")
+    // one conditional aggregation replaces the former 4-way variant
+    // self-join (the q123Gate note: (doc_id, variant) unique, so this
+    // is a pivot, not a join; oracle-proven row/hash-identical)
+    def v(n: Int, c: String) = max(when(col("variant") === n, col(c)))
+    sigs.groupBy(col("doc_id")).agg(
+        v(0, "sample_rate").as("sr_a"), v(0, "n_samples").as("n_a"),
+        v(0, "afp").as("afp_a"), v(0, "cfp").as("cfp_a"),
+        v(1, "sample_rate").as("sr_b"), v(1, "n_samples").as("n_b"),
+        v(1, "afp").as("afp_b"), v(1, "cfp").as("cfp_b"),
+        v(2, "sample_rate").as("sr_c"), v(2, "afp").as("afp_c"),
+        v(3, "n_samples").as("n_d"), v(3, "afp").as("afp_d"),
+        v(3, "cfp").as("cfp_d"))
       .join(twinPairs, Seq("doc_id"), "left")
       .join(offPairs, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -118,7 +118,22 @@ object Dedup {
     * chunks, random-hyperplane bands): group a `(idCol, band, bucket)`
     * frame per (band, bucket), DROP buckets larger than `maxBucket`
     * (degenerate content would otherwise go quadratic), and emit distinct
-    * (id_a < id_b) candidate pairs. */
+    * (id_a < id_b) candidate pairs.
+    *
+    * Shape note (r17, measured): a bucket-keyed SELF-JOIN form (count →
+    * filter → members ⋈ members) was prototyped to get the pair
+    * generation out of interpreted HOF land and was ~1 s faster on the
+    * probe-multiplied q104 — but Spark's self-join deduplication
+    * re-aliases one side and exchange reuse does NOT fire across the
+    * copies, so every caller whose bucket stream sits on a real
+    * aggregation (the 64-agg minhash signatures) recomputed that
+    * aggregation 2–4× per pairs call: q43 3.6→6–12 s, q80 4→6–9 s,
+    * q105 3→6–11 s. This array form consumes the bucket stream exactly
+    * ONCE; that dominates at every measured scope. Known limit kept
+    * from before: the (i<j) HOF materializes one bucket's pair array
+    * in memory, so per-bucket memory is O(maxBucket²) structs at the
+    * cap — acceptable at the caps in use; a salted streaming pair
+    * generator is the follow-up if caps ever grow past ~10⁴. */
   def cappedCandidatePairs(buckets: DataFrame, idCol: String,
                            maxBucket: Int): DataFrame = {
     val grouped = buckets.groupBy(col("band"), col("bucket"))
@@ -270,8 +285,15 @@ object Dedup {
     val grams = graft.GraftSession.trackPersist(
       explodeHashedWordNgrams(df, Seq(idCol), textCol, n, "gram"))
     val sigs = minhashSignaturesFromGrams(grams, idCol, "gram", numHashes)
-    val pairs = lshCandidatePairs(sigs, idCol, "sig",
-      numBands, numHashes / numBands, maxBucket)
+    // pairs feed TWO consumers (the candidate-id explode and the final
+    // verify double-join); unpersisted, each consumer re-ran the
+    // whole signature aggregation + banding above them (PlanAudit r17:
+    // the SortMergeJoin/banding subtree appeared twice in q43's
+    // executed plan). The pair frame is two longs per candidate —
+    // persist it, pay the aggregation once
+    val pairs = graft.GraftSession.trackPersist(
+      lshCandidatePairs(sigs, idCol, "sig",
+        numBands, numHashes / numBands, maxBucket))
     // exact-Jaccard verify on candidate docs only
     val candIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()

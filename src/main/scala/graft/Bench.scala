@@ -104,17 +104,30 @@ object Bench {
       val runs = raw(name).toSeq
       name -> (if (runs.exists(_ < 0)) -1.0 else median(runs))
     }
-    // Millisecond precision keeps the whole line ~2 KB so the driver's
-    // fixed-size stdout tail capture can't truncate the front of it
-    // (9-decimal floats pushed it past the capture window in r5/r6).
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Driver tail-capture contract (r18, per the r17 verdict): the
+    // driver keeps only a fixed-size TAIL of stdout, and at 133 queries
+    // the per-query map alone (~3.4 KB) overflows it, so a line that
+    // LEADS with the summary fields loses exactly those fields to
+    // truncation — every PERF_rNN since r12 parsed null. Two fixes,
+    // both suggested by the r17 verdict: (a) the full line now puts
+    // "queries" FIRST and the summary fields ("metric"/"value"/...)
+    // LAST, so the surviving tail of a truncated line still ends with
+    // the summary; (b) a second, complete, short summary line (same
+    // schema, empty "queries" map, plus "total"/"n" aliases) follows
+    // it — short enough to always sit whole inside the tail window for
+    // line-oriented JSON parsers. The full per-query record is
+    // unchanged (same keys, same values — JSON object key order is
+    // semantically irrelevant) and also lands in $SPARK_GRAFT_BENCH_OUT.
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$reps,"sf":"$sfDir"}"""
+      s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failedJson,"runs":$reps,"sf":"$sfDir"}"""
     println(json)
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total":${fmt(total)},"n":${results.size},"queries":{},"failed":$failedJson,"runs":$reps,"sf":"$sfDir","note":"tail-safe summary; full per-query map on the previous line and in bench_results.json"}""")
     // The file artifact additionally carries every raw run (the stdout
     // line stays compact for the driver's tail capture; the file is the
     // complete machine-readable record for noise adjudication).

@@ -4912,11 +4912,19 @@ object SparkEntry {
     * q127Auds fingerprint identically; `tag` is what separates them.
     * Bench prebuilds these untimed; the rounds time the recurring
     * path. */
+  /** Synthesis-code epoch (r18, advisory fix): the plan fingerprint
+    * below canonicalizes lambda identities away, so editing a payload-
+    * synthesis UDF BODY alone would silently reuse a stale corpus from
+    * a previous JVM (java.io.tmpdir persists across runs). Bump this
+    * whenever any bench payload-synthesis function changes so the
+    * epoch key provably rotates. */
+  private val SynthEpoch = "r18a"
+
   private def epochParquet(s: SparkSession, df: DataFrame, tag: String,
                            d: String): DataFrame = {
     val srcMtime = new java.io.File(s"$d/documents.parquet")
       .lastModified()
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_${tag}_${SynthEpoch}_" +
       graft.text.Pipeline.stageFingerprint(df).take(16) + s"_$srcMtime"
     if (!new java.io.File(s"$dir/_SUCCESS").exists())
       df.write.mode("overwrite").parquet(dir)
@@ -4949,7 +4957,11 @@ object SparkEntry {
       // like the other media gates; their DECODE stays timed — that
       // is the operator's scan stage.
       "q133_media_index" -> ((s, d) => {
-        val ix = s"q133_ix_${(d.hashCode & 0x7fffffff).toHexString}"
+        // source-mtime in the name (r18, advisory fix): an in-place
+        // corpus regeneration within one session must rebuild, not
+        // silently reuse, the epoch index
+        val mt = new java.io.File(s"$d/documents.parquet").lastModified()
+        val ix = s"q133_ix_${(d.hashCode & 0x7fffffff).toHexString}_$mt"
         if (!s.catalog.tableExists(s"${ix}_meta"))
           q133BuildIndex(s, d, ix)
         q133Verdict(
@@ -4983,7 +4995,9 @@ object SparkEntry {
         val docs = T(s, d, "documents").df
         val old = docs.filter(pmod(col("doc_id"), lit(4)) < 3)
         val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
-        val ix = s"q105_ix_${(d.hashCode & 0x7fffffff).toHexString}"
+        // same source-mtime keying as q133's epoch index
+        val mt = new java.io.File(s"$d/documents.parquet").lastModified()
+        val ix = s"q105_ix_${(d.hashCode & 0x7fffffff).toHexString}_$mt"
         if (!s.catalog.tableExists(s"${ix}_meta"))
           graft.text.DedupIndex.write(old, "doc_id", "text", ix)
         graft.text.DedupIndex.dropDupsAgainst(

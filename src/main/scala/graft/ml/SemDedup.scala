@@ -247,9 +247,16 @@ object SemDedup {
     * candidate evaluation over every core and beats the kernel). */
   private def joinPairs(assigned: DataFrame, idCol: String,
       vecCol: String, threshold: Double): DataFrame = {
-    val a = assigned.select(col(idCol).as("id_a"),
+    // the same-cell join consumes `assigned` TWICE, and Spark's
+    // self-join deduplication re-aliases one side so neither scan nor
+    // exchange reuse fires across the copies (the r17 Dedup finding) —
+    // unpersisted, the corpus scan + cell assignment ran once per
+    // side. Persist (tracked) so assignment computes once; at scale
+    // this deletes a full corpus read per pair search.
+    val once = graft.GraftSession.trackPersist(assigned)
+    val a = once.select(col(idCol).as("id_a"),
       col(vecCol).as("va"), col("cell"))
-    val b = assigned.select(col(idCol).as("id_b"),
+    val b = once.select(col(idCol).as("id_b"),
       col(vecCol).as("vb"), col("cell"))
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))

@@ -68,7 +68,13 @@ object Similarity {
       col("__norm").as("na"))
     val b = withN.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
       col("__norm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    // explicit broadcast (r18, the exactHammingPairs precedent): the
+    // input is documented BOUNDED, and with estimate-based static
+    // broadcasts off this non-equi join otherwise plans a
+    // CartesianProduct — left-parts × right-parts tiny tasks whose
+    // scheduling overhead dwarfs the dot products at gate scale;
+    // BroadcastNestedLoopJoin runs one task per left partition
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
           .otherwise(dot(col("vec_a"), col("vec_b")) /

@@ -482,10 +482,13 @@ object Decode {
     * aggregate throughput with 32 threads than with one (5.3k vs
     * 11.2k payloads/s) on an idle box, and q127's signature pass read
     * 6.5 s for 20k tiny WAVs that cost 0.3 core-seconds of real work.
-    * The accept/reject semantics replicate the javax.sound path
-    * exactly as the decoders used it (DecodeSpec pins them): format
-    * tag 1 (plain PCM) only — A-law(6)/µ-law(7)/extensible(0xFFFE) et
-    * al. report None; bits 8 (unsigned) or 16 (signed LE) only; a
+    * The accept/reject semantics match the javax.sound path on every
+    * payload this repo produces or gates (DecodeSpec pins them), with
+    * one INTENTIONAL narrowing (r18 advisory): format tag 1 (plain
+    * PCM) only — A-law(6)/µ-law(7) report None as before, but
+    * WAVE_FORMAT_EXTENSIBLE(0xFFFE)-wrapped PCM, which the JDK's
+    * reader unwrapped, now also reports None rather than decoding;
+    * bits 8 (unsigned) or 16 (signed LE) only; a
     * malformed/truncated header is None; the data window is truncated
     * to whole FRAMES (the AudioInputStream frame-length bound) and to
     * the bytes actually present (a mid-data truncation decodes the
@@ -519,8 +522,23 @@ object Decode {
         dataStart = body
         dataLen = math.min(len, (bytes.length - body).toLong).toInt
       }
-      // chunks are word-aligned: odd lengths carry one pad byte
-      pos = body + len.toInt + (len.toInt & 1)
+      if (dataStart < 0) {
+        // chunks are word-aligned: odd lengths carry one pad byte.
+        // Advance in LONG arithmetic (r18, advisory fix): a declared
+        // len near Int.MaxValue made `body + len.toInt` wrap negative,
+        // so the `pos + 8 <= length` guard passed and the header read
+        // threw an uncaught IndexOutOfBoundsException — one crafted
+        // ~30-byte payload killed the task, violating the module's
+        // report-don't-kill contract. A next offset past the last
+        // possible header slot means the walk is over with no data
+        // chunk found — the same None the loop exit would conclude.
+        // (When the data chunk IS found above, the loop ends on the
+        // `dataStart < 0` condition and no advance is needed — a huge
+        // declared data len still decodes its truncated prefix.)
+        val next = body.toLong + len + (len & 1L)
+        if (next > bytes.length.toLong - 8) return None
+        pos = next.toInt
+      }
     }
     if (dataStart < 0 || fmtTag != 1 || channels < 1 || sampleRate <= 0 ||
         (bits != 8 && bits != 16)) return None
@@ -665,20 +683,42 @@ object Decode {
     else java.util.Arrays.copyOfRange(mono, lo, hi + 1)
   }
 
-  /** Goertzel energy at one frequency over a sample span — the
-    * single-bin DFT (O(n) per bin, no FFT plan, pure JVM). */
-  private def goertzel(s: Array[Double], lo: Int, hi: Int,
-                       freq: Double, sampleRate: Double): Double = {
-    val w = 2.0 * math.Pi * freq / sampleRate
-    val coeff = 2.0 * math.cos(w)
-    var (s0, s1, s2) = (0.0, 0.0, 0.0)
+  /** Goertzel energies — single-bin DFTs (O(n) per bin, no FFT plan,
+    * pure JVM) — at every frequency in `coeffs` over one sample span,
+    * FUSED into a single pass over the samples (r18): each Goertzel
+    * recurrence `s0 = x + coeff·s1 − s2` is a serial dependency chain
+    * (latency-bound, ~4–5 cycles/sample), so running the 48 bins one
+    * after another cost 48 latency-bound passes; interleaving all bins
+    * per sample gives the CPU 48 INDEPENDENT chains to overlap
+    * (throughput-bound) and reads the span once. Per-bin arithmetic is
+    * bit-identical to the textbook one-bin loop this replaces: the
+    * recurrence order, the energy term s1² + s2² − coeff·s1·s2, and
+    * the per-bin state are untouched — only the loop nest is
+    * transposed (bins are mutually independent). `s1`/`s2` are
+    * caller-provided scratch (zeroed here) so the frame loop never
+    * allocates. */
+  private[graft] def goertzelAll(s: Array[Double], lo: Int, hi: Int,
+                          coeffs: Array[Double], nBins: Int,
+                          s1: Array[Double], s2: Array[Double],
+                          out: Array[Double]): Unit = {
+    java.util.Arrays.fill(s1, 0, nBins, 0.0)
+    java.util.Arrays.fill(s2, 0, nBins, 0.0)
     var i = lo
     while (i < hi) {
-      s0 = s(i) + coeff * s1 - s2
-      s2 = s1; s1 = s0
+      val x = s(i)
+      var f = 0
+      while (f < nBins) {
+        val s0 = x + coeffs(f) * s1(f) - s2(f)
+        s2(f) = s1(f); s1(f) = s0
+        f += 1
+      }
       i += 1
     }
-    s1 * s1 + s2 * s2 - coeff * s1 * s2
+    var f = 0
+    while (f < nBins) {
+      out(f) = s1(f) * s1(f) + s2(f) * s2(f) - coeffs(f) * s1(f) * s2(f)
+      f += 1
+    }
   }
 
   /** Equal-tempered semitone frequencies over 4 octaves from A2 =
@@ -723,6 +763,22 @@ object Decode {
     if (n < frames || sr <= 0) return None
     val energy = new Array[Double](frames)
     val chroma = Array.ofDim[Double](frames, 12)
+    // Per-payload hoists for the fused Goertzel pass ([[goertzelAll]]):
+    // ChromaFreqs is ascending, so the `fr < sr/2` Nyquist gate keeps
+    // exactly the prefix [0, cut); the 2·cos coefficients depend only
+    // on (freq, sr) and were recomputed 49× each before. Skipped bins
+    // (f ≥ cut) contribute nothing, exactly as the old per-bin guard.
+    var cut = 0
+    while (cut < 48 && ChromaFreqs(cut) < sr / 2.0) cut += 1
+    val coeffs = new Array[Double](cut)
+    var cf = 0
+    while (cf < cut) {
+      coeffs(cf) = 2.0 * math.cos(2.0 * math.Pi * ChromaFreqs(cf) / sr)
+      cf += 1
+    }
+    val gs1 = new Array[Double](cut)
+    val gs2 = new Array[Double](cut)
+    val gout = new Array[Double](cut)
     var k = 0
     while (k < frames) {
       val lo = (k.toLong * n / frames).toInt
@@ -730,12 +786,10 @@ object Decode {
       var s = 0.0; var i = lo
       while (i < hi) { s += mono(i) * mono(i); i += 1 }
       energy(k) = math.sqrt(s / math.max(1, hi - lo))
+      goertzelAll(mono, lo, hi, coeffs, cut, gs1, gs2, gout)
       var f = 0
-      while (f < 48) {
-        val fr = ChromaFreqs(f)
-        if (fr < sr / 2.0)
-          chroma(k)(f % 12) += goertzel(mono, lo, hi, fr, sr) /
-            math.max(1, hi - lo)
+      while (f < cut) {
+        chroma(k)(f % 12) += gout(f) / math.max(1, hi - lo)
         f += 1
       }
       k += 1

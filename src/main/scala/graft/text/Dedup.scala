@@ -128,29 +128,40 @@ object Dedup {
     * copies, so every caller whose bucket stream sits on a real
     * aggregation (the 64-agg minhash signatures) recomputed that
     * aggregation 2–4× per pairs call: q43 3.6→6–12 s, q80 4→6–9 s,
-    * q105 3→6–11 s. This array form consumes the bucket stream exactly
-    * ONCE; that dominates at every measured scope. Known limit kept
-    * from before: the (i<j) HOF materializes one bucket's pair array
-    * in memory, so per-bucket memory is O(maxBucket²) structs at the
-    * cap — acceptable at the caps in use; a salted streaming pair
-    * generator is the follow-up if caps ever grow past ~10⁴. */
+    * q105 3→6–11 s. This form consumes the bucket stream exactly ONCE;
+    * that dominates at every measured scope.
+    *
+    * Pair generation (r18) streams through two codegen'd generators —
+    * posexplode picks each member as `id_a`, then explode(slice) emits
+    * its strictly-greater bucket-mates as `id_b` — instead of the old
+    * nested-transform HOF that built one bucket's FULL (i<j) pair
+    * array in memory: higher-order functions are CodegenFallback
+    * (interpreted per grouped row — measured ~2.5 s of q104's 3.4 s),
+    * and the flattened array was O(maxBucket²) structs in a single
+    * allocation at the cap (17k cap → ~144M structs, an OOM at real-
+    * corpus bucket sizes). Now per-row transient state is O(bucket)
+    * (each id_a row carries one reference to the bucket's id array),
+    * pairs stream straight into the distinct's partial aggregate, and
+    * every expression in the path (slice/size/sort_array + the
+    * generators) is codegen-capable. The pair SET is unchanged: same
+    * sorted array, same (i<j) enumeration, same distinct. */
   def cappedCandidatePairs(buckets: DataFrame, idCol: String,
                            maxBucket: Int): DataFrame = {
     val grouped = buckets.groupBy(col("band"), col("bucket"))
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    // per-bucket pair generation: ids sorted, all (i<j) combinations
-    grouped.select(explode(pairCombinations(sort_array(col("ids"))))
-        .as("pair"))
-      .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
+      .select(sort_array(col("ids")).as("ids"))
+    // per-bucket pair generation: ids sorted; member i pairs with every
+    // later member (posexplode's pos is 0-based, slice is 1-based, so
+    // the strictly-after suffix starts at pos + 2; slice clamps at the
+    // array end and explode drops the empty suffix of the last member)
+    grouped
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("id_b"))
       .distinct()
   }
-
-  /** All (i<j) combinations of a sorted array, as structs (_1, _2). */
-  private def pairCombinations(ids: Column): Column =
-    flatten(transform(ids, (a, i) =>
-      transform(slice(ids, i + 2, size(ids)),
-        b => struct(a.as("_1"), b.as("_2")))))
 
   /** EXACT all-pairs word-n-gram Jaccard above a threshold, in the
     * scalable relational form (inverted-index join): explode each doc's
@@ -647,6 +658,15 @@ object Dedup {
         .where(col("v") > col("u"))
         .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
         .distinct()
+        // the small-star below consumes `large` TWICE (the sMins
+        // aggregation and the rewrite join) through a self-referential
+        // join, and exchange reuse does not fire across Spark's
+        // self-join re-aliasing (the r17 finding) — unpersisted, the
+        // large-star join+distinct (2 exchanges over the full edge
+        // set) executed once per consumer, every round. Scoped
+        // persist: released right after the round's checkpoint
+        // materializes, so per-round caches never accumulate.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // small-star: all strictly-smaller neighbors of u (and u itself)
       // link to m = min of those neighbors
       val sMins = large.groupBy("u").agg(min(col("v")).as("m"))
@@ -655,6 +675,8 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(sMins.select(col("u"), col("m").as("v")))
         .distinct())
+      // cp() is eager — `small` is materialized, large can go
+      large.unpersist(blocking = false)
       val (nNew, fpNew) = fingerprint(small)
       converged = nNew == n && fpNew == fp
       edges = small

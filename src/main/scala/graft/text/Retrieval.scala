@@ -34,13 +34,19 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qidCol: String, qtextCol: String,
                topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
+    // the tokenized corpus feeds TWO consumers — the query-term match
+    // (explode below) and the corpus stats aggregate (N, avgdl) —
+    // and unpersisted each ran the regex tokenization over the whole
+    // corpus from scratch (r18, the q43 two-consumers audit pattern);
+    // persist (tracked) so the corpus tokenizes once per call
+    val toks = graft.GraftSession.trackPersist(
+      docs.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("toks"))
       // null text → null dl (avg skips it, the SQL mirror) — raw
       // size(null) is -1 with ANSI off and would silently drag avgdl
       // down for every real document
       .withColumn("dl", when(col("toks").isNotNull,
-        size(col("toks")).cast(DoubleType)))
+        size(col("toks")).cast(DoubleType))))
 
     val qterms = queries.select(col(qidCol).cast(LongType).as("query_id"),
       explode(array_distinct(TextAnalysis.tokens(lower(col(qtextCol)))))

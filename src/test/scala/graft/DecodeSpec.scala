@@ -502,4 +502,37 @@ class DecodeSpec extends SparkSpec {
       assert(ham(fps(i)._2, fps(j)._2) > 0, s"chroma collision $i/$j")
     }
   }
+
+  test("goertzelAll: the fused multi-bin pass is bit-identical to the " +
+       "textbook per-bin Goertzel loop it replaced (r18 fusion — the " +
+       "cfp bits must not move)") {
+    // the exact single-bin recurrence the r17 implementation ran
+    def one(s: Array[Double], lo: Int, hi: Int, coeff: Double): Double = {
+      var s1 = 0.0; var s2 = 0.0; var i = lo
+      while (i < hi) {
+        val s0 = s(i) + coeff * s1 - s2
+        s2 = s1; s1 = s0; i += 1
+      }
+      s1 * s1 + s2 * s2 - coeff * s1 * s2
+    }
+    val rnd = new scala.util.Random(3)
+    val samples = Array.fill(1024)(rnd.nextDouble() * 2 - 1)
+    // the production coefficient set: 48 semitones from A2 at 8 kHz
+    val coeffs = Array.tabulate(48)(f =>
+      2.0 * math.cos(2.0 * math.Pi *
+        (110.0 * math.pow(2.0, f / 12.0)) / 8000.0))
+    val s1 = new Array[Double](48)
+    val s2 = new Array[Double](48)
+    val out = new Array[Double](48)
+    // full span, single sample, empty span, tail span — and a smaller
+    // active-bin count (the Nyquist prefix cut)
+    for ((lo, hi) <- Seq((0, 1024), (100, 101), (5, 5), (1000, 1024));
+         nBins <- Seq(48, 7)) {
+      java.util.Arrays.fill(out, Double.NaN)
+      Decode.goertzelAll(samples, lo, hi, coeffs, nBins, s1, s2, out)
+      for (f <- 0 until nBins)
+        assert(out(f) == one(samples, lo, hi, coeffs(f)),
+          s"bin $f span [$lo,$hi) nBins=$nBins: fused != textbook")
+    }
+  }
 }

@@ -360,4 +360,38 @@ test("P1: BuildBloom/Bloom over a COMPOUND key") {
     assert(math.abs(r.getDouble(3) - 3 * 3 / nChars) < 1e-4,
       s"top2gram used char mass, not top frequency: ${r.getDouble(3)}")
   }
+
+  test("cappedCandidatePairs: the r18 streaming generator emits exactly " +
+       "the sorted (i<j) pair set per in-cap bucket — cap boundary " +
+       "kept, over-cap dropped, cross-bucket repeats collapsed, " +
+       "degenerate duplicate ids preserved") {
+    import graft.text.Dedup
+    val maxBucket = 4
+    val data = Seq(
+      // band 0 bucket 0: exactly AT the cap — kept, all 6 pairs
+      (1L, 0, 0L), (4L, 0, 0L), (2L, 0, 0L), (3L, 0, 0L),
+      // band 0 bucket 1: one over the cap — dropped entirely
+      (10L, 0, 1L), (11L, 0, 1L), (12L, 0, 1L), (13L, 0, 1L), (14L, 0, 1L),
+      // band 1 bucket 0: repeats the (1,2) pair (distinct collapses it)
+      (2L, 1, 0L), (1L, 1, 0L), (9L, 1, 0L),
+      // band 1 bucket 1: singleton — no pairs
+      (7L, 1, 1L),
+      // band 2 bucket 5: duplicate id in one bucket (degenerate) —
+      // sorted [6,8,8] yields (6,8) twice and the equal pair (8,8)
+      (8L, 2, 5L), (8L, 2, 5L), (6L, 2, 5L))
+    val buckets = spark.createDataFrame(data).toDF("id", "band", "bucket")
+    val got = Dedup.cappedCandidatePairs(buckets, "id", maxBucket)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    // brute-force reference over the same grouping rule
+    val ref = data.groupBy(t => (t._2, t._3)).values
+      .filter(g => g.size >= 2 && g.size <= maxBucket)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    assert(got == ref, s"got $got\nref $ref")
+    assert(got.contains((8L, 8L)) && !got.contains((10L, 11L)) &&
+      got.contains((1L, 2L)))
+  }
 }

@@ -281,9 +281,16 @@ object DedupIndex {
         col(idCol).as("__old")), Seq("band", "bucket"))
       .select(col("__new"), col("__old"))
     // excludeSelfId: see exactDupsAgainst — replay idempotence for
-    // ingest loops whose batch is already (partially) appended
-    val cand = (if (excludeSelfId) cand0.filter(col("__old") =!= col("__new"))
-                else cand0).distinct()
+    // ingest loops whose batch is already (partially) appended.
+    // The candidate frame feeds THREE consumers (both gram-set
+    // fetches and the final verify join) — unpersisted, the whole
+    // batch-buckets ⋈ index-buckets join (the query's heaviest
+    // subtree) executed once per consumer (r18 PlanAudit: the
+    // anti-hot + buckets-join subtree appeared twice in q105's
+    // executed plan). Two longs per candidate — persist it.
+    val cand = graft.GraftSession.trackPersist(
+      (if (excludeSelfId) cand0.filter(col("__old") =!= col("__new"))
+       else cand0).distinct())
     // exact-Jaccard verify over candidate ids only; the grams table is
     // bucketed by id, so its groupBy runs exchange-free
     val newSets = newGrams
